@@ -1,0 +1,387 @@
+"""StandardAnalyzer semantics, vectorized for Ray Data batches.
+
+Reproduces the reference analysis chain — StandardTokenizer (UAX#29 word
+break, JFlex grammar at
+``lucene/core/src/java/org/apache/lucene/analysis/standard/StandardTokenizerImpl.jflex``)
+→ LowerCaseFilter (``analysis/LowerCaseFilter.java:23``) → StopFilter with the
+**empty** default stop set (``analysis/standard/StandardAnalyzer.java:51-53``)
+— as a single vectorized pass over all documents of a batch.
+
+Semantics implemented (pinned by the reference's own
+``TestStandardAnalyzer.java`` cases, mirrored in tests/test_analysis.py):
+
+- WB5/8/9/10: letters and digits join: ``a1b2`` → one token.
+- WB6/7:  ``X (MidLetter|MidNumLet|') X`` joins letters: ``A.B``/``A:B``/
+  ``O'Reilly`` are single tokens; ``A..B``/``A.:B`` split.
+- WB11/12: ``N (MidNum|MidNumLet|') N`` joins digits: ``3.14``, ``1,2``.
+- WB13a/b: ExtendNumLet (``_`` etc.) joins on either side: ``foo_bar``,
+  ``A:B_A:B``; a run with no letter/digit/katakana core (``"__"``) is
+  dropped (the WORD/NUMERIC grammar rules require at least one core char).
+- WB4: Extend/Format/ZWJ attach to the preceding char.
+- WB13: Katakana joins only Katakana (plus ExtendNumLet).
+- Han / Hiragana: one token per char (WB999); SE-Asian scripts: kept as runs
+  (the grammar's LB:Complex_Context rule).
+- Max token length 255 (UTF-16 units, ``StandardAnalyzer.java:37``): longer
+  matches are chopped at the longest *accepted* prefix that fits in the
+  scanner buffer and scanning resumes, per the JFlex ``%buffer 255``
+  (behavior pinned by TestStandardAnalyzer.testMaxTokenLength*: ``toolong``
+  at maxLen 5 → ``toolo``, ``ng``).
+- LowerCaseFilter: per-codepoint Character.toLowerCase (simple mapping —
+  U+0130 maps to 'i', unlike Python's full lowercase).
+
+Deliberate simplifications (documented divergences, unreachable for the
+source-code corpus): Hebrew-letter quote rules WB7a-c and the emoji grammar
+are not implemented — those char classes get generic handling.
+
+Field length = token count (position increment is always 1 ⇒ numOverlap = 0,
+``index/FieldInvertState.java:34-43``); the norm byte is
+SmallFloat.intToByte4(length) (``search/similarities/Similarity.java:152-163``).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import numpy as np
+import pyarrow as pa
+
+from .smallfloat import int_to_byte4
+
+MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.DEFAULT_MAX_TOKEN_LENGTH (":37")
+
+# ---------------------------------------------------------------------------
+# Word-break character classes (UAX#29 WordBreakProperty subset used by the
+# JFlex grammar).
+OTHER, LETTER, NUM, MIDLETTER, MIDNUM, MIDNUMLET, SQ, EXTNUMLET, EXTFMT, \
+    KATAKANA, HAN, HIRAGANA, SEA = range(13)
+
+_MIDS = (MIDLETTER, MIDNUM, MIDNUMLET, SQ)
+
+_MIDLETTER_CP = {0x3A, 0xB7, 0x387, 0x55F, 0x5F4, 0x2027, 0xFE13, 0xFE55,
+                 0xFF1A, 0x2D7}
+_MIDNUM_CP = {0x2C, 0x3B, 0x37E, 0x589, 0x60C, 0x60D, 0x66C, 0x7F8, 0x2044,
+              0xFE10, 0xFE14, 0xFE50, 0xFE54, 0xFF0C, 0xFF1B}
+_MIDNUMLET_CP = {0x2E, 0x2019, 0x2024, 0xFE52, 0xFF07, 0xFF0E}
+_SQ_CP = {0x27}
+_EXTNUMLET_EXTRA = {0x202F}  # NARROW NO-BREAK SPACE is WB:ExtendNumLet
+
+# Script ranges (complete for the chars a realistic corpus hits)
+_KATAKANA_RANGES = [(0x30A1, 0x30FA), (0x30FC, 0x30FF), (0x31F0, 0x31FF),
+                    (0xFF66, 0xFF9D), (0x1B000, 0x1B000)]
+_HIRAGANA_RANGES = [(0x3041, 0x3096), (0x309D, 0x309F), (0x1B001, 0x1B11E)]
+_HAN_RANGES = [(0x3005, 0x3005), (0x3007, 0x3007), (0x3400, 0x4DBF),
+               (0x4E00, 0x9FFF), (0xF900, 0xFA6D), (0x20000, 0x2A6DF),
+               (0x2A700, 0x2EBEF)]
+_SEA_RANGES = [(0x0E01, 0x0E3A), (0x0E40, 0x0E4E),         # Thai
+               (0x0E81, 0x0EDF),                            # Lao
+               (0x1000, 0x109F), (0xAA60, 0xAA7F),          # Myanmar
+               (0x1780, 0x17DD), (0x17E0, 0x17E9)]          # Khmer
+
+
+def _classify_cp(cp: int) -> int:
+    if cp in _MIDNUMLET_CP:
+        return MIDNUMLET
+    if cp in _SQ_CP:
+        return SQ
+    if cp in _MIDLETTER_CP:
+        return MIDLETTER
+    if cp in _MIDNUM_CP:
+        return MIDNUM
+    ch = chr(cp)
+    cat = unicodedata.category(ch)
+    for lo, hi in _SEA_RANGES:
+        if lo <= cp <= hi:
+            return NUM if cat == "Nd" else SEA
+    for lo, hi in _HAN_RANGES:
+        if lo <= cp <= hi:
+            return HAN
+    for lo, hi in _HIRAGANA_RANGES:
+        if lo <= cp <= hi:
+            return HIRAGANA
+    for lo, hi in _KATAKANA_RANGES:
+        if lo <= cp <= hi:
+            return KATAKANA
+    if cat == "Nd":
+        return NUM
+    if cat == "Pc" or cp in _EXTNUMLET_EXTRA:
+        return EXTNUMLET
+    if cat in ("Mn", "Mc", "Me") or (cat == "Cf" and cp != 0x200B):
+        return EXTFMT  # WB:Extend / WB:Format / ZWJ (WB4 attachment)
+    if cat in ("Lu", "Ll", "Lt", "Lm", "Lo", "Nl"):
+        return LETTER  # WB:ALetter (incl. Hebrew letters and Hangul)
+    return OTHER
+
+
+_BMP_LUT: np.ndarray | None = None
+_LOWER_LUT: np.ndarray | None = None
+_ASTRAL_CLS: dict[int, int] = {}
+
+
+def _luts() -> tuple[np.ndarray, np.ndarray]:
+    """(word-break class, simple-lowercase) LUTs for the BMP; built once per
+    worker process (the tokenizer's only per-worker state)."""
+    global _BMP_LUT, _LOWER_LUT
+    if _BMP_LUT is None:
+        cls = np.empty(0x10000, dtype=np.uint8)
+        low = np.arange(0x10000, dtype=np.uint32)
+        for cp in range(0x10000):
+            cls[cp] = _classify_cp(cp)
+            lc = chr(cp).lower()
+            if len(lc) == 1:
+                low[cp] = ord(lc)
+            elif cp == 0x130:  # Java Character.toLowerCase(İ) == 'i'
+                low[cp] = 0x69
+            # other multi-char lowerings keep the original char (simple map)
+        _BMP_LUT, _LOWER_LUT = cls, low
+    return _BMP_LUT, _LOWER_LUT
+
+
+def _classes(codes: np.ndarray) -> np.ndarray:
+    lut, _ = _luts()
+    cls = lut[np.minimum(codes, 0xFFFF)]
+    astral = codes > 0xFFFF
+    if astral.any():
+        for i in np.flatnonzero(astral):
+            cp = int(codes[i])
+            c = _ASTRAL_CLS.get(cp)
+            if c is None:
+                c = _classify_cp(cp)
+                _ASTRAL_CLS[cp] = c
+            cls[i] = c
+    return cls
+
+
+def _lower_codes(codes: np.ndarray) -> np.ndarray:
+    _, low = _luts()
+    out = np.where(codes <= 0xFFFF, low[np.minimum(codes, 0xFFFF)], codes)
+    astral = codes > 0xFFFF
+    if astral.any():
+        for i in np.flatnonzero(astral):
+            lc = chr(int(codes[i])).lower()
+            if len(lc) == 1:
+                out[i] = ord(lc)
+    return out.astype(np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Core word-break pass (one call per batch).
+
+def _span_bounds(codes: np.ndarray, cls: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Raw token spans [start, end) in codepoint indices (no max-length)."""
+    n = len(codes)
+    if n == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty
+    is_ext = cls == EXTFMT
+    idx = np.arange(n)
+    src = np.maximum.accumulate(np.where(is_ext, -1, idx))  # WB4 base index
+    eff = np.where(src >= 0, cls[np.maximum(src, 0)], OTHER).astype(np.int8)
+
+    core = np.isin(eff, (LETTER, NUM, EXTNUMLET, KATAKANA, HAN, HIRAGANA, SEA))
+
+    prv = np.empty(n, dtype=np.int8)
+    prv[0] = OTHER
+    prv[1:] = eff[:-1]
+    # raw class of the next non-Extend char (for mid-join lookahead)
+    nxt_src = np.minimum.accumulate(np.where(is_ext, n, idx)[::-1])[::-1]
+    nxt = np.full(n, OTHER, dtype=np.int8)
+    nxt_from = np.empty(n, dtype=np.int64)
+    nxt_from[:-1] = nxt_src[1:]
+    nxt_from[-1] = n
+    ok = nxt_from < n
+    nxt[ok] = cls[nxt_from[ok]]
+
+    is_mid = np.isin(eff, _MIDS)
+    letters_both = (prv == LETTER) & (nxt == LETTER)
+    nums_both = (prv == NUM) & (nxt == NUM)
+    join = ((eff == MIDLETTER) & letters_both) \
+        | ((eff == MIDNUM) & nums_both) \
+        | (((eff == MIDNUMLET) | (eff == SQ)) & (letters_both | nums_both))
+    member = core | (is_mid & join)
+    member = np.where(is_ext & (src >= 0), member[np.maximum(src, 0)], member)
+
+    # joins between consecutive member chars
+    an = (LETTER, NUM)
+    both_an = np.isin(prv, an) & np.isin(eff, an)
+    kk = (prv == KATAKANA) & (eff == KATAKANA)
+    sea = (prv == SEA) & (eff == SEA)
+    enl_ok = (LETTER, NUM, KATAKANA, EXTNUMLET)
+    enl = ((prv == EXTNUMLET) & np.isin(eff, enl_ok)) \
+        | ((eff == EXTNUMLET) & np.isin(prv, enl_ok))
+    mid_l = np.isin(prv, _MIDS) | np.isin(eff, _MIDS)
+    joinable = both_an | kk | sea | enl | mid_l | is_ext  # WB4: no break before Extend
+
+    prev_member = np.empty(n, dtype=bool)
+    prev_member[0] = False
+    prev_member[1:] = member[:-1]
+    starts = np.flatnonzero(member & (~prev_member | ~joinable))
+    if len(starts) == 0:
+        return starts.astype(np.int64), starts.astype(np.int64)
+    bounds = np.zeros(n + 1, dtype=bool)
+    bounds[starts] = True
+    bounds[np.flatnonzero(~member)] = True
+    bounds[n] = True
+    all_b = np.flatnonzero(bounds)
+    ends = all_b[np.searchsorted(all_b, starts + 1)]
+    return starts.astype(np.int64), ends.astype(np.int64)
+
+
+def _accept_end(cls: np.ndarray, start: int, end: int) -> int:
+    """Longest accepted prefix end in [start, end): a match may not end on a
+    dangling mid char (mirrors the grammar's accepting states)."""
+    e = end
+    while e > start:
+        e2 = e
+        while e2 > start and cls[e2 - 1] == EXTFMT:
+            e2 -= 1
+        if e2 == start:
+            return start
+        if cls[e2 - 1] in _MIDS:
+            e = e2 - 1
+            continue
+        return e
+    return start
+
+
+_CORE_CLASSES = (LETTER, NUM, KATAKANA, HAN, HIRAGANA, SEA)
+
+
+def _split_long_span(codes: np.ndarray, cls: np.ndarray, s: int, e: int,
+                     max_len: int) -> list[tuple[int, int]]:
+    """JFlex buffer emulation for a span longer than max_len UTF-16 units:
+    repeatedly emit the longest accepted prefix that fits, resume after it."""
+    out: list[tuple[int, int]] = []
+    units = np.where(codes[s:e] > 0xFFFF, 2, 1).astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(units)])  # utf-16 len of codes[s:s+i]
+    pos = s
+    while pos < e:
+        while pos < e and (cls[pos] in _MIDS or cls[pos] == EXTFMT):
+            pos += 1  # a match cannot start on a mid/extend char
+        if pos >= e:
+            break
+        # furthest w with utf16len(codes[pos:w]) <= max_len
+        w = s + int(np.searchsorted(cum, cum[pos - s] + max_len, side="right")) - 1
+        if w >= e:
+            if _has_core(cls, pos, e):
+                out.append((pos, e))
+            break
+        acc = _accept_end(cls, pos, w)
+        if acc <= pos:
+            pos += 1
+            continue
+        if _has_core(cls, pos, acc):
+            out.append((pos, acc))
+        pos = acc
+    return out
+
+
+def _has_core(cls: np.ndarray, s: int, e: int) -> bool:
+    return bool(np.isin(cls[s:e], _CORE_CLASSES).any())
+
+
+def _token_spans(codes: np.ndarray, cls: np.ndarray,
+                 max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """Final token spans: word-break pass + max-length splitting + the
+    drop-if-no-core rule. Returns (starts, ends) codepoint indices."""
+    starts, ends = _span_bounds(codes, cls)
+    if len(starts) == 0:
+        return starts, ends
+    # vectorized length / core checks over all spans
+    is_core = np.isin(cls, _CORE_CLASSES)
+    cum_core = np.concatenate([[0], np.cumsum(is_core)])
+    has_core = (cum_core[ends] - cum_core[starts]) > 0
+    units = np.where(codes > 0xFFFF, 2, 1)
+    cum_u = np.concatenate([[0], np.cumsum(units)])
+    too_long = (cum_u[ends] - cum_u[starts]) > max_len
+
+    keep = has_core & ~too_long
+    if too_long.any():
+        extra: list[tuple[int, int]] = []
+        for s, e in zip(starts[too_long], ends[too_long]):
+            extra.extend(_split_long_span(codes, cls, int(s), int(e), max_len))
+        if extra:
+            es = np.array([p for p, _ in extra], dtype=np.int64)
+            ee = np.array([q for _, q in extra], dtype=np.int64)
+            starts = np.concatenate([starts[keep], es])
+            ends = np.concatenate([ends[keep], ee])
+            order = np.argsort(starts, kind="stable")
+            return starts[order], ends[order]
+    return starts[keep], ends[keep]
+
+
+# ---------------------------------------------------------------------------
+# Public API
+
+def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
+    """StandardAnalyzer on one string → list of lowercased tokens."""
+    if not text:
+        return []
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    cls = _classes(codes)
+    starts, ends = _token_spans(codes, cls, max_token_length)
+    low = _lower_codes(codes)
+    return [
+        low[s:e].tobytes().decode("utf-32-le") for s, e in zip(starts, ends)
+    ]
+
+
+def analyze_batch(texts: list[str],
+                  max_token_length: int = MAX_TOKEN_LENGTH
+                  ) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize a whole batch in one vectorized pass.
+
+    Returns ``(tokens, owners, lengths, norms)`` where ``tokens`` is a
+    pyarrow string array of every token in the batch (lowercased),
+    ``owners`` is the int64 doc index (within the batch) of each token,
+    ``lengths`` the per-doc field length (int32) and ``norms`` the per-doc
+    norm byte (uint8).
+
+    The whole batch is concatenated with a NUL separator so the word-break
+    pass runs once; token strings are materialized as a single Arrow string
+    array built from offsets into one contiguous buffer (no per-token Python
+    objects on the ASCII fast path).
+    """
+    texts = ["" if t is None else t for t in texts]
+    n_docs = len(texts)
+    if n_docs == 0:
+        e = np.empty(0, np.int64)
+        return pa.array([], type=pa.string()), e, e.astype(np.int32), \
+            e.astype(np.uint8)
+    joined = "\x00".join(texts)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    cls = _classes(codes)
+    starts, ends = _token_spans(codes, cls, max_token_length)
+
+    doc_start = np.zeros(n_docs, dtype=np.int64)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n_docs)
+    if n_docs > 1:
+        doc_start[1:] = np.cumsum(lens[:-1] + 1)
+    owners = np.searchsorted(doc_start, starts, side="right") - 1
+
+    # materialize lowercased token strings as one Arrow array
+    span_lens = ends - starts
+    total = int(span_lens.sum())
+    if total:
+        # expand [s, e) ranges into one flat index array
+        out_idx = np.repeat(starts - np.concatenate([[0], np.cumsum(span_lens)[:-1]]),
+                            span_lens) + np.arange(total)
+        tok_codes = _lower_codes(codes[out_idx])
+    else:
+        tok_codes = np.empty(0, dtype=np.uint32)
+    offsets = np.concatenate([[0], np.cumsum(span_lens)]).astype(np.int64)
+    if total == 0 or tok_codes.max(initial=0) < 128:
+        values = tok_codes.astype(np.uint8).tobytes()
+        tokens = pa.LargeStringArray.from_buffers(
+            len(starts), pa.py_buffer(offsets.tobytes()), pa.py_buffer(values)
+        ).cast(pa.string())
+    else:
+        flat = tok_codes.tobytes().decode("utf-32-le")
+        tokens = pa.array(
+            [flat[offsets[i]:offsets[i + 1]] for i in range(len(starts))],
+            type=pa.string(),
+        )
+
+    lengths = np.bincount(owners, minlength=n_docs).astype(np.int32)
+    norms = int_to_byte4(lengths.astype(np.int64))
+    return tokens, owners, lengths, norms

@@ -1,0 +1,144 @@
+"""Analyzer golden tests.
+
+Every assertion here is copied from the reference's own test suite
+(lucene/core/src/test/org/apache/lucene/analysis/standard/TestStandardAnalyzer.java
+— the assertAnalyzesTo cases), so passing means parity with StandardAnalyzer
+(StandardTokenizer + LowerCaseFilter + empty stop set) on these inputs.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from lucene_ray.analysis import MAX_TOKEN_LENGTH, analyze_batch, tokenize
+from lucene_ray.smallfloat import int_to_byte4
+
+
+def check(text, expected, max_len=MAX_TOKEN_LENGTH):
+    assert tokenize(text, max_len) == expected
+
+
+# --- TestStandardAnalyzer.testAlphanumericSA / plain words ---------------
+def test_basic_words():
+    check("B2B", ["b2b"])
+    check("2B", ["2b"])
+    check("some-dashed-phrase", ["some", "dashed", "phrase"])
+    check("dogs,chase,cats", ["dogs", "chase", "cats"])
+    check("ac/dc", ["ac", "dc"])
+
+
+# --- internal apostrophes (TestStandardAnalyzer.java:409-415) ------------
+def test_apostrophes():
+    check("O'Reilly", ["o'reilly"])
+    check("you're", ["you're"])
+    check("she's", ["she's"])
+    check("Jim's", ["jim's"])
+    check("don't", ["don't"])
+    check("O'Reilly's", ["o'reilly's"])
+
+
+# --- mid-letter / mid-num / ExtendNumLet (TestStandardAnalyzer.java:511-553)
+def test_mid_joiners():
+    check("A:B", ["a:b"])
+    check("A::B", ["a", "b"])
+    check("A.B", ["a.b"])
+    check("A..B", ["a", "b"])
+    check("1,2", ["1,2"])
+    check("1,,2", ["1", "2"])
+    check("1.2", ["1.2"])
+    check("A:B_A:B", ["a:b_a:b"])
+    check("A:B_A::B", ["a:b_a", "b"])
+    check("1.2_1.2", ["1.2_1.2"])
+    check("A.B_A.B", ["a.b_a.b"])
+    check("1.2_1..2", ["1.2_1", "2"])
+    check("A.B_A..B", ["a.b_a", "b"])
+    check("1,2_1,2", ["1,2_1,2"])
+    check("1,2_1,,2", ["1,2_1", "2"])
+    check("C_A.:B", ["c_a", "b"])
+    check("C_A:.B", ["c_a", "b"])
+    check("3_1,.2", ["3_1", "2"])
+    check("3_1.,2", ["3_1", "2"])
+
+
+def test_mixed_alnum_and_underscore():
+    check("a1b2", ["a1b2"])
+    check("foo_bar", ["foo_bar"])
+    check("foo__bar", ["foo__bar"])
+    check("foo_", ["foo_"])
+    check("_foo", ["_foo"])
+    check("__", [])                    # no core char → dropped
+    check("3.14", ["3.14"])
+    check("3.14.15", ["3.14.15"])      # repeated single mids keep joining
+    check("a.b.c", ["a.b.c"])
+    check("1.b", ["1", "b"])           # mid needs same class on both sides
+    check("a.2", ["a", "2"])
+
+
+def test_unicode_letters():
+    check("héllo wörld", ["héllo", "wörld"])
+    # combining mark attaches (WB4)
+    check("áb", ["áb"])
+
+
+def test_empty_and_punct():
+    check("", [])
+    check("...", [])
+    check("!@#$%^&*()", [])
+    check(" \t\n ", [])
+
+
+# --- max token length (TestStandardAnalyzer.java:677-693) ----------------
+def test_max_token_length_nondefault():
+    # assertAnalyzesTo(a, "ab cd toolong xy z", ...) with maxLen 5
+    check("ab cd toolong xy z", ["ab", "cd", "toolo", "ng", "xy", "z"],
+          max_len=5)
+
+
+def test_max_token_length_default():
+    b255 = "b" * MAX_TOKEN_LENGTH
+    check("x " + b255 + " " + b255 + "b", ["x", b255, b255, "b"])
+
+
+def test_max_len_split_with_mid_at_boundary():
+    # window lands on a dangling mid char → longest accepted prefix shrinks
+    text = "a" * 4 + ".bc"
+    # span is "aaaa.bc" (one token normally); with max_len 5 the 5-char
+    # window "aaaa." cannot end on '.', so emit "aaaa", resume at ".bc":
+    # '.' cannot start a token → "bc"
+    check(text, ["aaaa", "bc"], max_len=5)
+
+
+def test_cjk():
+    check("仮名遣い カタカナ", ["仮", "名", "遣", "い", "カタカナ"])
+    check("abcカタ", ["abc", "カタ"])
+    check("한국어 hello", ["한국어", "hello"])
+
+
+# --- batch API mirrors the scalar API ------------------------------------
+def test_analyze_batch_matches_tokenize():
+    docs = ["B2B some-dashed-phrase", "O'Reilly's 3.14 foo_bar", "", "...",
+            "A:B_A::B x", "héllo wörld", "a" * 300 + " tail"]
+    tokens, owners, lengths, norms = analyze_batch(docs)
+    toks = tokens.to_pylist()
+    for d, text in enumerate(docs):
+        expect = tokenize(text)
+        got = [t for t, o in zip(toks, owners) if o == d]
+        assert got == expect, f"doc {d}"
+        assert lengths[d] == len(expect)
+        assert norms[d] == int_to_byte4(np.array([len(expect)]))[0]
+
+
+def test_analyze_batch_long_token_split():
+    docs = ["x" * (MAX_TOKEN_LENGTH + 45)]
+    tokens, owners, lengths, norms = analyze_batch(docs)
+    assert tokens.to_pylist() == ["x" * MAX_TOKEN_LENGTH, "x" * 45]
+    assert lengths[0] == 2
+
+
+def test_analyze_batch_arrow_types():
+    tokens, owners, lengths, norms = analyze_batch(["a b c"])
+    assert isinstance(tokens, pa.Array)
+    assert tokens.type == pa.string()
+    assert owners.dtype == np.int64
+    assert lengths.dtype == np.int32
+    assert norms.dtype == np.uint8
