@@ -1,0 +1,202 @@
+"""Block postings codec: delta+FOR docs, PFoR freqs, per-block impacts.
+
+Semantic counterpart of the reference's Lucene103 postings format:
+
+- 128-posting blocks (``codecs/lucene103/ForUtil.java:32`` BLOCK_SIZE=128),
+  delta-encoded doc ids bit-packed to the block's max bit width
+  (``ForDeltaUtil.java:67``), decoded with a prefix sum.
+- Frequencies PFoR-encoded with at most 7 patched exceptions
+  (``PForUtil.java:28,30`` MAX_EXCEPTIONS=7) and an all-equal-block
+  optimization.
+- Per-block competitive (freq, norm) impact frontier
+  (``codecs/CompetitiveImpactAccumulator.java:27,65-76``,
+  ``Lucene103PostingsWriter.java:236-296``): the Pareto set bounding the
+  maximum achievable score of any doc in the block; ``first_doc/last_doc``
+  block metadata plays the role of the skip list
+  (``Lucene103PostingsWriter.java:388,491``).
+
+We do not chase byte-identical files — only value-identical postings and
+impact bounds (the reference's own tests assert values, not bytes:
+``BasePostingsFormatTestCase.java:104``). Bit packing is LSB-first via
+numpy packbits/unpackbits, vectorized per block.
+
+On-disk layout is *flat*: one Arrow/Parquet row per (term, block), sorted by
+``(term, first_doc)`` within a partition — Parquet row-group min/max stats on
+``term`` replace the BlockTree trie index
+(``blocktree/Lucene103BlockTreeTermsWriter.java:364``) for pruning, and a
+per-partition sorted term array (memoized by the searcher actor) replaces the
+in-RAM FST.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128          # ForUtil.java:32
+MAX_EXCEPTIONS = 7        # PForUtil.java:30
+_ALL_EQUAL = 0xFE         # marker byte: all values in block equal
+
+
+def _bit_len(v: int) -> int:
+    return int(v).bit_length()
+
+
+def pack_bits(values: np.ndarray, bpv: int) -> bytes:
+    """Pack uint64 values LSB-first at bpv bits per value."""
+    if bpv == 0:
+        return b""
+    vals = values.astype(np.uint64)
+    shifts = np.arange(bpv, dtype=np.uint64)
+    bits = ((vals[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def unpack_bits(buf: bytes, n: int, bpv: int) -> np.ndarray:
+    """Inverse of pack_bits → uint64 array of length n."""
+    if bpv == 0:
+        return np.zeros(n, dtype=np.uint64)
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8),
+                         bitorder="little")[: n * bpv]
+    weights = (np.uint64(1) << np.arange(bpv, dtype=np.uint64))
+    return bits.reshape(n, bpv).astype(np.uint64) @ weights
+
+
+def encode_deltas(deltas: np.ndarray) -> bytes:
+    """FOR-encode a block of doc-id deltas: [bpv u8][packed bits].
+
+    All-equal blocks (dense runs) collapse to [0xFE][u64le value].
+    """
+    deltas = deltas.astype(np.uint64)
+    if len(deltas) and np.all(deltas == deltas[0]):
+        return bytes([_ALL_EQUAL]) + int(deltas[0]).to_bytes(8, "little")
+    bpv = _bit_len(int(deltas.max(initial=0)))
+    return bytes([bpv]) + pack_bits(deltas, bpv)
+
+
+def decode_deltas(buf: bytes, n: int) -> np.ndarray:
+    bpv = buf[0]
+    if bpv == _ALL_EQUAL:
+        v = int.from_bytes(buf[1:9], "little")
+        return np.full(n, v, dtype=np.uint64)
+    return unpack_bits(buf[1:], n, bpv)
+
+
+def encode_pfor(values: np.ndarray) -> bytes:
+    """PFoR-encode a block of positive ints (term freqs).
+
+    Layout: [bpv u8][n_exc u8][packed base][n_exc × (idx u8 + value u32le)].
+    Exception slots hold 0 in the base packing and are overwritten at decode
+    (value-identical to the reference's patching, PForUtil.java:28).
+    All-equal blocks collapse to [0xFE][u32le value].
+    """
+    vals = values.astype(np.uint64)
+    n = len(vals)
+    if n and np.all(vals == vals[0]):
+        return bytes([_ALL_EQUAL]) + int(vals[0]).to_bytes(4, "little")
+    order = np.argsort(vals, kind="stable")
+    best_cost, best_k = None, 0
+    sorted_vals = vals[order]
+    for k in range(0, min(MAX_EXCEPTIONS, n - 1) + 1):
+        base_max = int(sorted_vals[n - 1 - k])
+        bpv = _bit_len(base_max)
+        cost = n * bpv + k * 5 * 8
+        if best_cost is None or cost < best_cost:
+            best_cost, best_k = cost, k
+    k = best_k
+    exc_idx = order[n - k:] if k else np.empty(0, dtype=np.int64)
+    base = vals.copy()
+    base[exc_idx] = 0
+    bpv = _bit_len(int(base.max(initial=0)))
+    out = bytearray([bpv, k])
+    out += pack_bits(base, bpv)
+    for i in sorted(int(x) for x in exc_idx):
+        out.append(i)
+        out += int(vals[i]).to_bytes(4, "little")
+    return bytes(out)
+
+
+def decode_pfor(buf: bytes, n: int) -> np.ndarray:
+    bpv = buf[0]
+    if bpv == _ALL_EQUAL:
+        v = int.from_bytes(buf[1:5], "little")
+        return np.full(n, v, dtype=np.uint64)
+    k = buf[1]
+    nbytes = (n * bpv + 7) // 8
+    vals = unpack_bits(buf[2:2 + nbytes], n, bpv)
+    pos = 2 + nbytes
+    for _ in range(k):
+        idx = buf[pos]
+        vals[idx] = int.from_bytes(buf[pos + 1:pos + 5], "little")
+        pos += 5
+    return vals
+
+
+def impact_frontier(tfs: np.ndarray, norms: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Competitive (freq, norm) pairs of a block — the Pareto frontier kept
+    by CompetitiveImpactAccumulator (CompetitiveImpactAccumulator.java:65-76):
+    a pair survives iff no other pair has freq' >= freq and norm' <= norm.
+
+    Returns (freqs int32 asc, norm bytes uint8 asc) — norm bytes order by
+    length since byte4ToInt is strictly monotone.
+    """
+    if len(tfs) == 0:
+        return np.empty(0, np.int32), np.empty(0, np.uint8)
+    # unique pairs sorted by (freq, norm); keep min norm per freq
+    pairs = np.unique(np.stack(
+        [tfs.astype(np.int64), norms.astype(np.int64)], axis=1), axis=0)
+    freqs, nrm = pairs[:, 0], pairs[:, 1]
+    first = np.concatenate([[True], freqs[1:] != freqs[:-1]])
+    freqs, nrm = freqs[first], nrm[first]
+    # pair i survives iff its norm is strictly below every higher-freq norm
+    rev_min = np.minimum.accumulate(nrm[::-1])[::-1]
+    nxt_min = np.empty(len(nrm), dtype=np.int64)
+    nxt_min[-1] = np.iinfo(np.int64).max
+    if len(nrm) > 1:
+        nxt_min[:-1] = rev_min[1:]
+    keep = nrm < nxt_min
+    return freqs[keep].astype(np.int32), nrm[keep].astype(np.uint8)
+
+
+def encode_term(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray
+                ) -> dict[str, list]:
+    """Encode one term's postings (doc-sorted) into per-block columns.
+
+    Returns a dict of equal-length lists, one element per block:
+    first_doc, last_doc, n, docs_enc, tfs_enc, norms_enc, imp_freq (list),
+    imp_norm (bytes).
+    """
+    n = len(doc_ids)
+    out = {k: [] for k in ("first_doc", "last_doc", "n", "docs_enc",
+                           "tfs_enc", "norms_enc", "imp_freq", "imp_norm")}
+    for s in range(0, n, BLOCK_SIZE):
+        e = min(s + BLOCK_SIZE, n)
+        d = doc_ids[s:e].astype(np.int64)
+        deltas = np.empty(e - s, dtype=np.uint64)
+        deltas[0] = 0
+        if e - s > 1:
+            deltas[1:] = np.diff(d).astype(np.uint64)
+        t = tfs[s:e]
+        nb = norms[s:e].astype(np.uint8)
+        fr, no = impact_frontier(t, nb)
+        out["first_doc"].append(int(d[0]))
+        out["last_doc"].append(int(d[-1]))
+        out["n"].append(e - s)
+        out["docs_enc"].append(encode_deltas(deltas))
+        out["tfs_enc"].append(encode_pfor(t))
+        out["norms_enc"].append(nb.tobytes())
+        out["imp_freq"].append(fr.tolist())
+        out["imp_norm"].append(no.tobytes())
+    return out
+
+
+def decode_block(first_doc: int, n: int, docs_enc: bytes, tfs_enc: bytes,
+                 norms_enc: bytes
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one block → (doc_ids int64, tfs int64, norms uint8)."""
+    deltas = decode_deltas(docs_enc, n).astype(np.int64)
+    deltas[0] = 0
+    docs = first_doc + np.cumsum(deltas)
+    tfs = decode_pfor(tfs_enc, n).astype(np.int64)
+    norms = np.frombuffer(norms_enc, dtype=np.uint8)
+    return docs, tfs, norms
