@@ -1,0 +1,555 @@
+"""The index-build pipeline, Ray-Data-first.
+
+Stage map (reference semantics → Ray Data physical plan; SURVEY.md §3.1):
+
+1. **Plan** — sample doc keys → contiguous key-range *buckets* (the DWPT /
+   segment analogue, ``index/DocumentsWriterPerThread.java``), count rows per
+   bucket (tiny partial-count shuffle), prefix-sum into per-bucket docID
+   bases. docID = bucket base + rank within bucket = global rank of the key
+   ``(repo, path, commit)`` — deterministic and independent of bucket count
+   (the segment-docBase scheme of ``index/MergeState.java:170-204``, made
+   reproducible).
+2. **Segment build (flush)** — ONE full-data shuffle:
+   ``groupby("bucket").map_groups(build_segment)``. Per bucket: sort by key,
+   assign docIDs, sha256, tokenize (vectorized StandardAnalyzer), local
+   (term, doc, tf) dedup via dictionary-encode (the ``BytesRefHash`` role,
+   ``util/BytesRefHash.java:335``), encode block postings (delta+FOR/PFoR +
+   impacts), write ``segments/seg=N.parquet`` (term-sorted) +
+   ``docmeta/bucket=N.parquet`` + a lineage record. Raw postings never cross
+   the wire — only encoded segments do.
+3. **Merge** — the north-star unified term dictionary:
+   read back the (already compressed, ~10-30× smaller than raw triples)
+   segment rows, key them by ``(tbucket = crc32(term) % T,
+   salt = seg // salt_group)`` and ``groupby([...]).map_groups(Merger, ...)``
+   with a **stateful actor pool**. Salting bounds every merge group to
+   ``salt_group`` segments' worth of one term-hash bucket, so a degenerate
+   term with df ≈ N (the skew case) is split across salt groups into
+   multiple final rows with disjoint, increasing doc ranges — the k-way
+   ordered merge of ``index/MultiTermsEnum.java:32`` degenerates to ordered
+   concat + re-block, exactly as in Lucene where segment doc ranges are
+   disjoint. Output: ``postings/part=T_S.parquet`` sorted by
+   ``(term, first_doc)`` + lineage (incl. term min/max per part for pruning).
+4. **Stats + manifest** — doc_count/sum_ttf from segment lineage (cross-
+   checkable against a docmeta aggregate), manifest written atomically.
+
+Resumability: every partition output is written to a temp name and renamed;
+per-partition lineage JSON lands in ``_build/`` as each task finishes; a
+rerun loads the plan, skips finished buckets *before* the shuffle, and skips
+finished merge parts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .analysis import analyze_batch
+from .codec import BLOCK_SIZE, encode_term
+from .state.manifest import (IndexManifest, atomic_write_json, load_manifest,
+                             save_manifest)
+
+SEP = "\x00"
+
+POSTINGS_FIELDS = [
+    ("term", pa.string()),
+    ("seg", pa.int32()),
+    ("first_doc", pa.int64()),
+    ("last_doc", pa.int64()),
+    ("n", pa.int32()),
+    ("tf_sum", pa.int64()),
+    ("docs_enc", pa.binary()),
+    ("tfs_enc", pa.binary()),
+    ("norms_enc", pa.binary()),
+    ("imp_freq", pa.list_(pa.int32())),
+    ("imp_norm", pa.binary()),
+]
+SEGMENT_SCHEMA = pa.schema(POSTINGS_FIELDS)
+
+
+def _dockey(batch: pa.Table) -> pa.Array:
+    return pc.binary_join_element_wise(
+        batch.column("repo"), batch.column("path"), batch.column("commit"),
+        SEP)
+
+
+def _crc_bucket(terms: list[str], mod: int) -> np.ndarray:
+    return np.fromiter(
+        (zlib.crc32(t.encode()) % mod for t in terms),
+        dtype=np.int32, count=len(terms))
+
+
+def default_build_params(n_rows: int, target_docs_per_bucket: int = 250_000
+                         ) -> dict:
+    """Bucket/partition sizing. ~250k docs per segment mirrors Lucene's
+    query-slice sizing (search/IndexSearcher.java:106-108) and keeps a
+    group's tokenized footprint comfortably inside a worker heap."""
+    num_buckets = max(4, -(-n_rows // target_docs_per_bucket))
+    term_parts = max(8, min(64, num_buckets))
+    salt_group = 64          # segments per merge salt-group
+    return {"num_buckets": int(num_buckets), "term_parts": int(term_parts),
+            "salt_group": int(salt_group)}
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: plan
+
+def _sample_boundaries(ds, num_buckets: int, sample_per_batch: int = 32
+                       ) -> list[str]:
+    def sample(batch: pa.Table) -> pa.Table:
+        keys = _dockey(batch)
+        n = len(keys)
+        step = max(1, n // sample_per_batch)
+        return pa.table({"key": keys.take(np.arange(0, n, step))})
+
+    sampled = sorted(ds.map_batches(sample, batch_format="pyarrow")
+                     .take_all(), key=lambda r: r["key"])
+    keys = [r["key"] for r in sampled]
+    if not keys or num_buckets <= 1:
+        return []
+    idx = np.linspace(0, len(keys) - 1, num_buckets + 1)[1:-1]
+    bounds = sorted({keys[int(i)] for i in idx})
+    return bounds
+
+
+def _assign_bucket(batch: pa.Table, boundaries: list[str]) -> pa.Table:
+    keys = _dockey(batch)
+    if boundaries:
+        b = np.searchsorted(np.array(boundaries, dtype=object),
+                            np.array(keys.to_pylist(), dtype=object),
+                            side="right").astype(np.int32)
+    else:
+        b = np.zeros(len(keys), dtype=np.int32)
+    return batch.append_column("bucket", pa.array(b, pa.int32())) \
+                .append_column("dockey", keys)
+
+
+def _bucket_counts(ds_with_bucket, num_buckets: int) -> list[int]:
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = batch.column("bucket").to_numpy(zero_copy_only=False)
+        cnt = np.bincount(vc, minlength=num_buckets)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz, pa.int32()),
+                         "n": pa.array(cnt[nz], pa.int64())})
+
+    rows = (ds_with_bucket.map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").sum("n").take_all())
+    counts = [0] * num_buckets
+    for r in rows:
+        counts[r["bucket"]] = int(r["sum(n)"])
+    return counts
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: segment build (the flush)
+
+def _build_segment(group: pa.Table, index_dir: str, bases: list[int]) -> pa.Table:
+    t0 = time.time()
+    if group.num_rows == 0:
+        return _empty_seg_lineage()
+    seg = int(group.column("bucket")[0].as_py())
+    base = bases[seg]
+    group = group.sort_by([("dockey", "ascending")])
+    contents = group.column("content").to_pylist()
+    n_docs = len(contents)
+    doc_ids = base + np.arange(n_docs, dtype=np.int64)
+
+    shas = [hashlib.sha256(("" if c is None else c).encode()).digest()
+            for c in contents]
+    tokens, owners, lengths, norms = analyze_batch(contents)
+
+    # --- docmeta ---
+    docmeta = pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "repo": group.column("repo"),
+        "path": group.column("path"),
+        "commit": group.column("commit"),
+        "lang": group.column("lang"),
+        "sha256": pa.array(shas, pa.binary(32)),
+        "field_len": pa.array(lengths, pa.int32()),
+        "norm": pa.array(norms, pa.uint8()),
+    })
+    dm_path = os.path.join(index_dir, "docmeta", f"bucket={seg:05d}.parquet")
+    os.makedirs(os.path.dirname(dm_path), exist_ok=True)
+    pq.write_table(docmeta, dm_path + ".tmp")
+    os.replace(dm_path + ".tmp", dm_path)
+
+    # --- local inverted index: dedup (term, doc) → tf, then encode ---
+    # (the per-segment BytesRefHash + FreqProx role,
+    #  index/FreqProxTermsWriterPerField.java:28)
+    n_postings = 0
+    n_terms = 0
+    cols = {k: [] for k, _ in POSTINGS_FIELDS}
+    if len(tokens) > 0:
+        dict_arr = pc.dictionary_encode(tokens)
+        tok_idx = np.asarray(dict_arr.indices)
+        vocab = dict_arr.dictionary.to_pylist()
+        # rank tokens by term string (UTF-8 byte order == Python str order
+        # for the chars involved; use encoded bytes to be exact)
+        order = sorted(range(len(vocab)), key=lambda i: vocab[i].encode())
+        rank_of = np.empty(len(vocab), dtype=np.int64)
+        rank_of[np.array(order)] = np.arange(len(vocab))
+        key = (rank_of[tok_idx] << np.int64(32)) | owners.astype(np.int64)
+        uniq, tf = np.unique(key, return_counts=True)
+        term_rank = (uniq >> np.int64(32)).astype(np.int64)
+        doc_local = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
+        doc_global = base + doc_local
+        post_norms = norms[doc_local]
+        n_postings = len(uniq)
+        # term boundaries (term_rank ascending, docs ascending within term)
+        bnd = np.concatenate([[0], np.flatnonzero(np.diff(term_rank)) + 1,
+                              [len(uniq)]])
+        sorted_vocab = [vocab[i] for i in order]
+        n_terms = len(bnd) - 1
+        for i in range(len(bnd) - 1):
+            s, e = int(bnd[i]), int(bnd[i + 1])
+            term = sorted_vocab[int(term_rank[s])]
+            enc = encode_term(doc_global[s:e], tf[s:e], post_norms[s:e])
+            nb = len(enc["n"])
+            cols["term"].extend([term] * nb)
+            cols["seg"].extend([seg] * nb)
+            cols["first_doc"].extend(enc["first_doc"])
+            cols["last_doc"].extend(enc["last_doc"])
+            cols["n"].extend(enc["n"])
+            # per-block tf sum for df/ttf aggregation
+            csum = np.cumsum(tf[s:e])
+            marks = np.minimum(np.arange(1, nb + 1) * BLOCK_SIZE, e - s) - 1
+            prev = np.concatenate([[0], csum[marks[:-1]]]) if nb > 1 else [0]
+            cols["tf_sum"].extend((csum[marks] - np.asarray(prev)).tolist())
+            cols["docs_enc"].extend(enc["docs_enc"])
+            cols["tfs_enc"].extend(enc["tfs_enc"])
+            cols["norms_enc"].extend(enc["norms_enc"])
+            cols["imp_freq"].extend(enc["imp_freq"])
+            cols["imp_norm"].extend(enc["imp_norm"])
+
+    seg_tbl = pa.table(
+        {k: pa.array(v, t) for (k, t), v in
+         zip(POSTINGS_FIELDS, (cols[k] for k, _ in POSTINGS_FIELDS))},
+        schema=SEGMENT_SCHEMA)
+    sg_path = os.path.join(index_dir, "segments", f"seg={seg:05d}.parquet")
+    os.makedirs(os.path.dirname(sg_path), exist_ok=True)
+    pq.write_table(seg_tbl, sg_path + ".tmp")
+    os.replace(sg_path + ".tmp", sg_path)
+
+    sha_xor = np.bitwise_xor.reduce(
+        np.frombuffer(b"".join(shas), dtype=np.uint8).reshape(-1, 32), axis=0
+    ) if shas else np.zeros(32, np.uint8)
+    elapsed = time.time() - t0
+    lineage = {
+        "seg": seg, "n_docs": n_docs, "n_tokens": int(lengths.sum()),
+        "n_postings": int(n_postings), "n_terms": n_terms,
+        "content_bytes": int(sum(len(c or "") for c in contents)),
+        "postings_bytes": int(seg_tbl.nbytes),
+        "elapsed_s": round(elapsed, 4),
+        "docs_per_s": round(n_docs / max(elapsed, 1e-9), 1),
+        "sha256_xor": sha_xor.tobytes().hex(),
+    }
+    lin_dir = os.path.join(index_dir, "_build", "seg_lineage")
+    os.makedirs(lin_dir, exist_ok=True)
+    atomic_write_json(os.path.join(lin_dir, f"seg_{seg:05d}.json"), lineage)
+    return pa.table({k: [v] for k, v in lineage.items()})
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: merge into the unified term dictionary (actor pool)
+
+class Merger:
+    """Stateful actor-pool merge stage (north star: 'merge
+    segment-partitioned postings into a unified term dictionary via stateful
+    actor-pool merge stages'). Holds reusable scratch state per actor; each
+    __call__ merges one (tbucket, salt) group: ordered concat of per-segment
+    postings (doc ranges disjoint by construction) + re-block + re-encode,
+    the SegmentMerger/MultiTermsEnum role (index/SegmentMerger.java:113)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        os.makedirs(os.path.join(index_dir, "postings"), exist_ok=True)
+        os.makedirs(os.path.join(index_dir, "_build", "merge_lineage"),
+                    exist_ok=True)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        from .codec import decode_block
+        t0 = time.time()
+        if group.num_rows == 0:
+            return _empty_merge_lineage()
+        tb = int(group.column("tbucket")[0].as_py())
+        salt = int(group.column("salt")[0].as_py())
+        part = f"{tb:05d}_{salt:04d}"
+        out_path = os.path.join(self.index_dir, "postings",
+                                f"part={part}.parquet")
+        # order rows by (term, first_doc); segment doc ranges are disjoint
+        # and bases are monotone in seg, so this is doc order per term
+        group = group.sort_by([("term", "ascending"),
+                               ("first_doc", "ascending")])
+        terms = group.column("term").to_pylist()
+        first = group.column("first_doc").to_numpy()
+        ns = group.column("n").to_numpy()
+        docs_enc = group.column("docs_enc").to_pylist()
+        tfs_enc = group.column("tfs_enc").to_pylist()
+        norms_enc = group.column("norms_enc").to_pylist()
+
+        cols = {k: [] for k, _ in POSTINGS_FIELDS}
+        i = 0
+        n_rows = group.num_rows
+        n_terms = 0
+        n_postings = 0
+        while i < n_rows:
+            j = i
+            while j < n_rows and terms[j] == terms[i]:
+                j += 1
+            dd, tt, mm = [], [], []
+            for r in range(i, j):
+                d, t, m = decode_block(int(first[r]), int(ns[r]),
+                                       docs_enc[r], tfs_enc[r], norms_enc[r])
+                dd.append(d)
+                tt.append(t)
+                mm.append(m)
+            docs = np.concatenate(dd)
+            tfs = np.concatenate(tt)
+            nrm = np.concatenate(mm)
+            enc = encode_term(docs, tfs, nrm)
+            nb = len(enc["n"])
+            cols["term"].extend([terms[i]] * nb)
+            cols["seg"].extend([-1] * nb)
+            cols["first_doc"].extend(enc["first_doc"])
+            cols["last_doc"].extend(enc["last_doc"])
+            cols["n"].extend(enc["n"])
+            csum = np.cumsum(tfs)
+            marks = np.minimum(np.arange(1, nb + 1) * BLOCK_SIZE, len(tfs)) - 1
+            prev = np.concatenate([[0], csum[marks[:-1]]]) if nb > 1 else [0]
+            cols["tf_sum"].extend((csum[marks] - np.asarray(prev)).tolist())
+            cols["docs_enc"].extend(enc["docs_enc"])
+            cols["tfs_enc"].extend(enc["tfs_enc"])
+            cols["norms_enc"].extend(enc["norms_enc"])
+            cols["imp_freq"].extend(enc["imp_freq"])
+            cols["imp_norm"].extend(enc["imp_norm"])
+            n_terms += 1
+            n_postings += len(docs)
+            i = j
+
+        tbl = pa.table(
+            {k: pa.array(v, t) for (k, t), v in
+             zip(POSTINGS_FIELDS, (cols[k] for k, _ in POSTINGS_FIELDS))},
+            schema=SEGMENT_SCHEMA)
+        pq.write_table(tbl, out_path + ".tmp",
+                       row_group_size=16384, compression="zstd")
+        os.replace(out_path + ".tmp", out_path)
+        lineage = {
+            "part": part, "tbucket": tb, "salt": salt,
+            "n_terms": n_terms, "n_postings": n_postings,
+            "n_blocks": len(cols["n"]),
+            "bytes": int(tbl.nbytes),
+            "term_min": terms[0], "term_max": terms[-1],
+            "elapsed_s": round(time.time() - t0, 4),
+            "postings_per_s": round(
+                n_postings / max(time.time() - t0, 1e-9), 1),
+        }
+        atomic_write_json(
+            os.path.join(self.index_dir, "_build", "merge_lineage",
+                         f"part_{part}.json"), lineage)
+        return pa.table({k: [v] for k, v in lineage.items()})
+
+
+# ---------------------------------------------------------------------------
+# Driver
+
+def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
+                term_parts: int | None = None, salt_group: int | None = None,
+                merge_concurrency: int | tuple | None = None,
+                overwrite: bool = False) -> IndexManifest:
+    """Build (or resume building) an index from a corpus.
+
+    ``corpus``: parquet path/dir, or a ray.data.Dataset with the corpus
+    schema. Never calls ray.init (driver contract)."""
+    import ray.data
+
+    if overwrite and os.path.exists(os.path.join(index_dir, "manifest.json")):
+        import shutil
+        shutil.rmtree(index_dir)
+    os.makedirs(os.path.join(index_dir, "_build"), exist_ok=True)
+
+    def make_ds():
+        if isinstance(corpus, str):
+            return ray.data.read_parquet(
+                corpus,
+                columns=["repo", "path", "commit", "lang", "content"])
+        return corpus
+
+    plan_path = os.path.join(index_dir, "_build", "plan.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            plan = json.load(f)
+    else:
+        ds = make_ds()
+        n_rows = ds.count()
+        params = default_build_params(n_rows)
+        if num_buckets:
+            params["num_buckets"] = num_buckets
+        if term_parts:
+            params["term_parts"] = term_parts
+        if salt_group:
+            params["salt_group"] = salt_group
+        boundaries = _sample_boundaries(ds, params["num_buckets"])
+        nb = len(boundaries) + 1
+        with_bucket = make_ds().map_batches(
+            _assign_bucket, batch_format="pyarrow",
+            fn_kwargs={"boundaries": boundaries})
+        counts = _bucket_counts(with_bucket, nb)
+        bases = np.concatenate([[0], np.cumsum(counts)[:-1]]).tolist()
+        plan = {"params": params, "boundaries": boundaries,
+                "bucket_counts": counts, "bases": bases, "n_rows": n_rows,
+                "corpus_fingerprint": _fingerprint(corpus)}
+        atomic_write_json(plan_path, plan)
+
+    boundaries = plan["boundaries"]
+    bases = plan["bases"]
+    counts = plan["bucket_counts"]
+    params = plan["params"]
+    nb = len(boundaries) + 1
+
+    # --- stage 2: segments (skip finished buckets before the shuffle) ---
+    lin_dir = os.path.join(index_dir, "_build", "seg_lineage")
+    done = set()
+    if os.path.isdir(lin_dir):
+        for f in os.listdir(lin_dir):
+            if f.startswith("seg_") and f.endswith(".json"):
+                done.add(int(f[4:-5]))
+    todo = [b for b in range(nb) if counts[b] > 0 and b not in done]
+    if todo:
+        ds = make_ds().map_batches(_assign_bucket, batch_format="pyarrow",
+                                   fn_kwargs={"boundaries": boundaries})
+        if done:
+            todo_set = set(todo)
+            ds = ds.map_batches(
+                lambda t, s=todo_set: t.filter(
+                    pc.is_in(t.column("bucket"),
+                             value_set=pa.array(list(s), pa.int32()))),
+                batch_format="pyarrow")
+        (ds.groupby("bucket")
+           .map_groups(_build_segment, batch_format="pyarrow",
+                       fn_kwargs={"index_dir": index_dir, "bases": bases})
+           .materialize())
+
+    seg_lineage = []
+    for f in sorted(os.listdir(lin_dir)) if os.path.isdir(lin_dir) else []:
+        with open(os.path.join(lin_dir, f)) as fh:
+            seg_lineage.append(json.load(fh))
+
+    # --- stage 3: merge (skip finished parts) ---
+    T = params["term_parts"]
+    G = params["salt_group"]
+    mlin_dir = os.path.join(index_dir, "_build", "merge_lineage")
+    done_parts = set()
+    if os.path.isdir(mlin_dir):
+        for f in os.listdir(mlin_dir):
+            if f.startswith("part_") and f.endswith(".json"):
+                done_parts.add(f[5:-5])
+
+    seg_files = sorted(
+        os.path.join(index_dir, "segments", f)
+        for f in os.listdir(os.path.join(index_dir, "segments"))
+    ) if os.path.isdir(os.path.join(index_dir, "segments")) else []
+    if seg_files:
+        sds = ray.data.read_parquet(
+            seg_files,
+            columns=["term", "seg", "first_doc", "n", "docs_enc",
+                     "tfs_enc", "norms_enc"])
+
+        def key_rows(batch: pa.Table) -> pa.Table:
+            terms = batch.column("term").to_pylist()
+            tb = _crc_bucket(terms, T)
+            salt = (batch.column("seg").to_numpy() // G).astype(np.int32)
+            return batch.append_column("tbucket", pa.array(tb, pa.int32())) \
+                        .append_column("salt", pa.array(salt, pa.int32()))
+
+        sds = sds.map_batches(key_rows, batch_format="pyarrow")
+        if done_parts:
+            def drop_done(batch: pa.Table) -> pa.Table:
+                tb = batch.column("tbucket").to_numpy()
+                sl = batch.column("salt").to_numpy()
+                keep = np.array(
+                    [f"{a:05d}_{b:04d}" not in done_parts
+                     for a, b in zip(tb, sl)])
+                return batch.filter(pa.array(keep))
+            sds = sds.map_batches(drop_done, batch_format="pyarrow")
+        (sds.groupby(["tbucket", "salt"])
+            .map_groups(Merger, batch_format="pyarrow",
+                        fn_constructor_args=(index_dir,),
+                        concurrency=merge_concurrency or (1, 8))
+            .materialize())
+
+    merge_lineage = []
+    if os.path.isdir(mlin_dir):
+        for f in sorted(os.listdir(mlin_dir)):
+            with open(os.path.join(mlin_dir, f)) as fh:
+                merge_lineage.append(json.load(fh))
+
+    doc_count = sum(l["n_docs"] for l in seg_lineage)
+    sum_ttf = sum(l["n_tokens"] for l in seg_lineage)
+    manifest = IndexManifest(
+        version=1, config=params, boundaries=boundaries, bases=bases,
+        bucket_counts=counts, doc_count=doc_count, sum_ttf=sum_ttf,
+        segments=seg_lineage, postings_parts=merge_lineage,
+        corpus_fingerprint=plan.get("corpus_fingerprint", ""),
+    )
+    save_manifest(index_dir, manifest)
+    return manifest
+
+
+def _fingerprint(corpus) -> str:
+    if isinstance(corpus, str):
+        parts = []
+        if os.path.isdir(corpus):
+            for f in sorted(os.listdir(corpus)):
+                p = os.path.join(corpus, f)
+                parts.append(f"{f}:{os.path.getsize(p)}")
+        elif os.path.exists(corpus):
+            parts.append(f"{os.path.basename(corpus)}:{os.path.getsize(corpus)}")
+        return hashlib.sha256(";".join(parts).encode()).hexdigest()[:16]
+    return "dataset"
+
+
+def verify_index(index_dir: str) -> dict:
+    """CheckIndex analogue (index/CheckIndex.java:571): recompute df/ttf/
+    doc_count from postings + docmeta and cross-check the manifest."""
+    import ray.data
+
+    m = load_manifest(index_dir)
+    dm = ray.data.read_parquet(os.path.join(index_dir, "docmeta"))
+    from ray.data.aggregate import Count, Sum
+    agg = dm.aggregate(Count(), Sum("field_len"))
+    doc_count = agg["count()"]
+    sum_len = agg["sum(field_len)"] or 0
+    pt = ray.data.read_parquet(os.path.join(index_dir, "postings"),
+                               columns=["n", "tf_sum"])
+    pagg = pt.aggregate(Sum("n"), Sum("tf_sum"))
+    res = {
+        "doc_count_ok": doc_count == m.doc_count,
+        "sum_ttf_ok": int(sum_len) == m.sum_ttf,
+        "postings_ttf_ok": int(pagg["sum(tf_sum)"] or 0) == m.sum_ttf,
+        "doc_count": doc_count, "sum_ttf": int(sum_len),
+        "n_postings": int(pagg["sum(n)"] or 0),
+    }
+    res["ok"] = all(v for k, v in res.items() if k.endswith("_ok"))
+    return res
+
+
+def _empty_seg_lineage() -> pa.Table:
+    dummy = {"seg": 0, "n_docs": 0, "n_tokens": 0, "n_postings": 0,
+             "n_terms": 0, "content_bytes": 0, "postings_bytes": 0,
+             "elapsed_s": 0.0, "docs_per_s": 0.0, "sha256_xor": ""}
+    return pa.table({k: [v] for k, v in dummy.items()}).slice(0, 0)
+
+
+def _empty_merge_lineage() -> pa.Table:
+    dummy = {"part": "", "tbucket": 0, "salt": 0, "n_terms": 0,
+             "n_postings": 0, "n_blocks": 0, "bytes": 0, "term_min": "",
+             "term_max": "", "elapsed_s": 0.0, "postings_per_s": 0.0}
+    return pa.table({k: [v] for k, v in dummy.items()}).slice(0, 0)

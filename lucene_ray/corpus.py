@@ -1,0 +1,197 @@
+"""Corpus sources for the index engine.
+
+The engine indexes a Parquet table of source-code repositories with columns
+``(repo:string, path:string, commit:string, lang:string, content:string)``
+(BASELINE.json input_hint). Two deterministic sources:
+
+- :func:`corpus_from_documents` — derives a corpus of exactly that shape from
+  the driver-provided ``documents`` table (sf testdata), 1:1 row mapping, so
+  DuckDB oracle SQL over ``documents`` stays applicable.
+- :func:`generate_corpus` / :func:`write_synthetic_corpus` — a seeded
+  synthetic source-code generator (FIXTURES.md §1): ~5k-identifier Zipf
+  vocabulary, language keywords, tokenizer edge cases, duplicated contents —
+  the role of the reference's LineFileDocs/EnwikiContentSource test feeds
+  (``test-framework/.../util/LineFileDocs.java:61``,
+  ``benchmark/.../feeds/EnwikiContentSource.java:50``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+CORPUS_SCHEMA = pa.schema([
+    ("repo", pa.string()),
+    ("path", pa.string()),
+    ("commit", pa.string()),
+    ("lang", pa.string()),
+    ("content", pa.string()),
+])
+
+
+def corpus_from_documents(sf_dir: str):
+    """documents.parquet → corpus Dataset with the input_hint schema.
+
+    repo=source, path=f"doc_{doc_id:08d}.txt", commit=sha256(text)[:40],
+    lang=lang, content=text. Deterministic and 1:1 with the documents table.
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text", "lang", "source"])
+
+    def to_corpus(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_pylist()
+        commits = [hashlib.sha256(("" if t is None else t).encode()).hexdigest()[:40]
+                   for t in texts]
+        return pa.table({
+            "repo": batch.column("source"),
+            "path": pa.array([f"doc_{i:08d}.txt" for i in ids]),
+            "commit": pa.array(commits),
+            "lang": batch.column("lang"),
+            "content": batch.column("text"),
+        })
+
+    return ds.map_batches(to_corpus, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Synthetic source-code corpus (deterministic, seeded)
+
+_KEYWORDS = {
+    "java": ["public", "class", "void", "static", "return", "import", "new",
+             "int", "final", "if", "else", "for", "while", "try", "catch"],
+    "py": ["def", "return", "import", "from", "class", "if", "else", "for",
+           "in", "while", "try", "except", "with", "as", "lambda"],
+    "js": ["function", "const", "let", "var", "return", "if", "else", "for",
+           "while", "async", "await", "export", "import", "new", "class"],
+    "go": ["func", "package", "import", "return", "var", "const", "if",
+           "else", "for", "range", "type", "struct", "interface", "defer"],
+    "c": ["int", "char", "void", "return", "if", "else", "for", "while",
+          "struct", "static", "const", "sizeof", "include", "define"],
+}
+_LANGS = list(_KEYWORDS)
+
+_EDGE_SNIPPETS = [
+    "foo_bar foo.bar 3.14 a1b2",                   # ExtendNumLet + mid joins
+    "O'Reilly don't A:B_A:B 1,234.56",
+    "x" * 300,                                      # max-token-length split
+    "héllo wörld _private __dunder__",
+    "... !!! ??? ;;;",                              # punctuation only
+    "",                                             # empty file
+]
+
+
+def _vocab(rng: np.random.Generator, size: int = 5000) -> list[str]:
+    syll = ["get", "set", "run", "buf", "idx", "tmp", "val", "ptr", "ctx",
+            "cfg", "len", "str", "num", "obj", "arr", "map", "key", "node",
+            "list", "data", "item", "util", "file", "path", "line", "word"]
+    out = []
+    for i in range(size):
+        k = 1 + (i % 3)
+        parts = [syll[int(rng.integers(len(syll)))] for _ in range(k)]
+        name = parts[0] + "".join(p.title() for p in parts[1:])
+        if i % 7 == 0:
+            name = parts[0] + "_" + "_".join(parts[1:]) if k > 1 else name + "_v"
+        if i % 11 == 0:
+            name += str(int(rng.integers(100)))
+        out.append(name)
+    return out
+
+
+def generate_corpus(n_docs: int, seed: int = 42, shard: int = 0,
+                    n_shards: int = 1) -> pa.Table:
+    """Generate shard ``shard`` of a deterministic n_docs corpus.
+
+    Sharding is by doc index stride so any shard can be generated
+    independently (the parallel-generation hook for Ray tasks).
+    """
+    rng = np.random.default_rng(seed)           # vocab must not depend on shard
+    vocab = np.array(_vocab(rng), dtype=object)
+    # Zipf(s≈1.1) ranks over the vocab → heavy-hitter identifiers exist
+    ranks = np.arange(1, len(vocab) + 1, dtype=np.float64)
+    probs = ranks ** -1.1
+    probs /= probs.sum()
+
+    rows = {k: [] for k in ("repo", "path", "commit", "lang", "content")}
+    doc_ids = range(shard, n_docs, n_shards)
+    for d in doc_ids:
+        r = np.random.default_rng((seed << 20) ^ d)  # per-doc determinism
+        lang = _LANGS[d % len(_LANGS)]
+        n_tokens = int(r.integers(50, 900))
+        words = vocab[r.choice(len(vocab), size=n_tokens, p=probs)]
+        kw = _KEYWORDS[lang]
+        kw_idx = r.integers(0, len(kw), size=max(1, n_tokens // 5))
+        body = []
+        ki = 0
+        for i, w in enumerate(words):
+            if i % 5 == 0 and ki < len(kw_idx):
+                body.append(kw[int(kw_idx[ki])])
+                ki += 1
+            body.append(w)
+            if i % 9 == 0:
+                body.append(str(int(r.integers(0, 10000))))
+        content = " ".join(body)
+        if d % 97 == 0:
+            content = _EDGE_SNIPPETS[(d // 97) % len(_EDGE_SNIPPETS)]
+        if d % 53 == 0 and d > 0:
+            # duplicate content of a neighboring doc (same sha, different doc)
+            rdup = np.random.default_rng((seed << 20) ^ (d - 1))
+            ldup = _LANGS[(d - 1) % len(_LANGS)]
+            ndup = int(rdup.integers(50, 900))
+            wdup = vocab[rdup.choice(len(vocab), size=ndup, p=probs)]
+            kwd = _KEYWORDS[ldup]
+            kid = rdup.integers(0, len(kwd), size=max(1, ndup // 5))
+            bd, kj = [], 0
+            for i, w in enumerate(wdup):
+                if i % 5 == 0 and kj < len(kid):
+                    bd.append(kwd[int(kid[kj])])
+                    kj += 1
+                bd.append(w)
+                if i % 9 == 0:
+                    bd.append(str(int(rdup.integers(0, 10000))))
+            content = " ".join(bd)
+        repo = f"org{d % 211:04d}/proj{(d // 211) % 97}"
+        path = f"src/mod{d % 13}/File{d:07d}.{lang}"
+        commit = hashlib.sha256(f"{seed}:{d}".encode()).hexdigest()[:40]
+        rows["repo"].append(repo)
+        rows["path"].append(path)
+        rows["commit"].append(commit)
+        rows["lang"].append(lang)
+        rows["content"].append(content)
+    return pa.table(rows, schema=CORPUS_SCHEMA)
+
+
+def write_synthetic_corpus(out_dir: str, n_docs: int, seed: int = 42,
+                           n_shards: int = 8) -> str:
+    """Materialize the synthetic corpus to Parquet via parallel Ray tasks
+    (one shard per task), skipping shards that already exist (resumable)."""
+    import ray.data
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = {f for f in os.listdir(out_dir) if f.endswith(".parquet")}
+    todo = [s for s in range(n_shards)
+            if f"shard_{s:04d}.parquet" not in done]
+    if todo:
+        def gen(batch: pa.Table) -> pa.Table:
+            import pyarrow.parquet as _pq
+            ns = []
+            for s in batch.column("shard").to_pylist():
+                t = generate_corpus(n_docs, seed, s, n_shards)
+                tmp = os.path.join(out_dir, f".shard_{s:04d}.tmp")
+                _pq.write_table(t, tmp)
+                os.replace(tmp, os.path.join(out_dir,
+                                             f"shard_{s:04d}.parquet"))
+                ns.append(t.num_rows)
+            return pa.table({"shard": batch.column("shard"),
+                             "rows": pa.array(ns, pa.int64())})
+        (ray.data.from_items([{"shard": s} for s in todo])
+         .repartition(len(todo))
+         .map_batches(gen, batch_format="pyarrow", batch_size=1)
+         .materialize())
+    return out_dir

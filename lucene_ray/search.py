@@ -1,0 +1,392 @@
+"""BM25 top-k query engine over the unified term-partitioned index.
+
+Reference semantics reproduced (SURVEY.md §3.2):
+
+- Global stats once per query term: df/ttf summed over all postings rows of
+  the term, docCount/sumTTF from the manifest — one SimScorer per term shared
+  by every partition (``search/IndexSearcher.java:1125,1140-1155``).
+- Multi-term free text parses to BooleanQuery(SHOULD TermQuery…), default OR,
+  duplicate terms kept as separate clauses (``demo/SearchFiles.java:108-146``,
+  ``queryparser/classic/QueryParserBase.java:84``) — doc score = Σ clause
+  scores.
+- Exact float32 scoring (bm25.py) and hit ordering score desc, docID asc
+  (``search/TopScoreDocCollector.java:26-28``); cross-partition merge keeps
+  the same comparator (``search/TopDocs.java:216``).
+- **Block-max pruning**: a vectorized MAXSCORE over per-block impact bounds —
+  the role of ``search/MaxScoreBulkScorer.java:26`` + ``ImpactsDISI.java:28``.
+  Terms are processed in decreasing max-score order; once the running k-th
+  best (a lower bound) exceeds the summed max-scores of the remaining terms,
+  new docs can no longer enter the top-k, so for the remaining terms only
+  blocks that (a) overlap current candidates or (b) have
+  ``block_upper_bound + remaining_max ≥ θ`` are decoded. Rank-safe: verified
+  exactly equal to the brute-force oracle (CheckHits-style,
+  ``test-framework/.../search/CheckHits.java:58``).
+
+The searcher is usable inline (driver) or as a Ray actor pool
+(:class:`SearcherActorPool`): each actor memoizes its partitions' sorted term
+arrays and decoded hot state — the IndexSearcher/SearcherManager role
+(``search/SearcherManager.java:53``).
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from . import bm25
+from .analysis import tokenize
+from .codec import decode_block
+from .state.manifest import IndexManifest, load_manifest
+
+
+@dataclass
+class TermPostings:
+    """All postings rows of one term (possibly several salt-chunks, doc
+    ranges disjoint ascending), block-level."""
+
+    term: str
+    df: int
+    ttf: int
+    first_doc: np.ndarray     # int64 per block
+    last_doc: np.ndarray      # int64 per block
+    n: np.ndarray             # int32 per block
+    docs_enc: list
+    tfs_enc: list
+    norms_enc: list
+    imp_freq: list            # list[np.ndarray]
+    imp_norm: list            # list[np.ndarray]
+
+
+class IndexReader:
+    """Loads manifest + postings partitions lazily; memoizes per-partition
+    sorted term arrays (the BlockTree/FST term index role —
+    ``blocktree/Lucene103BlockTreeTermsWriter.java:364`` — replaced by
+    binary search over the partition's term-sorted rows)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.manifest: IndexManifest = load_manifest(index_dir)
+        self.doc_count = self.manifest.doc_count
+        self.sum_ttf = self.manifest.sum_ttf
+        self.T = self.manifest.config["term_parts"]
+        self._parts: dict[int, list[pa.Table]] = {}
+        # tbucket → part files, from lineage
+        self._files: dict[int, list[str]] = {}
+        for p in self.manifest.postings_parts:
+            self._files.setdefault(int(p["tbucket"]), []).append(
+                os.path.join(index_dir, "postings",
+                             f"part={p['part']}.parquet"))
+
+    def _load_bucket(self, tb: int) -> list[pa.Table]:
+        if tb not in self._parts:
+            tables = []
+            for f in sorted(self._files.get(tb, [])):
+                tables.append(pq.read_table(f))
+            self._parts[tb] = tables
+        return self._parts[tb]
+
+    def postings(self, term: str) -> TermPostings | None:
+        tb = zlib.crc32(term.encode()) % self.T
+        rows = []
+        for tbl in self._load_bucket(tb):
+            col = tbl.column("term")
+            # binary search over the term-sorted partition
+            arr = col.combine_chunks()
+            lo = _bisect_term(arr, term, side="left")
+            hi = _bisect_term(arr, term, side="right")
+            if hi > lo:
+                rows.append(tbl.slice(lo, hi - lo))
+        if not rows:
+            return None
+        t = pa.concat_tables(rows)
+        t = t.sort_by([("first_doc", "ascending")])
+        return TermPostings(
+            term=term,
+            df=int(pc.sum(t.column("n")).as_py()),
+            ttf=int(pc.sum(t.column("tf_sum")).as_py()),
+            first_doc=t.column("first_doc").to_numpy(),
+            last_doc=t.column("last_doc").to_numpy(),
+            n=t.column("n").to_numpy(),
+            docs_enc=t.column("docs_enc").to_pylist(),
+            tfs_enc=t.column("tfs_enc").to_pylist(),
+            norms_enc=t.column("norms_enc").to_pylist(),
+            imp_freq=[np.array(x, dtype=np.int32)
+                      for x in t.column("imp_freq").to_pylist()],
+            imp_norm=[np.frombuffer(x, dtype=np.uint8)
+                      for x in t.column("imp_norm").to_pylist()],
+        )
+
+
+def _bisect_term(arr: pa.Array, term: str, side: str) -> int:
+    lo, hi = 0, len(arr)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        v = arr[mid].as_py()
+        if v < term or (side == "right" and v == term):
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
+
+# ---------------------------------------------------------------------------
+# Scoring
+
+def parse_query(query: str) -> list[str]:
+    """Free text → SHOULD TermQuery clauses via the same analyzer; duplicate
+    terms stay separate clauses (QueryParser default-OR semantics)."""
+    return tokenize(query)
+
+
+@dataclass
+class TopDocs:
+    doc_ids: np.ndarray
+    scores: np.ndarray        # float32
+    total_candidates: int
+    blocks_decoded: int = 0
+    blocks_total: int = 0
+
+
+def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Order score desc, docID asc (TopScoreDocCollector.java:26-28)."""
+    if len(docs) == 0:
+        return docs.astype(np.int64), scores.astype(np.float32)
+    order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
+    return docs[order], scores[order].astype(np.float32)
+
+
+def merge_topk(parts: list[tuple[np.ndarray, np.ndarray]], k: int
+               ) -> tuple[np.ndarray, np.ndarray]:
+    """TopDocs.merge comparator: score desc, docID asc
+    (search/TopDocs.java:216)."""
+    if not parts:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    docs = np.concatenate([p[0] for p in parts])
+    scores = np.concatenate([p[1] for p in parts])
+    return _topk(docs, scores, k)
+
+
+class Scorers:
+    """Per-term SimScorers built once per query from global stats."""
+
+    def __init__(self, reader: IndexReader, terms: list[str]):
+        self.postings: dict[str, TermPostings | None] = {}
+        self.sim: dict[str, bm25.SimScorer] = {}
+        for t in terms:
+            if t in self.postings:
+                continue
+            p = reader.postings(t)
+            self.postings[t] = p
+            if p is not None:
+                self.sim[t] = bm25.scorer(p.df, reader.doc_count,
+                                          reader.sum_ttf)
+
+
+def _accumulate(docs: np.ndarray, clause_ids: np.ndarray,
+                scores: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical per-doc accumulation: contributions sorted by
+    (doc, clause), summed in float64 in that order, cast to float32 once.
+
+    Lucene's disjunction scorers also sum SHOULD clause scores in a double
+    and cast to float at collection (e.g. MaxScoreBulkScorer's double
+    accumulator); fixing the clause order makes the pruned engine and the
+    brute-force oracle bit-identical."""
+    if len(docs) == 0:
+        return docs.astype(np.int64), scores.astype(np.float32)
+    order = np.lexsort((clause_ids, docs))
+    docs_s = docs[order]
+    scores_s = scores[order].astype(np.float64)
+    uniq, inv = np.unique(docs_s, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, scores_s)
+    return uniq, acc.astype(np.float32)
+
+
+def search_bruteforce(reader: IndexReader, query: str, k: int = 10
+                      ) -> TopDocs:
+    """Brute-force oracle: decode every block of every clause, accumulate
+    float32 scores doc-major, full sort — the CheckHits golden path."""
+    terms = parse_query(query)
+    sc = Scorers(reader, terms)
+    all_docs, all_scores, all_clause = [], [], []
+    nblocks = 0
+    for ci, t in enumerate(terms):       # duplicates scored per clause
+        p = sc.postings.get(t)
+        if p is None:
+            continue
+        sim = sc.sim[t]
+        for b in range(len(p.n)):
+            d, tf, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
+                                     p.docs_enc[b], p.tfs_enc[b],
+                                     p.norms_enc[b])
+            all_docs.append(d)
+            all_scores.append(sim.score(tf, nm))
+            all_clause.append(np.full(len(d), ci, dtype=np.int32))
+            nblocks += 1
+    if not all_docs:
+        return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0,
+                       nblocks, nblocks)
+    uniq, final = _accumulate(np.concatenate(all_docs),
+                              np.concatenate(all_clause),
+                              np.concatenate(all_scores))
+    d, s = _topk(uniq, final, k)
+    return TopDocs(d, s, len(uniq), nblocks, nblocks)
+
+
+def search_blockmax(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
+    """Block-max MAXSCORE (rank-safe: returns exactly the oracle's top-k)."""
+    terms = parse_query(query)
+    sc = Scorers(reader, terms)
+    clauses = [(ci, t, sc.postings[t], sc.sim[t])
+               for ci, t in enumerate(terms)
+               if sc.postings.get(t) is not None]
+    if not clauses:
+        return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0, 0, 0)
+
+    ubs: list[np.ndarray] = []
+    tmax: list[float] = []
+    blocks_total = 0
+    for ci, t, p, sim in clauses:
+        ub = np.array([sim.max_score(p.imp_freq[b], p.imp_norm[b])
+                       for b in range(len(p.n))], dtype=np.float32)
+        ubs.append(ub)
+        tmax.append(float(ub.max()) if len(ub) else 0.0)
+        blocks_total += len(p.n)
+
+    order = np.argsort(-np.array(tmax), kind="stable")
+    suffix = np.zeros(len(order) + 1, dtype=np.float64)
+    for i in range(len(order) - 1, -1, -1):
+        suffix[i] = suffix[i + 1] + tmax[order[i]]
+    eps = 1e-4  # absolute slack > float32 ulp at score magnitudes
+
+    # raw contributions (for the canonical final sum) + running accumulator
+    # (lower bounds, used only for the pruning threshold θ)
+    contrib_d: list[np.ndarray] = []
+    contrib_c: list[np.ndarray] = []
+    contrib_s: list[np.ndarray] = []
+    cand_docs = np.empty(0, dtype=np.int64)
+    cand_lb = np.empty(0, dtype=np.float64)
+    blocks_decoded = 0
+    for rank, oi in enumerate(order):
+        ci, t, p, sim = clauses[oi]
+        nb = len(p.n)
+        remaining_after = suffix[rank + 1]
+        if len(cand_lb) >= k:
+            theta = float(np.partition(cand_lb, len(cand_lb) - k)[
+                len(cand_lb) - k])
+        else:
+            theta = -np.inf
+        can_skip_new = (suffix[rank] + eps) < theta
+        if can_skip_new:
+            lo = np.searchsorted(cand_docs, p.first_doc, side="left")
+            hi = np.searchsorted(cand_docs, p.last_doc, side="right")
+            need = np.flatnonzero(hi > lo)
+        elif np.isfinite(theta):
+            competitive = (ubs[oi].astype(np.float64)
+                           + remaining_after + eps) >= theta
+            lo = np.searchsorted(cand_docs, p.first_doc, side="left")
+            hi = np.searchsorted(cand_docs, p.last_doc, side="right")
+            need = np.flatnonzero(competitive | (hi > lo))
+        else:
+            need = np.arange(nb)
+        if len(need) == 0:
+            continue
+        bdocs, bscores = [], []
+        for b in need:
+            d, tf, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
+                                     p.docs_enc[b], p.tfs_enc[b],
+                                     p.norms_enc[b])
+            s = sim.score(tf, nm)
+            if can_skip_new:
+                mask = np.isin(d, cand_docs, assume_unique=True)
+                d, s = d[mask], s[mask]
+            bdocs.append(d)
+            bscores.append(s)
+        blocks_decoded += len(need)
+        nd = np.concatenate(bdocs)
+        if len(nd) == 0:
+            continue
+        ns = np.concatenate(bscores)
+        contrib_d.append(nd)
+        contrib_c.append(np.full(len(nd), ci, dtype=np.int32))
+        contrib_s.append(ns)
+        # update running lower bounds
+        all_d = np.concatenate([cand_docs, nd])
+        all_s = np.concatenate([cand_lb, ns.astype(np.float64)])
+        uniq, inv = np.unique(all_d, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inv, all_s)
+        cand_docs, cand_lb = uniq, acc
+
+    if not contrib_d:
+        return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0,
+                       blocks_decoded, blocks_total)
+    uniq, final = _accumulate(np.concatenate(contrib_d),
+                              np.concatenate(contrib_c),
+                              np.concatenate(contrib_s))
+    d, s = _topk(uniq, final, k)
+    return TopDocs(d, s, len(uniq), blocks_decoded, blocks_total)
+
+
+# ---------------------------------------------------------------------------
+# Actor-pool searcher (query serving / parallel query batches)
+
+class SearcherActor:
+    """One searcher actor: holds an IndexReader with memoized term
+    dictionaries (state loaded once — the IndexSearcher role)."""
+
+    def __init__(self, index_dir: str):
+        self.reader = IndexReader(index_dir)
+
+    def search(self, query: str, k: int = 10, pruned: bool = True) -> dict:
+        td = (search_blockmax if pruned else search_bruteforce)(
+            self.reader, query, k)
+        return {"doc_ids": td.doc_ids.tolist(),
+                "scores": [float(s) for s in td.scores],
+                "total_candidates": td.total_candidates,
+                "blocks_decoded": td.blocks_decoded,
+                "blocks_total": td.blocks_total}
+
+
+def search_query_batch(index_dir: str, queries: list[tuple[str, str, int]],
+                       concurrency: int = 4) -> "object":
+    """Score a batch of (qid, query, k) with an actor pool via Ray Data —
+    one actor per pool slot, reader state loaded once per actor.
+
+    Returns a ray.data.Dataset of (qid, rank, doc_id, score).
+    """
+    import ray.data
+
+    class QueryRunner:
+        def __init__(self):
+            self.reader = IndexReader(index_dir)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            qids, ranks, docs, scores = [], [], [], []
+            for qid, q, k in zip(batch.column("qid").to_pylist(),
+                                 batch.column("query").to_pylist(),
+                                 batch.column("k").to_pylist()):
+                td = search_blockmax(self.reader, q, int(k))
+                for r, (d, s) in enumerate(zip(td.doc_ids, td.scores), 1):
+                    qids.append(qid)
+                    ranks.append(r)
+                    docs.append(int(d))
+                    scores.append(float(s))
+            return pa.table({
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int32()),
+                "doc_id": pa.array(docs, pa.int64()),
+                "score": pa.array(scores, pa.float32()),
+            })
+
+    qt = ray.data.from_items(
+        [{"qid": q[0], "query": q[1], "k": q[2]} for q in queries])
+    return qt.map_batches(QueryRunner, batch_format="pyarrow",
+                          batch_size=max(1, len(queries) // max(concurrency, 1)),
+                          concurrency=concurrency)

@@ -1,0 +1,232 @@
+"""End-to-end index build + search tests.
+
+Mirrors the reference's test strategy (SURVEY.md §5): tiny-corpus e2e
+(TestDemo/TestSearch), postings invariants re-checked from the written index
+(CheckIndex role), brute-force-vs-pruned hit checking (CheckHits.java:58),
+and partition-count invariance (our substitute for LuceneTestCase's
+randomized segment topology).
+"""
+
+import collections
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from lucene_ray.analysis import tokenize
+from lucene_ray.build import build_index, verify_index
+from lucene_ray.corpus import generate_corpus
+from lucene_ray.search import (IndexReader, merge_topk, search_blockmax,
+                               search_bruteforce)
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def corpus_path(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("corpus")
+    t = generate_corpus(N_DOCS, seed=7)
+    pq.write_table(t, str(d / "corpus.parquet"))
+    return str(d / "corpus.parquet")
+
+
+@pytest.fixture(scope="module")
+def index_dir(tmp_path_factory, corpus_path, ray_session):
+    d = str(tmp_path_factory.mktemp("index"))
+    build_index(corpus_path, d, num_buckets=5, term_parts=8, salt_group=2)
+    return d
+
+
+def naive_index(corpus_path):
+    """Independent reference: pure-Python postings over tokenize()."""
+    t = pq.read_table(corpus_path)
+    rows = sorted(
+        zip(t.column("repo").to_pylist(), t.column("path").to_pylist(),
+            t.column("commit").to_pylist(), t.column("content").to_pylist()))
+    postings = collections.defaultdict(dict)
+    lengths = []
+    for doc_id, (_, _, _, content) in enumerate(rows):
+        toks = tokenize(content or "")
+        lengths.append(len(toks))
+        for tok in toks:
+            postings[tok][doc_id] = postings[tok].get(doc_id, 0) + 1
+    return postings, lengths, rows
+
+
+@pytest.fixture(scope="module")
+def naive(corpus_path):
+    return naive_index(corpus_path)
+
+
+def test_manifest_and_verify(index_dir, ray_session):
+    res = verify_index(index_dir)
+    assert res["ok"], res
+    assert res["doc_count"] == N_DOCS
+
+
+def test_docids_are_global_key_rank(index_dir, naive, ray_session):
+    import ray.data
+    dm = pq.read_table(os.path.join(index_dir, "docmeta"))
+    # docmeta may span several files; sort by doc_id
+    dm = dm.sort_by([("doc_id", "ascending")])
+    keys = list(zip(dm.column("repo").to_pylist(),
+                    dm.column("path").to_pylist(),
+                    dm.column("commit").to_pylist()))
+    expect = [(r, p, c) for r, p, c, _ in naive[2]]
+    assert keys == expect
+    assert dm.column("doc_id").to_pylist() == list(range(N_DOCS))
+
+
+def test_field_lengths_and_sha(index_dir, naive, ray_session):
+    import hashlib
+    dm = pq.read_table(os.path.join(index_dir, "docmeta")).sort_by(
+        [("doc_id", "ascending")])
+    assert dm.column("field_len").to_pylist() == naive[1]
+    shas = dm.column("sha256").to_pylist()
+    for i, (_, _, _, content) in enumerate(naive[2]):
+        assert shas[i] == hashlib.sha256((content or "").encode()).digest()
+
+
+def test_postings_match_naive(index_dir, naive, ray_session):
+    from lucene_ray.codec import decode_block
+    reader = IndexReader(index_dir)
+    postings, lengths, _ = naive
+    # check every term, including heavy hitters and singletons
+    for term, docmap in postings.items():
+        p = reader.postings(term)
+        assert p is not None, term
+        assert p.df == len(docmap), term
+        assert p.ttf == sum(docmap.values()), term
+        got = {}
+        for b in range(len(p.n)):
+            d, tf, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
+                                     p.docs_enc[b], p.tfs_enc[b],
+                                     p.norms_enc[b])
+            for dd, tt in zip(d, tf):
+                got[int(dd)] = int(tt)
+        assert got == docmap, term
+    # absent term
+    assert reader.postings("zz_no_such_term_zz") is None
+
+
+QUERIES = [
+    "return", "the", "getData", "foo_bar", "zz_absent_zz",
+    "return value data", "idx tmp val ptr", "public static void",
+    "getData getData",                      # duplicate clause
+    "import return import",                 # duplicates + common
+    "3.14 a1b2 foo_bar", "buf idx list map node key word line",
+]
+
+
+@pytest.mark.parametrize("k", [10, 100])
+@pytest.mark.parametrize("q", QUERIES)
+def test_checkhits_blockmax_equals_oracle(index_dir, q, k, ray_session):
+    reader = IndexReader(index_dir)
+    a = search_bruteforce(reader, q, k)
+    b = search_blockmax(reader, q, k)
+    np.testing.assert_array_equal(a.doc_ids, b.doc_ids)
+    np.testing.assert_array_equal(a.scores, b.scores)
+    assert b.blocks_decoded <= b.blocks_total
+
+
+def test_blockmax_actually_prunes(index_dir, ray_session):
+    # k=1 with a rare+common disjunction should skip blocks
+    reader = IndexReader(index_dir)
+    td = search_blockmax(reader, "return value data tmp idx buf", 1)
+    assert td.blocks_total > 0
+    # not a hard guarantee at this tiny scale, but with k=1 the threshold
+    # rises fast; assert we at least computed bounds correctly
+    assert td.blocks_decoded <= td.blocks_total
+
+
+def test_scores_against_scalar_bm25(index_dir, naive, ray_session):
+    """Scores equal a from-scratch scalar float32 BM25 with Lucene op order."""
+    import struct
+
+    from lucene_ray.smallfloat import LENGTH_TABLE, int_to_byte4
+
+    def F(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    postings, lengths, _ = naive
+    doc_count = len(lengths)
+    sum_ttf = sum(lengths)
+    reader = IndexReader(index_dir)
+    q = "return data getData"
+    td = search_bruteforce(reader, q, 10)
+    import math
+    expect = collections.defaultdict(float)
+    for term in q.lower().split():
+        docmap = postings.get(term)
+        if not docmap:
+            continue
+        df = len(docmap)
+        idf = F(math.log(1 + (doc_count - df + 0.5) / (df + 0.5)))
+        avgdl = F(sum_ttf / doc_count)
+        for doc, tf in docmap.items():
+            nb = int(int_to_byte4(np.array([lengths[doc]]))[0])
+            cache = F(1.0 / F(F(1.2) * F(F(0.25) + F(F(F(0.75) * float(LENGTH_TABLE[nb])) / avgdl))))
+            s = F(idf - F(idf / F(1.0 + F(tf * cache))))
+            expect[doc] += s  # float64 accumulation, clause order = query order
+    exp_sorted = sorted(expect.items(), key=lambda kv: (-np.float32(kv[1]), kv[0]))[:10]
+    assert [d for d, _ in exp_sorted] == td.doc_ids.tolist()
+    got = {d: s for d, s in zip(td.doc_ids.tolist(), td.scores.tolist())}
+    for d, s in exp_sorted:
+        assert got[d] == np.float32(s)
+
+
+def test_partition_count_invariance(corpus_path, index_dir, tmp_path_factory,
+                                    ray_session):
+    """Different bucket/term-partition counts → identical postings + top-k
+    (replaces Lucene's randomized segment topology tests)."""
+    d2 = str(tmp_path_factory.mktemp("index2"))
+    build_index(corpus_path, d2, num_buckets=2, term_parts=3, salt_group=1)
+    r1, r2 = IndexReader(index_dir), IndexReader(d2)
+    assert r1.doc_count == r2.doc_count and r1.sum_ttf == r2.sum_ttf
+    for q in QUERIES:
+        a = search_bruteforce(r1, q, 20)
+        b = search_bruteforce(r2, q, 20)
+        np.testing.assert_array_equal(a.doc_ids, b.doc_ids)
+        np.testing.assert_array_equal(a.scores, b.scores)
+
+
+def test_resume_skips_done_and_is_identical(corpus_path, index_dir,
+                                            tmp_path_factory, ray_session):
+    """Kill-and-rerun: delete some outputs + manifest, rebuild, identical."""
+    import shutil
+    d3 = str(tmp_path_factory.mktemp("index3"))
+    build_index(corpus_path, d3, num_buckets=5, term_parts=8, salt_group=2)
+    # simulate partial failure: remove manifest, two segments + lineage,
+    # one merge part + lineage
+    os.remove(os.path.join(d3, "manifest.json"))
+    segs = sorted(os.listdir(os.path.join(d3, "segments")))
+    for s in segs[:2]:
+        os.remove(os.path.join(d3, "segments", s))
+    for f in sorted(os.listdir(os.path.join(d3, "_build", "seg_lineage")))[:2]:
+        os.remove(os.path.join(d3, "_build", "seg_lineage", f))
+    parts = sorted(os.listdir(os.path.join(d3, "postings")))
+    os.remove(os.path.join(d3, "postings", parts[0]))
+    mlin = sorted(os.listdir(os.path.join(d3, "_build", "merge_lineage")))
+    os.remove(os.path.join(d3, "_build", "merge_lineage", mlin[0]))
+    # postings derived from merged segments: on resume, merge parts not
+    # removed are kept; removed ones rebuilt. NB: merge reads segments, so
+    # deleted segments must be rebuilt first — which resume does.
+    # To force the removed merge part to re-run we must also rerun its
+    # groups; resume handles it via missing lineage.
+    build_index(corpus_path, d3)
+    r1, r3 = IndexReader(index_dir), IndexReader(d3)
+    assert r3.doc_count == N_DOCS
+    for q in QUERIES[:6]:
+        a = search_bruteforce(r1, q, 20)
+        b = search_bruteforce(r3, q, 20)
+        np.testing.assert_array_equal(a.doc_ids, b.doc_ids)
+        np.testing.assert_array_equal(a.scores, b.scores)
+
+
+def test_merge_topk_comparator():
+    d1 = (np.array([5, 3]), np.array([2.0, 1.0], dtype=np.float32))
+    d2 = (np.array([1, 9]), np.array([2.0, 1.0], dtype=np.float32))
+    docs, scores = merge_topk([d1, d2], 3)
+    # tie on score 2.0 → doc 1 before doc 5
+    assert docs.tolist() == [1, 5, 3]
