@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in lucene_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship pipeline on sf0.001 — build the inverted index from
+  the documents-derived corpus and run the reference BM25 query set through
+  the block-max searcher actor pool.
+- ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (omitted only for ops
+  that SQL cannot express — those get the rows-only check).
 """
 
 from __future__ import annotations
@@ -20,25 +18,87 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from lucene_ray.pipelines import fulltext
+
+    return fulltext.ft_bm25_scores("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lucene_ray.pipelines import fulltext as ft
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        # --- full-text index engine (flagship) ---
+        "ft_collection_stats": ft.ft_collection_stats,
+        "ft_term_stats": ft.ft_term_stats,
+        "ft_docmeta": ft.ft_docmeta,
+        "ft_postings_sample": ft.ft_postings_sample,
+        "ft_bm25_top10": ft.ft_bm25_top10,
+        "ft_bm25_scores": ft.ft_bm25_scores,          # rows-only (float32)
+        "ft_boolean_and": ft.ft_boolean_and,
+        "ft_boolean_and_not": ft.ft_boolean_and_not,
+        "ft_term_in_set": ft.ft_term_in_set,
+        "ft_prefix_terms": ft.ft_prefix_terms,
+        "ft_term_range": ft.ft_term_range,
+        "ft_regexp_terms": ft.ft_regexp_terms,
+    }
+    try:
+        from lucene_ray.pipelines import ann, dedup, relational, textstats
+
+        q.update({
+            "dedup_exact": dedup.dedup_exact,
+            "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+            "dedup_simhash": dedup.dedup_simhash,
+            "text_quality": textstats.text_quality,
+            "lang_id": textstats.lang_id,
+            "token_count_bpe": textstats.token_count_bpe,
+            "doc_fingerprint": textstats.doc_fingerprint,
+            "ann_cosine_topk": ann.ann_cosine_topk,
+            "ann_ivf_topk": ann.ann_ivf_topk,
+            "agg_facet_counts": relational.agg_facet_counts,
+            "agg_grouping_topk": relational.agg_grouping_topk,
+            "agg_distinct": relational.agg_distinct,
+            "join_semi_broadcast": relational.join_semi_broadcast,
+            "agg_lineitem_pricing": relational.agg_lineitem_pricing,
+        })
+    except ImportError:
+        pass
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lucene_ray.pipelines import fulltext as ft
+
+    o = {
+        "ft_collection_stats": ft.oracle_collection_stats_sql(),
+        "ft_term_stats": ft.oracle_term_stats_sql(),
+        "ft_docmeta": ft.oracle_docmeta_sql(),
+        "ft_postings_sample": ft.oracle_postings_sample_sql(),
+        "ft_bm25_top10": ft.oracle_bm25_sql(),
+        # ft_bm25_scores: intentionally no oracle (float32 values; exactness
+        # is enforced by the pytest brute-force oracle suite)
+        "ft_boolean_and": ft.oracle_boolean_and_sql(),
+        "ft_boolean_and_not": ft.oracle_boolean_and_not_sql(),
+        "ft_term_in_set": ft.oracle_term_in_set_sql(),
+        "ft_prefix_terms": ft.oracle_prefix_terms_sql(),
+        "ft_term_range": ft.oracle_term_range_sql(),
+        "ft_regexp_terms": ft.oracle_regexp_terms_sql(),
+    }
+    try:
+        from lucene_ray.pipelines import ann, dedup, relational, textstats
+
+        o.update({
+            "dedup_exact": dedup.oracle_dedup_exact_sql(),
+            "text_quality": textstats.oracle_text_quality_sql(),
+            "lang_id": textstats.oracle_lang_id_sql(),
+            "token_count_bpe": textstats.oracle_token_count_sql(),
+            "ann_cosine_topk": ann.oracle_ann_sql(),
+            "ann_ivf_topk": ann.oracle_ann_sql(),
+            "agg_facet_counts": relational.oracle_facet_counts_sql(),
+            "agg_grouping_topk": relational.oracle_grouping_topk_sql(),
+            "agg_distinct": relational.oracle_distinct_sql(),
+            "join_semi_broadcast": relational.oracle_semi_join_sql(),
+            "agg_lineitem_pricing": relational.oracle_lineitem_pricing_sql(),
+        })
+    except ImportError:
+        pass
+    return o

@@ -30,9 +30,12 @@ B = np.float32(0.75)
 def idf(doc_freq: int, doc_count: int) -> np.float32:
     """BM25Similarity.idf (BM25Similarity.java:100-103)."""
     # NB: Java computes Math.log(1 + x) literally — double add then log —
-    # not log1p; keep the same to stay bit-identical.
+    # not log1p. Use C libm log (math.log) rather than numpy's vectorized
+    # log so the scalar matches other libm users (e.g. DuckDB ln) exactly.
+    import math
+
     return np.float32(
-        np.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5))
+        math.log(1.0 + (doc_count - doc_freq + 0.5) / (doc_freq + 0.5))
     )
 
 

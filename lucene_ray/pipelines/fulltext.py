@@ -1,0 +1,409 @@
+"""Flagship full-text pipelines exposed to the driver contract.
+
+Each ``ft_*`` function takes ``sf_dir`` and returns a small result table;
+the matching ``oracle_*_sql`` builders return DuckDB SQL over the same
+``documents`` view that reproduces the result exactly (token parity holds
+because documents.text is single-spaced ``[a-z ]+``, where StandardAnalyzer
+tokenization == split-on-space; verified in tests).
+
+The corpus is the deterministic 1:1 derivation of ``documents``
+(:func:`lucene_ray.corpus.corpus_from_documents`); index docIDs are the
+global rank of ``(repo, path, commit)`` = SQL
+``row_number() OVER (ORDER BY source, printf('doc_%08d.txt', doc_id)) - 1``.
+
+The BM25 oracle reproduces float32 score arithmetic via REAL-cast chains
+(DuckDB FLOAT arithmetic rounds identically to Java float/np.float32) and
+the SmallFloat norm quantization via integer bit math.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from ..build import build_index
+from ..corpus import corpus_from_documents
+from ..search import (IndexReader, search_blockmax, search_boolean,
+                      search_bruteforce, search_query_batch, termdict_scan,
+                      termdict_terms)
+
+# ---------------------------------------------------------------------------
+# Reference query set (fixed; vocabulary of the documents generator)
+
+QUERY_SET: list[tuple[int, list[str], int]] = [
+    (1, ["key"], 10),
+    (2, ["the"], 10),
+    (3, ["vector"], 10),
+    (4, ["customer"], 10),
+    (5, ["zzmissing"], 10),
+    (6, ["key", "agg"], 10),
+    (7, ["slow", "fast"], 10),
+    (8, ["table", "value", "part"], 10),
+    (9, ["hash", "join", "merge", "sort"], 10),
+    (10, ["the", "a", "data"], 10),
+    (11, ["spark", "spark"], 10),                 # duplicate clause
+    (12, ["window", "order", "data", "column", "agg"], 10),
+    (13, ["stream", "batch", "big", "small", "row", "scan"], 10),
+    (14, ["query", "line", "filter"], 10),
+    (15, ["group", "by", "zzmissing"], 10),
+    (16, ["a"], 10),
+    (17, ["customer", "the", "key", "value"], 100),
+    (18, ["merge", "vector", "vector"], 100),
+    (19, ["scan", "slow"], 100),
+    (20, ["part", "hash", "value", "table", "a", "the"], 100),
+]
+
+AND_QUERIES = [(1, ["key", "agg"]), (2, ["slow", "fast", "table"]),
+               (3, ["vector", "zzmissing"]), (4, ["customer", "the"])]
+NOT_QUERIES = [(1, "key", "agg"), (2, "table", "the"), (3, "a", "zzmissing")]
+PREFIXES = ["s", "val", "cust", "zz"]
+RANGES = [("a", "c"), ("s", "t"), ("query", "scan")]
+REGEXPS = ["s.*w", ".a.*", "val.e"]
+INSET_TERMS = ["vector", "spark", "zzmissing", "window"]
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def index_dir_for(sf_dir: str) -> str:
+    """Build (once, resumably) the index for a testdata sf dir under /tmp."""
+    sf_dir = os.path.abspath(sf_dir)
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    doc = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha256(
+        f"{sf_dir}:{os.path.getsize(doc)}:v1".encode()).hexdigest()[:12]
+    idx = os.path.join("/tmp", "lucene_ray_indexes", tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        corpus = corpus_from_documents(sf_dir)
+        build_index(corpus, idx)
+    _INDEX_CACHE[sf_dir] = idx
+    return idx
+
+
+def reader_for(sf_dir: str) -> IndexReader:
+    return IndexReader(index_dir_for(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Engine-side query entries
+
+def ft_collection_stats(sf_dir: str) -> pa.Table:
+    r = reader_for(sf_dir)
+    td = termdict_terms(r)
+    return pa.table({
+        "doc_count": pa.array([r.doc_count], pa.int64()),
+        "sum_ttf": pa.array([r.sum_ttf], pa.int64()),
+        "n_terms": pa.array([td.num_rows], pa.int64()),
+        "sum_df": pa.array([int(np.sum(td.column("df").to_numpy()))],
+                           pa.int64()),
+    })
+
+
+def ft_term_stats(sf_dir: str) -> pa.Table:
+    """Top 100 terms by (df desc, term asc) with global df/ttf."""
+    t = termdict_terms(reader_for(sf_dir))
+    idx = np.lexsort((np.array(t.column("term").to_pylist()),
+                      -t.column("df").to_numpy()))[:100]
+    return t.take(pa.array(idx, pa.int64()))
+
+
+def ft_docmeta(sf_dir: str):
+    """Per-doc metadata incl. deterministic index docID, field length and
+    the end-to-end sha256 invariant (hex)."""
+    import ray.data
+
+    idx = index_dir_for(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(idx, "docmeta"),
+                               columns=["doc_id", "path", "field_len",
+                                        "sha256"])
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        orig = [int(p[4:12]) for p in batch.column("path").to_pylist()]
+        sha = [s.hex() for s in batch.column("sha256").to_pylist()]
+        return pa.table({
+            "orig_doc_id": pa.array(orig, pa.int64()),
+            "index_doc_id": batch.column("doc_id"),
+            "field_len": batch.column("field_len").cast(pa.int64()),
+            "sha256": pa.array(sha, pa.string()),
+        })
+
+    return ds.map_batches(fmt, batch_format="pyarrow")
+
+
+def ft_postings_sample(sf_dir: str) -> pa.Table:
+    """Decoded postings round-trip for every 13th term of the sorted
+    dictionary → (term, doc_id, tf)."""
+    from ..codec import decode_block
+
+    r = reader_for(sf_dir)
+    terms = termdict_terms(r).column("term").to_pylist()
+    sel = [t for i, t in enumerate(terms) if i % 13 == 0]
+    out_t, out_d, out_f = [], [], []
+    for term in sel:
+        p = r.postings(term)
+        for b in range(len(p.n)):
+            d, tf, _ = decode_block(int(p.first_doc[b]), int(p.n[b]),
+                                    p.docs_enc[b], p.tfs_enc[b],
+                                    p.norms_enc[b])
+            out_t.extend([term] * len(d))
+            out_d.extend(d.tolist())
+            out_f.extend(tf.tolist())
+    return pa.table({"term": pa.array(out_t, pa.string()),
+                     "doc_id": pa.array(out_d, pa.int64()),
+                     "tf": pa.array(out_f, pa.int64())})
+
+
+def ft_bm25_top10(sf_dir: str):
+    """Reference query set → (qid, rank, doc_id) via the block-max engine
+    running on a searcher actor pool."""
+    idx = index_dir_for(sf_dir)
+    qs = [(qid, " ".join(terms), k) for qid, terms, k in QUERY_SET]
+    ds = search_query_batch(idx, qs, concurrency=2)
+    return ds.select_columns(["qid", "rank", "doc_id"])
+
+
+def ft_bm25_scores(sf_dir: str):
+    """Same with float32 scores (rows-only driver check; exactness is
+    enforced by the pytest oracle suite instead)."""
+    idx = index_dir_for(sf_dir)
+    qs = [(qid, " ".join(terms), k) for qid, terms, k in QUERY_SET]
+    return search_query_batch(idx, qs, concurrency=2)
+
+
+def ft_boolean_and(sf_dir: str) -> pa.Table:
+    r = reader_for(sf_dir)
+    qids, docs = [], []
+    for qid, terms in AND_QUERIES:
+        d = search_boolean(r, must=terms)
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def ft_boolean_and_not(sf_dir: str) -> pa.Table:
+    r = reader_for(sf_dir)
+    qids, docs = [], []
+    for qid, a, b in NOT_QUERIES:
+        d = search_boolean(r, must=[a], must_not=[b])
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def ft_term_in_set(sf_dir: str) -> pa.Table:
+    r = reader_for(sf_dir)
+    d = search_boolean(r, should=INSET_TERMS)
+    return pa.table({"doc_id": pa.array(d, pa.int64())})
+
+
+def ft_prefix_terms(sf_dir: str) -> pa.Table:
+    r = reader_for(sf_dir)
+    out = []
+    for p in PREFIXES:
+        t = termdict_scan(r, prefix=p)
+        out.append(t.append_column(
+            "prefix", pa.array([p] * t.num_rows, pa.string())))
+    return pa.concat_tables(out).select(["prefix", "term", "df"])
+
+
+def ft_term_range(sf_dir: str) -> pa.Table:
+    r = reader_for(sf_dir)
+    out = []
+    for i, (lo, hi) in enumerate(RANGES, 1):
+        t = termdict_scan(r, lo=lo, hi=hi)
+        out.append(t.append_column("qid",
+                                   pa.array([i] * t.num_rows, pa.int64())))
+    return pa.concat_tables(out).select(["qid", "term", "df"])
+
+
+def ft_regexp_terms(sf_dir: str) -> pa.Table:
+    r = reader_for(sf_dir)
+    out = []
+    for i, rx in enumerate(REGEXPS, 1):
+        t = termdict_scan(r, regex=rx)
+        out.append(t.append_column("qid",
+                                   pa.array([i] * t.num_rows, pa.int64())))
+    return pa.concat_tables(out).select(["qid", "term", "df"])
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL builders
+
+_CORPUS_CTE = """
+corpus AS (
+  SELECT row_number() OVER (ORDER BY source, printf('doc_%08d.txt', doc_id)) - 1 AS d,
+         text
+  FROM documents
+),
+tok AS (
+  SELECT d, unnest(string_split(text, ' ')) AS term FROM corpus
+),
+tf AS (
+  SELECT d, term, count(*) AS tf FROM tok GROUP BY d, term
+),
+dl AS (
+  SELECT c.d, count(t.term) AS len
+  FROM corpus c LEFT JOIN tok t ON c.d = t.d GROUP BY c.d
+),
+stats AS (
+  SELECT count(*) AS n_docs, (SELECT count(*) FROM tok) AS sum_ttf FROM corpus
+),
+df AS (
+  SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY term
+)"""
+
+# SmallFloat.intToByte4 → byte4ToInt round-trip (the quantized length),
+# NUM_FREE_VALUES = 24, expressed with integer bit math.
+_QUANT_LEN = """
+quant AS (
+  SELECT d, len,
+    CASE WHEN len < 24 THEN len
+         ELSE 24 + (
+           CASE WHEN (len - 24) < 8 THEN (len - 24)
+                ELSE (((len - 24) >> (CAST(floor(log2(len - 24)) AS INT) - 3)) & 7 | 8)
+                     << (CAST(floor(log2(len - 24)) AS INT) - 3)
+           END)
+    END AS qlen
+  FROM dl
+)"""
+
+
+def oracle_collection_stats_sql() -> str:
+    return f"""WITH {_CORPUS_CTE}
+SELECT (SELECT n_docs FROM stats) AS doc_count,
+       (SELECT sum_ttf FROM stats) AS sum_ttf,
+       count(*) AS n_terms, sum(df) AS sum_df
+FROM df"""
+
+
+def oracle_term_stats_sql() -> str:
+    return f"""WITH {_CORPUS_CTE}
+SELECT term, df, ttf FROM df ORDER BY df DESC, term LIMIT 100"""
+
+
+def oracle_docmeta_sql() -> str:
+    return """WITH corpus AS (
+  SELECT doc_id AS orig_doc_id,
+         row_number() OVER (ORDER BY source, printf('doc_%08d.txt', doc_id)) - 1 AS index_doc_id,
+         text
+  FROM documents
+)
+SELECT orig_doc_id, index_doc_id,
+       len(string_split(text, ' ')) AS field_len,
+       sha256(text) AS sha256
+FROM corpus"""
+
+
+def oracle_postings_sample_sql() -> str:
+    return f"""WITH {_CORPUS_CTE},
+ranked AS (
+  SELECT term, row_number() OVER (ORDER BY term) - 1 AS r FROM df
+)
+SELECT t.term, t.d AS doc_id, t.tf
+FROM tf t JOIN ranked rk ON t.term = rk.term
+WHERE rk.r % 13 = 0"""
+
+
+def _query_clauses_values() -> str:
+    rows = []
+    for qid, terms, k in QUERY_SET:
+        for ci, t in enumerate(terms):
+            rows.append(f"({qid}, {ci}, '{t}', {k})")
+    return ",\n    ".join(rows)
+
+
+def oracle_bm25_sql() -> str:
+    """Float32 BM25 top-k, rank order (score desc, doc asc) — REAL casts at
+    every arithmetic step reproduce Java float rounding."""
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+clauses(qid, clause, term, k) AS (VALUES
+    {_query_clauses_values()}
+),
+scored AS (
+  SELECT c.qid, c.clause, c.k, t.d,
+    CAST(
+      CAST(ln(1 + ((SELECT n_docs FROM stats) - f.df + 0.5) / (f.df + 0.5)) AS REAL)
+      - CAST(ln(1 + ((SELECT n_docs FROM stats) - f.df + 0.5) / (f.df + 0.5)) AS REAL)
+        / (CAST(1.0 AS REAL) + CAST(t.tf AS REAL) *
+           (CAST(1.0 AS REAL) /
+            (CAST(1.2 AS REAL) *
+             (CAST(0.25 AS REAL) +
+              CAST(0.75 AS REAL) * CAST(q.qlen AS REAL) /
+              CAST(CAST((SELECT sum_ttf FROM stats) AS DOUBLE) /
+                   (SELECT n_docs FROM stats) AS REAL)))))
+    AS REAL) AS s
+  FROM clauses c
+  JOIN tf t ON t.term = c.term
+  JOIN df f ON f.term = c.term
+  JOIN quant q ON q.d = t.d
+),
+totals AS (
+  SELECT qid, k, d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+  FROM scored GROUP BY qid, k, d
+),
+ranked AS (
+  SELECT qid, d, row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, d ASC) AS rank, k
+  FROM totals
+)
+SELECT qid, rank, d AS doc_id FROM ranked WHERE rank <= k"""
+
+
+def oracle_boolean_and_sql() -> str:
+    rows = []
+    for qid, terms in AND_QUERIES:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        rows.append(f"SELECT {qid} AS qid, d AS doc_id FROM tf "
+                    f"WHERE term IN ({tl}) GROUP BY d "
+                    f"HAVING count(DISTINCT term) = {len(terms)}")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE}\n{un}"
+
+
+def oracle_boolean_and_not_sql() -> str:
+    rows = []
+    for qid, a, b in NOT_QUERIES:
+        rows.append(
+            f"SELECT {qid} AS qid, d AS doc_id FROM tf WHERE term = '{a}' "
+            f"AND d NOT IN (SELECT d FROM tf WHERE term = '{b}')")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE}\n{un}"
+
+
+def oracle_term_in_set_sql() -> str:
+    tl = ", ".join(f"'{t}'" for t in INSET_TERMS)
+    return (f"WITH {_CORPUS_CTE}\n"
+            f"SELECT DISTINCT d AS doc_id FROM tf WHERE term IN ({tl})")
+
+
+def oracle_prefix_terms_sql() -> str:
+    rows = []
+    for p in PREFIXES:
+        rows.append(f"SELECT '{p}' AS prefix, term, df FROM df "
+                    f"WHERE term LIKE '{p}%'")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE}\n{un}"
+
+
+def oracle_term_range_sql() -> str:
+    rows = []
+    for i, (lo, hi) in enumerate(RANGES, 1):
+        rows.append(f"SELECT {i} AS qid, term, df FROM df "
+                    f"WHERE term >= '{lo}' AND term < '{hi}'")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE}\n{un}"
+
+
+def oracle_regexp_terms_sql() -> str:
+    rows = []
+    for i, rx in enumerate(REGEXPS, 1):
+        rows.append(f"SELECT {i} AS qid, term, df FROM df "
+                    f"WHERE regexp_full_match(term, '{rx}')")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE}\n{un}"

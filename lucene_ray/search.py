@@ -390,3 +390,94 @@ def search_query_batch(index_dir: str, queries: list[tuple[str, str, int]],
     return qt.map_batches(QueryRunner, batch_format="pyarrow",
                           batch_size=max(1, len(queries) // max(concurrency, 1)),
                           concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# Boolean doc-set algebra + term dictionary scans (SURVEY.md §2.5/§2.9)
+
+def _term_docset(reader: IndexReader, term: str) -> np.ndarray:
+    p = reader.postings(term)
+    if p is None:
+        return np.empty(0, dtype=np.int64)
+    out = []
+    for b in range(len(p.n)):
+        d, _, _ = decode_block(int(p.first_doc[b]), int(p.n[b]),
+                               p.docs_enc[b], p.tfs_enc[b], p.norms_enc[b])
+        out.append(d)
+    return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+
+
+def search_boolean(reader: IndexReader, must: list[str] | None = None,
+                   must_not: list[str] | None = None,
+                   should: list[str] | None = None) -> np.ndarray:
+    """Boolean doc-set query: MUST=sorted intersection (ConjunctionDISI,
+    search/ConjunctionDISI.java:36), MUST_NOT=req-excl
+    (search/ReqExclScorer.java:26), SHOULD=union (BooleanScorer.java:31).
+    Returns sorted doc ids (constant-score/filter semantics)."""
+    acc: np.ndarray | None = None
+    for t in must or []:
+        ds = _term_docset(reader, t)
+        acc = ds if acc is None else np.intersect1d(acc, ds,
+                                                    assume_unique=True)
+        if len(acc) == 0:
+            return acc
+    if should:
+        un = np.unique(np.concatenate(
+            [_term_docset(reader, t) for t in should] or
+            [np.empty(0, np.int64)]))
+        acc = un if acc is None else np.intersect1d(acc, un,
+                                                    assume_unique=True)
+    if acc is None:
+        acc = np.empty(0, dtype=np.int64)
+    for t in must_not or []:
+        if len(acc) == 0:
+            break
+        acc = np.setdiff1d(acc, _term_docset(reader, t), assume_unique=True)
+    return acc
+
+
+def termdict_terms(reader: IndexReader) -> "pa.Table":
+    """The unified term dictionary view: (term, df, ttf) over all
+    partitions, sorted by term — the BlockTree/FST enumeration role
+    (blocktree/SegmentTermsEnum.java)."""
+    import pyarrow as _pa
+    tbls = []
+    for tb in range(reader.T):
+        for t in reader._load_bucket(tb):
+            tbls.append(t.select(["term", "n", "tf_sum"]))
+    if not tbls:
+        return _pa.table({"term": _pa.array([], _pa.string()),
+                          "df": _pa.array([], _pa.int64()),
+                          "ttf": _pa.array([], _pa.int64())})
+    allt = _pa.concat_tables(tbls)
+    agg = allt.group_by("term").aggregate([("n", "sum"), ("tf_sum", "sum")])
+    agg = agg.rename_columns(["term", "df", "ttf"]).sort_by(
+        [("term", "ascending")])
+    return agg.set_column(1, "df", agg.column("df").cast(_pa.int64()))
+
+
+def termdict_scan(reader: IndexReader, *, prefix: str | None = None,
+                  lo: str | None = None, hi: str | None = None,
+                  regex: str | None = None) -> "pa.Table":
+    """PrefixQuery / TermRangeQuery / RegexpQuery rewrite support
+    (search/PrefixQuery.java:29, TermRangeQuery.java:37, RegexpQuery.java:44):
+    enumerate matching terms with their stats from the sorted dictionary."""
+    import pyarrow.compute as _pc
+    t = termdict_terms(reader)
+    col = t.column("term")
+    mask = None
+    if prefix is not None:
+        mask = _pc.starts_with(col, prefix)
+    if lo is not None:
+        m = _pc.greater_equal(col, lo)
+        mask = m if mask is None else _pc.and_(mask, m)
+    if hi is not None:
+        m = _pc.less(col, hi)
+        mask = m if mask is None else _pc.and_(mask, m)
+    if regex is not None:
+        import re as _re
+        rx = _re.compile(regex)
+        vals = col.to_pylist()
+        m = pa.array([rx.fullmatch(v) is not None for v in vals])
+        mask = m if mask is None else _pc.and_(mask, m)
+    return t.filter(mask) if mask is not None else t
