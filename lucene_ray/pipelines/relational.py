@@ -1,0 +1,158 @@
+"""Relational / aggregation operator coverage (SURVEY.md §2.5-§2.7).
+
+Maps the reference's facet/grouping/join machinery to Ray Data:
+
+- facet counts (``facet/.../StringValueFacetCounts.java``) →
+  ``groupby().count()`` with per-batch pre-aggregation;
+- grouping top-docs-per-group (``grouping/.../GroupingSearch.java:42``) →
+  ``groupby(key).map_groups(topk)``;
+- distinct values (``grouping/.../DistinctValuesCollector.java``) →
+  ``ds.unique``;
+- query-time semi-join (``join/.../JoinUtil.java:56``) → broadcast key set
+  (``ray.put``) + vectorized filter inside ``map_batches`` (no shuffle);
+- grouped stats (Q1-style) → per-batch partial aggregation then a tiny
+  ``groupby().sum()`` — the partial/combiner pattern for 100 TB inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, cols=None):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=cols)
+
+
+def agg_facet_counts(sf_dir: str):
+    """Doc counts faceted by (lang, source) with per-batch pre-aggregation."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "source", "n"])
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["lang", "source"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def oracle_facet_counts_sql() -> str:
+    return ("SELECT lang, source, count(*) AS n FROM documents "
+            "GROUP BY lang, source")
+
+
+def agg_grouping_topk(sf_dir: str):
+    """Top 3 docs per lang by (n_chars desc, doc_id asc)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True]).head(3)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g
+
+    return ds.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
+def oracle_grouping_topk_sql() -> str:
+    return """WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3"""
+
+
+def agg_distinct(sf_dir: str):
+    """Distinct event types (ds.unique → one row per value)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, pa.string())})
+
+
+def oracle_distinct_sql() -> str:
+    return "SELECT DISTINCT event_type FROM events"
+
+
+def join_semi_broadcast(sf_dir: str):
+    """Orders of BUILDING-segment customers: broadcast the (small) customer
+    key set once, filter orders in map_batches — semi-join without a
+    shuffle (JoinUtil semantics)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    keys = (cust.map_batches(
+        lambda t: t.filter(pc.equal(t.column("c_mktsegment"), "BUILDING"))
+        .select(["c_custkey"]), batch_format="pyarrow"))
+    key_arr = np.sort(np.concatenate(
+        [b.column("c_custkey").to_numpy()
+         for b in keys.iter_batches(batch_format="pyarrow")] or
+        [np.empty(0, np.int64)]))
+    kref = ray.put(key_arr)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        ck = batch.column("o_custkey").to_numpy()
+        idx = np.searchsorted(ks, ck)
+        idx = np.minimum(idx, max(len(ks) - 1, 0))
+        mask = (len(ks) > 0) & (ks[idx] == ck)
+        return batch.filter(pa.array(mask))
+
+    return (_read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderpriority"])
+            .map_batches(flt, batch_format="pyarrow"))
+
+
+def oracle_semi_join_sql() -> str:
+    return """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')"""
+
+
+def agg_lineitem_pricing(sf_dir: str):
+    """Q1-style grouped stats with order-insensitive exact outputs
+    (integer-cast sums, counts, min/max) and per-batch partials."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", lambda s: int(s.astype(np.int64).sum())),
+            n=("l_quantity", "size"),
+            min_price=("l_extendedprice", "min"),
+            max_price=("l_extendedprice", "max"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                       Sum("n", alias_name="n"),
+                       Min("min_price", alias_name="min_price"),
+                       Max("max_price", alias_name="max_price")))
+
+
+def oracle_lineitem_pricing_sql() -> str:
+    return """SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       count(*) AS n,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
