@@ -57,6 +57,22 @@ OTHER, LETTER, NUM, MIDLETTER, MIDNUM, MIDNUMLET, SQ, EXTNUMLET, EXTFMT, \
 
 _MIDS = (MIDLETTER, MIDNUM, MIDNUMLET, SQ)
 
+# boolean property tables indexed by class id (fast replacement for np.isin)
+_N_CLS = 13
+
+
+def _prop(classes) -> np.ndarray:
+    t = np.zeros(_N_CLS, dtype=bool)
+    t[list(classes)] = True
+    return t
+
+
+P_CORE = _prop((LETTER, NUM, EXTNUMLET, KATAKANA, HAN, HIRAGANA, SEA))
+P_AN = _prop((LETTER, NUM))
+P_MID = _prop(_MIDS)
+P_ENL_OK = _prop((LETTER, NUM, KATAKANA, EXTNUMLET))
+P_HASCORE = _prop((LETTER, NUM, KATAKANA, HAN, HIRAGANA, SEA))
+
 _MIDLETTER_CP = {0x3A, 0xB7, 0x387, 0x55F, 0x5F4, 0x2027, 0xFE13, 0xFE55,
                  0xFF1A, 0x2D7}
 _MIDNUM_CP = {0x2C, 0x3B, 0x37E, 0x589, 0x60C, 0x60D, 0x66C, 0x7F8, 0x2044,
@@ -174,43 +190,56 @@ def _span_bounds(codes: np.ndarray, cls: np.ndarray
         empty = np.empty(0, dtype=np.int64)
         return empty, empty
     is_ext = cls == EXTFMT
-    idx = np.arange(n)
-    src = np.maximum.accumulate(np.where(is_ext, -1, idx))  # WB4 base index
-    eff = np.where(src >= 0, cls[np.maximum(src, 0)], OTHER).astype(np.int8)
+    has_ext = bool(is_ext.any())
+    if has_ext:
+        idx = np.arange(n, dtype=np.int32)
+        src = np.maximum.accumulate(np.where(is_ext, np.int32(-1), idx))
+        eff = np.where(src >= 0, cls[np.maximum(src, 0)], OTHER).astype(np.uint8)
+    else:
+        eff = cls
 
-    core = np.isin(eff, (LETTER, NUM, EXTNUMLET, KATAKANA, HAN, HIRAGANA, SEA))
+    core = P_CORE[eff]
 
-    prv = np.empty(n, dtype=np.int8)
+    prv = np.empty(n, dtype=np.uint8)
     prv[0] = OTHER
     prv[1:] = eff[:-1]
     # raw class of the next non-Extend char (for mid-join lookahead)
-    nxt_src = np.minimum.accumulate(np.where(is_ext, n, idx)[::-1])[::-1]
-    nxt = np.full(n, OTHER, dtype=np.int8)
-    nxt_from = np.empty(n, dtype=np.int64)
-    nxt_from[:-1] = nxt_src[1:]
-    nxt_from[-1] = n
-    ok = nxt_from < n
-    nxt[ok] = cls[nxt_from[ok]]
+    if has_ext:
+        idx2 = np.arange(n, dtype=np.int32)
+        nxt_src = np.minimum.accumulate(
+            np.where(is_ext, np.int32(n), idx2)[::-1])[::-1]
+        nxt = np.full(n, OTHER, dtype=np.uint8)
+        nxt_from = np.empty(n, dtype=np.int32)
+        nxt_from[:-1] = nxt_src[1:]
+        nxt_from[-1] = n
+        ok = nxt_from < n
+        nxt[ok] = cls[nxt_from[ok]]
+    else:
+        nxt = np.empty(n, dtype=np.uint8)
+        nxt[:-1] = cls[1:]
+        nxt[-1] = OTHER
 
-    is_mid = np.isin(eff, _MIDS)
+    is_mid = P_MID[eff]
     letters_both = (prv == LETTER) & (nxt == LETTER)
     nums_both = (prv == NUM) & (nxt == NUM)
     join = ((eff == MIDLETTER) & letters_both) \
         | ((eff == MIDNUM) & nums_both) \
         | (((eff == MIDNUMLET) | (eff == SQ)) & (letters_both | nums_both))
     member = core | (is_mid & join)
-    member = np.where(is_ext & (src >= 0), member[np.maximum(src, 0)], member)
+    if has_ext:
+        member = np.where(is_ext & (src >= 0),
+                          member[np.maximum(src, 0)], member)
 
     # joins between consecutive member chars
-    an = (LETTER, NUM)
-    both_an = np.isin(prv, an) & np.isin(eff, an)
+    both_an = P_AN[prv] & P_AN[eff]
     kk = (prv == KATAKANA) & (eff == KATAKANA)
     sea = (prv == SEA) & (eff == SEA)
-    enl_ok = (LETTER, NUM, KATAKANA, EXTNUMLET)
-    enl = ((prv == EXTNUMLET) & np.isin(eff, enl_ok)) \
-        | ((eff == EXTNUMLET) & np.isin(prv, enl_ok))
-    mid_l = np.isin(prv, _MIDS) | np.isin(eff, _MIDS)
-    joinable = both_an | kk | sea | enl | mid_l | is_ext  # WB4: no break before Extend
+    enl = ((prv == EXTNUMLET) & P_ENL_OK[eff]) \
+        | ((eff == EXTNUMLET) & P_ENL_OK[prv])
+    mid_l = P_MID[prv] | P_MID[eff]
+    joinable = both_an | kk | sea | enl | mid_l
+    if has_ext:
+        joinable |= is_ext  # WB4: no break before Extend
 
     prev_member = np.empty(n, dtype=bool)
     prev_member[0] = False
@@ -277,7 +306,7 @@ def _split_long_span(codes: np.ndarray, cls: np.ndarray, s: int, e: int,
 
 
 def _has_core(cls: np.ndarray, s: int, e: int) -> bool:
-    return bool(np.isin(cls[s:e], _CORE_CLASSES).any())
+    return bool(P_HASCORE[cls[s:e]].any())
 
 
 def _token_spans(codes: np.ndarray, cls: np.ndarray,
@@ -287,13 +316,24 @@ def _token_spans(codes: np.ndarray, cls: np.ndarray,
     starts, ends = _span_bounds(codes, cls)
     if len(starts) == 0:
         return starts, ends
-    # vectorized length / core checks over all spans
-    is_core = np.isin(cls, _CORE_CLASSES)
-    cum_core = np.concatenate([[0], np.cumsum(is_core)])
-    has_core = (cum_core[ends] - cum_core[starts]) > 0
-    units = np.where(codes > 0xFFFF, 2, 1)
-    cum_u = np.concatenate([[0], np.cumsum(units)])
-    too_long = (cum_u[ends] - cum_u[starts]) > max_len
+    span_lens = ends - starts
+
+    # no-core check: a span can only lack a core char if it starts with
+    # ExtendNumLet (mids/extends cannot start a span) — check those few.
+    has_core = np.ones(len(starts), dtype=bool)
+    enl_start = np.flatnonzero(cls[starts] == EXTNUMLET)
+    for i in enl_start:
+        has_core[i] = _has_core(cls, int(starts[i]), int(ends[i]))
+
+    # too-long check: utf-16 length == codepoint length unless the span
+    # contains astral chars (rare) — avoid char-level cumsums on the fast
+    # path.
+    if codes.max(initial=0) > 0xFFFF:
+        units = np.where(codes > 0xFFFF, 2, 1)
+        cum_u = np.concatenate([[0], np.cumsum(units)])
+        too_long = (cum_u[ends] - cum_u[starts]) > max_len
+    else:
+        too_long = span_lens > max_len
 
     keep = has_core & ~too_long
     if too_long.any():
@@ -326,9 +366,51 @@ def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
     ]
 
 
+_CHUNK_CHARS = 2_000_000
+
+
 def analyze_batch(texts: list[str],
                   max_token_length: int = MAX_TOKEN_LENGTH
                   ) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize a batch of documents, vectorized.
+
+    Internally processes ~2M chars at a time: this bounds the working set
+    of the per-chunk temporaries so a worker's heap is touched once and
+    reused (first-touch page faults are expensive in this sandbox), while
+    still amortizing every numpy call over thousands of documents.
+
+    Returns (tokens: pa.Array, owners: int64, lengths: int32, norms: uint8).
+    """
+    texts = ["" if t is None else t for t in texts]
+    n_docs = len(texts)
+    total_chars = sum(len(t) for t in texts)
+    if n_docs == 0 or total_chars <= _CHUNK_CHARS:
+        return _analyze_chunk(texts, max_token_length)
+    tok_parts, own_parts, len_parts, norm_parts = [], [], [], []
+    start = 0
+    chars = 0
+    for i, t in enumerate(texts):
+        chars += len(t)
+        if chars >= _CHUNK_CHARS or i == n_docs - 1:
+            tk, ow, ln, nm = _analyze_chunk(texts[start:i + 1],
+                                            max_token_length)
+            tok_parts.append(tk)
+            own_parts.append(ow + start)
+            len_parts.append(ln)
+            norm_parts.append(nm)
+            start = i + 1
+            chars = 0
+    import pyarrow as _pa
+    tokens = _pa.concat_arrays([_pa.array([], type=_pa.string())] +
+                               [p.combine_chunks() if hasattr(p, "combine_chunks") else p
+                                for p in tok_parts])
+    return (tokens, np.concatenate(own_parts),
+            np.concatenate(len_parts), np.concatenate(norm_parts))
+
+
+def _analyze_chunk(texts: list[str],
+                   max_token_length: int = MAX_TOKEN_LENGTH
+                   ) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
     """Tokenize a whole batch in one vectorized pass.
 
     Returns ``(tokens, owners, lengths, norms)`` where ``tokens`` is a
@@ -376,12 +458,78 @@ def analyze_batch(texts: list[str],
             len(starts), pa.py_buffer(offsets.tobytes()), pa.py_buffer(values)
         ).cast(pa.string())
     else:
-        flat = tok_codes.tobytes().decode("utf-32-le")
-        tokens = pa.array(
-            [flat[offsets[i]:offsets[i + 1]] for i in range(len(starts))],
-            type=pa.string(),
-        )
+        # vectorized UTF-8: encode the whole concatenated token string once
+        # (C speed), compute per-token byte offsets from per-char byte widths
+        values = tok_codes.tobytes().decode("utf-32-le").encode("utf-8")
+        blen = (1 + (tok_codes > 0x7F).astype(np.int64)
+                + (tok_codes > 0x7FF) + (tok_codes > 0xFFFF))
+        bcum = np.concatenate([[0], np.cumsum(blen)])
+        boffsets = bcum[offsets]
+        tokens = pa.LargeStringArray.from_buffers(
+            len(starts), pa.py_buffer(boffsets.tobytes()),
+            pa.py_buffer(values)).cast(pa.string())
 
     lengths = np.bincount(owners, minlength=n_docs).astype(np.int32)
     norms = int_to_byte4(lengths.astype(np.int64))
     return tokens, owners, lengths, norms
+
+
+# ---------------------------------------------------------------------------
+# Fast path: ASCII documents via one compiled regex (C loop, few allocations)
+
+import re as _re
+from collections import Counter as _Counter
+
+# Exact ASCII projection of the JFlex WORD/NUMERIC rules: core chars
+# [a-z0-9_]; ':' joins letter-letter (MidLetter), '.'/''' join letter-letter
+# and digit-digit (MidNumLet/SingleQuote), ','/';' join digit-digit (MidNum).
+# Tokenizing lowered text is equivalent for ASCII (case does not change
+# word-break classes). Pure-underscore matches are dropped afterwards
+# (no-core rule), and any match longer than MAX_TOKEN_LENGTH reroutes the
+# document to the exact scanner-buffer emulation.
+_ASCII_WORD = _re.compile(
+    r"[a-z0-9_]+(?:(?:(?<=[a-z])['.:](?=[a-z])|(?<=[0-9])['.,;](?=[0-9]))"
+    r"[a-z0-9_]+)*")
+
+
+def term_freq_batch(texts: list[str],
+                    max_token_length: int = MAX_TOKEN_LENGTH
+                    ) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray,
+                               np.ndarray]:
+    """Per-doc (term, tf) pairs for a batch — the analyzer plus the local
+    BytesRefHash-style dedup (util/BytesRefHash.java:335) in one pass.
+
+    ASCII docs take the compiled-regex fast path (allocation-light — this
+    sandbox's page faults make large numpy temporaries expensive);
+    non-ASCII docs or docs with over-long tokens take the exact
+    vectorized UAX#29 path. Both produce identical tokens (tested).
+
+    Returns (terms: pa.Array, tfs: int64, owners: int64,
+    lengths: int32, norms: uint8) where (owners, terms) is unique per doc.
+    """
+    terms: list[str] = []
+    tfs: list[int] = []
+    owners: list[int] = []
+    lengths = np.zeros(len(texts), dtype=np.int32)
+    maxlen_default = max_token_length == MAX_TOKEN_LENGTH
+    for d, text in enumerate(texts):
+        if not text:
+            continue
+        toks = None
+        if text.isascii():
+            found = _ASCII_WORD.findall(text.lower())
+            if not any(len(t) > max_token_length for t in found):
+                toks = [t for t in found if t.strip("_")]
+        if toks is None:
+            toks = tokenize(text, max_token_length)
+        if not toks:
+            continue
+        c = _Counter(toks)
+        lengths[d] = len(toks)
+        terms.extend(c.keys())
+        tfs.extend(c.values())
+        owners.extend([d] * len(c))
+    norms = int_to_byte4(lengths.astype(np.int64))
+    return (pa.array(terms, type=pa.string()),
+            np.array(tfs, dtype=np.int64),
+            np.array(owners, dtype=np.int64), lengths, norms)

@@ -51,7 +51,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from .analysis import analyze_batch
+from .analysis import term_freq_batch
 from .codec import BLOCK_SIZE, encode_term
 from .state.manifest import (IndexManifest, atomic_write_json, load_manifest,
                              save_manifest)
@@ -88,10 +88,18 @@ def _crc_bucket(terms: list[str], mod: int) -> np.ndarray:
 
 def default_build_params(n_rows: int, target_docs_per_bucket: int = 250_000
                          ) -> dict:
-    """Bucket/partition sizing. ~250k docs per segment mirrors Lucene's
-    query-slice sizing (search/IndexSearcher.java:106-108) and keeps a
-    group's tokenized footprint comfortably inside a worker heap."""
-    num_buckets = max(4, -(-n_rows // target_docs_per_bucket))
+    """Bucket/partition sizing.
+
+    At scale, ~250k docs per segment mirrors Lucene's query-slice sizing
+    (search/IndexSearcher.java:106-108) and keeps a group's tokenized
+    footprint comfortably inside a worker heap. For small corpora we cut
+    finer buckets (~1k docs) so the segment-build stage saturates the CPUs
+    instead of running a handful of giant groups."""
+    by_target = -(-n_rows // target_docs_per_bucket)
+    if by_target >= 64:
+        num_buckets = by_target
+    else:
+        num_buckets = min(256, max(4, -(-n_rows // 1_000)))
     term_parts = max(8, min(64, num_buckets))
     salt_group = 64          # segments per merge salt-group
     return {"num_buckets": int(num_buckets), "term_parts": int(term_parts),
@@ -101,22 +109,30 @@ def default_build_params(n_rows: int, target_docs_per_bucket: int = 250_000
 # ---------------------------------------------------------------------------
 # Stage 1: plan
 
-def _sample_boundaries(ds, num_buckets: int, sample_per_batch: int = 32
-                       ) -> list[str]:
+def _sample_and_count(ds, sample_per_batch: int = 32
+                      ) -> tuple[int, list[str]]:
+    """One pass over the corpus: total row count + deterministic key sample
+    (the plan stage reads the data once, not twice)."""
     def sample(batch: pa.Table) -> pa.Table:
         keys = _dockey(batch)
         n = len(keys)
         step = max(1, n // sample_per_batch)
-        return pa.table({"key": keys.take(np.arange(0, n, step))})
+        picked = keys.take(np.arange(0, n, step))
+        return pa.table({"key": picked,
+                         "n": pa.array([n] + [0] * (len(picked) - 1),
+                                       pa.int64())})
 
-    sampled = sorted(ds.map_batches(sample, batch_format="pyarrow")
-                     .take_all(), key=lambda r: r["key"])
-    keys = [r["key"] for r in sampled]
+    rows = ds.map_batches(sample, batch_format="pyarrow").take_all()
+    n_rows = sum(r["n"] for r in rows)
+    keys = sorted(r["key"] for r in rows)
+    return n_rows, keys
+
+
+def _boundaries_from_sample(keys: list[str], num_buckets: int) -> list[str]:
     if not keys or num_buckets <= 1:
         return []
     idx = np.linspace(0, len(keys) - 1, num_buckets + 1)[1:-1]
-    bounds = sorted({keys[int(i)] for i in idx})
-    return bounds
+    return sorted({keys[int(i)] for i in idx})
 
 
 def _assign_bucket(batch: pa.Table, boundaries: list[str]) -> pa.Table:
@@ -163,7 +179,7 @@ def _build_segment(group: pa.Table, index_dir: str, bases: list[int]) -> pa.Tabl
 
     shas = [hashlib.sha256(("" if c is None else c).encode()).digest()
             for c in contents]
-    tokens, owners, lengths, norms = analyze_batch(contents)
+    terms_arr, tfs_arr, owners, lengths, norms = term_freq_batch(contents)
 
     # --- docmeta ---
     docmeta = pa.table({
@@ -187,17 +203,19 @@ def _build_segment(group: pa.Table, index_dir: str, bases: list[int]) -> pa.Tabl
     n_postings = 0
     n_terms = 0
     cols = {k: [] for k, _ in POSTINGS_FIELDS}
-    if len(tokens) > 0:
-        dict_arr = pc.dictionary_encode(tokens)
+    if len(terms_arr) > 0:
+        dict_arr = pc.dictionary_encode(terms_arr)
         tok_idx = np.asarray(dict_arr.indices)
         vocab = dict_arr.dictionary.to_pylist()
-        # rank tokens by term string (UTF-8 byte order == Python str order
-        # for the chars involved; use encoded bytes to be exact)
+        # rank terms by UTF-8 byte order (== codepoint order)
         order = sorted(range(len(vocab)), key=lambda i: vocab[i].encode())
         rank_of = np.empty(len(vocab), dtype=np.int64)
         rank_of[np.array(order)] = np.arange(len(vocab))
-        key = (rank_of[tok_idx] << np.int64(32)) | owners.astype(np.int64)
-        uniq, tf = np.unique(key, return_counts=True)
+        # (term, doc) pairs are already unique per doc; sort by (rank, doc)
+        key = (rank_of[tok_idx] << np.int64(32)) | owners
+        srt = np.argsort(key, kind="stable")
+        uniq = key[srt]
+        tf = tfs_arr[srt]
         term_rank = (uniq >> np.int64(32)).astype(np.int64)
         doc_local = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
         doc_global = base + doc_local
@@ -387,8 +405,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
         with open(plan_path) as f:
             plan = json.load(f)
     else:
-        ds = make_ds()
-        n_rows = ds.count()
+        n_rows, sample_keys = _sample_and_count(make_ds())
         params = default_build_params(n_rows)
         if num_buckets:
             params["num_buckets"] = num_buckets
@@ -396,7 +413,8 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
             params["term_parts"] = term_parts
         if salt_group:
             params["salt_group"] = salt_group
-        boundaries = _sample_boundaries(ds, params["num_buckets"])
+        boundaries = _boundaries_from_sample(sample_keys,
+                                             params["num_buckets"])
         nb = len(boundaries) + 1
         with_bucket = make_ds().map_batches(
             _assign_bucket, batch_format="pyarrow",
@@ -482,7 +500,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
         (sds.groupby(["tbucket", "salt"])
             .map_groups(Merger, batch_format="pyarrow",
                         fn_constructor_args=(index_dir,),
-                        concurrency=merge_concurrency or (1, 8))
+                        concurrency=merge_concurrency or (1, 16))
             .materialize())
 
     merge_lineage = []

@@ -142,10 +142,10 @@ def impact_frontier(tfs: np.ndarray, norms: np.ndarray
     """
     if len(tfs) == 0:
         return np.empty(0, np.int32), np.empty(0, np.uint8)
-    # unique pairs sorted by (freq, norm); keep min norm per freq
-    pairs = np.unique(np.stack(
-        [tfs.astype(np.int64), norms.astype(np.int64)], axis=1), axis=0)
-    freqs, nrm = pairs[:, 0], pairs[:, 1]
+    # unique pairs sorted by (freq, norm) via packed int64 keys (much
+    # cheaper than np.unique(axis=0)); keep min norm per freq
+    key = np.unique((tfs.astype(np.int64) << 8) | norms.astype(np.int64))
+    freqs, nrm = key >> 8, key & 0xFF
     first = np.concatenate([[True], freqs[1:] != freqs[:-1]])
     freqs, nrm = freqs[first], nrm[first]
     # pair i survives iff its norm is strictly below every higher-freq norm

@@ -142,3 +142,23 @@ def test_analyze_batch_arrow_types():
     assert owners.dtype == np.int64
     assert lengths.dtype == np.int32
     assert norms.dtype == np.uint8
+
+
+def test_term_freq_batch_matches_tokenize():
+    """The ASCII regex fast path must agree exactly with the UAX#29 engine."""
+    from collections import Counter
+
+    from lucene_ray.analysis import term_freq_batch
+
+    docs = ["B2B some-dashed-phrase ac/dc", "O'Reilly's 3.14 foo_bar",
+            "", "...", "A:B_A::B x 1.2_1..2 C_A.:B", "héllo wörld",
+            "a" * 300 + " tail", "__ _x x_ 1,234.56 don't",
+            "key agg row scan slow fast"]
+    terms, tfs, owners, lengths, norms = term_freq_batch(docs)
+    got = {}
+    for t, f, o in zip(terms.to_pylist(), tfs, owners):
+        got.setdefault(int(o), {})[t] = int(f)
+    for d, text in enumerate(docs):
+        expect = Counter(tokenize(text))
+        assert got.get(d, {}) == dict(expect), (d, text)
+        assert lengths[d] == sum(expect.values())
