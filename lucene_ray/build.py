@@ -293,7 +293,6 @@ class Merger:
                     exist_ok=True)
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        from .codec import decode_block
         t0 = time.time()
         if group.num_rows == 0:
             return _empty_merge_lineage()
@@ -302,69 +301,78 @@ class Merger:
         part = f"{tb:05d}_{salt:04d}"
         out_path = os.path.join(self.index_dir, "postings",
                                 f"part={part}.parquet")
-        # order rows by (term, first_doc); segment doc ranges are disjoint
-        # and bases are monotone in seg, so this is doc order per term
         group = group.sort_by([("term", "ascending"),
                                ("first_doc", "ascending")])
-        terms = group.column("term").to_pylist()
-        first = group.column("first_doc").to_numpy()
-        ns = group.column("n").to_numpy()
-        docs_enc = group.column("docs_enc").to_pylist()
-        tfs_enc = group.column("tfs_enc").to_pylist()
-        norms_enc = group.column("norms_enc").to_pylist()
+        n_arr = group.column("n").to_numpy()
+        full_mask = n_arr == BLOCK_SIZE
 
+        # 1) full 128-blocks pass through unchanged: their docIDs are
+        #    already global, so re-encoding them would be a no-op
+        #    (Lucene's merge re-encodes because segment docIDs must be
+        #    remapped, MergeState.java:170-204 — ours need no remap).
+        passthrough = group.filter(pa.array(full_mask)).select(
+            [k for k, _ in POSTINGS_FIELDS])
+
+        # 2) tail blocks: decode ALL of them vectorized from the raw-layout
+        #    binary columns, then re-encode per term (the ordered-concat
+        #    k-way merge, MultiTermsEnum.java:32 — ranges are disjoint
+        #    because segment doc ranges are disjoint).
+        tails = group.filter(pa.array(~full_mask))
         cols = {k: [] for k, _ in POSTINGS_FIELDS}
-        i = 0
-        n_rows = group.num_rows
-        n_terms = 0
-        n_postings = 0
-        while i < n_rows:
-            j = i
-            while j < n_rows and terms[j] == terms[i]:
-                j += 1
-            dd, tt, mm = [], [], []
-            for r in range(i, j):
-                d, t, m = decode_block(int(first[r]), int(ns[r]),
-                                       docs_enc[r], tfs_enc[r], norms_enc[r])
-                dd.append(d)
-                tt.append(t)
-                mm.append(m)
-            docs = np.concatenate(dd)
-            tfs = np.concatenate(tt)
-            nrm = np.concatenate(mm)
-            enc = encode_term(docs, tfs, nrm)
-            nb = len(enc["n"])
-            cols["term"].extend([terms[i]] * nb)
-            cols["seg"].extend([-1] * nb)
-            cols["first_doc"].extend(enc["first_doc"])
-            cols["last_doc"].extend(enc["last_doc"])
-            cols["n"].extend(enc["n"])
-            csum = np.cumsum(tfs)
-            marks = np.minimum(np.arange(1, nb + 1) * BLOCK_SIZE, len(tfs)) - 1
-            prev = np.concatenate([[0], csum[marks[:-1]]]) if nb > 1 else [0]
-            cols["tf_sum"].extend((csum[marks] - np.asarray(prev)).tolist())
-            cols["docs_enc"].extend(enc["docs_enc"])
-            cols["tfs_enc"].extend(enc["tfs_enc"])
-            cols["norms_enc"].extend(enc["norms_enc"])
-            cols["imp_freq"].extend(enc["imp_freq"])
-            cols["imp_norm"].extend(enc["imp_norm"])
-            n_terms += 1
-            n_postings += len(docs)
-            i = j
+        n_terms_tail = 0
+        n_postings = int(group.column("n").to_numpy().sum())
+        if tails.num_rows:
+            tn = tails.column("n").to_numpy()
+            docs_flat = _flat_raw(tails.column("docs_enc"), tn, 8, "<i8")
+            tfs_flat = _flat_raw(tails.column("tfs_enc"), tn, 4, "<i4")
+            norms_flat = _flat_norms(tails.column("norms_enc"))
+            ends = np.cumsum(tn)
+            starts_row = ends - tn
+            terms = tails.column("term").to_pylist()
+            i = 0
+            nrow = tails.num_rows
+            while i < nrow:
+                j = i
+                while j < nrow and terms[j] == terms[i]:
+                    j += 1
+                s, e = int(starts_row[i]), int(ends[j - 1])
+                enc = encode_term(docs_flat[s:e], tfs_flat[s:e],
+                                  norms_flat[s:e])
+                nb = len(enc["n"])
+                cols["term"].extend([terms[i]] * nb)
+                cols["seg"].extend([-1] * nb)
+                for k in ("first_doc", "last_doc", "n", "docs_enc",
+                          "tfs_enc", "norms_enc", "imp_freq", "imp_norm"):
+                    cols[k].extend(enc[k])
+                csum = np.cumsum(tfs_flat[s:e])
+                marks = np.minimum(np.arange(1, nb + 1) * BLOCK_SIZE,
+                                   e - s) - 1
+                prev = np.concatenate([[0], csum[marks[:-1]]]) \
+                    if nb > 1 else [0]
+                cols["tf_sum"].extend((csum[marks] - np.asarray(prev))
+                                      .tolist())
+                n_terms_tail += 1
+                i = j
 
-        tbl = pa.table(
+        merged_tails = pa.table(
             {k: pa.array(v, t) for (k, t), v in
              zip(POSTINGS_FIELDS, (cols[k] for k, _ in POSTINGS_FIELDS))},
             schema=SEGMENT_SCHEMA)
+        tbl = pa.concat_tables([passthrough.cast(SEGMENT_SCHEMA),
+                                merged_tails])
+        tbl = tbl.sort_by([("term", "ascending"), ("first_doc", "ascending")])
         pq.write_table(tbl, out_path + ".tmp",
                        row_group_size=16384, compression="zstd")
         os.replace(out_path + ".tmp", out_path)
+        terms_out = tbl.column("term")
+        n_terms = len(pc.unique(terms_out)) if tbl.num_rows else 0
         lineage = {
             "part": part, "tbucket": tb, "salt": salt,
             "n_terms": n_terms, "n_postings": n_postings,
-            "n_blocks": len(cols["n"]),
+            "n_blocks": tbl.num_rows,
             "bytes": int(tbl.nbytes),
-            "term_min": terms[0], "term_max": terms[-1],
+            "term_min": terms_out[0].as_py() if tbl.num_rows else "",
+            "term_max": terms_out[-1].as_py() if tbl.num_rows else "",
             "elapsed_s": round(time.time() - t0, 4),
             "postings_per_s": round(
                 n_postings / max(time.time() - t0, 1e-9), 1),
@@ -373,6 +381,38 @@ class Merger:
             os.path.join(self.index_dir, "_build", "merge_lineage",
                          f"part_{part}.json"), lineage)
         return pa.table({k: [v] for k, v in lineage.items()})
+
+
+def _flat_raw(col: "pa.ChunkedArray", n_per_row: np.ndarray, width: int,
+              dtype: str) -> np.ndarray:
+    """Vectorized decode of raw-marker binary cells: gather each row's
+    payload bytes (after the 1-byte marker) from the Arrow value buffer."""
+    arr = col.combine_chunks()
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    starts = offs[:-1] + 1          # skip the 0xFD marker byte
+    # sanity: every tail row must use the raw layout
+    markers = data[offs[:-1]]
+    if not np.all(markers == 0xFD):
+        raise ValueError("non-raw tail block encountered in merge")
+    nbytes = n_per_row.astype(np.int64) * width
+    total = int(nbytes.sum())
+    idx = np.repeat(starts - np.concatenate([[0], np.cumsum(nbytes)[:-1]]),
+                    nbytes) + np.arange(total)
+    return data[idx].view(dtype).astype(np.int64)
+
+
+def _flat_norms(col: "pa.ChunkedArray") -> np.ndarray:
+    arr = col.combine_chunks()
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    total = int(offs[-1] - offs[0])
+    nbytes = np.diff(offs)
+    idx = np.repeat(offs[:-1] - np.concatenate([[0], np.cumsum(nbytes)[:-1]]),
+                    nbytes) + np.arange(total)
+    return data[idx]
 
 
 # ---------------------------------------------------------------------------
@@ -477,8 +517,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
     if seg_files:
         sds = ray.data.read_parquet(
             seg_files,
-            columns=["term", "seg", "first_doc", "n", "docs_enc",
-                     "tfs_enc", "norms_enc"])
+            columns=[k for k, _ in POSTINGS_FIELDS])
 
         def key_rows(batch: pa.Table) -> pa.Table:
             terms = batch.column("term").to_pylist()

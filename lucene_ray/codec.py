@@ -35,6 +35,7 @@ import numpy as np
 BLOCK_SIZE = 128          # ForUtil.java:32
 MAX_EXCEPTIONS = 7        # PForUtil.java:30
 _ALL_EQUAL = 0xFE         # marker byte: all values in block equal
+_RAW = 0xFD               # marker byte: raw little-endian array (tail block)
 
 
 def _bit_len(v: int) -> int:
@@ -172,18 +173,26 @@ def encode_term(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray
     for s in range(0, n, BLOCK_SIZE):
         e = min(s + BLOCK_SIZE, n)
         d = doc_ids[s:e].astype(np.int64)
-        deltas = np.empty(e - s, dtype=np.uint64)
-        deltas[0] = 0
-        if e - s > 1:
-            deltas[1:] = np.diff(d).astype(np.uint64)
         t = tfs[s:e]
         nb = norms[s:e].astype(np.uint8)
         fr, no = impact_frontier(t, nb)
         out["first_doc"].append(int(d[0]))
         out["last_doc"].append(int(d[-1]))
         out["n"].append(e - s)
-        out["docs_enc"].append(encode_deltas(deltas))
-        out["tfs_enc"].append(encode_pfor(t))
+        if e - s == BLOCK_SIZE:
+            deltas = np.empty(e - s, dtype=np.uint64)
+            deltas[0] = 0
+            deltas[1:] = np.diff(d).astype(np.uint64)
+            out["docs_enc"].append(encode_deltas(deltas))
+            out["tfs_enc"].append(encode_pfor(t))
+        else:
+            # tail block (< BLOCK_SIZE): raw little-endian arrays — the
+            # role of Lucene's vInt tail (Lucene103PostingsFormat.java:186)
+            # and the layout the merger decodes fully vectorized.
+            out["docs_enc"].append(
+                bytes([_RAW]) + d.astype("<i8").tobytes())
+            out["tfs_enc"].append(
+                bytes([_RAW]) + t.astype("<i4").tobytes())
         out["norms_enc"].append(nb.tobytes())
         out["imp_freq"].append(fr.tolist())
         out["imp_norm"].append(no.tobytes())
@@ -194,9 +203,15 @@ def decode_block(first_doc: int, n: int, docs_enc: bytes, tfs_enc: bytes,
                  norms_enc: bytes
                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one block → (doc_ids int64, tfs int64, norms uint8)."""
-    deltas = decode_deltas(docs_enc, n).astype(np.int64)
-    deltas[0] = 0
-    docs = first_doc + np.cumsum(deltas)
-    tfs = decode_pfor(tfs_enc, n).astype(np.int64)
+    if docs_enc[0] == _RAW:
+        docs = np.frombuffer(docs_enc, dtype="<i8", offset=1).astype(np.int64)
+    else:
+        deltas = decode_deltas(docs_enc, n).astype(np.int64)
+        deltas[0] = 0
+        docs = first_doc + np.cumsum(deltas)
+    if tfs_enc[0] == _RAW:
+        tfs = np.frombuffer(tfs_enc, dtype="<i4", offset=1).astype(np.int64)
+    else:
+        tfs = decode_pfor(tfs_enc, n).astype(np.int64)
     norms = np.frombuffer(norms_enc, dtype=np.uint8)
     return docs, tfs, norms
