@@ -42,9 +42,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_regexp_terms": ft.ft_regexp_terms,
     }
     try:
-        from lucene_ray.pipelines import ann, dedup, relational, textstats
+        from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
+                                          streaming, textstats)
 
         q.update({
+            "events_tumbling_window": streaming.events_tumbling_window,
+            "events_sessionize": streaming.events_sessionize,
+            "media_features": multimodal.media_features,
+            "embedding_neardup": ann.embedding_neardup_pairs,
             "dedup_exact": dedup.dedup_exact,
             "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
             "dedup_simhash": dedup.dedup_simhash,
@@ -84,9 +89,13 @@ def oracle_sql() -> dict[str, str]:
         "ft_regexp_terms": ft.oracle_regexp_terms_sql(),
     }
     try:
-        from lucene_ray.pipelines import ann, dedup, relational, textstats
+        from lucene_ray.pipelines import (ann, dedup, relational, streaming,
+                                          textstats)
 
         o.update({
+            "events_tumbling_window": streaming.oracle_tumbling_window_sql(),
+            "events_sessionize": streaming.oracle_sessionize_sql(),
+            "embedding_neardup": ann.oracle_embedding_neardup_sql(),
             "dedup_exact": dedup.oracle_dedup_exact_sql(),
             "text_quality": textstats.oracle_text_quality_sql(),
             "lang_id": textstats.oracle_lang_id_sql(),

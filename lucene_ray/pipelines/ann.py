@@ -197,3 +197,54 @@ ranked AS (
   FROM sims
 )
 SELECT query_vec_id, rank, vec_id FROM ranked WHERE rank <= {TOP_K}"""
+
+
+NEARDUP_THRESHOLD = 0.5
+
+
+def embedding_neardup_pairs(sf_dir: str) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine > threshold):
+    per-batch float64 matmul against the broadcast (normalized) full matrix
+    — at scale the right side becomes LSH/IVF buckets; here the corpus is
+    the matrix."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_numpy(zero_copy_only=False))
+    order = np.argsort(ids)
+    all_ids = ids[order]
+    emb = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)
+                   )[order].astype(np.float64)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    mref = ray.put((all_ids, emb))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        aid, mat = ray.get(mref)
+        bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        be = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        be = be / np.linalg.norm(be, axis=1, keepdims=True)
+        sims = be @ mat.T
+        ii, jj = np.nonzero(sims > NEARDUP_THRESHOLD)
+        a = bids[ii]
+        b = aid[jj]
+        keep = a < b
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64())})
+
+    import ray.data as rd
+    batches = (rd.read_parquet(_emb_path(sf_dir),
+                               columns=["vec_id", "embedding"])
+               .map_batches(pairs, batch_format="pyarrow")
+               .take_all())
+    # collect to a typed table so an empty result keeps its schema
+    return pa.table({"a": pa.array([r["a"] for r in batches], pa.int64()),
+                     "b": pa.array([r["b"] for r in batches], pa.int64())})
+
+
+def oracle_embedding_neardup_sql() -> str:
+    return f"""SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) > {NEARDUP_THRESHOLD}"""
