@@ -433,11 +433,11 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
         shutil.rmtree(index_dir)
     os.makedirs(os.path.join(index_dir, "_build"), exist_ok=True)
 
-    def make_ds():
+    def make_ds(keys_only: bool = False):
         if isinstance(corpus, str):
-            return ray.data.read_parquet(
-                corpus,
-                columns=["repo", "path", "commit", "lang", "content"])
+            cols = ["repo", "path", "commit"] if keys_only else \
+                ["repo", "path", "commit", "lang", "content"]
+            return ray.data.read_parquet(corpus, columns=cols)
         return corpus
 
     plan_path = os.path.join(index_dir, "_build", "plan.json")
@@ -445,7 +445,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
         with open(plan_path) as f:
             plan = json.load(f)
     else:
-        n_rows, sample_keys = _sample_and_count(make_ds())
+        n_rows, sample_keys = _sample_and_count(make_ds(keys_only=True))
         params = default_build_params(n_rows)
         if num_buckets:
             params["num_buckets"] = num_buckets
@@ -456,7 +456,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
         boundaries = _boundaries_from_sample(sample_keys,
                                              params["num_buckets"])
         nb = len(boundaries) + 1
-        with_bucket = make_ds().map_batches(
+        with_bucket = make_ds(keys_only=True).map_batches(
             _assign_bucket, batch_format="pyarrow",
             fn_kwargs={"boundaries": boundaries})
         counts = _bucket_counts(with_bucket, nb)
