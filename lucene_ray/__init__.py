@@ -30,6 +30,14 @@ def _tune_malloc() -> None:
         libc.mallopt(M_TRIM_THRESHOLD, 512 * 1024 * 1024)
     except Exception:
         pass
+    try:
+        # pyarrow's default (jemalloc/mimalloc) pool mmaps its own arenas,
+        # bypassing the glibc tuning above — route it through malloc too.
+        import pyarrow as _pa
+
+        _pa.set_memory_pool(_pa.system_memory_pool())
+    except Exception:
+        pass
 
 
 _tune_malloc()

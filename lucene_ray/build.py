@@ -167,12 +167,32 @@ def _bucket_counts(ds_with_bucket, num_buckets: int) -> list[int]:
 # Stage 2: segment build (the flush)
 
 def _build_segment(group: pa.Table, index_dir: str, bases: list[int]) -> pa.Table:
-    t0 = time.time()
+    """Key-rank mode group UDF: sort the bucket by dockey, docIDs = bucket
+    base + rank (deterministic global key rank)."""
     if group.num_rows == 0:
         return _empty_seg_lineage()
     seg = int(group.column("bucket")[0].as_py())
-    base = bases[seg]
     group = group.sort_by([("dockey", "ascending")])
+    return _build_segment_core(group, seg, bases[seg], index_dir)
+
+
+def _build_segment_files(batch: pa.Table, index_dir: str) -> pa.Table:
+    """Arrival mode task UDF: one input parquet file = one segment, docIDs =
+    file base + row index (Lucene's arrival-order docID assignment,
+    DocumentsWriterPerThread.java:274) — NO corpus shuffle at all."""
+    out = []
+    for seg, path, base in zip(batch.column("seg").to_pylist(),
+                               batch.column("path").to_pylist(),
+                               batch.column("base").to_pylist()):
+        tbl = pq.read_table(path, columns=["repo", "path", "commit", "lang",
+                                           "content"])
+        out.append(_build_segment_core(tbl, int(seg), int(base), index_dir))
+    return pa.concat_tables(out) if out else _empty_seg_lineage()
+
+
+def _build_segment_core(group: pa.Table, seg: int, base: int,
+                        index_dir: str) -> pa.Table:
+    t0 = time.time()
     contents = group.column("content").to_pylist()
     n_docs = len(contents)
     doc_ids = base + np.arange(n_docs, dtype=np.int64)
@@ -421,12 +441,28 @@ def _flat_norms(col: "pa.ChunkedArray") -> np.ndarray:
 def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                 term_parts: int | None = None, salt_group: int | None = None,
                 merge_concurrency: int | tuple | None = None,
+                doc_order: str = "arrival",
                 overwrite: bool = False) -> IndexManifest:
     """Build (or resume building) an index from a corpus.
 
     ``corpus``: parquet path/dir, or a ray.data.Dataset with the corpus
-    schema. Never calls ray.init (driver contract)."""
+    schema. Never calls ray.init (driver contract).
+
+    ``doc_order``:
+      - ``"arrival"`` (default, the scale path): one input parquet file =
+        one segment, docID = file base + row index — Lucene's ingest-order
+        assignment (DocumentsWriterPerThread.java:274). NO raw-corpus
+        shuffle; bases come from parquet footers. Deterministic given the
+        (sorted) file layout.
+      - ``"key"``: docID = global rank of (repo, path, commit) via sampled
+        key-range buckets + one groupby shuffle — ids are stable under any
+        re-sharding of the corpus (used by the oracle-parity pipelines and
+        the partition-invariance tests). Dataset inputs always use "key".
+    """
     import ray.data
+
+    if not isinstance(corpus, str):
+        doc_order = "key"
 
     if overwrite and os.path.exists(os.path.join(index_dir, "manifest.json")):
         import shutil
@@ -444,6 +480,23 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
     if os.path.exists(plan_path):
         with open(plan_path) as f:
             plan = json.load(f)
+    elif doc_order == "arrival":
+        files = sorted(
+            os.path.join(corpus, f) for f in os.listdir(corpus)
+            if f.endswith(".parquet")) if os.path.isdir(corpus) else [corpus]
+        counts = [pq.ParquetFile(f).metadata.num_rows for f in files]
+        n_rows = sum(counts)
+        params = default_build_params(n_rows)
+        params["num_buckets"] = len(files)
+        if term_parts:
+            params["term_parts"] = term_parts
+        if salt_group:
+            params["salt_group"] = salt_group
+        bases = np.concatenate([[0], np.cumsum(counts)[:-1]]).tolist()
+        plan = {"params": params, "boundaries": [], "mode": "arrival",
+                "files": files, "bucket_counts": counts, "bases": bases,
+                "n_rows": n_rows, "corpus_fingerprint": _fingerprint(corpus)}
+        atomic_write_json(plan_path, plan)
     else:
         n_rows, sample_keys = _sample_and_count(make_ds(keys_only=True))
         params = default_build_params(n_rows)
@@ -480,7 +533,15 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
             if f.startswith("seg_") and f.endswith(".json"):
                 done.add(int(f[4:-5]))
     todo = [b for b in range(nb) if counts[b] > 0 and b not in done]
-    if todo:
+    if todo and plan.get("mode") == "arrival":
+        items = [{"seg": b, "path": plan["files"][b], "base": bases[b]}
+                 for b in todo]
+        (ray.data.from_items(items)
+         .repartition(len(items))
+         .map_batches(_build_segment_files, batch_format="pyarrow",
+                      batch_size=1, fn_kwargs={"index_dir": index_dir})
+         .materialize())
+    elif todo:
         ds = make_ds().map_batches(_assign_bucket, batch_format="pyarrow",
                                    fn_kwargs={"boundaries": boundaries})
         if done:

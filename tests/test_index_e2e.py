@@ -34,7 +34,8 @@ def corpus_path(tmp_path_factory, ray_session):
 @pytest.fixture(scope="module")
 def index_dir(tmp_path_factory, corpus_path, ray_session):
     d = str(tmp_path_factory.mktemp("index"))
-    build_index(corpus_path, d, num_buckets=5, term_parts=8, salt_group=2)
+    build_index(corpus_path, d, num_buckets=5, term_parts=8, salt_group=2,
+                doc_order="key")
     return d
 
 
@@ -181,7 +182,8 @@ def test_partition_count_invariance(corpus_path, index_dir, tmp_path_factory,
     """Different bucket/term-partition counts → identical postings + top-k
     (replaces Lucene's randomized segment topology tests)."""
     d2 = str(tmp_path_factory.mktemp("index2"))
-    build_index(corpus_path, d2, num_buckets=2, term_parts=3, salt_group=1)
+    build_index(corpus_path, d2, num_buckets=2, term_parts=3, salt_group=1,
+                doc_order="key")
     r1, r2 = IndexReader(index_dir), IndexReader(d2)
     assert r1.doc_count == r2.doc_count and r1.sum_ttf == r2.sum_ttf
     for q in QUERIES:
@@ -196,7 +198,8 @@ def test_resume_skips_done_and_is_identical(corpus_path, index_dir,
     """Kill-and-rerun: delete some outputs + manifest, rebuild, identical."""
     import shutil
     d3 = str(tmp_path_factory.mktemp("index3"))
-    build_index(corpus_path, d3, num_buckets=5, term_parts=8, salt_group=2)
+    build_index(corpus_path, d3, num_buckets=5, term_parts=8, salt_group=2,
+                doc_order="key")
     # simulate partial failure: remove manifest, two segments + lineage,
     # one merge part + lineage
     os.remove(os.path.join(d3, "manifest.json"))
@@ -214,7 +217,7 @@ def test_resume_skips_done_and_is_identical(corpus_path, index_dir,
     # deleted segments must be rebuilt first — which resume does.
     # To force the removed merge part to re-run we must also rerun its
     # groups; resume handles it via missing lineage.
-    build_index(corpus_path, d3)
+    build_index(corpus_path, d3)  # resume: mode read from the stored plan
     r1, r3 = IndexReader(index_dir), IndexReader(d3)
     assert r3.doc_count == N_DOCS
     for q in QUERIES[:6]:
@@ -230,3 +233,42 @@ def test_merge_topk_comparator():
     docs, scores = merge_topk([d1, d2], 3)
     # tie on score 2.0 → doc 1 before doc 5
     assert docs.tolist() == [1, 5, 3]
+
+
+def test_arrival_mode_equivalent_modulo_docids(corpus_path, index_dir,
+                                               tmp_path_factory, ray_session):
+    """doc_order="arrival" (no corpus shuffle) produces the same index
+    contents up to the docID permutation: same stats, same df/ttf, and the
+    same top-k result sets when hits are mapped back to doc keys."""
+    d4 = str(tmp_path_factory.mktemp("index_arrival"))
+    build_index(corpus_path, d4, term_parts=8, salt_group=2,
+                doc_order="arrival")
+    r_key, r_arr = IndexReader(index_dir), IndexReader(d4)
+    assert r_arr.doc_count == r_key.doc_count
+    assert r_arr.sum_ttf == r_key.sum_ttf
+
+    def keymap(idx_dir):
+        dm = pq.read_table(os.path.join(idx_dir, "docmeta"),
+                           columns=["doc_id", "repo", "path", "commit"])
+        return {d: (r, p, c) for d, r, p, c in
+                zip(dm.column("doc_id").to_pylist(),
+                    dm.column("repo").to_pylist(),
+                    dm.column("path").to_pylist(),
+                    dm.column("commit").to_pylist())}
+
+    mk, ma = keymap(index_dir), keymap(d4)
+    for q in QUERIES[:8]:
+        a = search_bruteforce(r_key, q, 15)
+        b = search_blockmax(r_arr, q, 15)
+        # same scores in order, and same doc keys at each rank (ties can
+        # permute within equal scores — compare as sets per score)
+        np.testing.assert_array_equal(a.scores, b.scores)
+        ka = [mk[int(d)] for d in a.doc_ids]
+        kb = [ma[int(d)] for d in b.doc_ids]
+        i = 0
+        while i < len(a.scores):
+            j = i
+            while j < len(a.scores) and a.scores[j] == a.scores[i]:
+                j += 1
+            assert set(ka[i:j]) == set(kb[i:j]), q
+            i = j
