@@ -523,7 +523,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
     bases = plan["bases"]
     counts = plan["bucket_counts"]
     params = plan["params"]
-    nb = len(boundaries) + 1
+    nb = len(counts)
 
     # --- stage 2: segments (skip finished buckets before the shuffle) ---
     lin_dir = os.path.join(index_dir, "_build", "seg_lineage")
