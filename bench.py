@@ -147,6 +147,15 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    """N-vs-4N parallelism scaling, noise-hardened.
+
+    This sandbox's wall-clock throughput varies ~2x minute-to-minute
+    (shared host), so a single run per leg is meaningless. We alternate
+    legs (lo, hi, lo, hi, ...) to decorrelate machine drift and take the
+    MIN time per leg (the least-contended observation of each
+    configuration); all raw runs are reported for transparency.
+    """
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run([sys.executable, __file__], env=env,
@@ -155,19 +164,27 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    reps = int(os.environ.get("SCALING_REPS", "3"))
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    t_lo = min(r["value"] for r in runs_lo)
+    t_hi = min(r["value"] for r in runs_hi)
+    eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
-        "docs_per_sec_8": r_lo["docs_per_sec"],
-        "docs_per_sec_32": r_hi["docs_per_sec"],
-        "bench_docs": r_lo["bench_docs"],
-        "rank_identity_rate": min(r_lo["rank_identity_rate"],
-                                  r_hi["rank_identity_rate"]),
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "runs_sec_8": [r["value"] for r in runs_lo],
+        "runs_sec_32": [r["value"] for r in runs_hi],
+        "docs_per_sec_8": max(r["docs_per_sec"] for r in runs_lo),
+        "docs_per_sec_32": max(r["docs_per_sec"] for r in runs_hi),
+        "bench_docs": runs_lo[0]["bench_docs"],
+        "rank_identity_rate": min(r["rank_identity_rate"]
+                                  for r in runs_lo + runs_hi),
     }
 
 
