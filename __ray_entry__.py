@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_prefix_terms": ft.ft_prefix_terms,
         "ft_term_range": ft.ft_term_range,
         "ft_regexp_terms": ft.ft_regexp_terms,
+        "ft_phrase": ft.ft_phrase,
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
@@ -87,6 +88,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_prefix_terms": ft.oracle_prefix_terms_sql(),
         "ft_term_range": ft.oracle_term_range_sql(),
         "ft_regexp_terms": ft.oracle_regexp_terms_sql(),
+        "ft_phrase": ft.oracle_phrase_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

@@ -493,9 +493,8 @@ _ASCII_WORD = _re.compile(
 
 
 def term_freq_batch(texts: list[str],
-                    max_token_length: int = MAX_TOKEN_LENGTH
-                    ) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray,
-                               np.ndarray]:
+                    max_token_length: int = MAX_TOKEN_LENGTH,
+                    with_positions: bool = False):
     """Per-doc (term, tf) pairs for a batch — the analyzer plus the local
     BytesRefHash-style dedup (util/BytesRefHash.java:335) in one pass.
 
@@ -510,8 +509,8 @@ def term_freq_batch(texts: list[str],
     terms: list[str] = []
     tfs: list[int] = []
     owners: list[int] = []
+    positions: list[list[int]] = [] if with_positions else None
     lengths = np.zeros(len(texts), dtype=np.int32)
-    maxlen_default = max_token_length == MAX_TOKEN_LENGTH
     for d, text in enumerate(texts):
         if not text:
             continue
@@ -524,12 +523,26 @@ def term_freq_batch(texts: list[str],
             toks = tokenize(text, max_token_length)
         if not toks:
             continue
-        c = _Counter(toks)
         lengths[d] = len(toks)
-        terms.extend(c.keys())
-        tfs.extend(c.values())
-        owners.extend([d] * len(c))
+        if with_positions:
+            # position = token index (posIncr always 1,
+            # index/IndexingChain.java:1219-1283)
+            posmap: dict[str, list[int]] = {}
+            for i, t in enumerate(toks):
+                posmap.setdefault(t, []).append(i)
+            terms.extend(posmap.keys())
+            tfs.extend(len(v) for v in posmap.values())
+            owners.extend([d] * len(posmap))
+            positions.extend(posmap.values())
+        else:
+            c = _Counter(toks)
+            terms.extend(c.keys())
+            tfs.extend(c.values())
+            owners.extend([d] * len(c))
     norms = int_to_byte4(lengths.astype(np.int64))
-    return (pa.array(terms, type=pa.string()),
-            np.array(tfs, dtype=np.int64),
-            np.array(owners, dtype=np.int64), lengths, norms)
+    out = (pa.array(terms, type=pa.string()),
+           np.array(tfs, dtype=np.int64),
+           np.array(owners, dtype=np.int64), lengths, norms)
+    if with_positions:
+        return out + (positions,)
+    return out

@@ -70,6 +70,7 @@ POSTINGS_FIELDS = [
     ("norms_enc", pa.binary()),
     ("imp_freq", pa.list_(pa.int32())),
     ("imp_norm", pa.binary()),
+    ("pos_enc", pa.binary()),
 ]
 SEGMENT_SCHEMA = pa.schema(POSTINGS_FIELDS)
 
@@ -166,17 +167,20 @@ def _bucket_counts(ds_with_bucket, num_buckets: int) -> list[int]:
 # ---------------------------------------------------------------------------
 # Stage 2: segment build (the flush)
 
-def _build_segment(group: pa.Table, index_dir: str, bases: list[int]) -> pa.Table:
+def _build_segment(group: pa.Table, index_dir: str, bases: list[int],
+                   with_positions: bool = False) -> pa.Table:
     """Key-rank mode group UDF: sort the bucket by dockey, docIDs = bucket
     base + rank (deterministic global key rank)."""
     if group.num_rows == 0:
         return _empty_seg_lineage()
     seg = int(group.column("bucket")[0].as_py())
     group = group.sort_by([("dockey", "ascending")])
-    return _build_segment_core(group, seg, bases[seg], index_dir)
+    return _build_segment_core(group, seg, bases[seg], index_dir,
+                               with_positions)
 
 
-def _build_segment_files(batch: pa.Table, index_dir: str) -> pa.Table:
+def _build_segment_files(batch: pa.Table, index_dir: str,
+                         with_positions: bool = False) -> pa.Table:
     """Arrival mode task UDF: one input parquet file = one segment, docIDs =
     file base + row index (Lucene's arrival-order docID assignment,
     DocumentsWriterPerThread.java:274) — NO corpus shuffle at all."""
@@ -186,12 +190,14 @@ def _build_segment_files(batch: pa.Table, index_dir: str) -> pa.Table:
                                batch.column("base").to_pylist()):
         tbl = pq.read_table(path, columns=["repo", "path", "commit", "lang",
                                            "content"])
-        out.append(_build_segment_core(tbl, int(seg), int(base), index_dir))
+        out.append(_build_segment_core(tbl, int(seg), int(base), index_dir,
+                                       with_positions))
     return pa.concat_tables(out) if out else _empty_seg_lineage()
 
 
 def _build_segment_core(group: pa.Table, seg: int, base: int,
-                        index_dir: str) -> pa.Table:
+                        index_dir: str,
+                        with_positions: bool = False) -> pa.Table:
     t0 = time.time()
     contents = group.column("content").to_pylist()
     n_docs = len(contents)
@@ -199,7 +205,12 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
 
     shas = [hashlib.sha256(("" if c is None else c).encode()).digest()
             for c in contents]
-    terms_arr, tfs_arr, owners, lengths, norms = term_freq_batch(contents)
+    positions = None
+    if with_positions:
+        terms_arr, tfs_arr, owners, lengths, norms, positions = \
+            term_freq_batch(contents, with_positions=True)
+    else:
+        terms_arr, tfs_arr, owners, lengths, norms = term_freq_batch(contents)
 
     # --- docmeta ---
     docmeta = pa.table({
@@ -236,6 +247,8 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
         srt = np.argsort(key, kind="stable")
         uniq = key[srt]
         tf = tfs_arr[srt]
+        pos_sorted = [positions[i] for i in srt] if positions is not None \
+            else None
         term_rank = (uniq >> np.int64(32)).astype(np.int64)
         doc_local = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
         doc_global = base + doc_local
@@ -249,7 +262,14 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
         for i in range(len(bnd) - 1):
             s, e = int(bnd[i]), int(bnd[i + 1])
             term = sorted_vocab[int(term_rank[s])]
-            enc = encode_term(doc_global[s:e], tf[s:e], post_norms[s:e])
+            tpos = None
+            if pos_sorted is not None:
+                tpos = np.concatenate(
+                    [np.asarray(p, dtype=np.int32)
+                     for p in pos_sorted[s:e]]) if e > s else \
+                    np.empty(0, np.int32)
+            enc = encode_term(doc_global[s:e], tf[s:e], post_norms[s:e],
+                              positions=tpos)
             nb = len(enc["n"])
             cols["term"].extend([term] * nb)
             cols["seg"].extend([seg] * nb)
@@ -266,6 +286,7 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
             cols["norms_enc"].extend(enc["norms_enc"])
             cols["imp_freq"].extend(enc["imp_freq"])
             cols["imp_norm"].extend(enc["imp_norm"])
+            cols["pos_enc"].extend(enc["pos_enc"])
 
     seg_tbl = pa.table(
         {k: pa.array(v, t) for (k, t), v in
@@ -346,8 +367,19 @@ class Merger:
             docs_flat = _flat_raw(tails.column("docs_enc"), tn, 8, "<i8")
             tfs_flat = _flat_raw(tails.column("tfs_enc"), tn, 4, "<i4")
             norms_flat = _flat_norms(tails.column("norms_enc"))
+            # positions: tail cells concatenate in row order = per-term
+            # posting order (rows doc-sorted, ranges disjoint)
+            pos_flat = _flat_norms(tails.column("pos_enc")).view("<i4") \
+                .astype(np.int32)
+            has_pos = len(pos_flat) > 0
             ends = np.cumsum(tn)
             starts_row = ends - tn
+            tf_ends = np.cumsum(
+                np.array([int(x) for x in
+                          tails.column("tf_sum").to_pylist()], np.int64))
+            tf_starts = tf_ends - np.array(
+                [int(x) for x in tails.column("tf_sum").to_pylist()],
+                np.int64)
             terms = tails.column("term").to_pylist()
             i = 0
             nrow = tails.num_rows
@@ -356,13 +388,16 @@ class Merger:
                 while j < nrow and terms[j] == terms[i]:
                     j += 1
                 s, e = int(starts_row[i]), int(ends[j - 1])
+                tpos = pos_flat[int(tf_starts[i]):int(tf_ends[j - 1])] \
+                    if has_pos else None
                 enc = encode_term(docs_flat[s:e], tfs_flat[s:e],
-                                  norms_flat[s:e])
+                                  norms_flat[s:e], positions=tpos)
                 nb = len(enc["n"])
                 cols["term"].extend([terms[i]] * nb)
                 cols["seg"].extend([-1] * nb)
                 for k in ("first_doc", "last_doc", "n", "docs_enc",
-                          "tfs_enc", "norms_enc", "imp_freq", "imp_norm"):
+                          "tfs_enc", "norms_enc", "imp_freq", "imp_norm",
+                          "pos_enc"):
                     cols[k].extend(enc[k])
                 csum = np.cumsum(tfs_flat[s:e])
                 marks = np.minimum(np.arange(1, nb + 1) * BLOCK_SIZE,
@@ -442,6 +477,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                 term_parts: int | None = None, salt_group: int | None = None,
                 merge_concurrency: int | tuple | None = None,
                 doc_order: str = "arrival",
+                with_positions: bool = False,
                 overwrite: bool = False) -> IndexManifest:
     """Build (or resume building) an index from a corpus.
 
@@ -523,6 +559,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
     bases = plan["bases"]
     counts = plan["bucket_counts"]
     params = plan["params"]
+    params["with_positions"] = bool(with_positions)
     nb = len(counts)
 
     # --- stage 2: segments (skip finished buckets before the shuffle) ---
@@ -539,7 +576,9 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
         (ray.data.from_items(items)
          .repartition(len(items))
          .map_batches(_build_segment_files, batch_format="pyarrow",
-                      batch_size=1, fn_kwargs={"index_dir": index_dir})
+                      batch_size=1,
+                      fn_kwargs={"index_dir": index_dir,
+                                 "with_positions": with_positions})
          .materialize())
     elif todo:
         ds = make_ds().map_batches(_assign_bucket, batch_format="pyarrow",
@@ -553,7 +592,8 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                 batch_format="pyarrow")
         (ds.groupby("bucket")
            .map_groups(_build_segment, batch_format="pyarrow",
-                       fn_kwargs={"index_dir": index_dir, "bases": bases})
+                       fn_kwargs={"index_dir": index_dir, "bases": bases,
+                                  "with_positions": with_positions})
            .materialize())
 
     seg_lineage = []

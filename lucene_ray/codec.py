@@ -159,17 +159,27 @@ def impact_frontier(tfs: np.ndarray, norms: np.ndarray
     return freqs[keep].astype(np.int32), nrm[keep].astype(np.uint8)
 
 
-def encode_term(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray
-                ) -> dict[str, list]:
+def encode_term(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
+                positions: np.ndarray | None = None) -> dict[str, list]:
     """Encode one term's postings (doc-sorted) into per-block columns.
 
     Returns a dict of equal-length lists, one element per block:
     first_doc, last_doc, n, docs_enc, tfs_enc, norms_enc, imp_freq (list),
-    imp_norm (bytes).
+    imp_norm (bytes), pos_enc (bytes; empty when positions are off).
+
+    ``positions``: optional int32 array of all positions of the term, in
+    posting order; the per-posting boundaries are the tf prefix sums (the
+    same implicit framing as the reference's .pos stream,
+    Lucene103PostingsFormat.java:200-260).
     """
     n = len(doc_ids)
     out = {k: [] for k in ("first_doc", "last_doc", "n", "docs_enc",
-                           "tfs_enc", "norms_enc", "imp_freq", "imp_norm")}
+                           "tfs_enc", "norms_enc", "imp_freq", "imp_norm",
+                           "pos_enc")}
+    pos_bounds = None
+    if positions is not None:
+        pos_bounds = np.concatenate(
+            [[0], np.cumsum(np.asarray(tfs, dtype=np.int64))])
     for s in range(0, n, BLOCK_SIZE):
         e = min(s + BLOCK_SIZE, n)
         d = doc_ids[s:e].astype(np.int64)
@@ -179,6 +189,12 @@ def encode_term(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray
         out["first_doc"].append(int(d[0]))
         out["last_doc"].append(int(d[-1]))
         out["n"].append(e - s)
+        if positions is not None:
+            out["pos_enc"].append(
+                np.asarray(positions[pos_bounds[s]:pos_bounds[e]],
+                           dtype="<i4").tobytes())
+        else:
+            out["pos_enc"].append(b"")
         if e - s == BLOCK_SIZE:
             deltas = np.empty(e - s, dtype=np.uint64)
             deltas[0] = 0
@@ -215,3 +231,13 @@ def decode_block(first_doc: int, n: int, docs_enc: bytes, tfs_enc: bytes,
         tfs = decode_pfor(tfs_enc, n).astype(np.int64)
     norms = np.frombuffer(norms_enc, dtype=np.uint8)
     return docs, tfs, norms
+
+
+def decode_positions(pos_enc: bytes, tfs: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a block's position stream → (positions int32 flat, offsets)
+    where posting i's positions are flat[offsets[i]:offsets[i+1]]."""
+    flat = np.frombuffer(pos_enc, dtype="<i4").astype(np.int32)
+    offsets = np.concatenate(
+        [[0], np.cumsum(np.asarray(tfs, dtype=np.int64))])
+    return flat, offsets

@@ -27,8 +27,8 @@ import pyarrow as pa
 from ..build import build_index
 from ..corpus import corpus_from_documents
 from ..search import (IndexReader, search_blockmax, search_boolean,
-                      search_bruteforce, search_query_batch, termdict_scan,
-                      termdict_terms)
+                      search_bruteforce, search_phrase, search_query_batch,
+                      phrase_freqs, termdict_scan, termdict_terms)
 
 # ---------------------------------------------------------------------------
 # Reference query set (fixed; vocabulary of the documents generator)
@@ -63,6 +63,9 @@ PREFIXES = ["s", "val", "cust", "zz"]
 RANGES = [("a", "c"), ("s", "t"), ("query", "scan")]
 REGEXPS = ["s.*w", ".a.*", "val.e"]
 INSET_TERMS = ["vector", "spark", "zzmissing", "window"]
+PHRASES = [(1, ["key", "agg"]), (2, ["slow", "fast"]),
+           (3, ["the", "a"]), (4, ["table", "value", "part"]),
+           (5, ["zzmissing", "key"])]
 
 _INDEX_CACHE: dict[str, str] = {}
 
@@ -74,11 +77,11 @@ def index_dir_for(sf_dir: str) -> str:
         return _INDEX_CACHE[sf_dir]
     doc = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.sha256(
-        f"{sf_dir}:{os.path.getsize(doc)}:v1".encode()).hexdigest()[:12]
+        f"{sf_dir}:{os.path.getsize(doc)}:v2".encode()).hexdigest()[:12]
     idx = os.path.join("/tmp", "lucene_ray_indexes", tag)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         corpus = corpus_from_documents(sf_dir)
-        build_index(corpus, idx)
+        build_index(corpus, idx, with_positions=True)
     _INDEX_CACHE[sf_dir] = idx
     return idx
 
@@ -407,3 +410,41 @@ def oracle_regexp_terms_sql() -> str:
                     f"WHERE regexp_full_match(term, '{rx}')")
     un = "\nUNION ALL\n".join(rows)
     return f"WITH {_CORPUS_CTE}\n{un}"
+
+
+def ft_phrase(sf_dir: str) -> pa.Table:
+    """PhraseQuery: exact positional phrase matches → (qid, doc_id, freq)
+    where freq counts (possibly overlapping) phrase occurrences."""
+    r = reader_for(sf_dir)
+    qids, docs, freqs = [], [], []
+    for qid, terms in PHRASES:
+        for doc, f in sorted(phrase_freqs(r, terms).items()):
+            qids.append(qid)
+            docs.append(doc)
+            freqs.append(f)
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "freq": pa.array(freqs, pa.int64())})
+
+
+def oracle_phrase_sql() -> str:
+    parts = []
+    for qid, terms in PHRASES:
+        joins = ["FROM w w0"]
+        conds = [f"w0.word = '{terms[0]}'"]
+        for i in range(1, len(terms)):
+            joins.append(f"JOIN w w{i} ON w{i}.d = w0.d "
+                         f"AND w{i}.pos = w0.pos + {i}")
+            conds.append(f"w{i}.word = '{terms[i]}'")
+        parts.append(
+            f"SELECT {qid} AS qid, w0.d AS doc_id, count(*) AS freq\n"
+            + "\n".join(joins) + "\nWHERE " + " AND ".join(conds)
+            + "\nGROUP BY w0.d")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+w AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+)
+{un}"""

@@ -61,6 +61,7 @@ class TermPostings:
     norms_enc: list
     imp_freq: list            # list[np.ndarray]
     imp_norm: list            # list[np.ndarray]
+    pos_enc: list             # list[bytes] (empty when positions are off)
 
 
 class IndexReader:
@@ -120,6 +121,9 @@ class IndexReader:
                       for x in t.column("imp_freq").to_pylist()],
             imp_norm=[np.frombuffer(x, dtype=np.uint8)
                       for x in t.column("imp_norm").to_pylist()],
+            pos_enc=(t.column("pos_enc").to_pylist()
+                     if "pos_enc" in t.column_names
+                     else [b""] * t.num_rows),
         )
 
 
@@ -481,3 +485,82 @@ def termdict_scan(reader: IndexReader, *, prefix: str | None = None,
         m = pa.array([rx.fullmatch(v) is not None for v in vals])
         mask = m if mask is None else _pc.and_(mask, m)
     return t.filter(mask) if mask is not None else t
+
+
+# ---------------------------------------------------------------------------
+# Phrase queries (positional intersection — search/PhraseQuery.java:71,
+# ExactPhraseMatcher.java:39): phrase frequency = number of exact
+# consecutive-position matches; the doc is then scored as BM25(phrase_freq)
+# with the phrase's own df (docs containing the phrase).
+
+def _term_positions(reader: IndexReader, term: str
+                    ) -> dict[int, np.ndarray] | None:
+    from .codec import decode_positions
+
+    p = reader.postings(term)
+    if p is None:
+        return None
+    out: dict[int, np.ndarray] = {}
+    for b in range(len(p.n)):
+        d, tf, _ = decode_block(int(p.first_doc[b]), int(p.n[b]),
+                                p.docs_enc[b], p.tfs_enc[b], p.norms_enc[b])
+        if not p.pos_enc[b]:
+            raise ValueError("index was built without positions")
+        flat, offs = decode_positions(p.pos_enc[b], tf)
+        for i, doc in enumerate(d):
+            out[int(doc)] = flat[offs[i]:offs[i + 1]]
+    return out
+
+
+def phrase_freqs(reader: IndexReader, terms: list[str]) -> dict[int, int]:
+    """Exact phrase matching: doc → number of phrase occurrences.
+
+    Leapfrog over per-term position sets: positions of term i shifted by -i
+    intersected across all terms (ExactPhraseMatcher semantics)."""
+    per_term = []
+    for t in terms:
+        m = _term_positions(reader, t)
+        if m is None:
+            return {}
+        per_term.append(m)
+    docs = set(per_term[0])
+    for m in per_term[1:]:
+        docs &= set(m)
+    out: dict[int, int] = {}
+    for doc in docs:
+        acc = per_term[0][doc].astype(np.int64)
+        for i, m in enumerate(per_term[1:], 1):
+            acc = np.intersect1d(acc, m[doc].astype(np.int64) - i,
+                                 assume_unique=True)
+            if len(acc) == 0:
+                break
+        if len(acc):
+            out[doc] = int(len(acc))
+    return out
+
+
+def search_phrase(reader: IndexReader, phrase: str, k: int = 10) -> TopDocs:
+    """PhraseQuery: BM25-scored with freq = phrase occurrences and
+    df = number of docs containing the phrase (PhraseWeight builds its
+    scorer from the phrase's own stats)."""
+    terms = parse_query(phrase)
+    if not terms:
+        return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0)
+    freqs = phrase_freqs(reader, terms)
+    if not freqs:
+        return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0)
+    docs = np.array(sorted(freqs), dtype=np.int64)
+    tf = np.array([freqs[int(d)] for d in docs], dtype=np.int64)
+    # norms from the first term's postings (same doc → same field norm)
+    norm_map: dict[int, int] = {}
+    p = reader.postings(terms[0])
+    for b in range(len(p.n)):
+        d, t, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
+                                p.docs_enc[b], p.tfs_enc[b], p.norms_enc[b])
+        for dd, mm in zip(d, nm):
+            norm_map[int(dd)] = int(mm)
+    norms = np.array([norm_map[int(d)] for d in docs], dtype=np.uint8)
+    sim = bm25.scorer(len(docs), reader.doc_count, reader.sum_ttf)
+    scores = sim.score(tf, norms)
+    d, s = _topk(docs, scores, k)
+    return TopDocs(d, s, len(docs))

@@ -272,3 +272,34 @@ def test_arrival_mode_equivalent_modulo_docids(corpus_path, index_dir,
                 j += 1
             assert set(ka[i:j]) == set(kb[i:j]), q
             i = j
+
+
+def test_phrase_positions(tmp_path_factory, corpus_path, ray_session):
+    """Positions round-trip + exact phrase matching (incl. overlapping
+    occurrences) vs a naive Python scan."""
+    from lucene_ray.search import phrase_freqs, search_phrase
+
+    d = str(tmp_path_factory.mktemp("index_pos"))
+    build_index(corpus_path, d, num_buckets=3, term_parts=4, salt_group=1,
+                doc_order="key", with_positions=True)
+    r = IndexReader(d)
+    postings, lengths, rows = naive_index(corpus_path)
+
+    def naive_phrase(terms):
+        out = {}
+        for doc_id, (_, _, _, content) in enumerate(rows):
+            toks = tokenize(content or "")
+            c = 0
+            for i in range(len(toks) - len(terms) + 1):
+                if toks[i:i + len(terms)] == terms:
+                    c += 1
+            if c:
+                out[doc_id] = c
+        return out
+
+    for terms in (["return", "value"], ["the", "the"], ["getdata"],
+                  ["public", "static", "void"], ["zzmissing", "x"]):
+        assert phrase_freqs(r, terms) == naive_phrase(terms), terms
+
+    td = search_phrase(r, "return value", 10)
+    assert len(td.doc_ids) == len(td.scores)
