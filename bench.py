@@ -163,7 +163,12 @@ def run_scaling() -> dict:
                              ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # NB: this sandbox advertises 32 CPUs but its cgroup quota saturates at
+    # ~8-11 effective cores (measured: num_cpus=8 and num_cpus=32 legs run
+    # at identical wall time; see BASELINE.md). The N-vs-4N comparison must
+    # therefore sit inside real capacity: lo=2, hi=8 by default.
+    lo = int(os.environ.get("SCALING_LO", "2"))
+    hi = int(os.environ.get("SCALING_HI", "8"))
     reps = int(os.environ.get("SCALING_REPS", "3"))
     runs_lo, runs_hi = [], []
     for _ in range(reps):
@@ -176,12 +181,14 @@ def run_scaling() -> dict:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "runs_sec_8": [r["value"] for r in runs_lo],
-        "runs_sec_32": [r["value"] for r in runs_hi],
-        "docs_per_sec_8": max(r["docs_per_sec"] for r in runs_lo),
-        "docs_per_sec_32": max(r["docs_per_sec"] for r in runs_hi),
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "runs_sec_lo": [r["value"] for r in runs_lo],
+        "runs_sec_hi": [r["value"] for r in runs_hi],
+        "docs_per_sec_lo": max(r["docs_per_sec"] for r in runs_lo),
+        "docs_per_sec_hi": max(r["docs_per_sec"] for r in runs_hi),
         "bench_docs": runs_lo[0]["bench_docs"],
         "rank_identity_rate": min(r["rank_identity_rate"]
                                   for r in runs_lo + runs_hi),

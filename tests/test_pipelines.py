@@ -1,0 +1,93 @@
+"""Training-data pipeline property tests (determinism + semantics)."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_corpus_generator_deterministic():
+    from lucene_ray.corpus import generate_corpus
+
+    a = generate_corpus(200, seed=42)
+    b = generate_corpus(200, seed=42)
+    assert a.equals(b)
+    # sharding partitions the same corpus
+    s0 = generate_corpus(200, seed=42, shard=0, n_shards=4)
+    s1 = generate_corpus(200, seed=42, shard=1, n_shards=4)
+    assert s0.num_rows + s1.num_rows <= 200
+    assert s0.column("commit").to_pylist()[0] == \
+        a.column("commit").to_pylist()[0]
+    # duplicated contents exist (same sha via same content)
+    contents = a.column("content").to_pylist()
+    assert len(set(contents)) < len(contents)
+
+
+def test_simhash_identical_for_duplicate_texts(ray_session):
+    from lucene_ray.pipelines.dedup import dedup_exact, dedup_simhash
+
+    sh = dedup_simhash(SF).to_pandas()
+    import duckdb
+
+    con = duckdb.connect()
+    dups = con.execute(
+        f"SELECT list(doc_id) FROM '{SF}/documents.parquet' "
+        "GROUP BY text HAVING count(*) > 1").fetchall()
+    m = dict(zip(sh["doc_id"], sh["simhash"]))
+    for (ids,) in dups:
+        vals = {m[i] for i in ids}
+        assert len(vals) == 1
+
+
+def test_minhash_deterministic(ray_session):
+    from lucene_ray.pipelines.dedup import _minhash, _shingle_hashes
+
+    a = _minhash(_shingle_hashes("the quick brown fox jumps over the dog"))
+    b = _minhash(_shingle_hashes("the quick brown fox jumps over the dog"))
+    np.testing.assert_array_equal(a, b)
+    # similar texts share many minhashes; dissimilar share few
+    c = _minhash(_shingle_hashes("the quick brown fox jumps over the cat"))
+    d = _minhash(_shingle_hashes("completely different words entirely here"))
+    assert (a == c).sum() > (a == d).sum()
+
+
+def test_media_decoder_actor_semantics(ray_session):
+    from lucene_ray.pipelines.multimodal import (THUMB_H, THUMB_W,
+                                                 MediaDecoder,
+                                                 media_features)
+
+    out = media_features(SF).to_pandas()
+    assert len(out) == 200
+    assert set(out.columns) >= {"media_id", "kind", "thumb",
+                                "mean_intensity", "std_intensity"}
+    assert all(len(t) == THUMB_W * THUMB_H for t in out["thumb"])
+    # deterministic decode
+    d = MediaDecoder()
+    t1 = d._decode_stub(b"payload")
+    t2 = d._decode_stub(b"payload")
+    np.testing.assert_array_equal(t1, t2)
+
+
+def test_fingerprint_shared_for_duplicate_texts(ray_session):
+    from lucene_ray.pipelines.textstats import doc_fingerprint
+
+    fp = doc_fingerprint(SF).to_pandas()
+    import duckdb
+
+    con = duckdb.connect()
+    dups = con.execute(
+        f"SELECT list(doc_id) FROM '{SF}/documents.parquet' "
+        "GROUP BY text HAVING count(*) > 1").fetchall()
+    m = dict(zip(fp["doc_id"], fp["fp_set"]))
+    for (ids,) in dups:
+        assert len({m[i] for i in ids}) == 1
+
+
+def test_ann_ivf_equals_bruteforce(ray_session):
+    from lucene_ray.pipelines.ann import ann_cosine_topk, ann_ivf_topk
+
+    a = ann_cosine_topk(SF).to_pandas().sort_values(
+        ["query_vec_id", "rank"]).reset_index(drop=True)
+    b = ann_ivf_topk(SF).to_pandas().sort_values(
+        ["query_vec_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)  # nprobe=all ⇒ IVF is exact
