@@ -711,3 +711,96 @@ def _empty_merge_lineage() -> pa.Table:
              "n_postings": 0, "n_blocks": 0, "bytes": 0, "term_min": "",
              "term_max": "", "elapsed_s": 0.0, "postings_per_s": 0.0}
     return pa.table({k: [v] for k, v in dummy.items()}).slice(0, 0)
+
+
+# ---------------------------------------------------------------------------
+# Incremental append (the NRT refresh analogue: flush new segments + publish
+# a new manifest generation — index/StandardDirectoryReader + SearcherManager
+# semantics, SURVEY.md §2.10)
+
+def append_to_index(index_dir: str, new_corpus: str,
+                    merge_concurrency: int | tuple | None = None
+                    ) -> IndexManifest:
+    """Append new parquet files as fresh segments and merge them into NEW
+    postings partitions (a new generation of salt groups); existing
+    partitions are untouched. docIDs continue after the current doc_count;
+    a reader opened after the atomic manifest rename sees the union —
+    df/ttf/stats aggregate across generations at lookup because a term's
+    rows simply accumulate across part files."""
+    import ray.data
+
+    m = load_manifest(index_dir)
+    if m.config.get("with_positions"):
+        with_pos = True
+    else:
+        with_pos = False
+    files = sorted(
+        os.path.join(new_corpus, f) for f in os.listdir(new_corpus)
+        if f.endswith(".parquet")) if os.path.isdir(new_corpus) \
+        else [new_corpus]
+    counts = [pq.ParquetFile(f).metadata.num_rows for f in files]
+    seg_base = max((s["seg"] for s in m.segments), default=-1) + 1
+    doc_base = m.doc_count
+    bases = (doc_base + np.concatenate([[0], np.cumsum(counts)[:-1]])
+             ).tolist()
+    segs = list(range(seg_base, seg_base + len(files)))
+
+    done = {s["seg"] for s in m.segments}
+    items = [{"seg": s, "path": p, "base": b}
+             for s, p, b in zip(segs, files, bases) if s not in done]
+    if items:
+        (ray.data.from_items(items)
+         .repartition(len(items))
+         .map_batches(_build_segment_files, batch_format="pyarrow",
+                      batch_size=1,
+                      fn_kwargs={"index_dir": index_dir,
+                                 "with_positions": with_pos})
+         .materialize())
+
+    # merge ONLY the new segments, into a fresh salt generation
+    T = m.config["term_parts"]
+    G = m.config["salt_group"]
+    salt_base = max((int(p["salt"]) for p in m.postings_parts),
+                    default=-1) + 1
+    seg_files = [os.path.join(index_dir, "segments",
+                              f"seg={s:05d}.parquet") for s in segs]
+    sds = ray.data.read_parquet(seg_files,
+                                columns=[k for k, _ in POSTINGS_FIELDS])
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        tb = _crc_bucket(terms, T)
+        salt = (salt_base
+                + (batch.column("seg").to_numpy() - seg_base) // G
+                ).astype(np.int32)
+        return batch.append_column("tbucket", pa.array(tb, pa.int32())) \
+                    .append_column("salt", pa.array(salt, pa.int32()))
+
+    (sds.map_batches(key_rows, batch_format="pyarrow")
+        .groupby(["tbucket", "salt"])
+        .map_groups(Merger, batch_format="pyarrow",
+                    fn_constructor_args=(index_dir,),
+                    concurrency=merge_concurrency or (1, 8))
+        .materialize())
+
+    # fold new lineage into a new manifest generation
+    lin_dir = os.path.join(index_dir, "_build", "seg_lineage")
+    seg_lineage = []
+    for f in sorted(os.listdir(lin_dir)):
+        with open(os.path.join(lin_dir, f)) as fh:
+            seg_lineage.append(json.load(fh))
+    mlin_dir = os.path.join(index_dir, "_build", "merge_lineage")
+    merge_lineage = []
+    for f in sorted(os.listdir(mlin_dir)):
+        with open(os.path.join(mlin_dir, f)) as fh:
+            merge_lineage.append(json.load(fh))
+    manifest = IndexManifest(
+        version=m.version + 1, config=m.config, boundaries=m.boundaries,
+        bases=m.bases + bases, bucket_counts=m.bucket_counts + counts,
+        doc_count=sum(l["n_docs"] for l in seg_lineage),
+        sum_ttf=sum(l["n_tokens"] for l in seg_lineage),
+        segments=seg_lineage, postings_parts=merge_lineage,
+        corpus_fingerprint=m.corpus_fingerprint,
+    )
+    save_manifest(index_dir, manifest)
+    return manifest

@@ -564,3 +564,150 @@ def search_phrase(reader: IndexReader, phrase: str, k: int = 10) -> TopDocs:
     scores = sim.score(tf, norms)
     d, s = _topk(docs, scores, k)
     return TopDocs(d, s, len(docs))
+
+
+# ---------------------------------------------------------------------------
+# Paging, boosts, and doc-range-sliced parallel search
+
+def search_after(reader: IndexReader, query: str, k: int,
+                 after_score: float, after_doc: int) -> TopDocs:
+    """searchAfter paging (search/IndexSearcher.java:576-588,
+    TopScoreDocCollector.java:103-111): hits strictly after the pivot in
+    (score desc, docID asc) order. Uses the exhaustive scorer — the pivot
+    filter invalidates the block-max threshold bookkeeping, and paging is
+    latency-insensitive."""
+    td = search_bruteforce(reader, query, k=1 << 62)
+    a = np.float32(after_score)
+    keep = (td.scores < a) | ((td.scores == a) & (td.doc_ids > after_doc))
+    d, s = _topk(td.doc_ids[keep], td.scores[keep], k)
+    return TopDocs(d, s, int(keep.sum()), td.blocks_decoded, td.blocks_total)
+
+
+def parse_boosted(query: str) -> list[tuple[str, float]]:
+    """QueryParser boost syntax: ``term^2.5`` (classic QueryParser
+    handleBoost, queryparser/classic/QueryParserBase.java). Whitespace
+    tokens are analyzed; an un-boosted token has boost 1."""
+    out: list[tuple[str, float]] = []
+    for raw in query.split():
+        boost = 1.0
+        if "^" in raw:
+            raw, _, b = raw.rpartition("^")
+            try:
+                boost = float(b)
+            except ValueError:
+                raw = raw + "^" + b
+        for t in tokenize(raw):
+            out.append((t, boost))
+    return out
+
+
+def search_boosted(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
+    """BooleanQuery of boosted SHOULD TermQuery clauses: clause weight =
+    boost * idf in float32 (BM25Similarity.java:221 BM25Scorer.weight).
+    Exhaustive evaluation (boost queries are rare; block-max would need
+    per-clause bound rescaling)."""
+    clauses = parse_boosted(query)
+    all_docs, all_scores, all_clause = [], [], []
+    for ci, (t, boost) in enumerate(clauses):
+        p = reader.postings(t)
+        if p is None:
+            continue
+        sim = bm25.scorer(p.df, reader.doc_count, reader.sum_ttf,
+                          boost=boost)
+        for b in range(len(p.n)):
+            d, tf, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
+                                     p.docs_enc[b], p.tfs_enc[b],
+                                     p.norms_enc[b])
+            all_docs.append(d)
+            all_scores.append(sim.score(tf, nm))
+            all_clause.append(np.full(len(d), ci, dtype=np.int32))
+    if not all_docs:
+        return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0)
+    uniq, final = _accumulate(np.concatenate(all_docs),
+                              np.concatenate(all_clause),
+                              np.concatenate(all_scores))
+    d, s = _topk(uniq, final, k)
+    return TopDocs(d, s, len(uniq))
+
+
+class _SliceSearcher:
+    """Actor-pool stage for within-query doc-range parallelism: each task
+    scores one doc-range slice of every clause (the leaf-slice model of
+    search/IndexSearcher.java:106-108,323) and returns its local top-k;
+    the driver merges with the TopDocs.merge comparator."""
+
+    def __init__(self, index_dir: str):
+        self.reader = IndexReader(index_dir)
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        out_q, out_d, out_s = [], [], []
+        for qid, q, k, lo, hi in zip(batch.column("qid").to_pylist(),
+                                     batch.column("query").to_pylist(),
+                                     batch.column("k").to_pylist(),
+                                     batch.column("lo").to_pylist(),
+                                     batch.column("hi").to_pylist()):
+            td = _search_range(self.reader, q, int(k), int(lo), int(hi))
+            out_q.extend([qid] * len(td.doc_ids))
+            out_d.extend(td.doc_ids.tolist())
+            out_s.extend([float(s) for s in td.scores])
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "score": pa.array(out_s, pa.float32())})
+
+
+def _search_range(reader: IndexReader, query: str, k: int,
+                  lo: int, hi: int) -> TopDocs:
+    """Exhaustive scoring restricted to docIDs in [lo, hi): decodes only
+    blocks whose [first_doc, last_doc] intersects the range (block
+    skipping by doc range — the skip-list advance role)."""
+    terms = parse_query(query)
+    sc = Scorers(reader, terms)
+    all_docs, all_scores, all_clause = [], [], []
+    for ci, t in enumerate(terms):
+        p = sc.postings.get(t)
+        if p is None:
+            continue
+        sim = sc.sim[t]
+        need = np.flatnonzero((p.last_doc >= lo) & (p.first_doc < hi))
+        for b in need:
+            d, tf, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
+                                     p.docs_enc[b], p.tfs_enc[b],
+                                     p.norms_enc[b])
+            m = (d >= lo) & (d < hi)
+            if not m.any():
+                continue
+            all_docs.append(d[m])
+            all_scores.append(sim.score(tf[m], nm[m]))
+            all_clause.append(np.full(int(m.sum()), ci, dtype=np.int32))
+    if not all_docs:
+        return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0)
+    uniq, final = _accumulate(np.concatenate(all_docs),
+                              np.concatenate(all_clause),
+                              np.concatenate(all_scores))
+    d, s = _topk(uniq, final, k)
+    return TopDocs(d, s, len(uniq))
+
+
+def search_sliced(index_dir: str, query: str, k: int = 10,
+                  n_slices: int = 4, concurrency: int = 4
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Distribute ONE query across doc-range slices on an actor pool and
+    merge the per-slice top-k (TopDocs.merge comparator). The scale path
+    for mega-queries whose postings exceed one node."""
+    import ray.data
+
+    reader = IndexReader(index_dir)
+    n = max(reader.doc_count, 1)
+    bounds = np.linspace(0, n, n_slices + 1).astype(np.int64)
+    items = [{"qid": 0, "query": query, "k": k,
+              "lo": int(bounds[i]), "hi": int(bounds[i + 1])}
+             for i in range(n_slices)]
+    rows = (ray.data.from_items(items)
+            .map_batches(_SliceSearcher, batch_format="pyarrow",
+                         batch_size=1, concurrency=min(concurrency,
+                                                       n_slices),
+                         fn_constructor_args=(index_dir,))
+            .take_all())
+    docs = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    scores = np.array([r["score"] for r in rows], dtype=np.float32)
+    return _topk(docs, scores, k)

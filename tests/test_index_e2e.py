@@ -303,3 +303,70 @@ def test_phrase_positions(tmp_path_factory, corpus_path, ray_session):
 
     td = search_phrase(r, "return value", 10)
     assert len(td.doc_ids) == len(td.scores)
+
+
+def test_incremental_append(tmp_path_factory, ray_session):
+    """append_to_index == one-shot build over the union (file order makes
+    the docID assignment identical)."""
+    from lucene_ray.build import append_to_index
+
+    d = tmp_path_factory.mktemp("inc")
+    ca, cb, cab = str(d / "a"), str(d / "b"), str(d / "ab")
+    for p in (ca, cb, cab):
+        os.makedirs(p)
+    t = generate_corpus(200, seed=11)
+    pq.write_table(t.slice(0, 120), os.path.join(ca, "part_a.parquet"))
+    pq.write_table(t.slice(120), os.path.join(cb, "part_b.parquet"))
+    pq.write_table(t.slice(0, 120), os.path.join(cab, "part_a.parquet"))
+    pq.write_table(t.slice(120), os.path.join(cab, "part_b.parquet"))
+
+    inc_dir = str(d / "idx_inc")
+    build_index(ca, inc_dir, term_parts=4, salt_group=1)
+    m1 = append_to_index(inc_dir, cb)
+    assert m1.doc_count == 200
+
+    full_dir = str(d / "idx_full")
+    build_index(cab, full_dir, term_parts=4, salt_group=1)
+
+    r1, r2 = IndexReader(inc_dir), IndexReader(full_dir)
+    assert r1.doc_count == r2.doc_count and r1.sum_ttf == r2.sum_ttf
+    for q in QUERIES[:8]:
+        a = search_bruteforce(r1, q, 20)
+        b = search_bruteforce(r2, q, 20)
+        np.testing.assert_array_equal(a.doc_ids, b.doc_ids)
+        np.testing.assert_array_equal(a.scores, b.scores)
+
+
+def test_search_after_paging(index_dir, ray_session):
+    from lucene_ray.search import search_after
+
+    r = IndexReader(index_dir)
+    q = "return value data"
+    full = search_bruteforce(r, q, 30)
+    page1_d, page1_s = full.doc_ids[:10], full.scores[:10]
+    page2 = search_after(r, q, 10, float(page1_s[-1]), int(page1_d[-1]))
+    np.testing.assert_array_equal(page2.doc_ids, full.doc_ids[10:20])
+    np.testing.assert_array_equal(page2.scores, full.scores[10:20])
+
+
+def test_boosted_query(index_dir, ray_session):
+    from lucene_ray.search import search_boosted
+
+    r = IndexReader(index_dir)
+    plain = search_boosted(r, "return value", 10)
+    ref = search_bruteforce(r, "return value", 10)
+    np.testing.assert_array_equal(plain.doc_ids, ref.doc_ids)
+    np.testing.assert_array_equal(plain.scores, ref.scores)
+    boosted = search_boosted(r, "return^3 value", 10)
+    assert not np.array_equal(boosted.scores, plain.scores)
+
+
+def test_sliced_search_equals_global(index_dir, ray_session):
+    from lucene_ray.search import search_sliced
+
+    r = IndexReader(index_dir)
+    for q in ("return value data", "the", "idx tmp val ptr"):
+        ref = search_bruteforce(r, q, 15)
+        d, s = search_sliced(index_dir, q, 15, n_slices=3, concurrency=2)
+        np.testing.assert_array_equal(d, ref.doc_ids)
+        np.testing.assert_array_equal(s, ref.scores)
