@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dedup_exact": dedup.dedup_exact,
             "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
             "dedup_simhash": dedup.dedup_simhash,
+            "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
             "text_quality": textstats.text_quality,
             "lang_id": textstats.lang_id,
             "token_count_bpe": textstats.token_count_bpe,
@@ -99,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
             "events_sessionize": streaming.oracle_sessionize_sql(),
             "embedding_neardup": ann.oracle_embedding_neardup_sql(),
             "dedup_exact": dedup.oracle_dedup_exact_sql(),
+            "ngram_jaccard_pairs": dedup.oracle_ngram_jaccard_sql(),
             "text_quality": textstats.oracle_text_quality_sql(),
             "lang_id": textstats.oracle_lang_id_sql(),
             "token_count_bpe": textstats.oracle_token_count_sql(),

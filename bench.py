@@ -12,9 +12,11 @@ Prints ONE JSON line:
 - Queries: a derived reference query set (heavy/medium/rare/mixed terms);
   reports per-query seconds, p50/p99, and the top-k rank-identity rate vs
   the brute-force oracle (must be 1.0).
-- --scaling: runs the same job in fresh processes at num_cpus=8 and 32 and
-  reports throughput scaling efficiency (the sandbox stand-in for N vs 4N
-  nodes; see BASELINE.md).
+- --scaling: runs the same job in fresh processes at two parallelism
+  levels (default num_cpus=2 vs 8 — this host's cgroup quota saturates
+  near 8-11 effective cores, see BASELINE.md) and reports throughput
+  scaling efficiency (the sandbox stand-in for N vs 4N nodes),
+  min-of-3 per leg with alternating legs.
 """
 
 from __future__ import annotations

@@ -204,3 +204,74 @@ def dedup_simhash(sf_dir: str):
 def oracle_dedup_exact_sql() -> str:
     return ("SELECT min(doc_id) AS doc_id, count(*) AS n_dups "
             "FROM documents GROUP BY text")
+
+
+JACCARD_NGRAM_THRESHOLD = 0.4
+
+
+def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """Exact word-3-gram Jaccard near-dup pairs (a < b, jaccard >= 0.4).
+
+    The full shingle-set map is broadcast once (ray.put) and each batch
+    compares its docs against all later docs — exact (needed for the SQL
+    oracle). At 100 TB the candidate space is first cut by the MinHash-LSH
+    banding of :func:`dedup_minhash_lsh`; this operator is the verifier.
+    """
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    sets = {int(i): _shingle_hashes(x or "")
+            for i, x in zip(ids, t.column("text").to_pylist())}
+    sref = ray.put(sets)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        smap = ray.get(sref)
+        out_a, out_b, out_j = [], [], []
+        for a in batch.column("doc_id").to_pylist():
+            sa = smap[int(a)]
+            for b, sb in smap.items():
+                if b <= a:
+                    continue
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                j = inter / union if union else 1.0
+                if j >= JACCARD_NGRAM_THRESHOLD:
+                    out_a.append(int(a))
+                    out_b.append(int(b))
+                    out_j.append(j)
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    rows = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .map_batches(pairs, batch_format="pyarrow").take_all())
+    return pa.table({
+        "a": pa.array([r["a"] for r in rows], pa.int64()),
+        "b": pa.array([r["b"] for r in rows], pa.int64()),
+        "jaccard": pa.array([r["jaccard"] for r in rows], pa.float64()),
+    })
+
+
+def oracle_ngram_jaccard_sql() -> str:
+    return f"""WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+         AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+      >= {JACCARD_NGRAM_THRESHOLD}"""
