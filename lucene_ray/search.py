@@ -302,17 +302,44 @@ def search_blockmax(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
         if len(need) == 0:
             continue
         bdocs, bscores = [], []
-        for b in need:
-            d, tf, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
-                                     p.docs_enc[b], p.tfs_enc[b],
-                                     p.norms_enc[b])
-            s = sim.score(tf, nm)
-            if can_skip_new:
-                mask = np.isin(d, cand_docs, assume_unique=True)
-                d, s = d[mask], s[mask]
-            bdocs.append(d)
-            bscores.append(s)
-        blocks_decoded += len(need)
+        if rank == 0 and len(cand_docs) == 0:
+            # First clause: every doc appears in exactly one block of this
+            # term, so we can process blocks in decreasing upper-bound
+            # order and STOP once the k-th best score found so far beats
+            # ub_block + remaining_after — the ImpactsDISI skip of a
+            # top-level TermScorer (search/ImpactsDISI.java:67-99).
+            order_b = need[np.argsort(-ubs[oi][need], kind="stable")]
+            heap: list[float] = []
+            decoded = 0
+            for b in order_b:
+                if len(heap) >= k:
+                    theta0 = float(np.partition(
+                        np.array(heap), len(heap) - k)[len(heap) - k])
+                    if float(ubs[oi][b]) + remaining_after + eps < theta0:
+                        break
+                d, tf, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
+                                         p.docs_enc[b], p.tfs_enc[b],
+                                         p.norms_enc[b])
+                s = sim.score(tf, nm)
+                bdocs.append(d)
+                bscores.append(s)
+                heap.extend(float(x) for x in s)
+                if len(heap) > 4 * k:
+                    heap = sorted(heap, reverse=True)[:k]
+                decoded += 1
+            blocks_decoded += decoded
+        else:
+            for b in need:
+                d, tf, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
+                                         p.docs_enc[b], p.tfs_enc[b],
+                                         p.norms_enc[b])
+                s = sim.score(tf, nm)
+                if can_skip_new:
+                    mask = np.isin(d, cand_docs, assume_unique=True)
+                    d, s = d[mask], s[mask]
+                bdocs.append(d)
+                bscores.append(s)
+            blocks_decoded += len(need)
         nd = np.concatenate(bdocs)
         if len(nd) == 0:
             continue
