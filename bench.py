@@ -128,6 +128,21 @@ def run_bench() -> dict:
     p50 = lat[len(lat) // 2]
     p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
 
+    # --- GRAFT_SF_DIR documents-derived pipeline (the oracle-checked
+    # flagship): build + reference query set timing at the testdata scale
+    sf_build_sec = sf_query_sec = -1.0
+    try:
+        from lucene_ray.pipelines import fulltext as ft
+
+        t2 = time.time()
+        ft.index_dir_for(SF_DIR)
+        sf_build_sec = round(time.time() - t2, 3)
+        t3 = time.time()
+        ft.ft_bm25_top10(SF_DIR).materialize()
+        sf_query_sec = round(time.time() - t3, 3)
+    except Exception:
+        pass
+
     ray.shutdown()
     return {
         "metric": "index_build_sec",
@@ -145,6 +160,8 @@ def run_bench() -> dict:
         "rank_identity_rate": identical / len(qs),
         "block_skip_ratio": round(1 - blocks_decoded / max(blocks_total, 1),
                                   4),
+        "sf_dir_build_sec": sf_build_sec,
+        "sf_dir_queryset_sec": sf_query_sec,
     }
 
 

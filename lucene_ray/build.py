@@ -102,7 +102,16 @@ def default_build_params(n_rows: int, target_docs_per_bucket: int = 250_000
     else:
         num_buckets = min(256, max(4, -(-n_rows // 1_000)))
     term_parts = max(8, min(64, num_buckets))
-    salt_group = 64          # segments per merge salt-group
+    # Merge-group sizing: a (tbucket, salt) group holds the postings of
+    # `salt_group` segments for 1/term_parts of the vocabulary. Target
+    # ~64-256 MB per group at scale: with S-doc segments and ~150 postings
+    # per doc at ~3 bytes encoded, group_bytes ≈ salt_group*S*450/T.
+    # At 10^12 docs (250k-doc segments, T≈4096) salt_group≈1024 gives
+    # ~100 MB groups and ~400k output partitions; at test scale 64 is fine.
+    approx_seg_docs = max(1, n_rows // max(num_buckets, 1))
+    target_group_bytes = 128 * 1024 * 1024
+    salt_group = max(4, min(4096, int(
+        target_group_bytes * term_parts / max(approx_seg_docs * 450, 1))))
     return {"num_buckets": int(num_buckets), "term_parts": int(term_parts),
             "salt_group": int(salt_group)}
 
