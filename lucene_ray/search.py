@@ -738,3 +738,88 @@ def search_sliced(index_dir: str, query: str, k: int = 10,
     docs = np.array([r["doc_id"] for r in rows], dtype=np.int64)
     scores = np.array([r["score"] for r in rows], dtype=np.float32)
     return _topk(docs, scores, k)
+
+
+# ---------------------------------------------------------------------------
+# Full Boolean execution of parsed classic-syntax queries
+
+def _phrase_doc_scores(reader: IndexReader, terms: list[str], boost: float
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc BM25 scores of a phrase clause (freq = phrase occurrences,
+    df = docs containing the phrase)."""
+    freqs = phrase_freqs(reader, terms)
+    if not freqs:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    docs = np.array(sorted(freqs), dtype=np.int64)
+    tf = np.array([freqs[int(d)] for d in docs], dtype=np.int64)
+    norm_map: dict[int, int] = {}
+    p = reader.postings(terms[0])
+    for b in range(len(p.n)):
+        d, _, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
+                                p.docs_enc[b], p.tfs_enc[b], p.norms_enc[b])
+        for dd, mm in zip(d, nm):
+            norm_map[int(dd)] = int(mm)
+    norms = np.array([norm_map[int(d)] for d in docs], dtype=np.uint8)
+    sim = bm25.scorer(len(docs), reader.doc_count, reader.sum_ttf,
+                      boost=boost)
+    return docs, sim.score(tf, norms)
+
+
+def search_parsed(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
+    """Execute a classic-syntax query (lucene_ray.queryparser) with full
+    BooleanQuery semantics: MUST scores+filters, SHOULD scores, MUST_NOT
+    excludes (search/BooleanQuery.java:40, BooleanWeight)."""
+    from .queryparser import parse
+
+    pq_ = parse(query)
+    scoring = [c for c in pq_.clauses if c.occur in ("MUST", "SHOULD")]
+    must = [c for c in pq_.clauses if c.occur == "MUST"]
+    must_not = [c for c in pq_.clauses if c.occur == "MUST_NOT"]
+    if not scoring:
+        return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0)
+
+    def clause_docs_scores(c) -> tuple[np.ndarray, np.ndarray]:
+        if c.kind == "phrase":
+            terms = tokenize(c.text)
+            if not terms:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+            return _phrase_doc_scores(reader, terms, c.boost)
+        p = reader.postings(c.text)
+        if p is None:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        sim = bm25.scorer(p.df, reader.doc_count, reader.sum_ttf,
+                          boost=c.boost)
+        dd, ss = [], []
+        for b in range(len(p.n)):
+            d, tf, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
+                                     p.docs_enc[b], p.tfs_enc[b],
+                                     p.norms_enc[b])
+            dd.append(d)
+            ss.append(sim.score(tf, nm))
+        return np.concatenate(dd), np.concatenate(ss)
+
+    all_d, all_s, all_c = [], [], []
+    must_sets: list[np.ndarray] = []
+    for ci, c in enumerate(scoring):
+        d, s = clause_docs_scores(c)
+        all_d.append(d)
+        all_s.append(s)
+        all_c.append(np.full(len(d), ci, dtype=np.int32))
+        if c.occur == "MUST":
+            must_sets.append(d)
+    uniq, final = _accumulate(np.concatenate(all_d),
+                              np.concatenate(all_c),
+                              np.concatenate(all_s))
+    keep = np.ones(len(uniq), dtype=bool)
+    for ds in must_sets:
+        keep &= np.isin(uniq, ds, assume_unique=True)
+    for c in must_not:
+        if c.kind == "phrase":
+            terms = tokenize(c.text)
+            nd = np.array(sorted(phrase_freqs(reader, terms)),
+                          dtype=np.int64) if terms else np.empty(0, np.int64)
+        else:
+            nd = _term_docset(reader, c.text)
+        keep &= ~np.isin(uniq, nd, assume_unique=True)
+    d, s = _topk(uniq[keep], final[keep], k)
+    return TopDocs(d, s, int(keep.sum()))

@@ -370,3 +370,44 @@ def test_sliced_search_equals_global(index_dir, ray_session):
         d, s = search_sliced(index_dir, q, 15, n_slices=3, concurrency=2)
         np.testing.assert_array_equal(d, ref.doc_ids)
         np.testing.assert_array_equal(s, ref.scores)
+
+
+def test_query_parser(ray_session):
+    from lucene_ray.queryparser import parse
+
+    p = parse('return +value -data "public static" title:foo bar^2 x AND y')
+    kinds = [(c.kind, c.text, c.occur, c.boost) for c in p.clauses]
+    assert ("term", "return", "SHOULD", 1.0) in kinds
+    assert ("term", "value", "MUST", 1.0) in kinds
+    assert ("term", "data", "MUST_NOT", 1.0) in kinds
+    assert ("phrase", "public static", "SHOULD", 1.0) in kinds
+    assert ("term", "foo", "SHOULD", 1.0) in kinds       # field stripped
+    assert ("term", "bar", "SHOULD", 2.0) in kinds
+    assert ("term", "x", "MUST", 1.0) in kinds           # x AND y
+    assert ("term", "y", "MUST", 1.0) in kinds
+
+
+def test_search_parsed_semantics(tmp_path_factory, corpus_path, ray_session):
+    from lucene_ray.search import search_parsed
+
+    d = str(tmp_path_factory.mktemp("index_qp"))
+    build_index(corpus_path, d, num_buckets=3, term_parts=4, salt_group=1,
+                doc_order="key", with_positions=True)
+    r = IndexReader(d)
+    # pure SHOULD == free-text search
+    a = search_parsed(r, "return value", 15)
+    b = search_bruteforce(r, "return value", 15)
+    np.testing.assert_array_equal(a.doc_ids, b.doc_ids)
+    np.testing.assert_array_equal(a.scores, b.scores)
+    # MUST filters
+    m = search_parsed(r, "+return +value", 1000)
+    from lucene_ray.search import search_boolean
+    expect = search_boolean(r, must=["return", "value"])
+    assert set(m.doc_ids.tolist()) == set(expect.tolist())
+    # MUST_NOT excludes
+    n = search_parsed(r, "return -value", 1000)
+    has_value = set(search_boolean(r, must=["value"]).tolist())
+    assert not (set(n.doc_ids.tolist()) & has_value)
+    # phrase clause runs
+    ph = search_parsed(r, '"return value"', 10)
+    assert ph.total_candidates >= 0
