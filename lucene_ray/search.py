@@ -84,11 +84,19 @@ class IndexReader:
                 os.path.join(index_dir, "postings",
                              f"part={p['part']}.parquet"))
 
+    # partitions smaller than this are cached whole; larger ones are read
+    # with parquet row-group predicate pushdown per term lookup (the
+    # BlockTree "seek" instead of a full dictionary load)
+    LAZY_BYTES = 256 * 1024 * 1024
+
     def _load_bucket(self, tb: int) -> list[pa.Table]:
         if tb not in self._parts:
             tables = []
             for f in sorted(self._files.get(tb, [])):
-                tables.append(pq.read_table(f))
+                if os.path.getsize(f) <= self.LAZY_BYTES:
+                    tables.append(pq.read_table(f))
+                else:
+                    tables.append(f)          # lazy: filtered read per term
             self._parts[tb] = tables
         return self._parts[tb]
 
@@ -96,6 +104,13 @@ class IndexReader:
         tb = zlib.crc32(term.encode()) % self.T
         rows = []
         for tbl in self._load_bucket(tb):
+            if isinstance(tbl, str):
+                # lazy partition: parquet row-group stats prune to the
+                # groups whose [min,max] term range covers the key
+                t = pq.read_table(tbl, filters=[("term", "==", term)])
+                if t.num_rows:
+                    rows.append(t)
+                continue
             col = tbl.column("term")
             # binary search over the term-sorted partition
             arr = col.combine_chunks()
