@@ -689,14 +689,17 @@ def verify_index(index_dir: str) -> dict:
     import ray.data
 
     m = load_manifest(index_dir)
-    dm = ray.data.read_parquet(os.path.join(index_dir, "docmeta"))
     from ray.data.aggregate import Count, Sum
-    agg = dm.aggregate(Count(), Sum("field_len"))
-    doc_count = agg["count()"]
-    sum_len = agg["sum(field_len)"] or 0
-    pt = ray.data.read_parquet(os.path.join(index_dir, "postings"),
-                               columns=["n", "tf_sum"])
-    pagg = pt.aggregate(Sum("n"), Sum("tf_sum"))
+    try:
+        dm = ray.data.read_parquet(os.path.join(index_dir, "docmeta"))
+        agg = dm.aggregate(Count(), Sum("field_len")) or {}
+        pt = ray.data.read_parquet(os.path.join(index_dir, "postings"),
+                                   columns=["n", "tf_sum"])
+        pagg = pt.aggregate(Sum("n"), Sum("tf_sum")) or {}
+    except Exception as e:  # missing/corrupt partitions → not ok
+        return {"ok": False, "error": f"{type(e).__name__}: {e}"}
+    doc_count = agg.get("count()", 0)
+    sum_len = agg.get("sum(field_len)") or 0
     res = {
         "doc_count_ok": doc_count == m.doc_count,
         "sum_ttf_ok": int(sum_len) == m.sum_ttf,

@@ -411,3 +411,16 @@ def test_search_parsed_semantics(tmp_path_factory, corpus_path, ray_session):
     # phrase clause runs
     ph = search_parsed(r, '"return value"', 10)
     assert ph.total_candidates >= 0
+
+
+def test_verify_detects_corruption(tmp_path_factory, corpus_path,
+                                   ray_session):
+    """CheckIndex role: verify_index notices missing/corrupt partitions."""
+    import shutil
+    d = str(tmp_path_factory.mktemp("index_corrupt"))
+    build_index(corpus_path, d, num_buckets=3, term_parts=4, salt_group=1)
+    assert verify_index(d)["ok"]
+    # corrupt: drop a docmeta partition
+    victims = sorted(os.listdir(os.path.join(d, "docmeta")))
+    os.remove(os.path.join(d, "docmeta", victims[0]))
+    assert not verify_index(d)["ok"]
