@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_term_range": ft.ft_term_range,
         "ft_regexp_terms": ft.ft_regexp_terms,
         "ft_phrase": ft.ft_phrase,
+        "ft_bm25_boosted": ft.ft_bm25_boosted,
+        "ft_sort_by_field": ft.ft_sort_by_field,
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
@@ -90,6 +92,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_term_range": ft.oracle_term_range_sql(),
         "ft_regexp_terms": ft.oracle_regexp_terms_sql(),
         "ft_phrase": ft.oracle_phrase_sql(),
+        "ft_bm25_boosted": ft.oracle_bm25_boosted_sql(),
+        "ft_sort_by_field": ft.oracle_sort_by_field_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

@@ -448,3 +448,102 @@ w AS (
   FROM corpus
 )
 {un}"""
+
+
+BOOSTED_QUERY_SET: list[tuple[int, list[tuple[str, float]], int]] = [
+    (1, [("key", 2.0), ("agg", 1.0)], 10),
+    (2, [("slow", 1.0), ("fast", 3.0), ("table", 0.5)], 10),
+    (3, [("the", 0.25), ("vector", 4.0)], 10),
+    (4, [("customer", 2.5)], 10),
+]
+
+
+def ft_bm25_boosted(sf_dir: str) -> pa.Table:
+    """Boosted BooleanQuery (QueryParser ^boost syntax): weight =
+    float32(boost) * idf — (qid, rank, doc_id)."""
+    from ..search import search_boosted
+
+    r = reader_for(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, clauses, k in BOOSTED_QUERY_SET:
+        q = " ".join(f"{t}^{b}" for t, b in clauses)
+        td = search_boosted(r, q, k)
+        for rank, d in enumerate(td.doc_ids.tolist(), 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(d)
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def oracle_bm25_boosted_sql() -> str:
+    rows = []
+    for qid, clauses, k in BOOSTED_QUERY_SET:
+        for ci, (t, b) in enumerate(clauses):
+            rows.append(f"({qid}, {ci}, '{t}', {k}, {b})")
+    values = ",\n    ".join(rows)
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+clauses(qid, clause, term, k, boost) AS (VALUES
+    {values}
+),
+scored AS (
+  SELECT c.qid, c.clause, c.k, t.d,
+    CAST(
+      CAST(CAST(c.boost AS REAL) *
+           CAST(ln(1 + ((SELECT n_docs FROM stats) - f.df + 0.5) / (f.df + 0.5)) AS REAL) AS REAL)
+      - CAST(CAST(c.boost AS REAL) *
+             CAST(ln(1 + ((SELECT n_docs FROM stats) - f.df + 0.5) / (f.df + 0.5)) AS REAL) AS REAL)
+        / (CAST(1.0 AS REAL) + CAST(t.tf AS REAL) *
+           (CAST(1.0 AS REAL) /
+            (CAST(1.2 AS REAL) *
+             (CAST(0.25 AS REAL) +
+              CAST(0.75 AS REAL) * CAST(q.qlen AS REAL) /
+              CAST(CAST((SELECT sum_ttf FROM stats) AS DOUBLE) /
+                   (SELECT n_docs FROM stats) AS REAL)))))
+    AS REAL) AS s
+  FROM clauses c
+  JOIN tf t ON t.term = c.term
+  JOIN df f ON f.term = c.term
+  JOIN quant q ON q.d = t.d
+),
+totals AS (
+  SELECT qid, k, d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+  FROM scored GROUP BY qid, k, d
+),
+ranked AS (
+  SELECT qid, d, row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, d ASC) AS rank, k
+  FROM totals
+)
+SELECT qid, rank, d AS doc_id FROM ranked WHERE rank <= k"""
+
+
+def ft_sort_by_field(sf_dir: str):
+    """TopFieldCollector role (search/TopFieldCollector.java:37): top 25
+    docs sorted by (field_len desc, doc_id asc) via ds.sort().limit()."""
+    import ray.data
+
+    idx = index_dir_for(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(idx, "docmeta"),
+                               columns=["doc_id", "field_len"])
+    out = (ds.sort(["field_len", "doc_id"], descending=[True, False])
+           .limit(25))
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "field_len": batch.column("field_len").cast(pa.int64()),
+        })
+
+    return out.map_batches(fmt, batch_format="pyarrow")
+
+
+def oracle_sort_by_field_sql() -> str:
+    return """WITH corpus AS (
+  SELECT row_number() OVER (ORDER BY source, printf('doc_%08d.txt', doc_id)) - 1 AS d,
+         text FROM documents
+)
+SELECT d AS doc_id, len(string_split(text, ' ')) AS field_len
+FROM corpus ORDER BY field_len DESC, d ASC LIMIT 25"""
