@@ -173,6 +173,31 @@ def _bucket_counts(ds_with_bucket, num_buckets: int) -> list[int]:
     return counts
 
 
+
+def _raw_rows_binary(vals: np.ndarray, n_per_row: np.ndarray, width: int,
+                     marker: bool = True) -> pa.Array:
+    """Assemble a BinaryArray of raw-layout cells ([0xFD]+payload per row)
+    from a flat value array, fully vectorized (no per-row Python)."""
+    k = len(n_per_row)
+    nbytes = n_per_row.astype(np.int64) * width
+    row_bytes = nbytes + (1 if marker else 0)
+    offsets = np.concatenate([[0], np.cumsum(row_bytes)]).astype(np.int32)
+    out = np.empty(int(offsets[-1]), dtype=np.uint8)
+    if marker:
+        out[offsets[:-1]] = 0xFD
+    payload = vals.astype(f"<i{width}").view(np.uint8) if width > 1 \
+        else vals.astype(np.uint8)
+    if len(payload):
+        dst = np.repeat(
+            offsets[:-1] + (1 if marker else 0)
+            - np.concatenate([[0], np.cumsum(nbytes)[:-1]]),
+            nbytes) + np.arange(int(nbytes.sum()))
+        out[dst] = payload
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), k, [None, pa.py_buffer(offsets.tobytes()),
+                         pa.py_buffer(out.tobytes())])
+
+
 # ---------------------------------------------------------------------------
 # Stage 2: segment build (the flush)
 
@@ -268,7 +293,64 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
                               [len(uniq)]])
         sorted_vocab = [vocab[i] for i in order]
         n_terms = len(bnd) - 1
-        for i in range(len(bnd) - 1):
+        counts = np.diff(bnd)
+        small = counts <= BLOCK_SIZE
+        pos_all = None
+        pos_pair_bounds = None
+        if pos_sorted is not None:
+            pos_all = (np.concatenate(
+                [np.asarray(p, dtype=np.int32) for p in pos_sorted])
+                if pos_sorted else np.empty(0, np.int32))
+            pos_pair_bounds = np.concatenate(
+                [[0], np.cumsum(tf.astype(np.int64))])
+        if small.any():
+            # vectorized tail-term fast path: one raw block row per term
+            # with <= BLOCK_SIZE postings. Impacts are left empty — the
+            # merge stage re-encodes tails with exact frontiers, and the
+            # searcher never reads segment files.
+            s_idx = bnd[:-1][small]
+            e_idx = bnd[1:][small]
+            nrow = counts[small]
+            total = int(nrow.sum())
+            gather = np.repeat(
+                s_idx - np.concatenate([[0], np.cumsum(nrow)[:-1]]),
+                nrow) + np.arange(total)
+            tfsum_all = np.add.reduceat(tf, bnd[:-1])
+            small_tbl = {
+                "term": pa.array(
+                    [sorted_vocab[int(term_rank[s])] for s in s_idx],
+                    pa.string()),
+                "seg": pa.array(np.full(len(s_idx), seg, np.int32)),
+                "first_doc": pa.array(doc_global[s_idx], pa.int64()),
+                "last_doc": pa.array(doc_global[e_idx - 1], pa.int64()),
+                "n": pa.array(nrow.astype(np.int32)),
+                "tf_sum": pa.array(tfsum_all[small].astype(np.int64)),
+                "docs_enc": _raw_rows_binary(doc_global[gather], nrow, 8),
+                "tfs_enc": _raw_rows_binary(tf[gather], nrow, 4),
+                "norms_enc": _raw_rows_binary(post_norms[gather], nrow, 1,
+                                              marker=False),
+                "imp_freq": pa.array([[]] * len(s_idx),
+                                     pa.list_(pa.int32())),
+                "imp_norm": pa.array([b""] * len(s_idx), pa.binary()),
+            }
+            if pos_all is not None:
+                # per-term position payload: positions of pairs s..e
+                ppr = (pos_pair_bounds[e_idx]
+                       - pos_pair_bounds[s_idx]).astype(np.int64)
+                pgather = np.repeat(
+                    pos_pair_bounds[s_idx]
+                    - np.concatenate([[0], np.cumsum(ppr)[:-1]]),
+                    ppr) + np.arange(int(ppr.sum()))
+                small_tbl["pos_enc"] = _raw_rows_binary(
+                    pos_all[pgather], ppr, 4, marker=False)
+            else:
+                small_tbl["pos_enc"] = pa.array([b""] * len(s_idx),
+                                                pa.binary())
+            small_table = pa.table(small_tbl, schema=SEGMENT_SCHEMA)
+        else:
+            small_table = None
+        for i in np.flatnonzero(~small):
+            i = int(i)
             s, e = int(bnd[i]), int(bnd[i + 1])
             term = sorted_vocab[int(term_rank[s])]
             tpos = None
@@ -301,6 +383,9 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
         {k: pa.array(v, t) for (k, t), v in
          zip(POSTINGS_FIELDS, (cols[k] for k, _ in POSTINGS_FIELDS))},
         schema=SEGMENT_SCHEMA)
+    if len(terms_arr) > 0 and small_table is not None:
+        seg_tbl = pa.concat_tables([small_table, seg_tbl]).sort_by(
+            [("term", "ascending"), ("first_doc", "ascending")])
     sg_path = os.path.join(index_dir, "segments", f"seg={seg:05d}.parquet")
     os.makedirs(os.path.dirname(sg_path), exist_ok=True)
     pq.write_table(seg_tbl, sg_path + ".tmp")
