@@ -1,0 +1,95 @@
+"""User-facing facade — the IndexWriter/IndexSearcher surface in one class.
+
+A user of the reference drives Lucene through IndexWriter (add/commit),
+DirectoryReader/IndexSearcher (search), and SearcherManager (refresh).
+:class:`Index` maps that surface onto the Ray-Data engine:
+
+    from lucene_ray.api import Index
+
+    idx = Index.build("s3://corpus/parquet/", "/indexes/main")   # IndexWriter+commit
+    hits = idx.search("error handling", k=10)                    # IndexSearcher.search
+    hits = idx.search('+panic -test "stack trace"', k=10)        # classic QueryParser
+    idx.append("s3://corpus/new-files/")                         # addDocuments+commit
+    idx = idx.refresh()                                          # SearcherManager.maybeRefresh
+    idx.verify()                                                 # CheckIndex
+
+All methods assume Ray is already initialised (driver contract).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .build import append_to_index, build_index, verify_index
+from .search import (IndexReader, TopDocs, search_after, search_blockmax,
+                     search_bruteforce, search_parsed, search_phrase)
+
+
+@dataclass
+class Hit:
+    doc_id: int
+    score: float
+
+
+class Index:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.reader = IndexReader(index_dir)
+
+    # -- build / mutate ---------------------------------------------------
+    @classmethod
+    def build(cls, corpus, index_dir: str, **kwargs) -> "Index":
+        """End-to-end build (resumable); see build_index for knobs
+        (doc_order, with_positions, num_buckets, ...)."""
+        build_index(corpus, index_dir, **kwargs)
+        return cls(index_dir)
+
+    def append(self, new_corpus: str) -> "Index":
+        """Flush new segments + publish a new manifest generation."""
+        append_to_index(self.index_dir, new_corpus)
+        return self.refresh()
+
+    def refresh(self) -> "Index":
+        """Reopen against the latest committed manifest."""
+        return Index(self.index_dir)
+
+    # -- search -----------------------------------------------------------
+    def search(self, query: str, k: int = 10, *, pruned: bool = True
+               ) -> list[Hit]:
+        """Free text → BooleanQuery(SHOULD) BM25 top-k. Classic syntax
+        (quotes, +/-, AND/OR/NOT, ^boost, field:) is detected and routed
+        through the parser."""
+        if any(c in query for c in '"+-^:') or \
+                any(w in ("AND", "OR", "NOT") for w in query.split()):
+            td = search_parsed(self.reader, query, k)
+        elif pruned:
+            td = search_blockmax(self.reader, query, k)
+        else:
+            td = search_bruteforce(self.reader, query, k)
+        return self._hits(td)
+
+    def search_after(self, query: str, k: int, last: Hit) -> list[Hit]:
+        td = search_after(self.reader, query, k, last.score, last.doc_id)
+        return self._hits(td)
+
+    def phrase(self, phrase: str, k: int = 10) -> list[Hit]:
+        return self._hits(search_phrase(self.reader, phrase, k))
+
+    # -- introspection ----------------------------------------------------
+    def doc_count(self) -> int:
+        return self.reader.doc_count
+
+    def term_stats(self, term: str) -> tuple[int, int]:
+        """(docFreq, totalTermFreq) — TermStatistics."""
+        p = self.reader.postings(term)
+        return (p.df, p.ttf) if p is not None else (0, 0)
+
+    def verify(self) -> dict:
+        return verify_index(self.index_dir)
+
+    @staticmethod
+    def _hits(td: TopDocs) -> list[Hit]:
+        return [Hit(int(d), float(s))
+                for d, s in zip(td.doc_ids, td.scores)]

@@ -424,3 +424,27 @@ def test_verify_detects_corruption(tmp_path_factory, corpus_path,
     victims = sorted(os.listdir(os.path.join(d, "docmeta")))
     os.remove(os.path.join(d, "docmeta", victims[0]))
     assert not verify_index(d)["ok"]
+
+
+def test_api_facade(tmp_path_factory, corpus_path, ray_session):
+    from lucene_ray.api import Index
+
+    d = str(tmp_path_factory.mktemp("index_api"))
+    idx = Index.build(corpus_path, d, term_parts=4, salt_group=1,
+                      with_positions=True)
+    assert idx.doc_count() == N_DOCS
+    hits = idx.search("return value", 5)
+    assert hits and hits[0].score >= hits[-1].score
+    ref = search_bruteforce(idx.reader, "return value", 5)
+    assert [h.doc_id for h in hits] == ref.doc_ids.tolist()
+    # parser routing
+    parsed = idx.search("+return -value", 5)
+    assert all(h.doc_id not in set(
+        search_bruteforce(idx.reader, "value", 10**6).doc_ids.tolist())
+        for h in parsed)
+    # paging
+    page2 = idx.search_after("return value", 5, hits[-1])
+    assert not ({h.doc_id for h in hits} & {h.doc_id for h in page2})
+    df, ttf = idx.term_stats("return")
+    assert df > 0 and ttf >= df
+    assert idx.verify()["ok"]
