@@ -241,3 +241,94 @@ def decode_positions(pos_enc: bytes, tfs: np.ndarray
     offsets = np.concatenate(
         [[0], np.cumsum(np.asarray(tfs, dtype=np.int64))])
     return flat, offsets
+
+
+def decode_blocks(first_doc: np.ndarray, n: np.ndarray,
+                  docs_enc: list, tfs_enc: list, norms_enc: list
+                  ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batched decode of many blocks of one term.
+
+    Full 128-blocks with the same doc bit width form rectangular matrices
+    and are unpacked in one vectorized pass each; all-equal and raw blocks
+    vectorize trivially. Returns (docs, tfs, norms, offsets) where block
+    i's postings are slice offsets[i]:offsets[i+1] of the flat arrays.
+    """
+    nb = len(n)
+    n = np.asarray(n, dtype=np.int64)
+    first_doc = np.asarray(first_doc, dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(n)])
+    total = int(offsets[-1])
+    docs = np.empty(total, dtype=np.int64)
+    tfs = np.empty(total, dtype=np.int64)
+
+    # ---- docs ----
+    kinds = np.frombuffer(bytes(e[0] for e in docs_enc), dtype=np.uint8)
+    for b in np.flatnonzero(kinds == _RAW):
+        b = int(b)
+        docs[offsets[b]:offsets[b + 1]] = np.frombuffer(
+            docs_enc[b], dtype="<i8", offset=1)
+    ae = np.flatnonzero(kinds == _ALL_EQUAL)
+    for b in ae:
+        b = int(b)
+        v = int.from_bytes(docs_enc[b][1:9], "little")
+        docs[offsets[b]:offsets[b + 1]] = (
+            first_doc[b] + np.arange(n[b], dtype=np.int64) * v)
+    enc_mask = (kinds != _RAW) & (kinds != _ALL_EQUAL)
+    for bpv in np.unique(kinds[enc_mask]):
+        idx = np.flatnonzero((kinds == bpv) & enc_mask)
+        full = idx[n[idx] == BLOCK_SIZE]
+        part = idx[n[idx] != BLOCK_SIZE]
+        if len(full):
+            buf = b"".join(docs_enc[int(b)][1:] for b in full)
+            deltas = unpack_bits(buf, len(full) * BLOCK_SIZE, int(bpv)) \
+                .reshape(len(full), BLOCK_SIZE).astype(np.int64)
+            deltas[:, 0] = 0
+            d = first_doc[full][:, None] + np.cumsum(deltas, axis=1)
+            for j, b in enumerate(full):
+                b = int(b)
+                docs[offsets[b]:offsets[b + 1]] = d[j]
+        for b in part:
+            b = int(b)
+            deltas = decode_deltas(docs_enc[b], int(n[b])).astype(np.int64)
+            deltas[0] = 0
+            docs[offsets[b]:offsets[b + 1]] = first_doc[b] + np.cumsum(deltas)
+
+    # ---- tfs ----
+    tkinds = np.frombuffer(bytes(e[0] for e in tfs_enc), dtype=np.uint8)
+    for b in np.flatnonzero(tkinds == _RAW):
+        b = int(b)
+        tfs[offsets[b]:offsets[b + 1]] = np.frombuffer(
+            tfs_enc[b], dtype="<i4", offset=1)
+    for b in np.flatnonzero(tkinds == _ALL_EQUAL):
+        b = int(b)
+        tfs[offsets[b]:offsets[b + 1]] = int.from_bytes(
+            tfs_enc[b][1:5], "little")
+    pf_mask = (tkinds != _RAW) & (tkinds != _ALL_EQUAL)
+    for bpv in np.unique(tkinds[pf_mask]):
+        idx = np.flatnonzero((tkinds == bpv) & pf_mask)
+        full = idx[n[idx] == BLOCK_SIZE]
+        part = idx[n[idx] != BLOCK_SIZE]
+        if len(full):
+            nbytes = (BLOCK_SIZE * int(bpv) + 7) // 8
+            buf = b"".join(tfs_enc[int(b)][2:2 + nbytes] for b in full)
+            base = unpack_bits(buf, len(full) * BLOCK_SIZE, int(bpv)) \
+                .reshape(len(full), BLOCK_SIZE).astype(np.int64)
+            for j, b in enumerate(full):
+                b = int(b)
+                row = base[j]
+                k_exc = tfs_enc[b][1]
+                if k_exc:
+                    pos = 2 + nbytes
+                    e = tfs_enc[b]
+                    for _ in range(k_exc):
+                        row[e[pos]] = int.from_bytes(e[pos + 1:pos + 5],
+                                                     "little")
+                        pos += 5
+                tfs[offsets[b]:offsets[b + 1]] = row
+        for b in part:
+            b = int(b)
+            tfs[offsets[b]:offsets[b + 1]] = decode_pfor(
+                tfs_enc[b], int(n[b])).astype(np.int64)
+
+    norms = np.frombuffer(b"".join(norms_enc), dtype=np.uint8)
+    return docs, tfs, norms, offsets

@@ -41,7 +41,7 @@ import pyarrow.parquet as pq
 
 from . import bm25
 from .analysis import tokenize
-from .codec import decode_block
+from .codec import decode_block, decode_blocks
 from .state.manifest import IndexManifest, load_manifest
 
 
@@ -77,6 +77,7 @@ class IndexReader:
         self.sum_ttf = self.manifest.sum_ttf
         self.T = self.manifest.config["term_parts"]
         self._parts: dict[int, list[pa.Table]] = {}
+        self._postings_cache: dict[str, "TermPostings | None"] = {}
         # tbucket → part files, from lineage
         self._files: dict[int, list[str]] = {}
         for p in self.manifest.postings_parts:
@@ -101,6 +102,14 @@ class IndexReader:
         return self._parts[tb]
 
     def postings(self, term: str) -> TermPostings | None:
+        if term in self._postings_cache:
+            return self._postings_cache[term]
+        out = self._postings_uncached(term)
+        if len(self._postings_cache) < 10_000:      # bounded memo
+            self._postings_cache[term] = out
+        return out
+
+    def _postings_uncached(self, term: str) -> TermPostings | None:
         tb = zlib.crc32(term.encode()) % self.T
         rows = []
         for tbl in self._load_bucket(tb):
@@ -176,6 +185,12 @@ def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.
     """Order score desc, docID asc (TopScoreDocCollector.java:26-28)."""
     if len(docs) == 0:
         return docs.astype(np.int64), scores.astype(np.float32)
+    if len(docs) > max(4096, 4 * k):
+        # cut to every candidate tied-or-better than the k-th score, then
+        # sort only that subset (heap-collector role)
+        kth = np.partition(scores, len(scores) - k)[len(scores) - k]
+        mask = scores >= kth
+        docs, scores = docs[mask], scores[mask]
     order = np.lexsort((docs, -scores.astype(np.float64)))[:k]
     return docs[order], scores[order].astype(np.float32)
 
@@ -189,6 +204,25 @@ def merge_topk(parts: list[tuple[np.ndarray, np.ndarray]], k: int
     docs = np.concatenate([p[0] for p in parts])
     scores = np.concatenate([p[1] for p in parts])
     return _topk(docs, scores, k)
+
+
+def _block_upper_bounds(p: TermPostings, sim: "bm25.SimScorer"
+                        ) -> np.ndarray:
+    """Per-block max-score bounds from the impact frontiers, vectorized
+    across all blocks of the term (MaxScoreCache.computeMaxScore role)."""
+    counts = np.array([len(f) for f in p.imp_freq], dtype=np.int64)
+    if counts.sum() == 0:
+        return np.zeros(len(p.n), dtype=np.float32)
+    freqs = np.concatenate([np.asarray(f, dtype=np.int64)
+                            for f in p.imp_freq if len(f)])
+    norms = np.concatenate([m for m, f in zip(p.imp_norm, p.imp_freq)
+                            if len(f)])
+    scores = sim.score(freqs, norms)
+    nz = counts > 0
+    offs = np.concatenate([[0], np.cumsum(counts[nz])[:-1]])
+    ub = np.zeros(len(p.n), dtype=np.float32)
+    ub[nz] = np.maximum.reduceat(scores, offs) if len(offs) else 0.0
+    return ub
 
 
 class Scorers:
@@ -240,14 +274,12 @@ def search_bruteforce(reader: IndexReader, query: str, k: int = 10
         if p is None:
             continue
         sim = sc.sim[t]
-        for b in range(len(p.n)):
-            d, tf, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
-                                     p.docs_enc[b], p.tfs_enc[b],
-                                     p.norms_enc[b])
-            all_docs.append(d)
-            all_scores.append(sim.score(tf, nm))
-            all_clause.append(np.full(len(d), ci, dtype=np.int32))
-            nblocks += 1
+        d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                     p.tfs_enc, p.norms_enc)
+        all_docs.append(d)
+        all_scores.append(sim.score(tf, nm))
+        all_clause.append(np.full(len(d), ci, dtype=np.int32))
+        nblocks += len(p.n)
     if not all_docs:
         return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0,
                        nblocks, nblocks)
@@ -272,8 +304,7 @@ def search_blockmax(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
     tmax: list[float] = []
     blocks_total = 0
     for ci, t, p, sim in clauses:
-        ub = np.array([sim.max_score(p.imp_freq[b], p.imp_norm[b])
-                       for b in range(len(p.n))], dtype=np.float32)
+        ub = _block_upper_bounds(p, sim)
         ubs.append(ub)
         tmax.append(float(ub.max()) if len(ub) else 0.0)
         blocks_total += len(p.n)
@@ -324,36 +355,46 @@ def search_blockmax(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
             # ub_block + remaining_after — the ImpactsDISI skip of a
             # top-level TermScorer (search/ImpactsDISI.java:67-99).
             order_b = need[np.argsort(-ubs[oi][need], kind="stable")]
-            heap: list[float] = []
+            scores_seen = np.empty(0, dtype=np.float32)
             decoded = 0
-            for b in order_b:
-                if len(heap) >= k:
+            CHUNK = 64
+            for cs in range(0, len(order_b), CHUNK):
+                chunk = order_b[cs:cs + CHUNK]
+                if len(scores_seen) >= k:
                     theta0 = float(np.partition(
-                        np.array(heap), len(heap) - k)[len(heap) - k])
-                    if float(ubs[oi][b]) + remaining_after + eps < theta0:
+                        scores_seen, len(scores_seen) - k)[
+                        len(scores_seen) - k])
+                    if (float(ubs[oi][chunk[0]]) + remaining_after + eps
+                            < theta0):
                         break
-                d, tf, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
-                                         p.docs_enc[b], p.tfs_enc[b],
-                                         p.norms_enc[b])
+                d, tf, nm, _ = decode_blocks(
+                    p.first_doc[chunk], p.n[chunk],
+                    [p.docs_enc[int(b)] for b in chunk],
+                    [p.tfs_enc[int(b)] for b in chunk],
+                    [p.norms_enc[int(b)] for b in chunk])
                 s = sim.score(tf, nm)
                 bdocs.append(d)
                 bscores.append(s)
-                heap.extend(float(x) for x in s)
-                if len(heap) > 4 * k:
-                    heap = sorted(heap, reverse=True)[:k]
-                decoded += 1
+                scores_seen = np.concatenate([scores_seen, s])
+                if len(scores_seen) > 64 * k:
+                    scores_seen = np.sort(scores_seen)[-k:]
+                decoded += len(chunk)
             blocks_decoded += decoded
         else:
-            for b in need:
-                d, tf, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
-                                         p.docs_enc[b], p.tfs_enc[b],
-                                         p.norms_enc[b])
-                s = sim.score(tf, nm)
-                if can_skip_new:
-                    mask = np.isin(d, cand_docs, assume_unique=True)
-                    d, s = d[mask], s[mask]
-                bdocs.append(d)
-                bscores.append(s)
+            d, tf, nm, _ = decode_blocks(
+                p.first_doc[need], p.n[need],
+                [p.docs_enc[int(b)] for b in need],
+                [p.tfs_enc[int(b)] for b in need],
+                [p.norms_enc[int(b)] for b in need])
+            s = sim.score(tf, nm)
+            if can_skip_new:
+                # membership via binary search into the sorted candidates
+                pos = np.searchsorted(cand_docs, d)
+                pos = np.minimum(pos, len(cand_docs) - 1)
+                mask = cand_docs[pos] == d
+                d, s = d[mask], s[mask]
+            bdocs.append(d)
+            bscores.append(s)
             blocks_decoded += len(need)
         nd = np.concatenate(bdocs)
         if len(nd) == 0:
@@ -445,12 +486,9 @@ def _term_docset(reader: IndexReader, term: str) -> np.ndarray:
     p = reader.postings(term)
     if p is None:
         return np.empty(0, dtype=np.int64)
-    out = []
-    for b in range(len(p.n)):
-        d, _, _ = decode_block(int(p.first_doc[b]), int(p.n[b]),
-                               p.docs_enc[b], p.tfs_enc[b], p.norms_enc[b])
-        out.append(d)
-    return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+    d, _, _, _ = decode_blocks(p.first_doc, p.n, p.docs_enc, p.tfs_enc,
+                               p.norms_enc)
+    return d
 
 
 def search_boolean(reader: IndexReader, must: list[str] | None = None,

@@ -122,3 +122,23 @@ def test_impact_frontier_monotone_random():
         fr, no = impact_frontier(tfs, norms)
         for t, m in zip(tfs, norms):
             assert any(f >= t and nm <= m for f, nm in zip(fr, no))
+
+
+def test_decode_blocks_batch_matches_scalar():
+    from lucene_ray.codec import decode_blocks
+
+    rng = np.random.default_rng(99)
+    for df in (1, 127, 128, 300, 4097):
+        docs = np.sort(rng.choice(df * 20, size=df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 2000, size=df).astype(np.int64)
+        tfs[rng.integers(0, df, size=max(1, df // 50))] = 10**6  # exceptions
+        norms = rng.integers(0, 256, size=df).astype(np.uint8)
+        enc = encode_term(docs, tfs, norms)
+        first = np.array(enc["first_doc"])
+        n = np.array(enc["n"])
+        d, t, m, off = decode_blocks(first, n, enc["docs_enc"],
+                                     enc["tfs_enc"], enc["norms_enc"])
+        np.testing.assert_array_equal(d, docs)
+        np.testing.assert_array_equal(t, tfs)
+        np.testing.assert_array_equal(m, norms)
+        assert off[-1] == df
