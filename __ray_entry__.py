@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase": ft.ft_phrase,
         "ft_bm25_boosted": ft.ft_bm25_boosted,
         "ft_sort_by_field": ft.ft_sort_by_field,
+        "ft_fuzzy_terms": ft.ft_fuzzy_terms,
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
@@ -94,6 +95,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase": ft.oracle_phrase_sql(),
         "ft_bm25_boosted": ft.oracle_bm25_boosted_sql(),
         "ft_sort_by_field": ft.oracle_sort_by_field_sql(),
+        "ft_fuzzy_terms": ft.oracle_fuzzy_terms_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

@@ -547,3 +547,28 @@ def oracle_sort_by_field_sql() -> str:
 )
 SELECT d AS doc_id, len(string_split(text, ' ')) AS field_len
 FROM corpus ORDER BY field_len DESC, d ASC LIMIT 25"""
+
+
+FUZZY_QUERIES = [(1, "valu", 1), (2, "custmer", 2), (3, "sparc", 1),
+                 (4, "zzz", 1)]
+
+
+def ft_fuzzy_terms(sf_dir: str) -> pa.Table:
+    """FuzzyQuery rewrite (search/FuzzyQuery.java:52): dictionary terms
+    within Levenshtein distance → (qid, term, df)."""
+    r = reader_for(sf_dir)
+    out = []
+    for qid, q, d in FUZZY_QUERIES:
+        t = termdict_scan(r, fuzzy=(q, d))
+        out.append(t.append_column("qid",
+                                   pa.array([qid] * t.num_rows, pa.int64())))
+    return pa.concat_tables(out).select(["qid", "term", "df"])
+
+
+def oracle_fuzzy_terms_sql() -> str:
+    rows = []
+    for qid, q, d in FUZZY_QUERIES:
+        rows.append(f"SELECT {qid} AS qid, term, df FROM df "
+                    f"WHERE levenshtein(term, '{q}') <= {d}")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE}\n{un}"

@@ -540,9 +540,30 @@ def termdict_terms(reader: IndexReader) -> "pa.Table":
     return agg.set_column(1, "df", agg.column("df").cast(_pa.int64()))
 
 
+def _edit_distance(a: str, b: str, limit: int) -> int:
+    """Bounded Levenshtein distance (FuzzyQuery semantics,
+    search/FuzzyQuery.java:52 — unicode edit distance, no transpositions
+    in the classic metric)."""
+    if abs(len(a) - len(b)) > limit:
+        return limit + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        best = cur[0]
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != cb))
+            best = min(best, cur[j])
+        if best > limit:
+            return limit + 1
+        prev = cur
+    return prev[-1]
+
+
 def termdict_scan(reader: IndexReader, *, prefix: str | None = None,
                   lo: str | None = None, hi: str | None = None,
-                  regex: str | None = None) -> "pa.Table":
+                  regex: str | None = None,
+                  fuzzy: tuple[str, int] | None = None) -> "pa.Table":
     """PrefixQuery / TermRangeQuery / RegexpQuery rewrite support
     (search/PrefixQuery.java:29, TermRangeQuery.java:37, RegexpQuery.java:44):
     enumerate matching terms with their stats from the sorted dictionary."""
@@ -563,6 +584,12 @@ def termdict_scan(reader: IndexReader, *, prefix: str | None = None,
         rx = _re.compile(regex)
         vals = col.to_pylist()
         m = pa.array([rx.fullmatch(v) is not None for v in vals])
+        mask = m if mask is None else _pc.and_(mask, m)
+    if fuzzy is not None:
+        q, maxdist = fuzzy
+        vals = col.to_pylist()
+        m = pa.array([_edit_distance(q, v, maxdist) <= maxdist
+                      for v in vals])
         mask = m if mask is None else _pc.and_(mask, m)
     return t.filter(mask) if mask is not None else t
 
