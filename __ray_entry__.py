@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_boosted": ft.ft_bm25_boosted,
         "ft_sort_by_field": ft.ft_sort_by_field,
         "ft_fuzzy_terms": ft.ft_fuzzy_terms,
+        "ft_facet_lang": ft.ft_facet_lang,
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
@@ -96,6 +97,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_boosted": ft.oracle_bm25_boosted_sql(),
         "ft_sort_by_field": ft.oracle_sort_by_field_sql(),
         "ft_fuzzy_terms": ft.oracle_fuzzy_terms_sql(),
+        "ft_facet_lang": ft.oracle_facet_lang_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

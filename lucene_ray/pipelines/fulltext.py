@@ -572,3 +572,26 @@ def oracle_fuzzy_terms_sql() -> str:
                     f"WHERE levenshtein(term, '{q}') <= {d}")
     un = "\nUNION ALL\n".join(rows)
     return f"WITH {_CORPUS_CTE}\n{un}"
+
+
+def ft_facet_lang(sf_dir: str):
+    """Facet counts over the index's docmeta (StringValueFacetCounts role,
+    facet/.../StringValueFacetCounts.java) — doc counts per lang with
+    per-batch pre-aggregation."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    idx = index_dir_for(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(idx, "docmeta"),
+                               columns=["lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("lang").aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").aggregate(Sum("n", alias_name="n")))
+
+
+def oracle_facet_lang_sql() -> str:
+    return "SELECT lang, count(*) AS n FROM documents GROUP BY lang"

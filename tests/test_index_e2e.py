@@ -448,3 +448,43 @@ def test_api_facade(tmp_path_factory, corpus_path, ray_session):
     df, ttf = idx.term_stats("return")
     assert df > 0 and ttf >= df
     assert idx.verify()["ok"]
+
+
+def test_hot_term_skew_split(tmp_path_factory, ray_session):
+    """A term present in EVERY doc (df == N, the skew case) must be split
+    across salt groups into multiple postings rows with disjoint doc
+    ranges, and search must still be exact."""
+    import pyarrow as pa
+    d = tmp_path_factory.mktemp("hot")
+    corpus_dir = str(d / "corpus")
+    os.makedirs(corpus_dir)
+    # 4 files so arrival mode makes 4 segments; "hotword" in every doc
+    for f in range(4):
+        rows = {
+            "repo": [f"r{f}"] * 50,
+            "path": [f"p{f}_{i}.py" for i in range(50)],
+            "commit": ["c" * 40] * 50,
+            "lang": ["py"] * 50,
+            "content": [f"hotword item{f}_{i} filler{i % 7}"
+                        for i in range(50)],
+        }
+        pq.write_table(pa.table(rows),
+                       os.path.join(corpus_dir, f"f{f}.parquet"))
+    idx = str(d / "idx")
+    build_index(corpus_dir, idx, term_parts=2, salt_group=1)
+    r = IndexReader(idx)
+    p = r.postings("hotword")
+    assert p.df == 200
+    # salt_group=1 → one salt group per segment → ≥4 disjoint row-chunks;
+    # verify block doc-ranges cover all docs exactly once
+    from lucene_ray.codec import decode_blocks
+    docs, tfs, _, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                    p.tfs_enc, p.norms_enc)
+    assert sorted(docs.tolist()) == list(range(200))
+    td = search_bruteforce(r, "hotword", 5)
+    tb = search_blockmax(r, "hotword", 5)
+    np.testing.assert_array_equal(td.doc_ids, tb.doc_ids)
+    np.testing.assert_array_equal(td.scores, tb.scores)
+    # every doc has the same score for hotword (same tf, similar norms per
+    # content shape) — tie-break must yield lowest doc ids
+    assert td.doc_ids.tolist() == sorted(td.doc_ids.tolist())
