@@ -2,15 +2,18 @@
 
 Stage map (reference semantics → Ray Data physical plan; SURVEY.md §3.1):
 
-1. **Plan** — sample doc keys → contiguous key-range *buckets* (the DWPT /
-   segment analogue, ``index/DocumentsWriterPerThread.java``), count rows per
-   bucket (tiny partial-count shuffle), prefix-sum into per-bucket docID
-   bases. docID = bucket base + rank within bucket = global rank of the key
-   ``(repo, path, commit)`` — deterministic and independent of bucket count
-   (the segment-docBase scheme of ``index/MergeState.java:170-204``, made
-   reproducible).
-2. **Segment build (flush)** — ONE full-data shuffle:
-   ``groupby("bucket").map_groups(build_segment)``. Per bucket: sort by key,
+1. **Plan** — two docID modes (see build_index):
+   *arrival* (default): one input parquet file = one segment; docID = file
+   base + row index, bases straight from parquet footers — Lucene's
+   ingest-order assignment (``DocumentsWriterPerThread.java:274``) and the
+   scale path: the corpus is NEVER shuffled, only encoded segments move.
+   *key*: sample doc keys → contiguous key-range buckets, exact per-bucket
+   counts, prefix-sum bases; docID = global rank of ``(repo, path,
+   commit)`` — stable under any corpus re-sharding (the segment-docBase
+   scheme of ``index/MergeState.java:170-204``, made reproducible).
+2. **Segment build (flush)** — arrival: parallel per-file tasks; key: one
+   full-data shuffle ``groupby("bucket").map_groups``. Per segment: sort
+   (key mode) or keep row order (arrival),
    assign docIDs, sha256, tokenize (vectorized StandardAnalyzer), local
    (term, doc, tf) dedup via dictionary-encode (the ``BytesRefHash`` role,
    ``util/BytesRefHash.java:335``), encode block postings (delta+FOR/PFoR +
