@@ -228,13 +228,14 @@ def _build_segment_files(batch: pa.Table, index_dir: str,
         tbl = pq.read_table(path, columns=["repo", "path", "commit", "lang",
                                            "content"])
         out.append(_build_segment_core(tbl, int(seg), int(base), index_dir,
-                                       with_positions))
+                                       with_positions, source=path))
     return pa.concat_tables(out) if out else _empty_seg_lineage()
 
 
 def _build_segment_core(group: pa.Table, seg: int, base: int,
                         index_dir: str,
-                        with_positions: bool = False) -> pa.Table:
+                        with_positions: bool = False,
+                        source: str = "") -> pa.Table:
     t0 = time.time()
     contents = group.column("content").to_pylist()
     n_docs = len(contents)
@@ -399,7 +400,8 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
     ) if shas else np.zeros(32, np.uint8)
     elapsed = time.time() - t0
     lineage = {
-        "seg": seg, "n_docs": n_docs, "n_tokens": int(lengths.sum()),
+        "seg": seg, "source": source,
+        "n_docs": n_docs, "n_tokens": int(lengths.sum()),
         "n_postings": int(n_postings), "n_terms": n_terms,
         "content_bytes": int(sum(len(c or "") for c in contents)),
         "postings_bytes": int(seg_tbl.nbytes),
@@ -800,7 +802,8 @@ def verify_index(index_dir: str) -> dict:
 
 
 def _empty_seg_lineage() -> pa.Table:
-    dummy = {"seg": 0, "n_docs": 0, "n_tokens": 0, "n_postings": 0,
+    dummy = {"seg": 0, "source": "", "n_docs": 0, "n_tokens": 0,
+             "n_postings": 0,
              "n_terms": 0, "content_bytes": 0, "postings_bytes": 0,
              "elapsed_s": 0.0, "docs_per_s": 0.0, "sha256_xor": ""}
     return pa.table({k: [v] for k, v in dummy.items()}).slice(0, 0)
@@ -838,6 +841,10 @@ def append_to_index(index_dir: str, new_corpus: str,
         os.path.join(new_corpus, f) for f in os.listdir(new_corpus)
         if f.endswith(".parquet")) if os.path.isdir(new_corpus) \
         else [new_corpus]
+    already = {s.get("source") for s in m.segments if s.get("source")}
+    files = [f for f in files if f not in already]
+    if not files:
+        return m
     counts = [pq.ParquetFile(f).metadata.num_rows for f in files]
     seg_base = max((s["seg"] for s in m.segments), default=-1) + 1
     doc_base = m.doc_count

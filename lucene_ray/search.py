@@ -265,6 +265,9 @@ def search_bruteforce(reader: IndexReader, query: str, k: int = 10
                       ) -> TopDocs:
     """Brute-force oracle: decode every block of every clause, accumulate
     float32 scores doc-major, full sort — the CheckHits golden path."""
+    if k < 1:
+        raise ValueError("k must be >= 1 (TopScoreDocCollector requires "
+                         "numHits > 0)")
     terms = parse_query(query)
     sc = Scorers(reader, terms)
     all_docs, all_scores, all_clause = [], [], []
@@ -292,6 +295,9 @@ def search_bruteforce(reader: IndexReader, query: str, k: int = 10
 
 def search_blockmax(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
     """Block-max MAXSCORE (rank-safe: returns exactly the oracle's top-k)."""
+    if k < 1:
+        raise ValueError("k must be >= 1 (TopScoreDocCollector requires "
+                         "numHits > 0)")
     terms = parse_query(query)
     sc = Scorers(reader, terms)
     clauses = [(ci, t, sc.postings[t], sc.sim[t])
@@ -650,6 +656,9 @@ def search_phrase(reader: IndexReader, phrase: str, k: int = 10) -> TopDocs:
     """PhraseQuery: BM25-scored with freq = phrase occurrences and
     df = number of docs containing the phrase (PhraseWeight builds its
     scorer from the phrase's own stats)."""
+    if k < 1:
+        raise ValueError("k must be >= 1 (TopScoreDocCollector requires "
+                         "numHits > 0)")
     terms = parse_query(phrase)
     if not terms:
         return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0)
@@ -713,6 +722,9 @@ def search_boosted(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
     boost * idf in float32 (BM25Similarity.java:221 BM25Scorer.weight).
     Exhaustive evaluation (boost queries are rare; block-max would need
     per-clause bound rescaling)."""
+    if k < 1:
+        raise ValueError("k must be >= 1 (TopScoreDocCollector requires "
+                         "numHits > 0)")
     clauses = parse_boosted(query)
     all_docs, all_scores, all_clause = [], [], []
     for ci, (t, boost) in enumerate(clauses):
@@ -849,6 +861,9 @@ def search_parsed(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
     """Execute a classic-syntax query (lucene_ray.queryparser) with full
     BooleanQuery semantics: MUST scores+filters, SHOULD scores, MUST_NOT
     excludes (search/BooleanQuery.java:40, BooleanWeight)."""
+    if k < 1:
+        raise ValueError("k must be >= 1 (TopScoreDocCollector requires "
+                         "numHits > 0)")
     from .queryparser import parse
 
     pq_ = parse(query)

@@ -324,6 +324,9 @@ def test_incremental_append(tmp_path_factory, ray_session):
     build_index(ca, inc_dir, term_parts=4, salt_group=1)
     m1 = append_to_index(inc_dir, cb)
     assert m1.doc_count == 200
+    # re-appending the same files is a no-op (idempotent resume)
+    m2 = append_to_index(inc_dir, cb)
+    assert m2.doc_count == 200
 
     full_dir = str(d / "idx_full")
     build_index(cab, full_dir, term_parts=4, salt_group=1)
@@ -488,3 +491,11 @@ def test_hot_term_skew_split(tmp_path_factory, ray_session):
     # every doc has the same score for hotword (same tf, similar norms per
     # content shape) — tie-break must yield lowest doc ids
     assert td.doc_ids.tolist() == sorted(td.doc_ids.tolist())
+
+
+def test_k_must_be_positive(index_dir, ray_session):
+    # TopScoreDocCollector requires numHits > 0; we match
+    r = IndexReader(index_dir)
+    for fn in (search_bruteforce, search_blockmax):
+        with pytest.raises(ValueError):
+            fn(r, "return", 0)
