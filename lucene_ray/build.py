@@ -205,7 +205,8 @@ def _raw_rows_binary(vals: np.ndarray, n_per_row: np.ndarray, width: int,
 # Stage 2: segment build (the flush)
 
 def _build_segment(group: pa.Table, index_dir: str, bases: list[int],
-                   with_positions: bool = False) -> pa.Table:
+                   with_positions: bool = False,
+                   keyword_fields: list[str] | None = None) -> pa.Table:
     """Key-rank mode group UDF: sort the bucket by dockey, docIDs = bucket
     base + rank (deterministic global key rank)."""
     if group.num_rows == 0:
@@ -213,11 +214,12 @@ def _build_segment(group: pa.Table, index_dir: str, bases: list[int],
     seg = int(group.column("bucket")[0].as_py())
     group = group.sort_by([("dockey", "ascending")])
     return _build_segment_core(group, seg, bases[seg], index_dir,
-                               with_positions)
+                               with_positions, keyword_fields=keyword_fields)
 
 
 def _build_segment_files(batch: pa.Table, index_dir: str,
-                         with_positions: bool = False) -> pa.Table:
+                         with_positions: bool = False,
+                         keyword_fields: list[str] | None = None) -> pa.Table:
     """Arrival mode task UDF: one input parquet file = one segment, docIDs =
     file base + row index (Lucene's arrival-order docID assignment,
     DocumentsWriterPerThread.java:274) — NO corpus shuffle at all."""
@@ -228,14 +230,16 @@ def _build_segment_files(batch: pa.Table, index_dir: str,
         tbl = pq.read_table(path, columns=["repo", "path", "commit", "lang",
                                            "content"])
         out.append(_build_segment_core(tbl, int(seg), int(base), index_dir,
-                                       with_positions, source=path))
+                                       with_positions, source=path,
+                                       keyword_fields=keyword_fields))
     return pa.concat_tables(out) if out else _empty_seg_lineage()
 
 
 def _build_segment_core(group: pa.Table, seg: int, base: int,
                         index_dir: str,
                         with_positions: bool = False,
-                        source: str = "") -> pa.Table:
+                        source: str = "",
+                        keyword_fields: list[str] | None = None) -> pa.Table:
     t0 = time.time()
     contents = group.column("content").to_pylist()
     n_docs = len(contents)
@@ -249,6 +253,39 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
             term_freq_batch(contents, with_positions=True)
     else:
         terms_arr, tfs_arr, owners, lengths, norms = term_freq_batch(contents)
+
+    n_kw = 0
+    if keyword_fields:
+        # StringField-style atomic keyword terms (document/StringField.java:27)
+        # in the unified dictionary as "field:value" — Lucene's Term is the
+        # (field, bytes) pair (index/Term.java); our single-namespace
+        # dictionary encodes the field as a prefix. tf=1; the doc's content
+        # norm is reused (keyword clauses are typically filters).
+        import pyarrow as _pa
+        kw_terms, kw_tf, kw_own = [], [], []
+        kw_pos = [] if positions is not None else None
+        for f in keyword_fields:
+            vals = group.column(f).to_pylist()
+            for d, v in enumerate(vals):
+                if v is None:
+                    continue
+                kw_terms.append(f"{f}:{v}")
+                kw_tf.append(1)
+                kw_own.append(d)
+                if kw_pos is not None:
+                    kw_pos.append([0])
+        n_kw = len(kw_terms)
+        if kw_terms:
+            terms_arr = _pa.concat_arrays(
+                [terms_arr.combine_chunks()
+                 if hasattr(terms_arr, "combine_chunks") else terms_arr,
+                 _pa.array(kw_terms, _pa.string())])
+            tfs_arr = np.concatenate(
+                [tfs_arr, np.array(kw_tf, dtype=np.int64)])
+            owners = np.concatenate(
+                [owners, np.array(kw_own, dtype=np.int64)])
+            if positions is not None:
+                positions = positions + kw_pos
 
     # --- docmeta ---
     docmeta = pa.table({
@@ -400,7 +437,7 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
     ) if shas else np.zeros(32, np.uint8)
     elapsed = time.time() - t0
     lineage = {
-        "seg": seg, "source": source,
+        "seg": seg, "source": source, "n_kw_postings": int(n_kw),
         "n_docs": n_docs, "n_tokens": int(lengths.sum()),
         "n_postings": int(n_postings), "n_terms": n_terms,
         "content_bytes": int(sum(len(c or "") for c in contents)),
@@ -577,6 +614,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                 merge_concurrency: int | tuple | None = None,
                 doc_order: str = "arrival",
                 with_positions: bool = False,
+                keyword_fields: list[str] | None = None,
                 overwrite: bool = False) -> IndexManifest:
     """Build (or resume building) an index from a corpus.
 
@@ -659,6 +697,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
     counts = plan["bucket_counts"]
     params = plan["params"]
     params["with_positions"] = bool(with_positions)
+    params["keyword_fields"] = list(keyword_fields or [])
     nb = len(counts)
 
     # --- stage 2: segments (skip finished buckets before the shuffle) ---
@@ -677,7 +716,8 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
          .map_batches(_build_segment_files, batch_format="pyarrow",
                       batch_size=1,
                       fn_kwargs={"index_dir": index_dir,
-                                 "with_positions": with_positions})
+                                 "with_positions": with_positions,
+                                 "keyword_fields": keyword_fields})
          .materialize())
     elif todo:
         ds = make_ds().map_batches(_assign_bucket, batch_format="pyarrow",
@@ -692,7 +732,8 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
         (ds.groupby("bucket")
            .map_groups(_build_segment, batch_format="pyarrow",
                        fn_kwargs={"index_dir": index_dir, "bases": bases,
-                                  "with_positions": with_positions})
+                                  "with_positions": with_positions,
+                                  "keyword_fields": keyword_fields})
            .materialize())
 
     seg_lineage = []
@@ -790,10 +831,12 @@ def verify_index(index_dir: str) -> dict:
         return {"ok": False, "error": f"{type(e).__name__}: {e}"}
     doc_count = agg.get("count()", 0)
     sum_len = agg.get("sum(field_len)") or 0
+    n_kw = sum(s.get("n_kw_postings", 0) for s in m.segments)
     res = {
         "doc_count_ok": doc_count == m.doc_count,
         "sum_ttf_ok": int(sum_len) == m.sum_ttf,
-        "postings_ttf_ok": int(pagg["sum(tf_sum)"] or 0) == m.sum_ttf,
+        "postings_ttf_ok":
+            int(pagg["sum(tf_sum)"] or 0) == m.sum_ttf + n_kw,
         "doc_count": doc_count, "sum_ttf": int(sum_len),
         "n_postings": int(pagg["sum(n)"] or 0),
     }
@@ -802,8 +845,8 @@ def verify_index(index_dir: str) -> dict:
 
 
 def _empty_seg_lineage() -> pa.Table:
-    dummy = {"seg": 0, "source": "", "n_docs": 0, "n_tokens": 0,
-             "n_postings": 0,
+    dummy = {"seg": 0, "source": "", "n_kw_postings": 0, "n_docs": 0,
+             "n_tokens": 0, "n_postings": 0,
              "n_terms": 0, "content_bytes": 0, "postings_bytes": 0,
              "elapsed_s": 0.0, "docs_per_s": 0.0, "sha256_xor": ""}
     return pa.table({k: [v] for k, v in dummy.items()}).slice(0, 0)

@@ -10,8 +10,10 @@ default operator OR):
 - ``+term`` → MUST, ``-term`` → MUST_NOT;
 - ``a AND b`` → both MUST; ``a OR b`` → SHOULD; ``NOT a`` → MUST_NOT;
 - ``term^2.5`` / ``"phrase"^2`` → clause boost;
-- ``field:term`` → the field prefix is accepted and ignored (the engine
-  indexes the single ``content`` field, SURVEY.md §1.3).
+- ``field:term`` → looked up literally as the keyword term
+  ``"field:term"`` (StringField keyword fields live in the unified
+  dictionary under that spelling; ``content:``/``contents:`` prefixes are
+  stripped to address the default field).
 
 Not implemented (documented): parentheses grouping, range/wildcard inside
 the parser (use the termdict_scan operators), fuzzy ``~``.
@@ -82,11 +84,13 @@ def parse(query: str) -> ParsedQuery:
                     boost = float(b)
                 out.clauses.append(Clause("phrase", body, occur, boost))
             continue
-        # field prefix (accepted, ignored — single content field)
-        if ":" in raw and not raw.startswith(":"):
-            head, _, tail = raw.partition(":")
-            if head.isalnum() and tail:
-                raw = tail
+        # field:value stays literal — keyword fields live in the unified
+        # dictionary as "field:value" terms (StringField mapping); the
+        # analyzer's letter-colon-letter join produces exactly that token.
+        # content:/contents: prefixes address the default field and are
+        # stripped.
+        if raw.startswith(("content:", "contents:")):
+            raw = raw.partition(":")[2]
         if "^" in raw:
             base, _, b = raw.rpartition("^")
             try:

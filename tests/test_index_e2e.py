@@ -378,13 +378,13 @@ def test_sliced_search_equals_global(index_dir, ray_session):
 def test_query_parser(ray_session):
     from lucene_ray.queryparser import parse
 
-    p = parse('return +value -data "public static" title:foo bar^2 x AND y')
+    p = parse('return +value -data "public static" content:foo bar^2 x AND y')
     kinds = [(c.kind, c.text, c.occur, c.boost) for c in p.clauses]
     assert ("term", "return", "SHOULD", 1.0) in kinds
     assert ("term", "value", "MUST", 1.0) in kinds
     assert ("term", "data", "MUST_NOT", 1.0) in kinds
     assert ("phrase", "public static", "SHOULD", 1.0) in kinds
-    assert ("term", "foo", "SHOULD", 1.0) in kinds       # field stripped
+    assert ("term", "foo", "SHOULD", 1.0) in kinds       # content: stripped
     assert ("term", "bar", "SHOULD", 2.0) in kinds
     assert ("term", "x", "MUST", 1.0) in kinds           # x AND y
     assert ("term", "y", "MUST", 1.0) in kinds
@@ -499,3 +499,32 @@ def test_k_must_be_positive(index_dir, ray_session):
     for fn in (search_bruteforce, search_blockmax):
         with pytest.raises(ValueError):
             fn(r, "return", 0)
+
+
+def test_keyword_fields(tmp_path_factory, corpus_path, ray_session):
+    """StringField-style keyword terms: 'field:value' in the unified
+    dictionary; usable as Boolean filters and via the parser."""
+    from lucene_ray.search import search_boolean, search_parsed
+
+    d = str(tmp_path_factory.mktemp("index_kw"))
+    build_index(corpus_path, d, term_parts=4, salt_group=1,
+                keyword_fields=["repo", "lang"])
+    assert verify_index(d)["ok"]
+    r = IndexReader(d)
+    dm = pq.read_table(os.path.join(d, "docmeta"),
+                       columns=["doc_id", "repo", "lang"])
+    langs = dm.column("lang").to_pylist()
+    ids = dm.column("doc_id").to_pylist()
+    expect_py = sorted(i for i, l in zip(ids, langs) if l == "py")
+    p = r.postings("lang:py")
+    assert p is not None and p.df == len(expect_py)
+    got = search_boolean(r, must=["lang:py"])
+    assert got.tolist() == expect_py
+    # combined keyword filter + scored content term via the parser
+    td = search_parsed(r, "+lang:py return", 1000)
+    # MUST filters; SHOULD is optional (BooleanQuery semantics) — every
+    # lang:py doc matches, those also containing "return" score higher
+    assert set(td.doc_ids.tolist()) == set(expect_py)
+    assert np.all(np.diff(td.scores.astype(np.float64)) <= 0)
+    # absent keyword
+    assert r.postings("lang:zz") is None
