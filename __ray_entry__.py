@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_sort_by_field": ft.ft_sort_by_field,
         "ft_fuzzy_terms": ft.ft_fuzzy_terms,
         "ft_facet_lang": ft.ft_facet_lang,
+        "ft_keyword_filter": ft.ft_keyword_filter,
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
@@ -98,6 +99,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_sort_by_field": ft.oracle_sort_by_field_sql(),
         "ft_fuzzy_terms": ft.oracle_fuzzy_terms_sql(),
         "ft_facet_lang": ft.oracle_facet_lang_sql(),
+        "ft_keyword_filter": ft.oracle_keyword_filter_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

@@ -77,11 +77,12 @@ def index_dir_for(sf_dir: str) -> str:
         return _INDEX_CACHE[sf_dir]
     doc = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.sha256(
-        f"{sf_dir}:{os.path.getsize(doc)}:v2".encode()).hexdigest()[:12]
+        f"{sf_dir}:{os.path.getsize(doc)}:v3".encode()).hexdigest()[:12]
     idx = os.path.join("/tmp", "lucene_ray_indexes", tag)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         corpus = corpus_from_documents(sf_dir)
-        build_index(corpus, idx, with_positions=True)
+        build_index(corpus, idx, with_positions=True,
+                    keyword_fields=["repo", "lang"])
     _INDEX_CACHE[sf_dir] = idx
     return idx
 
@@ -93,9 +94,24 @@ def reader_for(sf_dir: str) -> IndexReader:
 # ---------------------------------------------------------------------------
 # Engine-side query entries
 
+def _content_only(r: IndexReader, t: pa.Table) -> pa.Table:
+    """Scope a dictionary view to the content field: drop keyword-field
+    terms ("field:value"), mirroring Lucene's per-field statistics
+    (IndexSearcher.collectionStatistics(field))."""
+    import pyarrow.compute as pc
+    kw = r.manifest.config.get("keyword_fields") or []
+    if not kw:
+        return t
+    mask = None
+    for fld in kw:
+        m = pc.invert(pc.starts_with(t.column("term"), f"{fld}:"))
+        mask = m if mask is None else pc.and_(mask, m)
+    return t.filter(mask)
+
+
 def ft_collection_stats(sf_dir: str) -> pa.Table:
     r = reader_for(sf_dir)
-    td = termdict_terms(r)
+    td = _content_only(r, termdict_terms(r))
     return pa.table({
         "doc_count": pa.array([r.doc_count], pa.int64()),
         "sum_ttf": pa.array([r.sum_ttf], pa.int64()),
@@ -107,7 +123,8 @@ def ft_collection_stats(sf_dir: str) -> pa.Table:
 
 def ft_term_stats(sf_dir: str) -> pa.Table:
     """Top 100 terms by (df desc, term asc) with global df/ttf."""
-    t = termdict_terms(reader_for(sf_dir))
+    r = reader_for(sf_dir)
+    t = _content_only(r, termdict_terms(r))
     idx = np.lexsort((np.array(t.column("term").to_pylist()),
                       -t.column("df").to_numpy()))[:100]
     return t.take(pa.array(idx, pa.int64()))
@@ -142,7 +159,7 @@ def ft_postings_sample(sf_dir: str) -> pa.Table:
     from ..codec import decode_block
 
     r = reader_for(sf_dir)
-    terms = termdict_terms(r).column("term").to_pylist()
+    terms = _content_only(r, termdict_terms(r)).column("term").to_pylist()
     sel = [t for i, t in enumerate(terms) if i % 13 == 0]
     out_t, out_d, out_f = [], [], []
     for term in sel:
@@ -208,7 +225,7 @@ def ft_prefix_terms(sf_dir: str) -> pa.Table:
     r = reader_for(sf_dir)
     out = []
     for p in PREFIXES:
-        t = termdict_scan(r, prefix=p)
+        t = _content_only(r, termdict_scan(r, prefix=p))
         out.append(t.append_column(
             "prefix", pa.array([p] * t.num_rows, pa.string())))
     return pa.concat_tables(out).select(["prefix", "term", "df"])
@@ -218,7 +235,7 @@ def ft_term_range(sf_dir: str) -> pa.Table:
     r = reader_for(sf_dir)
     out = []
     for i, (lo, hi) in enumerate(RANGES, 1):
-        t = termdict_scan(r, lo=lo, hi=hi)
+        t = _content_only(r, termdict_scan(r, lo=lo, hi=hi))
         out.append(t.append_column("qid",
                                    pa.array([i] * t.num_rows, pa.int64())))
     return pa.concat_tables(out).select(["qid", "term", "df"])
@@ -228,7 +245,7 @@ def ft_regexp_terms(sf_dir: str) -> pa.Table:
     r = reader_for(sf_dir)
     out = []
     for i, rx in enumerate(REGEXPS, 1):
-        t = termdict_scan(r, regex=rx)
+        t = _content_only(r, termdict_scan(r, regex=rx))
         out.append(t.append_column("qid",
                                    pa.array([i] * t.num_rows, pa.int64())))
     return pa.concat_tables(out).select(["qid", "term", "df"])
@@ -559,7 +576,7 @@ def ft_fuzzy_terms(sf_dir: str) -> pa.Table:
     r = reader_for(sf_dir)
     out = []
     for qid, q, d in FUZZY_QUERIES:
-        t = termdict_scan(r, fuzzy=(q, d))
+        t = _content_only(r, termdict_scan(r, fuzzy=(q, d)))
         out.append(t.append_column("qid",
                                    pa.array([qid] * t.num_rows, pa.int64())))
     return pa.concat_tables(out).select(["qid", "term", "df"])
@@ -595,3 +612,44 @@ def ft_facet_lang(sf_dir: str):
 
 def oracle_facet_lang_sql() -> str:
     return "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+
+KEYWORD_QUERIES = [(1, "lang:en", "key"), (2, "lang:zh", "table"),
+                   (3, "repo:src0", "value"), (4, "lang:qq", "key")]
+
+
+def ft_keyword_filter(sf_dir: str) -> pa.Table:
+    """StringField keyword filter + scored content term:
+    MUST field:value, MUST content term → (qid, doc_id)."""
+    from ..search import search_boolean
+
+    r = reader_for(sf_dir)
+    qids, docs = [], []
+    for qid, kw, term in KEYWORD_QUERIES:
+        d = search_boolean(r, must=[kw, term])
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def oracle_keyword_filter_sql() -> str:
+    rows = []
+    for qid, kw, term in KEYWORD_QUERIES:
+        field, _, val = kw.partition(":")
+        col = {"lang": "lang", "repo": "source"}[field]
+        rows.append(
+            f"SELECT {qid} AS qid, c.d AS doc_id FROM corpus c "
+            f"JOIN tok t ON t.d = c.d "
+            f"WHERE c.{col} = '{val}' AND t.term = '{term}' GROUP BY c.d")
+    un = "\nUNION ALL\n".join(rows)
+    # corpus CTE variant carrying lang/source
+    return f"""WITH corpus AS (
+  SELECT row_number() OVER (ORDER BY source, printf('doc_%08d.txt', doc_id)) - 1 AS d,
+         text, lang, source
+  FROM documents
+),
+tok AS (
+  SELECT d, unnest(string_split(text, ' ')) AS term FROM corpus
+)
+{un}"""
