@@ -46,6 +46,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_fuzzy_terms": ft.ft_fuzzy_terms,
         "ft_facet_lang": ft.ft_facet_lang,
         "ft_keyword_filter": ft.ft_keyword_filter,
+        "ft_synonym": ft.ft_synonym,
+        "ft_dismax": ft.ft_dismax,
+        "ft_len_range": ft.ft_len_range,
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
@@ -100,6 +103,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_fuzzy_terms": ft.oracle_fuzzy_terms_sql(),
         "ft_facet_lang": ft.oracle_facet_lang_sql(),
         "ft_keyword_filter": ft.oracle_keyword_filter_sql(),
+        "ft_synonym": ft.oracle_synonym_sql(),
+        "ft_dismax": ft.oracle_dismax_sql(),
+        "ft_len_range": ft.oracle_len_range_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

@@ -653,3 +653,131 @@ tok AS (
   SELECT d, unnest(string_split(text, ' ')) AS term FROM corpus
 )
 {un}"""
+
+
+SYNONYM_SETS = [(1, ["key", "hash"], 10), (2, ["slow", "fast"], 10),
+                (3, ["zzmissing", "vector"], 10)]
+DISMAX_SETS = [(1, ["key", "agg", "row"], 10), (2, ["the", "vector"], 10)]
+LEN_RANGES = [(1, 20, 40), (2, 60, 100), (3, 0, 10)]
+
+
+def ft_synonym(sf_dir: str) -> pa.Table:
+    """SynonymQuery → (qid, rank, doc_id)."""
+    from ..search import search_synonym
+
+    r = reader_for(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, terms, k in SYNONYM_SETS:
+        td = search_synonym(r, terms, k)
+        for rank, d in enumerate(td.doc_ids.tolist(), 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(d)
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def oracle_synonym_sql() -> str:
+    parts = []
+    for qid, terms, k in SYNONYM_SETS:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        parts.append(f"""(
+  WITH syn AS (
+    SELECT d, sum(tf) AS freq FROM tf WHERE term IN ({tl}) GROUP BY d
+  ),
+  st AS (SELECT count(*) AS df FROM syn)
+  SELECT {qid} AS qid,
+         row_number() OVER (ORDER BY
+           CAST(CAST(ln(1 + ((SELECT n_docs FROM stats) - (SELECT df FROM st) + 0.5)
+                         / ((SELECT df FROM st) + 0.5)) AS REAL)
+           - CAST(ln(1 + ((SELECT n_docs FROM stats) - (SELECT df FROM st) + 0.5)
+                         / ((SELECT df FROM st) + 0.5)) AS REAL)
+             / (CAST(1.0 AS REAL) + CAST(s.freq AS REAL) *
+                (CAST(1.0 AS REAL) / (CAST(1.2 AS REAL) *
+                 (CAST(0.25 AS REAL) + CAST(0.75 AS REAL) * CAST(q.qlen AS REAL) /
+                  CAST(CAST((SELECT sum_ttf FROM stats) AS DOUBLE) /
+                       (SELECT n_docs FROM stats) AS REAL)))))
+           AS REAL) DESC, s.d ASC) AS rank,
+         s.d AS doc_id
+  FROM syn s JOIN quant q ON q.d = s.d
+  ORDER BY rank LIMIT {k})""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"WITH {_CORPUS_CTE},\n{_QUANT_LEN}\n{un}"
+
+
+def ft_dismax(sf_dir: str) -> pa.Table:
+    """DisjunctionMaxQuery (tie_breaker=0) → (qid, rank, doc_id)."""
+    from ..search import search_dismax
+
+    r = reader_for(sf_dir)
+    qids, ranks, docs = [], [], []
+    for qid, terms, k in DISMAX_SETS:
+        td = search_dismax(r, terms, k)
+        for rank, d in enumerate(td.doc_ids.tolist(), 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(d)
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def oracle_dismax_sql() -> str:
+    score = """CAST(
+      CAST(ln(1 + ((SELECT n_docs FROM stats) - f.df + 0.5) / (f.df + 0.5)) AS REAL)
+      - CAST(ln(1 + ((SELECT n_docs FROM stats) - f.df + 0.5) / (f.df + 0.5)) AS REAL)
+        / (CAST(1.0 AS REAL) + CAST(t.tf AS REAL) *
+           (CAST(1.0 AS REAL) / (CAST(1.2 AS REAL) *
+            (CAST(0.25 AS REAL) + CAST(0.75 AS REAL) * CAST(q.qlen AS REAL) /
+             CAST(CAST((SELECT sum_ttf FROM stats) AS DOUBLE) /
+                  (SELECT n_docs FROM stats) AS REAL)))))
+    AS REAL)"""
+    parts = []
+    for qid, terms, k in DISMAX_SETS:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        parts.append(f"""(
+  SELECT {qid} AS qid,
+         row_number() OVER (ORDER BY mx DESC, d ASC) AS rank, d AS doc_id
+  FROM (
+    SELECT t.d AS d, CAST(max(CAST({score} AS DOUBLE)) AS REAL) AS mx
+    FROM tf t JOIN df f ON f.term = t.term JOIN quant q ON q.d = t.d
+    WHERE t.term IN ({tl}) GROUP BY t.d
+  )
+  ORDER BY rank LIMIT {k})""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"WITH {_CORPUS_CTE},\n{_QUANT_LEN}\n{un}"
+
+
+def ft_len_range(sf_dir: str) -> pa.Table:
+    """PointRangeQuery analogue (search/PointRangeQuery.java:54) over the
+    numeric field_len docvalue: docs with lo <= field_len < hi."""
+    import ray.data
+    import pyarrow.compute as pc
+
+    idx = index_dir_for(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(idx, "docmeta"),
+                               columns=["doc_id", "field_len"])
+    parts = []
+    for qid, lo, hi in LEN_RANGES:
+        def flt(batch: pa.Table, lo=lo, hi=hi, qid=qid) -> pa.Table:
+            m = pc.and_(pc.greater_equal(batch.column("field_len"), lo),
+                        pc.less(batch.column("field_len"), hi))
+            sel = batch.filter(m)
+            return pa.table({
+                "qid": pa.array([qid] * sel.num_rows, pa.int64()),
+                "doc_id": sel.column("doc_id"),
+            })
+        parts.extend(ds.map_batches(flt, batch_format="pyarrow").take_all())
+    return pa.table({"qid": pa.array([r["qid"] for r in parts], pa.int64()),
+                     "doc_id": pa.array([r["doc_id"] for r in parts],
+                                        pa.int64())})
+
+
+def oracle_len_range_sql() -> str:
+    rows = []
+    for qid, lo, hi in LEN_RANGES:
+        rows.append(f"SELECT {qid} AS qid, d AS doc_id FROM dl "
+                    f"WHERE len >= {lo} AND len < {hi}")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE}\n{un}"

@@ -918,3 +918,71 @@ def search_parsed(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
         keep &= ~np.isin(uniq, nd, assume_unique=True)
     d, s = _topk(uniq[keep], final[keep], k)
     return TopDocs(d, s, int(keep.sum()))
+
+
+# ---------------------------------------------------------------------------
+# SynonymQuery and DisjunctionMaxQuery (SURVEY.md §2.9)
+
+def search_synonym(reader: IndexReader, terms: list[str], k: int = 10
+                   ) -> TopDocs:
+    """SynonymQuery (search/SynonymQuery.java:54): the terms are scored as
+    ONE pseudo-term — freq = Σ tf over the synonyms per doc, df = docs
+    matching any synonym, one scorer built from the blended stats."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    dd, tt, nn = [], [], []
+    for t in terms:
+        p = reader.postings(t)
+        if p is None:
+            continue
+        d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                     p.tfs_enc, p.norms_enc)
+        dd.append(d)
+        tt.append(tf)
+        nn.append(nm)
+    if not dd:
+        return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0)
+    docs = np.concatenate(dd)
+    tfs = np.concatenate(tt)
+    norms = np.concatenate(nn)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    freq = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(freq, inv, tfs)
+    nb = np.zeros(len(uniq), dtype=np.uint8)
+    nb[inv] = norms                       # same doc → same field norm
+    sim = bm25.scorer(len(uniq), reader.doc_count, reader.sum_ttf)
+    scores = sim.score(freq, nb)
+    d, s = _topk(uniq, scores, k)
+    return TopDocs(d, s, len(uniq))
+
+
+def search_dismax(reader: IndexReader, terms: list[str], k: int = 10,
+                  tie_breaker: float = 0.0) -> TopDocs:
+    """DisjunctionMaxQuery (search/DisjunctionMaxQuery.java:44): per doc,
+    score = max clause score + tie_breaker * (sum of the others).
+    Lucene computes max + tie*othersSum in double, cast to float at
+    collection."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sc = Scorers(reader, terms)
+    dd, ss = [], []
+    for t in terms:
+        p = sc.postings.get(t)
+        if p is None:
+            continue
+        d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                     p.tfs_enc, p.norms_enc)
+        dd.append(d)
+        ss.append(sc.sim[t].score(tf, nm))
+    if not dd:
+        return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0)
+    docs = np.concatenate(dd)
+    scores = np.concatenate(ss).astype(np.float64)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    mx = np.full(len(uniq), -np.inf)
+    np.maximum.at(mx, inv, scores)
+    total = np.zeros(len(uniq))
+    np.add.at(total, inv, scores)
+    final = (mx + tie_breaker * (total - mx)).astype(np.float32)
+    d, s = _topk(uniq, final, k)
+    return TopDocs(d, s, len(uniq))
