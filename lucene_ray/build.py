@@ -335,7 +335,10 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
         sorted_vocab = [vocab[i] for i in order]
         n_terms = len(bnd) - 1
         counts = np.diff(bnd)
-        small = counts <= BLOCK_SIZE
+        # strictly below BLOCK_SIZE: an exactly-128 block must go through
+        # encode_term so it carries exact impacts (the merge stage passes
+        # n==128 blocks through untouched and the searcher prunes on them)
+        small = counts < BLOCK_SIZE
         pos_all = None
         pos_pair_bounds = None
         if pos_sorted is not None:

@@ -212,7 +212,8 @@ def _block_upper_bounds(p: TermPostings, sim: "bm25.SimScorer"
     across all blocks of the term (MaxScoreCache.computeMaxScore role)."""
     counts = np.array([len(f) for f in p.imp_freq], dtype=np.int64)
     if counts.sum() == 0:
-        return np.zeros(len(p.n), dtype=np.float32)
+        # no impact metadata → never skip these blocks (conservative)
+        return np.full(len(p.n), np.inf, dtype=np.float32)
     freqs = np.concatenate([np.asarray(f, dtype=np.int64)
                             for f in p.imp_freq if len(f)])
     norms = np.concatenate([m for m, f in zip(p.imp_norm, p.imp_freq)
@@ -220,7 +221,8 @@ def _block_upper_bounds(p: TermPostings, sim: "bm25.SimScorer"
     scores = sim.score(freqs, norms)
     nz = counts > 0
     offs = np.concatenate([[0], np.cumsum(counts[nz])[:-1]])
-    ub = np.zeros(len(p.n), dtype=np.float32)
+    # blocks with no impact pairs get +inf (never skipped — conservative)
+    ub = np.full(len(p.n), np.inf, dtype=np.float32)
     ub[nz] = np.maximum.reduceat(scores, offs) if len(offs) else 0.0
     return ub
 

@@ -528,3 +528,37 @@ def test_keyword_fields(tmp_path_factory, corpus_path, ray_session):
     assert np.all(np.diff(td.scores.astype(np.float64)) <= 0)
     # absent keyword
     assert r.postings("lang:zz") is None
+
+
+def test_exact_block_size_term_has_impacts(tmp_path_factory, ray_session):
+    """A term with df exactly BLOCK_SIZE in one segment must carry exact
+    impact metadata into the final postings (regression: the vectorized
+    small-term path once included ==128 and shipped empty impacts, which
+    block-max pruning would treat as bound 0 → wrongly skipped)."""
+    import pyarrow as pa
+    from lucene_ray.codec import BLOCK_SIZE
+    d = tmp_path_factory.mktemp("b128")
+    cdir = str(d / "c")
+    os.makedirs(cdir)
+    n = BLOCK_SIZE
+    rows = {
+        "repo": ["r"] * (n + 40),
+        "path": [f"p{i:04d}.py" for i in range(n + 40)],
+        "commit": ["c" * 40] * (n + 40),
+        "lang": ["py"] * (n + 40),
+        # "exact128" in exactly the first 128 docs; filler elsewhere
+        "content": [("exact128 pad word " + f"u{i}") if i < n
+                    else ("pad word " + f"u{i}") for i in range(n + 40)],
+    }
+    pq.write_table(pa.table(rows), os.path.join(cdir, "f.parquet"))
+    idx = str(d / "i")
+    build_index(cdir, idx, term_parts=2, salt_group=1)
+    r = IndexReader(idx)
+    p = r.postings("exact128")
+    assert p.df == n
+    full = [b for b in range(len(p.n)) if p.n[b] == BLOCK_SIZE]
+    assert full and all(len(p.imp_freq[b]) > 0 for b in full)
+    a = search_bruteforce(r, "exact128 pad", 10)
+    b = search_blockmax(r, "exact128 pad", 10)
+    np.testing.assert_array_equal(a.doc_ids, b.doc_ids)
+    np.testing.assert_array_equal(a.scores, b.scores)
