@@ -668,6 +668,8 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
             params["term_parts"] = term_parts
         if salt_group:
             params["salt_group"] = salt_group
+        params["with_positions"] = bool(with_positions)
+        params["keyword_fields"] = list(keyword_fields or [])
         bases = np.concatenate([[0], np.cumsum(counts)[:-1]]).tolist()
         plan = {"params": params, "boundaries": [], "mode": "arrival",
                 "files": files, "bucket_counts": counts, "bases": bases,
@@ -682,6 +684,8 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
             params["term_parts"] = term_parts
         if salt_group:
             params["salt_group"] = salt_group
+        params["with_positions"] = bool(with_positions)
+        params["keyword_fields"] = list(keyword_fields or [])
         boundaries = _boundaries_from_sample(sample_keys,
                                              params["num_buckets"])
         nb = len(boundaries) + 1
@@ -699,8 +703,11 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
     bases = plan["bases"]
     counts = plan["bucket_counts"]
     params = plan["params"]
-    params["with_positions"] = bool(with_positions)
-    params["keyword_fields"] = list(keyword_fields or [])
+    # the persisted plan is authoritative on resume — mixing positional and
+    # non-positional (or differently-keyword-fielded) segments would
+    # corrupt the index
+    with_positions = bool(params.get("with_positions", with_positions))
+    keyword_fields = params.get("keyword_fields", keyword_fields) or None
     nb = len(counts)
 
     # --- stage 2: segments (skip finished buckets before the shuffle) ---
@@ -879,10 +886,8 @@ def append_to_index(index_dir: str, new_corpus: str,
     import ray.data
 
     m = load_manifest(index_dir)
-    if m.config.get("with_positions"):
-        with_pos = True
-    else:
-        with_pos = False
+    with_pos = bool(m.config.get("with_positions"))
+    kw_fields = m.config.get("keyword_fields") or None
     files = sorted(
         os.path.join(new_corpus, f) for f in os.listdir(new_corpus)
         if f.endswith(".parquet")) if os.path.isdir(new_corpus) \
@@ -907,7 +912,8 @@ def append_to_index(index_dir: str, new_corpus: str,
          .map_batches(_build_segment_files, batch_format="pyarrow",
                       batch_size=1,
                       fn_kwargs={"index_dir": index_dir,
-                                 "with_positions": with_pos})
+                                 "with_positions": with_pos,
+                                 "keyword_fields": kw_fields})
          .materialize())
 
     # merge ONLY the new segments, into a fresh salt generation

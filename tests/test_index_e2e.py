@@ -562,3 +562,31 @@ def test_exact_block_size_term_has_impacts(tmp_path_factory, ray_session):
     b = search_blockmax(r, "exact128 pad", 10)
     np.testing.assert_array_equal(a.doc_ids, b.doc_ids)
     np.testing.assert_array_equal(a.scores, b.scores)
+
+
+def test_append_preserves_index_config(tmp_path_factory, ray_session):
+    """append_to_index must keep positions AND keyword fields consistent
+    with the original build (read from the manifest, not re-specified)."""
+    from lucene_ray.build import append_to_index
+    d = tmp_path_factory.mktemp("cfg")
+    ca, cb = str(d / "a"), str(d / "b")
+    os.makedirs(ca)
+    os.makedirs(cb)
+    t = generate_corpus(120, seed=13)
+    pq.write_table(t.slice(0, 80), os.path.join(ca, "a.parquet"))
+    pq.write_table(t.slice(80), os.path.join(cb, "b.parquet"))
+    idx = str(d / "i")
+    build_index(ca, idx, term_parts=2, salt_group=1,
+                with_positions=True, keyword_fields=["lang"])
+    append_to_index(idx, cb)
+    r = IndexReader(idx)
+    assert r.doc_count == 120
+    # keyword term present for appended docs too
+    p = r.postings("lang:py")
+    dm = pq.read_table(os.path.join(idx, "docmeta"),
+                       columns=["doc_id", "lang"])
+    n_py = sum(1 for x in dm.column("lang").to_pylist() if x == "py")
+    assert p is not None and p.df == n_py
+    # positions present for appended docs (phrase works across both)
+    from lucene_ray.search import phrase_freqs
+    assert isinstance(phrase_freqs(r, ["return", "value"]), dict)
