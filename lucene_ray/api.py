@@ -55,6 +55,14 @@ class Index:
         """Reopen against the latest committed manifest."""
         return Index(self.index_dir)
 
+    def compact(self) -> "Index":
+        """forceMerge/TieredMergePolicy role: collapse append generations
+        into one partition per term-hash bucket."""
+        from .build import compact_index
+
+        compact_index(self.index_dir)
+        return self.refresh()
+
     # -- search -----------------------------------------------------------
     def search(self, query: str, k: int = 10, *, pruned: bool = True
                ) -> list[Hit]:

@@ -963,3 +963,70 @@ def append_to_index(index_dir: str, new_corpus: str,
     )
     save_manifest(index_dir, manifest)
     return manifest
+
+
+def compact_index(index_dir: str,
+                  merge_concurrency: int | tuple | None = None
+                  ) -> IndexManifest:
+    """Compaction — the TieredMergePolicy/forceMerge role
+    (index/TieredMergePolicy.java:76, IndexWriter.forceMerge): collapse all
+    postings generations (salt groups) of each term-hash bucket into one
+    partition. Full 128-blocks pass through; accumulated tails re-block.
+    Old parts are replaced under a new manifest version (two-phase: new
+    files written first, manifest rename, then old files removed)."""
+    import ray.data
+
+    m = load_manifest(index_dir)
+    T = m.config["term_parts"]
+    old_files = [os.path.join(index_dir, "postings",
+                              f"part={p['part']}.parquet")
+                 for p in m.postings_parts]
+    by_bucket: dict[int, list[str]] = {}
+    for p in m.postings_parts:
+        by_bucket.setdefault(int(p["tbucket"]), []).append(p["part"])
+    # nothing to do if every bucket already has a single generation
+    if all(len(v) <= 1 for v in by_bucket.values()):
+        return m
+
+    gen = max(int(p["salt"]) for p in m.postings_parts) + 1
+    pds = ray.data.read_parquet(old_files,
+                                columns=[k for k, _ in POSTINGS_FIELDS])
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_pylist()
+        tb = _crc_bucket(terms, T)
+        salt = np.full(len(terms), gen, dtype=np.int32)
+        return batch.append_column("tbucket", pa.array(tb, pa.int32())) \
+                    .append_column("salt", pa.array(salt, pa.int32()))
+
+    (pds.map_batches(key_rows, batch_format="pyarrow")
+        .groupby(["tbucket", "salt"])
+        .map_groups(Merger, batch_format="pyarrow",
+                    fn_constructor_args=(index_dir,),
+                    concurrency=merge_concurrency or (1, 8))
+        .materialize())
+
+    # fold lineage: keep only the new generation's parts
+    mlin_dir = os.path.join(index_dir, "_build", "merge_lineage")
+    merge_lineage = []
+    for f in sorted(os.listdir(mlin_dir)):
+        with open(os.path.join(mlin_dir, f)) as fh:
+            rec = json.load(fh)
+        if int(rec["salt"]) == gen:
+            merge_lineage.append(rec)
+        else:
+            os.remove(os.path.join(mlin_dir, f))
+    manifest = IndexManifest(
+        version=m.version + 1, config=m.config, boundaries=m.boundaries,
+        bases=m.bases, bucket_counts=m.bucket_counts,
+        doc_count=m.doc_count, sum_ttf=m.sum_ttf,
+        segments=m.segments, postings_parts=merge_lineage,
+        corpus_fingerprint=m.corpus_fingerprint,
+    )
+    save_manifest(index_dir, manifest)
+    for f in old_files:                 # old generation removed post-commit
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
+    return manifest

@@ -590,3 +590,37 @@ def test_append_preserves_index_config(tmp_path_factory, ray_session):
     # positions present for appended docs (phrase works across both)
     from lucene_ray.search import phrase_freqs
     assert isinstance(phrase_freqs(r, ["return", "value"]), dict)
+
+
+def test_compact_index(tmp_path_factory, ray_session):
+    """compact_index collapses append generations; search is unchanged."""
+    from lucene_ray.build import append_to_index, compact_index
+
+    d = tmp_path_factory.mktemp("cmp")
+    t = generate_corpus(240, seed=17)
+    dirs = []
+    for i in range(3):
+        cd = str(d / f"c{i}")
+        os.makedirs(cd)
+        pq.write_table(t.slice(i * 80, 80), os.path.join(cd, f"f{i}.parquet"))
+        dirs.append(cd)
+    idx = str(d / "i")
+    build_index(dirs[0], idx, term_parts=2, salt_group=1)
+    append_to_index(idx, dirs[1])
+    append_to_index(idx, dirs[2])
+    r0 = IndexReader(idx)
+    before = {q: search_bruteforce(r0, q, 20) for q in QUERIES[:6]}
+    n_parts_before = len(r0.manifest.postings_parts)
+    m = compact_index(idx)
+    assert len(m.postings_parts) < n_parts_before
+    salts = {int(p["salt"]) for p in m.postings_parts}
+    assert len(salts) == 1
+    r1 = IndexReader(idx)
+    assert r1.doc_count == 240
+    assert verify_index(idx)["ok"]
+    for q, a in before.items():
+        b = search_bruteforce(r1, q, 20)
+        np.testing.assert_array_equal(a.doc_ids, b.doc_ids)
+        np.testing.assert_array_equal(a.scores, b.scores)
+        c = search_blockmax(r1, q, 20)
+        np.testing.assert_array_equal(a.doc_ids, c.doc_ids)
