@@ -162,3 +162,24 @@ def test_term_freq_batch_matches_tokenize():
         expect = Counter(tokenize(text))
         assert got.get(d, {}) == dict(expect), (d, text)
         assert lengths[d] == sum(expect.values())
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(st.text(alphabet="abcxyzABZ019 _.,:;'\"-/()\t\n",
+               min_size=0, max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_fastpath_matches_exact_scanner(s):
+    """Differential test: the ASCII regex fast path in term_freq_batch must
+    agree with the exact UAX#29 scanner on arbitrary ASCII input."""
+    from collections import Counter
+
+    from lucene_ray.analysis import term_freq_batch
+
+    terms, tfs, owners, lengths, norms = term_freq_batch([s])
+    got = {t: int(f) for t, f in zip(terms.to_pylist(), tfs)}
+    expect = dict(Counter(tokenize(s)))
+    assert got == expect, s
+    assert lengths[0] == sum(expect.values())

@@ -624,3 +624,18 @@ def test_compact_index(tmp_path_factory, ray_session):
         np.testing.assert_array_equal(a.scores, b.scores)
         c = search_blockmax(r1, q, 20)
         np.testing.assert_array_equal(a.doc_ids, c.doc_ids)
+
+
+def test_build_from_dataset_source(tmp_path_factory, corpus_path,
+                                   ray_session):
+    """build_index accepts any ray.data.Dataset with the corpus schema
+    (e.g. derived from CSV/JSON readers), not just parquet paths."""
+    import ray.data
+    d = str(tmp_path_factory.mktemp("index_ds"))
+    ds = ray.data.read_parquet(corpus_path).map_batches(
+        lambda t: t, batch_format="pyarrow")   # any upstream transform
+    build_index(ds, d, num_buckets=3, term_parts=4, salt_group=1)
+    r = IndexReader(d)
+    assert r.doc_count == N_DOCS
+    a = search_bruteforce(r, "return value", 10)
+    assert len(a.doc_ids) > 0
