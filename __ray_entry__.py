@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_synonym": ft.ft_synonym,
         "ft_dismax": ft.ft_dismax,
         "ft_len_range": ft.ft_len_range,
+        "ft_more_like_this": ft.ft_more_like_this,
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
@@ -106,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_synonym": ft.oracle_synonym_sql(),
         "ft_dismax": ft.oracle_dismax_sql(),
         "ft_len_range": ft.oracle_len_range_sql(),
+        "ft_more_like_this": ft.oracle_more_like_this_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

@@ -781,3 +781,61 @@ def oracle_len_range_sql() -> str:
                     f"WHERE len >= {lo} AND len < {hi}")
     un = "\nUNION ALL\n".join(rows)
     return f"WITH {_CORPUS_CTE}\n{un}"
+
+
+MLT_DOCS = [7, 42, 123]
+
+
+def ft_more_like_this(sf_dir: str) -> pa.Table:
+    """MoreLikeThis → (src_doc, rank, doc_id) top-10 similar docs."""
+    from ..search import more_like_this
+
+    r = reader_for(sf_dir)
+    from ..search import termdict_terms
+    content_terms = _content_only(
+        r, termdict_terms(r)).column("term").to_pylist()
+    src, ranks, docs = [], [], []
+    for d in MLT_DOCS:
+        _, td = more_like_this(r, d, k=10, max_query_terms=5,
+                               candidate_terms=content_terms)
+        for rank, doc in enumerate(td.doc_ids.tolist(), 1):
+            src.append(d)
+            ranks.append(rank)
+            docs.append(doc)
+    return pa.table({"src_doc": pa.array(src, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def oracle_more_like_this_sql() -> str:
+    parts = []
+    score = """CAST(
+      CAST(ln(1 + ((SELECT n_docs FROM stats) - f.df + 0.5) / (f.df + 0.5)) AS REAL)
+      - CAST(ln(1 + ((SELECT n_docs FROM stats) - f.df + 0.5) / (f.df + 0.5)) AS REAL)
+        / (CAST(1.0 AS REAL) + CAST(t.tf AS REAL) *
+           (CAST(1.0 AS REAL) / (CAST(1.2 AS REAL) *
+            (CAST(0.25 AS REAL) + CAST(0.75 AS REAL) * CAST(q.qlen AS REAL) /
+             CAST(CAST((SELECT sum_ttf FROM stats) AS DOUBLE) /
+                  (SELECT n_docs FROM stats) AS REAL)))))
+    AS REAL)"""
+    for d in MLT_DOCS:
+        parts.append(f"""(
+  WITH sel AS (
+    SELECT t.term
+    FROM tf t JOIN df f USING (term)
+    WHERE t.d = {d}
+    ORDER BY t.tf * ln(1 + ((SELECT n_docs FROM stats) - f.df + 0.5)
+                           / (f.df + 0.5)) DESC, t.term ASC
+    LIMIT 5
+  ),
+  totals AS (
+    SELECT t.d, CAST(sum(CAST({score} AS DOUBLE)) AS REAL) AS sc
+    FROM tf t JOIN df f USING (term) JOIN quant q ON q.d = t.d
+    WHERE t.term IN (SELECT term FROM sel) AND t.d != {d}
+    GROUP BY t.d
+  )
+  SELECT {d} AS src_doc,
+         row_number() OVER (ORDER BY sc DESC, d ASC) AS rank, d AS doc_id
+  FROM totals ORDER BY rank LIMIT 10)""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"WITH {_CORPUS_CTE},\n{_QUANT_LEN}\n{un}"

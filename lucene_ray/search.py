@@ -988,3 +988,47 @@ def search_dismax(reader: IndexReader, terms: list[str], k: int = 10,
     final = (mx + tie_breaker * (total - mx)).astype(np.float32)
     d, s = _topk(uniq, final, k)
     return TopDocs(d, s, len(uniq))
+
+
+def more_like_this(reader: IndexReader, doc_id: int, k: int = 10,
+                   max_query_terms: int = 5,
+                   candidate_terms: "list[str] | None" = None
+                   ) -> tuple[list[str], TopDocs]:
+    """MoreLikeThis (queries/src/java/org/apache/lucene/queries/mlt/
+    MoreLikeThis.java): select the doc's most interesting terms by
+    tf·idf (desc, term asc tie-break), build a Boolean SHOULD query,
+    search excluding the source doc. Returns (selected_terms, hits).
+
+    Term selection scans the dictionary for postings containing doc_id —
+    fine for moderate vocabularies; at scale a forward index (docmeta
+    term vectors) would replace the scan.
+    """
+    import math
+
+    td = termdict_terms(reader)
+    terms = td.column("term").to_pylist()
+    dfs = td.column("df").to_numpy()
+    if candidate_terms is not None:
+        cset = set(candidate_terms)
+        pairs = [(t, df) for t, df in zip(terms, dfs) if t in cset]
+        terms = [t for t, _ in pairs]
+        dfs = np.array([df for _, df in pairs], dtype=np.int64)
+    cand: list[tuple[float, str]] = []
+    for t, df in zip(terms, dfs):
+        p = reader.postings(t)
+        d, tf, _, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                    p.tfs_enc, p.norms_enc)
+        pos = np.searchsorted(d, doc_id)
+        if pos < len(d) and d[pos] == doc_id:
+            idf = math.log(1 + (reader.doc_count - int(df) + 0.5)
+                           / (int(df) + 0.5))
+            cand.append((float(tf[pos]) * idf, t))
+    cand.sort(key=lambda x: (-x[0], x[1]))
+    selected = [t for _, t in cand[:max_query_terms]]
+    if not selected:
+        return [], TopDocs(np.empty(0, np.int64),
+                           np.empty(0, np.float32), 0)
+    full = search_bruteforce(reader, " ".join(selected), k + 1)
+    keep = full.doc_ids != doc_id
+    d, s = _topk(full.doc_ids[keep], full.scores[keep], k)
+    return selected, TopDocs(d, s, int(keep.sum()))
