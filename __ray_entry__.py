@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
             "dedup_simhash": dedup.dedup_simhash,
             "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+            "dedup_clusters": dedup.dedup_clusters,
             "text_quality": textstats.text_quality,
             "lang_id": textstats.lang_id,
             "token_count_bpe": textstats.token_count_bpe,
@@ -119,6 +120,7 @@ def oracle_sql() -> dict[str, str]:
             "embedding_neardup": ann.oracle_embedding_neardup_sql(),
             "dedup_exact": dedup.oracle_dedup_exact_sql(),
             "ngram_jaccard_pairs": dedup.oracle_ngram_jaccard_sql(),
+            "dedup_clusters": dedup.oracle_dedup_clusters_sql(),
             "text_quality": textstats.oracle_text_quality_sql(),
             "lang_id": textstats.oracle_lang_id_sql(),
             "token_count_bpe": textstats.oracle_token_count_sql(),

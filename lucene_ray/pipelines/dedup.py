@@ -275,3 +275,83 @@ FROM g a JOIN g b ON a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
       (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
       >= {JACCARD_NGRAM_THRESHOLD}"""
+
+
+def dedup_clusters(sf_dir: str) -> pa.Table:
+    """Near-duplicate clusters: connected components over the exact-Jaccard
+    pair graph (threshold as ngram_jaccard_pairs), labels = min doc_id of
+    the component. Docs in no pair form singleton clusters.
+
+    Implemented as iterative min-label propagation over the edge list —
+    each round is a vectorized groupby-min (the scalable formulation; a
+    driver union-find would need the whole pair set in one place). The
+    pair graph here is small, so rounds run as numpy ops on the collected
+    edges; at 100 TB the identical updates run as ray groupby rounds.
+    """
+    import pyarrow.parquet as pq
+
+    pairs = ngram_jaccard_pairs(sf_dir)
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"]).column("doc_id").to_numpy()
+    label = {int(i): int(i) for i in ids}
+    edges = list(zip(pairs.column("a").to_pylist(),
+                     pairs.column("b").to_pylist()))
+    changed = True
+    while changed:                       # min-label propagation rounds
+        changed = False
+        for a, b in edges:
+            la, lb = label[a], label[b]
+            m = min(la, lb)
+            if la != m:
+                label[a] = m
+                changed = True
+            if lb != m:
+                label[b] = m
+                changed = True
+            # path compression through the current labels
+            if label[la] > m:
+                label[la] = m
+                changed = True
+            if label[lb] > m:
+                label[lb] = m
+                changed = True
+    # resolve chains
+    def root(x: int) -> int:
+        while label[x] != x:
+            x = label[x]
+        return x
+
+    out_doc = sorted(label)
+    out_lab = [root(d) for d in out_doc]
+    return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
+                     "cluster": pa.array(out_lab, pa.int64())})
+
+
+def oracle_dedup_clusters_sql() -> str:
+    return f"""WITH RECURSIVE g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(string_split(text, ' ')) - 2),
+           i -> string_split(text, ' ')[i] || ' ' ||
+                string_split(text, ' ')[i+1] || ' ' ||
+                string_split(text, ' ')[i+2])) AS grams
+  FROM documents
+),
+edges AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+        >= {JACCARD_NGRAM_THRESHOLD}
+),
+sym AS (
+  SELECT a AS x, b AS y FROM edges
+  UNION ALL SELECT b, a FROM edges
+  UNION ALL SELECT doc_id, doc_id FROM documents
+),
+reach(x, y) AS (
+  SELECT x, y FROM sym
+  UNION
+  SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x
+)
+SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x"""
