@@ -494,9 +494,26 @@ class Merger:
             [k for k, _ in POSTINGS_FIELDS])
 
         # 2) tail blocks: decode ALL of them vectorized from the raw-layout
-        #    binary columns, then re-encode per term (the ordered-concat
-        #    k-way merge, MultiTermsEnum.java:32 — ranges are disjoint
-        #    because segment doc ranges are disjoint).
+        #    binary columns, then re-encode per RUN — a run is a maximal
+        #    sequence of tail rows of one term NOT interrupted by a full
+        #    block of that term in (term, first_doc) order. Re-blocking
+        #    across a full block would create blocks whose doc range
+        #    overlaps the full block's range, breaking the "block doc
+        #    ranges disjoint ascending" invariant that decode_blocks,
+        #    searchsorted membership tests and the block-max pruner rely
+        #    on (the ordered-concat k-way merge, MultiTermsEnum.java:32 —
+        #    input ranges are disjoint because segment doc ranges are).
+        tcol = group.column("term").combine_chunks()
+        nall = len(tcol)
+        prev_full = np.concatenate([[False], full_mask[:-1]])
+        prev_term_differs = np.ones(nall, dtype=bool)
+        if nall > 1:
+            prev_term_differs[1:] = pc.not_equal(
+                tcol.slice(1), tcol.slice(0, nall - 1)
+            ).to_numpy(zero_copy_only=False)
+        new_run_all = prev_term_differs | prev_full
+        tail_idx = np.flatnonzero(~full_mask)
+        new_run_tail = new_run_all[tail_idx]
         tails = group.filter(pa.array(~full_mask))
         cols = {k: [] for k, _ in POSTINGS_FIELDS}
         n_terms_tail = 0
@@ -520,12 +537,11 @@ class Merger:
                 [int(x) for x in tails.column("tf_sum").to_pylist()],
                 np.int64)
             terms = tails.column("term").to_pylist()
-            i = 0
             nrow = tails.num_rows
-            while i < nrow:
-                j = i
-                while j < nrow and terms[j] == terms[i]:
-                    j += 1
+            run_bnd = np.concatenate(
+                [np.flatnonzero(new_run_tail), [nrow]])
+            for r in range(len(run_bnd) - 1):
+                i, j = int(run_bnd[r]), int(run_bnd[r + 1])
                 s, e = int(starts_row[i]), int(ends[j - 1])
                 tpos = pos_flat[int(tf_starts[i]):int(tf_ends[j - 1])] \
                     if has_pos else None
@@ -546,7 +562,6 @@ class Merger:
                 cols["tf_sum"].extend((csum[marks] - np.asarray(prev))
                                       .tolist())
                 n_terms_tail += 1
-                i = j
 
         merged_tails = pa.table(
             {k: pa.array(v, t) for (k, t), v in

@@ -59,13 +59,16 @@ def _word_hash64(words: list[str]) -> np.ndarray:
 
 
 def _shingle_hashes(text: str) -> np.ndarray:
-    """Hashes of word 3-shingles of a document (the MinHash input set)."""
+    """Hashes of word 3-shingles of a document (the MinHash input set).
+
+    Docs with fewer than 3 words have NO shingles (matching the SQL
+    oracle, whose gram list is empty and whose Jaccard is then undefined
+    — such docs never pair)."""
     words = text.split()
     if len(words) < _SHINGLE:
-        joined = [" ".join(words)] if words else []
-    else:
-        joined = [" ".join(words[i:i + _SHINGLE])
-                  for i in range(len(words) - _SHINGLE + 1)]
+        return np.empty(0, dtype=np.uint64)
+    joined = [" ".join(words[i:i + _SHINGLE])
+              for i in range(len(words) - _SHINGLE + 1)]
     return np.unique(_word_hash64(joined))
 
 
@@ -115,7 +118,10 @@ def dedup_minhash_lsh(sf_dir: str):
         out_doc, out_band, out_bh = [], [], []
         for doc, text in zip(batch.column("doc_id").to_pylist(),
                              batch.column("text").to_pylist()):
-            sig = _minhash(_shingle_hashes(text or ""))
+            sh = _shingle_hashes(text or "")
+            if len(sh) == 0:      # shingle-less docs never pair (oracle)
+                continue
+            sig = _minhash(sh)
             for b in range(_N_BANDS):
                 band = sig[b * _ROWS_PER_BAND:(b + 1) * _ROWS_PER_BAND]
                 bh = hashlib.blake2b(band.tobytes(),

@@ -77,7 +77,7 @@ def index_dir_for(sf_dir: str) -> str:
         return _INDEX_CACHE[sf_dir]
     doc = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.sha256(
-        f"{sf_dir}:{os.path.getsize(doc)}:v3".encode()).hexdigest()[:12]
+        f"{sf_dir}:{os.path.getsize(doc)}:v4".encode()).hexdigest()[:12]
     idx = os.path.join("/tmp", "lucene_ray_indexes", tag)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         corpus = corpus_from_documents(sf_dir)
@@ -294,16 +294,19 @@ quant AS (
 
 
 def oracle_collection_stats_sql() -> str:
+    # CAST sums to BIGINT: DuckDB sum() yields HUGEINT, which value-hashes
+    # differently from the engine's int64 even when values are equal.
     return f"""WITH {_CORPUS_CTE}
 SELECT (SELECT n_docs FROM stats) AS doc_count,
        (SELECT sum_ttf FROM stats) AS sum_ttf,
-       count(*) AS n_terms, sum(df) AS sum_df
+       count(*) AS n_terms, CAST(sum(df) AS BIGINT) AS sum_df
 FROM df"""
 
 
 def oracle_term_stats_sql() -> str:
     return f"""WITH {_CORPUS_CTE}
-SELECT term, df, ttf FROM df ORDER BY df DESC, term LIMIT 100"""
+SELECT term, df, CAST(ttf AS BIGINT) AS ttf FROM df
+ORDER BY df DESC, term LIMIT 100"""
 
 
 def oracle_docmeta_sql() -> str:

@@ -105,11 +105,11 @@ def join_semi_broadcast(sf_dir: str):
 
     def flt(batch: pa.Table) -> pa.Table:
         ks = ray.get(kref)
+        if len(ks) == 0:                 # empty build side → empty result
+            return batch.slice(0, 0)
         ck = batch.column("o_custkey").to_numpy()
-        idx = np.searchsorted(ks, ck)
-        idx = np.minimum(idx, max(len(ks) - 1, 0))
-        mask = (len(ks) > 0) & (ks[idx] == ck)
-        return batch.filter(pa.array(mask))
+        idx = np.minimum(np.searchsorted(ks, ck), len(ks) - 1)
+        return batch.filter(pa.array(ks[idx] == ck))
 
     return (_read(sf_dir, "orders",
                   ["o_orderkey", "o_custkey", "o_orderpriority"])
@@ -150,8 +150,10 @@ def agg_lineitem_pricing(sf_dir: str):
 
 
 def oracle_lineitem_pricing_sql() -> str:
+    # CAST the sum to BIGINT: DuckDB sum(BIGINT) widens to HUGEINT, which
+    # value-hashes differently from the engine's int64.
     return """SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
        count(*) AS n,
        min(l_extendedprice) AS min_price,
        max(l_extendedprice) AS max_price

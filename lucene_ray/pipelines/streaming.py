@@ -75,6 +75,8 @@ def events_sessionize(sf_dir: str, gap_s: int = 1800):
             n_events=("epoch", "size"),
             start_epoch=("epoch", "min"),
             end_epoch=("epoch", "max"))
+        out = out.astype({"session": "int64", "n_events": "int64",
+                          "start_epoch": "int64", "end_epoch": "int64"})
         out.insert(0, "user_id", g["user_id"].iloc[0])
         return out
 
@@ -84,21 +86,22 @@ def events_sessionize(sf_dir: str, gap_s: int = 1800):
 
 def oracle_sessionize_sql(gap_s: int = 1800) -> str:
     return f"""WITH e AS (
-  SELECT user_id, floor(epoch(ts))::BIGINT AS epoch,
+  SELECT user_id, ts, floor(epoch(ts))::BIGINT AS epoch,
          lag(floor(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts)
            AS prev_epoch
   FROM events
 ),
 marked AS (
-  SELECT user_id, epoch,
+  SELECT user_id, ts, epoch,
          CASE WHEN prev_epoch IS NULL OR epoch - prev_epoch > {gap_s}
               THEN 1 ELSE 0 END AS is_new
   FROM e
 ),
 sessions AS (
   SELECT user_id, epoch,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY epoch
-                           ROWS UNBOUNDED PRECEDING) - 1 AS session
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) - 1
+              AS BIGINT) AS session
   FROM marked
 )
 SELECT user_id, session, count(*) AS n_events,

@@ -564,6 +564,55 @@ def test_exact_block_size_term_has_impacts(tmp_path_factory, ray_session):
     np.testing.assert_array_equal(a.scores, b.scores)
 
 
+def test_merged_blocks_disjoint_doc_ranges(tmp_path_factory, ray_session):
+    """Regression (ADVICE r1, high): when segment A contributes only a tail
+    and a LATER segment B contributes full 128-blocks for the same term,
+    re-blocking A's tail together with B's tail created a block whose doc
+    range overlapped B's full blocks — decode_blocks output was then not
+    doc-sorted and searchsorted membership tests (more_like_this) missed
+    docs. The merger must re-block tails per run (never across a full
+    block of the same term), keeping block doc ranges disjoint ascending
+    as the TermPostings contract states."""
+    import pyarrow as pa
+    from lucene_ray.codec import BLOCK_SIZE, decode_blocks
+    d = tmp_path_factory.mktemp("overlap")
+    cdir = str(d / "c")
+    os.makedirs(cdir)
+
+    def mk(nfile, n):
+        rows = {
+            "repo": ["r"] * n,
+            "path": [f"f{nfile}_{i:04d}.py" for i in range(n)],
+            "commit": ["c" * 40] * n,
+            "lang": ["py"] * n,
+            "content": [f"common filler u{nfile}x{i}" for i in range(n)],
+        }
+        pq.write_table(pa.table(rows),
+                       os.path.join(cdir, f"{nfile}.parquet"))
+
+    mk(0, 50)                      # segment 0: tail only (50 < 128)
+    mk(1, 200)                     # segment 1: one full block + tail
+    idx = str(d / "i")
+    build_index(cdir, idx, term_parts=2, salt_group=4)  # one merge group
+    r = IndexReader(idx)
+    for term in ("common", "filler"):
+        p = r.postings(term)
+        assert p.df == 250
+        # block ranges disjoint ascending
+        assert all(int(p.last_doc[b]) < int(p.first_doc[b + 1])
+                   for b in range(len(p.n) - 1))
+        docs, _, _, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                      p.tfs_enc, p.norms_enc)
+        assert np.all(np.diff(docs) > 0)          # globally doc-sorted
+        np.testing.assert_array_equal(docs, np.arange(250))
+    # the empirical ADVICE failure: a doc inside the overlap region must be
+    # found by the searchsorted membership test (via more_like_this)
+    from lucene_ray.search import more_like_this
+    sel, td = more_like_this(r, 60, k=5, max_query_terms=2)
+    assert "u1x10" in sel          # the doc's own unique term is seen
+    assert len(td.doc_ids) > 0
+
+
 def test_append_preserves_index_config(tmp_path_factory, ray_session):
     """append_to_index must keep positions AND keyword fields consistent
     with the original build (read from the manifest, not re-specified)."""
