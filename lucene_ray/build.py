@@ -206,7 +206,8 @@ def _raw_rows_binary(vals: np.ndarray, n_per_row: np.ndarray, width: int,
 
 def _build_segment(group: pa.Table, index_dir: str, bases: list[int],
                    with_positions: bool = False,
-                   keyword_fields: list[str] | None = None) -> pa.Table:
+                   keyword_fields: list[str] | None = None,
+                   with_term_vectors: bool = False) -> pa.Table:
     """Key-rank mode group UDF: sort the bucket by dockey, docIDs = bucket
     base + rank (deterministic global key rank)."""
     if group.num_rows == 0:
@@ -214,12 +215,14 @@ def _build_segment(group: pa.Table, index_dir: str, bases: list[int],
     seg = int(group.column("bucket")[0].as_py())
     group = group.sort_by([("dockey", "ascending")])
     return _build_segment_core(group, seg, bases[seg], index_dir,
-                               with_positions, keyword_fields=keyword_fields)
+                               with_positions, keyword_fields=keyword_fields,
+                               with_term_vectors=with_term_vectors)
 
 
 def _build_segment_files(batch: pa.Table, index_dir: str,
                          with_positions: bool = False,
-                         keyword_fields: list[str] | None = None) -> pa.Table:
+                         keyword_fields: list[str] | None = None,
+                         with_term_vectors: bool = False) -> pa.Table:
     """Arrival mode task UDF: one input parquet file = one segment, docIDs =
     file base + row index (Lucene's arrival-order docID assignment,
     DocumentsWriterPerThread.java:274) — NO corpus shuffle at all."""
@@ -231,7 +234,8 @@ def _build_segment_files(batch: pa.Table, index_dir: str,
                                            "content"])
         out.append(_build_segment_core(tbl, int(seg), int(base), index_dir,
                                        with_positions, source=path,
-                                       keyword_fields=keyword_fields))
+                                       keyword_fields=keyword_fields,
+                                       with_term_vectors=with_term_vectors))
     return pa.concat_tables(out) if out else _empty_seg_lineage()
 
 

@@ -32,9 +32,12 @@ def _emb_path(sf_dir: str) -> str:
 
 
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """First N vec_ids as the fixed query set — predicate-pushdown read of
+    just those rows (vec_ids are dense from 0), never the full table."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", N_QUERIES)])
     ids = np.asarray(t.column("vec_id").to_numpy(zero_copy_only=False))
     order = np.argsort(ids)[:N_QUERIES]
     q = np.stack([np.asarray(t.column("embedding")[int(i)].as_py(),
@@ -108,9 +111,13 @@ class _IVFAssign:
 
 
 def _train_centroids(sf_dir: str) -> np.ndarray:
+    """Coarse-centroid training on a bounded deterministic sample (first
+    512 vec_ids, predicate-pushdown read) — k-means on a sample is the
+    standard IVF training path; the full table never reaches the driver."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", 512)])
     ids = np.asarray(t.column("vec_id").to_numpy(zero_copy_only=False))
     order = np.argsort(ids)
     emb = np.stack([np.asarray(t.column("embedding")[int(i)].as_py(),
@@ -202,46 +209,70 @@ SELECT query_vec_id, rank, vec_id FROM ranked WHERE rank <= {TOP_K}"""
 NEARDUP_THRESHOLD = 0.5
 
 
-def embedding_neardup_pairs(sf_dir: str) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs (a < b, cosine > threshold):
-    per-batch float64 matmul against the broadcast (normalized) full matrix
-    — at scale the right side becomes LSH/IVF buckets; here the corpus is
-    the matrix."""
+NEARDUP_CHUNK = 4096
+
+
+def embedding_neardup_pairs(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (a < b, cosine > threshold).
+
+    Exact all-pairs as a BLOCKED distributed cross-join: the matrix is cut
+    into normalized chunks (each an object-store ref; the driver streams
+    batches and never holds the full matrix), then one Ray Data task per
+    chunk pair (i <= j) computes a single matmul and emits qualifying
+    pairs. Each task fetches exactly two chunks — nothing broadcasts the
+    full matrix. Exactness over all pairs is inherently O(N²) work; the
+    sub-quadratic path (with recall < 1) is centroid/LSH bucketing as in
+    :func:`ann_ivf_topk` — not used here because the SQL oracle demands
+    every pair (the sf data's only qualifying pair sits at cos 0.513,
+    too close to the 0.5 threshold for bucketing to be safe)."""
     import ray
     import ray.data
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
-    ids = np.asarray(t.column("vec_id").to_numpy(zero_copy_only=False))
-    order = np.argsort(ids)
-    all_ids = ids[order]
-    emb = np.stack(t.column("embedding").to_numpy(zero_copy_only=False)
-                   )[order].astype(np.float64)
-    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-    mref = ray.put((all_ids, emb))
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        aid, mat = ray.get(mref)
-        bids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        be = np.stack(batch.column("embedding").to_numpy(
-            zero_copy_only=False)).astype(np.float64)
-        be = be / np.linalg.norm(be, axis=1, keepdims=True)
-        sims = be @ mat.T
-        ii, jj = np.nonzero(sims > NEARDUP_THRESHOLD)
-        a = bids[ii]
-        b = aid[jj]
-        keep = a < b
-        return pa.table({"a": pa.array(a[keep], pa.int64()),
-                         "b": pa.array(b[keep], pa.int64())})
-
-    import ray.data as rd
-    batches = (rd.read_parquet(_emb_path(sf_dir),
+    chunk_refs = []
+    ds = ray.data.read_parquet(_emb_path(sf_dir),
                                columns=["vec_id", "embedding"])
-               .map_batches(pairs, batch_format="pyarrow")
-               .take_all())
-    # collect to a typed table so an empty result keeps its schema
-    return pa.table({"a": pa.array([r["a"] for r in batches], pa.int64()),
-                     "b": pa.array([r["b"] for r in batches], pa.int64())})
+    for batch in ds.iter_batches(batch_format="pyarrow",
+                                 batch_size=NEARDUP_CHUNK):
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).copy()
+        emb = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        chunk_refs.append(ray.put((ids, emb)))
+    refs_ref = ray.put(chunk_refs)
+
+    def chunk_pair(batch: pa.Table) -> pa.Table:
+        refs = ray.get(refs_ref)
+        out_a, out_b = [], []
+        for i, j in zip(batch.column("i").to_pylist(),
+                        batch.column("j").to_pylist()):
+            aid, ae = ray.get(refs[int(i)])
+            bid, be = ray.get(refs[int(j)])
+            sims = ae @ be.T
+            ii, jj = np.nonzero(sims > NEARDUP_THRESHOLD)
+            a, b = aid[ii], bid[jj]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            keep = lo < hi                    # drop self-pairs (diagonal)
+            out_a.append(lo[keep])
+            out_b.append(hi[keep])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        # i == j blocks see each unordered pair twice → dedupe per task
+        uniq = np.unique(np.stack([a, b], axis=1), axis=0) \
+            if len(a) else np.empty((0, 2), np.int64)
+        return pa.table({"a": pa.array(uniq[:, 0], pa.int64()),
+                         "b": pa.array(uniq[:, 1], pa.int64())})
+
+    n = len(chunk_refs)
+    items = [{"i": i, "j": j} for i in range(n) for j in range(i, n)]
+    out = (ray.data.from_items(items)
+           .map_batches(chunk_pair, batch_format="pyarrow"))
+    # collect the (small, threshold-bounded) RESULT into a typed table so
+    # an empty pair set keeps its schema (Dataset.to_pandas drops columns
+    # on zero rows); the inputs stay distributed.
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    tbls = list(out.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(tbls) if tbls else schema.empty_table()
 
 
 def oracle_embedding_neardup_sql() -> str:

@@ -104,11 +104,89 @@ def dedup_exact(sf_dir: str):
             .groupby("h").map_groups(first, batch_format="pandas"))
 
 
+def _shingle_rows(sf_dir: str):
+    """Exploded (doc_id, sh, sz) rows — the distributed inverted index on
+    shingle hashes. ``sz`` is the doc's shingle-set size, carried on every
+    row so downstream pair aggregation never needs a side lookup."""
+    import ray.data
+
+    def explode(batch: pa.Table) -> pa.Table:
+        out_d, out_h, out_s = [], [], []
+        for doc, text in zip(batch.column("doc_id").to_pylist(),
+                             batch.column("text").to_pylist()):
+            sh = _shingle_hashes(text or "")
+            if len(sh) == 0:
+                continue
+            out_d.append(np.full(len(sh), doc, dtype=np.int64))
+            out_h.append(sh)
+            out_s.append(np.full(len(sh), len(sh), dtype=np.int32))
+        if not out_d:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.uint64()),
+                             "sz": pa.array([], pa.int32())})
+        return pa.table({"doc_id": pa.array(np.concatenate(out_d)),
+                         "sh": pa.array(np.concatenate(out_h)),
+                         "sz": pa.array(np.concatenate(out_s))})
+
+    return _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+
+
+def _jaccard_pairs_ds(shingles, threshold: float, max_df: int | None = None):
+    """Distributed exact word-shingle Jaccard over an inverted index:
+
+    groupby(shingle) → co-occurring doc pairs (a<b, set sizes carried) →
+    groupby(a, b) → intersection = pair count → jaccard filter.
+
+    Exact and complete for any threshold > 0 (a qualifying pair shares at
+    least one shingle). Cost is Σ_sh df(sh)² — at 100 TB set ``max_df`` to
+    skip stop-shingles (documented recall loss near the threshold); left
+    None here for oracle exactness. Nothing materializes on the driver.
+    """
+    from ray.data.aggregate import Count, Min
+
+    def co_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        if len(ids) < 2 or (max_df is not None and len(ids) > max_df):
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "na": np.empty(0, np.int32),
+                                 "nb": np.empty(0, np.int32)})
+        szs = g["sz"].to_numpy()
+        order = np.argsort(ids)
+        ids, szs = ids[order], szs[order]
+        iu, ju = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"a": ids[iu], "b": ids[ju],
+                             "na": szs[iu], "nb": szs[ju]})
+
+    agg = (shingles.groupby("sh").map_groups(co_pairs, batch_format="pandas")
+           .groupby(["a", "b"])
+           .aggregate(Count(alias_name="inter"),
+                      Min("na", alias_name="na"),
+                      Min("nb", alias_name="nb")))
+
+    def jac(batch: pa.Table) -> pa.Table:
+        inter = batch.column("inter").to_numpy().astype(np.float64)
+        na = batch.column("na").to_numpy().astype(np.float64)
+        nb = batch.column("nb").to_numpy().astype(np.float64)
+        j = inter / (na + nb - inter)
+        keep = j >= threshold
+        return pa.table({
+            "a": batch.column("a").cast(pa.int64()).filter(pa.array(keep)),
+            "b": batch.column("b").cast(pa.int64()).filter(pa.array(keep)),
+            "jaccard": pa.array(j[keep], pa.float64()),
+        })
+
+    return agg.map_batches(jac, batch_format="pyarrow")
+
+
 def dedup_minhash_lsh(sf_dir: str):
     """Near-dup pairs (a < b) with exact-Jaccard verification ≥ 0.5.
 
+    Fully distributed (no driver-side corpus reads or take_all):
     shingle → minhash (per batch) → explode (band, band_hash, doc) →
-    groupby(band, band_hash) → candidate pairs → verify exact Jaccard.
+    groupby(band, band_hash) → candidate pairs → semi-join the shingle
+    inverted index down to candidate docs → distributed exact Jaccard →
+    inner-join back to the candidate pair set.
     """
     import ray.data
 
@@ -133,51 +211,39 @@ def dedup_minhash_lsh(sf_dir: str):
                          "band": pa.array(out_band, pa.int32()),
                          "bh": pa.array(out_bh, pa.string())})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(x) for x in g["doc_id"]))
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"a": a, "b": b})
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64)})
+        iu, ju = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
 
-    cand = (ds.map_batches(mh, batch_format="pyarrow")
-            .groupby(["band", "bh"])
-            .map_groups(pairs, batch_format="pandas"))
+    from ray.data.aggregate import Count
 
-    # verify candidates with exact Jaccard (broadcast the shingle sets of
-    # candidate docs — candidate count is LSH-bounded, small)
-    seen = set()
-    cand_rows = []
-    for r in cand.take_all():
-        key = (r["a"], r["b"])
-        if key not in seen:
-            seen.add(key)
-            cand_rows.append(r)
-    need = sorted({r["a"] for r in cand_rows} | {r["b"] for r in cand_rows})
-    texts = {}
-    if need:
-        import pyarrow.parquet as pq
+    P = 8
+    cand_pairs = (ds.map_batches(mh, batch_format="pyarrow")
+                  .groupby(["band", "bh"])
+                  .map_groups(band_pairs, batch_format="pandas")
+                  .groupby(["a", "b"])
+                  .aggregate(Count(alias_name="n_bands")))
 
-        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                          columns=["doc_id", "text"])
-        m = dict(zip(t.column("doc_id").to_pylist(),
-                     t.column("text").to_pylist()))
-        texts = {d: _shingle_hashes(m.get(d) or "") for d in need}
-    out_a, out_b, out_j = [], [], []
-    for r in cand_rows:
-        sa, sb = texts[r["a"]], texts[r["b"]]
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        j = inter / union if union else 1.0
-        if j >= _JACCARD_THRESHOLD:
-            out_a.append(r["a"])
-            out_b.append(r["b"])
-            out_j.append(round(j, 6))
-    return pa.table({"a": pa.array(out_a, pa.int64()),
-                     "b": pa.array(out_b, pa.int64()),
-                     "jaccard": pa.array(out_j, pa.float64())})
+    def pair_docs(batch: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate(
+            [batch.column("a").to_numpy(), batch.column("b").to_numpy()]))
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    cand_docs = (cand_pairs.map_batches(pair_docs, batch_format="pyarrow")
+                 .groupby("doc_id").aggregate(Count(alias_name="c")))
+
+    # distributed semi-join: shingle rows of candidate docs only
+    cand_shingles = (_shingle_rows(sf_dir)
+                     .join(cand_docs, "inner", P, on=("doc_id",))
+                     .select_columns(["doc_id", "sh", "sz"]))
+    jac = _jaccard_pairs_ds(cand_shingles, _JACCARD_THRESHOLD)
+    # keep LSH semantics: only pairs that banded together qualify
+    verified = jac.join(cand_pairs, "inner", P, on=("a", "b"))
+    return verified.select_columns(["a", "b", "jaccard"])
 
 
 def dedup_simhash(sf_dir: str):
@@ -215,52 +281,16 @@ def oracle_dedup_exact_sql() -> str:
 JACCARD_NGRAM_THRESHOLD = 0.4
 
 
-def ngram_jaccard_pairs(sf_dir: str) -> pa.Table:
+def ngram_jaccard_pairs(sf_dir: str):
     """Exact word-3-gram Jaccard near-dup pairs (a < b, jaccard >= 0.4).
 
-    The full shingle-set map is broadcast once (ray.put) and each batch
-    compares its docs against all later docs — exact (needed for the SQL
-    oracle). At 100 TB the candidate space is first cut by the MinHash-LSH
-    banding of :func:`dedup_minhash_lsh`; this operator is the verifier.
+    Distributed shingle inverted index (no all-pairs, no driver-side
+    corpus read): a qualifying pair shares at least one 3-gram, so the
+    groupby(shingle) co-occurrence pairs are a complete candidate set and
+    the per-(a, b) count IS the intersection size — see
+    :func:`_jaccard_pairs_ds`.
     """
-    import ray
-    import ray.data
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                      columns=["doc_id", "text"])
-    ids = t.column("doc_id").to_pylist()
-    sets = {int(i): _shingle_hashes(x or "")
-            for i, x in zip(ids, t.column("text").to_pylist())}
-    sref = ray.put(sets)
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        smap = ray.get(sref)
-        out_a, out_b, out_j = [], [], []
-        for a in batch.column("doc_id").to_pylist():
-            sa = smap[int(a)]
-            for b, sb in smap.items():
-                if b <= a:
-                    continue
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                union = len(sa) + len(sb) - inter
-                j = inter / union if union else 1.0
-                if j >= JACCARD_NGRAM_THRESHOLD:
-                    out_a.append(int(a))
-                    out_b.append(int(b))
-                    out_j.append(j)
-        return pa.table({"a": pa.array(out_a, pa.int64()),
-                         "b": pa.array(out_b, pa.int64()),
-                         "jaccard": pa.array(out_j, pa.float64())})
-
-    rows = (ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
-        .map_batches(pairs, batch_format="pyarrow").take_all())
-    return pa.table({
-        "a": pa.array([r["a"] for r in rows], pa.int64()),
-        "b": pa.array([r["b"] for r in rows], pa.int64()),
-        "jaccard": pa.array([r["jaccard"] for r in rows], pa.float64()),
-    })
+    return _jaccard_pairs_ds(_shingle_rows(sf_dir), JACCARD_NGRAM_THRESHOLD)
 
 
 def oracle_ngram_jaccard_sql() -> str:
@@ -283,54 +313,67 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
       >= {JACCARD_NGRAM_THRESHOLD}"""
 
 
-def dedup_clusters(sf_dir: str) -> pa.Table:
+def dedup_clusters(sf_dir: str):
     """Near-duplicate clusters: connected components over the exact-Jaccard
     pair graph (threshold as ngram_jaccard_pairs), labels = min doc_id of
     the component. Docs in no pair form singleton clusters.
 
-    Implemented as iterative min-label propagation over the edge list —
-    each round is a vectorized groupby-min (the scalable formulation; a
-    driver union-find would need the whole pair set in one place). The
-    pair graph here is small, so rounds run as numpy ops on the collected
-    edges; at 100 TB the identical updates run as ray groupby rounds.
+    Distributed min-label propagation: the label table is a Dataset, each
+    round joins edge endpoints to current labels plus a label-of-label
+    pointer-jumping join (doubling, so chain diameter converges in
+    O(log n) rounds), then a groupby(node).min(label). Convergence is
+    detected with a scalar Sum aggregate (labels only decrease). The label
+    table is materialized once per round — the Pregel-superstep pattern —
+    never collected to the driver.
     """
-    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Min, Sum
 
-    pairs = ngram_jaccard_pairs(sf_dir)
-    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                        columns=["doc_id"]).column("doc_id").to_numpy()
-    label = {int(i): int(i) for i in ids}
-    edges = list(zip(pairs.column("a").to_pylist(),
-                     pairs.column("b").to_pylist()))
-    changed = True
-    while changed:                       # min-label propagation rounds
-        changed = False
-        for a, b in edges:
-            la, lb = label[a], label[b]
-            m = min(la, lb)
-            if la != m:
-                label[a] = m
-                changed = True
-            if lb != m:
-                label[b] = m
-                changed = True
-            # path compression through the current labels
-            if label[la] > m:
-                label[la] = m
-                changed = True
-            if label[lb] > m:
-                label[lb] = m
-                changed = True
-    # resolve chains
-    def root(x: int) -> int:
-        while label[x] != x:
-            x = label[x]
-        return x
+    P = 8
+    edges = (ngram_jaccard_pairs(sf_dir)
+             .select_columns(["a", "b"]).materialize())
 
-    out_doc = sorted(label)
-    out_lab = [root(d) for d in out_doc]
-    return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
-                     "cluster": pa.array(out_lab, pa.int64())})
+    def init_labels(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").cast(pa.int64())
+        return pa.table({"node": ids, "label": ids})
+
+    labels = (ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+        .map_batches(init_labels, batch_format="pyarrow").materialize())
+
+    if edges.count() > 0:
+        prev_sum = None
+        while True:
+            m1 = (edges.join(labels, "inner", P, on=("b",),
+                             right_on=("node",))
+                  .map_batches(lambda t: pa.table(
+                      {"node": t.column("a"), "label": t.column("label")}),
+                      batch_format="pyarrow"))
+            m2 = (edges.join(labels, "inner", P, on=("a",),
+                             right_on=("node",))
+                  .map_batches(lambda t: pa.table(
+                      {"node": t.column("b"), "label": t.column("label")}),
+                      batch_format="pyarrow"))
+            m3 = (labels.join(labels, "inner", P, on=("label",),
+                              right_on=("node",),
+                              left_suffix="_l", right_suffix="_r")
+                  .map_batches(lambda t: pa.table(
+                      {"node": t.column("node"),
+                       "label": t.column("label_r")}),
+                      batch_format="pyarrow"))
+            labels = (labels.union(m1, m2, m3)
+                      .groupby("node")
+                      .aggregate(Min("label", alias_name="label"))
+                      .materialize())
+            s = labels.aggregate(Sum("label"))["sum(label)"]
+            if prev_sum is not None and s == prev_sum:
+                break
+            prev_sum = s
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t.column("node"),
+                            "cluster": t.column("label").cast(pa.int64())}),
+        batch_format="pyarrow")
 
 
 def oracle_dedup_clusters_sql() -> str:
