@@ -243,7 +243,8 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
                         index_dir: str,
                         with_positions: bool = False,
                         source: str = "",
-                        keyword_fields: list[str] | None = None) -> pa.Table:
+                        keyword_fields: list[str] | None = None,
+                        with_term_vectors: bool = False) -> pa.Table:
     t0 = time.time()
     contents = group.column("content").to_pylist()
     n_docs = len(contents)
@@ -291,8 +292,8 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
             if positions is not None:
                 positions = positions + kw_pos
 
-    # --- docmeta ---
-    docmeta = pa.table({
+    # --- docmeta (term-vector columns appended below when enabled) ---
+    docmeta_cols = {
         "doc_id": pa.array(doc_ids, pa.int64()),
         "repo": group.column("repo"),
         "path": group.column("path"),
@@ -301,11 +302,7 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
         "sha256": pa.array(shas, pa.binary(32)),
         "field_len": pa.array(lengths, pa.int32()),
         "norm": pa.array(norms, pa.uint8()),
-    })
-    dm_path = os.path.join(index_dir, "docmeta", f"bucket={seg:05d}.parquet")
-    os.makedirs(os.path.dirname(dm_path), exist_ok=True)
-    pq.write_table(docmeta, dm_path + ".tmp")
-    os.replace(dm_path + ".tmp", dm_path)
+    }
 
     # --- local inverted index: dedup (term, doc) → tf, then encode ---
     # (the per-segment BytesRefHash + FreqProx role,
@@ -313,14 +310,36 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
     n_postings = 0
     n_terms = 0
     cols = {k: [] for k, _ in POSTINGS_FIELDS}
+    tv_arrays = None
     if len(terms_arr) > 0:
         dict_arr = pc.dictionary_encode(terms_arr)
         tok_idx = np.asarray(dict_arr.indices)
-        vocab = dict_arr.dictionary.to_pylist()
-        # rank terms by UTF-8 byte order (== codepoint order)
-        order = sorted(range(len(vocab)), key=lambda i: vocab[i].encode())
+        vocab = dict_arr.dictionary
+        # rank terms by UTF-8 byte order (== codepoint order; Arrow string
+        # sort is byte-lexicographic)
+        order = pc.sort_indices(vocab).to_numpy().astype(np.int64)
         rank_of = np.empty(len(vocab), dtype=np.int64)
-        rank_of[np.array(order)] = np.arange(len(vocab))
+        rank_of[order] = np.arange(len(vocab))
+        if with_term_vectors:
+            # forward index: per-doc (terms, tfs) term vector, content
+            # terms only (pairs [0:n-n_kw)), terms byte-sorted within doc
+            # — the TermVectorsWriter role (index/TermVectorsConsumer),
+            # stored as docmeta list columns for O(doc) MoreLikeThis.
+            n_content = len(tok_idx) - n_kw
+            c_owner = owners[:n_content].astype(np.int64)
+            c_rank = rank_of[tok_idx[:n_content]]
+            srt2 = np.argsort((c_owner << np.int64(32)) | c_rank,
+                              kind="stable")
+            offs = np.concatenate(
+                [[0], np.cumsum(np.bincount(c_owner, minlength=n_docs))]
+            ).astype(np.int32)
+            tv_terms = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()),
+                dict_arr.take(pa.array(srt2)).cast(pa.string()))
+            tv_tfs = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()),
+                pa.array(tfs_arr[:n_content][srt2], pa.int32()))
+            tv_arrays = (tv_terms, tv_tfs)
         # (term, doc) pairs are already unique per doc; sort by (rank, doc)
         key = (rank_of[tok_idx] << np.int64(32)) | owners
         srt = np.argsort(key, kind="stable")
@@ -336,7 +355,7 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
         # term boundaries (term_rank ascending, docs ascending within term)
         bnd = np.concatenate([[0], np.flatnonzero(np.diff(term_rank)) + 1,
                               [len(uniq)]])
-        sorted_vocab = [vocab[i] for i in order]
+        sorted_vocab = vocab.take(pa.array(order)).to_pylist()
         n_terms = len(bnd) - 1
         counts = np.diff(bnd)
         # strictly below BLOCK_SIZE: an exactly-128 block must go through
@@ -438,6 +457,20 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
     os.makedirs(os.path.dirname(sg_path), exist_ok=True)
     pq.write_table(seg_tbl, sg_path + ".tmp")
     os.replace(sg_path + ".tmp", sg_path)
+
+    if with_term_vectors:
+        if tv_arrays is None:          # no tokens at all → empty vectors
+            empty = pa.array([[] for _ in range(n_docs)], pa.list_(pa.string()))
+            empty_tf = pa.array([[] for _ in range(n_docs)],
+                                pa.list_(pa.int32()))
+            tv_arrays = (empty, empty_tf)
+        docmeta_cols["tv_terms"] = tv_arrays[0]
+        docmeta_cols["tv_tfs"] = tv_arrays[1]
+    docmeta = pa.table(docmeta_cols)
+    dm_path = os.path.join(index_dir, "docmeta", f"bucket={seg:05d}.parquet")
+    os.makedirs(os.path.dirname(dm_path), exist_ok=True)
+    pq.write_table(docmeta, dm_path + ".tmp")
+    os.replace(dm_path + ".tmp", dm_path)
 
     sha_xor = np.bitwise_xor.reduce(
         np.frombuffer(b"".join(shas), dtype=np.uint8).reshape(-1, 32), axis=0
@@ -637,6 +670,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                 doc_order: str = "arrival",
                 with_positions: bool = False,
                 keyword_fields: list[str] | None = None,
+                with_term_vectors: bool = False,
                 overwrite: bool = False) -> IndexManifest:
     """Build (or resume building) an index from a corpus.
 
@@ -689,6 +723,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
             params["salt_group"] = salt_group
         params["with_positions"] = bool(with_positions)
         params["keyword_fields"] = list(keyword_fields or [])
+        params["with_term_vectors"] = bool(with_term_vectors)
         bases = np.concatenate([[0], np.cumsum(counts)[:-1]]).tolist()
         plan = {"params": params, "boundaries": [], "mode": "arrival",
                 "files": files, "bucket_counts": counts, "bases": bases,
@@ -705,6 +740,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
             params["salt_group"] = salt_group
         params["with_positions"] = bool(with_positions)
         params["keyword_fields"] = list(keyword_fields or [])
+        params["with_term_vectors"] = bool(with_term_vectors)
         boundaries = _boundaries_from_sample(sample_keys,
                                              params["num_buckets"])
         nb = len(boundaries) + 1
@@ -727,6 +763,8 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
     # corrupt the index
     with_positions = bool(params.get("with_positions", with_positions))
     keyword_fields = params.get("keyword_fields", keyword_fields) or None
+    with_term_vectors = bool(params.get("with_term_vectors",
+                                        with_term_vectors))
     nb = len(counts)
 
     # --- stage 2: segments (skip finished buckets before the shuffle) ---
@@ -746,7 +784,8 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                       batch_size=1,
                       fn_kwargs={"index_dir": index_dir,
                                  "with_positions": with_positions,
-                                 "keyword_fields": keyword_fields})
+                                 "keyword_fields": keyword_fields,
+                                 "with_term_vectors": with_term_vectors})
          .materialize())
     elif todo:
         ds = make_ds().map_batches(_assign_bucket, batch_format="pyarrow",
@@ -762,7 +801,8 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
            .map_groups(_build_segment, batch_format="pyarrow",
                        fn_kwargs={"index_dir": index_dir, "bases": bases,
                                   "with_positions": with_positions,
-                                  "keyword_fields": keyword_fields})
+                                  "keyword_fields": keyword_fields,
+                                  "with_term_vectors": with_term_vectors})
            .materialize())
 
     seg_lineage = []
@@ -851,7 +891,8 @@ def verify_index(index_dir: str) -> dict:
     m = load_manifest(index_dir)
     from ray.data.aggregate import Count, Sum
     try:
-        dm = ray.data.read_parquet(os.path.join(index_dir, "docmeta"))
+        dm = ray.data.read_parquet(os.path.join(index_dir, "docmeta"),
+                                   columns=["field_len"])
         agg = dm.aggregate(Count(), Sum("field_len")) or {}
         pt = ray.data.read_parquet(os.path.join(index_dir, "postings"),
                                    columns=["n", "tf_sum"])
@@ -907,6 +948,7 @@ def append_to_index(index_dir: str, new_corpus: str,
     m = load_manifest(index_dir)
     with_pos = bool(m.config.get("with_positions"))
     kw_fields = m.config.get("keyword_fields") or None
+    with_tv = bool(m.config.get("with_term_vectors"))
     files = sorted(
         os.path.join(new_corpus, f) for f in os.listdir(new_corpus)
         if f.endswith(".parquet")) if os.path.isdir(new_corpus) \
@@ -932,7 +974,8 @@ def append_to_index(index_dir: str, new_corpus: str,
                       batch_size=1,
                       fn_kwargs={"index_dir": index_dir,
                                  "with_positions": with_pos,
-                                 "keyword_fields": kw_fields})
+                                 "keyword_fields": kw_fields,
+                                 "with_term_vectors": with_tv})
          .materialize())
 
     # merge ONLY the new segments, into a fresh salt generation

@@ -77,12 +77,13 @@ def index_dir_for(sf_dir: str) -> str:
         return _INDEX_CACHE[sf_dir]
     doc = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.sha256(
-        f"{sf_dir}:{os.path.getsize(doc)}:v4".encode()).hexdigest()[:12]
+        f"{sf_dir}:{os.path.getsize(doc)}:v5".encode()).hexdigest()[:12]
     idx = os.path.join("/tmp", "lucene_ray_indexes", tag)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         corpus = corpus_from_documents(sf_dir)
         build_index(corpus, idx, with_positions=True,
-                    keyword_fields=["repo", "lang"])
+                    keyword_fields=["repo", "lang"],
+                    with_term_vectors=True)
     _INDEX_CACHE[sf_dir] = idx
     return idx
 
@@ -790,17 +791,14 @@ MLT_DOCS = [7, 42, 123]
 
 
 def ft_more_like_this(sf_dir: str) -> pa.Table:
-    """MoreLikeThis → (src_doc, rank, doc_id) top-10 similar docs."""
+    """MoreLikeThis → (src_doc, rank, doc_id) top-10 similar docs.
+    O(doc) via the term-vector forward index (no dictionary scan)."""
     from ..search import more_like_this
 
     r = reader_for(sf_dir)
-    from ..search import termdict_terms
-    content_terms = _content_only(
-        r, termdict_terms(r)).column("term").to_pylist()
     src, ranks, docs = [], [], []
     for d in MLT_DOCS:
-        _, td = more_like_this(r, d, k=10, max_query_terms=5,
-                               candidate_terms=content_terms)
+        _, td = more_like_this(r, d, k=10, max_query_terms=5)
         for rank, doc in enumerate(td.doc_ids.tolist(), 1):
             src.append(d)
             ranks.append(rank)

@@ -109,6 +109,46 @@ class IndexReader:
             self._postings_cache[term] = out
         return out
 
+    def df(self, term: str) -> int:
+        """Document frequency only — the term-dictionary stats lookup
+        (blocktree per-term stats, ...TermsWriter.java:800) without
+        materializing encoded postings."""
+        tb = zlib.crc32(term.encode()) % self.T
+        df = 0
+        for tbl in self._load_bucket(tb):
+            if isinstance(tbl, str):
+                t = pq.read_table(tbl, columns=["term", "n"],
+                                  filters=[("term", "==", term)])
+                df += int(pc.sum(t.column("n")).as_py() or 0)
+                continue
+            arr = tbl.column("term").combine_chunks()
+            lo = _bisect_term(arr, term, side="left")
+            hi = _bisect_term(arr, term, side="right")
+            if hi > lo:
+                df += int(pc.sum(
+                    tbl.column("n").slice(lo, hi - lo)).as_py())
+        return df
+
+    def term_vector(self, doc_id: int) -> tuple[list[str], np.ndarray]:
+        """Forward-index lookup: the doc's (terms, tfs) term vector from
+        docmeta (TermVectorsReader role). Requires an index built with
+        ``with_term_vectors=True``; the bucket file is located via the
+        manifest's docID bases and read with a predicate-pushdown filter
+        (row-group pruning), O(doc) not O(vocabulary)."""
+        bases = np.asarray(self.manifest.bases, dtype=np.int64)
+        seg = int(np.searchsorted(bases, doc_id, side="right") - 1)
+        path = os.path.join(self.index_dir, "docmeta",
+                            f"bucket={seg:05d}.parquet")
+        t = pq.read_table(path, filters=[("doc_id", "==", doc_id)])
+        if "tv_terms" not in t.column_names:
+            raise ValueError("index was built without term vectors "
+                             "(with_term_vectors=True)")
+        if t.num_rows == 0:
+            raise KeyError(f"doc_id {doc_id} not found")
+        terms = t.column("tv_terms")[0].as_py()
+        tfs = np.asarray(t.column("tv_tfs")[0].as_py(), dtype=np.int64)
+        return terms, tfs
+
     def _postings_uncached(self, term: str) -> TermPostings | None:
         tb = zlib.crc32(term.encode()) % self.T
         rows = []
@@ -999,30 +1039,24 @@ def more_like_this(reader: IndexReader, doc_id: int, k: int = 10,
     tf·idf (desc, term asc tie-break), build a Boolean SHOULD query,
     search excluding the source doc. Returns (selected_terms, hits).
 
-    Term selection scans the dictionary for postings containing doc_id —
-    fine for moderate vocabularies; at scale a forward index (docmeta
-    term vectors) would replace the scan.
+    O(doc): the doc's terms come from the term-vector forward index
+    (reader.term_vector — MoreLikeThis.retrieveTerms' term-vector path,
+    mlt/MoreLikeThis.java interestingTerms); per-term df is a dictionary
+    stats lookup. Requires with_term_vectors=True at build time.
     """
     import math
 
-    td = termdict_terms(reader)
-    terms = td.column("term").to_pylist()
-    dfs = td.column("df").to_numpy()
+    terms, tfs = reader.term_vector(doc_id)
     if candidate_terms is not None:
         cset = set(candidate_terms)
-        pairs = [(t, df) for t, df in zip(terms, dfs) if t in cset]
+        pairs = [(t, tf) for t, tf in zip(terms, tfs) if t in cset]
         terms = [t for t, _ in pairs]
-        dfs = np.array([df for _, df in pairs], dtype=np.int64)
+        tfs = np.array([tf for _, tf in pairs], dtype=np.int64)
     cand: list[tuple[float, str]] = []
-    for t, df in zip(terms, dfs):
-        p = reader.postings(t)
-        d, tf, _, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
-                                    p.tfs_enc, p.norms_enc)
-        pos = np.searchsorted(d, doc_id)
-        if pos < len(d) and d[pos] == doc_id:
-            idf = math.log(1 + (reader.doc_count - int(df) + 0.5)
-                           / (int(df) + 0.5))
-            cand.append((float(tf[pos]) * idf, t))
+    for t, tf in zip(terms, tfs):
+        df = reader.df(t)
+        idf = math.log(1 + (reader.doc_count - df + 0.5) / (df + 0.5))
+        cand.append((float(tf) * idf, t))
     cand.sort(key=lambda x: (-x[0], x[1]))
     selected = [t for _, t in cand[:max_query_terms]]
     if not selected:

@@ -593,7 +593,8 @@ def test_merged_blocks_disjoint_doc_ranges(tmp_path_factory, ray_session):
     mk(0, 50)                      # segment 0: tail only (50 < 128)
     mk(1, 200)                     # segment 1: one full block + tail
     idx = str(d / "i")
-    build_index(cdir, idx, term_parts=2, salt_group=4)  # one merge group
+    build_index(cdir, idx, term_parts=2, salt_group=4,  # one merge group
+                with_term_vectors=True)
     r = IndexReader(idx)
     for term in ("common", "filler"):
         p = r.postings(term)
@@ -605,8 +606,14 @@ def test_merged_blocks_disjoint_doc_ranges(tmp_path_factory, ray_session):
                                       p.tfs_enc, p.norms_enc)
         assert np.all(np.diff(docs) > 0)          # globally doc-sorted
         np.testing.assert_array_equal(docs, np.arange(250))
-    # the empirical ADVICE failure: a doc inside the overlap region must be
-    # found by the searchsorted membership test (via more_like_this)
+    # term-vector forward index: byte-sorted per-doc (terms, tfs)
+    terms, tfs = r.term_vector(60)
+    assert terms == ["common", "filler", "u1x10"]
+    assert tfs.tolist() == [1, 1, 1]
+    assert r.df("common") == 250
+    with pytest.raises(KeyError):
+        r.term_vector(10_000)
+    # more_like_this via the term-vector forward index on this layout
     from lucene_ray.search import more_like_this
     sel, td = more_like_this(r, 60, k=5, max_query_terms=2)
     assert "u1x10" in sel          # the doc's own unique term is seen
