@@ -41,9 +41,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_term_range": ft.ft_term_range,
         "ft_regexp_terms": ft.ft_regexp_terms,
         "ft_phrase": ft.ft_phrase,
+        "ft_phrase_sloppy": ft.ft_phrase_sloppy,
         "ft_bm25_boosted": ft.ft_bm25_boosted,
         "ft_sort_by_field": ft.ft_sort_by_field,
         "ft_fuzzy_terms": ft.ft_fuzzy_terms,
+        "ft_wildcard_docs": ft.ft_wildcard_docs,
+        "ft_fuzzy_docs": ft.ft_fuzzy_docs,
         "ft_facet_lang": ft.ft_facet_lang,
         "ft_keyword_filter": ft.ft_keyword_filter,
         "ft_synonym": ft.ft_synonym,
@@ -71,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_fingerprint": textstats.doc_fingerprint,
             "ann_cosine_topk": ann.ann_cosine_topk,
             "ann_ivf_topk": ann.ann_ivf_topk,
+            "ann_hnsw_topk": ann.ann_hnsw_topk,
             "agg_facet_counts": relational.agg_facet_counts,
             "agg_grouping_topk": relational.agg_grouping_topk,
             "agg_distinct": relational.agg_distinct,
@@ -100,9 +104,12 @@ def oracle_sql() -> dict[str, str]:
         "ft_term_range": ft.oracle_term_range_sql(),
         "ft_regexp_terms": ft.oracle_regexp_terms_sql(),
         "ft_phrase": ft.oracle_phrase_sql(),
+        "ft_phrase_sloppy": ft.oracle_phrase_sloppy_sql(),
         "ft_bm25_boosted": ft.oracle_bm25_boosted_sql(),
         "ft_sort_by_field": ft.oracle_sort_by_field_sql(),
         "ft_fuzzy_terms": ft.oracle_fuzzy_terms_sql(),
+        "ft_wildcard_docs": ft.oracle_wildcard_docs_sql(),
+        "ft_fuzzy_docs": ft.oracle_fuzzy_docs_sql(),
         "ft_facet_lang": ft.oracle_facet_lang_sql(),
         "ft_keyword_filter": ft.oracle_keyword_filter_sql(),
         "ft_synonym": ft.oracle_synonym_sql(),
@@ -126,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
             "token_count_bpe": textstats.oracle_token_count_sql(),
             "ann_cosine_topk": ann.oracle_ann_sql(),
             "ann_ivf_topk": ann.oracle_ann_sql(),
+            "ann_hnsw_topk": ann.oracle_ann_sql(),
             "agg_facet_counts": relational.oracle_facet_counts_sql(),
             "agg_grouping_topk": relational.oracle_grouping_topk_sql(),
             "agg_distinct": relational.oracle_distinct_sql(),

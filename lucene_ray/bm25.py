@@ -92,3 +92,19 @@ def scorer(doc_freq: int, doc_count: int, sum_total_term_freq: int,
     w = np.float32(np.float32(boost) * idf(doc_freq, doc_count))
     avgdl = avg_field_length(sum_total_term_freq, doc_count)
     return SimScorer(weight=w, cache=norm_inverse_cache(avgdl))
+
+
+def scorer_multi(doc_freqs: list[int], doc_count: int,
+                 sum_total_term_freq: int, boost: float = 1.0) -> SimScorer:
+    """Multi-term scorer: idf = sum of the per-term float32 idfs,
+    accumulated in a double and cast to float (BM25Similarity.idfExplain
+    over TermStatistics[], BM25Similarity.java:160-169) — the scorer
+    PhraseQuery/MultiPhraseQuery builds (PhraseQuery.java:441-470).
+    Terms with df == 0 are skipped (PhraseQuery.getStats termUpTo)."""
+    total = np.float64(0.0)
+    for df in doc_freqs:
+        if df > 0:
+            total += np.float64(idf(df, doc_count))
+    w = np.float32(np.float32(boost) * np.float32(total))
+    avgdl = avg_field_length(sum_total_term_freq, doc_count)
+    return SimScorer(weight=w, cache=norm_inverse_cache(avgdl))

@@ -66,6 +66,10 @@ INSET_TERMS = ["vector", "spark", "zzmissing", "window"]
 PHRASES = [(1, ["key", "agg"]), (2, ["slow", "fast"]),
            (3, ["the", "a"]), (4, ["table", "value", "part"]),
            (5, ["zzmissing", "key"])]
+SLOPPY_PHRASES = [(1, ["key", "agg"], 2), (2, ["slow", "fast"], 1),
+                  (3, ["table", "part"], 3),
+                  (4, ["hash", "join", "merge"], 2),
+                  (5, ["zzmissing", "key"], 4)]
 
 _INDEX_CACHE: dict[str, str] = {}
 
@@ -110,25 +114,43 @@ def _content_only(r: IndexReader, t: pa.Table) -> pa.Table:
     return t.filter(mask)
 
 
+def _kw_prefixes(r: IndexReader) -> list[str]:
+    return [f"{f}:" for f in (r.manifest.config.get("keyword_fields") or [])]
+
+
 def ft_collection_stats(sf_dir: str) -> pa.Table:
+    """Collection statistics (IndexSearcher.collectionStatistics) as a
+    distributed aggregate over the postings partitions — the dictionary
+    never materializes on the driver."""
+    from ray.data.aggregate import Count, Sum
+    from ..search import termdict_stats_ds
+
     r = reader_for(sf_dir)
-    td = _content_only(r, termdict_terms(r))
+    dd = termdict_stats_ds(index_dir_for(sf_dir), _kw_prefixes(r))
+    agg = dd.aggregate(Count(), Sum("df"))
     return pa.table({
         "doc_count": pa.array([r.doc_count], pa.int64()),
         "sum_ttf": pa.array([r.sum_ttf], pa.int64()),
-        "n_terms": pa.array([td.num_rows], pa.int64()),
-        "sum_df": pa.array([int(np.sum(td.column("df").to_numpy()))],
-                           pa.int64()),
+        "n_terms": pa.array([int(agg["count()"])], pa.int64()),
+        "sum_df": pa.array([int(agg["sum(df)"])], pa.int64()),
     })
 
 
-def ft_term_stats(sf_dir: str) -> pa.Table:
-    """Top 100 terms by (df desc, term asc) with global df/ttf."""
+def ft_term_stats(sf_dir: str):
+    """Top 100 terms by (df desc, term asc) with global df/ttf — a
+    distributed sort + limit over the dictionary Dataset."""
+    from ..search import termdict_stats_ds
+
     r = reader_for(sf_dir)
-    t = _content_only(r, termdict_terms(r))
-    idx = np.lexsort((np.array(t.column("term").to_pylist()),
-                      -t.column("df").to_numpy()))[:100]
-    return t.take(pa.array(idx, pa.int64()))
+    dd = termdict_stats_ds(index_dir_for(sf_dir), _kw_prefixes(r))
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({"term": t.column("term"),
+                         "df": t.column("df").cast(pa.int64()),
+                         "ttf": t.column("ttf").cast(pa.int64())})
+
+    return (dd.sort(["df", "term"], descending=[True, False]).limit(100)
+            .map_batches(fmt, batch_format="pyarrow"))
 
 
 def ft_docmeta(sf_dir: str):
@@ -471,6 +493,49 @@ w AS (
 {un}"""
 
 
+def ft_phrase_sloppy(sf_dir: str) -> pa.Table:
+    """Sloppy PhraseQuery (slop > 0, SloppyPhraseMatcher.java:189):
+    (qid, doc_id) of docs with at least one slop-valid match. Match
+    EXISTENCE is greedy-order-independent (a doc matches iff some
+    one-position-per-term assignment has offset-adjusted range <= slop),
+    so it is SQL-expressible; the greedy float frequencies are covered by
+    pytest goldens instead."""
+    from ..search import sloppy_phrase_freqs
+
+    r = reader_for(sf_dir)
+    qids, docs = [], []
+    for qid, terms, slop in SLOPPY_PHRASES:
+        fr = sloppy_phrase_freqs(r, terms, slop)
+        for d in sorted(fr):
+            qids.append(qid)
+            docs.append(int(d))
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def oracle_phrase_sloppy_sql() -> str:
+    parts = []
+    for qid, terms, slop in SLOPPY_PHRASES:
+        joins = ["FROM w w0"]
+        conds = [f"w0.word = '{terms[0]}'"]
+        for i in range(1, len(terms)):
+            joins.append(f"JOIN w w{i} ON w{i}.d = w0.d")
+            conds.append(f"w{i}.word = '{terms[i]}'")
+        adj = ", ".join(f"(w{i}.pos - {i})" for i in range(len(terms)))
+        conds.append(f"greatest({adj}) - least({adj}) <= {slop}")
+        parts.append(
+            f"SELECT DISTINCT {qid} AS qid, w0.d AS doc_id\n"
+            + "\n".join(joins) + "\nWHERE " + " AND ".join(conds))
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+w AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+)
+{un}"""
+
+
 BOOSTED_QUERY_SET: list[tuple[int, list[tuple[str, float]], int]] = [
     (1, [("key", 2.0), ("agg", 1.0)], 10),
     (2, [("slow", 1.0), ("fast", 3.0), ("table", 0.5)], 10),
@@ -593,6 +658,113 @@ def oracle_fuzzy_terms_sql() -> str:
                     f"WHERE levenshtein(term, '{q}') <= {d}")
     un = "\nUNION ALL\n".join(rows)
     return f"WITH {_CORPUS_CTE}\n{un}"
+
+
+WILDCARD_DOC_QUERIES = [(1, "val*"), (2, "*tor"), (3, "s?ow"),
+                        (4, "zz*rk")]
+FUZZY_DOC_QUERIES = [(1, "valu", 1), (2, "custmer", 2), (3, "sparc", 1)]
+
+_SCORE_EXPR = """CAST(
+      CAST(ln(1 + ((SELECT n_docs FROM stats) - f.df + 0.5) / (f.df + 0.5)) AS REAL)
+      - CAST(ln(1 + ((SELECT n_docs FROM stats) - f.df + 0.5) / (f.df + 0.5)) AS REAL)
+        / (CAST(1.0 AS REAL) + CAST(t.tf AS REAL) *
+           (CAST(1.0 AS REAL) /
+            (CAST(1.2 AS REAL) *
+             (CAST(0.25 AS REAL) +
+              CAST(0.75 AS REAL) * CAST(q.qlen AS REAL) /
+              CAST(CAST((SELECT sum_ttf FROM stats) AS DOUBLE) /
+                   (SELECT n_docs FROM stats) AS REAL)))))
+    AS REAL)"""
+
+
+def _multiterm_scored_table(r: IndexReader, expansions) -> pa.Table:
+    """SCORING_BOOLEAN_REWRITE execution: each expanded dictionary term
+    becomes one scored SHOULD clause (MultiTermQuery.java
+    SCORING_BOOLEAN_REWRITE) → (qid, rank, doc_id) top-10."""
+    from ..search import search_terms_scored
+
+    qids, ranks, docs = [], [], []
+    for qid, terms in expansions:
+        if terms:
+            td = search_terms_scored(r, terms, 10)
+            for rank, d in enumerate(td.doc_ids.tolist(), 1):
+                qids.append(qid)
+                ranks.append(rank)
+                docs.append(d)
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def ft_wildcard_docs(sf_dir: str) -> pa.Table:
+    """WildcardQuery → scored doc-level results: pattern expands against
+    the dictionary (WildcardQuery.java:38 → AutomatonQuery.java:43), then
+    scores as a Boolean SHOULD of the matched terms."""
+    from ..queryparser import wildcard_to_regex
+    from ..search import termdict_scan
+
+    r = reader_for(sf_dir)
+    exp = []
+    for qid, patt in WILDCARD_DOC_QUERIES:
+        t = _content_only(r, termdict_scan(
+            r, regex=wildcard_to_regex(patt)))
+        exp.append((qid, t.column("term").to_pylist()))
+    return _multiterm_scored_table(r, exp)
+
+
+def ft_fuzzy_docs(sf_dir: str) -> pa.Table:
+    """FuzzyQuery → scored doc-level results (FuzzyQuery.java:52 rewrite
+    to a Boolean of within-distance dictionary terms)."""
+    from ..search import termdict_scan
+
+    r = reader_for(sf_dir)
+    exp = []
+    for qid, q, d in FUZZY_DOC_QUERIES:
+        t = _content_only(r, termdict_scan(r, fuzzy=(q, d)))
+        exp.append((qid, t.column("term").to_pylist()))
+    return _multiterm_scored_table(r, exp)
+
+
+def _oracle_multiterm_scored_sql(preds: list[tuple[int, str]]) -> str:
+    cl = "\n  UNION ALL ".join(
+        f"SELECT {qid} AS qid, term FROM df WHERE {pred}"
+        for qid, pred in preds)
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+cl AS (
+  {cl}
+),
+scored AS (
+  SELECT c.qid, c.term, t.d, {_SCORE_EXPR} AS s
+  FROM cl c
+  JOIN tf t ON t.term = c.term
+  JOIN df f ON f.term = c.term
+  JOIN quant q ON q.d = t.d
+),
+totals AS (
+  SELECT qid, d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+  FROM scored GROUP BY qid, d
+),
+ranked AS (
+  SELECT qid, d, row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, d ASC) AS rank
+  FROM totals
+)
+SELECT qid, rank, d AS doc_id FROM ranked WHERE rank <= 10"""
+
+
+def oracle_wildcard_docs_sql() -> str:
+    preds = []
+    for qid, patt in WILDCARD_DOC_QUERIES:
+        like = patt.replace("*", "%").replace("?", "_")
+        preds.append((qid, f"term LIKE '{like}'"))
+    return _oracle_multiterm_scored_sql(preds)
+
+
+def oracle_fuzzy_docs_sql() -> str:
+    preds = [(qid, f"levenshtein(term, '{q}') <= {d}")
+             for qid, q, d in FUZZY_DOC_QUERIES]
+    return _oracle_multiterm_scored_sql(preds)
 
 
 def ft_facet_lang(sf_dir: str):
@@ -754,28 +926,21 @@ def oracle_dismax_sql() -> str:
 
 
 def ft_len_range(sf_dir: str) -> pa.Table:
-    """PointRangeQuery analogue (search/PointRangeQuery.java:54) over the
-    numeric field_len docvalue: docs with lo <= field_len < hi."""
-    import ray.data
-    import pyarrow.compute as pc
+    """PointRangeQuery (search/PointRangeQuery.java:54) over the numeric
+    field_len docvalue, served by the BKD-role point index
+    (lucene_ray.points): value-sorted parquet with file- and
+    row-group-level range pruning — no full docmeta scan per range."""
+    from ..points import ensure_numeric_index, numeric_range
 
     idx = index_dir_for(sf_dir)
-    ds = ray.data.read_parquet(os.path.join(idx, "docmeta"),
-                               columns=["doc_id", "field_len"])
-    parts = []
+    ensure_numeric_index(idx, "field_len")
+    qids, docs = [], []
     for qid, lo, hi in LEN_RANGES:
-        def flt(batch: pa.Table, lo=lo, hi=hi, qid=qid) -> pa.Table:
-            m = pc.and_(pc.greater_equal(batch.column("field_len"), lo),
-                        pc.less(batch.column("field_len"), hi))
-            sel = batch.filter(m)
-            return pa.table({
-                "qid": pa.array([qid] * sel.num_rows, pa.int64()),
-                "doc_id": sel.column("doc_id"),
-            })
-        parts.extend(ds.map_batches(flt, batch_format="pyarrow").take_all())
-    return pa.table({"qid": pa.array([r["qid"] for r in parts], pa.int64()),
-                     "doc_id": pa.array([r["doc_id"] for r in parts],
-                                        pa.int64())})
+        d, _metrics = numeric_range(idx, "field_len", lo, hi)
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
 
 
 def oracle_len_range_sql() -> str:

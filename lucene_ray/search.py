@@ -307,10 +307,18 @@ def search_bruteforce(reader: IndexReader, query: str, k: int = 10
                       ) -> TopDocs:
     """Brute-force oracle: decode every block of every clause, accumulate
     float32 scores doc-major, full sort — the CheckHits golden path."""
+    return search_terms_scored(reader, parse_query(query), k)
+
+
+def search_terms_scored(reader: IndexReader, terms: list[str], k: int = 10
+                        ) -> TopDocs:
+    """Score a list of SHOULD TermQuery clauses exhaustively — also the
+    SCORING_BOOLEAN_REWRITE target of multi-term queries
+    (MultiTermQuery.java SCORING_BOOLEAN_REWRITE): each expanded term
+    becomes one scored SHOULD clause."""
     if k < 1:
         raise ValueError("k must be >= 1 (TopScoreDocCollector requires "
                          "numHits > 0)")
-    terms = parse_query(query)
     sc = Scorers(reader, terms)
     all_docs, all_scores, all_clause = [], [], []
     nblocks = 0
@@ -588,6 +596,31 @@ def termdict_terms(reader: IndexReader) -> "pa.Table":
     return agg.set_column(1, "df", agg.column("df").cast(_pa.int64()))
 
 
+def termdict_stats_ds(index_dir: str,
+                      exclude_prefixes: list[str] | None = None):
+    """Distributed term-dictionary view: Dataset of (term, df, ttf) from
+    the postings partitions via groupby(term).sum — the Ray-pipeline
+    replacement for driver-side dictionary concatenation (a 100 TB
+    index's dictionary does not fit one process). A term's rows live in
+    exactly one crc32 bucket but possibly several salt generations, so
+    the groupby is required and is the only shuffle."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(os.path.join(index_dir, "postings"),
+                               columns=["term", "n", "tf_sum"])
+    if exclude_prefixes:
+        def flt(t: pa.Table) -> pa.Table:
+            mask = None
+            for p in exclude_prefixes:
+                m = pc.invert(pc.starts_with(t.column("term"), p))
+                mask = m if mask is None else pc.and_(mask, m)
+            return t.filter(mask)
+        ds = ds.map_batches(flt, batch_format="pyarrow")
+    return ds.groupby("term").aggregate(Sum("n", alias_name="df"),
+                                        Sum("tf_sum", alias_name="ttf"))
+
+
 def _edit_distance(a: str, b: str, limit: int) -> int:
     """Bounded Levenshtein distance (FuzzyQuery semantics,
     search/FuzzyQuery.java:52 — unicode edit distance, no transpositions
@@ -608,16 +641,15 @@ def _edit_distance(a: str, b: str, limit: int) -> int:
     return prev[-1]
 
 
-def termdict_scan(reader: IndexReader, *, prefix: str | None = None,
-                  lo: str | None = None, hi: str | None = None,
-                  regex: str | None = None,
-                  fuzzy: tuple[str, int] | None = None) -> "pa.Table":
-    """PrefixQuery / TermRangeQuery / RegexpQuery rewrite support
-    (search/PrefixQuery.java:29, TermRangeQuery.java:37, RegexpQuery.java:44):
-    enumerate matching terms with their stats from the sorted dictionary."""
+def _scan_mask(col: pa.Array, *, prefix=None, lo=None, hi=None,
+               regex=None, fuzzy=None) -> "pa.Array | None":
+    """Vectorized term-predicate mask over one partition's term column.
+
+    Regex runs as an anchored Arrow RE2 kernel (pc.match_substring_regex
+    — the AutomatonQuery/IntersectTermsEnum role) with a Python fallback
+    for non-RE2 syntax; fuzzy prunes by the |len(a)-len(b)| <= d bound
+    (vectorized) before running the bounded DP on the survivors only."""
     import pyarrow.compute as _pc
-    t = termdict_terms(reader)
-    col = t.column("term")
     mask = None
     if prefix is not None:
         mask = _pc.starts_with(col, prefix)
@@ -628,18 +660,61 @@ def termdict_scan(reader: IndexReader, *, prefix: str | None = None,
         m = _pc.less(col, hi)
         mask = m if mask is None else _pc.and_(mask, m)
     if regex is not None:
-        import re as _re
-        rx = _re.compile(regex)
-        vals = col.to_pylist()
-        m = pa.array([rx.fullmatch(v) is not None for v in vals])
+        try:
+            m = _pc.match_substring_regex(col, f"^(?:{regex})$")
+        except pa.ArrowInvalid:          # non-RE2 syntax → Python fallback
+            import re as _re
+            rx = _re.compile(regex)
+            m = pa.array([rx.fullmatch(v) is not None
+                          for v in col.to_pylist()])
         mask = m if mask is None else _pc.and_(mask, m)
     if fuzzy is not None:
         q, maxdist = fuzzy
-        vals = col.to_pylist()
-        m = pa.array([_edit_distance(q, v, maxdist) <= maxdist
-                      for v in vals])
+        ln = _pc.utf8_length(col).to_numpy(zero_copy_only=False)
+        close = np.abs(ln - len(q)) <= maxdist       # length lower bound
+        out = np.zeros(len(col), dtype=bool)
+        for i in np.flatnonzero(close):
+            out[i] = _edit_distance(q, col[int(i)].as_py(),
+                                    maxdist) <= maxdist
+        m = pa.array(out)
         mask = m if mask is None else _pc.and_(mask, m)
-    return t.filter(mask) if mask is not None else t
+    return mask
+
+
+def termdict_scan(reader: IndexReader, *, prefix: str | None = None,
+                  lo: str | None = None, hi: str | None = None,
+                  regex: str | None = None,
+                  fuzzy: tuple[str, int] | None = None) -> "pa.Table":
+    """PrefixQuery / TermRangeQuery / RegexpQuery / FuzzyQuery rewrite
+    support (search/PrefixQuery.java:29, TermRangeQuery.java:37,
+    RegexpQuery.java:44, FuzzyQuery.java:52): enumerate matching terms
+    with their stats. Predicates are pushed into each term-sorted
+    partition (vectorized masks, filter-then-concat) so the full
+    dictionary is never materialized on the caller."""
+    import pyarrow as _pa
+    tbls = []
+    for tb in range(reader.T):
+        for t in reader._load_bucket(tb):
+            if isinstance(t, str):       # lazy big partition: stats cols
+                t = pq.read_table(t, columns=["term", "n", "tf_sum"])
+            else:
+                t = t.select(["term", "n", "tf_sum"])
+            mask = _scan_mask(t.column("term").combine_chunks(),
+                              prefix=prefix, lo=lo, hi=hi, regex=regex,
+                              fuzzy=fuzzy)
+            if mask is not None:
+                t = t.filter(mask)
+            if t.num_rows:
+                tbls.append(t)
+    if not tbls:
+        return _pa.table({"term": _pa.array([], _pa.string()),
+                          "df": _pa.array([], _pa.int64()),
+                          "ttf": _pa.array([], _pa.int64())})
+    allt = _pa.concat_tables(tbls)
+    agg = allt.group_by("term").aggregate([("n", "sum"), ("tf_sum", "sum")])
+    agg = agg.rename_columns(["term", "df", "ttf"]).sort_by(
+        [("term", "ascending")])
+    return agg.set_column(1, "df", agg.column("df").cast(_pa.int64()))
 
 
 # ---------------------------------------------------------------------------
@@ -694,31 +769,132 @@ def phrase_freqs(reader: IndexReader, terms: list[str]) -> dict[int, int]:
     return out
 
 
-def search_phrase(reader: IndexReader, phrase: str, k: int = 10) -> TopDocs:
-    """PhraseQuery: BM25-scored with freq = phrase occurrences and
-    df = number of docs containing the phrase (PhraseWeight builds its
-    scorer from the phrase's own stats)."""
+def _sloppy_freq_doc(pos_lists: list[np.ndarray], slop: int) -> np.float32:
+    """Sloppy phrase frequency of one doc — an exact transcription of the
+    reference's greedy PQ traversal (SloppyPhraseMatcher.java:189-220,
+    nextMatch) for the no-repeating-terms case: always advance the least
+    offset-adjusted PhrasePosition, freq += 1f/(1f+matchLength) per match
+    (sloppyWeight, :184-186), float32 accumulation as in PhraseScorer
+    (PhraseScorer.java:85-95). Greedy is exact for match EXISTENCE but
+    (per the reference's own class javadoc) intentionally approximate
+    for counting — we reproduce its behavior, not an idealized count."""
+    import heapq
+
+    n = len(pos_lists)
+    arrs = [np.asarray(p, dtype=np.int64) for p in pos_lists]
+    idx = [0] * n
+    pos = [int(arrs[i][0]) - i for i in range(n)]     # position - offset
+    end = max(pos)
+    heap = [(pos[i], i, i) for i in range(n)]         # (position, offset, ord)
+    heapq.heapify(heap)
+    positioned = True
+    one = np.float32(1.0)
+    freq = np.float32(0.0)
+
+    def advance(i: int) -> bool:
+        nonlocal end
+        idx[i] += 1
+        if idx[i] >= len(arrs[i]):
+            return False
+        pos[i] = int(arrs[i][idx[i]]) - i
+        if pos[i] > end:
+            end = pos[i]
+        return True
+
+    while positioned:
+        _, _, o = heapq.heappop(heap)
+        match_len = end - pos[o]
+        next_pos = heap[0][0] if heap else pos[o]
+        matched = False
+        while advance(o):
+            if pos[o] > next_pos:
+                heapq.heappush(heap, (pos[o], o, o))
+                if match_len <= slop:
+                    matched = True
+                    break
+                _, _, o = heapq.heappop(heap)
+                next_pos = heap[0][0] if heap else pos[o]
+                match_len = end - pos[o]
+            else:
+                ml2 = end - pos[o]
+                if ml2 < match_len:
+                    match_len = ml2
+        else:
+            positioned = False
+            matched = match_len <= slop
+        if matched:
+            freq = np.float32(freq + one / (one + np.float32(match_len)))
+    return freq
+
+
+def sloppy_phrase_freqs(reader: IndexReader, terms: list[str], slop: int
+                        ) -> dict[int, np.float32]:
+    """Sloppy phrase matching (PhraseQuery with slop > 0): doc → float32
+    sloppy frequency. Candidate docs are the conjunction of all terms'
+    doc sets (ConjunctionUtils.intersectIterators approximation,
+    SloppyPhraseMatcher ctor). Repeating query terms would need the
+    reference's rptGroups machinery (SloppyPhraseMatcher.initComplex)
+    and are rejected."""
+    if len(set(terms)) != len(terms):
+        raise NotImplementedError(
+            "sloppy phrases with repeating terms (rptGroups) unsupported")
+    per_term = []
+    for t in terms:
+        m = _term_positions(reader, t)
+        if m is None:
+            return {}
+        per_term.append(m)
+    docs = set(per_term[0])
+    for m in per_term[1:]:
+        docs &= set(m)
+    out: dict[int, np.float32] = {}
+    for doc in sorted(docs):
+        f = _sloppy_freq_doc([m[doc] for m in per_term], slop)
+        if f > 0:
+            out[doc] = f
+    return out
+
+
+def _phrase_norms(reader: IndexReader, first_term: str,
+                  docs: np.ndarray) -> np.ndarray:
+    """Field norms for a doc set, from the first term's postings (same
+    doc → same field norm)."""
+    norm_map: dict[int, int] = {}
+    p = reader.postings(first_term)
+    for b in range(len(p.n)):
+        d, _, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
+                                p.docs_enc[b], p.tfs_enc[b], p.norms_enc[b])
+        for dd, mm in zip(d, nm):
+            norm_map[int(dd)] = int(mm)
+    return np.array([norm_map[int(d)] for d in docs], dtype=np.uint8)
+
+
+def search_phrase(reader: IndexReader, phrase: str, k: int = 10,
+                  slop: int = 0) -> TopDocs:
+    """PhraseQuery: freq = exact match count (slop=0, weight 1 per match)
+    or greedy sloppy frequency (slop>0, 1/(1+distance) per match); the
+    scorer's idf is the SUM of the query terms' float32 idfs
+    (PhraseQuery.java:441-470 getStats → BM25Similarity.idfExplain over
+    TermStatistics[]), NOT a phrase-level df."""
     if k < 1:
         raise ValueError("k must be >= 1 (TopScoreDocCollector requires "
                          "numHits > 0)")
     terms = parse_query(phrase)
     if not terms:
         return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0)
-    freqs = phrase_freqs(reader, terms)
-    if not freqs:
+    if slop > 0:
+        fr = sloppy_phrase_freqs(reader, terms, slop)
+        tf = np.array([float(fr[d]) for d in sorted(fr)], dtype=np.float32)
+    else:
+        fr = phrase_freqs(reader, terms)
+        tf = np.array([fr[d] for d in sorted(fr)], dtype=np.int64)
+    if not fr:
         return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0)
-    docs = np.array(sorted(freqs), dtype=np.int64)
-    tf = np.array([freqs[int(d)] for d in docs], dtype=np.int64)
-    # norms from the first term's postings (same doc → same field norm)
-    norm_map: dict[int, int] = {}
-    p = reader.postings(terms[0])
-    for b in range(len(p.n)):
-        d, t, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
-                                p.docs_enc[b], p.tfs_enc[b], p.norms_enc[b])
-        for dd, mm in zip(d, nm):
-            norm_map[int(dd)] = int(mm)
-    norms = np.array([norm_map[int(d)] for d in docs], dtype=np.uint8)
-    sim = bm25.scorer(len(docs), reader.doc_count, reader.sum_ttf)
+    docs = np.array(sorted(fr), dtype=np.int64)
+    norms = _phrase_norms(reader, terms[0], docs)
+    dfs = [p.df if (p := reader.postings(t)) is not None else 0
+           for t in terms]
+    sim = bm25.scorer_multi(dfs, reader.doc_count, reader.sum_ttf)
     scores = sim.score(tf, norms)
     d, s = _topk(docs, scores, k)
     return TopDocs(d, s, len(docs))
@@ -731,14 +907,25 @@ def search_after(reader: IndexReader, query: str, k: int,
                  after_score: float, after_doc: int) -> TopDocs:
     """searchAfter paging (search/IndexSearcher.java:576-588,
     TopScoreDocCollector.java:103-111): hits strictly after the pivot in
-    (score desc, docID asc) order. Uses the exhaustive scorer — the pivot
-    filter invalidates the block-max threshold bookkeeping, and paging is
-    latency-insensitive."""
-    td = search_bruteforce(reader, query, k=1 << 62)
+    (score desc, docID asc) order.
+
+    Runs the rank-safe block-max engine with a geometrically growing
+    top-m (k, 4k, 16k, ...) until k qualifying hits beyond the pivot are
+    in hand or the match set is exhausted — page p costs one pruned
+    search at m ≈ p·k instead of materializing and sorting every match.
+    ``total_candidates`` counts qualifying hits within the final top-m
+    (a lower bound, Lucene's GREATER_THAN_OR_EQUAL_TO relation)."""
     a = np.float32(after_score)
-    keep = (td.scores < a) | ((td.scores == a) & (td.doc_ids > after_doc))
-    d, s = _topk(td.doc_ids[keep], td.scores[keep], k)
-    return TopDocs(d, s, int(keep.sum()), td.blocks_decoded, td.blocks_total)
+    m = max(k, 1)
+    while True:
+        td = search_blockmax(reader, query, m)
+        keep = (td.scores < a) | ((td.scores == a) & (td.doc_ids > after_doc))
+        exhausted = len(td.doc_ids) < m
+        if int(keep.sum()) >= k or exhausted:
+            d, s = _topk(td.doc_ids[keep], td.scores[keep], k)
+            return TopDocs(d, s, int(keep.sum()), td.blocks_decoded,
+                           td.blocks_total)
+        m *= 4
 
 
 def parse_boosted(query: str) -> list[tuple[str, float]]:
@@ -877,63 +1064,115 @@ def search_sliced(index_dir: str, query: str, k: int = 10,
 # ---------------------------------------------------------------------------
 # Full Boolean execution of parsed classic-syntax queries
 
-def _phrase_doc_scores(reader: IndexReader, terms: list[str], boost: float
-                       ) -> tuple[np.ndarray, np.ndarray]:
-    """Per-doc BM25 scores of a phrase clause (freq = phrase occurrences,
-    df = docs containing the phrase)."""
-    freqs = phrase_freqs(reader, terms)
-    if not freqs:
+def _phrase_doc_scores(reader: IndexReader, terms: list[str], boost: float,
+                       slop: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc BM25 scores of a phrase clause: freq = exact count (slop=0)
+    or greedy sloppy frequency; idf = sum of the terms' idfs
+    (PhraseQuery.getStats semantics)."""
+    if slop > 0:
+        fr = sloppy_phrase_freqs(reader, terms, slop)
+        tf = np.array([float(fr[d]) for d in sorted(fr)], dtype=np.float32)
+    else:
+        fr = phrase_freqs(reader, terms)
+        tf = np.array([fr[d] for d in sorted(fr)], dtype=np.int64)
+    if not fr:
         return np.empty(0, np.int64), np.empty(0, np.float32)
-    docs = np.array(sorted(freqs), dtype=np.int64)
-    tf = np.array([freqs[int(d)] for d in docs], dtype=np.int64)
-    norm_map: dict[int, int] = {}
-    p = reader.postings(terms[0])
-    for b in range(len(p.n)):
-        d, _, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
-                                p.docs_enc[b], p.tfs_enc[b], p.norms_enc[b])
-        for dd, mm in zip(d, nm):
-            norm_map[int(dd)] = int(mm)
-    norms = np.array([norm_map[int(d)] for d in docs], dtype=np.uint8)
-    sim = bm25.scorer(len(docs), reader.doc_count, reader.sum_ttf,
-                      boost=boost)
+    docs = np.array(sorted(fr), dtype=np.int64)
+    norms = _phrase_norms(reader, terms[0], docs)
+    dfs = [p.df if (p := reader.postings(t)) is not None else 0
+           for t in terms]
+    sim = bm25.scorer_multi(dfs, reader.doc_count, reader.sum_ttf,
+                            boost=boost)
     return docs, sim.score(tf, norms)
 
 
-def search_parsed(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
-    """Execute a classic-syntax query (lucene_ray.queryparser) with full
-    BooleanQuery semantics: MUST scores+filters, SHOULD scores, MUST_NOT
-    excludes (search/BooleanQuery.java:40, BooleanWeight)."""
-    if k < 1:
-        raise ValueError("k must be >= 1 (TopScoreDocCollector requires "
-                         "numHits > 0)")
-    from .queryparser import parse
+def _content_terms_only(reader: IndexReader, t: pa.Table) -> pa.Table:
+    """Drop keyword-field 'field:value' terms from a dictionary view —
+    default-field multi-term expansion must not leak keyword terms."""
+    kw = reader.manifest.config.get("keyword_fields") or []
+    mask = None
+    for fld in kw:
+        m = pc.invert(pc.starts_with(t.column("term"), f"{fld}:"))
+        mask = m if mask is None else pc.and_(mask, m)
+    return t.filter(mask) if mask is not None else t
 
-    pq_ = parse(query)
+
+def expand_multiterm(reader: IndexReader, c) -> list[str]:
+    """Rewrite a range/wildcard/fuzzy clause into its matching dictionary
+    terms (the AutomatonQuery/IntersectTermsEnum expansion role)."""
+    if c.kind == "wildcard":
+        from .queryparser import wildcard_to_regex
+        t = _content_terms_only(
+            reader, termdict_scan(reader, regex=wildcard_to_regex(c.text)))
+    elif c.kind == "fuzzy":
+        t = _content_terms_only(
+            reader, termdict_scan(reader, fuzzy=(c.text, c.maxdist)))
+    elif c.kind == "range":
+        # inclusive/exclusive bounds via byte-sentinel shifts: the scan is
+        # [lo, hi) on bytes; x > lo == x >= lo+'\0', x <= hi == x < hi+'\0'
+        lo = c.lo or None
+        hi = c.hi or None
+        if lo is not None and not c.incl_lo:
+            lo += "\x00"
+        if hi is not None and c.incl_hi:
+            hi += "\x00"
+        if c.field_name:
+            pfx = f"{c.field_name}:"
+            t = termdict_scan(reader, prefix=pfx,
+                              lo=pfx + lo if lo else None,
+                              hi=pfx + hi if hi else None)
+        else:
+            t = _content_terms_only(
+                reader, termdict_scan(reader, lo=lo, hi=hi))
+    else:
+        raise ValueError(f"not a multi-term clause: {c.kind}")
+    return t.column("term").to_pylist()
+
+
+def _eval_parsed(reader: IndexReader, pq_) -> tuple[np.ndarray, np.ndarray]:
+    """Evaluate a ParsedQuery with full BooleanQuery semantics
+    (search/BooleanQuery.java:40, BooleanWeight): MUST scores+filters,
+    SHOULD scores, MUST_NOT excludes; nested groups recurse (scores
+    scaled by the group boost — BoostQuery); range/wildcard/fuzzy run
+    with CONSTANT_SCORE_REWRITE semantics (score = boost·1f per doc,
+    MultiTermQuery.java)."""
     scoring = [c for c in pq_.clauses if c.occur in ("MUST", "SHOULD")]
-    must = [c for c in pq_.clauses if c.occur == "MUST"]
     must_not = [c for c in pq_.clauses if c.occur == "MUST_NOT"]
     if not scoring:
-        return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0)
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+
+    def clause_docset(c) -> np.ndarray:
+        """Unscored doc set of a clause (for MUST_NOT / filtering)."""
+        if c.kind == "term":
+            return _term_docset(reader, c.text)
+        d, _ = clause_docs_scores(c)
+        return np.sort(d)
 
     def clause_docs_scores(c) -> tuple[np.ndarray, np.ndarray]:
         if c.kind == "phrase":
             terms = tokenize(c.text)
             if not terms:
                 return np.empty(0, np.int64), np.empty(0, np.float32)
-            return _phrase_doc_scores(reader, terms, c.boost)
+            return _phrase_doc_scores(reader, terms, c.boost, slop=c.slop)
+        if c.kind == "group":
+            d, s = _eval_parsed(reader, c.sub)
+            return d, (s * np.float32(c.boost)).astype(np.float32)
+        if c.kind in ("range", "wildcard", "fuzzy"):
+            terms = expand_multiterm(reader, c)
+            if not terms:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+            docs = np.unique(np.concatenate(
+                [_term_docset(reader, t) for t in terms]))
+            return docs, np.full(len(docs), np.float32(c.boost),
+                                 dtype=np.float32)
         p = reader.postings(c.text)
         if p is None:
             return np.empty(0, np.int64), np.empty(0, np.float32)
         sim = bm25.scorer(p.df, reader.doc_count, reader.sum_ttf,
                           boost=c.boost)
-        dd, ss = [], []
-        for b in range(len(p.n)):
-            d, tf, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
-                                     p.docs_enc[b], p.tfs_enc[b],
-                                     p.norms_enc[b])
-            dd.append(d)
-            ss.append(sim.score(tf, nm))
-        return np.concatenate(dd), np.concatenate(ss)
+        d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                     p.tfs_enc, p.norms_enc)
+        return d, sim.score(tf, nm)
 
     all_d, all_s, all_c = [], [], []
     must_sets: list[np.ndarray] = []
@@ -943,7 +1182,7 @@ def search_parsed(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
         all_s.append(s)
         all_c.append(np.full(len(d), ci, dtype=np.int32))
         if c.occur == "MUST":
-            must_sets.append(d)
+            must_sets.append(np.sort(d))
     uniq, final = _accumulate(np.concatenate(all_d),
                               np.concatenate(all_c),
                               np.concatenate(all_s))
@@ -951,15 +1190,23 @@ def search_parsed(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
     for ds in must_sets:
         keep &= np.isin(uniq, ds, assume_unique=True)
     for c in must_not:
-        if c.kind == "phrase":
-            terms = tokenize(c.text)
-            nd = np.array(sorted(phrase_freqs(reader, terms)),
-                          dtype=np.int64) if terms else np.empty(0, np.int64)
-        else:
-            nd = _term_docset(reader, c.text)
+        nd = clause_docset(c)
         keep &= ~np.isin(uniq, nd, assume_unique=True)
-    d, s = _topk(uniq[keep], final[keep], k)
-    return TopDocs(d, s, int(keep.sum()))
+    return uniq[keep], final[keep]
+
+
+def search_parsed(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
+    """Execute a classic-syntax query (lucene_ray.queryparser): parse,
+    evaluate Boolean semantics recursively, top-k collect."""
+    if k < 1:
+        raise ValueError("k must be >= 1 (TopScoreDocCollector requires "
+                         "numHits > 0)")
+    from .queryparser import parse
+
+    pq_ = parse(query)
+    docs, scores = _eval_parsed(reader, pq_)
+    d, s = _topk(docs, scores, k)
+    return TopDocs(d, s, len(docs))
 
 
 # ---------------------------------------------------------------------------

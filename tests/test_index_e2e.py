@@ -352,6 +352,31 @@ def test_search_after_paging(index_dir, ray_session):
     np.testing.assert_array_equal(page2.scores, full.scores[10:20])
 
 
+@pytest.mark.parametrize("q", ["return", "return value data",
+                               "the a of data value", "zzmissing return"])
+def test_search_after_all_pages(index_dir, q, ray_session):
+    """Every page of the growing-m pruned pager equals brute-force paging,
+    through exhaustion (the last, short page included)."""
+    from lucene_ray.search import search_after
+
+    r = IndexReader(index_dir)
+    full = search_bruteforce(r, q, 1 << 20)
+    k = 7
+    pos = k
+    prev_s, prev_d = (float(full.scores[k - 1]), int(full.doc_ids[k - 1])) \
+        if len(full.doc_ids) >= k else (None, None)
+    while prev_s is not None:
+        page = search_after(r, q, k, prev_s, prev_d)
+        want_d = full.doc_ids[pos:pos + k]
+        want_s = full.scores[pos:pos + k]
+        np.testing.assert_array_equal(page.doc_ids, want_d)
+        np.testing.assert_array_equal(page.scores, want_s)
+        if len(page.doc_ids) < k:
+            break
+        prev_s, prev_d = float(page.scores[-1]), int(page.doc_ids[-1])
+        pos += k
+
+
 def test_boosted_query(index_dir, ray_session):
     from lucene_ray.search import search_boosted
 
@@ -388,6 +413,63 @@ def test_query_parser(ray_session):
     assert ("term", "bar", "SHOULD", 2.0) in kinds
     assert ("term", "x", "MUST", 1.0) in kinds           # x AND y
     assert ("term", "y", "MUST", 1.0) in kinds
+
+
+def test_query_parser_extended(ray_session):
+    from lucene_ray.queryparser import parse
+
+    p = parse('(a b)^2 AND c')
+    assert p.clauses[0].kind == "group" and p.clauses[0].boost == 2.0
+    assert [(s.kind, s.text) for s in p.clauses[0].sub.clauses] == \
+        [("term", "a"), ("term", "b")]
+    assert p.clauses[0].occur == "MUST" and p.clauses[1].occur == "MUST"
+    p = parse('lang:[aa TO bb] content:{c TO d} te?m* fuzz~1 plain~ "a b"~3')
+    kinds = [(c.kind, c.field_name, c.lo, c.hi, c.incl_lo, c.incl_hi,
+              c.maxdist, c.slop) for c in p.clauses]
+    assert kinds[0] == ("range", "lang", "aa", "bb", True, True, 2, 0)
+    assert kinds[1] == ("range", "", "c", "d", False, False, 2, 0)
+    assert p.clauses[2].kind == "wildcard" and p.clauses[2].text == "te?m*"
+    assert p.clauses[3].kind == "fuzzy" and p.clauses[3].maxdist == 1
+    assert p.clauses[4].kind == "fuzzy" and p.clauses[4].maxdist == 2
+    assert p.clauses[5].kind == "phrase" and p.clauses[5].slop == 3
+
+
+def test_search_parsed_extended(index_dir, ray_session):
+    """Grouping, ranges, wildcard and fuzzy execute with the documented
+    semantics on a real index."""
+    from lucene_ray.search import (expand_multiterm, search_parsed,
+                                   termdict_scan, _term_docset)
+    from lucene_ray.queryparser import parse
+
+    r = IndexReader(index_dir)
+    # group with boost 1 == flat query (within float ulp re-accumulation)
+    g = search_parsed(r, "(return value) data", 10)
+    f = search_parsed(r, "return value data", 10)
+    np.testing.assert_array_equal(g.doc_ids, f.doc_ids)
+    np.testing.assert_allclose(g.scores, f.scores, rtol=1e-6)
+    # boosted group doubles the sub contribution
+    b = search_parsed(r, "(return)^2", 10)
+    s1 = search_parsed(r, "return", 10)
+    np.testing.assert_array_equal(b.doc_ids, s1.doc_ids)
+    np.testing.assert_allclose(b.scores, 2.0 * s1.scores, rtol=1e-6)
+    # range: constant-score docs = union of in-range terms' docsets
+    c = parse("[aa TO ac]").clauses[0]
+    terms = expand_multiterm(r, c)
+    assert terms == termdict_scan(r, lo="aa", hi="ac\x00").column(
+        "term").to_pylist()
+    td = search_parsed(r, "[aa TO ac]", 1000)
+    want = np.unique(np.concatenate(
+        [_term_docset(r, t) for t in terms])) if terms else []
+    np.testing.assert_array_equal(np.sort(td.doc_ids), want)
+    assert np.all(td.scores == np.float32(1.0))
+    # wildcard and fuzzy doc sets
+    td = search_parsed(r, "retur*", 50)
+    want = np.unique(_term_docset(r, "return"))
+    assert set(want).issubset(set(td.doc_ids.tolist())) or len(want) > 50
+    # MUST_NOT with a wildcard clause
+    td = search_parsed(r, "value -retur*", 10_000)
+    assert not set(td.doc_ids.tolist()) & set(
+        _term_docset(r, "return").tolist())
 
 
 def test_search_parsed_semantics(tmp_path_factory, corpus_path, ray_session):
@@ -618,6 +700,90 @@ def test_merged_blocks_disjoint_doc_ranges(tmp_path_factory, ray_session):
     sel, td = more_like_this(r, 60, k=5, max_query_terms=2)
     assert "u1x10" in sel          # the doc's own unique term is seen
     assert len(td.doc_ids) > 0
+
+
+def test_sloppy_phrase(tmp_path_factory, ray_session):
+    """Sloppy phrase matcher vs the reference's documented behavior:
+    SloppyPhraseMatcher.java class javadoc — query "a b"~2 on
+    "x a b a y" matches twice (distances 0 and 2) → freq = 1 + 1/3."""
+    import itertools
+    import pyarrow as pa
+    from lucene_ray.search import (phrase_freqs, search_phrase,
+                                   sloppy_phrase_freqs)
+
+    docs = ["x a b a y", "a b c b a", "a y b", "b a", "x y z w a"]
+    d = tmp_path_factory.mktemp("sloppy")
+    cdir = str(d / "c")
+    os.makedirs(cdir)
+    pq.write_table(pa.table({
+        "repo": ["r"] * len(docs),
+        "path": [f"p{i}.py" for i in range(len(docs))],
+        "commit": ["c" * 40] * len(docs),
+        "lang": ["py"] * len(docs),
+        "content": docs,
+    }), os.path.join(cdir, "f.parquet"))
+    idx = str(d / "i")
+    build_index(cdir, idx, term_parts=2, salt_group=1, with_positions=True)
+    r = IndexReader(idx)
+
+    fr = sloppy_phrase_freqs(r, ["a", "b"], 2)
+    third = np.float32(np.float32(1.0) / np.float32(3.0))
+    assert set(fr) == {0, 1, 2, 3}
+    np.testing.assert_equal(fr[0], np.float32(np.float32(1.0) + third))
+    np.testing.assert_equal(fr[1], np.float32(np.float32(1.0) + third))
+    np.testing.assert_equal(fr[2], np.float32(0.5))      # distance 1
+    np.testing.assert_equal(fr[3], third)                # distance 2
+
+    # slop=0 greedy == exact phrase counts
+    for terms in (["a", "b"], ["b", "a"], ["x", "a", "b"]):
+        exact = phrase_freqs(r, terms)
+        sl0 = sloppy_phrase_freqs(r, terms, 0)
+        assert {k: float(v) for k, v in sl0.items()} == \
+            {k: float(v) for k, v in exact.items()}
+
+    # existence == brute-force window check, several phrases and slops
+    def naive_exists(doc, terms, slop):
+        toks = docs[doc].split()
+        plists = [[i - off for i, t in enumerate(toks) if t == q]
+                  for off, q in enumerate(terms)]
+        if any(not p for p in plists):
+            return False
+        return any(max(c) - min(c) <= slop
+                   for c in itertools.product(*plists))
+
+    for terms, slop in [(["a", "b"], 0), (["a", "b"], 1), (["a", "b"], 3),
+                        (["b", "a"], 2), (["x", "b"], 2), (["x", "y", "a"], 4),
+                        (["w", "a"], 0)]:
+        fr = sloppy_phrase_freqs(r, terms, slop)
+        for doc in range(len(docs)):
+            assert (doc in fr) == naive_exists(doc, terms, slop), \
+                (terms, slop, doc)
+
+    with pytest.raises(NotImplementedError):
+        sloppy_phrase_freqs(r, ["a", "a"], 1)
+
+    td = search_phrase(r, "a b", 10, slop=2)
+    assert set(td.doc_ids.tolist()) == {0, 1, 2, 3}
+    assert np.all(np.diff(td.scores) <= 0) or len(td.scores) <= 1
+
+
+def test_numeric_point_index(index_dir, ray_session):
+    """BKD-role point index: numeric_range equals a docmeta column scan
+    and actually prunes row groups for narrow ranges."""
+    from lucene_ray.points import build_numeric_index, numeric_range
+
+    build_numeric_index(index_dir, "field_len", row_group_size=32)
+    dm = pq.read_table(os.path.join(index_dir, "docmeta"),
+                       columns=["doc_id", "field_len"])
+    v = dm.column("field_len").to_numpy()
+    d = dm.column("doc_id").to_numpy()
+    for lo, hi in [(0, 10), (20, 40), (35, 36), (0, 10_000)]:
+        got, metrics = numeric_range(index_dir, "field_len", lo, hi)
+        want = np.sort(d[(v >= lo) & (v < hi)])
+        np.testing.assert_array_equal(got, want)
+        assert metrics["row_groups_read"] <= metrics["row_groups_total"]
+    narrow, m_narrow = numeric_range(index_dir, "field_len", 35, 36)
+    assert m_narrow["row_groups_read"] < m_narrow["row_groups_total"]
 
 
 def test_append_preserves_index_config(tmp_path_factory, ray_session):

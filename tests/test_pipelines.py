@@ -83,6 +83,48 @@ def test_fingerprint_shared_for_duplicate_texts(ray_session):
         assert len({m[i] for i in ids}) == 1
 
 
+def test_hnsw_recall_and_exactness(ray_session):
+    """HNSW: exact top-10 at the operating ef (64) on the sf embeddings,
+    recall@10 >= 0.95 even at a deliberately small ef, deterministic
+    level assignment."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from lucene_ray.pipelines.ann import (HnswGraph, TOP_K, _hnsw_level)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    emb = np.stack(t.column("embedding").to_numpy(
+        zero_copy_only=False)).astype(np.float64)
+    o = np.argsort(ids)
+    ids, emb = ids[o], emb[o]
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    g = HnswGraph(emb, node_ids=ids)
+    inter_lo = total = 0
+    for j in range(8):
+        q = emb[j]
+        sims = emb @ q
+        exact = [int(ids[i]) for i in np.lexsort((ids, -sims))[:TOP_K]]
+        got = [int(ids[n]) for _, n in g.search(q, TOP_K, ef=64)]
+        assert got == exact, j                     # exact at operating ef
+        lo = [int(ids[n]) for _, n in g.search(q, TOP_K, ef=12)]
+        inter_lo += len(set(exact) & set(lo))
+        total += len(exact)
+    assert inter_lo / total >= 0.95                # recall floor at low ef
+    m_l = 1.0 / np.log(16)
+    assert [_hnsw_level(i, m_l) for i in range(50)] == \
+        [_hnsw_level(i, m_l) for i in range(50)]
+    assert max(_hnsw_level(i, m_l) for i in range(500)) >= 1
+
+
+def test_ann_hnsw_driver_entry(ray_session):
+    """Sharded driver entry equals the exact brute-force entry."""
+    from lucene_ray.pipelines.ann import ann_cosine_topk, ann_hnsw_topk
+
+    exact = ann_cosine_topk(SF).to_pydict()
+    hnsw = ann_hnsw_topk(SF).to_pydict()
+    assert hnsw == exact
+
+
 def test_ann_ivf_equals_bruteforce(ray_session):
     from lucene_ray.pipelines.ann import ann_cosine_topk, ann_ivf_topk
 
