@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_dismax": ft.ft_dismax,
         "ft_len_range": ft.ft_len_range,
         "ft_more_like_this": ft.ft_more_like_this,
+        "ft_highlight": ft.ft_highlight,
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
@@ -116,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_dismax": ft.oracle_dismax_sql(),
         "ft_len_range": ft.oracle_len_range_sql(),
         "ft_more_like_this": ft.oracle_more_like_this_sql(),
+        "ft_highlight": ft.oracle_highlight_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

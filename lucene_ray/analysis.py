@@ -366,6 +366,25 @@ def tokenize(text: str, max_token_length: int = MAX_TOKEN_LENGTH) -> list[str]:
     ]
 
 
+def tokenize_with_offsets(text: str,
+                          max_token_length: int = MAX_TOKEN_LENGTH
+                          ) -> tuple[list[str], np.ndarray, np.ndarray]:
+    """StandardAnalyzer with character offsets — the OffsetAttribute
+    surface (analysis/tokenattributes/OffsetAttribute.java; the
+    IndexOptions ..._AND_OFFSETS payload, index/IndexOptions.java:26).
+    Returns (tokens, start_offsets, end_offsets) where offsets are
+    codepoint indices into ``text`` (== Python string indices)."""
+    if not text:
+        return [], np.empty(0, np.int64), np.empty(0, np.int64)
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    cls = _classes(codes)
+    starts, ends = _token_spans(codes, cls, max_token_length)
+    low = _lower_codes(codes)
+    toks = [low[s:e].tobytes().decode("utf-32-le")
+            for s, e in zip(starts, ends)]
+    return toks, starts.astype(np.int64), ends.astype(np.int64)
+
+
 _CHUNK_CHARS = 2_000_000
 
 

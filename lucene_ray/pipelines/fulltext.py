@@ -952,6 +952,117 @@ def oracle_len_range_sql() -> str:
     return f"WITH {_CORPUS_CTE}\n{un}"
 
 
+HIGHLIGHT_QUERIES = [(1, ["key", "agg"], 10), (2, ["vector"], 10),
+                     (3, ["slow", "fast", "table"], 10)]
+
+
+def ft_highlight(sf_dir: str) -> pa.Table:
+    """UnifiedHighlighter role (uhighlight/UnifiedHighlighter.java,
+    OffsetSource.ANALYSIS): BM25 top-k per query, stored text fetched
+    back from the documents table, re-analyzed with offsets, first-match
+    anchored 8-token passage with matched terms tagged.
+    → (qid, doc_id, n_matches, first_offset, snippet)."""
+    import pyarrow.parquet as pq_
+
+    from ..highlight import highlight
+
+    r = reader_for(sf_dir)
+    idx = index_dir_for(sf_dir)
+    qids, docs, nms, offs, snips = [], [], [], [], []
+    for qid, terms, k in HIGHLIGHT_QUERIES:
+        td = search_blockmax(r, " ".join(terms), k)
+        hits = [int(d) for d in td.doc_ids]
+        if not hits:
+            continue
+        dm = pq_.read_table(os.path.join(idx, "docmeta"),
+                            columns=["doc_id", "path"],
+                            filters=[("doc_id", "in", hits)])
+        path_of = dict(zip(dm.column("doc_id").to_pylist(),
+                           dm.column("path").to_pylist()))
+        orig = {d: int(path_of[d][4:12]) for d in hits}
+        dt = pq_.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "text"],
+                            filters=[("doc_id", "in",
+                                      sorted(set(orig.values())))])
+        text_of = dict(zip(dt.column("doc_id").to_pylist(),
+                           dt.column("text").to_pylist()))
+        for d in hits:
+            snip, nm, off = highlight(text_of[orig[d]] or "", terms,
+                                      anchor="first")
+            qids.append(qid)
+            docs.append(d)
+            nms.append(nm)
+            offs.append(off)
+            snips.append(snip)
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "n_matches": pa.array(nms, pa.int64()),
+                     "first_offset": pa.array(offs, pa.int64()),
+                     "snippet": pa.array(snips, pa.string())})
+
+
+def oracle_highlight_sql() -> str:
+    """Snippet reconstruction in SQL — valid because documents.text is
+    single-spaced [a-z ]+ where analyzer tokens == split-on-space and
+    character offsets == join-length arithmetic."""
+    rows = []
+    for qid, terms, k in HIGHLIGHT_QUERIES:
+        for ci, t in enumerate(terms):
+            rows.append(f"({qid}, {ci}, '{t}', {k})")
+    values = ",\n    ".join(rows)
+    parts = []
+    for qid, terms, k in HIGHLIGHT_QUERIES:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        firsts = ", ".join(
+            f"coalesce(list_position(toks, '{t}'), 999999)" for t in terms)
+        parts.append(f"""(
+  SELECT qid, d AS doc_id,
+         len(list_filter(toks, t -> t IN ({tl}))) AS n_matches,
+         CASE WHEN fi > 1
+              THEN len(array_to_string(toks[1:fi - 1], ' ')) + 1
+              ELSE 0 END AS first_offset,
+         array_to_string(
+           list_transform(toks[st:en],
+             t -> CASE WHEN t IN ({tl})
+                       THEN '<b>' || t || '</b>' ELSE t END), ' ')
+           AS snippet
+  FROM (
+    SELECT h.qid, h.d, h.toks, h.fi,
+           greatest(1, h.fi - 3) AS st,
+           least(len(h.toks), greatest(1, h.fi - 3) + 7) AS en
+    FROM (
+      SELECT r.qid, r.d, string_split(c.text, ' ') AS toks,
+             least({firsts.replace('toks', "string_split(c.text, ' ')")}) AS fi
+      FROM ranked r JOIN corpus c ON c.d = r.d
+      WHERE r.qid = {qid} AND r.rank <= {k}
+    ) h
+  )
+)""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+clauses(qid, clause, term, k) AS (VALUES
+    {values}
+),
+scored AS (
+  SELECT c.qid, c.clause, c.k, t.d, {_SCORE_EXPR} AS s
+  FROM clauses c
+  JOIN tf t ON t.term = c.term
+  JOIN df f ON f.term = c.term
+  JOIN quant q ON q.d = t.d
+),
+totals AS (
+  SELECT qid, k, d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+  FROM scored GROUP BY qid, k, d
+),
+ranked AS (
+  SELECT qid, d, row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, d ASC) AS rank, k
+  FROM totals
+)
+{un}"""
+
+
 MLT_DOCS = [7, 42, 123]
 
 

@@ -767,6 +767,50 @@ def test_sloppy_phrase(tmp_path_factory, ray_session):
     assert np.all(np.diff(td.scores) <= 0) or len(td.scores) <= 1
 
 
+def test_highlight_and_stored_content(tmp_path_factory, ray_session):
+    """Offsets + snippet passages (UnifiedHighlighter role) and
+    stored-content retrieval through segment lineage (arrival mode)."""
+    import pyarrow as pa
+    from lucene_ray.analysis import tokenize_with_offsets
+    from lucene_ray.highlight import highlight, retrieve_content
+
+    text = "The quick brown fox, it jumps over the lazy dog. Fox again!"
+    toks, st, en = tokenize_with_offsets(text)
+    assert toks[:4] == ["the", "quick", "brown", "fox"]
+    for t, a, b in zip(toks, st, en):
+        assert text[a:b].lower() == t
+    snip, nm, off = highlight(text, ["fox"], window=4, lead=1)
+    assert nm == 2 and off == text.lower().index("fox")
+    assert "<b>fox</b>" in snip.lower()
+    # best-window beats first-match when matches cluster later
+    t2 = "a x x x x x x x x x a b a b"
+    s_best, _, _ = highlight(t2, ["a", "b"], window=4, lead=0)
+    assert s_best.count("<b>") >= 3          # dense tail window chosen
+    s_first, _, _ = highlight(t2, ["a", "b"], window=4, lead=0,
+                              anchor="first")
+    assert s_first.startswith("<b>a</b>")
+    assert highlight("nothing here", ["zz"]) == ("", 0, -1)
+
+    # stored-content retrieval: arrival-mode index records source files
+    d = tmp_path_factory.mktemp("stored")
+    cdir = str(d / "c")
+    os.makedirs(cdir)
+    docs = [f"doc number {i} body" for i in range(25)]
+    for half, sl in ((0, slice(0, 10)), (1, slice(10, 25))):
+        pq.write_table(pa.table({
+            "repo": ["r"] * len(docs[sl]),
+            "path": [f"h{half}_{i}.py" for i in range(len(docs[sl]))],
+            "commit": ["c" * 40] * len(docs[sl]),
+            "lang": ["py"] * len(docs[sl]),
+            "content": docs[sl],
+        }), os.path.join(cdir, f"{half}.parquet"))
+    idx = str(d / "i")
+    build_index(cdir, idx, term_parts=2, salt_group=1)
+    r = IndexReader(idx)
+    for did in (0, 9, 10, 24):
+        assert retrieve_content(r, did) == docs[did]
+
+
 def test_numeric_point_index(index_dir, ray_session):
     """BKD-role point index: numeric_range equals a docmeta column scan
     and actually prunes row groups for narrow ranges."""
