@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_regexp_terms": ft.ft_regexp_terms,
         "ft_phrase": ft.ft_phrase,
         "ft_phrase_sloppy": ft.ft_phrase_sloppy,
+        "ft_multi_phrase": ft.ft_multi_phrase,
         "ft_bm25_boosted": ft.ft_bm25_boosted,
         "ft_sort_by_field": ft.ft_sort_by_field,
         "ft_fuzzy_terms": ft.ft_fuzzy_terms,
@@ -54,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_len_range": ft.ft_len_range,
         "ft_more_like_this": ft.ft_more_like_this,
         "ft_highlight": ft.ft_highlight,
+        "ft_deletes_filter": ft.ft_deletes_filter,
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
@@ -106,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_regexp_terms": ft.oracle_regexp_terms_sql(),
         "ft_phrase": ft.oracle_phrase_sql(),
         "ft_phrase_sloppy": ft.oracle_phrase_sloppy_sql(),
+        "ft_multi_phrase": ft.oracle_multi_phrase_sql(),
         "ft_bm25_boosted": ft.oracle_bm25_boosted_sql(),
         "ft_sort_by_field": ft.oracle_sort_by_field_sql(),
         "ft_fuzzy_terms": ft.oracle_fuzzy_terms_sql(),
@@ -118,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_len_range": ft.oracle_len_range_sql(),
         "ft_more_like_this": ft.oracle_more_like_this_sql(),
         "ft_highlight": ft.oracle_highlight_sql(),
+        "ft_deletes_filter": ft.oracle_deletes_filter_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

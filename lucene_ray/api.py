@@ -63,6 +63,23 @@ class Index:
         compact_index(self.index_dir)
         return self.refresh()
 
+    def delete_by_term(self, term: str) -> "Index":
+        """IndexWriter.deleteDocuments(Term): tombstone matching docs
+        (live-docs filtering at search; stats delete-blind until
+        rebuild, as in Lucene)."""
+        from .build import delete_by_term
+
+        delete_by_term(self.index_dir, term)
+        return self.refresh()
+
+    def upsert(self, new_corpus: str) -> "Index":
+        """updateDocument semantics: delete docs keyed (repo, path,
+        commit) present in ``new_corpus``, then append it."""
+        from .build import upsert_documents
+
+        upsert_documents(self.index_dir, new_corpus)
+        return self.refresh()
+
     # -- search -----------------------------------------------------------
     def search(self, query: str, k: int = 10, *, pruned: bool = True
                ) -> list[Hit]:

@@ -1027,6 +1027,77 @@ def append_to_index(index_dir: str, new_corpus: str,
     return manifest
 
 
+def delete_docs(index_dir: str, doc_ids) -> int:
+    """Tombstone a set of docIDs — the live-docs role
+    (codecs/lucene90/Lucene90LiveDocsFormat.java:49): an append-only
+    generation file under ``deletes/``; readers union all generations and
+    filter result doc sets (stats stay delete-blind until rebuild,
+    matching Lucene's semantics before merge). Returns the number of
+    newly deleted docs."""
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    if len(ids) == 0:
+        return 0
+    ddir = os.path.join(index_dir, "deletes")
+    os.makedirs(ddir, exist_ok=True)
+    gen = len([f for f in os.listdir(ddir) if f.endswith(".parquet")])
+    path = os.path.join(ddir, f"gen_{gen:05d}.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}),
+                   path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return len(ids)
+
+
+def delete_by_term(index_dir: str, term: str) -> int:
+    """IndexWriter.deleteDocuments(Term) (index/IndexWriter.java:1844
+    family): tombstone every live doc containing ``term``."""
+    from .search import IndexReader, _term_docset
+
+    r = IndexReader(index_dir)
+    docs = _term_docset(r, term)           # already live-filtered
+    if len(docs) == 0:
+        return 0
+    return delete_docs(index_dir, docs)
+
+
+def upsert_documents(index_dir: str, new_corpus: str,
+                     merge_concurrency: int | tuple | None = None
+                     ) -> IndexManifest:
+    """updateDocument semantics (IndexWriter.updateDocument =
+    delete-by-key + add): tombstone existing docs whose (repo, path,
+    commit) key appears in ``new_corpus``, then append the new files as
+    fresh segments."""
+    import ray
+
+    keys = set()
+    files = sorted(
+        os.path.join(new_corpus, f) for f in os.listdir(new_corpus)
+        if f.endswith(".parquet")) if os.path.isdir(new_corpus) \
+        else [new_corpus]
+    for f in files:
+        t = pq.read_table(f, columns=["repo", "path", "commit"])
+        for k in _dockey(t).to_pylist():
+            keys.add(k)
+    import ray.data
+
+    dm = ray.data.read_parquet(os.path.join(index_dir, "docmeta"),
+                               columns=["doc_id", "repo", "path", "commit"])
+    kref = ray.put(keys)
+
+    def match(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        dk = _dockey(batch).to_pylist()
+        mask = np.array([k in ks for k in dk])
+        return pa.table({"doc_id": batch.column("doc_id").filter(
+            pa.array(mask))})
+
+    hit = [r["doc_id"] for r in
+           dm.map_batches(match, batch_format="pyarrow").take_all()]
+    if hit:
+        delete_docs(index_dir, hit)
+    return append_to_index(index_dir, new_corpus,
+                           merge_concurrency=merge_concurrency)
+
+
 def compact_index(index_dir: str,
                   merge_concurrency: int | tuple | None = None
                   ) -> IndexManifest:

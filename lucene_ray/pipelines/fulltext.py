@@ -70,6 +70,10 @@ SLOPPY_PHRASES = [(1, ["key", "agg"], 2), (2, ["slow", "fast"], 1),
                   (3, ["table", "part"], 3),
                   (4, ["hash", "join", "merge"], 2),
                   (5, ["zzmissing", "key"], 4)]
+MULTI_PHRASES = [(1, [["key", "hash"], ["agg"]]),
+                 (2, [["slow", "fast"], ["table", "value"]]),
+                 (3, [["the"], ["a", "data"]]),
+                 (4, [["zzmissing", "vector"], ["key"]])]
 
 _INDEX_CACHE: dict[str, str] = {}
 
@@ -513,6 +517,50 @@ def ft_phrase_sloppy(sf_dir: str) -> pa.Table:
                      "doc_id": pa.array(docs, pa.int64())})
 
 
+def ft_multi_phrase(sf_dir: str) -> pa.Table:
+    """MultiPhraseQuery (search/MultiPhraseQuery.java:54): per-position
+    alternative term sets, exact consecutive matching →
+    (qid, doc_id, freq)."""
+    from ..search import multi_phrase_freqs
+
+    r = reader_for(sf_dir)
+    qids, docs, freqs = [], [], []
+    for qid, sets in MULTI_PHRASES:
+        fr = multi_phrase_freqs(r, sets)
+        for d in sorted(fr):
+            qids.append(qid)
+            docs.append(d)
+            freqs.append(fr[d])
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "freq": pa.array(freqs, pa.int64())})
+
+
+def oracle_multi_phrase_sql() -> str:
+    parts = []
+    for qid, sets in MULTI_PHRASES:
+        joins = ["FROM w w0"]
+        tl0 = ", ".join(f"'{t}'" for t in sets[0])
+        conds = [f"w0.word IN ({tl0})"]
+        for i in range(1, len(sets)):
+            joins.append(f"JOIN w w{i} ON w{i}.d = w0.d "
+                         f"AND w{i}.pos = w0.pos + {i}")
+            tl = ", ".join(f"'{t}'" for t in sets[i])
+            conds.append(f"w{i}.word IN ({tl})")
+        parts.append(
+            f"SELECT {qid} AS qid, w0.d AS doc_id, count(*) AS freq\n"
+            + "\n".join(joins) + "\nWHERE " + " AND ".join(conds)
+            + "\nGROUP BY w0.d")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+w AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+)
+{un}"""
+
+
 def oracle_phrase_sloppy_sql() -> str:
     parts = []
     for qid, terms, slop in SLOPPY_PHRASES:
@@ -954,6 +1002,52 @@ def oracle_len_range_sql() -> str:
 
 HIGHLIGHT_QUERIES = [(1, ["key", "agg"], 10), (2, ["vector"], 10),
                      (3, ["slow", "fast", "table"], 10)]
+
+
+def ft_deletes_filter(sf_dir: str) -> pa.Table:
+    """Live-docs filtering (Lucene90LiveDocsFormat.java:49 role): a
+    filtered-reader view with every lang:de doc tombstoned; Boolean doc
+    sets then exclude deleted docs while stats stay delete-blind
+    (Lucene's pre-merge semantics). → (qid, doc_id)."""
+    from ..search import IndexReader as IR
+    from ..search import _term_docset, search_boolean
+
+    idx = index_dir_for(sf_dir)
+    base = reader_for(sf_dir)
+    dead = _term_docset(base, "lang:de")
+    r = IR(idx, extra_deletes=dead)
+    qids, docs = [], []
+    for qid, kw in ((1, dict(must=["key"])),
+                    (2, dict(must=["table", "value"])),
+                    (3, dict(should=["vector", "spark"]))):
+        d = search_boolean(r, **kw)
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def oracle_deletes_filter_sql() -> str:
+    return """WITH corpus AS (
+  SELECT row_number() OVER (ORDER BY source, printf('doc_%08d.txt', doc_id)) - 1 AS d,
+         text, lang
+  FROM documents
+),
+tok AS (
+  SELECT d, unnest(string_split(text, ' ')) AS term FROM corpus
+),
+live AS (SELECT d FROM corpus WHERE lang != 'de')
+SELECT 1 AS qid, t.d AS doc_id FROM tok t
+WHERE t.term = 'key' AND t.d IN (SELECT d FROM live) GROUP BY t.d
+UNION ALL
+SELECT 2, d FROM (
+  SELECT d FROM tok WHERE term IN ('table', 'value')
+  GROUP BY d HAVING count(DISTINCT term) = 2
+) WHERE d IN (SELECT d FROM live)
+UNION ALL
+SELECT 3, d FROM (
+  SELECT DISTINCT d FROM tok WHERE term IN ('vector', 'spark')
+) WHERE d IN (SELECT d FROM live)"""
 
 
 def ft_highlight(sf_dir: str) -> pa.Table:

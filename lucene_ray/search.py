@@ -70,7 +70,8 @@ class IndexReader:
     ``blocktree/Lucene103BlockTreeTermsWriter.java:364`` — replaced by
     binary search over the partition's term-sorted rows)."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str,
+                 extra_deletes: "np.ndarray | None" = None):
         self.index_dir = index_dir
         self.manifest: IndexManifest = load_manifest(index_dir)
         self.doc_count = self.manifest.doc_count
@@ -84,6 +85,32 @@ class IndexReader:
             self._files.setdefault(int(p["tbucket"]), []).append(
                 os.path.join(index_dir, "postings",
                              f"part={p['part']}.parquet"))
+        # live-docs (Lucene90LiveDocsFormat role): union of on-disk
+        # tombstone generations + an optional reader-level overlay (the
+        # filtered-reader view). Stats (df/docCount/sumTTF) deliberately
+        # IGNORE deletions, exactly like Lucene until segments merge;
+        # only result doc sets are filtered.
+        parts = []
+        ddir = os.path.join(index_dir, "deletes")
+        if os.path.isdir(ddir):
+            for f in sorted(os.listdir(ddir)):
+                if f.endswith(".parquet"):
+                    parts.append(pq.read_table(
+                        os.path.join(ddir, f),
+                        columns=["doc_id"]).column("doc_id").to_numpy())
+        if extra_deletes is not None and len(extra_deletes):
+            parts.append(np.asarray(extra_deletes, dtype=np.int64))
+        self.deleted: np.ndarray = (
+            np.unique(np.concatenate(parts)) if parts
+            else np.empty(0, np.int64))
+
+    def live_mask(self, docs: np.ndarray) -> "np.ndarray | None":
+        """Boolean live-docs mask for a doc array (None = no deletes)."""
+        if len(self.deleted) == 0 or len(docs) == 0:
+            return None
+        pos = np.minimum(np.searchsorted(self.deleted, docs),
+                         len(self.deleted) - 1)
+        return self.deleted[pos] != docs
 
     # partitions smaller than this are cached whole; larger ones are read
     # with parquet row-group predicate pushdown per term lookup (the
@@ -329,8 +356,12 @@ def search_terms_scored(reader: IndexReader, terms: list[str], k: int = 10
         sim = sc.sim[t]
         d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
                                      p.tfs_enc, p.norms_enc)
+        s = sim.score(tf, nm)
+        lm = reader.live_mask(d)
+        if lm is not None:
+            d, s = d[lm], s[lm]
         all_docs.append(d)
-        all_scores.append(sim.score(tf, nm))
+        all_scores.append(s)
         all_clause.append(np.full(len(d), ci, dtype=np.int32))
         nblocks += len(p.n)
     if not all_docs:
@@ -343,8 +374,18 @@ def search_terms_scored(reader: IndexReader, terms: list[str], k: int = 10
     return TopDocs(d, s, len(uniq), nblocks, nblocks)
 
 
-def search_blockmax(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
-    """Block-max MAXSCORE (rank-safe: returns exactly the oracle's top-k)."""
+def search_blockmax(reader: IndexReader, query: str, k: int = 10, *,
+                    lo: int | None = None, hi: int | None = None,
+                    theta0: float | None = None) -> TopDocs:
+    """Block-max MAXSCORE (rank-safe: returns exactly the oracle's top-k).
+
+    ``lo``/``hi`` restrict scoring to docIDs in [lo, hi) — the leaf-slice
+    view. ``theta0`` seeds the competitive threshold with an externally
+    known score lower bound (cross-slice sharing, the
+    search/MaxScoreAccumulator role): docs that cannot strictly beat it
+    are never materialized; exact ties survive (eps margin), so the
+    global TopDocs.merge tie-break by docID stays correct.
+    """
     if k < 1:
         raise ValueError("k must be >= 1 (TopScoreDocCollector requires "
                          "numHits > 0)")
@@ -355,6 +396,27 @@ def search_blockmax(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
                if sc.postings.get(t) is not None]
     if not clauses:
         return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0, 0, 0)
+    t0 = float(theta0) if theta0 is not None else -np.inf
+
+    def range_blocks(p):
+        """Block indices overlapping [lo, hi)."""
+        nb = len(p.n)
+        m = np.ones(nb, dtype=bool)
+        if lo is not None:
+            m &= p.last_doc >= lo
+        if hi is not None:
+            m &= p.first_doc < hi
+        return m
+
+    def range_filter(d, *arrs):
+        if lo is None and hi is None:
+            return (d, *arrs)
+        m = np.ones(len(d), dtype=bool)
+        if lo is not None:
+            m &= d >= lo
+        if hi is not None:
+            m &= d < hi
+        return (d[m], *tuple(a[m] for a in arrs))
 
     ubs: list[np.ndarray] = []
     tmax: list[float] = []
@@ -384,23 +446,24 @@ def search_blockmax(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
         nb = len(p.n)
         remaining_after = suffix[rank + 1]
         if len(cand_lb) >= k:
-            theta = float(np.partition(cand_lb, len(cand_lb) - k)[
-                len(cand_lb) - k])
+            theta = max(t0, float(np.partition(cand_lb, len(cand_lb) - k)[
+                len(cand_lb) - k]))
         else:
-            theta = -np.inf
+            theta = t0
         can_skip_new = (suffix[rank] + eps) < theta
+        rmask = range_blocks(p)
         if can_skip_new:
-            lo = np.searchsorted(cand_docs, p.first_doc, side="left")
-            hi = np.searchsorted(cand_docs, p.last_doc, side="right")
-            need = np.flatnonzero(hi > lo)
+            blo = np.searchsorted(cand_docs, p.first_doc, side="left")
+            bhi = np.searchsorted(cand_docs, p.last_doc, side="right")
+            need = np.flatnonzero((bhi > blo) & rmask)
         elif np.isfinite(theta):
             competitive = (ubs[oi].astype(np.float64)
                            + remaining_after + eps) >= theta
-            lo = np.searchsorted(cand_docs, p.first_doc, side="left")
-            hi = np.searchsorted(cand_docs, p.last_doc, side="right")
-            need = np.flatnonzero(competitive | (hi > lo))
+            blo = np.searchsorted(cand_docs, p.first_doc, side="left")
+            bhi = np.searchsorted(cand_docs, p.last_doc, side="right")
+            need = np.flatnonzero((competitive | (bhi > blo)) & rmask)
         else:
-            need = np.arange(nb)
+            need = np.flatnonzero(rmask)
         if len(need) == 0:
             continue
         bdocs, bscores = [], []
@@ -416,19 +479,21 @@ def search_blockmax(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
             CHUNK = 64
             for cs in range(0, len(order_b), CHUNK):
                 chunk = order_b[cs:cs + CHUNK]
+                th1 = t0
                 if len(scores_seen) >= k:
-                    theta0 = float(np.partition(
+                    th1 = max(th1, float(np.partition(
                         scores_seen, len(scores_seen) - k)[
-                        len(scores_seen) - k])
-                    if (float(ubs[oi][chunk[0]]) + remaining_after + eps
-                            < theta0):
-                        break
+                        len(scores_seen) - k]))
+                if np.isfinite(th1) and (float(ubs[oi][chunk[0]])
+                                         + remaining_after + eps < th1):
+                    break
                 d, tf, nm, _ = decode_blocks(
                     p.first_doc[chunk], p.n[chunk],
                     [p.docs_enc[int(b)] for b in chunk],
                     [p.tfs_enc[int(b)] for b in chunk],
                     [p.norms_enc[int(b)] for b in chunk])
                 s = sim.score(tf, nm)
+                d, s = range_filter(d, s)
                 bdocs.append(d)
                 bscores.append(s)
                 scores_seen = np.concatenate([scores_seen, s])
@@ -443,7 +508,8 @@ def search_blockmax(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
                 [p.tfs_enc[int(b)] for b in need],
                 [p.norms_enc[int(b)] for b in need])
             s = sim.score(tf, nm)
-            if can_skip_new:
+            d, s = range_filter(d, s)
+            if can_skip_new and len(d):
                 # membership via binary search into the sorted candidates
                 pos = np.searchsorted(cand_docs, d)
                 pos = np.minimum(pos, len(cand_docs) - 1)
@@ -456,6 +522,11 @@ def search_blockmax(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
         if len(nd) == 0:
             continue
         ns = np.concatenate(bscores)
+        lm = reader.live_mask(nd)
+        if lm is not None:
+            nd, ns = nd[lm], ns[lm]
+            if len(nd) == 0:
+                continue
         contrib_d.append(nd)
         contrib_c.append(np.full(len(nd), ci, dtype=np.int32))
         contrib_s.append(ns)
@@ -544,7 +615,8 @@ def _term_docset(reader: IndexReader, term: str) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     d, _, _, _ = decode_blocks(p.first_doc, p.n, p.docs_enc, p.tfs_enc,
                                p.norms_enc)
-    return d
+    lm = reader.live_mask(d)
+    return d if lm is None else d[lm]
 
 
 def search_boolean(reader: IndexReader, must: list[str] | None = None,
@@ -737,7 +809,10 @@ def _term_positions(reader: IndexReader, term: str
         if not p.pos_enc[b]:
             raise ValueError("index was built without positions")
         flat, offs = decode_positions(p.pos_enc[b], tf)
+        lm = reader.live_mask(d)
         for i, doc in enumerate(d):
+            if lm is not None and not lm[i]:
+                continue
             out[int(doc)] = flat[offs[i]:offs[i + 1]]
     return out
 
@@ -855,18 +930,81 @@ def sloppy_phrase_freqs(reader: IndexReader, terms: list[str], slop: int
     return out
 
 
-def _phrase_norms(reader: IndexReader, first_term: str,
+def _phrase_norms(reader: IndexReader, first_terms,
                   docs: np.ndarray) -> np.ndarray:
-    """Field norms for a doc set, from the first term's postings (same
-    doc → same field norm)."""
+    """Field norms for a doc set, from the first slot's term postings
+    (same doc → same field norm). ``first_terms``: a term or list of
+    alternative terms — every matching doc contains at least one."""
+    if isinstance(first_terms, str):
+        first_terms = [first_terms]
     norm_map: dict[int, int] = {}
-    p = reader.postings(first_term)
-    for b in range(len(p.n)):
-        d, _, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
-                                p.docs_enc[b], p.tfs_enc[b], p.norms_enc[b])
-        for dd, mm in zip(d, nm):
-            norm_map[int(dd)] = int(mm)
+    for t in first_terms:
+        p = reader.postings(t)
+        if p is None:
+            continue
+        for b in range(len(p.n)):
+            d, _, nm = decode_block(int(p.first_doc[b]), int(p.n[b]),
+                                    p.docs_enc[b], p.tfs_enc[b],
+                                    p.norms_enc[b])
+            for dd, mm in zip(d, nm):
+                norm_map[int(dd)] = int(mm)
     return np.array([norm_map[int(d)] for d in docs], dtype=np.uint8)
+
+
+def multi_phrase_freqs(reader: IndexReader, term_sets: list[list[str]]
+                       ) -> dict[int, int]:
+    """MultiPhraseQuery exact matching (search/MultiPhraseQuery.java:54):
+    at each phrase position a SET of alternative terms; slot positions =
+    union of the member terms' positions (the UnionPostingsEnum role);
+    freq = number of consecutive-position matches."""
+    per_slot: list[dict[int, np.ndarray]] = []
+    for ts in term_sets:
+        maps = [m for t in ts
+                if (m := _term_positions(reader, t)) is not None]
+        if not maps:
+            return {}
+        merged: dict[int, np.ndarray] = {}
+        for m in maps:
+            for doc, pos in m.items():
+                if doc in merged:
+                    merged[doc] = np.union1d(merged[doc], pos)
+                else:
+                    merged[doc] = pos
+        per_slot.append(merged)
+    docs = set(per_slot[0])
+    for m in per_slot[1:]:
+        docs &= set(m)
+    out: dict[int, int] = {}
+    for doc in docs:
+        acc = per_slot[0][doc].astype(np.int64)
+        for i, m in enumerate(per_slot[1:], 1):
+            acc = np.intersect1d(acc, m[doc].astype(np.int64) - i,
+                                 assume_unique=True)
+            if len(acc) == 0:
+                break
+        if len(acc):
+            out[doc] = int(len(acc))
+    return out
+
+
+def search_multi_phrase(reader: IndexReader, term_sets: list[list[str]],
+                        k: int = 10) -> TopDocs:
+    """MultiPhraseQuery scored like PhraseQuery: freq = match count, idf
+    = sum over ALL member terms' idfs (MultiPhraseQuery weight stats)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    fr = multi_phrase_freqs(reader, term_sets)
+    if not fr:
+        return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0)
+    docs = np.array(sorted(fr), dtype=np.int64)
+    tf = np.array([fr[int(d)] for d in docs], dtype=np.int64)
+    norms = _phrase_norms(reader, term_sets[0], docs)
+    dfs = [p.df for ts in term_sets for t in ts
+           if (p := reader.postings(t)) is not None]
+    sim = bm25.scorer_multi(dfs, reader.doc_count, reader.sum_ttf)
+    scores = sim.score(tf, norms)
+    d, s = _topk(docs, scores, k)
+    return TopDocs(d, s, len(docs))
 
 
 def search_phrase(reader: IndexReader, phrase: str, k: int = 10,
@@ -978,23 +1116,59 @@ def search_boosted(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
     return TopDocs(d, s, len(uniq))
 
 
+def make_threshold_accumulator():
+    """Cross-slice min-competitive sharing actor — the
+    search/MaxScoreAccumulator.java role (used at
+    TopScoreDocCollector.java:99-101,137-152): parallel leaf slices
+    publish their k-th best score; later slices seed the block-max
+    threshold with the global maximum so non-competitive blocks are
+    never decoded."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class _Acc:
+        def __init__(self):
+            self.best: dict = {}
+
+        def update(self, qid, kth_score: float):
+            cur = self.best.get(qid)
+            if cur is None or kth_score > cur:
+                self.best[qid] = kth_score
+
+        def get(self, qid):
+            return self.best.get(qid)
+
+    return _Acc.remote()
+
+
 class _SliceSearcher:
     """Actor-pool stage for within-query doc-range parallelism: each task
     scores one doc-range slice of every clause (the leaf-slice model of
-    search/IndexSearcher.java:106-108,323) and returns its local top-k;
-    the driver merges with the TopDocs.merge comparator."""
+    search/IndexSearcher.java:106-108,323) with the block-max engine and
+    returns its local top-k; the driver merges with the TopDocs.merge
+    comparator. An optional threshold accumulator shares the running
+    min-competitive score across slices."""
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, acc=None):
         self.reader = IndexReader(index_dir)
+        self.acc = acc
 
     def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import ray
+
         out_q, out_d, out_s = [], [], []
         for qid, q, k, lo, hi in zip(batch.column("qid").to_pylist(),
                                      batch.column("query").to_pylist(),
                                      batch.column("k").to_pylist(),
                                      batch.column("lo").to_pylist(),
                                      batch.column("hi").to_pylist()):
-            td = _search_range(self.reader, q, int(k), int(lo), int(hi))
+            theta0 = None
+            if self.acc is not None:
+                theta0 = ray.get(self.acc.get.remote(qid))
+            td = search_blockmax(self.reader, q, int(k),
+                                 lo=int(lo), hi=int(hi), theta0=theta0)
+            if self.acc is not None and len(td.scores) >= int(k):
+                self.acc.update.remote(qid, float(td.scores[int(k) - 1]))
             out_q.extend([qid] * len(td.doc_ids))
             out_d.extend(td.doc_ids.tolist())
             out_s.extend([float(s) for s in td.scores])
@@ -1022,6 +1196,9 @@ def _search_range(reader: IndexReader, query: str, k: int,
                                      p.docs_enc[b], p.tfs_enc[b],
                                      p.norms_enc[b])
             m = (d >= lo) & (d < hi)
+            lm = reader.live_mask(d)
+            if lm is not None:
+                m &= lm
             if not m.any():
                 continue
             all_docs.append(d[m])
@@ -1037,11 +1214,15 @@ def _search_range(reader: IndexReader, query: str, k: int,
 
 
 def search_sliced(index_dir: str, query: str, k: int = 10,
-                  n_slices: int = 4, concurrency: int = 4
+                  n_slices: int = 4, concurrency: int = 4,
+                  share_threshold: bool = True
                   ) -> tuple[np.ndarray, np.ndarray]:
     """Distribute ONE query across doc-range slices on an actor pool and
     merge the per-slice top-k (TopDocs.merge comparator). The scale path
-    for mega-queries whose postings exceed one node."""
+    for mega-queries whose postings exceed one node. With
+    ``share_threshold`` a MaxScoreAccumulator actor propagates the
+    running k-th-best score across slices (rank-safe: exact ties always
+    survive the seeded threshold)."""
     import ray.data
 
     reader = IndexReader(index_dir)
@@ -1050,11 +1231,12 @@ def search_sliced(index_dir: str, query: str, k: int = 10,
     items = [{"qid": 0, "query": query, "k": k,
               "lo": int(bounds[i]), "hi": int(bounds[i + 1])}
              for i in range(n_slices)]
+    acc = make_threshold_accumulator() if share_threshold else None
     rows = (ray.data.from_items(items)
             .map_batches(_SliceSearcher, batch_format="pyarrow",
                          batch_size=1, concurrency=min(concurrency,
                                                        n_slices),
-                         fn_constructor_args=(index_dir,))
+                         fn_constructor_args=(index_dir, acc))
             .take_all())
     docs = np.array([r["doc_id"] for r in rows], dtype=np.int64)
     scores = np.array([r["score"] for r in rows], dtype=np.float32)
@@ -1172,7 +1354,11 @@ def _eval_parsed(reader: IndexReader, pq_) -> tuple[np.ndarray, np.ndarray]:
                           boost=c.boost)
         d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
                                      p.tfs_enc, p.norms_enc)
-        return d, sim.score(tf, nm)
+        s = sim.score(tf, nm)
+        lm = reader.live_mask(d)
+        if lm is not None:
+            d, s = d[lm], s[lm]
+        return d, s
 
     all_d, all_s, all_c = [], [], []
     must_sets: list[np.ndarray] = []
@@ -1226,6 +1412,9 @@ def search_synonym(reader: IndexReader, terms: list[str], k: int = 10
             continue
         d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
                                      p.tfs_enc, p.norms_enc)
+        lm = reader.live_mask(d)
+        if lm is not None:
+            d, tf, nm = d[lm], tf[lm], nm[lm]
         dd.append(d)
         tt.append(tf)
         nn.append(nm)
@@ -1261,8 +1450,12 @@ def search_dismax(reader: IndexReader, terms: list[str], k: int = 10,
             continue
         d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
                                      p.tfs_enc, p.norms_enc)
+        s = sc.sim[t].score(tf, nm)
+        lm = reader.live_mask(d)
+        if lm is not None:
+            d, s = d[lm], s[lm]
         dd.append(d)
-        ss.append(sc.sim[t].score(tf, nm))
+        ss.append(s)
     if not dd:
         return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0)
     docs = np.concatenate(dd)

@@ -400,6 +400,41 @@ def test_sliced_search_equals_global(index_dir, ray_session):
         np.testing.assert_array_equal(s, ref.scores)
 
 
+def test_blockmax_range_and_theta(index_dir, ray_session):
+    """Range-restricted block-max equals range-filtered brute force; a
+    theta0 seeded with the true k-th score still returns the exact
+    top-k (tie-safe pruning) — the MaxScoreAccumulator contract."""
+    from lucene_ray.search import _topk
+
+    r = IndexReader(index_dir)
+    for q in ("return value data", "the", "idx tmp val ptr",
+              "import return import"):
+        full = search_bruteforce(r, q, 1 << 20)
+        lo, hi = 50, 220
+        m = (full.doc_ids >= lo) & (full.doc_ids < hi)
+        want_d, want_s = _topk(full.doc_ids[m], full.scores[m], 10)
+        got = search_blockmax(r, q, 10, lo=lo, hi=hi)
+        np.testing.assert_array_equal(got.doc_ids, want_d)
+        np.testing.assert_array_equal(got.scores, want_s)
+        g10 = search_bruteforce(r, q, 10)
+        if len(g10.doc_ids) == 10:
+            got2 = search_blockmax(r, q, 10, theta0=float(g10.scores[-1]))
+            np.testing.assert_array_equal(got2.doc_ids, g10.doc_ids)
+            np.testing.assert_array_equal(got2.scores, g10.scores)
+
+
+def test_sliced_threshold_sharing(index_dir, ray_session):
+    from lucene_ray.search import search_sliced
+
+    r = IndexReader(index_dir)
+    for q in ("return value data", "buf idx list map node key word line"):
+        ref = search_bruteforce(r, q, 15)
+        d, s = search_sliced(index_dir, q, 15, n_slices=3, concurrency=2,
+                             share_threshold=True)
+        np.testing.assert_array_equal(d, ref.doc_ids)
+        np.testing.assert_array_equal(s, ref.scores)
+
+
 def test_query_parser(ray_session):
     from lucene_ray.queryparser import parse
 
@@ -762,9 +797,103 @@ def test_sloppy_phrase(tmp_path_factory, ray_session):
     with pytest.raises(NotImplementedError):
         sloppy_phrase_freqs(r, ["a", "a"], 1)
 
+    # MultiPhraseQuery on the same tiny corpus: docs are
+    # 0:"x a b a y" 1:"a b c b a" 2:"a y b" 3:"b a" 4:"x y z w a"
+    from lucene_ray.search import multi_phrase_freqs, search_multi_phrase
+    # slot0∈{a,b}, slot1∈{b,y}: doc0 matches twice (a@1 b@2, a@3 y@4)
+    assert multi_phrase_freqs(r, [["a", "b"], ["b", "y"]]) == \
+        {0: 2, 1: 1, 2: 1}
+    assert multi_phrase_freqs(r, [["x"], ["a", "y"]]) == {0: 1, 4: 1}
+    assert multi_phrase_freqs(r, [["zz"], ["a"]]) == {}
+    td_mp = search_multi_phrase(r, [["x"], ["a", "y"]], 10)
+    assert set(td_mp.doc_ids.tolist()) == {0, 4}
+    assert np.all(td_mp.scores > 0)
+
     td = search_phrase(r, "a b", 10, slop=2)
     assert set(td.doc_ids.tolist()) == {0, 1, 2, 3}
     assert np.all(np.diff(td.scores) <= 0) or len(td.scores) <= 1
+
+
+def test_deletes_live_docs(tmp_path_factory, corpus_path, ray_session):
+    """Tombstone deletes: persistent generations + reader overlay filter
+    every search path; stats stay delete-blind (Lucene pre-merge
+    semantics); updateDocument = delete-by-key + append."""
+    import shutil
+    from lucene_ray.build import delete_by_term, delete_docs
+    from lucene_ray.search import (search_boolean, search_phrase,
+                                   search_synonym)
+
+    d = str(tmp_path_factory.mktemp("del") / "i")
+    # private copy of the index so tombstones don't leak to other tests
+    build_index(corpus_path, d, num_buckets=3, term_parts=4, salt_group=1,
+                doc_order="key", with_positions=True)
+    r0 = IndexReader(d)
+    base_docs = search_bruteforce(r0, "return", 10_000)
+    victims = base_docs.doc_ids[:3].tolist()
+    assert delete_docs(d, victims) == 3
+    r1 = IndexReader(d)
+    # stats unchanged (delete-blind), results filtered
+    assert r1.doc_count == r0.doc_count
+    assert r1.postings("return").df == r0.postings("return").df
+    after = search_bruteforce(r1, "return", 10_000)
+    assert not set(victims) & set(after.doc_ids.tolist())
+    assert len(after.doc_ids) == len(base_docs.doc_ids) - 3
+    # pruned engine agrees with brute force under deletes
+    a = search_blockmax(r1, "return value data", 10)
+    b = search_bruteforce(r1, "return value data", 10)
+    np.testing.assert_array_equal(a.doc_ids, b.doc_ids)
+    np.testing.assert_array_equal(a.scores, b.scores)
+    # boolean + phrase + synonym paths filter too
+    assert not set(victims) & set(search_boolean(r1, must=["return"]).tolist())
+    ph = search_phrase(r1, "return val", 1000)
+    assert not set(victims) & set(ph.doc_ids.tolist())
+    sy = search_synonym(r1, ["return", "val"], 1000)
+    assert not set(victims) & set(sy.doc_ids.tolist())
+    # delete_by_term generation stacks on top
+    n2 = delete_by_term(d, "val")
+    r2 = IndexReader(d)
+    assert len(search_bruteforce(r2, "val", 10_000).doc_ids) == 0
+    assert n2 > 0
+    shutil.rmtree(d)
+
+
+def test_upsert_documents(tmp_path_factory, ray_session):
+    import pyarrow as pa
+    from lucene_ray.build import upsert_documents
+
+    d = tmp_path_factory.mktemp("ups")
+    cdir = str(d / "c")
+    os.makedirs(cdir)
+
+    def corpus_file(name, rows):
+        pq.write_table(pa.table({
+            "repo": [r[0] for r in rows],
+            "path": [r[1] for r in rows],
+            "commit": ["c" * 40] * len(rows),
+            "lang": ["py"] * len(rows),
+            "content": [r[2] for r in rows],
+        }), os.path.join(cdir, name))
+
+    corpus_file("0.parquet", [("r", "a.py", "alpha old text"),
+                              ("r", "b.py", "beta text")])
+    idx = str(d / "i")
+    build_index(cdir, idx, term_parts=2, salt_group=1)
+    # new version of a.py under a new corpus file, same (repo,path,commit)?
+    # upsert keys on (repo, path, commit): same key → replaced
+    ndir = str(d / "n")
+    os.makedirs(ndir)
+    pq.write_table(pa.table({
+        "repo": ["r"], "path": ["a.py"], "commit": ["c" * 40],
+        "lang": ["py"], "content": ["alpha new shiny"],
+    }), os.path.join(ndir, "u.parquet"))
+    upsert_documents(idx, ndir)
+    r = IndexReader(idx)
+    old = search_bruteforce(r, "old", 100)
+    assert len(old.doc_ids) == 0                  # old version tombstoned
+    new = search_bruteforce(r, "shiny", 100)
+    assert len(new.doc_ids) == 1
+    beta = search_bruteforce(r, "beta", 100)
+    assert len(beta.doc_ids) == 1                 # untouched doc stays
 
 
 def test_highlight_and_stored_content(tmp_path_factory, ray_session):
