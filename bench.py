@@ -214,8 +214,57 @@ def run_scaling() -> dict:
     }
 
 
+def run_dedup() -> dict:
+    """Near-dup dedup throughput over a synthetic documents table with
+    planted near-duplicates ($BENCH_DEDUP_DOCS, default 200k): MinHash-LSH
+    end to end (banding → candidates → distributed exact-Jaccard verify),
+    exact dedup, and the map-only simhash — docs/s each."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    from lucene_ray.corpus import write_synthetic_documents
+    from lucene_ray.pipelines.dedup import (dedup_exact, dedup_minhash_lsh,
+                                            dedup_simhash)
+
+    n = int(os.environ.get("BENCH_DEDUP_DOCS", "200000"))
+    d = f"/tmp/lucene_ray_bench/docs_{n}"
+    write_synthetic_documents(os.path.join(d, "documents.parquet"), n,
+                              n_shards=32)
+    t0 = time.time()
+    n_pairs = dedup_minhash_lsh(d).count()
+    t_minhash = time.time() - t0
+    t1 = time.time()
+    n_uniq = dedup_exact(d).count()
+    t_exact = time.time() - t1
+    t2 = time.time()
+    dedup_simhash(d).count()
+    t_simhash = time.time() - t2
+    ray.shutdown()
+    return {
+        "metric": "dedup_minhash_sec",
+        "value": round(t_minhash, 3),
+        "unit": "sec",
+        "n_docs": n,
+        "num_cpus": NUM_CPUS,
+        "minhash_docs_per_sec": round(n / t_minhash, 1),
+        "minhash_pairs": int(n_pairs),
+        "exact_sec": round(t_exact, 3),
+        "exact_docs_per_sec": round(n / t_exact, 1),
+        "exact_unique_docs": int(n_uniq),
+        "simhash_sec": round(t_simhash, 3),
+        "simhash_docs_per_sec": round(n / t_simhash, 1),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--dedup" in sys.argv:
+        print(json.dumps(run_dedup()))
     else:
         print(json.dumps(run_bench()))

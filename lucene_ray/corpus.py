@@ -195,3 +195,75 @@ def write_synthetic_corpus(out_dir: str, n_docs: int, seed: int = 42,
          .map_batches(gen, batch_format="pyarrow", batch_size=1)
          .materialize())
     return out_dir
+
+
+_DOCWORDS = None
+
+
+def _doc_vocab() -> list[str]:
+    global _DOCWORDS
+    if _DOCWORDS is None:
+        rng = np.random.default_rng(1234)
+        _DOCWORDS = ["".join(chr(97 + c) for c in rng.integers(0, 26, 6))
+                     for _ in range(2000)]
+    return _DOCWORDS
+
+
+def write_synthetic_documents(out_dir: str, n_docs: int, seed: int = 11,
+                              n_shards: int = 32,
+                              dup_rate: float = 0.05) -> str:
+    """documents-table-shaped synthetic corpus (doc_id, text, lang,
+    source, n_chars) with planted near-duplicates: with probability
+    ``dup_rate`` a doc copies an earlier doc of its shard with one word
+    replaced (a guaranteed high-Jaccard pair). Parallel per-shard tasks,
+    resumable; used by the dedup benchmarks."""
+    import ray.data
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = {f for f in os.listdir(out_dir) if f.endswith(".parquet")}
+    todo = [s for s in range(n_shards)
+            if f"shard_{s:04d}.parquet" not in done]
+    if not todo:
+        return out_dir
+    per = -(-n_docs // n_shards)
+    vocab = _doc_vocab()
+
+    def gen(batch: pa.Table) -> pa.Table:
+        for s in batch.column("shard").to_pylist():
+            lo = s * per
+            hi = min(lo + per, n_docs)
+            if hi <= lo:
+                continue
+            rng = np.random.default_rng(seed * 7919 + s)
+            texts: list[str] = []
+            for i in range(hi - lo):
+                if texts and rng.random() < dup_rate:
+                    src = texts[int(rng.integers(0, len(texts)))]
+                    words = src.split()
+                    words[int(rng.integers(0, len(words)))] = \
+                        vocab[int(rng.integers(0, len(vocab)))]
+                    texts.append(" ".join(words))
+                else:
+                    nw = int(rng.integers(30, 60))
+                    idx = rng.integers(0, len(vocab), nw)
+                    texts.append(" ".join(vocab[j] for j in idx))
+            t = pa.table({
+                "doc_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(
+                    [("en", "de", "fr", "es", "zh")[j % 5]
+                     for j in range(lo, hi)], pa.string()),
+                "source": pa.array([f"src{s % 8}"] * (hi - lo),
+                                   pa.string()),
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+            })
+            path = os.path.join(out_dir, f"shard_{s:04d}.parquet")
+            pq.write_table(t, path + ".tmp")
+            os.replace(path + ".tmp", path)
+        return pa.table({"ok": pa.array([1] * batch.num_rows)})
+
+    (ray.data.from_items([{"shard": s} for s in todo])
+     .repartition(len(todo))
+     .map_batches(gen, batch_format="pyarrow", batch_size=1)
+     .materialize())
+    return out_dir

@@ -96,12 +96,13 @@ def dedup_exact(sf_dir: str):
         return pa.table({"doc_id": batch.column("doc_id"),
                          "h": pa.array(h, pa.string())})
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [int(g["doc_id"].min())],
-                             "n_dups": [len(g)]})
+    from ray.data.aggregate import Count, Min
 
     return (ds.map_batches(add_hash, batch_format="pyarrow")
-            .groupby("h").map_groups(first, batch_format="pandas"))
+            .groupby("h")
+            .aggregate(Min("doc_id", alias_name="doc_id"),
+                       Count(alias_name="n_dups"))
+            .select_columns(["doc_id", "n_dups"]))
 
 
 def _shingle_rows(sf_dir: str):
@@ -131,11 +132,52 @@ def _shingle_rows(sf_dir: str):
     return _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
 
 
+_COARSE_PARTS = 64      # coarse hash buckets for run-vectorized grouping
+
+
+def _run_pairs(keys: np.ndarray, docs: np.ndarray,
+               sizes: np.ndarray | None, max_df: int | None
+               ) -> tuple[np.ndarray, ...]:
+    """All co-occurrence doc pairs (a < b) of equal-key runs, fully
+    vectorized: rows are lexsorted by (key, doc); runs of each length L
+    are batched through one triu_indices broadcast (no per-group Python —
+    the reason groupby(key).map_groups is NOT used: a 100 TB corpus has
+    billions of tiny key groups)."""
+    if sizes is None:
+        sizes = np.zeros(len(docs), dtype=np.int32)
+    order = np.lexsort((docs, keys))
+    k, d, s = keys[order], docs[order], sizes[order]
+    bnd = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1,
+                          [len(k)]])
+    lens = np.diff(bnd)
+    starts = bnd[:-1]
+    out_a, out_b, out_na, out_nb = [], [], [], []
+    for length in np.unique(lens):
+        length = int(length)
+        if length < 2 or (max_df is not None and length > max_df):
+            continue
+        st = starts[lens == length]
+        iu, ju = np.triu_indices(length, 1)
+        ia = (st[:, None] + iu[None, :]).ravel()
+        ib = (st[:, None] + ju[None, :]).ravel()
+        out_a.append(d[ia])
+        out_b.append(d[ib])
+        out_na.append(s[ia])
+        out_nb.append(s[ib])
+    if not out_a:
+        z = np.empty(0, np.int64)
+        return z, z, np.empty(0, np.int32), np.empty(0, np.int32)
+    return (np.concatenate(out_a), np.concatenate(out_b),
+            np.concatenate(out_na).astype(np.int32),
+            np.concatenate(out_nb).astype(np.int32))
+
+
 def _jaccard_pairs_ds(shingles, threshold: float, max_df: int | None = None):
     """Distributed exact word-shingle Jaccard over an inverted index:
 
-    groupby(shingle) → co-occurring doc pairs (a<b, set sizes carried) →
-    groupby(a, b) → intersection = pair count → jaccard filter.
+    groupby(coarse shingle bucket) → run-vectorized co-occurring doc
+    pairs (a<b, set sizes carried) → groupby(a, b) → intersection = pair
+    count → jaccard filter.
 
     Exact and complete for any threshold > 0 (a qualifying pair shares at
     least one shingle). Cost is Σ_sh df(sh)² — at 100 TB set ``max_df`` to
@@ -144,21 +186,19 @@ def _jaccard_pairs_ds(shingles, threshold: float, max_df: int | None = None):
     """
     from ray.data.aggregate import Count, Min
 
-    def co_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g["doc_id"].to_numpy()
-        if len(ids) < 2 or (max_df is not None and len(ids) > max_df):
-            return pd.DataFrame({"a": np.empty(0, np.int64),
-                                 "b": np.empty(0, np.int64),
-                                 "na": np.empty(0, np.int32),
-                                 "nb": np.empty(0, np.int32)})
-        szs = g["sz"].to_numpy()
-        order = np.argsort(ids)
-        ids, szs = ids[order], szs[order]
-        iu, ju = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"a": ids[iu], "b": ids[ju],
-                             "na": szs[iu], "nb": szs[ju]})
+    def bucket(t: pa.Table) -> pa.Table:
+        sh = t.column("sh").to_numpy()
+        return t.append_column(
+            "shp", pa.array((sh % _COARSE_PARTS).astype(np.int32)))
 
-    agg = (shingles.groupby("sh").map_groups(co_pairs, batch_format="pandas")
+    def co_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a, b, na, nb = _run_pairs(g["sh"].to_numpy(),
+                                  g["doc_id"].to_numpy(),
+                                  g["sz"].to_numpy(), max_df)
+        return pd.DataFrame({"a": a, "b": b, "na": na, "nb": nb})
+
+    agg = (shingles.map_batches(bucket, batch_format="pyarrow")
+           .groupby("shp").map_groups(co_pairs, batch_format="pandas")
            .groupby(["a", "b"])
            .aggregate(Count(alias_name="inter"),
                       Min("na", alias_name="na"),
@@ -192,8 +232,10 @@ def dedup_minhash_lsh(sf_dir: str):
 
     ds = _docs(sf_dir)
 
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
     def mh(batch: pa.Table) -> pa.Table:
-        out_doc, out_band, out_bh = [], [], []
+        out_doc, out_key = [], []
         for doc, text in zip(batch.column("doc_id").to_pylist(),
                              batch.column("text").to_pylist()):
             sh = _shingle_hashes(text or "")
@@ -202,28 +244,33 @@ def dedup_minhash_lsh(sf_dir: str):
             sig = _minhash(sh)
             for b in range(_N_BANDS):
                 band = sig[b * _ROWS_PER_BAND:(b + 1) * _ROWS_PER_BAND]
-                bh = hashlib.blake2b(band.tobytes(),
-                                     digest_size=8).hexdigest()
+                bh = np.uint64(int.from_bytes(
+                    hashlib.blake2b(band.tobytes(), digest_size=8).digest(),
+                    "little"))
+                # mix the band index into the 64-bit bucket key: a
+                # cross-band collision only adds a candidate pair, which
+                # exact-Jaccard verification filters — safe
                 out_doc.append(doc)
-                out_band.append(b)
-                out_bh.append(bh)
+                out_key.append(np.uint64(bh ^ (np.uint64(b + 1) * _GOLD)))
         return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
-                         "band": pa.array(out_band, pa.int32()),
-                         "bh": pa.array(out_bh, pa.string())})
+                         "key": pa.array(np.array(out_key, np.uint64))})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy()
+        return t.append_column(
+            "kp", pa.array((k % _COARSE_PARTS).astype(np.int32)))
 
     def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": np.empty(0, np.int64),
-                                 "b": np.empty(0, np.int64)})
-        iu, ju = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"a": ids[iu], "b": ids[ju]})
+        a, b, _, _ = _run_pairs(g["key"].to_numpy(),
+                                g["doc_id"].to_numpy(), None, None)
+        return pd.DataFrame({"a": a, "b": b})
 
     from ray.data.aggregate import Count
 
     P = 8
     cand_pairs = (ds.map_batches(mh, batch_format="pyarrow")
-                  .groupby(["band", "bh"])
+                  .map_batches(bucket, batch_format="pyarrow")
+                  .groupby("kp")
                   .map_groups(band_pairs, batch_format="pandas")
                   .groupby(["a", "b"])
                   .aggregate(Count(alias_name="n_bands")))

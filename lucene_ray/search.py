@@ -817,31 +817,62 @@ def _term_positions(reader: IndexReader, term: str
     return out
 
 
-def phrase_freqs(reader: IndexReader, terms: list[str]) -> dict[int, int]:
-    """Exact phrase matching: doc → number of phrase occurrences.
+_POS_BITS = np.uint64(24)          # ≤16M tokens per doc
+_POS_MASK = np.uint64((1 << 24) - 1)
 
-    Leapfrog over per-term position sets: positions of term i shifted by -i
-    intersected across all terms (ExactPhraseMatcher semantics)."""
-    per_term = []
-    for t in terms:
-        m = _term_positions(reader, t)
-        if m is None:
+
+def _packed_positions(reader: IndexReader, term: str, shift: int
+                      ) -> "np.ndarray | None":
+    """All (doc, position - shift) pairs of a term packed into sorted
+    uint64 keys (doc << 24 | pos); positions < shift are dropped (they
+    cannot start a phrase). Fully vectorized across blocks."""
+    from .codec import decode_positions
+
+    p = reader.postings(term)
+    if p is None:
+        return None
+    if any(not e for e in p.pos_enc):
+        raise ValueError("index was built without positions")
+    d, tf, _, _ = decode_blocks(p.first_doc, p.n, p.docs_enc, p.tfs_enc,
+                                p.norms_enc)
+    flat = np.concatenate([np.frombuffer(e, dtype="<i4")
+                           for e in p.pos_enc]).astype(np.int64)
+    docs_rep = np.repeat(d, tf)
+    lm = reader.live_mask(docs_rep)
+    if lm is not None:
+        docs_rep, flat = docs_rep[lm], flat[lm]
+    if flat.size and int(flat.max()) >= (1 << 24):
+        raise ValueError("document longer than 2^24 tokens")
+    pos = flat - shift
+    keep = pos >= 0
+    key = ((docs_rep[keep].astype(np.uint64) << _POS_BITS)
+           | pos[keep].astype(np.uint64))
+    return np.sort(key)
+
+
+def phrase_freqs(reader: IndexReader, terms: list[str]) -> dict[int, int]:
+    """Exact phrase matching: doc → number of phrase occurrences
+    (ExactPhraseMatcher.java:39 semantics).
+
+    Vectorized across ALL docs at once: each term's (doc, pos - i) pairs
+    pack into sorted uint64 keys; the phrase's occurrences are the
+    multiway sorted-set intersection (np.intersect1d, smallest list
+    first), and per-doc frequencies fall out of one np.unique over the
+    surviving keys' doc bits — no per-doc Python loop."""
+    packed = []
+    for i, t in enumerate(terms):
+        k = _packed_positions(reader, t, i)
+        if k is None or len(k) == 0:
             return {}
-        per_term.append(m)
-    docs = set(per_term[0])
-    for m in per_term[1:]:
-        docs &= set(m)
-    out: dict[int, int] = {}
-    for doc in docs:
-        acc = per_term[0][doc].astype(np.int64)
-        for i, m in enumerate(per_term[1:], 1):
-            acc = np.intersect1d(acc, m[doc].astype(np.int64) - i,
-                                 assume_unique=True)
-            if len(acc) == 0:
-                break
-        if len(acc):
-            out[doc] = int(len(acc))
-    return out
+        packed.append(k)
+    packed.sort(key=len)               # intersect smallest-first
+    acc = packed[0]
+    for k in packed[1:]:
+        acc = np.intersect1d(acc, k, assume_unique=True)
+        if len(acc) == 0:
+            return {}
+    docs, counts = np.unique(acc >> _POS_BITS, return_counts=True)
+    return {int(d): int(c) for d, c in zip(docs, counts)}
 
 
 def _sloppy_freq_doc(pos_lists: list[np.ndarray], slop: int) -> np.float32:
