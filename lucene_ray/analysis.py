@@ -44,6 +44,7 @@ import unicodedata
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .smallfloat import int_to_byte4
 
@@ -511,41 +512,54 @@ _ASCII_WORD = _re.compile(
     r"[a-z0-9_]+)*")
 
 
+# A 256-run of token-interior chars means a token COULD exceed the max
+# length → reroute that doc to the exact scanner (conservative; false
+# positives only cost the slow path).
+_OVERLONG_RE = _re.compile(r"[a-z0-9_'.:,;]{" + str(MAX_TOKEN_LENGTH + 1)
+                           + r"}")
+
+
 def term_freq_batch(texts: list[str],
                     max_token_length: int = MAX_TOKEN_LENGTH,
                     with_positions: bool = False):
     """Per-doc (term, tf) pairs for a batch — the analyzer plus the local
     BytesRefHash-style dedup (util/BytesRefHash.java:335) in one pass.
 
-    ASCII docs take the compiled-regex fast path (allocation-light — this
-    sandbox's page faults make large numpy temporaries expensive);
-    non-ASCII docs or docs with over-long tokens take the exact
-    vectorized UAX#29 path. Both produce identical tokens (tested).
+    ASCII docs take the compiled-regex fast path; non-ASCII docs or docs
+    with potentially over-long tokens take the exact vectorized UAX#29
+    path. Both produce identical tokens (tested). Token post-processing
+    (pure-underscore drop, dedup to (term, doc, tf)) runs VECTORIZED over
+    the whole batch: one Arrow trim kernel + dictionary-encode + one
+    np.unique over packed (doc, termID) keys — no per-token Python.
 
     Returns (terms: pa.Array, tfs: int64, owners: int64,
     lengths: int32, norms: uint8) where (owners, terms) is unique per doc.
     """
-    terms: list[str] = []
-    tfs: list[int] = []
-    owners: list[int] = []
-    positions: list[list[int]] = [] if with_positions else None
-    lengths = np.zeros(len(texts), dtype=np.int32)
-    for d, text in enumerate(texts):
-        if not text:
-            continue
-        toks = None
-        if text.isascii():
-            found = _ASCII_WORD.findall(text.lower())
-            if not any(len(t) > max_token_length for t in found):
-                toks = [t for t in found if t.strip("_")]
-        if toks is None:
-            toks = tokenize(text, max_token_length)
-        if not toks:
-            continue
-        lengths[d] = len(toks)
-        if with_positions:
-            # position = token index (posIncr always 1,
-            # index/IndexingChain.java:1219-1283)
+    n_docs = len(texts)
+    lengths = np.zeros(n_docs, dtype=np.int32)
+    if with_positions:
+        # positional path (phrase-enabled indexes): per-doc posmap — the
+        # exact layout codec.encode_term needs; left as the simple loop
+        # (positional builds are the oracle-parity path, not the 100 TB
+        # bulk path).
+        terms: list[str] = []
+        tfs: list[int] = []
+        owners: list[int] = []
+        positions: list[list[int]] = []
+        for d, text in enumerate(texts):
+            if not text:
+                continue
+            toks = None
+            if text.isascii():
+                low = text.lower()
+                if _OVERLONG_RE.search(low) is None:
+                    toks = [t for t in _ASCII_WORD.findall(low)
+                            if t.strip("_")]
+            if toks is None:
+                toks = tokenize(text, max_token_length)
+            if not toks:
+                continue
+            lengths[d] = len(toks)
             posmap: dict[str, list[int]] = {}
             for i, t in enumerate(toks):
                 posmap.setdefault(t, []).append(i)
@@ -553,15 +567,70 @@ def term_freq_batch(texts: list[str],
             tfs.extend(len(v) for v in posmap.values())
             owners.extend([d] * len(posmap))
             positions.extend(posmap.values())
+        norms = int_to_byte4(lengths.astype(np.int64))
+        return (pa.array(terms, type=pa.string()),
+                np.array(tfs, dtype=np.int64),
+                np.array(owners, dtype=np.int64), lengths, norms,
+                positions)
+
+    flat: list[str] = []
+    counts = np.zeros(n_docs, dtype=np.int64)
+    fast = np.zeros(n_docs, dtype=bool)
+    for d, text in enumerate(texts):
+        if not text:
+            continue
+        if text.isascii():
+            toks = _ASCII_WORD.findall(text.lower())  # may contain "_"-only
+            fast[d] = True
         else:
-            c = _Counter(toks)
-            terms.extend(c.keys())
-            tfs.extend(c.values())
-            owners.extend([d] * len(c))
+            toks = tokenize(text, max_token_length)
+        counts[d] = len(toks)
+        flat.extend(toks)
+    if not flat:
+        norms = int_to_byte4(lengths.astype(np.int64))
+        return (pa.array([], type=pa.string()),
+                np.empty(0, np.int64), np.empty(0, np.int64),
+                lengths, norms)
+    arr = pa.array(flat, type=pa.string())
+    owners_all = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    # overlong-token reroute, post-hoc and vectorized: the scanner SPLITS
+    # tokens over max length rather than keeping them, so any fast-path
+    # doc that produced one re-tokenizes through the exact path (one
+    # utf8_length kernel; the common all-short case costs one max())
+    tl = pc.utf8_length(arr).to_numpy(zero_copy_only=False)
+    bad = tl > max_token_length
+    if bad.any():
+        bad_docs = np.unique(owners_all[bad & fast[owners_all]])
+        if len(bad_docs):
+            keep_doc = ~np.isin(owners_all, bad_docs)
+            arr = arr.filter(pa.array(keep_doc))
+            owners_all = owners_all[keep_doc]
+            redo_toks: list[str] = []
+            redo_own: list[int] = []
+            for d in bad_docs:
+                tk = tokenize(texts[d], max_token_length)
+                redo_toks.extend(tk)
+                redo_own.extend([int(d)] * len(tk))
+            if redo_toks:
+                arr = pa.concat_arrays(
+                    [arr.combine_chunks() if hasattr(arr, "combine_chunks")
+                     else arr, pa.array(redo_toks, type=pa.string())])
+                owners_all = np.concatenate(
+                    [owners_all, np.array(redo_own, dtype=np.int64)])
+    # no-core drop, vectorized: a token survives iff trimming '_' leaves
+    # something (exact-path tokens never contain pure-underscore runs,
+    # so re-applying the mask is a no-op for them)
+    keep = pc.not_equal(pc.utf8_trim(arr, "_"), "")
+    if not pc.all(keep).as_py():
+        arr = arr.filter(keep)
+        owners_all = owners_all[keep.to_numpy(zero_copy_only=False)]
+    lengths[:] = np.bincount(owners_all, minlength=n_docs).astype(np.int32)
+    dict_arr = pc.dictionary_encode(arr)
+    idx = np.asarray(dict_arr.indices, dtype=np.int64)
+    key = (owners_all << np.int64(32)) | idx
+    uniq, tf = np.unique(key, return_counts=True)
+    owners = (uniq >> np.int64(32)).astype(np.int64)
+    tok_idx = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
+    terms_arr = dict_arr.dictionary.take(pa.array(tok_idx))
     norms = int_to_byte4(lengths.astype(np.int64))
-    out = (pa.array(terms, type=pa.string()),
-           np.array(tfs, dtype=np.int64),
-           np.array(owners, dtype=np.int64), lengths, norms)
-    if with_positions:
-        return out + (positions,)
-    return out
+    return (terms_arr, tf.astype(np.int64), owners, lengths, norms)
