@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dedup_exact": dedup.dedup_exact,
             "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
             "dedup_simhash": dedup.dedup_simhash,
+            "dedup_simhash_pairs": dedup.dedup_simhash_pairs,
             "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
             "dedup_clusters": dedup.dedup_clusters,
             "text_quality": textstats.text_quality,

@@ -136,17 +136,20 @@ _COARSE_PARTS = 64      # coarse hash buckets for run-vectorized grouping
 
 
 def _run_pairs(keys: np.ndarray, docs: np.ndarray,
-               sizes: np.ndarray | None, max_df: int | None
+               sizes: np.ndarray | None, max_df: int | None,
+               extra: np.ndarray | None = None
                ) -> tuple[np.ndarray, ...]:
     """All co-occurrence doc pairs (a < b) of equal-key runs, fully
     vectorized: rows are lexsorted by (key, doc); runs of each length L
     are batched through one triu_indices broadcast (no per-group Python —
     the reason groupby(key).map_groups is NOT used: a 100 TB corpus has
-    billions of tiny key groups)."""
-    if sizes is None:
-        sizes = np.zeros(len(docs), dtype=np.int32)
+    billions of tiny key groups). ``sizes``/``extra`` are optional per-row
+    payloads carried to both sides of each pair (dtype preserved)."""
+    payload = sizes if sizes is not None else extra
+    if payload is None:
+        payload = np.zeros(len(docs), dtype=np.int32)
     order = np.lexsort((docs, keys))
-    k, d, s = keys[order], docs[order], sizes[order]
+    k, d, s = keys[order], docs[order], payload[order]
     bnd = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1,
                           [len(k)]])
     lens = np.diff(bnd)
@@ -166,10 +169,9 @@ def _run_pairs(keys: np.ndarray, docs: np.ndarray,
         out_nb.append(s[ib])
     if not out_a:
         z = np.empty(0, np.int64)
-        return z, z, np.empty(0, np.int32), np.empty(0, np.int32)
+        return z, z, np.empty(0, payload.dtype), np.empty(0, payload.dtype)
     return (np.concatenate(out_a), np.concatenate(out_b),
-            np.concatenate(out_na).astype(np.int32),
-            np.concatenate(out_nb).astype(np.int32))
+            np.concatenate(out_na), np.concatenate(out_nb))
 
 
 def _jaccard_pairs_ds(shingles, threshold: float, max_df: int | None = None):
@@ -318,6 +320,72 @@ def dedup_simhash(sf_dir: str):
                          "simhash": pa.array(out, pa.string())})
 
     return ds.map_batches(sh, batch_format="pyarrow")
+
+
+SIMHASH_MAX_HAMMING = 3
+
+
+def dedup_simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
+    """SimHash near-dup pairs (a < b, hamming(sig_a, sig_b) <= k).
+
+    The standard Charikar/Manku pigeonhole scheme: split the 64-bit
+    signature into k+1 bands — any pair within Hamming distance k agrees
+    EXACTLY on at least one band — so banding is a complete candidate
+    generator; candidates verify with one vectorized popcount of the XOR.
+    groupby on coarse band buckets + run-vectorized pairing (same shape
+    as the MinHash path); rows-only at the driver (the signature uses
+    blake2b word hashes, not SQL-expressible) — covered by pytest with
+    planted near-identical docs."""
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    nb = max_hamming + 1                 # bands; 64/nb bits each
+    bits = 64 // nb
+
+    sigs = dedup_simhash(sf_dir)         # (doc_id, simhash hex)
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc = t.column("doc_id").to_numpy()
+        sig = np.array([int(s, 16) for s in
+                        t.column("simhash").to_pylist()], dtype=np.uint64)
+        out_d, out_k, out_s = [], [], []
+        for b in range(nb):
+            band = (sig >> np.uint64(b * bits)) & np.uint64((1 << bits) - 1)
+            key = band | (np.uint64(b) << np.uint64(56))
+            out_d.append(doc)
+            out_k.append(key)
+            out_s.append(sig)
+        return pa.table({"doc_id": pa.array(np.concatenate(out_d)),
+                         "key": pa.array(np.concatenate(out_k)),
+                         "sig": pa.array(np.concatenate(out_s))})
+
+    def bucket(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy()
+        return t.append_column(
+            "kp", pa.array((k % _COARSE_PARTS).astype(np.int32)))
+
+    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a, b, sa, sb = _run_pairs(g["key"].to_numpy(),
+                                  g["doc_id"].to_numpy(), None, None,
+                                  extra=g["sig"].to_numpy())
+        if len(a) == 0:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "hd": np.empty(0, np.int32)})
+        x = sa.astype(np.uint64) ^ sb.astype(np.uint64)
+        hd = np.zeros(len(x), dtype=np.int32)
+        while x.any():                   # vectorized popcount
+            hd += (x & np.uint64(1)).astype(np.int32)
+            x >>= np.uint64(1)
+        keep = hd <= max_hamming
+        return pd.DataFrame({"a": a[keep], "b": b[keep], "hd": hd[keep]})
+
+    return (sigs.map_batches(explode, batch_format="pyarrow")
+            .map_batches(bucket, batch_format="pyarrow")
+            .groupby("kp").map_groups(band_pairs, batch_format="pandas")
+            .groupby(["a", "b"])
+            .aggregate(Min("hd", alias_name="hamming"), Count(alias_name="_n"))
+            .select_columns(["a", "b", "hamming"]))
 
 
 def oracle_dedup_exact_sql() -> str:

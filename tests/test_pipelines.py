@@ -68,6 +68,34 @@ def test_media_decoder_actor_semantics(ray_session):
     np.testing.assert_array_equal(t1, t2)
 
 
+def test_simhash_hamming_pairs(tmp_path, ray_session):
+    """Pigeonhole banding finds every pair within the Hamming budget:
+    planted near-identical docs pair up, unrelated docs don't."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from lucene_ray.pipelines.dedup import dedup_simhash_pairs
+
+    rng = np.random.default_rng(5)
+    vocab = ["".join(chr(97 + c) for c in rng.integers(0, 26, 6))
+             for _ in range(500)]
+    base = " ".join(vocab[i] for i in rng.integers(0, 500, 60))
+    texts = [base,
+             base.replace(base.split()[5], vocab[0], 1),  # near-dup of 0
+             " ".join(vocab[i] for i in rng.integers(0, 500, 60)),
+             " ".join(vocab[i] for i in rng.integers(0, 500, 60)),
+             base]                                        # exact dup of 0
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    rows = {(r["a"], r["b"]): r["hamming"]
+            for r in dedup_simhash_pairs(str(tmp_path)).take_all()}
+    assert (0, 4) in rows and rows[(0, 4)] == 0     # exact dup
+    assert (0, 1) in rows and (1, 4) in rows        # near dups
+    assert not any((a in (2, 3) or b in (2, 3)) for a, b in rows)
+
+
 def test_fingerprint_shared_for_duplicate_texts(ray_session):
     from lucene_ray.pipelines.textstats import doc_fingerprint
 
