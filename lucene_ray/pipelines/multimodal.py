@@ -1,11 +1,12 @@
-"""Multimodal column handling: opaque binary payloads + typed metadata.
+"""Multimodal column handling: binary payloads + typed metadata.
 
-Treats image/audio/video as ``binary`` columns processed by **actor-pool**
+Image/audio/video ride as ``binary`` columns processed by **actor-pool**
 ``map_batches`` stages (decoder state loaded once per actor, small batches
-sized for large payloads). The image/audio codec libraries are not in this
-container, so the *decode kernel* is stubbed behind a deterministic fake
-(clearly marked), while everything Ray-side — schema, actor signature,
-batch sizing, broadcast of model state, output layout — is real and tested.
+sized for large payloads). The decode kernel is REAL for the formats a
+stdlib+numpy decoder can handle — BMP, PNG (zlib + filter
+reconstruction) and WAV-PCM16, see :mod:`lucene_ray.media` — and raises
+``NotImplementedError`` for JPEG/video (a DCT entropy decoder needs codec
+libraries this container lacks; that gap is explicit, not faked).
 
 At 100 TB: payload columns dominate block size → ``batch_size`` is small
 (64) and ``target_max_block_size`` should be raised so Arrow doesn't split
@@ -14,36 +15,49 @@ blocks absurdly; decode stages get ``num_cpus`` proportional to codec cost.
 
 from __future__ import annotations
 
-import hashlib
-import os
-
 import numpy as np
 import pyarrow as pa
 
-THUMB_W = THUMB_H = 8   # fake "decoded" thumbnail size
+from ..media import decode_any, encode_bmp, encode_png, encode_wav, thumbnail
+
+THUMB_W = THUMB_H = 8
+_N_THUMB = THUMB_W * THUMB_H
 
 
 def synth_media_dataset(sf_dir: str, n: int = 200):
-    """Deterministic synthetic media table (payload:binary + metadata) —
-    stands in for an image/audio lake partition."""
+    """Deterministic synthetic media table with REAL encoded payloads
+    (PNG / BMP / WAV round-robin) — stands in for an image/audio lake
+    partition; every byte decodes through the actual codecs."""
     import ray.data
-
-    rng = np.random.default_rng(1234)
 
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch.column("id").to_numpy()
-        payloads, kinds, sizes = [], [], []
+        payloads, kinds = [], []
         for i in ids:
             r = np.random.default_rng(1234 + int(i))
-            size = int(r.integers(1_000, 20_000))
-            payloads.append(r.integers(0, 256, size, dtype=np.uint8)
-                            .tobytes())
-            kinds.append(["image/png", "image/jpeg", "audio/wav"][i % 3])
-            sizes.append(size)
+            m = int(i) % 3
+            if m == 0:
+                w, h = int(r.integers(16, 64)), int(r.integers(16, 64))
+                img = r.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                payloads.append(encode_png(img))
+                kinds.append("image/png")
+            elif m == 1:
+                w, h = int(r.integers(16, 64)), int(r.integers(16, 64))
+                img = r.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                payloads.append(encode_bmp(img))
+                kinds.append("image/bmp")
+            else:
+                ns = int(r.integers(800, 4000))
+                t = np.arange(ns, dtype=np.float64)
+                f = float(r.uniform(100, 2000))
+                wave = (np.sin(2 * np.pi * f * t / 16000)
+                        * r.uniform(0.1, 0.9) * 32767)
+                payloads.append(encode_wav(wave.astype(np.int16), 16000))
+                kinds.append("audio/wav")
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "kind": pa.array(kinds, pa.string()),
-            "n_bytes": pa.array(sizes, pa.int64()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
             "payload": pa.array(payloads, pa.binary()),
         })
 
@@ -53,48 +67,66 @@ def synth_media_dataset(sf_dir: str, n: int = 200):
 
 
 class MediaDecoder:
-    """Actor-pool decode/feature stage.
+    """Actor-pool decode/feature stage: real BMP/PNG/WAV decoding
+    (lucene_ray.media), block-mean thumbnails for images, envelope +
+    rms/zero-crossings for audio. Unsupported codecs (JPEG, video) raise
+    unless ``skip_undecodable`` — the honest degradation mode."""
 
-    __init__ loads the (stub) codec once per actor; __call__ decodes a
-    batch. STUB: real decoding needs PIL/ffmpeg (not in this container) —
-    the fake produces a deterministic 8x8 float32 'thumbnail' and feature
-    stats from the payload bytes so the full pipeline (schema, shapes,
-    actor reuse) is exercised end-to-end.
-    """
-
-    def __init__(self):
-        try:  # pragma: no cover - the real path, absent in this container
-            import PIL  # noqa: F401
-
-            self.backend = "pil"
-        except ImportError:
-            self.backend = "stub"
+    def __init__(self, skip_undecodable: bool = False):
+        self.skip_undecodable = skip_undecodable
         self.calls = 0
-
-    def _decode_stub(self, payload: bytes) -> np.ndarray:
-        # deterministic fake decode: payload bytes → 8x8 float32 in [0,1)
-        h = hashlib.blake2b(payload, digest_size=THUMB_W * THUMB_H).digest()
-        return (np.frombuffer(h, dtype=np.uint8)
-                .reshape(THUMB_H, THUMB_W).astype(np.float32) / 256.0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         self.calls += 1
-        thumbs, means, stds = [], [], []
-        for payload in batch.column("payload").to_pylist():
-            if self.backend != "stub":
-                raise NotImplementedError(
-                    "real image decode not available in this container")
-            t = self._decode_stub(payload)
-            thumbs.append(t.reshape(-1))
-            means.append(float(t.mean()))
-            stds.append(float(t.std()))
+        out = {k: [] for k in ("media_id", "kind", "width", "height",
+                               "duration_s", "thumb", "mean_intensity",
+                               "std_intensity")}
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            try:
+                kind, img, audio = decode_any(payload)
+            except NotImplementedError:
+                if self.skip_undecodable:
+                    continue
+                raise
+            out["media_id"].append(mid)
+            out["kind"].append(kind)
+            if img is not None:
+                th = thumbnail(img, THUMB_W, THUMB_H)
+                g = img[:, :, :3].astype(np.float64).mean(axis=2) / 255.0
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["duration_s"].append(None)
+                out["thumb"].append(th.reshape(-1).tolist())
+                out["mean_intensity"].append(float(g.mean()))
+                out["std_intensity"].append(float(g.std()))
+            else:
+                samples, rate = audio
+                mono = (samples.astype(np.float64) / 32768.0)
+                if mono.ndim > 1:
+                    mono = mono.mean(axis=1)
+                # 64-bin mean-abs envelope as the audio "thumbnail"
+                k = max(1, len(mono) // _N_THUMB)
+                env = np.abs(mono[: k * _N_THUMB]).reshape(-1, k).mean(axis=1)
+                env = np.pad(env, (0, _N_THUMB - len(env)))
+                out["width"].append(None)
+                out["height"].append(None)
+                out["duration_s"].append(len(mono) / rate)
+                out["thumb"].append(env.astype(np.float32).tolist())
+                out["mean_intensity"].append(float(np.sqrt((mono ** 2)
+                                                           .mean())))
+                out["std_intensity"].append(
+                    float(np.mean(np.abs(np.diff(np.signbit(mono))))))
         return pa.table({
-            "media_id": batch.column("media_id"),
-            "kind": batch.column("kind"),
-            "thumb": pa.array([t.tolist() for t in thumbs],
-                              pa.list_(pa.float32(), THUMB_W * THUMB_H)),
-            "mean_intensity": pa.array(means, pa.float64()),
-            "std_intensity": pa.array(stds, pa.float64()),
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "kind": pa.array(out["kind"], pa.string()),
+            "width": pa.array(out["width"], pa.int32()),
+            "height": pa.array(out["height"], pa.int32()),
+            "duration_s": pa.array(out["duration_s"], pa.float64()),
+            "thumb": pa.array(out["thumb"], pa.list_(pa.float32(),
+                                                     _N_THUMB)),
+            "mean_intensity": pa.array(out["mean_intensity"], pa.float64()),
+            "std_intensity": pa.array(out["std_intensity"], pa.float64()),
         })
 
 
