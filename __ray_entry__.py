@@ -66,6 +66,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_sessionize": streaming.events_sessionize,
             "media_features": multimodal.media_features,
             "embedding_neardup": ann.embedding_neardup_pairs,
+            # sub-quadratic scale path (hyperplane LSH; recall < 1 by
+            # design → rows-only, measured in pytest instead)
+            "embedding_neardup_lsh": (
+                lambda sf: __import__("lucene_ray.pipelines.ann",
+                                      fromlist=["ann"])
+                .embedding_neardup_lsh(sf, n_tables=16, n_bits=4)),
             "dedup_exact": dedup.dedup_exact,
             "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
             "dedup_simhash": dedup.dedup_simhash,

@@ -267,3 +267,66 @@ def write_synthetic_documents(out_dir: str, n_docs: int, seed: int = 11,
      .map_batches(gen, batch_format="pyarrow", batch_size=1)
      .materialize())
     return out_dir
+
+
+def corpus_from_files(root: str, lang_by_ext: dict | None = None):
+    """Directory of source files → corpus Dataset — the demo/IndexFiles
+    walk (``demo/src/java/org/apache/lucene/demo/IndexFiles.java:206-274``:
+    path → StringField, contents → TextField) as a Ray source:
+    ``read_binary_files`` streams the tree, one corpus row per file.
+    repo = the root directory name, commit = sha256(bytes)[:40] (content
+    addressing stands in for VCS metadata), lang = extension."""
+    import ray.data
+
+    root = os.path.abspath(root)
+    lang_by_ext = lang_by_ext or {}
+    ds = ray.data.read_binary_files(root, include_paths=True)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        paths = batch.column("path").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        rows = {k: [] for k in ("repo", "path", "commit", "lang",
+                                "content")}
+        repo = os.path.basename(root.rstrip("/"))
+        for p, b in zip(paths, blobs):
+            rel = os.path.relpath(p, root)
+            ext = os.path.splitext(p)[1].lstrip(".").lower()
+            try:
+                text = b.decode("utf-8")
+            except UnicodeDecodeError:
+                text = b.decode("utf-8", errors="replace")
+            rows["repo"].append(repo)
+            rows["path"].append(rel)
+            rows["commit"].append(
+                hashlib.sha256(b).hexdigest()[:40])
+            rows["lang"].append(lang_by_ext.get(ext, ext or "txt"))
+            rows["content"].append(text)
+        return pa.table(rows, schema=CORPUS_SCHEMA)
+
+    return ds.map_batches(to_rows, batch_format="pyarrow")
+
+
+def corpus_from_line_file(path: str, repo: str = "linefile",
+                          lang: str = "txt"):
+    """One document per line — the LineFileDocs benchmark feed
+    (``test-framework/.../util/LineFileDocs.java:61``) as a Ray text
+    source; doc key = line number."""
+    import ray.data
+
+    ds = ray.data.read_text(path)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table({
+            "repo": pa.array([repo] * len(texts)),
+            "path": pa.array([
+                f"line_{hashlib.sha256((t or '').encode()).hexdigest()[:16]}.txt"
+                for t in texts]),
+            "commit": pa.array([
+                hashlib.sha256((t or "").encode()).hexdigest()[:40]
+                for t in texts]),
+            "lang": pa.array([lang] * len(texts)),
+            "content": pa.array(texts, pa.string()),
+        }, schema=CORPUS_SCHEMA)
+
+    return ds.map_batches(to_rows, batch_format="pyarrow")

@@ -137,9 +137,12 @@ def _train_centroids(sf_dir: str) -> np.ndarray:
     return c
 
 
-def ann_ivf_topk(sf_dir: str) -> pa.Table:
-    """IVF with nprobe=all (exact ⇒ same oracle); at scale, probe few
-    lists per query instead of scanning every batch."""
+def ann_ivf_topk(sf_dir: str, nprobe: int | None = None) -> pa.Table:
+    """IVF coarse-quantized ANN. ``nprobe=None`` probes every list —
+    exact, so the brute-force SQL oracle applies (the driver entry).
+    ``nprobe=k`` scores each query only against its k nearest centroid
+    lists — the sub-linear scale path (recall < 1 near list boundaries;
+    pytest measures it)."""
     import ray
     import ray.data
 
@@ -147,7 +150,12 @@ def ann_ivf_topk(sf_dir: str) -> pa.Table:
     centroids = _train_centroids(sf_dir)
     cref = ray.put(centroids)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-    qref = ray.put(qn)
+    if nprobe is not None:
+        order = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+        probe_sets = [set(int(x) for x in row) for row in order]
+    else:
+        probe_sets = None
+    qref = ray.put((qn, probe_sets))
 
     assigned = (ray.data.read_parquet(_emb_path(sf_dir),
                                       columns=["vec_id", "embedding"])
@@ -156,19 +164,26 @@ def ann_ivf_topk(sf_dir: str) -> pa.Table:
 
     def scan_list(g, qref=qref) -> pa.Table:
         import ray as _ray
-        qm = _ray.get(qref)
+        qm, probes = _ray.get(qref)
+        lid = int(g["list_id"].iloc[0])
+        qjs = [j for j in range(len(qm))
+               if probes is None or lid in probes[j]]
+        import pandas as pd
+        if not qjs:
+            return pd.DataFrame({"qj": np.empty(0, np.int32),
+                                 "vec_id": np.empty(0, np.int64),
+                                 "sim": np.empty(0, np.float64)})
         ids = g["vec_id"].to_numpy()
         emb = np.stack(g["embedding"].to_numpy())
         en = emb.astype(np.float64)
         en = en / np.linalg.norm(en, axis=1, keepdims=True)
-        sims = en @ qm.T
+        sims = en @ qm[qjs].T
         out_q, out_v, out_s = [], [], []
-        for j in range(sims.shape[1]):
-            order = np.lexsort((ids, -sims[:, j]))[:TOP_K]
+        for col, j in enumerate(qjs):
+            order = np.lexsort((ids, -sims[:, col]))[:TOP_K]
             out_q.extend([j] * len(order))
             out_v.extend(ids[order].tolist())
-            out_s.extend(sims[order, j].tolist())
-        import pandas as pd
+            out_s.extend(sims[order, col].tolist())
         return pd.DataFrame({"qj": out_q, "vec_id": out_v, "sim": out_s})
 
     parts = (assigned.groupby("list_id")
@@ -476,6 +491,124 @@ def embedding_neardup_pairs(sf_dir: str):
     schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     tbls = list(out.iter_batches(batch_format="pyarrow"))
     return pa.concat_tables(tbls) if tbls else schema.empty_table()
+
+
+LSH_N_TABLES = 8
+LSH_N_BITS = 8
+
+
+def embedding_neardup_lsh(sf_dir: str,
+                          threshold: float = NEARDUP_THRESHOLD,
+                          n_tables: int = LSH_N_TABLES,
+                          n_bits: int = LSH_N_BITS):
+    """Sub-quadratic embedding near-dup: random-hyperplane LSH (Charikar
+    SimHash for cosine) — ``n_tables`` independent sign-bit sketches of
+    ``n_bits`` hyperplanes each; vectors sharing a sketch in ANY table
+    become candidates, verified with the exact cosine. The scale path for
+    :func:`embedding_neardup_pairs` (which stays exact for the oracle):
+    P(candidate | cos θ) = 1-(1-(1-θ/π)^bits)^tables — recall < 1 near
+    the threshold, measured in pytest. Returns a Dataset of (a, b)."""
+    import ray
+    import ray.data
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    rng = np.random.default_rng(0xA11CE)
+    # hyperplanes drawn once; dim read from the first row
+    import pyarrow.parquet as pq
+    t0 = pq.read_table(_emb_path(sf_dir), columns=["embedding"],
+                       filters=[("vec_id", "<", 1)])
+    dim = len(t0.column("embedding")[0].as_py())
+    planes = rng.standard_normal((n_tables, n_bits, dim))
+    pref = ray.put(planes)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        out_d, out_k = [], []
+        w = (np.uint64(1) << np.arange(n_bits, dtype=np.uint64))
+        for ti in range(n_tables):
+            bits = (emb @ pl[ti].T > 0).astype(np.uint64)
+            code = bits @ w | (np.uint64(ti) << np.uint64(56))
+            out_d.append(ids)
+            out_k.append(code)
+        return pa.table({"vec_id": pa.array(np.concatenate(out_d)),
+                         "key": pa.array(np.concatenate(out_k))})
+
+    from ..pipelines.dedup import _COARSE_PARTS, _run_pairs
+
+    def bucket(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy()
+        return t.append_column(
+            "kp", pa.array((k % _COARSE_PARTS).astype(np.int32)))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        a, b, _, _ = _run_pairs(g["key"].to_numpy(),
+                                g["vec_id"].to_numpy(), None, None)
+        return pd.DataFrame({"a": a, "b": b})
+
+    cand = (ray.data.read_parquet(_emb_path(sf_dir),
+                                  columns=["vec_id", "embedding"])
+            .map_batches(sketch, batch_format="pyarrow")
+            .map_batches(bucket, batch_format="pyarrow")
+            .groupby("kp").map_groups(pairs, batch_format="pandas")
+            .groupby(["a", "b"]).aggregate(Count(alias_name="_n")))
+
+    # verify candidates with the exact cosine: semi-join embeddings down
+    # to candidate vectors, then one matmul per candidate batch against
+    # the (small) candidate matrix
+    def cdocs(batch: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate(
+            [batch.column("a").to_numpy(), batch.column("b").to_numpy()]))
+        return pa.table({"vec_id": pa.array(ids, pa.int64())})
+
+    cand_vecs = (cand.map_batches(cdocs, batch_format="pyarrow")
+                 .groupby("vec_id").aggregate(Count(alias_name="_c")))
+    # Arrow hash join rejects list<float> payload columns, so the
+    # semi-join is a broadcast filter: candidate IDs (LSH-bounded, tiny
+    # relative to the corpus) ship once via ray.put
+    cid = np.sort(np.array([r["vec_id"] for r in cand_vecs.take_all()],
+                           dtype=np.int64))
+    cref2 = ray.put(cid)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cref2)
+        if len(cs) == 0:
+            return batch.slice(0, 0)
+        v = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        p = np.minimum(np.searchsorted(cs, v), len(cs) - 1)
+        return batch.filter(pa.array(cs[p] == v))
+
+    emb_cand = (ray.data.read_parquet(_emb_path(sf_dir),
+                                      columns=["vec_id", "embedding"])
+                .map_batches(filt, batch_format="pyarrow"))
+    rows = list(emb_cand.iter_batches(batch_format="pyarrow"))
+    if not rows:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    et = pa.concat_tables(rows)
+    ids = et.column("vec_id").to_numpy(zero_copy_only=False)
+    emb = np.stack(et.column("embedding").to_numpy(
+        zero_copy_only=False)).astype(np.float64)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    vref = ray.put((pos, emb))      # candidate matrix only — LSH-bounded
+
+    def verify_remote(batch: pa.Table) -> pa.Table:
+        nonlocal_pos, nonlocal_emb = ray.get(vref)
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        ia = np.array([nonlocal_pos[int(x)] for x in a])
+        ib = np.array([nonlocal_pos[int(x)] for x in b])
+        cos = np.einsum("ij,ij->i", nonlocal_emb[ia], nonlocal_emb[ib])
+        keep = cos > threshold
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64())})
+
+    return cand.map_batches(verify_remote, batch_format="pyarrow")
 
 
 def oracle_embedding_neardup_sql() -> str:

@@ -137,6 +137,37 @@ def test_media_decoder_actor_semantics(ray_session):
     assert (auds["duration_s"] > 0.04).all()
 
 
+def test_corpus_file_sources(tmp_path, ray_session):
+    """demo/IndexFiles-style directory walk and LineFileDocs line files
+    both produce indexable corpora end-to-end."""
+    import os
+    import numpy as np
+    from lucene_ray.build import build_index
+    from lucene_ray.corpus import corpus_from_files, corpus_from_line_file
+    from lucene_ray.search import IndexReader, search_bruteforce
+
+    src = tmp_path / "tree" / "sub"
+    os.makedirs(src)
+    (tmp_path / "tree" / "a.py").write_text("def alpha(): return beta")
+    (src / "b.java").write_text("public class Beta { int alpha; }")
+    ds = corpus_from_files(str(tmp_path / "tree"))
+    idx = str(tmp_path / "idx")
+    build_index(ds, idx, num_buckets=2, term_parts=2, salt_group=1)
+    r = IndexReader(idx)
+    assert r.doc_count == 2
+    assert len(search_bruteforce(r, "alpha", 10).doc_ids) == 2
+    assert len(search_bruteforce(r, "beta", 10).doc_ids) == 2
+
+    lf = tmp_path / "docs.txt"
+    lf.write_text("first line doc\nsecond line doc\nthird one\n")
+    ds2 = corpus_from_line_file(str(lf))
+    idx2 = str(tmp_path / "idx2")
+    build_index(ds2, idx2, num_buckets=2, term_parts=2, salt_group=1)
+    r2 = IndexReader(idx2)
+    assert r2.doc_count == 3
+    assert len(search_bruteforce(r2, "doc", 10).doc_ids) == 2
+
+
 def test_simhash_hamming_pairs(tmp_path, ray_session):
     """Pigeonhole banding finds every pair within the Hamming budget:
     planted near-identical docs pair up, unrelated docs don't."""
@@ -220,6 +251,52 @@ def test_ann_hnsw_driver_entry(ray_session):
     exact = ann_cosine_topk(SF).to_pydict()
     hnsw = ann_hnsw_topk(SF).to_pydict()
     assert hnsw == exact
+
+
+def test_ann_sublinear_modes(ray_session):
+    """The scale paths: IVF with nprobe<all and hyperplane-LSH near-dup
+    both recover most of the exact answer on the sf embeddings."""
+    from lucene_ray.pipelines.ann import (TOP_K, ann_cosine_topk,
+                                          ann_ivf_topk,
+                                          embedding_neardup_lsh,
+                                          embedding_neardup_pairs)
+
+    exact = ann_cosine_topk(SF)
+    probe = ann_ivf_topk(SF, nprobe=3)
+    ex = {}
+    for q, v in zip(exact.column("query_vec_id").to_pylist(),
+                    exact.column("vec_id").to_pylist()):
+        ex.setdefault(q, set()).add(v)
+    got = {}
+    for q, v in zip(probe.column("query_vec_id").to_pylist(),
+                    probe.column("vec_id").to_pylist()):
+        got.setdefault(q, set()).add(v)
+    inter = sum(len(ex[q] & got.get(q, set())) for q in ex)
+    recall = inter / sum(len(s) for s in ex.values())
+    assert recall >= 0.8, recall
+
+    # cos 0.4 is a ~66° angle — a hard LSH regime; 4 bits x 16 tables
+    # gives expected candidate recall ~0.94 (1-(1-0.63^4)^16)
+    lsh_tbl = embedding_neardup_lsh(SF, threshold=0.4, n_tables=16,
+                                    n_bits=4)
+    lsh = set((r["a"], r["b"]) for r in lsh_tbl.take_all())
+    # exact pairs at 0.4, computed directly
+    import numpy as np
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    e = np.stack(t.column("embedding").to_numpy(
+        zero_copy_only=False)).astype(np.float64)
+    o = np.argsort(ids)
+    ids, e = ids[o], e[o]
+    e = e / np.linalg.norm(e, axis=1, keepdims=True)
+    s = e @ e.T
+    iu, ju = np.triu_indices(len(e), 1)
+    m = s[iu, ju] > 0.4
+    exact_pairs = set(zip(ids[iu[m]].tolist(), ids[ju[m]].tolist()))
+    assert lsh <= exact_pairs                    # verification is exact
+    if exact_pairs:
+        assert len(lsh) / len(exact_pairs) >= 0.5   # LSH recall floor
 
 
 def test_ann_ivf_equals_bruteforce(ray_session):
