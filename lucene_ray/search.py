@@ -875,29 +875,38 @@ def phrase_freqs(reader: IndexReader, terms: list[str]) -> dict[int, int]:
     return {int(d): int(c) for d, c in zip(docs, counts)}
 
 
-def _sloppy_freq_doc(pos_lists: list[np.ndarray], slop: int) -> np.float32:
+def _sloppy_freq_doc(pos_lists: list[np.ndarray], slop: int,
+                     rpt_groups: "tuple | list" = ()) -> np.float32:
     """Sloppy phrase frequency of one doc — an exact transcription of the
     reference's greedy PQ traversal (SloppyPhraseMatcher.java:189-220,
-    nextMatch) for the no-repeating-terms case: always advance the least
-    offset-adjusted PhrasePosition, freq += 1f/(1f+matchLength) per match
-    (sloppyWeight, :184-186), float32 accumulation as in PhraseScorer
-    (PhraseScorer.java:85-95). Greedy is exact for match EXISTENCE but
-    (per the reference's own class javadoc) intentionally approximate
-    for counting — we reproduce its behavior, not an idealized count."""
+    nextMatch): always advance the least offset-adjusted PhrasePosition,
+    freq += 1f/(1f+matchLength) per match (sloppyWeight, :184-186),
+    float32 accumulation as in PhraseScorer (PhraseScorer.java:85-95).
+
+    ``rpt_groups``: slot-index groups sharing one term (sorted by query
+    offset) — the single-term repeat machinery (initFirstTime /
+    advanceRepeatGroups / advanceRpts, SloppyPhraseMatcher.java:286-345):
+    staggered initial placement, collision resolution by advancing the
+    lesser PP, re-queue of advanced in-queue members. Greedy is exact for
+    match EXISTENCE but (per the reference's own class javadoc)
+    intentionally approximate for counting — we reproduce its behavior,
+    not an idealized count."""
     import heapq
 
     n = len(pos_lists)
     arrs = [np.asarray(p, dtype=np.int64) for p in pos_lists]
     idx = [0] * n
     pos = [int(arrs[i][0]) - i for i in range(n)]     # position - offset
-    end = max(pos)
-    heap = [(pos[i], i, i) for i in range(n)]         # (position, offset, ord)
-    heapq.heapify(heap)
-    positioned = True
-    one = np.float32(1.0)
-    freq = np.float32(0.0)
+    rpt_group = [-1] * n
+    rpt_ind: list[int | None] = [None] * n
+    groups = [list(g) for g in rpt_groups]
+    for gi, g in enumerate(groups):
+        for j, o in enumerate(g):
+            rpt_group[o] = gi
+            rpt_ind[o] = j
+    end = 0
 
-    def advance(i: int) -> bool:
+    def advance(i: int) -> bool:                      # advancePP
         nonlocal end
         idx[i] += 1
         if idx[i] >= len(arrs[i]):
@@ -907,12 +916,75 @@ def _sloppy_freq_doc(pos_lists: list[np.ndarray], slop: int) -> np.float32:
             end = pos[i]
         return True
 
+    def next_position(i: int) -> bool:                # no end update
+        idx[i] += 1
+        if idx[i] >= len(arrs[i]):
+            return False
+        pos[i] = int(arrs[i][idx[i]]) - i
+        return True
+
+    # advanceRepeatGroups, simple (single-term) path: member j of a group
+    # starts j distinct positions in ("we know exactly how much to
+    # advance", SloppyPhraseMatcher.java:advanceRepeatGroups)
+    for g in groups:
+        for j in range(1, len(g)):
+            for _ in range(j):
+                if not next_position(g[j]):
+                    return np.float32(0.0)
+    end = max(pos)
+    heap = [(pos[i], i, i) for i in range(n)]         # (position, offset, ord)
+    heapq.heapify(heap)
+    positioned = True
+    one = np.float32(1.0)
+    freq = np.float32(0.0)
+
+    def tp(o: int) -> int:
+        return pos[o] + o                              # actual term position
+
+    def collide(o: int) -> int:
+        for o2 in groups[rpt_group[o]]:
+            if o2 != o and tp(o2) == tp(o):
+                return rpt_ind[o2]
+        return -1
+
+    def lesser(o1: int, o2: int) -> int:
+        if pos[o1] < pos[o2] or (pos[o1] == pos[o2] and o1 < o2):
+            return o1
+        return o2
+
+    def advance_rpts(o: int) -> bool:
+        if rpt_group[o] < 0:
+            return True
+        g = groups[rpt_group[o]]
+        bits: set[int] = set()
+        k0 = rpt_ind[o]
+        cur = o
+        while (k := collide(cur)) >= 0:
+            cur = lesser(cur, g[k])
+            if not advance(cur):
+                return False
+            if k != k0:
+                bits.add(k)
+        stack: list[int] = []
+        while bits and heap:
+            _, _, o2 = heapq.heappop(heap)
+            stack.append(o2)
+            if rpt_ind[o2] is not None and rpt_ind[o2] in bits:
+                bits.discard(rpt_ind[o2])
+        for o2 in reversed(stack):
+            heapq.heappush(heap, (pos[o2], o2, o2))
+        return True
+
     while positioned:
         _, _, o = heapq.heappop(heap)
         match_len = end - pos[o]
         next_pos = heap[0][0] if heap else pos[o]
         matched = False
         while advance(o):
+            if groups and not advance_rpts(o):
+                positioned = False
+                matched = match_len <= slop
+                break
             if pos[o] > next_pos:
                 heapq.heappush(heap, (pos[o], o, o))
                 if match_len <= slop:
@@ -938,12 +1010,14 @@ def sloppy_phrase_freqs(reader: IndexReader, terms: list[str], slop: int
     """Sloppy phrase matching (PhraseQuery with slop > 0): doc → float32
     sloppy frequency. Candidate docs are the conjunction of all terms'
     doc sets (ConjunctionUtils.intersectIterators approximation,
-    SloppyPhraseMatcher ctor). Repeating query terms would need the
-    reference's rptGroups machinery (SloppyPhraseMatcher.initComplex)
-    and are rejected."""
-    if len(set(terms)) != len(terms):
-        raise NotImplementedError(
-            "sloppy phrases with repeating terms (rptGroups) unsupported")
+    SloppyPhraseMatcher ctor). Repeating query terms run through the
+    single-term rptGroups machinery (two PPs of one term never occupy
+    the same actual position); a doc needs at least as many positions of
+    a term as the term has slots."""
+    seen: dict[str, list[int]] = {}
+    for i, t in enumerate(terms):
+        seen.setdefault(t, []).append(i)
+    groups = tuple(tuple(v) for v in seen.values() if len(v) > 1)
     per_term = []
     for t in terms:
         m = _term_positions(reader, t)
@@ -955,7 +1029,7 @@ def sloppy_phrase_freqs(reader: IndexReader, terms: list[str], slop: int
         docs &= set(m)
     out: dict[int, np.float32] = {}
     for doc in sorted(docs):
-        f = _sloppy_freq_doc([m[doc] for m in per_term], slop)
+        f = _sloppy_freq_doc([m[doc] for m in per_term], slop, groups)
         if f > 0:
             out[doc] = f
     return out

@@ -794,8 +794,37 @@ def test_sloppy_phrase(tmp_path_factory, ray_session):
             assert (doc in fr) == naive_exists(doc, terms, slop), \
                 (terms, slop, doc)
 
-    with pytest.raises(NotImplementedError):
-        sloppy_phrase_freqs(r, ["a", "a"], 1)
+    # repeating query terms (rptGroups machinery): two slots of one term
+    # must occupy DISTINCT actual positions
+    def naive_exists_rpt(doc, terms, slop):
+        toks = docs[doc].split()
+        plists = [[i for i, t in enumerate(toks) if t == q] for q in terms]
+        if any(not p for p in plists):
+            return False
+        for combo in itertools.product(*plists):
+            by_term = {}
+            ok = True
+            for q, p in zip(terms, combo):
+                if p in by_term.setdefault(q, set()):
+                    ok = False
+                    break
+                by_term[q].add(p)
+            if not ok:
+                continue
+            adj = [p - i for i, p in enumerate(combo)]
+            if max(adj) - min(adj) <= slop:
+                return True
+        return False
+
+    assert set(sloppy_phrase_freqs(r, ["a", "a"], 1)) == {0}
+    assert set(sloppy_phrase_freqs(r, ["a", "a"], 3)) == {0, 1}
+    for terms, slop in [(["a", "a"], 0), (["a", "a"], 2), (["a", "a"], 5),
+                        (["a", "b", "a"], 2), (["a", "b", "a"], 4),
+                        (["b", "a", "b"], 3), (["a", "a", "a"], 4)]:
+        fr = sloppy_phrase_freqs(r, terms, slop)
+        for doc in range(len(docs)):
+            assert (doc in fr) == naive_exists_rpt(doc, terms, slop), \
+                (terms, slop, doc)
 
     # MultiPhraseQuery on the same tiny corpus: docs are
     # 0:"x a b a y" 1:"a b c b a" 2:"a y b" 3:"b a" 4:"x y z w a"
