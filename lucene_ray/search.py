@@ -452,16 +452,39 @@ def search_blockmax(reader: IndexReader, query: str, k: int = 10, *,
             theta = t0
         can_skip_new = (suffix[rank] + eps) < theta
         rmask = range_blocks(p)
+
+        def cand_reachable(blo, bhi):
+            """Per block: does some candidate inside its doc range have
+            lb + block_ub + remaining ≥ θ? Candidates strictly below
+            can't enter the top-k even fully scored (their true final ≤
+            lb + ub + remaining < θ − eps ≤ final k-th), so their blocks
+            skip — the essential/non-essential list split of
+            MaxScoreBulkScorer.java:26 applied per candidate block."""
+            has = bhi > blo
+            if not np.isfinite(theta) or not has.any():
+                return has
+            arr = np.concatenate([cand_lb, [-np.inf]])
+            nzb = np.flatnonzero(has)
+            bounds = np.empty(2 * len(nzb), dtype=np.int64)
+            bounds[0::2] = blo[nzb]
+            bounds[1::2] = bhi[nzb]
+            cmax = np.maximum.reduceat(arr, bounds)[0::2]
+            out = np.zeros(len(blo), dtype=bool)
+            out[nzb] = (cmax + ubs[oi][nzb].astype(np.float64)
+                        + remaining_after + eps) >= theta
+            return out
+
         if can_skip_new:
             blo = np.searchsorted(cand_docs, p.first_doc, side="left")
             bhi = np.searchsorted(cand_docs, p.last_doc, side="right")
-            need = np.flatnonzero((bhi > blo) & rmask)
+            need = np.flatnonzero(cand_reachable(blo, bhi) & rmask)
         elif np.isfinite(theta):
             competitive = (ubs[oi].astype(np.float64)
                            + remaining_after + eps) >= theta
             blo = np.searchsorted(cand_docs, p.first_doc, side="left")
             bhi = np.searchsorted(cand_docs, p.last_doc, side="right")
-            need = np.flatnonzero((competitive | (bhi > blo)) & rmask)
+            need = np.flatnonzero(
+                (competitive | cand_reachable(blo, bhi)) & rmask)
         else:
             need = np.flatnonzero(rmask)
         if len(need) == 0:
