@@ -1467,6 +1467,33 @@ def _eval_parsed(reader: IndexReader, pq_) -> tuple[np.ndarray, np.ndarray]:
         if c.kind == "group":
             d, s = _eval_parsed(reader, c.sub)
             return d, (s * np.float32(c.boost)).astype(np.float32)
+        if c.kind == "range" and c.field_name:
+            # numeric bounds + a built point index for the field →
+            # PointRangeQuery through the BKD-role index (points.py);
+            # falls through to the term-range expansion otherwise
+            import os as _os
+
+            from .points import numeric_range
+            lineage = _os.path.join(reader.index_dir, "points",
+                                    c.field_name, "_lineage.json")
+            try:
+                lo_n = int(c.lo) if c.lo else None
+                hi_n = int(c.hi) if c.hi else None
+                numeric = True
+            except ValueError:
+                numeric = False
+            if numeric and _os.path.exists(lineage):
+                lo_v = (-(1 << 62) if lo_n is None
+                        else lo_n + (0 if c.incl_lo else 1))
+                hi_v = ((1 << 62) if hi_n is None
+                        else hi_n + (1 if c.incl_hi else 0))
+                docs, _m = numeric_range(reader.index_dir, c.field_name,
+                                         lo_v, hi_v)
+                lm = reader.live_mask(docs)
+                if lm is not None:
+                    docs = docs[lm]
+                return docs, np.full(len(docs), np.float32(c.boost),
+                                     dtype=np.float32)
         if c.kind in ("range", "wildcard", "fuzzy"):
             terms = expand_multiterm(reader, c)
             if not terms:

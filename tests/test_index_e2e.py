@@ -986,6 +986,16 @@ def test_numeric_point_index(index_dir, ray_session):
         assert metrics["row_groups_read"] <= metrics["row_groups_total"]
     narrow, m_narrow = numeric_range(index_dir, "field_len", 35, 36)
     assert m_narrow["row_groups_read"] < m_narrow["row_groups_total"]
+    # parser integration: field:[N TO M] routes through the point index
+    from lucene_ray.search import search_parsed
+    td = search_parsed(r_for_points := IndexReader(index_dir),
+                       "field_len:[20 TO 39]", 10_000)
+    want = np.sort(d[(v >= 20) & (v <= 39)])
+    np.testing.assert_array_equal(np.sort(td.doc_ids), want)
+    assert np.all(td.scores == np.float32(1.0))
+    td2 = search_parsed(r_for_points, "field_len:{20 TO 39}", 10_000)
+    want2 = np.sort(d[(v > 20) & (v < 39)])
+    np.testing.assert_array_equal(np.sort(td2.doc_ids), want2)
 
 
 def test_append_preserves_index_config(tmp_path_factory, ray_session):
