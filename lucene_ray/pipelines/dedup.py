@@ -269,7 +269,9 @@ def dedup_minhash_lsh(sf_dir: str):
 
     from ray.data.aggregate import Count
 
-    P = 8
+    # join/shuffle partition count scaled to the corpus (tiny sf inputs
+    # don't need 8 aggregator actors; large corpora can raise this)
+    P = _join_parts(sf_dir)
     cand_pairs = (ds.map_batches(mh, batch_format="pyarrow")
                   .map_batches(bucket, batch_format="pyarrow")
                   .groupby("kp")
@@ -428,6 +430,25 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
       >= {JACCARD_NGRAM_THRESHOLD}"""
 
 
+def _join_parts(sf_dir: str) -> int:
+    """Hash-join/shuffle partition count sized by corpus bytes: 2 for
+    sf-test inputs, up to 16 beyond a GB — actor startup dominates tiny
+    joins."""
+    try:
+        size = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    except OSError:
+        size = 0
+        p = os.path.join(sf_dir, "documents.parquet")
+        if os.path.isdir(p):
+            size = sum(os.path.getsize(os.path.join(p, f))
+                       for f in os.listdir(p))
+    if size < 64 * 1024 * 1024:
+        return 2
+    if size < 1024 * 1024 * 1024:
+        return 8
+    return 16
+
+
 def dedup_clusters(sf_dir: str):
     """Near-duplicate clusters: connected components over the exact-Jaccard
     pair graph (threshold as ngram_jaccard_pairs), labels = min doc_id of
@@ -444,7 +465,7 @@ def dedup_clusters(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Min, Sum
 
-    P = 8
+    P = _join_parts(sf_dir)
     edges = (ngram_jaccard_pairs(sf_dir)
              .select_columns(["a", "b"]).materialize())
 
