@@ -553,13 +553,29 @@ def search_blockmax(reader: IndexReader, query: str, k: int = 10, *,
         contrib_d.append(nd)
         contrib_c.append(np.full(len(nd), ci, dtype=np.int32))
         contrib_s.append(ns)
-        # update running lower bounds
-        all_d = np.concatenate([cand_docs, nd])
-        all_s = np.concatenate([cand_lb, ns.astype(np.float64)])
-        uniq, inv = np.unique(all_d, return_inverse=True)
-        acc = np.zeros(len(uniq), dtype=np.float64)
-        np.add.at(acc, inv, all_s)
-        cand_docs, cand_lb = uniq, acc
+        # update running lower bounds with a sorted merge (each doc
+        # appears at most once per clause; a full np.unique re-sort of
+        # the candidate array per clause is O(T·N log N) and dominated
+        # heavy-query profiles)
+        if len(nd) > 1 and not np.all(np.diff(nd) > 0):
+            o_nd = np.argsort(nd, kind="stable")   # first-clause UB order
+            nd_s, ns_s = nd[o_nd], ns[o_nd]
+        else:
+            nd_s, ns_s = nd, ns
+        if len(cand_docs) == 0:
+            cand_docs = nd_s
+            cand_lb = ns_s.astype(np.float64)
+        else:
+            pos = np.minimum(np.searchsorted(cand_docs, nd_s),
+                             len(cand_docs) - 1)
+            exists = cand_docs[pos] == nd_s
+            cand_lb[pos[exists]] += ns_s[exists].astype(np.float64)
+            newd = nd_s[~exists]
+            if len(newd):
+                ins = np.searchsorted(cand_docs, newd)
+                cand_docs = np.insert(cand_docs, ins, newd)
+                cand_lb = np.insert(cand_lb, ins,
+                                    ns_s[~exists].astype(np.float64))
 
     if not contrib_d:
         return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0,
