@@ -159,6 +159,78 @@ def impact_frontier(tfs: np.ndarray, norms: np.ndarray
     return freqs[keep].astype(np.int32), nrm[keep].astype(np.uint8)
 
 
+def _bitlen_vec(a: np.ndarray) -> np.ndarray:
+    """Vectorized int bit_length for values < 2^53 (frexp exponent)."""
+    _, e = np.frexp(a.astype(np.float64))
+    return np.where(a == 0, 0, e).astype(np.int64)
+
+
+def _batch_full_blocks(doc_ids: np.ndarray, tfs: np.ndarray
+                       ) -> "tuple[list, list] | tuple[None, None]":
+    """Vectorized encode of all full 128-blocks of one term at once —
+    mirrors decode_blocks' batched layout: per-block deltas/sorted-tf
+    matrices, bit widths and PFoR exception counts chosen vectorized,
+    same-width groups packed in ONE pack_bits call and sliced back into
+    per-block cells. Byte-identical to the per-block encoders (the k/bpv
+    choices replicate encode_deltas/encode_pfor exactly)."""
+    n = len(doc_ids)
+    nfull = n // BLOCK_SIZE
+    if nfull < 2:
+        return None, None
+    B = BLOCK_SIZE
+
+    dm = doc_ids[:nfull * B].reshape(nfull, B).astype(np.int64)
+    deltas = np.zeros((nfull, B), dtype=np.uint64)
+    deltas[:, 1:] = np.diff(dm, axis=1).astype(np.uint64)
+    maxd = deltas.max(axis=1)
+    bpv_d = _bitlen_vec(maxd)
+    docs_out: list = [None] * nfull
+    for bpv in np.unique(bpv_d):
+        idx = np.flatnonzero(bpv_d == bpv)
+        bpv = int(bpv)
+        head = bytes([bpv])
+        if bpv == 0:
+            # all-zero deltas: unreachable for strictly increasing docs,
+            # but keep byte parity with encode_deltas' all-equal path
+            cell = bytes([_ALL_EQUAL]) + (0).to_bytes(8, "little")
+            for i in idx:
+                docs_out[int(i)] = cell
+            continue
+        packed = pack_bits(deltas[idx].reshape(-1), bpv)
+        per = B * bpv // 8
+        mv = memoryview(packed)
+        for j, i in enumerate(idx):
+            docs_out[int(i)] = head + bytes(mv[j * per:(j + 1) * per])
+
+    tm = tfs[:nfull * B].reshape(nfull, B).astype(np.uint64)
+    srt = np.sort(tm, axis=1)
+    all_eq = srt[:, 0] == srt[:, -1]
+    bl = _bitlen_vec(
+        srt[:, B - 1 - np.arange(MAX_EXCEPTIONS + 1)].reshape(-1)
+    ).reshape(nfull, MAX_EXCEPTIONS + 1)
+    costs = B * bl + np.arange(MAX_EXCEPTIONS + 1) * 40
+    best_k = np.argmin(costs, axis=1)          # first min == smallest k
+    tfs_out: list = [None] * nfull
+    for i in np.flatnonzero(all_eq):
+        i = int(i)
+        tfs_out[i] = bytes([_ALL_EQUAL]) + int(tm[i, 0]).to_bytes(4,
+                                                                  "little")
+    batchable = (~all_eq) & (best_k == 0)
+    for bpv in np.unique(bl[:, 0][batchable]) if batchable.any() else []:
+        idx = np.flatnonzero(batchable & (bl[:, 0] == bpv))
+        bpv = int(bpv)
+        packed = pack_bits(tm[idx].reshape(-1), bpv)
+        per = B * bpv // 8
+        head = bytes([bpv, 0])
+        mv = memoryview(packed)
+        for j, i in enumerate(idx):
+            tfs_out[int(i)] = head + bytes(mv[j * per:(j + 1) * per])
+    for i in np.flatnonzero((~all_eq) & (best_k != 0)):
+        i = int(i)
+        tfs_out[i] = encode_pfor(tm[i])
+    return docs_out, tfs_out
+
+
 def encode_term(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
                 positions: np.ndarray | None = None) -> dict[str, list]:
     """Encode one term's postings (doc-sorted) into per-block columns.
@@ -180,6 +252,7 @@ def encode_term(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
     if positions is not None:
         pos_bounds = np.concatenate(
             [[0], np.cumsum(np.asarray(tfs, dtype=np.int64))])
+    batch_docs, batch_tfs = _batch_full_blocks(np.asarray(doc_ids), tfs)
     for s in range(0, n, BLOCK_SIZE):
         e = min(s + BLOCK_SIZE, n)
         d = doc_ids[s:e].astype(np.int64)
@@ -195,7 +268,10 @@ def encode_term(doc_ids: np.ndarray, tfs: np.ndarray, norms: np.ndarray,
                            dtype="<i4").tobytes())
         else:
             out["pos_enc"].append(b"")
-        if e - s == BLOCK_SIZE:
+        if e - s == BLOCK_SIZE and batch_docs is not None:
+            out["docs_enc"].append(batch_docs[s // BLOCK_SIZE])
+            out["tfs_enc"].append(batch_tfs[s // BLOCK_SIZE])
+        elif e - s == BLOCK_SIZE:
             deltas = np.empty(e - s, dtype=np.uint64)
             deltas[0] = 0
             deltas[1:] = np.diff(d).astype(np.uint64)

@@ -142,3 +142,41 @@ def test_decode_blocks_batch_matches_scalar():
         np.testing.assert_array_equal(t, tfs)
         np.testing.assert_array_equal(m, norms)
         assert off[-1] == df
+
+
+def test_batched_full_block_encode_byte_identical():
+    """The batched full-block encoder must produce byte-identical cells
+    to the per-block encode_deltas/encode_pfor path (same bpv and
+    exception-count choices) across adversarial tf/doc shapes."""
+    import numpy as np
+    from lucene_ray.codec import (BLOCK_SIZE, encode_deltas, encode_pfor,
+                                  encode_term)
+
+    rng = np.random.default_rng(9)
+    for trial in range(20):
+        nblocks = int(rng.integers(2, 9))
+        n = nblocks * BLOCK_SIZE + int(rng.integers(0, BLOCK_SIZE))
+        gaps = rng.integers(1, int(rng.choice([2, 5, 1000, 1 << 20])),
+                            n).astype(np.int64)
+        docs = np.cumsum(gaps)
+        mode = trial % 4
+        if mode == 0:
+            tfs = np.ones(n, dtype=np.int64)              # all-equal blocks
+        elif mode == 1:
+            tfs = rng.integers(1, 4, n).astype(np.int64)  # low var, k=0
+        elif mode == 2:
+            tfs = rng.integers(1, 4, n).astype(np.int64)  # a few outliers
+            tfs[rng.integers(0, n, 5)] = int(rng.integers(1000, 1 << 20))
+        else:
+            tfs = rng.integers(1, 1 << 16, n).astype(np.int64)
+        norms = rng.integers(0, 256, n).astype(np.uint8)
+        enc = encode_term(docs, tfs, norms)
+        for b in range(nblocks):            # full blocks only
+            s = b * BLOCK_SIZE
+            d = docs[s:s + BLOCK_SIZE]
+            deltas = np.empty(BLOCK_SIZE, dtype=np.uint64)
+            deltas[0] = 0
+            deltas[1:] = np.diff(d).astype(np.uint64)
+            assert enc["docs_enc"][b] == encode_deltas(deltas), (trial, b)
+            assert enc["tfs_enc"][b] == encode_pfor(
+                tfs[s:s + BLOCK_SIZE]), (trial, b)
