@@ -105,8 +105,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_docmeta": ft.oracle_docmeta_sql(),
         "ft_postings_sample": ft.oracle_postings_sample_sql(),
         "ft_bm25_top10": ft.oracle_bm25_sql(),
-        # ft_bm25_scores: intentionally no oracle (float32 values; exactness
-        # is enforced by the pytest brute-force oracle suite)
+        # float32 scores are bit-equal to the DuckDB REAL-cast chain
+        "ft_bm25_scores": ft.oracle_bm25_sql(with_scores=True),
         "ft_boolean_and": ft.oracle_boolean_and_sql(),
         "ft_boolean_and_not": ft.oracle_boolean_and_not_sql(),
         "ft_term_in_set": ft.oracle_term_in_set_sql(),

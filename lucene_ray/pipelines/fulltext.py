@@ -367,9 +367,13 @@ def _query_clauses_values() -> str:
     return ",\n    ".join(rows)
 
 
-def oracle_bm25_sql() -> str:
+def oracle_bm25_sql(with_scores: bool = False) -> str:
     """Float32 BM25 top-k, rank order (score desc, doc asc) — REAL casts at
-    every arithmetic step reproduce Java float rounding."""
+    every arithmetic step reproduce Java float rounding. With
+    ``with_scores`` the REAL score column is emitted too (bit-equal to
+    the engine's float32 — verified at sf0.01)."""
+    cols = "qid, rank, d AS doc_id" + (", score" if with_scores else "")
+    extra = ", score" if with_scores else ""
     return f"""WITH {_CORPUS_CTE},
 {_QUANT_LEN},
 clauses(qid, clause, term, k) AS (VALUES
@@ -398,11 +402,11 @@ totals AS (
   FROM scored GROUP BY qid, k, d
 ),
 ranked AS (
-  SELECT qid, d, row_number() OVER (
+  SELECT qid, d{extra}, row_number() OVER (
            PARTITION BY qid ORDER BY score DESC, d ASC) AS rank, k
   FROM totals
 )
-SELECT qid, rank, d AS doc_id FROM ranked WHERE rank <= k"""
+SELECT {cols} FROM ranked WHERE rank <= k"""
 
 
 def oracle_boolean_and_sql() -> str:
