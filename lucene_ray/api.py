@@ -55,12 +55,14 @@ class Index:
         """Reopen against the latest committed manifest."""
         return Index(self.index_dir)
 
-    def compact(self) -> "Index":
+    def compact(self, expunge_deletes: bool = False) -> "Index":
         """forceMerge/TieredMergePolicy role: collapse append generations
-        into one partition per term-hash bucket."""
+        into one partition per term-hash bucket; with
+        ``expunge_deletes`` also squeeze tombstoned docs out of postings,
+        docmeta and the collection stats (Lucene merge + liveDocs)."""
         from .build import compact_index
 
-        compact_index(self.index_dir)
+        compact_index(self.index_dir, expunge_deletes=expunge_deletes)
         return self.refresh()
 
     def delete_by_term(self, term: str) -> "Index":

@@ -901,7 +901,8 @@ def verify_index(index_dir: str) -> dict:
         return {"ok": False, "error": f"{type(e).__name__}: {e}"}
     doc_count = agg.get("count()", 0)
     sum_len = agg.get("sum(field_len)") or 0
-    n_kw = sum(s.get("n_kw_postings", 0) for s in m.segments)
+    n_kw = sum(s.get("n_kw_postings", 0) for s in m.segments) \
+        - int(m.config.get("expunged_kw", 0))
     res = {
         "doc_count_ok": doc_count == m.doc_count,
         "sum_ttf_ok": int(sum_len) == m.sum_ttf,
@@ -1098,19 +1099,99 @@ def upsert_documents(index_dir: str, new_corpus: str,
                            merge_concurrency=merge_concurrency)
 
 
+def _load_deletes(index_dir: str) -> np.ndarray:
+    ddir = os.path.join(index_dir, "deletes")
+    parts = []
+    if os.path.isdir(ddir):
+        for f in sorted(os.listdir(ddir)):
+            if f.endswith(".parquet"):
+                parts.append(pq.read_table(
+                    os.path.join(ddir, f),
+                    columns=["doc_id"]).column("doc_id").to_numpy())
+    return np.unique(np.concatenate(parts)) if parts \
+        else np.empty(0, np.int64)
+
+
+def _drop_deleted_rows(batch: pa.Table, dref) -> pa.Table:
+    """Expunge stage: postings rows whose doc range contains tombstoned
+    docs are decoded, filtered to live postings and re-emitted as
+    RAW-layout tail rows (< 128 postings, empty impacts) that the Merger
+    re-blocks with fresh impact frontiers; untouched rows pass through.
+    The MergeState.DocMap 'deletes squeezed out' role
+    (index/MergeState.java:170-204) without docID renumbering."""
+    import ray
+
+    from .codec import decode_block, decode_positions
+
+    deleted = ray.get(dref)
+    first = batch.column("first_doc").to_numpy()
+    last = batch.column("last_doc").to_numpy()
+    lo = np.searchsorted(deleted, first, side="left")
+    hi = np.searchsorted(deleted, last, side="right")
+    touched = hi > lo
+    if not touched.any():
+        return batch
+    keep_rows = batch.filter(pa.array(~touched))
+    rows = {k: [] for k, _ in POSTINGS_FIELDS}
+    tb = batch.filter(pa.array(touched))
+    for i in range(tb.num_rows):
+        n = int(tb.column("n")[i].as_py())
+        d, tf, nm = decode_block(int(tb.column("first_doc")[i].as_py()), n,
+                                 tb.column("docs_enc")[i].as_py(),
+                                 tb.column("tfs_enc")[i].as_py(),
+                                 tb.column("norms_enc")[i].as_py())
+        pos = np.minimum(np.searchsorted(deleted, d), len(deleted) - 1)
+        live = deleted[pos] != d
+        if not live.any():
+            continue                       # whole block tombstoned
+        pos_cell = tb.column("pos_enc")[i].as_py() or b""
+        if pos_cell:
+            flat, offs = decode_positions(pos_cell, tf)
+            pos_cell = np.concatenate(
+                [flat[offs[j]:offs[j + 1]]
+                 for j in np.flatnonzero(live)]).astype("<i4").tobytes() \
+                if live.any() else b""
+        rows["term"].append(tb.column("term")[i].as_py())
+        rows["seg"].append(-2)
+        rows["first_doc"].append(int(d[live][0]))
+        rows["last_doc"].append(int(d[live][-1]))
+        rows["n"].append(int(live.sum()))
+        rows["tf_sum"].append(int(tf[live].sum()))
+        rows["docs_enc"].append(b"\xfd" + d[live].astype("<i8").tobytes())
+        rows["tfs_enc"].append(b"\xfd" + tf[live].astype("<i4").tobytes())
+        rows["norms_enc"].append(nm[live].tobytes())
+        rows["imp_freq"].append([])
+        rows["imp_norm"].append(b"")
+        rows["pos_enc"].append(pos_cell)
+    filtered = pa.table(
+        {k: pa.array(v, t) for (k, t), v in
+         zip(POSTINGS_FIELDS, (rows[k] for k, _ in POSTINGS_FIELDS))},
+        schema=SEGMENT_SCHEMA)
+    return pa.concat_tables([keep_rows.cast(SEGMENT_SCHEMA), filtered])
+
+
 def compact_index(index_dir: str,
-                  merge_concurrency: int | tuple | None = None
-                  ) -> IndexManifest:
+                  merge_concurrency: int | tuple | None = None,
+                  expunge_deletes: bool = False) -> IndexManifest:
     """Compaction — the TieredMergePolicy/forceMerge role
     (index/TieredMergePolicy.java:76, IndexWriter.forceMerge): collapse all
     postings generations (salt groups) of each term-hash bucket into one
     partition. Full 128-blocks pass through; accumulated tails re-block.
     Old parts are replaced under a new manifest version (two-phase: new
-    files written first, manifest rename, then old files removed)."""
+    files written first, manifest rename, then old files removed).
+
+    ``expunge_deletes``: squeeze tombstoned docs out of the postings and
+    docmeta (Lucene's merge applying liveDocs), update doc_count/sum_ttf
+    to the live totals (post-merge stats exclude deletions) and clear the
+    tombstone generations — scores over the compacted index reflect live
+    collection statistics."""
+    import ray
     import ray.data
 
     m = load_manifest(index_dir)
     T = m.config["term_parts"]
+    deleted = _load_deletes(index_dir) if expunge_deletes \
+        else np.empty(0, np.int64)
     old_files = [os.path.join(index_dir, "postings",
                               f"part={p['part']}.parquet")
                  for p in m.postings_parts]
@@ -1118,7 +1199,7 @@ def compact_index(index_dir: str,
     for p in m.postings_parts:
         by_bucket.setdefault(int(p["tbucket"]), []).append(p["part"])
     # nothing to do if every bucket already has a single generation
-    if all(len(v) <= 1 for v in by_bucket.values()):
+    if all(len(v) <= 1 for v in by_bucket.values()) and len(deleted) == 0:
         return m
 
     gen = max(int(p["salt"]) for p in m.postings_parts) + 1
@@ -1132,12 +1213,55 @@ def compact_index(index_dir: str,
         return batch.append_column("tbucket", pa.array(tb, pa.int32())) \
                     .append_column("salt", pa.array(salt, pa.int32()))
 
+    if len(deleted):
+        dref = ray.put(deleted)
+        pds = pds.map_batches(_drop_deleted_rows, batch_format="pyarrow",
+                              fn_kwargs={"dref": dref})
+
     (pds.map_batches(key_rows, batch_format="pyarrow")
         .groupby(["tbucket", "salt"])
         .map_groups(Merger, batch_format="pyarrow",
                     fn_constructor_args=(index_dir,),
                     concurrency=merge_concurrency or (1, 8))
         .materialize())
+
+    new_doc_count, new_sum_ttf = m.doc_count, m.sum_ttf
+    new_config = m.config
+    if len(deleted):
+        # docmeta loses the tombstoned rows; live stats from the same scan
+        dm_dir = os.path.join(index_dir, "docmeta")
+        kw_fields = m.config.get("keyword_fields") or []
+        dead_docs = 0
+        dead_tokens = 0
+        dead_kw = 0
+        for f in sorted(os.listdir(dm_dir)):
+            if not f.endswith(".parquet"):
+                continue
+            path = os.path.join(dm_dir, f)
+            t = pq.read_table(path)
+            ids = t.column("doc_id").to_numpy()
+            pos = np.minimum(np.searchsorted(deleted, ids),
+                             len(deleted) - 1)
+            dead = deleted[pos] == ids
+            if not dead.any():
+                continue
+            dead_docs += int(dead.sum())
+            dead_tokens += int(t.column("field_len").to_numpy()[dead].sum())
+            for fld in kw_fields:
+                if fld in t.column_names:
+                    dead_kw += int(pa.compute.sum(pa.compute.and_(
+                        pa.array(dead),
+                        t.column(fld).combine_chunks().is_valid()
+                    )).as_py() or 0)
+            pq.write_table(t.filter(pa.array(~dead)), path + ".tmp")
+            os.replace(path + ".tmp", path)
+        new_doc_count = m.doc_count - dead_docs
+        new_sum_ttf = m.sum_ttf - dead_tokens
+        # keyword postings of dead docs left the index too; verify_index
+        # subtracts this from the lineage n_kw sum
+        new_config = {**m.config,
+                      "expunged_kw": int(m.config.get("expunged_kw", 0))
+                      + dead_kw}
 
     # fold lineage: keep only the new generation's parts
     mlin_dir = os.path.join(index_dir, "_build", "merge_lineage")
@@ -1150,9 +1274,9 @@ def compact_index(index_dir: str,
         else:
             os.remove(os.path.join(mlin_dir, f))
     manifest = IndexManifest(
-        version=m.version + 1, config=m.config, boundaries=m.boundaries,
+        version=m.version + 1, config=new_config, boundaries=m.boundaries,
         bases=m.bases, bucket_counts=m.bucket_counts,
-        doc_count=m.doc_count, sum_ttf=m.sum_ttf,
+        doc_count=new_doc_count, sum_ttf=new_sum_ttf,
         segments=m.segments, postings_parts=merge_lineage,
         corpus_fingerprint=m.corpus_fingerprint,
     )
@@ -1162,4 +1286,9 @@ def compact_index(index_dir: str,
             os.remove(f)
         except FileNotFoundError:
             pass
+    if len(deleted):                    # tombstones are applied → cleared
+        ddir = os.path.join(index_dir, "deletes")
+        for f in os.listdir(ddir):
+            if f.endswith(".parquet"):
+                os.remove(os.path.join(ddir, f))
     return manifest

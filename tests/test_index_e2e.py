@@ -886,6 +886,59 @@ def test_deletes_live_docs(tmp_path_factory, corpus_path, ray_session):
     shutil.rmtree(d)
 
 
+def test_compact_expunge_deletes(tmp_path_factory, corpus_path, ray_session):
+    """compact_index(expunge_deletes=True) = Lucene merge applying
+    liveDocs: tombstoned docs leave postings, docmeta and the collection
+    stats; tombstones clear; CheckIndex verify stays green."""
+    import shutil
+    from lucene_ray.build import compact_index, delete_docs, verify_index
+
+    d = str(tmp_path_factory.mktemp("expunge") / "i")
+    build_index(corpus_path, d, num_buckets=3, term_parts=4, salt_group=1,
+                doc_order="key", with_positions=True,
+                keyword_fields=["lang"])
+    r0 = IndexReader(d)
+    pre = search_bruteforce(r0, "return", 10_000)
+    victims = pre.doc_ids[:4].tolist()
+    delete_docs(d, victims)
+    m = compact_index(d, expunge_deletes=True)
+    r1 = IndexReader(d)
+    assert len(r1.deleted) == 0                     # tombstones applied
+    assert r1.doc_count == r0.doc_count - 4
+    # postings physically exclude the victims; df reflects live docs
+    p = r1.postings("return")
+    assert p.df == r0.postings("return").df - 4
+    from lucene_ray.codec import decode_blocks
+    docs, _, _, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                  p.tfs_enc, p.norms_enc)
+    assert not set(victims) & set(docs.tolist())
+    assert np.all(np.diff(docs) > 0)                # ranges still disjoint
+    # docmeta rewritten
+    dm = pq.read_table(os.path.join(d, "docmeta"), columns=["doc_id"])
+    assert dm.num_rows == r0.doc_count - 4
+    assert not set(victims) & set(dm.column("doc_id").to_pylist())
+    # stats post-merge exclude deletions → scores equal a scorer built
+    # from the live stats
+    from lucene_ray import bm25
+    td = search_bruteforce(r1, "return", 5)
+    sim = bm25.scorer(p.df, r1.doc_count, r1.sum_ttf)
+    d0 = int(td.doc_ids[0])
+    dd, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                  p.tfs_enc, p.norms_enc)
+    i = int(np.searchsorted(dd, d0))
+    assert td.scores[0] == sim.score(tf[i:i + 1], nm[i:i + 1])[0]
+    # pruned engine still bit-exact; phrases still work (positions kept)
+    a = search_blockmax(r1, "return value data", 10)
+    b = search_bruteforce(r1, "return value data", 10)
+    np.testing.assert_array_equal(a.doc_ids, b.doc_ids)
+    np.testing.assert_array_equal(a.scores, b.scores)
+    from lucene_ray.search import phrase_freqs
+    assert not set(victims) & set(phrase_freqs(r1, ["return", "value"]))
+    v = verify_index(d)
+    assert v["ok"], v
+    shutil.rmtree(d)
+
+
 def test_upsert_documents(tmp_path_factory, ray_session):
     import pyarrow as pa
     from lucene_ray.build import upsert_documents
