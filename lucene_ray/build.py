@@ -1192,15 +1192,25 @@ def compact_index(index_dir: str,
     T = m.config["term_parts"]
     deleted = _load_deletes(index_dir) if expunge_deletes \
         else np.empty(0, np.int64)
-    old_files = [os.path.join(index_dir, "postings",
-                              f"part={p['part']}.parquet")
-                 for p in m.postings_parts]
     by_bucket: dict[int, list[str]] = {}
     for p in m.postings_parts:
         by_bucket.setdefault(int(p["tbucket"]), []).append(p["part"])
-    # nothing to do if every bucket already has a single generation
-    if all(len(v) <= 1 for v in by_bucket.values()) and len(deleted) == 0:
+    # tiered selection (TieredMergePolicy role): without deletes, only
+    # buckets holding several generations need a merge — single-
+    # generation buckets keep their files untouched; with expunge, every
+    # bucket could hold deleted postings, so all participate.
+    if len(deleted):
+        todo_buckets = set(by_bucket)
+    else:
+        todo_buckets = {b for b, v in by_bucket.items() if len(v) > 1}
+    if not todo_buckets:
         return m
+    old_files = [os.path.join(index_dir, "postings",
+                              f"part={p['part']}.parquet")
+                 for p in m.postings_parts
+                 if int(p["tbucket"]) in todo_buckets]
+    kept_parts = [p for p in m.postings_parts
+                  if int(p["tbucket"]) not in todo_buckets]
 
     gen = max(int(p["salt"]) for p in m.postings_parts) + 1
     pds = ray.data.read_parquet(old_files,
@@ -1263,15 +1273,16 @@ def compact_index(index_dir: str,
                       "expunged_kw": int(m.config.get("expunged_kw", 0))
                       + dead_kw}
 
-    # fold lineage: keep only the new generation's parts
+    # fold lineage: the new generation's parts + untouched buckets' parts
     mlin_dir = os.path.join(index_dir, "_build", "merge_lineage")
-    merge_lineage = []
+    merge_lineage = list(kept_parts)
+    kept_names = {p["part"] for p in kept_parts}
     for f in sorted(os.listdir(mlin_dir)):
         with open(os.path.join(mlin_dir, f)) as fh:
             rec = json.load(fh)
         if int(rec["salt"]) == gen:
             merge_lineage.append(rec)
-        else:
+        elif rec["part"] not in kept_names:
             os.remove(os.path.join(mlin_dir, f))
     manifest = IndexManifest(
         version=m.version + 1, config=new_config, boundaries=m.boundaries,
