@@ -1095,18 +1095,16 @@ def _phrase_norms(reader: IndexReader, first_terms,
     return np.array([norm_map[int(d)] for d in docs], dtype=np.uint8)
 
 
-def multi_phrase_freqs(reader: IndexReader, term_sets: list[list[str]]
-                       ) -> dict[int, int]:
-    """MultiPhraseQuery exact matching (search/MultiPhraseQuery.java:54):
-    at each phrase position a SET of alternative terms; slot positions =
-    union of the member terms' positions (the UnionPostingsEnum role);
-    freq = number of consecutive-position matches."""
+def _multi_phrase_slot_maps(reader: IndexReader,
+                            term_sets: list[list[str]]
+                            ) -> "list[dict[int, np.ndarray]] | None":
+    """Per-slot union position maps (the UnionPostingsEnum role)."""
     per_slot: list[dict[int, np.ndarray]] = []
     for ts in term_sets:
         maps = [m for t in ts
                 if (m := _term_positions(reader, t)) is not None]
         if not maps:
-            return {}
+            return None
         merged: dict[int, np.ndarray] = {}
         for m in maps:
             for doc, pos in m.items():
@@ -1115,6 +1113,18 @@ def multi_phrase_freqs(reader: IndexReader, term_sets: list[list[str]]
                 else:
                     merged[doc] = pos
         per_slot.append(merged)
+    return per_slot
+
+
+def multi_phrase_freqs(reader: IndexReader, term_sets: list[list[str]]
+                       ) -> dict[int, int]:
+    """MultiPhraseQuery exact matching (search/MultiPhraseQuery.java:54):
+    at each phrase position a SET of alternative terms; slot positions =
+    union of the member terms' positions (the UnionPostingsEnum role);
+    freq = number of consecutive-position matches."""
+    per_slot = _multi_phrase_slot_maps(reader, term_sets)
+    if per_slot is None:
+        return {}
     docs = set(per_slot[0])
     for m in per_slot[1:]:
         docs &= set(m)
@@ -1128,6 +1138,34 @@ def multi_phrase_freqs(reader: IndexReader, term_sets: list[list[str]]
                 break
         if len(acc):
             out[doc] = int(len(acc))
+    return out
+
+
+def sloppy_multi_phrase_freqs(reader: IndexReader,
+                              term_sets: list[list[str]], slop: int
+                              ) -> dict[int, np.float32]:
+    """Sloppy MultiPhraseQuery (non-repeating case): each slot is the
+    union of its member terms' positions, run through the same greedy
+    matcher as plain sloppy phrases — exactly what SloppyPhraseMatcher
+    does when hasMultiTermRpts is false. A term appearing in several
+    slots would need the multi-term rptGroups path
+    (SloppyPhraseMatcher.gatherRptGroups hasMultiTermRpts) and is
+    rejected."""
+    flat = [t for ts in term_sets for t in ts]
+    if len(set(flat)) != len(flat):
+        raise NotImplementedError(
+            "multi-term repeats (hasMultiTermRpts) unsupported")
+    per_slot = _multi_phrase_slot_maps(reader, term_sets)
+    if per_slot is None:
+        return {}
+    docs = set(per_slot[0])
+    for m in per_slot[1:]:
+        docs &= set(m)
+    out: dict[int, np.float32] = {}
+    for doc in sorted(docs):
+        f = _sloppy_freq_doc([m[doc] for m in per_slot], slop)
+        if f > 0:
+            out[doc] = f
     return out
 
 

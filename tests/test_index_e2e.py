@@ -838,6 +838,30 @@ def test_sloppy_phrase(tmp_path_factory, ray_session):
     assert set(td_mp.doc_ids.tolist()) == {0, 4}
     assert np.all(td_mp.scores > 0)
 
+    # sloppy MultiPhrase (union slots through the greedy matcher):
+    # existence == brute-force window over per-slot union choices
+    from lucene_ray.search import sloppy_multi_phrase_freqs
+
+    def naive_mp_exists(doc, sets, slop):
+        toks = docs[doc].split()
+        plists = [[i - off for i, t in enumerate(toks) if t in ts]
+                  for off, ts in enumerate(sets)]
+        if any(not p for p in plists):
+            return False
+        return any(max(c) - min(c) <= slop
+                   for c in itertools.product(*plists))
+
+    for sets, slop in [([["x"], ["a", "y"]], 0),
+                       ([["x"], ["a", "y"]], 2),
+                       ([["c", "z"], ["b", "w"]], 1),
+                       ([["x", "c"], ["y", "w"], ["a", "z"]], 3)]:
+        fr = sloppy_multi_phrase_freqs(r, sets, slop)
+        for doc in range(len(docs)):
+            assert (doc in fr) == naive_mp_exists(doc, sets, slop), \
+                (sets, slop, doc)
+    with pytest.raises(NotImplementedError):
+        sloppy_multi_phrase_freqs(r, [["a", "b"], ["b"]], 1)
+
     td = search_phrase(r, "a b", 10, slop=2)
     assert set(td.doc_ids.tolist()) == {0, 1, 2, 3}
     assert np.all(np.diff(td.scores) <= 0) or len(td.scores) <= 1
