@@ -105,6 +105,18 @@ class Index:
         return self._hits(search_phrase(self.reader, phrase, k))
 
     # -- introspection ----------------------------------------------------
+    def count(self, query: str) -> int:
+        """Exact hit count (TotalHitCountCollector role)."""
+        from .search import count_hits
+
+        return count_hits(self.reader, query)
+
+    def explain(self, query: str, doc_id: int) -> dict:
+        """Score decomposition for one doc (Weight.explain role)."""
+        from .search import explain
+
+        return explain(self.reader, query, doc_id)
+
     def doc_count(self) -> int:
         return self.reader.doc_count
 

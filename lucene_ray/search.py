@@ -1679,6 +1679,68 @@ def search_dismax(reader: IndexReader, terms: list[str], k: int = 10,
     return TopDocs(d, s, len(uniq))
 
 
+def count_hits(reader: IndexReader, query: str) -> int:
+    """Exact hit count — the TotalHitCountCollector role
+    (search/TotalHitCountCollector.java:27). We report exact counts
+    (Lucene's >=1000 early termination is an optimization, not a
+    semantic; SURVEY.md §7.3)."""
+    terms = parse_query(query)
+    docs = [d for t in set(terms)
+            if len(d := _term_docset(reader, t))]
+    if not docs:
+        return 0
+    return int(len(np.unique(np.concatenate(docs))))
+
+
+def explain(reader: IndexReader, query: str, doc_id: int) -> dict:
+    """Score decomposition for one doc — the Explanation surface
+    (search/Weight.explain / BM25Similarity.explain): per matching
+    clause, the (df, tf, norm byte, idf, weight, score) breakdown; the
+    clause sum is bit-identical to the engine's score for the doc."""
+    terms = parse_query(query)
+    sc = Scorers(reader, terms)
+    clauses = []
+    docs_c, cls_c, scores_c = [], [], []
+    for ci, t in enumerate(terms):
+        p = sc.postings.get(t)
+        if p is None:
+            clauses.append({"term": t, "match": False})
+            continue
+        d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                     p.tfs_enc, p.norms_enc)
+        pos = int(np.searchsorted(d, doc_id))
+        if pos >= len(d) or d[pos] != doc_id:
+            clauses.append({"term": t, "match": False, "df": p.df})
+            continue
+        lm = reader.live_mask(np.array([doc_id]))
+        if lm is not None and not lm[0]:
+            clauses.append({"term": t, "match": False, "df": p.df,
+                            "deleted": True})
+            continue
+        sim = sc.sim[t]
+        s = sim.score(tf[pos:pos + 1], nm[pos:pos + 1])
+        clauses.append({
+            "term": t, "match": True, "df": p.df, "ttf": p.ttf,
+            "tf": int(tf[pos]), "norm_byte": int(nm[pos]),
+            "idf": float(bm25.idf(p.df, reader.doc_count)),
+            "weight": float(sim.weight),
+            "score": float(s[0]),
+        })
+        docs_c.append(np.array([doc_id]))
+        cls_c.append(np.array([ci], dtype=np.int32))
+        scores_c.append(s)
+    total = np.float32(0.0)
+    if docs_c:
+        _, fin = _accumulate(np.concatenate(docs_c),
+                             np.concatenate(cls_c),
+                             np.concatenate(scores_c))
+        total = fin[0]
+    return {"doc_id": int(doc_id), "query": query,
+            "total_score": float(total),
+            "doc_count": reader.doc_count, "sum_ttf": reader.sum_ttf,
+            "clauses": clauses}
+
+
 def more_like_this(reader: IndexReader, doc_id: int, k: int = 10,
                    max_query_terms: int = 5,
                    candidate_terms: "list[str] | None" = None

@@ -610,6 +610,25 @@ def test_hot_term_skew_split(tmp_path_factory, ray_session):
     assert td.doc_ids.tolist() == sorted(td.doc_ids.tolist())
 
 
+def test_count_and_explain(index_dir, ray_session):
+    """Exact hit counting + Explanation parity: the clause sum is
+    bit-identical to the engine's score for the doc."""
+    from lucene_ray.search import count_hits, explain
+
+    r = IndexReader(index_dir)
+    for q in ("return", "return value data", "zz_absent_zz"):
+        full = search_bruteforce(r, q, 1 << 20)
+        assert count_hits(r, q) == len(full.doc_ids), q
+    td = search_bruteforce(r, "return data getData", 5)
+    for d, s in zip(td.doc_ids, td.scores):
+        ex = explain(r, "return data getData", int(d))
+        assert np.float32(ex["total_score"]) == s
+        assert any(c.get("match") for c in ex["clauses"])
+        for c in ex["clauses"]:
+            if c.get("match"):
+                assert c["tf"] >= 1 and c["df"] >= 1 and c["score"] > 0
+
+
 def test_k_must_be_positive(index_dir, ray_session):
     # TopScoreDocCollector requires numHits > 0; we match
     r = IndexReader(index_dir)
