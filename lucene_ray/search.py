@@ -1466,8 +1466,12 @@ def expand_multiterm(reader: IndexReader, c) -> list[str]:
     terms (the AutomatonQuery/IntersectTermsEnum expansion role)."""
     if c.kind == "wildcard":
         from .queryparser import wildcard_to_regex
-        t = _content_terms_only(
-            reader, termdict_scan(reader, regex=wildcard_to_regex(c.text)))
+        t = termdict_scan(reader, regex=wildcard_to_regex(c.text))
+        # keyword-field patterns ("lang:e*") target the "field:value"
+        # terms themselves; content patterns must not leak keyword terms
+        kw = reader.manifest.config.get("keyword_fields") or []
+        if c.text.partition(":")[0] not in kw:
+            t = _content_terms_only(reader, t)
     elif c.kind == "fuzzy":
         t = _content_terms_only(
             reader, termdict_scan(reader, fuzzy=(c.text, c.maxdist)))

@@ -664,6 +664,11 @@ def test_keyword_fields(tmp_path_factory, corpus_path, ray_session):
     assert np.all(np.diff(td.scores.astype(np.float64)) <= 0)
     # absent keyword
     assert r.postings("lang:zz") is None
+    # wildcard on a keyword field targets the "field:value" terms
+    from lucene_ray.search import _term_docset
+    td_kw = search_parsed(r, "lang:p*", 10_000)
+    np.testing.assert_array_equal(np.sort(td_kw.doc_ids),
+                                  np.sort(_term_docset(r, "lang:py")))
 
 
 def test_exact_block_size_term_has_impacts(tmp_path_factory, ray_session):
