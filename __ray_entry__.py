@@ -6,9 +6,14 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
 - ``entry()``: flagship pipeline on sf0.001 — build the inverted index from
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
-- ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (omitted only for ops
-  that SQL cannot express — those get the rows-only check).
+- ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
+  + the §8 round-2 additions; 50+ entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query. Omitted only for ops
+  SQL cannot express (those get the rows-only check, each with a stated
+  reason): ``media_features`` (binary codec decode), ``doc_fingerprint``
+  / ``dedup_simhash`` / ``dedup_simhash_pairs`` / ``dedup_minhash_lsh``
+  (blake2b-seeded signatures), ``embedding_neardup_lsh`` (approximate by
+  design; recall asserted in pytest).
 """
 
 from __future__ import annotations
