@@ -610,6 +610,62 @@ def test_hot_term_skew_split(tmp_path_factory, ray_session):
     assert td.doc_ids.tolist() == sorted(td.doc_ids.tolist())
 
 
+def test_sloppy_existence_randomized(tmp_path_factory, ray_session):
+    """Property test: greedy sloppy match EXISTENCE equals the
+    brute-force distinct-position window check on random small docs,
+    across random phrases (with and without repeats) and slops."""
+    import itertools
+    import pyarrow as pa
+    from lucene_ray.search import sloppy_phrase_freqs
+
+    rng = np.random.default_rng(77)
+    vocab = list("abcdefg")
+    docs = [" ".join(rng.choice(vocab, size=int(rng.integers(3, 14))))
+            for _ in range(40)]
+    d = tmp_path_factory.mktemp("sloppyrand")
+    cdir = str(d / "c")
+    os.makedirs(cdir)
+    pq.write_table(pa.table({
+        "repo": ["r"] * len(docs),
+        "path": [f"p{i}.py" for i in range(len(docs))],
+        "commit": ["c" * 40] * len(docs),
+        "lang": ["py"] * len(docs),
+        "content": docs,
+    }), os.path.join(cdir, "f.parquet"))
+    idx = str(d / "i")
+    build_index(cdir, idx, term_parts=2, salt_group=1, with_positions=True)
+    r = IndexReader(idx)
+
+    def naive_exists(doc, terms, slop):
+        toks = docs[doc].split()
+        plists = [[i for i, t in enumerate(toks) if t == q] for q in terms]
+        if any(not p for p in plists):
+            return False
+        for combo in itertools.product(*plists):
+            by_term = {}
+            ok = True
+            for q, p in zip(terms, combo):
+                if p in by_term.setdefault(q, set()):
+                    ok = False
+                    break
+                by_term[q].add(p)
+            if ok:
+                adj = [p - i for i, p in enumerate(combo)]
+                if max(adj) - min(adj) <= slop:
+                    return True
+        return False
+
+    for trial in range(60):
+        nterms = int(rng.integers(2, 4))
+        terms = [vocab[int(rng.integers(len(vocab)))]
+                 for _ in range(nterms)]
+        slop = int(rng.integers(0, 6))
+        fr = sloppy_phrase_freqs(r, terms, slop)
+        for doc in range(len(docs)):
+            assert (doc in fr) == naive_exists(doc, terms, slop), \
+                (trial, terms, slop, doc, docs[doc])
+
+
 def test_count_and_explain(index_dir, ray_session):
     """Exact hit counting + Explanation parity: the clause sum is
     bit-identical to the engine's score for the doc."""
