@@ -915,21 +915,24 @@ def phrase_freqs(reader: IndexReader, terms: list[str]) -> dict[int, int]:
 
 
 def _sloppy_freq_doc(pos_lists: list[np.ndarray], slop: int,
-                     rpt_groups: "tuple | list" = ()) -> np.float32:
+                     rpt_groups: "tuple | list" = (),
+                     multi: bool = False) -> np.float32:
     """Sloppy phrase frequency of one doc — an exact transcription of the
     reference's greedy PQ traversal (SloppyPhraseMatcher.java:189-220,
     nextMatch): always advance the least offset-adjusted PhrasePosition,
     freq += 1f/(1f+matchLength) per match (sloppyWeight, :184-186),
     float32 accumulation as in PhraseScorer (PhraseScorer.java:85-95).
 
-    ``rpt_groups``: slot-index groups sharing one term (sorted by query
-    offset) — the single-term repeat machinery (initFirstTime /
+    ``rpt_groups``: slot-index groups sharing repeated terms (sorted by
+    query offset) — the repeat machinery (initFirstTime /
     advanceRepeatGroups / advanceRpts, SloppyPhraseMatcher.java:286-345):
-    staggered initial placement, collision resolution by advancing the
-    lesser PP, re-queue of advanced in-queue members. Greedy is exact for
-    match EXISTENCE but (per the reference's own class javadoc)
-    intentionally approximate for counting — we reproduce its behavior,
-    not an idealized count."""
+    collision resolution by advancing the lesser PP, re-queue of advanced
+    in-queue members. ``multi`` selects the complex initial placement
+    (hasMultiTermRpts — collide-resolution loop) instead of the
+    single-term staggered placement. Greedy is exact for match EXISTENCE
+    but (per the reference's own class javadoc) intentionally
+    approximate for counting — we reproduce its behavior, not an
+    idealized count."""
     import heapq
 
     n = len(pos_lists)
@@ -962,21 +965,6 @@ def _sloppy_freq_doc(pos_lists: list[np.ndarray], slop: int,
         pos[i] = int(arrs[i][idx[i]]) - i
         return True
 
-    # advanceRepeatGroups, simple (single-term) path: member j of a group
-    # starts j distinct positions in ("we know exactly how much to
-    # advance", SloppyPhraseMatcher.java:advanceRepeatGroups)
-    for g in groups:
-        for j in range(1, len(g)):
-            for _ in range(j):
-                if not next_position(g[j]):
-                    return np.float32(0.0)
-    end = max(pos)
-    heap = [(pos[i], i, i) for i in range(n)]         # (position, offset, ord)
-    heapq.heapify(heap)
-    positioned = True
-    one = np.float32(1.0)
-    freq = np.float32(0.0)
-
     def tp(o: int) -> int:
         return pos[o] + o                              # actual term position
 
@@ -990,6 +978,41 @@ def _sloppy_freq_doc(pos_lists: list[np.ndarray], slop: int,
         if pos[o1] < pos[o2] or (pos[o1] == pos[o2] and o1 < o2):
             return o1
         return o2
+
+    if not multi:
+        # advanceRepeatGroups, simple (single-term) path: member j of a
+        # group starts j distinct positions in ("we know exactly how much
+        # to advance", SloppyPhraseMatcher.java:advanceRepeatGroups)
+        for g in groups:
+            for j in range(1, len(g)):
+                for _ in range(j):
+                    if not next_position(g[j]):
+                        return np.float32(0.0)
+    else:
+        # complex path (hasMultiTermRpts): resolve initial collisions by
+        # advancing the lesser PP; a resolved member below the cursor
+        # restarts the current index (advanceRepeatGroups, "more
+        # involved, some may not collide")
+        for g in groups:
+            i = 0
+            while i < len(g):
+                o = g[i]
+                restart = False
+                while (k := collide(o)) >= 0:
+                    o2 = lesser(o, g[k])
+                    if not advance(o2):
+                        return np.float32(0.0)
+                    if rpt_ind[o2] < i:
+                        restart = True
+                        break
+                if not restart:
+                    i += 1
+    end = max(pos)
+    heap = [(pos[i], i, i) for i in range(n)]         # (position, offset, ord)
+    heapq.heapify(heap)
+    positioned = True
+    one = np.float32(1.0)
+    freq = np.float32(0.0)
 
     def advance_rpts(o: int) -> bool:
         if rpt_group[o] < 0:
@@ -1147,14 +1170,42 @@ def sloppy_multi_phrase_freqs(reader: IndexReader,
     """Sloppy MultiPhraseQuery (non-repeating case): each slot is the
     union of its member terms' positions, run through the same greedy
     matcher as plain sloppy phrases — exactly what SloppyPhraseMatcher
-    does when hasMultiTermRpts is false. A term appearing in several
-    slots would need the multi-term rptGroups path
-    (SloppyPhraseMatcher.gatherRptGroups hasMultiTermRpts) and is
-    rejected."""
+    does when hasMultiTermRpts is false. Terms appearing in several
+    slots run through the repeat machinery: slots sharing repeated terms
+    form union-find groups (gatherRptGroups), initial collisions resolve
+    via the complex placement loop, and two grouped slots never occupy
+    the same actual position."""
+    from collections import Counter
     flat = [t for ts in term_sets for t in ts]
-    if len(set(flat)) != len(flat):
-        raise NotImplementedError(
-            "multi-term repeats (hasMultiTermRpts) unsupported")
+    counts = Counter(flat)
+    repeated = {t for t, c in counts.items() if c > 1}
+    groups: list[tuple[int, ...]] = []
+    multi = False
+    if repeated:
+        # union-find over slots sharing any repeated term
+        # (gatherRptGroups' bitset union, SloppyPhraseMatcher.java)
+        parent = list(range(len(term_sets)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        by_term: dict[str, int] = {}
+        for si, ts in enumerate(term_sets):
+            for t in ts:
+                if t in repeated:
+                    if t in by_term:
+                        parent[find(si)] = find(by_term[t])
+                    else:
+                        by_term[t] = si
+        comp: dict[int, list[int]] = {}
+        for si, ts in enumerate(term_sets):
+            if any(t in repeated for t in ts):
+                comp.setdefault(find(si), []).append(si)
+        groups = [tuple(sorted(v)) for v in comp.values() if len(v) > 1]
+        multi = any(len(term_sets[si]) > 1 for g in groups for si in g)
     per_slot = _multi_phrase_slot_maps(reader, term_sets)
     if per_slot is None:
         return {}
@@ -1163,7 +1214,8 @@ def sloppy_multi_phrase_freqs(reader: IndexReader,
         docs &= set(m)
     out: dict[int, np.float32] = {}
     for doc in sorted(docs):
-        f = _sloppy_freq_doc([m[doc] for m in per_slot], slop)
+        f = _sloppy_freq_doc([m[doc] for m in per_slot], slop,
+                             groups, multi=multi)
         if f > 0:
             out[doc] = f
     return out

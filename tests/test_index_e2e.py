@@ -939,8 +939,43 @@ def test_sloppy_phrase(tmp_path_factory, ray_session):
         for doc in range(len(docs)):
             assert (doc in fr) == naive_mp_exists(doc, sets, slop), \
                 (sets, slop, doc)
-    with pytest.raises(NotImplementedError):
-        sloppy_multi_phrase_freqs(r, [["a", "b"], ["b"]], 1)
+    # multi-term repeats (hasMultiTermRpts): grouped slots never occupy
+    # the same actual position; docs = 0:"x a b a y" 1:"a b c b a"
+    # 2:"a y b" 3:"b a" 4:"x y z w a"
+    assert set(sloppy_multi_phrase_freqs(r, [["a", "b"], ["b"]], 0)) == \
+        {0, 1}
+
+    def naive_mp_rpt_exists(doc, sets, slop):
+        toks = docs[doc].split()
+        plists = [[i for i, t in enumerate(toks) if t in ts]
+                  for ts in sets]
+        if any(not p for p in plists):
+            return False
+        for combo in itertools.product(*plists):
+            if len(set(combo)) != len(combo):   # grouped slots distinct
+                continue
+            adj = [p - i for i, p in enumerate(combo)]
+            if max(adj) - min(adj) <= slop:
+                return True
+        return False
+
+    # With multi-term repeats Lucene's greedy is intentionally
+    # approximate (class javadoc: "possibly not all valid combinations
+    # are encountered") — e.g. doc "b a" for [a|b][b]~2: the initial
+    # collision at position 0 advances the exhausted slot and gives up,
+    # though (a@1, b@0) would fit. So assert SOUNDNESS (every greedy
+    # match is a valid assignment) + exact goldens from hand traces of
+    # the reference algorithm.
+    for sets, slop in [([["a", "b"], ["b"]], 0),
+                       ([["a", "b"], ["b"]], 2),
+                       ([["a", "b"], ["b", "y"], ["a"]], 3),
+                       ([["a"], ["b", "a"]], 1)]:
+        fr = sloppy_multi_phrase_freqs(r, sets, slop)
+        for doc in fr:
+            assert naive_mp_rpt_exists(doc, sets, slop), (sets, slop, doc)
+    fr = sloppy_multi_phrase_freqs(r, [["a", "b"], ["b"]], 2)
+    assert set(fr) == {0, 1, 2}
+    np.testing.assert_equal(fr[2], np.float32(0.5))   # hand-traced
 
     td = search_phrase(r, "a b", 10, slop=2)
     assert set(td.doc_ids.tolist()) == {0, 1, 2, 3}
