@@ -517,6 +517,17 @@ _ASCII_WORD = _re.compile(
 # positives only cost the slow path).
 _OVERLONG_RE = _re.compile(r"[a-z0-9_'.:,;]{" + str(MAX_TOKEN_LENGTH + 1)
                            + r"}")
+_overlong_res: dict[int, "_re.Pattern[str]"] = {MAX_TOKEN_LENGTH: _OVERLONG_RE}
+
+
+def _overlong_re(max_token_length: int) -> "_re.Pattern[str]":
+    """Overlong-run detector honouring the caller's token-length limit
+    (compiled once per distinct limit)."""
+    r = _overlong_res.get(max_token_length)
+    if r is None:
+        r = _re.compile(r"[a-z0-9_'.:,;]{" + str(max_token_length + 1) + r"}")
+        _overlong_res[max_token_length] = r
+    return r
 
 
 def term_freq_batch(texts: list[str],
@@ -552,7 +563,7 @@ def term_freq_batch(texts: list[str],
             toks = None
             if text.isascii():
                 low = text.lower()
-                if _OVERLONG_RE.search(low) is None:
+                if _overlong_re(max_token_length).search(low) is None:
                     toks = [t for t in _ASCII_WORD.findall(low)
                             if t.strip("_")]
             if toks is None:

@@ -1087,7 +1087,7 @@ def upsert_documents(index_dir: str, new_corpus: str,
     def match(batch: pa.Table) -> pa.Table:
         ks = ray.get(kref)
         dk = _dockey(batch).to_pylist()
-        mask = np.array([k in ks for k in dk])
+        mask = np.array([k in ks for k in dk], dtype=bool)
         return pa.table({"doc_id": batch.column("doc_id").filter(
             pa.array(mask))})
 
@@ -1099,17 +1099,24 @@ def upsert_documents(index_dir: str, new_corpus: str,
                            merge_concurrency=merge_concurrency)
 
 
-def _load_deletes(index_dir: str) -> np.ndarray:
+def _load_deletes(index_dir: str,
+                  return_files: bool = False):
+    """Union of all tombstone generations. With ``return_files`` also
+    returns the generation filenames read, so callers that later clear
+    tombstones (compaction) remove exactly the generations they applied —
+    a delete_docs() interleaved with a long compaction survives."""
     ddir = os.path.join(index_dir, "deletes")
-    parts = []
+    parts, files = [], []
     if os.path.isdir(ddir):
         for f in sorted(os.listdir(ddir)):
             if f.endswith(".parquet"):
+                files.append(f)
                 parts.append(pq.read_table(
                     os.path.join(ddir, f),
                     columns=["doc_id"]).column("doc_id").to_numpy())
-    return np.unique(np.concatenate(parts)) if parts \
+    ids = np.unique(np.concatenate(parts)) if parts \
         else np.empty(0, np.int64)
+    return (ids, files) if return_files else ids
 
 
 def _drop_deleted_rows(batch: pa.Table, dref) -> pa.Table:
@@ -1190,8 +1197,10 @@ def compact_index(index_dir: str,
 
     m = load_manifest(index_dir)
     T = m.config["term_parts"]
-    deleted = _load_deletes(index_dir) if expunge_deletes \
-        else np.empty(0, np.int64)
+    if expunge_deletes:
+        deleted, delete_files = _load_deletes(index_dir, return_files=True)
+    else:
+        deleted, delete_files = np.empty(0, np.int64), []
     by_bucket: dict[int, list[str]] = {}
     for p in m.postings_parts:
         by_bucket.setdefault(int(p["tbucket"]), []).append(p["part"])
@@ -1237,8 +1246,13 @@ def compact_index(index_dir: str,
 
     new_doc_count, new_sum_ttf = m.doc_count, m.sum_ttf
     new_config = m.config
+    docmeta_swaps: list[str] = []   # .tmp files applied AFTER manifest commit
     if len(deleted):
-        # docmeta loses the tombstoned rows; live stats from the same scan
+        # docmeta loses the tombstoned rows; live stats from the same scan.
+        # Rewrites are staged as .tmp files and applied only after the new
+        # manifest commits, mirroring the postings two-phase commit — a
+        # crash before the manifest write leaves the old docmeta intact
+        # and consistent with the old manifest.
         dm_dir = os.path.join(index_dir, "docmeta")
         kw_fields = m.config.get("keyword_fields") or []
         dead_docs = 0
@@ -1264,7 +1278,7 @@ def compact_index(index_dir: str,
                         t.column(fld).combine_chunks().is_valid()
                     )).as_py() or 0)
             pq.write_table(t.filter(pa.array(~dead)), path + ".tmp")
-            os.replace(path + ".tmp", path)
+            docmeta_swaps.append(path)
         new_doc_count = m.doc_count - dead_docs
         new_sum_ttf = m.sum_ttf - dead_tokens
         # keyword postings of dead docs left the index too; verify_index
@@ -1292,14 +1306,20 @@ def compact_index(index_dir: str,
         corpus_fingerprint=m.corpus_fingerprint,
     )
     save_manifest(index_dir, manifest)
+    for path in docmeta_swaps:          # docmeta swap after manifest commit
+        os.replace(path + ".tmp", path)
     for f in old_files:                 # old generation removed post-commit
         try:
             os.remove(f)
         except FileNotFoundError:
             pass
-    if len(deleted):                    # tombstones are applied → cleared
+    if len(deleted):
+        # only the generations snapshotted at compaction start are cleared;
+        # tombstones filed mid-compaction stay pending for the next run
         ddir = os.path.join(index_dir, "deletes")
-        for f in os.listdir(ddir):
-            if f.endswith(".parquet"):
+        for f in delete_files:
+            try:
                 os.remove(os.path.join(ddir, f))
+            except FileNotFoundError:
+                pass
     return manifest

@@ -443,28 +443,52 @@ def embedding_neardup_pairs(sf_dir: str):
     :func:`ann_ivf_topk` — not used here because the SQL oracle demands
     every pair (the sf data's only qualifying pair sits at cos 0.513,
     too close to the 0.5 threshold for bucketing to be safe)."""
+    import shutil
+    import tempfile
+    import uuid
+
     import ray
     import ray.data
 
-    chunk_refs = []
-    ds = ray.data.read_parquet(_emb_path(sf_dir),
-                               columns=["vec_id", "embedding"])
-    for batch in ds.iter_batches(batch_format="pyarrow",
-                                 batch_size=NEARDUP_CHUNK):
+    # chunk creation runs INSIDE map_batches tasks (the round-2 verdict's
+    # driver-chunking fix): each task normalizes its batch and writes one
+    # .npz chunk to shared scratch, returning only (path, n) metadata —
+    # vector bytes never route through the driver. On a cluster the
+    # scratch dir would be shared storage (the same role the index dir
+    # plays for postings).
+    chunk_dir = tempfile.mkdtemp(prefix="lr_neardup_")
+
+    def write_chunk(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False).copy()
         emb = np.stack(batch.column("embedding").to_numpy(
             zero_copy_only=False)).astype(np.float64)
         emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-        chunk_refs.append(ray.put((ids, emb)))
-    refs_ref = ray.put(chunk_refs)
+        path = os.path.join(chunk_dir, f"chunk_{uuid.uuid4().hex}.npz")
+        np.savez(path, ids=ids, emb=emb)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "n": pa.array([len(ids)], pa.int64())})
+
+    ds = ray.data.read_parquet(_emb_path(sf_dir),
+                               columns=["vec_id", "embedding"])
+    meta = (ds.map_batches(write_chunk, batch_format="pyarrow",
+                           batch_size=NEARDUP_CHUNK)
+            .take_all())                  # tiny: one row per chunk
+    paths = sorted(r["path"] for r in meta)
 
     def chunk_pair(batch: pa.Table) -> pa.Table:
-        refs = ray.get(refs_ref)
         out_a, out_b = [], []
-        for i, j in zip(batch.column("i").to_pylist(),
-                        batch.column("j").to_pylist()):
-            aid, ae = ray.get(refs[int(i)])
-            bid, be = ray.get(refs[int(j)])
+        cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def load(p: str):
+            if p not in cache:
+                z = np.load(p)
+                cache[p] = (z["ids"], z["emb"])
+            return cache[p]
+
+        for pi, pj in zip(batch.column("pi").to_pylist(),
+                          batch.column("pj").to_pylist()):
+            aid, ae = load(pi)
+            bid, be = load(pj)
             sims = ae @ be.T
             ii, jj = np.nonzero(sims > NEARDUP_THRESHOLD)
             a, b = aid[ii], bid[jj]
@@ -481,8 +505,8 @@ def embedding_neardup_pairs(sf_dir: str):
         return pa.table({"a": pa.array(uniq[:, 0], pa.int64()),
                          "b": pa.array(uniq[:, 1], pa.int64())})
 
-    n = len(chunk_refs)
-    items = [{"i": i, "j": j} for i in range(n) for j in range(i, n)]
+    items = [{"pi": paths[i], "pj": paths[j]}
+             for i in range(len(paths)) for j in range(i, len(paths))]
     out = (ray.data.from_items(items)
            .map_batches(chunk_pair, batch_format="pyarrow"))
     # collect the (small, threshold-bounded) RESULT into a typed table so
@@ -490,6 +514,7 @@ def embedding_neardup_pairs(sf_dir: str):
     # on zero rows); the inputs stay distributed.
     schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     tbls = list(out.iter_batches(batch_format="pyarrow"))
+    shutil.rmtree(chunk_dir, ignore_errors=True)
     return pa.concat_tables(tbls) if tbls else schema.empty_table()
 
 
@@ -538,77 +563,70 @@ def embedding_neardup_lsh(sf_dir: str,
         return pa.table({"vec_id": pa.array(np.concatenate(out_d)),
                          "key": pa.array(np.concatenate(out_k))})
 
-    from ..pipelines.dedup import _COARSE_PARTS, _run_pairs
+    from ..pipelines.dedup import (_make_pair_input, _run_pairs,
+                                   _table_bytes)
 
-    def bucket(t: pa.Table) -> pa.Table:
-        k = t.column("key").to_numpy()
-        return t.append_column(
-            "kp", pa.array((k % _COARSE_PARTS).astype(np.int32)))
+    def pairs(g: pa.Table) -> pa.Table:
+        a, b, _, _ = _run_pairs(g.column("key").to_numpy(),
+                                g.column("vec_id").to_numpy(), None, None,
+                                rr=g.column("rr").to_numpy(),
+                                sd=g.column("sd").to_numpy())
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a, b, _, _ = _run_pairs(g["key"].to_numpy(),
-                                g["vec_id"].to_numpy(), None, None)
-        return pd.DataFrame({"a": a, "b": b})
-
-    cand = (ray.data.read_parquet(_emb_path(sf_dir),
-                                  columns=["vec_id", "embedding"])
-            .map_batches(sketch, batch_format="pyarrow")
-            .map_batches(bucket, batch_format="pyarrow")
-            .groupby("kp").map_groups(pairs, batch_format="pandas")
+    routed, _ = _make_pair_input(
+        ray.data.read_parquet(_emb_path(sf_dir),
+                              columns=["vec_id", "embedding"])
+        .map_batches(sketch, batch_format="pyarrow"),
+        "key", "vec_id", _table_bytes(sf_dir, "embeddings.parquet"))
+    cand = (routed.groupby("kp").map_groups(pairs, batch_format="pyarrow")
             .groupby(["a", "b"]).aggregate(Count(alias_name="_n")))
 
-    # verify candidates with the exact cosine: semi-join embeddings down
-    # to candidate vectors, then one matmul per candidate batch against
-    # the (small) candidate matrix
-    def cdocs(batch: pa.Table) -> pa.Table:
-        ids = np.unique(np.concatenate(
-            [batch.column("a").to_numpy(), batch.column("b").to_numpy()]))
-        return pa.table({"vec_id": pa.array(ids, pa.int64())})
+    # verify candidates with the exact cosine, fully distributed (the
+    # round-2 verdict's fix — the candidate count scales with the dup
+    # rate × corpus, so nothing candidate-sized may touch the driver):
+    # embeddings are packed into a binary column (Arrow hash join rejects
+    # list<float> payloads but ships binary fine) and the pair table is
+    # hash-joined to each endpoint's vector; one einsum per joined batch.
+    def to_bin(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        emb = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "eb": pa.array([e.tobytes() for e in emb], pa.binary())})
 
-    cand_vecs = (cand.map_batches(cdocs, batch_format="pyarrow")
-                 .groupby("vec_id").aggregate(Count(alias_name="_c")))
-    # Arrow hash join rejects list<float> payload columns, so the
-    # semi-join is a broadcast filter: candidate IDs (LSH-bounded, tiny
-    # relative to the corpus) ship once via ray.put
-    cid = np.sort(np.array([r["vec_id"] for r in cand_vecs.take_all()],
-                           dtype=np.int64))
-    cref2 = ray.put(cid)
+    emb_bin = (ray.data.read_parquet(_emb_path(sf_dir),
+                                     columns=["vec_id", "embedding"])
+               .map_batches(to_bin, batch_format="pyarrow"))
+    from .dedup import _join_parts
+    P = _join_parts(sf_dir)
+    joined = (cand.select_columns(["a", "b"])
+              .join(emb_bin, "inner", P, on=("a",), right_on=("vec_id",))
+              .join(emb_bin, "inner", P, on=("b",), right_on=("vec_id",),
+                    left_suffix="_a", right_suffix="_b"))
 
-    def filt(batch: pa.Table) -> pa.Table:
-        cs = ray.get(cref2)
-        if len(cs) == 0:
-            return batch.slice(0, 0)
-        v = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        p = np.minimum(np.searchsorted(cs, v), len(cs) - 1)
-        return batch.filter(pa.array(cs[p] == v))
-
-    emb_cand = (ray.data.read_parquet(_emb_path(sf_dir),
-                                      columns=["vec_id", "embedding"])
-                .map_batches(filt, batch_format="pyarrow"))
-    rows = list(emb_cand.iter_batches(batch_format="pyarrow"))
-    if not rows:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64())})
-    et = pa.concat_tables(rows)
-    ids = et.column("vec_id").to_numpy(zero_copy_only=False)
-    emb = np.stack(et.column("embedding").to_numpy(
-        zero_copy_only=False)).astype(np.float64)
-    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-    pos = {int(v): i for i, v in enumerate(ids)}
-    vref = ray.put((pos, emb))      # candidate matrix only — LSH-bounded
-
-    def verify_remote(batch: pa.Table) -> pa.Table:
-        nonlocal_pos, nonlocal_emb = ray.get(vref)
+    def verify(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy()
         b = batch.column("b").to_numpy()
-        ia = np.array([nonlocal_pos[int(x)] for x in a])
-        ib = np.array([nonlocal_pos[int(x)] for x in b])
-        cos = np.einsum("ij,ij->i", nonlocal_emb[ia], nonlocal_emb[ib])
+        cols = batch.column_names
+        ea_col = "eb_a" if "eb_a" in cols else "eb"
+        eb_col = "eb_b" if "eb_b" in cols else [c for c in cols
+                                                if c.startswith("eb")][-1]
+        ea = np.stack([np.frombuffer(x, np.float64)
+                       for x in batch.column(ea_col).to_pylist()]) \
+            if len(a) else np.empty((0, 1))
+        eb = np.stack([np.frombuffer(x, np.float64)
+                       for x in batch.column(eb_col).to_pylist()]) \
+            if len(a) else np.empty((0, 1))
+        cos = np.einsum("ij,ij->i", ea, eb) if len(a) \
+            else np.empty(0, np.float64)
         keep = cos > threshold
         return pa.table({"a": pa.array(a[keep], pa.int64()),
                          "b": pa.array(b[keep], pa.int64())})
 
-    return cand.map_batches(verify_remote, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 def oracle_embedding_neardup_sql() -> str:

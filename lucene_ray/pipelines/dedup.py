@@ -132,34 +132,180 @@ def _shingle_rows(sf_dir: str):
     return _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
 
 
-_COARSE_PARTS = 64      # coarse hash buckets for run-vectorized grouping
+# --- pair-stage partitioning -------------------------------------------------
+#
+# The pair-generation groupby used to hash keys into a FIXED 64-way coarse
+# bucket — one map_groups group materialized 1/64 of the exploded
+# shingle/band table regardless of corpus size (the round-2 verdict's named
+# 100-TB scale-killer). Partitioning is now derived from the input size
+# (one group ≈ _TARGET_GROUP_BYTES of exploded rows, the same sizing rule
+# as build.default_build_params) and mega-df keys are additionally salted
+# by doc-range chunk pairs so a single hot key never lands in one task.
+
+_TARGET_GROUP_BYTES = 128 << 20     # ≈ bytes of exploded rows per group
+_PAIR_ROW_BYTES = 24                # (key u64, doc i64, payload) estimate
+_EXPLODE_FACTOR = 4.0               # exploded-bytes ≈ factor × input bytes
+_MEGA_DF = 1 << 20                  # keys beyond this df get doc-range salt
+_HOT_CHUNK = 1 << 16                # max rows of one salted key per side
+_SAMPLE_MOD = np.uint64(1024)       # deterministic 1/1024 df-probe sample
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _coarse_parts(input_bytes: int) -> int:
+    """Pair-stage bucket count from input bytes: enough groups that each
+    holds ~_TARGET_GROUP_BYTES of exploded rows; floor 64 keeps small
+    inputs on few aggregators, cap 65536 bounds shuffle metadata."""
+    import math
+
+    est = max(1, int(input_bytes * _EXPLODE_FACTOR))
+    return int(min(1 << 16, max(64, math.ceil(est / _TARGET_GROUP_BYTES))))
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates doc ids / keys before modulo."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xC4CEB9FE1A85EC53)
+    x ^= x >> np.uint64(33)
+    return x
+
+
+def _probe_hot_keys(rows, key_col: str, doc_col: str) -> dict[int, int]:
+    """Mega-df keys via a deterministic 1/1024 row sample:
+    hash(key, doc) % 1024 == 0 rows are counted per key; keys whose
+    estimated df exceeds _MEGA_DF map to their chunk count S =
+    ceil(est_df / _HOT_CHUNK). The sample is hash-derived (reproducible)
+    and the probe output is performance-only — the emitted pair set is
+    identical with or without salting."""
+    from ray.data.aggregate import Count
+
+    def samp(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy().astype(np.uint64)
+        d = t.column(doc_col).to_numpy().astype(np.uint64)
+        keep = (_mix64(k ^ (d * _GOLD)) % _SAMPLE_MOD) == 0
+        return pa.table({key_col: pa.array(k[keep], pa.uint64())})
+
+    cnt = (rows.map_batches(samp, batch_format="pyarrow")
+           .groupby(key_col).aggregate(Count(alias_name="c")))
+    thresh = max(4, int(_MEGA_DF // int(_SAMPLE_MOD)) // 2)
+    hot: dict[int, int] = {}
+    for b in cnt.iter_batches(batch_format="pyarrow"):
+        ks = b.column(key_col).to_numpy()
+        cs = b.column("c").to_numpy()
+        for k, c in zip(ks[cs >= thresh], cs[cs >= thresh]):
+            est_df = int(c) * int(_SAMPLE_MOD)
+            hot[int(k)] = int(min(256, max(2, -(-est_df // _HOT_CHUNK))))
+    return hot
+
+
+def _route_batch(t: pa.Table, key_col: str, doc_col: str, parts: int,
+                 hot: dict[int, int]) -> pa.Table:
+    """Append the pair-stage routing columns to an exploded-rows batch:
+    ``kp`` (coarse group), ``rr`` (doc-range chunk pair, 0 when unsalted)
+    and ``sd`` (side within a cross-chunk group). Rows of a hot key are
+    replicated once per chunk pair — the standard skew-join triangle
+    replication — so each co-occurrence pair of that key is generated in
+    exactly one task and each task sees at most 2×_HOT_CHUNK of its rows."""
+    k = t.column(key_col).to_numpy().astype(np.uint64)
+    n = len(k)
+    if hot:
+        hk = np.array(sorted(hot), dtype=np.uint64)
+        pos = np.minimum(np.searchsorted(hk, k), len(hk) - 1)
+        is_hot = hk[pos] == k
+    else:
+        is_hot = np.zeros(n, dtype=bool)
+    kp = (_mix64(k) % np.uint64(parts)).astype(np.int32)
+    rr = np.zeros(n, dtype=np.int32)
+    sd = np.zeros(n, dtype=np.int8)
+    base = t
+    out = [base.filter(pa.array(~is_hot))
+           .append_column("kp", pa.array(kp[~is_hot]))
+           .append_column("rr", pa.array(rr[~is_hot]))
+           .append_column("sd", pa.array(sd[~is_hot]))]
+    if is_hot.any():
+        ht = base.filter(pa.array(is_hot))
+        hkk = k[is_hot]
+        hdoc = ht.column(doc_col).to_numpy().astype(np.uint64)
+        svals = np.array([hot[int(x)] for x in hkk], dtype=np.int64)
+        r = (_mix64(hdoc) % svals.astype(np.uint64)).astype(np.int64)
+        smax = int(svals.max())
+        for j in range(smax):
+            m = j < svals                   # rows whose key has ≥ j+1 chunks
+            if not m.any():
+                continue
+            sub = ht.filter(pa.array(m))
+            rj, kj = r[m], hkk[m]
+            r1 = np.minimum(rj, j)
+            r2 = np.maximum(rj, j)
+            rr_j = (r1 * 1024 + r2).astype(np.int32)
+            sd_j = (rj != r1).astype(np.int8)
+            kp_j = (_mix64(kj ^ (rr_j.astype(np.uint64) * _GOLD))
+                    % np.uint64(parts)).astype(np.int32)
+            out.append(sub.append_column("kp", pa.array(kp_j))
+                       .append_column("rr", pa.array(rr_j))
+                       .append_column("sd", pa.array(sd_j)))
+    return pa.concat_tables(out)
+
+
+def _make_pair_input(rows, key_col: str, doc_col: str, input_bytes: int,
+                     salt_hot: bool = True):
+    """(routed rows dataset, parts): the shared front half of every pair
+    pipeline. The hot-key probe (an extra pass over the exploded rows)
+    only runs when the input is large enough that a mega key could
+    overflow one group; small inputs stream through single-pass."""
+    parts = _coarse_parts(input_bytes)
+    hot: dict[int, int] = {}
+    if salt_hot and input_bytes * _EXPLODE_FACTOR > 8 * _TARGET_GROUP_BYTES:
+        rows = rows.materialize()       # two consumers: probe + routing
+        hot = _probe_hot_keys(rows, key_col, doc_col)
+    routed = rows.map_batches(
+        lambda t: _route_batch(t, key_col, doc_col, parts, hot),
+        batch_format="pyarrow")
+    return routed, parts
 
 
 def _run_pairs(keys: np.ndarray, docs: np.ndarray,
                sizes: np.ndarray | None, max_df: int | None,
-               extra: np.ndarray | None = None
+               extra: np.ndarray | None = None,
+               rr: np.ndarray | None = None,
+               sd: np.ndarray | None = None
                ) -> tuple[np.ndarray, ...]:
     """All co-occurrence doc pairs (a < b) of equal-key runs, fully
-    vectorized: rows are lexsorted by (key, doc); runs of each length L
-    are batched through one triu_indices broadcast (no per-group Python —
-    the reason groupby(key).map_groups is NOT used: a 100 TB corpus has
-    billions of tiny key groups). ``sizes``/``extra`` are optional per-row
-    payloads carried to both sides of each pair (dtype preserved)."""
+    vectorized: rows are lexsorted by (key, rr, side, doc); same-length
+    runs are batched through one triu_indices broadcast (no per-group
+    Python — the reason groupby(key).map_groups is NOT used: a 100 TB
+    corpus has billions of tiny key groups). ``sizes``/``extra`` are
+    optional per-row payloads carried to both sides of each pair (dtype
+    preserved). ``rr``/``sd`` are the hot-key chunk-pair salt columns:
+    runs whose rr marks a cross-chunk group (r1 != r2) emit only
+    side0×side1 pairs, so a salted key's pairs appear exactly once across
+    its chunk-pair tasks."""
     payload = sizes if sizes is not None else extra
     if payload is None:
         payload = np.zeros(len(docs), dtype=np.int32)
-    order = np.lexsort((docs, keys))
-    k, d, s = keys[order], docs[order], payload[order]
-    bnd = np.concatenate([[0], np.flatnonzero(k[1:] != k[:-1]) + 1,
-                          [len(k)]])
+    if rr is None:
+        rr = np.zeros(len(docs), dtype=np.int32)
+    if sd is None:
+        sd = np.zeros(len(docs), dtype=np.int8)
+    order = np.lexsort((docs, sd, rr, keys))
+    k, r, c, d, s = (keys[order], rr[order], sd[order], docs[order],
+                     payload[order])
+    change = (k[1:] != k[:-1]) | (r[1:] != r[:-1])
+    bnd = np.concatenate([[0], np.flatnonzero(change) + 1, [len(k)]])
     lens = np.diff(bnd)
     starts = bnd[:-1]
+    n1 = np.add.reduceat(c.astype(np.int64), starts) \
+        if len(k) else np.empty(0, np.int64)
     out_a, out_b, out_na, out_nb = [], [], [], []
-    for length in np.unique(lens):
+    # pure runs (no side-1 rows): triangle pairs, batched by run length
+    pure = n1 == 0
+    for length in np.unique(lens[pure]):
         length = int(length)
         if length < 2 or (max_df is not None and length > max_df):
             continue
-        st = starts[lens == length]
+        st = starts[pure & (lens == length)]
         iu, ju = np.triu_indices(length, 1)
         ia = (st[:, None] + iu[None, :]).ravel()
         ib = (st[:, None] + ju[None, :]).ravel()
@@ -167,6 +313,21 @@ def _run_pairs(keys: np.ndarray, docs: np.ndarray,
         out_b.append(d[ib])
         out_na.append(s[ia])
         out_nb.append(s[ib])
+    # mixed runs (cross-chunk groups of a salted key): side0 × side1 only
+    for ri in np.flatnonzero((n1 > 0) & (n1 < lens)):
+        st, ln, m1 = int(starts[ri]), int(lens[ri]), int(n1[ri])
+        m0 = ln - m1                     # side-0 rows sort first in the run
+        i0 = np.arange(st, st + m0)
+        i1 = np.arange(st + m0, st + ln)
+        ia = np.repeat(i0, m1)
+        ib = np.tile(i1, m0)
+        a, b = d[ia], d[ib]
+        na_, nb_ = s[ia], s[ib]
+        sw = a > b                       # normalize to a < b, payloads follow
+        out_a.append(np.where(sw, b, a))
+        out_b.append(np.where(sw, a, b))
+        out_na.append(np.where(sw, nb_, na_))
+        out_nb.append(np.where(sw, na_, nb_))
     if not out_a:
         z = np.empty(0, np.int64)
         return z, z, np.empty(0, payload.dtype), np.empty(0, payload.dtype)
@@ -174,12 +335,13 @@ def _run_pairs(keys: np.ndarray, docs: np.ndarray,
             np.concatenate(out_na), np.concatenate(out_nb))
 
 
-def _jaccard_pairs_ds(shingles, threshold: float, max_df: int | None = None):
+def _jaccard_pairs_ds(shingles, threshold: float, max_df: int | None = None,
+                      input_bytes: int = 0):
     """Distributed exact word-shingle Jaccard over an inverted index:
 
-    groupby(coarse shingle bucket) → run-vectorized co-occurring doc
-    pairs (a<b, set sizes carried) → groupby(a, b) → intersection = pair
-    count → jaccard filter.
+    groupby(size-derived shingle bucket, hot keys chunk-pair-salted) →
+    run-vectorized co-occurring doc pairs (a<b, set sizes carried) →
+    groupby(a, b) → intersection = pair count → jaccard filter.
 
     Exact and complete for any threshold > 0 (a qualifying pair shares at
     least one shingle). Cost is Σ_sh df(sh)² — at 100 TB set ``max_df`` to
@@ -188,19 +350,20 @@ def _jaccard_pairs_ds(shingles, threshold: float, max_df: int | None = None):
     """
     from ray.data.aggregate import Count, Min
 
-    def bucket(t: pa.Table) -> pa.Table:
-        sh = t.column("sh").to_numpy()
-        return t.append_column(
-            "shp", pa.array((sh % _COARSE_PARTS).astype(np.int32)))
+    routed, _ = _make_pair_input(shingles, "sh", "doc_id", input_bytes,
+                                 salt_hot=max_df is None)
 
-    def co_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a, b, na, nb = _run_pairs(g["sh"].to_numpy(),
-                                  g["doc_id"].to_numpy(),
-                                  g["sz"].to_numpy(), max_df)
-        return pd.DataFrame({"a": a, "b": b, "na": na, "nb": nb})
+    def co_pairs(g: pa.Table) -> pa.Table:
+        a, b, na, nb = _run_pairs(g.column("sh").to_numpy(),
+                                  g.column("doc_id").to_numpy(),
+                                  g.column("sz").to_numpy(), max_df,
+                                  rr=g.column("rr").to_numpy(),
+                                  sd=g.column("sd").to_numpy())
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64()),
+                         "na": pa.array(na), "nb": pa.array(nb)})
 
-    agg = (shingles.map_batches(bucket, batch_format="pyarrow")
-           .groupby("shp").map_groups(co_pairs, batch_format="pandas")
+    agg = (routed.groupby("kp").map_groups(co_pairs, batch_format="pyarrow")
            .groupby(["a", "b"])
            .aggregate(Count(alias_name="inter"),
                       Min("na", alias_name="na"),
@@ -257,25 +420,23 @@ def dedup_minhash_lsh(sf_dir: str):
         return pa.table({"doc_id": pa.array(out_doc, pa.int64()),
                          "key": pa.array(np.array(out_key, np.uint64))})
 
-    def bucket(t: pa.Table) -> pa.Table:
-        k = t.column("key").to_numpy()
-        return t.append_column(
-            "kp", pa.array((k % _COARSE_PARTS).astype(np.int32)))
-
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a, b, _, _ = _run_pairs(g["key"].to_numpy(),
-                                g["doc_id"].to_numpy(), None, None)
-        return pd.DataFrame({"a": a, "b": b})
+    def band_pairs(g: pa.Table) -> pa.Table:
+        a, b, _, _ = _run_pairs(g.column("key").to_numpy(),
+                                g.column("doc_id").to_numpy(), None, None,
+                                rr=g.column("rr").to_numpy(),
+                                sd=g.column("sd").to_numpy())
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
 
     from ray.data.aggregate import Count
 
     # join/shuffle partition count scaled to the corpus (tiny sf inputs
     # don't need 8 aggregator actors; large corpora can raise this)
     P = _join_parts(sf_dir)
-    cand_pairs = (ds.map_batches(mh, batch_format="pyarrow")
-                  .map_batches(bucket, batch_format="pyarrow")
-                  .groupby("kp")
-                  .map_groups(band_pairs, batch_format="pandas")
+    routed, _ = _make_pair_input(ds.map_batches(mh, batch_format="pyarrow"),
+                                 "key", "doc_id", _table_bytes(sf_dir))
+    cand_pairs = (routed.groupby("kp")
+                  .map_groups(band_pairs, batch_format="pyarrow")
                   .groupby(["a", "b"])
                   .aggregate(Count(alias_name="n_bands")))
 
@@ -291,7 +452,8 @@ def dedup_minhash_lsh(sf_dir: str):
     cand_shingles = (_shingle_rows(sf_dir)
                      .join(cand_docs, "inner", P, on=("doc_id",))
                      .select_columns(["doc_id", "sh", "sz"]))
-    jac = _jaccard_pairs_ds(cand_shingles, _JACCARD_THRESHOLD)
+    jac = _jaccard_pairs_ds(cand_shingles, _JACCARD_THRESHOLD,
+                            input_bytes=_table_bytes(sf_dir))
     # keep LSH semantics: only pairs that banded together qualify
     verified = jac.join(cand_pairs, "inner", P, on=("a", "b"))
     return verified.select_columns(["a", "b", "jaccard"])
@@ -361,30 +523,31 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING):
                          "key": pa.array(np.concatenate(out_k)),
                          "sig": pa.array(np.concatenate(out_s))})
 
-    def bucket(t: pa.Table) -> pa.Table:
-        k = t.column("key").to_numpy()
-        return t.append_column(
-            "kp", pa.array((k % _COARSE_PARTS).astype(np.int32)))
-
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        a, b, sa, sb = _run_pairs(g["key"].to_numpy(),
-                                  g["doc_id"].to_numpy(), None, None,
-                                  extra=g["sig"].to_numpy())
+    def band_pairs(g: pa.Table) -> pa.Table:
+        a, b, sa, sb = _run_pairs(g.column("key").to_numpy(),
+                                  g.column("doc_id").to_numpy(), None, None,
+                                  extra=g.column("sig").to_numpy(),
+                                  rr=g.column("rr").to_numpy(),
+                                  sd=g.column("sd").to_numpy())
         if len(a) == 0:
-            return pd.DataFrame({"a": np.empty(0, np.int64),
-                                 "b": np.empty(0, np.int64),
-                                 "hd": np.empty(0, np.int32)})
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "hd": pa.array([], pa.int32())})
         x = sa.astype(np.uint64) ^ sb.astype(np.uint64)
         hd = np.zeros(len(x), dtype=np.int32)
         while x.any():                   # vectorized popcount
             hd += (x & np.uint64(1)).astype(np.int32)
             x >>= np.uint64(1)
         keep = hd <= max_hamming
-        return pd.DataFrame({"a": a[keep], "b": b[keep], "hd": hd[keep]})
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64()),
+                         "hd": pa.array(hd[keep], pa.int32())})
 
-    return (sigs.map_batches(explode, batch_format="pyarrow")
-            .map_batches(bucket, batch_format="pyarrow")
-            .groupby("kp").map_groups(band_pairs, batch_format="pandas")
+    routed, _ = _make_pair_input(
+        sigs.map_batches(explode, batch_format="pyarrow"),
+        "key", "doc_id", _table_bytes(sf_dir))
+    return (routed
+            .groupby("kp").map_groups(band_pairs, batch_format="pyarrow")
             .groupby(["a", "b"])
             .aggregate(Min("hd", alias_name="hamming"), Count(alias_name="_n"))
             .select_columns(["a", "b", "hamming"]))
@@ -407,7 +570,8 @@ def ngram_jaccard_pairs(sf_dir: str):
     the per-(a, b) count IS the intersection size — see
     :func:`_jaccard_pairs_ds`.
     """
-    return _jaccard_pairs_ds(_shingle_rows(sf_dir), JACCARD_NGRAM_THRESHOLD)
+    return _jaccard_pairs_ds(_shingle_rows(sf_dir), JACCARD_NGRAM_THRESHOLD,
+                             input_bytes=_table_bytes(sf_dir))
 
 
 def oracle_ngram_jaccard_sql() -> str:
@@ -430,18 +594,23 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
       >= {JACCARD_NGRAM_THRESHOLD}"""
 
 
+def _table_bytes(sf_dir: str, table: str = "documents.parquet") -> int:
+    """On-disk bytes of an input table (file or directory of parts)."""
+    p = os.path.join(sf_dir, table)
+    try:
+        return os.path.getsize(p)
+    except OSError:
+        if os.path.isdir(p):
+            return sum(os.path.getsize(os.path.join(p, f))
+                       for f in os.listdir(p))
+        return 0
+
+
 def _join_parts(sf_dir: str) -> int:
     """Hash-join/shuffle partition count sized by corpus bytes: 2 for
     sf-test inputs, up to 16 beyond a GB — actor startup dominates tiny
     joins."""
-    try:
-        size = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
-    except OSError:
-        size = 0
-        p = os.path.join(sf_dir, "documents.parquet")
-        if os.path.isdir(p):
-            size = sum(os.path.getsize(os.path.join(p, f))
-                       for f in os.listdir(p))
+    size = _table_bytes(sf_dir)
     if size < 64 * 1024 * 1024:
         return 2
     if size < 1024 * 1024 * 1024:

@@ -658,24 +658,35 @@ ranked AS (
 SELECT qid, rank, d AS doc_id FROM ranked WHERE rank <= k"""
 
 
-def ft_sort_by_field(sf_dir: str):
-    """TopFieldCollector role (search/TopFieldCollector.java:37): top 25
-    docs sorted by (field_len desc, doc_id asc) via ds.sort().limit()."""
+def ft_sort_by_field(sf_dir: str, k: int = 25) -> pa.Table:
+    """TopFieldCollector role (search/TopFieldCollector.java:37): top-k
+    docs by (field_len desc, doc_id asc) as per-partition top-k partials
+    (`map_batches` lexsort, the per-leaf collector) + a bounded driver
+    merge of ≤ k rows per partition — no global all-to-all sort of the
+    docmeta (TopDocs.merge, search/TopDocs.java:216)."""
     import ray.data
 
     idx = index_dir_for(sf_dir)
     ds = ray.data.read_parquet(os.path.join(idx, "docmeta"),
                                columns=["doc_id", "field_len"])
-    out = (ds.sort(["field_len", "doc_id"], descending=[True, False])
-           .limit(25))
 
-    def fmt(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "field_len": batch.column("field_len").cast(pa.int64()),
-        })
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        fl = batch.column("field_len").to_numpy().astype(np.int64)
+        sel = np.lexsort((d, -fl))[:k]
+        return pa.table({"doc_id": pa.array(d[sel], pa.int64()),
+                         "field_len": pa.array(fl[sel], pa.int64())})
 
-    return out.map_batches(fmt, batch_format="pyarrow")
+    parts = pa.concat_tables(
+        list(ds.map_batches(partial_topk, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")) or
+        [pa.table({"doc_id": pa.array([], pa.int64()),
+                   "field_len": pa.array([], pa.int64())})])
+    d = parts.column("doc_id").to_numpy()
+    fl = parts.column("field_len").to_numpy()
+    sel = np.lexsort((d, -fl))[:k]
+    return pa.table({"doc_id": pa.array(d[sel], pa.int64()),
+                     "field_len": pa.array(fl[sel], pa.int64())})
 
 
 def oracle_sort_by_field_sql() -> str:

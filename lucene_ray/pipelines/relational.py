@@ -130,14 +130,17 @@ def agg_lineitem_pricing(sf_dir: str):
                 "l_extendedprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", lambda s: int(s.astype(np.int64).sum())),
-            n=("l_quantity", "size"),
-            min_price=("l_extendedprice", "min"),
-            max_price=("l_extendedprice", "max"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # Arrow-native partial aggregation (no pandas conversion): the
+        # quantity column is cast to int64 first so partial sums are
+        # exact integers matching the BIGINT-cast oracle.
+        t = batch.set_column(
+            batch.schema.get_field_index("l_quantity"), "l_quantity",
+            pc.cast(batch.column("l_quantity"), pa.int64()))
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count"),
+             ("l_extendedprice", "min"), ("l_extendedprice", "max")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                                 "n", "min_price", "max_price"])
 
     from ray.data.aggregate import Max, Min, Sum
 

@@ -307,3 +307,71 @@ def test_ann_ivf_equals_bruteforce(ray_session):
     b = ann_ivf_topk(SF).to_pandas().sort_values(
         ["query_vec_id", "rank"]).reset_index(drop=True)
     assert a.equals(b)  # nprobe=all ⇒ IVF is exact
+
+
+def test_pair_stage_hot_key_salting_is_lossless():
+    """The doc-range chunk-pair salting (skew-join triangle replication)
+    must emit exactly the same pair multiset as the unsalted path: every
+    pair of a salted key in exactly one chunk-pair task, payload sides
+    following the a<b normalization."""
+    import numpy as np
+
+    from lucene_ray.pipelines.dedup import _mix64, _run_pairs
+
+    rng = np.random.default_rng(7)
+    # two hot keys with many docs + background small keys
+    keys, docs, sizes = [], [], []
+    for hk, n in ((11, 200), (22, 137)):
+        d = rng.choice(100000, size=n, replace=False)
+        keys += [hk] * n
+        docs += d.tolist()
+        sizes += (d % 97 + 3).tolist()
+    for sk in range(1000, 1040):
+        d = rng.choice(100000, size=3, replace=False)
+        keys += [sk] * 3
+        docs += d.tolist()
+        sizes += (d % 97 + 3).tolist()
+    keys = np.array(keys, np.uint64)
+    docs = np.array(docs, np.int64)
+    sizes = np.array(sizes, np.int32)
+
+    a0, b0, na0, nb0 = _run_pairs(keys, docs, sizes, None)
+    base = sorted(zip(a0.tolist(), b0.tolist(), na0.tolist(), nb0.tolist()))
+
+    # salted replication: hot keys split into S doc-range chunks, one row
+    # copy per chunk pair (exactly what _route_batch emits)
+    S = {11: 5, 22: 3}
+    rk, rd, rs, rrr, rsd = [], [], [], [], []
+    for k, d, s in zip(keys, docs, sizes):
+        if int(k) in S:
+            sv = S[int(k)]
+            r = int(_mix64(np.array([d], np.uint64))[0] % sv)
+            for j in range(sv):
+                r1, r2 = min(r, j), max(r, j)
+                rk.append(k)
+                rd.append(d)
+                rs.append(s)
+                rrr.append(r1 * 1024 + r2)
+                rsd.append(0 if r == r1 else 1)
+        else:
+            rk.append(k)
+            rd.append(d)
+            rs.append(s)
+            rrr.append(0)
+            rsd.append(0)
+    a1, b1, na1, nb1 = _run_pairs(
+        np.array(rk, np.uint64), np.array(rd, np.int64),
+        np.array(rs, np.int32), None,
+        rr=np.array(rrr, np.int32), sd=np.array(rsd, np.int8))
+    salted = sorted(zip(a1.tolist(), b1.tolist(),
+                        na1.tolist(), nb1.tolist()))
+    assert salted == base
+
+
+def test_coarse_parts_scales_with_input():
+    from lucene_ray.pipelines.dedup import _coarse_parts
+
+    assert _coarse_parts(0) == 64
+    assert _coarse_parts(10 << 20) == 64          # sf inputs stay small
+    assert _coarse_parts(100 << 30) > 64          # 100 GB input: more groups
+    assert _coarse_parts(1 << 50) == 1 << 16      # capped
