@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_cosine_topk": ann.ann_cosine_topk,
             "ann_ivf_topk": ann.ann_ivf_topk,
             "ann_hnsw_topk": ann.ann_hnsw_topk,
+            "ann_filtered_topk": ann.ann_filtered_topk,
             "agg_facet_counts": relational.agg_facet_counts,
             "agg_grouping_topk": relational.agg_grouping_topk,
             "agg_distinct": relational.agg_distinct,
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
             "ann_cosine_topk": ann.oracle_ann_sql(),
             "ann_ivf_topk": ann.oracle_ann_sql(),
             "ann_hnsw_topk": ann.oracle_ann_sql(),
+            "ann_filtered_topk": ann.oracle_ann_filtered_sql(),
             "agg_facet_counts": relational.oracle_facet_counts_sql(),
             "agg_grouping_topk": relational.oracle_grouping_topk_sql(),
             "agg_distinct": relational.oracle_distinct_sql(),

@@ -375,3 +375,47 @@ def test_coarse_parts_scales_with_input():
     assert _coarse_parts(10 << 20) == 64          # sf inputs stay small
     assert _coarse_parts(100 << 30) > 64          # 100 GB input: more groups
     assert _coarse_parts(1 << 50) == 1 << 16      # capped
+
+
+def test_vector_index_persisted_and_filtered(ray_session):
+    """The vector index is FILES (Lucene99HnswVectorsFormat role): built
+    once, reloaded on later calls (no graph construction in the query
+    path), round-trips the graph exactly, and filtered search equals an
+    exact filtered scan."""
+    import json
+    import os
+
+    import numpy as np
+    from lucene_ray.vectors import (load_shard, search_index,
+                                    vector_index_for)
+
+    idx = vector_index_for(SF)
+    with open(os.path.join(idx, "manifest.json")) as f:
+        man = json.load(f)
+    assert man["n_vectors"] == 500 and man["shards"]
+    mtimes = {s["path"]: os.path.getmtime(os.path.join(idx, s["path"]))
+              for s in man["shards"]}
+
+    ids, g, meta = load_shard(idx, man["shards"][0]["path"])
+    assert "label" in meta                       # filter metadata stored
+    # serialized graph answers identically to a fresh in-memory search
+    q = g.v[3]
+    brute = [int(ids[i]) for i in
+             np.lexsort((ids, -(g.v @ q)))[:10]]
+    assert [int(ids[n]) for _, n in g.search(q, 10, ef=64)] == brute
+
+    # filtered search == exact filtered scan (accept mask + fallback)
+    lab = meta["label"]
+    accept = lab == lab[3]
+    idxs = np.flatnonzero(accept)
+    sims = g.v[idxs] @ q
+    exact = [int(ids[idxs[i]]) for i in np.lexsort((idxs, -sims))[:10]]
+    got = search_index(idx, np.stack([q]), 10, 64, filter_col="label",
+                       filter_labels=[int(lab[3])])[0]
+    assert [v for _, v in got] == exact
+
+    # a second pipeline call must NOT rebuild the shard files
+    from lucene_ray.pipelines.ann import ann_hnsw_topk
+    ann_hnsw_topk(SF)
+    for p, t in mtimes.items():
+        assert os.path.getmtime(os.path.join(idx, p)) == t
