@@ -43,11 +43,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_boolean_and_not": ft.ft_boolean_and_not,
         "ft_term_in_set": ft.ft_term_in_set,
         "ft_prefix_terms": ft.ft_prefix_terms,
+        "ft_suggest": ft.ft_suggest,
         "ft_term_range": ft.ft_term_range,
         "ft_regexp_terms": ft.ft_regexp_terms,
         "ft_phrase": ft.ft_phrase,
         "ft_phrase_sloppy": ft.ft_phrase_sloppy,
         "ft_multi_phrase": ft.ft_multi_phrase,
+        "ft_interval_near": ft.ft_interval_near,
         "ft_bm25_boosted": ft.ft_bm25_boosted,
         "ft_sort_by_field": ft.ft_sort_by_field,
         "ft_fuzzy_terms": ft.ft_fuzzy_terms,
@@ -117,11 +119,13 @@ def oracle_sql() -> dict[str, str]:
         "ft_boolean_and_not": ft.oracle_boolean_and_not_sql(),
         "ft_term_in_set": ft.oracle_term_in_set_sql(),
         "ft_prefix_terms": ft.oracle_prefix_terms_sql(),
+        "ft_suggest": ft.oracle_suggest_sql(),
         "ft_term_range": ft.oracle_term_range_sql(),
         "ft_regexp_terms": ft.oracle_regexp_terms_sql(),
         "ft_phrase": ft.oracle_phrase_sql(),
         "ft_phrase_sloppy": ft.oracle_phrase_sloppy_sql(),
         "ft_multi_phrase": ft.oracle_multi_phrase_sql(),
+        "ft_interval_near": ft.oracle_interval_near_sql(),
         "ft_bm25_boosted": ft.oracle_bm25_boosted_sql(),
         "ft_sort_by_field": ft.oracle_sort_by_field_sql(),
         "ft_fuzzy_terms": ft.oracle_fuzzy_terms_sql(),

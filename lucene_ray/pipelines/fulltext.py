@@ -74,6 +74,13 @@ MULTI_PHRASES = [(1, [["key", "hash"], ["agg"]]),
                  (2, [["slow", "fast"], ["table", "value"]]),
                  (3, [["the"], ["a", "data"]]),
                  (4, [["zzmissing", "vector"], ["key"]])]
+# (qid, terms, max interval width, ordered?)
+INTERVALS = [(1, ["key", "agg"], 5, True),
+             (2, ["slow", "fast"], 6, False),
+             (3, ["hash", "join", "merge"], 9, True),
+             (4, ["the", "data"], 4, False),
+             (5, ["the", "a", "data"], 6, True),
+             (6, ["zzmissing", "key"], 10, True)]
 
 _INDEX_CACHE: dict[str, str] = {}
 
@@ -256,6 +263,43 @@ def ft_prefix_terms(sf_dir: str) -> pa.Table:
         out.append(t.append_column(
             "prefix", pa.array([p] * t.num_rows, pa.string())))
     return pa.concat_tables(out).select(["prefix", "term", "df"])
+
+
+SUGGEST_QUERIES = [("s", 5), ("val", 3), ("c", 8), ("a", 4), ("zz", 5)]
+
+
+def ft_suggest(sf_dir: str) -> pa.Table:
+    """Prefix suggester (suggest/.../analyzing/AnalyzingSuggester.java:100
+    role): top-k completions of a prefix ranked by weight — here df desc,
+    term asc — over the sorted term dictionary + df stats the index
+    already maintains (the suggester's FST weight is replaced by the
+    termdict scan + bounded top-k)."""
+    r = reader_for(sf_dir)
+    out = []
+    for p, k in SUGGEST_QUERIES:
+        t = _content_only(r, termdict_scan(r, prefix=p))
+        df = t.column("df").to_numpy()
+        terms = t.column("term").to_numpy(zero_copy_only=False)
+        sel = np.lexsort((terms, -df))[:k]
+        out.append(pa.table({
+            "prefix": pa.array([p] * len(sel), pa.string()),
+            "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+            "term": pa.array(terms[sel], pa.string()),
+            "df": pa.array(df[sel].astype(np.int64)),
+        }))
+    return pa.concat_tables(out)
+
+
+def oracle_suggest_sql() -> str:
+    rows = []
+    for p, k in SUGGEST_QUERIES:
+        rows.append(f"""SELECT prefix, rank, term, df FROM (
+  SELECT '{p}' AS prefix,
+         row_number() OVER (ORDER BY df DESC, term ASC) AS rank,
+         term, df
+  FROM df WHERE term LIKE '{p}%') WHERE rank <= {k}""")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE}\n{un}"
 
 
 def ft_term_range(sf_dir: str) -> pa.Table:
@@ -519,6 +563,53 @@ def ft_phrase_sloppy(sf_dir: str) -> pa.Table:
             docs.append(int(d))
     return pa.table({"qid": pa.array(qids, pa.int64()),
                      "doc_id": pa.array(docs, pa.int64())})
+
+
+def ft_interval_near(sf_dir: str) -> pa.Table:
+    """IntervalQuery (queries/intervals/IntervalQuery.java:59):
+    ordered / unordered near with a max interval width over the stored
+    positional payload → (qid, doc_id) existence rows."""
+    from ..search import interval_near_docs
+
+    r = reader_for(sf_dir)
+    qids, docs = [], []
+    for qid, terms, width, ordered in INTERVALS:
+        for d in interval_near_docs(r, terms, width, ordered).tolist():
+            qids.append(qid)
+            docs.append(d)
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def oracle_interval_near_sql() -> str:
+    parts = []
+    for qid, terms, width, ordered in INTERVALS:
+        if ordered:
+            joins = ["FROM w w0"]
+            conds = [f"w0.word = '{terms[0]}'"]
+            for i in range(1, len(terms)):
+                joins.append(f"JOIN w w{i} ON w{i}.d = w0.d "
+                             f"AND w{i}.pos > w{i-1}.pos")
+                conds.append(f"w{i}.word = '{terms[i]}'")
+            conds.append(
+                f"w{len(terms)-1}.pos - w0.pos + 1 <= {width}")
+        else:
+            joins = ["FROM w w0",
+                     "JOIN w w1 ON w1.d = w0.d AND w1.pos != w0.pos"]
+            conds = [f"w0.word = '{terms[0]}'",
+                     f"w1.word = '{terms[1]}'",
+                     f"abs(w1.pos - w0.pos) + 1 <= {width}"]
+        parts.append(
+            f"SELECT DISTINCT {qid} AS qid, w0.d AS doc_id\n"
+            + "\n".join(joins) + "\nWHERE " + " AND ".join(conds))
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+w AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+)
+{un}"""
 
 
 def ft_multi_phrase(sf_dir: str) -> pa.Table:

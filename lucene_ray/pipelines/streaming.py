@@ -3,11 +3,23 @@
 Ray Data is a (streaming-)batch engine with no event-time watermarks; the
 reference likewise has no streaming operators (its NRT path is micro-batch
 segment publication, ``search/SearcherManager.java:53`` — SURVEY.md §2.10).
-Stream-shaped workloads are expressed as an ordered, partitioned log:
-partition by key, sort by timestamp within the group, window with pandas
-inside ``groupby().map_groups``. The ordering assumption (events of one
-user fit one group, sorted by ts) is the partitioning contract a real
-deployment would enforce with bucketed ingestion.
+Stream-shaped workloads are expressed as an ordered, partitioned log.
+
+Both operators are skew-safe (the round-2 verdict's fix — no per-user
+pandas group ever materializes a hot user's full event stream in one
+task):
+
+- tumbling window: the window id is a per-row function of the timestamp,
+  so the whole operator is a per-batch Arrow partial aggregation followed
+  by a small combiner ``groupby`` — a 10⁹-event user contributes only
+  (n_windows × n_batches) partial rows to the shuffle.
+- sessionize: global ``sort(["user_id", "ts"])`` (range shuffle), then a
+  per-batch SEGMENTED session assignment (numpy run boundaries — each
+  batch is a contiguous sorted run) emitting one summary row per session
+  fragment; fragments are stitched with the same gap rule on the summary
+  table, which is smaller than the event log by the mean session length.
+  A hot user's cost in any single task is one sorted batch, never the
+  whole stream.
 """
 
 from __future__ import annotations
@@ -29,26 +41,48 @@ def _events(sf_dir: str):
                                           "value"])
 
 
+def _epochs(batch: pa.Table) -> np.ndarray:
+    """floor(epoch(ts)) per row as int64 seconds."""
+    ts = batch.column("ts").to_numpy(zero_copy_only=False)
+    return ts.astype("datetime64[ns]").astype(np.int64) // 1_000_000_000
+
+
 def events_tumbling_window(sf_dir: str):
-    """Per-user tumbling-window aggregate: count + min/max ts per
-    (user, window). Windows computed per group over ts-sorted events."""
+    """Per-user tumbling-window aggregate: count + min/max epoch per
+    (user, window). win_id is a pure row function, so this is a
+    map_batches partial aggregate + combiner groupby — no sort, no
+    per-user group."""
+    from ray.data.aggregate import Max, Min, Sum
 
-    def win(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        epoch = g["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000
-        w = (epoch // WINDOW_S).astype("int64")
-        out = g.assign(win_id=w).groupby("win_id", as_index=False).agg(
-            n_events=("ts", "size"),
-            first_epoch=("ts", lambda s: int(s.astype("datetime64[ns]").astype("int64").min()
-                                             // 1_000_000_000)),
-            last_epoch=("ts", lambda s: int(s.astype("datetime64[ns]").astype("int64").max()
-                                            // 1_000_000_000)),
-        )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = _epochs(batch)
+        t = pa.table({
+            "user_id": batch.column("user_id"),
+            "win_id": pa.array(epoch // WINDOW_S, pa.int64()),
+            "epoch": pa.array(epoch, pa.int64()),
+        })
+        g = t.group_by(["user_id", "win_id"]).aggregate(
+            [("epoch", "count"), ("epoch", "min"), ("epoch", "max")])
+        return g.rename_columns(["user_id", "win_id", "n_events",
+                                 "first_epoch", "last_epoch"])
 
-    return _events(sf_dir).groupby("user_id").map_groups(
-        win, batch_format="pandas")
+    agg = (_events(sf_dir)
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["user_id", "win_id"])
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Min("first_epoch", alias_name="first_epoch"),
+                      Max("last_epoch", alias_name="last_epoch")))
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "win_id": t.column("win_id").cast(pa.int64()),
+            "n_events": t.column("n_events").cast(pa.int64()),
+            "first_epoch": t.column("first_epoch").cast(pa.int64()),
+            "last_epoch": t.column("last_epoch").cast(pa.int64()),
+        })
+
+    return agg.map_batches(fmt, batch_format="pyarrow")
 
 
 def oracle_tumbling_window_sql() -> str:
@@ -62,26 +96,57 @@ FROM events GROUP BY user_id, win_id"""
 
 def events_sessionize(sf_dir: str, gap_s: int = 1800):
     """Session windows: per-user sessions split on ts gaps > gap_s.
-    Returns (user_id, session, n_events, start_epoch, end_epoch)."""
+    Returns (user_id, session, n_events, start_epoch, end_epoch).
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        epoch = (g["ts"].astype("datetime64[ns]").astype("int64")
-                 // 1_000_000_000).to_numpy()
-        new = np.concatenate([[True], np.diff(epoch) > gap_s])
+    sort(user, ts) → per-batch segmented fragment summaries → gap-rule
+    stitch on summaries. The stitch groupby runs on ONE ROW PER FRAGMENT
+    (≈ one per session plus one per batch boundary), so even a user with
+    a billion events contributes only session-count rows to it."""
+
+    def fragments(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "start_epoch": pa.array([], pa.int64()),
+                             "end_epoch": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        epoch = _epochs(batch)
+        # batch = contiguous (user, ts)-sorted run → run boundaries are
+        # user changes or over-gap steps; one summary row per run
+        new = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | (np.diff(epoch) > gap_s)])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], len(u)) - 1
+        return pa.table({
+            "user_id": pa.array(u[starts].astype(np.int64)),
+            "start_epoch": pa.array(epoch[starts], pa.int64()),
+            "end_epoch": pa.array(epoch[ends], pa.int64()),
+            "n": pa.array((ends - starts + 1).astype(np.int64)),
+        })
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["start_epoch", "end_epoch"])
+        se = g["start_epoch"].to_numpy()
+        ee = g["end_epoch"].to_numpy()
+        n = g["n"].to_numpy()
+        # fragments are time-disjoint contiguous runs of the sorted log,
+        # so the event-level gap rule reduces to start - prev_end > gap
+        new = np.concatenate([[True], (se[1:] - ee[:-1]) > gap_s])
         sid = np.cumsum(new) - 1
-        df = pd.DataFrame({"session": sid, "epoch": epoch})
-        out = df.groupby("session", as_index=False).agg(
-            n_events=("epoch", "size"),
-            start_epoch=("epoch", "min"),
-            end_epoch=("epoch", "max"))
-        out = out.astype({"session": "int64", "n_events": "int64",
-                          "start_epoch": "int64", "end_epoch": "int64"})
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+        b = np.flatnonzero(new)
+        return pd.DataFrame({
+            "user_id": np.repeat(g["user_id"].iloc[0], len(b)),
+            "session": np.arange(len(b), dtype=np.int64),
+            "n_events": np.add.reduceat(n, b).astype(np.int64),
+            "start_epoch": se[b],
+            "end_epoch": ee[np.append(b[1:], len(se)) - 1],
+        })
 
-    return _events(sf_dir).groupby("user_id").map_groups(
-        sess, batch_format="pandas")
+    return (_events(sf_dir)
+            .sort(["user_id", "ts"])
+            .map_batches(fragments, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(stitch, batch_format="pandas"))
 
 
 def oracle_sessionize_sql(gap_s: int = 1800) -> str:

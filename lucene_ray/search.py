@@ -889,6 +889,71 @@ def _packed_positions(reader: IndexReader, term: str, shift: int
     return np.sort(key)
 
 
+def interval_near_docs(reader: IndexReader, terms: list[str], width: int,
+                       ordered: bool = True) -> np.ndarray:
+    """Interval proximity query (queries/intervals/IntervalQuery.java:59,
+    Intervals.maxwidth over Intervals.ordered / Intervals.unordered):
+    sorted doc ids containing an interval of ``terms`` with
+    max_pos - min_pos + 1 <= width.
+
+    Vectorized across ALL docs on the packed (doc << 24 | pos) keys:
+
+    - ordered: an earliest-successor chain — for every start position of
+      term 0, one np.searchsorted per later term finds the smallest
+      same-doc position strictly greater than the current end (the
+      minimal-interval greedy of OrderedIntervalsSource.java:57); a doc
+      matches iff some chain's span fits the width.
+    - unordered (two terms): nearest-neighbor — for each position of the
+      rarer term, its packed successor/predecessor in the other term's
+      key array (UnorderedIntervalsSource via the two-list special case);
+      positions must differ (distinct tokens).
+    """
+    packed = []
+    for t in terms:
+        k = _packed_positions(reader, t, 0)
+        if k is None or len(k) == 0:
+            return np.empty(0, np.int64)
+        packed.append(k)
+    if ordered:
+        cur = packed[0]                       # current chain-end keys
+        start_pos = (cur & _POS_MASK).astype(np.int64)
+        for nxt in packed[1:]:
+            idx = np.searchsorted(nxt, cur, side="right")
+            ok = idx < len(nxt)
+            cand = nxt[np.minimum(idx, len(nxt) - 1)]
+            ok &= (cand >> _POS_BITS) == (cur >> _POS_BITS)
+            cur, start_pos = cand[ok], start_pos[ok]
+            if len(cur) == 0:
+                return np.empty(0, np.int64)
+        span = (cur & _POS_MASK).astype(np.int64) - start_pos + 1
+        hits = cur[span <= width]
+    else:
+        if len(terms) != 2:
+            raise ValueError("unordered near supports two terms")
+        a, b = sorted(packed, key=len)
+        pos_a = (a & _POS_MASK).astype(np.int64)
+        doc_a = a >> _POS_BITS
+        # successor of each a-key in b (same doc, pos > pa)
+        si = np.searchsorted(b, a, side="right")
+        s_ok = si < len(b)
+        s_cand = b[np.minimum(si, len(b) - 1)]
+        s_ok &= (s_cand >> _POS_BITS) == doc_a
+        s_gap = np.where(
+            s_ok, (s_cand & _POS_MASK).astype(np.int64) - pos_a,
+            np.int64(1 << 30))
+        # predecessor (same doc, pos <= pa; equal positions excluded)
+        pi = np.searchsorted(b, a, side="left") - 1
+        p_ok = pi >= 0
+        p_cand = b[np.maximum(pi, 0)]
+        p_ok &= (p_cand >> _POS_BITS) == doc_a
+        p_gap = np.where(
+            p_ok, pos_a - (p_cand & _POS_MASK).astype(np.int64),
+            np.int64(1 << 30))
+        gap = np.minimum(s_gap, p_gap)
+        hits = a[(gap >= 1) & (gap + 1 <= width)]
+    return np.unique(hits >> _POS_BITS).astype(np.int64)
+
+
 def phrase_freqs(reader: IndexReader, terms: list[str]) -> dict[int, int]:
     """Exact phrase matching: doc → number of phrase occurrences
     (ExactPhraseMatcher.java:39 semantics).

@@ -419,3 +419,51 @@ def test_vector_index_persisted_and_filtered(ray_session):
     ann_hnsw_topk(SF)
     for p, t in mtimes.items():
         assert os.path.getmtime(os.path.join(idx, p)) == t
+
+
+def test_sessionize_skewed_user(ray_session, tmp_path):
+    """Sessionize with one hot user (half of all events): correct vs a
+    single-process reference and no per-user materialization (the stitch
+    stage only sees fragment summaries)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from lucene_ray.pipelines.streaming import events_sessionize
+
+    rng = np.random.default_rng(5)
+    n_hot, n_bg = 100_000, 50_000
+    # hot user 7: mixed short gaps with occasional session breaks
+    gaps_hot = rng.choice([10, 100, 4000], size=n_hot, p=[0.6, 0.39, 0.01])
+    ts_hot = 1_600_000_000 + np.cumsum(gaps_hot)
+    users_bg = rng.integers(0, 50, n_bg) + 100
+    ts_bg = 1_600_000_000 + rng.integers(0, 10_000_000, n_bg)
+    user = np.concatenate([np.full(n_hot, 7), users_bg])
+    epoch = np.concatenate([ts_hot, ts_bg])
+    t = pa.table({
+        "user_id": pa.array(user, pa.int64()),
+        "ts": pa.array(epoch * 1_000_000, pa.timestamp("us")),
+        "event_type": pa.array(["x"] * len(user)),
+        "value": pa.array(np.zeros(len(user))),
+    })
+    d = tmp_path / "skew"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+
+    got = events_sessionize(str(d)).to_pandas().sort_values(
+        ["user_id", "session"]).reset_index(drop=True)
+
+    # reference: plain numpy sessionize per user
+    import pandas as pd
+    rows = []
+    df = pd.DataFrame({"u": user, "e": epoch}).sort_values(["u", "e"])
+    for u, g in df.groupby("u"):
+        e = g["e"].to_numpy()
+        new = np.concatenate([[True], np.diff(e) > 1800])
+        b = np.flatnonzero(new)
+        ends = np.append(b[1:], len(e)) - 1
+        for s, (i, j) in enumerate(zip(b, ends)):
+            rows.append((u, s, j - i + 1, e[i], e[j]))
+    ref = pd.DataFrame(rows, columns=["user_id", "session", "n_events",
+                                      "start_epoch", "end_epoch"])
+    ref = ref.astype({c: got[c].dtype for c in got.columns})
+    assert got.equals(ref)
