@@ -530,6 +530,38 @@ def _overlong_re(max_token_length: int) -> "_re.Pattern[str]":
     return r
 
 
+def token_offsets_batch(texts: list[str],
+                        max_token_length: int = MAX_TOKEN_LENGTH
+                        ) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Per-doc token character offsets — the stored OffsetAttribute
+    payload of an ``..._AND_OFFSETS`` index (index/IndexOptions.java:26).
+    Token stream (and therefore position numbering) is IDENTICAL to
+    term_freq_batch's positional path: same ASCII fast path with the
+    same pure-underscore drop, same exact-scanner fallback."""
+    starts_out: list[np.ndarray] = []
+    ends_out: list[np.ndarray] = []
+    empty = np.empty(0, np.int32)
+    for text in texts:
+        if not text:
+            starts_out.append(empty)
+            ends_out.append(empty)
+            continue
+        if text.isascii():
+            low = text.lower()
+            if _overlong_re(max_token_length).search(low) is None:
+                spans = [(m.start(), m.end())
+                         for m in _ASCII_WORD.finditer(low)
+                         if m.group().strip("_")]
+                a = np.array(spans, np.int32).reshape(-1, 2)
+                starts_out.append(a[:, 0].copy())
+                ends_out.append(a[:, 1].copy())
+                continue
+        _, st, en = tokenize_with_offsets(text, max_token_length)
+        starts_out.append(st.astype(np.int32))
+        ends_out.append(en.astype(np.int32))
+    return starts_out, ends_out
+
+
 def term_freq_batch(texts: list[str],
                     max_token_length: int = MAX_TOKEN_LENGTH,
                     with_positions: bool = False):

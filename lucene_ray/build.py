@@ -207,7 +207,8 @@ def _raw_rows_binary(vals: np.ndarray, n_per_row: np.ndarray, width: int,
 def _build_segment(group: pa.Table, index_dir: str, bases: list[int],
                    with_positions: bool = False,
                    keyword_fields: list[str] | None = None,
-                   with_term_vectors: bool = False) -> pa.Table:
+                   with_term_vectors: bool = False,
+                   with_offsets: bool = False) -> pa.Table:
     """Key-rank mode group UDF: sort the bucket by dockey, docIDs = bucket
     base + rank (deterministic global key rank)."""
     if group.num_rows == 0:
@@ -216,13 +217,15 @@ def _build_segment(group: pa.Table, index_dir: str, bases: list[int],
     group = group.sort_by([("dockey", "ascending")])
     return _build_segment_core(group, seg, bases[seg], index_dir,
                                with_positions, keyword_fields=keyword_fields,
-                               with_term_vectors=with_term_vectors)
+                               with_term_vectors=with_term_vectors,
+                               with_offsets=with_offsets)
 
 
 def _build_segment_files(batch: pa.Table, index_dir: str,
                          with_positions: bool = False,
                          keyword_fields: list[str] | None = None,
-                         with_term_vectors: bool = False) -> pa.Table:
+                         with_term_vectors: bool = False,
+                         with_offsets: bool = False) -> pa.Table:
     """Arrival mode task UDF: one input parquet file = one segment, docIDs =
     file base + row index (Lucene's arrival-order docID assignment,
     DocumentsWriterPerThread.java:274) — NO corpus shuffle at all."""
@@ -235,7 +238,8 @@ def _build_segment_files(batch: pa.Table, index_dir: str,
         out.append(_build_segment_core(tbl, int(seg), int(base), index_dir,
                                        with_positions, source=path,
                                        keyword_fields=keyword_fields,
-                                       with_term_vectors=with_term_vectors))
+                                       with_term_vectors=with_term_vectors,
+                                       with_offsets=with_offsets))
     return pa.concat_tables(out) if out else _empty_seg_lineage()
 
 
@@ -244,7 +248,8 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
                         with_positions: bool = False,
                         source: str = "",
                         keyword_fields: list[str] | None = None,
-                        with_term_vectors: bool = False) -> pa.Table:
+                        with_term_vectors: bool = False,
+                        with_offsets: bool = False) -> pa.Table:
     t0 = time.time()
     contents = group.column("content").to_pylist()
     n_docs = len(contents)
@@ -458,6 +463,24 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
     pq.write_table(seg_tbl, sg_path + ".tmp")
     os.replace(sg_path + ".tmp", sg_path)
 
+    if with_offsets:
+        # stored OffsetAttribute payload (..._AND_OFFSETS,
+        # index/IndexOptions.java:26): per-doc token char offsets as list
+        # columns — the term-vectors-with-offsets store the
+        # UnifiedHighlighter POSTINGS/TERM_VECTORS offset modes read,
+        # so highlighting never re-analyzes content.
+        from .analysis import token_offsets_batch
+        st_list, en_list = token_offsets_batch(contents)
+        loffs = np.concatenate(
+            [[0], np.cumsum([len(x) for x in st_list])]).astype(np.int32)
+        docmeta_cols["tok_starts"] = pa.ListArray.from_arrays(
+            pa.array(loffs, pa.int32()),
+            pa.array(np.concatenate(st_list) if st_list else
+                     np.empty(0, np.int32), pa.int32()))
+        docmeta_cols["tok_ends"] = pa.ListArray.from_arrays(
+            pa.array(loffs, pa.int32()),
+            pa.array(np.concatenate(en_list) if en_list else
+                     np.empty(0, np.int32), pa.int32()))
     if with_term_vectors:
         if tv_arrays is None:          # no tokens at all → empty vectors
             empty = pa.array([[] for _ in range(n_docs)], pa.list_(pa.string()))
@@ -671,6 +694,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                 with_positions: bool = False,
                 keyword_fields: list[str] | None = None,
                 with_term_vectors: bool = False,
+                with_offsets: bool = False,
                 overwrite: bool = False) -> IndexManifest:
     """Build (or resume building) an index from a corpus.
 
@@ -724,6 +748,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
         params["with_positions"] = bool(with_positions)
         params["keyword_fields"] = list(keyword_fields or [])
         params["with_term_vectors"] = bool(with_term_vectors)
+        params["with_offsets"] = bool(with_offsets)
         bases = np.concatenate([[0], np.cumsum(counts)[:-1]]).tolist()
         plan = {"params": params, "boundaries": [], "mode": "arrival",
                 "files": files, "bucket_counts": counts, "bases": bases,
@@ -741,6 +766,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
         params["with_positions"] = bool(with_positions)
         params["keyword_fields"] = list(keyword_fields or [])
         params["with_term_vectors"] = bool(with_term_vectors)
+        params["with_offsets"] = bool(with_offsets)
         boundaries = _boundaries_from_sample(sample_keys,
                                              params["num_buckets"])
         nb = len(boundaries) + 1
@@ -765,6 +791,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
     keyword_fields = params.get("keyword_fields", keyword_fields) or None
     with_term_vectors = bool(params.get("with_term_vectors",
                                         with_term_vectors))
+    with_offsets = bool(params.get("with_offsets", with_offsets))
     nb = len(counts)
 
     # --- stage 2: segments (skip finished buckets before the shuffle) ---
@@ -785,7 +812,8 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                       fn_kwargs={"index_dir": index_dir,
                                  "with_positions": with_positions,
                                  "keyword_fields": keyword_fields,
-                                 "with_term_vectors": with_term_vectors})
+                                 "with_term_vectors": with_term_vectors,
+                                 "with_offsets": with_offsets})
          .materialize())
     elif todo:
         ds = make_ds().map_batches(_assign_bucket, batch_format="pyarrow",
@@ -802,7 +830,8 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                        fn_kwargs={"index_dir": index_dir, "bases": bases,
                                   "with_positions": with_positions,
                                   "keyword_fields": keyword_fields,
-                                  "with_term_vectors": with_term_vectors})
+                                  "with_term_vectors": with_term_vectors,
+                                  "with_offsets": with_offsets})
            .materialize())
 
     seg_lineage = []
@@ -950,6 +979,7 @@ def append_to_index(index_dir: str, new_corpus: str,
     with_pos = bool(m.config.get("with_positions"))
     kw_fields = m.config.get("keyword_fields") or None
     with_tv = bool(m.config.get("with_term_vectors"))
+    with_off = bool(m.config.get("with_offsets"))
     files = sorted(
         os.path.join(new_corpus, f) for f in os.listdir(new_corpus)
         if f.endswith(".parquet")) if os.path.isdir(new_corpus) \
@@ -976,7 +1006,8 @@ def append_to_index(index_dir: str, new_corpus: str,
                       fn_kwargs={"index_dir": index_dir,
                                  "with_positions": with_pos,
                                  "keyword_fields": kw_fields,
-                                 "with_term_vectors": with_tv})
+                                 "with_term_vectors": with_tv,
+                                 "with_offsets": with_off})
          .materialize())
 
     # merge ONLY the new segments, into a fresh salt generation

@@ -95,3 +95,33 @@ def highlight(text: str, query_terms: list[str],
             out = out[:a] + pre + out[a:b] + post + out[b:]
     first_off = int(starts[int(np.argmax(hit))])
     return out, n_matches, first_off
+
+
+def highlight_stored(text: str, starts: np.ndarray, ends: np.ndarray,
+                     match_pos: np.ndarray,
+                     window: int = DEFAULT_WINDOW, lead: int = DEFAULT_LEAD,
+                     pre: str = "<b>", post: str = "</b>"
+                     ) -> tuple[str, int, int]:
+    """Offsets-mode passage snippet (UnifiedHighlighter POSTINGS /
+    TERM_VECTORS offset sources, uhighlight/FieldOffsetStrategy.java):
+    match POSITIONS come from the positional postings and character
+    offsets from the index's stored offset payload — ``text`` is only
+    sliced, never re-analyzed. First-match anchored window, same output
+    contract as :func:`highlight` with anchor="first"."""
+    n = len(starts)
+    if n == 0 or len(match_pos) == 0:
+        return "", 0, -1
+    first = int(match_pos[0])
+    w = min(window, n)
+    s_tok = max(0, first - lead)
+    e_tok = min(n, s_tok + w)
+    s_char = int(starts[s_tok])
+    e_char = int(ends[e_tok - 1])
+    out = text[s_char:e_char]
+    mset = set(int(p) for p in match_pos)
+    for i in range(e_tok - 1, s_tok - 1, -1):
+        if i in mset:
+            a = int(starts[i]) - s_char
+            b = int(ends[i]) - s_char
+            out = out[:a] + pre + out[a:b] + post + out[b:]
+    return out, int(len(match_pos)), int(starts[first])

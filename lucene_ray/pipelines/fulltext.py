@@ -92,13 +92,13 @@ def index_dir_for(sf_dir: str) -> str:
         return _INDEX_CACHE[sf_dir]
     doc = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.sha256(
-        f"{sf_dir}:{os.path.getsize(doc)}:v5".encode()).hexdigest()[:12]
+        f"{sf_dir}:{os.path.getsize(doc)}:v6".encode()).hexdigest()[:12]
     idx = os.path.join("/tmp", "lucene_ray_indexes", tag)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
         corpus = corpus_from_documents(sf_dir)
         build_index(corpus, idx, with_positions=True,
                     keyword_fields=["repo", "lang"],
-                    with_term_vectors=True)
+                    with_term_vectors=True, with_offsets=True)
     _INDEX_CACHE[sf_dir] = idx
     return idx
 
@@ -1157,14 +1157,18 @@ SELECT 3, d FROM (
 
 
 def ft_highlight(sf_dir: str) -> pa.Table:
-    """UnifiedHighlighter role (uhighlight/UnifiedHighlighter.java,
-    OffsetSource.ANALYSIS): BM25 top-k per query, stored text fetched
-    back from the documents table, re-analyzed with offsets, first-match
-    anchored 8-token passage with matched terms tagged.
+    """UnifiedHighlighter role (uhighlight/UnifiedHighlighter.java) in
+    the POSTINGS/TERM_VECTORS offset mode (FieldOffsetStrategy): BM25
+    top-k per query; match POSITIONS read from the positional postings,
+    character offsets from the stored per-doc offset payload
+    (tok_starts/tok_ends docmeta columns, the ``..._AND_OFFSETS`` role);
+    stored text is only SLICED for the passage — nothing re-analyzes
+    content at query time (round 2 used ANALYSIS-mode re-tokenize).
     → (qid, doc_id, n_matches, first_offset, snippet)."""
     import pyarrow.parquet as pq_
 
-    from ..highlight import highlight
+    from ..highlight import highlight_stored
+    from ..search import _term_positions
 
     r = reader_for(sf_dir)
     idx = index_dir_for(sf_dir)
@@ -1174,11 +1178,17 @@ def ft_highlight(sf_dir: str) -> pa.Table:
         hits = [int(d) for d in td.doc_ids]
         if not hits:
             continue
+        pos_of = {t: (_term_positions(r, t) or {}) for t in set(terms)}
         dm = pq_.read_table(os.path.join(idx, "docmeta"),
-                            columns=["doc_id", "path"],
+                            columns=["doc_id", "path", "tok_starts",
+                                     "tok_ends"],
                             filters=[("doc_id", "in", hits)])
         path_of = dict(zip(dm.column("doc_id").to_pylist(),
                            dm.column("path").to_pylist()))
+        st_of = dict(zip(dm.column("doc_id").to_pylist(),
+                         dm.column("tok_starts").to_pylist()))
+        en_of = dict(zip(dm.column("doc_id").to_pylist(),
+                         dm.column("tok_ends").to_pylist()))
         orig = {d: int(path_of[d][4:12]) for d in hits}
         dt = pq_.read_table(os.path.join(sf_dir, "documents.parquet"),
                             columns=["doc_id", "text"],
@@ -1187,8 +1197,13 @@ def ft_highlight(sf_dir: str) -> pa.Table:
         text_of = dict(zip(dt.column("doc_id").to_pylist(),
                            dt.column("text").to_pylist()))
         for d in hits:
-            snip, nm, off = highlight(text_of[orig[d]] or "", terms,
-                                      anchor="first")
+            mp = np.unique(np.concatenate(
+                [np.asarray(pos_of[t].get(d, []), np.int64)
+                 for t in set(terms)]))
+            snip, nm, off = highlight_stored(
+                text_of[orig[d]] or "",
+                np.asarray(st_of[d], np.int64),
+                np.asarray(en_of[d], np.int64), mp)
             qids.append(qid)
             docs.append(d)
             nms.append(nm)
