@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_wildcard_docs": ft.ft_wildcard_docs,
         "ft_fuzzy_docs": ft.ft_fuzzy_docs,
         "ft_facet_lang": ft.ft_facet_lang,
+        "ft_facet_lang_dv": ft.ft_facet_lang_dv,
         "ft_keyword_filter": ft.ft_keyword_filter,
         "ft_synonym": ft.ft_synonym,
         "ft_dismax": ft.ft_dismax,
@@ -93,7 +94,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_ivf_topk": ann.ann_ivf_topk,
             "ann_hnsw_topk": ann.ann_hnsw_topk,
             "ann_filtered_topk": ann.ann_filtered_topk,
+            "ann_quantized_topk": ann.ann_quantized_topk,
             "agg_facet_counts": relational.agg_facet_counts,
+            "agg_facet_taxonomy": relational.agg_facet_taxonomy,
             "agg_grouping_topk": relational.agg_grouping_topk,
             "agg_distinct": relational.agg_distinct,
             "join_semi_broadcast": relational.join_semi_broadcast,
@@ -132,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_wildcard_docs": ft.oracle_wildcard_docs_sql(),
         "ft_fuzzy_docs": ft.oracle_fuzzy_docs_sql(),
         "ft_facet_lang": ft.oracle_facet_lang_sql(),
+        "ft_facet_lang_dv": ft.oracle_facet_lang_sql(),
         "ft_keyword_filter": ft.oracle_keyword_filter_sql(),
         "ft_synonym": ft.oracle_synonym_sql(),
         "ft_dismax": ft.oracle_dismax_sql(),
@@ -158,7 +162,9 @@ def oracle_sql() -> dict[str, str]:
             "ann_ivf_topk": ann.oracle_ann_sql(),
             "ann_hnsw_topk": ann.oracle_ann_sql(),
             "ann_filtered_topk": ann.oracle_ann_filtered_sql(),
+            "ann_quantized_topk": ann.oracle_ann_sql(),
             "agg_facet_counts": relational.oracle_facet_counts_sql(),
+            "agg_facet_taxonomy": relational.oracle_facet_taxonomy_sql(),
             "agg_grouping_topk": relational.oracle_grouping_topk_sql(),
             "agg_distinct": relational.oracle_distinct_sql(),
             "join_semi_broadcast": relational.oracle_semi_join_sql(),

@@ -210,7 +210,8 @@ def ann_ivf_topk(sf_dir: str, nprobe: int | None = None) -> pa.Table:
 
 from ..vectors import (HNSW_EF_SEARCH, HNSW_M,  # noqa: F401 (re-export)
                        HNSW_EF_CONSTRUCTION, HnswGraph, _hnsw_level,
-                       search_index, vector_index_for)
+                       search_index, search_index_quantized,
+                       vector_index_for)
 
 
 def _query_labels(sf_dir: str, qids: np.ndarray) -> np.ndarray:
@@ -267,6 +268,21 @@ def ann_filtered_topk(sf_dir: str, ef: int = HNSW_EF_SEARCH) -> pa.Table:
     idx = vector_index_for(sf_dir)
     merged = search_index(idx, qn, TOP_K, ef, filter_col="label",
                           filter_labels=labels)
+    return _merged_result(qids, merged)
+
+
+def ann_quantized_topk(sf_dir: str, oversample: int = 4) -> pa.Table:
+    """Scalar-quantized kNN (codecs/lucene99/
+    Lucene99ScalarQuantizedVectorsFormat.java:34): the first pass ranks
+    by int8-dequantized dot products reading only the quantized index
+    member (4-8x less vector IO), then the top oversample*k candidates
+    are exactly rescored from the mmapped full-precision rows — the
+    reference's two-phase quantized search, which restores the exact
+    top-k at sf scales so the brute-force oracle applies."""
+    qids, q = _query_matrix(sf_dir)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    idx = vector_index_for(sf_dir)
+    merged = search_index_quantized(idx, qn, TOP_K, oversample)
     return _merged_result(qids, merged)
 
 

@@ -944,6 +944,16 @@ def oracle_facet_lang_sql() -> str:
     return "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
 
 
+def ft_facet_lang_dv(sf_dir: str):
+    """Same facet as :func:`ft_facet_lang` but through the ordinal
+    docvalues path (SortedSetDocValuesWriter.java:43 + OrdinalMap):
+    per-bucket int bincounts and a gord combiner groupby; strings
+    resolved only on the final rows. The 100-TB facet shape."""
+    from ..docvalues import facet_counts_dv
+
+    return facet_counts_dv(index_dir_for(sf_dir), "lang")
+
+
 KEYWORD_QUERIES = [(1, "lang:en", "key"), (2, "lang:zh", "table"),
                    (3, "repo:src0", "value"), (4, "lang:qq", "key")]
 

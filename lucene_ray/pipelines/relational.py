@@ -51,6 +51,48 @@ def oracle_facet_counts_sql() -> str:
             "GROUP BY lang, source")
 
 
+def agg_facet_taxonomy(sf_dir: str):
+    """Hierarchical (taxonomy) facet counts — the TaxonomyFacets role
+    (facet/src/java/org/apache/lucene/facet/taxonomy/TaxonomyFacets.java:42):
+    doc counts for every path PREFIX of the source/lang hierarchy, i.e.
+    level-1 paths ("<source>") and level-2 drill-downs
+    ("<source>/<lang>"). One per-batch Arrow partial computes both
+    levels; a small combiner groupby merges. → (path, level, n)."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        lvl2 = pc_.binary_join_element_wise(
+            batch.column("source").cast(pa.string()),
+            batch.column("lang").cast(pa.string()), "/")
+        t1 = (pa.table({"path": batch.column("source").cast(pa.string())})
+              .group_by("path").aggregate([([], "count_all")])
+              .rename_columns(["path", "n"]))
+        t1 = t1.append_column(
+            "level", pa.array(np.ones(t1.num_rows, np.int64)))
+        t2 = (pa.table({"path": lvl2})
+              .group_by("path").aggregate([([], "count_all")])
+              .rename_columns(["path", "n"]))
+        t2 = t2.append_column(
+            "level", pa.array(np.full(t2.num_rows, 2, np.int64)))
+        return pa.concat_tables([t1, t2]).select(["path", "level", "n"])
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["path", "level"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def oracle_facet_taxonomy_sql() -> str:
+    return """SELECT source AS path, 1 AS level, count(*) AS n
+FROM documents GROUP BY source
+UNION ALL
+SELECT source || '/' || lang AS path, 2 AS level, count(*) AS n
+FROM documents GROUP BY source, lang"""
+
+
 def agg_grouping_topk(sf_dir: str):
     """Top 3 docs per lang by (n_chars desc, doc_id asc)."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])

@@ -467,3 +467,36 @@ def test_sessionize_skewed_user(ray_session, tmp_path):
                                       "start_epoch", "end_epoch"])
     ref = ref.astype({c: got[c].dtype for c in got.columns})
     assert got.equals(ref)
+
+
+def test_ann_quantized_matches_exact(ray_session):
+    """Two-phase int8 quantized search equals the exact brute-force
+    entry after rescoring; the quantized member alone misranks at least
+    nothing catastrophic (recall floor without rescore)."""
+    from lucene_ray.pipelines.ann import ann_cosine_topk, ann_quantized_topk
+
+    exact = ann_cosine_topk(SF).to_pydict()
+    quant = ann_quantized_topk(SF).to_pydict()
+    assert quant == exact
+
+
+def test_docvalues_facet_matches_string_facet(ray_session):
+    """Ordinal-docvalues facet == raw-string facet (same counts), and
+    the docvalues build is idempotent (files untouched on second call)."""
+    import os
+
+    from lucene_ray.docvalues import build_docvalues
+    from lucene_ray.pipelines.fulltext import (ft_facet_lang,
+                                               ft_facet_lang_dv,
+                                               index_dir_for)
+
+    a = ft_facet_lang(SF).to_pandas().sort_values("lang").reset_index(
+        drop=True)
+    b = ft_facet_lang_dv(SF).to_pandas().sort_values("lang").reset_index(
+        drop=True)
+    assert a[["lang", "n"]].astype({"n": "int64"}).equals(
+        b[["lang", "n"]].astype({"n": "int64"}))
+    dv = build_docvalues(index_dir_for(SF), "lang")
+    mt = os.path.getmtime(os.path.join(dv, "dict.parquet"))
+    build_docvalues(index_dir_for(SF), "lang")
+    assert os.path.getmtime(os.path.join(dv, "dict.parquet")) == mt
