@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_interval_near": ft.ft_interval_near,
         "ft_bm25_boosted": ft.ft_bm25_boosted,
         "ft_sort_by_field": ft.ft_sort_by_field,
+        "ft_sort_early_terminated": ft.ft_sort_early_terminated,
         "ft_fuzzy_terms": ft.ft_fuzzy_terms,
         "ft_wildcard_docs": ft.ft_wildcard_docs,
         "ft_fuzzy_docs": ft.ft_fuzzy_docs,
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_interval_near": ft.oracle_interval_near_sql(),
         "ft_bm25_boosted": ft.oracle_bm25_boosted_sql(),
         "ft_sort_by_field": ft.oracle_sort_by_field_sql(),
+        "ft_sort_early_terminated": ft.oracle_sort_early_terminated_sql(),
         "ft_fuzzy_terms": ft.oracle_fuzzy_terms_sql(),
         "ft_wildcard_docs": ft.oracle_wildcard_docs_sql(),
         "ft_fuzzy_docs": ft.oracle_fuzzy_docs_sql(),

@@ -208,7 +208,8 @@ def _build_segment(group: pa.Table, index_dir: str, bases: list[int],
                    with_positions: bool = False,
                    keyword_fields: list[str] | None = None,
                    with_term_vectors: bool = False,
-                   with_offsets: bool = False) -> pa.Table:
+                   with_offsets: bool = False,
+                   index_sort: str | None = None) -> pa.Table:
     """Key-rank mode group UDF: sort the bucket by dockey, docIDs = bucket
     base + rank (deterministic global key rank)."""
     if group.num_rows == 0:
@@ -218,14 +219,16 @@ def _build_segment(group: pa.Table, index_dir: str, bases: list[int],
     return _build_segment_core(group, seg, bases[seg], index_dir,
                                with_positions, keyword_fields=keyword_fields,
                                with_term_vectors=with_term_vectors,
-                               with_offsets=with_offsets)
+                               with_offsets=with_offsets,
+                               index_sort=index_sort)
 
 
 def _build_segment_files(batch: pa.Table, index_dir: str,
                          with_positions: bool = False,
                          keyword_fields: list[str] | None = None,
                          with_term_vectors: bool = False,
-                         with_offsets: bool = False) -> pa.Table:
+                         with_offsets: bool = False,
+                         index_sort: str | None = None) -> pa.Table:
     """Arrival mode task UDF: one input parquet file = one segment, docIDs =
     file base + row index (Lucene's arrival-order docID assignment,
     DocumentsWriterPerThread.java:274) — NO corpus shuffle at all."""
@@ -239,7 +242,8 @@ def _build_segment_files(batch: pa.Table, index_dir: str,
                                        with_positions, source=path,
                                        keyword_fields=keyword_fields,
                                        with_term_vectors=with_term_vectors,
-                                       with_offsets=with_offsets))
+                                       with_offsets=with_offsets,
+                                       index_sort=index_sort))
     return pa.concat_tables(out) if out else _empty_seg_lineage()
 
 
@@ -249,8 +253,21 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
                         source: str = "",
                         keyword_fields: list[str] | None = None,
                         with_term_vectors: bool = False,
-                        with_offsets: bool = False) -> pa.Table:
+                        with_offsets: bool = False,
+                        index_sort: str | None = None) -> pa.Table:
     t0 = time.time()
+    if index_sort == "content_chars":
+        # index sorting (index/IndexSorter.java, IndexWriterConfig
+        # .setIndexSort): docs are PERMUTED by the sort key before docID
+        # assignment, so every segment is stored sorted and a sorted-field
+        # top-k can early-terminate per segment
+        # (search/TopFieldCollector.java:37).
+        _cl = pc.utf8_length(
+            pc.coalesce(group.column("content"),
+                        pa.scalar("", pa.string()))).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        _order = np.argsort(-_cl, kind="stable")
+        group = group.take(pa.array(_order))
     contents = group.column("content").to_pylist()
     n_docs = len(contents)
     doc_ids = base + np.arange(n_docs, dtype=np.int64)
@@ -308,6 +325,9 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
         "field_len": pa.array(lengths, pa.int32()),
         "norm": pa.array(norms, pa.uint8()),
     }
+    if index_sort == "content_chars":
+        docmeta_cols["sort_key"] = pa.array(
+            [len(c or "") for c in contents], pa.int64())
 
     # --- local inverted index: dedup (term, doc) → tf, then encode ---
     # (the per-segment BytesRefHash + FreqProx role,
@@ -695,6 +715,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                 keyword_fields: list[str] | None = None,
                 with_term_vectors: bool = False,
                 with_offsets: bool = False,
+                index_sort: str | None = None,
                 overwrite: bool = False) -> IndexManifest:
     """Build (or resume building) an index from a corpus.
 
@@ -749,6 +770,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
         params["keyword_fields"] = list(keyword_fields or [])
         params["with_term_vectors"] = bool(with_term_vectors)
         params["with_offsets"] = bool(with_offsets)
+        params["index_sort"] = index_sort
         bases = np.concatenate([[0], np.cumsum(counts)[:-1]]).tolist()
         plan = {"params": params, "boundaries": [], "mode": "arrival",
                 "files": files, "bucket_counts": counts, "bases": bases,
@@ -767,6 +789,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
         params["keyword_fields"] = list(keyword_fields or [])
         params["with_term_vectors"] = bool(with_term_vectors)
         params["with_offsets"] = bool(with_offsets)
+        params["index_sort"] = index_sort
         boundaries = _boundaries_from_sample(sample_keys,
                                              params["num_buckets"])
         nb = len(boundaries) + 1
@@ -792,6 +815,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
     with_term_vectors = bool(params.get("with_term_vectors",
                                         with_term_vectors))
     with_offsets = bool(params.get("with_offsets", with_offsets))
+    index_sort = params.get("index_sort", index_sort)
     nb = len(counts)
 
     # --- stage 2: segments (skip finished buckets before the shuffle) ---
@@ -813,7 +837,8 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                                  "with_positions": with_positions,
                                  "keyword_fields": keyword_fields,
                                  "with_term_vectors": with_term_vectors,
-                                 "with_offsets": with_offsets})
+                                 "with_offsets": with_offsets,
+                                 "index_sort": index_sort})
          .materialize())
     elif todo:
         ds = make_ds().map_batches(_assign_bucket, batch_format="pyarrow",
@@ -831,7 +856,8 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                                   "with_positions": with_positions,
                                   "keyword_fields": keyword_fields,
                                   "with_term_vectors": with_term_vectors,
-                                  "with_offsets": with_offsets})
+                                  "with_offsets": with_offsets,
+                                  "index_sort": index_sort})
            .materialize())
 
     seg_lineage = []

@@ -780,6 +780,111 @@ def ft_sort_by_field(sf_dir: str, k: int = 25) -> pa.Table:
                      "field_len": pa.array(fl[sel], pa.int64())})
 
 
+_SORTED_IDX_CACHE: dict[str, str] = {}
+
+
+def sorted_index_dir_for(sf_dir: str) -> str:
+    """Build (once, cached) an INDEX-SORTED index: docs permuted by
+    content length desc before docID assignment
+    (index/IndexSorter.java + IndexWriterConfig.setIndexSort), so every
+    docmeta bucket is stored sorted on the key."""
+    sf_dir = os.path.abspath(sf_dir)
+    if sf_dir in _SORTED_IDX_CACHE:
+        return _SORTED_IDX_CACHE[sf_dir]
+    doc = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha256(
+        f"{sf_dir}:{os.path.getsize(doc)}:sorted-v1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join("/tmp", "lucene_ray_indexes", tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_from_documents(sf_dir), idx,
+                    index_sort="content_chars")
+    _SORTED_IDX_CACHE[sf_dir] = idx
+    return idx
+
+
+def sorted_topk_nchars(index_dir: str, k: int
+                       ) -> tuple[pa.Table, int]:
+    """Early-terminated sorted-field top-k (TopFieldCollector.java:37
+    over a sorted index): each docmeta bucket is scanned IN ORDER and
+    the scan stops as soon as k rows are held and the last key read is
+    strictly below the k-th largest (all remaining rows in the sorted
+    bucket are smaller; boundary ties are kept). Returns the merged
+    (path, sort_key) candidates plus total rows read — the early-
+    termination evidence."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    dm_dir = os.path.join(index_dir, "docmeta")
+    buckets = sorted(f for f in os.listdir(dm_dir)
+                     if f.endswith(".parquet"))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        out = []
+        for fname in batch.column("file").to_pylist():
+            pf = pq_.ParquetFile(os.path.join(dm_dir, fname))
+            keys: list[int] = []
+            paths: list[str] = []
+            rows_read = 0
+            for rb in pf.iter_batches(batch_size=256,
+                                      columns=["path", "sort_key"]):
+                kk = rb.column("sort_key").to_pylist()
+                keys.extend(kk)
+                paths.extend(rb.column("path").to_pylist())
+                rows_read += len(kk)
+                if len(keys) >= k:
+                    kth = sorted(keys, reverse=True)[k - 1]
+                    if keys[-1] < kth:
+                        break
+            if keys:
+                kth = sorted(keys, reverse=True)[min(k, len(keys)) - 1]
+                sel = [i for i, x in enumerate(keys) if x >= kth]
+                out.append(pa.table({
+                    "bucket": pa.array([fname] * len(sel)),
+                    "path": pa.array([paths[i] for i in sel]),
+                    "sort_key": pa.array([keys[i] for i in sel],
+                                         pa.int64()),
+                    "rows_read": pa.array([rows_read] * len(sel),
+                                          pa.int64())}))
+        return pa.concat_tables(out) if out else pa.table(
+            {"bucket": pa.array([], pa.string()),
+             "path": pa.array([], pa.string()),
+             "sort_key": pa.array([], pa.int64()),
+             "rows_read": pa.array([], pa.int64())})
+
+    parts = (ray.data.from_items([{"file": f} for f in buckets])
+             .map_batches(scan, batch_format="pyarrow", batch_size=1)
+             .take_all())                     # ≤ k + ties rows per bucket
+    if not parts:
+        return pa.table({"path": pa.array([], pa.string()),
+                         "sort_key": pa.array([], pa.int64())}), 0
+    rows_read = sum({r["bucket"]: int(r["rows_read"])
+                     for r in parts}.values())
+    t = pa.table({
+        "path": pa.array([r["path"] for r in parts], pa.string()),
+        "sort_key": pa.array([r["sort_key"] for r in parts], pa.int64()),
+    })
+    return t, rows_read
+
+
+def ft_sort_early_terminated(sf_dir: str, k: int = 25) -> pa.Table:
+    """Sorted-index early-terminated top-k: (doc_id, n_chars) of the 25
+    longest docs, reading only the head of each sorted docmeta bucket."""
+    idx = sorted_index_dir_for(sf_dir)
+    cands, _ = sorted_topk_nchars(idx, k)
+    orig = np.array([int(p[4:12]) for p in
+                     cands.column("path").to_pylist()], np.int64)
+    key = cands.column("sort_key").to_numpy()
+    sel = np.lexsort((orig, -key))[:k]
+    return pa.table({"doc_id": pa.array(orig[sel], pa.int64()),
+                     "n_chars": pa.array(key[sel], pa.int64())})
+
+
+def oracle_sort_early_terminated_sql() -> str:
+    return """SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id LIMIT 25"""
+
+
 def oracle_sort_by_field_sql() -> str:
     return """WITH corpus AS (
   SELECT row_number() OVER (ORDER BY source, printf('doc_%08d.txt', doc_id)) - 1 AS d,

@@ -500,3 +500,29 @@ def test_docvalues_facet_matches_string_facet(ray_session):
     mt = os.path.getmtime(os.path.join(dv, "dict.parquet"))
     build_docvalues(index_dir_for(SF), "lang")
     assert os.path.getmtime(os.path.join(dv, "dict.parquet")) == mt
+
+
+def test_index_sort_early_termination(ray_session, tmp_path):
+    """An index-sorted build stores each docmeta bucket sorted by the
+    key, and the sorted-field top-k scan stops after the head of each
+    bucket (TopFieldCollector early termination over IndexSorter)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from lucene_ray.build import build_index
+    from lucene_ray.corpus import generate_corpus
+    from lucene_ray.pipelines.fulltext import sorted_topk_nchars
+
+    c = tmp_path / "c"
+    c.mkdir()
+    pq.write_table(generate_corpus(8000, seed=11), str(c / "a.parquet"))
+    idx = str(tmp_path / "idx")
+    build_index(str(c), idx, index_sort="content_chars")
+
+    dm = pq.read_table(f"{idx}/docmeta", columns=["sort_key"])
+    keys = dm.column("sort_key").to_numpy()
+    assert (np.diff(keys) <= 0).all()          # stored sorted desc
+
+    cands, rows_read = sorted_topk_nchars(idx, 25)
+    assert rows_read < 1000 < len(keys)        # early termination
+    top = np.sort(cands.column("sort_key").to_numpy())[::-1][:25]
+    assert (top == np.sort(keys)[::-1][:25]).all()
