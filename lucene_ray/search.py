@@ -801,8 +801,14 @@ def termdict_scan(reader: IndexReader, *, prefix: str | None = None,
     RegexpQuery.java:44, FuzzyQuery.java:52): enumerate matching terms
     with their stats. Predicates are pushed into each term-sorted
     partition (vectorized masks, filter-then-concat) so the full
-    dictionary is never materialized on the caller."""
+    dictionary is never materialized on the caller. Dictionaries spread
+    over many part files fan out as Ray tasks instead of a serial walk
+    (the per-leaf Terms.intersect model)."""
     import pyarrow as _pa
+    n_files = sum(len(v) for v in reader._files.values())
+    if n_files > 16:
+        return termdict_scan_ds(reader.index_dir, prefix=prefix, lo=lo,
+                                hi=hi, regex=regex, fuzzy=fuzzy)
     tbls = []
     for tb in range(reader.T):
         for t in reader._load_bucket(tb):
@@ -822,6 +828,59 @@ def termdict_scan(reader: IndexReader, *, prefix: str | None = None,
                           "df": _pa.array([], _pa.int64()),
                           "ttf": _pa.array([], _pa.int64())})
     allt = _pa.concat_tables(tbls)
+    agg = allt.group_by("term").aggregate([("n", "sum"), ("tf_sum", "sum")])
+    agg = agg.rename_columns(["term", "df", "ttf"]).sort_by(
+        [("term", "ascending")])
+    return agg.set_column(1, "df", agg.column("df").cast(_pa.int64()))
+
+
+def termdict_scan_ds(index_dir: str, *, prefix: str | None = None,
+                     lo: str | None = None, hi: str | None = None,
+                     regex: str | None = None,
+                     fuzzy: tuple[str, int] | None = None) -> "pa.Table":
+    """Distributed term-dictionary enumeration: one Ray task per
+    postings part file applies the same vectorized scan mask and
+    pre-aggregates within the file; the driver merges only the MATCHING
+    terms' partials (bounded by the predicate's selectivity, like the
+    serial path's output). Same result as :func:`termdict_scan`."""
+    import pyarrow as _pa
+    import ray.data
+
+    pdir = os.path.join(index_dir, "postings")
+    files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+
+    def scan(batch: "pa.Table") -> "pa.Table":
+        out = []
+        for f in batch.column("file").to_pylist():
+            t = pq.read_table(os.path.join(pdir, f),
+                              columns=["term", "n", "tf_sum"])
+            mask = _scan_mask(t.column("term").combine_chunks(),
+                              prefix=prefix, lo=lo, hi=hi, regex=regex,
+                              fuzzy=fuzzy)
+            if mask is not None:
+                t = t.filter(mask)
+            if t.num_rows:
+                g = t.group_by("term").aggregate(
+                    [("n", "sum"), ("tf_sum", "sum")])
+                g = g.rename_columns(["term", "n", "tf_sum"])
+                out.append(pa.table({
+                    "term": g.column("term"),
+                    "n": g.column("n").cast(_pa.int64()),
+                    "tf_sum": g.column("tf_sum").cast(_pa.int64())}))
+        return _pa.concat_tables(out) if out else _pa.table(
+            {"term": _pa.array([], _pa.string()),
+             "n": _pa.array([], _pa.int64()),
+             "tf_sum": _pa.array([], _pa.int64())})
+
+    parts = list(ray.data.from_items([{"file": f} for f in files])
+                 .map_batches(scan, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow"))
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return _pa.table({"term": _pa.array([], _pa.string()),
+                          "df": _pa.array([], _pa.int64()),
+                          "ttf": _pa.array([], _pa.int64())})
+    allt = _pa.concat_tables(parts)
     agg = allt.group_by("term").aggregate([("n", "sum"), ("tf_sum", "sum")])
     agg = agg.rename_columns(["term", "df", "ttf"]).sort_by(
         [("term", "ascending")])

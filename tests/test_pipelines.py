@@ -526,3 +526,18 @@ def test_index_sort_early_termination(ray_session, tmp_path):
     assert rows_read < 1000 < len(keys)        # early termination
     top = np.sort(cands.column("sort_key").to_numpy())[::-1][:25]
     assert (top == np.sort(keys)[::-1][:25]).all()
+
+
+def test_termdict_scan_distributed_equals_serial(ray_session):
+    """The Ray-fan-out dictionary enumeration returns exactly the serial
+    walk's table for every predicate kind."""
+    from lucene_ray.pipelines.fulltext import index_dir_for, reader_for
+    from lucene_ray.search import termdict_scan, termdict_scan_ds
+
+    r = reader_for(SF)
+    idx = index_dir_for(SF)
+    for kw in ({"prefix": "s"}, {"lo": "a", "hi": "c"},
+               {"regex": "s.*w"}, {"fuzzy": ("vallue", 2)}, {}):
+        a = termdict_scan(r, **kw)
+        b = termdict_scan_ds(idx, **kw)
+        assert a.equals(b), kw
