@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_keyword_filter": ft.ft_keyword_filter,
         "ft_synonym": ft.ft_synonym,
         "ft_dismax": ft.ft_dismax,
+        "ft_min_should_match": ft.ft_min_should_match,
+        "ft_blockjoin_parent": ft.ft_blockjoin_parent,
         "ft_len_range": ft.ft_len_range,
         "ft_more_like_this": ft.ft_more_like_this,
         "ft_highlight": ft.ft_highlight,
@@ -141,6 +143,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_keyword_filter": ft.oracle_keyword_filter_sql(),
         "ft_synonym": ft.oracle_synonym_sql(),
         "ft_dismax": ft.oracle_dismax_sql(),
+        "ft_min_should_match": ft.oracle_min_should_match_sql(),
+        "ft_blockjoin_parent": ft.oracle_blockjoin_parent_sql(),
         "ft_len_range": ft.oracle_len_range_sql(),
         "ft_more_like_this": ft.oracle_more_like_this_sql(),
         "ft_highlight": ft.oracle_highlight_sql(),

@@ -1194,6 +1194,145 @@ def oracle_dismax_sql() -> str:
     return f"WITH {_CORPUS_CTE},\n{_QUANT_LEN}\n{un}"
 
 
+# (qid, SHOULD terms, minimumNumberShouldMatch, k)
+MSM_QUERIES = [(1, ["key", "agg", "slow", "fast"], 2, 10),
+               (2, ["table", "value", "part", "hash", "join"], 3, 10),
+               (3, ["the", "zzmissing", "vector"], 2, 10),
+               (4, ["spark", "spark", "window"], 2, 10),   # duplicate clause
+               (5, ["scan", "merge", "sort", "query"], 4, 10)]
+
+
+def ft_min_should_match(sf_dir: str) -> pa.Table:
+    """BooleanQuery.setMinimumNumberShouldMatch
+    (search/BooleanQuery.java:104, pruned in Lucene by WANDScorer.java:57):
+    docs matching >= m of the SHOULD clauses, scored as the full
+    disjunction sum → (qid, rank, doc_id, score) float32 top-k."""
+    from ..search import search_min_should_match
+
+    r = reader_for(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, terms, m, k in MSM_QUERIES:
+        td = search_min_should_match(r, terms, m, k)
+        for rank, (d, s) in enumerate(
+                zip(td.doc_ids.tolist(), td.scores.tolist()), 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(d)
+            scores.append(s)
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "score": pa.array(scores, pa.float32())})
+
+
+def oracle_min_should_match_sql() -> str:
+    rows = []
+    for qid, terms, m, k in MSM_QUERIES:
+        for ci, t in enumerate(terms):
+            rows.append(f"({qid}, {ci}, '{t}', {m}, {k})")
+    vals = ",\n    ".join(rows)
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+clauses(qid, clause, term, m, k) AS (VALUES
+    {vals}
+),
+scored AS (
+  SELECT c.qid, c.clause, c.m, c.k, t.d, {_SCORE_EXPR} AS s
+  FROM clauses c
+  JOIN tf t ON t.term = c.term
+  JOIN df f ON f.term = c.term
+  JOIN quant q ON q.d = t.d
+),
+totals AS (
+  SELECT qid, m, k, d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score,
+         count(*) AS nm
+  FROM scored GROUP BY qid, m, k, d
+),
+ranked AS (
+  SELECT qid, d, score, k, row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, d ASC) AS rank
+  FROM totals WHERE nm >= m
+)
+SELECT qid, rank, d AS doc_id, score FROM ranked WHERE rank <= k"""
+
+
+# (qid, child-query terms, ScoreMode, k parents)
+BLOCKJOIN_QUERIES = [(1, ["key", "agg"], "max", 5),
+                     (2, ["vector"], "total", 5),
+                     (3, ["slow", "fast"], "avg", 5),
+                     (4, ["zzmissing"], "max", 5),
+                     (5, ["table", "value", "part"], "total", 8)]
+
+
+def ft_blockjoin_parent(sf_dir: str) -> pa.Table:
+    """Index-time block join (join/ToParentBlockJoinQuery.java:68): the
+    index orders docIDs by (repo, path), so each repo's files form one
+    contiguous parent block; a child content query joins up to the repo
+    parent with ScoreMode Max/Total/Avg child-score aggregation →
+    (qid, rank, parent, score, n_children)."""
+    from ..search import search_blockjoin_parent
+
+    r = reader_for(sf_dir)
+    out = []
+    for qid, terms, mode, k in BLOCKJOIN_QUERIES:
+        t = search_blockjoin_parent(r, terms, mode, k)
+        n = t.num_rows
+        out.append(pa.table({
+            "qid": pa.array([qid] * n, pa.int64()),
+            "rank": pa.array(np.arange(1, n + 1, dtype=np.int32)),
+            "parent": t.column("parent"),
+            "score": t.column("score"),
+            "n_children": t.column("n_children"),
+        }))
+    return pa.concat_tables(out)
+
+
+def oracle_blockjoin_parent_sql() -> str:
+    mode_expr = {
+        "max": "max(cs)",
+        "total": "CAST(sum(CAST(cs AS DOUBLE)) AS REAL)",
+        "avg": "CAST(sum(CAST(cs AS DOUBLE)) / count(*) AS REAL)",
+    }
+    parts = []
+    for qid, terms, mode, k in BLOCKJOIN_QUERIES:
+        cl = "\n      UNION ALL ".join(
+            f"SELECT {ci} AS clause, '{t}' AS term"
+            for ci, t in enumerate(terms))
+        parts.append(f"""(
+  SELECT {qid} AS qid,
+         row_number() OVER (ORDER BY score DESC, parent ASC) AS rank,
+         parent, score, n_children
+  FROM (
+    SELECT p.source AS parent, {mode_expr[mode]} AS score,
+           count(*) AS n_children
+    FROM (
+      SELECT d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS cs
+      FROM (
+        SELECT t.d AS d, {_SCORE_EXPR} AS s
+        FROM (
+          {cl}
+        ) c
+        JOIN tf t ON t.term = c.term
+        JOIN df f ON f.term = c.term
+        JOIN quant q ON q.d = t.d
+      )
+      GROUP BY d
+    ) child
+    JOIN par p ON p.d = child.d
+    GROUP BY p.source
+  )
+  ORDER BY rank LIMIT {k})""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+par AS (
+  SELECT row_number() OVER (ORDER BY source, printf('doc_%08d.txt', doc_id)) - 1 AS d,
+         source
+  FROM documents
+)
+{un}"""
+
+
 def ft_len_range(sf_dir: str) -> pa.Table:
     """PointRangeQuery (search/PointRangeQuery.java:54) over the numeric
     field_len docvalue, served by the BKD-role point index

@@ -374,6 +374,147 @@ def search_terms_scored(reader: IndexReader, terms: list[str], k: int = 10
     return TopDocs(d, s, len(uniq), nblocks, nblocks)
 
 
+def search_min_should_match(reader: IndexReader, terms: list[str],
+                            min_should_match: int, k: int = 10) -> TopDocs:
+    """BooleanQuery of SHOULD TermQuery clauses with
+    ``setMinimumNumberShouldMatch`` (search/BooleanQuery.java:104): a doc
+    qualifies iff at least ``min_should_match`` clauses match it, and the
+    score is the sum of ALL matching clause scores — identical
+    accumulation to the plain disjunction (the WANDScorer.java:57 pruning
+    role; scoring semantics per Boolean2ScorerSupplier's
+    MinShouldMatchSumScorer path). Duplicate clauses count separately,
+    matching BooleanQuery's clause-list semantics (a doc matching a term
+    that appears as two SHOULD clauses contributes two matches and two
+    score contributions)."""
+    if k < 1:
+        raise ValueError("k must be >= 1 (TopScoreDocCollector requires "
+                         "numHits > 0)")
+    m = int(min_should_match)
+    sc = Scorers(reader, terms)
+    all_docs, all_scores, all_clause = [], [], []
+    nblocks = 0
+    for ci, t in enumerate(terms):       # duplicates scored per clause
+        p = sc.postings.get(t)
+        if p is None:
+            continue
+        sim = sc.sim[t]
+        d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                     p.tfs_enc, p.norms_enc)
+        s = sim.score(tf, nm)
+        lm = reader.live_mask(d)
+        if lm is not None:
+            d, s = d[lm], s[lm]
+        all_docs.append(d)
+        all_scores.append(s)
+        all_clause.append(np.full(len(d), ci, dtype=np.int32))
+        nblocks += len(p.n)
+    if not all_docs:
+        return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0,
+                       nblocks, nblocks)
+    docs = np.concatenate(all_docs)
+    clause = np.concatenate(all_clause)
+    scores = np.concatenate(all_scores)
+    order = np.lexsort((clause, docs))
+    docs_s = docs[order]
+    scores_s = scores[order].astype(np.float64)
+    uniq, inv = np.unique(docs_s, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, scores_s)
+    # each clause contributes at most one posting per doc → the number of
+    # (doc, clause) contributions IS the matched-clause count
+    nmatch = np.bincount(inv, minlength=len(uniq))
+    keep = nmatch >= m
+    d, s = _topk(uniq[keep], acc.astype(np.float32)[keep], k)
+    return TopDocs(d, s, int(keep.sum()), nblocks, nblocks)
+
+
+def parent_blocks(reader: IndexReader, field: str = "repo"
+                  ) -> tuple[list, np.ndarray, np.ndarray]:
+    """Parent-block table — the QueryBitSetProducer role of the index-time
+    block join (join/QueryBitSetProducer.java:35): because the index
+    orders docIDs by (repo, path), all children of one parent occupy one
+    contiguous docID range. Returns ``(values, first_doc, last_doc)``
+    sorted by first_doc; contiguity is verified (the CheckJoinIndex.java:38
+    role) so a violated block structure fails loudly instead of joining
+    children to the wrong parent. Computed once per reader (the cached
+    per-searcher BitSet)."""
+    cache = getattr(reader, "_parent_blocks", None)
+    if cache is None:
+        cache = reader._parent_blocks = {}
+    if field in cache:
+        return cache[field]
+    dm_dir = os.path.join(reader.index_dir, "docmeta")
+    tabs = [pq.read_table(os.path.join(dm_dir, f),
+                          columns=["doc_id", field])
+            for f in sorted(os.listdir(dm_dir)) if f.endswith(".parquet")]
+    t = pa.concat_tables(tabs).sort_by([("doc_id", "ascending")])
+    docs = t.column("doc_id").to_numpy()
+    vals = t.column(field).to_numpy(zero_copy_only=False)
+    if len(docs) == 0:
+        out = ([], np.empty(0, np.int64), np.empty(0, np.int64))
+        cache[field] = out
+        return out
+    change = np.flatnonzero(vals[1:] != vals[:-1]) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(docs)]])
+    run_vals = vals[starts]
+    if len(np.unique(run_vals)) != len(run_vals):
+        raise ValueError(
+            f"parent field {field!r} is not block-contiguous in docID "
+            "order (CheckJoinIndex: parent blocks interleaved)")
+    out = (run_vals.tolist(), docs[starts].astype(np.int64),
+           docs[ends - 1].astype(np.int64))
+    cache[field] = out
+    return out
+
+
+def search_blockjoin_parent(reader: IndexReader, terms: list[str],
+                            score_mode: str = "max", k: int = 10,
+                            parent_field: str = "repo") -> pa.Table:
+    """ToParentBlockJoinQuery (join/ToParentBlockJoinQuery.java:68): the
+    child query is a SHOULD disjunction of TermQuery clauses over content;
+    each matching child doc's float32 score is aggregated onto its
+    enclosing parent block per ScoreMode (BlockJoinScorer.setScoreAndFreq:
+    child scores accumulated in a double; Max keeps the max, Total the
+    sum, Avg divides by the match count; cast to float once at collect).
+    Parents rank score desc, then parent-block order asc — which equals
+    parent-value lexicographic order here because docIDs are assigned in
+    (repo, path) sort order, so the tie-break is SQL-reproducible.
+
+    Returns a table (parent, score, n_children) of the top-k parents."""
+    if score_mode not in ("max", "total", "avg"):
+        raise ValueError(f"unsupported ScoreMode {score_mode!r}")
+    td = search_terms_scored(reader, terms, k=max(1, reader.doc_count))
+    child_docs, child_scores = td.doc_ids, td.scores
+    vals, first, last = parent_blocks(reader, parent_field)
+    if len(child_docs) == 0 or not vals:
+        return pa.table({"parent": pa.array([], pa.string()),
+                         "score": pa.array([], pa.float32()),
+                         "n_children": pa.array([], pa.int64())})
+    pid = np.searchsorted(first, child_docs, side="right") - 1
+    if (pid < 0).any() or (child_docs > last[pid]).any():
+        raise ValueError("child doc outside every parent block")
+    npar = len(vals)
+    counts = np.bincount(pid, minlength=npar)
+    if score_mode == "max":
+        agg = np.full(npar, -np.inf, dtype=np.float32)
+        np.maximum.at(agg, pid, child_scores)
+        score = agg
+    else:
+        acc = np.zeros(npar, dtype=np.float64)
+        np.add.at(acc, pid, child_scores.astype(np.float64))
+        score = (acc / np.maximum(counts, 1) if score_mode == "avg"
+                 else acc).astype(np.float32)
+    hit = np.flatnonzero(counts > 0)
+    hit_vals = np.asarray(vals, dtype=object)[hit].astype(str)
+    order = hit[np.lexsort((hit_vals, -score[hit].astype(np.float64)))][:k]
+    return pa.table({
+        "parent": pa.array([vals[i] for i in order], pa.string()),
+        "score": pa.array(score[order], pa.float32()),
+        "n_children": pa.array(counts[order].astype(np.int64)),
+    })
+
+
 def search_blockmax(reader: IndexReader, query: str, k: int = 10, *,
                     lo: int | None = None, hi: int | None = None,
                     theta0: float | None = None) -> TopDocs:

@@ -541,3 +541,74 @@ def test_termdict_scan_distributed_equals_serial(ray_session):
         a = termdict_scan(r, **kw)
         b = termdict_scan_ds(idx, **kw)
         assert a.equals(b), kw
+
+
+def test_min_should_match_semantics(ray_session):
+    """msm=1 equals the plain disjunction; msm=n equals the conjunction's
+    doc set; duplicate clauses each count toward the minimum."""
+    from lucene_ray.pipelines.fulltext import reader_for
+    from lucene_ray.search import (search_boolean, search_min_should_match,
+                                   search_terms_scored)
+
+    r = reader_for(SF)
+    terms = ["key", "agg", "slow"]
+    base = search_terms_scored(r, terms, 10)
+    m1 = search_min_should_match(r, terms, 1, 10)
+    np.testing.assert_array_equal(base.doc_ids, m1.doc_ids)
+    np.testing.assert_array_equal(base.scores, m1.scores)
+    mall = search_min_should_match(r, terms, len(terms),
+                                   max(1, r.doc_count))
+    conj = search_boolean(r, must=terms)
+    np.testing.assert_array_equal(np.sort(mall.doc_ids), conj)
+    # a doc containing 'spark' matches BOTH duplicate clauses → msm=2 over
+    # ["spark","spark"] equals the docset of 'spark' alone
+    dup = search_min_should_match(r, ["spark", "spark"], 2,
+                                  max(1, r.doc_count))
+    single = search_boolean(r, must=["spark"])
+    np.testing.assert_array_equal(np.sort(dup.doc_ids), single)
+
+
+def test_blockjoin_parent_blocks_and_modes(ray_session):
+    """Parent blocks are contiguous repo ranges; Total/Avg/Max agree with
+    a per-repo recomputation from exhaustive child scores."""
+    from lucene_ray.pipelines.fulltext import reader_for
+    from lucene_ray.search import (parent_blocks, search_blockjoin_parent,
+                                   search_terms_scored)
+
+    r = reader_for(SF)
+    vals, first, last = parent_blocks(r)
+    assert len(vals) == 20
+    assert (first[1:] > last[:-1]).all()          # disjoint, ordered
+    td = search_terms_scored(r, ["vector"], max(1, r.doc_count))
+    want = {}
+    for d, s in zip(td.doc_ids.tolist(), td.scores.tolist()):
+        i = int(np.searchsorted(first, d, side="right") - 1)
+        want.setdefault(vals[i], []).append(s)
+    for mode in ("max", "total", "avg"):
+        t = search_blockjoin_parent(r, ["vector"], mode, k=len(vals))
+        assert t.num_rows == len(want)
+        for p, s, n in zip(t.column("parent").to_pylist(),
+                           t.column("score").to_pylist(),
+                           t.column("n_children").to_pylist()):
+            ss = want[p]
+            assert n == len(ss)
+            if mode == "max":
+                ref = max(ss)
+            elif mode == "total":
+                ref = np.float32(np.sum(np.asarray(ss, np.float64)))
+            else:
+                ref = np.float32(np.sum(np.asarray(ss, np.float64)) / len(ss))
+            assert np.float32(s) == np.float32(ref), (mode, p)
+
+
+def test_blockjoin_rejects_non_contiguous_parent(ray_session):
+    """CheckJoinIndex role: a parent field whose values interleave across
+    the docID order must be rejected."""
+    import pytest as _pytest
+
+    from lucene_ray.pipelines.fulltext import reader_for
+    from lucene_ray.search import parent_blocks
+
+    r = reader_for(SF)
+    with _pytest.raises(ValueError, match="block-contiguous"):
+        parent_blocks(r, "lang")
