@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_fuzzy_docs": ft.ft_fuzzy_docs,
         "ft_facet_lang": ft.ft_facet_lang,
         "ft_facet_lang_dv": ft.ft_facet_lang_dv,
+        "ft_facet_len_ranges": ft.ft_facet_len_ranges,
+        "ft_facet_sampled": ft.ft_facet_sampled,
+        "ft_drill_sideways": ft.ft_drill_sideways,
         "ft_keyword_filter": ft.ft_keyword_filter,
         "ft_synonym": ft.ft_synonym,
         "ft_dismax": ft.ft_dismax,
@@ -140,6 +143,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_fuzzy_docs": ft.oracle_fuzzy_docs_sql(),
         "ft_facet_lang": ft.oracle_facet_lang_sql(),
         "ft_facet_lang_dv": ft.oracle_facet_lang_sql(),
+        "ft_facet_len_ranges": ft.oracle_facet_len_ranges_sql(),
+        "ft_facet_sampled": ft.oracle_facet_sampled_sql(),
+        "ft_drill_sideways": ft.oracle_drill_sideways_sql(),
         "ft_keyword_filter": ft.oracle_keyword_filter_sql(),
         "ft_synonym": ft.oracle_synonym_sql(),
         "ft_dismax": ft.oracle_dismax_sql(),

@@ -1059,6 +1059,200 @@ def ft_facet_lang_dv(sf_dir: str):
     return facet_counts_dv(index_dir_for(sf_dir), "lang")
 
 
+# (label, lo, hi): LongRange(label, lo, minInclusive, hi, maxInclusive)
+# with [lo, hi) bounds; 'all' overlaps the others (Lucene allows overlap —
+# each doc counts in every containing range).
+LEN_FACET_RANGES = [("short", 0, 40), ("mid", 40, 70), ("long", 70, 200),
+                    ("all", 0, 1_000_000)]
+FACET_RANGE_QUERIES = [(1, ["key"]), (2, ["the", "data"]), (3, ["zzmissing"])]
+
+
+def ft_facet_len_ranges(sf_dir: str) -> pa.Table:
+    """LongRangeFacetCounts (facet/range/LongRangeFacetCounts.java:41):
+    per-range doc counts of the numeric field_len docvalue over the hits
+    of a base query — counted distributed (per-batch vectorized range
+    membership partials over docmeta, summed), every range reported even
+    at count 0 (getTopChildren returns all ranges)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..search import search_boolean
+
+    idx = index_dir_for(sf_dir)
+    r = reader_for(sf_dir)
+    out = []
+    los = np.array([lo for _, lo, _ in LEN_FACET_RANGES], dtype=np.int64)
+    his = np.array([hi for _, _, hi in LEN_FACET_RANGES], dtype=np.int64)
+    labels = [lb for lb, _, _ in LEN_FACET_RANGES]
+    for qid, terms in FACET_RANGE_QUERIES:
+        hits = search_boolean(r, should=terms)          # sorted docIDs
+        href = ray.put(hits)
+        ds = ray.data.read_parquet(os.path.join(idx, "docmeta"),
+                                   columns=["doc_id", "field_len"])
+
+        def partial(batch: pa.Table, href=href) -> pa.Table:
+            h = ray.get(href)
+            docs = batch.column("doc_id").to_numpy()
+            if len(h):
+                pos = np.minimum(np.searchsorted(h, docs), len(h) - 1)
+                lens = batch.column("field_len").to_numpy()[h[pos] == docs]
+            else:
+                lens = np.empty(0, np.int64)
+            n = ((lens[:, None] >= los) & (lens[:, None] < his)).sum(axis=0)
+            return pa.table({"label": pa.array(labels, pa.string()),
+                             "n": pa.array(n.astype(np.int64))})
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("label").aggregate(Sum("n", alias_name="n"))
+               .to_pandas())
+        by = dict(zip(agg["label"], agg["n"]))
+        out.append(pa.table({
+            "qid": pa.array([qid] * len(labels), pa.int64()),
+            "label": pa.array(labels, pa.string()),
+            "lo": pa.array(los),
+            "hi": pa.array(his),
+            "n": pa.array([int(by.get(lb, 0)) for lb in labels], pa.int64()),
+        }))
+    return pa.concat_tables(out)
+
+
+def oracle_facet_len_ranges_sql() -> str:
+    qrows = []
+    for qid, terms in FACET_RANGE_QUERIES:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        qrows.append(f"""SELECT {qid} AS qid, r.label, r.lo, r.hi,
+       count(h.d) AS n
+FROM (VALUES {', '.join(f"('{lb}', {lo}, {hi})"
+                        for lb, lo, hi in LEN_FACET_RANGES)}) r(label, lo, hi)
+LEFT JOIN (
+  SELECT DISTINCT t.d, dl.len FROM tok t JOIN dl ON dl.d = t.d
+  WHERE t.term IN ({tl})
+) h ON h.len >= r.lo AND h.len < r.hi
+GROUP BY r.label, r.lo, r.hi""")
+    un = "\nUNION ALL\n".join(qrows)
+    return f"WITH {_CORPUS_CTE}\n{un}"
+
+
+# (qid, base content term, drill-down lang value)
+DRILL_QUERIES = [(1, "key", "en"), (2, "table", "zh"), (3, "value", "qq")]
+
+
+def ft_drill_sideways(sf_dir: str) -> pa.Table:
+    """DrillSideways (facet/DrillSideways.java:63): for a base query with
+    a drill-down on lang=V, the lang dimension's counts are computed with
+    its own constraint REMOVED (the sideways set — every lang the user
+    could still pick), while other dimensions (repo) and the hit count
+    use the full drill-down. One distributed docmeta pass per query with
+    per-batch partial counts → (qid, dim, value, n)."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..search import search_boolean
+
+    idx = index_dir_for(sf_dir)
+    r = reader_for(sf_dir)
+    out = []
+    for qid, term, lang in DRILL_QUERIES:
+        base = search_boolean(r, must=[term])                  # sideways set
+        drill = search_boolean(r, must=[term, f"lang:{lang}"])  # full drill
+        bref, dref = ray.put(base), ray.put(drill)
+        ds = ray.data.read_parquet(os.path.join(idx, "docmeta"),
+                                   columns=["doc_id", "lang", "repo"])
+
+        def partial(batch: pa.Table, bref=bref, dref=dref) -> pa.Table:
+            def member(docs, s):
+                if len(s) == 0 or len(docs) == 0:
+                    return np.zeros(len(docs), bool)
+                pos = np.minimum(np.searchsorted(s, docs), len(s) - 1)
+                return s[pos] == docs
+            docs = batch.column("doc_id").to_numpy()
+            bm = member(docs, ray.get(bref))
+            dm = member(docs, ray.get(dref))
+            rows = []
+            lf = batch.filter(pa.array(bm)).group_by("lang") \
+                      .aggregate([([], "count_all")])
+            for v, n in zip(lf.column("lang").to_pylist(),
+                            lf.column("count_all").to_pylist()):
+                rows.append(("lang", v, n))
+            rf = batch.filter(pa.array(dm)).group_by("repo") \
+                      .aggregate([([], "count_all")])
+            for v, n in zip(rf.column("repo").to_pylist(),
+                            rf.column("count_all").to_pylist()):
+                rows.append(("repo", v, n))
+            return pa.table({
+                "dim": pa.array([x[0] for x in rows], pa.string()),
+                "value": pa.array([x[1] for x in rows], pa.string()),
+                "n": pa.array([x[2] for x in rows], pa.int64())})
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["dim", "value"]).aggregate(Sum("n", alias_name="n"))
+               .to_pandas())
+        n = len(agg) + 1
+        out.append(pa.table({
+            "qid": pa.array([qid] * n, pa.int64()),
+            "dim": pa.array(agg["dim"].tolist() + ["hits"], pa.string()),
+            "value": pa.array(agg["value"].tolist() + [""], pa.string()),
+            "n": pa.array(agg["n"].tolist() + [len(drill)], pa.int64()),
+        }))
+    return pa.concat_tables(out)
+
+
+def oracle_drill_sideways_sql() -> str:
+    parts = []
+    for qid, term, lang in DRILL_QUERIES:
+        base = (f"SELECT DISTINCT t.d FROM tok t WHERE t.term = '{term}'")
+        parts.append(f"""SELECT {qid} AS qid, 'lang' AS dim, c.lang AS value,
+       count(*) AS n
+FROM ({base}) h JOIN par2 c ON c.d = h.d GROUP BY c.lang""")
+        parts.append(f"""SELECT {qid} AS qid, 'repo' AS dim,
+       c.source AS value, count(*) AS n
+FROM ({base}) h JOIN par2 c ON c.d = h.d
+WHERE c.lang = '{lang}' GROUP BY c.source""")
+        parts.append(f"""SELECT {qid} AS qid, 'hits' AS dim, '' AS value,
+       (SELECT count(*) FROM ({base}) h JOIN par2 c ON c.d = h.d
+        WHERE c.lang = '{lang}') AS n""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+par2 AS (
+  SELECT row_number() OVER (ORDER BY source, printf('doc_%08d.txt', doc_id)) - 1 AS d,
+         source, lang
+  FROM documents
+)
+{un}"""
+
+
+def ft_facet_sampled(sf_dir: str) -> pa.Table:
+    """Sampled facet counts (RandomSamplingFacetsCollector.java:60 role):
+    a deterministic 1/4 document sample — docs whose stored content
+    sha256 has a first byte < 0x40, the binsize-style hash sample — facet
+    lang counts over the sample only, one distributed pass with per-batch
+    partials. Deterministic, so exactly reproducible by the oracle."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    idx = index_dir_for(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(idx, "docmeta"),
+                               columns=["sha256", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sha = batch.column("sha256").to_pylist()
+        keep = np.array([len(s) > 0 and s[0] < 0x40 for s in sha], bool)
+        g = batch.filter(pa.array(keep)).group_by("lang") \
+                 .aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang").aggregate(Sum("n", alias_name="n")))
+
+
+def oracle_facet_sampled_sql() -> str:
+    return """SELECT lang, count(*) AS n FROM documents
+WHERE substr(sha256(text), 1, 1) IN ('0', '1', '2', '3')
+GROUP BY lang"""
+
+
 KEYWORD_QUERIES = [(1, "lang:en", "key"), (2, "lang:zh", "table"),
                    (3, "repo:src0", "value"), (4, "lang:qq", "key")]
 
