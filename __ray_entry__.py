@@ -65,6 +65,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_synonym": ft.ft_synonym,
         "ft_dismax": ft.ft_dismax,
         "ft_min_should_match": ft.ft_min_should_match,
+        "ft_feature_rank": ft.ft_feature_rank,
+        "ft_rescore": ft.ft_rescore,
+        "ft_suggest_fuzzy": ft.ft_suggest_fuzzy,
         "ft_blockjoin_parent": ft.ft_blockjoin_parent,
         "ft_len_range": ft.ft_len_range,
         "ft_more_like_this": ft.ft_more_like_this,
@@ -150,6 +153,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_synonym": ft.oracle_synonym_sql(),
         "ft_dismax": ft.oracle_dismax_sql(),
         "ft_min_should_match": ft.oracle_min_should_match_sql(),
+        "ft_feature_rank": ft.oracle_feature_rank_sql(),
+        "ft_rescore": ft.oracle_rescore_sql(),
+        "ft_suggest_fuzzy": ft.oracle_suggest_fuzzy_sql(),
         "ft_blockjoin_parent": ft.oracle_blockjoin_parent_sql(),
         "ft_len_range": ft.oracle_len_range_sql(),
         "ft_more_like_this": ft.oracle_more_like_this_sql(),

@@ -1,0 +1,121 @@
+"""FeatureField / FeatureQuery — static-rank features stored in the index.
+
+Lucene stores a per-document feature as a pseudo-term whose *term
+frequency* carries the float value (document/FeatureField.java:107): the
+freq is ``floatToIntBits(v) >>> 15`` and scorers decode it back with
+``intBitsToFloat(freq << 15)`` — a lossy 9-bit-mantissa float. Query-time
+the feature contributes via a similarity function (FeatureField.java
+newSaturationQuery / newLogQuery): Saturation = ``boost * v / (v + pivot)``
+evaluated in float32 left-to-right, exactly as Java evaluates the float
+expression.
+
+Here the feature "postings" are per-docmeta-bucket parquet files
+``features/<name>/bucket=N.parquet`` (doc_id, freq) written in one
+distributed docmeta pass — dense, docID-sorted, mergeable like any other
+generation. Scoring reads the buckets (columnar, zero-copy) and decodes
+freqs vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def encode_feature(values: np.ndarray) -> np.ndarray:
+    """``Float.floatToIntBits(v) >>> 15`` (FeatureField.java:134 role).
+    Requires finite positive values (FeatureField rejects <= 0 / NaN)."""
+    v = np.asarray(values, dtype=np.float32)
+    if (~np.isfinite(v)).any() or (v <= 0).any():
+        raise ValueError("feature values must be finite and > 0")
+    return (v.view(np.int32).astype(np.int64) >> 15).astype(np.int32)
+
+
+def decode_feature(freqs: np.ndarray) -> np.ndarray:
+    """``Float.intBitsToFloat(freq << 15)`` — the scorer-side decode."""
+    f = np.asarray(freqs, dtype=np.int64)
+    return (f << 15).astype(np.int32).view(np.float32)
+
+
+def saturation_score(values: np.ndarray, boost: float, pivot: float
+                     ) -> np.ndarray:
+    """SaturationFunction.SaturationScorer (FeatureField.java:318):
+    ``boost * v / (v + pivot)``, float32 left-to-right."""
+    v = np.asarray(values, dtype=np.float32)
+    b = np.float32(boost)
+    p = np.float32(pivot)
+    return (b * v) / (v + p)
+
+
+def log_score(values: np.ndarray, boost: float, scaling: float
+              ) -> np.ndarray:
+    """LogFunction.LogScorer (FeatureField.java:218):
+    ``boost * (float) Math.log(scaling + v)`` — the log runs in double,
+    one float cast after."""
+    import math
+
+    v = np.asarray(values, dtype=np.float32)
+    uniq, inv = np.unique(v, return_inverse=True)   # few distinct values
+    logs = np.array([math.log(float(scaling) + float(x)) for x in uniq],
+                    dtype=np.float64)               # C libm, like bm25.py
+    return np.float32(boost) * logs.astype(np.float32)[inv]
+
+
+def build_feature_index(index_dir: str, name: str,
+                        source_column: str = "field_len",
+                        mod: int = 255) -> str:
+    """Derive + store a feature for every doc in one distributed docmeta
+    pass: v = (source_column % mod) + 1 ∈ [1, mod] — integer-valued
+    features below 256 round-trip the freq encoding losslessly (their
+    float32 mantissa fits the surviving 8 bits), which the oracle SQL
+    relies on. Written per docmeta bucket for partition-parallel reads."""
+    import ray
+    import ray.data
+
+    out_dir = os.path.join(index_dir, "features", name)
+    if os.path.isdir(out_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(out_dir)):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    dm_dir = os.path.join(index_dir, "docmeta")
+    buckets = sorted(f for f in os.listdir(dm_dir) if f.endswith(".parquet"))
+
+    @ray.remote
+    def one(fname: str) -> None:
+        t = pq.read_table(os.path.join(dm_dir, fname),
+                          columns=["doc_id", source_column])
+        src = t.column(source_column).to_numpy().astype(np.int64)
+        v = (src % mod + 1).astype(np.float32)
+        out = pa.table({"doc_id": t.column("doc_id"),
+                        "freq": pa.array(encode_feature(v))})
+        dst = os.path.join(out_dir, fname)
+        pq.write_table(out, dst + ".tmp")
+        os.replace(dst + ".tmp", dst)
+
+    ray.get([one.remote(f) for f in buckets])
+    return out_dir
+
+
+def feature_scores(index_dir: str, name: str, function: str = "saturation",
+                   boost: float = 1.0, pivot: float = 64.0,
+                   scaling: float = 1.0
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """All (doc_id, score) pairs of the feature clause — a FeatureQuery
+    matches every doc carrying the feature (FeatureQuery.java scorer
+    iterates the feature term's postings)."""
+    fdir = os.path.join(index_dir, "features", name)
+    tabs = [pq.read_table(os.path.join(fdir, f))
+            for f in sorted(os.listdir(fdir)) if f.endswith(".parquet")]
+    t = pa.concat_tables(tabs)
+    docs = t.column("doc_id").to_numpy()
+    v = decode_feature(t.column("freq").to_numpy())
+    if function == "saturation":
+        s = saturation_score(v, boost, pivot)
+    elif function == "log":
+        s = log_score(v, boost, scaling)
+    else:
+        raise ValueError(f"unknown feature function {function!r}")
+    return docs.astype(np.int64), s.astype(np.float32)

@@ -1388,6 +1388,239 @@ def oracle_dismax_sql() -> str:
     return f"WITH {_CORPUS_CTE},\n{_QUANT_LEN}\n{un}"
 
 
+FEATURE_QUERIES = [(1, "key"), (2, "vector"), (3, "zzmissing")]
+_FEATURE_BOOST, _FEATURE_PIVOT = 1.5, 64.0
+
+
+def ft_feature_rank(sf_dir: str) -> pa.Table:
+    """FeatureField + FeatureQuery (document/FeatureField.java:107): a
+    static-rank feature freq-encoded into the index
+    (floatToIntBits >>> 15), combined with a BM25 term clause as a
+    Boolean SHOULD — score = bm25(term) + saturation(feature) with
+    SaturationFunction's float32 ``boost * v / (v + pivot)``. The
+    zzmissing query ranks purely by static rank (the feature clause
+    matches every doc)."""
+    from ..features import build_feature_index, feature_scores
+    from ..search import _accumulate, _topk, search_terms_scored
+
+    idx = index_dir_for(sf_dir)
+    build_feature_index(idx, "rank")
+    fd, fs = feature_scores(idx, "rank", "saturation",
+                            boost=_FEATURE_BOOST, pivot=_FEATURE_PIVOT)
+    r = reader_for(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, term in FEATURE_QUERIES:
+        td = search_terms_scored(r, [term], max(1, r.doc_count))
+        cd = np.concatenate([td.doc_ids, fd])
+        cs = np.concatenate([td.scores, fs])
+        cc = np.concatenate([np.zeros(len(td.doc_ids), np.int32),
+                             np.ones(len(fd), np.int32)])
+        uniq, total = _accumulate(cd, cc, cs)
+        d, s = _topk(uniq, total, 10)
+        for rank, (di, si) in enumerate(zip(d.tolist(), s.tolist()), 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(di)
+            scores.append(si)
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "score": pa.array(scores, pa.float32())})
+
+
+def oracle_feature_rank_sql() -> str:
+    vals = ", ".join(f"({qid}, '{t}')" for qid, t in FEATURE_QUERIES)
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+fq(qid, term) AS (VALUES {vals}),
+termsc AS (
+  SELECT c.qid, t.d, {_SCORE_EXPR} AS s
+  FROM fq c
+  JOIN tf t ON t.term = c.term
+  JOIN df f ON f.term = c.term
+  JOIN quant q ON q.d = t.d
+),
+feat AS (
+  SELECT d, CAST(
+    (CAST({_FEATURE_BOOST} AS REAL) * CAST(v AS REAL)) /
+    (CAST(v AS REAL) + CAST({_FEATURE_PIVOT} AS REAL)) AS REAL) AS s
+  FROM (SELECT d, (len % 255) + 1 AS v FROM dl)
+),
+clauses AS (
+  SELECT qid, d, s FROM termsc
+  UNION ALL
+  SELECT c.qid, f.d, f.s FROM (SELECT DISTINCT qid FROM fq) c
+  CROSS JOIN feat f
+),
+totals AS (
+  SELECT qid, d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+  FROM clauses GROUP BY qid, d
+),
+ranked AS (
+  SELECT qid, d, score, row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, d ASC) AS rank
+  FROM totals
+)
+SELECT qid, rank, d AS doc_id, score FROM ranked WHERE rank <= 10"""
+
+
+# (qid, first-pass terms, rescore terms, first-pass N, weight)
+RESCORE_QUERIES = [(1, ["key", "agg"], ["table"], 40, 2.0),
+                   (2, ["vector"], ["the", "data"], 30, 0.5)]
+
+
+def ft_rescore(sf_dir: str) -> pa.Table:
+    """QueryRescorer (search/QueryRescorer.java:39): take the first-pass
+    top-N of query A, re-run query B over just those docs and combine
+    ``score = firstPass + weight * secondPass`` in float32 when B
+    matches, then re-rank → (qid, rank, doc_id, score) top-10."""
+    from ..search import search_terms_scored
+
+    r = reader_for(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, ta, tb, n, w in RESCORE_QUERIES:
+        first = search_terms_scored(r, ta, n)
+        second = search_terms_scored(r, tb, max(1, r.doc_count))
+        smap = dict(zip(second.doc_ids.tolist(), second.scores.tolist()))
+        w32 = np.float32(w)
+        comb = np.array([
+            np.float32(s) + w32 * np.float32(smap[d])
+            if d in smap else np.float32(s)
+            for d, s in zip(first.doc_ids.tolist(), first.scores.tolist())],
+            dtype=np.float32)
+        order = np.lexsort((first.doc_ids, -comb.astype(np.float64)))[:10]
+        for rank, i in enumerate(order.tolist(), 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(int(first.doc_ids[i]))
+            scores.append(float(comb[i]))
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "score": pa.array(scores, pa.float32())})
+
+
+def oracle_rescore_sql() -> str:
+    parts = []
+    for qid, ta, tb, n, w in RESCORE_QUERIES:
+        tla = ", ".join(f"'{t}'" for t in ta)
+        tlb = ", ".join(f"'{t}'" for t in tb)
+        parts.append(f"""(
+  SELECT {qid} AS qid,
+         row_number() OVER (ORDER BY score DESC, d ASC) AS rank,
+         d AS doc_id, score
+  FROM (
+    SELECT fp.d,
+           CASE WHEN sp.score IS NULL THEN fp.score
+                ELSE CAST(fp.score +
+                     CAST(CAST({w} AS REAL) * sp.score AS REAL) AS REAL)
+           END AS score
+    FROM (
+      SELECT d, score, row_number() OVER (
+               ORDER BY score DESC, d ASC) AS r
+      FROM (
+        SELECT d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+        FROM (
+          SELECT t.d, {_SCORE_EXPR} AS s
+          FROM tf t JOIN df f ON f.term = t.term
+          JOIN quant q ON q.d = t.d
+          WHERE t.term IN ({tla})
+        ) GROUP BY d
+      )
+    ) fp
+    LEFT JOIN (
+      SELECT d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+      FROM (
+        SELECT t.d, {_SCORE_EXPR} AS s
+        FROM tf t JOIN df f ON f.term = t.term
+        JOIN quant q ON q.d = t.d
+        WHERE t.term IN ({tlb})
+      ) GROUP BY d
+    ) sp ON sp.d = fp.d
+    WHERE fp.r <= {n}
+  )
+  ORDER BY rank LIMIT 10)""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"WITH {_CORPUS_CTE},\n{_QUANT_LEN}\n{un}"
+
+
+FUZZY_SUGGEST_QUERIES = [("ke", 5), ("vql", 5), ("tabe", 5), ("zz", 5),
+                         ("vlue", 5), ("tble", 5), ("qury", 5)]
+_MIN_FUZZY_LENGTH = 3   # FuzzySuggester.DEFAULT_MIN_FUZZY_LENGTH
+
+
+def ft_suggest_fuzzy(sf_dir: str) -> pa.Table:
+    """FuzzySuggester (suggest/analyzing/FuzzySuggester.java:60 role):
+    completions whose PREFIX is within edit distance 1 of the typed
+    input, ranked by weight (df desc, term asc). The Levenshtein
+    automaton ∩ FST walk becomes a vectorized dictionary scan: the
+    accepted-prefix set for d=1 decomposes into concrete deletion
+    prefixes (starts_with) plus one-wildcard substitution / insertion
+    patterns (anchored RE2 kernels) — same Arrow scan shape as the
+    wildcard rewrite. Inputs shorter than DEFAULT_MIN_FUZZY_LENGTH=3
+    match their prefix exactly (the suggester's guard against a 1-edit
+    2-char prefix matching half the dictionary); transpositions count as
+    two edits (the transpositions=false suggester option), matching the
+    classic-Levenshtein oracle."""
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    from ..search import termdict_terms
+
+    r = reader_for(sf_dir)
+    t = _content_only(r, termdict_terms(r))
+    terms = t.column("term")
+    out = []
+    for p, k in FUZZY_SUGGEST_QUERIES:
+        L = len(p)
+        mask = pc.starts_with(terms, p)
+        if L >= _MIN_FUZZY_LENGTH:
+            for i in range(L):                  # deletion: |prefix| = L-1
+                mask = pc.or_(mask,
+                              pc.starts_with(terms, p[:i] + p[i + 1:]))
+            pats = []
+            for i in range(L):                  # substitution: |prefix| = L
+                pats.append("^" + _re.escape(p[:i]) + "."
+                            + _re.escape(p[i + 1:]))
+            for i in range(L + 1):              # insertion: |prefix| = L+1
+                pats.append("^" + _re.escape(p[:i]) + "." + _re.escape(p[i:]))
+            for pat in pats:
+                mask = pc.or_(mask, pc.match_substring_regex(terms, pat))
+        sub = t.filter(mask)
+        df = sub.column("df").to_numpy()
+        tm = sub.column("term").to_numpy(zero_copy_only=False)
+        sel = np.lexsort((tm, -df))[:k]
+        out.append(pa.table({
+            "prefix": pa.array([p] * len(sel), pa.string()),
+            "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+            "term": pa.array(tm[sel], pa.string()),
+            "df": pa.array(df[sel].astype(np.int64)),
+        }))
+    return pa.concat_tables(out)
+
+
+def oracle_suggest_fuzzy_sql() -> str:
+    rows = []
+    for p, k in FUZZY_SUGGEST_QUERIES:
+        L = len(p)
+        if L >= _MIN_FUZZY_LENGTH:
+            pred = f"""least(
+      levenshtein(substr(term, 1, {L - 1}), '{p}'),
+      levenshtein(substr(term, 1, {L}), '{p}'),
+      levenshtein(substr(term, 1, {L + 1}), '{p}')) <= 1"""
+        else:
+            pred = f"term LIKE '{p}%'"
+        rows.append(f"""SELECT prefix, rank, term, df FROM (
+  SELECT '{p}' AS prefix,
+         row_number() OVER (ORDER BY df DESC, term ASC) AS rank,
+         term, df
+  FROM df WHERE {pred}
+  ) WHERE rank <= {k}""")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE}\n{un}"
+
+
 # (qid, SHOULD terms, minimumNumberShouldMatch, k)
 MSM_QUERIES = [(1, ["key", "agg", "slow", "fast"], 2, 10),
                (2, ["table", "value", "part", "hash", "join"], 3, 10),

@@ -612,3 +612,21 @@ def test_blockjoin_rejects_non_contiguous_parent(ray_session):
     r = reader_for(SF)
     with _pytest.raises(ValueError, match="block-contiguous"):
         parent_blocks(r, "lang")
+
+
+def test_feature_field_encoding_roundtrip():
+    """FeatureField freq encoding (floatToIntBits >>> 15): integer values
+    below 256 round-trip losslessly; larger/irrational values quantize
+    DOWN to a 9-bit-mantissa float, monotonically."""
+    from lucene_ray.features import decode_feature, encode_feature
+
+    ints = np.arange(1, 256, dtype=np.float32)
+    np.testing.assert_array_equal(decode_feature(encode_feature(ints)), ints)
+    vals = np.array([3.14159, 511.7, 1e6, 0.0078125], dtype=np.float32)
+    dec = decode_feature(encode_feature(vals))
+    assert (dec <= vals).all()                     # truncation, not rounding
+    assert (dec >= vals * (1 - 2 ** -8)).all()     # 9-bit mantissa error
+    order = np.argsort(vals)
+    assert (np.diff(dec[order]) >= 0).all()        # monotone
+    with pytest.raises(ValueError):
+        encode_feature(np.array([-1.0], dtype=np.float32))
