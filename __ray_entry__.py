@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_suggest_fuzzy": ft.ft_suggest_fuzzy,
         "ft_blockjoin_parent": ft.ft_blockjoin_parent,
         "ft_len_range": ft.ft_len_range,
+        "ft_geo_box": ft.ft_geo_box,
+        "ft_geo_distance": ft.ft_geo_distance,
         "ft_more_like_this": ft.ft_more_like_this,
         "ft_highlight": ft.ft_highlight,
         "ft_deletes_filter": ft.ft_deletes_filter,
@@ -158,6 +160,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_suggest_fuzzy": ft.oracle_suggest_fuzzy_sql(),
         "ft_blockjoin_parent": ft.oracle_blockjoin_parent_sql(),
         "ft_len_range": ft.oracle_len_range_sql(),
+        "ft_geo_box": ft.oracle_geo_box_sql(),
+        "ft_geo_distance": ft.oracle_geo_distance_sql(),
         "ft_more_like_this": ft.oracle_more_like_this_sql(),
         "ft_highlight": ft.oracle_highlight_sql(),
         "ft_deletes_filter": ft.oracle_deletes_filter_sql(),

@@ -1787,6 +1787,79 @@ def oracle_len_range_sql() -> str:
     return f"WITH {_CORPUS_CTE}\n{un}"
 
 
+# (qid, lat_lo, lat_hi, lon_lo, lon_hi) in micro-degrees, half-open
+GEO_BOXES = [(1, 0, 20_000_000, -30_000_000, 10_000_000),
+             (2, -90_000_000, -70_000_000, 100_000_000, 180_000_000),
+             (3, 89_999_990, 90_000_000, -10, 10)]          # ~empty
+# (qid, center_lat, center_lon, radius)
+GEO_DISTANCES = [(1, 0, 0, 15_000_000),
+                 (2, 45_000_000, 90_000_000, 8_000_000)]
+
+
+def ft_geo_box(sf_dir: str) -> pa.Table:
+    """LatLonPoint.newBoxQuery (document/LatLonPoint.java:193) over the
+    2D banded point index (lucene_ray.geo): docIDs inside each box,
+    found via band + row-group stat pruning, never a full scan."""
+    from ..geo import build_geo_index, geo_box
+
+    idx = index_dir_for(sf_dir)
+    build_geo_index(idx)
+    qids, docs = [], []
+    for qid, a, b, c, d in GEO_BOXES:
+        hits, _metrics = geo_box(idx, a, b, c, d)
+        qids.extend([qid] * len(hits))
+        docs.extend(hits.tolist())
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def ft_geo_distance(sf_dir: str) -> pa.Table:
+    """XYPoint.newDistanceQuery semantics (exact integer Euclidean on the
+    synthesized grid; LatLonPoint.newDistanceQuery:231 is the same
+    bounding-box-descend-then-verify with haversine): docIDs within
+    radius of each center."""
+    from ..geo import build_geo_index, geo_distance
+
+    idx = index_dir_for(sf_dir)
+    build_geo_index(idx)
+    qids, docs = [], []
+    for qid, la, lo, r in GEO_DISTANCES:
+        hits, _metrics = geo_distance(idx, la, lo, r)
+        qids.extend([qid] * len(hits))
+        docs.extend(hits.tolist())
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+_GEO_CTE = """
+geo AS (
+  SELECT d, (d * 2654435761) % 180000000 - 90000000 AS lat,
+         (d * 2246822519 + 123456789) % 360000000 - 180000000 AS lon
+  FROM corpus
+)"""
+
+
+def oracle_geo_box_sql() -> str:
+    rows = []
+    for qid, a, b, c, d in GEO_BOXES:
+        rows.append(f"SELECT {qid} AS qid, d AS doc_id FROM geo "
+                    f"WHERE lat >= {a} AND lat < {b} "
+                    f"AND lon >= {c} AND lon < {d}")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE},{_GEO_CTE}\n{un}"
+
+
+def oracle_geo_distance_sql() -> str:
+    rows = []
+    for qid, la, lo, r in GEO_DISTANCES:
+        rows.append(
+            f"SELECT {qid} AS qid, d AS doc_id FROM geo "
+            f"WHERE (lat - {la}) * (lat - {la}) + "
+            f"(lon - {lo}) * (lon - {lo}) <= {r * r}")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE},{_GEO_CTE}\n{un}"
+
+
 HIGHLIGHT_QUERIES = [(1, ["key", "agg"], 10), (2, ["vector"], 10),
                      (3, ["slow", "fast", "table"], 10)]
 

@@ -630,3 +630,34 @@ def test_feature_field_encoding_roundtrip():
     assert (np.diff(dec[order]) >= 0).all()        # monotone
     with pytest.raises(ValueError):
         encode_feature(np.array([-1.0], dtype=np.float32))
+
+
+def test_geo_index_matches_bruteforce(ray_session, tmp_path):
+    """Banded 2D point index returns exactly the brute-force box /
+    distance result, and the descent prunes row groups on a selective
+    box."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.geo import (build_geo_index, geo_box, geo_distance,
+                                synth_coords)
+
+    idx = str(tmp_path / "gidx")
+    import os
+    os.makedirs(os.path.join(idx, "docmeta"))
+    docs = np.arange(20_000, dtype=np.int64)
+    pq.write_table(pa.table({"doc_id": pa.array(docs)}),
+                   os.path.join(idx, "docmeta", "bucket=00000.parquet"))
+    build_geo_index(idx, bands=16, row_group_size=512)
+    lat, lon = synth_coords(docs)
+    box = (-10_000_000, 25_000_000, 40_000_000, 90_000_000)
+    want = docs[(lat >= box[0]) & (lat < box[1])
+                & (lon >= box[2]) & (lon < box[3])]
+    got, metrics = geo_box(idx, *box)
+    np.testing.assert_array_equal(got, np.sort(want))
+    assert metrics["row_groups_read"] < metrics["row_groups_total"]
+    c = (5_000_000, -40_000_000, 12_000_000)
+    d2 = (lat - c[0]).astype(np.int64) ** 2 + (lon - c[1]) ** 2
+    wantd = docs[d2 <= c[2] * c[2]]
+    gotd, _ = geo_distance(idx, *c)
+    np.testing.assert_array_equal(gotd, np.sort(wantd))
