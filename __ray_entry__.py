@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_more_like_this": ft.ft_more_like_this,
         "ft_highlight": ft.ft_highlight,
         "ft_deletes_filter": ft.ft_deletes_filter,
+        "ft_percolate": ft.ft_percolate,
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_more_like_this": ft.oracle_more_like_this_sql(),
         "ft_highlight": ft.oracle_highlight_sql(),
         "ft_deletes_filter": ft.oracle_deletes_filter_sql(),
+        "ft_percolate": ft.oracle_percolate_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

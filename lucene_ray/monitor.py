@@ -1,0 +1,136 @@
+"""Streaming percolator — the Lucene Monitor role.
+
+Reference: ``lucene/monitor/src/java/org/apache/lucene/monitor/Monitor.java:86``
+(register queries once, then match a stream of documents against all of
+them) with the QueryIndex presolve
+(``monitor/QueryIndex.java`` / ``TermFilteredPresearcher.java:62``): the
+registered queries' terms form a small vocabulary, and an incoming document
+only evaluates the queries whose required terms it actually contains.
+
+Ray-Data shape: the registered query set is compiled ONCE per actor (a
+callable class handed to ``map_batches`` — constructor args are broadcast,
+never re-shipped per batch); each batch is tokenized with the vectorized
+analyzer, tokens are mapped into the query vocabulary with one Arrow
+``index_in`` kernel, per-(doc, vocab-term) presence is one NumPy scatter,
+and only candidate (doc, query) pairs whose presolve passes run the exact
+(positional) matcher. The document side needs NO index — percolation is
+the streaming dual of search, so it scales as a pure map over the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .analysis import term_freq_batch, tokenize
+
+
+class PercolatorStage:
+    """``map_batches`` callable: batch of documents → (qid, doc) matches.
+
+    ``queries``: list of ``(qid, spec)`` where spec is a dict with one of
+      - ``{"must": [terms...]}`` — conjunction (BooleanQuery MUST),
+      - ``{"should": [terms...], "msm": m}`` — disjunction with
+        minimumNumberShouldMatch,
+      - ``{"phrase": [terms...]}`` — exact positional phrase.
+
+    ``id_column``: the identity column copied into the output;
+    ``text_column``: the analyzed text column.
+    """
+
+    def __init__(self, queries, id_column: str = "doc_id",
+                 text_column: str = "text"):
+        self.queries = []
+        vocab: set[str] = set()
+        for qid, spec in queries:
+            must = list(spec.get("must") or [])
+            should = list(spec.get("should") or [])
+            phrase = list(spec.get("phrase") or [])
+            msm = int(spec.get("msm", 1 if should else 0))
+            vocab.update(must)
+            vocab.update(should)
+            vocab.update(phrase)
+            self.queries.append((qid, must, should, msm, phrase))
+        self.vocab = sorted(vocab)
+        self.vid = {t: i for i, t in enumerate(self.vocab)}
+        self.vocab_arr = pa.array(self.vocab, type=pa.string())
+        self.id_column = id_column
+        self.text_column = text_column
+
+    def _presence(self, texts: list[str]) -> np.ndarray:
+        """(n_docs, n_vocab) bool presence matrix via the vectorized
+        analyzer + one index_in + one scatter."""
+        import pyarrow.compute as pc
+
+        n = len(texts)
+        pres = np.zeros((n, len(self.vocab)), dtype=bool)
+        if n == 0 or not self.vocab:
+            return pres
+        terms, _tfs, owners, _lens, _norms = term_freq_batch(texts)
+        if len(terms) == 0:
+            return pres
+        idx = pc.index_in(terms, value_set=self.vocab_arr)
+        idx_np = idx.to_numpy(zero_copy_only=False)
+        hit = ~np.isnan(idx_np) if idx_np.dtype.kind == "f" else \
+            ~idx.is_null().to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return pres
+        pres[owners[hit], idx_np[hit].astype(np.int64)] = True
+        return pres
+
+    @staticmethod
+    def _phrase_in(toks: list[str], phrase: list[str]) -> bool:
+        t0 = phrase[0]
+        n = len(phrase)
+        for i, t in enumerate(toks):
+            if t == t0 and toks[i:i + n] == phrase:
+                return True
+        return False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        ids = batch.column(self.id_column).to_numpy(zero_copy_only=False)
+        pres = self._presence(["" if t is None else t for t in texts])
+        out_q: list[np.ndarray] = []
+        out_i: list[np.ndarray] = []
+        # per-doc exact tokens, computed lazily only for phrase candidates
+        tok_cache: dict[int, list[str]] = {}
+        for qid, must, should, msm, phrase in self.queries:
+            need = must + phrase
+            mask = np.ones(len(texts), dtype=bool)
+            for t in need:
+                mask &= pres[:, self.vid[t]]
+            if should:
+                cnt = np.zeros(len(texts), dtype=np.int64)
+                for t in should:
+                    cnt += pres[:, self.vid[t]]
+                mask &= cnt >= msm
+            if phrase and mask.any():
+                for d in np.flatnonzero(mask):
+                    toks = tok_cache.get(d)
+                    if toks is None:
+                        toks = tok_cache[d] = tokenize(texts[d] or "")
+                    if not self._phrase_in(toks, phrase):
+                        mask[d] = False
+            sel = np.flatnonzero(mask)
+            if len(sel):
+                out_q.append(np.full(len(sel), qid, dtype=np.int64))
+                out_i.append(ids[sel])
+        if not out_q:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             self.id_column: pa.array([], pa.int64())})
+        return pa.table({"qid": pa.array(np.concatenate(out_q)),
+                         self.id_column: pa.array(
+                             np.concatenate(out_i).astype(np.int64))})
+
+
+def percolate(ds, queries, id_column: str = "doc_id",
+              text_column: str = "text", concurrency=(1, 8)):
+    """Match every registered query against every document of ``ds``.
+
+    Returns a Dataset of (qid, id_column) match rows. Stateful actor-pool
+    stage: query compilation happens once per actor, batches stream.
+    """
+    return ds.map_batches(
+        PercolatorStage, batch_format="pyarrow", concurrency=concurrency,
+        fn_constructor_args=(queries, id_column, text_column))

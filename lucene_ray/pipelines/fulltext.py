@@ -2085,3 +2085,80 @@ def oracle_more_like_this_sql() -> str:
   FROM totals ORDER BY rank LIMIT 10)""")
     un = "\nUNION ALL\n".join(parts)
     return f"WITH {_CORPUS_CTE},\n{_QUANT_LEN}\n{un}"
+
+
+# ---------------------------------------------------------------------------
+# Percolator (Monitor role): registered queries match a document stream
+
+PERCOLATE_QUERIES = [
+    (1, {"must": ["key", "agg"]}),
+    (2, {"phrase": ["slow", "fast"]}),
+    (3, {"should": ["table", "value", "part"], "msm": 2}),
+    (4, {"must": ["customer", "the"]}),
+    (5, {"must": ["zzmissing"]}),
+    (6, {"phrase": ["the", "a"]}),
+]
+
+
+def ft_percolate(sf_dir: str) -> pa.Table:
+    """Monitor/percolator (monitor/Monitor.java:86): the registered query
+    set streams over the raw documents table (no document index — the
+    queries are the stored side) and emits (qid, doc_id) for every
+    matching (query, document) pair. Term-presolve + exact phrase verify
+    per candidate (TermFilteredPresearcher.java:62 role)."""
+    import ray.data
+
+    from ..monitor import percolate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"])
+    out = percolate(ds, PERCOLATE_QUERIES)
+    t = pa.concat_tables(
+        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    order = np.lexsort((t.column("doc_id").to_numpy(zero_copy_only=False),
+                        t.column("qid").to_numpy(zero_copy_only=False)))
+    return t.take(pa.array(order, pa.int64()))
+
+
+def oracle_percolate_sql() -> str:
+    parts = []
+    for qid, spec in PERCOLATE_QUERIES:
+        must = spec.get("must") or []
+        should = spec.get("should") or []
+        msm = spec.get("msm", 0)
+        phrase = spec.get("phrase") or []
+        if phrase:
+            joins = ["FROM w w0"]
+            conds = [f"w0.word = '{phrase[0]}'"]
+            for i in range(1, len(phrase)):
+                joins.append(f"JOIN w w{i} ON w{i}.doc_id = w0.doc_id "
+                             f"AND w{i}.pos = w0.pos + {i}")
+                conds.append(f"w{i}.word = '{phrase[i]}'")
+            parts.append(
+                f"SELECT DISTINCT {qid} AS qid, w0.doc_id AS doc_id\n"
+                + "\n".join(joins) + "\nWHERE " + " AND ".join(conds))
+        elif must:
+            tl = ", ".join(f"'{t}'" for t in must)
+            parts.append(
+                f"SELECT {qid} AS qid, doc_id FROM tok\n"
+                f"WHERE term IN ({tl})\n"
+                f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(must)}")
+        else:
+            tl = ", ".join(f"'{t}'" for t in should)
+            parts.append(
+                f"SELECT {qid} AS qid, doc_id FROM tok\n"
+                f"WHERE term IN ({tl})\n"
+                f"GROUP BY doc_id HAVING count(DISTINCT term) >= {msm}")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+)
+{un}
+ORDER BY qid, doc_id"""

@@ -661,3 +661,30 @@ def test_geo_index_matches_bruteforce(ray_session, tmp_path):
     wantd = docs[d2 <= c[2] * c[2]]
     gotd, _ = geo_distance(idx, *c)
     np.testing.assert_array_equal(gotd, np.sort(wantd))
+
+
+def test_percolator_stage_semantics():
+    """Monitor-role percolation: conjunction, msm disjunction, phrase —
+    matched against hand-checked docs (no Ray needed for the stage)."""
+    import pyarrow as pa
+
+    from lucene_ray.monitor import PercolatorStage
+
+    docs = pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "text": pa.array([
+            "key agg slow fast",        # q1 (key+agg), q2 phrase slow fast
+            "agg key fast slow",        # q1 (order-free), NOT q2 (reversed)
+            "table value nothing",      # q3 (2 of 3)
+            "",                         # nothing
+        ]),
+    })
+    stage = PercolatorStage([
+        (1, {"must": ["key", "agg"]}),
+        (2, {"phrase": ["slow", "fast"]}),
+        (3, {"should": ["table", "value", "part"], "msm": 2}),
+    ])
+    out = stage(docs)
+    pairs = sorted(zip(out.column("qid").to_pylist(),
+                       out.column("doc_id").to_pylist()))
+    assert pairs == [(1, 10), (1, 11), (2, 10), (3, 12)]
