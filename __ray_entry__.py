@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_highlight": ft.ft_highlight,
         "ft_deletes_filter": ft.ft_deletes_filter,
         "ft_percolate": ft.ft_percolate,
+        "ft_collapse_lang": ft.ft_collapse_lang,
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_highlight": ft.oracle_highlight_sql(),
         "ft_deletes_filter": ft.oracle_deletes_filter_sql(),
         "ft_percolate": ft.oracle_percolate_sql(),
+        "ft_collapse_lang": ft.oracle_collapse_lang_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

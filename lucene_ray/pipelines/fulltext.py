@@ -2162,3 +2162,95 @@ w AS (
 )
 {un}
 ORDER BY qid, doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Field collapsing / grouping search (one head doc per group)
+
+COLLAPSE_QUERIES = [(1, ["key", "agg"], 3), (2, ["the", "vector"], 4),
+                    (3, ["table", "value", "part"], 5),
+                    (4, ["zzmissing"], 3)]
+
+
+def ft_collapse_lang(sf_dir: str) -> pa.Table:
+    """Grouping search / field collapsing
+    (grouping/GroupingSearch.java:52, FirstPassGroupingCollector.java:43):
+    top-k groups ranked by their best-scoring document, ONE head doc per
+    group value. Collector shape: the scored doc stream reduces into
+    per-group argmax state (bounded by #groups), never a global sort —
+    group membership comes from the keyword-field postings
+    ("lang:x" docsets), scores from the standard BM25 clause sum."""
+    from ..search import search_terms_scored
+
+    r = reader_for(sf_dir)
+    lt = termdict_scan(r, prefix="lang:")
+    langs = sorted(t[5:] for t in lt.column("term").to_pylist())
+    docsets = {lg: _term_docset_cached(r, f"lang:{lg}") for lg in langs}
+    qids, ranks, glangs, docs, scores = [], [], [], [], []
+    for qid, terms, k in COLLAPSE_QUERIES:
+        td = search_terms_scored(r, terms, max(1, r.doc_count))
+        d, s = td.doc_ids, td.scores
+        heads = []                       # (score, doc, lang) per group
+        for lg in langs:
+            m = np.isin(d, docsets[lg], assume_unique=False)
+            if not m.any():
+                continue
+            dm, sm = d[m], s[m]
+            i = int(np.lexsort((dm, -sm.astype(np.float64)))[0])
+            heads.append((float(sm[i]), int(dm[i]), lg))
+        heads.sort(key=lambda h: (-h[0], h[1]))
+        for rank, (sc, doc, lg) in enumerate(heads[:k], 1):
+            qids.append(qid)
+            ranks.append(rank)
+            glangs.append(lg)
+            docs.append(doc)
+            scores.append(sc)
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "lang": pa.array(glangs, pa.string()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "score": pa.array(scores, pa.float32())})
+
+
+def _term_docset_cached(r, term: str):
+    from ..search import _term_docset
+    return _term_docset(r, term)
+
+
+def oracle_collapse_lang_sql() -> str:
+    parts = []
+    for qid, terms, k in COLLAPSE_QUERIES:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        parts.append(f"""(
+  SELECT {qid} AS qid,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+           AS rank,
+         lang, doc_id, score
+  FROM (
+    SELECT lang, d AS doc_id, score, row_number() OVER (
+             PARTITION BY lang ORDER BY score DESC, d ASC) AS rn
+    FROM (
+      SELECT l.lang, s.d, s.score
+      FROM (
+        SELECT d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+        FROM (
+          SELECT t.d, {_SCORE_EXPR} AS s
+          FROM tf t JOIN df f ON f.term = t.term
+          JOIN quant q ON q.d = t.d
+          WHERE t.term IN ({tl})
+        ) GROUP BY d
+      ) s
+      JOIN lmap l ON l.d = s.d
+    )
+  ) WHERE rn = 1
+  ORDER BY rank LIMIT {k})""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+lmap AS (
+  SELECT row_number() OVER (
+           ORDER BY source, printf('doc_%08d.txt', doc_id)) - 1 AS d,
+         lang
+  FROM documents
+)
+{un}"""
