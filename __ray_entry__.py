@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_deletes_filter": ft.ft_deletes_filter,
         "ft_percolate": ft.ft_percolate,
         "ft_collapse_lang": ft.ft_collapse_lang,
+        "ft_interval_contains": ft.ft_interval_contains,
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
@@ -169,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_deletes_filter": ft.oracle_deletes_filter_sql(),
         "ft_percolate": ft.oracle_percolate_sql(),
         "ft_collapse_lang": ft.oracle_collapse_lang_sql(),
+        "ft_interval_contains": ft.oracle_interval_contains_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

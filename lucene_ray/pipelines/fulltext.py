@@ -2254,3 +2254,63 @@ lmap AS (
   FROM documents
 )
 {un}"""
+
+
+# ---------------------------------------------------------------------------
+# Interval containment (Intervals.containing / notContaining)
+
+# (qid, [a, b] big ordered source, small term, max width, negate)
+CONTAIN_QUERIES = [(1, ["key", "agg"], "value", 8, False),
+                   (2, ["slow", "fast"], "the", 6, False),
+                   (3, ["the", "data"], "a", 6, True),
+                   (4, ["table", "part"], "value", 9, False),
+                   (5, ["hash", "merge"], "join", 8, True),
+                   (6, ["zzmissing", "key"], "a", 9, False)]
+
+
+def ft_interval_contains(sf_dir: str) -> pa.Table:
+    """Intervals.containing / notContaining
+    (queries/intervals/Intervals.java, ContainingIntervalsSource): docs
+    whose minimal ordered (a, b) interval within the width does / does
+    not contain the small term → (qid, doc_id)."""
+    from ..search import interval_contains_docs
+
+    r = reader_for(sf_dir)
+    qids, docs = [], []
+    for qid, big, small, width, negate in CONTAIN_QUERIES:
+        for d in interval_contains_docs(r, big, small, width,
+                                        negate).tolist():
+            qids.append(qid)
+            docs.append(d)
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def oracle_interval_contains_sql() -> str:
+    parts = []
+    for qid, (ta, tb), small, width, negate in CONTAIN_QUERIES:
+        exists = "NOT EXISTS" if negate else "EXISTS"
+        parts.append(f"""SELECT DISTINCT {qid} AS qid, d AS doc_id
+FROM (
+  SELECT wa.d, wa.pos AS p0, min(wb.pos) AS p1
+  FROM w wa JOIN w wb ON wb.d = wa.d AND wb.pos > wa.pos
+  WHERE wa.word = '{ta}' AND wb.word = '{tb}'
+  GROUP BY wa.d, wa.pos
+) p
+WHERE p.p1 - p.p0 + 1 <= {width}
+  AND NOT EXISTS (
+    SELECT 1 FROM w x
+    WHERE x.d = p.d AND x.word = '{ta}'
+      AND x.pos > p.p0 AND x.pos < p.p1)
+  AND {exists} (
+    SELECT 1 FROM w c
+    WHERE c.d = p.d AND c.word = '{small}'
+      AND c.pos BETWEEN p.p0 AND p.p1)""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+w AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+)
+{un}"""

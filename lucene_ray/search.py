@@ -1154,6 +1154,73 @@ def interval_near_docs(reader: IndexReader, terms: list[str], width: int,
     return np.unique(hits >> _POS_BITS).astype(np.int64)
 
 
+def _minimal_ordered_chains(reader: IndexReader, terms: list[str]):
+    """All MINIMAL ordered intervals of ``terms`` as (doc, start, end)
+    arrays — the interval set OrderedIntervalsSource.java:57 enumerates.
+
+    The greedy earliest-successor chain from each start of term 0 has a
+    chain end that is nondecreasing in the start position (per doc), so a
+    chain is minimal — contains no other chain — iff it is the LAST chain
+    of its (doc, end) group (a later start reaching the same end nests
+    inside the earlier one)."""
+    packed = []
+    for t in terms:
+        k = _packed_positions(reader, t, 0)
+        if k is None or len(k) == 0:
+            return None
+        packed.append(k)
+    cur = packed[0]
+    start_pos = (cur & _POS_MASK).astype(np.int64)
+    for nxt in packed[1:]:
+        idx = np.searchsorted(nxt, cur, side="right")
+        ok = idx < len(nxt)
+        cand = nxt[np.minimum(idx, len(nxt) - 1)]
+        ok &= (cand >> _POS_BITS) == (cur >> _POS_BITS)
+        cur, start_pos = cand[ok], start_pos[ok]
+        if len(cur) == 0:
+            return None
+    doc = (cur >> _POS_BITS).astype(np.int64)
+    end = (cur & _POS_MASK).astype(np.int64)
+    # chains arrive sorted by (doc, start); keep the last of each
+    # (doc, end) run = the minimal one
+    keep = np.ones(len(cur), dtype=bool)
+    if len(cur) > 1:
+        keep[:-1] = (doc[1:] != doc[:-1]) | (end[1:] != end[:-1])
+    return doc[keep], start_pos[keep], end[keep]
+
+
+def interval_contains_docs(reader: IndexReader, big: list[str], small: str,
+                           width: int, negate: bool = False) -> np.ndarray:
+    """Interval containment (queries/intervals/Intervals.java
+    ``containing`` / ``notContaining``, ContainingIntervalsSource /
+    NotContainingIntervalsSource): docs with a minimal ordered interval
+    of ``big`` (max width ``width``) that does (``negate=False``) or does
+    not (``negate=True``) contain an occurrence of ``small``.
+
+    Containment tests are two np.searchsorted calls against the small
+    term's packed (doc << POS_BITS | pos) keys — no per-doc loop."""
+    chains = _minimal_ordered_chains(reader, big)
+    if chains is None:
+        return np.empty(0, np.int64)
+    doc, start, end = chains
+    fit = (end - start + 1) <= width
+    doc, start, end = doc[fit], start[fit], end[fit]
+    if len(doc) == 0:
+        return np.empty(0, np.int64)
+    ks = _packed_positions(reader, small, 0)
+    if ks is None or len(ks) == 0:
+        has_small = np.zeros(len(doc), dtype=bool)
+    else:
+        base = doc.astype(np.uint64) << _POS_BITS
+        lo = np.searchsorted(ks, base | start.astype(np.uint64),
+                             side="left")
+        hi = np.searchsorted(ks, base | end.astype(np.uint64),
+                             side="right")
+        has_small = hi > lo
+    sel = ~has_small if negate else has_small
+    return np.unique(doc[sel])
+
+
 def phrase_freqs(reader: IndexReader, terms: list[str]) -> dict[int, int]:
     """Exact phrase matching: doc → number of phrase occurrences
     (ExactPhraseMatcher.java:39 semantics).

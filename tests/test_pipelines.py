@@ -688,3 +688,31 @@ def test_percolator_stage_semantics():
     pairs = sorted(zip(out.column("qid").to_pylist(),
                        out.column("doc_id").to_pylist()))
     assert pairs == [(1, 10), (1, 11), (2, 10), (3, 12)]
+
+
+def test_interval_containing_minimality(tmp_path, ray_session):
+    """Lucene interval algebra enumerates MINIMAL intervals only:
+    in "aa cc aa bb" the ordered (aa, bb) minimal interval is [2,3]
+    (0-based) which does NOT contain cc — CONTAINING must not match,
+    even though the non-minimal [0,3] would contain cc."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.build import build_index
+    from lucene_ray.search import IndexReader, interval_contains_docs
+
+    c = tmp_path / "c"
+    c.mkdir()
+    pq.write_table(pa.table({
+        "repo": ["r"] * 3, "path": ["a", "b", "c"], "commit": ["x"] * 3,
+        "lang": ["t"] * 3,
+        "content": ["aa cc aa bb",      # minimal [2,3]: no cc inside
+                    "aa cc bb",         # minimal [0,2]: cc inside
+                    "aa bb cc"],        # minimal [0,1]: no cc inside
+    }), c / "a.parquet")
+    idx = str(tmp_path / "i")
+    build_index(str(c), idx, with_positions=True)
+    r = IndexReader(idx)
+    assert interval_contains_docs(r, ["aa", "bb"], "cc", 9).tolist() == [1]
+    assert interval_contains_docs(
+        r, ["aa", "bb"], "cc", 9, negate=True).tolist() == [0, 2]
