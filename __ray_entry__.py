@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_percolate": ft.ft_percolate,
         "ft_collapse_lang": ft.ft_collapse_lang,
         "ft_interval_contains": ft.ft_interval_contains,
+        "ft_english_doclen": ft.ft_english_doclen,
+        "ft_stemmed_search": ft.ft_stemmed_search,
+        "ft_shingles": ft.ft_shingles,
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
@@ -171,6 +174,11 @@ def oracle_sql() -> dict[str, str]:
         "ft_percolate": ft.oracle_percolate_sql(),
         "ft_collapse_lang": ft.oracle_collapse_lang_sql(),
         "ft_interval_contains": ft.oracle_interval_contains_sql(),
+        # ft_stemmed_search is rows-only: DuckDB has no offline stemmer
+        # (fts extension needs network); the Porter chain is pytest-golden
+        # verified and its stop/length half has this exact oracle:
+        "ft_english_doclen": ft.oracle_english_doclen_sql(),
+        "ft_shingles": ft.oracle_shingles_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

@@ -564,7 +564,8 @@ def token_offsets_batch(texts: list[str],
 
 def term_freq_batch(texts: list[str],
                     max_token_length: int = MAX_TOKEN_LENGTH,
-                    with_positions: bool = False):
+                    with_positions: bool = False,
+                    token_filter=None):
     """Per-doc (term, tf) pairs for a batch — the analyzer plus the local
     BytesRefHash-style dedup (util/BytesRefHash.java:335) in one pass.
 
@@ -574,6 +575,12 @@ def term_freq_batch(texts: list[str],
     (pure-underscore drop, dedup to (term, doc, tf)) runs VECTORIZED over
     the whole batch: one Arrow trim kernel + dictionary-encode + one
     np.unique over packed (doc, termID) keys — no per-token Python.
+
+    ``token_filter`` (``lucene_ray.analysis_en.get_token_filter``) extends
+    the chain TokenFilter-style: tokens map to filtered terms, ``None``
+    drops the token (StopFilter role — positions keep their gaps, field
+    length counts only emitted tokens). On the vectorized path it is
+    applied to the dictionary-encoded VOCABULARY, not the token stream.
 
     Returns (terms: pa.Array, tfs: int64, owners: int64,
     lengths: int32, norms: uint8) where (owners, terms) is unique per doc.
@@ -602,10 +609,19 @@ def term_freq_batch(texts: list[str],
                 toks = tokenize(text, max_token_length)
             if not toks:
                 continue
-            lengths[d] = len(toks)
             posmap: dict[str, list[int]] = {}
-            for i, t in enumerate(toks):
-                posmap.setdefault(t, []).append(i)
+            if token_filter is not None:
+                n_kept = 0
+                for i, m in enumerate(token_filter(toks)):
+                    if m is None:
+                        continue  # stop word: position gap preserved
+                    n_kept += 1
+                    posmap.setdefault(m, []).append(i)
+                lengths[d] = n_kept
+            else:
+                lengths[d] = len(toks)
+                for i, t in enumerate(toks):
+                    posmap.setdefault(t, []).append(i)
             terms.extend(posmap.keys())
             tfs.extend(len(v) for v in posmap.values())
             owners.extend([d] * len(posmap))
@@ -667,13 +683,31 @@ def term_freq_batch(texts: list[str],
     if not pc.all(keep).as_py():
         arr = arr.filter(keep)
         owners_all = owners_all[keep.to_numpy(zero_copy_only=False)]
-    lengths[:] = np.bincount(owners_all, minlength=n_docs).astype(np.int32)
     dict_arr = pc.dictionary_encode(arr)
     idx = np.asarray(dict_arr.indices, dtype=np.int64)
+    dictionary = dict_arr.dictionary
+    if token_filter is not None:
+        # vocab-level filtering: one filter call over unique surface forms,
+        # then an id remap (stems collide, stops drop)
+        mapped = token_filter(dictionary.to_pylist())
+        keep_v = np.fromiter((m is not None for m in mapped), dtype=bool,
+                             count=len(mapped))
+        kept_names = np.array([m for m in mapped if m is not None],
+                              dtype=object)
+        uniq_names, inv = np.unique(kept_names, return_inverse=True)
+        remap = np.full(len(mapped), -1, dtype=np.int64)
+        remap[keep_v] = inv
+        idx = remap[idx]
+        tok_keep = idx >= 0
+        if not tok_keep.all():
+            idx = idx[tok_keep]
+            owners_all = owners_all[tok_keep]
+        dictionary = pa.array(uniq_names.tolist(), type=pa.string())
+    lengths[:] = np.bincount(owners_all, minlength=n_docs).astype(np.int32)
     key = (owners_all << np.int64(32)) | idx
     uniq, tf = np.unique(key, return_counts=True)
     owners = (uniq >> np.int64(32)).astype(np.int64)
     tok_idx = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
-    terms_arr = dict_arr.dictionary.take(pa.array(tok_idx))
+    terms_arr = dictionary.take(pa.array(tok_idx))
     norms = int_to_byte4(lengths.astype(np.int64))
     return (terms_arr, tf.astype(np.int64), owners, lengths, norms)

@@ -1,0 +1,374 @@
+"""English analysis chain — the EnglishAnalyzer role.
+
+Reproduces the reference chain (analysis/common/.../en/EnglishAnalyzer.java:102-109):
+StandardTokenizer -> EnglishPossessiveFilter -> LowerCaseFilter ->
+StopFilter(ENGLISH_STOP_WORDS_SET) -> PorterStemFilter.  The tokenizer and
+lowercasing already live in ``lucene_ray.analysis``; this module supplies the
+rest as a TOKEN FILTER: a function mapping a list of (lowercased) tokens to
+a same-length list where each element is the filtered term or ``None`` for a
+dropped (stop) token.  Position numbering is preserved by the caller, so
+stop removal leaves position gaps exactly like Lucene's StopFilter
+(positionIncrement bookkeeping, analysis/core/StopFilter.java role).
+
+The filter memoizes per UNIQUE surface form, so applying it to a
+dictionary-encoded vocabulary (or a long token stream with Zipfian repeats)
+costs one dict hit per token and one stem per new vocab entry — the
+per-actor "compile once" pattern.
+
+Porter stemming follows the reference implementation semantics
+(analysis/common/.../en/PorterStemmer.java:222-492): the Porter 1980
+algorithm at Release 3 with both published bug fixes (the k==k0 guards in
+steps 3/5 and the j>=0 guard on "ion") and the "logi"->"log" rule.  This is
+an independent transcription of the published algorithm
+(https://tartarus.org/martin/PorterStemmer/), not a code port.
+"""
+
+from __future__ import annotations
+
+# EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (EnglishAnalyzer.java:45-53) —
+# the classic 33-word English stop list.
+ENGLISH_STOP_WORDS = frozenset([
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+])
+
+_VOWELS = frozenset("aeiou")
+_POSSESSIVE_MARKS = ("'", "’", "＇")  # ' / ' / fullwidth '
+
+
+def strip_possessive(word: str) -> str:
+    """EnglishPossessiveFilter.java:34-49: drop a trailing
+    <apostrophe-variant>s (input here is already lowercased)."""
+    if len(word) >= 2 and word[-1] == "s" and word[-2] in _POSSESSIVE_MARKS:
+        return word[:-2]
+    return word
+
+
+def porter_stem(word: str) -> str:
+    """Porter stemmer (Porter 1980; PorterStemmer.java:222-492 semantics).
+
+    Operates on an already-lowercased token.  Words of length <= 2 are
+    returned unchanged (the ``k > k0 + 1`` guard, PorterStemmer.java:543).
+    Non-ASCII letters are treated as consonants, matching the reference's
+    default switch branch (PorterStemmer.java:110-123).
+    """
+    if len(word) <= 2:
+        return word
+    b = list(word)
+    k = len(b) - 1
+    j = 0
+
+    def cons(i: int) -> bool:
+        c = b[i]
+        if c in _VOWELS:
+            return False
+        if c == "y":
+            return True if i == 0 else not cons(i - 1)
+        return True
+
+    def m() -> int:
+        # number of consonant sequences in b[0..j]
+        n = 0
+        i = 0
+        while True:
+            if i > j:
+                return n
+            if not cons(i):
+                break
+            i += 1
+        i += 1
+        while True:
+            while True:
+                if i > j:
+                    return n
+                if cons(i):
+                    break
+                i += 1
+            i += 1
+            n += 1
+            while True:
+                if i > j:
+                    return n
+                if not cons(i):
+                    break
+                i += 1
+            i += 1
+
+    def vowelinstem() -> bool:
+        return any(not cons(i) for i in range(j + 1))
+
+    def doublec(at: int) -> bool:
+        if at < 1 or b[at] != b[at - 1]:
+            return False
+        return cons(at)
+
+    def cvc(i: int) -> bool:
+        # consonant-vowel-consonant ending, second c not w/x/y
+        if i < 2 or not cons(i) or cons(i - 1) or not cons(i - 2):
+            return False
+        return b[i] not in ("w", "x", "y")
+
+    def ends(s: str) -> bool:
+        nonlocal j
+        o = k - len(s) + 1
+        if o < 0:
+            return False
+        for i, ch in enumerate(s):
+            if b[o + i] != ch:
+                return False
+        j = k - len(s)
+        return True
+
+    def setto(s: str) -> None:
+        nonlocal k
+        o = j + 1
+        for i, ch in enumerate(s):
+            p = o + i
+            if p < len(b):
+                b[p] = ch
+            else:
+                b.append(ch)
+        k = j + len(s)
+
+    def r(s: str) -> None:
+        if m() > 0:
+            setto(s)
+
+    # step 1: plurals and -ed/-ing
+    if b[k] == "s":
+        if ends("sses"):
+            k -= 2
+        elif ends("ies"):
+            setto("i")
+        elif b[k - 1] != "s":
+            k -= 1
+    if ends("eed"):
+        if m() > 0:
+            k -= 1
+    elif (ends("ed") or ends("ing")) and vowelinstem():
+        k = j
+        if ends("at"):
+            setto("ate")
+        elif ends("bl"):
+            setto("ble")
+        elif ends("iz"):
+            setto("ize")
+        elif doublec(k):
+            ch = b[k]
+            k -= 1
+            if ch in ("l", "s", "z"):
+                k += 1
+        elif m() == 1 and cvc(k):
+            setto("e")
+
+    # step 2: terminal y -> i when the stem has a vowel
+    if ends("y") and vowelinstem():
+        b[k] = "i"
+
+    # step 3: double suffixes -> single (condition m() > 0), keyed on b[k-1]
+    if k > 0:
+        c = b[k - 1]
+        if c == "a":
+            if ends("ational"):
+                r("ate")
+            elif ends("tional"):
+                r("tion")
+        elif c == "c":
+            if ends("enci"):
+                r("ence")
+            elif ends("anci"):
+                r("ance")
+        elif c == "e":
+            if ends("izer"):
+                r("ize")
+        elif c == "l":
+            if ends("bli"):
+                r("ble")
+            elif ends("alli"):
+                r("al")
+            elif ends("entli"):
+                r("ent")
+            elif ends("eli"):
+                r("e")
+            elif ends("ousli"):
+                r("ous")
+        elif c == "o":
+            if ends("ization"):
+                r("ize")
+            elif ends("ation"):
+                r("ate")
+            elif ends("ator"):
+                r("ate")
+        elif c == "s":
+            if ends("alism"):
+                r("al")
+            elif ends("iveness"):
+                r("ive")
+            elif ends("fulness"):
+                r("ful")
+            elif ends("ousness"):
+                r("ous")
+        elif c == "t":
+            if ends("aliti"):
+                r("al")
+            elif ends("iviti"):
+                r("ive")
+            elif ends("biliti"):
+                r("ble")
+        elif c == "g":
+            if ends("logi"):
+                r("log")
+
+    # step 4: -ic-, -full, -ness etc.
+    c = b[k]
+    if c == "e":
+        if ends("icate"):
+            r("ic")
+        elif ends("ative"):
+            r("")
+        elif ends("alize"):
+            r("al")
+    elif c == "i":
+        if ends("iciti"):
+            r("ic")
+    elif c == "l":
+        if ends("ical"):
+            r("ic")
+        elif ends("ful"):
+            r("")
+    elif c == "s":
+        if ends("ness"):
+            r("")
+
+    # step 5: -ant, -ence etc. in context <c>vcvc<v> (condition m() > 1)
+    if k > 0:
+        c = b[k - 1]
+        matched = False
+        if c == "a":
+            matched = ends("al")
+        elif c == "c":
+            matched = ends("ance") or ends("ence")
+        elif c == "e":
+            matched = ends("er")
+        elif c == "i":
+            matched = ends("ic")
+        elif c == "l":
+            matched = ends("able") or ends("ible")
+        elif c == "n":
+            matched = (ends("ant") or ends("ement") or ends("ment")
+                       or ends("ent"))
+        elif c == "o":
+            matched = ((ends("ion") and j >= 0 and b[j] in ("s", "t"))
+                       or ends("ou"))
+        elif c == "s":
+            matched = ends("ism")
+        elif c == "t":
+            matched = ends("ate") or ends("iti")
+        elif c == "u":
+            matched = ends("ous")
+        elif c == "v":
+            matched = ends("ive")
+        elif c == "z":
+            matched = ends("ize")
+        if matched and m() > 1:
+            k = j
+
+    # step 6: final -e / -ll cleanup (m() measured against the entry k)
+    j = k
+    if b[k] == "e":
+        a = m()
+        if a > 1 or (a == 1 and not cvc(k - 1)):
+            k -= 1
+    if b[k] == "l" and doublec(k) and m() > 1:
+        k -= 1
+
+    return "".join(b[: k + 1])
+
+
+_MISSING = object()
+_english_memo: dict[str, str | None] = {}
+
+
+def english_token_filter(tokens: list[str]) -> list[str | None]:
+    """possessive-strip -> stop-drop -> Porter stem for each token;
+    ``None`` marks a dropped stop word.  Memoized per surface form."""
+    memo = _english_memo
+    out: list[str | None] = []
+    for t in tokens:
+        res = memo.get(t, _MISSING)
+        if res is _MISSING:
+            w = strip_possessive(t)
+            res = None if w in ENGLISH_STOP_WORDS else porter_stem(w)
+            memo[t] = res
+        out.append(res)
+    return out
+
+
+# ASCIIFoldingFilter role (analysis/miscellaneous/ASCIIFoldingFilter.java):
+# fold accented Latin to ASCII.  NFKD + combining-mark strip covers the
+# diacritic block; the table below adds the non-decomposable cases the
+# reference folds explicitly.
+_FOLD_SPECIALS = {
+    "ß": "ss", "æ": "ae", "œ": "oe", "ø": "o",
+    "đ": "d", "ð": "d", "þ": "th", "ł": "l",
+    "ı": "i", "ħ": "h", "ŧ": "t", "ŋ": "n",
+    "Æ": "AE", "Œ": "OE", "Ø": "O", "Đ": "D",
+    "Ð": "D", "Þ": "TH", "Ł": "L",
+}
+
+
+def ascii_fold(text: str) -> str:
+    """Fold non-ASCII Latin letters to their ASCII base (ASCIIFoldingFilter
+    role; agrees with DuckDB strip_accents for combining-mark diacritics)."""
+    if text.isascii():
+        return text
+    import unicodedata
+    out = []
+    for ch in text:
+        if ch.isascii():
+            out.append(ch)
+            continue
+        sp = _FOLD_SPECIALS.get(ch)
+        if sp is not None:
+            out.append(sp)
+            continue
+        d = unicodedata.normalize("NFKD", ch)
+        kept = "".join(c for c in d if not unicodedata.combining(c))
+        out.append(kept if kept.isascii() else ch)
+    return "".join(out)
+
+
+_fold_memo: dict[str, str | None] = {}
+
+
+def fold_token_filter(tokens: list[str]) -> list[str | None]:
+    """ASCIIFoldingFilter as a chain entry (no stop/stem)."""
+    memo = _fold_memo
+    out: list[str | None] = []
+    for t in tokens:
+        res = memo.get(t, _MISSING)
+        if res is _MISSING:
+            res = ascii_fold(t)
+            memo[t] = res
+        out.append(res)
+    return out
+
+
+TOKEN_FILTERS = {
+    "english": english_token_filter,
+    "fold": fold_token_filter,
+}
+
+
+def get_token_filter(name: str | None):
+    """Analyzer name (manifest ``analyzer`` param) -> token filter or None
+    for the plain StandardAnalyzer chain."""
+    if not name or name == "standard":
+        return None
+    try:
+        return TOKEN_FILTERS[name]
+    except KeyError:
+        raise ValueError(f"unknown analyzer {name!r}; "
+                         f"known: standard, {', '.join(TOKEN_FILTERS)}")

@@ -209,7 +209,8 @@ def _build_segment(group: pa.Table, index_dir: str, bases: list[int],
                    keyword_fields: list[str] | None = None,
                    with_term_vectors: bool = False,
                    with_offsets: bool = False,
-                   index_sort: str | None = None) -> pa.Table:
+                   index_sort: str | None = None,
+                   analyzer: str | None = None) -> pa.Table:
     """Key-rank mode group UDF: sort the bucket by dockey, docIDs = bucket
     base + rank (deterministic global key rank)."""
     if group.num_rows == 0:
@@ -220,7 +221,7 @@ def _build_segment(group: pa.Table, index_dir: str, bases: list[int],
                                with_positions, keyword_fields=keyword_fields,
                                with_term_vectors=with_term_vectors,
                                with_offsets=with_offsets,
-                               index_sort=index_sort)
+                               index_sort=index_sort, analyzer=analyzer)
 
 
 def _build_segment_files(batch: pa.Table, index_dir: str,
@@ -228,7 +229,8 @@ def _build_segment_files(batch: pa.Table, index_dir: str,
                          keyword_fields: list[str] | None = None,
                          with_term_vectors: bool = False,
                          with_offsets: bool = False,
-                         index_sort: str | None = None) -> pa.Table:
+                         index_sort: str | None = None,
+                         analyzer: str | None = None) -> pa.Table:
     """Arrival mode task UDF: one input parquet file = one segment, docIDs =
     file base + row index (Lucene's arrival-order docID assignment,
     DocumentsWriterPerThread.java:274) — NO corpus shuffle at all."""
@@ -243,7 +245,8 @@ def _build_segment_files(batch: pa.Table, index_dir: str,
                                        keyword_fields=keyword_fields,
                                        with_term_vectors=with_term_vectors,
                                        with_offsets=with_offsets,
-                                       index_sort=index_sort))
+                                       index_sort=index_sort,
+                                       analyzer=analyzer))
     return pa.concat_tables(out) if out else _empty_seg_lineage()
 
 
@@ -254,7 +257,8 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
                         keyword_fields: list[str] | None = None,
                         with_term_vectors: bool = False,
                         with_offsets: bool = False,
-                        index_sort: str | None = None) -> pa.Table:
+                        index_sort: str | None = None,
+                        analyzer: str | None = None) -> pa.Table:
     t0 = time.time()
     if index_sort == "content_chars":
         # index sorting (index/IndexSorter.java, IndexWriterConfig
@@ -275,11 +279,15 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
     shas = [hashlib.sha256(("" if c is None else c).encode()).digest()
             for c in contents]
     positions = None
+    from .analysis_en import get_token_filter
+    tfilt = get_token_filter(analyzer)
     if with_positions:
         terms_arr, tfs_arr, owners, lengths, norms, positions = \
-            term_freq_batch(contents, with_positions=True)
+            term_freq_batch(contents, with_positions=True,
+                            token_filter=tfilt)
     else:
-        terms_arr, tfs_arr, owners, lengths, norms = term_freq_batch(contents)
+        terms_arr, tfs_arr, owners, lengths, norms = \
+            term_freq_batch(contents, token_filter=tfilt)
 
     n_kw = 0
     if keyword_fields:
@@ -716,6 +724,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                 with_term_vectors: bool = False,
                 with_offsets: bool = False,
                 index_sort: str | None = None,
+                analyzer: str | None = None,
                 overwrite: bool = False) -> IndexManifest:
     """Build (or resume building) an index from a corpus.
 
@@ -771,6 +780,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
         params["with_term_vectors"] = bool(with_term_vectors)
         params["with_offsets"] = bool(with_offsets)
         params["index_sort"] = index_sort
+        params["analyzer"] = analyzer
         bases = np.concatenate([[0], np.cumsum(counts)[:-1]]).tolist()
         plan = {"params": params, "boundaries": [], "mode": "arrival",
                 "files": files, "bucket_counts": counts, "bases": bases,
@@ -790,6 +800,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
         params["with_term_vectors"] = bool(with_term_vectors)
         params["with_offsets"] = bool(with_offsets)
         params["index_sort"] = index_sort
+        params["analyzer"] = analyzer
         boundaries = _boundaries_from_sample(sample_keys,
                                              params["num_buckets"])
         nb = len(boundaries) + 1
@@ -816,6 +827,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                                         with_term_vectors))
     with_offsets = bool(params.get("with_offsets", with_offsets))
     index_sort = params.get("index_sort", index_sort)
+    analyzer = params.get("analyzer", analyzer)
     nb = len(counts)
 
     # --- stage 2: segments (skip finished buckets before the shuffle) ---
@@ -838,7 +850,8 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                                  "keyword_fields": keyword_fields,
                                  "with_term_vectors": with_term_vectors,
                                  "with_offsets": with_offsets,
-                                 "index_sort": index_sort})
+                                 "index_sort": index_sort,
+                                 "analyzer": analyzer})
          .materialize())
     elif todo:
         ds = make_ds().map_batches(_assign_bucket, batch_format="pyarrow",
@@ -857,7 +870,8 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                                   "keyword_fields": keyword_fields,
                                   "with_term_vectors": with_term_vectors,
                                   "with_offsets": with_offsets,
-                                  "index_sort": index_sort})
+                                  "index_sort": index_sort,
+                                  "analyzer": analyzer})
            .materialize())
 
     seg_lineage = []
@@ -1006,6 +1020,7 @@ def append_to_index(index_dir: str, new_corpus: str,
     kw_fields = m.config.get("keyword_fields") or None
     with_tv = bool(m.config.get("with_term_vectors"))
     with_off = bool(m.config.get("with_offsets"))
+    analyzer = m.config.get("analyzer")
     files = sorted(
         os.path.join(new_corpus, f) for f in os.listdir(new_corpus)
         if f.endswith(".parquet")) if os.path.isdir(new_corpus) \
@@ -1033,7 +1048,8 @@ def append_to_index(index_dir: str, new_corpus: str,
                                  "with_positions": with_pos,
                                  "keyword_fields": kw_fields,
                                  "with_term_vectors": with_tv,
-                                 "with_offsets": with_off})
+                                 "with_offsets": with_off,
+                                 "analyzer": analyzer})
          .materialize())
 
     # merge ONLY the new segments, into a fresh salt generation

@@ -2314,3 +2314,149 @@ w AS (
   FROM corpus
 )
 {un}"""
+
+
+# ---------------------------------------------------------------------------
+# English analysis chain (EnglishAnalyzer.java:102-109 role): possessive
+# strip -> stop drop -> Porter stem at index AND query time.
+
+_EN_IDX_CACHE: dict[str, str] = {}
+
+
+def english_index_dir_for(sf_dir: str) -> str:
+    """Build (once, cached) the english-analyzer index for an sf dir."""
+    sf_dir = os.path.abspath(sf_dir)
+    if sf_dir in _EN_IDX_CACHE:
+        return _EN_IDX_CACHE[sf_dir]
+    doc = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha256(
+        f"{sf_dir}:{os.path.getsize(doc)}:english-v1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join("/tmp", "lucene_ray_indexes", tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        build_index(corpus_from_documents(sf_dir), idx, analyzer="english")
+    _EN_IDX_CACHE[sf_dir] = idx
+    return idx
+
+
+def ft_english_doclen(sf_dir: str) -> pa.Table:
+    """Per-doc field length of the english-analyzer index — verifies the
+    StopFilter part of the chain end-to-end (stop words do not count
+    toward field length; analysis/core/StopFilter.java role) with an
+    exact SQL oracle (stop filtering is SQL-expressible, stemming is
+    not: DuckDB's fts/stem() is unavailable offline)."""
+    import ray.data
+
+    idx = english_index_dir_for(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(idx, "docmeta"),
+                               columns=["doc_id", "field_len"])
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "field_len": batch.column("field_len").cast(pa.int64()),
+        })
+
+    return ds.map_batches(fmt, batch_format="pyarrow")
+
+
+def oracle_english_doclen_sql() -> str:
+    from ..analysis_en import ENGLISH_STOP_WORDS
+    stops = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    return f"""WITH {_CORPUS_CTE}
+SELECT c.d AS doc_id,
+       count(t.term) FILTER (WHERE t.term NOT IN ({stops})) AS field_len
+FROM corpus c LEFT JOIN tok t ON c.d = t.d
+GROUP BY c.d"""
+
+
+# (qid, free-text query) — inflected/possessive/stop-containing forms whose
+# Porter stems hit the corpus vocabulary (query->queri<-queries, etc.)
+STEMMED_QUERIES = [(1, "queries"), (2, "valuing customers"),
+                   (3, "tables merged"), (4, "the sorted scans"),
+                   (5, "grouping the rows"), (6, "hashes joined")]
+
+
+def ft_stemmed_search(sf_dir: str) -> pa.Table:
+    """BM25 top-10 over the english-analyzer index: query terms pass the
+    same possessive->stop->Porter chain as the index, so inflected query
+    forms match inflected document forms through their common stem
+    (en/PorterStemFilter.java + QueryBuilder analyzer contract).
+
+    rows-only: scores/ranks depend on stemmed tf/df/field length and
+    DuckDB has no stemmer offline; the Porter algorithm itself is
+    pytest-verified against the published test vectors and the stop/
+    length bookkeeping has the exact ``ft_english_doclen`` oracle."""
+    from ..search import search_blockmax
+
+    r = IndexReader(english_index_dir_for(sf_dir))
+    qids, ranks, docs = [], [], []
+    for qid, q in STEMMED_QUERIES:
+        td = search_blockmax(r, q, k=10)
+        for rank, d in enumerate(td.doc_ids.tolist(), 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(d)
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Shingles (word n-grams) — analysis/shingle/ShingleFilter.java role
+
+def ft_shingles(sf_dir: str, n_top: int = 50) -> pa.Table:
+    """Top-``n_top`` word bigrams over the corpus — ShingleFilter token
+    n-grams (analysis/shingle/ShingleFilter.java:46, ' ' separator)
+    consumed as a distributed stats pipeline: per-batch vectorized
+    bigram formation + partial counts (the combiner), ONE small
+    groupby over the shingle key, exact top-n by (count desc, shingle).
+    Scale shape: the shuffle moves only (shingle, partial_count) rows —
+    bounded by distinct-bigram vocabulary per batch, not token count."""
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..analysis import analyze_batch
+        empty = pa.table({"shingle": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        toks, owners, _, _ = analyze_batch(
+            batch.column("text").to_pylist())
+        t = toks.combine_chunks() if hasattr(toks, "combine_chunks") \
+            else toks
+        if len(t) < 2:
+            return empty
+        left = t.slice(0, len(t) - 1)
+        right = t.slice(1)
+        pairs = pc.binary_join_element_wise(left, right, " ")
+        same_doc = owners[:-1] == owners[1:]
+        vc = pairs.filter(pa.array(same_doc)).value_counts()
+        return pa.table({"shingle": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("shingle").sum("cnt"))
+    out = agg.to_pandas()  # aggregated: one row per distinct bigram
+    out = out.rename(columns={"sum(cnt)": "cnt"})
+    out = out.sort_values(["cnt", "shingle"],
+                          ascending=[False, True]).head(n_top)
+    return pa.table({"shingle": pa.array(out["shingle"], pa.string()),
+                     "cnt": pa.array(out["cnt"], pa.int64())})
+
+
+def oracle_shingles_sql(n_top: int = 50) -> str:
+    return f"""WITH {_CORPUS_CTE},
+w AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+)
+SELECT a.word || ' ' || b.word AS shingle, count(*) AS cnt
+FROM w a JOIN w b ON b.d = a.d AND b.pos = a.pos + 1
+GROUP BY shingle
+ORDER BY cnt DESC, shingle
+LIMIT {n_top}"""

@@ -103,6 +103,20 @@ class IndexReader:
         self.deleted: np.ndarray = (
             np.unique(np.concatenate(parts)) if parts
             else np.empty(0, np.int64))
+        # the index's analysis chain (EnglishAnalyzer role): query text
+        # must pass through the SAME filter the index was built with
+        # (Analyzer.normalize / QueryBuilder contract)
+        from .analysis_en import get_token_filter
+        self.token_filter = get_token_filter(
+            self.manifest.config.get("analyzer"))
+
+    def analyze(self, text: str) -> list[str]:
+        """Tokenize query text with this index's full analysis chain
+        (tokenizer + token filter; stop words drop out)."""
+        toks = tokenize(text)
+        if self.token_filter is None:
+            return toks
+        return [m for m in self.token_filter(toks) if m is not None]
 
     def live_mask(self, docs: np.ndarray) -> "np.ndarray | None":
         """Boolean live-docs mask for a doc array (None = no deletes)."""
@@ -334,7 +348,7 @@ def search_bruteforce(reader: IndexReader, query: str, k: int = 10
                       ) -> TopDocs:
     """Brute-force oracle: decode every block of every clause, accumulate
     float32 scores doc-major, full sort — the CheckHits golden path."""
-    return search_terms_scored(reader, parse_query(query), k)
+    return search_terms_scored(reader, reader.analyze(query), k)
 
 
 def search_terms_scored(reader: IndexReader, terms: list[str], k: int = 10
@@ -530,7 +544,7 @@ def search_blockmax(reader: IndexReader, query: str, k: int = 10, *,
     if k < 1:
         raise ValueError("k must be >= 1 (TopScoreDocCollector requires "
                          "numHits > 0)")
-    terms = parse_query(query)
+    terms = reader.analyze(query)
     sc = Scorers(reader, terms)
     clauses = [(ci, t, sc.postings[t], sc.sim[t])
                for ci, t in enumerate(terms)
@@ -1583,7 +1597,7 @@ def search_phrase(reader: IndexReader, phrase: str, k: int = 10,
     if k < 1:
         raise ValueError("k must be >= 1 (TopScoreDocCollector requires "
                          "numHits > 0)")
-    terms = parse_query(phrase)
+    terms = reader.analyze(phrase)
     if not terms:
         return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0)
     if slop > 0:
@@ -1748,7 +1762,7 @@ def _search_range(reader: IndexReader, query: str, k: int,
     """Exhaustive scoring restricted to docIDs in [lo, hi): decodes only
     blocks whose [first_doc, last_doc] intersects the range (block
     skipping by doc range — the skip-list advance role)."""
-    terms = parse_query(query)
+    terms = reader.analyze(query)
     sc = Scorers(reader, terms)
     all_docs, all_scores, all_clause = [], [], []
     for ci, t in enumerate(terms):
@@ -1902,7 +1916,7 @@ def _eval_parsed(reader: IndexReader, pq_) -> tuple[np.ndarray, np.ndarray]:
 
     def clause_docs_scores(c) -> tuple[np.ndarray, np.ndarray]:
         if c.kind == "phrase":
-            terms = tokenize(c.text)
+            terms = reader.analyze(c.text)
             if not terms:
                 return np.empty(0, np.int64), np.empty(0, np.float32)
             return _phrase_doc_scores(reader, terms, c.boost, slop=c.slop)
@@ -2072,7 +2086,7 @@ def count_hits(reader: IndexReader, query: str) -> int:
     (search/TotalHitCountCollector.java:27). We report exact counts
     (Lucene's >=1000 early termination is an optimization, not a
     semantic; SURVEY.md §7.3)."""
-    terms = parse_query(query)
+    terms = reader.analyze(query)
     docs = [d for t in set(terms)
             if len(d := _term_docset(reader, t))]
     if not docs:
@@ -2085,7 +2099,7 @@ def explain(reader: IndexReader, query: str, doc_id: int) -> dict:
     (search/Weight.explain / BM25Similarity.explain): per matching
     clause, the (df, tf, norm byte, idf, weight, score) breakdown; the
     clause sum is bit-identical to the engine's score for the doc."""
-    terms = parse_query(query)
+    terms = reader.analyze(query)
     sc = Scorers(reader, terms)
     clauses = []
     docs_c, cls_c, scores_c = [], [], []

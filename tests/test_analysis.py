@@ -183,3 +183,94 @@ def test_fastpath_matches_exact_scanner(s):
     expect = dict(Counter(tokenize(s)))
     assert got == expect, s
     assert lengths[0] == sum(expect.values())
+
+
+# ---------------------------------------------------------------------------
+# English analysis chain (analysis_en)
+
+def test_porter_published_vectors():
+    """Porter 1980 examples (the step-1/3/4/5 tables in the paper and in
+    PorterStemmer.java:222-492 comments), incl. the reference deviations
+    (logi->log) and the step-2/6 interactions."""
+    from lucene_ray.analysis_en import porter_stem as s
+    cases = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed",
+        "agreed": "agre", "disabled": "disabl", "matting": "mat",
+        "mating": "mate", "meeting": "meet", "milling": "mill",
+        "messing": "mess", "meetings": "meet", "relational": "relat",
+        "conditional": "condit", "rational": "ration",
+        "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+        "conformabli": "conform", "radicalli": "radic",
+        "differentli": "differ", "vileli": "vile",
+        "analogousli": "analog", "vietnamization": "vietnam",
+        "predication": "predic", "operator": "oper",
+        "feudalism": "feudal", "decisiveness": "decis",
+        "hopefulness": "hope", "callousness": "callous",
+        "formaliti": "formal", "sensitiviti": "sensit",
+        "sensibiliti": "sensibl", "triplicate": "triplic",
+        "formative": "form", "formalize": "formal",
+        "electriciti": "electr", "electrical": "electr",
+        "hopeful": "hope", "goodness": "good", "revival": "reviv",
+        "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens",
+        "irritant": "irrit", "replacement": "replac",
+        "adjustment": "adjust", "dependent": "depend",
+        "adoption": "adopt", "homologou": "homolog",
+        "communism": "commun", "activate": "activ",
+        "angulariti": "angular", "homologous": "homolog",
+        "effective": "effect", "bowdlerize": "bowdler",
+        "probate": "probat", "rate": "rate", "cease": "ceas",
+        "controll": "control", "roll": "roll", "sky": "sky",
+        "sing": "sing", "running": "run",
+        "generalizations": "gener", "oscillators": "oscil",
+        "archaeology": "archaeolog", "logical": "logic",
+        "query": "queri", "queries": "queri", "value": "valu",
+        "values": "valu", "tables": "tabl", "merged": "merg",
+        "ab": "ab", "": "", "y": "y",
+    }
+    bad = {w: (s(w), e) for w, e in cases.items() if s(w) != e}
+    assert not bad, bad
+
+
+def test_english_chain_possessive_stop_stem():
+    from lucene_ray.analysis_en import english_token_filter
+    out = english_token_filter(
+        ["the", "customer's", "orders", "were", "a", "processing"])
+    assert out == [None, "custom", "order", "were", None, "process"]
+    assert english_token_filter(["are", "at", "with"]) == [None] * 3
+    # curly-apostrophe possessive (EnglishPossessiveFilter.java:42-44)
+    assert english_token_filter(["spark’s"]) == ["spark"]
+
+
+def test_term_freq_batch_token_filter_positions_and_lengths():
+    """Stop removal keeps position GAPS (StopFilter positionIncrement
+    role) and field length counts only emitted tokens."""
+    from lucene_ray.analysis import term_freq_batch
+    from lucene_ray.analysis_en import english_token_filter
+
+    terms, tfs, owners, lengths, norms, positions = term_freq_batch(
+        ["the fast scans are scanning the table"],
+        with_positions=True, token_filter=english_token_filter)
+    got = dict(zip(terms.to_pylist(),
+                   [p if isinstance(p, list) else list(p)
+                    for p in positions]))
+    # positions: the(0) fast(1) scans(2) are(3) scanning(4) the(5) table(6)
+    assert got == {"fast": [1], "scan": [2, 4], "tabl": [6]}
+    assert lengths.tolist() == [4]  # fast, scans, scanning, table
+
+    # non-positional path must agree on (term, tf) and lengths
+    t2, tf2, ow2, len2, _ = term_freq_batch(
+        ["the fast scans are scanning the table"],
+        token_filter=english_token_filter)
+    assert sorted(zip(t2.to_pylist(), tf2.tolist())) == \
+        [("fast", 1), ("scan", 2), ("tabl", 1)]
+    assert len2.tolist() == [4]
+
+
+def test_ascii_fold():
+    from lucene_ray.analysis_en import ascii_fold
+    assert ascii_fold("café naïve Müller") == "cafe naive Muller"
+    assert ascii_fold("straße œuvre łódź") == "strasse oeuvre lodz"
+    assert ascii_fold("plain ascii") == "plain ascii"

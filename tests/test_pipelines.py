@@ -716,3 +716,41 @@ def test_interval_containing_minimality(tmp_path, ray_session):
     assert interval_contains_docs(r, ["aa", "bb"], "cc", 9).tolist() == [1]
     assert interval_contains_docs(
         r, ["aa", "bb"], "cc", 9, negate=True).tolist() == [0, 2]
+
+
+def test_english_analyzer_index_end_to_end(tmp_path, ray_session):
+    """EnglishAnalyzer chain through the full distributed build + search:
+    inflected query forms match inflected document forms via their common
+    Porter stem; stop words neither match nor count toward length."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.build import build_index
+    from lucene_ray.search import IndexReader, search_blockmax
+
+    c = tmp_path / "c"
+    c.mkdir()
+    pq.write_table(pa.table({
+        "repo": ["r"] * 3, "path": ["a", "b", "c"], "commit": ["x"] * 3,
+        "lang": ["t"] * 3,
+        "content": ["the customer processed orders",
+                    "a customer's processing order",
+                    "unrelated words only here"],
+    }), c / "a.parquet")
+    idx = str(tmp_path / "i")
+    build_index(str(c), idx, analyzer="english")
+    r = IndexReader(idx)
+    assert r.analyze("customers processing") == ["custom", "process"]
+    assert r.analyze("the a of") == []
+    td = search_blockmax(r, "customers processing", k=10)
+    assert sorted(td.doc_ids.tolist()) == [0, 1]
+    # stop words are not indexed and don't count toward length
+    td2 = search_blockmax(r, "the", k=10)
+    assert td2.doc_ids.tolist() == []
+    import pyarrow.parquet as pq2, os, glob
+    dm = pa.concat_tables([
+        pq2.read_table(f, columns=["doc_id", "field_len"])
+        for f in sorted(glob.glob(os.path.join(idx, "docmeta", "*.parquet")))])
+    lens = dict(zip(dm.column("doc_id").to_pylist(),
+                    dm.column("field_len").to_pylist()))
+    assert lens == {0: 3, 1: 3, 2: 4}
