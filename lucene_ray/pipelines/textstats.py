@@ -164,6 +164,138 @@ def oracle_token_count_sql() -> str:
             f"AS n_bpe_tokens FROM documents")
 
 
+def text_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", table A1 repetition filters) adapted to
+    word units: the fraction of characters covered by the most frequent
+    word unigram / bigram, and the fraction of word-trigram occurrences
+    that are duplicates, plus the keep/drop verdict at the published
+    thresholds.  Map-only (no shuffle); the whole batch is processed with
+    Arrow split/dictionary-encode + np.unique over packed (doc, gramID)
+    keys — no per-row Python loop.
+    """
+    import pyarrow.compute as pc
+
+    def rep(batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        parts = pc.split_pattern(
+            pc.fill_null(batch.column("text"), ""), " ").combine_chunks()
+        flat = pc.list_flatten(parts)
+        owners = np.asarray(pc.list_parent_indices(parts), dtype=np.int64)
+        wlen = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+        n_chars = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n_chars, owners, wlen)
+        denom = np.maximum(n_chars, 1).astype(np.float64)
+
+        def top_frac(keys: pa.Array, own: np.ndarray,
+                     charlen: np.ndarray) -> np.ndarray:
+            """max over distinct grams of count*charlen, per doc."""
+            out = np.zeros(n_docs, dtype=np.int64)
+            if len(keys) == 0:
+                return out.astype(np.float64)
+            d = pc.dictionary_encode(keys)
+            idx = np.asarray(d.indices, dtype=np.int64)
+            packed = (own << np.int64(32)) | idx
+            uniq, first, cnt = np.unique(packed, return_index=True,
+                                         return_counts=True)
+            np.maximum.at(out, (uniq >> np.int64(32)).astype(np.int64),
+                          cnt * charlen[first])
+            return out.astype(np.float64)
+
+        top_uni = top_frac(flat, owners, wlen) / denom
+
+        if len(flat) >= 2:
+            same = owners[:-1] == owners[1:]
+            l_, r_ = flat.slice(0, len(flat) - 1), flat.slice(1)
+            bi = pc.binary_join_element_wise(l_, r_, " ").filter(
+                pa.array(same))
+            bi_len = (wlen[:-1] + wlen[1:])[same]
+            top_bi = top_frac(bi, owners[:-1][same], bi_len) / denom
+        else:
+            top_bi = np.zeros(n_docs, dtype=np.float64)
+
+        n_tri = np.zeros(n_docs, dtype=np.int64)
+        n_tri_distinct = np.zeros(n_docs, dtype=np.int64)
+        if len(flat) >= 3:
+            same3 = (owners[:-2] == owners[1:-1]) & \
+                (owners[1:-1] == owners[2:])
+            tri = pc.binary_join_element_wise(
+                flat.slice(0, len(flat) - 2), flat.slice(1, len(flat) - 2),
+                flat.slice(2), " ").filter(pa.array(same3))
+            town = owners[:-2][same3]
+            np.add.at(n_tri, town, 1)
+            d = pc.dictionary_encode(tri)
+            packed = (town << np.int64(32)) | \
+                np.asarray(d.indices, dtype=np.int64)
+            uniq = np.unique(packed)
+            np.add.at(n_tri_distinct,
+                      (uniq >> np.int64(32)).astype(np.int64), 1)
+        dup_tri = (n_tri - n_tri_distinct) / np.maximum(n_tri, 1)
+
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_word_chars": pa.array(n_chars, pa.int64()),
+            "top_unigram_char_frac": pa.array(top_uni, pa.float64()),
+            "top_bigram_char_frac": pa.array(top_bi, pa.float64()),
+            "dup_trigram_frac": pa.array(dup_tri, pa.float64()),
+            # Gopher table A1 thresholds (2-gram 0.18; dup-fraction 0.30;
+            # unigram threshold from the top-1-gram 0.20 line)
+            "keep_gopher": pa.array((top_uni <= 0.20) & (top_bi <= 0.18)
+                                    & (dup_tri <= 0.30)),
+        })
+
+    return _docs(sf_dir).map_batches(rep, batch_format="pyarrow")
+
+
+def oracle_text_repetition_sql() -> str:
+    return """WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+chars AS (
+  SELECT doc_id, sum(len(word)) AS n_word_chars FROM w GROUP BY doc_id
+),
+uni AS (
+  SELECT doc_id, max(cnt * wl) AS best FROM (
+    SELECT doc_id, word, count(*) AS cnt, len(word) AS wl
+    FROM w GROUP BY doc_id, word, len(word)) GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, max(cnt * wl) AS best FROM (
+    SELECT a.doc_id, count(*) AS cnt, len(a.word) + len(b.word) AS wl
+    FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.doc_id, a.word, b.word, len(a.word) + len(b.word))
+  GROUP BY doc_id
+),
+tri AS (
+  SELECT a.doc_id, count(*) AS n_tri,
+         count(DISTINCT a.word || ' ' || b.word || ' ' || c.word)
+           AS n_distinct
+  FROM w a JOIN w b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+           JOIN w c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  GROUP BY a.doc_id
+)
+SELECT d.doc_id, c.n_word_chars,
+  CAST(coalesce(u.best, 0) AS DOUBLE)
+    / greatest(c.n_word_chars, 1) AS top_unigram_char_frac,
+  CAST(coalesce(b.best, 0) AS DOUBLE)
+    / greatest(c.n_word_chars, 1) AS top_bigram_char_frac,
+  CAST(coalesce(t.n_tri, 0) - coalesce(t.n_distinct, 0) AS DOUBLE)
+    / greatest(coalesce(t.n_tri, 0), 1) AS dup_trigram_frac,
+  (CAST(coalesce(u.best, 0) AS DOUBLE)
+     / greatest(c.n_word_chars, 1) <= 0.20
+   AND CAST(coalesce(b.best, 0) AS DOUBLE)
+     / greatest(c.n_word_chars, 1) <= 0.18
+   AND CAST(coalesce(t.n_tri, 0) - coalesce(t.n_distinct, 0) AS DOUBLE)
+     / greatest(coalesce(t.n_tri, 0), 1) <= 0.30) AS keep_gopher
+FROM documents d
+JOIN chars c USING (doc_id)
+LEFT JOIN uni u USING (doc_id)
+LEFT JOIN bi b USING (doc_id)
+LEFT JOIN tri t USING (doc_id)"""
+
+
 # Karp-Rabin winnowing (window 4 over word-trigram hashes)
 _W = 4
 

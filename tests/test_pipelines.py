@@ -754,3 +754,32 @@ def test_english_analyzer_index_end_to_end(tmp_path, ray_session):
     lens = dict(zip(dm.column("doc_id").to_pylist(),
                     dm.column("field_len").to_pylist()))
     assert lens == {0: 3, 1: 3, 2: 4}
+
+
+def test_text_repetition_signals(tmp_path, ray_session):
+    """Gopher repetition signals on planted cases: a hammering bigram doc
+    is dropped, a clean doc is kept, duplicated trigram runs are counted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.textstats import text_repetition
+
+    texts = [
+        "spam ham " * 20 + "end",                 # top bigram dominates
+        " ".join(f"w{i:02d}" for i in range(30)),  # clean: all grams unique
+        "a b c d a b c d a b c d",                # duplicated trigrams
+        "",
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    out = text_repetition(str(tmp_path)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert not out.loc[0, "keep_gopher"]
+    assert out.loc[0, "top_bigram_char_frac"] > 0.5
+    assert out.loc[1, "keep_gopher"]
+    assert out.loc[1, "dup_trigram_frac"] == 0.0
+    # doc 2: 10 trigram occurrences, 4 distinct (abc, bcd, cda, dab)
+    assert out.loc[2, "dup_trigram_frac"] == (10 - 4) / 10
+    assert out.loc[3, "n_word_chars"] == 0
