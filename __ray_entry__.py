@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_english_doclen": ft.ft_english_doclen,
         "ft_stemmed_search": ft.ft_stemmed_search,
         "ft_shingles": ft.ft_shingles,
+        "ft_distance_feature": ft.ft_distance_feature,
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
@@ -180,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         # verified and its stop/length half has this exact oracle:
         "ft_english_doclen": ft.oracle_english_doclen_sql(),
         "ft_shingles": ft.oracle_shingles_sql(),
+        "ft_distance_feature": ft.oracle_distance_feature_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

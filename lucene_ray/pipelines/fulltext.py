@@ -1787,6 +1787,52 @@ def oracle_len_range_sql() -> str:
     return f"WITH {_CORPUS_CTE}\n{un}"
 
 
+# (qid, origin, pivot, boost) over the field_len value
+DIST_FEATURES = [(1, 40, 5, 1.0), (2, 70, 10, 2.0), (3, 0, 3, 1.0)]
+_DIST_K = 25
+
+
+def ft_distance_feature(sf_dir: str) -> pa.Table:
+    """LongPoint.newDistanceFeatureQuery
+    (document/LongDistanceFeatureQuery.java:40): top-k docs by
+    float32(boost * pivot / (pivot + |field_len - origin|)), ties by
+    doc_id — the recency/proximity boost primitive. Served by the point
+    index's expanding-shell descent (lucene_ray.points
+    distance_feature_topk): row groups far from the origin are pruned,
+    never decoded."""
+    from ..points import distance_feature_topk, ensure_numeric_index
+
+    idx = index_dir_for(sf_dir)
+    ensure_numeric_index(idx, "field_len")
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, origin, pivot, boost in DIST_FEATURES:
+        d, s, _metrics = distance_feature_topk(idx, "field_len", origin,
+                                               pivot, _DIST_K, boost)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(1, len(d) + 1))
+        docs.extend(d.tolist())
+        scores.extend(s.tolist())
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "score": pa.array(np.array(scores, np.float32),
+                                       pa.float32())})
+
+
+def oracle_distance_feature_sql() -> str:
+    rows = []
+    for qid, origin, pivot, boost in DIST_FEATURES:
+        expr = (f"CAST({boost} * (CAST({pivot} AS DOUBLE) / "
+                f"CAST({pivot} + abs(len - {origin}) AS DOUBLE)) AS REAL)")
+        rows.append(f"""SELECT {qid} AS qid, rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY s DESC, d) AS rank,
+         d AS doc_id, s AS score
+  FROM (SELECT d, {expr} AS s FROM dl)
+) WHERE rank <= {_DIST_K}""")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE}\n{un}"
+
+
 # (qid, lat_lo, lat_hi, lon_lo, lon_hi) in micro-degrees, half-open
 GEO_BOXES = [(1, 0, 20_000_000, -30_000_000, 10_000_000),
              (2, -90_000_000, -70_000_000, 100_000_000, 180_000_000),

@@ -83,6 +83,44 @@ def ensure_numeric_index(index_dir: str, field: str) -> dict:
     return build_numeric_index(index_dir, field)
 
 
+def _scan_values(out_dir: str, lineage: dict, field: str, lo: int, hi: int
+                 ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Pruned scan: (doc_ids, values) with lo <= value < hi and the number
+    of row groups actually decoded. Files prune on lineage [vmin, vmax],
+    row groups on Parquet column statistics."""
+    read_rg = 0
+    hit_d: list[np.ndarray] = []
+    hit_v: list[np.ndarray] = []
+    if lo < hi:
+        for rec in lineage["files"]:
+            if rec["vmax"] < lo or rec["vmin"] >= hi:
+                continue                               # file pruned
+            pf = pq.ParquetFile(os.path.join(out_dir, rec["file"]))
+            fidx = pf.schema_arrow.get_field_index(field)
+            groups = []
+            for g in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(g).column(fidx).statistics
+                if st is not None and (st.max < lo or st.min >= hi):
+                    continue                           # row group pruned
+                groups.append(g)
+            if not groups:
+                continue
+            read_rg += len(groups)
+            t = pf.read_row_groups(groups, columns=["doc_id", field])
+            v = t.column(field).to_numpy()
+            d = t.column("doc_id").to_numpy()
+            m = (v >= lo) & (v < hi)
+            hit_d.append(d[m])
+            hit_v.append(v[m])
+    if hit_d:
+        docs = np.concatenate(hit_d).astype(np.int64)
+        vals = np.concatenate(hit_v).astype(np.int64)
+    else:
+        docs = np.empty(0, np.int64)
+        vals = np.empty(0, np.int64)
+    return docs, vals, read_rg
+
+
 def numeric_range(index_dir: str, field: str, lo: int, hi: int
                   ) -> tuple[np.ndarray, dict]:
     """PointRangeQuery: sorted doc_ids with lo <= field < hi, plus pruning
@@ -92,28 +130,62 @@ def numeric_range(index_dir: str, field: str, lo: int, hi: int
     with open(os.path.join(out_dir, "_lineage.json")) as f:
         lineage = json.load(f)
     total_rg = int(sum(r["n_row_groups"] for r in lineage["files"]))
-    read_rg = 0
-    hits: list[np.ndarray] = []
-    for rec in lineage["files"]:
-        if rec["vmax"] < lo or rec["vmin"] >= hi:
-            continue                                   # file pruned
-        pf = pq.ParquetFile(os.path.join(out_dir, rec["file"]))
-        fidx = pf.schema_arrow.get_field_index(field)
-        groups = []
-        for g in range(pf.metadata.num_row_groups):
-            st = pf.metadata.row_group(g).column(fidx).statistics
-            if st is not None and (st.max < lo or st.min >= hi):
-                continue                               # row group pruned
-            groups.append(g)
-        if not groups:
-            continue
-        read_rg += len(groups)
-        t = pf.read_row_groups(groups, columns=["doc_id", field])
-        v = t.column(field).to_numpy()
-        d = t.column("doc_id").to_numpy()
-        m = (v >= lo) & (v < hi)
-        hits.append(d[m])
-    docs = np.sort(np.concatenate(hits)) if hits else np.empty(0, np.int64)
+    docs, _vals, read_rg = _scan_values(out_dir, lineage, field, lo, hi)
     metrics = {"row_groups_total": total_rg, "row_groups_read": read_rg,
                "files_total": len(lineage["files"])}
-    return docs.astype(np.int64), metrics
+    return np.sort(docs), metrics
+
+
+def distance_feature_topk(index_dir: str, field: str, origin: int,
+                          pivot: int, k: int, boost: float = 1.0
+                          ) -> tuple[np.ndarray, np.ndarray, dict]:
+    """Distance feature query — ``LongPoint.newDistanceFeatureQuery``
+    (document/LongDistanceFeatureQuery.java:40): top-k docs by
+    ``(float)(boost * (pivot / (pivot + |value - origin|)))``, ties by
+    doc_id. The reference iterates docs in an ever-narrowing window
+    around the origin, skipping values whose best possible score cannot
+    beat the current k-th (``maxDistance`` updates in its scorer); here
+    the dual: expand shells [origin±w] outward, doubling w, and stop as
+    soon as the k-th collected score strictly beats the best score any
+    value outside the shell could have — distant row groups are never
+    decoded.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    out_dir = os.path.join(index_dir, "points", field)
+    with open(os.path.join(out_dir, "_lineage.json")) as f:
+        lineage = json.load(f)
+    files = lineage["files"]
+    total_rg = int(sum(r["n_row_groups"] for r in files))
+    gmin = min((r["vmin"] for r in files), default=origin)
+    gmax = max((r["vmax"] for r in files), default=origin)
+    docs = np.empty(0, np.int64)
+    vals = np.empty(0, np.int64)
+    read_rg = 0
+    w = max(int(pivot), 1)
+    prev_lo, prev_hi = origin, origin      # empty window so far
+    while True:
+        lo, hi = origin - w, origin + w + 1
+        # scan only the two new shells, not the already-read core
+        for slo, shi in ((lo, prev_lo), (prev_hi, hi)):
+            d, v, rg = _scan_values(out_dir, lineage, field,
+                                    max(slo, lo), min(shi, hi))
+            read_rg += rg
+            if len(d):
+                docs = np.concatenate([docs, d])
+                vals = np.concatenate([vals, v])
+        prev_lo, prev_hi = lo, hi
+        covered = lo <= gmin and hi > gmax
+        if len(docs) >= k or covered:
+            dist = np.abs(vals - origin).astype(np.float64)
+            score = (boost * (float(pivot) / (pivot + dist))) \
+                .astype(np.float32)
+            order = np.lexsort((docs, -score))[:k]
+            # best score achievable outside the shell (distance > w)
+            bound = np.float32(boost * (float(pivot) / (pivot + w + 1)))
+            if covered or (len(order) >= k and score[order[-1]] > bound):
+                metrics = {"row_groups_total": total_rg,
+                           "row_groups_read": read_rg,
+                           "files_total": len(files)}
+                return docs[order], score[order], metrics
+        w *= 2

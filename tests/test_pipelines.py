@@ -783,3 +783,35 @@ def test_text_repetition_signals(tmp_path, ray_session):
     # doc 2: 10 trigram occurrences, 4 distinct (abc, bcd, cda, dab)
     assert out.loc[2, "dup_trigram_frac"] == (10 - 4) / 10
     assert out.loc[3, "n_word_chars"] == 0
+
+
+def test_distance_feature_pruning_and_exactness(tmp_path, ray_session):
+    """Expanding-shell distance feature search equals the brute-force
+    ranking and decodes only row groups near the origin."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.points import build_numeric_index, distance_feature_topk
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 100_000, 60_000)
+    idx = str(tmp_path / "i")
+    (tmp_path / "i" / "docmeta").mkdir(parents=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(vals)), pa.int64()),
+        "v": pa.array(vals, pa.int64()),
+    }), str(tmp_path / "i" / "docmeta" / "b0.parquet"))
+    build_numeric_index(idx, "v")
+    origin, pivot, k, boost = 50_000, 100, 10, 1.5
+    docs, scores, metrics = distance_feature_topk(idx, "v", origin,
+                                                  pivot, k, boost)
+    dist = np.abs(vals - origin).astype(np.float64)
+    ref = (boost * (float(pivot) / (pivot + dist))).astype(np.float32)
+    order = np.lexsort((np.arange(len(vals)), -ref))[:k]
+    assert docs.tolist() == order.tolist()
+    assert np.array_equal(scores, ref[order])
+    # origin sits in a narrow value band: almost everything is pruned
+    assert metrics["row_groups_read"] < metrics["row_groups_total"] / 4
+    # k larger than the corpus: full coverage, still exact
+    d2, s2, _ = distance_feature_topk(idx, "v", 1, 10, 70_000)
+    assert len(d2) == len(vals)
