@@ -82,6 +82,36 @@ class Index:
         upsert_documents(self.index_dir, new_corpus)
         return self.refresh()
 
+    def add_indexes(self, src_index_dir: str) -> "Index":
+        """IndexWriter.addIndexes(Directory...): import another index
+        wholesale, docIDs remapped past the current maxDoc."""
+        from .build import add_indexes
+
+        add_indexes(self.index_dir, src_index_dir)
+        return self.refresh()
+
+    def snapshot(self) -> int:
+        """Pin the current commit (SnapshotDeletionPolicy.snapshot);
+        returns the commit id for open_at/release_snapshot."""
+        from .state.snapshots import create_snapshot
+
+        return create_snapshot(self.index_dir)
+
+    def release_snapshot(self, snapshot_id: int) -> None:
+        from .state.snapshots import release_snapshot
+
+        release_snapshot(self.index_dir, snapshot_id)
+
+    def open_at(self, snapshot_id: int) -> "Index":
+        """Point-in-time view (DirectoryReader.open(IndexCommit)):
+        searches run against the pinned commit while the live index
+        keeps moving. Mutating calls on the returned object still write
+        to the live index — treat it as read-only."""
+        out = Index.__new__(Index)
+        out.index_dir = self.index_dir
+        out.reader = IndexReader(self.index_dir, at_snapshot=snapshot_id)
+        return out
+
     # -- search -----------------------------------------------------------
     def search(self, query: str, k: int = 10, *, pruned: bool = True
                ) -> list[Hit]:

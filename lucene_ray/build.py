@@ -1101,6 +1101,172 @@ def append_to_index(index_dir: str, new_corpus: str,
     return manifest
 
 
+def _shift_docmeta_bucket(batch: pa.Table, *, src_dm: str, dest_dir: str,
+                          offset: int) -> pa.Table:
+    """addIndexes docmeta import task: one src bucket → one dest bucket
+    with doc_ids shifted by the destination's doc_count."""
+    out = []
+    for row in batch.to_pylist():
+        t = pq.read_table(os.path.join(src_dm, row["src_file"]))
+        ids = pc.add(t.column("doc_id"), offset)
+        t = t.set_column(t.schema.get_field_index("doc_id"), "doc_id", ids)
+        dm_path = os.path.join(dest_dir, "docmeta",
+                               f"bucket={row['dest_seg']:05d}.parquet")
+        pq.write_table(t, dm_path + ".tmp")
+        os.replace(dm_path + ".tmp", dm_path)
+        out.append({"dest_seg": row["dest_seg"], "n": t.num_rows})
+    return pa.table({"dest_seg": pa.array([r["dest_seg"] for r in out],
+                                          pa.int64()),
+                     "n": pa.array([r["n"] for r in out], pa.int64())})
+
+
+def add_indexes(index_dir: str, src_dir: str,
+                merge_concurrency: int | tuple | None = None
+                ) -> IndexManifest:
+    """``IndexWriter.addIndexes(Directory...)``
+    (index/IndexWriter.java:3114: import foreign segments wholesale,
+    remapping docIDs past the current maxDoc). Full 128-blocks are
+    delta-coded off the per-block first_doc, so their remap touches only
+    two int64 columns and the packed bytes pass through untouched (the
+    reference's no-re-index fast path); RAW tail blocks carry absolute
+    docIDs and re-pack with the offset applied. Source
+    parts re-bucket to this index's ``term_parts`` and land as one fresh
+    salt generation; docmeta buckets copy with shifted ids; source
+    tombstones carry over shifted. Both indexes must share the analysis/
+    storage config (Lucene's codec-compatibility requirement)."""
+    import ray.data
+
+    m = load_manifest(index_dir)
+    s = load_manifest(src_dir)
+    for key in ("with_positions", "with_offsets", "with_term_vectors",
+                "analyzer", "keyword_fields"):
+        if m.config.get(key) != s.config.get(key):
+            raise ValueError(
+                f"add_indexes: config mismatch on {key!r}: "
+                f"{m.config.get(key)!r} != {s.config.get(key)!r}")
+    if not s.segments:
+        return m
+    offset = m.doc_count
+    seg_base = max((g["seg"] for g in m.segments), default=-1) + 1
+    src_segs = sorted(g["seg"] for g in s.segments)
+    seg_map = {old: seg_base + i for i, old in enumerate(src_segs)}
+
+    # 1. docmeta buckets: distributed copy with shifted doc_ids
+    src_dm = os.path.join(src_dir, "docmeta")
+    items = [{"src_file": f"bucket={old:05d}.parquet",
+              "dest_seg": seg_map[old]} for old in src_segs]
+    (ray.data.from_items(items)
+     .repartition(len(items))
+     .map_batches(_shift_docmeta_bucket, batch_format="pyarrow",
+                  batch_size=1,
+                  fn_kwargs={"src_dm": src_dm, "dest_dir": index_dir,
+                             "offset": offset})
+     .materialize())
+
+    # 2. imported segment lineage (source tagged so append's dedup never
+    #    confuses it with a corpus file)
+    lin_dir = os.path.join(index_dir, "_build", "seg_lineage")
+    os.makedirs(lin_dir, exist_ok=True)
+    for g in s.segments:
+        rec = dict(g)
+        rec["seg"] = seg_map[g["seg"]]
+        rec["source"] = f"addindexes:{os.path.abspath(src_dir)}:" \
+            f"{g.get('source', '')}"
+        atomic_write_json(
+            os.path.join(lin_dir, f"seg_{rec['seg']:05d}.json"), rec)
+
+    # 3. postings: shift doc ranges, re-bucket, one new salt generation
+    T = m.config["term_parts"]
+    salt_base = max((int(p["salt"]) for p in m.postings_parts),
+                    default=-1) + 1
+    src_parts = [os.path.join(src_dir, "postings",
+                              f"part={p['part']}.parquet")
+                 for p in s.postings_parts]
+    seg_old = np.array(src_segs, dtype=np.int64)
+    seg_new = np.array([seg_map[x] for x in src_segs], dtype=np.int64)
+
+    def shift_rows(batch: pa.Table) -> pa.Table:
+        from .codec import _RAW
+
+        terms = batch.column("term").to_pylist()
+        tb = _crc_bucket(terms, T)
+        segv = batch.column("seg").to_numpy().astype(np.int64)
+        remap = np.where(
+            segv >= 0,
+            seg_new[np.minimum(np.searchsorted(seg_old, segv),
+                               len(seg_old) - 1)],
+            segv).astype(np.int32)
+        i = batch.schema.get_field_index
+        batch = batch.set_column(i("first_doc"), "first_doc",
+                                 pc.add(batch.column("first_doc"), offset))
+        batch = batch.set_column(i("last_doc"), "last_doc",
+                                 pc.add(batch.column("last_doc"), offset))
+        batch = batch.set_column(i("seg"), "seg", pa.array(remap))
+        # full blocks are delta-coded off first_doc and pass through; RAW
+        # tail blocks carry absolute docIDs in the payload and re-pack
+        enc = batch.column("docs_enc").to_pylist()
+        dirty = False
+        for j, b in enumerate(enc):
+            if b and b[0] == _RAW:
+                enc[j] = bytes([_RAW]) + (
+                    np.frombuffer(b, "<i8", offset=1) + offset
+                ).astype("<i8").tobytes()
+                dirty = True
+        if dirty:
+            batch = batch.set_column(i("docs_enc"), "docs_enc",
+                                     pa.array(enc, pa.binary()))
+        salt = np.full(batch.num_rows, salt_base, dtype=np.int32)
+        return batch.append_column("tbucket",
+                                   pa.array(tb, pa.int32())) \
+                    .append_column("salt", pa.array(salt, pa.int32()))
+
+    (ray.data.read_parquet(src_parts,
+                           columns=[k for k, _ in POSTINGS_FIELDS])
+     .map_batches(shift_rows, batch_format="pyarrow")
+     .groupby(["tbucket", "salt"])
+     .map_groups(Merger, batch_format="pyarrow",
+                 fn_constructor_args=(index_dir,),
+                 concurrency=merge_concurrency or (1, 8))
+     .materialize())
+
+    # 4. carried-over tombstones
+    src_dd = os.path.join(src_dir, "deletes")
+    if os.path.isdir(src_dd):
+        dead = []
+        for f in sorted(os.listdir(src_dd)):
+            if f.endswith(".parquet"):
+                dead.append(pq.read_table(
+                    os.path.join(src_dd, f),
+                    columns=["doc_id"]).column("doc_id").to_numpy())
+        if dead:
+            delete_docs(index_dir,
+                        np.unique(np.concatenate(dead)) + offset)
+
+    # 5. publish
+    seg_lineage = []
+    for f in sorted(os.listdir(lin_dir)):
+        with open(os.path.join(lin_dir, f)) as fh:
+            seg_lineage.append(json.load(fh))
+    mlin_dir = os.path.join(index_dir, "_build", "merge_lineage")
+    merge_lineage = []
+    for f in sorted(os.listdir(mlin_dir)):
+        with open(os.path.join(mlin_dir, f)) as fh:
+            merge_lineage.append(json.load(fh))
+    manifest = IndexManifest(
+        version=m.version + 1, config=m.config, boundaries=m.boundaries,
+        bases=m.bases + [int(b) + offset for b in s.bases],
+        bucket_counts=m.bucket_counts + s.bucket_counts,
+        # summed, not re-derived from lineage: expunge compaction lowers
+        # doc_count below the lineage totals and must stay lowered
+        doc_count=m.doc_count + s.doc_count,
+        sum_ttf=m.sum_ttf + s.sum_ttf,
+        segments=seg_lineage, postings_parts=merge_lineage,
+        corpus_fingerprint=m.corpus_fingerprint,
+    )
+    save_manifest(index_dir, manifest)
+    return manifest
+
+
 def delete_docs(index_dir: str, doc_ids) -> int:
     """Tombstone a set of docIDs — the live-docs role
     (codecs/lucene90/Lucene90LiveDocsFormat.java:49): an append-only
@@ -1268,8 +1434,19 @@ def compact_index(index_dir: str,
     import ray
     import ray.data
 
+    from .state.snapshots import list_snapshots, protected_postings
+
     m = load_manifest(index_dir)
     T = m.config["term_parts"]
+    snapshots = list_snapshots(index_dir)
+    if expunge_deletes and snapshots:
+        # expunge rewrites docmeta in place, which would corrupt the
+        # snapshots' point-in-time view (SnapshotDeletionPolicy contract:
+        # snapshotted commits must stay openable)
+        raise ValueError(
+            f"compact_index(expunge_deletes=True): release snapshots "
+            f"{snapshots} first (state/snapshots.release_snapshot)")
+    protected = protected_postings(index_dir) if snapshots else set()
     if expunge_deletes:
         deleted, delete_files = _load_deletes(index_dir, return_files=True)
     else:
@@ -1382,6 +1559,8 @@ def compact_index(index_dir: str,
     for path in docmeta_swaps:          # docmeta swap after manifest commit
         os.replace(path + ".tmp", path)
     for f in old_files:                 # old generation removed post-commit
+        if os.path.basename(f) in protected:
+            continue                    # pinned by a live snapshot
         try:
             os.remove(f)
         except FileNotFoundError:

@@ -71,9 +71,19 @@ class IndexReader:
     binary search over the partition's term-sorted rows)."""
 
     def __init__(self, index_dir: str,
-                 extra_deletes: "np.ndarray | None" = None):
+                 extra_deletes: "np.ndarray | None" = None,
+                 at_snapshot: "int | None" = None):
         self.index_dir = index_dir
-        self.manifest: IndexManifest = load_manifest(index_dir)
+        snapshot_deletes: "set[str] | None" = None
+        if at_snapshot is not None:
+            # point-in-time reader: DirectoryReader.open(IndexCommit) role
+            # (index/StandardDirectoryReader.java:93) — the snapshotted
+            # manifest, with only the tombstones visible at snapshot time
+            from .state.snapshots import load_snapshot
+            self.manifest, dfiles = load_snapshot(index_dir, at_snapshot)
+            snapshot_deletes = set(dfiles)
+        else:
+            self.manifest = load_manifest(index_dir)
         self.doc_count = self.manifest.doc_count
         self.sum_ttf = self.manifest.sum_ttf
         self.T = self.manifest.config["term_parts"]
@@ -94,6 +104,8 @@ class IndexReader:
         ddir = os.path.join(index_dir, "deletes")
         if os.path.isdir(ddir):
             for f in sorted(os.listdir(ddir)):
+                if snapshot_deletes is not None and f not in snapshot_deletes:
+                    continue
                 if f.endswith(".parquet"):
                     parts.append(pq.read_table(
                         os.path.join(ddir, f),

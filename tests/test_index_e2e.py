@@ -1265,3 +1265,117 @@ def test_build_from_dataset_source(tmp_path_factory, corpus_path,
     assert r.doc_count == N_DOCS
     a = search_bruteforce(r, "return value", 10)
     assert len(a.doc_ids) > 0
+
+
+def test_add_indexes(tmp_path_factory, ray_session):
+    """addIndexes == one-shot build over the union (same file order ⇒ same
+    docIDs, bit-equal scores); tombstones carry over shifted; incompatible
+    configs are rejected."""
+    import pytest
+
+    from lucene_ray.build import (add_indexes, build_index, delete_docs,
+                                  verify_index)
+
+    d = tmp_path_factory.mktemp("addidx")
+    ca, cb, cab = str(d / "a"), str(d / "b"), str(d / "ab")
+    for p in (ca, cb, cab):
+        os.makedirs(p)
+    t = generate_corpus(200, seed=23)
+    pq.write_table(t.slice(0, 120), os.path.join(ca, "part_a.parquet"))
+    pq.write_table(t.slice(120), os.path.join(cb, "part_b.parquet"))
+    pq.write_table(t.slice(0, 120), os.path.join(cab, "part_a.parquet"))
+    pq.write_table(t.slice(120), os.path.join(cab, "part_b.parquet"))
+
+    ia, ib, iab = str(d / "ia"), str(d / "ib"), str(d / "iab")
+    for src, dst in ((ca, ia), (cb, ib), (cab, iab)):
+        build_index(src, dst, term_parts=4, salt_group=1)
+
+    m = add_indexes(ia, ib)
+    assert m.doc_count == 200
+    r1, r2 = IndexReader(ia), IndexReader(iab)
+    assert r1.doc_count == r2.doc_count and r1.sum_ttf == r2.sum_ttf
+    for q in QUERIES[:8]:
+        a = search_bruteforce(r1, q, 20)
+        b = search_bruteforce(r2, q, 20)
+        np.testing.assert_array_equal(a.doc_ids, b.doc_ids)
+        np.testing.assert_array_equal(a.scores, b.scores)
+    assert verify_index(ia)["ok"]
+
+    # tombstones shift by the destination's pre-add doc_count
+    delete_docs(ib, [3])
+    m2 = add_indexes(iab, ib)
+    assert m2.doc_count == 280
+    assert 203 in IndexReader(iab).deleted.tolist()
+
+    # config mismatch (positions on vs off) is rejected
+    cpos = str(d / "cpos")
+    os.makedirs(cpos)
+    pq.write_table(t.slice(0, 10), os.path.join(cpos, "p.parquet"))
+    ipos = str(d / "ipos")
+    build_index(cpos, ipos, term_parts=4, salt_group=1,
+                with_positions=True)
+    with pytest.raises(ValueError, match="with_positions"):
+        add_indexes(ia, ipos)
+
+
+def test_snapshots_point_in_time(tmp_path_factory, ray_session):
+    """SnapshotDeletionPolicy + DirectoryReader.open(IndexCommit) roles:
+    a snapshot pins its commit across appends, deletes and compaction;
+    the point-in-time reader returns bit-equal pre-change results;
+    expunge refuses while snapshots exist; release + purge reclaims."""
+    import pytest
+
+    from lucene_ray.build import (append_to_index, build_index,
+                                  compact_index, delete_docs)
+    from lucene_ray.state.snapshots import (create_snapshot, list_snapshots,
+                                            protected_postings,
+                                            purge_unreferenced_postings,
+                                            release_snapshot)
+
+    d = tmp_path_factory.mktemp("snap")
+    ca, cb = str(d / "a"), str(d / "b")
+    os.makedirs(ca)
+    os.makedirs(cb)
+    t = generate_corpus(200, seed=31)
+    pq.write_table(t.slice(0, 120), os.path.join(ca, "pa.parquet"))
+    pq.write_table(t.slice(120), os.path.join(cb, "pb.parquet"))
+    idx = str(d / "idx")
+    build_index(ca, idx, term_parts=4, salt_group=1)
+
+    before = {q: search_bruteforce(IndexReader(idx), q, 15)
+              for q in QUERIES[:5]}
+    snap = create_snapshot(idx)
+    assert list_snapshots(idx) == [snap]
+
+    append_to_index(idx, cb)
+    delete_docs(idx, [7])
+    head = IndexReader(idx)
+    assert head.doc_count == 200 and 7 in head.deleted.tolist()
+
+    pit = IndexReader(idx, at_snapshot=snap)
+    assert pit.doc_count == 120 and len(pit.deleted) == 0
+    for q, td in before.items():
+        got = search_bruteforce(pit, q, 15)
+        np.testing.assert_array_equal(got.doc_ids, td.doc_ids)
+        np.testing.assert_array_equal(got.scores, td.scores)
+
+    # compaction must keep the snapshot's files and its reader working
+    with pytest.raises(ValueError, match="release snapshots"):
+        compact_index(idx, expunge_deletes=True)
+    compact_index(idx)
+    pinned = protected_postings(idx)
+    assert pinned and all(
+        os.path.exists(os.path.join(idx, "postings", f)) for f in pinned)
+    pit2 = IndexReader(idx, at_snapshot=snap)
+    for q, td in before.items():
+        np.testing.assert_array_equal(
+            search_bruteforce(pit2, q, 15).doc_ids, td.doc_ids)
+    # HEAD still sees everything after compaction
+    assert IndexReader(idx).doc_count == 200
+
+    release_snapshot(idx, snap)
+    removed = purge_unreferenced_postings(idx)
+    assert removed, "released commit's files should be reclaimable"
+    live = {f"part={p['part']}.parquet"
+            for p in IndexReader(idx).manifest.postings_parts}
+    assert set(os.listdir(os.path.join(idx, "postings"))) == live
