@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_stemmed_search": ft.ft_stemmed_search,
         "ft_shingles": ft.ft_shingles,
         "ft_distance_feature": ft.ft_distance_feature,
+        "ft_geo_polygon": ft.ft_geo_polygon,
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
@@ -182,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_english_doclen": ft.oracle_english_doclen_sql(),
         "ft_shingles": ft.oracle_shingles_sql(),
         "ft_distance_feature": ft.oracle_distance_feature_sql(),
+        "ft_geo_polygon": ft.oracle_geo_polygon_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

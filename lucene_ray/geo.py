@@ -62,11 +62,17 @@ def build_geo_index(index_dir: str, bands: int = N_BANDS,
     files with two-dim lineage; idempotent like the 1D point index."""
     import ray.data
 
+    from .points import _manifest_version, _wipe_derived
+
     out_dir = os.path.join(index_dir, "points", "_geo")
     lineage_path = os.path.join(out_dir, "_lineage.json")
+    mv = _manifest_version(index_dir)
     if os.path.exists(lineage_path):
         with open(lineage_path) as f:
-            return json.load(f)
+            lineage = json.load(f)
+        if lineage.get("manifest_version") == mv:
+            return lineage
+        _wipe_derived(out_dir)            # stale after append/addIndexes
     os.makedirs(out_dir, exist_ok=True)
 
     ds = ray.data.read_parquet(os.path.join(index_dir, "docmeta"),
@@ -112,6 +118,7 @@ def build_geo_index(index_dir: str, bands: int = N_BANDS,
             .take_all())
     lineage = {"bands": bands, "row_group_size": row_group_size,
                "lat_mod": LAT_MOD, "lon_mod": LON_MOD,
+               "manifest_version": mv,
                "files": sorted(rows, key=lambda r: r["file"])}
     atomic_write_json(lineage_path, lineage)
     return lineage
@@ -194,3 +201,31 @@ def geo_distance(index_dir: str, lat: int, lon: int, radius: int
     dy = lo - int(lon)
     m = dx * dx + dy * dy <= int(radius) * int(radius)
     return np.sort(d[m]).astype(np.int64), metrics
+
+
+def geo_polygon(index_dir: str, lats: "list[int]", lons: "list[int]"
+                ) -> tuple[np.ndarray, dict]:
+    """LatLonPoint.newPolygonQuery role (document/LatLonPoint.java:214,
+    geo/Polygon2D.java:40): bounding-box BKD descent, then the exact
+    per-hit containment verify. The reference handles arbitrary polygons
+    through a Polygon2D edge tree; here the convex core with exact
+    int64 half-plane tests (boundary inclusive, CCW vertex order) — the
+    identical prune-then-verify shape with an integer-exact verify the
+    SQL oracle can reproduce."""
+    lats = [int(x) for x in lats]
+    lons = [int(x) for x in lons]
+    if len(lats) != len(lons) or len(lats) < 3:
+        raise ValueError("polygon needs >= 3 (lat, lon) vertices")
+    t, metrics = _scan_box(index_dir, min(lats), max(lats) + 1,
+                           min(lons), max(lons) + 1)
+    la = t.column("lat").to_numpy().astype(np.int64)
+    lo = t.column("lon").to_numpy().astype(np.int64)
+    d = t.column("doc_id").to_numpy()
+    inside = np.ones(len(d), dtype=bool)
+    n = len(lats)
+    for i in range(n):
+        y1, x1 = lats[i], lons[i]
+        y2, x2 = lats[(i + 1) % n], lons[(i + 1) % n]
+        # CCW edge: interior is the non-negative cross-product side
+        inside &= (x2 - x1) * (la - y1) - (y2 - y1) * (lo - x1) >= 0
+    return np.sort(d[inside]).astype(np.int64), metrics

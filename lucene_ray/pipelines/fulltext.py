@@ -1884,6 +1884,48 @@ geo AS (
   FROM corpus
 )"""
 
+# (qid, [(lat, lon), ...]) convex, CCW, micro-degrees
+GEO_POLYGONS = [
+    (1, [(-20_000_000, -40_000_000), (-20_000_000, 40_000_000),
+         (30_000_000, 50_000_000), (45_000_000, 0),
+         (30_000_000, -50_000_000)]),
+    (2, [(60_000_000, 100_000_000), (55_000_000, 160_000_000),
+         (85_000_000, 130_000_000)]),
+]
+
+
+def ft_geo_polygon(sf_dir: str) -> pa.Table:
+    """LatLonPoint.newPolygonQuery (document/LatLonPoint.java:214) over
+    the banded 2D point index: bbox descent + exact int64 half-plane
+    containment verify (convex core of the Polygon2D edge tree)."""
+    from ..geo import build_geo_index, geo_polygon
+
+    idx = index_dir_for(sf_dir)
+    build_geo_index(idx)
+    qids, docs = [], []
+    for qid, pts in GEO_POLYGONS:
+        hits, _metrics = geo_polygon(idx, [p[0] for p in pts],
+                                     [p[1] for p in pts])
+        qids.extend([qid] * len(hits))
+        docs.extend(hits.tolist())
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def oracle_geo_polygon_sql() -> str:
+    rows = []
+    for qid, pts in GEO_POLYGONS:
+        n = len(pts)
+        conds = []
+        for i in range(n):
+            (y1, x1), (y2, x2) = pts[i], pts[(i + 1) % n]
+            conds.append(f"({x2} - {x1}) * (lat - {y1}) - "
+                         f"({y2} - {y1}) * (lon - {x1}) >= 0")
+        rows.append(f"SELECT {qid} AS qid, d AS doc_id FROM geo "
+                    f"WHERE {' AND '.join(conds)}")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE},{_GEO_CTE}\n{un}"
+
 
 def oracle_geo_box_sql() -> str:
     rows = []

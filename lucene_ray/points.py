@@ -42,10 +42,14 @@ def build_numeric_index(index_dir: str, field: str,
 
     out_dir = os.path.join(index_dir, "points", field)
     lineage_path = os.path.join(out_dir, "_lineage.json")
+    mv = _manifest_version(index_dir)
     if os.path.exists(lineage_path):
         with open(lineage_path) as f:
-            return json.load(f)
-    os.makedirs(out_dir, exist_ok=True)
+            lineage = json.load(f)
+        if lineage.get("manifest_version") == mv:
+            return lineage
+        _wipe_derived(out_dir)        # stale: docmeta moved on (append/
+    os.makedirs(out_dir, exist_ok=True)  # addIndexes bumped the manifest)
 
     ds = ray.data.read_parquet(os.path.join(index_dir, "docmeta"),
                                columns=["doc_id", field])
@@ -74,9 +78,26 @@ def build_numeric_index(index_dir: str, field: str,
             .map_batches(write_part, batch_format="pyarrow")
             .take_all())
     lineage = {"field": field, "row_group_size": row_group_size,
+               "manifest_version": mv,
                "files": sorted(rows, key=lambda r: (r["vmin"], r["file"]))}
     atomic_write_json(lineage_path, lineage)
     return lineage
+
+
+def _manifest_version(index_dir: str) -> "int | None":
+    """Index manifest version (None for bare docmeta dirs without a
+    manifest, e.g. standalone point-index tests)."""
+    try:
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            return int(json.load(f)["version"])
+    except (FileNotFoundError, KeyError, ValueError):
+        return None
+
+
+def _wipe_derived(out_dir: str) -> None:
+    for f in os.listdir(out_dir):
+        if f.endswith(".parquet") or f.endswith(".json"):
+            os.remove(os.path.join(out_dir, f))
 
 
 def ensure_numeric_index(index_dir: str, field: str) -> dict:

@@ -1379,3 +1379,27 @@ def test_snapshots_point_in_time(tmp_path_factory, ray_session):
     live = {f"part={p['part']}.parquet"
             for p in IndexReader(idx).manifest.postings_parts}
     assert set(os.listdir(os.path.join(idx, "postings"))) == live
+
+
+def test_point_index_invalidated_by_append(tmp_path_factory, ray_session):
+    """Derived point indexes rebuild when the manifest moves (append /
+    addIndexes) instead of serving a stale doc set."""
+    from lucene_ray.build import append_to_index, build_index
+    from lucene_ray.points import ensure_numeric_index, numeric_range
+
+    d = tmp_path_factory.mktemp("ptstale")
+    ca, cb = str(d / "a"), str(d / "b")
+    os.makedirs(ca)
+    os.makedirs(cb)
+    t = generate_corpus(150, seed=41)
+    pq.write_table(t.slice(0, 100), os.path.join(ca, "pa.parquet"))
+    pq.write_table(t.slice(100), os.path.join(cb, "pb.parquet"))
+    idx = str(d / "idx")
+    build_index(ca, idx, term_parts=2, salt_group=1)
+    ensure_numeric_index(idx, "field_len")
+    docs1, _ = numeric_range(idx, "field_len", 0, 10**9)
+    assert len(docs1) == 100
+    append_to_index(idx, cb)
+    ensure_numeric_index(idx, "field_len")       # must detect staleness
+    docs2, _ = numeric_range(idx, "field_len", 0, 10**9)
+    assert len(docs2) == 150
