@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "token_count_bpe": textstats.token_count_bpe,
             "doc_fingerprint": textstats.doc_fingerprint,
             "text_repetition": textstats.text_repetition,
+            "doc_keywords": textstats.doc_keywords,
             "ann_cosine_topk": ann.ann_cosine_topk,
             "ann_ivf_topk": ann.ann_ivf_topk,
             "ann_hnsw_topk": ann.ann_hnsw_topk,
@@ -200,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
             "lang_id": textstats.oracle_lang_id_sql(),
             "token_count_bpe": textstats.oracle_token_count_sql(),
             "text_repetition": textstats.oracle_text_repetition_sql(),
+            "doc_keywords": textstats.oracle_doc_keywords_sql(),
             "ann_cosine_topk": ann.oracle_ann_sql(),
             "ann_ivf_topk": ann.oracle_ann_sql(),
             "ann_hnsw_topk": ann.oracle_ann_sql(),

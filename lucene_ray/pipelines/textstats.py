@@ -296,6 +296,111 @@ LEFT JOIN bi b USING (doc_id)
 LEFT JOIN tri t USING (doc_id)"""
 
 
+_KEYWORDS_K = 5
+
+
+def doc_keywords(sf_dir: str, k: int = _KEYWORDS_K):
+    """Per-doc top-k keyword extraction by tf/df — the MoreLikeThis
+    "interesting terms" role (queries/mlt/MoreLikeThis.java:60
+    retrieveInterestingTerms) as a corpus-tagging stage. Scored with the
+    linear-idf variant (score = tf/df, one IEEE float64 division) so the
+    ordering is bit-reproducible in SQL; the reference's tf·idf log
+    weighting orders differently only through the log's curvature.
+
+    Scale shape: pass 1 computes global df with per-batch partial counts
+    (tf rows are unique per (doc, term), so counting them per term IS the
+    distinct-doc count) and ONE small groupby over the vocabulary; the
+    (term, df) map is broadcast once via ray.put — vocabulary grows
+    sublinearly in corpus size (Heaps' law); for vocabularies beyond
+    driver memory the dedup-style term-shuffle join is the documented
+    alternative. Pass 2 is map-only: vectorized tf + searchsorted df
+    lookup + per-doc segmented top-k, no Python over rows."""
+    import ray
+    import ray.data
+    import pyarrow.compute as pc
+
+    def tf_pairs(batch: pa.Table
+                 ) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+        """(owners, terms, tfs) unique per (doc, term), vectorized."""
+        parts = pc.split_pattern(
+            pc.fill_null(batch.column("text"), ""), " ").combine_chunks()
+        flat = pc.list_flatten(parts)
+        owners = np.asarray(pc.list_parent_indices(parts), dtype=np.int64)
+        d = pc.dictionary_encode(flat)
+        idx = np.asarray(d.indices, dtype=np.int64)
+        key = (owners << np.int64(32)) | idx
+        uniq, tf = np.unique(key, return_counts=True)
+        own = (uniq >> np.int64(32)).astype(np.int64)
+        terms = d.dictionary.take(
+            pa.array((uniq & np.int64(0xFFFFFFFF)).astype(np.int64)))
+        return own, terms, tf.astype(np.int64)
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        _, terms, _ = tf_pairs(batch)
+        vc = pc.value_counts(terms)
+        return pa.table({"term": vc.field("values"),
+                         "df": vc.field("counts").cast(pa.int64())})
+
+    df_tbl = (_docs(sf_dir, ("text",))
+              .map_batches(partial_df, batch_format="pyarrow")
+              .groupby("term").sum("df")).to_pandas()
+    vocab = np.array(df_tbl["term"], dtype=object)
+    order = np.argsort(vocab)
+    vocab = vocab[order]
+    dfs = np.asarray(df_tbl["sum(df)"], dtype=np.int64)[order]
+    ref = ray.put((vocab, dfs))
+
+    def topk(batch: pa.Table) -> pa.Table:
+        vocab, dfs = ray.get(ref)
+        own, terms, tf = tf_pairs(batch)
+        t_np = np.array(terms.to_pylist(), dtype=object)
+        pos = np.searchsorted(vocab, t_np)
+        df = dfs[pos]
+        score = tf.astype(np.float64) / df
+        # per-doc top-k: sort by (doc, -score, term), keep first k per doc
+        o = np.lexsort((t_np, -score, own))
+        own, t_np, tf, df, score = (own[o], t_np[o], tf[o], df[o],
+                                    score[o])
+        starts = np.concatenate([[0], np.flatnonzero(
+            own[1:] != own[:-1]) + 1])
+        rank = np.arange(len(own)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(own)]])))
+        keep = rank < k
+        doc_ids = batch.column("doc_id").to_numpy()
+        return pa.table({
+            "doc_id": pa.array(doc_ids[own[keep]], pa.int64()),
+            "rank": pa.array(rank[keep] + 1, pa.int64()),
+            "term": pa.array(t_np[keep].tolist(), pa.string()),
+            "tf": pa.array(tf[keep], pa.int64()),
+            "df": pa.array(df[keep], pa.int64()),
+            "score": pa.array(score[keep], pa.float64()),
+        })
+
+    return _docs(sf_dir).map_batches(topk, batch_format="pyarrow")
+
+
+def oracle_doc_keywords_sql(k: int = _KEYWORDS_K) -> str:
+    return f"""WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) / df.df AS score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term
+         ) AS rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, rank, term, tf, df, score FROM s WHERE rank <= {k}"""
+
+
 # Karp-Rabin winnowing (window 4 over word-trigram hashes)
 _W = 4
 

@@ -815,3 +815,29 @@ def test_distance_feature_pruning_and_exactness(tmp_path, ray_session):
     # k larger than the corpus: full coverage, still exact
     d2, s2, _ = distance_feature_topk(idx, "v", 1, 10, 70_000)
     assert len(d2) == len(vals)
+
+
+def test_doc_keywords_rarity_ranking(tmp_path, ray_session):
+    """tf/df keyword extraction: a corpus-rare word outranks a common one
+    at equal tf; higher tf wins at equal df; ties break by term."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.textstats import doc_keywords
+
+    texts = ["common rare common zebra common",
+             "common words here",
+             "common words again"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    out = doc_keywords(str(tmp_path), k=3).to_pandas()
+    d0 = out[out.doc_id == 0].sort_values("rank")
+    # df: common=3, rare=1, zebra=1; tf in doc0: common=3, rare=1, zebra=1
+    # scores: common 3/3=1.0, rare 1.0, zebra 1.0 -> tie, term asc
+    assert d0["term"].tolist() == ["common", "rare", "zebra"]
+    d1 = out[out.doc_id == 1].sort_values("rank")
+    # words df=2 tf=1 -> 0.5; here df=1 tf=1 -> 1.0; common 1/3
+    assert d1["term"].tolist() == ["here", "words", "common"]
+    assert d1["score"].tolist() == [1.0, 0.5, 1.0 / 3.0]
