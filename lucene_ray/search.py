@@ -121,6 +121,9 @@ class IndexReader:
         from .analysis_en import get_token_filter
         self.token_filter = get_token_filter(
             self.manifest.config.get("analyzer"))
+        # filter doc-set cache (LRUQueryCache role); lives and dies with
+        # this reader, which pins one commit
+        self.query_cache = QueryCache()
 
     def analyze(self, text: str) -> list[str]:
         """Tokenize query text with this index's full analysis chain
@@ -815,14 +818,62 @@ def search_query_batch(index_dir: str, queries: list[tuple[str, str, int]],
 # ---------------------------------------------------------------------------
 # Boolean doc-set algebra + term dictionary scans (SURVEY.md §2.5/§2.9)
 
+class QueryCache:
+    """Filter doc-set cache — the LRUQueryCache
+    (search/LRUQueryCache.java:70) + UsageTrackingQueryCachingPolicy
+    (search/UsageTrackingQueryCachingPolicy.java:34) roles. Caches the
+    materialized doc-set of non-scoring (filter) sub-queries. Admission
+    is usage-tracked: a key enters the cache only on its ``min_freq``-th
+    sighting (the policy's "don't cache one-off queries"); eviction is
+    least-recently-used past ``max_entries``. The cache hangs off ONE
+    reader, which pins one commit, so invalidation is by construction —
+    reopening after a refresh yields a fresh cache, Lucene's
+    per-coreCacheKey segmenting collapsed to the reader level."""
+
+    def __init__(self, max_entries: int = 256, min_freq: int = 2,
+                 history: int = 256):
+        from collections import OrderedDict, deque
+
+        self.max_entries = max_entries
+        self.min_freq = min_freq
+        self._data: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
+        self._recent: "deque[tuple]" = deque(maxlen=history)
+        self.hit_count = 0
+        self.miss_count = 0
+        self.eviction_count = 0
+
+    def get_or_compute(self, key: tuple, supplier) -> np.ndarray:
+        if key in self._data:
+            self.hit_count += 1
+            self._data.move_to_end(key)
+            return self._data[key]
+        self.miss_count += 1
+        val = supplier()
+        self._recent.append(key)
+        seen = sum(1 for k in self._recent if k == key)
+        if seen >= self.min_freq:
+            self._data[key] = val
+            if len(self._data) > self.max_entries:
+                self._data.popitem(last=False)
+                self.eviction_count += 1
+        return val
+
+    @property
+    def cache_count(self) -> int:
+        return len(self._data)
+
+
 def _term_docset(reader: IndexReader, term: str) -> np.ndarray:
-    p = reader.postings(term)
-    if p is None:
-        return np.empty(0, dtype=np.int64)
-    d, _, _, _ = decode_blocks(p.first_doc, p.n, p.docs_enc, p.tfs_enc,
-                               p.norms_enc)
-    lm = reader.live_mask(d)
-    return d if lm is None else d[lm]
+    def compute() -> np.ndarray:
+        p = reader.postings(term)
+        if p is None:
+            return np.empty(0, dtype=np.int64)
+        d, _, _, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                   p.tfs_enc, p.norms_enc)
+        lm = reader.live_mask(d)
+        return d if lm is None else d[lm]
+
+    return reader.query_cache.get_or_compute(("term", term), compute)
 
 
 def search_boolean(reader: IndexReader, must: list[str] | None = None,

@@ -1403,3 +1403,29 @@ def test_point_index_invalidated_by_append(tmp_path_factory, ray_session):
     ensure_numeric_index(idx, "field_len")       # must detect staleness
     docs2, _ = numeric_range(idx, "field_len", 0, 10**9)
     assert len(docs2) == 150
+
+
+def test_query_cache_lru_and_policy(index_dir, ray_session):
+    """LRUQueryCache + usage-tracking admission: a filter doc-set enters
+    the cache on its 2nd sighting, repeat lookups hit, LRU evicts, and
+    cached results stay identical to fresh computation."""
+    from lucene_ray.search import QueryCache, _term_docset
+
+    r = IndexReader(index_dir)
+    qc = r.query_cache
+    a1 = _term_docset(r, "return")
+    assert qc.hit_count == 0 and qc.cache_count == 0   # 1st sighting
+    a2 = _term_docset(r, "return")
+    assert qc.cache_count == 1                         # admitted on 2nd
+    a3 = _term_docset(r, "return")
+    assert qc.hit_count == 1                           # now served cached
+    np.testing.assert_array_equal(a1, a2)
+    np.testing.assert_array_equal(a1, a3)
+    fresh = IndexReader(index_dir)
+    np.testing.assert_array_equal(a1, _term_docset(fresh, "return"))
+
+    small = QueryCache(max_entries=2, min_freq=1)
+    for key in ("a", "b", "c"):
+        small.get_or_compute((key,), lambda: np.arange(3))
+    assert small.eviction_count == 1 and small.cache_count == 2
+    assert ("a",) not in small._data and ("c",) in small._data
