@@ -99,6 +99,54 @@ def build_feature_index(index_dir: str, name: str,
     return out_dir
 
 
+def update_feature_values(index_dir: str, name: str, doc_ids,
+                          values) -> int:
+    """In-place numeric docvalue updates —
+    ``IndexWriter.updateNumericDocValue`` (index/IndexWriter.java:1911)
+    semantics: Lucene rewrites a new docvalues *generation* file next to
+    the immutable segment (index/ReadersAndUpdates.java:63 role) rather
+    than re-indexing the doc. Here: an append-only overlay generation
+    under ``features/<name>/updates/``; readers apply latest-wins at
+    lookup. Only docs already carrying the feature are affected (the
+    reference likewise requires the field to exist for the doc)."""
+    ids = np.asarray(list(doc_ids), dtype=np.int64)
+    freqs = encode_feature(np.asarray(list(values), dtype=np.float32))
+    if len(ids) != len(freqs):
+        raise ValueError("doc_ids and values must align")
+    order = np.argsort(ids, kind="stable")
+    udir = os.path.join(index_dir, "features", name, "updates")
+    os.makedirs(udir, exist_ok=True)
+    gen = len([f for f in os.listdir(udir) if f.endswith(".parquet")])
+    path = os.path.join(udir, f"gen_{gen:05d}.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                             "freq": pa.array(freqs[order], pa.int32())}),
+                   path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return len(ids)
+
+
+def _load_feature_updates(fdir: str
+                          ) -> "tuple[np.ndarray, np.ndarray] | None":
+    """Fold all update generations latest-wins → (sorted docs, freqs)."""
+    udir = os.path.join(fdir, "updates")
+    if not os.path.isdir(udir):
+        return None
+    gens = sorted(f for f in os.listdir(udir) if f.endswith(".parquet"))
+    if not gens:
+        return None
+    docs_parts, freq_parts = [], []
+    for f in gens:
+        t = pq.read_table(os.path.join(udir, f))
+        docs_parts.append(t.column("doc_id").to_numpy())
+        freq_parts.append(t.column("freq").to_numpy())
+    docs = np.concatenate(docs_parts)
+    freqs = np.concatenate(freq_parts)
+    # latest generation wins: reverse, keep first occurrence per doc
+    rdocs = docs[::-1]
+    uniq, first = np.unique(rdocs, return_index=True)
+    return uniq.astype(np.int64), freqs[::-1][first].astype(np.int64)
+
+
 def feature_scores(index_dir: str, name: str, function: str = "saturation",
                    boost: float = 1.0, pivot: float = 64.0,
                    scaling: float = 1.0
@@ -111,7 +159,15 @@ def feature_scores(index_dir: str, name: str, function: str = "saturation",
             for f in sorted(os.listdir(fdir)) if f.endswith(".parquet")]
     t = pa.concat_tables(tabs)
     docs = t.column("doc_id").to_numpy()
-    v = decode_feature(t.column("freq").to_numpy())
+    freqs = t.column("freq").to_numpy().astype(np.int64)
+    up = _load_feature_updates(fdir)
+    if up is not None:                 # docvalues update generations
+        udocs, ufreqs = up
+        pos = np.minimum(np.searchsorted(udocs, docs), len(udocs) - 1)
+        hit = udocs[pos] == docs
+        freqs = freqs.copy()
+        freqs[hit] = ufreqs[pos[hit]]
+    v = decode_feature(freqs)
     if function == "saturation":
         s = saturation_score(v, boost, pivot)
     elif function == "log":

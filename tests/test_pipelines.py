@@ -841,3 +841,38 @@ def test_doc_keywords_rarity_ranking(tmp_path, ray_session):
     # words df=2 tf=1 -> 0.5; here df=1 tf=1 -> 1.0; common 1/3
     assert d1["term"].tolist() == ["here", "words", "common"]
     assert d1["score"].tolist() == [1.0, 0.5, 1.0 / 3.0]
+
+
+def test_feature_docvalue_updates(tmp_path, ray_session):
+    """updateNumericDocValue semantics: update generations overlay the
+    stored feature latest-wins without rewriting base buckets; untouched
+    docs keep their values."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.features import (build_feature_index, feature_scores,
+                                     update_feature_values)
+
+    idx = str(tmp_path / "i")
+    os.makedirs(os.path.join(idx, "docmeta"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "field_len": pa.array([i + 1 for i in range(10)], pa.int64()),
+    }), os.path.join(idx, "docmeta", "bucket=00000.parquet"))
+    build_feature_index(idx, "rank")
+    docs0, s0 = feature_scores(idx, "rank", boost=1.0, pivot=64.0)
+    base = dict(zip(docs0.tolist(), s0.tolist()))
+
+    update_feature_values(idx, "rank", [3, 7], [100.0, 200.0])
+    update_feature_values(idx, "rank", [7], [50.0])     # latest wins
+    docs1, s1 = feature_scores(idx, "rank", boost=1.0, pivot=64.0)
+    got = dict(zip(docs1.tolist(), s1.tolist()))
+    assert got[3] == np.float32(np.float32(100.0) / np.float32(164.0))
+    assert got[7] == np.float32(np.float32(50.0) / np.float32(114.0))
+    for d in set(base) - {3, 7}:
+        assert got[d] == base[d]
+    # base bucket files untouched (generational, not rewritten)
+    assert sorted(os.listdir(os.path.join(idx, "features", "rank"))) == \
+        ["bucket=00000.parquet", "updates"]
