@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_shingles": ft.ft_shingles,
         "ft_distance_feature": ft.ft_distance_feature,
         "ft_geo_polygon": ft.ft_geo_polygon,
+        "ft_combined_field": ft.ft_combined_field,
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
@@ -185,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_shingles": ft.oracle_shingles_sql(),
         "ft_distance_feature": ft.oracle_distance_feature_sql(),
         "ft_geo_polygon": ft.oracle_geo_polygon_sql(),
+        "ft_combined_field": ft.oracle_combined_field_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

@@ -1884,6 +1884,199 @@ geo AS (
   FROM corpus
 )"""
 
+# ---------------------------------------------------------------------------
+# CombinedFieldQuery / BM25F (sandbox/search/CombinedFieldQuery.java:67):
+# body + synthetic title (first _TITLE_WORDS words) as parallel indexes.
+
+_TITLE_WORDS = 5
+CF_W_BODY, CF_W_TITLE = 1.0, 2.0     # integral weights: the Java float
+# accumulation chains (freq sum, norm sum, weighted-long stats) are exact
+# for them, so the SQL oracle can use plain integer arithmetic where the
+# engine runs the general float chains (pytest covers fractional weights)
+CF_QUERIES = [(1, "query merge"), (2, "spark window table"),
+              (3, "customer data"), (4, "vector")]
+_CF_K = 10
+
+_TITLE_IDX_CACHE: dict[str, str] = {}
+
+
+def title_index_dir_for(sf_dir: str) -> str:
+    """Build (once) the parallel title-field index: content = first
+    _TITLE_WORDS words of text, SAME dockeys as the body index (commit =
+    sha of the FULL text) so docIDs align field-to-field."""
+    import hashlib as _h
+
+    import ray.data
+
+    sf_dir = os.path.abspath(sf_dir)
+    if sf_dir in _TITLE_IDX_CACHE:
+        return _TITLE_IDX_CACHE[sf_dir]
+    doc = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha256(
+        f"{sf_dir}:{os.path.getsize(doc)}:title-v1".encode()
+    ).hexdigest()[:12]
+    idx = os.path.join("/tmp", "lucene_ray_indexes", tag)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        ds = ray.data.read_parquet(
+            doc, columns=["doc_id", "text", "lang", "source"])
+
+        def to_corpus(batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            ids = batch.column("doc_id").to_pylist()
+            commits = [_h.sha256(("" if t is None else t).encode())
+                       .hexdigest()[:40] for t in texts]
+            titles = [" ".join((t or "").split(" ")[:_TITLE_WORDS])
+                      for t in texts]
+            return pa.table({
+                "repo": batch.column("source"),
+                "path": pa.array([f"doc_{i:08d}.txt" for i in ids]),
+                "commit": pa.array(commits),
+                "lang": batch.column("lang"),
+                "content": pa.array(titles, pa.string()),
+            })
+
+        build_index(ds.map_batches(to_corpus, batch_format="pyarrow"), idx)
+    _TITLE_IDX_CACHE[sf_dir] = idx
+    return idx
+
+
+def ft_combined_field(sf_dir: str) -> pa.Table:
+    """BM25F top-k over (body w=1, title w=2) — CombinedFieldQuery
+    semantics end-to-end: merged pseudo stats, float32 weighted-freq sum,
+    MultiNormsLeafSimScorer's re-quantized combined norm, ONE synthetic
+    clause per query."""
+    from ..combined import combined_field_search
+
+    rb = reader_for(sf_dir)
+    rt = IndexReader(title_index_dir_for(sf_dir))
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, q in CF_QUERIES:
+        td = combined_field_search([(rb, CF_W_BODY), (rt, CF_W_TITLE)],
+                                   q, k=_CF_K)
+        for rank, (d, s) in enumerate(
+                zip(td.doc_ids.tolist(), td.scores.tolist()), 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(d)
+            scores.append(s)
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "score": pa.array(np.array(scores, np.float32),
+                                       pa.float32())})
+
+
+def _quant_case(var: str) -> str:
+    """SmallFloat.intToByte4 → byte4ToInt round-trip of an int expr."""
+    return f"""CASE WHEN {var} < 24 THEN {var}
+         ELSE 24 + (
+           CASE WHEN ({var} - 24) < 8 THEN ({var} - 24)
+                ELSE ((({var} - 24) >> (CAST(floor(log2({var} - 24)) AS INT) - 3)) & 7 | 8)
+                     << (CAST(floor(log2({var} - 24)) AS INT) - 3)
+           END)
+    END"""
+
+
+def oracle_combined_field_sql() -> str:
+    wb, wt = int(CF_W_BODY), int(CF_W_TITLE)
+    terms_rows = []
+    for qid, q in CF_QUERIES:
+        for t in q.split():
+            terms_rows.append(f"({qid}, '{t}')")
+    body = f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+qterms(qid, term) AS (VALUES {', '.join(terms_rows)}),
+title AS (
+  SELECT d, array_to_string(list_slice(string_split(text, ' '), 1,
+                            {_TITLE_WORDS}), ' ') AS ttext
+  FROM corpus
+),
+ttok AS (
+  SELECT d, unnest(string_split(ttext, ' ')) AS term FROM title
+),
+ttf AS (
+  SELECT d, term, count(*) AS tf FROM ttok GROUP BY d, term
+),
+tdl AS (
+  SELECT t.d, count(k.term) AS len FROM title t
+  LEFT JOIN ttok k ON k.d = t.d GROUP BY t.d
+),
+tquant AS (
+  SELECT d, len, {_quant_case('len')} AS qlen FROM tdl
+),
+tdf AS (
+  SELECT term, count(*) AS df FROM ttf GROUP BY term
+),
+-- pseudo stats: df = max over (field, term); avgdl from weighted sumTTF
+pseudo AS (
+  SELECT q.qid,
+    max(greatest(coalesce(f.df, 0), coalesce(g.df, 0))) AS df
+  FROM qterms q
+  LEFT JOIN df f ON f.term = q.term
+  LEFT JOIN tdf g ON g.term = q.term
+  GROUP BY q.qid
+),
+consts AS (
+  SELECT (SELECT n_docs FROM stats) AS n_docs,
+         (SELECT sum_ttf FROM stats) * {wb}
+           + (SELECT count(*) FROM ttok) * {wt} AS sum_ttf_pseudo
+),
+-- combined norm: w_b*qlen_b + w_t*qlen_t (exact ints), Math.round no-op,
+-- re-quantized through intToByte4/byte4ToInt
+norms AS (
+  SELECT b.d, {_quant_case(f'(b.qlen * {wb} + t.qlen * {wt})')} AS rq
+  FROM quant b JOIN tquant t USING (d)
+),
+-- combined freq per (qid, doc): w_b*Σtf_body + w_t*Σtf_title (exact ints)
+fr AS (
+  SELECT q.qid, x.d, CAST(sum(x.wtf) AS BIGINT) AS f
+  FROM qterms q JOIN (
+    SELECT term, d, tf * {wb} AS wtf FROM tf
+    UNION ALL
+    SELECT term, d, tf * {wt} AS wtf FROM ttf
+  ) x ON x.term = q.term
+  GROUP BY q.qid, x.d
+),
+idfw AS (
+  SELECT qid, CAST(ln(1 + ((SELECT n_docs FROM stats) - df + 0.5)
+                   / (df + 0.5)) AS REAL) AS w
+  FROM pseudo WHERE df > 0
+),
+-- norm_inverse_cache ops, one float32 step per column (bm25.py:47-56)
+s1 AS (
+  SELECT fr.qid, fr.d, fr.f, n.rq,
+         CAST(CAST(c.sum_ttf_pseudo AS DOUBLE) / c.n_docs AS REAL) AS avgdl
+  FROM fr JOIN norms n ON n.d = fr.d CROSS JOIN consts c
+),
+s2 AS (
+  SELECT qid, d, f,
+    CAST(CAST(0.25 AS REAL) +
+         CAST(CAST(CAST(0.75 AS REAL) * CAST(rq AS REAL) AS REAL)
+              / avgdl AS REAL) AS REAL) AS inner_v
+  FROM s1
+),
+s3 AS (
+  SELECT qid, d, f,
+    CAST(CAST(1.0 AS REAL) / CAST(CAST(1.2 AS REAL) * inner_v AS REAL)
+         AS REAL) AS ni
+  FROM s2
+),
+scored AS (
+  SELECT s3.qid, s3.d,
+    CAST(w.w - CAST(w.w / CAST(CAST(1.0 AS REAL) +
+         CAST(CAST(s3.f AS REAL) * s3.ni AS REAL) AS REAL) AS REAL)
+    AS REAL) AS score
+  FROM s3 JOIN idfw w ON w.qid = s3.qid
+),
+ranked AS (
+  SELECT qid, d AS doc_id, score, row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, d ASC) AS rank
+  FROM scored
+)
+SELECT qid, rank, doc_id, score FROM ranked WHERE rank <= {_CF_K}"""
+    return body
+
+
 # (qid, [(lat, lon), ...]) convex, CCW, micro-degrees
 GEO_POLYGONS = [
     (1, [(-20_000_000, -40_000_000), (-20_000_000, 40_000_000),

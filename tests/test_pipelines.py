@@ -876,3 +876,52 @@ def test_feature_docvalue_updates(tmp_path, ray_session):
     # base bucket files untouched (generational, not rewritten)
     assert sorted(os.listdir(os.path.join(idx, "features", "rank"))) == \
         ["bucket=00000.parquet", "updates"]
+
+
+def test_combined_field_bm25f(tmp_path, ray_session):
+    """CombinedFieldQuery: a title hit (w=2) outranks a body-only hit;
+    fractional weights run the exact Java accumulation chains."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.build import build_index
+    from lucene_ray.combined import (_java_weighted_long_sum,
+                                     combined_field_search)
+    from lucene_ray.search import IndexReader
+
+    # Java: long acc += (double)(float)w * v, truncating each step
+    assert _java_weighted_long_sum([(1.5, 7)]) == 10       # 10.5 -> 10
+    assert _java_weighted_long_sum([(1.0, 3), (0.3, 10)]) == 6  # 3+3.0000001
+
+    def write_corpus(d, contents):
+        os.makedirs(d)
+        pq.write_table(pa.table({
+            "repo": ["r"] * len(contents),
+            "path": [f"p{i}" for i in range(len(contents))],
+            "commit": ["c"] * len(contents),
+            "lang": ["t"] * len(contents),
+            "content": contents,
+        }), os.path.join(d, "a.parquet"))
+
+    body = ["zebra apple words here now",     # zebra in body only
+            "apple words here now third",     # zebra in title only (below)
+            "unrelated filler text rows"]
+    title = ["apple one", "zebra one", "none two"]
+    write_corpus(str(tmp_path / "cb"), body)
+    write_corpus(str(tmp_path / "ct"), title)
+    build_index(str(tmp_path / "cb"), str(tmp_path / "ib"))
+    build_index(str(tmp_path / "ct"), str(tmp_path / "it"))
+    rb, rt = IndexReader(str(tmp_path / "ib")), IndexReader(str(tmp_path / "it"))
+
+    td = combined_field_search([(rb, 1.0), (rt, 2.0)], "zebra", k=3)
+    assert td.doc_ids.tolist() == [1, 0]      # title hit (w=2) first
+    assert td.scores[0] > td.scores[1]
+    # fractional weights still rank the title hit first and score finite
+    td2 = combined_field_search([(rb, 0.7), (rt, 1.9)], "zebra", k=3)
+    assert td2.doc_ids.tolist() == [1, 0]
+    assert np.isfinite(td2.scores).all()
+    # empty / non-matching queries
+    assert len(combined_field_search([(rb, 1.0)], "", 5).doc_ids) == 0
+    assert len(combined_field_search([(rb, 1.0)], "absent", 5).doc_ids) == 0
