@@ -1418,13 +1418,24 @@ def _drop_deleted_rows(batch: pa.Table, dref) -> pa.Table:
 
 def compact_index(index_dir: str,
                   merge_concurrency: int | tuple | None = None,
-                  expunge_deletes: bool = False) -> IndexManifest:
+                  expunge_deletes: bool = False,
+                  max_merge_at_once: int | None = None,
+                  tier_factor: float = 10.0) -> IndexManifest:
     """Compaction — the TieredMergePolicy/forceMerge role
     (index/TieredMergePolicy.java:76, IndexWriter.forceMerge): collapse all
     postings generations (salt groups) of each term-hash bucket into one
     partition. Full 128-blocks pass through; accumulated tails re-block.
     Old parts are replaced under a new manifest version (two-phase: new
     files written first, manifest rename, then old files removed).
+
+    ``max_merge_at_once=None`` is forceMerge(1): every multi-generation
+    bucket collapses fully. With ``max_merge_at_once=N`` the NATURAL
+    TieredMergePolicy selection runs instead (TieredMergePolicy.java:76
+    maxMergeAtOnce + size tiers): per bucket, merge only the up-to-N
+    smallest generations whose sizes lie within ``tier_factor`` of each
+    other — big generations are never rewritten just to absorb a small
+    one, which keeps total write amplification O(N log N) instead of the
+    rewrite-everything O(N^2) at 100-TB scale.
 
     ``expunge_deletes``: squeeze tombstoned docs out of the postings and
     docmeta (Lucene's merge applying liveDocs), update doc_count/sum_ttf
@@ -1451,25 +1462,46 @@ def compact_index(index_dir: str,
         deleted, delete_files = _load_deletes(index_dir, return_files=True)
     else:
         deleted, delete_files = np.empty(0, np.int64), []
-    by_bucket: dict[int, list[str]] = {}
+    by_bucket: dict[int, list[dict]] = {}
     for p in m.postings_parts:
-        by_bucket.setdefault(int(p["tbucket"]), []).append(p["part"])
-    # tiered selection (TieredMergePolicy role): without deletes, only
+        by_bucket.setdefault(int(p["tbucket"]), []).append(p)
+    # merge selection (TieredMergePolicy role): without deletes, only
     # buckets holding several generations need a merge — single-
     # generation buckets keep their files untouched; with expunge, every
-    # bucket could hold deleted postings, so all participate.
+    # bucket could hold deleted postings, so all participate. With
+    # max_merge_at_once set, the natural-merge size-tier scan picks, per
+    # bucket, the largest run (>=2, <=N) of size-sorted generations whose
+    # sizes stay within tier_factor of the run's smallest — big
+    # generations never rewrite just to absorb small ones.
+    selected: set[str] = set()
     if len(deleted):
-        todo_buckets = set(by_bucket)
+        selected = {p["part"] for p in m.postings_parts}
     else:
-        todo_buckets = {b for b, v in by_bucket.items() if len(v) > 1}
-    if not todo_buckets:
+        for parts in by_bucket.values():
+            if len(parts) < 2:
+                continue
+            if max_merge_at_once is None:          # forceMerge(1)
+                selected.update(p["part"] for p in parts)
+                continue
+            cand = sorted(parts, key=lambda p: int(p.get("bytes", 0)))
+            sizes = [max(int(p.get("bytes", 0)), 1) for p in cand]
+            best: list[dict] = []
+            for i in range(len(cand) - 1):
+                j = i
+                while (j + 1 < len(cand) and j + 1 - i < max_merge_at_once
+                        and sizes[j + 1] <= tier_factor * sizes[i]):
+                    j += 1
+                if j > i and j - i + 1 > len(best):
+                    best = cand[i:j + 1]
+            if len(best) >= 2:
+                selected.update(p["part"] for p in best)
+    if not selected:
         return m
     old_files = [os.path.join(index_dir, "postings",
                               f"part={p['part']}.parquet")
-                 for p in m.postings_parts
-                 if int(p["tbucket"]) in todo_buckets]
+                 for p in m.postings_parts if p["part"] in selected]
     kept_parts = [p for p in m.postings_parts
-                  if int(p["tbucket"]) not in todo_buckets]
+                  if p["part"] not in selected]
 
     gen = max(int(p["salt"]) for p in m.postings_parts) + 1
     pds = ray.data.read_parquet(old_files,

@@ -1429,3 +1429,54 @@ def test_query_cache_lru_and_policy(index_dir, ray_session):
         small.get_or_compute((key,), lambda: np.arange(3))
     assert small.eviction_count == 1 and small.cache_count == 2
     assert ("a",) not in small._data and ("c",) in small._data
+
+
+def test_tiered_merge_selection(tmp_path_factory, ray_session):
+    """Natural TieredMergePolicy selection: small same-tier generations
+    merge; the big base generation's files are not rewritten; search
+    results stay identical; forceMerge(1) still fully collapses."""
+    from lucene_ray.build import append_to_index, compact_index
+
+    d = tmp_path_factory.mktemp("tiered")
+    big, small = str(d / "big"), []
+    os.makedirs(big)
+    t = generate_corpus(400, seed=51)
+    pq.write_table(t.slice(0, 310), os.path.join(big, "base.parquet"))
+    idx = str(d / "idx")
+    build_index(big, idx, term_parts=2, salt_group=1)
+    for i in range(3):
+        c = str(d / f"s{i}")
+        os.makedirs(c)
+        pq.write_table(t.slice(310 + 30 * i, 30),
+                       os.path.join(c, f"s{i}.parquet"))
+        append_to_index(idx, c)
+        small.append(c)
+    m0 = IndexReader(idx).manifest
+    base_parts = {p["part"] for p in m0.postings_parts
+                  if int(p["salt"]) == 0}
+    assert len({int(p["salt"]) for p in m0.postings_parts}) == 4
+    before = {q: search_bruteforce(IndexReader(idx), q, 15)
+              for q in QUERIES[:5]}
+
+    m1 = compact_index(idx, max_merge_at_once=8, tier_factor=3.0)
+    # base generation untouched (still listed, file still present)
+    assert base_parts <= {p["part"] for p in m1.postings_parts}
+    for p in base_parts:
+        assert os.path.exists(
+            os.path.join(idx, "postings", f"part={p}.parquet"))
+    # the three small generations collapsed into one new generation
+    salts1 = {int(p["salt"]) for p in m1.postings_parts}
+    assert len(salts1) == 2
+    r1 = IndexReader(idx)
+    for q, td in before.items():
+        got = search_bruteforce(r1, q, 15)
+        np.testing.assert_array_equal(got.doc_ids, td.doc_ids)
+        np.testing.assert_array_equal(got.scores, td.scores)
+
+    # forceMerge(1): full collapse still available
+    m2 = compact_index(idx)
+    assert len({int(p["salt"]) for p in m2.postings_parts}) == 1
+    r2 = IndexReader(idx)
+    for q, td in before.items():
+        np.testing.assert_array_equal(
+            search_bruteforce(r2, q, 15).doc_ids, td.doc_ids)
