@@ -359,6 +359,27 @@ def _accumulate(docs: np.ndarray, clause_ids: np.ndarray,
     return uniq, acc.astype(np.float32)
 
 
+def _accumulate_clausewise(parts, max_doc: int
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Dense-array accumulation: float64 adds per doc in ascending clause
+    order — bit-identical to :func:`_accumulate`'s (doc, clause) lexsort
+    order, without the O(n log n) sort. ``parts`` is [(clause_id, docs,
+    scores), ...] with each doc at most once per clause. Wins on heavy
+    disjunctions where the contribution count rivals max_doc."""
+    acc = np.zeros(max_doc, dtype=np.float64)
+    hit = np.zeros(max_doc, dtype=bool)
+    for _, d, s in sorted(parts, key=lambda x: x[0]):
+        acc[d] += s.astype(np.float64)
+        hit[d] = True
+    uniq = np.flatnonzero(hit).astype(np.int64)
+    return uniq, acc[uniq].astype(np.float32)
+
+
+def _use_dense(max_doc: int, n_contrib: int) -> bool:
+    """Dense pays one O(max_doc) pass; sparse pays O(n log n) sort."""
+    return 0 < max_doc <= max(1 << 20, 8 * n_contrib)
+
+
 def search_bruteforce(reader: IndexReader, query: str, k: int = 10
                       ) -> TopDocs:
     """Brute-force oracle: decode every block of every clause, accumulate
@@ -396,9 +417,18 @@ def search_terms_scored(reader: IndexReader, terms: list[str], k: int = 10
     if not all_docs:
         return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0,
                        nblocks, nblocks)
-    uniq, final = _accumulate(np.concatenate(all_docs),
-                              np.concatenate(all_clause),
-                              np.concatenate(all_scores))
+    n_contrib = sum(len(d) for d in all_docs)
+    # maxDoc from the data: doc_count understates it after expunge
+    # (docIDs are never renumbered)
+    maxd = 1 + max((int(d.max()) if len(d) else -1) for d in all_docs)
+    if _use_dense(maxd, n_contrib):
+        uniq, final = _accumulate_clausewise(
+            [(int(c[0]) if len(c) else 0, d, s) for d, s, c in
+             zip(all_docs, all_scores, all_clause)], maxd)
+    else:
+        uniq, final = _accumulate(np.concatenate(all_docs),
+                                  np.concatenate(all_clause),
+                                  np.concatenate(all_scores))
     d, s = _topk(uniq, final, k)
     return TopDocs(d, s, len(uniq), nblocks, nblocks)
 
@@ -611,16 +641,54 @@ def search_blockmax(reader: IndexReader, query: str, k: int = 10, *,
     cand_docs = np.empty(0, dtype=np.int64)
     cand_lb = np.empty(0, dtype=np.float64)
     blocks_decoded = 0
+    blocks_skipped = 0
+    exhaust_rest = False
     for rank, oi in enumerate(order):
         ci, t, p, sim = clauses[oi]
         nb = len(p.n)
         remaining_after = suffix[rank + 1]
+        def score_exhaustive(ci=ci, p=p, sim=sim):
+            """Plain bulk scoring of one clause — no candidate
+            bookkeeping (rank-safe: a superset of the pruned work)."""
+            nonlocal blocks_decoded
+            rmask = range_blocks(p)
+            need = np.flatnonzero(rmask)
+            if len(need) == 0:
+                return
+            d, tf, nm, _ = decode_blocks(
+                p.first_doc[need], p.n[need],
+                [p.docs_enc[int(b)] for b in need],
+                [p.tfs_enc[int(b)] for b in need],
+                [p.norms_enc[int(b)] for b in need])
+            s = sim.score(tf, nm)
+            d, s = range_filter(d, s)
+            lm = reader.live_mask(d)
+            if lm is not None:
+                d, s = d[lm], s[lm]
+            if len(d):
+                contrib_d.append(d)
+                contrib_c.append(np.full(len(d), ci, dtype=np.int32))
+                contrib_s.append(s)
+            blocks_decoded += len(need)
+
+        if exhaust_rest:
+            score_exhaustive()
+            continue
         if len(cand_lb) >= k:
             theta = max(t0, float(np.partition(cand_lb, len(cand_lb) - k)[
                 len(cand_lb) - k]))
         else:
             theta = t0
         can_skip_new = (suffix[rank] + eps) < theta
+        if rank >= 1 and blocks_skipped == 0 and not can_skip_new:
+            # cost-based cutover (BooleanScorerSupplier.java:290 role:
+            # pick the plain bulk scorer when pruning can't pay): a full
+            # clause in with zero skipped blocks and no wholesale skip
+            # available now means impacts are flat here — score the rest
+            # exhaustively, drop the candidate bookkeeping
+            exhaust_rest = True
+            score_exhaustive()
+            continue
         rmask = range_blocks(p)
 
         def cand_reachable(blo, bhi):
@@ -657,6 +725,7 @@ def search_blockmax(reader: IndexReader, query: str, k: int = 10, *,
                 (competitive | cand_reachable(blo, bhi)) & rmask)
         else:
             need = np.flatnonzero(rmask)
+        blocks_skipped += int(rmask.sum()) - len(need)
         if len(need) == 0:
             continue
         bdocs, bscores = [], []
@@ -694,6 +763,7 @@ def search_blockmax(reader: IndexReader, query: str, k: int = 10, *,
                     scores_seen = np.sort(scores_seen)[-k:]
                 decoded += len(chunk)
             blocks_decoded += decoded
+            blocks_skipped += len(order_b) - decoded
         else:
             d, tf, nm, _ = decode_blocks(
                 p.first_doc[need], p.n[need],
@@ -750,9 +820,16 @@ def search_blockmax(reader: IndexReader, query: str, k: int = 10, *,
     if not contrib_d:
         return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0,
                        blocks_decoded, blocks_total)
-    uniq, final = _accumulate(np.concatenate(contrib_d),
-                              np.concatenate(contrib_c),
-                              np.concatenate(contrib_s))
+    n_contrib = sum(len(d) for d in contrib_d)
+    maxd = 1 + max((int(d.max()) if len(d) else -1) for d in contrib_d)
+    if lo is None and hi is None and _use_dense(maxd, n_contrib):
+        uniq, final = _accumulate_clausewise(
+            [(int(c[0]) if len(c) else 0, d, s) for d, s, c in
+             zip(contrib_d, contrib_s, contrib_c)], maxd)
+    else:
+        uniq, final = _accumulate(np.concatenate(contrib_d),
+                                  np.concatenate(contrib_c),
+                                  np.concatenate(contrib_s))
     d, s = _topk(uniq, final, k)
     return TopDocs(d, s, len(uniq), blocks_decoded, blocks_total)
 
