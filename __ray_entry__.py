@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_distance_feature": ft.ft_distance_feature,
         "ft_geo_polygon": ft.ft_geo_polygon,
         "ft_combined_field": ft.ft_combined_field,
+        "ft_synonym_graph": ft.ft_synonym_graph,
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_distance_feature": ft.oracle_distance_feature_sql(),
         "ft_geo_polygon": ft.oracle_geo_polygon_sql(),
         "ft_combined_field": ft.oracle_combined_field_sql(),
+        "ft_synonym_graph": ft.oracle_synonym_graph_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

@@ -1345,6 +1345,117 @@ def oracle_synonym_sql() -> str:
     return f"WITH {_CORPUS_CTE},\n{_QUANT_LEN}\n{un}"
 
 
+# (qid, groups, k): each group = list of alternatives; an alternative is
+# a token tuple (len 1 = TermQuery, len > 1 = exact PhraseQuery side path)
+SYN_GRAPH = [
+    (1, [[("query",), ("table", "scan")], [("merge",)]], 10),
+    (2, [[("spark",)], [("window",), ("batch", "stream")]], 10),
+    (3, [[("customer",), ("data", "row", "value")]], 10),
+]
+
+
+def ft_synonym_graph(sf_dir: str) -> pa.Table:
+    """Multi-word query-time synonyms (SynonymGraphFilter.java:66 +
+    QueryBuilder.analyzeGraphBoolean, util/QueryBuilder.java:682): each
+    position-group is a SHOULD of term/phrase alternatives; group scores
+    sum per doc."""
+    from ..search import search_synonym_graph
+
+    r = reader_for(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, groups, k in SYN_GRAPH:
+        td = search_synonym_graph(r, [[list(a) for a in g]
+                                      for g in groups], k)
+        for rank, (d, s) in enumerate(
+                zip(td.doc_ids.tolist(), td.scores.tolist()), 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(d)
+            scores.append(s)
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "score": pa.array(np.array(scores, np.float32),
+                                       pa.float32())})
+
+
+def oracle_synonym_graph_sql() -> str:
+    def R(x: str) -> str:            # one float32-rounded step
+        return f"CAST({x} AS REAL)"
+
+    avgdl = R("CAST((SELECT sum_ttf FROM stats) AS DOUBLE) / "
+              "(SELECT n_docs FROM stats)")
+    num = R(f"{R('0.75')} * {R('q.qlen')}")
+    inner = R(f"{R('0.25')} + {R(f'{num} / {avgdl}')}")
+    k1_inner = R(f"{R('1.2')} * {inner}")
+    ni = f"({R('1.0')} / {k1_inner})"
+
+    def idf(df_expr: str) -> str:
+        return (f"CAST(ln(1 + ((SELECT n_docs FROM stats) - {df_expr} "
+                f"+ 0.5) / ({df_expr} + 0.5)) AS REAL)")
+
+    def bm25_score(w: str, tf_expr: str) -> str:
+        denom = R(f"{R('1.0')} + {R(f'{R(tf_expr)} * {ni}')}")
+        return R(f"{w} - {R(f'{w} / {denom}')}")
+
+    clause_sqls = []
+    for qid, groups, _k in SYN_GRAPH:
+        for group in groups:
+            for alt in group:
+                if len(alt) == 1:
+                    w = idf("f.df")
+                    clause_sqls.append(
+                        f"SELECT {qid} AS qid, t.d AS d, "
+                        f"{bm25_score(w, 't.tf')} AS s\n"
+                        f"FROM tf t JOIN df f ON f.term = t.term "
+                        f"JOIN quant q ON q.d = t.d "
+                        f"WHERE t.term = '{alt[0]}'")
+                else:
+                    joins = ["w w0"]
+                    conds = [f"w0.word = '{alt[0]}'"]
+                    for i in range(1, len(alt)):
+                        joins.append(f"JOIN w w{i} ON w{i}.d = w0.d "
+                                     f"AND w{i}.pos = w0.pos + {i}")
+                        conds.append(f"w{i}.word = '{alt[i]}'")
+                    ph = (f"SELECT w0.d, count(*) AS freq FROM "
+                          f"{' '.join(joins)} WHERE "
+                          f"{' AND '.join(conds)} GROUP BY w0.d")
+                    # scorer_multi: double sum of per-term float32 idfs,
+                    # one float32 cast (bm25.py:97-120)
+                    parts = " + ".join(
+                        f"CAST((SELECT {idf('df')} FROM df "
+                        f"WHERE term = '{t}') AS DOUBLE)" for t in alt)
+                    w = f"CAST({parts} AS REAL)"
+                    clause_sqls.append(
+                        f"SELECT {qid} AS qid, p.d AS d, "
+                        f"{bm25_score(w, 'p.freq')} AS s\n"
+                        f"FROM ({ph}) p JOIN quant q ON q.d = p.d")
+    un = "\nUNION ALL\n".join(clause_sqls)
+    ks = ", ".join(f"({qid}, {k})" for qid, _g, k in SYN_GRAPH)
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+w AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+),
+clauses AS (
+{un}
+),
+ks(qid, k) AS (VALUES {ks}),
+totals AS (
+  SELECT qid, d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+  FROM clauses GROUP BY qid, d
+),
+ranked AS (
+  SELECT qid, d AS doc_id, score, row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, d ASC) AS rank
+  FROM totals
+)
+SELECT r.qid, r.rank, r.doc_id, r.score
+FROM ranked r JOIN ks ON ks.qid = r.qid WHERE r.rank <= ks.k"""
+
+
 def ft_dismax(sf_dir: str) -> pa.Table:
     """DisjunctionMaxQuery (tie_breaker=0) → (qid, rank, doc_id)."""
     from ..search import search_dismax

@@ -1988,6 +1988,55 @@ def _phrase_doc_scores(reader: IndexReader, terms: list[str], boost: float,
     return docs, sim.score(tf, norms)
 
 
+def search_synonym_graph(reader: IndexReader,
+                         groups: "list[list[list[str]]]",
+                         k: int = 10) -> TopDocs:
+    """Query-time multi-word synonym expansion — the
+    SynonymGraphFilter + QueryBuilder.analyzeGraphBoolean role
+    (analysis/synonym/SynonymGraphFilter.java:66,
+    util/QueryBuilder.java:682): each position-group of the token graph
+    becomes a SHOULD disjunction of its alternatives, a single-token
+    alternative scoring as a TermQuery and a multi-token side path as a
+    PhraseQuery (exact positions); group scores sum per doc like any
+    SHOULD boolean. ``groups`` is [[alt, ...], ...] with each ``alt`` a
+    token list (len 1 = term, len >1 = phrase)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    all_d, all_c, all_s = [], [], []
+    ci = 0
+    for group in groups:
+        for alt in group:
+            if len(alt) == 1:
+                p = reader.postings(alt[0])
+                if p is not None:
+                    sim = bm25.scorer(p.df, reader.doc_count,
+                                      reader.sum_ttf)
+                    d, tf, nm, _ = decode_blocks(
+                        p.first_doc, p.n, p.docs_enc, p.tfs_enc,
+                        p.norms_enc)
+                    s = sim.score(tf, nm)
+                    lm = reader.live_mask(d)
+                    if lm is not None:
+                        d, s = d[lm], s[lm]
+                else:
+                    d = np.empty(0, np.int64)
+                    s = np.empty(0, np.float32)
+            else:
+                d, s = _phrase_doc_scores(reader, list(alt), 1.0)
+            if len(d):
+                all_d.append(d)
+                all_c.append(np.full(len(d), ci, dtype=np.int32))
+                all_s.append(s)
+            ci += 1
+    if not all_d:
+        return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0)
+    uniq, final = _accumulate(np.concatenate(all_d),
+                              np.concatenate(all_c),
+                              np.concatenate(all_s))
+    d, s = _topk(uniq, final, k)
+    return TopDocs(d, s, len(uniq))
+
+
 def _content_terms_only(reader: IndexReader, t: pa.Table) -> pa.Table:
     """Drop keyword-field 'field:value' terms from a dictionary view —
     default-field multi-term expansion must not leak keyword terms."""

@@ -925,3 +925,34 @@ def test_combined_field_bm25f(tmp_path, ray_session):
     # empty / non-matching queries
     assert len(combined_field_search([(rb, 1.0)], "", 5).doc_ids) == 0
     assert len(combined_field_search([(rb, 1.0)], "absent", 5).doc_ids) == 0
+
+
+def test_synonym_graph_multiword(tmp_path, ray_session):
+    """Multi-word synonym side paths: docs matching the phrase
+    alternative score and rank alongside term-alternative docs; a doc
+    with the words NOT adjacent does not match the phrase clause."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.build import build_index
+    from lucene_ray.search import search_synonym_graph, IndexReader
+
+    c = str(tmp_path / "c")
+    os.makedirs(c)
+    pq.write_table(pa.table({
+        "repo": ["r"] * 4, "path": [f"p{i}" for i in range(4)],
+        "commit": ["x"] * 4, "lang": ["t"] * 4,
+        "content": ["ny is big",                 # term alternative
+                    "new york is big",           # phrase alternative
+                    "york new order",            # words present, wrong order
+                    "nothing matching here"],
+    }), os.path.join(c, "a.parquet"))
+    idx = str(tmp_path / "i")
+    build_index(c, idx, with_positions=True)
+    r = IndexReader(idx)
+    td = search_synonym_graph(r, [[["ny"], ["new", "york"]]], k=10)
+    assert sorted(td.doc_ids.tolist()) == [0, 1]
+    # both alternatives of the group matched one doc each, scores > 0
+    assert (td.scores > 0).all()
