@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_fingerprint": textstats.doc_fingerprint,
             "text_repetition": textstats.text_repetition,
             "doc_keywords": textstats.doc_keywords,
+            "decontaminate": textstats.decontaminate,
             "ann_cosine_topk": ann.ann_cosine_topk,
             "ann_ivf_topk": ann.ann_ivf_topk,
             "ann_hnsw_topk": ann.ann_hnsw_topk,
@@ -206,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
             "token_count_bpe": textstats.oracle_token_count_sql(),
             "text_repetition": textstats.oracle_text_repetition_sql(),
             "doc_keywords": textstats.oracle_doc_keywords_sql(),
+            "decontaminate": textstats.oracle_decontaminate_sql(),
             "ann_cosine_topk": ann.oracle_ann_sql(),
             "ann_ivf_topk": ann.oracle_ann_sql(),
             "ann_hnsw_topk": ann.oracle_ann_sql(),

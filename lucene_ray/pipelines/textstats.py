@@ -401,6 +401,99 @@ s AS (
 SELECT doc_id, rank, term, tf, df, score FROM s WHERE rank <= {k}"""
 
 
+# Benchmark decontamination (Brown et al. 2020 "Language Models are
+# Few-Shot Learners", appendix C: drop training docs sharing an n-gram
+# with the eval set). Eval stand-in: the first _DECON_EVAL_DOCS docs.
+_DECON_N = 5
+_DECON_EVAL_DOCS = 20
+
+
+def decontaminate(sf_dir: str, n: int = _DECON_N,
+                  eval_docs: int = _DECON_EVAL_DOCS):
+    """Per-doc contamination verdict against an eval set: a training doc
+    is contaminated if it shares any word n-gram with any eval document
+    (and is not itself in the eval set). Scale shape: eval sets are
+    small and fixed, so their n-gram hash set broadcasts once
+    (ray.put) and the check is a map-only vectorized membership test —
+    no shuffle, no join, flat per-doc cost at any corpus size."""
+    import ray
+    import ray.data
+    import pyarrow.compute as pc
+
+    def grams(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(owners, ngram hashes) via Arrow split + join + hash."""
+        parts = pc.split_pattern(
+            pc.fill_null(batch.column("text"), ""), " ").combine_chunks()
+        flat = pc.list_flatten(parts)
+        owners = np.asarray(pc.list_parent_indices(parts), dtype=np.int64)
+        if len(flat) < n:
+            return np.empty(0, np.int64), np.empty(0, np.uint64)
+        cols = [flat.slice(i, len(flat) - n + 1) for i in range(n)]
+        joined = pc.binary_join_element_wise(*cols, " ")
+        own = owners[:len(flat) - n + 1]
+        same = np.ones(len(own), dtype=bool)
+        for i in range(1, n):
+            same &= own == owners[i:len(flat) - n + 1 + i]
+        joined = joined.filter(pa.array(same))
+        own = own[same]
+        h = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8)
+                            .digest(), "little") for g in
+             joined.to_pylist()),
+            dtype=np.uint64, count=len(joined))
+        return own, h
+
+    # eval-set n-grams: one bounded read of the eval rows
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    ev = ev.filter(pc.less(ev.column("doc_id"), eval_docs))
+    _, eh = grams(ev)
+    eval_hashes = np.unique(eh)
+    ref = ray.put(eval_hashes)
+
+    def check(batch: pa.Table) -> pa.Table:
+        ehs = ray.get(ref)
+        own, h = grams(batch)
+        hit = np.zeros(batch.num_rows, dtype=bool)
+        if len(h) and len(ehs):
+            pos = np.minimum(np.searchsorted(ehs, h), len(ehs) - 1)
+            np.logical_or.at(hit, own[ehs[pos] == h], True)
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "contaminated": pa.array(hit & (ids >= eval_docs)),
+        })
+
+    return _docs(sf_dir).map_batches(check, batch_format="pyarrow")
+
+
+def oracle_decontaminate_sql(n: int = _DECON_N,
+                             eval_docs: int = _DECON_EVAL_DOCS) -> str:
+    gram = " || ' ' || ".join(
+        f"w{i}.word" for i in range(n))
+    joins = " ".join(
+        f"JOIN w w{i} ON w{i}.doc_id = w0.doc_id "
+        f"AND w{i}.pos = w0.pos + {i}" for i in range(1, n))
+    return f"""WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+g AS (
+  SELECT w0.doc_id, {gram} AS gram FROM w w0 {joins}
+),
+ev AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id < {eval_docs}
+)
+SELECT d.doc_id,
+  (d.doc_id >= {eval_docs} AND EXISTS (
+     SELECT 1 FROM g JOIN ev USING (gram)
+     WHERE g.doc_id = d.doc_id)) AS contaminated
+FROM documents d"""
+
+
 # Karp-Rabin winnowing (window 4 over word-trigram hashes)
 _W = 4
 

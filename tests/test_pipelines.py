@@ -956,3 +956,27 @@ def test_synonym_graph_multiword(tmp_path, ray_session):
     assert sorted(td.doc_ids.tolist()) == [0, 1]
     # both alternatives of the group matched one doc each, scores > 0
     assert (td.scores > 0).all()
+
+
+def test_decontaminate_ngram_collision(tmp_path, ray_session):
+    """Decontamination: a training doc sharing a 5-gram with an eval doc
+    is flagged; eval docs themselves and clean docs are not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.textstats import decontaminate
+
+    eval_text = "alpha beta gamma delta epsilon zeta"
+    texts = [eval_text,                                       # eval (id 0)
+             "prefix words alpha beta gamma delta epsilon",   # shares 5-gram
+             "alpha beta gamma delta other words here",       # only 4-gram
+             "completely unrelated training text row"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    out = decontaminate(str(tmp_path), n=5, eval_docs=1).to_pandas() \
+        .set_index("doc_id")["contaminated"]
+    assert not out[0]      # eval doc itself never flagged
+    assert out[1]
+    assert not out[2] and not out[3]
