@@ -57,7 +57,7 @@ import pyarrow.parquet as pq
 from .analysis import term_freq_batch
 from .codec import BLOCK_SIZE, encode_term
 from .state.manifest import (IndexManifest, atomic_write_json, load_manifest,
-                             save_manifest)
+                             max_assigned_doc, save_manifest)
 
 SEP = "\x00"
 
@@ -1031,7 +1031,9 @@ def append_to_index(index_dir: str, new_corpus: str,
         return m
     counts = [pq.ParquetFile(f).metadata.num_rows for f in files]
     seg_base = max((s["seg"] for s in m.segments), default=-1) + 1
-    doc_base = m.doc_count
+    # docIDs continue after the assigned ceiling, not doc_count (which
+    # expunge lowers while live docIDs keep their values)
+    doc_base = max_assigned_doc(m)
     bases = (doc_base + np.concatenate([[0], np.cumsum(counts)[:-1]])
              ).tolist()
     segs = list(range(seg_base, seg_base + len(files)))
@@ -1139,14 +1141,14 @@ def add_indexes(index_dir: str, src_dir: str,
     m = load_manifest(index_dir)
     s = load_manifest(src_dir)
     for key in ("with_positions", "with_offsets", "with_term_vectors",
-                "analyzer", "keyword_fields"):
+                "analyzer", "keyword_fields", "index_sort"):
         if m.config.get(key) != s.config.get(key):
             raise ValueError(
                 f"add_indexes: config mismatch on {key!r}: "
                 f"{m.config.get(key)!r} != {s.config.get(key)!r}")
     if not s.segments:
         return m
-    offset = m.doc_count
+    offset = max_assigned_doc(m)   # docID ceiling, not doc_count
     seg_base = max((g["seg"] for g in m.segments), default=-1) + 1
     src_segs = sorted(g["seg"] for g in s.segments)
     seg_map = {old: seg_base + i for i, old in enumerate(src_segs)}

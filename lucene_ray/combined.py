@@ -43,6 +43,7 @@ from . import bm25
 from .codec import decode_blocks
 from .search import IndexReader, TopDocs, _topk
 from .smallfloat import LENGTH_TABLE, int_to_byte4
+from .state.manifest import max_assigned_doc
 
 
 def _norm_bytes(reader: IndexReader) -> np.ndarray:
@@ -52,7 +53,9 @@ def _norm_bytes(reader: IndexReader) -> np.ndarray:
     cached = getattr(reader, "_combined_norm_bytes", None)
     if cached is not None:
         return cached
-    out = np.zeros(reader.doc_count, dtype=np.uint8)
+    # sized by the docID ceiling, not doc_count (expunge lowers the
+    # latter while docmeta keeps original docIDs)
+    out = np.zeros(max_assigned_doc(reader.manifest), dtype=np.uint8)
     dm = os.path.join(reader.index_dir, "docmeta")
     for f in sorted(os.listdir(dm)):
         if not f.endswith(".parquet"):
@@ -96,6 +99,7 @@ def combined_field_search(fields: "list[tuple[IndexReader, float]]",
 
     # pseudo collection statistics (max / weighted-sum merge)
     doc_count = max(r.doc_count for r, _ in fields)
+    max_doc = max(max_assigned_doc(r.manifest) for r, _ in fields)
     sum_ttf = _java_weighted_long_sum(
         (w, r.sum_ttf) for r, w in fields)
 
@@ -112,19 +116,19 @@ def combined_field_search(fields: "list[tuple[IndexReader, float]]",
     sim = bm25.scorer(df, doc_count, sum_ttf, boost=boost)
 
     # combined norms: Σ w_f * decodedLen_f in float32, re-quantized
-    nv = np.zeros(doc_count, dtype=np.float32)
+    nv = np.zeros(max_doc, dtype=np.float32)
     for r, w in fields:
         nb = _norm_bytes(r)
-        nv = (nv + np.float32(w) * LENGTH_TABLE[nb[:doc_count]]) \
-            .astype(np.float32)
+        nv = (nv + np.float32(w) * LENGTH_TABLE[
+            np.pad(nb, (0, max_doc - len(nb)))]).astype(np.float32)
     # Java Math.round(float) = floor(x + 0.5)
     combined_byte = int_to_byte4(
         np.floor(nv.astype(np.float64) + 0.5).astype(np.int64)
     ).astype(np.uint8)
 
     # combined freq: Σ w_f * tf over every matching (field, term) iterator
-    freq = np.zeros(doc_count, dtype=np.float32)
-    matched = np.zeros(doc_count, dtype=bool)
+    freq = np.zeros(max_doc, dtype=np.float32)
+    matched = np.zeros(max_doc, dtype=bool)
     for w, p, r in postings:
         d, tf, _, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
                                     p.tfs_enc, p.norms_enc)

@@ -105,13 +105,23 @@ def facet_counts_dv(index_dir: str, field: str, value_col: str | None = None):
     dv = build_docvalues(index_dir, field)
     buckets = sorted(f.split("=")[1].split(".")[0]
                      for f in os.listdir(dv) if f.startswith("ords_bucket="))
+    from .features import _load_tombstones
+    dead = _load_tombstones(index_dir)
+    dead_ref = ray.put(dead)
 
     def bucket_counts(batch: pa.Table) -> pa.Table:
+        deleted = ray.get(dead_ref)
         out_g, out_n = [], []
         for b in batch.column("bucket").to_pylist():
-            ords = pq.read_table(
+            ot = pq.read_table(
                 os.path.join(dv, f"ords_bucket={b}.parquet"),
-                columns=["ord"]).column("ord").to_numpy()
+                columns=["doc_id", "ord"])
+            ords = ot.column("ord").to_numpy()
+            if len(deleted):           # facets honor liveDocs
+                ids = ot.column("doc_id").to_numpy()
+                pos = np.minimum(np.searchsorted(deleted, ids),
+                                 len(deleted) - 1)
+                ords = ords[deleted[pos] != ids]
             gmap = pq.read_table(
                 os.path.join(dv, f"map_bucket={b}.parquet"),
                 columns=["gord"]).column("gord").to_numpy()

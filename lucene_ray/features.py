@@ -125,6 +125,21 @@ def update_feature_values(index_dir: str, name: str, doc_ids,
     return len(ids)
 
 
+def _load_tombstones(index_dir: str) -> np.ndarray:
+    """Sorted deleted docIDs (union of tombstone generations) — result
+    doc sets must honor liveDocs like every query path."""
+    ddir = os.path.join(index_dir, "deletes")
+    parts = []
+    if os.path.isdir(ddir):
+        for f in sorted(os.listdir(ddir)):
+            if f.endswith(".parquet"):
+                parts.append(pq.read_table(
+                    os.path.join(ddir, f),
+                    columns=["doc_id"]).column("doc_id").to_numpy())
+    return (np.unique(np.concatenate(parts)) if parts
+            else np.empty(0, np.int64))
+
+
 def _load_feature_updates(fdir: str
                           ) -> "tuple[np.ndarray, np.ndarray] | None":
     """Fold all update generations latest-wins → (sorted docs, freqs)."""
@@ -167,6 +182,11 @@ def feature_scores(index_dir: str, name: str, function: str = "saturation",
         hit = udocs[pos] == docs
         freqs = freqs.copy()
         freqs[hit] = ufreqs[pos[hit]]
+    dead = _load_tombstones(index_dir)
+    if len(dead):                      # FeatureQuery honors liveDocs
+        pos = np.minimum(np.searchsorted(dead, docs), len(dead) - 1)
+        live = dead[pos] != docs
+        docs, freqs = docs[live], freqs[live]
     v = decode_feature(freqs)
     if function == "saturation":
         s = saturation_score(v, boost, pivot)

@@ -133,6 +133,23 @@ class IndexReader:
             return toks
         return [m for m in self.token_filter(toks) if m is not None]
 
+    def analyze_phrase(self, text: str) -> tuple[list[str], list[int]]:
+        """(terms, positions) of the analyzed stream — stop removal
+        leaves position GAPS (StopFilter positionIncrement), and the
+        index stores tokens at their gapped positions, so phrase
+        matching must use these offsets, not 0..n-1 (QueryBuilder's
+        PhraseQuery.add(term, position) contract,
+        util/QueryBuilder.java:540)."""
+        toks = tokenize(text)
+        if self.token_filter is None:
+            return toks, list(range(len(toks)))
+        terms, offs = [], []
+        for i, m in enumerate(self.token_filter(toks)):
+            if m is not None:
+                terms.append(m)
+                offs.append(i)
+        return terms, offs
+
     def live_mask(self, docs: np.ndarray) -> "np.ndarray | None":
         """Boolean live-docs mask for a doc array (None = no deletes)."""
         if len(self.deleted) == 0 or len(docs) == 0:
@@ -1142,7 +1159,11 @@ def termdict_scan_ds(index_dir: str, *, prefix: str | None = None,
     import ray.data
 
     pdir = os.path.join(index_dir, "postings")
-    files = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))
+    # the COMMITTED part list, not os.listdir: the directory also holds
+    # snapshot-pinned old generations and in-flight merge outputs, which
+    # would double-count every term's stats
+    files = sorted(f"part={p['part']}.parquet"
+                   for p in load_manifest(index_dir).postings_parts)
 
     def scan(batch: "pa.Table") -> "pa.Table":
         out = []
@@ -1375,7 +1396,8 @@ def interval_contains_docs(reader: IndexReader, big: list[str], small: str,
     return np.unique(doc[sel])
 
 
-def phrase_freqs(reader: IndexReader, terms: list[str]) -> dict[int, int]:
+def phrase_freqs(reader: IndexReader, terms: list[str],
+                 offsets: "list[int] | None" = None) -> dict[int, int]:
     """Exact phrase matching: doc → number of phrase occurrences
     (ExactPhraseMatcher.java:39 semantics).
 
@@ -1386,7 +1408,8 @@ def phrase_freqs(reader: IndexReader, terms: list[str]) -> dict[int, int]:
     surviving keys' doc bits — no per-doc Python loop."""
     packed = []
     for i, t in enumerate(terms):
-        k = _packed_positions(reader, t, i)
+        k = _packed_positions(reader, t,
+                              offsets[i] if offsets is not None else i)
         if k is None or len(k) == 0:
             return {}
         packed.append(k)
@@ -1553,7 +1576,8 @@ def _sloppy_freq_doc(pos_lists: list[np.ndarray], slop: int,
     return freq
 
 
-def sloppy_phrase_freqs(reader: IndexReader, terms: list[str], slop: int
+def sloppy_phrase_freqs(reader: IndexReader, terms: list[str], slop: int,
+                        offsets: "list[int] | None" = None
                         ) -> dict[int, np.float32]:
     """Sloppy phrase matching (PhraseQuery with slop > 0): doc → float32
     sloppy frequency. Candidate docs are the conjunction of all terms'
@@ -1567,10 +1591,15 @@ def sloppy_phrase_freqs(reader: IndexReader, terms: list[str], slop: int
         seen.setdefault(t, []).append(i)
     groups = tuple(tuple(v) for v in seen.values() if len(v) > 1)
     per_term = []
-    for t in terms:
+    for i, t in enumerate(terms):
         m = _term_positions(reader, t)
         if m is None:
             return {}
+        # gapped query offsets (analyzer stop removal): pre-shift so the
+        # matcher's index-based offset math sees the true distances
+        delta = (offsets[i] - i) if offsets is not None else 0
+        if delta:
+            m = {d: v - delta for d, v in m.items()}
         per_term.append(m)
     docs = set(per_term[0])
     for m in per_term[1:]:
@@ -1737,14 +1766,14 @@ def search_phrase(reader: IndexReader, phrase: str, k: int = 10,
     if k < 1:
         raise ValueError("k must be >= 1 (TopScoreDocCollector requires "
                          "numHits > 0)")
-    terms = reader.analyze(phrase)
+    terms, offs = reader.analyze_phrase(phrase)
     if not terms:
         return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0)
     if slop > 0:
-        fr = sloppy_phrase_freqs(reader, terms, slop)
+        fr = sloppy_phrase_freqs(reader, terms, slop, offsets=offs)
         tf = np.array([float(fr[d]) for d in sorted(fr)], dtype=np.float32)
     else:
-        fr = phrase_freqs(reader, terms)
+        fr = phrase_freqs(reader, terms, offsets=offs)
         tf = np.array([fr[d] for d in sorted(fr)], dtype=np.int64)
     if not fr:
         return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32), 0)
@@ -1967,15 +1996,17 @@ def search_sliced(index_dir: str, query: str, k: int = 10,
 # Full Boolean execution of parsed classic-syntax queries
 
 def _phrase_doc_scores(reader: IndexReader, terms: list[str], boost: float,
-                       slop: int = 0) -> tuple[np.ndarray, np.ndarray]:
+                       slop: int = 0,
+                       offsets: "list[int] | None" = None
+                       ) -> tuple[np.ndarray, np.ndarray]:
     """Per-doc BM25 scores of a phrase clause: freq = exact count (slop=0)
     or greedy sloppy frequency; idf = sum of the terms' idfs
     (PhraseQuery.getStats semantics)."""
     if slop > 0:
-        fr = sloppy_phrase_freqs(reader, terms, slop)
+        fr = sloppy_phrase_freqs(reader, terms, slop, offsets=offsets)
         tf = np.array([float(fr[d]) for d in sorted(fr)], dtype=np.float32)
     else:
-        fr = phrase_freqs(reader, terms)
+        fr = phrase_freqs(reader, terms, offsets=offsets)
         tf = np.array([fr[d] for d in sorted(fr)], dtype=np.int64)
     if not fr:
         return np.empty(0, np.int64), np.empty(0, np.float32)
@@ -2105,10 +2136,11 @@ def _eval_parsed(reader: IndexReader, pq_) -> tuple[np.ndarray, np.ndarray]:
 
     def clause_docs_scores(c) -> tuple[np.ndarray, np.ndarray]:
         if c.kind == "phrase":
-            terms = reader.analyze(c.text)
+            terms, offs = reader.analyze_phrase(c.text)
             if not terms:
                 return np.empty(0, np.int64), np.empty(0, np.float32)
-            return _phrase_doc_scores(reader, terms, c.boost, slop=c.slop)
+            return _phrase_doc_scores(reader, terms, c.boost, slop=c.slop,
+                                      offsets=offs)
         if c.kind == "group":
             d, s = _eval_parsed(reader, c.sub)
             return d, (s * np.float32(c.boost)).astype(np.float32)

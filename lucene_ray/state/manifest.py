@@ -55,6 +55,17 @@ class IndexManifest:
         }
 
 
+def max_assigned_doc(m: "IndexManifest") -> int:
+    """The docID ceiling (Lucene's maxDoc): docIDs are never renumbered,
+    so the bound comes from the docID plan (bases + bucket counts), NOT
+    from doc_count — expunge compaction lowers doc_count while live
+    docIDs keep their original values up to this ceiling."""
+    if not m.bases:
+        return m.doc_count
+    return int(max(int(b) + int(c)
+                   for b, c in zip(m.bases, m.bucket_counts)))
+
+
 def atomic_write_json(path: str, obj: Any) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:

@@ -1480,3 +1480,134 @@ def test_tiered_merge_selection(tmp_path_factory, ray_session):
     for q, td in before.items():
         np.testing.assert_array_equal(
             search_bruteforce(r2, q, 15).doc_ids, td.doc_ids)
+
+
+def test_analyzer_phrase_position_gaps(tmp_path_factory, ray_session):
+    """Stop-word gaps: the english index stores tokens at gapped
+    positions, and phrase queries analyze to gapped offsets — so the
+    exact document text matches as a phrase, while the stop-stripped
+    adjacent form does not (it needs slop), matching QueryBuilder's
+    position-increment handling."""
+    import pyarrow as pa
+
+    from lucene_ray.build import build_index
+    from lucene_ray.search import search_phrase
+
+    d = tmp_path_factory.mktemp("gap")
+    c = str(d / "c")
+    os.makedirs(c)
+    pq.write_table(pa.table({
+        "repo": ["r"] * 2, "path": ["a", "b"], "commit": ["x"] * 2,
+        "lang": ["t"] * 2,
+        "content": ["grouping the rows nicely",
+                    "grouping rows nicely"],
+    }), os.path.join(c, "a.parquet"))
+    idx = str(d / "i")
+    build_index(c, idx, analyzer="english", with_positions=True)
+    r = IndexReader(idx)
+
+    # query with the stop word: gap offsets [0, 2] → matches doc 0 only
+    td = search_phrase(r, "grouping the rows", k=10)
+    assert td.doc_ids.tolist() == [0]
+    # adjacent query form matches the adjacent doc only
+    td2 = search_phrase(r, "grouping rows", k=10)
+    assert td2.doc_ids.tolist() == [1]
+    # slop=1 bridges the gap in either direction
+    td3 = search_phrase(r, "grouping rows", k=10, slop=1)
+    assert sorted(td3.doc_ids.tolist()) == [0, 1]
+
+
+def test_add_indexes_after_expunge_no_collision(tmp_path_factory,
+                                                ray_session):
+    """docID offsets come from the assigned ceiling, not doc_count:
+    importing into an expunged index (doc_count < maxDoc) must not remap
+    onto live destination docIDs."""
+    import pyarrow as pa
+
+    from lucene_ray.build import (add_indexes, build_index, compact_index,
+                                  delete_docs, verify_index)
+    from lucene_ray.state.manifest import load_manifest, max_assigned_doc
+
+    d = tmp_path_factory.mktemp("addexp")
+    ca, cb = str(d / "a"), str(d / "b")
+    os.makedirs(ca)
+    os.makedirs(cb)
+    t = generate_corpus(150, seed=61)
+    pq.write_table(t.slice(0, 100), os.path.join(ca, "pa.parquet"))
+    pq.write_table(t.slice(100), os.path.join(cb, "pb.parquet"))
+    ia, ib = str(d / "ia"), str(d / "ib")
+    build_index(ca, ia, term_parts=2, salt_group=1)
+    build_index(cb, ib, term_parts=2, salt_group=1)
+    delete_docs(ia, [50])
+    compact_index(ia, expunge_deletes=True)
+    m = load_manifest(ia)
+    assert m.doc_count == 99 and max_assigned_doc(m) == 100
+    m2 = add_indexes(ia, ib)
+    assert m2.doc_count == 99 + 50
+    # imported docs occupy 100..149 — none collide with live 0..99
+    r = IndexReader(ia)
+    for q in QUERIES[:4]:
+        td = search_bruteforce(r, q, 200)
+        assert len(td.doc_ids) == len(set(td.doc_ids.tolist()))
+    assert verify_index(ia)["ok"]
+
+
+def test_termdict_scan_ds_ignores_uncommitted_files(tmp_path_factory,
+                                                    ray_session):
+    """Distributed termdict enumeration reads the committed manifest's
+    parts, not the directory: snapshot-pinned old generations must not
+    double-count df/ttf."""
+    from lucene_ray.build import append_to_index, compact_index
+    from lucene_ray.search import termdict_scan_ds
+    from lucene_ray.state.snapshots import create_snapshot
+
+    d = tmp_path_factory.mktemp("tdds")
+    ca, cb = str(d / "a"), str(d / "b")
+    os.makedirs(ca)
+    os.makedirs(cb)
+    t = generate_corpus(120, seed=71)
+    pq.write_table(t.slice(0, 80), os.path.join(ca, "pa.parquet"))
+    pq.write_table(t.slice(80), os.path.join(cb, "pb.parquet"))
+    idx = str(d / "idx")
+    build_index(ca, idx, term_parts=2, salt_group=1)
+    append_to_index(idx, cb)
+    before = termdict_scan_ds(idx, prefix="re")
+    snap = create_snapshot(idx)
+    compact_index(idx)        # old generation files stay (pinned)
+    after = termdict_scan_ds(idx, prefix="re")
+    b = dict(zip(before.column("term").to_pylist(),
+                 before.column("df").to_pylist())) if "df" in \
+        before.column_names else None
+    if b is None:
+        b = {r["term"]: r for r in before.to_pylist()}
+        a = {r["term"]: r for r in after.to_pylist()}
+        assert a == b
+    else:
+        a = dict(zip(after.column("term").to_pylist(),
+                     after.column("df").to_pylist()))
+        assert a == b
+    assert snap >= 1
+
+
+def test_feature_and_facet_honor_deletes(tmp_path, ray_session):
+    """FeatureQuery scorers and docvalue facets filter tombstoned docs."""
+    import pyarrow as pa
+
+    from lucene_ray.build import delete_docs
+    from lucene_ray.docvalues import facet_counts_dv
+    from lucene_ray.features import build_feature_index, feature_scores
+
+    idx = str(tmp_path / "i")
+    os.makedirs(os.path.join(idx, "docmeta"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "field_len": pa.array([10] * 8, pa.int64()),
+        "lang": pa.array(["en", "en", "de", "de", "en", "de", "en", "en"]),
+    }), os.path.join(idx, "docmeta", "bucket=00000.parquet"))
+    build_feature_index(idx, "rank")
+    delete_docs(idx, [1, 2])
+    docs, _ = feature_scores(idx, "rank")
+    assert 1 not in docs.tolist() and 2 not in docs.tolist()
+    counts = {r["lang"]: r["n"]
+              for r in facet_counts_dv(idx, "lang").take_all()}
+    assert counts == {"en": 4, "de": 2}
