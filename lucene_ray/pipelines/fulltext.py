@@ -85,22 +85,31 @@ INTERVALS = [(1, ["key", "agg"], 5, True),
 _INDEX_CACHE: dict[str, str] = {}
 
 
+def _cached_index(sf_dir: str, tag: str, cache: dict, builder) -> str:
+    """Shared build-once-per-(sf_dir, tag) index cache under /tmp: the
+    cache key folds the documents file size so regenerated testdata
+    rebuilds, and ``tag`` versions the index layout."""
+    sf_dir = os.path.abspath(sf_dir)
+    if sf_dir in cache:
+        return cache[sf_dir]
+    doc = os.path.join(sf_dir, "documents.parquet")
+    h = hashlib.sha256(
+        f"{sf_dir}:{os.path.getsize(doc)}:{tag}".encode()).hexdigest()[:12]
+    idx = os.path.join("/tmp", "lucene_ray_indexes", h)
+    if not os.path.exists(os.path.join(idx, "manifest.json")):
+        builder(sf_dir, idx)
+    cache[sf_dir] = idx
+    return idx
+
+
 def index_dir_for(sf_dir: str) -> str:
     """Build (once, resumably) the index for a testdata sf dir under /tmp."""
-    sf_dir = os.path.abspath(sf_dir)
-    if sf_dir in _INDEX_CACHE:
-        return _INDEX_CACHE[sf_dir]
-    doc = os.path.join(sf_dir, "documents.parquet")
-    tag = hashlib.sha256(
-        f"{sf_dir}:{os.path.getsize(doc)}:v6".encode()).hexdigest()[:12]
-    idx = os.path.join("/tmp", "lucene_ray_indexes", tag)
-    if not os.path.exists(os.path.join(idx, "manifest.json")):
-        corpus = corpus_from_documents(sf_dir)
-        build_index(corpus, idx, with_positions=True,
-                    keyword_fields=["repo", "lang"],
-                    with_term_vectors=True, with_offsets=True)
-    _INDEX_CACHE[sf_dir] = idx
-    return idx
+    return _cached_index(
+        sf_dir, "v6", _INDEX_CACHE,
+        lambda sf, idx: build_index(
+            corpus_from_documents(sf), idx, with_positions=True,
+            keyword_fields=["repo", "lang"],
+            with_term_vectors=True, with_offsets=True))
 
 
 def reader_for(sf_dir: str) -> IndexReader:
@@ -788,19 +797,10 @@ def sorted_index_dir_for(sf_dir: str) -> str:
     content length desc before docID assignment
     (index/IndexSorter.java + IndexWriterConfig.setIndexSort), so every
     docmeta bucket is stored sorted on the key."""
-    sf_dir = os.path.abspath(sf_dir)
-    if sf_dir in _SORTED_IDX_CACHE:
-        return _SORTED_IDX_CACHE[sf_dir]
-    doc = os.path.join(sf_dir, "documents.parquet")
-    tag = hashlib.sha256(
-        f"{sf_dir}:{os.path.getsize(doc)}:sorted-v1".encode()
-    ).hexdigest()[:12]
-    idx = os.path.join("/tmp", "lucene_ray_indexes", tag)
-    if not os.path.exists(os.path.join(idx, "manifest.json")):
-        build_index(corpus_from_documents(sf_dir), idx,
-                    index_sort="content_chars")
-    _SORTED_IDX_CACHE[sf_dir] = idx
-    return idx
+    return _cached_index(
+        sf_dir, "sorted-v1", _SORTED_IDX_CACHE,
+        lambda sf, idx: build_index(corpus_from_documents(sf), idx,
+                                    index_sort="content_chars"))
 
 
 def sorted_topk_nchars(index_dir: str, k: int
@@ -2019,15 +2019,8 @@ def title_index_dir_for(sf_dir: str) -> str:
 
     import ray.data
 
-    sf_dir = os.path.abspath(sf_dir)
-    if sf_dir in _TITLE_IDX_CACHE:
-        return _TITLE_IDX_CACHE[sf_dir]
-    doc = os.path.join(sf_dir, "documents.parquet")
-    tag = hashlib.sha256(
-        f"{sf_dir}:{os.path.getsize(doc)}:title-v1".encode()
-    ).hexdigest()[:12]
-    idx = os.path.join("/tmp", "lucene_ray_indexes", tag)
-    if not os.path.exists(os.path.join(idx, "manifest.json")):
+    def build(sf: str, idx: str) -> None:
+        doc = os.path.join(sf, "documents.parquet")
         ds = ray.data.read_parquet(
             doc, columns=["doc_id", "text", "lang", "source"])
 
@@ -2047,8 +2040,8 @@ def title_index_dir_for(sf_dir: str) -> str:
             })
 
         build_index(ds.map_batches(to_corpus, batch_format="pyarrow"), idx)
-    _TITLE_IDX_CACHE[sf_dir] = idx
-    return idx
+
+    return _cached_index(sf_dir, "title-v1", _TITLE_IDX_CACHE, build)
 
 
 def ft_combined_field(sf_dir: str) -> pa.Table:
@@ -2572,12 +2565,12 @@ def ft_collapse_lang(sf_dir: str) -> pa.Table:
     per-group argmax state (bounded by #groups), never a global sort —
     group membership comes from the keyword-field postings
     ("lang:x" docsets), scores from the standard BM25 clause sum."""
-    from ..search import search_terms_scored
+    from ..search import _term_docset, search_terms_scored
 
     r = reader_for(sf_dir)
     lt = termdict_scan(r, prefix="lang:")
     langs = sorted(t[5:] for t in lt.column("term").to_pylist())
-    docsets = {lg: _term_docset_cached(r, f"lang:{lg}") for lg in langs}
+    docsets = {lg: _term_docset(r, f"lang:{lg}") for lg in langs}
     qids, ranks, glangs, docs, scores = [], [], [], [], []
     for qid, terms, k in COLLAPSE_QUERIES:
         td = search_terms_scored(r, terms, max(1, r.doc_count))
@@ -2602,11 +2595,6 @@ def ft_collapse_lang(sf_dir: str) -> pa.Table:
                      "lang": pa.array(glangs, pa.string()),
                      "doc_id": pa.array(docs, pa.int64()),
                      "score": pa.array(scores, pa.float32())})
-
-
-def _term_docset_cached(r, term: str):
-    from ..search import _term_docset
-    return _term_docset(r, term)
 
 
 def oracle_collapse_lang_sql() -> str:
@@ -2717,18 +2705,10 @@ _EN_IDX_CACHE: dict[str, str] = {}
 
 def english_index_dir_for(sf_dir: str) -> str:
     """Build (once, cached) the english-analyzer index for an sf dir."""
-    sf_dir = os.path.abspath(sf_dir)
-    if sf_dir in _EN_IDX_CACHE:
-        return _EN_IDX_CACHE[sf_dir]
-    doc = os.path.join(sf_dir, "documents.parquet")
-    tag = hashlib.sha256(
-        f"{sf_dir}:{os.path.getsize(doc)}:english-v1".encode()
-    ).hexdigest()[:12]
-    idx = os.path.join("/tmp", "lucene_ray_indexes", tag)
-    if not os.path.exists(os.path.join(idx, "manifest.json")):
-        build_index(corpus_from_documents(sf_dir), idx, analyzer="english")
-    _EN_IDX_CACHE[sf_dir] = idx
-    return idx
+    return _cached_index(
+        sf_dir, "english-v1", _EN_IDX_CACHE,
+        lambda sf, idx: build_index(corpus_from_documents(sf), idx,
+                                    analyzer="english"))
 
 
 def ft_english_doclen(sf_dir: str) -> pa.Table:
