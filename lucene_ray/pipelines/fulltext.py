@@ -1081,38 +1081,51 @@ def ft_facet_len_ranges(sf_dir: str) -> pa.Table:
 
     idx = index_dir_for(sf_dir)
     r = reader_for(sf_dir)
-    out = []
     los = np.array([lo for _, lo, _ in LEN_FACET_RANGES], dtype=np.int64)
     his = np.array([hi for _, _, hi in LEN_FACET_RANGES], dtype=np.int64)
     labels = [lb for lb, _, _ in LEN_FACET_RANGES]
-    for qid, terms in FACET_RANGE_QUERIES:
-        hits = search_boolean(r, should=terms)          # sorted docIDs
-        href = ray.put(hits)
-        ds = ray.data.read_parquet(os.path.join(idx, "docmeta"),
-                                   columns=["doc_id", "field_len"])
+    # ONE docmeta pass for every query: the per-query hit sets broadcast
+    # together, each batch emits (qid, label, n) partials for all
+    # (query, range) cells, one small groupby sums them
+    qids = [qid for qid, _ in FACET_RANGE_QUERIES]
+    hits_ref = ray.put({qid: search_boolean(r, should=terms)
+                        for qid, terms in FACET_RANGE_QUERIES})
+    ds = ray.data.read_parquet(os.path.join(idx, "docmeta"),
+                               columns=["doc_id", "field_len"])
 
-        def partial(batch: pa.Table, href=href) -> pa.Table:
-            h = ray.get(href)
-            docs = batch.column("doc_id").to_numpy()
+    def partial(batch: pa.Table) -> pa.Table:
+        hmap = ray.get(hits_ref)
+        docs = batch.column("doc_id").to_numpy()
+        flens = batch.column("field_len").to_numpy()
+        out_q, out_l, out_n = [], [], []
+        for qid, h in hmap.items():
             if len(h):
                 pos = np.minimum(np.searchsorted(h, docs), len(h) - 1)
-                lens = batch.column("field_len").to_numpy()[h[pos] == docs]
+                lens = flens[h[pos] == docs]
             else:
                 lens = np.empty(0, np.int64)
             n = ((lens[:, None] >= los) & (lens[:, None] < his)).sum(axis=0)
-            return pa.table({"label": pa.array(labels, pa.string()),
-                             "n": pa.array(n.astype(np.int64))})
+            out_q.extend([qid] * len(labels))
+            out_l.extend(labels)
+            out_n.extend(n.astype(np.int64).tolist())
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "label": pa.array(out_l, pa.string()),
+                         "n": pa.array(out_n, pa.int64())})
 
-        agg = (ds.map_batches(partial, batch_format="pyarrow")
-               .groupby("label").aggregate(Sum("n", alias_name="n"))
-               .to_pandas())
-        by = dict(zip(agg["label"], agg["n"]))
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["qid", "label"]).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    by = {(q, lb): int(n)
+          for q, lb, n in zip(agg["qid"], agg["label"], agg["n"])}
+    out = []
+    for qid in qids:
         out.append(pa.table({
             "qid": pa.array([qid] * len(labels), pa.int64()),
             "label": pa.array(labels, pa.string()),
             "lo": pa.array(los),
             "hi": pa.array(his),
-            "n": pa.array([int(by.get(lb, 0)) for lb in labels], pa.int64()),
+            "n": pa.array([by.get((qid, lb), 0) for lb in labels],
+                          pa.int64()),
         }))
     return pa.concat_tables(out)
 
@@ -1153,48 +1166,61 @@ def ft_drill_sideways(sf_dir: str) -> pa.Table:
 
     idx = index_dir_for(sf_dir)
     r = reader_for(sf_dir)
-    out = []
+    # ONE docmeta pass for all queries: every query's (sideways, drill)
+    # doc sets broadcast together; each batch emits (qid, dim, value, n)
+    # partials; one small groupby sums the cells
+    sets = {}
+    drill_sizes = {}
     for qid, term, lang in DRILL_QUERIES:
-        base = search_boolean(r, must=[term])                  # sideways set
-        drill = search_boolean(r, must=[term, f"lang:{lang}"])  # full drill
-        bref, dref = ray.put(base), ray.put(drill)
-        ds = ray.data.read_parquet(os.path.join(idx, "docmeta"),
-                                   columns=["doc_id", "lang", "repo"])
+        base = search_boolean(r, must=[term])                  # sideways
+        drill = search_boolean(r, must=[term, f"lang:{lang}"])  # full
+        sets[qid] = (base, drill)
+        drill_sizes[qid] = len(drill)
+    sref = ray.put(sets)
+    ds = ray.data.read_parquet(os.path.join(idx, "docmeta"),
+                               columns=["doc_id", "lang", "repo"])
 
-        def partial(batch: pa.Table, bref=bref, dref=dref) -> pa.Table:
-            def member(docs, s):
-                if len(s) == 0 or len(docs) == 0:
-                    return np.zeros(len(docs), bool)
-                pos = np.minimum(np.searchsorted(s, docs), len(s) - 1)
-                return s[pos] == docs
-            docs = batch.column("doc_id").to_numpy()
-            bm = member(docs, ray.get(bref))
-            dm = member(docs, ray.get(dref))
-            rows = []
-            lf = batch.filter(pa.array(bm)).group_by("lang") \
-                      .aggregate([([], "count_all")])
+    def partial(batch: pa.Table) -> pa.Table:
+        smap = ray.get(sref)
+
+        def member(docs, s):
+            if len(s) == 0 or len(docs) == 0:
+                return np.zeros(len(docs), bool)
+            pos = np.minimum(np.searchsorted(s, docs), len(s) - 1)
+            return s[pos] == docs
+
+        docs = batch.column("doc_id").to_numpy()
+        rows = []
+        for qid, (base, drill) in smap.items():
+            lf = batch.filter(pa.array(member(docs, base))) \
+                      .group_by("lang").aggregate([([], "count_all")])
             for v, n in zip(lf.column("lang").to_pylist(),
                             lf.column("count_all").to_pylist()):
-                rows.append(("lang", v, n))
-            rf = batch.filter(pa.array(dm)).group_by("repo") \
-                      .aggregate([([], "count_all")])
+                rows.append((qid, "lang", v, n))
+            rf = batch.filter(pa.array(member(docs, drill))) \
+                      .group_by("repo").aggregate([([], "count_all")])
             for v, n in zip(rf.column("repo").to_pylist(),
                             rf.column("count_all").to_pylist()):
-                rows.append(("repo", v, n))
-            return pa.table({
-                "dim": pa.array([x[0] for x in rows], pa.string()),
-                "value": pa.array([x[1] for x in rows], pa.string()),
-                "n": pa.array([x[2] for x in rows], pa.int64())})
+                rows.append((qid, "repo", v, n))
+        return pa.table({
+            "qid": pa.array([x[0] for x in rows], pa.int64()),
+            "dim": pa.array([x[1] for x in rows], pa.string()),
+            "value": pa.array([x[2] for x in rows], pa.string()),
+            "n": pa.array([x[3] for x in rows], pa.int64())})
 
-        agg = (ds.map_batches(partial, batch_format="pyarrow")
-               .groupby(["dim", "value"]).aggregate(Sum("n", alias_name="n"))
-               .to_pandas())
-        n = len(agg) + 1
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["qid", "dim", "value"])
+           .aggregate(Sum("n", alias_name="n")).to_pandas())
+    out = []
+    for qid, _term, _lang in DRILL_QUERIES:
+        sub = agg[agg["qid"] == qid]
+        n = len(sub) + 1
         out.append(pa.table({
             "qid": pa.array([qid] * n, pa.int64()),
-            "dim": pa.array(agg["dim"].tolist() + ["hits"], pa.string()),
-            "value": pa.array(agg["value"].tolist() + [""], pa.string()),
-            "n": pa.array(agg["n"].tolist() + [len(drill)], pa.int64()),
+            "dim": pa.array(sub["dim"].tolist() + ["hits"], pa.string()),
+            "value": pa.array(sub["value"].tolist() + [""], pa.string()),
+            "n": pa.array([int(x) for x in sub["n"]] + [drill_sizes[qid]],
+                          pa.int64()),
         }))
     return pa.concat_tables(out)
 
