@@ -1,4 +1,18 @@
+import faulthandler
+
 import pytest
+
+
+@pytest.fixture(autouse=True)
+def _hang_watchdog():
+    """Ray 2.49.2 occasionally deadlocks on rapid actor-pool teardown
+    (driver stuck in WaitForActorRefDeleted after a worker logs
+    "Mismatched ActorID: ignoring KillActor"). No single test
+    legitimately runs 15 minutes; dump all stacks and abort instead of
+    stalling the whole suite."""
+    faulthandler.dump_traceback_later(900, exit=True)
+    yield
+    faulthandler.cancel_dump_traceback_later()
 
 
 @pytest.fixture(scope="session")
