@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "text_repetition": textstats.text_repetition,
             "doc_keywords": textstats.doc_keywords,
             "decontaminate": textstats.decontaminate,
+            "vocab_hll": textstats.vocab_hll,
             "ann_cosine_topk": ann.ann_cosine_topk,
             "ann_ivf_topk": ann.ann_ivf_topk,
             "ann_hnsw_topk": ann.ann_hnsw_topk,
@@ -208,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
             "text_repetition": textstats.oracle_text_repetition_sql(),
             "doc_keywords": textstats.oracle_doc_keywords_sql(),
             "decontaminate": textstats.oracle_decontaminate_sql(),
+            "vocab_hll": textstats.oracle_vocab_hll_sql(),
             "ann_cosine_topk": ann.oracle_ann_sql(),
             "ann_ivf_topk": ann.oracle_ann_sql(),
             "ann_hnsw_topk": ann.oracle_ann_sql(),

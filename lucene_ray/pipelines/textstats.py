@@ -401,6 +401,95 @@ s AS (
 SELECT doc_id, rank, term, tf, df, score FROM s WHERE rank <= {k}"""
 
 
+# HyperLogLog vocabulary-cardinality sketch (Flajolet et al. 2007).
+_HLL_HEX = 13            # rank bits come from 13 hex chars after the bucket
+
+
+def _hll_rank_from_hex(suffix: str) -> int:
+    """Leading-zero-bit rank of a hex string + 1 (the HLL rho)."""
+    zeros = 0
+    for ch in suffix:
+        if ch == "0":
+            zeros += 4
+            continue
+        zeros += {"1": 3, "2": 2, "3": 2}.get(ch, 1 if ch in "4567" else 0)
+        break
+    else:
+        return 4 * len(suffix) + 1
+    return zeros + 1
+
+
+def vocab_hll(sf_dir: str):
+    """Distributed HyperLogLog sketch of the corpus vocabulary size: 256
+    registers keyed by the first md5 hex byte, register value = max
+    leading-zero rank of the next 13 hex chars. The shuffle moves only
+    per-batch partial registers (≤256 rows/batch, max-combined) — the
+    canonical count-distinct shape for 100 TB. Registers are integers,
+    so the driver gate checks them exactly (md5 is identical in DuckDB);
+    the float estimate derives from them in pytest."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(
+            pc.fill_null(batch.column("text"), ""), " ").combine_chunks()
+        vocab = pc.unique(pc.list_flatten(parts))
+        regs: dict[str, int] = {}
+        for w in vocab.to_pylist():
+            h = hashlib.md5(w.encode()).hexdigest()
+            b = h[:2]
+            r = _hll_rank_from_hex(h[2:2 + _HLL_HEX])
+            if r > regs.get(b, 0):
+                regs[b] = r
+        return pa.table({"bucket": pa.array(sorted(regs), pa.string()),
+                         "r": pa.array([regs[b] for b in sorted(regs)],
+                                       pa.int64())})
+
+    return (_docs(sf_dir, ("text",))
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("bucket").max("r"))
+
+
+def hll_estimate(buckets: "list[str]", ranks: "list[int]",
+                 m: int = 256) -> float:
+    """Flajolet et al. 2007 estimator with the small-range correction."""
+    import math
+
+    regs = dict(zip(buckets, ranks))
+    s = sum(2.0 ** -regs.get(f"{i:02x}", 0) for i in range(m))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / s
+    zeros = m - len(regs)
+    if e <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return e
+
+
+def oracle_vocab_hll_sql() -> str:
+    return f"""WITH v AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS term FROM documents
+),
+h AS (
+  SELECT substr(md5(term), 1, 2) AS bucket,
+         substr(md5(term), 3, {_HLL_HEX}) AS suffix
+  FROM v
+),
+ranked AS (
+  SELECT bucket,
+    CASE WHEN suffix = repeat('0', {_HLL_HEX})
+         THEN {4 * _HLL_HEX + 1}
+         ELSE 4 * length(regexp_extract(suffix, '^0*')) +
+           CASE substr(ltrim(suffix, '0'), 1, 1)
+             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+             WHEN '7' THEN 1 ELSE 0
+           END + 1
+    END AS r
+  FROM h
+)
+SELECT bucket, CAST(max(r) AS BIGINT) AS "max(r)"
+FROM ranked GROUP BY bucket"""
+
+
 # Benchmark decontamination (Brown et al. 2020 "Language Models are
 # Few-Shot Learners", appendix C: drop training docs sharing an n-gram
 # with the eval set). Eval stand-in: the first _DECON_EVAL_DOCS docs.

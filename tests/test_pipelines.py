@@ -980,3 +980,33 @@ def test_decontaminate_ngram_collision(tmp_path, ray_session):
     assert not out[0]      # eval doc itself never flagged
     assert out[1]
     assert not out[2] and not out[3]
+
+
+def test_vocab_hll_sketch(tmp_path, ray_session):
+    """HLL registers: rank function unit cases + estimate accuracy on a
+    20k-word vocabulary (m=256 → ~6.5% standard error)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.textstats import (_hll_rank_from_hex,
+                                                hll_estimate, vocab_hll)
+
+    assert _hll_rank_from_hex("8000000000000") == 1   # top bit set
+    assert _hll_rank_from_hex("4000000000000") == 2
+    assert _hll_rank_from_hex("1000000000000") == 4
+    assert _hll_rank_from_hex("0800000000000") == 5
+    assert _hll_rank_from_hex("0000000000001") == 52
+    assert _hll_rank_from_hex("0000000000000") == 53  # all zero
+
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i:05d}" for i in range(20000)]
+    texts = [" ".join(vocab[j] for j in rng.integers(0, 20000, 80))
+             for _ in range(2000)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    regs = vocab_hll(str(tmp_path)).to_pandas()
+    true = len({w for t in texts for w in t.split(" ")})
+    est = hll_estimate(regs["bucket"].tolist(), regs["max(r)"].tolist())
+    assert abs(est - true) / true < 0.15, (est, true)
