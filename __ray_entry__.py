@@ -7,13 +7,16 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2 additions; 50+ entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query. Omitted only for ops
-  SQL cannot express (those get the rows-only check, each with a stated
-  reason): ``media_features`` (binary codec decode), ``doc_fingerprint``
-  / ``dedup_simhash`` / ``dedup_simhash_pairs`` / ``dedup_minhash_lsh``
-  (blake2b-seeded signatures), ``embedding_neardup_lsh`` (approximate by
-  design; recall asserted in pytest).
+  + the §8 round-2/round-3 additions; 82 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (75 of 82). Omitted
+  only for ops SQL cannot express (those get the rows-only check, each
+  with a stated reason): ``media_features`` (binary codec decode),
+  ``doc_fingerprint`` / ``dedup_simhash`` / ``dedup_simhash_pairs`` /
+  ``dedup_minhash_lsh`` (blake2b-seeded signatures),
+  ``embedding_neardup_lsh`` (approximate by design; recall asserted in
+  pytest), ``ft_stemmed_search`` (DuckDB has no offline stemmer; the
+  Porter chain is pytest-golden and its stop/length half has the exact
+  ``ft_english_doclen`` oracle).
 """
 
 from __future__ import annotations

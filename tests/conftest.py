@@ -19,8 +19,15 @@ def _hang_watchdog():
 def ray_session():
     """One Ray session for the whole pytest run (driver contract: tests own
     their Ray session; library code never calls ray.init)."""
+    import os
+
     import ray
 
+    # dodge the Ray 2.49.2 actor-teardown deadlock (see _hang_watchdog):
+    # the racing partner is the raylet's idle-worker reaper killing the
+    # worker just as the actor-pool shutdown's KillActor arrives
+    # ("Mismatched ActorID"); with reaping off the race window closes
+    os.environ.setdefault("RAY_kill_idle_workers_interval_ms", "0")
     ray.init(address="local", num_cpus=4, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     try:
