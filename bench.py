@@ -28,6 +28,10 @@ import subprocess
 import sys
 import time
 
+# dodge the Ray 2.49.2 actor-teardown deadlock (see CLAUDE.md "Known
+# flake"): disable the idle-worker reaper for sessions this script owns
+os.environ.setdefault("RAY_kill_idle_workers_interval_ms", "0")
+
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "60000"))
