@@ -34,7 +34,32 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import fulltext as ft
 
+    # The driver verifies a rotation of ~50 entries per round in dict
+    # order.  Entries that do not yet have a driver-green CORRECTNESS row
+    # enumerate FIRST so the rotation reaches them (VERDICT r3 item 1).
     q: dict[str, Callable[[str], Any]] = {
+        "ft_combined_field": ft.ft_combined_field,
+        "ft_synonym_graph": ft.ft_synonym_graph,
+    }
+    try:
+        from lucene_ray.pipelines import ann as _ann
+        from lucene_ray.pipelines import relational as _rel
+        from lucene_ray.pipelines import textstats as _ts
+
+        q.update({
+            "agg_lineitem_pricing": _rel.agg_lineitem_pricing,
+            "agg_facet_taxonomy": _rel.agg_facet_taxonomy,
+            "agg_grouping_topk": _rel.agg_grouping_topk,
+            "ann_filtered_topk": _ann.ann_filtered_topk,
+            "ann_quantized_topk": _ann.ann_quantized_topk,
+            "doc_keywords": _ts.doc_keywords,
+            "decontaminate": _ts.decontaminate,
+            "text_repetition": _ts.text_repetition,
+            "vocab_hll": _ts.vocab_hll,
+        })
+    except ImportError:
+        pass
+    q.update({
         # --- full-text index engine (flagship) ---
         "ft_collection_stats": ft.ft_collection_stats,
         "ft_term_stats": ft.ft_term_stats,
@@ -86,9 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_shingles": ft.ft_shingles,
         "ft_distance_feature": ft.ft_distance_feature,
         "ft_geo_polygon": ft.ft_geo_polygon,
-        "ft_combined_field": ft.ft_combined_field,
-        "ft_synonym_graph": ft.ft_synonym_graph,
-    }
+    })
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
                                           streaming, textstats)
@@ -114,21 +137,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lang_id": textstats.lang_id,
             "token_count_bpe": textstats.token_count_bpe,
             "doc_fingerprint": textstats.doc_fingerprint,
-            "text_repetition": textstats.text_repetition,
-            "doc_keywords": textstats.doc_keywords,
-            "decontaminate": textstats.decontaminate,
-            "vocab_hll": textstats.vocab_hll,
             "ann_cosine_topk": ann.ann_cosine_topk,
             "ann_ivf_topk": ann.ann_ivf_topk,
             "ann_hnsw_topk": ann.ann_hnsw_topk,
-            "ann_filtered_topk": ann.ann_filtered_topk,
-            "ann_quantized_topk": ann.ann_quantized_topk,
             "agg_facet_counts": relational.agg_facet_counts,
-            "agg_facet_taxonomy": relational.agg_facet_taxonomy,
-            "agg_grouping_topk": relational.agg_grouping_topk,
             "agg_distinct": relational.agg_distinct,
             "join_semi_broadcast": relational.join_semi_broadcast,
-            "agg_lineitem_pricing": relational.agg_lineitem_pricing,
         })
     except ImportError:
         pass
