@@ -1302,42 +1302,89 @@ def delete_by_term(index_dir: str, term: str) -> int:
 
 
 def upsert_documents(index_dir: str, new_corpus: str,
-                     merge_concurrency: int | tuple | None = None
+                     merge_concurrency: int | tuple | None = None,
+                     broadcast_key_limit: int = 2_000_000
                      ) -> IndexManifest:
     """updateDocument semantics (IndexWriter.updateDocument =
-    delete-by-key + add): tombstone existing docs whose (repo, path,
-    commit) key appears in ``new_corpus``, then append the new files as
-    fresh segments."""
-    import ray
+    delete-by-key + add; index/IndexWriter.java:1739): tombstone existing
+    docs whose (repo, path, commit) key appears in ``new_corpus``, then
+    append the new files as fresh segments.
 
-    keys = set()
+    Scale shape: a delta up to ``broadcast_key_limit`` keys broadcasts ONE
+    deduplicated Arrow key array (``ray.put`` once, ~50 B/key) and filters
+    docmeta with vectorized ``pc.is_in`` — no Python set, no per-row loop.
+    A larger delta never touches the driver at all: both sides map to
+    (dockey) rows and a distributed hash semi-join finds matches, whose
+    doc_ids stream straight into a tombstone generation via
+    ``write_parquet``."""
+    import ray
+    import ray.data
+
     files = sorted(
         os.path.join(new_corpus, f) for f in os.listdir(new_corpus)
         if f.endswith(".parquet")) if os.path.isdir(new_corpus) \
         else [new_corpus]
-    for f in files:
-        t = pq.read_table(f, columns=["repo", "path", "commit"])
-        for k in _dockey(t).to_pylist():
-            keys.add(k)
-    import ray.data
-
+    n_new = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
     dm = ray.data.read_parquet(os.path.join(index_dir, "docmeta"),
                                columns=["doc_id", "repo", "path", "commit"])
-    kref = ray.put(keys)
 
-    def match(batch: pa.Table) -> pa.Table:
-        ks = ray.get(kref)
-        dk = _dockey(batch).to_pylist()
-        mask = np.array([k in ks for k in dk], dtype=bool)
-        return pa.table({"doc_id": batch.column("doc_id").filter(
-            pa.array(mask))})
+    if n_new <= broadcast_key_limit:
+        keys = pc.unique(_dockey(pa.concat_tables(
+            pq.read_table(f, columns=["repo", "path", "commit"])
+            for f in files)))
+        kref = ray.put(keys)
 
-    hit = [r["doc_id"] for r in
-           dm.map_batches(match, batch_format="pyarrow").take_all()]
-    if hit:
-        delete_docs(index_dir, hit)
+        def match(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(_dockey(batch), value_set=ray.get(kref))
+            return batch.filter(mask).select(["doc_id"])
+
+        hit = [r["doc_id"] for r in
+               dm.map_batches(match, batch_format="pyarrow").take_all()]
+        if hit:
+            delete_docs(index_dir, hit)
+    else:
+        def new_keys(batch: pa.Table) -> pa.Table:
+            return pa.table({"dockey": _dockey(batch)})
+
+        def dm_keys(batch: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": batch.column("doc_id"),
+                             "dockey": _dockey(batch)})
+
+        nk = (ray.data.read_parquet(
+                  files, columns=["repo", "path", "commit"])
+              .map_batches(new_keys, batch_format="pyarrow"))
+        parts = max(2, min(64, n_new // 1_000_000))
+        hits = (dm.map_batches(dm_keys, batch_format="pyarrow")
+                .join(nk, "inner", parts, on=("dockey",))
+                .select_columns(["doc_id"]))
+        _delete_docs_stream(index_dir, hits)
     return append_to_index(index_dir, new_corpus,
                            merge_concurrency=merge_concurrency)
+
+
+def _delete_docs_stream(index_dir: str, doc_ids_ds) -> int:
+    """Append a Dataset of ``doc_id`` rows as tombstone generations
+    without collecting it on the driver: write_parquet to a scratch dir,
+    then rename each shard in as its own ``gen_NNNNN.parquet`` (readers
+    union generations, so duplicate ids across shards are harmless)."""
+    import shutil
+
+    ddir = os.path.join(index_dir, "deletes")
+    os.makedirs(ddir, exist_ok=True)
+    tmp = os.path.join(ddir, "_tmp_gen")
+    shutil.rmtree(tmp, ignore_errors=True)
+    doc_ids_ds.write_parquet(tmp)
+    n = 0
+    gen = len([f for f in os.listdir(ddir) if f.endswith(".parquet")])
+    for f in sorted(os.listdir(tmp)):
+        if not f.endswith(".parquet"):
+            continue
+        src = os.path.join(tmp, f)
+        n += pq.ParquetFile(src).metadata.num_rows
+        os.replace(src, os.path.join(ddir, f"gen_{gen:05d}.parquet"))
+        gen += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n
 
 
 def _load_deletes(index_dir: str,

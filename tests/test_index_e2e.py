@@ -1116,6 +1116,21 @@ def test_upsert_documents(tmp_path_factory, ray_session):
     beta = search_bruteforce(r, "beta", 100)
     assert len(beta.doc_ids) == 1                 # untouched doc stays
 
+    # large-delta path: broadcast_key_limit=0 forces the distributed
+    # hash semi-join + streamed tombstone generation (no driver key set)
+    ndir2 = str(d / "n2")
+    os.makedirs(ndir2)
+    pq.write_table(pa.table({
+        "repo": ["r"], "path": ["b.py"], "commit": ["c" * 40],
+        "lang": ["py"], "content": ["beta rewritten gleaming"],
+    }), os.path.join(ndir2, "u.parquet"))
+    upsert_documents(idx, ndir2, broadcast_key_limit=0)
+    r2 = IndexReader(idx)
+    assert len(search_bruteforce(r2, "beta", 100).doc_ids) == 1
+    assert len(search_bruteforce(r2, "gleaming", 100).doc_ids) == 1
+    assert len(search_bruteforce(r2, "text", 100).doc_ids) == 0
+    assert len(search_bruteforce(r2, "shiny", 100).doc_ids) == 1
+
 
 def test_highlight_and_stored_content(tmp_path_factory, ray_session):
     """Offsets + snippet passages (UnifiedHighlighter role) and
