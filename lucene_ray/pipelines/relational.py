@@ -94,17 +94,30 @@ FROM documents GROUP BY source, lang"""
 
 
 def agg_grouping_topk(sf_dir: str):
-    """Top 3 docs per lang by (n_chars desc, doc_id asc)."""
+    """Top 3 docs per lang by (n_chars desc, doc_id asc).
+
+    Two-pass FirstPassGroupingCollector shape
+    (grouping/src/java/org/apache/lucene/search/grouping/
+    FirstPassGroupingCollector.java:40): each batch emits its own top-3
+    per lang, so the final groupby(lang) combiner only ever sees ≤3 rows
+    per input block — a lang holding 80% of a 100-TB corpus never lands
+    in one task (the skewed-group hazard of map_groups over raw rows)."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_chars", "doc_id"],
+                            ascending=[False, True])
+        return df.groupby("lang", sort=False).head(3)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["n_chars", "doc_id"],
                           ascending=[False, True]).head(3)
         g = g.copy()
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
         return g
 
-    return ds.groupby("lang").map_groups(topk, batch_format="pandas")
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("lang").map_groups(combine, batch_format="pandas"))
 
 
 def oracle_grouping_topk_sql() -> str:
