@@ -157,10 +157,15 @@ def ann_ivf_topk(sf_dir: str, nprobe: int | None = None) -> pa.Table:
         probe_sets = None
     qref = ray.put((qn, probe_sets))
 
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
     assigned = (ray.data.read_parquet(_emb_path(sf_dir),
                                       columns=["vec_id", "embedding"])
                 .map_batches(_IVFAssign, batch_format="pyarrow",
-                             fn_constructor_args=(cref,), concurrency=2))
+                             fn_constructor_args=(cref,),
+                             concurrency=(1, max(2, cpus // 2))))
 
     def scan_list(g, qref=qref) -> pa.Table:
         import ray as _ray
@@ -189,9 +194,12 @@ def ann_ivf_topk(sf_dir: str, nprobe: int | None = None) -> pa.Table:
     parts = (assigned.groupby("list_id")
              .map_groups(scan_list, batch_format="pandas")
              .take_all())
+    by_q: dict[int, list] = {}
+    for r in parts:                       # one pass, not one scan per query
+        by_q.setdefault(r["qj"], []).append((r["vec_id"], r["sim"]))
     rows_q, rows_r, rows_v = [], [], []
     for j, qid in enumerate(qids):
-        cand = [(r["vec_id"], r["sim"]) for r in parts if r["qj"] == j]
+        cand = by_q.get(j, [])
         cand.sort(key=lambda x: (-x[1], x[0]))
         for rank, (v, _) in enumerate(cand[:TOP_K], 1):
             rows_q.append(int(qid))

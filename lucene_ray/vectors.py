@@ -390,6 +390,19 @@ def load_shard_quantized(index_dir: str, shard: str):
     return z["ids"], z["qvecs"], float(lo), float(scale)
 
 
+def _searcher_pool_size(n_shards: int) -> int:
+    """Shard-searcher pool size: one actor per shard up to the CPU
+    budget (never more actors than inputs — a 1-shard index gets one
+    searcher; a 32-shard index on a 32-CPU node gets 32)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(1, min(n_shards, cpus))
+
+
 class ShardSearcher:
     """Actor-pool stage over shard-path rows: the per-leaf kNN searcher.
 
@@ -497,7 +510,8 @@ def search_index_quantized(index_dir: str, qn: np.ndarray, k: int,
     qref = ray.put(qn)
     parts = (ray.data.from_items([{"path": p} for p in shard_paths])
              .map_batches(QuantizedShardSearcher, batch_format="pyarrow",
-                          batch_size=1, concurrency=2,
+                          batch_size=1,
+                          concurrency=_searcher_pool_size(len(shard_paths)),
                           fn_constructor_args=(index_dir, qref, k,
                                                oversample))
              .take_all())
@@ -526,7 +540,8 @@ def search_index(index_dir: str, qn: np.ndarray, k: int,
     qref = ray.put(qn)
     parts = (ray.data.from_items([{"path": p} for p in shard_paths])
              .map_batches(ShardSearcher, batch_format="pyarrow",
-                          batch_size=1, concurrency=2,
+                          batch_size=1,
+                          concurrency=_searcher_pool_size(len(shard_paths)),
                           fn_constructor_args=(index_dir, qref, k, ef,
                                                filter_col, filter_labels))
              .take_all())
