@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         "ft_combined_field": ft.ft_combined_field,
         "ft_synonym_graph": ft.ft_synonym_graph,
+        "ft_spell": ft.ft_spell,
     }
     try:
         from lucene_ray.pipelines import ann as _ann
@@ -208,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_geo_polygon": ft.oracle_geo_polygon_sql(),
         "ft_combined_field": ft.oracle_combined_field_sql(),
         "ft_synonym_graph": ft.oracle_synonym_graph_sql(),
+        "ft_spell": ft.oracle_spell_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

@@ -1026,6 +1026,75 @@ def oracle_fuzzy_docs_sql() -> str:
     return _oracle_multiterm_scored_sql(preds)
 
 
+SPELL_QUERIES = [(1, "valu"), (2, "custmer"), (3, "sorw"), (4, "tble"),
+                 (5, "zzz")]
+SPELL_TOP = 5
+SPELL_MAX_EDITS = 2          # DirectSpellChecker.maxEdits default
+SPELL_MIN_PREFIX = 1         # DirectSpellChecker.minPrefix default
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def ft_spell(sf_dir: str) -> pa.Table:
+    """DirectSpellChecker "did you mean"
+    (suggest/src/java/org/apache/lucene/search/spell/
+    DirectSpellChecker.java:50): dictionary terms within edit distance
+    ``maxEdits=2`` of the query term that share its first letter
+    (``minPrefix=1``), excluding the term itself, ranked by
+    (distance asc, df desc, term asc), top 5 per query. Candidate
+    enumeration reuses the bounded-Levenshtein fuzzy termdict scan
+    (vectorized masks inside each term-sorted partition; distributes
+    over part files), so only the candidates — bounded by the edit-ball
+    size, not the vocabulary — reach the driver ranker."""
+    r = reader_for(sf_dir)
+    cols = {"qid": [], "suggestion": [], "distance": [], "df": []}
+    for qid, q in SPELL_QUERIES:
+        t = _content_only(r, termdict_scan(r, fuzzy=(q, SPELL_MAX_EDITS)))
+        cand = []
+        for term, df in zip(t.column("term").to_pylist(),
+                            t.column("df").to_pylist()):
+            if term == q or term[:SPELL_MIN_PREFIX] != q[:SPELL_MIN_PREFIX]:
+                continue
+            cand.append((_levenshtein(term, q), -int(df), term))
+        cand.sort()
+        for dist, ndf, term in cand[:SPELL_TOP]:
+            cols["qid"].append(qid)
+            cols["suggestion"].append(term)
+            cols["distance"].append(dist)
+            cols["df"].append(-ndf)
+    return pa.table({"qid": pa.array(cols["qid"], pa.int64()),
+                     "suggestion": pa.array(cols["suggestion"], pa.string()),
+                     "distance": pa.array(cols["distance"], pa.int64()),
+                     "df": pa.array(cols["df"], pa.int64())})
+
+
+def oracle_spell_sql() -> str:
+    rows = []
+    for qid, q in SPELL_QUERIES:
+        rows.append(f"""SELECT * FROM (
+  SELECT {qid} AS qid, term AS suggestion,
+         CAST(levenshtein(term, '{q}') AS BIGINT) AS distance, df
+  FROM df
+  WHERE levenshtein(term, '{q}') <= {SPELL_MAX_EDITS}
+    AND term <> '{q}'
+    AND substr(term, 1, {SPELL_MIN_PREFIX}) =
+        substr('{q}', 1, {SPELL_MIN_PREFIX})
+  ORDER BY distance, df DESC, term LIMIT {SPELL_TOP})""")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE}\n{un}"
+
+
 def ft_facet_lang(sf_dir: str):
     """Facet counts over the index's docmeta (StringValueFacetCounts role,
     facet/.../StringValueFacetCounts.java) — doc counts per lang with
