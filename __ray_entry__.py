@@ -41,6 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_combined_field": ft.ft_combined_field,
         "ft_synonym_graph": ft.ft_synonym_graph,
         "ft_spell": ft.ft_spell,
+        "join_scored": ft.join_scored,
+        "ft_expr_score": ft.ft_expr_score,
     }
     try:
         from lucene_ray.pipelines import ann as _ann
@@ -210,6 +212,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_combined_field": ft.oracle_combined_field_sql(),
         "ft_synonym_graph": ft.oracle_synonym_graph_sql(),
         "ft_spell": ft.oracle_spell_sql(),
+        "join_scored": ft.oracle_join_scored_sql(),
+        "ft_expr_score": ft.oracle_expr_score_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

@@ -1750,6 +1750,85 @@ def oracle_rescore_sql() -> str:
     return f"WITH {_CORPUS_CTE},\n{_QUANT_LEN}\n{un}"
 
 
+# (qid, wrapped-query terms, scoring expression over score + len docvalue)
+EXPR_QUERIES = [
+    (1, ["value", "data"], "score + 0.25 * log(1 + len)"),
+    (2, ["table", "key"], "2 * score + sqrt(len) / (1 + min(score, 1.5))"),
+    (3, ["vector"], "max(score, 0.5) * (1 + abs(score - 0.4))"),
+]
+
+
+def ft_expr_score(sf_dir: str) -> pa.Table:
+    """FunctionScoreQuery with a compiled arithmetic expression
+    (queries/src/java/org/apache/lucene/queries/function/
+    FunctionScoreQuery.java:44 wrapping expressions/Expression.java:68,
+    JavascriptCompiler.java:120): every match of the wrapped query is
+    re-scored with expr(score, len) where ``len`` is the doc-length
+    numeric docvalue; top-10 by expression value.  Float parity: every
+    AST node rounds a double-computed result to float32 and the oracle
+    SQL is GENERATED from the same AST (``lucene_ray/expressions.py``),
+    so engine and oracle cannot drift."""
+    import pyarrow.parquet as pq_
+
+    from ..expressions import compile_expr
+    from ..search import search_terms_scored
+
+    idx = index_dir_for(sf_dir)
+    r = reader_for(sf_dir)
+    dmdir = os.path.join(idx, "docmeta")
+    dm = pa.concat_tables([
+        pq_.read_table(os.path.join(dmdir, f),
+                       columns=["doc_id", "field_len"])
+        for f in sorted(os.listdir(dmdir)) if f.endswith(".parquet")])
+    did = dm.column("doc_id").to_numpy()
+    lens = np.zeros(int(did.max()) + 1 if len(did) else 1, np.float32)
+    lens[did] = dm.column("field_len").to_numpy().astype(np.float32)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, terms, src in EXPR_QUERIES:
+        ex = compile_expr(src)
+        td = search_terms_scored(r, terms, max(1, r.doc_count))
+        vals = ex.eval({"score": td.scores, "len": lens[td.doc_ids]})
+        order = np.lexsort((td.doc_ids, -vals.astype(np.float64)))[:10]
+        for rank, i in enumerate(order.tolist(), 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(int(td.doc_ids[i]))
+            scores.append(float(vals[i]))
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "score": pa.array(scores, pa.float32())})
+
+
+def oracle_expr_score_sql() -> str:
+    from ..expressions import compile_expr
+
+    parts = []
+    for qid, terms, src in EXPR_QUERIES:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        es = compile_expr(src).sql({"score": "fp.score",
+                                    "len": "CAST(dl.len AS REAL)"})
+        parts.append(f"""(
+  SELECT {qid} AS qid,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM (
+    SELECT fp.d AS doc_id, {es} AS score
+    FROM (
+      SELECT d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+      FROM (
+        SELECT t.d, {_SCORE_EXPR} AS s
+        FROM tf t JOIN df f ON f.term = t.term
+        JOIN quant q ON q.d = t.d
+        WHERE t.term IN ({tl})
+      ) GROUP BY d
+    ) fp JOIN dl ON dl.d = fp.d
+  )
+  ORDER BY rank LIMIT 10)""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"WITH {_CORPUS_CTE},\n{_QUANT_LEN}\n{un}"
+
+
 FUZZY_SUGGEST_QUERIES = [("ke", 5), ("vql", 5), ("tabe", 5), ("zz", 5),
                          ("vlue", 5), ("tble", 5), ("qury", 5)]
 _MIN_FUZZY_LENGTH = 3   # FuzzySuggester.DEFAULT_MIN_FUZZY_LENGTH
@@ -2729,6 +2808,111 @@ lmap AS (
   FROM documents
 )
 {un}"""
+
+
+# ---------------------------------------------------------------------------
+# Scored query-time join (JoinUtil ScoreMode Max/Total/Avg)
+
+JOIN_SCORED_FROM = ["value", "data"]     # from-side BM25 query
+JOIN_SCORED_TO_TERM = "join"             # to-side membership term
+
+
+def join_scored(sf_dir: str):
+    """Scored query-time join (join/src/java/org/apache/lucene/search/
+    join/JoinUtil.java:73-78 with ScoreMode Max/Total/Avg via
+    TermsWithScoreCollector): the from-query's matching docs are BM25
+    scored, aggregated per join value (the ``lang`` keyword field) into
+    a small (value -> score) map that is broadcast ONCE (``ray.put``);
+    to-side docs (those containing the to-term) are then scored by a
+    vectorized lookup inside ``map_batches`` — score propagation without
+    a shuffle, the 100-TB join shape.  Total/Avg use an exactly-rounded
+    float64 sum (``math.fsum``) cast to float32, so the DuckDB
+    DOUBLE-sum oracle reproduces them bit-exactly."""
+    import math
+
+    import ray
+    import ray.data
+
+    from ..search import _term_docset, search_terms_scored
+
+    r = reader_for(sf_dir)
+    td = search_terms_scored(r, JOIN_SCORED_FROM, max(1, r.doc_count))
+    d, s = td.doc_ids, td.scores
+    langs, mx, tot, av = [], [], [], []
+    for term in termdict_scan(r, prefix="lang:").column("term").to_pylist():
+        m = np.isin(d, _term_docset(r, term))
+        if not m.any():
+            continue
+        sm = s[m].astype(np.float64)
+        langs.append(term[5:])
+        mx.append(np.float32(sm.max()))
+        tot.append(np.float32(math.fsum(sm)))
+        av.append(np.float32(math.fsum(sm) / len(sm)))
+    amap_ref = ray.put((pa.array(langs, pa.string()),
+                        np.asarray(mx, np.float32),
+                        np.asarray(tot, np.float32),
+                        np.asarray(av, np.float32)))
+    to_ref = ray.put(_term_docset(r, JOIN_SCORED_TO_TERM))
+
+    ds = ray.data.read_parquet(
+        os.path.join(index_dir_for(sf_dir), "docmeta"),
+        columns=["doc_id", "lang"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys, m_, t_, a_ = ray.get(amap_ref)
+        tset = ray.get(to_ref)
+        dk = batch.column("doc_id").to_numpy()
+        if len(tset) == 0:
+            return batch.slice(0, 0).append_column(
+                "score_max", pa.array([], pa.float32())).append_column(
+                "score_total", pa.array([], pa.float32())).append_column(
+                "score_avg", pa.array([], pa.float32()))
+        pos = np.minimum(np.searchsorted(tset, dk), len(tset) - 1)
+        keep = tset[pos] == dk
+        code = pc.index_in(batch.column("lang"), value_set=keys)
+        keep &= pc.is_valid(code).to_numpy(zero_copy_only=False)
+        ci = code.to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        out = batch.filter(pa.array(keep))
+        return (out.append_column("score_max", pa.array(m_[ci]))
+                .append_column("score_total", pa.array(t_[ci]))
+                .append_column("score_avg", pa.array(a_[ci])))
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def oracle_join_scored_sql() -> str:
+    tl = ", ".join(f"'{t}'" for t in JOIN_SCORED_FROM)
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+lmap AS (
+  SELECT row_number() OVER (
+           ORDER BY source, printf('doc_%08d.txt', doc_id)) - 1 AS d,
+         lang
+  FROM documents
+),
+fromscore AS (
+  SELECT d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+  FROM (
+    SELECT t.d, {_SCORE_EXPR} AS s
+    FROM tf t JOIN df f ON f.term = t.term
+    JOIN quant q ON q.d = t.d
+    WHERE t.term IN ({tl})
+  ) GROUP BY d
+),
+aggmap AS (
+  SELECT l.lang,
+         max(s.score) AS score_max,
+         CAST(sum(CAST(s.score AS DOUBLE)) AS REAL) AS score_total,
+         CAST(sum(CAST(s.score AS DOUBLE)) / count(*) AS REAL) AS score_avg
+  FROM fromscore s JOIN lmap l ON l.d = s.d
+  GROUP BY l.lang
+)
+SELECT t.d AS doc_id, l.lang, a.score_max, a.score_total, a.score_avg
+FROM (SELECT DISTINCT d FROM tf WHERE term = '{JOIN_SCORED_TO_TERM}') t
+JOIN lmap l ON l.d = t.d
+JOIN aggmap a ON a.lang = l.lang"""
 
 
 # ---------------------------------------------------------------------------
