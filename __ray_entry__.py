@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_spell": ft.ft_spell,
         "join_scored": ft.join_scored,
         "ft_expr_score": ft.ft_expr_score,
+        "ft_index_synonyms": ft.ft_index_synonyms,
     }
     try:
         from lucene_ray.pipelines import ann as _ann
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_spell": ft.oracle_spell_sql(),
         "join_scored": ft.oracle_join_scored_sql(),
         "ft_expr_score": ft.oracle_expr_score_sql(),
+        "ft_index_synonyms": ft.oracle_index_synonyms_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

@@ -565,7 +565,8 @@ def token_offsets_batch(texts: list[str],
 def term_freq_batch(texts: list[str],
                     max_token_length: int = MAX_TOKEN_LENGTH,
                     with_positions: bool = False,
-                    token_filter=None):
+                    token_filter=None,
+                    synonyms: "dict[str, list[str]] | None" = None):
     """Per-doc (term, tf) pairs for a batch — the analyzer plus the local
     BytesRefHash-style dedup (util/BytesRefHash.java:335) in one pass.
 
@@ -582,11 +583,30 @@ def term_freq_batch(texts: list[str],
     length counts only emitted tokens). On the vectorized path it is
     applied to the dictionary-encoded VOCABULARY, not the token stream.
 
+    ``synonyms`` enables index-time token graphs
+    (analysis/synonym/SynonymGraphFilter.java:78 single-token rules):
+    each occurrence of a source term ALSO emits its synonym terms at the
+    SAME position (posIncrement == 0 stacked tokens). Stacked tokens are
+    counted per doc as ``numOverlap`` (index/FieldInvertState.java:40);
+    per-doc ``lengths`` stay the non-overlap token count, i.e. already
+    the discounted ``state.getLength() - state.getNumOverlap()`` that
+    BM25Similarity's computeNorm quantizes (Similarity.java:152-163 /
+    BM25Similarity discountOverlaps=true), while ``overlaps`` lets the
+    caller keep sumTotalTermFreq INCLUSIVE of stacked tokens (Lucene's
+    collection stats count every posting occurrence). Synonyms match the
+    POST-filter term stream and are applied at the vocabulary level on
+    the vectorized path.
+
     Returns (terms: pa.Array, tfs: int64, owners: int64,
-    lengths: int32, norms: uint8) where (owners, terms) is unique per doc.
+    lengths: int32, norms: uint8) where (owners, terms) is unique per
+    doc; with ``with_positions`` a per-pair position-list is appended;
+    with ``synonyms`` an ``overlaps: int32`` per-doc array is appended
+    (always the LAST element).
     """
     n_docs = len(texts)
     lengths = np.zeros(n_docs, dtype=np.int32)
+    overlaps = np.zeros(n_docs, dtype=np.int32) if synonyms is not None \
+        else None
     if with_positions:
         # positional path (phrase-enabled indexes): per-doc posmap — the
         # exact layout codec.encode_term needs; left as the simple loop
@@ -622,15 +642,33 @@ def term_freq_batch(texts: list[str],
                 lengths[d] = len(toks)
                 for i, t in enumerate(toks):
                     posmap.setdefault(t, []).append(i)
+            if synonyms:
+                # stack synonym tokens at the source positions (posIncr=0)
+                resort = set()
+                for src, poss in list(posmap.items()):
+                    reps = synonyms.get(src)
+                    if not reps:
+                        continue
+                    for s in reps:
+                        if s == src:
+                            continue
+                        tgt = posmap.setdefault(s, [])
+                        if tgt:
+                            resort.add(s)
+                        tgt.extend(poss)
+                        overlaps[d] += len(poss)
+                for s in resort:        # natural + stacked: keep ascending
+                    posmap[s] = sorted(posmap[s])
             terms.extend(posmap.keys())
             tfs.extend(len(v) for v in posmap.values())
             owners.extend([d] * len(posmap))
             positions.extend(posmap.values())
         norms = int_to_byte4(lengths.astype(np.int64))
-        return (pa.array(terms, type=pa.string()),
-                np.array(tfs, dtype=np.int64),
-                np.array(owners, dtype=np.int64), lengths, norms,
-                positions)
+        out = (pa.array(terms, type=pa.string()),
+               np.array(tfs, dtype=np.int64),
+               np.array(owners, dtype=np.int64), lengths, norms,
+               positions)
+        return out + (overlaps,) if overlaps is not None else out
 
     flat: list[str] = []
     counts = np.zeros(n_docs, dtype=np.int64)
@@ -647,9 +685,10 @@ def term_freq_batch(texts: list[str],
         flat.extend(toks)
     if not flat:
         norms = int_to_byte4(lengths.astype(np.int64))
-        return (pa.array([], type=pa.string()),
-                np.empty(0, np.int64), np.empty(0, np.int64),
-                lengths, norms)
+        out = (pa.array([], type=pa.string()),
+               np.empty(0, np.int64), np.empty(0, np.int64),
+               lengths, norms)
+        return out + (overlaps,) if overlaps is not None else out
     arr = pa.array(flat, type=pa.string())
     owners_all = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
     # overlong-token reroute, post-hoc and vectorized: the scanner SPLITS
@@ -704,10 +743,50 @@ def term_freq_batch(texts: list[str],
             owners_all = owners_all[tok_keep]
         dictionary = pa.array(uniq_names.tolist(), type=pa.string())
     lengths[:] = np.bincount(owners_all, minlength=n_docs).astype(np.int32)
+    if synonyms:
+        # vocabulary-level token-graph stacking: every occurrence of a
+        # source term id also emits its synonym term ids for the same
+        # owner; lengths above are already final (stacked tokens are
+        # overlaps, excluded from the discounted field length)
+        vocab_list = dictionary.to_pylist()
+        name_to_id = {t: i for i, t in enumerate(vocab_list)}
+        extra_terms: list[str] = []
+        add_idx, add_own = [], []
+        for src, reps in synonyms.items():
+            sid = name_to_id.get(src)
+            if sid is None:
+                continue
+            sel = idx == sid
+            if not sel.any():
+                continue
+            own_src = owners_all[sel]
+            for s in reps:
+                if s == src:
+                    continue
+                tid = name_to_id.get(s)
+                if tid is None:
+                    tid = len(vocab_list)
+                    vocab_list.append(s)
+                    name_to_id[s] = tid
+                    extra_terms.append(s)
+                add_idx.append(np.full(own_src.shape, tid, np.int64))
+                add_own.append(own_src)
+        if add_idx:
+            if extra_terms:
+                d_arr = dictionary.combine_chunks() \
+                    if hasattr(dictionary, "combine_chunks") else dictionary
+                dictionary = pa.concat_arrays(
+                    [d_arr, pa.array(extra_terms, type=pa.string())])
+            added = np.concatenate(add_own)
+            overlaps += np.bincount(added, minlength=n_docs
+                                    ).astype(np.int32)
+            idx = np.concatenate([idx, np.concatenate(add_idx)])
+            owners_all = np.concatenate([owners_all, added])
     key = (owners_all << np.int64(32)) | idx
     uniq, tf = np.unique(key, return_counts=True)
     owners = (uniq >> np.int64(32)).astype(np.int64)
     tok_idx = (uniq & np.int64(0xFFFFFFFF)).astype(np.int64)
     terms_arr = dictionary.take(pa.array(tok_idx))
     norms = int_to_byte4(lengths.astype(np.int64))
-    return (terms_arr, tf.astype(np.int64), owners, lengths, norms)
+    out = (terms_arr, tf.astype(np.int64), owners, lengths, norms)
+    return out + (overlaps,) if overlaps is not None else out

@@ -210,7 +210,8 @@ def _build_segment(group: pa.Table, index_dir: str, bases: list[int],
                    with_term_vectors: bool = False,
                    with_offsets: bool = False,
                    index_sort: str | None = None,
-                   analyzer: str | None = None) -> pa.Table:
+                   analyzer: str | None = None,
+                   index_synonyms: dict | None = None) -> pa.Table:
     """Key-rank mode group UDF: sort the bucket by dockey, docIDs = bucket
     base + rank (deterministic global key rank)."""
     if group.num_rows == 0:
@@ -221,7 +222,8 @@ def _build_segment(group: pa.Table, index_dir: str, bases: list[int],
                                with_positions, keyword_fields=keyword_fields,
                                with_term_vectors=with_term_vectors,
                                with_offsets=with_offsets,
-                               index_sort=index_sort, analyzer=analyzer)
+                               index_sort=index_sort, analyzer=analyzer,
+                               index_synonyms=index_synonyms)
 
 
 def _build_segment_files(batch: pa.Table, index_dir: str,
@@ -230,7 +232,8 @@ def _build_segment_files(batch: pa.Table, index_dir: str,
                          with_term_vectors: bool = False,
                          with_offsets: bool = False,
                          index_sort: str | None = None,
-                         analyzer: str | None = None) -> pa.Table:
+                         analyzer: str | None = None,
+                         index_synonyms: dict | None = None) -> pa.Table:
     """Arrival mode task UDF: one input parquet file = one segment, docIDs =
     file base + row index (Lucene's arrival-order docID assignment,
     DocumentsWriterPerThread.java:274) — NO corpus shuffle at all."""
@@ -246,7 +249,8 @@ def _build_segment_files(batch: pa.Table, index_dir: str,
                                        with_term_vectors=with_term_vectors,
                                        with_offsets=with_offsets,
                                        index_sort=index_sort,
-                                       analyzer=analyzer))
+                                       analyzer=analyzer,
+                                       index_synonyms=index_synonyms))
     return pa.concat_tables(out) if out else _empty_seg_lineage()
 
 
@@ -258,7 +262,8 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
                         with_term_vectors: bool = False,
                         with_offsets: bool = False,
                         index_sort: str | None = None,
-                        analyzer: str | None = None) -> pa.Table:
+                        analyzer: str | None = None,
+                        index_synonyms: dict | None = None) -> pa.Table:
     t0 = time.time()
     if index_sort == "content_chars":
         # index sorting (index/IndexSorter.java, IndexWriterConfig
@@ -281,10 +286,20 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
     positions = None
     from .analysis_en import get_token_filter
     tfilt = get_token_filter(analyzer)
+    syn = index_synonyms or None
+    overlaps = np.zeros(n_docs, dtype=np.int32)
     if with_positions:
-        terms_arr, tfs_arr, owners, lengths, norms, positions = \
-            term_freq_batch(contents, with_positions=True,
-                            token_filter=tfilt)
+        if syn:
+            (terms_arr, tfs_arr, owners, lengths, norms, positions,
+             overlaps) = term_freq_batch(contents, with_positions=True,
+                                         token_filter=tfilt, synonyms=syn)
+        else:
+            terms_arr, tfs_arr, owners, lengths, norms, positions = \
+                term_freq_batch(contents, with_positions=True,
+                                token_filter=tfilt)
+    elif syn:
+        terms_arr, tfs_arr, owners, lengths, norms, overlaps = \
+            term_freq_batch(contents, token_filter=tfilt, synonyms=syn)
     else:
         terms_arr, tfs_arr, owners, lengths, norms = \
             term_freq_batch(contents, token_filter=tfilt)
@@ -331,6 +346,11 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
         "lang": group.column("lang"),
         "sha256": pa.array(shas, pa.binary(32)),
         "field_len": pa.array(lengths, pa.int32()),
+        # numOverlap (index/FieldInvertState.java:40): stacked posIncr=0
+        # tokens per doc; field_len above is the DISCOUNTED length that
+        # computeNorm quantizes, field_len + n_overlap the raw token count
+        # that collection stats (sumTotalTermFreq) include
+        "n_overlap": pa.array(overlaps, pa.int32()),
         "norm": pa.array(norms, pa.uint8()),
     }
     if index_sort == "content_chars":
@@ -529,7 +549,10 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
     elapsed = time.time() - t0
     lineage = {
         "seg": seg, "source": source, "n_kw_postings": int(n_kw),
-        "n_docs": n_docs, "n_tokens": int(lengths.sum()),
+        "n_docs": n_docs,
+        # sumTotalTermFreq counts stacked (overlap) tokens too — Lucene's
+        # collection stats sum raw totalTermFreq, only norms discount
+        "n_tokens": int(lengths.sum()) + int(overlaps.sum()),
         "n_postings": int(n_postings), "n_terms": n_terms,
         "content_bytes": int(sum(len(c or "") for c in contents)),
         "postings_bytes": int(seg_tbl.nbytes),
@@ -725,6 +748,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                 with_offsets: bool = False,
                 index_sort: str | None = None,
                 analyzer: str | None = None,
+                index_synonyms: dict | None = None,
                 overwrite: bool = False) -> IndexManifest:
     """Build (or resume building) an index from a corpus.
 
@@ -781,6 +805,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
         params["with_offsets"] = bool(with_offsets)
         params["index_sort"] = index_sort
         params["analyzer"] = analyzer
+        params["index_synonyms"] = index_synonyms
         bases = np.concatenate([[0], np.cumsum(counts)[:-1]]).tolist()
         plan = {"params": params, "boundaries": [], "mode": "arrival",
                 "files": files, "bucket_counts": counts, "bases": bases,
@@ -801,6 +826,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
         params["with_offsets"] = bool(with_offsets)
         params["index_sort"] = index_sort
         params["analyzer"] = analyzer
+        params["index_synonyms"] = index_synonyms
         boundaries = _boundaries_from_sample(sample_keys,
                                              params["num_buckets"])
         nb = len(boundaries) + 1
@@ -828,6 +854,7 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
     with_offsets = bool(params.get("with_offsets", with_offsets))
     index_sort = params.get("index_sort", index_sort)
     analyzer = params.get("analyzer", analyzer)
+    index_synonyms = params.get("index_synonyms", index_synonyms)
     nb = len(counts)
 
     # --- stage 2: segments (skip finished buckets before the shuffle) ---
@@ -851,7 +878,8 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                                  "with_term_vectors": with_term_vectors,
                                  "with_offsets": with_offsets,
                                  "index_sort": index_sort,
-                                 "analyzer": analyzer})
+                                 "analyzer": analyzer,
+                                 "index_synonyms": index_synonyms})
          .materialize())
     elif todo:
         ds = make_ds().map_batches(_assign_bucket, batch_format="pyarrow",
@@ -871,7 +899,8 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                                   "with_term_vectors": with_term_vectors,
                                   "with_offsets": with_offsets,
                                   "index_sort": index_sort,
-                                  "analyzer": analyzer})
+                                  "analyzer": analyzer,
+                                  "index_synonyms": index_synonyms})
            .materialize())
 
     seg_lineage = []
@@ -960,16 +989,26 @@ def verify_index(index_dir: str) -> dict:
     m = load_manifest(index_dir)
     from ray.data.aggregate import Count, Sum
     try:
-        dm = ray.data.read_parquet(os.path.join(index_dir, "docmeta"),
-                                   columns=["field_len"])
-        agg = dm.aggregate(Count(), Sum("field_len")) or {}
+        dm_dir = os.path.join(index_dir, "docmeta")
+        first = next((f for f in sorted(os.listdir(dm_dir))
+                      if f.endswith(".parquet")), None)
+        has_ov = first is not None and "n_overlap" in \
+            pq.read_schema(os.path.join(dm_dir, first)).names
+        cols = ["field_len"] + (["n_overlap"] if has_ov else [])
+        dm = ray.data.read_parquet(dm_dir, columns=cols)
+        aggs = [Count(), Sum("field_len")] + \
+            ([Sum("n_overlap")] if has_ov else [])
+        agg = dm.aggregate(*aggs) or {}
         pt = ray.data.read_parquet(os.path.join(index_dir, "postings"),
                                    columns=["n", "tf_sum"])
         pagg = pt.aggregate(Sum("n"), Sum("tf_sum")) or {}
     except Exception as e:  # missing/corrupt partitions → not ok
         return {"ok": False, "error": f"{type(e).__name__}: {e}"}
     doc_count = agg.get("count()", 0)
-    sum_len = agg.get("sum(field_len)") or 0
+    # sumTotalTermFreq counts stacked (overlap) tokens — norms discount,
+    # collection stats do not (FieldInvertState.java:40)
+    sum_len = (agg.get("sum(field_len)") or 0) + \
+        (agg.get("sum(n_overlap)") or 0)
     n_kw = sum(s.get("n_kw_postings", 0) for s in m.segments) \
         - int(m.config.get("expunged_kw", 0))
     res = {
@@ -1021,6 +1060,7 @@ def append_to_index(index_dir: str, new_corpus: str,
     with_tv = bool(m.config.get("with_term_vectors"))
     with_off = bool(m.config.get("with_offsets"))
     analyzer = m.config.get("analyzer")
+    index_synonyms = m.config.get("index_synonyms")
     files = sorted(
         os.path.join(new_corpus, f) for f in os.listdir(new_corpus)
         if f.endswith(".parquet")) if os.path.isdir(new_corpus) \
@@ -1051,7 +1091,8 @@ def append_to_index(index_dir: str, new_corpus: str,
                                  "keyword_fields": kw_fields,
                                  "with_term_vectors": with_tv,
                                  "with_offsets": with_off,
-                                 "analyzer": analyzer})
+                                 "analyzer": analyzer,
+                                 "index_synonyms": index_synonyms})
          .materialize())
 
     # merge ONLY the new segments, into a fresh salt generation
@@ -1141,7 +1182,8 @@ def add_indexes(index_dir: str, src_dir: str,
     m = load_manifest(index_dir)
     s = load_manifest(src_dir)
     for key in ("with_positions", "with_offsets", "with_term_vectors",
-                "analyzer", "keyword_fields", "index_sort"):
+                "analyzer", "keyword_fields", "index_sort",
+                "index_synonyms"):
         if m.config.get(key) != s.config.get(key):
             raise ValueError(
                 f"add_indexes: config mismatch on {key!r}: "
@@ -1602,6 +1644,9 @@ def compact_index(index_dir: str,
                 continue
             dead_docs += int(dead.sum())
             dead_tokens += int(t.column("field_len").to_numpy()[dead].sum())
+            if "n_overlap" in t.column_names:   # stats count overlaps too
+                dead_tokens += int(
+                    t.column("n_overlap").to_numpy()[dead].sum())
             for fld in kw_fields:
                 if fld in t.column_names:
                     dead_kw += int(pa.compute.sum(pa.compute.and_(

@@ -1829,6 +1829,120 @@ def oracle_expr_score_sql() -> str:
     return f"WITH {_CORPUS_CTE},\n{_QUANT_LEN}\n{un}"
 
 
+# Index-time token graphs: single-token synonym rules stacked at index
+# time (posIncr=0). "slow" also occurs naturally → exercises the
+# natural+stacked postings merge; "quick"/"large" are pure stacked terms.
+SYN_INDEX_RULES = {"fast": ["quick", "slow"], "big": ["large"]}
+_SYN_IDX_CACHE: dict[str, str] = {}
+
+
+def syn_index_dir_for(sf_dir: str) -> str:
+    return _cached_index(
+        sf_dir, "synidx-v1", _SYN_IDX_CACHE,
+        lambda sf, idx: build_index(corpus_from_documents(sf), idx,
+                                    with_positions=True,
+                                    index_synonyms=SYN_INDEX_RULES))
+
+
+def ft_index_synonyms(sf_dir: str) -> pa.Table:
+    """Index-time token graphs + overlap-aware norms
+    (analysis/synonym/SynonymGraphFilter.java:78,
+    index/FieldInvertState.java:40, Similarity.java:152-163): synonyms
+    are stacked as posIncr=0 tokens at build time, norms quantize the
+    DISCOUNTED length (length - numOverlap) while sumTotalTermFreq keeps
+    counting stacked tokens.  qid 1: BM25 top-10 for "quick" (a term
+    that ONLY exists via stacking); qid 2: top-10 for "slow"
+    (natural + stacked postings merged, tf added); qid 3: exact phrase
+    "quick scan" — phrase matching across a stacked position
+    (TestSynonymGraphFilter's index-time behavior)."""
+    from ..search import phrase_freqs, search_terms_scored
+
+    r = IndexReader(syn_index_dir_for(sf_dir))
+    rows = {"qid": [], "rank": [], "doc_id": [], "score": []}
+    for qid, term in ((1, "quick"), (2, "slow")):
+        td = search_terms_scored(r, [term], 10)
+        for rank, (d, s) in enumerate(zip(td.doc_ids.tolist(),
+                                          td.scores.tolist()), 1):
+            rows["qid"].append(qid)
+            rows["rank"].append(rank)
+            rows["doc_id"].append(d)
+            rows["score"].append(s)
+    for rank, (doc, f) in enumerate(
+            sorted(phrase_freqs(r, ["quick", "scan"]).items()), 1):
+        rows["qid"].append(3)
+        rows["rank"].append(rank)
+        rows["doc_id"].append(doc)
+        rows["score"].append(float(np.float32(f)))
+    return pa.table({"qid": pa.array(rows["qid"], pa.int64()),
+                     "rank": pa.array(rows["rank"], pa.int32()),
+                     "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                     "score": pa.array(rows["score"], pa.float32())})
+
+
+def oracle_index_synonyms_sql() -> str:
+    stacked = []
+    for src, reps in SYN_INDEX_RULES.items():
+        for s in reps:
+            stacked.append(f"SELECT d, '{s}' AS term, tf FROM tf "
+                           f"WHERE term = '{src}'")
+    st = "\n    UNION ALL ".join(stacked)
+    extra = " + ".join(
+        f"(SELECT COALESCE(CAST(sum(tf) AS BIGINT), 0) FROM tf "
+        f"WHERE term = '{src}') * {len(reps)}"
+        for src, reps in SYN_INDEX_RULES.items())
+    # collection stats COUNT stacked tokens; norms (quant over dl.len,
+    # the pre-stacking length) stay discounted — exactly the engine's
+    # length-minus-numOverlap norm
+    score = _SCORE_EXPR.replace("(SELECT sum_ttf FROM stats)",
+                                "(SELECT sum_ttf FROM stats2)")
+    parts = []
+    for qid, term in ((1, "quick"), (2, "slow")):
+        parts.append(f"""(
+  SELECT {qid} AS qid,
+         row_number() OVER (ORDER BY score DESC, d ASC) AS rank,
+         d AS doc_id, score
+  FROM (
+    SELECT d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+    FROM (
+      SELECT t.d, {score} AS s
+      FROM tf2 t JOIN df2 f ON f.term = t.term
+      JOIN quant q ON q.d = t.d
+      WHERE t.term = '{term}'
+    ) GROUP BY d
+  )
+  ORDER BY rank LIMIT 10)""")
+    parts.append("""(
+  SELECT 3 AS qid,
+         row_number() OVER (ORDER BY doc_id ASC) AS rank,
+         doc_id, CAST(freq AS REAL) AS score
+  FROM (
+    SELECT w0.d AS doc_id, count(*) AS freq
+    FROM w w0 JOIN w w1 ON w1.d = w0.d AND w1.pos = w0.pos + 1
+    WHERE w0.word = 'fast' AND w1.word = 'scan'
+    GROUP BY w0.d))""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+tf2 AS (
+  SELECT d, term, CAST(sum(tf) AS BIGINT) AS tf FROM (
+    SELECT d, term, tf FROM tf
+    UNION ALL {st}
+  ) GROUP BY d, term
+),
+df2 AS (
+  SELECT term, count(*) AS df FROM tf2 GROUP BY term
+),
+stats2 AS (
+  SELECT (SELECT sum_ttf FROM stats) + {extra} AS sum_ttf
+),
+w AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+)
+{un}"""
+
+
 FUZZY_SUGGEST_QUERIES = [("ke", 5), ("vql", 5), ("tabe", 5), ("zz", 5),
                          ("vlue", 5), ("tble", 5), ("qury", 5)]
 _MIN_FUZZY_LENGTH = 3   # FuzzySuggester.DEFAULT_MIN_FUZZY_LENGTH

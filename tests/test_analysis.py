@@ -274,3 +274,40 @@ def test_ascii_fold():
     assert ascii_fold("café naïve Müller") == "cafe naive Muller"
     assert ascii_fold("straße œuvre łódź") == "strasse oeuvre lodz"
     assert ascii_fold("plain ascii") == "plain ascii"
+
+def test_term_freq_batch_index_synonyms():
+    """Index-time token graphs (SynonymGraphFilter.java:78 single-token
+    rules): stacked tokens share the source position (posIncr=0), merge
+    with natural occurrences, count as numOverlap, and leave the
+    discounted field length unchanged (FieldInvertState.java:40)."""
+    from lucene_ray.analysis import term_freq_batch
+
+    syn = {"fast": ["quick", "slow"], "big": ["large"]}
+    docs = ["fast scan slow merge", "big big table", "no sources here"]
+
+    # positional path
+    terms, tfs, owners, lengths, norms, positions, overlaps = \
+        term_freq_batch(docs, with_positions=True, synonyms=syn)
+    got = {}
+    for t, o, p in zip(terms.to_pylist(), owners.tolist(), positions):
+        got[(o, t)] = list(p)
+    assert got[(0, "quick")] == [0]          # stacked at fast's position
+    assert got[(0, "slow")] == [0, 2]        # stacked + natural, ascending
+    assert got[(0, "fast")] == [0]
+    assert got[(1, "large")] == [0, 1]       # one per source occurrence
+    assert lengths.tolist() == [4, 3, 3]     # discounted: originals only
+    assert overlaps.tolist() == [2, 2, 0]    # quick+slow stacked, large x2
+
+    # vectorized path agrees on (owner, term, tf), lengths, overlaps
+    t2, tf2, ow2, len2, _, ov2 = term_freq_batch(docs, synonyms=syn)
+    tf_pos = {(o, t): len(p)
+              for t, o, p in zip(terms.to_pylist(), owners.tolist(),
+                                 positions)}
+    tf_vec = dict(zip(zip(ow2.tolist(), t2.to_pylist()), tf2.tolist()))
+    assert tf_vec == tf_pos
+    assert len2.tolist() == lengths.tolist()
+    assert ov2.tolist() == overlaps.tolist()
+
+    # no synonyms → legacy 5/6-tuple signature, unchanged results
+    t3, tf3, ow3, len3, _ = term_freq_batch(docs)
+    assert len3.tolist() == [4, 3, 3]
