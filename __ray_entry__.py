@@ -44,6 +44,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_scored": ft.join_scored,
         "ft_expr_score": ft.ft_expr_score,
         "ft_index_synonyms": ft.ft_index_synonyms,
+        "ft_suggest_infix": ft.ft_suggest_infix,
+        "ft_cjk_bigrams": ft.ft_cjk_bigrams,
     }
     try:
         from lucene_ray.pipelines import ann as _ann
@@ -216,6 +218,8 @@ def oracle_sql() -> dict[str, str]:
         "join_scored": ft.oracle_join_scored_sql(),
         "ft_expr_score": ft.oracle_expr_score_sql(),
         "ft_index_synonyms": ft.oracle_index_synonyms_sql(),
+        "ft_suggest_infix": ft.oracle_suggest_infix_sql(),
+        "ft_cjk_bigrams": ft.oracle_cjk_bigrams_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

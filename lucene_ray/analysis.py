@@ -562,11 +562,51 @@ def token_offsets_batch(texts: list[str],
     return starts_out, ends_out
 
 
+_HAN_RE = _re.compile(          # Han + ext-A + compat ideographs
+    "^[一-鿿㐀-䶿豈-﫿]$")
+
+
+def cjk_bigram_stream(toks: list[str]) -> list[str]:
+    """CJKBigramFilter (analysis/cjk/CJKBigramFilter.java:63, default
+    HAN flag): the UAX#29 tokenizer emits one token per Han ideograph;
+    runs of >= 2 consecutive ideograph tokens are re-emitted as n-1
+    overlapping bigrams (each at posIncrement 1), a lone ideograph stays
+    a unigram, everything else passes through — CJKAnalyzer's chain."""
+    out: list[str] = []
+    i, n = 0, len(toks)
+    match = _HAN_RE.match
+    while i < n:
+        t = toks[i]
+        if match(t):
+            j = i
+            while j + 1 < n and match(toks[j + 1]):
+                j += 1
+            if j == i:
+                out.append(t)
+            else:
+                out.extend(toks[k] + toks[k + 1] for k in range(i, j))
+            i = j + 1
+        else:
+            out.append(t)
+            i += 1
+    return out
+
+
+STREAM_FILTERS = {"cjk": cjk_bigram_stream}
+
+
+def get_stream_filter(name: "str | None"):
+    """Analyzer names that transform the TOKEN STREAM (1:many, adjacency-
+    aware) rather than the vocabulary — currently the CJK bigram chain."""
+    return STREAM_FILTERS.get(name or "")
+
+
 def term_freq_batch(texts: list[str],
                     max_token_length: int = MAX_TOKEN_LENGTH,
                     with_positions: bool = False,
                     token_filter=None,
-                    synonyms: "dict[str, list[str]] | None" = None):
+                    synonyms: "dict[str, list[str]] | None" = None,
+                    stream_filter=None):
     """Per-doc (term, tf) pairs for a batch — the analyzer plus the local
     BytesRefHash-style dedup (util/BytesRefHash.java:335) in one pass.
 
@@ -627,6 +667,8 @@ def term_freq_batch(texts: list[str],
                             if t.strip("_")]
             if toks is None:
                 toks = tokenize(text, max_token_length)
+                if stream_filter is not None:   # CJK etc. — needs adjacency
+                    toks = stream_filter(toks)  # (ASCII docs can't match)
             if not toks:
                 continue
             posmap: dict[str, list[int]] = {}
@@ -681,7 +723,9 @@ def term_freq_batch(texts: list[str],
             fast[d] = True
         else:
             toks = tokenize(text, max_token_length)
-        counts[d] = len(toks)
+            if stream_filter is not None:       # CJK etc. — adjacency-aware;
+                toks = stream_filter(toks)      # ASCII docs can't match, so
+        counts[d] = len(toks)                   # the fast path stays free
         flat.extend(toks)
     if not flat:
         norms = int_to_byte4(lengths.astype(np.int64))

@@ -367,8 +367,12 @@ def get_token_filter(name: str | None):
     for the plain StandardAnalyzer chain."""
     if not name or name == "standard":
         return None
+    from .analysis import STREAM_FILTERS
+    if name in STREAM_FILTERS:      # stream-level chain (cjk bigrams):
+        return None                 # no vocabulary-level filter
     try:
         return TOKEN_FILTERS[name]
     except KeyError:
-        raise ValueError(f"unknown analyzer {name!r}; "
-                         f"known: standard, {', '.join(TOKEN_FILTERS)}")
+        raise ValueError(
+            f"unknown analyzer {name!r}; known: standard, "
+            f"{', '.join([*TOKEN_FILTERS, *STREAM_FILTERS])}")

@@ -284,25 +284,30 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
     shas = [hashlib.sha256(("" if c is None else c).encode()).digest()
             for c in contents]
     positions = None
+    from .analysis import get_stream_filter
     from .analysis_en import get_token_filter
     tfilt = get_token_filter(analyzer)
+    sfilt = get_stream_filter(analyzer)
     syn = index_synonyms or None
     overlaps = np.zeros(n_docs, dtype=np.int32)
     if with_positions:
         if syn:
             (terms_arr, tfs_arr, owners, lengths, norms, positions,
              overlaps) = term_freq_batch(contents, with_positions=True,
-                                         token_filter=tfilt, synonyms=syn)
+                                         token_filter=tfilt, synonyms=syn,
+                                         stream_filter=sfilt)
         else:
             terms_arr, tfs_arr, owners, lengths, norms, positions = \
                 term_freq_batch(contents, with_positions=True,
-                                token_filter=tfilt)
+                                token_filter=tfilt, stream_filter=sfilt)
     elif syn:
         terms_arr, tfs_arr, owners, lengths, norms, overlaps = \
-            term_freq_batch(contents, token_filter=tfilt, synonyms=syn)
+            term_freq_batch(contents, token_filter=tfilt, synonyms=syn,
+                            stream_filter=sfilt)
     else:
         terms_arr, tfs_arr, owners, lengths, norms = \
-            term_freq_batch(contents, token_filter=tfilt)
+            term_freq_batch(contents, token_filter=tfilt,
+                            stream_filter=sfilt)
 
     n_kw = 0
     if keyword_fields:

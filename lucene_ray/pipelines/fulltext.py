@@ -2020,6 +2020,66 @@ def oracle_suggest_fuzzy_sql() -> str:
     return f"WITH {_CORPUS_CTE}\n{un}"
 
 
+INFIX_SUGGEST_QUERIES = [("va", 5), ("sc", 5), ("zz", 3), ("jo", 5)]
+
+
+def ft_suggest_infix(sf_dir: str) -> pa.Table:
+    """Infix suggester (suggest/src/java/org/apache/lucene/search/suggest/
+    analyzing/AnalyzingInfixSuggester.java:97): each document is a
+    suggestion with a static weight (its field length docvalue); a
+    lookup matches the query as a PREFIX of any token ANYWHERE in the
+    suggestion (the infix semantic — AnalyzingSuggester only completes
+    from the start), top-k by (weight desc, doc asc). Uses the prefix
+    termdict scan + the union of the matched terms' postings — the same
+    index structures the reference's suggester builds its own Lucene
+    index from."""
+    from ..search import _term_docset
+
+    r = reader_for(sf_dir)
+    idx = index_dir_for(sf_dir)
+    import pyarrow.parquet as pq_
+    dmdir = os.path.join(idx, "docmeta")
+    dm = pa.concat_tables([
+        pq_.read_table(os.path.join(dmdir, f),
+                       columns=["doc_id", "field_len"])
+        for f in sorted(os.listdir(dmdir)) if f.endswith(".parquet")])
+    did = dm.column("doc_id").to_numpy()
+    wt = np.zeros(int(did.max()) + 1 if len(did) else 1, np.int64)
+    wt[did] = dm.column("field_len").to_numpy().astype(np.int64)
+    out = []
+    for p, k in INFIX_SUGGEST_QUERIES:
+        terms = _content_only(r, termdict_scan(r, prefix=p)) \
+            .column("term").to_pylist()
+        docs = (np.unique(np.concatenate(
+            [_term_docset(r, t) for t in terms]))
+            if terms else np.empty(0, np.int64))
+        sel = np.lexsort((docs, -wt[docs]))[:k]
+        d = docs[sel]
+        out.append(pa.table({
+            "prefix": pa.array([p] * len(d), pa.string()),
+            "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int64)),
+            "doc_id": pa.array(d, pa.int64()),
+            "weight": pa.array(wt[d], pa.int64()),
+        }))
+    return pa.concat_tables(out)
+
+
+def oracle_suggest_infix_sql() -> str:
+    rows = []
+    for p, k in INFIX_SUGGEST_QUERIES:
+        rows.append(f"""SELECT prefix, rank, doc_id, weight FROM (
+  SELECT '{p}' AS prefix,
+         row_number() OVER (ORDER BY weight DESC, doc_id ASC) AS rank,
+         doc_id, weight
+  FROM (
+    SELECT t.d AS doc_id, dl.len AS weight
+    FROM (SELECT DISTINCT d FROM tok WHERE term LIKE '{p}%') t
+    JOIN dl ON dl.d = t.d)
+  ) WHERE rank <= {k}""")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE}\n{un}"
+
+
 # (qid, SHOULD terms, minimumNumberShouldMatch, k)
 MSM_QUERIES = [(1, ["key", "agg", "slow", "fast"], 2, 10),
                (2, ["table", "value", "part", "hash", "join"], 3, 10),
@@ -3225,3 +3285,119 @@ FROM w a JOIN w b ON b.d = a.d AND b.pos = a.pos + 1
 GROUP BY shingle
 ORDER BY cnt DESC, shingle
 LIMIT {n_top}"""
+
+
+# ---------------------------------------------------------------------------
+# CJK analysis chain (CJKAnalyzer / CJKBigramFilter)
+
+_CJK_TOP = 50
+_CJK_BASE = 0x4E00
+_CJK_MOD = 20000      # keep derived chars inside the Han block
+
+
+def _cjk_vocab_map(sf_dir: str) -> dict[str, str]:
+    """Deterministic word → Han-ideograph map: rank in the corpus's
+    sorted distinct vocabulary (Heaps-law small — the same broadcast
+    shape doc_keywords uses) → chr(0x4E00 + rank % 20000). The SQL
+    oracle derives the identical map with dense ranks over DISTINCT
+    terms, so both sides tokenize the same synthetic CJK text (the
+    testdata corpus itself carries no CJK — the map turns it into a
+    deterministic CJK corpus without external data)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+
+    def batch_vocab(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat = pc.list_flatten(pc.split_pattern(
+            batch.column("text").cast(pa.string()), " "))
+        return pa.table({"term": pc.unique(flat)})
+
+    vocab = sorted(ds.map_batches(batch_vocab, batch_format="pyarrow")
+                   .unique("term"))
+    return {w: chr(_CJK_BASE + i % _CJK_MOD) for i, w in enumerate(vocab)
+            if w}
+
+
+def ft_cjk_bigrams(sf_dir: str) -> pa.Table:
+    """CJK analysis chain (analysis/cjk/CJKAnalyzer.java:39 →
+    CJKBigramFilter.java:63): the corpus is deterministically mapped to
+    Han text (see :func:`_cjk_vocab_map`), run through the REAL UAX#29
+    tokenizer (one token per ideograph, WB999) + the CJK bigram stream
+    filter, and aggregated to per-term (df, ttf) with per-batch partials
+    — top-50 by (df desc, term asc). The same ``cjk`` analyzer name is
+    accepted by ``build_index(analyzer="cjk")`` for index-time bigrams
+    (pytest-covered)."""
+    import ray
+    import ray.data
+
+    from ..analysis import cjk_bigram_stream, tokenize
+
+    vmap_ref = ray.put(_cjk_vocab_map(sf_dir))
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(vmap_ref)
+        terms, dfs, ttfs = {}, {}, {}
+        for text in batch.column("text").to_pylist():
+            words = (text or "").split(" ")
+            han = "".join(m.get(w, "") for w in words)
+            toks = cjk_bigram_stream(tokenize(han)) if han else []
+            if not toks:
+                continue
+            seen = {}
+            for t in toks:
+                seen[t] = seen.get(t, 0) + 1
+            for t, c in seen.items():
+                dfs[t] = dfs.get(t, 0) + 1
+                ttfs[t] = ttfs.get(t, 0) + c
+        ks = sorted(dfs)
+        return pa.table({"term": pa.array(ks, pa.string()),
+                         "df": pa.array([dfs[k] for k in ks], pa.int64()),
+                         "ttf": pa.array([ttfs[k] for k in ks], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("term")
+           .aggregate(Sum("df", alias_name="df"),
+                      Sum("ttf", alias_name="ttf"))
+           .to_pandas())
+    agg = agg.sort_values(["df", "term"],
+                          ascending=[False, True]).head(_CJK_TOP)
+    return pa.table({"term": pa.array(agg["term"], pa.string()),
+                     "df": pa.array(agg["df"].astype(np.int64)),
+                     "ttf": pa.array(agg["ttf"].astype(np.int64))})
+
+
+def oracle_cjk_bigrams_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+vmap AS (
+  SELECT term,
+         chr({_CJK_BASE} + (CAST(row_number() OVER (ORDER BY term) AS INT)
+                            - 1) % {_CJK_MOD}) AS han
+  FROM (SELECT DISTINCT word AS term FROM w WHERE word <> '')
+),
+ctext AS (
+  SELECT d, string_agg(v.han, '' ORDER BY w.pos) AS text
+  FROM w JOIN vmap v ON v.term = w.word
+  GROUP BY d
+),
+grams AS (
+  SELECT d, substr(text, CAST(i AS INT), 2) AS term
+  FROM ctext, UNNEST(generate_series(1, length(text) - 1)) AS t(i)
+  WHERE length(text) >= 2
+  UNION ALL
+  SELECT d, text AS term FROM ctext WHERE length(text) = 1
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       count(*) AS ttf
+FROM grams GROUP BY term
+ORDER BY df DESC, term LIMIT {_CJK_TOP}"""

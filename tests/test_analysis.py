@@ -311,3 +311,44 @@ def test_term_freq_batch_index_synonyms():
     # no synonyms → legacy 5/6-tuple signature, unchanged results
     t3, tf3, ow3, len3, _ = term_freq_batch(docs)
     assert len3.tolist() == [4, 3, 3]
+
+def test_cjk_bigram_stream():
+    """CJKBigramFilter semantics (analysis/cjk/CJKBigramFilter.java:63):
+    runs of Han ideograph tokens become overlapping bigrams, lone
+    ideographs stay unigrams, non-Han tokens pass through."""
+    from lucene_ray.analysis import cjk_bigram_stream, tokenize
+
+    toks = tokenize("我爱北京 hello 门 world 天安门")
+    assert cjk_bigram_stream(toks) == \
+        ["我爱", "爱北", "北京", "hello", "门", "world", "天安", "安门"]
+    assert cjk_bigram_stream(["plain", "ascii"]) == ["plain", "ascii"]
+    assert cjk_bigram_stream([]) == []
+
+
+def test_index_time_cjk_analyzer(tmp_path, ray_session):
+    """build_index(analyzer='cjk') indexes bigram terms; ASCII docs are
+    untouched (the fast path skips the stream filter)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.build import build_index
+    from lucene_ray.search import IndexReader, termdict_terms
+
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    rows = {
+        "repo": ["r"] * 3, "path": [f"doc_{i:08d}.txt" for i in range(3)],
+        "commit": ["c"] * 3, "lang": ["zh", "zh", "en"],
+        "content": ["我爱北京天安门", "北京 big data", "plain ascii text"],
+    }
+    pq.write_table(pa.table(rows), str(corpus / "a.parquet"))
+    idx = tmp_path / "i"
+    build_index(str(corpus), str(idx), analyzer="cjk")
+    r = IndexReader(str(idx))
+    terms = set(termdict_terms(r).column("term").to_pylist())
+    assert {"我爱", "爱北", "北京", "京天", "天安", "安门"} <= terms
+    assert "我" not in terms            # merged into bigrams
+    assert "北京" in terms and {"big", "data", "plain"} <= terms
+    # lone ideograph in doc 1 ("北京" run of 2 → one bigram)
+    p = r.postings("北京")
+    assert p is not None and int(p.n.sum()) == 2   # docs 0 and 1
