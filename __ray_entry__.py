@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_index_synonyms": ft.ft_index_synonyms,
         "ft_suggest_infix": ft.ft_suggest_infix,
         "ft_cjk_bigrams": ft.ft_cjk_bigrams,
+        "ft_shape_box": ft.ft_shape_box,
     }
     try:
         from lucene_ray.pipelines import ann as _ann
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_index_synonyms": ft.oracle_index_synonyms_sql(),
         "ft_suggest_infix": ft.oracle_suggest_infix_sql(),
         "ft_cjk_bigrams": ft.oracle_cjk_bigrams_sql(),
+        "ft_shape_box": ft.oracle_shape_box_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

@@ -2593,6 +2593,104 @@ def oracle_geo_distance_sql() -> str:
     return f"WITH {_CORPUS_CTE},{_GEO_CTE}\n{un}"
 
 
+# ---------------------------------------------------------------------------
+# Indexed shapes (LatLonShape / ShapeField tessellated triangles)
+
+# (qid, relation, lat_lo, lat_hi, lon_lo, lon_hi) — CLOSED boxes
+SHAPE_BOXES = [
+    (1, "intersects", 0, 30_000_000, -60_000_000, 20_000_000),
+    (2, "within", -40_000_000, -10_000_000, 40_000_000, 90_000_000),
+    # near-global box: the DISJOINT set is the handful of shapes tucked
+    # entirely into the pole/dateline margins — bounded output
+    (3, "disjoint", -89_000_000, 89_000_000, -179_000_000, 179_000_000),
+    # tiny box, exercises band + row-group pruning (expected ~empty)
+    (4, "intersects", 89_100_000, 89_200_000, 0, 100_000),
+]
+
+
+def ft_shape_box(sf_dir: str) -> pa.Table:
+    """LatLonShape.newBoxQuery (document/LatLonShape.java:79,
+    LatLonShapeBoundingBoxQuery with QueryRelation INTERSECTS / WITHIN /
+    DISJOINT) over the tessellated-triangle index
+    (:mod:`lucene_ray.shapes`): each doc carries a deterministic convex
+    quad, fan-tessellated (geo/Tessellator.java:75) into two CCW
+    triangles indexed by their bounding boxes; box queries prune on the
+    bbox stats and verify with the exact integer separating-axis test."""
+    from ..shapes import build_shape_index, shape_box
+
+    idx = index_dir_for(sf_dir)
+    build_shape_index(idx)
+    qids, rels, docs = [], [], []
+    for qid, rel, a, b, c, d in SHAPE_BOXES:
+        hits, _metrics = shape_box(idx, a, b, c, d, relation=rel)
+        qids.extend([qid] * len(hits))
+        rels.extend([rel] * len(hits))
+        docs.extend(hits.tolist())
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "relation": pa.array(rels, pa.string()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+_SHAPE_CTE = """
+shp AS (
+  SELECT d,
+         (d * 2654435761) % 179200000 - 89600000 AS cy,
+         (d * 2246822519 + 123456789) % 359200000 - 179600000 AS cx,
+         30000 + (d * 37) % 270000 AS ry,
+         30000 + (d * 53) % 270000 AS rx
+  FROM corpus
+),
+verts AS (
+  SELECT d, 0 AS i, cy - ry AS y, cx AS x FROM shp
+  UNION ALL SELECT d, 1, cy, cx + rx FROM shp
+  UNION ALL SELECT d, 2, cy + ry, cx FROM shp
+  UNION ALL SELECT d, 3, cy, cx - rx FROM shp
+),
+edges AS (
+  SELECT a.d, a.y AS py, a.x AS px, b.y AS qy, b.x AS qx
+  FROM verts a JOIN verts b ON b.d = a.d AND b.i = (a.i + 1) % 4
+)"""
+
+
+def _shape_intersects_where(a: int, b: int, c: int, d: int) -> str:
+    """Separating-axis test for the convex quad vs the closed box
+    [a,b]x[c,d]: bbox overlap (the box's own axes) AND no quad edge has
+    all four box corners strictly outside — exactly the engine's
+    per-triangle test lifted to the quad (union of the fan triangles ==
+    the quad, so the doc-level results coincide)."""
+    corners = ((a, c), (a, d), (b, d), (b, c))
+    crosses = ", ".join(
+        f"(e.qx - e.px) * ({gy} - e.py) - (e.qy - e.py) * ({gx} - e.px)"
+        for gy, gx in corners)
+    return (f"s.cy + s.ry >= {a} AND s.cy - s.ry <= {b} "
+            f"AND s.cx + s.rx >= {c} AND s.cx - s.rx <= {d} "
+            f"AND NOT EXISTS (SELECT 1 FROM edges e WHERE e.d = s.d "
+            f"AND greatest({crosses}) < 0)")
+
+
+def oracle_shape_box_sql() -> str:
+    rows = []
+    for qid, rel, a, b, c, d in SHAPE_BOXES:
+        if rel == "within":
+            rows.append(
+                f"SELECT {qid} AS qid, 'within' AS relation, d AS doc_id "
+                f"FROM verts GROUP BY d "
+                f"HAVING bool_and(y >= {a} AND y <= {b} "
+                f"AND x >= {c} AND x <= {d})")
+        elif rel == "intersects":
+            rows.append(
+                f"SELECT {qid} AS qid, 'intersects' AS relation, "
+                f"s.d AS doc_id FROM shp s "
+                f"WHERE {_shape_intersects_where(a, b, c, d)}")
+        else:
+            rows.append(
+                f"SELECT {qid} AS qid, 'disjoint' AS relation, "
+                f"s.d AS doc_id FROM shp s "
+                f"WHERE NOT ({_shape_intersects_where(a, b, c, d)})")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE},{_SHAPE_CTE}\n{un}"
+
+
 HIGHLIGHT_QUERIES = [(1, ["key", "agg"], 10), (2, ["vector"], 10),
                      (3, ["slow", "fast", "table"], 10)]
 
