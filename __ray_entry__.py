@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_suggest_infix": ft.ft_suggest_infix,
         "ft_cjk_bigrams": ft.ft_cjk_bigrams,
         "ft_shape_box": ft.ft_shape_box,
+        "ft_payload_score": ft.ft_payload_score,
     }
     try:
         from lucene_ray.pipelines import ann as _ann
@@ -222,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_suggest_infix": ft.oracle_suggest_infix_sql(),
         "ft_cjk_bigrams": ft.oracle_cjk_bigrams_sql(),
         "ft_shape_box": ft.oracle_shape_box_sql(),
+        "ft_payload_score": ft.oracle_payload_score_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

@@ -3499,3 +3499,136 @@ SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
        count(*) AS ttf
 FROM grams GROUP BY term
 ORDER BY df DESC, term LIMIT {_CJK_TOP}"""
+
+
+# ---------------------------------------------------------------------------
+# Payload queries (PayloadScoreQuery over span term / span near)
+
+# (qid, spec, payload_function, k) — spec is ("term", t) or
+# ("span", (t1, t2)) for an ordered slop-0 two-term span
+PAYLOAD_QUERIES = [
+    (1, ("term", "vector"), "max", 10),
+    (2, ("term", "key"), "sum", 10),
+    (3, ("term", "table"), "avg", 10),
+    (4, ("span", ("key", "agg")), "max", 10),
+]
+
+
+def _payload_starts(idx: str, docs: "list[int]") -> dict:
+    """tok_starts for the matched docs only (predicate-pushdown read of
+    the docmeta forward store — the term-vectors payload path,
+    index/TermVectorsReader role)."""
+    import pyarrow.parquet as pq_
+
+    dm = pq_.read_table(os.path.join(idx, "docmeta"),
+                        columns=["doc_id", "tok_starts"],
+                        filters=[("doc_id", "in", docs)])
+    return {d: np.asarray(s, np.int64)
+            for d, s in zip(dm.column("doc_id").to_pylist(),
+                            dm.column("tok_starts").to_pylist())}
+
+
+def ft_payload_score(sf_dir: str) -> pa.Table:
+    """PayloadScoreQuery (queries/payloads/PayloadScoreQuery.java:48,
+    includeSpanScore=false) with MaxPayloadFunction / SumPayloadFunction
+    / AveragePayloadFunction (payloads/PayloadFunction.java subclasses):
+    the payload attached to every token is its START OFFSET
+    (analysis/payloads/TokenOffsetPayloadTokenFilter.java:28 role),
+    stored in the offsets forward store and read back per match
+    position. Span specs: a single SpanTermQuery, or an ordered slop-0
+    two-term SpanNearQuery (spans/SpanNearQuery.java:55) whose every
+    matched span contributes BOTH positions' payloads, exactly the
+    reference's per-span payload collection. Scores are float32 (the
+    payload decoder's float path); top-k by (score desc, doc asc)."""
+    from ..search import _term_positions
+
+    r = reader_for(sf_dir)
+    idx = index_dir_for(sf_dir)
+    out = []
+    for qid, (kind, spec), func, k in PAYLOAD_QUERIES:
+        if kind == "term":
+            pos_of = _term_positions(r, spec) or {}
+            match_pos = {d: (np.asarray(p, np.int64),)
+                         for d, p in pos_of.items()}
+        else:
+            t1, t2 = spec
+            p1 = _term_positions(r, t1) or {}
+            p2 = _term_positions(r, t2) or {}
+            match_pos = {}
+            for d, a in p1.items():
+                b = p2.get(d)
+                if b is None:
+                    continue
+                a = np.asarray(a, np.int64)
+                starts = a[np.isin(a + 1, np.asarray(b, np.int64))]
+                if len(starts):
+                    match_pos[d] = (starts, starts + 1)
+        docs = sorted(match_pos)
+        if not docs:
+            continue
+        st_of = _payload_starts(idx, docs)
+        scores = np.empty(len(docs), np.float32)
+        for i, d in enumerate(docs):
+            pay = np.concatenate([st_of[d][p] for p in match_pos[d]])
+            if func == "max":
+                scores[i] = np.float32(pay.max())
+            elif func == "sum":
+                scores[i] = np.float32(pay.sum())
+            else:
+                scores[i] = np.float32(pay.sum()) / np.float32(len(pay))
+        darr = np.asarray(docs, np.int64)
+        sel = np.lexsort((darr, -scores))[:k]
+        out.append(pa.table({
+            "qid": pa.array([qid] * len(sel), pa.int64()),
+            "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int64)),
+            "doc_id": pa.array(darr[sel], pa.int64()),
+            "score": pa.array(scores[sel], pa.float32()),
+        }))
+    return pa.concat_tables(out)
+
+
+_WOFF_CTE = """
+wpos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM (SELECT d AS doc_id, text FROM corpus)
+),
+wo AS (
+  SELECT doc_id AS d, pos, word,
+         CAST(coalesce(sum(length(word)) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + pos - 1 AS BIGINT) AS off
+  FROM wpos
+)"""
+
+
+def oracle_payload_score_sql() -> str:
+    rows = []
+    for qid, (kind, spec), func, k in PAYLOAD_QUERIES:
+        if kind == "term":
+            if func == "max":
+                s = "CAST(max(off) AS REAL)"
+            elif func == "sum":
+                s = "CAST(sum(off) AS REAL)"
+            else:
+                s = ("CAST(CAST(sum(off) AS REAL) / "
+                     "CAST(count(*) AS REAL) AS REAL)")
+            base = (f"SELECT d, {s} AS s FROM wo "
+                    f"WHERE word = '{spec}' GROUP BY d")
+        else:
+            t1, t2 = spec
+            agg = {"max": "max(greatest(a.off, b.off))",
+                   "sum": "sum(a.off + b.off)"}[func]
+            base = (f"SELECT a.d, CAST({agg} AS REAL) AS s "
+                    f"FROM wo a JOIN wo b ON b.d = a.d "
+                    f"AND b.pos = a.pos + 1 "
+                    f"WHERE a.word = '{t1}' AND b.word = '{t2}' "
+                    f"GROUP BY a.d")
+        rows.append(f"""SELECT {qid} AS qid, rank, doc_id, score FROM (
+  SELECT row_number() OVER (ORDER BY s DESC, d ASC) AS rank,
+         d AS doc_id, s AS score
+  FROM ({base})
+) WHERE rank <= {k}""")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE},{_WOFF_CTE}\n{un}"

@@ -1010,3 +1010,40 @@ def test_vocab_hll_sketch(tmp_path, ray_session):
     true = len({w for t in texts for w in t.split(" ")})
     est = hll_estimate(regs["bucket"].tolist(), regs["max(r)"].tolist())
     assert abs(est - true) / true < 0.15, (est, true)
+
+
+def test_payload_score_hand_corpus(ray_session, tmp_path):
+    """PayloadScoreQuery semantics on hand-computed offsets: payload =
+    token start offset (TokenOffsetPayloadTokenFilter role); max / sum /
+    avg per doc; the slop-0 span collects BOTH positions' payloads per
+    matched span (PayloadScoreQuery.java:48 span payload collection)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.fulltext import ft_payload_score
+
+    #                 0123456789012345678901234
+    texts = ["key agg key zz",          # key @ 0, 8; "key agg" span @ 0
+             "zz key agg key agg",      # key @ 3, 11; spans @ 3 and 11
+             "agg zz"]                  # no key
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(["en"] * 3),
+                  "source": pa.array(["s"] * 3)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, str(sf / "documents.parquet"))
+    out = ft_payload_score(str(sf)).to_pandas()
+    by = {(q, d): s for q, d, s in
+          zip(out.qid, out.doc_id, out.score)}
+    # corpus doc order is (source, path) — doc ids line up with inputs.
+    # qid 1: max(start of 'vector') — absent here (no rows for qid 1)
+    assert not (out.qid == 1).any()
+    # qid 2: sum of 'key' starts: doc0 = 0 + 8; doc1 = 3 + 11
+    assert by[(2, 0)] == 8.0 and by[(2, 1)] == 14.0
+    # qid 3: avg of 'table' — absent
+    assert not (out.qid == 3).any()
+    # qid 4: span "key agg": doc0 spans {0,4} -> max 4;
+    # doc1 spans {3,7} and {11,15} -> max 15
+    assert by[(4, 0)] == 4.0 and by[(4, 1)] == 15.0
+    assert (4, 2) not in by
