@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/round-3 additions; 82 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (75 of 82). Omitted
+  + the §8 round-2/3/4 additions; 91 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (84 of 91). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` (binary codec decode),
   ``doc_fingerprint`` / ``dedup_simhash`` / ``dedup_simhash_pairs`` /
@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_cjk_bigrams": ft.ft_cjk_bigrams,
         "ft_shape_box": ft.ft_shape_box,
         "ft_payload_score": ft.ft_payload_score,
+        "ft_word_break": ft.ft_word_break,
     }
     try:
         from lucene_ray.pipelines import ann as _ann
@@ -61,6 +62,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_filtered_topk": _ann.ann_filtered_topk,
             "ann_quantized_topk": _ann.ann_quantized_topk,
             "doc_keywords": _ts.doc_keywords,
+            "dup_ngram_stats": __import__(
+                "lucene_ray.pipelines.dedup",
+                fromlist=["dedup"]).dup_ngram_stats,
             "decontaminate": _ts.decontaminate,
             "text_repetition": _ts.text_repetition,
             "vocab_hll": _ts.vocab_hll,
@@ -224,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_cjk_bigrams": ft.oracle_cjk_bigrams_sql(),
         "ft_shape_box": ft.oracle_shape_box_sql(),
         "ft_payload_score": ft.oracle_payload_score_sql(),
+        "ft_word_break": ft.oracle_word_break_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,
@@ -234,6 +239,7 @@ def oracle_sql() -> dict[str, str]:
             "events_sessionize": streaming.oracle_sessionize_sql(),
             "embedding_neardup": ann.oracle_embedding_neardup_sql(),
             "dedup_exact": dedup.oracle_dedup_exact_sql(),
+            "dup_ngram_stats": dedup.oracle_dup_ngram_sql(),
             "ngram_jaccard_pairs": dedup.oracle_ngram_jaccard_sql(),
             "dedup_clusters": dedup.oracle_dedup_clusters_sql(),
             "text_quality": textstats.oracle_text_quality_sql(),

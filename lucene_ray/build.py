@@ -773,6 +773,9 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
     """
     import ray.data
 
+    _timing = os.environ.get("GRAFT_BUILD_TIMING")
+    _t0 = time.time()
+
     if not isinstance(corpus, str):
         doc_order = "key"
 
@@ -862,6 +865,10 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
     index_synonyms = params.get("index_synonyms", index_synonyms)
     nb = len(counts)
 
+    if _timing:
+        print(f"[build-timing] plan {time.time() - _t0:.3f}s", flush=True)
+        _t0 = time.time()
+
     # --- stage 2: segments (skip finished buckets before the shuffle) ---
     lin_dir = os.path.join(index_dir, "_build", "seg_lineage")
     done = set()
@@ -907,6 +914,11 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                                   "analyzer": analyzer,
                                   "index_synonyms": index_synonyms})
            .materialize())
+
+    if _timing:
+        print(f"[build-timing] segments {time.time() - _t0:.3f}s",
+              flush=True)
+        _t0 = time.time()
 
     seg_lineage = []
     for f in sorted(os.listdir(lin_dir)) if os.path.isdir(lin_dir) else []:
@@ -955,6 +967,10 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
                         concurrency=merge_concurrency or (1, 16))
             .materialize())
 
+    if _timing:
+        print(f"[build-timing] merge {time.time() - _t0:.3f}s", flush=True)
+        _t0 = time.time()
+
     merge_lineage = []
     if os.path.isdir(mlin_dir):
         for f in sorted(os.listdir(mlin_dir)):
@@ -970,6 +986,9 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
         corpus_fingerprint=plan.get("corpus_fingerprint", ""),
     )
     save_manifest(index_dir, manifest)
+    if _timing:
+        print(f"[build-timing] finalize {time.time() - _t0:.3f}s",
+              flush=True)
     return manifest
 
 

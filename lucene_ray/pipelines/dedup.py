@@ -822,3 +822,146 @@ reach(x, y) AS (
   SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x
 )
 SELECT x AS doc_id, min(y) AS cluster FROM reach GROUP BY x"""
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-substring signal (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better": substrings
+# repeated across the corpus are memorization hazards; the suffix-array
+# exact-match criterion is approximated here at the fixed n-gram
+# granularity the paper's 50-token threshold implies — per doc, the
+# fraction of its distinct word n-grams that occur in >= 2 documents).
+
+_DUPGRAM_N = 8
+
+
+def _gram_hashes_batch(texts: list[str], n: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc UNIQUE word-n-gram hashes, vectorized like
+    :func:`_shingle_hashes_batch` (blake2b once per unique word, then an
+    order-aware splitmix chain across the n word hashes)."""
+    ind, vocab_h, owners, counts = _split_tokens(texts)
+    if len(ind) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    W = vocab_h[ind]
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    pos = np.arange(len(W), dtype=np.int64) - offs[owners]
+    valid = np.flatnonzero(pos <= counts[owners] - n)
+    if len(valid) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    h = np.zeros(len(valid), np.uint64)
+    for j in range(n):
+        h = _splitmix64(h ^ (W[valid + j] * _GOLD64))
+    own = owners[valid]
+    order = np.lexsort((h, own))
+    own, h = own[order], h[order]
+    keep = np.ones(len(h), bool)
+    keep[1:] = (own[1:] != own[:-1]) | (h[1:] != h[:-1])
+    return own[keep], h[keep]
+
+
+def dup_ngram_stats(sf_dir: str):
+    """Per-doc duplicated-n-gram statistics: (doc_id, n_grams, n_dup,
+    dup_frac) where n_dup counts the doc's distinct 8-grams that occur
+    in at least 2 documents. Scale shape: explode (gram-hash, doc) rows
+    with per-doc dedup in the map task, ONE hash-partitioned exchange on
+    the gram key (coarse buckets — a partition task marks dup membership
+    with a vectorized sort + run-length scan, never a per-gram group),
+    then one bounded per-doc sum. Nothing gram-sized touches the
+    driver."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    P = max(_join_parts(sf_dir) * 4, 8)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        own, h = _gram_hashes_batch(texts, _DUPGRAM_N)
+        doc_ids = batch.column("doc_id").to_numpy()
+        if len(own) == 0:
+            return pa.table({"pkey": pa.array([], pa.int32()),
+                             "gh": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64())})
+        return pa.table({
+            "pkey": pa.array((h % np.uint64(P)).astype(np.int32)),
+            "gh": pa.array(h),
+            "doc_id": pa.array(doc_ids[own])})
+
+    def mark_dups(g: pa.Table) -> pa.Table:
+        """One coarse gram-hash partition: rows sorted by gh; a gram is
+        duplicated iff its run spans >= 2 rows (each (doc, gh) row is
+        unique, so run length == doc frequency)."""
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_grams": pa.array([], pa.int64()),
+                          "n_dup": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        gh = g.column("gh").to_numpy()
+        d = g.column("doc_id").to_numpy()
+        order = np.argsort(gh, kind="stable")
+        gh, d = gh[order], d[order]
+        starts = np.r_[True, gh[1:] != gh[:-1]]
+        run_id = np.cumsum(starts) - 1
+        run_len = np.bincount(run_id)
+        dup = run_len[run_id] >= 2
+        dd = d[dup]
+        if len(dd) == 0:
+            return empty
+        docs, cnt = np.unique(dd, return_counts=True)
+        return pa.table({"doc_id": pa.array(docs, pa.int64()),
+                         "n_grams": pa.array(np.zeros(len(docs), np.int64)),
+                         "n_dup": pa.array(cnt.astype(np.int64))})
+
+    def totals(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        own, _h = _gram_hashes_batch(texts, _DUPGRAM_N)
+        doc_ids = batch.column("doc_id").to_numpy()
+        ng = np.bincount(own, minlength=len(doc_ids)).astype(np.int64)
+        keep = ng > 0
+        return pa.table({"doc_id": pa.array(doc_ids[keep]),
+                         "n_grams": pa.array(ng[keep]),
+                         "n_dup": pa.array(np.zeros(keep.sum(), np.int64))})
+
+    rows = _docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+    dups = rows.groupby("pkey").map_groups(mark_dups,
+                                           batch_format="pyarrow")
+    tot = _docs(sf_dir).map_batches(totals, batch_format="pyarrow")
+    agg = (tot.union(dups)
+           .groupby("doc_id")
+           .aggregate(Sum("n_grams", alias_name="n_grams"),
+                      Sum("n_dup", alias_name="n_dup")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = t.column("n_grams").to_numpy().astype(np.int64)
+        nd = t.column("n_dup").to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "n_grams": pa.array(ng),
+            "n_dup": pa.array(nd),
+            "dup_frac": pa.array(nd.astype(np.float64)
+                                 / ng.astype(np.float64))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def oracle_dup_ngram_sql() -> str:
+    n = _DUPGRAM_N
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + {n - 1}], ' ')
+           AS gram
+  FROM toks, UNNEST(generate_series(1, len(tk) - {n - 1})) AS t(i)
+),
+gdf AS (
+  SELECT gram, count(*) AS df FROM grams GROUP BY gram
+)
+SELECT g.doc_id, count(*) AS n_grams,
+       CAST(sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup,
+       CAST(sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_frac
+FROM grams g JOIN gdf ON gdf.gram = g.gram
+GROUP BY g.doc_id"""

@@ -2605,6 +2605,10 @@ SHAPE_BOXES = [
     (3, "disjoint", -89_000_000, 89_000_000, -179_000_000, 179_000_000),
     # tiny box, exercises band + row-group pruning (expected ~empty)
     (4, "intersects", 89_100_000, 89_200_000, 0, 100_000),
+    # CONTAINS: a small box placed inside doc 0's quad (center
+    # (-89 600 000, -56 143 211), radii 30 000 — pure arithmetic from
+    # the synth formulas, so the constants are corpus-independent)
+    (5, "contains", -89_602_000, -89_598_000, -56_145_211, -56_141_211),
 ]
 
 
@@ -2682,6 +2686,17 @@ def oracle_shape_box_sql() -> str:
                 f"SELECT {qid} AS qid, 'intersects' AS relation, "
                 f"s.d AS doc_id FROM shp s "
                 f"WHERE {_shape_intersects_where(a, b, c, d)}")
+        elif rel == "contains":
+            corners = ((a, c), (a, d), (b, d), (b, c))
+            crosses = ", ".join(
+                f"(e.qx - e.px) * ({gy} - e.py) - "
+                f"(e.qy - e.py) * ({gx} - e.px)"
+                for gy, gx in corners)
+            rows.append(
+                f"SELECT {qid} AS qid, 'contains' AS relation, "
+                f"s.d AS doc_id FROM shp s "
+                f"WHERE NOT EXISTS (SELECT 1 FROM edges e "
+                f"WHERE e.d = s.d AND least({crosses}) < 0)")
         else:
             rows.append(
                 f"SELECT {qid} AS qid, 'disjoint' AS relation, "
@@ -3632,3 +3647,92 @@ def oracle_payload_score_sql() -> str:
 ) WHERE rank <= {k}""")
     un = "\nUNION ALL\n".join(rows)
     return f"WITH {_CORPUS_CTE},{_WOFF_CTE}\n{un}"
+
+
+# ---------------------------------------------------------------------------
+# WordBreakSpellChecker (break one token into two / combine adjacent)
+
+WORD_BREAKS = [(1, "keyagg"), (2, "tablevalue"), (3, "sparkwindow")]
+WORD_COMBINES = [(4, ("vec", "tor")), (5, ("win", "dow")),
+                 (6, ("spa", "rk"))]
+_WB_TOP = 3
+_WB_MIN_LEN = 1      # minBreakWordLength default
+
+
+def ft_word_break(sf_dir: str) -> pa.Table:
+    """WordBreakSpellChecker (spell/WordBreakSpellChecker.java:33),
+    maxChanges=1, SuggestMode SUGGEST_WHEN_NOT_IN_INDEX:
+
+    - ``suggestWordBreaks``: for a query term ABSENT from the index,
+      every split point whose two halves both exist (df >= 1), ranked
+      NUM_CHANGES_THEN_MAX_FREQUENCY (one change each, so by
+      max(df_left, df_right) desc; suggestion asc tie-break), top 3.
+    - ``suggestWordCombinations``: an adjacent term pair with at least
+      one member absent (minFreq == 0 — the SUGGEST_WHEN_NOT_IN_INDEX
+      branch at WordBreakSpellChecker.java:208) whose concatenation
+      exists, reported with the combined term's df.
+
+    All df lookups go through ONE exact-set termdict scan per query
+    (the ``terms=`` predicate pushes `pc.is_in` into each term-sorted
+    partition) — candidates, not the vocabulary, reach the driver."""
+    r = reader_for(sf_dir)
+    kinds, qids, sugg, freqs = [], [], [], []
+    for qid, q in WORD_BREAKS:
+        cands = {q} | {q[:i] for i in range(_WB_MIN_LEN,
+                                            len(q) - _WB_MIN_LEN + 1)} \
+            | {q[i:] for i in range(_WB_MIN_LEN, len(q) - _WB_MIN_LEN + 1)}
+        t = _content_only(r, termdict_scan(r, terms=sorted(cands)))
+        df = dict(zip(t.column("term").to_pylist(),
+                      t.column("df").to_pylist()))
+        if df.get(q, 0) > 0:            # SUGGEST_WHEN_NOT_IN_INDEX
+            continue
+        rows = []
+        for i in range(_WB_MIN_LEN, len(q) - _WB_MIN_LEN + 1):
+            dl, dr = df.get(q[:i], 0), df.get(q[i:], 0)
+            if dl >= 1 and dr >= 1:
+                rows.append((-max(dl, dr), f"{q[:i]} {q[i:]}"))
+        rows.sort()
+        for nf, s in rows[:_WB_TOP]:
+            qids.append(qid)
+            kinds.append("break")
+            sugg.append(s)
+            freqs.append(-nf)
+    for qid, (a, b) in WORD_COMBINES:
+        t = _content_only(r, termdict_scan(r, terms=[a, b, a + b]))
+        df = dict(zip(t.column("term").to_pylist(),
+                      t.column("df").to_pylist()))
+        if min(df.get(a, 0), df.get(b, 0)) > 0:   # need one absent member
+            continue
+        if df.get(a + b, 0) >= 1:
+            qids.append(qid)
+            kinds.append("combine")
+            sugg.append(a + b)
+            freqs.append(df[a + b])
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "kind": pa.array(kinds, pa.string()),
+                     "suggestion": pa.array(sugg, pa.string()),
+                     "freq": pa.array(freqs, pa.int64())})
+
+
+def oracle_word_break_sql() -> str:
+    rows = []
+    for qid, q in WORD_BREAKS:
+        rows.append(f"""SELECT * FROM (
+  SELECT {qid} AS qid, 'break' AS kind,
+         l.term || ' ' || r.term AS suggestion,
+         CAST(greatest(l.df, r.df) AS BIGINT) AS freq
+  FROM UNNEST(generate_series({_WB_MIN_LEN},
+                              {len(q) - _WB_MIN_LEN})) AS s(i)
+  JOIN df l ON l.term = substr('{q}', 1, CAST(i AS INT))
+  JOIN df r ON r.term = substr('{q}', CAST(i AS INT) + 1)
+  WHERE NOT EXISTS (SELECT 1 FROM df WHERE term = '{q}')
+  ORDER BY freq DESC, suggestion LIMIT {_WB_TOP})""")
+    for qid, (a, b) in WORD_COMBINES:
+        rows.append(f"""SELECT {qid} AS qid, 'combine' AS kind,
+       term AS suggestion, CAST(df AS BIGINT) AS freq
+FROM df
+WHERE term = '{a}{b}'
+  AND (NOT EXISTS (SELECT 1 FROM df WHERE term = '{a}')
+       OR NOT EXISTS (SELECT 1 FROM df WHERE term = '{b}'))""")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE}\n{un}"

@@ -1065,7 +1065,7 @@ def _edit_distance(a: str, b: str, limit: int) -> int:
 
 
 def _scan_mask(col: pa.Array, *, prefix=None, lo=None, hi=None,
-               regex=None, fuzzy=None) -> "pa.Array | None":
+               regex=None, fuzzy=None, terms=None) -> "pa.Array | None":
     """Vectorized term-predicate mask over one partition's term column.
 
     Regex runs as an anchored Arrow RE2 kernel (pc.match_substring_regex
@@ -1074,8 +1074,11 @@ def _scan_mask(col: pa.Array, *, prefix=None, lo=None, hi=None,
     (vectorized) before running the bounded DP on the survivors only."""
     import pyarrow.compute as _pc
     mask = None
+    if terms is not None:                # TermInSetQuery-style exact set
+        mask = _pc.is_in(col, value_set=pa.array(list(terms), pa.string()))
     if prefix is not None:
-        mask = _pc.starts_with(col, prefix)
+        m = _pc.starts_with(col, prefix)
+        mask = m if mask is None else _pc.and_(mask, m)
     if lo is not None:
         m = _pc.greater_equal(col, lo)
         mask = m if mask is None else _pc.and_(mask, m)
@@ -1107,7 +1110,8 @@ def _scan_mask(col: pa.Array, *, prefix=None, lo=None, hi=None,
 def termdict_scan(reader: IndexReader, *, prefix: str | None = None,
                   lo: str | None = None, hi: str | None = None,
                   regex: str | None = None,
-                  fuzzy: tuple[str, int] | None = None) -> "pa.Table":
+                  fuzzy: tuple[str, int] | None = None,
+                  terms: "list[str] | None" = None) -> "pa.Table":
     """PrefixQuery / TermRangeQuery / RegexpQuery / FuzzyQuery rewrite
     support (search/PrefixQuery.java:29, TermRangeQuery.java:37,
     RegexpQuery.java:44, FuzzyQuery.java:52): enumerate matching terms
@@ -1120,7 +1124,8 @@ def termdict_scan(reader: IndexReader, *, prefix: str | None = None,
     n_files = sum(len(v) for v in reader._files.values())
     if n_files > 16:
         return termdict_scan_ds(reader.index_dir, prefix=prefix, lo=lo,
-                                hi=hi, regex=regex, fuzzy=fuzzy)
+                                hi=hi, regex=regex, fuzzy=fuzzy,
+                                terms=terms)
     tbls = []
     for tb in range(reader.T):
         for t in reader._load_bucket(tb):
@@ -1130,7 +1135,7 @@ def termdict_scan(reader: IndexReader, *, prefix: str | None = None,
                 t = t.select(["term", "n", "tf_sum"])
             mask = _scan_mask(t.column("term").combine_chunks(),
                               prefix=prefix, lo=lo, hi=hi, regex=regex,
-                              fuzzy=fuzzy)
+                              fuzzy=fuzzy, terms=terms)
             if mask is not None:
                 t = t.filter(mask)
             if t.num_rows:
@@ -1149,7 +1154,8 @@ def termdict_scan(reader: IndexReader, *, prefix: str | None = None,
 def termdict_scan_ds(index_dir: str, *, prefix: str | None = None,
                      lo: str | None = None, hi: str | None = None,
                      regex: str | None = None,
-                     fuzzy: tuple[str, int] | None = None) -> "pa.Table":
+                     fuzzy: tuple[str, int] | None = None,
+                     terms: "list[str] | None" = None) -> "pa.Table":
     """Distributed term-dictionary enumeration: one Ray task per
     postings part file applies the same vectorized scan mask and
     pre-aggregates within the file; the driver merges only the MATCHING
@@ -1172,7 +1178,7 @@ def termdict_scan_ds(index_dir: str, *, prefix: str | None = None,
                               columns=["term", "n", "tf_sum"])
             mask = _scan_mask(t.column("term").combine_chunks(),
                               prefix=prefix, lo=lo, hi=hi, regex=regex,
-                              fuzzy=fuzzy)
+                              fuzzy=fuzzy, terms=terms)
             if mask is not None:
                 t = t.filter(mask)
             if t.num_rows:

@@ -181,13 +181,16 @@ _TRI_COLS = ["doc_id", "ay", "ax", "by", "bx", "cy", "cx",
 
 def _tri_box_flags(t: pa.Table, lat_lo: int, lat_hi: int,
                    lon_lo: int, lon_hi: int
-                   ) -> tuple[np.ndarray, np.ndarray]:
-    """Exact (intersects, within) flags for each triangle row vs the
-    CLOSED box — integer separating-axis test. The box's two axes are
-    the bbox-overlap check; a CCW triangle edge separates iff all four
-    box corners lie STRICTLY on its outside (cross < 0), so touching
-    counts as intersecting, matching the reference's inclusive encoded
-    boxes. Within = all three vertices inside (box is convex)."""
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact (intersects, within, corner_bits) flags for each triangle
+    row vs the CLOSED box — integer separating-axis test. The box's two
+    axes are the bbox-overlap check; a CCW triangle edge separates iff
+    all four box corners lie STRICTLY on its outside (cross < 0), so
+    touching counts as intersecting, matching the reference's inclusive
+    encoded boxes. Within = all three vertices inside (box is convex).
+    corner_bits: bit k set iff the triangle CONTAINS box corner k (all
+    three edge crosses >= 0) — the per-triangle evidence the CONTAINS
+    relation aggregates per doc."""
     ay = t.column("ay").to_numpy(); ax = t.column("ax").to_numpy()
     by = t.column("by").to_numpy(); bx = t.column("bx").to_numpy()
     cy = t.column("cy").to_numpy(); cx = t.column("cx").to_numpy()
@@ -198,19 +201,25 @@ def _tri_box_flags(t: pa.Table, lat_lo: int, lat_hi: int,
     corners = ((lat_lo, lon_lo), (lat_lo, lon_hi),
                (lat_hi, lon_hi), (lat_hi, lon_lo))
     separated = np.zeros(t.num_rows, dtype=bool)
+    corner_in = [np.ones(t.num_rows, dtype=bool) for _ in corners]
     for (py_, px_, qy_, qx_) in ((ay, ax, by, bx), (by, bx, cy, cx),
                                  (cy, cx, ay, ax)):
         ey, ex = qy_ - py_, qx_ - px_
         out_all = np.ones(t.num_rows, dtype=bool)
-        for (gy, gx) in corners:
-            out_all &= ex * (gy - py_) - ey * (gx - px_) < 0
+        for k, (gy, gx) in enumerate(corners):
+            cr = ex * (gy - py_) - ey * (gx - px_)
+            out_all &= cr < 0
+            corner_in[k] &= cr >= 0
         separated |= out_all
     intersects = overlap & ~separated
     within = ((ay >= lat_lo) & (ay <= lat_hi) & (ax >= lon_lo)
               & (ax <= lon_hi) & (by >= lat_lo) & (by <= lat_hi)
               & (bx >= lon_lo) & (bx <= lon_hi) & (cy >= lat_lo)
               & (cy <= lat_hi) & (cx >= lon_lo) & (cx <= lon_hi))
-    return intersects, within
+    corner_bits = np.zeros(t.num_rows, dtype=np.uint8)
+    for k in range(4):
+        corner_bits |= corner_in[k].astype(np.uint8) << np.uint8(k)
+    return intersects, within, corner_bits
 
 
 def shape_box(index_dir: str, lat_lo: int, lat_hi: int,
@@ -218,16 +227,23 @@ def shape_box(index_dir: str, lat_lo: int, lat_hi: int,
               ) -> tuple[np.ndarray, dict]:
     """LatLonShape.newBoxQuery (LatLonShapeBoundingBoxQuery role) over
     the triangle index: sorted docIDs whose shape INTERSECTS / is WITHIN
-    / is DISJOINT from the closed box.
+    / is DISJOINT from / CONTAINS the closed box.
 
-    INTERSECTS/WITHIN prune files on (band, lon) lineage and row groups
-    on all four bbox-column statistics, then run the exact test on
-    survivors. DISJOINT must visit every doc (the reference's DISJOINT
+    INTERSECTS/WITHIN/CONTAINS prune files on (band, lon) lineage and
+    row groups on all four bbox-column statistics, then run the exact
+    test on survivors (a triangle contributing corner coverage to
+    CONTAINS necessarily bbox-overlaps the box, so the same descent is
+    complete). DISJOINT must visit every doc (the reference's DISJOINT
     descent likewise walks everything the query bbox doesn't wholly
     contain) — it reads doc_id everywhere but runs the exact test only
     on bbox-overlapping row groups.
+
+    CONTAINS: every box corner is inside SOME triangle of the doc —
+    exact for the convex shapes this index stores (the reference's
+    CONTAINS tracks original-edge membership per triangle to handle
+    concave unions, ShapeField.java:34 encodes those flags).
     """
-    if relation not in ("intersects", "within", "disjoint"):
+    if relation not in ("intersects", "within", "disjoint", "contains"):
         raise ValueError(f"unknown relation {relation!r}")
     out_dir = os.path.join(index_dir, "points", "_shapes")
     with open(os.path.join(out_dir, "_lineage.json")) as f:
@@ -237,6 +253,7 @@ def shape_box(index_dir: str, lat_lo: int, lat_hi: int,
     hit_docs: list[np.ndarray] = []     # triangles that intersect
     within_ok: list[np.ndarray] = []    # (doc, within?) per triangle
     all_docs: list[np.ndarray] = []     # disjoint only: the doc universe
+    corner_rows: list = []              # contains only: (docs, bits)
     for rec in lineage["files"]:
         file_overlap = not (rec["lat_min"] > lat_hi
                             or rec["lat_max"] < lat_lo
@@ -273,13 +290,17 @@ def shape_box(index_dir: str, lat_lo: int, lat_hi: int,
             continue
         read_rg += len(groups)
         t = pf.read_row_groups(groups, columns=_TRI_COLS)
-        inter, within = _tri_box_flags(t, lat_lo, lat_hi, lon_lo, lon_hi)
+        inter, within, cbits = _tri_box_flags(t, lat_lo, lat_hi,
+                                              lon_lo, lon_hi)
         docs = t.column("doc_id").to_numpy()
         if relation == "disjoint":
             all_docs.append(docs)
         hit_docs.append(docs[inter])
         if relation == "within":
             within_ok.append(docs[within])
+        if relation == "contains":
+            m = cbits > 0
+            corner_rows.append((docs[m], cbits[m]))
 
     inter_docs = (np.unique(np.concatenate(hit_docs)) if hit_docs
                   else np.empty(0, np.int64))
@@ -294,6 +315,18 @@ def shape_box(index_dir: str, lat_lo: int, lat_hi: int,
              else np.empty(0, np.int64))
         docs, counts = np.unique(w, return_counts=True)
         return docs[counts == 2].astype(np.int64), metrics
+    if relation == "contains":
+        if not corner_rows:
+            return np.empty(0, np.int64), metrics
+        d = np.concatenate([r[0] for r in corner_rows])
+        b = np.concatenate([r[1] for r in corner_rows])
+        if len(d) == 0:
+            return np.empty(0, np.int64), metrics
+        order = np.argsort(d, kind="stable")
+        d, b = d[order], b[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        agg = np.bitwise_or.reduceat(b, starts)
+        return d[starts][agg == 0b1111].astype(np.int64), metrics
     universe = (np.unique(np.concatenate(all_docs)) if all_docs
                 else np.empty(0, np.int64))
     return np.setdiff1d(universe, inter_docs).astype(np.int64), metrics

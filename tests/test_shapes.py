@@ -28,30 +28,40 @@ def test_tri_box_flags_geometry():
 
     # slab y in [40, 60], x in [-300, 300]: no diamond vertex in the box,
     # no box corner in the diamond, yet they overlap (pure edge crossing)
-    inter, within = _tri_box_flags(t, 40, 60, -300, 300)
+    inter, within, _ = _tri_box_flags(t, 40, 60, -300, 300)
     assert inter.tolist() == [True, True]       # both fan tris cross it
     assert within.tolist() == [False, False]
 
     # corner box [80,100]x[80,100]: bboxes overlap but the v1->v2 edge
     # (y + x = 100) separates — MUST be excluded by the SAT edge test
-    inter, _ = _tri_box_flags(t, 80, 100, 80, 100)
+    inter, _, _ = _tri_box_flags(t, 80, 100, 80, 100)
     assert inter.tolist() == [False, False]
 
     # touching exactly at the vertex (0, 100): closed box semantics —
     # only the first fan triangle (v0,v1,v2) carries that vertex; the
     # second one's bbox (x <= 0) never reaches the box
-    inter, _ = _tri_box_flags(t, -50, 50, 100, 200)
+    inter, _, _ = _tri_box_flags(t, -50, 50, 100, 200)
     assert inter.tolist() == [True, False]
 
     # whole diamond within the closed bbox (vertices ON the boundary)
-    inter, within = _tri_box_flags(t, -100, 100, -100, 100)
+    inter, within, _ = _tri_box_flags(t, -100, 100, -100, 100)
     assert inter.tolist() == [True, True]
     assert within.tolist() == [True, True]
 
     # below the waist only: fan tris are (v0,v1,v2) and (v0,v2,v3) — both
     # contain the bottom vertex, so both intersect a bottom slab
-    inter, _ = _tri_box_flags(t, -100, -90, -5, 5)
+    inter, _, _ = _tri_box_flags(t, -100, -90, -5, 5)
     assert inter.tolist() == [True, True]
+
+    # CONTAINS corner bits: a tiny box straddling the vertical diagonal
+    # near the center — the right corners (x=5) land in T1 (v0,v1,v2),
+    # the left corners (x=-5) in T2 (v0,v2,v3); union covers all 4
+    _, _, cb = _tri_box_flags(t, -5, 5, -5, 5)
+    assert (int(cb[0]) | int(cb[1])) == 0b1111
+    assert int(cb[0]) != 0b1111 and int(cb[1]) != 0b1111
+    # box sticking out of the diamond: no triangle holds the far corners
+    _, _, cb = _tri_box_flags(t, -5, 5, 90, 120)
+    assert (int(cb[0]) | int(cb[1])) != 0b1111
 
 
 def _quad_brute(quads, lat_lo, lat_hi, lon_lo, lon_hi):
@@ -75,7 +85,14 @@ def _quad_brute(quads, lat_lo, lat_hi, lon_lo, lon_hi):
     inter = overlap & ~separated
     within = ((y >= lat_lo) & (y <= lat_hi)
               & (x >= lon_lo) & (x <= lon_hi)).all(axis=1)
-    return inter, within
+    contains = np.ones(len(quads), dtype=bool)
+    for i in range(4):
+        py, px = y[:, i], x[:, i]
+        qy, qx = y[:, (i + 1) % 4], x[:, (i + 1) % 4]
+        ey, ex = qy - py, qx - px
+        for gy, gx in corners:
+            contains &= ex * (gy - py) - ey * (gx - px) >= 0
+    return inter, within, contains
 
 
 def test_shape_index_matches_bruteforce(ray_session, tmp_path):
@@ -99,21 +116,28 @@ def test_shape_index_matches_bruteforce(ray_session, tmp_path):
 
     boxes = [(0, 40_000, -180_000_000, 180_000_000),      # thin slab
              (-10_000_000, 25_000_000, 40_000_000, 90_000_000),
-             (88_000_000, 90_000_000, -180_000_000, 180_000_000)]
+             (88_000_000, 90_000_000, -180_000_000, 180_000_000),
+             # tiny box inside doc 0's quad (synth constants) — the
+             # CONTAINS relation must find it via OR-ed corner bits
+             (-89_602_000, -89_598_000, -56_145_211, -56_141_211)]
     for box in boxes:
-        binter, bwithin = _quad_brute(quads, *box)
+        binter, bwithin, bcont = _quad_brute(quads, *box)
         gi, _ = shape_box(idx, *box, relation="intersects")
         np.testing.assert_array_equal(gi, docs[binter])
         gw, _ = shape_box(idx, *box, relation="within")
         np.testing.assert_array_equal(gw, docs[bwithin])
         gd, _ = shape_box(idx, *box, relation="disjoint")
         np.testing.assert_array_equal(gd, docs[~binter])
+        gc, _ = shape_box(idx, *box, relation="contains")
+        np.testing.assert_array_equal(gc, docs[bcont])
 
     # the 40k-µdeg slab is thinner than any quad (min height 60k), so
     # every hit is a pure crossing — the SAT edge branch is genuinely on
     # this path, and `within` is structurally empty
-    slab_inter, slab_within = _quad_brute(quads, *boxes[0])
+    slab_inter, slab_within, _ = _quad_brute(quads, *boxes[0])
     assert slab_inter.sum() > 20 and slab_within.sum() == 0
+    # ... and the contains box really contains at least doc 0
+    assert 0 in shape_box(idx, *boxes[3], relation="contains")[0]
 
     _, metrics = shape_box(idx, -10_000_000, 25_000_000,
                            40_000_000, 90_000_000, relation="intersects")
