@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 91 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (84 of 91). Omitted
+  + the §8 round-2/3/4 additions; 96 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (89 of 96). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` (binary codec decode),
   ``doc_fingerprint`` / ``dedup_simhash`` / ``dedup_simhash_pairs`` /
@@ -49,6 +49,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_shape_box": ft.ft_shape_box,
         "ft_payload_score": ft.ft_payload_score,
         "ft_word_break": ft.ft_word_break,
+        "ft_boolean_filter": ft.ft_boolean_filter,
+        "ft_blockjoin_child": ft.ft_blockjoin_child,
+        "ft_facet_assoc": ft.ft_facet_assoc,
     }
     try:
         from lucene_ray.pipelines import ann as _ann
@@ -62,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_filtered_topk": _ann.ann_filtered_topk,
             "ann_quantized_topk": _ann.ann_quantized_topk,
             "doc_keywords": _ts.doc_keywords,
+            "corpus_clean": _ts.corpus_clean,
             "dup_ngram_stats": __import__(
                 "lucene_ray.pipelines.dedup",
                 fromlist=["dedup"]).dup_ngram_stats,
@@ -229,6 +233,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_shape_box": ft.oracle_shape_box_sql(),
         "ft_payload_score": ft.oracle_payload_score_sql(),
         "ft_word_break": ft.oracle_word_break_sql(),
+        "ft_boolean_filter": ft.oracle_boolean_filter_sql(),
+        "ft_blockjoin_child": ft.oracle_blockjoin_child_sql(),
+        "ft_facet_assoc": ft.oracle_facet_assoc_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,
@@ -248,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
             "text_repetition": textstats.oracle_text_repetition_sql(),
             "doc_keywords": textstats.oracle_doc_keywords_sql(),
             "decontaminate": textstats.oracle_decontaminate_sql(),
+            "corpus_clean": textstats.oracle_corpus_clean_sql(),
             "vocab_hll": textstats.oracle_vocab_hll_sql(),
             "ann_cosine_topk": ann.oracle_ann_sql(),
             "ann_ivf_topk": ann.oracle_ann_sql(),

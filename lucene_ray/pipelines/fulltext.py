@@ -3736,3 +3736,212 @@ WHERE term = '{a}{b}'
        OR NOT EXISTS (SELECT 1 FROM df WHERE term = '{b}'))""")
     un = "\nUNION ALL\n".join(rows)
     return f"WITH {_CORPUS_CTE}\n{un}"
+
+
+# ---------------------------------------------------------------------------
+# BooleanQuery with non-scoring FILTER clauses
+
+# (qid, scoring SHOULD terms, FILTER terms (non-scoring MUST),
+#  non-scoring MUST_NOT terms, k)
+FILTER_QUERIES = [
+    (1, ["key", "agg"], ["table"], [], 10),
+    (2, ["vector", "spark"], ["window"], ["slow"], 10),
+    (3, ["value"], ["key", "agg"], [], 10),
+]
+
+
+def ft_boolean_filter(sf_dir: str) -> pa.Table:
+    """BooleanQuery mixing scored SHOULD clauses with Occur.FILTER /
+    MUST_NOT clauses (search/BooleanClause.java Occur.FILTER — "like
+    MUST except it does not participate in scoring";
+    BooleanWeight.java:318 wraps filter scorers in a score-less
+    FilterScorer): the filter restricts matches, the score is the plain
+    SHOULD-disjunction BM25 sum, bit-identical to the unfiltered scorer
+    on the surviving docs."""
+    from ..search import search_filtered
+
+    r = reader_for(sf_dir)
+    out = []
+    for qid, should, fmust, fnot, k in FILTER_QUERIES:
+        td = search_filtered(r, should, k, filter_must=fmust,
+                             filter_must_not=fnot)
+        out.append(pa.table({
+            "qid": pa.array([qid] * len(td.doc_ids), pa.int64()),
+            "rank": pa.array(np.arange(1, len(td.doc_ids) + 1,
+                                       dtype=np.int64)),
+            "doc_id": pa.array(td.doc_ids.astype(np.int64)),
+            "score": pa.array(td.scores, pa.float32()),
+        }))
+    return pa.concat_tables(out)
+
+
+def oracle_boolean_filter_sql() -> str:
+    values = []
+    for qid, should, _f, _n, _k in FILTER_QUERIES:
+        for ci, t in enumerate(should):
+            values.append(f"({qid}, {ci}, '{t}')")
+    vals = ",\n    ".join(values)
+    parts = []
+    for qid, _s, fmust, fnot, k in FILTER_QUERIES:
+        conds = []
+        for t in fmust:
+            conds.append(f"EXISTS (SELECT 1 FROM tf x "
+                         f"WHERE x.d = tl.d AND x.term = '{t}')")
+        for t in fnot:
+            conds.append(f"NOT EXISTS (SELECT 1 FROM tf x "
+                         f"WHERE x.d = tl.d AND x.term = '{t}')")
+        where = " AND ".join(conds) if conds else "TRUE"
+        parts.append(f"""SELECT qid, rank, doc_id, score FROM (
+  SELECT {qid} AS qid, row_number() OVER (
+           ORDER BY score DESC, d ASC) AS rank,
+         d AS doc_id, score
+  FROM totals tl WHERE tl.qid = {qid} AND {where}
+) WHERE rank <= {k}""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+clauses(qid, clause, term) AS (VALUES
+    {vals}
+),
+scored AS (
+  SELECT c.qid, c.clause, t.d,
+    CAST(
+      CAST(ln(1 + ((SELECT n_docs FROM stats) - f.df + 0.5) / (f.df + 0.5)) AS REAL)
+      - CAST(ln(1 + ((SELECT n_docs FROM stats) - f.df + 0.5) / (f.df + 0.5)) AS REAL)
+        / (CAST(1.0 AS REAL) + CAST(t.tf AS REAL) *
+           (CAST(1.0 AS REAL) /
+            (CAST(1.2 AS REAL) *
+             (CAST(0.25 AS REAL) +
+              CAST(0.75 AS REAL) * CAST(q.qlen AS REAL) /
+              CAST(CAST((SELECT sum_ttf FROM stats) AS DOUBLE) /
+                   (SELECT n_docs FROM stats) AS REAL)))))
+    AS REAL) AS s
+  FROM clauses c
+  JOIN tf t ON t.term = c.term
+  JOIN df f ON f.term = c.term
+  JOIN quant q ON q.d = t.d
+),
+totals AS (
+  SELECT qid, d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+  FROM scored GROUP BY qid, d
+)
+{un}"""
+
+
+# ---------------------------------------------------------------------------
+# ToChildBlockJoinQuery (parent hits fan down to their children)
+
+BLOCKJOIN_CHILD_QUERIES = [(1, ["key", "agg"], "max", 3),
+                           (2, ["vector"], "total", 3)]
+
+
+def ft_blockjoin_child(sf_dir: str) -> pa.Table:
+    """ToChildBlockJoinQuery (join/ToChildBlockJoinQuery.java:40): the
+    inverse of the parent join — every child doc of a matching parent is
+    returned carrying its PARENT's score (the reference's childScorer
+    exposes parentScore per child). Parent matches here are the top-k
+    block-join parents (repo blocks, ScoreMode-aggregated child scores,
+    exactly :func:`ft_blockjoin_parent`); children are enumerated from
+    the ``repo:`` keyword postings, in doc order."""
+    from ..search import _term_docset, search_blockjoin_parent
+
+    r = reader_for(sf_dir)
+    out = []
+    for qid, terms, mode, k in BLOCKJOIN_CHILD_QUERIES:
+        t = search_blockjoin_parent(r, terms, mode, k)
+        for parent, score in zip(t.column("parent").to_pylist(),
+                                 t.column("score").to_pylist()):
+            kids = np.sort(_term_docset(r, f"repo:{parent}"))
+            out.append(pa.table({
+                "qid": pa.array([qid] * len(kids), pa.int64()),
+                "parent": pa.array([parent] * len(kids), pa.string()),
+                "doc_id": pa.array(kids.astype(np.int64)),
+                "score": pa.array([score] * len(kids), pa.float32()),
+            }))
+    return pa.concat_tables(out)
+
+
+def oracle_blockjoin_child_sql() -> str:
+    mode_expr = {
+        "max": "max(cs)",
+        "total": "CAST(sum(CAST(cs AS DOUBLE)) AS REAL)",
+        "avg": "CAST(sum(CAST(cs AS DOUBLE)) / count(*) AS REAL)",
+    }
+    parts = []
+    for qid, terms, mode, k in BLOCKJOIN_CHILD_QUERIES:
+        cl = "\n      UNION ALL ".join(
+            f"SELECT {ci} AS clause, '{t}' AS term"
+            for ci, t in enumerate(terms))
+        parts.append(f"""(
+  SELECT {qid} AS qid, tops.parent, kid.d AS doc_id, tops.score
+  FROM (
+    SELECT parent, score FROM (
+      SELECT parent, score, row_number() OVER (
+               ORDER BY score DESC, parent ASC) AS rank
+      FROM (
+        SELECT p.source AS parent, {mode_expr[mode]} AS score
+        FROM (
+          SELECT d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS cs
+          FROM (
+            SELECT t.d AS d, {_SCORE_EXPR} AS s
+            FROM (
+              {cl}
+            ) c
+            JOIN tf t ON t.term = c.term
+            JOIN df f ON f.term = c.term
+            JOIN quant q ON q.d = t.d
+          )
+          GROUP BY d
+        ) child
+        JOIN par p ON p.d = child.d
+        GROUP BY p.source
+      )
+    ) WHERE rank <= {k}
+  ) tops
+  JOIN par kid ON kid.source = tops.parent)""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+par AS (
+  SELECT row_number() OVER (ORDER BY source, printf('doc_%08d.txt', doc_id)) - 1 AS d,
+         source
+  FROM documents
+)
+{un}"""
+
+
+# ---------------------------------------------------------------------------
+# Association facets (per-category aggregation of a per-doc value)
+
+def ft_facet_assoc(sf_dir: str):
+    """Association facets (facet/taxonomy/TaxonomyFacetIntAssociations
+    .java:33 with AssociationAggregationFunction.SUM): each doc carries
+    an integer association value — its field length docvalue — and the
+    facet aggregates (count, sum) per category instead of just counting.
+    Per-batch Arrow partials + one tiny combiner groupby, the
+    ft_facet_lang shape."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    idx = index_dir_for(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(idx, "docmeta"),
+                               columns=["lang", "field_len"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("lang").aggregate([("field_len", "count"),
+                                              ("field_len", "sum")])
+        return pa.table({"lang": g.column("lang"),
+                         "n": g.column("field_len_count").cast(pa.int64()),
+                         "sum_len": g.column("field_len_sum")
+                         .cast(pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_len", alias_name="sum_len")))
+
+
+def oracle_facet_assoc_sql() -> str:
+    return ("SELECT lang, count(*) AS n, "
+            "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_len "
+            "FROM documents GROUP BY lang")

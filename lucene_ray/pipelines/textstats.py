@@ -46,37 +46,40 @@ def _docs(sf_dir: str, cols=("doc_id", "text")):
                                  columns=list(cols))
 
 
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch quality features (module-level so composed pipelines —
+    corpus_clean — can fuse this with other per-doc signals in one map
+    stage)."""
+    stop = set(STOPWORDS)
+    n_chars, n_words, n_distinct, max_len, n_stop = [], [], [], [], []
+    for text in batch.column("text").to_pylist():
+        words = (text or "").split()
+        n_chars.append(len(text or ""))
+        n_words.append(len(words))
+        n_distinct.append(len(set(words)))
+        max_len.append(max((len(w) for w in words), default=0))
+        n_stop.append(sum(1 for w in words if w in stop))
+    nw = np.array(n_words, dtype=np.float64)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_chars": pa.array(n_chars, pa.int64()),
+        "n_words": pa.array(n_words, pa.int64()),
+        "n_distinct": pa.array(n_distinct, pa.int64()),
+        "max_word_len": pa.array(max_len, pa.int64()),
+        "n_stopwords": pa.array(n_stop, pa.int64()),
+        # single IEEE divisions — bit-identical to the SQL oracle
+        "distinct_ratio": pa.array(
+            np.array(n_distinct, dtype=np.float64) / np.maximum(nw, 1.0),
+            pa.float64()),
+        "stop_ratio": pa.array(
+            np.array(n_stop, dtype=np.float64) / np.maximum(nw, 1.0),
+            pa.float64()),
+    })
+
+
 def text_quality(sf_dir: str):
     """Integer/ratio quality features per doc (all exactly reproducible)."""
-    stop = set(STOPWORDS)
-
-    def feats(batch: pa.Table) -> pa.Table:
-        n_chars, n_words, n_distinct, max_len, n_stop = [], [], [], [], []
-        for text in batch.column("text").to_pylist():
-            words = (text or "").split()
-            n_chars.append(len(text or ""))
-            n_words.append(len(words))
-            n_distinct.append(len(set(words)))
-            max_len.append(max((len(w) for w in words), default=0))
-            n_stop.append(sum(1 for w in words if w in stop))
-        nw = np.array(n_words, dtype=np.float64)
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "n_chars": pa.array(n_chars, pa.int64()),
-            "n_words": pa.array(n_words, pa.int64()),
-            "n_distinct": pa.array(n_distinct, pa.int64()),
-            "max_word_len": pa.array(max_len, pa.int64()),
-            "n_stopwords": pa.array(n_stop, pa.int64()),
-            # single IEEE divisions — bit-identical to the SQL oracle
-            "distinct_ratio": pa.array(
-                np.array(n_distinct, dtype=np.float64) / np.maximum(nw, 1.0),
-                pa.float64()),
-            "stop_ratio": pa.array(
-                np.array(n_stop, dtype=np.float64) / np.maximum(nw, 1.0),
-                pa.float64()),
-        })
-
-    return _docs(sf_dir).map_batches(feats, batch_format="pyarrow")
+    return _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
 
 
 def oracle_text_quality_sql() -> str:
@@ -174,77 +177,80 @@ def text_repetition(sf_dir: str):
     Arrow split/dictionary-encode + np.unique over packed (doc, gramID)
     keys — no per-row Python loop.
     """
+    return _docs(sf_dir).map_batches(repetition_batch,
+                                     batch_format="pyarrow")
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch Gopher repetition signals (module-level for fusion)."""
     import pyarrow.compute as pc
 
-    def rep(batch: pa.Table) -> pa.Table:
-        n_docs = batch.num_rows
-        parts = pc.split_pattern(
-            pc.fill_null(batch.column("text"), ""), " ").combine_chunks()
-        flat = pc.list_flatten(parts)
-        owners = np.asarray(pc.list_parent_indices(parts), dtype=np.int64)
-        wlen = np.asarray(pc.utf8_length(flat), dtype=np.int64)
-        n_chars = np.zeros(n_docs, dtype=np.int64)
-        np.add.at(n_chars, owners, wlen)
-        denom = np.maximum(n_chars, 1).astype(np.float64)
+    n_docs = batch.num_rows
+    parts = pc.split_pattern(
+        pc.fill_null(batch.column("text"), ""), " ").combine_chunks()
+    flat = pc.list_flatten(parts)
+    owners = np.asarray(pc.list_parent_indices(parts), dtype=np.int64)
+    wlen = np.asarray(pc.utf8_length(flat), dtype=np.int64)
+    n_chars = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(n_chars, owners, wlen)
+    denom = np.maximum(n_chars, 1).astype(np.float64)
 
-        def top_frac(keys: pa.Array, own: np.ndarray,
-                     charlen: np.ndarray) -> np.ndarray:
-            """max over distinct grams of count*charlen, per doc."""
-            out = np.zeros(n_docs, dtype=np.int64)
-            if len(keys) == 0:
-                return out.astype(np.float64)
-            d = pc.dictionary_encode(keys)
-            idx = np.asarray(d.indices, dtype=np.int64)
-            packed = (own << np.int64(32)) | idx
-            uniq, first, cnt = np.unique(packed, return_index=True,
-                                         return_counts=True)
-            np.maximum.at(out, (uniq >> np.int64(32)).astype(np.int64),
-                          cnt * charlen[first])
+    def top_frac(keys: pa.Array, own: np.ndarray,
+                 charlen: np.ndarray) -> np.ndarray:
+        """max over distinct grams of count*charlen, per doc."""
+        out = np.zeros(n_docs, dtype=np.int64)
+        if len(keys) == 0:
             return out.astype(np.float64)
+        d = pc.dictionary_encode(keys)
+        idx = np.asarray(d.indices, dtype=np.int64)
+        packed = (own << np.int64(32)) | idx
+        uniq, first, cnt = np.unique(packed, return_index=True,
+                                     return_counts=True)
+        np.maximum.at(out, (uniq >> np.int64(32)).astype(np.int64),
+                      cnt * charlen[first])
+        return out.astype(np.float64)
 
-        top_uni = top_frac(flat, owners, wlen) / denom
+    top_uni = top_frac(flat, owners, wlen) / denom
 
-        if len(flat) >= 2:
-            same = owners[:-1] == owners[1:]
-            l_, r_ = flat.slice(0, len(flat) - 1), flat.slice(1)
-            bi = pc.binary_join_element_wise(l_, r_, " ").filter(
-                pa.array(same))
-            bi_len = (wlen[:-1] + wlen[1:])[same]
-            top_bi = top_frac(bi, owners[:-1][same], bi_len) / denom
-        else:
-            top_bi = np.zeros(n_docs, dtype=np.float64)
+    if len(flat) >= 2:
+        same = owners[:-1] == owners[1:]
+        l_, r_ = flat.slice(0, len(flat) - 1), flat.slice(1)
+        bi = pc.binary_join_element_wise(l_, r_, " ").filter(
+            pa.array(same))
+        bi_len = (wlen[:-1] + wlen[1:])[same]
+        top_bi = top_frac(bi, owners[:-1][same], bi_len) / denom
+    else:
+        top_bi = np.zeros(n_docs, dtype=np.float64)
 
-        n_tri = np.zeros(n_docs, dtype=np.int64)
-        n_tri_distinct = np.zeros(n_docs, dtype=np.int64)
-        if len(flat) >= 3:
-            same3 = (owners[:-2] == owners[1:-1]) & \
-                (owners[1:-1] == owners[2:])
-            tri = pc.binary_join_element_wise(
-                flat.slice(0, len(flat) - 2), flat.slice(1, len(flat) - 2),
-                flat.slice(2), " ").filter(pa.array(same3))
-            town = owners[:-2][same3]
-            np.add.at(n_tri, town, 1)
-            d = pc.dictionary_encode(tri)
-            packed = (town << np.int64(32)) | \
-                np.asarray(d.indices, dtype=np.int64)
-            uniq = np.unique(packed)
-            np.add.at(n_tri_distinct,
-                      (uniq >> np.int64(32)).astype(np.int64), 1)
-        dup_tri = (n_tri - n_tri_distinct) / np.maximum(n_tri, 1)
+    n_tri = np.zeros(n_docs, dtype=np.int64)
+    n_tri_distinct = np.zeros(n_docs, dtype=np.int64)
+    if len(flat) >= 3:
+        same3 = (owners[:-2] == owners[1:-1]) & \
+            (owners[1:-1] == owners[2:])
+        tri = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 2), flat.slice(1, len(flat) - 2),
+            flat.slice(2), " ").filter(pa.array(same3))
+        town = owners[:-2][same3]
+        np.add.at(n_tri, town, 1)
+        d = pc.dictionary_encode(tri)
+        packed = (town << np.int64(32)) | \
+            np.asarray(d.indices, dtype=np.int64)
+        uniq = np.unique(packed)
+        np.add.at(n_tri_distinct,
+                  (uniq >> np.int64(32)).astype(np.int64), 1)
+    dup_tri = (n_tri - n_tri_distinct) / np.maximum(n_tri, 1)
 
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "n_word_chars": pa.array(n_chars, pa.int64()),
-            "top_unigram_char_frac": pa.array(top_uni, pa.float64()),
-            "top_bigram_char_frac": pa.array(top_bi, pa.float64()),
-            "dup_trigram_frac": pa.array(dup_tri, pa.float64()),
-            # Gopher table A1 thresholds (2-gram 0.18; dup-fraction 0.30;
-            # unigram threshold from the top-1-gram 0.20 line)
-            "keep_gopher": pa.array((top_uni <= 0.20) & (top_bi <= 0.18)
-                                    & (dup_tri <= 0.30)),
-        })
-
-    return _docs(sf_dir).map_batches(rep, batch_format="pyarrow")
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_word_chars": pa.array(n_chars, pa.int64()),
+        "top_unigram_char_frac": pa.array(top_uni, pa.float64()),
+        "top_bigram_char_frac": pa.array(top_bi, pa.float64()),
+        "dup_trigram_frac": pa.array(dup_tri, pa.float64()),
+        # Gopher table A1 thresholds (2-gram 0.18; dup-fraction 0.30;
+        # unigram threshold from the top-1-gram 0.20 line)
+        "keep_gopher": pa.array((top_uni <= 0.20) & (top_bi <= 0.18)
+                                & (dup_tri <= 0.30)),
+    })
 
 
 def oracle_text_repetition_sql() -> str:
@@ -497,6 +503,60 @@ _DECON_N = 5
 _DECON_EVAL_DOCS = 20
 
 
+def _decon_grams(batch: pa.Table, n: int
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """(owners, ngram hashes) via Arrow split + join + hash."""
+    import pyarrow.compute as pc
+
+    parts = pc.split_pattern(
+        pc.fill_null(batch.column("text"), ""), " ").combine_chunks()
+    flat = pc.list_flatten(parts)
+    owners = np.asarray(pc.list_parent_indices(parts), dtype=np.int64)
+    if len(flat) < n:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    cols = [flat.slice(i, len(flat) - n + 1) for i in range(n)]
+    joined = pc.binary_join_element_wise(*cols, " ")
+    own = owners[:len(flat) - n + 1]
+    same = np.ones(len(own), dtype=bool)
+    for i in range(1, n):
+        same &= own == owners[i:len(flat) - n + 1 + i]
+    joined = joined.filter(pa.array(same))
+    own = own[same]
+    h = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8)
+                        .digest(), "little") for g in
+         joined.to_pylist()),
+        dtype=np.uint64, count=len(joined))
+    return own, h
+
+
+def decon_eval_hashes(sf_dir: str, n: int = _DECON_N,
+                      eval_docs: int = _DECON_EVAL_DOCS) -> np.ndarray:
+    """Sorted unique n-gram hashes of the eval set — the small broadcast
+    side (one bounded read of the eval rows)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    ev = ev.filter(pc.less(ev.column("doc_id"), eval_docs))
+    _, eh = _decon_grams(ev, n)
+    return np.unique(eh)
+
+
+def contamination_batch(batch: pa.Table, ehs: np.ndarray,
+                        eval_docs: int = _DECON_EVAL_DOCS,
+                        n: int = _DECON_N) -> np.ndarray:
+    """Per-row contaminated flags against the broadcast eval hash set."""
+    own, h = _decon_grams(batch, n)
+    hit = np.zeros(batch.num_rows, dtype=bool)
+    if len(h) and len(ehs):
+        pos = np.minimum(np.searchsorted(ehs, h), len(ehs) - 1)
+        np.logical_or.at(hit, own[ehs[pos] == h], True)
+    ids = batch.column("doc_id").to_numpy()
+    return hit & (ids >= eval_docs)
+
+
 def decontaminate(sf_dir: str, n: int = _DECON_N,
                   eval_docs: int = _DECON_EVAL_DOCS):
     """Per-doc contamination verdict against an eval set: a training doc
@@ -507,52 +567,14 @@ def decontaminate(sf_dir: str, n: int = _DECON_N,
     no shuffle, no join, flat per-doc cost at any corpus size."""
     import ray
     import ray.data
-    import pyarrow.compute as pc
 
-    def grams(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-        """(owners, ngram hashes) via Arrow split + join + hash."""
-        parts = pc.split_pattern(
-            pc.fill_null(batch.column("text"), ""), " ").combine_chunks()
-        flat = pc.list_flatten(parts)
-        owners = np.asarray(pc.list_parent_indices(parts), dtype=np.int64)
-        if len(flat) < n:
-            return np.empty(0, np.int64), np.empty(0, np.uint64)
-        cols = [flat.slice(i, len(flat) - n + 1) for i in range(n)]
-        joined = pc.binary_join_element_wise(*cols, " ")
-        own = owners[:len(flat) - n + 1]
-        same = np.ones(len(own), dtype=bool)
-        for i in range(1, n):
-            same &= own == owners[i:len(flat) - n + 1 + i]
-        joined = joined.filter(pa.array(same))
-        own = own[same]
-        h = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8)
-                            .digest(), "little") for g in
-             joined.to_pylist()),
-            dtype=np.uint64, count=len(joined))
-        return own, h
-
-    # eval-set n-grams: one bounded read of the eval rows
-    import pyarrow.parquet as pq
-
-    ev = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                       columns=["doc_id", "text"])
-    ev = ev.filter(pc.less(ev.column("doc_id"), eval_docs))
-    _, eh = grams(ev)
-    eval_hashes = np.unique(eh)
-    ref = ray.put(eval_hashes)
+    ref = ray.put(decon_eval_hashes(sf_dir, n, eval_docs))
 
     def check(batch: pa.Table) -> pa.Table:
-        ehs = ray.get(ref)
-        own, h = grams(batch)
-        hit = np.zeros(batch.num_rows, dtype=bool)
-        if len(h) and len(ehs):
-            pos = np.minimum(np.searchsorted(ehs, h), len(ehs) - 1)
-            np.logical_or.at(hit, own[ehs[pos] == h], True)
-        ids = batch.column("doc_id").to_numpy()
         return pa.table({
             "doc_id": batch.column("doc_id"),
-            "contaminated": pa.array(hit & (ids >= eval_docs)),
+            "contaminated": pa.array(contamination_batch(
+                batch, ray.get(ref), eval_docs, n)),
         })
 
     return _docs(sf_dir).map_batches(check, batch_format="pyarrow")
@@ -623,3 +645,109 @@ def doc_fingerprint(sf_dir: str):
                          "fp_set": pa.array(fset, pa.string())})
 
     return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus-cleaning pipeline (the C4-style end-to-end verdict)
+
+_CLEAN_MIN_WORDS = 25        # C4-role length floor (Raffel et al. 2020 §2.2)
+_CLEAN_MIN_DISTINCT = 0.35   # lexical-diversity floor
+_CLEAN_MAX_WORD_LEN = 20     # garbage-token ceiling
+_CLEAN_PARTS = 16
+
+
+def corpus_clean(sf_dir: str):
+    """End-to-end training-corpus cleaning verdict, one row per doc:
+
+    - ``q_ok``      — quality thresholds over the text_quality features
+      (the C4 heuristic-filter role, Raffel et al. 2020 appendix);
+    - ``keep_gopher`` — Gopher repetition filters (Rae et al. 2021);
+    - ``contaminated`` — eval-set n-gram collision (Brown et al. 2020);
+    - ``canonical`` — exact-dup canonicalization: the MIN doc_id of each
+      identical text keeps the corpus slot;
+    - ``keep``      — the conjunction.
+
+    Scale shape: the three per-doc signals FUSE into one map pass (one
+    corpus read, eval hashes broadcast once); the only exchange is one
+    hash-partitioned groupby on the text hash for the canonical flag
+    (coarse pkey buckets, vectorized run-length first-in-run marking —
+    never a per-text group)."""
+    import ray
+    import ray.data
+
+    ref = ray.put(decon_eval_hashes(sf_dir))
+
+    def fused(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        rep = repetition_batch(batch)
+        cont = contamination_batch(batch, ray.get(ref))
+        q_ok = ((q.column("n_words").to_numpy() >= _CLEAN_MIN_WORDS)
+                & (q.column("distinct_ratio").to_numpy()
+                   >= _CLEAN_MIN_DISTINCT)
+                & (q.column("max_word_len").to_numpy()
+                   <= _CLEAN_MAX_WORD_LEN))
+        h = np.fromiter(
+            (int.from_bytes(hashlib.blake2b((t or "").encode(),
+                                            digest_size=8).digest(),
+                            "little") for t in
+             batch.column("text").to_pylist()),
+            dtype=np.uint64, count=batch.num_rows)
+        return pa.table({
+            "pkey": pa.array((h % np.uint64(_CLEAN_PARTS))
+                             .astype(np.int32)),
+            "h": pa.array(h),
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "q_ok": pa.array(q_ok),
+            "keep_gopher": rep.column("keep_gopher"),
+            "contaminated": pa.array(cont),
+        })
+
+    def canon(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "q_ok": pa.array([], pa.bool_()),
+                "keep_gopher": pa.array([], pa.bool_()),
+                "contaminated": pa.array([], pa.bool_()),
+                "canonical": pa.array([], pa.bool_()),
+                "keep": pa.array([], pa.bool_())})
+        h = g.column("h").to_numpy()
+        d = g.column("doc_id").to_numpy()
+        order = np.lexsort((d, h))
+        first = np.r_[True, h[order][1:] != h[order][:-1]]
+        canonical = np.zeros(len(d), dtype=bool)
+        canonical[order] = first
+        q_ok = g.column("q_ok").to_numpy(zero_copy_only=False)
+        gop = g.column("keep_gopher").to_numpy(zero_copy_only=False)
+        cont = g.column("contaminated").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(d),
+            "q_ok": pa.array(q_ok),
+            "keep_gopher": pa.array(gop),
+            "contaminated": pa.array(cont),
+            "canonical": pa.array(canonical),
+            "keep": pa.array(q_ok & gop & ~cont & canonical)})
+
+    return (_docs(sf_dir)
+            .map_batches(fused, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(canon, batch_format="pyarrow"))
+
+
+def oracle_corpus_clean_sql() -> str:
+    q_ok = (f"(q.n_words >= {_CLEAN_MIN_WORDS} AND "
+            f"q.distinct_ratio >= {_CLEAN_MIN_DISTINCT} AND "
+            f"q.max_word_len <= {_CLEAN_MAX_WORD_LEN})")
+    return f"""SELECT q.doc_id,
+       {q_ok} AS q_ok,
+       r.keep_gopher,
+       c.contaminated,
+       (dd.rn = 1) AS canonical,
+       ({q_ok} AND r.keep_gopher AND NOT c.contaminated AND dd.rn = 1)
+         AS keep
+FROM ({oracle_text_quality_sql()}) q
+JOIN ({oracle_text_repetition_sql()}) r USING (doc_id)
+JOIN ({oracle_decontaminate_sql()}) c USING (doc_id)
+JOIN (SELECT doc_id, row_number() OVER (
+        PARTITION BY text ORDER BY doc_id) AS rn FROM documents) dd
+  USING (doc_id)"""

@@ -450,6 +450,46 @@ def search_terms_scored(reader: IndexReader, terms: list[str], k: int = 10
     return TopDocs(d, s, len(uniq), nblocks, nblocks)
 
 
+def search_filtered(reader: IndexReader, terms: list[str], k: int = 10, *,
+                    filter_must: "list[str] | None" = None,
+                    filter_must_not: "list[str] | None" = None) -> TopDocs:
+    """BooleanQuery mixing scoring SHOULD clauses with non-scoring
+    Occur.FILTER / MUST_NOT clauses (search/BooleanClause.java Occur.FILTER,
+    BooleanWeight.java:318 FilterScorer wrap — "like MUST except it
+    participates in neither scoring"): the filter restricts the doc set
+    and contributes NOTHING to the score; surviving docs score
+    bit-identically to the unfiltered disjunction (same clause-order
+    float64 accumulation)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    accept = search_boolean(reader, must=filter_must,
+                            must_not=filter_must_not)
+    sc = Scorers(reader, terms)
+    all_docs, all_scores, all_clause = [], [], []
+    for ci, t in enumerate(terms):
+        p = sc.postings.get(t)
+        if p is None:
+            continue
+        d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                     p.tfs_enc, p.norms_enc)
+        s = sc.sim[t].score(tf, nm)
+        lm = reader.live_mask(d)
+        if lm is not None:
+            d, s = d[lm], s[lm]
+        keep = np.isin(d, accept, assume_unique=True)
+        all_docs.append(d[keep])
+        all_scores.append(s[keep])
+        all_clause.append(np.full(int(keep.sum()), ci, dtype=np.int32))
+    if not all_docs:
+        return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32),
+                       0, 0, 0)
+    uniq, final = _accumulate(np.concatenate(all_docs),
+                              np.concatenate(all_clause),
+                              np.concatenate(all_scores))
+    d, s = _topk(uniq, final, k)
+    return TopDocs(d, s, len(uniq), 0, 0)
+
+
 def search_min_should_match(reader: IndexReader, terms: list[str],
                             min_should_match: int, k: int = 10) -> TopDocs:
     """BooleanQuery of SHOULD TermQuery clauses with
