@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_boolean_filter": ft.ft_boolean_filter,
         "ft_blockjoin_child": ft.ft_blockjoin_child,
         "ft_facet_assoc": ft.ft_facet_assoc,
+        "ft_span_first": ft.ft_span_first,
     }
     try:
         from lucene_ray.pipelines import ann as _ann
@@ -236,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_boolean_filter": ft.oracle_boolean_filter_sql(),
         "ft_blockjoin_child": ft.oracle_blockjoin_child_sql(),
         "ft_facet_assoc": ft.oracle_facet_assoc_sql(),
+        "ft_span_first": ft.oracle_span_first_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,

@@ -158,6 +158,30 @@ class Index:
     def verify(self) -> dict:
         return verify_index(self.index_dir)
 
+    def repair(self) -> dict:
+        """Re-merge corrupt postings partitions from the surviving
+        segment files (lossless CheckIndex -exorcise; see
+        build.repair_postings)."""
+        from .build import repair_postings
+
+        return repair_postings(self.index_dir)
+
+    def spell(self, term: str, max_edits: int = 2, top: int = 5
+              ) -> list[tuple[str, int, int]]:
+        """DirectSpellChecker suggestions: [(suggestion, distance, df)]
+        ranked (distance asc, df desc, term asc)."""
+        from .pipelines.fulltext import _levenshtein
+        from .search import termdict_scan
+
+        t = termdict_scan(self.reader, fuzzy=(term, max_edits))
+        cand = []
+        for s, df in zip(t.column("term").to_pylist(),
+                         t.column("df").to_pylist()):
+            if s != term and s[:1] == term[:1]:
+                cand.append((_levenshtein(s, term), -int(df), s))
+        cand.sort()
+        return [(s, d, -ndf) for d, ndf, s in cand[:top]]
+
     @staticmethod
     def _hits(td: TopDocs) -> list[Hit]:
         return [Hit(int(d), float(s))

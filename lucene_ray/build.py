@@ -1725,3 +1725,84 @@ def compact_index(index_dir: str,
             except FileNotFoundError:
                 pass
     return manifest
+
+
+def repair_postings(index_dir: str) -> dict:
+    """CheckIndex -exorcise role (index/CheckIndex.java:507 `exorciseIndex`
+    — the reference DROPS corrupt segments, losing their documents).
+    Here a corrupt MERGED postings partition is repaired LOSSLESSLY by
+    re-running the merge for just that (tbucket, salt) group from the
+    still-present per-segment postings files — the same recovery unit the
+    resumable build uses, so nothing is lost as long as the segment files
+    survive.
+
+    Scans every committed part (parquet readability + a decode probe of
+    the first posting's encoded blocks), re-merges the bad ones, and
+    rewrites the manifest lineage rows. Returns
+    {"checked": N, "repaired": [part, ...], "ok": bool}."""
+    from .codec import decode_blocks
+
+    m = load_manifest(index_dir)
+    T = int(m.config["term_parts"])
+    G = int(m.config["salt_group"])
+    pdir = os.path.join(index_dir, "postings")
+    n_checked = len(m.postings_parts)
+    bad: list[dict] = []
+    for rec in m.postings_parts:
+        path = os.path.join(pdir, f"part={rec['part']}.parquet")
+        try:
+            t = pq.read_table(path)
+            if t.num_rows:
+                r0 = t.slice(0, 1)
+                decode_blocks(
+                    r0.column("first_doc").to_numpy(),
+                    r0.column("n").to_numpy(),
+                    r0.column("docs_enc").to_pylist(),
+                    r0.column("tfs_enc").to_pylist(),
+                    r0.column("norms_enc").to_pylist())
+        except Exception:
+            bad.append(rec)
+    if not bad:
+        return {"checked": n_checked, "repaired": [], "ok": True}
+
+    seg_dir = os.path.join(index_dir, "segments")
+    seg_files = {int(f[4:-8]): os.path.join(seg_dir, f)
+                 for f in os.listdir(seg_dir) if f.endswith(".parquet")}
+    mlin_dir = os.path.join(index_dir, "_build", "merge_lineage")
+    repaired = []
+    by_part = {r["part"]: i for i, r in enumerate(m.postings_parts)}
+    for rec in bad:
+        part = rec["part"]
+        tb, salt = (int(x) for x in part.split("_"))
+        tabs = []
+        for seg, path in sorted(seg_files.items()):
+            if seg // G != salt:
+                continue
+            t = pq.read_table(path)
+            mask = _crc_bucket(t.column("term").to_pylist(), T) == tb
+            if mask.any():
+                tabs.append(t.filter(pa.array(mask)))
+        for p in (os.path.join(pdir, f"part={part}.parquet"),
+                  os.path.join(mlin_dir, f"part_{part}.json")):
+            if os.path.exists(p):
+                os.remove(p)
+        if not tabs:
+            # no surviving source rows: drop the partition outright
+            # (the reference's lossy exorcise outcome)
+            m.postings_parts.pop(by_part[part])
+            by_part = {r["part"]: i
+                       for i, r in enumerate(m.postings_parts)}
+            repaired.append(part)
+            continue
+        group = pa.concat_tables(tabs)
+        n = group.num_rows
+        group = group.append_column(
+            "tbucket", pa.array(np.full(n, tb, np.int32)))
+        group = group.append_column(
+            "salt", pa.array(np.full(n, salt, np.int32)))
+        Merger(index_dir)(group)
+        with open(os.path.join(mlin_dir, f"part_{part}.json")) as fh:
+            m.postings_parts[by_part[part]] = json.load(fh)
+        repaired.append(part)
+    save_manifest(index_dir, m)
+    return {"checked": n_checked, "repaired": repaired, "ok": True}

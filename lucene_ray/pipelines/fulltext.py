@@ -3945,3 +3945,49 @@ def oracle_facet_assoc_sql() -> str:
     return ("SELECT lang, count(*) AS n, "
             "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_len "
             "FROM documents GROUP BY lang")
+
+
+# ---------------------------------------------------------------------------
+# SpanFirstQuery (match only within the first N positions)
+
+SPAN_FIRST_QUERIES = [(1, "key", 3), (2, "vector", 1), (3, "agg", 5)]
+
+
+def ft_span_first(sf_dir: str) -> pa.Table:
+    """SpanFirstQuery (spans/SpanFirstQuery.java:36 — a SpanPositionRange
+    with start 0): docs where the term occurs with span END <= n, i.e.
+    one of its first n positions (0-based position < n). Positions come
+    straight from the positional postings; no document scan."""
+    from ..search import _term_positions
+
+    r = reader_for(sf_dir)
+    qids, docs, firsts = [], [], []
+    for qid, term, n in SPAN_FIRST_QUERIES:
+        pos_of = _term_positions(r, term) or {}
+        for d in sorted(pos_of):
+            p = np.asarray(pos_of[d], np.int64)
+            m = p[p < n]
+            if len(m):
+                qids.append(qid)
+                docs.append(int(d))
+                firsts.append(int(m.min()))
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "first_pos": pa.array(firsts, pa.int64())})
+
+
+def oracle_span_first_sql() -> str:
+    rows = []
+    for qid, term, n in SPAN_FIRST_QUERIES:
+        rows.append(
+            f"SELECT {qid} AS qid, d AS doc_id, "
+            f"CAST(min(pos) - 1 AS BIGINT) AS first_pos "
+            f"FROM wpos WHERE word = '{term}' AND pos <= {n} GROUP BY d")
+    un = "\nUNION ALL\n".join(rows)
+    return f"""WITH {_CORPUS_CTE},
+wpos AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+)
+{un}"""

@@ -1626,3 +1626,51 @@ def test_feature_and_facet_honor_deletes(tmp_path, ray_session):
     counts = {r["lang"]: r["n"]
               for r in facet_counts_dv(idx, "lang").take_all()}
     assert counts == {"en": 4, "de": 2}
+
+
+def test_repair_postings_lossless(tmp_path, ray_session):
+    """CheckIndex -exorcise role, lossless variant: corrupt one merged
+    postings partition on disk; repair_postings re-merges it from the
+    surviving segment files with bit-identical logical content, and the
+    index searches identically afterwards."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lucene_ray.build import build_index, repair_postings, verify_index
+    from lucene_ray.corpus import generate_corpus
+    from lucene_ray.search import IndexReader, search_blockmax
+
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    pq.write_table(generate_corpus(800, seed=11), str(corpus / "a.parquet"))
+    idx = str(tmp_path / "i")
+    build_index(str(corpus), idx)
+    r = IndexReader(idx)
+    before = search_blockmax(r, "return value data", 10)
+
+    pdir = os.path.join(idx, "postings")
+    victim = sorted(f for f in os.listdir(pdir) if f.endswith(".parquet"))[0]
+    vic_path = os.path.join(pdir, victim)
+    orig = pq.read_table(vic_path).sort_by(
+        [("term", "ascending"), ("first_doc", "ascending")])
+    with open(vic_path, "r+b") as f:      # stomp the parquet footer
+        f.seek(-8, os.SEEK_END)
+        f.write(b"XXXXXXXX")
+    import pytest as _pt
+    with _pt.raises(Exception):
+        pq.read_table(vic_path)
+
+    rep = repair_postings(idx)
+    assert rep["ok"] and rep["repaired"] == [victim[5:-8]]
+    fixed = pq.read_table(vic_path).sort_by(
+        [("term", "ascending"), ("first_doc", "ascending")])
+    assert fixed.equals(orig)             # lossless, bit-identical rows
+
+    r2 = IndexReader(idx)
+    after = search_blockmax(r2, "return value data", 10)
+    assert after.doc_ids.tolist() == before.doc_ids.tolist()
+    assert after.scores.tolist() == before.scores.tolist()
+    assert verify_index(idx)["ok"]
+    # idempotent: a clean index reports nothing to repair
+    assert repair_postings(idx)["repaired"] == []
