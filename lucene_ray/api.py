@@ -170,10 +170,12 @@ class Index:
               ) -> list[tuple[str, int, int]]:
         """DirectSpellChecker suggestions: [(suggestion, distance, df)]
         ranked (distance asc, df desc, term asc)."""
-        from .pipelines.fulltext import _levenshtein
+        from .pipelines.fulltext import _content_only, _levenshtein
         from .search import termdict_scan
 
-        t = termdict_scan(self.reader, fuzzy=(term, max_edits))
+        t = _content_only(self.reader,
+                          termdict_scan(self.reader,
+                                        fuzzy=(term, max_edits)))
         cand = []
         for s, df in zip(t.column("term").to_pylist(),
                          t.column("df").to_pylist()):

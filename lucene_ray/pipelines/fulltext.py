@@ -1758,6 +1758,23 @@ EXPR_QUERIES = [
 ]
 
 
+def _dense_field_len(idx: str, dtype=np.int64) -> np.ndarray:
+    """field_len docvalue as a dense docID-indexed array (one pruned
+    docmeta read; shared by the expression scorer and the infix
+    suggester)."""
+    import pyarrow.parquet as pq_
+
+    dmdir = os.path.join(idx, "docmeta")
+    dm = pa.concat_tables([
+        pq_.read_table(os.path.join(dmdir, f),
+                       columns=["doc_id", "field_len"])
+        for f in sorted(os.listdir(dmdir)) if f.endswith(".parquet")])
+    did = dm.column("doc_id").to_numpy()
+    out = np.zeros(int(did.max()) + 1 if len(did) else 1, dtype)
+    out[did] = dm.column("field_len").to_numpy().astype(dtype)
+    return out
+
+
 def ft_expr_score(sf_dir: str) -> pa.Table:
     """FunctionScoreQuery with a compiled arithmetic expression
     (queries/src/java/org/apache/lucene/queries/function/
@@ -1768,21 +1785,12 @@ def ft_expr_score(sf_dir: str) -> pa.Table:
     AST node rounds a double-computed result to float32 and the oracle
     SQL is GENERATED from the same AST (``lucene_ray/expressions.py``),
     so engine and oracle cannot drift."""
-    import pyarrow.parquet as pq_
-
     from ..expressions import compile_expr
     from ..search import search_terms_scored
 
     idx = index_dir_for(sf_dir)
     r = reader_for(sf_dir)
-    dmdir = os.path.join(idx, "docmeta")
-    dm = pa.concat_tables([
-        pq_.read_table(os.path.join(dmdir, f),
-                       columns=["doc_id", "field_len"])
-        for f in sorted(os.listdir(dmdir)) if f.endswith(".parquet")])
-    did = dm.column("doc_id").to_numpy()
-    lens = np.zeros(int(did.max()) + 1 if len(did) else 1, np.float32)
-    lens[did] = dm.column("field_len").to_numpy().astype(np.float32)
+    lens = _dense_field_len(idx, np.float32)
     qids, ranks, docs, scores = [], [], [], []
     for qid, terms, src in EXPR_QUERIES:
         ex = compile_expr(src)
@@ -2037,15 +2045,7 @@ def ft_suggest_infix(sf_dir: str) -> pa.Table:
 
     r = reader_for(sf_dir)
     idx = index_dir_for(sf_dir)
-    import pyarrow.parquet as pq_
-    dmdir = os.path.join(idx, "docmeta")
-    dm = pa.concat_tables([
-        pq_.read_table(os.path.join(dmdir, f),
-                       columns=["doc_id", "field_len"])
-        for f in sorted(os.listdir(dmdir)) if f.endswith(".parquet")])
-    did = dm.column("doc_id").to_numpy()
-    wt = np.zeros(int(did.max()) + 1 if len(did) else 1, np.int64)
-    wt[did] = dm.column("field_len").to_numpy().astype(np.int64)
+    wt = _dense_field_len(idx)
     out = []
     for p, k in INFIX_SUGGEST_QUERIES:
         terms = _content_only(r, termdict_scan(r, prefix=p)) \
@@ -3428,10 +3428,12 @@ def _cjk_vocab_map(sf_dir: str) -> dict[str, str]:
             batch.column("text").cast(pa.string()), " "))
         return pa.table({"term": pc.unique(flat)})
 
-    vocab = sorted(ds.map_batches(batch_vocab, batch_format="pyarrow")
-                   .unique("term"))
-    return {w: chr(_CJK_BASE + i % _CJK_MOD) for i, w in enumerate(vocab)
-            if w}
+    vocab = [w for w in
+             sorted(ds.map_batches(batch_vocab, batch_format="pyarrow")
+                    .unique("term")) if w]   # drop '' BEFORE ranking —
+    # the SQL oracle ranks over DISTINCT terms WHERE word <> '', so the
+    # empty token must not consume a rank slot on this side either
+    return {w: chr(_CJK_BASE + i % _CJK_MOD) for i, w in enumerate(vocab)}
 
 
 def ft_cjk_bigrams(sf_dir: str) -> pa.Table:
@@ -3599,7 +3601,11 @@ def ft_payload_score(sf_dir: str) -> pa.Table:
             "doc_id": pa.array(darr[sel], pa.int64()),
             "score": pa.array(scores[sel], pa.float32()),
         }))
-    return pa.concat_tables(out)
+    return pa.concat_tables(out) if out else pa.table({
+        "qid": pa.array([], pa.int64()),
+        "rank": pa.array([], pa.int64()),
+        "doc_id": pa.array([], pa.int64()),
+        "score": pa.array([], pa.float32())})
 
 
 _WOFF_CTE = """
@@ -3858,7 +3864,11 @@ def ft_blockjoin_child(sf_dir: str) -> pa.Table:
                 "doc_id": pa.array(kids.astype(np.int64)),
                 "score": pa.array([score] * len(kids), pa.float32()),
             }))
-    return pa.concat_tables(out)
+    return pa.concat_tables(out) if out else pa.table({
+        "qid": pa.array([], pa.int64()),
+        "parent": pa.array([], pa.string()),
+        "doc_id": pa.array([], pa.int64()),
+        "score": pa.array([], pa.float32())})
 
 
 def oracle_blockjoin_child_sql() -> str:

