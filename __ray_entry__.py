@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_blockjoin_child": ft.ft_blockjoin_child,
         "ft_facet_assoc": ft.ft_facet_assoc,
         "ft_span_first": ft.ft_span_first,
+        "ft_phrase_prefix": ft.ft_phrase_prefix,
     }
     try:
         from lucene_ray.pipelines import ann as _ann
@@ -67,6 +68,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_quantized_topk": _ann.ann_quantized_topk,
             "doc_keywords": _ts.doc_keywords,
             "corpus_clean": _ts.corpus_clean,
+            "events_sliding_window": __import__(
+                "lucene_ray.pipelines.streaming",
+                fromlist=["streaming"]).events_sliding_window,
+            "agg_quantity_quantiles": _rel.agg_quantity_quantiles,
             "dup_ngram_stats": __import__(
                 "lucene_ray.pipelines.dedup",
                 fromlist=["dedup"]).dup_ngram_stats,
@@ -238,6 +243,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_blockjoin_child": ft.oracle_blockjoin_child_sql(),
         "ft_facet_assoc": ft.oracle_facet_assoc_sql(),
         "ft_span_first": ft.oracle_span_first_sql(),
+        "ft_phrase_prefix": ft.oracle_phrase_prefix_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, dedup, relational, streaming,
@@ -246,6 +252,9 @@ def oracle_sql() -> dict[str, str]:
         o.update({
             "events_tumbling_window": streaming.oracle_tumbling_window_sql(),
             "events_sessionize": streaming.oracle_sessionize_sql(),
+            "events_sliding_window": streaming.oracle_sliding_window_sql(),
+            "agg_quantity_quantiles":
+                relational.oracle_quantity_quantiles_sql(),
             "embedding_neardup": ann.oracle_embedding_neardup_sql(),
             "dedup_exact": dedup.oracle_dedup_exact_sql(),
             "dup_ngram_stats": dedup.oracle_dup_ngram_sql(),

@@ -4001,3 +4001,69 @@ wpos AS (
   FROM corpus
 )
 {un}"""
+
+
+# ---------------------------------------------------------------------------
+# Phrase-prefix query (search-as-you-type)
+
+# (qid, fixed leading terms, last-position prefix)
+PHRASE_PREFIX_QUERIES = [(1, ["key"], "ag"), (2, ["data"], "va"),
+                         (3, ["spark"], "win")]
+_PP_MAX_EXPANSIONS = 50
+
+
+def ft_phrase_prefix(sf_dir: str) -> pa.Table:
+    """Phrase-prefix matching (sandbox/search/PhraseWildcardQuery.java:60;
+    the MatchPhrasePrefix shape): the last position accepts any term
+    with the given prefix, capped at maxExpansions=50 in dictionary
+    (term) order — the expansion feeds the exact MultiPhraseQuery
+    matcher (search/MultiPhraseQuery.java:54), so freq = number of exact
+    consecutive matches with ANY expanded alternative."""
+    from ..search import multi_phrase_freqs
+
+    r = reader_for(sf_dir)
+    qids, docs, freqs = [], [], []
+    for qid, fixed, prefix in PHRASE_PREFIX_QUERIES:
+        exp = _content_only(r, termdict_scan(r, prefix=prefix)) \
+            .column("term").to_pylist()[:_PP_MAX_EXPANSIONS]
+        if not exp:
+            continue
+        fr = multi_phrase_freqs(r, [[t] for t in fixed] + [exp])
+        for d in sorted(fr):
+            qids.append(qid)
+            docs.append(d)
+            freqs.append(fr[d])
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "freq": pa.array(freqs, pa.int64())})
+
+
+def oracle_phrase_prefix_sql() -> str:
+    parts = []
+    for qid, fixed, prefix in PHRASE_PREFIX_QUERIES:
+        n = len(fixed)
+        joins = ["FROM w w0"]
+        conds = [f"w0.word = '{fixed[0]}'"]
+        for i in range(1, n):
+            joins.append(f"JOIN w w{i} ON w{i}.d = w0.d "
+                         f"AND w{i}.pos = w0.pos + {i}")
+            conds.append(f"w{i}.word = '{fixed[i]}'")
+        joins.append(f"JOIN w w{n} ON w{n}.d = w0.d "
+                     f"AND w{n}.pos = w0.pos + {n}")
+        conds.append(
+            f"w{n}.word IN (SELECT word FROM "
+            f"(SELECT DISTINCT word FROM w WHERE word LIKE '{prefix}%' "
+            f"ORDER BY word LIMIT {_PP_MAX_EXPANSIONS}))")
+        parts.append(
+            f"SELECT {qid} AS qid, w0.d AS doc_id, "
+            f"CAST(count(*) AS BIGINT) AS freq\n"
+            + "\n".join(joins) + "\nWHERE " + " AND ".join(conds)
+            + "\nGROUP BY w0.d")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+w AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+)
+{un}"""

@@ -216,3 +216,53 @@ def oracle_lineitem_pricing_sql() -> str:
        min(l_extendedprice) AS min_price,
        max(l_extendedprice) AS max_price
 FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+
+QUANTILE_PS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def agg_quantity_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT distributed quantiles of a bounded-domain numeric column
+    (l_quantity, domain 1..50): per-batch value-count partials, one tiny
+    combiner groupby (<= |domain| rows cross the wire), then the
+    rank-inversion on the driver over the <= 50-row histogram — the
+    exact-quantile shape that still works on 100 TB because the exchange
+    is O(|domain|), not O(rows). Convention matches DuckDB
+    quantile_disc: the smallest value whose cumulative count reaches
+    ceil(q * N)."""
+    import math
+    import os
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("l_quantity").to_numpy().astype(np.int64)
+        vals, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(vals),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("n", alias_name="n"))
+            .to_pandas().sort_values("v"))
+    vals = hist["v"].to_numpy()
+    cum = hist["n"].to_numpy().cumsum()
+    total = int(cum[-1]) if len(cum) else 0
+    out_p, out_v = [], []
+    for q in QUANTILE_PS:
+        rank = math.ceil(q * total)
+        i = int(np.searchsorted(cum, rank))
+        out_p.append(q)
+        out_v.append(int(vals[i]))
+    return pa.table({"p": pa.array(out_p, pa.float64()),
+                     "value": pa.array(out_v, pa.int64())})
+
+
+def oracle_quantity_quantiles_sql() -> str:
+    rows = [f"SELECT {q} AS p, "
+            f"CAST(quantile_disc(l_quantity, {q}) AS BIGINT) AS value "
+            f"FROM lineitem" for q in QUANTILE_PS]
+    return "\nUNION ALL\n".join(rows)
