@@ -751,3 +751,53 @@ JOIN ({oracle_decontaminate_sql()}) c USING (doc_id)
 JOIN (SELECT doc_id, row_number() OVER (
         PARTITION BY text ORDER BY doc_id) AS rn FROM documents) dd
   USING (doc_id)"""
+
+
+_CLEAN_SHARD_DOCS = 4096
+
+
+def corpus_clean_write(sf_dir: str, out_dir: str) -> dict:
+    """Materialize the cleaned corpus as RESUMABLE partitioned parquet:
+    one output file per FIXED doc_id range (shard = doc_id //
+    _CLEAN_SHARD_DOCS — deterministic names independent of Ray block
+    boundaries), written atomically (tmp + rename) inside the tasks — a
+    re-run after a crash skips shards whose file already exists, the
+    same recovery unit the index build uses. Returns {"kept": n,
+    "dropped": m, "files": k}."""
+    os.makedirs(out_dir, exist_ok=True)
+    verdicts = corpus_clean(sf_dir)
+    kept = verdicts.filter(lambda r: bool(r["keep"]))
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "shard": pa.array(ids // _CLEAN_SHARD_DOCS, pa.int64())})
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        ids = sorted(int(i) for i in g.column("doc_id").to_pylist())
+        if not ids:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "kept": pa.array([], pa.int64())})
+        shard = int(g.column("shard")[0].as_py())
+        name = f"part_{shard:08d}.parquet"
+        path = os.path.join(out_dir, name)
+        if not os.path.exists(path):
+            import pyarrow.parquet as pq_
+            src = pq_.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                filters=[("doc_id", "in", ids)])
+            pq_.write_table(src, path + ".tmp")
+            os.replace(path + ".tmp", path)
+        return pa.table({"file": pa.array([name], pa.string()),
+                         "kept": pa.array([len(ids)], pa.int64())})
+
+    rows = (kept.select_columns(["doc_id"])
+            .map_batches(add_shard, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(write_shard, batch_format="pyarrow")
+            .take_all())
+    n_kept = int(sum(r["kept"] for r in rows))
+    total = verdicts.count()
+    return {"kept": n_kept, "dropped": int(total - n_kept),
+            "files": len([r for r in rows if r["kept"]])}

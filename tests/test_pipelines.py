@@ -1089,3 +1089,35 @@ def test_search_filtered_modes(ray_session, tmp_path):
     assert all(d in excl or True for d in filt.doc_ids.tolist())
     assert all(keep[d] == s for d, s in zip(filt.doc_ids.tolist(),
                                             filt.scores.tolist()))
+
+
+def test_corpus_clean_write_resumable(ray_session, tmp_path):
+    """corpus_clean_write materializes only kept docs as partitioned
+    parquet and skips already-written partitions on re-run."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.textstats import (corpus_clean,
+                                                corpus_clean_write)
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "clean")
+    rep = corpus_clean_write(sf, out)
+    files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert rep["files"] == len(files) and rep["kept"] > 0
+    got = pq.read_table(out).column("doc_id").to_pylist()
+    want = corpus_clean(sf).to_pandas()
+    want_ids = sorted(want[want.keep].doc_id.tolist())
+    assert sorted(got) == want_ids
+    assert rep["dropped"] == int((~want.keep).sum())
+
+    # resumability: delete one partition; re-run restores ONLY it
+    victim = os.path.join(out, files[0])
+    mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in files[1:]}
+    os.remove(victim)
+    rep2 = corpus_clean_write(sf, out)
+    assert rep2["kept"] == rep["kept"]
+    assert sorted(os.listdir(out)) == files
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, f)) == m  # untouched
