@@ -248,6 +248,10 @@ def run_dedup() -> dict:
     t2 = time.time()
     dedup_simhash(d).count()
     t_simhash = time.time() - t2
+    from lucene_ray.pipelines.dedup import dup_ngram_stats
+    t3 = time.time()
+    n_dupgram = dup_ngram_stats(d).count()
+    t_dupgram = time.time() - t3
     ray.shutdown()
     return {
         "metric": "dedup_minhash_sec",
@@ -262,6 +266,9 @@ def run_dedup() -> dict:
         "exact_unique_docs": int(n_uniq),
         "simhash_sec": round(t_simhash, 3),
         "simhash_docs_per_sec": round(n / t_simhash, 1),
+        "dupgram_sec": round(t_dupgram, 3),
+        "dupgram_docs_per_sec": round(n / t_dupgram, 1),
+        "dupgram_rows": int(n_dupgram),
     }
 
 
