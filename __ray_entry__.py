@@ -57,7 +57,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     try:
         from lucene_ray.pipelines import ann as _ann
+        from lucene_ray.pipelines import dedup as _dd
         from lucene_ray.pipelines import relational as _rel
+        from lucene_ray.pipelines import streaming as _st
         from lucene_ray.pipelines import textstats as _ts
 
         q.update({
@@ -68,13 +70,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "ann_quantized_topk": _ann.ann_quantized_topk,
             "doc_keywords": _ts.doc_keywords,
             "corpus_clean": _ts.corpus_clean,
-            "events_sliding_window": __import__(
-                "lucene_ray.pipelines.streaming",
-                fromlist=["streaming"]).events_sliding_window,
+            "events_sliding_window": _st.events_sliding_window,
             "agg_quantity_quantiles": _rel.agg_quantity_quantiles,
-            "dup_ngram_stats": __import__(
-                "lucene_ray.pipelines.dedup",
-                fromlist=["dedup"]).dup_ngram_stats,
+            "dup_ngram_stats": _dd.dup_ngram_stats,
             "decontaminate": _ts.decontaminate,
             "text_repetition": _ts.text_repetition,
             "vocab_hll": _ts.vocab_hll,

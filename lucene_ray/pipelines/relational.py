@@ -251,6 +251,9 @@ def agg_quantity_quantiles(sf_dir: str) -> pa.Table:
     vals = hist["v"].to_numpy()
     cum = hist["n"].to_numpy().cumsum()
     total = int(cum[-1]) if len(cum) else 0
+    if total == 0:
+        return pa.table({"p": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.int64())})
     out_p, out_v = [], []
     for q in QUANTILE_PS:
         rank = math.ceil(q * total)

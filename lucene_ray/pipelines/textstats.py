@@ -764,40 +764,50 @@ def corpus_clean_write(sf_dir: str, out_dir: str) -> dict:
     re-run after a crash skips shards whose file already exists, the
     same recovery unit the index build uses. Returns {"kept": n,
     "dropped": m, "files": k}."""
-    os.makedirs(out_dir, exist_ok=True)
-    verdicts = corpus_clean(sf_dir)
-    kept = verdicts.filter(lambda r: bool(r["keep"]))
+    import pyarrow.parquet as pq_
 
-    def add_shard(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
+    os.makedirs(out_dir, exist_ok=True)
+    # total from parquet metadata — no second pipeline execution
+    total = pq_.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+    def kept_shards(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("keep"))       # vectorized, no
+        ids = t.column("doc_id").to_numpy()          # per-row Python
         return pa.table({
-            "doc_id": batch.column("doc_id"),
+            "doc_id": t.column("doc_id"),
             "shard": pa.array(ids // _CLEAN_SHARD_DOCS, pa.int64())})
 
     def write_shard(g: pa.Table) -> pa.Table:
-        ids = sorted(int(i) for i in g.column("doc_id").to_pylist())
-        if not ids:
+        ids = np.sort(g.column("doc_id").to_numpy())
+        if len(ids) == 0:
             return pa.table({"file": pa.array([], pa.string()),
                              "kept": pa.array([], pa.int64())})
         shard = int(g.column("shard")[0].as_py())
         name = f"part_{shard:08d}.parquet"
         path = os.path.join(out_dir, name)
         if not os.path.exists(path):
-            import pyarrow.parquet as pq_
+            lo = shard * _CLEAN_SHARD_DOCS
+            # range filter prunes row groups deterministically; the
+            # kept-id subset is applied in memory (a 4096-element isin
+            # pushdown would force a full-file scan instead)
             src = pq_.read_table(
                 os.path.join(sf_dir, "documents.parquet"),
-                filters=[("doc_id", "in", ids)])
+                filters=[("doc_id", ">=", lo),
+                         ("doc_id", "<", lo + _CLEAN_SHARD_DOCS)])
+            import pyarrow.compute as pc
+            src = src.filter(pc.is_in(
+                src.column("doc_id"), value_set=pa.array(ids)))
             pq_.write_table(src, path + ".tmp")
             os.replace(path + ".tmp", path)
         return pa.table({"file": pa.array([name], pa.string()),
                          "kept": pa.array([len(ids)], pa.int64())})
 
-    rows = (kept.select_columns(["doc_id"])
-            .map_batches(add_shard, batch_format="pyarrow")
+    rows = (corpus_clean(sf_dir)
+            .map_batches(kept_shards, batch_format="pyarrow")
             .groupby("shard")
             .map_groups(write_shard, batch_format="pyarrow")
             .take_all())
     n_kept = int(sum(r["kept"] for r in rows))
-    total = verdicts.count()
     return {"kept": n_kept, "dropped": int(total - n_kept),
             "files": len([r for r in rows if r["kept"]])}
