@@ -247,13 +247,17 @@ def agg_quantity_quantiles(sf_dir: str) -> pa.Table:
 
     hist = (ds.map_batches(partial, batch_format="pyarrow")
             .groupby("v").aggregate(Sum("n", alias_name="n"))
-            .to_pandas().sort_values("v"))
+            .to_pandas())
+    empty = pa.table({"p": pa.array([], pa.float64()),
+                      "value": pa.array([], pa.int64())})
+    if len(hist) == 0 or "v" not in hist.columns:   # empty input: the
+        return empty                                # agg drops columns
+    hist = hist.sort_values("v")
     vals = hist["v"].to_numpy()
     cum = hist["n"].to_numpy().cumsum()
     total = int(cum[-1]) if len(cum) else 0
     if total == 0:
-        return pa.table({"p": pa.array([], pa.float64()),
-                         "value": pa.array([], pa.int64())})
+        return empty
     out_p, out_v = [], []
     for q in QUANTILE_PS:
         rank = math.ceil(q * total)

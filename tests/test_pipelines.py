@@ -1121,3 +1121,43 @@ def test_corpus_clean_write_resumable(ray_session, tmp_path):
     assert sorted(os.listdir(out)) == files
     for f, m in mtimes.items():
         assert os.path.getmtime(os.path.join(out, f)) == m  # untouched
+
+
+def test_sliding_window_epoch_clip_and_quantile_empty(ray_session, tmp_path):
+    """Edge paths: sliding-window assignment clips windows that would
+    start before epoch 0; exact quantiles return an empty table on an
+    empty input instead of crashing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.relational import agg_quantity_quantiles
+    from lucene_ray.pipelines.streaming import (SLIDE_STEP_S, SLIDE_WIN_S,
+                                                events_sliding_window)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    # one event in the very first hop: only windows with start >= 0 emit
+    ts = pa.array([0, (SLIDE_STEP_S + 1) * 1_000_000],
+                  pa.timestamp("us"))
+    pq.write_table(pa.table({
+        "event_id": pa.array([0, 1], pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([1, 1], pa.int64()),
+        "event_type": pa.array(["a", "a"]),
+        "value": pa.array([1.0, 1.0]),
+        "props": pa.array(["{}", "{}"]),
+    }), str(sf / "events.parquet"))
+    out = events_sliding_window(str(sf)).to_pandas()
+    k = SLIDE_WIN_S // SLIDE_STEP_S
+    first = out[out.first_epoch == 0]
+    assert (out.win_start >= 0).all()
+    assert len(first) == 1 and int(first.win_start.iloc[0]) == 0
+    second = out[(out.n_events >= 1) & (out.win_start == SLIDE_STEP_S)]
+    assert len(second) == 1        # epoch SLIDE_STEP_S+1 reaches hop 1
+    # windows per event never exceed k
+    assert out.n_events.sum() <= 2 * k
+
+    pq.write_table(pa.table({"l_quantity": pa.array([], pa.float64())}),
+                   str(sf / "lineitem.parquet"))
+    q = agg_quantity_quantiles(str(sf))
+    assert q.num_rows == 0
