@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_sliding_window": _st.events_sliding_window,
             "agg_quantity_quantiles": _rel.agg_quantity_quantiles,
             "dup_ngram_stats": _dd.dup_ngram_stats,
+            "knn_graph": _ann.knn_graph,
             "decontaminate": _ts.decontaminate,
             "text_repetition": _ts.text_repetition,
             "vocab_hll": _ts.vocab_hll,
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
             "corpus_clean": textstats.oracle_corpus_clean_sql(),
             "vocab_hll": textstats.oracle_vocab_hll_sql(),
             "ann_cosine_topk": ann.oracle_ann_sql(),
+            "knn_graph": ann.oracle_knn_graph_sql(),
             "ann_ivf_topk": ann.oracle_ann_sql(),
             "ann_hnsw_topk": ann.oracle_ann_sql(),
             "ann_filtered_topk": ann.oracle_ann_filtered_sql(),

@@ -541,3 +541,76 @@ def oracle_embedding_neardup_sql() -> str:
     return f"""SELECT a.vec_id AS a, b.vec_id AS b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) > {NEARDUP_THRESHOLD}"""
+
+
+KNN_GRAPH_K = 3
+
+
+def knn_graph(sf_dir: str, k: int = KNN_GRAPH_K) -> pa.Table:
+    """kNN-graph construction: for EVERY vector, its top-k cosine
+    neighbors (self excluded) — the building block of embedding-based
+    near-dup clustering and graph-based curation (and of HNSW's own
+    layer-0, hnsw/HnswGraphBuilder.java:47 connects each inserted node
+    to its k nearest).
+
+    Exact blocked form: the normalized matrix is broadcast ONCE
+    (ray.put); each map task scores only ITS row chunk against it and
+    emits that chunk's finished top-k rows — no shuffle, no driver
+    merge (every task holds complete candidate sets for its rows). At
+    100-TB scale the broadcast side outgrows memory and the IVF/LSH
+    variants above (ann_ivf_topk, embedding_neardup_lsh) are the
+    blocking path; the exact graph stays the ground-truth oracle."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    ids_all = t.column("vec_id").to_numpy()
+    order = np.argsort(ids_all)
+    emb = np.stack(t.column("embedding").to_numpy(
+        zero_copy_only=False))[order].astype(np.float64)
+    ids_all = ids_all[order]
+    # broadcast RAW vectors: _batch_scores normalizes both sides itself
+    ref = ray.put((ids_all, emb))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        all_ids, base = ray.get(ref)
+        ids, sims = _batch_scores(batch, base)   # (n, N) vs everything
+        out_v, out_r, out_n = [], [], []
+        for i in range(len(ids)):
+            s = sims[i]
+            mask = all_ids != ids[i]             # exclude self
+            cand = np.flatnonzero(mask)
+            sel = cand[np.lexsort((all_ids[cand], -s[cand]))[:k]]
+            out_v.extend([int(ids[i])] * len(sel))
+            out_r.extend(range(1, len(sel) + 1))
+            out_n.extend(all_ids[sel].tolist())
+        return pa.table({"vec_id": pa.array(out_v, pa.int64()),
+                         "rank": pa.array(out_r, pa.int32()),
+                         "nbr_id": pa.array(out_n, pa.int64())})
+
+    tbl = (ray.data.read_parquet(_emb_path(sf_dir),
+                                 columns=["vec_id", "embedding"])
+           .map_batches(partial, batch_format="pyarrow")
+           .to_pandas())
+    tbl = tbl.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    return pa.table({"vec_id": pa.array(tbl.vec_id, pa.int64()),
+                     "rank": pa.array(tbl["rank"], pa.int32()),
+                     "nbr_id": pa.array(tbl.nbr_id, pa.int64())})
+
+
+def oracle_knn_graph_sql(k: int = KNN_GRAPH_K) -> str:
+    return f"""WITH sims AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+         list_cosine_similarity(b.embedding, a.embedding) AS sim
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, nbr_id,
+         CAST(row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, nbr_id ASC) AS INT)
+           AS rank
+  FROM sims
+)
+SELECT vec_id, rank, nbr_id FROM ranked WHERE rank <= {k}"""
