@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "agg_quantity_quantiles": _rel.agg_quantity_quantiles,
             "dup_ngram_stats": _dd.dup_ngram_stats,
             "knn_graph": _ann.knn_graph,
+            "pack_token_budget": _ts.pack_token_budget,
             "decontaminate": _ts.decontaminate,
             "text_repetition": _ts.text_repetition,
             "vocab_hll": _ts.vocab_hll,
@@ -266,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
             "doc_keywords": textstats.oracle_doc_keywords_sql(),
             "decontaminate": textstats.oracle_decontaminate_sql(),
             "corpus_clean": textstats.oracle_corpus_clean_sql(),
+            "pack_token_budget": textstats.oracle_pack_token_budget_sql(),
             "vocab_hll": textstats.oracle_vocab_hll_sql(),
             "ann_cosine_topk": ann.oracle_ann_sql(),
             "knn_graph": ann.oracle_knn_graph_sql(),

@@ -811,3 +811,85 @@ def corpus_clean_write(sf_dir: str, out_dir: str) -> dict:
     n_kept = int(sum(r["kept"] for r in rows))
     return {"kept": n_kept, "dropped": int(total - n_kept),
             "files": len([r for r in rows if r["kept"]])}
+
+
+# ---------------------------------------------------------------------------
+# Token-budget packing (distributed prefix sum)
+
+_PACK_BUDGET = 4096          # tokens per training bin
+_PACK_SHARD = 2048           # docs per prefix-sum shard
+
+
+def pack_token_budget(sf_dir: str, budget: int = _PACK_BUDGET):
+    """Sequence-packing bin assignment: docs in doc_id order are packed
+    into fixed token-budget bins; bin_id = floor(exclusive-prefix-sum of
+    token counts / budget) — the deterministic budget-sharding spec a
+    training loader can consume (each bin holds ~budget tokens; a doc
+    spanning a boundary starts the next bin's range).
+
+    Scale shape — a DISTRIBUTED PREFIX SUM: (1) map-only token counts;
+    (2) per-shard sums over FIXED doc_id ranges (one tiny groupby —
+    O(N/shard) rows); (3) the driver turns shard sums into shard prefix
+    offsets (broadcast); (4) one coarse per-shard pass computes local
+    cumulative sums + offset. No global sort, nothing row-sized on the
+    driver."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = [len((t or "").split(" "))
+             for t in batch.column("text").to_pylist()]
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(np.asarray(n, np.int64)),
+            "shard": pa.array(ids // _PACK_SHARD, pa.int64())})
+
+    toks = _docs(sf_dir).map_batches(counts, batch_format="pyarrow") \
+        .materialize()                      # two consumers
+    shard_sums = (toks.groupby("shard")
+                  .aggregate(Sum("n_tokens", alias_name="s"))
+                  .to_pandas().sort_values("shard"))
+    offs = {}
+    run = 0
+    for sh, s in zip(shard_sums["shard"], shard_sums["s"]):
+        offs[int(sh)] = run
+        run += int(s)
+    oref = ray.put(offs)
+
+    def local(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "cum_prev": pa.array([], pa.int64()),
+                             "bin_id": pa.array([], pa.int64())})
+        off = ray.get(oref)[int(g.column("shard")[0].as_py())]
+        d = g.column("doc_id").to_numpy()
+        n = g.column("n_tokens").to_numpy()
+        order = np.argsort(d)
+        d, n = d[order], n[order]
+        cum_prev = off + np.concatenate([[0], np.cumsum(n)[:-1]])
+        return pa.table({
+            "doc_id": pa.array(d), "n_tokens": pa.array(n),
+            "cum_prev": pa.array(cum_prev.astype(np.int64)),
+            "bin_id": pa.array((cum_prev // budget).astype(np.int64))})
+
+    return toks.groupby("shard").map_groups(local, batch_format="pyarrow")
+
+
+def oracle_pack_token_budget_sql(budget: int = _PACK_BUDGET) -> str:
+    return f"""WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(coalesce(SUM(n_tokens) OVER (
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cum_prev,
+       CAST(coalesce(SUM(n_tokens) OVER (
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // {budget} AS BIGINT) AS bin_id
+FROM t"""
