@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dup_ngram_stats": _dd.dup_ngram_stats,
             "knn_graph": _ann.knn_graph,
             "pack_token_budget": _ts.pack_token_budget,
+            "corpus_sample_balanced": _ts.corpus_sample_balanced,
             "decontaminate": _ts.decontaminate,
             "text_repetition": _ts.text_repetition,
             "vocab_hll": _ts.vocab_hll,
@@ -268,6 +269,8 @@ def oracle_sql() -> dict[str, str]:
             "decontaminate": textstats.oracle_decontaminate_sql(),
             "corpus_clean": textstats.oracle_corpus_clean_sql(),
             "pack_token_budget": textstats.oracle_pack_token_budget_sql(),
+            "corpus_sample_balanced":
+                textstats.oracle_sample_balanced_sql(),
             "vocab_hll": textstats.oracle_vocab_hll_sql(),
             "ann_cosine_topk": ann.oracle_ann_sql(),
             "knn_graph": ann.oracle_knn_graph_sql(),

@@ -893,3 +893,47 @@ SELECT doc_id, n_tokens,
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             // {budget} AS BIGINT) AS bin_id
 FROM t"""
+
+
+_SAMPLE_PER_LANG = 20
+
+
+def corpus_sample_balanced(sf_dir: str, per_lang: int = _SAMPLE_PER_LANG
+                           ) -> pa.Table:
+    """Balanced (stratified) deterministic sample: the per_lang docs with
+    the smallest md5(doc_id) per language — the reproducible eval-set
+    draw (same deterministic-hash trick as ft_facet_sampled, so the SQL
+    oracle selects the identical rows). Scale shape: per-batch partial
+    top-n per stratum (bounded: strata x n rows leave each task), one
+    tiny combiner — never a per-stratum shuffle of raw rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = batch.column("doc_id").to_pylist()
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        df = pd.DataFrame({"lang": batch.column("lang").to_pylist(),
+                           "doc_id": ids, "h": h})
+        top = (df.sort_values(["lang", "h", "doc_id"])
+               .groupby("lang", sort=False).head(per_lang))
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    parts = (_docs(sf_dir, cols=("doc_id", "lang"))
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    top = (parts.sort_values(["lang", "h", "doc_id"])
+           .groupby("lang", sort=False).head(per_lang)
+           .sort_values(["lang", "h"]).reset_index(drop=True))
+    return pa.table({"lang": pa.array(top.lang, pa.string()),
+                     "doc_id": pa.array(top.doc_id, pa.int64()),
+                     "h": pa.array(top.h, pa.string())})
+
+
+def oracle_sample_balanced_sql(per_lang: int = _SAMPLE_PER_LANG) -> str:
+    return f"""SELECT lang, doc_id, h FROM (
+  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rn
+  FROM documents
+) WHERE rn <= {per_lang}"""
