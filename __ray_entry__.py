@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 100 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (93 of 100). Omitted
+  + the §8 round-2/3/4 additions; 103 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (96 of 103). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` (binary codec decode),
   ``doc_fingerprint`` / ``dedup_simhash`` / ``dedup_simhash_pairs`` /

@@ -564,24 +564,40 @@ def knn_graph(sf_dir: str, k: int = KNN_GRAPH_K) -> pa.Table:
     import ray.data
     import pyarrow.parquet as pq_
 
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "rank": pa.array([], pa.int32()),
+                      "nbr_id": pa.array([], pa.int64())})
     t = pq_.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
+    if t.num_rows < 2:                       # no neighbors to emit
+        return empty
     ids_all = t.column("vec_id").to_numpy()
     order = np.argsort(ids_all)
     emb = np.stack(t.column("embedding").to_numpy(
         zero_copy_only=False))[order].astype(np.float64)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
     ids_all = ids_all[order]
-    # broadcast RAW vectors: _batch_scores normalizes both sides itself
+    # broadcast vectors normalized ONCE here — tasks matmul directly
     ref = ray.put((ids_all, emb))
+    kk = min(k, len(ids_all) - 1)
 
     def partial(batch: pa.Table) -> pa.Table:
         all_ids, base = ray.get(ref)
-        ids, sims = _batch_scores(batch, base)   # (n, N) vs everything
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        en = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        en /= np.linalg.norm(en, axis=1, keepdims=True)
+        sims = en @ base.T                      # (n, N)
+        n_all = base.shape[0]
+        # all_ids is sorted: self sits at its searchsorted position
+        pos = np.searchsorted(all_ids, ids)
+        sims[np.arange(len(ids)), pos] = -np.inf
+        # kk-th largest per row in ONE vectorized partition; per-row
+        # work is then only the tiny tie-complete candidate set
+        thresh = np.partition(sims, n_all - kk, axis=1)[:, n_all - kk]
         out_v, out_r, out_n = [], [], []
         for i in range(len(ids)):
-            s = sims[i]
-            mask = all_ids != ids[i]             # exclude self
-            cand = np.flatnonzero(mask)
-            sel = cand[np.lexsort((all_ids[cand], -s[cand]))[:k]]
+            cand = np.flatnonzero(sims[i] >= thresh[i])
+            sel = cand[np.lexsort((all_ids[cand], -sims[i][cand]))[:kk]]
             out_v.extend([int(ids[i])] * len(sel))
             out_r.extend(range(1, len(sel) + 1))
             out_n.extend(all_ids[sel].tolist())

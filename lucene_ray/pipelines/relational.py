@@ -245,13 +245,16 @@ def agg_quantity_quantiles(sf_dir: str) -> pa.Table:
         return pa.table({"v": pa.array(vals),
                          "n": pa.array(cnt.astype(np.int64))})
 
-    hist = (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("v").aggregate(Sum("n", alias_name="n"))
-            .to_pandas())
+    from lucene_ray.pipelines.util import ensure_cols
+
+    hist = ensure_cols(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("n", alias_name="n"))
+        .to_pandas(), ["v", "n"])
     empty = pa.table({"p": pa.array([], pa.float64()),
                       "value": pa.array([], pa.int64())})
-    if len(hist) == 0 or "v" not in hist.columns:   # empty input: the
-        return empty                                # agg drops columns
+    if len(hist) == 0:
+        return empty
     hist = hist.sort_values("v")
     vals = hist["v"].to_numpy()
     cum = hist["n"].to_numpy().cumsum()

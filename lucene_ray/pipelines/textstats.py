@@ -846,11 +846,20 @@ def pack_token_budget(sf_dir: str, budget: int = _PACK_BUDGET):
             "n_tokens": pa.array(np.asarray(n, np.int64)),
             "shard": pa.array(ids // _PACK_SHARD, pa.int64())})
 
+    from lucene_ray.pipelines.util import ensure_cols
+
     toks = _docs(sf_dir).map_batches(counts, batch_format="pyarrow") \
         .materialize()                      # two consumers
-    shard_sums = (toks.groupby("shard")
-                  .aggregate(Sum("n_tokens", alias_name="s"))
-                  .to_pandas().sort_values("shard"))
+    shard_sums = ensure_cols(
+        toks.groupby("shard").aggregate(Sum("n_tokens", alias_name="s"))
+        .to_pandas(), ["shard", "s"]).sort_values("shard")
+    if len(shard_sums) == 0:                # empty corpus
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "cum_prev": pa.array([], pa.int64()),
+            "bin_id": pa.array([], pa.int64())}))
     offs = {}
     run = 0
     for sh, s in zip(shard_sums["shard"], shard_sums["s"]):
@@ -918,9 +927,12 @@ def corpus_sample_balanced(sf_dir: str, per_lang: int = _SAMPLE_PER_LANG
                .groupby("lang", sort=False).head(per_lang))
         return pa.Table.from_pandas(top, preserve_index=False)
 
-    parts = (_docs(sf_dir, cols=("doc_id", "lang"))
-             .map_batches(partial, batch_format="pyarrow")
-             .to_pandas())
+    from lucene_ray.pipelines.util import ensure_cols
+
+    parts = ensure_cols(
+        _docs(sf_dir, cols=("doc_id", "lang"))
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas(), ["lang", "doc_id", "h"])
     top = (parts.sort_values(["lang", "h", "doc_id"])
            .groupby("lang", sort=False).head(per_lang)
            .sort_values(["lang", "h"]).reset_index(drop=True))

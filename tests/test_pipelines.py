@@ -1161,3 +1161,42 @@ def test_sliding_window_epoch_clip_and_quantile_empty(ray_session, tmp_path):
                    str(sf / "lineitem.parquet"))
     q = agg_quantity_quantiles(str(sf))
     assert q.num_rows == 0
+
+
+def test_empty_corpus_pack_sample_knn(ray_session, tmp_path):
+    """Empty documents/embeddings tables: the prefix-sum packer, the
+    stratified sampler and the kNN graph all return empty results with
+    the right schema instead of KeyError-ing on Ray's empty-aggregate
+    column drop."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.ann import knn_graph
+    from lucene_ray.pipelines.textstats import (corpus_sample_balanced,
+                                                pack_token_budget)
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64()),
+    }), str(sf / "documents.parquet"))
+    pq.write_table(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+        "label": pa.array([], pa.int32()),
+    }), str(sf / "embeddings.parquet"))
+
+    packed = pack_token_budget(str(sf))
+    assert packed.count() == 0
+    assert packed.schema().names == ["doc_id", "n_tokens", "cum_prev",
+                                     "bin_id"]
+    sample = corpus_sample_balanced(str(sf))
+    assert sample.num_rows == 0
+    assert sample.column_names == ["lang", "doc_id", "h"]
+    g = knn_graph(str(sf))
+    assert g.num_rows == 0
+    assert g.column_names == ["vec_id", "rank", "nbr_id"]
