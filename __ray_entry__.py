@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 103 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (96 of 103). Omitted
+  + the §8 round-2/3/4 additions; 107 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (100 of 107). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` (binary codec decode),
   ``doc_fingerprint`` / ``dedup_simhash`` / ``dedup_simhash_pairs`` /
@@ -74,9 +74,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "agg_quantity_quantiles": _rel.agg_quantity_quantiles,
             "dup_ngram_stats": _dd.dup_ngram_stats,
             "knn_graph": _ann.knn_graph,
+            "kmeans_embeddings": _ann.kmeans_embeddings,
             "pack_token_budget": _ts.pack_token_budget,
             "corpus_sample_balanced": _ts.corpus_sample_balanced,
             "decontaminate": _ts.decontaminate,
+            "doc_lm_logprob": _ts.doc_lm_logprob,
+            "doc_blocklist": _ts.doc_blocklist,
+            "source_mix_weights": _ts.source_mix_weights,
             "text_repetition": _ts.text_repetition,
             "vocab_hll": _ts.vocab_hll,
         })
@@ -267,6 +271,9 @@ def oracle_sql() -> dict[str, str]:
             "text_repetition": textstats.oracle_text_repetition_sql(),
             "doc_keywords": textstats.oracle_doc_keywords_sql(),
             "decontaminate": textstats.oracle_decontaminate_sql(),
+            "doc_lm_logprob": textstats.oracle_doc_lm_logprob_sql(),
+            "doc_blocklist": textstats.oracle_doc_blocklist_sql(),
+            "source_mix_weights": textstats.oracle_source_mix_sql(),
             "corpus_clean": textstats.oracle_corpus_clean_sql(),
             "pack_token_budget": textstats.oracle_pack_token_budget_sql(),
             "corpus_sample_balanced":
@@ -274,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
             "vocab_hll": textstats.oracle_vocab_hll_sql(),
             "ann_cosine_topk": ann.oracle_ann_sql(),
             "knn_graph": ann.oracle_knn_graph_sql(),
+            "kmeans_embeddings": ann.oracle_kmeans_sql(),
             "ann_ivf_topk": ann.oracle_ann_sql(),
             "ann_hnsw_topk": ann.oracle_ann_sql(),
             "ann_filtered_topk": ann.oracle_ann_filtered_sql(),

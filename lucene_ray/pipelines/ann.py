@@ -630,3 +630,150 @@ ranked AS (
   FROM sims
 )
 SELECT vec_id, rank, nbr_id FROM ranked WHERE rank <= {k}"""
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
+                      iters: int = KMEANS_ITERS):
+    """Distributed Lloyd k-means over the FULL embedding table — the
+    clustering step of SemDeDup-style curation (Abbas et al. 2023) and
+    the full-corpus analogue of Lucene's IVF centroid trainer
+    (sandbox/.../quantization/KMeans.java:35 — Forgy init, Lloyd steps,
+    optional final assignment; our ``_train_centroids`` above is its
+    bounded-sample form).
+
+    Deterministic spec (SQL-reproducible): init = the embeddings of the
+    ``k`` smallest vec_ids; squared-Euclidean assignment with ties to
+    the smaller centroid id; centroid update = element-wise member mean
+    (empty clusters keep their previous centroid); ``iters`` update
+    rounds, then one final assignment pass.
+
+    Scale shape: each Lloyd step is ONE map_batches emitting k x dim
+    per-cluster partial sums per task (never raw vectors) plus a tiny
+    groupby((cluster, dim)) combine — the classic mean-combiner; the
+    centroid matrix (k x dim floats) is the only broadcast. The final
+    pass streams (vec_id, cluster) without materializing embeddings."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+    import pyarrow.parquet as pq_
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    init = pq_.read_table(_emb_path(sf_dir),
+                          columns=["vec_id", "embedding"])
+    if init.num_rows == 0:
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int32())}))
+    ids = init.column("vec_id").to_numpy()
+    order = np.argsort(ids)[:k]
+    c = np.stack(init.column("embedding").take(
+        pa.array(order)).to_numpy(zero_copy_only=False)).astype(np.float64)
+    k_eff, dim = c.shape
+
+    def _assign(en: np.ndarray, cent: np.ndarray) -> np.ndarray:
+        # per-centroid direct (v - c)^2 sums: small temporaries, and the
+        # same op shape the SQL oracle's list_distance uses
+        d2 = np.empty((len(en), len(cent)))
+        for j in range(len(cent)):
+            d2[:, j] = ((en - cent[j]) ** 2).sum(axis=1)
+        return np.argmin(d2, axis=1)          # first min == smallest cid
+
+    for _ in range(iters):
+        cref = ray.put(c)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cent = ray.get(cref)
+            en = np.stack(batch.column("embedding").to_numpy(
+                zero_copy_only=False)).astype(np.float64)
+            a = _assign(en, cent)
+            cids, dims, sums, ns = [], [], [], []
+            for j in np.unique(a):
+                m = en[a == j]
+                cids.extend([int(j)] * dim)
+                dims.extend(range(dim))
+                sums.extend(m.sum(axis=0).tolist())
+                ns.extend([len(m)] * dim)
+            return pa.table({"cid": pa.array(cids, pa.int32()),
+                             "dim": pa.array(dims, pa.int32()),
+                             "s": pa.array(sums, pa.float64()),
+                             "n": pa.array(ns, pa.int64())})
+
+        stats = ensure_cols(
+            ray.data.read_parquet(_emb_path(sf_dir), columns=["embedding"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["cid", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .to_pandas(), ["cid", "dim", "s", "n"])
+        nxt = c.copy()                        # empty clusters keep theirs
+        for cid, g in stats.groupby("cid"):
+            g = g.sort_values("dim")
+            nxt[int(cid)] = g["s"].to_numpy() / g["n"].to_numpy()
+        c = nxt
+
+    cref = ray.put(c)
+
+    def final(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cref)
+        en = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        a = _assign(en, cent)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "cluster": pa.array(a.astype(np.int32))})
+
+    return (ray.data.read_parquet(_emb_path(sf_dir),
+                                  columns=["vec_id", "embedding"])
+            .map_batches(final, batch_format="pyarrow"))
+
+
+def oracle_kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Unrolled-CTE Lloyd chain: c0 = first-k init, then per iteration
+    assign (argmin list_distance, ties to smaller cid) and element-wise
+    AVG update with COALESCE back to the previous centroid for empty
+    clusters — the exact spec ``kmeans_embeddings`` implements."""
+    sql = f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+  FROM e ORDER BY vec_id LIMIT {k}
+)"""
+    prev = "c0"
+    for i in range(iters):
+        sql += f""",
+a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, {prev}.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, {prev}.v),
+                                       {prev}.cid) AS rn
+    FROM e CROSS JOIN {prev}
+  ) WHERE rn = 1
+),
+m{i} AS (
+  SELECT cid, list(av ORDER BY d) AS v FROM (
+    SELECT cid, d, AVG(x) AS av FROM (
+      SELECT cid, generate_subscripts(v, 1) AS d, unnest(v) AS x
+      FROM a{i}
+    ) GROUP BY cid, d
+  ) GROUP BY cid
+),
+c{i + 1} AS (
+  SELECT p.cid, COALESCE(m{i}.v, p.v) AS v
+  FROM {prev} p LEFT JOIN m{i} ON p.cid = m{i}.cid
+)"""
+        prev = f"c{i + 1}"
+    sql += f"""
+SELECT vec_id, cluster FROM (
+  SELECT e.vec_id, {prev}.cid AS cluster,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY list_distance(e.v, {prev}.v),
+                                     {prev}.cid) AS rn
+  FROM e CROSS JOIN {prev}
+) WHERE rn = 1"""
+    return sql

@@ -949,3 +949,200 @@ def oracle_sample_balanced_sql(per_lang: int = _SAMPLE_PER_LANG) -> str:
                                      doc_id) AS rn
   FROM documents
 ) WHERE rn <= {per_lang}"""
+
+
+def doc_lm_logprob(sf_dir: str):
+    """Unigram-LM document scoring — the CCNet quality-filter role
+    (Wenzek et al. 2019 rank documents by LM perplexity; a corpus-level
+    unigram model is its deterministic, SQL-reproducible form): train
+    p(w) = count(w)/total on the WHOLE corpus, score each doc by the
+    mean token log-probability (higher = more typical text; boilerplate
+    and garbage score low).
+
+    Float parity: ln(count/total) is ONE float64 division + C libm log
+    per vocab word (math.log, not np.log — see bm25.py); the per-doc
+    mean sums those in engine-specific order, so it is emitted as REAL
+    (float32) in both engines, like every accumulated float here.
+
+    Scale shape: pass 1 = per-batch token value_counts + one vocab-sized
+    groupby (Heaps-law small), broadcast (vocab, logp) once; pass 2 =
+    map-only searchsorted lookup + bincount segment sums. Nothing
+    row-sized leaves a task."""
+    import math
+
+    import ray
+    import ray.data
+    import pyarrow.compute as pc
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    def _tokens(batch: pa.Table):
+        parts = pc.split_pattern(
+            pc.fill_null(batch.column("text"), ""), " ").combine_chunks()
+        flat = pc.list_flatten(parts)
+        owners = np.asarray(pc.list_parent_indices(parts), dtype=np.int64)
+        return owners, flat
+
+    def partial_tf(batch: pa.Table) -> pa.Table:
+        _, flat = _tokens(batch)
+        vc = pc.value_counts(flat)
+        return pa.table({"term": vc.field("values"),
+                         "c": vc.field("counts").cast(pa.int64())})
+
+    tf_tbl = ensure_cols(
+        _docs(sf_dir, ("text",))
+        .map_batches(partial_tf, batch_format="pyarrow")
+        .groupby("term").sum("c").to_pandas(), ["term", "sum(c)"])
+    if len(tf_tbl) == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "mean_logprob": pa.array([], pa.float32())}))
+    vocab = np.array(tf_tbl["term"], dtype=object)
+    order = np.argsort(vocab)
+    vocab = vocab[order]
+    cnt = np.asarray(tf_tbl["sum(c)"], dtype=np.int64)[order]
+    total = int(cnt.sum())
+    logp = np.array([math.log(c / total) for c in cnt.tolist()],
+                    dtype=np.float64)
+    ref = ray.put((vocab, logp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab, logp = ray.get(ref)
+        owners, flat = _tokens(batch)
+        pos = np.searchsorted(vocab, np.array(flat.to_pylist(),
+                                              dtype=object))
+        n = batch.num_rows
+        ll = np.bincount(owners, weights=logp[pos], minlength=n)
+        ntok = np.bincount(owners, minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(ntok),
+            "mean_logprob": pa.array((ll / ntok).astype(np.float32))})
+
+    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+
+
+def oracle_doc_lm_logprob_sql() -> str:
+    return """WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+cnt AS (SELECT term, count(*) AS c FROM w GROUP BY term),
+tot AS (SELECT count(*) AS t FROM w)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(ln(CAST(cnt.c AS DOUBLE) / tot.t)) / count(*) AS REAL)
+         AS mean_logprob
+FROM w JOIN cnt USING (term) CROSS JOIN tot
+GROUP BY w.doc_id"""
+
+
+_BLOCKLIST = ("slow", "broken", "error", "legacy", "deadlock")
+
+
+def doc_blocklist(sf_dir: str, words: tuple = _BLOCKLIST):
+    """Blocklist screening — the C4 "bad words" filter role (Raffel et
+    al. 2020 §2.2 drop pages containing listed words): per doc, the
+    number of blocklisted token occurrences and the keep verdict
+    (keep = zero hits).
+
+    Scale shape: the list is a broadcast-constant closure (tiny);
+    map-only vectorized pc.is_in over flattened tokens + bincount per
+    owner — flat per-doc cost, no shuffle, the same screen shape as
+    ``decontaminate``."""
+    import pyarrow.compute as pc
+
+    wset = pa.array(sorted(words), pa.string())
+
+    def screen(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(
+            pc.fill_null(batch.column("text"), ""), " ").combine_chunks()
+        flat = pc.list_flatten(parts)
+        owners = np.asarray(pc.list_parent_indices(parts), dtype=np.int64)
+        hit = np.asarray(pc.is_in(flat, value_set=wset), dtype=bool)
+        n = batch.num_rows
+        hits = np.bincount(owners[hit], minlength=n).astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_hits": pa.array(hits),
+                         "keep": pa.array(hits == 0)})
+
+    return _docs(sf_dir).map_batches(screen, batch_format="pyarrow")
+
+
+def oracle_doc_blocklist_sql(words: tuple = _BLOCKLIST) -> str:
+    lst = ", ".join(f"'{w}'" for w in sorted(words))
+    return f"""WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+h AS (
+  SELECT doc_id, count(*) AS n FROM w WHERE term IN ({lst})
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       coalesce(h.n, 0) = 0 AS keep
+FROM documents d LEFT JOIN h USING (doc_id)"""
+
+
+_MIX_ALPHA = 0.3
+
+
+def source_mix_weights(sf_dir: str, alpha: float = _MIX_ALPHA) -> pa.Table:
+    """Temperature-based language mixing weights — the multilingual
+    resampling rule (exponentiated-share sampling, alpha=0.3 as in
+    XLM-R/mBERT training mixes): share_s = n_s/N, q_s proportional to
+    share_s^alpha, and the per-doc upsampling factor q_s/share_s a
+    loader multiplies into its sampling rate.
+
+    Scale shape: ONE tiny groupby(lang).count() (strata-sized) does all
+    the distributed work; the power/normalize arithmetic runs on the
+    strata table. Accumulated floats are emitted as REAL (see
+    ``doc_lm_logprob``); pow and division are single IEEE ops."""
+    import ray.data
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    cnt = ensure_cols(
+        _docs(sf_dir, ("lang",)).groupby("lang").count().to_pandas(),
+        ["lang", "count()"]).sort_values("lang")
+    if len(cnt) == 0:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "share": pa.array([], pa.float64()),
+                         "weight": pa.array([], pa.float32()),
+                         "upsample": pa.array([], pa.float32())})
+    n = cnt["count()"].to_numpy().astype(np.int64)
+    total = int(n.sum())
+    share = n / total                       # one IEEE division each
+    q = share ** alpha                      # libm pow, both engines
+    z = float(q.sum())                      # strata-sized sum -> REAL out
+    w32 = (q / z).astype(np.float32)
+    # upsample derives from the REAL-rounded weight (as the oracle's
+    # CAST chain does), not the double intermediate — 1-ULP parity
+    up = (w32.astype(np.float64) / share).astype(np.float32)
+    return pa.table({
+        "lang": pa.array(cnt["lang"].tolist(), pa.string()),
+        "n_docs": pa.array(n),
+        "share": pa.array(share, pa.float64()),
+        "weight": pa.array(w32),
+        "upsample": pa.array(up)})
+
+
+def oracle_source_mix_sql(alpha: float = _MIX_ALPHA) -> str:
+    return f"""WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY lang
+),
+t AS (SELECT SUM(n_docs) AS total FROM c),
+s AS (
+  SELECT lang, n_docs,
+         CAST(n_docs AS DOUBLE) / total AS share,
+         pow(CAST(n_docs AS DOUBLE) / total, {alpha}) AS q
+  FROM c CROSS JOIN t
+),
+z AS (SELECT SUM(q) AS z FROM s)
+SELECT lang, n_docs, share,
+       CAST(q / z AS REAL) AS weight,
+       CAST(CAST(CAST(q / z AS REAL) AS DOUBLE) / share AS REAL)
+         AS upsample
+FROM s CROSS JOIN z"""

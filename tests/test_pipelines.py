@@ -1200,3 +1200,16 @@ def test_empty_corpus_pack_sample_knn(ray_session, tmp_path):
     g = knn_graph(str(sf))
     assert g.num_rows == 0
     assert g.column_names == ["vec_id", "rank", "nbr_id"]
+    from lucene_ray.pipelines.ann import kmeans_embeddings
+    km = kmeans_embeddings(str(sf))
+    assert km.count() == 0
+    assert km.schema().names == ["vec_id", "cluster"]
+    from lucene_ray.pipelines.textstats import (doc_lm_logprob,
+                                                source_mix_weights)
+    lm = doc_lm_logprob(str(sf))
+    assert lm.count() == 0
+    assert lm.schema().names == ["doc_id", "n_tokens", "mean_logprob"]
+    mix = source_mix_weights(str(sf))
+    assert mix.num_rows == 0
+    assert mix.column_names == ["lang", "n_docs", "share", "weight",
+                                "upsample"]
