@@ -280,10 +280,67 @@ def run_dedup() -> dict:
     }
 
 
+def run_curate() -> dict:
+    """Curation-stack throughput over the synthetic documents table
+    ($BENCH_CURATE_DOCS, default 200k) and a synthetic embeddings table
+    ($BENCH_CURATE_VECS, default 200k x 64): unigram-LM scoring,
+    blocklist screening, the fused corpus_clean verdict, token-budget
+    packing, and full-corpus k-means — docs/s (or vecs/s) each."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    from lucene_ray.corpus import (write_synthetic_documents,
+                                   write_synthetic_embeddings)
+    from lucene_ray.pipelines.ann import kmeans_embeddings
+    from lucene_ray.pipelines.textstats import (corpus_clean,
+                                                doc_blocklist,
+                                                doc_lm_logprob,
+                                                pack_token_budget)
+
+    n = int(os.environ.get("BENCH_CURATE_DOCS", "200000"))
+    nv = int(os.environ.get("BENCH_CURATE_VECS", "200000"))
+    d = f"/tmp/lucene_ray_bench/docs_{n}"
+    write_synthetic_documents(os.path.join(d, "documents.parquet"), n,
+                              n_shards=32)
+    write_synthetic_embeddings(os.path.join(d, "embeddings.parquet"), nv,
+                               n_shards=32)
+    out = {"metric": "curate_lm_sec", "unit": "sec", "n_docs": n,
+           "n_vecs": nv, "num_cpus": NUM_CPUS}
+    t0 = time.time()
+    n_lm = doc_lm_logprob(d).count()
+    out["value"] = round(time.time() - t0, 3)
+    out["lm_docs_per_sec"] = round(n_lm / out["value"], 1)
+    t1 = time.time()
+    doc_blocklist(d).count()
+    out["blocklist_sec"] = round(time.time() - t1, 3)
+    out["blocklist_docs_per_sec"] = round(n / out["blocklist_sec"], 1)
+    t2 = time.time()
+    corpus_clean(d).count()
+    out["clean_sec"] = round(time.time() - t2, 3)
+    out["clean_docs_per_sec"] = round(n / out["clean_sec"], 1)
+    t3 = time.time()
+    pack_token_budget(d).count()
+    out["pack_sec"] = round(time.time() - t3, 3)
+    out["pack_docs_per_sec"] = round(n / out["pack_sec"], 1)
+    t4 = time.time()
+    kmeans_embeddings(d).count()
+    out["kmeans_sec"] = round(time.time() - t4, 3)
+    out["kmeans_vecs_per_sec"] = round(nv / out["kmeans_sec"], 1)
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--dedup" in sys.argv:
         print(json.dumps(run_dedup()))
+    elif "--curate" in sys.argv:
+        print(json.dumps(run_curate()))
     else:
         print(json.dumps(run_bench()))

@@ -330,3 +330,49 @@ def corpus_from_line_file(path: str, repo: str = "linefile",
         }, schema=CORPUS_SCHEMA)
 
     return ds.map_batches(to_rows, batch_format="pyarrow")
+
+
+def write_synthetic_embeddings(out_dir: str, n_vecs: int, dim: int = 64,
+                               seed: int = 17, n_shards: int = 32) -> str:
+    """embeddings-table-shaped synthetic vectors (vec_id, embedding,
+    label) drawn around 8 gaussian cluster centers so k-means has real
+    structure to find. Parallel per-shard tasks, resumable; used by the
+    curation benchmarks."""
+    import ray.data
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = {f for f in os.listdir(out_dir) if f.endswith(".parquet")}
+    todo = [s for s in range(n_shards)
+            if f"shard_{s:04d}.parquet" not in done]
+    if not todo:
+        return out_dir
+    per = -(-n_vecs // n_shards)
+    centers = np.random.default_rng(seed).normal(size=(8, dim)) * 3.0
+
+    def gen(batch: pa.Table) -> pa.Table:
+        for s in batch.column("shard").to_pylist():
+            lo = s * per
+            hi = min(lo + per, n_vecs)
+            if hi <= lo:
+                continue
+            rng = np.random.default_rng(seed * 104729 + s)
+            lab = rng.integers(0, len(centers), hi - lo)
+            v = (centers[lab]
+                 + rng.normal(size=(hi - lo, dim))).astype(np.float32)
+            t = pa.table({
+                "vec_id": pa.array(np.arange(lo, hi, dtype=np.int64)),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(v.reshape(-1), pa.float32()), dim).cast(
+                        pa.list_(pa.float32())),
+                "label": pa.array(lab.astype(np.int32)),
+            })
+            path = os.path.join(out_dir, f"shard_{s:04d}.parquet")
+            pq.write_table(t, path + ".tmp")
+            os.replace(path + ".tmp", path)
+        return pa.table({"ok": pa.array([1] * batch.num_rows)})
+
+    (ray.data.from_items([{"shard": s} for s in todo])
+     .repartition(len(todo))
+     .map_batches(gen, batch_format="pyarrow", batch_size=1)
+     .materialize())
+    return out_dir

@@ -663,14 +663,21 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
 
     from lucene_ray.pipelines.util import ensure_cols
 
-    init = pq_.read_table(_emb_path(sf_dir),
-                          columns=["vec_id", "embedding"])
-    if init.num_rows == 0:
+    # init = the k smallest vec_ids: find them from the id COLUMN only,
+    # then a predicate-pushdown read of just those rows — the driver
+    # never materializes an embedding it doesn't keep
+    id_col = pq_.read_table(_emb_path(sf_dir), columns=["vec_id"])
+    if id_col.num_rows == 0:
         return ray.data.from_arrow(pa.table({
             "vec_id": pa.array([], pa.int64()),
             "cluster": pa.array([], pa.int32())}))
-    ids = init.column("vec_id").to_numpy()
-    order = np.argsort(ids)[:k]
+    ids = id_col.column("vec_id").to_numpy()
+    kth = int(np.sort(ids if len(ids) <= k else
+                      np.partition(ids, k - 1)[:k])[-1])
+    init = pq_.read_table(_emb_path(sf_dir),
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<=", kth)])
+    order = np.argsort(init.column("vec_id").to_numpy())[:k]
     c = np.stack(init.column("embedding").take(
         pa.array(order)).to_numpy(zero_copy_only=False)).astype(np.float64)
     k_eff, dim = c.shape

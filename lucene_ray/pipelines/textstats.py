@@ -1010,10 +1010,14 @@ def doc_lm_logprob(sf_dir: str):
     def score(batch: pa.Table) -> pa.Table:
         vocab, logp = ray.get(ref)
         owners, flat = _tokens(batch)
-        pos = np.searchsorted(vocab, np.array(flat.to_pylist(),
-                                              dtype=object))
+        # vocab-level lookup: searchsorted only the batch's UNIQUE words
+        # (dictionary), then fan out by code — no per-token Python
+        d = pc.dictionary_encode(flat)
+        uniq = np.array(d.dictionary.to_pylist(), dtype=object)
+        codes = np.asarray(d.indices, dtype=np.int64)
+        pos = np.searchsorted(vocab, uniq)
         n = batch.num_rows
-        ll = np.bincount(owners, weights=logp[pos], minlength=n)
+        ll = np.bincount(owners, weights=logp[pos][codes], minlength=n)
         ntok = np.bincount(owners, minlength=n).astype(np.int64)
         return pa.table({
             "doc_id": batch.column("doc_id"),
