@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dup_ngram_stats": _dd.dup_ngram_stats,
             "knn_graph": _ann.knn_graph,
             "kmeans_embeddings": _ann.kmeans_embeddings,
+            "semdedup": _ann.semdedup,
             "pack_token_budget": _ts.pack_token_budget,
             "corpus_sample_balanced": _ts.corpus_sample_balanced,
             "decontaminate": _ts.decontaminate,
@@ -282,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
             "ann_cosine_topk": ann.oracle_ann_sql(),
             "knn_graph": ann.oracle_knn_graph_sql(),
             "kmeans_embeddings": ann.oracle_kmeans_sql(),
+            "semdedup": ann.oracle_semdedup_sql(),
             "ann_ivf_topk": ann.oracle_ann_sql(),
             "ann_hnsw_topk": ann.oracle_ann_sql(),
             "ann_filtered_topk": ann.oracle_ann_filtered_sql(),

@@ -331,6 +331,22 @@ def run_curate() -> dict:
     kmeans_embeddings(d).count()
     out["kmeans_sec"] = round(time.time() - t4, 3)
     out["kmeans_vecs_per_sec"] = round(nv / out["kmeans_sec"], 1)
+    from lucene_ray.pipelines.ann import semdedup
+    # the SemDeDup paper's rule: k grows with N so clusters stay
+    # worker-sized — target ~5k vectors per cluster here. threshold
+    # 0.95: within-blob cosine on this synthetic table is ~0.9, so 0.95
+    # keeps a real mix (the default 0.5 drops everything in a blob —
+    # degenerate, and the early-exit prune would make it look free)
+    sd_k = max(8, nv // 5000)
+    t5 = time.time()
+    sd = semdedup(d, k=sd_k, threshold=0.95)
+    import pyarrow.compute as _pc
+    n_kept = sum(_pc.sum(b.column("keep")).as_py() or 0
+                 for b in sd.iter_batches(batch_format="pyarrow"))
+    out["semdedup_sec"] = round(time.time() - t5, 3)
+    out["semdedup_k"] = sd_k
+    out["semdedup_kept_frac"] = round(n_kept / nv, 4)
+    out["semdedup_vecs_per_sec"] = round(nv / out["semdedup_sec"], 1)
     ray.shutdown()
     return out
 

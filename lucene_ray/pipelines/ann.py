@@ -636,26 +636,25 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 
 
-def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
-                      iters: int = KMEANS_ITERS):
-    """Distributed Lloyd k-means over the FULL embedding table — the
-    clustering step of SemDeDup-style curation (Abbas et al. 2023) and
-    the full-corpus analogue of Lucene's IVF centroid trainer
-    (sandbox/.../quantization/KMeans.java:35 — Forgy init, Lloyd steps,
-    optional final assignment; our ``_train_centroids`` above is its
-    bounded-sample form).
+def _assign(en: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    # per-centroid direct (v - c)^2 sums: small temporaries, and the
+    # same op shape the SQL oracle's list_distance uses
+    d2 = np.empty((len(en), len(cent)))
+    for j in range(len(cent)):
+        d2[:, j] = ((en - cent[j]) ** 2).sum(axis=1)
+    return np.argmin(d2, axis=1)              # first min == smallest cid
 
-    Deterministic spec (SQL-reproducible): init = the embeddings of the
-    ``k`` smallest vec_ids; squared-Euclidean assignment with ties to
-    the smaller centroid id; centroid update = element-wise member mean
-    (empty clusters keep their previous centroid); ``iters`` update
-    rounds, then one final assignment pass.
+
+def _lloyd_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray | None:
+    """The distributed Lloyd trainer shared by :func:`kmeans_embeddings`
+    and :func:`semdedup`: init = embeddings of the ``k`` smallest
+    vec_ids, ``iters`` (assign → mean) rounds, returns the float64
+    (k_eff, dim) centroid matrix (None on an empty table).
 
     Scale shape: each Lloyd step is ONE map_batches emitting k x dim
     per-cluster partial sums per task (never raw vectors) plus a tiny
     groupby((cluster, dim)) combine — the classic mean-combiner; the
-    centroid matrix (k x dim floats) is the only broadcast. The final
-    pass streams (vec_id, cluster) without materializing embeddings."""
+    centroid matrix (k x dim floats) is the only broadcast."""
     import ray
     import ray.data
     from ray.data.aggregate import Sum
@@ -668,9 +667,7 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
     # never materializes an embedding it doesn't keep
     id_col = pq_.read_table(_emb_path(sf_dir), columns=["vec_id"])
     if id_col.num_rows == 0:
-        return ray.data.from_arrow(pa.table({
-            "vec_id": pa.array([], pa.int64()),
-            "cluster": pa.array([], pa.int32())}))
+        return None
     ids = id_col.column("vec_id").to_numpy()
     kth = int(np.sort(ids if len(ids) <= k else
                       np.partition(ids, k - 1)[:k])[-1])
@@ -681,14 +678,6 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
     c = np.stack(init.column("embedding").take(
         pa.array(order)).to_numpy(zero_copy_only=False)).astype(np.float64)
     k_eff, dim = c.shape
-
-    def _assign(en: np.ndarray, cent: np.ndarray) -> np.ndarray:
-        # per-centroid direct (v - c)^2 sums: small temporaries, and the
-        # same op shape the SQL oracle's list_distance uses
-        d2 = np.empty((len(en), len(cent)))
-        for j in range(len(cent)):
-            d2[:, j] = ((en - cent[j]) ** 2).sum(axis=1)
-        return np.argmin(d2, axis=1)          # first min == smallest cid
 
     for _ in range(iters):
         cref = ray.put(c)
@@ -721,7 +710,33 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
             g = g.sort_values("dim")
             nxt[int(cid)] = g["s"].to_numpy() / g["n"].to_numpy()
         c = nxt
+    return c
 
+
+def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
+                      iters: int = KMEANS_ITERS):
+    """Distributed Lloyd k-means over the FULL embedding table — the
+    clustering step of SemDeDup-style curation (Abbas et al. 2023) and
+    the full-corpus analogue of Lucene's IVF centroid trainer
+    (sandbox/.../quantization/KMeans.java:35 — Forgy init, Lloyd steps,
+    optional final assignment; our ``_train_centroids`` above is its
+    bounded-sample form).
+
+    Deterministic spec (SQL-reproducible): init = the embeddings of the
+    ``k`` smallest vec_ids; squared-Euclidean assignment with ties to
+    the smaller centroid id; centroid update = element-wise member mean
+    (empty clusters keep their previous centroid); ``iters`` update
+    rounds (see :func:`_lloyd_centroids`), then one final assignment
+    pass that streams (vec_id, cluster) without materializing
+    embeddings."""
+    import ray
+    import ray.data
+
+    c = _lloyd_centroids(sf_dir, k, iters)
+    if c is None:
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int32())}))
     cref = ray.put(c)
 
     def final(batch: pa.Table) -> pa.Table:
@@ -737,11 +752,11 @@ def kmeans_embeddings(sf_dir: str, k: int = KMEANS_K,
             .map_batches(final, batch_format="pyarrow"))
 
 
-def oracle_kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
-    """Unrolled-CTE Lloyd chain: c0 = first-k init, then per iteration
-    assign (argmin list_distance, ties to smaller cid) and element-wise
-    AVG update with COALESCE back to the previous centroid for empty
-    clusters — the exact spec ``kmeans_embeddings`` implements."""
+def _kmeans_chain_sql(k: int, iters: int) -> tuple[str, str]:
+    """The shared unrolled-CTE Lloyd chain (c0 = first-k init, per
+    iteration assign + AVG update with COALESCE for empty clusters);
+    returns (sql_prefix, final_centroid_cte_name). Appended to by the
+    kmeans and semdedup oracles."""
     sql = f"""WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
@@ -775,6 +790,15 @@ c{i + 1} AS (
   FROM {prev} p LEFT JOIN m{i} ON p.cid = m{i}.cid
 )"""
         prev = f"c{i + 1}"
+    return sql, prev
+
+
+def oracle_kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Unrolled-CTE Lloyd chain: c0 = first-k init, then per iteration
+    assign (argmin list_distance, ties to smaller cid) and element-wise
+    AVG update with COALESCE back to the previous centroid for empty
+    clusters — the exact spec ``kmeans_embeddings`` implements."""
+    sql, prev = _kmeans_chain_sql(k, iters)
     sql += f"""
 SELECT vec_id, cluster FROM (
   SELECT e.vec_id, {prev}.cid AS cluster,
@@ -784,3 +808,115 @@ SELECT vec_id, cluster FROM (
   FROM e CROSS JOIN {prev}
 ) WHERE rn = 1"""
     return sql
+
+
+SEMDEDUP_THRESHOLD = NEARDUP_THRESHOLD
+SEMDEDUP_CHUNK = 1024
+SEMDEDUP_COLBLOCK = 4096
+
+
+def semdedup(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+             threshold: float = SEMDEDUP_THRESHOLD):
+    """SemDeDup — cluster-scoped semantic deduplication (Abbas et al.
+    2023): k-means the embedding space, then prune near-duplicates only
+    WITHIN each cluster, turning the O(N²) all-pairs scan of
+    :func:`embedding_neardup_pairs` into O(N²/k) with recall bounded by
+    the clustering (a cross-cluster dup pair is the accepted miss — the
+    paper's trade). Returns (vec_id, cluster, keep).
+
+    Deterministic spec (SQL-reproducible): clusters from the
+    :func:`_lloyd_centroids` spec; keep(v) = there is NO u with
+    u.vec_id < v.vec_id in the same cluster and cosine(u, v) >
+    threshold (the paper keeps one representative per ε-group; smallest
+    vec_id is its deterministic form, same canonical rule as
+    ``dedup_exact``). Cosine is the float64 normalize-then-matmul of
+    ``embedding_neardup_pairs`` — the oracle's list_cosine_similarity
+    on DOUBLE-cast lists sees the same values.
+
+    Scale shape: one map pass assigns clusters (centroid matrix is the
+    only broadcast), ONE hash exchange co-locates each cluster, and the
+    per-cluster prune is a blocked lower-triangle matmul (SEMDEDUP_CHUNK
+    rows at a time) so temporaries stay bounded. The partitioning
+    assumption is the paper's: a cluster's vectors fit one task — at
+    100 TB you raise ``k`` so N/k stays worker-sized (the paper runs
+    k ≈ N/10k), exactly the knob this signature exposes."""
+    import ray
+    import ray.data
+
+    c = _lloyd_centroids(sf_dir, k, iters)
+    if c is None:
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "cluster": pa.array([], pa.int32()),
+            "keep": pa.array([], pa.bool_())}))
+    cref = ray.put(c)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cref)
+        en = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        a = _assign(en, cent)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "cluster": pa.array(a.astype(np.int32)),
+                         "embedding": batch.column("embedding")})
+
+    def prune(g: pa.Table) -> pa.Table:
+        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids = ids[order]
+        em = np.stack(g.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)[order]
+        em = em / np.linalg.norm(em, axis=1, keepdims=True)
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        # blocked lower triangle with EARLY EXIT: a row needs only the
+        # existence of one earlier >t neighbor, so once hit it leaves
+        # the matmul (dup-heavy clusters collapse to ~one column block
+        # per row); both block sizes keep temporaries small — this host
+        # pays ~30 MB/s first-touch on big allocations (CLAUDE.md)
+        for s in range(0, n, SEMDEDUP_CHUNK):
+            e = min(s + SEMDEDUP_CHUNK, n)
+            alive = np.ones(e - s, dtype=bool)
+            for cs in range(0, e, SEMDEDUP_COLBLOCK):
+                ce = min(cs + SEMDEDUP_COLBLOCK, e)
+                idx = np.nonzero(alive)[0]
+                if idx.size == 0:
+                    break
+                sims = em[s + idx] @ em[cs:ce].T
+                hit = sims > threshold
+                # a column counts only when it sorts strictly earlier
+                hit &= np.arange(cs, ce)[None, :] < (s + idx)[:, None]
+                alive[idx[hit.any(axis=1)]] = False
+            keep[s:e] = alive
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": g.column("cluster").take(pa.array(order)),
+            "keep": pa.array(keep)})
+
+    return (ray.data.read_parquet(_emb_path(sf_dir),
+                                  columns=["vec_id", "embedding"])
+            .map_batches(assign, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(prune, batch_format="pyarrow"))
+
+
+def oracle_semdedup_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                        threshold: float = SEMDEDUP_THRESHOLD) -> str:
+    sql, prev = _kmeans_chain_sql(k, iters)
+    return sql + f""",
+asg AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e.vec_id, e.v, {prev}.cid AS cluster,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_distance(e.v, {prev}.v),
+                                       {prev}.cid) AS rn
+    FROM e CROSS JOIN {prev}
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, a.cluster,
+       NOT EXISTS (
+         SELECT 1 FROM asg u
+         WHERE u.cluster = a.cluster AND u.vec_id < a.vec_id
+           AND list_cosine_similarity(u.v, a.v) > {threshold}
+       ) AS keep
+FROM asg a"""

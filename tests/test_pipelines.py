@@ -1200,10 +1200,13 @@ def test_empty_corpus_pack_sample_knn(ray_session, tmp_path):
     g = knn_graph(str(sf))
     assert g.num_rows == 0
     assert g.column_names == ["vec_id", "rank", "nbr_id"]
-    from lucene_ray.pipelines.ann import kmeans_embeddings
+    from lucene_ray.pipelines.ann import kmeans_embeddings, semdedup
     km = kmeans_embeddings(str(sf))
     assert km.count() == 0
     assert km.schema().names == ["vec_id", "cluster"]
+    sd = semdedup(str(sf))
+    assert sd.count() == 0
+    assert sd.schema().names == ["vec_id", "cluster", "keep"]
     from lucene_ray.pipelines.textstats import (doc_lm_logprob,
                                                 source_mix_weights)
     lm = doc_lm_logprob(str(sf))
@@ -1213,3 +1216,64 @@ def test_empty_corpus_pack_sample_knn(ray_session, tmp_path):
     assert mix.num_rows == 0
     assert mix.column_names == ["lang", "n_docs", "share", "weight",
                                 "upsample"]
+
+
+def test_semdedup_planted_duplicates(ray_session, tmp_path):
+    """SemDeDup on a planted corpus: 3 well-separated gaussian blobs,
+    each with exact-duplicate runs. Verifies the keep rule brute-force
+    (keep(v) == no earlier same-cluster u with cos > t), that every dup
+    group keeps exactly its smallest vec_id, and that nothing outside
+    the planted groups is dropped."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.ann import semdedup
+
+    rng = np.random.default_rng(5)
+    dim = 16
+    centers = np.eye(3, dim) * 50.0
+    rows, gid = [], []
+    vid = 0
+    for b in range(3):
+        base = centers[b] + rng.normal(size=(6, dim))
+        for i in range(6):
+            # plant a duplicate run: vectors 0/1 of each blob twice
+            reps = 2 if i < 2 else 1
+            for _ in range(reps):
+                rows.append(base[i])
+                gid.append((b, i))
+                vid += 1
+    m = np.asarray(rows, dtype=np.float32)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(m), pa.int32()),
+    }), str(sf / "embeddings.parquet"))
+
+    out = semdedup(str(sf), k=3, iters=2, threshold=0.999).to_pandas()
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == len(m)
+
+    # brute-force the spec against the pipeline's own cluster labels
+    e = m.astype(np.float64)
+    e = e / np.linalg.norm(e, axis=1, keepdims=True)
+    cl = out["cluster"].to_numpy()
+    for v in range(len(m)):
+        expect = not any(
+            cl[u] == cl[v] and float(e[u] @ e[v]) > 0.999
+            for u in range(v))
+        assert bool(out["keep"][v]) == expect, v
+
+    # exact duplicates share a cluster, so each planted group keeps
+    # exactly its smallest vec_id; singletons all survive
+    import collections
+    groups = collections.defaultdict(list)
+    for v, g in enumerate(gid):
+        groups[g].append(v)
+    for g, vs in groups.items():
+        kept = [v for v in vs if out["keep"][v]]
+        assert kept == [min(vs)], (g, vs, kept)
