@@ -811,8 +811,8 @@ SELECT vec_id, cluster FROM (
 
 
 SEMDEDUP_THRESHOLD = NEARDUP_THRESHOLD
-SEMDEDUP_CHUNK = 1024
-SEMDEDUP_COLBLOCK = 4096
+SEMDEDUP_CHUNK = 2048
+SEMDEDUP_PAIRS_PER_TASK = 4
 
 
 def semdedup(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
@@ -833,15 +833,26 @@ def semdedup(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
     ``embedding_neardup_pairs`` — the oracle's list_cosine_similarity
     on DOUBLE-cast lists sees the same values.
 
-    Scale shape: one map pass assigns clusters (centroid matrix is the
-    only broadcast), ONE hash exchange co-locates each cluster, and the
-    per-cluster prune is a blocked lower-triangle matmul (SEMDEDUP_CHUNK
-    rows at a time) so temporaries stay bounded. The partitioning
-    assumption is the paper's: a cluster's vectors fit one task — at
-    100 TB you raise ``k`` so N/k stays worker-sized (the paper runs
-    k ≈ N/10k), exactly the knob this signature exposes."""
+    Scale shape (skew-proof): one map pass assigns clusters (centroid
+    matrix is the only broadcast); ONE range exchange (sort by cluster)
+    co-locates each cluster; the cluster-sorted stream is cut into
+    cluster-pure SEMDEDUP_CHUNK-row npz chunks on shared scratch (the
+    ``embedding_neardup_pairs`` chunk mechanics); one Ray task per
+    same-cluster chunk pair marks max(u, v) of every >t pair dropped —
+    each unordered pair lands in exactly one chunk pair, so the rule is
+    exact and NO task ever holds more than two chunks, however skewed
+    k-means leaves the clusters (map_groups would run a 25k-vector
+    cluster's O(n²) prune in one task — measured 17.45 s of a 17.63 s
+    stage wall). A final id-only union + max(marker) exchange turns
+    drop marks into keep flags. Work is still O(Σ n_c²) ≈ O(N²/k);
+    ``k`` (the paper runs k ≈ N/10k) bounds per-cluster cost."""
+    import shutil
+    import tempfile
+    import uuid
+
     import ray
     import ray.data
+    from ray.data.aggregate import Max
 
     c = _lloyd_centroids(sf_dir, k, iters)
     if c is None:
@@ -850,6 +861,7 @@ def semdedup(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
             "cluster": pa.array([], pa.int32()),
             "keep": pa.array([], pa.bool_())}))
     cref = ray.put(c)
+    chunk_dir = tempfile.mkdtemp(prefix="lr_semdedup_")
 
     def assign(batch: pa.Table) -> pa.Table:
         cent = ray.get(cref)
@@ -860,44 +872,107 @@ def semdedup(sf_dir: str, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
                          "cluster": pa.array(a.astype(np.int32)),
                          "embedding": batch.column("embedding")})
 
-    def prune(g: pa.Table) -> pa.Table:
-        ids = g.column("vec_id").to_numpy(zero_copy_only=False)
-        order = np.argsort(ids)
-        ids = ids[order]
-        em = np.stack(g.column("embedding").to_numpy(
-            zero_copy_only=False)).astype(np.float64)[order]
+    def write_chunks(batch: pa.Table) -> pa.Table:
+        # batch comes off the cluster-sorted stream: split it at cluster
+        # boundaries so every chunk file is cluster-pure
+        cl = batch.column("cluster").to_numpy(zero_copy_only=False)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        em = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
         em = em / np.linalg.norm(em, axis=1, keepdims=True)
-        n = len(ids)
-        keep = np.ones(n, dtype=bool)
-        # blocked lower triangle with EARLY EXIT: a row needs only the
-        # existence of one earlier >t neighbor, so once hit it leaves
-        # the matmul (dup-heavy clusters collapse to ~one column block
-        # per row); both block sizes keep temporaries small — this host
-        # pays ~30 MB/s first-touch on big allocations (CLAUDE.md)
-        for s in range(0, n, SEMDEDUP_CHUNK):
-            e = min(s + SEMDEDUP_CHUNK, n)
-            alive = np.ones(e - s, dtype=bool)
-            for cs in range(0, e, SEMDEDUP_COLBLOCK):
-                ce = min(cs + SEMDEDUP_COLBLOCK, e)
-                idx = np.nonzero(alive)[0]
-                if idx.size == 0:
-                    break
-                sims = em[s + idx] @ em[cs:ce].T
-                hit = sims > threshold
-                # a column counts only when it sorts strictly earlier
-                hit &= np.arange(cs, ce)[None, :] < (s + idx)[:, None]
-                alive[idx[hit.any(axis=1)]] = False
-            keep[s:e] = alive
-        return pa.table({
-            "vec_id": pa.array(ids, pa.int64()),
-            "cluster": g.column("cluster").take(pa.array(order)),
-            "keep": pa.array(keep)})
+        cut = np.flatnonzero(np.diff(cl)) + 1
+        outc, outp, outn = [], [], []
+        for lo, hi in zip(np.r_[0, cut], np.r_[cut, len(cl)]):
+            path = os.path.join(chunk_dir,
+                                f"c{cl[lo]}_{uuid.uuid4().hex}.npz")
+            np.savez(path, ids=ids[lo:hi], emb=em[lo:hi])
+            outc.append(int(cl[lo]))
+            outp.append(path)
+            outn.append(int(hi - lo))
+        return pa.table({"cluster": pa.array(outc, pa.int32()),
+                         "path": pa.array(outp, pa.string()),
+                         "n": pa.array(outn, pa.int64())})
 
-    return (ray.data.read_parquet(_emb_path(sf_dir),
+    meta = (ray.data.read_parquet(_emb_path(sf_dir),
                                   columns=["vec_id", "embedding"])
             .map_batches(assign, batch_format="pyarrow")
-            .groupby("cluster")
-            .map_groups(prune, batch_format="pyarrow"))
+            .sort("cluster")
+            .map_batches(write_chunks, batch_format="pyarrow",
+                         batch_size=SEMDEDUP_CHUNK)
+            .take_all())                 # tiny: one row per chunk
+    by_cluster: dict[int, list[str]] = {}
+    for r in sorted(meta, key=lambda r: r["path"]):
+        by_cluster.setdefault(r["cluster"], []).append(r["path"])
+    pairs = [{"cluster": cl, "pi": ps[i], "pj": ps[j]}
+             for cl, ps in by_cluster.items()
+             for i in range(len(ps)) for j in range(i, len(ps))]
+
+    def pair_drops(batch: pa.Table) -> pa.Table:
+        cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def load(p: str):
+            if p not in cache:
+                z = np.load(p)
+                cache[p] = (z["ids"], z["emb"])
+            return cache[p]
+
+        out_id, out_cl = [], []
+        for cl, pi, pj in zip(batch.column("cluster").to_pylist(),
+                              batch.column("pi").to_pylist(),
+                              batch.column("pj").to_pylist()):
+            aid, ae = load(pi)
+            bid, be = load(pj)
+            hit = (ae @ be.T) > threshold
+            # the LARGER vec_id of a >t pair is the dropped one; strict
+            # < also kills the i==j diagonal's self-pairs
+            drop_a = aid[(hit & (bid[None, :] < aid[:, None])).any(axis=1)]
+            drop_b = bid[(hit & (aid[:, None] < bid[None, :])).any(axis=0)]
+            d = np.unique(np.concatenate([drop_a, drop_b]))
+            out_id.append(d)
+            out_cl.append(np.full(len(d), cl, np.int32))
+        did = (np.concatenate(out_id) if out_id
+               else np.empty(0, np.int64))
+        dcl = (np.concatenate(out_cl) if out_cl
+               else np.empty(0, np.int32))
+        return pa.table({"vec_id": pa.array(did, pa.int64()),
+                         "cluster": pa.array(dcl, pa.int32()),
+                         "m": pa.array(np.ones(len(did), np.int32))})
+
+    def ids_rows(batch: pa.Table) -> pa.Table:
+        rows_id, rows_cl = [], []
+        for cl, p in zip(batch.column("cluster").to_pylist(),
+                         batch.column("path").to_pylist()):
+            ids = np.load(p)["ids"]
+            rows_id.append(ids)
+            rows_cl.append(np.full(len(ids), cl, np.int32))
+        iid = (np.concatenate(rows_id) if rows_id
+               else np.empty(0, np.int64))
+        icl = (np.concatenate(rows_cl) if rows_cl
+               else np.empty(0, np.int32))
+        return pa.table({"vec_id": pa.array(iid, pa.int64()),
+                         "cluster": pa.array(icl, pa.int32()),
+                         "m": pa.array(np.zeros(len(iid), np.int32))})
+
+    base = (ray.data.from_items(meta)
+            .map_batches(ids_rows, batch_format="pyarrow"))
+    dropped = (ray.data.from_items(pairs)
+               .map_batches(pair_drops, batch_format="pyarrow",
+                            batch_size=SEMDEDUP_PAIRS_PER_TASK)
+               ) if pairs else None
+
+    def final(batch: pa.Table) -> pa.Table:
+        m = batch.column("m").to_numpy(zero_copy_only=False)
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "cluster": batch.column("cluster"),
+                         "keep": pa.array(m == 0)})
+
+    marks = base.union(dropped) if dropped is not None else base
+    out = (marks.groupby(["vec_id", "cluster"])
+           .aggregate(Max("m", alias_name="m"))
+           .map_batches(final, batch_format="pyarrow")
+           .materialize())              # object-store only; lets the
+    shutil.rmtree(chunk_dir, ignore_errors=True)   # scratch go away
+    return out
 
 
 def oracle_semdedup_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS,
