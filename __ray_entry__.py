@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     try:
         from lucene_ray.pipelines import ann as _ann
+        from lucene_ray.pipelines import classify as _cls
         from lucene_ray.pipelines import dedup as _dd
         from lucene_ray.pipelines import relational as _rel
         from lucene_ray.pipelines import streaming as _st
@@ -76,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "knn_graph": _ann.knn_graph,
             "kmeans_embeddings": _ann.kmeans_embeddings,
             "semdedup": _ann.semdedup,
+            "classify_nb": _cls.classify_naive_bayes,
             "pack_token_budget": _ts.pack_token_budget,
             "corpus_sample_balanced": _ts.corpus_sample_balanced,
             "decontaminate": _ts.decontaminate,
@@ -252,8 +254,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_prefix": ft.oracle_phrase_prefix_sql(),
     }
     try:
-        from lucene_ray.pipelines import (ann, dedup, relational, streaming,
-                                          textstats)
+        from lucene_ray.pipelines import (ann, classify, dedup, relational,
+                                          streaming, textstats)
 
         o.update({
             "events_tumbling_window": streaming.oracle_tumbling_window_sql(),
@@ -284,6 +286,7 @@ def oracle_sql() -> dict[str, str]:
             "knn_graph": ann.oracle_knn_graph_sql(),
             "kmeans_embeddings": ann.oracle_kmeans_sql(),
             "semdedup": ann.oracle_semdedup_sql(),
+            "classify_nb": classify.oracle_classify_nb_sql(),
             "ann_ivf_topk": ann.oracle_ann_sql(),
             "ann_hnsw_topk": ann.oracle_ann_sql(),
             "ann_filtered_topk": ann.oracle_ann_filtered_sql(),
