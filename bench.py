@@ -331,6 +331,11 @@ def run_curate() -> dict:
     kmeans_embeddings(d).count()
     out["kmeans_sec"] = round(time.time() - t4, 3)
     out["kmeans_vecs_per_sec"] = round(nv / out["kmeans_sec"], 1)
+    from lucene_ray.pipelines.classify import classify_naive_bayes
+    t45 = time.time()
+    classify_naive_bayes(d).count()
+    out["classify_sec"] = round(time.time() - t45, 3)
+    out["classify_docs_per_sec"] = round(n / out["classify_sec"], 1)
     from lucene_ray.pipelines.ann import semdedup
     # the SemDeDup paper's rule: k grows with N so clusters stay
     # worker-sized — target ~5k vectors per cluster here. threshold

@@ -102,6 +102,18 @@ class Index:
 
         release_snapshot(self.index_dir, snapshot_id)
 
+    def replicate_to(self, dst_dir: str, snapshot: int | None = None,
+                     include_derived: bool = False) -> dict:
+        """NRT replication (replicator/nrt/ReplicaNode.java:58): sync a
+        replica directory to this index's commit — only missing or
+        mismatched files transfer; the replica's manifest publishes
+        last. Returns transfer stats."""
+        from .replicate import replicate_index
+
+        return replicate_index(self.index_dir, dst_dir,
+                               snapshot=snapshot,
+                               include_derived=include_derived)
+
     def open_at(self, snapshot_id: int) -> "Index":
         """Point-in-time view (DirectoryReader.open(IndexCommit)):
         searches run against the pinned commit while the live index

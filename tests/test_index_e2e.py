@@ -1674,3 +1674,105 @@ def test_repair_postings_lossless(tmp_path, ray_session):
     assert verify_index(idx)["ok"]
     # idempotent: a clean index reports nothing to repair
     assert repair_postings(idx)["repaired"] == []
+
+
+def test_replication_full_delta_repair_prune(tmp_path_factory, ray_session):
+    """NRT replication semantics end-to-end: full sync gives identical
+    search results; an append syncs only the delta; a corrupted replica
+    file is detected by crc and re-copied; stale replica files are
+    pruned after the manifest publishes."""
+    import os
+
+    from lucene_ray.api import Index
+    from lucene_ray.search import IndexReader, search_blockmax
+
+    base = tmp_path_factory.mktemp("repl")
+    c1 = str(base / "c1")
+    os.makedirs(c1)
+    pq.write_table(generate_corpus(250, seed=21), f"{c1}/a.parquet")
+    src = str(base / "primary")
+    dst = str(base / "replica")
+    idx = Index.build(c1, src, num_buckets=3, term_parts=4, salt_group=2)
+
+    st = idx.replicate_to(dst)
+    assert st["files_copied"] == st["files_total"] > 0
+    assert st["files_deleted"] == 0
+    ra, rb = IndexReader(src), IndexReader(dst)
+    q = "return value data"
+    assert list(search_blockmax(ra, q, 10).doc_ids) == \
+        list(search_blockmax(rb, q, 10).doc_ids)
+    assert rb.doc_count == ra.doc_count
+
+    # idempotent: nothing re-copies
+    st2 = idx.replicate_to(dst)
+    assert st2["files_copied"] == 0
+    assert st2["files_skipped"] == st2["files_total"]
+
+    # append on the primary -> only the delta transfers
+    c2 = str(base / "c2")
+    os.makedirs(c2)
+    pq.write_table(generate_corpus(80, seed=22), f"{c2}/b.parquet")
+    idx = idx.append(c2)
+    st3 = idx.replicate_to(dst)
+    assert 0 < st3["files_copied"] < st3["files_total"]
+    rb = IndexReader(dst)
+    assert rb.doc_count == IndexReader(src).doc_count
+    assert list(search_blockmax(IndexReader(src), q, 10).doc_ids) == \
+        list(search_blockmax(rb, q, 10).doc_ids)
+
+    # corrupt one replica postings file -> crc mismatch -> re-copied
+    parts = sorted(os.listdir(os.path.join(dst, "postings")))
+    victim = os.path.join(dst, "postings", parts[0])
+    good = os.path.getsize(victim)
+    with open(victim, "r+b") as f:
+        f.truncate(good // 2)
+    st4 = idx.replicate_to(dst)
+    assert st4["files_copied"] == 1
+    assert os.path.getsize(victim) == good
+
+    # stale file in a managed dir -> pruned after publish
+    stale = os.path.join(dst, "postings", "part=zzzzz_9999.parquet")
+    with open(stale, "wb") as f:
+        f.write(b"junk")
+    st5 = idx.replicate_to(dst)
+    assert st5["files_deleted"] == 1
+    assert not os.path.exists(stale)
+
+    # tombstones replicate: delete on primary, sync, replica hides it
+    top_src = search_blockmax(IndexReader(src), q, 1).doc_ids
+    idx.delete_by_term(q.split()[0])
+    idx.replicate_to(dst)
+    hits_dst = search_blockmax(IndexReader(dst), q.split()[0], 5).doc_ids
+    assert list(hits_dst) == []
+    assert len(top_src)  # sanity: the term did match before the delete
+
+
+def test_replication_of_pinned_snapshot(tmp_path_factory, ray_session):
+    """Replicating a pinned snapshot ships the commit AND only the
+    tombstone generations visible at snapshot time — a delete made
+    after the snapshot is invisible on the replica."""
+    import os
+
+    from lucene_ray.api import Index
+    from lucene_ray.search import IndexReader, search_blockmax
+
+    base = tmp_path_factory.mktemp("replsnap")
+    c = str(base / "c")
+    os.makedirs(c)
+    pq.write_table(generate_corpus(200, seed=31), f"{c}/a.parquet")
+    src = str(base / "primary")
+    idx = Index.build(c, src, num_buckets=3, term_parts=4, salt_group=2)
+    term = "return"
+    before = search_blockmax(IndexReader(src), term, 5).doc_ids
+    assert len(before)
+    snap = idx.snapshot()
+    idx.delete_by_term(term)
+
+    pit = str(base / "replica_pit")
+    idx.replicate_to(pit, snapshot=snap)
+    assert list(search_blockmax(IndexReader(pit), term, 5).doc_ids) == \
+        list(before)
+
+    live = str(base / "replica_live")
+    idx.replicate_to(live)
+    assert list(search_blockmax(IndexReader(live), term, 5).doc_ids) == []
