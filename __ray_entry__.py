@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_tumbling_window": streaming.events_tumbling_window,
             "events_sessionize": streaming.events_sessionize,
             "media_features": multimodal.media_features,
+            "video_frame_sample": multimodal.video_frame_sample,
             "embedding_neardup": ann.embedding_neardup_pairs,
             # sub-quadratic scale path (hyperplane LSH; recall < 1 by
             # design → rows-only, measured in pytest instead)

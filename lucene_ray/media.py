@@ -31,6 +31,8 @@ def sniff(payload: bytes) -> str:
         return "audio/wav"
     if payload[:3] == b"\xff\xd8\xff":
         return "image/jpeg"
+    if payload[:4] == b"MJB1":
+        return "video/mjb"
     return "application/octet-stream"
 
 
@@ -225,3 +227,68 @@ def thumbnail(img: np.ndarray, tw: int, th: int) -> np.ndarray:
             a, b = xs[j], max(xs[j + 1], xs[j] + 1)
             out[i, j] = (csum[b] - csum[a]) / (b - a)
     return out / 255.0
+
+
+# ---------------------------------------------------------------------------
+# MJB — "motion BMP" video container (pure stdlib, REAL codec, seekable)
+#
+# Layout: b"MJB1" | u32 n_frames | f32 fps | n_frames x (u32 len | BMP).
+# Length-prefixed frames make frame seeks O(frames scanned) WITHOUT
+# decoding pixels — the property a frame-sampling stage at 100 TB needs
+# (decode only the sampled frames, skip the rest byte-wise).
+
+_MJB_MAGIC = b"MJB1"
+
+
+def encode_mjb(frames: np.ndarray, fps: float = 8.0) -> bytes:
+    """frames: (n, h, w, 3) uint8."""
+    import struct
+
+    parts = [_MJB_MAGIC,
+             struct.pack("<If", len(frames), float(fps))]
+    for fr in frames:
+        b = encode_bmp(fr)
+        parts.append(struct.pack("<I", len(b)))
+        parts.append(b)
+    return b"".join(parts)
+
+
+def mjb_info(payload: bytes) -> tuple[int, float]:
+    """(n_frames, fps) from the header alone."""
+    import struct
+
+    if payload[:4] != _MJB_MAGIC:
+        raise ValueError("not an MJB payload")
+    n, fps = struct.unpack_from("<If", payload, 4)
+    return int(n), float(fps)
+
+
+def mjb_frame(payload: bytes, idx: int) -> np.ndarray:
+    """Decode ONLY frame ``idx`` — earlier frames are skipped by their
+    length prefixes, never decoded."""
+    import struct
+
+    n, _ = mjb_info(payload)
+    if not 0 <= idx < n:
+        raise IndexError(idx)
+    off = 12
+    for i in range(idx):
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4 + ln
+    (ln,) = struct.unpack_from("<I", payload, off)
+    return decode_bmp(payload[off + 4: off + 4 + ln])
+
+
+def decode_mjb(payload: bytes) -> tuple[np.ndarray, float]:
+    """Full decode: ((n, h, w, 3) uint8, fps)."""
+    import struct
+
+    n, fps = mjb_info(payload)
+    off = 12
+    frames = []
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", payload, off)
+        frames.append(decode_bmp(payload[off + 4: off + 4 + ln]))
+        off += 4 + ln
+    return np.stack(frames) if frames else \
+        np.empty((0, 0, 0, 3), np.uint8), fps

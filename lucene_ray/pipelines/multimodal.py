@@ -4,9 +4,10 @@ Image/audio/video ride as ``binary`` columns processed by **actor-pool**
 ``map_batches`` stages (decoder state loaded once per actor, small batches
 sized for large payloads). The decode kernel is REAL for the formats a
 stdlib+numpy decoder can handle — BMP, PNG (zlib + filter
-reconstruction) and WAV-PCM16, see :mod:`lucene_ray.media` — and raises
-``NotImplementedError`` for JPEG/video (a DCT entropy decoder needs codec
-libraries this container lacks; that gap is explicit, not faked).
+reconstruction), WAV-PCM16 and the seekable MJB video container, see
+:mod:`lucene_ray.media` — and raises ``NotImplementedError`` for JPEG
+(a DCT entropy decoder needs codec libraries this container lacks; that
+gap is explicit, not faked).
 
 At 100 TB: payload columns dominate block size → ``batch_size`` is small
 (64) and ``target_max_block_size`` should be raised so Arrow doesn't split
@@ -18,7 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..media import decode_any, encode_bmp, encode_png, encode_wav, thumbnail
+from ..media import (decode_any, encode_bmp, encode_mjb, encode_png,
+                     encode_wav, mjb_frame, mjb_info, sniff, thumbnail)
 
 THUMB_W = THUMB_H = 8
 _N_THUMB = THUMB_W * THUMB_H
@@ -26,8 +28,8 @@ _N_THUMB = THUMB_W * THUMB_H
 
 def synth_media_dataset(sf_dir: str, n: int = 200):
     """Deterministic synthetic media table with REAL encoded payloads
-    (PNG / BMP / WAV round-robin) — stands in for an image/audio lake
-    partition; every byte decodes through the actual codecs."""
+    (PNG / BMP / WAV / MJB-video round-robin) — stands in for a media
+    lake partition; every byte decodes through the actual codecs."""
     import ray.data
 
     def gen(batch: pa.Table) -> pa.Table:
@@ -35,7 +37,7 @@ def synth_media_dataset(sf_dir: str, n: int = 200):
         payloads, kinds = [], []
         for i in ids:
             r = np.random.default_rng(1234 + int(i))
-            m = int(i) % 3
+            m = int(i) % 4
             if m == 0:
                 w, h = int(r.integers(16, 64)), int(r.integers(16, 64))
                 img = r.integers(0, 256, (h, w, 3), dtype=np.uint8)
@@ -46,6 +48,14 @@ def synth_media_dataset(sf_dir: str, n: int = 200):
                 img = r.integers(0, 256, (h, w, 3), dtype=np.uint8)
                 payloads.append(encode_bmp(img))
                 kinds.append("image/bmp")
+            elif m == 3:
+                nf = int(r.integers(6, 20))
+                w, h = int(r.integers(12, 32)), int(r.integers(12, 32))
+                base = r.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                frames = np.stack([np.roll(base, t, axis=1)
+                                   for t in range(nf)])   # real motion
+                payloads.append(encode_mjb(frames, fps=8.0))
+                kinds.append("video/mjb")
             else:
                 ns = int(r.integers(800, 4000))
                 t = np.arange(ns, dtype=np.float64)
@@ -83,6 +93,22 @@ class MediaDecoder:
                                "std_intensity")}
         for mid, payload in zip(batch.column("media_id").to_pylist(),
                                 batch.column("payload").to_pylist()):
+            if sniff(payload) == "video/mjb":
+                # header + ONE seeked frame — never the full clip
+                nf, fps = mjb_info(payload)
+                mid_frame = mjb_frame(payload, nf // 2)
+                th = thumbnail(mid_frame, THUMB_W, THUMB_H)
+                g = mid_frame[:, :, :3].astype(np.float64).mean(axis=2) \
+                    / 255.0
+                out["media_id"].append(mid)
+                out["kind"].append("video/mjb")
+                out["width"].append(mid_frame.shape[1])
+                out["height"].append(mid_frame.shape[0])
+                out["duration_s"].append(nf / fps)
+                out["thumb"].append(th.reshape(-1).tolist())
+                out["mean_intensity"].append(float(g.mean()))
+                out["std_intensity"].append(float(g.std()))
+                continue
             try:
                 kind, img, audio = decode_any(payload)
             except NotImplementedError:
@@ -135,4 +161,54 @@ def media_features(sf_dir: str):
     rows are wide)."""
     ds = synth_media_dataset(sf_dir)
     return ds.map_batches(MediaDecoder, batch_format="pyarrow",
+                          batch_size=64, concurrency=2)
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage: per video, ``n_sample`` uniform
+    timestamps, each frame decoded by a byte-wise SEEK (length-prefixed
+    skip — earlier frames are never pixel-decoded; see
+    :func:`lucene_ray.media.mjb_frame`). The per-frame feature row is
+    what a downstream vision-embedding stage would consume."""
+
+    def __init__(self, n_sample: int = 4):
+        self.n_sample = n_sample
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("media_id", "frame_idx", "t_sec",
+                               "thumb", "mean_intensity")}
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            if sniff(payload) != "video/mjb":
+                continue
+            nf, fps = mjb_info(payload)
+            take = np.unique(np.linspace(
+                0, nf - 1, min(self.n_sample, nf)).round().astype(int))
+            for idx in take:
+                fr = mjb_frame(payload, int(idx))
+                g = fr[:, :, :3].astype(np.float64).mean(axis=2) / 255.0
+                out["media_id"].append(mid)
+                out["frame_idx"].append(int(idx))
+                out["t_sec"].append(float(idx / fps))
+                out["thumb"].append(
+                    thumbnail(fr, THUMB_W, THUMB_H).reshape(-1).tolist())
+                out["mean_intensity"].append(float(g.mean()))
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "frame_idx": pa.array(out["frame_idx"], pa.int32()),
+            "t_sec": pa.array(out["t_sec"], pa.float64()),
+            "thumb": pa.array(out["thumb"], pa.list_(pa.float32(),
+                                                     _N_THUMB)),
+            "mean_intensity": pa.array(out["mean_intensity"],
+                                       pa.float64()),
+        })
+
+
+def video_frame_sample(sf_dir: str, n_sample: int = 4):
+    """Uniform frame sampling over the synthetic media lake's videos —
+    the decode-only-what-you-keep video path (one actor pool, small
+    batches; frame seeks skip unneeded frames byte-wise)."""
+    ds = synth_media_dataset(sf_dir)
+    return ds.map_batches(FrameSampler, batch_format="pyarrow",
+                          fn_constructor_kwargs={"n_sample": n_sample},
                           batch_size=64, concurrency=2)

@@ -1348,3 +1348,38 @@ def test_classify_nb_empty(ray_session, tmp_path):
     out = classify_naive_bayes(str(sf))
     assert out.count() == 0
     assert out.schema().names == ["doc_id", "pred_lang"]
+
+
+def test_video_mjb_roundtrip_and_frame_sample(ray_session):
+    """MJB video container round-trips losslessly; the frame sampler's
+    seeked frames equal the full decode's slices; the decode stage emits
+    video rows with duration and mid-frame features."""
+    import numpy as np
+    from lucene_ray.media import (decode_mjb, encode_mjb, mjb_frame,
+                                  mjb_info, sniff)
+    from lucene_ray.pipelines.multimodal import (media_features,
+                                                 video_frame_sample)
+
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, (11, 14, 10, 3), dtype=np.uint8)
+    b = encode_mjb(frames, fps=8.0)
+    assert sniff(b) == "video/mjb"
+    assert mjb_info(b) == (11, 8.0)
+    dec, fps = decode_mjb(b)
+    np.testing.assert_array_equal(dec, frames)
+    for i in (0, 5, 10):
+        np.testing.assert_array_equal(mjb_frame(b, i), frames[i])
+
+    out = media_features(SF).to_pandas()
+    vids = out[out["kind"] == "video/mjb"]
+    assert len(vids) == 50                       # 200 ids, i%4==3
+    assert vids["duration_s"].notna().all()
+    assert vids["width"].notna().all()
+
+    fs = video_frame_sample(SF, n_sample=4).to_pandas()
+    assert set(fs["media_id"]) == set(vids["media_id"])
+    per = fs.groupby("media_id").size()
+    assert (per <= 4).all() and (per >= 2).all()
+    g = fs.groupby("media_id")["frame_idx"]
+    assert (g.min() == 0).all()                  # uniform incl. endpoints
+    assert (fs["t_sec"] == fs["frame_idx"] / 8.0).all()
