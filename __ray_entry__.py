@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q.update({
             "events_tumbling_window": streaming.events_tumbling_window,
             "events_sessionize": streaming.events_sessionize,
+            "events_late_data": streaming.events_late_data,
             "media_features": multimodal.media_features,
             "video_frame_sample": multimodal.video_frame_sample,
             "embedding_neardup": ann.embedding_neardup_pairs,
@@ -260,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
 
         o.update({
             "events_tumbling_window": streaming.oracle_tumbling_window_sql(),
+            "events_late_data": streaming.oracle_late_data_sql(),
             "events_sessionize": streaming.oracle_sessionize_sql(),
             "events_sliding_window": streaming.oracle_sliding_window_sql(),
             "agg_quantity_quantiles":

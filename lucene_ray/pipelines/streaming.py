@@ -244,3 +244,123 @@ x AS (
 SELECT user_id, win_start, count(*) AS n_events,
        min(epoch) AS first_epoch, max(epoch) AS last_epoch
 FROM x GROUP BY user_id, win_start"""
+
+
+LATENESS_S = 1800            # allowed lateness (Flink allowedLateness role)
+_LATE_SHARD = 2048           # events per prefix-max shard
+
+
+def events_late_data(sf_dir: str, lateness_s: int = LATENESS_S):
+    """Watermark / allowed-lateness accounting — the Flink event-time
+    model (watermark = max event time seen so far minus the bound;
+    an element whose timestamp is below the watermark at its arrival is
+    late and excluded from window results). Deterministic spec: arrival
+    order is ``event_id``; high_water(i) = max(epoch over events with a
+    STRICTLY smaller event_id); late(i) = epoch_i < high_water(i) −
+    lateness (the first event is never late). Returns per (user_id,
+    win_id): ``n_events`` (on-time) and ``n_late`` (dropped).
+
+    Scale shape — a DISTRIBUTED PREFIX MAX (the pack_token_budget
+    prefix-sum shape with max as the monoid): (1) map-only epochs +
+    fixed event_id-range shard keys; (2) one tiny groupby(shard).max;
+    (3) the driver turns shard maxima into exclusive running maxima
+    (broadcast); (4) per-shard local shifted cummax + offset, flags
+    computed vectorized, per-window partials combined by ONE small
+    groupby. Nothing row-sized on the driver, no global sort."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        epoch = _epochs(batch)
+        ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "user_id": batch.column("user_id"),
+            "epoch": pa.array(epoch, pa.int64()),
+            "shard": pa.array(ids // _LATE_SHARD, pa.int64())})
+
+    import os as _os
+
+    ev = (ray.data.read_parquet(
+        _os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .materialize())                     # two consumers
+    shard_max = ensure_cols(
+        ev.groupby("shard").aggregate(Max("epoch", alias_name="m"))
+        .to_pandas(), ["shard", "m"]).sort_values("shard")
+    if len(shard_max) == 0:
+        return ray.data.from_arrow(pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "win_id": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "n_late": pa.array([], pa.int64())}))
+    offs = {}
+    run = None
+    for sh, m in zip(shard_max["shard"], shard_max["m"]):
+        offs[int(sh)] = run                 # None = nothing before shard
+        run = int(m) if run is None else max(run, int(m))
+    oref = ray.put(offs)
+
+    def local(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "win_id": pa.array([], pa.int64()),
+                             "on": pa.array([], pa.int64()),
+                             "late": pa.array([], pa.int64())})
+        prior = ray.get(oref)[int(g.column("shard")[0].as_py())]
+        ids = g.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ep = g.column("epoch").to_numpy(zero_copy_only=False)[order]
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)[order]
+        # sentinel far below any epoch but safe to subtract from
+        # (int64 min would wrap under "- lateness_s")
+        base = -(1 << 62) if prior is None else prior
+        shifted = np.concatenate([[base], np.maximum.accumulate(ep)[:-1]])
+        hw = np.maximum(shifted, base)
+        late = ep < hw - lateness_s
+        t = pa.table({
+            "user_id": pa.array(uid),
+            "win_id": pa.array(ep // WINDOW_S, pa.int64()),
+            "on": pa.array((~late).astype(np.int64)),
+            "late": pa.array(late.astype(np.int64))})
+        g2 = t.group_by(["user_id", "win_id"]).aggregate(
+            [("on", "sum"), ("late", "sum")])
+        return g2.rename_columns(["user_id", "win_id", "on", "late"])
+
+    agg = (ev.groupby("shard").map_groups(local, batch_format="pyarrow")
+           .groupby(["user_id", "win_id"])
+           .aggregate(Sum("on", alias_name="n_events"),
+                      Sum("late", alias_name="n_late")))
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "win_id": t.column("win_id").cast(pa.int64()),
+            "n_events": t.column("n_events").cast(pa.int64()),
+            "n_late": t.column("n_late").cast(pa.int64())})
+
+    return agg.map_batches(fmt, batch_format="pyarrow")
+
+
+def oracle_late_data_sql(lateness_s: int = LATENESS_S) -> str:
+    return f"""WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+),
+h AS (
+  SELECT *, max(ep) OVER (ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS hw
+  FROM e
+)
+SELECT user_id,
+       CAST(floor(CAST(ep AS DOUBLE) / {WINDOW_S}) AS BIGINT) AS win_id,
+       SUM(CASE WHEN hw IS NULL OR ep >= hw - {lateness_s}
+                THEN 1 ELSE 0 END) AS n_events,
+       SUM(CASE WHEN hw IS NOT NULL AND ep < hw - {lateness_s}
+                THEN 1 ELSE 0 END) AS n_late
+FROM h GROUP BY user_id, win_id"""

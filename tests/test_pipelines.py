@@ -1383,3 +1383,65 @@ def test_video_mjb_roundtrip_and_frame_sample(ray_session):
     g = fs.groupby("media_id")["frame_idx"]
     assert (g.min() == 0).all()                  # uniform incl. endpoints
     assert (fs["t_sec"] == fs["frame_idx"] / 8.0).all()
+
+
+def test_late_data_planted_disorder(ray_session, tmp_path):
+    """Watermark semantics on a stream with planted out-of-order events:
+    flags exactly the events whose time sits more than the allowed
+    lateness behind the running max of PRIOR arrivals, and matches the
+    DuckDB oracle (the sf testdata's events arrive perfectly ordered,
+    so the driver check only exercises the on-time path)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.streaming import (WINDOW_S, events_late_data,
+                                                oracle_late_data_sql)
+
+    rng = np.random.default_rng(13)
+    n = 5000
+    ep = 1_700_000_000 + np.arange(n, dtype=np.int64) * 10
+    # plant stragglers: 3% of events arrive carrying a much older time
+    sel = rng.random(n) < 0.03
+    ep = np.where(sel, ep - rng.integers(2000, 20000, n), ep)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(pd.to_datetime(ep, unit="s")).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array((np.arange(n) % 7).astype(np.int64)),
+        "event_type": pa.array(["e"] * n, pa.string()),
+        "value": pa.array(np.ones(n)),
+        "props": pa.array(["{}"] * n, pa.string()),
+    }), str(sf / "events.parquet"))
+
+    got = events_late_data(str(sf), lateness_s=1800).to_pandas()
+    assert int(got["n_late"].sum()) > 0
+
+    # brute-force the spec
+    hw = np.concatenate([[np.iinfo(np.int64).min + 10 ** 6],
+                         np.maximum.accumulate(ep)[:-1]])
+    late = ep < hw - 1800
+    want = (pd.DataFrame({"user_id": (np.arange(n) % 7).astype(np.int64),
+                          "win_id": ep // WINDOW_S,
+                          "on": (~late).astype(int),
+                          "late": late.astype(int)})
+            .groupby(["user_id", "win_id"], as_index=False).sum())
+    m = got.merge(want, on=["user_id", "win_id"], how="outer")
+    assert len(m) == len(got) == len(want)
+    assert (m["n_events"] == m["on"]).all()
+    assert (m["n_late"] == m["late"]).all()
+
+    # and the oracle agrees
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf}/events.parquet'")
+    w = con.execute(oracle_late_data_sql()).df()
+    cols = ["user_id", "win_id"]
+    g2 = got.sort_values(cols).reset_index(drop=True)
+    w2 = w.sort_values(cols).reset_index(drop=True)
+    assert (g2["n_late"].to_numpy() ==
+            w2["n_late"].to_numpy().astype(np.int64)).all()
