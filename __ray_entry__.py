@@ -7,10 +7,11 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 107 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (100 of 107). Omitted
+  + the §8 round-2/3/4 additions; 112 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (104 of 112). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
-  with a stated reason): ``media_features`` (binary codec decode),
+  with a stated reason): ``media_features`` / ``video_frame_sample``
+  (binary codec decode / frame seek),
   ``doc_fingerprint`` / ``dedup_simhash`` / ``dedup_simhash_pairs`` /
   ``dedup_minhash_lsh`` (blake2b-seeded signatures),
   ``embedding_neardup_lsh`` (approximate by design; recall asserted in
@@ -78,8 +79,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "kmeans_embeddings": _ann.kmeans_embeddings,
             "semdedup": _ann.semdedup,
             "classify_nb": _cls.classify_naive_bayes,
+            "classify_knn": _ann.classify_knn,
+            "events_late_data": _st.events_late_data,
             "pack_token_budget": _ts.pack_token_budget,
             "corpus_sample_balanced": _ts.corpus_sample_balanced,
+            "video_frame_sample": (
+                lambda sf: __import__("lucene_ray.pipelines.multimodal",
+                                      fromlist=["multimodal"])
+                .video_frame_sample(sf)),
             "decontaminate": _ts.decontaminate,
             "doc_lm_logprob": _ts.doc_lm_logprob,
             "doc_blocklist": _ts.doc_blocklist,
@@ -149,9 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q.update({
             "events_tumbling_window": streaming.events_tumbling_window,
             "events_sessionize": streaming.events_sessionize,
-            "events_late_data": streaming.events_late_data,
             "media_features": multimodal.media_features,
-            "video_frame_sample": multimodal.video_frame_sample,
             "embedding_neardup": ann.embedding_neardup_pairs,
             # sub-quadratic scale path (hyperplane LSH; recall < 1 by
             # design → rows-only, measured in pytest instead)
@@ -290,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
             "kmeans_embeddings": ann.oracle_kmeans_sql(),
             "semdedup": ann.oracle_semdedup_sql(),
             "classify_nb": classify.oracle_classify_nb_sql(),
+            "classify_knn": ann.oracle_classify_knn_sql(),
             "ann_ivf_topk": ann.oracle_ann_sql(),
             "ann_hnsw_topk": ann.oracle_ann_sql(),
             "ann_filtered_topk": ann.oracle_ann_filtered_sql(),

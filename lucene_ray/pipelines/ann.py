@@ -995,3 +995,88 @@ SELECT a.vec_id, a.cluster,
            AND list_cosine_similarity(u.v, a.v) > {threshold}
        ) AS keep
 FROM asg a"""
+
+
+def classify_knn(sf_dir: str, k: int = KNN_GRAPH_K):
+    """k-nearest-neighbor classification over the embedding table — the
+    role of classification/KNearestNeighborClassifier.java:42 (top-k
+    most-similar neighbors vote; assignClass takes the class with the
+    most hits) with the ``label`` column as the class field and exact
+    cosine as the similarity. Neighbor selection is bit-identical to
+    :func:`knn_graph` (sims desc, nbr_id asc, self excluded); the vote
+    breaks count ties to the SMALLER label — deterministic where the
+    reference's hash-map iteration is not.
+
+    Scale shape: same broadcast-blocked exact form as knn_graph — the
+    normalized matrix + labels broadcast once, each map task votes its
+    own row chunk, no shuffle, no driver merge; IVF/LSH remain the
+    blocking path past broadcast scale."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq_
+
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "pred_label": pa.array([], pa.int32())})
+    t = pq_.read_table(_emb_path(sf_dir),
+                       columns=["vec_id", "embedding", "label"])
+    if t.num_rows < 2:
+        return ray.data.from_arrow(empty)
+    ids_all = t.column("vec_id").to_numpy()
+    order = np.argsort(ids_all)
+    emb = np.stack(t.column("embedding").to_numpy(
+        zero_copy_only=False))[order].astype(np.float64)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids_all = ids_all[order]
+    labels_all = t.column("label").to_numpy(
+        zero_copy_only=False)[order].astype(np.int64)
+    ref = ray.put((ids_all, emb, labels_all))
+    kk = min(k, len(ids_all) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        all_ids, base, all_lab = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        en = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        en /= np.linalg.norm(en, axis=1, keepdims=True)
+        sims = en @ base.T
+        n_all = base.shape[0]
+        pos = np.searchsorted(all_ids, ids)
+        sims[np.arange(len(ids)), pos] = -np.inf
+        thresh = np.partition(sims, n_all - kk, axis=1)[:, n_all - kk]
+        pred = np.empty(len(ids), np.int32)
+        for i in range(len(ids)):
+            cand = np.flatnonzero(sims[i] >= thresh[i])
+            sel = cand[np.lexsort((all_ids[cand], -sims[i][cand]))[:kk]]
+            lab, cnt = np.unique(all_lab[sel], return_counts=True)
+            pred[i] = lab[np.argmax(cnt)]   # first max = smaller label
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "pred_label": pa.array(pred, pa.int32())})
+
+    return (ray.data.read_parquet(_emb_path(sf_dir),
+                                  columns=["vec_id", "embedding"])
+            .map_batches(partial, batch_format="pyarrow"))
+
+
+def oracle_classify_knn_sql(k: int = KNN_GRAPH_K) -> str:
+    return f"""WITH sims AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id, b.label,
+         list_cosine_similarity(b.embedding, a.embedding) AS sim
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, nbr_id ASC) AS rank
+  FROM sims
+),
+votes AS (
+  SELECT vec_id, label, count(*) AS c FROM ranked
+  WHERE rank <= {k} GROUP BY vec_id, label
+)
+SELECT vec_id, CAST(label AS INT) AS pred_label FROM (
+  SELECT vec_id, label,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY c DESC, label ASC) AS rn
+  FROM votes
+) WHERE rn = 1"""

@@ -1445,3 +1445,43 @@ def test_late_data_planted_disorder(ray_session, tmp_path):
     w2 = w.sort_values(cols).reset_index(drop=True)
     assert (g2["n_late"].to_numpy() ==
             w2["n_late"].to_numpy().astype(np.int64)).all()
+
+
+def test_classify_knn_planted_blobs(ray_session, tmp_path):
+    """kNN-vote classification on separable gaussian blobs recovers the
+    generating label for every vector (k=5 neighbors all come from the
+    same blob), and the empty/singleton edge returns typed emptiness."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.ann import classify_knn
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    centers = np.eye(4, dim) * 40.0
+    lab = np.repeat(np.arange(4), 30).astype(np.int32)
+    m = (centers[lab] + rng.normal(size=(len(lab), dim))).astype(
+        np.float32)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(len(m), dtype=np.int64)),
+        "embedding": pa.array([list(map(float, r)) for r in m],
+                              pa.list_(pa.float32())),
+        "label": pa.array(lab, pa.int32()),
+    }), str(sf / "embeddings.parquet"))
+    out = (classify_knn(str(sf), k=5).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert (out["pred_label"].to_numpy() == lab).all()
+
+    one = tmp_path / "one"
+    one.mkdir()
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0]], pa.list_(pa.float32())),
+        "label": pa.array([3], pa.int32()),
+    }), str(one / "embeddings.parquet"))
+    o2 = classify_knn(str(one))
+    assert o2.count() == 0
+    assert o2.schema().names == ["vec_id", "pred_label"]
