@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 112 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (104 of 112). Omitted
+  + the §8 round-2/3/4 additions; 114 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (106 of 114). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` / ``video_frame_sample``
   (binary codec decode / frame seek),
@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "decontaminate": _ts.decontaminate,
             "doc_lm_logprob": _ts.doc_lm_logprob,
             "doc_blocklist": _ts.doc_blocklist,
+            "redact_pii": _ts.redact_pii,
+            "chunk_documents": _ts.chunk_documents,
             "source_mix_weights": _ts.source_mix_weights,
             "text_repetition": _ts.text_repetition,
             "vocab_hll": _ts.vocab_hll,
@@ -284,6 +286,8 @@ def oracle_sql() -> dict[str, str]:
             "decontaminate": textstats.oracle_decontaminate_sql(),
             "doc_lm_logprob": textstats.oracle_doc_lm_logprob_sql(),
             "doc_blocklist": textstats.oracle_doc_blocklist_sql(),
+            "redact_pii": textstats.oracle_redact_pii_sql(),
+            "chunk_documents": textstats.oracle_chunk_documents_sql(),
             "source_mix_weights": textstats.oracle_source_mix_sql(),
             "corpus_clean": textstats.oracle_corpus_clean_sql(),
             "pack_token_budget": textstats.oracle_pack_token_budget_sql(),

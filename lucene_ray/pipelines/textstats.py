@@ -1150,3 +1150,107 @@ SELECT lang, n_docs, share,
        CAST(CAST(CAST(q / z AS REAL) AS DOUBLE) / share AS REAL)
          AS upsample
 FROM s CROSS JOIN z"""
+
+
+# email-ish plus long digit runs (account/phone-number shapes) — RE2
+# syntax so Arrow's replace_substring_regex and DuckDB's regexp_replace
+# run the IDENTICAL pattern (the BPE_RE trick)
+PII_RE = r"[a-z0-9.]+@[a-z0-9.]+|[0-9]{3,}"
+PII_TOKEN = "<PII>"
+
+
+def redact_pii(sf_dir: str, pattern: str = PII_RE,
+               token: str = PII_TOKEN):
+    """PII redaction — the standard pre-training scrub stage (mask
+    emails / long digit runs before anything downstream sees the text).
+    Returns (doc_id, n_redactions, text) with every match replaced by
+    ``token``.
+
+    Scale shape: pure map — ONE pass of two Arrow RE2 kernels
+    (replace_substring_regex + count_substring_regex), zero Python in
+    the loop, no shuffle. The oracle runs the same pattern through
+    DuckDB's RE2."""
+    import pyarrow.compute as pc
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch.column("text"), "")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_redactions": pc.count_substring_regex(
+                txt, pattern=pattern).cast(pa.int64()),
+            "text": pc.replace_substring_regex(
+                txt, pattern=pattern, replacement=token)})
+
+    return _docs(sf_dir).map_batches(scrub, batch_format="pyarrow")
+
+
+def oracle_redact_pii_sql(pattern: str = PII_RE,
+                          token: str = PII_TOKEN) -> str:
+    return f"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{pattern}')) AS BIGINT)
+         AS n_redactions,
+       regexp_replace(text, '{pattern}', '{token}', 'g') AS text
+FROM documents"""
+
+
+CHUNK_W = 64        # tokens per chunk
+CHUNK_STRIDE = 48   # overlap = W - stride
+
+
+def chunk_documents(sf_dir: str, width: int = CHUNK_W,
+                    stride: int = CHUNK_STRIDE):
+    """Overlapping token-window chunking — the RAG / context-window
+    loader stage: doc tokens [i*stride, i*stride+width) per chunk, last
+    chunk starts at the final stride boundary below n_tokens (every doc
+    emits >= 1 chunk; whitespace tokens, like every text op here).
+    Returns (doc_id, chunk_id, n_tokens_chunk, chunk_text).
+
+    Scale shape: pure map — chunk fan-out happens inside the task and
+    output rows reference only that task's rows; no shuffle, no state.
+    The per-chunk join is C-speed (str.join over a pre-split list)."""
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        out_d, out_c, out_n, out_t = [], [], [], []
+        ids = batch.column("doc_id").to_pylist()
+        for did, txt in zip(ids, batch.column("text").to_pylist()):
+            words = (txt or "").split(" ")
+            n = len(words)
+            starts = range(0, max(n - width, 0) + stride, stride) \
+                if n > width else (0,)
+            for ci, s in enumerate(starts):
+                if s >= n:
+                    break
+                piece = words[s:s + width]
+                out_d.append(did)
+                out_c.append(ci)
+                out_n.append(len(piece))
+                out_t.append(" ".join(piece))
+        return pa.table({
+            "doc_id": pa.array(out_d, pa.int64()),
+            "chunk_id": pa.array(out_c, pa.int32()),
+            "n_tokens_chunk": pa.array(out_n, pa.int64()),
+            "chunk_text": pa.array(out_t, pa.string())})
+
+    return _docs(sf_dir).map_batches(chunks, batch_format="pyarrow")
+
+
+def oracle_chunk_documents_sql(width: int = CHUNK_W,
+                               stride: int = CHUNK_STRIDE) -> str:
+    return f"""WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS n FROM documents
+),
+starts AS (
+  SELECT doc_id, words, n,
+         unnest(range(0, greatest(n - {width}, 0) + {stride},
+                      {stride})) AS s
+  FROM t
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+            AS INT) AS chunk_id,
+       CAST(len(list_slice(words, s + 1, s + {width})) AS BIGINT)
+         AS n_tokens_chunk,
+       array_to_string(list_slice(words, s + 1, s + {width}), ' ')
+         AS chunk_text
+FROM starts WHERE s < n"""

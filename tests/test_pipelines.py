@@ -1485,3 +1485,62 @@ def test_classify_knn_planted_blobs(ray_session, tmp_path):
     o2 = classify_knn(str(one))
     assert o2.count() == 0
     assert o2.schema().names == ["vec_id", "pred_label"]
+
+
+def test_redact_pii_and_chunking(ray_session, tmp_path):
+    """Planted-PII redaction (sf texts carry none) and chunk-boundary
+    edges: every doc reconstructs from its chunks (stride-prefix concat)
+    and boundary token counts are exact."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.textstats import (CHUNK_STRIDE, CHUNK_W,
+                                                chunk_documents,
+                                                oracle_chunk_documents_sql,
+                                                redact_pii)
+
+    texts = [
+        "contact bob@mail.io or 5551234 for help",   # 2 hits
+        "clean text only",                           # 0
+        "ids 12 999 12345678 ok",                    # 2 (>=3 digits)
+        " ".join(f"w{i%7}" for i in range(CHUNK_W)),         # n == W
+        " ".join(f"w{i%7}" for i in range(CHUNK_W + 1)),     # n == W+1
+        " ".join(f"w{i%7}" for i in range(3 * CHUNK_W)),     # long
+        "short doc",
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+    }), str(sf / "documents.parquet"))
+
+    red = (redact_pii(str(sf)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert red["n_redactions"].tolist() == [2, 0, 2, 0, 0, 0, 0]
+    assert red["text"][0] == "contact <PII> or <PII> for help"
+    assert red["text"][2] == "ids 12 <PII> <PII> ok"
+
+    ch = (chunk_documents(str(sf)).to_pandas()
+          .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    per = ch.groupby("doc_id").size()
+    assert per[3] == 1 and per[4] == 2 and per[6] == 1
+    # reconstruction: chunk ci starts at ci*stride, so its NEW tokens
+    # begin at covered-so-far minus that start — concatenating them
+    # re-creates the document exactly
+    for did, g in ch.groupby("doc_id"):
+        toks = []
+        for _, r in g.sort_values("chunk_id").iterrows():
+            w = r["chunk_text"].split(" ")
+            toks.extend(w[len(toks) - CHUNK_STRIDE * r["chunk_id"]:])
+        assert " ".join(toks) == texts[did], did
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    w = (con.execute(oracle_chunk_documents_sql()).df()
+         .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    assert (ch["chunk_text"].to_numpy() == w["chunk_text"].to_numpy()).all()
