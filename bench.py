@@ -331,6 +331,17 @@ def run_curate() -> dict:
     kmeans_embeddings(d).count()
     out["kmeans_sec"] = round(time.time() - t4, 3)
     out["kmeans_vecs_per_sec"] = round(nv / out["kmeans_sec"], 1)
+    from lucene_ray.pipelines.textstats import (chunk_documents,
+                                                redact_pii)
+    t42 = time.time()
+    redact_pii(d).count()
+    out["redact_sec"] = round(time.time() - t42, 3)
+    out["redact_docs_per_sec"] = round(n / out["redact_sec"], 1)
+    t43 = time.time()
+    n_chunks = chunk_documents(d).count()
+    out["chunk_sec"] = round(time.time() - t43, 3)
+    out["chunk_docs_per_sec"] = round(n / out["chunk_sec"], 1)
+    out["n_chunks"] = n_chunks
     from lucene_ray.pipelines.classify import classify_naive_bayes
     t45 = time.time()
     classify_naive_bayes(d).count()

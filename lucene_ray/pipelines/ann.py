@@ -79,10 +79,14 @@ def ann_cosine_topk(sf_dir: str) -> pa.Table:
                                    columns=["vec_id", "embedding"])
              .map_batches(partial, batch_format="pyarrow")
              .take_all())
-    # driver-side merge of per-partition partial top-k
+    # driver-side merge of per-partition partial top-k (grouped in one
+    # pass, not one scan per query — the ann_ivf_topk fix)
+    by_q: dict[int, list] = {}
+    for r in parts:
+        by_q.setdefault(r["qj"], []).append((r["vec_id"], r["sim"]))
     rows_q, rows_r, rows_v = [], [], []
     for j, qid in enumerate(qids):
-        cand = [(r["vec_id"], r["sim"]) for r in parts if r["qj"] == j]
+        cand = by_q.get(j, [])
         cand.sort(key=lambda x: (-x[1], x[0]))
         for rank, (v, _) in enumerate(cand[:TOP_K], 1):
             rows_q.append(int(qid))
