@@ -27,12 +27,21 @@ engine):
 - core data dirs referenced by commits: ``postings/``, ``segments/``,
   ``docmeta/``;
 - side search-state generations: ``deletes/`` (tombstones),
-  ``docvalues/`` (numeric update generations);
+  ``docvalues/`` (keyword-ordinal docvalues), ``features/`` (feature
+  base values AND their ``updates/`` numeric-update generations — the
+  updates are user mutations a replica CANNOT lazily rebuild from
+  docmeta, so they must always ship);
 - with ``include_derived=True`` every other subdir except ``_build/``
   (local build lineage) and ``snapshots/`` (local retention policy);
   derived indexes (points, vectors, geo, shapes) are otherwise skipped
   — replicas rebuild them lazily and the manifest-version invalidation
   guarantees staleness is detected.
+
+Snapshot replication caveat: pinned-snapshot syncs filter ``deletes/``
+generations to the snapshotted set, but feature-update generations are
+not recorded by snapshots — a PIT replica sees all of them, the same
+documented limitation as the primary's own point-in-time reader
+(state/snapshots.py scope note).
 
 Scale shape: the file inventory is a driver-side listing (one row per
 file — thousands, not data-sized); transfer runs as one Ray task per
@@ -49,7 +58,7 @@ import shutil
 import zlib
 
 CORE_DIRS = ("postings", "segments", "docmeta")
-SIDE_DIRS = ("deletes", "docvalues")
+SIDE_DIRS = ("deletes", "docvalues", "features")
 SKIP_DIRS = ("_build", "snapshots")
 _CRC_CHUNK = 1 << 20
 

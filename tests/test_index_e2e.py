@@ -1746,6 +1746,25 @@ def test_replication_full_delta_repair_prune(tmp_path_factory, ray_session):
     assert list(hits_dst) == []
     assert len(top_src)  # sanity: the term did match before the delete
 
+    # feature base values AND numeric-update generations replicate —
+    # updates are user mutations a replica cannot rebuild from docmeta
+    from lucene_ray.features import (build_feature_index, feature_scores,
+                                     update_feature_values)
+    build_feature_index(src, "rank")
+    update_feature_values(src, "rank", [5, 9], [200.0, 77.0])
+    idx.replicate_to(dst)
+    d_src, s_src = feature_scores(src, "rank")
+    d_dst, s_dst = feature_scores(dst, "rank")
+    assert list(d_src) == list(d_dst)
+    assert np.array_equal(s_src, s_dst)
+    # a second generation on the primary re-syncs (latest wins on both)
+    update_feature_values(src, "rank", [5], [10.0])
+    idx.replicate_to(dst)
+    d_dst2, s_dst2 = feature_scores(dst, "rank")
+    d_src2, s_src2 = feature_scores(src, "rank")
+    assert list(d_src2) == list(d_dst2)
+    assert np.array_equal(s_src2, s_dst2)
+
 
 def test_replication_of_pinned_snapshot(tmp_path_factory, ray_session):
     """Replicating a pinned snapshot ships the commit AND only the
