@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 117 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (109 of 117). Omitted
+  + the §8 round-2/3/4 additions; 118 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (110 of 118). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` / ``video_frame_sample``
   (binary codec decode / frame seek),
@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_asof_join": _tp.events_asof_join,
             "events_lag_delta": _tp.events_lag_delta,
             "join_range_orders": _tp.join_range_orders,
+            "dsir_importance": _ts.dsir_importance,
             "agg_lineitem_pricing": _rel.agg_lineitem_pricing,
             "agg_facet_taxonomy": _rel.agg_facet_taxonomy,
             "agg_grouping_topk": _rel.agg_grouping_topk,
@@ -274,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
             "events_asof_join": temporal.oracle_asof_join_sql(),
             "events_lag_delta": temporal.oracle_lag_delta_sql(),
             "join_range_orders": temporal.oracle_join_range_sql(),
+            "dsir_importance": textstats.oracle_dsir_importance_sql(),
             "events_tumbling_window": streaming.oracle_tumbling_window_sql(),
             "events_late_data": streaming.oracle_late_data_sql(),
             "events_sessionize": streaming.oracle_sessionize_sql(),

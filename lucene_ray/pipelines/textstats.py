@@ -1254,3 +1254,126 @@ SELECT doc_id,
        array_to_string(list_slice(words, s + 1, s + {width}), ' ')
          AS chunk_text
 FROM starts WHERE s < n"""
+
+
+_DSIR_TARGET = "en"
+
+
+def dsir_importance(sf_dir: str, target_lang: str = _DSIR_TARGET):
+    """DSIR importance-resampling weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how much more likely its bag of words is under a
+    TARGET domain's unigram model than under the raw-corpus model,
+
+        log w(x) = sum_f c_f(x) * (ln p_tgt(f) - ln p_raw(f)),
+
+    with Laplace(+1) smoothing over the shared corpus vocabulary. DSIR
+    hashes n-grams into buckets; the deterministic SQL-reproducible form
+    here uses the exact word features (the hash is an estimator of this
+    quantity). Target domain = documents with lang == target_lang.
+
+    Float parity: each per-word log ratio is two float64 divisions +
+    two C-libm logs (math.log, not np.log — bm25.py rule); the per-doc
+    sum accumulates in engine-specific order so it is emitted as REAL,
+    the ``doc_lm_logprob`` discipline.
+
+    Scale shape: pass 1 = per-batch (term, c_all, c_tgt) partials + ONE
+    vocab-sized groupby (Heaps-law small); the (vocab, log-ratio) pair
+    is broadcast once via ray.put; pass 2 = map-only dictionary-encode
+    lookup + bincount segment sums. Nothing row-sized on the driver."""
+    import math
+
+    import ray
+    import ray.data
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    def _tokens(batch: pa.Table):
+        parts = pc.split_pattern(
+            pc.fill_null(batch.column("text"), ""), " ").combine_chunks()
+        flat = pc.list_flatten(parts)
+        owners = np.asarray(pc.list_parent_indices(parts), dtype=np.int64)
+        return owners, flat
+
+    def partial(batch: pa.Table) -> pa.Table:
+        owners, flat = _tokens(batch)
+        is_tgt = np.asarray(
+            pc.equal(pc.fill_null(batch.column("lang"), ""), target_lang),
+            dtype=bool)
+        t = pa.table({
+            "term": flat,
+            "one": pa.array(np.ones(len(flat), np.int64)),
+            "tgt": pa.array(is_tgt[owners].astype(np.int64))})
+        g = t.group_by("term").aggregate([("one", "sum"), ("tgt", "sum")])
+        return g.rename_columns(["term", "c_all", "c_tgt"])
+
+    tf = ensure_cols(
+        _docs(sf_dir, ("text", "lang"))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("c_all", alias_name="c_all"),
+                   Sum("c_tgt", alias_name="c_tgt"))
+        .to_pandas(), ["term", "c_all", "c_tgt"])
+    if len(tf) == 0:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "log_ratio": pa.array([], pa.float32())}))
+    vocab = np.array(tf["term"], dtype=object)
+    order = np.argsort(vocab)
+    vocab = vocab[order]
+    c_all = np.asarray(tf["c_all"], dtype=np.int64)[order]
+    c_tgt = np.asarray(tf["c_tgt"], dtype=np.int64)[order]
+    v = len(vocab)
+    d_all = float(int(c_all.sum()) + v)
+    d_tgt = float(int(c_tgt.sum()) + v)
+    lr = np.array(
+        [math.log((t + 1) / d_tgt) - math.log((a + 1) / d_all)
+         for t, a in zip(c_tgt.tolist(), c_all.tolist())],
+        dtype=np.float64)
+    ref = ray.put((vocab, lr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab, lr = ray.get(ref)
+        owners, flat = _tokens(batch)
+        d = pc.dictionary_encode(flat)
+        uniq = np.array(d.dictionary.to_pylist(), dtype=object)
+        codes = np.asarray(d.indices, dtype=np.int64)
+        pos = np.searchsorted(vocab, uniq)
+        n = batch.num_rows
+        lw = np.bincount(owners, weights=lr[pos][codes], minlength=n)
+        ntok = np.bincount(owners, minlength=n).astype(np.int64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(ntok),
+            "log_ratio": pa.array(lw.astype(np.float32))})
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        score, batch_format="pyarrow")
+
+
+def oracle_dsir_importance_sql(target_lang: str = _DSIR_TARGET) -> str:
+    return f"""WITH w AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+cnt AS (
+  SELECT term, count(*) AS c_all,
+         sum(CASE WHEN lang = '{target_lang}' THEN 1 ELSE 0 END) AS c_tgt
+  FROM w GROUP BY term
+),
+tot AS (
+  SELECT sum(c_all) AS n_all, sum(c_tgt) AS n_tgt,
+         count(*) AS v
+  FROM cnt
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(ln((cnt.c_tgt + 1) / CAST(tot.n_tgt + tot.v AS DOUBLE))
+              - ln((cnt.c_all + 1) / CAST(tot.n_all + tot.v AS DOUBLE)))
+            AS REAL) AS log_ratio
+FROM w JOIN cnt USING (term) CROSS JOIN tot
+GROUP BY w.doc_id"""

@@ -1544,3 +1544,71 @@ def test_redact_pii_and_chunking(ray_session, tmp_path):
     w = (con.execute(oracle_chunk_documents_sql()).df()
          .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
     assert (ch["chunk_text"].to_numpy() == w["chunk_text"].to_numpy()).all()
+
+
+def test_dsir_importance_planted_domains(ray_session, tmp_path):
+    """DSIR log-ratio must rank in-domain (target-vocab) docs above
+    off-domain ones, and match the DuckDB oracle exactly on the same
+    planted table (the sf-table check only sees weak domain signal)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.textstats import (dsir_importance,
+                                                oracle_dsir_importance_sql)
+
+    tgt_vocab = ["science", "method", "theory", "experiment", "proof"]
+    raw_vocab = ["spam", "click", "win", "prize", "free"]
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(200):
+        if i % 2 == 0:
+            lang, words = "en", rng.choice(tgt_vocab, size=15).tolist()
+        else:
+            lang, words = "de", rng.choice(raw_vocab, size=15).tolist()
+        rows.append({"doc_id": i, "lang": lang, "text": " ".join(words)})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "text": pa.array([r["text"] for r in rows], pa.string()),
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+    }), str(sf / "documents.parquet"))
+
+    got = (dsir_importance(str(sf)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    tgt = got.loc[got["doc_id"] % 2 == 0, "log_ratio"]
+    off = got.loc[got["doc_id"] % 2 == 1, "log_ratio"]
+    assert tgt.min() > off.max()        # clean separation by construction
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet'")
+    want = (con.execute(oracle_dsir_importance_sql()).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    np.testing.assert_array_equal(got["n_tokens"].to_numpy(),
+                                  want["n_tokens"].to_numpy())
+    np.testing.assert_array_equal(
+        got["log_ratio"].to_numpy(),
+        want["log_ratio"].to_numpy().astype(np.float32))
+
+
+def test_dsir_importance_empty(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.textstats import dsir_importance
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+    }), str(sf / "documents.parquet"))
+    ds = dsir_importance(str(sf))
+    assert len(ds.to_pandas()) == 0
+    # Ray 2.49 to_pandas drops columns on empty datasets; the dataset
+    # schema itself must still carry the contract columns
+    assert set(ds.schema().names) == {"doc_id", "n_tokens", "log_ratio"}
