@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 118 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (110 of 118). Omitted
+  + the §8 round-2/3/4 additions; 119 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (111 of 119). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` / ``video_frame_sample``
   (binary codec decode / frame seek),
@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_facet_assoc": ft.ft_facet_assoc,
         "ft_span_first": ft.ft_span_first,
         "ft_phrase_prefix": ft.ft_phrase_prefix,
+        "ft_diversified_topk": ft.ft_diversified_topk,
     }
     try:
         from lucene_ray.pipelines import ann as _ann
@@ -266,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_facet_assoc": ft.oracle_facet_assoc_sql(),
         "ft_span_first": ft.oracle_span_first_sql(),
         "ft_phrase_prefix": ft.oracle_phrase_prefix_sql(),
+        "ft_diversified_topk": ft.oracle_diversified_topk_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, classify, dedup, relational,

@@ -3098,6 +3098,96 @@ lmap AS (
 
 
 # ---------------------------------------------------------------------------
+# Diversified top-k (at most M hits per key value)
+
+DIVERSIFY_QUERIES = [(1, ["data", "value"], 8), (2, ["return", "key"], 10),
+                     (3, ["the", "table", "part"], 6)]
+DIVERSIFY_MAX_PER_KEY = 2
+
+
+def ft_diversified_topk(sf_dir: str) -> pa.Table:
+    """Diversified top-k
+    (misc/src/java/org/apache/lucene/misc/search/
+    DiversifiedTopDocsCollector.java:69): the global BM25 top-k subject
+    to at most ``DIVERSIFY_MAX_PER_KEY`` hits per key value (lang) — the
+    de-duplicated result page (one artist / source dominating the top is
+    capped). Collector shape: the scored stream reduces into bounded
+    per-key top-M state (M × #keys rows), then one global merge — same
+    per-group argmax reduction as field collapsing, widened to M."""
+    from ..search import _term_docset, search_terms_scored
+
+    m = DIVERSIFY_MAX_PER_KEY
+    r = reader_for(sf_dir)
+    lt = termdict_scan(r, prefix="lang:")
+    langs = sorted(t[5:] for t in lt.column("term").to_pylist())
+    docsets = {lg: _term_docset(r, f"lang:{lg}") for lg in langs}
+    qids, ranks, glangs, docs, scores = [], [], [], [], []
+    for qid, terms, k in DIVERSIFY_QUERIES:
+        td = search_terms_scored(r, terms, max(1, r.doc_count))
+        d, s = td.doc_ids, td.scores
+        kept = []                        # (score, doc, lang), ≤ m per key
+        for lg in langs:
+            msk = np.isin(d, docsets[lg], assume_unique=False)
+            if not msk.any():
+                continue
+            dm, sm = d[msk], s[msk]
+            order = np.lexsort((dm, -sm.astype(np.float64)))[:m]
+            kept.extend((float(sm[i]), int(dm[i]), lg) for i in order)
+        kept.sort(key=lambda h: (-h[0], h[1]))
+        for rank, (sc, doc, lg) in enumerate(kept[:k], 1):
+            qids.append(qid)
+            ranks.append(rank)
+            glangs.append(lg)
+            docs.append(doc)
+            scores.append(sc)
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "lang": pa.array(glangs, pa.string()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "score": pa.array(scores, pa.float32())})
+
+
+def oracle_diversified_topk_sql() -> str:
+    m = DIVERSIFY_MAX_PER_KEY
+    parts = []
+    for qid, terms, k in DIVERSIFY_QUERIES:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        parts.append(f"""(
+  SELECT {qid} AS qid,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+           AS rank,
+         lang, doc_id, score
+  FROM (
+    SELECT lang, d AS doc_id, score, row_number() OVER (
+             PARTITION BY lang ORDER BY score DESC, d ASC) AS rn
+    FROM (
+      SELECT l.lang, s.d, s.score
+      FROM (
+        SELECT d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+        FROM (
+          SELECT t.d, {_SCORE_EXPR} AS s
+          FROM tf t JOIN df f ON f.term = t.term
+          JOIN quant q ON q.d = t.d
+          WHERE t.term IN ({tl})
+        ) GROUP BY d
+      ) s
+      JOIN lmap l ON l.d = s.d
+    )
+  ) WHERE rn <= {m}
+  ORDER BY rank LIMIT {k})""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+lmap AS (
+  SELECT row_number() OVER (
+           ORDER BY source, printf('doc_%08d.txt', doc_id)) - 1 AS d,
+         lang
+  FROM documents
+)
+{un}"""
+
+
+# ---------------------------------------------------------------------------
 # Scored query-time join (JoinUtil ScoreMode Max/Total/Avg)
 
 JOIN_SCORED_FROM = ["value", "data"]     # from-side BM25 query

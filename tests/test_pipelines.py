@@ -1612,3 +1612,29 @@ def test_dsir_importance_empty(ray_session, tmp_path):
     # Ray 2.49 to_pandas drops columns on empty datasets; the dataset
     # schema itself must still carry the contract columns
     assert set(ds.schema().names) == {"doc_id", "n_tokens", "log_ratio"}
+
+
+def test_diversified_topk_cap_binding(ray_session):
+    """The per-key cap must actually bind (some lang would place >M
+    docs in the undiversified top-k) and the output must respect it."""
+    import numpy as np
+
+    from lucene_ray.pipelines.fulltext import (DIVERSIFY_MAX_PER_KEY,
+                                               DIVERSIFY_QUERIES,
+                                               ft_diversified_topk,
+                                               reader_for)
+    from lucene_ray.search import search_terms_scored
+
+    sf = "/root/testdata/sf0.001"
+    got = ft_diversified_topk(sf).to_pandas()
+    per_key = got.groupby(["qid", "lang"]).size()
+    assert (per_key <= DIVERSIFY_MAX_PER_KEY).all()
+    for qid, _, k in DIVERSIFY_QUERIES:
+        ranks = np.sort(got.loc[got["qid"] == qid, "rank"].to_numpy())
+        assert (ranks == np.arange(1, len(ranks) + 1)).all()
+        assert len(ranks) <= k
+    # cap binds: the plain top-k of query 3 is lang-skewed at this sf
+    r = reader_for(sf)
+    qid, terms, k = DIVERSIFY_QUERIES[2]
+    td = search_terms_scored(r, terms, k)
+    assert len(td.doc_ids) == k          # enough hits for the contrast
