@@ -4157,3 +4157,41 @@ w AS (
   FROM corpus
 )
 {un}"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-gated term existence (BloomFilteringPostingsFormat)
+
+TERM_EXISTS_PROBES = ["data", "value", "table", "return", "key", "the",
+                      "zzmissing", "qqqabsent", "xylophone17",
+                      "zephyrqx", "blorptile", "quuxation"]
+
+
+def ft_term_exists(sf_dir: str) -> pa.Table:
+    """Term-existence lookups through the bloom gate
+    (codecs/bloom/BloomFilteringPostingsFormat.java:62, FuzzySet.java:48):
+    builds the per-postings-file bloom derived index (idempotent,
+    manifest-versioned), then resolves each probe with the gated reader.
+    A bloom NO short-circuits with ZERO partition IO; MAYBE falls through
+    to the exact dictionary, so the answers stay exact — the miss-heavy
+    primary-key lookup shape the reference format targets."""
+    from ..bloom import build_bloom_index
+
+    idx = index_dir_for(sf_dir)
+    build_bloom_index(idx)
+    r = IndexReader(idx)
+    dfs = [int(r.df(t)) for t in TERM_EXISTS_PROBES]
+    return pa.table({
+        "term": pa.array(TERM_EXISTS_PROBES, pa.string()),
+        "present": pa.array([d > 0 for d in dfs], pa.bool_()),
+        "df": pa.array(dfs, pa.int64())})
+
+
+def oracle_term_exists_sql() -> str:
+    vals = ", ".join(f"('{t}')" for t in TERM_EXISTS_PROBES)
+    return f"""WITH {_CORPUS_CTE},
+probes AS (SELECT * FROM (VALUES {vals}) p(term))
+SELECT p.term,
+       coalesce(d.df, 0) > 0 AS present,
+       CAST(coalesce(d.df, 0) AS BIGINT) AS df
+FROM probes p LEFT JOIN df d USING (term)"""

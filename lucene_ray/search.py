@@ -124,6 +124,15 @@ class IndexReader:
         # filter doc-set cache (LRUQueryCache role); lives and dies with
         # this reader, which pins one commit
         self.query_cache = QueryCache()
+        # bloom term-existence gate (BloomFilteringPostingsFormat role);
+        # loaded lazily, ignored unless built for THIS manifest version
+        self._bloom = None
+
+    def _bloom_gate(self):
+        if self._bloom is None:
+            from .bloom import BloomGate
+            self._bloom = BloomGate(self.index_dir, self.manifest.version)
+        return self._bloom if self._bloom.loaded else None
 
     def analyze(self, text: str) -> list[str]:
         """Tokenize query text with this index's full analysis chain
@@ -187,6 +196,9 @@ class IndexReader:
         (blocktree per-term stats, ...TermsWriter.java:800) without
         materializing encoded postings."""
         tb = zlib.crc32(term.encode()) % self.T
+        g = self._bloom_gate()
+        if g is not None and not g.maybe_contains(tb, term):
+            return 0                     # bloom NO is exact
         df = 0
         for tbl in self._load_bucket(tb):
             if isinstance(tbl, str):
@@ -224,6 +236,9 @@ class IndexReader:
 
     def _postings_uncached(self, term: str) -> TermPostings | None:
         tb = zlib.crc32(term.encode()) % self.T
+        g = self._bloom_gate()
+        if g is not None and not g.maybe_contains(tb, term):
+            return None                  # bloom NO: zero partition IO
         rows = []
         for tbl in self._load_bucket(tb):
             if isinstance(tbl, str):
