@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 120 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (112 of 120). Omitted
+  + the §8 round-2/3/4 additions; 121 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (113 of 121). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` / ``video_frame_sample``
   (binary codec decode / frame seek),
@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase_prefix": ft.ft_phrase_prefix,
         "ft_diversified_topk": ft.ft_diversified_topk,
         "ft_term_exists": ft.ft_term_exists,
+        "ft_sweetspot": ft.ft_sweetspot,
     }
     try:
         from lucene_ray.pipelines import ann as _ann
@@ -270,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_prefix": ft.oracle_phrase_prefix_sql(),
         "ft_diversified_topk": ft.oracle_diversified_topk_sql(),
         "ft_term_exists": ft.oracle_term_exists_sql(),
+        "ft_sweetspot": ft.oracle_sweetspot_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, classify, dedup, relational,

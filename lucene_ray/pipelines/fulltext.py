@@ -4195,3 +4195,93 @@ SELECT p.term,
        coalesce(d.df, 0) > 0 AS present,
        CAST(coalesce(d.df, 0) AS BIGINT) AS df
 FROM probes p LEFT JOIN df d USING (term)"""
+
+
+# ---------------------------------------------------------------------------
+# SweetSpotSimilarity ranking (pluggable-similarity surface)
+
+SWEETSPOT_QUERIES = [(1, ["data", "value", "table"]),
+                     (2, ["return", "key"]),
+                     (3, ["the", "part", "vector"])]
+SWEETSPOT_K = 10
+
+
+def ft_sweetspot(sf_dir: str) -> pa.Table:
+    """Top-k under SweetSpotSimilarity (misc/SweetSpotSimilarity.java:36
+    over the TFIDFSimilarity.java:436 scorer mechanics) — the pluggable
+    Similarity surface exercised with a non-BM25 model: sqrt tf, classic
+    idf, flat sweet-spot length norm from the SAME stored norm bytes.
+    Clause scores sum in float64 and round once to float32, the engine's
+    BM25 clause-sum discipline."""
+    from ..codec import decode_blocks
+    from ..sweetspot import idf_classic, norm_table, score_terms
+
+    r = reader_for(sf_dir)
+    nt = norm_table()
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, terms in SWEETSPOT_QUERIES:
+        dl, sl = [], []
+        for t in terms:
+            p = r.postings(t)
+            if p is None:
+                continue
+            d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                         p.tfs_enc, p.norms_enc)
+            s = score_terms(tf, nm, idf_classic(p.df, r.doc_count), nt)
+            lm = r.live_mask(d)
+            if lm is not None:
+                d, s = d[lm], s[lm]
+            dl.append(d)
+            sl.append(s)
+        if not dl:
+            continue
+        alld = np.concatenate(dl)
+        alls = np.concatenate(sl).astype(np.float64)
+        uniq, inv = np.unique(alld, return_inverse=True)
+        tot = np.bincount(inv, weights=alls).astype(np.float32)
+        order = np.lexsort((uniq, -tot.astype(np.float64)))
+        for rank, i in enumerate(order[:SWEETSPOT_K], 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(int(uniq[i]))
+            scores.append(float(tot[i]))
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "score": pa.array(scores, pa.float32())})
+
+
+def oracle_sweetspot_sql() -> str:
+    from ..sweetspot import LN_MAX, LN_MIN, norm_table
+
+    nt0 = float(norm_table()[0])
+    span = LN_MAX - LN_MIN
+    norm_expr = f"""CASE WHEN q.qlen = 0 THEN CAST({nt0!r} AS REAL)
+      ELSE CAST(1.0 / sqrt(CAST(CAST(
+        CAST(CAST(0.5 AS REAL) *
+             CAST(abs(q.qlen - {LN_MIN}) + abs(q.qlen - {LN_MAX})
+                  - {span} AS REAL) AS REAL)
+        + CAST(1.0 AS REAL) AS REAL) AS DOUBLE)) AS REAL) END"""
+    idf_expr = """CAST(ln(((SELECT n_docs FROM stats) + 1)
+                   / CAST(f.df + 1 AS DOUBLE)) + 1.0 AS REAL)"""
+    s_expr = f"""CAST(CAST(CAST(sqrt(CAST(t.tf AS DOUBLE)) AS REAL)
+      * {idf_expr} AS REAL) * ({norm_expr}) AS REAL)"""
+    parts = []
+    for qid, terms in SWEETSPOT_QUERIES:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        parts.append(f"""(
+  SELECT {qid} AS qid,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+           AS rank,
+         doc_id, score
+  FROM (
+    SELECT d AS doc_id, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+    FROM (
+      SELECT t.d, {s_expr} AS s
+      FROM tf t JOIN df f ON f.term = t.term
+      JOIN quant q ON q.d = t.d
+      WHERE t.term IN ({tl})
+    ) GROUP BY d
+  ) ORDER BY score DESC, doc_id LIMIT {SWEETSPOT_K})""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"WITH {_CORPUS_CTE},\n{_QUANT_LEN}\n{un}"

@@ -95,3 +95,25 @@ def test_length_table():
                                   np.arange(NUM_FREE_VALUES, dtype=np.float32))
     # Java assigns the int to a float → float32 rounding, same as np.float32
     assert LENGTH_TABLE[255] == np.float32(_java_byte4_to_int(255))
+
+
+def test_sweetspot_length_norm_plateau():
+    """SweetSpotSimilarity.lengthNorm: exactly 1.0 inside [min, max]
+    (the sweet spot), strictly decreasing outside, and the norm table
+    wires normTable[0] = 1/normTable[255]
+    (TFIDFSimilarity.java:442-447)."""
+    import numpy as np
+
+    from lucene_ray.sweetspot import (LN_MAX, LN_MIN, length_norm,
+                                      norm_table)
+
+    for x in range(LN_MIN, LN_MAX + 1):
+        assert length_norm(x) == np.float32(1.0)
+    assert length_norm(LN_MIN - 1) < 1.0 and length_norm(LN_MAX + 1) < 1.0
+    assert length_norm(100) < length_norm(50) < length_norm(9)
+    nt = norm_table()
+    assert nt[0] == np.float32(1.0) / nt[255]
+    # degraded form sanity: steep*(|x-l|+|x-h|-(h-l))+1 at x=18 is
+    # 0.5*(15+10-5)+1 = 11 → 1/sqrt(11)
+    import math
+    assert length_norm(18) == np.float32(1.0 / math.sqrt(11.0))
