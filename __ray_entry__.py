@@ -7,11 +7,13 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 121 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (113 of 121). Omitted
+  + the §8 round-2/3/4 additions; 123 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (113 of 123). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` / ``video_frame_sample``
   (binary codec decode / frame seek),
+  ``bpe_train`` / ``bpe_token_count`` (iterative merge learning; the
+  merge sequence is pytest-pinned to the published Sennrich example),
   ``doc_fingerprint`` / ``dedup_simhash`` / ``dedup_simhash_pairs`` /
   ``dedup_minhash_lsh`` (blake2b-seeded signatures),
   ``embedding_neardup_lsh`` (approximate by design; recall asserted in
@@ -61,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     try:
         from lucene_ray.pipelines import ann as _ann
+        from lucene_ray.pipelines import bpe as _bpe
         from lucene_ray.pipelines import classify as _cls
         from lucene_ray.pipelines import dedup as _dd
         from lucene_ray.pipelines import relational as _rel
@@ -73,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_lag_delta": _tp.events_lag_delta,
             "join_range_orders": _tp.join_range_orders,
             "dsir_importance": _ts.dsir_importance,
+            "bpe_train": _bpe.bpe_train,
+            "bpe_token_count": _bpe.bpe_token_count,
             "agg_lineitem_pricing": _rel.agg_lineitem_pricing,
             "agg_facet_taxonomy": _rel.agg_facet_taxonomy,
             "agg_grouping_topk": _rel.agg_grouping_topk,

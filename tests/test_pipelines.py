@@ -1638,3 +1638,49 @@ def test_diversified_topk_cap_binding(ray_session):
     qid, terms, k = DIVERSIFY_QUERIES[2]
     td = search_terms_scored(r, terms, k)
     assert len(td.doc_ids) == k          # enough hits for the contrast
+
+
+def test_bpe_train_sennrich_example(ray_session, tmp_path):
+    """Hand-computed merges for the Sennrich et al. 2016 §3.2 example
+    vocabulary {low:5, lower:2, newest:6, widest:3}: the pair counts,
+    the lexicographic tie-breaks and the apply order are all pinned."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.bpe import bpe_train, segment_word
+
+    # one word per doc repetition keeps the word-frequency table exact
+    texts = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(sf / "documents.parquet"))
+
+    mt = bpe_train(str(sf), n_merges=5).to_pylist()
+    got = [(m["left"], m["right"], m["pair_count"]) for m in mt]
+    assert got == [("e", "s", 9), ("es", "t", 9), ("est", "</w>", 9),
+                   ("l", "o", 7), ("lo", "w", 7)]
+    ranks = {(m["left"], m["right"]): m["rank"] for m in mt}
+    assert segment_word("lowest", ranks) == ["low", "est</w>"]
+    assert segment_word("newest", ranks) == ["n", "e", "w", "est</w>"]
+    assert segment_word("low", ranks) == ["low", "</w>"]
+
+
+def test_bpe_token_count_compresses(ray_session):
+    """On the sf corpus the trained tokenizer must strictly compress
+    character count toward word count: n_words <= n_bpe_tokens <= chars,
+    and total bpe tokens < total chars+words (merges fired)."""
+    from lucene_ray.pipelines.bpe import bpe_token_count
+
+    got = bpe_token_count("/root/testdata/sf0.001").to_pandas()
+    assert len(got) == 500
+    assert (got["n_bpe_tokens"] >= got["n_words"]).all()
+    # chars+EOW per word is the no-merge ceiling; training must beat it
+    import duckdb
+    tot = duckdb.sql(
+        "select sum(len(replace(text,' ',''))) + sum(len(string_split(text,' ')))"
+        " from read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()[0]
+    assert got["n_bpe_tokens"].sum() < tot
