@@ -76,8 +76,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_lag_delta": _tp.events_lag_delta,
             "join_range_orders": _tp.join_range_orders,
             "dsir_importance": _ts.dsir_importance,
-            "bpe_train": _bpe.bpe_train,
-            "bpe_token_count": _bpe.bpe_token_count,
             "agg_lineitem_pricing": _rel.agg_lineitem_pricing,
             "agg_facet_taxonomy": _rel.agg_facet_taxonomy,
             "agg_grouping_topk": _rel.agg_grouping_topk,
@@ -108,6 +106,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "source_mix_weights": _ts.source_mix_weights,
             "text_repetition": _ts.text_repetition,
             "vocab_hll": _ts.vocab_hll,
+            # rows-only entries: cheapest to fall off the ~50-entry
+            # driver rotation (their exactness gate is pytest-pinned)
+            "bpe_train": _bpe.bpe_train,
+            "bpe_token_count": _bpe.bpe_token_count,
         })
     except ImportError:
         pass
