@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 123 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (113 of 123). Omitted
+  + the §8 round-2/3/4 additions; 124 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (114 of 124). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` / ``video_frame_sample``
   (binary codec decode / frame seek),
@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_diversified_topk": ft.ft_diversified_topk,
         "ft_term_exists": ft.ft_term_exists,
         "ft_sweetspot": ft.ft_sweetspot,
+        "ft_common_terms": ft.ft_common_terms,
     }
     try:
         from lucene_ray.pipelines import ann as _ann
@@ -279,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_diversified_topk": ft.oracle_diversified_topk_sql(),
         "ft_term_exists": ft.oracle_term_exists_sql(),
         "ft_sweetspot": ft.oracle_sweetspot_sql(),
+        "ft_common_terms": ft.oracle_common_terms_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, classify, dedup, relational,

@@ -4285,3 +4285,109 @@ def oracle_sweetspot_sql() -> str:
   ) ORDER BY score DESC, doc_id LIMIT {SWEETSPOT_K})""")
     un = "\nUNION ALL\n".join(parts)
     return f"WITH {_CORPUS_CTE},\n{_QUANT_LEN}\n{un}"
+
+
+# ---------------------------------------------------------------------------
+# CommonTermsQuery (df-adaptive MUST/SHOULD split)
+
+COMMON_TERMS_QUERIES = [(1, ["dup", "the", "data"]),
+                        (2, ["dup", "value"]),
+                        (3, ["the", "a"]),
+                        (4, ["dup", "zzmissing"])]
+COMMON_MAX_TF = 0.125          # exact binary fraction: no float hazard
+COMMON_K = 10
+
+
+def ft_common_terms(sf_dir: str) -> pa.Table:
+    """CommonTermsQuery
+    (queries/src/java/org/apache/lucene/queries/CommonTermsQuery.java:80,
+    buildQuery df split at ``docFreq > ceil(maxTermFrequency * maxDoc)``):
+    low-frequency terms become scoring MUST clauses, high-frequency terms
+    scoring SHOULD clauses — the stopword-free way to keep "the" from
+    driving the match set while still letting it contribute score. A
+    query term absent from the index is low-frequency (termStates ==
+    null), so its MUST clause empties the result. Clause sums follow the
+    engine's float64-accumulate / float32-round discipline."""
+    import math
+
+    from ..codec import decode_blocks
+    from ..search import Scorers, search_boolean
+
+    r = reader_for(sf_dir)
+    cutoff = math.ceil(COMMON_MAX_TF * r.doc_count)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, terms in COMMON_TERMS_QUERIES:
+        low = [t for t in terms if r.df(t) <= cutoff]
+        must = search_boolean(r, must=low) if low else None
+        if must is not None and len(must) == 0:
+            continue                      # a MUST term matches nothing
+        sc = Scorers(r, terms)
+        dl, sl = [], []
+        for t in terms:
+            p = sc.postings.get(t)
+            if p is None:
+                continue
+            d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                         p.tfs_enc, p.norms_enc)
+            s = sc.sim[t].score(tf, nm)
+            lm = r.live_mask(d)
+            if lm is not None:
+                d, s = d[lm], s[lm]
+            dl.append(d)
+            sl.append(s)
+        if not dl:
+            continue
+        alld = np.concatenate(dl)
+        alls = np.concatenate(sl).astype(np.float64)
+        uniq, inv = np.unique(alld, return_inverse=True)
+        tot = np.bincount(inv, weights=alls).astype(np.float32)
+        if must is not None:
+            keep = np.isin(uniq, must, assume_unique=True)
+            uniq, tot = uniq[keep], tot[keep]
+        order = np.lexsort((uniq, -tot.astype(np.float64)))
+        for rank, i in enumerate(order[:COMMON_K], 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(int(uniq[i]))
+            scores.append(float(tot[i]))
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "score": pa.array(scores, pa.float32())})
+
+
+def oracle_common_terms_sql() -> str:
+    parts = []
+    for qid, terms in COMMON_TERMS_QUERIES:
+        tl = ", ".join(f"('{t}')" for t in terms)
+        parts.append(f"""(
+  WITH qterms_{qid} AS (SELECT * FROM (VALUES {tl}) v(term)),
+  low_{qid} AS (
+    SELECT q.term FROM qterms_{qid} q LEFT JOIN df f USING (term)
+    WHERE coalesce(f.df, 0) <=
+          CAST(ceil({COMMON_MAX_TF} * (SELECT n_docs FROM stats))
+               AS BIGINT)
+  ),
+  ok_{qid} AS (
+    SELECT t.d FROM tf t JOIN low_{qid} l ON l.term = t.term
+    GROUP BY t.d
+    HAVING count(DISTINCT t.term) = (SELECT count(*) FROM low_{qid})
+  )
+  SELECT {qid} AS qid,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+           AS rank,
+         doc_id, score
+  FROM (
+    SELECT s.d AS doc_id, CAST(sum(CAST(s.s AS DOUBLE)) AS REAL) AS score
+    FROM (
+      SELECT t.d, {_SCORE_EXPR} AS s
+      FROM tf t JOIN df f ON f.term = t.term
+      JOIN quant q ON q.d = t.d
+      JOIN qterms_{qid} qt ON qt.term = t.term
+    ) s
+    WHERE (SELECT count(*) FROM low_{qid}) = 0
+       OR s.d IN (SELECT d FROM ok_{qid})
+    GROUP BY s.d
+  ) ORDER BY score DESC, doc_id LIMIT {COMMON_K})""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"WITH {_CORPUS_CTE},\n{_QUANT_LEN}\n{un}"

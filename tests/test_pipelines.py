@@ -1684,3 +1684,27 @@ def test_bpe_token_count_compresses(ray_session):
         " from read_parquet('/root/testdata/sf0.001/documents.parquet')"
     ).fetchone()[0]
     assert got["n_bpe_tokens"].sum() < tot
+
+
+def test_common_terms_must_semantics(ray_session):
+    """CommonTermsQuery semantics: every hit of a query with a
+    low-frequency term contains that term; a query whose low-frequency
+    term is absent from the index returns nothing; an all-high query
+    is a plain disjunction (hits need not contain any specific term)."""
+    import numpy as np
+
+    from lucene_ray.pipelines.fulltext import (COMMON_TERMS_QUERIES,
+                                               ft_common_terms, reader_for)
+    from lucene_ray.search import _term_docset
+
+    sf = "/root/testdata/sf0.001"
+    got = ft_common_terms(sf).to_pandas()
+    r = reader_for(sf)
+    dup_docs = _term_docset(r, "dup")
+    for qid in (1, 2):
+        hits = got.loc[got["qid"] == qid, "doc_id"].to_numpy()
+        assert len(hits) > 0
+        assert np.isin(hits, dup_docs).all()
+    assert (got["qid"] == 4).sum() == 0          # zzmissing MUST: empty
+    q3 = got.loc[got["qid"] == 3, "doc_id"].to_numpy()
+    assert len(q3) == 10                          # plain disjunction
