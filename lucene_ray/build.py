@@ -1806,3 +1806,46 @@ def repair_postings(index_dir: str) -> dict:
         repaired.append(part)
     save_manifest(index_dir, m)
     return {"checked": n_checked, "repaired": repaired, "ok": True}
+
+
+def split_index(index_dir: str, out_lo: str, out_hi: str,
+                split_doc: int) -> tuple[IndexManifest, IndexManifest]:
+    """Split one index into two complete standalone indexes by a docID
+    predicate — the PKIndexSplitter role
+    (misc/src/java/org/apache/lucene/misc/index/PKIndexSplitter.java:42;
+    split() at :102-129 wraps every leaf in complementary
+    DocumentFilteredLeafIndexReaders and addIndexes them). Here each side
+    is a copy carrying the complementary tombstone set, then expunge
+    compaction (the merge applying liveDocs) squeezes dropped docs out of
+    postings/docmeta/stats — the same filter-then-merge shape, built on
+    machinery that is already scale- and crash-safe. DocIDs keep their
+    original values, so ``add_indexes`` can losslessly reunite the halves
+    (doc ranges stay disjoint).
+
+    ``out_lo`` gets docs with doc_id < split_doc, ``out_hi`` the rest.
+    Snapshots do not transfer (a split copy starts a fresh lineage, and
+    expunge refuses to run under pinned commits)."""
+    import shutil
+
+    import ray.data
+
+    for out in (out_lo, out_hi):
+        if os.path.exists(out):
+            raise FileExistsError(out)
+    results = []
+    for out, keep_lo in ((out_lo, True), (out_hi, False)):
+        shutil.copytree(index_dir, out)
+        shutil.rmtree(os.path.join(out, "snapshots"), ignore_errors=True)
+        shutil.rmtree(os.path.join(out, "bloom"), ignore_errors=True)
+        ds = ray.data.read_parquet(os.path.join(out, "docmeta"),
+                                   columns=["doc_id"])
+
+        def drop(batch: pa.Table, lo=keep_lo) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            m = ids >= split_doc if lo else ids < split_doc
+            return pa.table({"doc_id": pa.array(ids[m], pa.int64())})
+
+        _delete_docs_stream(out, ds.map_batches(drop,
+                                                batch_format="pyarrow"))
+        results.append(compact_index(out, expunge_deletes=True))
+    return results[0], results[1]
