@@ -4391,3 +4391,87 @@ def oracle_common_terms_sql() -> str:
   ) ORDER BY score DESC, doc_id LIMIT {COMMON_K})""")
     un = "\nUNION ALL\n".join(parts)
     return f"WITH {_CORPUS_CTE},\n{_QUANT_LEN}\n{un}"
+
+
+# ---------------------------------------------------------------------------
+# Phonetic matching (analysis/phonetic PhoneticFilter + Soundex)
+
+PHONETIC_PROBES = ["dupp", "vallue", "tabel", "ky", "dta", "agge",
+                   "return"]
+
+
+def _soundex_ctes(src: str, n: str) -> str:
+    """CTE chain computing commons-codec Soundex for a (term) relation —
+    the collapse step is a LAG window (RE2 has no backreferences)."""
+    return f"""{n}0 AS (
+  SELECT term, lower(regexp_replace(term, '[^a-zA-Z]', '', 'g')) AS u
+  FROM {src}
+),
+{n}1 AS (
+  SELECT term, u,
+         translate(replace(replace(u, 'h', ''), 'w', ''),
+                   'abcdefgijklmnopqrstuvxyz',
+                   '012301202245501262301202') AS body
+  FROM {n}0
+),
+{n}2 AS (
+  SELECT term, u, i, substr(body, CAST(i AS INT), 1) AS c
+  FROM {n}1, UNNEST(range(1, len(body) + 1)) r(i)
+),
+{n}3 AS (
+  SELECT term, u, i, c,
+         lag(c) OVER (PARTITION BY term ORDER BY i) AS p
+  FROM {n}2
+),
+{n}4 AS (
+  SELECT term, u, string_agg(c, '' ORDER BY i) AS d
+  FROM {n}3 WHERE p IS NULL OR c <> p GROUP BY term, u
+),
+{n} AS (
+  SELECT z.term,
+         CASE WHEN z.u = '' THEN ''
+              ELSE substr(z.u, 1, 1) || substr(
+                replace(CASE WHEN substr(z.u, 1, 1) IN ('h', 'w')
+                             THEN coalesce(g.d, '')
+                             ELSE substr(coalesce(g.d, ''), 2) END,
+                        '0', '') || '000', 1, 3)
+         END AS sx
+  FROM {n}0 z LEFT JOIN {n}4 g ON g.term = z.term
+)"""
+
+
+def ft_phonetic(sf_dir: str) -> pa.Table:
+    """Phonetic term matching (analysis/phonetic/PhoneticFilter.java:33
+    with commons-codec US Soundex semantics): for each misspelled probe,
+    the dictionary terms sharing its Soundex code, with df — the
+    name/typo-tolerant lookup the phonetic filters index for. Engine
+    side encodes only the (Heaps-small) dictionary, vocab-level."""
+    from ..phonetic import soundex
+
+    r = reader_for(sf_dir)
+    t = _content_only(r, termdict_terms(r))
+    terms = t.column("term").to_pylist()
+    dfs = t.column("df").to_pylist()
+    by_code: dict[str, list[tuple[str, int]]] = {}
+    for tm, df in zip(terms, dfs):
+        by_code.setdefault(soundex(tm), []).append((tm, int(df)))
+    probes, match, mdf = [], [], []
+    for p in PHONETIC_PROBES:
+        for tm, df in sorted(by_code.get(soundex(p), [])):
+            probes.append(p)
+            match.append(tm)
+            mdf.append(df)
+    return pa.table({"probe": pa.array(probes, pa.string()),
+                     "term": pa.array(match, pa.string()),
+                     "df": pa.array(mdf, pa.int64())})
+
+
+def oracle_phonetic_sql() -> str:
+    vals = ", ".join(f"('{p}')" for p in PHONETIC_PROBES)
+    return f"""WITH {_CORPUS_CTE},
+probes AS (SELECT * FROM (VALUES {vals}) v(term)),
+{_soundex_ctes('probes', 'psx')},
+{_soundex_ctes('df', 'dsx')}
+SELECT p.term AS probe, d.term AS term, f.df
+FROM psx p JOIN dsx d ON d.sx = p.sx
+JOIN df f ON f.term = d.term"""

@@ -352,3 +352,27 @@ def test_index_time_cjk_analyzer(tmp_path, ray_session):
     # lone ideograph in doc 1 ("北京" run of 2 → one bigram)
     p = r.postings("北京")
     assert p is not None and int(p.n.sum()) == 2   # docs 0 and 1
+
+
+def test_soundex_commons_codec_vectors():
+    """Published commons-codec SoundexTest vectors (the encoder
+    PhoneticFilter delegates to), incl. the H/W-transparency pairs
+    (Ashcraft/Ashcroft, BARHAM/BARONE/BARRON), the first-letter-merge
+    case (Pfister) and the vowel-reset case (over)."""
+    from lucene_ray.phonetic import soundex
+
+    vecs = {"Robert": "r163", "Rupert": "r163", "Ashcraft": "a261",
+            "Ashcroft": "a261", "Tymczak": "t522", "Pfister": "p236",
+            "Honeyman": "h555", "Testing": "t235", "The": "t000",
+            "quick": "q200", "brown": "b650", "fox": "f200",
+            "jumped": "j513", "over": "o160", "lazy": "l200",
+            "dogs": "d200", "Williams": "w452", "BARHAM": "b650",
+            "BARONE": "b650", "BARRON": "b650", "Lukasiewicz": "l222",
+            "Lissajous": "l222", "Dracula": "d624", "Washington": "w252",
+            "Lee": "l000", "Gutierrez": "g362", "Jackson": "j250",
+            "SOLOMON": "s455"}
+    for k, v in vecs.items():
+        assert soundex(k) == v, k
+    assert soundex("") == ""
+    assert soundex("123") == ""
+    assert soundex("o'Brien") == soundex("OBrien")
