@@ -4475,3 +4475,53 @@ probes AS (SELECT * FROM (VALUES {vals}) v(term)),
 SELECT p.term AS probe, d.term AS term, f.df
 FROM psx p JOIN dsx d ON d.sx = p.sx
 JOIN df f ON f.term = d.term"""
+
+
+# ---------------------------------------------------------------------------
+# MultiRangeQuery (OR of numeric ranges in one point-index pass)
+
+MULTI_RANGES = [(1, [(5, 20), (15, 40), (80, 95)]),
+                (2, [(0, 10), (60, 65), (64, 70)]),
+                (3, [(100, 120), (30, 31)])]
+
+
+def ft_multi_range(sf_dir: str) -> pa.Table:
+    """MultiRangeQuery (sandbox/search/MultiRangeQuery.java:49; its
+    rewrite at :172 sorts and coalesces overlapping ranges before one
+    tree pass): docs whose field_len lies in ANY [lo, hi) range.
+    Overlapping/adjacent ranges merge first, so each point-index file /
+    row group is pruned and decoded at most once per disjunct — the
+    IO-shape win the sandbox query exists for."""
+    from ..points import ensure_numeric_index, numeric_range
+
+    idx = index_dir_for(sf_dir)
+    ensure_numeric_index(idx, "field_len")
+    qids, docs = [], []
+    for qid, ranges in MULTI_RANGES:
+        merged: list[list[int]] = []
+        for lo, hi in sorted(ranges):
+            if merged and lo <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        parts = [numeric_range(idx, "field_len", lo, hi)[0]
+                 for lo, hi in merged]
+        d = np.unique(np.concatenate(parts)) if parts else \
+            np.empty(0, np.int64)
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def oracle_multi_range_sql() -> str:
+    rows = []
+    for qid, ranges in MULTI_RANGES:
+        # deliberately the UN-merged ranges: equality proves the
+        # coalescing rewrite is semantics-preserving
+        pred = " OR ".join(f"(len >= {lo} AND len < {hi})"
+                           for lo, hi in ranges)
+        rows.append(f"SELECT DISTINCT {qid} AS qid, d AS doc_id FROM dl "
+                    f"WHERE {pred}")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE}\n{un}"
