@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 126 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (116 of 126). Omitted
+  + the §8 round-2/3/4 additions; 127 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (117 of 127). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` / ``video_frame_sample``
   (binary codec decode / frame seek),
@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_common_terms": ft.ft_common_terms,
         "ft_phonetic": ft.ft_phonetic,
         "ft_multi_range": ft.ft_multi_range,
+        "ft_dv_stats": ft.ft_dv_stats,
     }
     try:
         from lucene_ray.pipelines import ann as _ann
@@ -285,6 +286,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_common_terms": ft.oracle_common_terms_sql(),
         "ft_phonetic": ft.oracle_phonetic_sql(),
         "ft_multi_range": ft.oracle_multi_range_sql(),
+        "ft_dv_stats": ft.oracle_dv_stats_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, classify, dedup, relational,

@@ -4525,3 +4525,67 @@ def oracle_multi_range_sql() -> str:
                     f"WHERE {pred}")
     un = "\nUNION ALL\n".join(rows)
     return f"WITH {_CORPUS_CTE}\n{un}"
+
+
+# ---------------------------------------------------------------------------
+# DocValuesStats (numeric docvalue statistics collector)
+
+def ft_dv_stats(sf_dir: str) -> pa.Table:
+    """Numeric docvalues statistics
+    (misc/src/java/org/apache/lucene/misc/search/DocValuesStats.java:104,
+    DocValuesStatsCollector.java:29) over field_len: count, missing,
+    min, max, sum, mean, population variance. The reference accumulates
+    mean/variance online (Welford); distributed here as exact integer
+    moment partials (sum, sum of squares) per batch + one tiny combine —
+    mean and variance become single divisions on exact integers, so the
+    float result is engine-independent: mean = sum/n (one double div →
+    REAL), var = (sumsq - sum²/n)/n in doubles from exact int64 moments
+    (at 100-TB moment scale the partials widen to float128/hugeint —
+    same shape, noted here)."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    idx = index_dir_for(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(idx, "docmeta"),
+                               columns=["field_len"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        v = batch.column("field_len").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(v)], pa.int64()),
+            "mn": pa.array([int(v.min()) if len(v) else 0], pa.int64()),
+            "mx": pa.array([int(v.max()) if len(v) else 0], pa.int64()),
+            "s": pa.array([int(v.sum())], pa.int64()),
+            "sq": pa.array([int((v * v).sum())], pa.int64())})
+
+    agg = (ds.map_batches(moments, batch_format="pyarrow")
+           .aggregate(Sum("n"), Min("mn"), Max("mx"), Sum("s"),
+                      Sum("sq")))
+    n = int(agg["sum(n)"] or 0)
+    s = int(agg["sum(s)"] or 0)
+    sq = int(agg["sum(sq)"] or 0)
+    mean = np.float32(s / n) if n else np.float32(0.0)
+    var = np.float32((sq - s * s / n) / n) if n else np.float32(0.0)
+    return pa.table({
+        "count": pa.array([n], pa.int64()),
+        "missing": pa.array([0], pa.int64()),
+        "vmin": pa.array([int(agg["min(mn)"] or 0)], pa.int64()),
+        "vmax": pa.array([int(agg["max(mx)"] or 0)], pa.int64()),
+        "vsum": pa.array([s], pa.int64()),
+        "mean": pa.array([mean], pa.float32()),
+        "variance": pa.array([var], pa.float32())})
+
+
+def oracle_dv_stats_sql() -> str:
+    return f"""WITH {_CORPUS_CTE}
+SELECT count(*) AS count,
+       CAST(0 AS BIGINT) AS missing,
+       min(len) AS vmin,
+       max(len) AS vmax,
+       CAST(sum(len) AS BIGINT) AS vsum,
+       CAST(CAST(sum(len) AS DOUBLE) / count(*) AS REAL) AS mean,
+       CAST((CAST(sum(len * len) AS DOUBLE)
+             - CAST(sum(len) AS DOUBLE) * sum(len) / count(*))
+            / count(*) AS REAL) AS variance
+FROM dl"""
