@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # order.  Entries that do not yet have a driver-green CORRECTNESS row
     # enumerate FIRST so the rotation reaches them (VERDICT r3 item 1).
     q: dict[str, Callable[[str], Any]] = {
+        "ft_suggest_freetext": ft.ft_suggest_freetext,
         "ft_combined_field": ft.ft_combined_field,
         "ft_synonym_graph": ft.ft_synonym_graph,
         "ft_spell": ft.ft_spell,
@@ -287,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_phonetic": ft.oracle_phonetic_sql(),
         "ft_multi_range": ft.oracle_multi_range_sql(),
         "ft_dv_stats": ft.oracle_dv_stats_sql(),
+        "ft_suggest_freetext": ft.oracle_suggest_freetext_sql(),
     }
     try:
         from lucene_ray.pipelines import (ann, classify, dedup, relational,

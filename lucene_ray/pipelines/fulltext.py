@@ -4589,3 +4589,190 @@ SELECT count(*) AS count,
              - CAST(sum(len) AS DOUBLE) * sum(len) / count(*))
             / count(*) AS REAL) AS variance
 FROM dl"""
+
+
+# ---------------------------------------------------------------------------
+# FreeTextSuggester — n-gram "stupid backoff" LM suggester
+# (suggest/analyzing/FreeTextSuggester.java:105)
+
+_FT_ALPHA = 0.4  # FreeTextSuggester.java:126 ALPHA (Brants et al. 2007)
+
+# (key, num); a trailing space is the reference's "lastTokenEnded"
+# upgrade (FreeTextSuggester.java:505-521): the last full token becomes
+# pure context and the unigram level is disabled.
+FREETEXT_QUERIES: list[tuple[str, int]] = [
+    ("hash j", 4),
+    ("the ", 5),
+    ("merge s", 4),
+    ("key", 3),
+    ("zzmissing q", 3),
+]
+
+
+def _freetext_parse(key: str) -> tuple[str | None, str, str | None]:
+    """(bigram context word | None, bigram completion prefix, unigram
+    prefix | None) — the lastTokens construction of
+    FreeTextSuggester.lookup (FreeTextSuggester.java:478-521)."""
+    ended = key.endswith(" ")
+    toks = [t for t in key.split(" ") if t]
+    if ended:
+        return toks[-1], "", None
+    if len(toks) >= 2:
+        return toks[-2], toks[-1], toks[-1]
+    return None, "", toks[-1]
+
+
+def _context_bigram_counts(sf_dir: str, ctx_words: list[str]) -> pa.Table:
+    """Bigram-model slice rooted at the query context words: per-batch
+    vectorized bigram formation + partial counts with the first-word
+    selection pushed BELOW the shuffle, then one small groupby — at
+    100 TB only context-rooted (bigram, partial_count) rows move."""
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+    ctx = sorted(set(ctx_words))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..analysis import analyze_batch
+        empty = pa.table({"bigram": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        toks, owners, _, _ = analyze_batch(batch.column("text").to_pylist())
+        t = toks.combine_chunks() if hasattr(toks, "combine_chunks") \
+            else toks
+        if len(t) < 2:
+            return empty
+        left = t.slice(0, len(t) - 1)
+        right = t.slice(1)
+        keep = pc.and_(pc.is_in(left, value_set=pa.array(ctx, pa.string())),
+                       pa.array(owners[:-1] == owners[1:]))
+        pairs = pc.binary_join_element_wise(left, right, " ").filter(keep)
+        if len(pairs) == 0:
+            return empty
+        vc = pairs.value_counts()
+        return pa.table({"bigram": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("bigram").sum("cnt"))
+    out = agg.to_pandas()  # bounded: bigrams rooted at a few context words
+    return pa.table({"bigram": pa.array(out["bigram"], pa.string()),
+                     "cnt": pa.array(out["sum(cnt)"], pa.int64())})
+
+
+def ft_suggest_freetext(sf_dir: str) -> pa.Table:
+    """FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java:105):
+    bigram stupid-backoff language model. The bigram model is the
+    distributed shingle-count pipeline sliced to the query contexts; the
+    unigram model is the index term dictionary (count = ttf, totTokens =
+    sum_ttf). Per level: top-num completions by (count desc, token asc)
+    with separator-free extension; a last token suggested by a
+    higher-order model is skipped below it (the ``seen`` set,
+    FreeTextSuggester.java:644-686); a missing OR attempted higher-order
+    level multiplies backoff by ALPHA before the next level
+    (FreeTextSuggester.java:569,702). Final order (score desc, key asc),
+    score = backoff * count / contextCount — the reference's value before
+    its Long.MAX_VALUE fixed-point scaling."""
+    r = reader_for(sf_dir)
+    tot = float(r.sum_ttf)
+    parsed = {key: _freetext_parse(key) for key, _ in FREETEXT_QUERIES}
+    ctx_words = sorted({p[0] for p in parsed.values() if p[0] is not None})
+    bg: dict[tuple[str, str], int] = {}
+    ctx_cnt: dict[str, int] = {}
+    if ctx_words:
+        t = _context_bigram_counts(sf_dir, ctx_words)
+        for big, cnt in zip(t.column("bigram").to_pylist(),
+                            t.column("cnt").to_pylist()):
+            w1, w2 = big.split(" ")
+            bg[(w1, w2)] = int(cnt)
+        ut = _content_only(r, termdict_scan(r, terms=ctx_words))
+        ctx_cnt = {tm: int(c) for tm, c in
+                   zip(ut.column("term").to_pylist(),
+                       ut.column("ttf").to_pylist())}
+    out_q, out_rank, out_key, out_score = [], [], [], []
+    for key, num in FREETEXT_QUERIES:
+        ctx, pref, uni_pref = parsed[key]
+        results: list[tuple[str, float]] = []
+        seen: set[str] = set()
+        backoff = 1.0
+        if ctx is not None:
+            cands = sorted(((w2, c) for (w1, w2), c in bg.items()
+                            if w1 == ctx and w2.startswith(pref)),
+                           key=lambda x: (-x[1], x[0]))[:num]
+            for w2, c in cands:
+                seen.add(w2)
+                results.append((f"{ctx} {w2}",
+                                backoff * float(c) / float(ctx_cnt[ctx])))
+            backoff *= _FT_ALPHA
+        if uni_pref is not None:
+            ut = _content_only(r, termdict_scan(r, prefix=uni_pref))
+            ucands = sorted(
+                ((tm, int(c)) for tm, c in
+                 zip(ut.column("term").to_pylist(),
+                     ut.column("ttf").to_pylist()) if tm not in seen),
+                key=lambda x: (-x[1], x[0]))[:num]
+            for tm, c in ucands:
+                results.append((tm, backoff * float(c) / tot))
+        results.sort(key=lambda x: (-x[1], x[0]))
+        for rank, (k_, s_) in enumerate(results[:num], 1):
+            out_q.append(key)
+            out_rank.append(rank)
+            out_key.append(k_)
+            out_score.append(s_)
+    return pa.table({"q": pa.array(out_q, pa.string()),
+                     "rank": pa.array(out_rank, pa.int64()),
+                     "suggestion": pa.array(out_key, pa.string()),
+                     "score": pa.array(out_score, pa.float64())})
+
+
+def oracle_suggest_freetext_sql() -> str:
+    parts = []
+    for key, num in FREETEXT_QUERIES:
+        ctx, pref, uni_pref = _freetext_parse(key)
+        levels = []
+        lvl2_sel = None
+        if ctx is not None:
+            lvl2_body = f"""SELECT w2,
+             CAST(cnt AS DOUBLE)
+               / (SELECT cnt FROM ug WHERE term = '{ctx}') AS score,
+             row_number() OVER (ORDER BY cnt DESC, w2 ASC) AS rn
+      FROM bg WHERE w1 = '{ctx}' AND w2 LIKE '{pref}%'"""
+            levels.append(f"""    SELECT '{ctx} ' || w2 AS suggestion, score
+    FROM ({lvl2_body}) WHERE rn <= {num}""")
+            lvl2_sel = (f"SELECT w2 FROM ({lvl2_body}) WHERE rn <= {num}")
+        if uni_pref is not None:
+            boff = "0.4 * " if ctx is not None else ""
+            notin = f"\n        AND term NOT IN ({lvl2_sel})" if lvl2_sel \
+                else ""
+            levels.append(f"""    SELECT suggestion, score FROM (
+      SELECT term AS suggestion,
+             ({boff}cnt)
+               / (SELECT CAST(sum_ttf AS DOUBLE) FROM stats) AS score,
+             row_number() OVER (ORDER BY cnt DESC, term ASC) AS rn
+      FROM ug WHERE term LIKE '{uni_pref}%'{notin}
+    ) WHERE rn <= {num}""")
+        un = "\n    UNION ALL\n".join(levels)
+        parts.append(f"""SELECT q, rank, suggestion, score FROM (
+  SELECT '{key}' AS q,
+         row_number() OVER (ORDER BY score DESC, suggestion ASC) AS rank,
+         suggestion, score
+  FROM (
+{un}
+  )
+) WHERE rank <= {num}""")
+    un_all = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+w AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+),
+bg AS (
+  SELECT a.word AS w1, b.word AS w2, count(*) AS cnt
+  FROM w a JOIN w b ON b.d = a.d AND b.pos = a.pos + 1
+  GROUP BY w1, w2
+),
+ug AS (SELECT term, CAST(ttf AS BIGINT) AS cnt FROM df)
+{un_all}"""

@@ -1708,3 +1708,28 @@ def test_common_terms_must_semantics(ray_session):
     assert (got["qid"] == 4).sum() == 0          # zzmissing MUST: empty
     q3 = got.loc[got["qid"] == 3, "doc_id"].to_numpy()
     assert len(q3) == 10                          # plain disjunction
+
+
+def test_freetext_suggester_backoff_structure(ray_session):
+    """FreeTextSuggester semantics (FreeTextSuggester.java:478-702):
+    trailing space upgrades the last token to context; the seen set keeps
+    a lower-order model from re-suggesting a higher-order last token; the
+    stupid-backoff penalty orders bigram hits above unigram fallbacks."""
+    from lucene_ray.pipelines.fulltext import ft_suggest_freetext
+
+    df = ft_suggest_freetext(SF).to_pandas()
+    # "the " (ended): every suggestion is a bigram rooted at "the"
+    ended = df[df["q"] == "the "]
+    assert len(ended) > 0
+    assert all(s.startswith("the ") for s in ended["suggestion"])
+    # "hash j": the bigram completion's last token never reappears as a
+    # unigram suggestion for the same query
+    hj = df[df["q"] == "hash j"]["suggestion"].tolist()
+    lasts = [s.split(" ")[-1] for s in hj if " " in s]
+    unis = [s for s in hj if " " not in s]
+    assert not set(lasts) & set(unis)
+    # ranks are 1..n and scores non-increasing per query
+    for q, grp in df.groupby("q"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert (np.diff(grp["score"].to_numpy()) <= 1e-18).all()
