@@ -40,8 +40,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # The driver verifies a rotation of ~50 entries per round in dict
     # order.  Entries that do not yet have a driver-green CORRECTNESS row
     # enumerate FIRST so the rotation reaches them (VERDICT r3 item 1).
+    from lucene_ray.pipelines import hybrid as _hy
+
     q: dict[str, Callable[[str], Any]] = {
         "ft_suggest_freetext": ft.ft_suggest_freetext,
+        "hybrid_rrf": _hy.hybrid_rrf,
         "ft_combined_field": ft.ft_combined_field,
         "ft_synonym_graph": ft.ft_synonym_graph,
         "ft_spell": ft.ft_spell,
@@ -290,6 +293,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_dv_stats": ft.oracle_dv_stats_sql(),
         "ft_suggest_freetext": ft.oracle_suggest_freetext_sql(),
     }
+    from lucene_ray.pipelines import hybrid as _hy
+    o["hybrid_rrf"] = _hy.oracle_hybrid_rrf_sql()
     try:
         from lucene_ray.pipelines import (ann, classify, dedup, relational,
                                           streaming, temporal, textstats)

@@ -420,17 +420,13 @@ def _query_clauses_values() -> str:
     return ",\n    ".join(rows)
 
 
-def oracle_bm25_sql(with_scores: bool = False) -> str:
-    """Float32 BM25 top-k, rank order (score desc, doc asc) — REAL casts at
-    every arithmetic step reproduce Java float rounding. With
-    ``with_scores`` the REAL score column is emitted too (bit-equal to
-    the engine's float32 — verified at sf0.01)."""
-    cols = "qid, rank, d AS doc_id" + (", score" if with_scores else "")
-    extra = ", score" if with_scores else ""
-    return f"""WITH {_CORPUS_CTE},
-{_QUANT_LEN},
-clauses(qid, clause, term, k) AS (VALUES
-    {_query_clauses_values()}
+def _bm25_chain_cte(clause_values: str) -> str:
+    """The float32 BM25 scoring chain (clauses → scored → totals →
+    ranked) as CTE text over a caller-supplied ``clauses`` VALUES list —
+    shared by :func:`oracle_bm25_sql` and the hybrid-RRF oracle. REAL
+    casts at every arithmetic step reproduce Java float rounding."""
+    return f"""clauses(qid, clause, term, k) AS (VALUES
+    {clause_values}
 ),
 scored AS (
   SELECT c.qid, c.clause, c.k, t.d,
@@ -455,10 +451,20 @@ totals AS (
   FROM scored GROUP BY qid, k, d
 ),
 ranked AS (
-  SELECT qid, d{extra}, row_number() OVER (
+  SELECT qid, d, score, row_number() OVER (
            PARTITION BY qid ORDER BY score DESC, d ASC) AS rank, k
   FROM totals
-)
+)"""
+
+
+def oracle_bm25_sql(with_scores: bool = False) -> str:
+    """Float32 BM25 top-k, rank order (score desc, doc asc). With
+    ``with_scores`` the REAL score column is emitted too (bit-equal to
+    the engine's float32 — verified at sf0.01)."""
+    cols = "qid, rank, d AS doc_id" + (", score" if with_scores else "")
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+{_bm25_chain_cte(_query_clauses_values())}
 SELECT {cols} FROM ranked WHERE rank <= k"""
 
 

@@ -1733,3 +1733,18 @@ def test_freetext_suggester_backoff_structure(ray_session):
         grp = grp.sort_values("rank")
         assert list(grp["rank"]) == list(range(1, len(grp) + 1))
         assert (np.diff(grp["score"].to_numpy()) <= 1e-18).all()
+
+
+def test_hybrid_rrf_fuses_both_modalities(ray_session):
+    """RRF fusion (Cormack et al. 2009): a doc present in both the BM25
+    and the cosine top-20 must outscore any doc reachable from a single
+    list's rank-1 (1/(60+1)); ranks are dense and scores non-increasing."""
+    from lucene_ray.pipelines.hybrid import hybrid_rrf, RRF_K
+
+    df = hybrid_rrf(SF).to_pandas()
+    single_max = 1.0 / (RRF_K + 1)
+    assert (df["rrf"] > single_max).any(), "no doc fused from both lists"
+    for q, grp in df.groupby("qid"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert (np.diff(grp["rrf"].to_numpy()) <= 1e-18).all()
