@@ -229,3 +229,47 @@ def geo_polygon(index_dir: str, lats: "list[int]", lons: "list[int]"
         # CCW edge: interior is the non-negative cross-product side
         inside &= (x2 - x1) * (la - y1) - (y2 - y1) * (lo - x1) >= 0
     return np.sort(d[inside]).astype(np.int64), metrics
+
+
+def geo_nearest(index_dir: str, lat: int, lon: int, k: int
+                ) -> tuple[np.ndarray, np.ndarray, dict]:
+    """k nearest points by exact integer squared Euclidean — the
+    LatLonPoint.nearest role (document/LatLonPoint.java:406,
+    document/NearestNeighbor.java:40: best-first BKD traversal;
+    LatLonDocValuesField.newDistanceSort:158 is the sort-all variant).
+
+    Expressed as an expanding-radius box descent over the banded index:
+    each iteration reads only row groups intersecting the current box,
+    and a hit set with >= k points inside the CIRCLE of radius r is
+    complete — any unread point lies outside the box, hence farther
+    than r. Radius doubles until enough hits (or the whole space is
+    covered), so near-dense centers touch only nearby bands — the
+    best-first cell-visit order of the reference with the same
+    prune-then-verify exactness.
+
+    Returns (doc_ids, dist2, metrics) ordered (dist2 asc, doc_id asc).
+    """
+    lat, lon, k = int(lat), int(lon), int(k)
+    if k <= 0:
+        raise ValueError("k must be positive")
+    r = LAT_MOD // N_BANDS          # one band's height
+    max_r = LAT_MOD + LON_MOD       # box covers the whole grid
+    iters = 0
+    while True:
+        iters += 1
+        t, m = _scan_box(index_dir, lat - r, lat + r + 1,
+                         lon - r, lon + r + 1)
+        la = t.column("lat").to_numpy().astype(np.int64)
+        lo = t.column("lon").to_numpy().astype(np.int64)
+        d2 = (la - lat) ** 2 + (lo - lon) ** 2
+        complete = r >= max_r
+        within = np.ones(len(d2), dtype=bool) if complete \
+            else d2 <= np.int64(r) * np.int64(r)
+        if int(within.sum()) >= k or complete:
+            docs = t.column("doc_id").to_numpy().astype(np.int64)
+            sel_d, sel_d2 = docs[within], d2[within]
+            order = np.lexsort((sel_d, sel_d2))[:k]
+            m = dict(m)
+            m["iterations"] = iters
+            return sel_d[order], sel_d2[order], m
+        r *= 2

@@ -4782,3 +4782,49 @@ bg AS (
 ),
 ug AS (SELECT term, CAST(ttf AS BIGINT) AS cnt FROM df)
 {un_all}"""
+
+
+# ---------------------------------------------------------------------------
+# Geo distance sort / nearest (LatLonDocValuesField.newDistanceSort,
+# LatLonPoint.nearest)
+
+# (qid, center_lat, center_lon, k)
+GEO_NEAREST = [(1, 0, 0, 10),
+               (2, 45_000_000, 90_000_000, 15),
+               (3, -80_000_000, -170_000_000, 5)]
+
+
+def ft_geo_sort(sf_dir: str) -> pa.Table:
+    """Distance sort: k nearest docs per center by exact integer squared
+    Euclidean (LatLonDocValuesField.newDistanceSort:158 semantics,
+    executed with LatLonPoint.nearest's pruned point-index traversal,
+    document/NearestNeighbor.java:40 — see lucene_ray.geo.geo_nearest),
+    ordered (dist2 asc, doc_id asc)."""
+    from ..geo import build_geo_index, geo_nearest
+
+    idx = index_dir_for(sf_dir)
+    build_geo_index(idx)
+    out_q, out_r, out_d, out_s = [], [], [], []
+    for qid, la, lo, k in GEO_NEAREST:
+        docs, d2, _m = geo_nearest(idx, la, lo, k)
+        out_q.extend([qid] * len(docs))
+        out_r.extend(range(1, len(docs) + 1))
+        out_d.extend(docs.tolist())
+        out_s.extend(d2.tolist())
+    return pa.table({"qid": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64()),
+                     "dist2": pa.array(out_s, pa.int64())})
+
+
+def oracle_geo_sort_sql() -> str:
+    parts = []
+    for qid, la, lo, k in GEO_NEAREST:
+        parts.append(f"""SELECT qid, rank, doc_id, dist2 FROM (
+  SELECT {qid} AS qid, d AS doc_id, dist2,
+         row_number() OVER (ORDER BY dist2 ASC, d ASC) AS rank
+  FROM (SELECT d, (lat - {la}) * (lat - {la})
+                 + (lon - {lo}) * (lon - {lo}) AS dist2 FROM geo)
+) WHERE rank <= {k}""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"WITH {_CORPUS_CTE},{_GEO_CTE}\n{un}"

@@ -1795,3 +1795,33 @@ def test_replication_of_pinned_snapshot(tmp_path_factory, ray_session):
     live = str(base / "replica_live")
     idx.replicate_to(live)
     assert list(search_blockmax(IndexReader(live), term, 5).doc_ids) == []
+
+
+def test_geo_nearest_expanding_descent(index_dir, ray_session):
+    """geo_nearest (LatLonPoint.nearest role): exact vs brute force on
+    the synthesized grid, completeness of the circle-of-radius-r rule,
+    pruned IO on a dense center, and k validation."""
+    import numpy as np
+    import pytest as _pt
+
+    from lucene_ray.geo import build_geo_index, geo_nearest, synth_coords
+    import pyarrow.parquet as pq
+    import os
+
+    build_geo_index(index_dir)
+    docs = pq.read_table(os.path.join(index_dir, "docmeta"),
+                         columns=["doc_id"]).column("doc_id").to_numpy()
+    lat, lon = synth_coords(docs)
+    for (cla, clo, k) in [(0, 0, 7), (60_000_000, -120_000_000, 12),
+                          (-89_000_000, 179_000_000, 3)]:
+        d2 = (lat - cla) ** 2 + (lon - clo) ** 2
+        order = np.lexsort((docs, d2))[:k]
+        got_d, got_d2, m = geo_nearest(index_dir, cla, clo, k)
+        assert got_d.tolist() == docs[order].tolist()
+        assert got_d2.tolist() == d2[order].tolist()
+        assert m["row_groups_read"] <= m["row_groups_total"]
+    # k larger than corpus: returns everything, ordered
+    got_d, _, _ = geo_nearest(index_dir, 0, 0, len(docs) + 10)
+    assert len(got_d) == len(docs)
+    with _pt.raises(ValueError):
+        geo_nearest(index_dir, 0, 0, 0)
