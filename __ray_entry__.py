@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_asof_join": _tp.events_asof_join,
             "events_lag_delta": _tp.events_lag_delta,
             "join_range_orders": _tp.join_range_orders,
+            "doc_ppl_buckets": _ts.doc_ppl_buckets,
             "dsir_importance": _ts.dsir_importance,
             "agg_lineitem_pricing": _rel.agg_lineitem_pricing,
             "agg_facet_taxonomy": _rel.agg_facet_taxonomy,
@@ -324,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
             "doc_keywords": textstats.oracle_doc_keywords_sql(),
             "decontaminate": textstats.oracle_decontaminate_sql(),
             "doc_lm_logprob": textstats.oracle_doc_lm_logprob_sql(),
+            "doc_ppl_buckets": textstats.oracle_doc_ppl_buckets_sql(),
             "doc_blocklist": textstats.oracle_doc_blocklist_sql(),
             "redact_pii": textstats.oracle_redact_pii_sql(),
             "chunk_documents": textstats.oracle_chunk_documents_sql(),

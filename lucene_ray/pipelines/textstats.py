@@ -951,7 +951,7 @@ def oracle_sample_balanced_sql(per_lang: int = _SAMPLE_PER_LANG) -> str:
 ) WHERE rn <= {per_lang}"""
 
 
-def doc_lm_logprob(sf_dir: str):
+def doc_lm_logprob(sf_dir: str, _extra_cols: tuple = ()):
     """Unigram-LM document scoring — the CCNet quality-filter role
     (Wenzek et al. 2019 rank documents by LM perplexity; a corpus-level
     unigram model is its deterministic, SQL-reproducible form): train
@@ -994,10 +994,12 @@ def doc_lm_logprob(sf_dir: str):
         .map_batches(partial_tf, batch_format="pyarrow")
         .groupby("term").sum("c").to_pandas(), ["term", "sum(c)"])
     if len(tf_tbl) == 0:
-        return ray.data.from_arrow(pa.table({
-            "doc_id": pa.array([], pa.int64()),
-            "n_tokens": pa.array([], pa.int64()),
-            "mean_logprob": pa.array([], pa.float32())}))
+        cols = {"doc_id": pa.array([], pa.int64())}
+        for c in _extra_cols:
+            cols[c] = pa.array([], pa.string())
+        cols["n_tokens"] = pa.array([], pa.int64())
+        cols["mean_logprob"] = pa.array([], pa.float32())
+        return ray.data.from_arrow(pa.table(cols))
     vocab = np.array(tf_tbl["term"], dtype=object)
     order = np.argsort(vocab)
     vocab = vocab[order]
@@ -1019,12 +1021,15 @@ def doc_lm_logprob(sf_dir: str):
         n = batch.num_rows
         ll = np.bincount(owners, weights=logp[pos][codes], minlength=n)
         ntok = np.bincount(owners, minlength=n).astype(np.int64)
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "n_tokens": pa.array(ntok),
-            "mean_logprob": pa.array((ll / ntok).astype(np.float32))})
+        cols = {"doc_id": batch.column("doc_id")}
+        for c in _extra_cols:
+            cols[c] = batch.column(c)
+        cols["n_tokens"] = pa.array(ntok)
+        cols["mean_logprob"] = pa.array((ll / ntok).astype(np.float32))
+        return pa.table(cols)
 
-    return _docs(sf_dir).map_batches(score, batch_format="pyarrow")
+    return _docs(sf_dir, ("doc_id", "text") + tuple(_extra_cols)) \
+        .map_batches(score, batch_format="pyarrow")
 
 
 def oracle_doc_lm_logprob_sql() -> str:
@@ -1377,3 +1382,137 @@ SELECT w.doc_id,
             AS REAL) AS log_ratio
 FROM w JOIN cnt USING (term) CROSS JOIN tot
 GROUP BY w.doc_id"""
+
+
+def doc_ppl_buckets(sf_dir: str):
+    """CCNet perplexity buckets (Wenzek et al. 2019 §4.3): per language,
+    rank documents by LM quality (mean_logprob desc = perplexity asc) and
+    split into head / middle / tail terciles — the standard quality
+    stratification of a crawl corpus before sampling.
+
+    Scale shape: scores are the map-only :func:`doc_lm_logprob` pass with
+    ``lang`` passed through; ranking within language is ONE distributed
+    sort by (lang, score desc, doc_id) followed by the sorted-block-scan
+    offset chain (per-block (lang, count) one-row summaries, an
+    O(#blocks) driver accumulation, broadcast offsets) — no language's
+    rows ever gather in a single task, so a lang holding 80% of 100 TB
+    still streams. Bucket boundaries replicate SQL NTILE(3) exactly:
+    the first n%3 buckets get ceil(n/3) rows."""
+    import ray
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    scored = doc_lm_logprob(sf_dir, _extra_cols=("lang",))
+    u = scored.sort(["lang", "mean_logprob", "doc_id"],
+                    descending=[False, True, False]).materialize()
+
+    _EMPTY_SUM = pa.table({
+        "f_lang": pa.array([], pa.string()),
+        "f_score": pa.array([], pa.float32()),
+        "f_doc": pa.array([], pa.int64()),
+        "lang": pa.array([], pa.string()),
+        "cnt": pa.array([], pa.int64())})
+
+    def summarize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY_SUM
+        langs = b.column("lang").to_numpy(zero_copy_only=False)
+        # within-block lang runs (block is sorted, langs are grouped)
+        uniq, idx, cnts = np.unique(langs, return_index=True,
+                                    return_counts=True)
+        order = np.argsort(idx)
+        f_lang = str(langs[0])
+        f_score = float(b.column("mean_logprob")[0].as_py())
+        f_doc = int(b.column("doc_id")[0].as_py())
+        return pa.table({
+            "f_lang": pa.array([f_lang] * len(uniq), pa.string()),
+            "f_score": pa.array([f_score] * len(uniq), pa.float32()),
+            "f_doc": pa.array([f_doc] * len(uniq), pa.int64()),
+            "lang": pa.array(uniq[order], pa.string()),
+            "cnt": pa.array(cnts[order].astype(np.int64))})
+
+    summ = ensure_cols(
+        u.map_batches(summarize, batch_size=None,
+                      batch_format="pyarrow").to_pandas(),
+        _EMPTY_SUM.column_names)
+    # blocks in global sort order; (block, lang) rows keep within-block
+    # lang order via the stable f_* prefix + lang sort
+    summ = summ.sort_values(["f_lang", "f_score", "f_doc", "lang"],
+                            ascending=[True, False, True, True])
+    offsets: dict = {}     # (block id, lang) -> rank offset before block
+    totals: dict = {}      # lang -> n
+    for r in summ.itertuples(index=False):
+        bid = (str(r.f_lang), float(r.f_score), int(r.f_doc))
+        offsets[(bid, str(r.lang))] = totals.get(str(r.lang), 0)
+        totals[str(r.lang)] = totals.get(str(r.lang), 0) + int(r.cnt)
+    state = ray.put((offsets, totals))
+
+    def resolve(b: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "mean_logprob": pa.array([], pa.float32()),
+            "bucket": pa.array([], pa.int64()),
+            "label": pa.array([], pa.string())})
+        if b.num_rows == 0:
+            return empty
+        offs, tots = ray.get(state)
+        langs = b.column("lang").to_numpy(zero_copy_only=False)
+        bid = (str(langs[0]),
+               float(b.column("mean_logprob")[0].as_py()),
+               int(b.column("doc_id")[0].as_py()))
+        n = b.num_rows
+        # within-block rank per lang run (vectorized cumcount)
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.zeros(n, dtype=np.int64)
+        new_run = np.flatnonzero(langs[1:] != langs[:-1]) + 1
+        run_start[new_run] = new_run
+        np.maximum.accumulate(run_start, out=run_start)
+        within = idx - run_start
+        start_off = np.array(
+            [offs[(bid, str(langs[i]))] for i in
+             np.concatenate(([0], new_run))], dtype=np.int64)
+        off_per_row = np.repeat(
+            start_off,
+            np.diff(np.concatenate(([0], new_run, [n]))).astype(np.int64))
+        rank = off_per_row + within + 1
+        nlang = np.array([tots[str(x)] for x in langs], dtype=np.int64)
+        q, rm = nlang // 3, nlang % 3
+        b1 = q + (rm >= 1)
+        b2 = 2 * q + (rm >= 1) + (rm >= 2)
+        bucket = 1 + (rank > b1).astype(np.int64) \
+            + (rank > b2).astype(np.int64)
+        lab = np.array(["head", "middle", "tail"], dtype=object)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "lang": b.column("lang"),
+            "mean_logprob": b.column("mean_logprob"),
+            "bucket": pa.array(bucket),
+            "label": pa.array(lab[bucket - 1], pa.string())})
+
+    return u.map_batches(resolve, batch_size=None, batch_format="pyarrow")
+
+
+def oracle_doc_ppl_buckets_sql() -> str:
+    return """WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+cnt AS (SELECT term, count(*) AS c FROM w GROUP BY term),
+tot AS (SELECT count(*) AS t FROM w),
+scores AS (
+  SELECT w.doc_id,
+         CAST(SUM(ln(CAST(cnt.c AS DOUBLE) / tot.t)) / count(*) AS REAL)
+           AS mean_logprob
+  FROM w JOIN cnt USING (term) CROSS JOIN tot
+  GROUP BY w.doc_id
+),
+bucketed AS (
+  SELECT d.doc_id, d.lang, s.mean_logprob,
+         CAST(ntile(3) OVER (PARTITION BY d.lang
+           ORDER BY s.mean_logprob DESC, d.doc_id ASC) AS BIGINT) AS bucket
+  FROM documents d JOIN scores s USING (doc_id)
+)
+SELECT doc_id, lang, mean_logprob, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS label
+FROM bucketed"""

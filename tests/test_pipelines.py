@@ -1748,3 +1748,47 @@ def test_hybrid_rrf_fuses_both_modalities(ray_session):
         grp = grp.sort_values("rank")
         assert list(grp["rank"]) == list(range(1, len(grp) + 1))
         assert (np.diff(grp["rrf"].to_numpy()) <= 1e-18).all()
+
+
+def test_doc_ppl_buckets_multiblock_skew(ray_session, tmp_path):
+    """doc_ppl_buckets: NTILE(3) parity on a skewed multi-file corpus —
+    one language owns ~90% of docs across 8 files, so its rank offsets
+    must chain through many sorted blocks; duplicate texts force
+    score ties broken by doc_id."""
+    import os
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines import textstats as ts
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [" ".join(rng.choice(words, rng.randint(3, 9)))
+             for _ in range(n // 2)]
+    texts = texts + texts                 # planted duplicate texts (ties)
+    langs = np.where(np.arange(n) % 10 == 0, "rare", "big")
+    d = str(tmp_path / "sf")
+    os.makedirs(os.path.join(d, "documents.parquet"))
+    for i, part in enumerate(np.array_split(np.arange(n), 8)):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(part.astype(np.int64)),
+            "text": pa.array([texts[j] for j in part], pa.string()),
+            "lang": pa.array(langs[part], pa.string()),
+            "source": pa.array(["s"] * len(part), pa.string()),
+            "n_chars": pa.array([len(texts[j]) for j in part],
+                                pa.int64()),
+        }), os.path.join(d, "documents.parquet", f"p{i}.parquet"))
+
+    got = ts.doc_ppl_buckets(d).to_pandas()
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{d}/documents.parquet/*.parquet'")
+    want = con.execute(ts.oracle_doc_ppl_buckets_sql()).df()
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                  check_exact=True)
