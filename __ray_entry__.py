@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_sliding_window": _st.events_sliding_window,
             "agg_quantity_quantiles": _rel.agg_quantity_quantiles,
             "dup_ngram_stats": _dd.dup_ngram_stats,
+            "dedup_substring_spans": _dd.dedup_substring_spans,
             "knn_graph": _ann.knn_graph,
             "kmeans_embeddings": _ann.kmeans_embeddings,
             "semdedup": _ann.semdedup,
@@ -316,6 +317,7 @@ def oracle_sql() -> dict[str, str]:
             "embedding_neardup": ann.oracle_embedding_neardup_sql(),
             "dedup_exact": dedup.oracle_dedup_exact_sql(),
             "dup_ngram_stats": dedup.oracle_dup_ngram_sql(),
+            "dedup_substring_spans": dedup.oracle_substring_spans_sql(),
             "ngram_jaccard_pairs": dedup.oracle_ngram_jaccard_sql(),
             "dedup_clusters": dedup.oracle_dedup_clusters_sql(),
             "text_quality": textstats.oracle_text_quality_sql(),

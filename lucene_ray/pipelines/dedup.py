@@ -965,3 +965,146 @@ SELECT g.doc_id, count(*) AS n_grams,
          / CAST(count(*) AS DOUBLE) AS dup_frac
 FROM grams g JOIN gdf ON gdf.gram = g.gram
 GROUP BY g.doc_id"""
+
+
+def _gram_hashes_pos_batch(texts: list[str], n: int
+                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Positional variant of :func:`_gram_hashes_batch`: EVERY word-n-gram
+    occurrence with its 0-based token position (no per-doc dedup) —
+    (owners, positions, hashes), same splitmix chain so gram identities
+    agree with dup_ngram_stats."""
+    ind, vocab_h, owners, counts = _split_tokens(texts)
+    if len(ind) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.uint64))
+    W = vocab_h[ind]
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    pos = np.arange(len(W), dtype=np.int64) - offs[owners]
+    valid = np.flatnonzero(pos <= counts[owners] - n)
+    if len(valid) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.uint64))
+    h = np.zeros(len(valid), np.uint64)
+    for j in range(n):
+        h = _splitmix64(h ^ (W[valid + j] * _GOLD64))
+    return owners[valid], pos[valid], h
+
+
+def dedup_substring_spans(sf_dir: str, n: int = _DUPGRAM_N):
+    """Duplicated-substring spans (Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better": remove the exact
+    substrings shared across documents, not whole docs): per document,
+    the maximal token spans covered by word-``n``-grams that occur in at
+    least 2 documents — the span-level output the suffix-array method
+    produces, built from the gram-df signal instead (the scale-shaped
+    equivalent over an n-gram granularity).
+
+    Scale shape: positional gram explode (map-only, vectorized), ONE
+    hash-partitioned exchange on the gram key with vectorized
+    distinct-doc run marking, then a groupby(doc_id) whose groups are
+    bounded by single-document length (dup positions only). Spans merge
+    with interval-union arithmetic: grams at positions p, p' overlap or
+    touch iff p' - p <= n.
+
+    Returns (doc_id, span_start, span_end, span_len) with 1-based
+    inclusive token positions."""
+    import ray.data
+
+    P = max(_join_parts(sf_dir) * 4, 8)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        own, pos, h = _gram_hashes_pos_batch(texts, n)
+        doc_ids = batch.column("doc_id").to_numpy()
+        if len(own) == 0:
+            return pa.table({"pkey": pa.array([], pa.int32()),
+                             "gh": pa.array([], pa.uint64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        return pa.table({
+            "pkey": pa.array((h % np.uint64(P)).astype(np.int32)),
+            "gh": pa.array(h),
+            "doc_id": pa.array(doc_ids[own]),
+            "pos": pa.array(pos + 1)})      # 1-based like the oracle
+
+    def mark(g: pa.Table) -> pa.Table:
+        """One gram-hash partition: a gram is duplicated iff its run
+        spans >= 2 DISTINCT documents; emit that run's (doc, pos)
+        occurrence rows."""
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        gh = g.column("gh").to_numpy()
+        d = g.column("doc_id").to_numpy()
+        p = g.column("pos").to_numpy()
+        order = np.lexsort((d, gh))
+        gh, d, p = gh[order], d[order], p[order]
+        run_start = np.r_[True, gh[1:] != gh[:-1]]
+        run_id = np.cumsum(run_start) - 1
+        pair_start = np.r_[True, (gh[1:] != gh[:-1]) | (d[1:] != d[:-1])]
+        ndocs = np.bincount(run_id[pair_start])
+        dup = ndocs[run_id] >= 2
+        if not dup.any():
+            return empty
+        return pa.table({"doc_id": pa.array(d[dup], pa.int64()),
+                         "pos": pa.array(p[dup], pa.int64())})
+
+    def merge_spans(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "span_start": pa.array([], pa.int64()),
+                             "span_end": pa.array([], pa.int64()),
+                             "span_len": pa.array([], pa.int64())})
+        d = g.column("doc_id").to_numpy()
+        p = g.column("pos").to_numpy()
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        brk = np.r_[True, (d[1:] != d[:-1]) | (p[1:] - p[:-1] > n)]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(p)] - 1
+        s0 = p[starts]
+        s1 = p[ends] + n - 1
+        return pa.table({
+            "doc_id": pa.array(d[starts], pa.int64()),
+            "span_start": pa.array(s0, pa.int64()),
+            "span_end": pa.array(s1, pa.int64()),
+            "span_len": pa.array(s1 - s0 + 1, pa.int64())})
+
+    marked = (_docs(sf_dir).map_batches(explode, batch_format="pyarrow")
+              .groupby("pkey").map_groups(mark, batch_format="pyarrow"))
+    return marked.groupby("doc_id").map_groups(merge_spans,
+                                               batch_format="pyarrow")
+
+
+def oracle_substring_spans_sql(n: int = _DUPGRAM_N) -> str:
+    return f"""WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+gp AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + {n - 1}], ' ')
+           AS gram
+  FROM toks, UNNEST(generate_series(1, len(tk) - {n - 1})) AS t(i)
+),
+gdf AS (
+  SELECT gram, count(DISTINCT doc_id) AS df FROM gp GROUP BY gram
+),
+marked AS (
+  SELECT doc_id, pos FROM gp JOIN gdf USING (gram) WHERE df >= 2
+),
+brks AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+               ORDER BY pos) <= {n} THEN 0 ELSE 1 END AS brk
+  FROM marked
+),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM brks
+)
+SELECT doc_id, min(pos) AS span_start,
+       CAST(max(pos) + {n - 1} AS BIGINT) AS span_end,
+       CAST(max(pos) + {n - 1} - min(pos) + 1 AS BIGINT) AS span_len
+FROM islands GROUP BY doc_id, grp"""

@@ -1792,3 +1792,39 @@ def test_doc_ppl_buckets_multiblock_skew(ray_session, tmp_path):
     w = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w, check_dtype=False,
                                   check_exact=True)
+
+
+def test_substring_spans_planted(ray_session, tmp_path):
+    """dedup_substring_spans: two docs share an interior 12-token run →
+    exactly one interior span per doc covering it; a doc with no shared
+    8-gram yields no rows; adjacent shared grams merge into ONE span."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.dedup import dedup_substring_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))       # 12 tokens
+    texts = [
+        "a b c d e f g h " + shared + " x y z",         # span at 9..20
+        "p q r " + shared + " m n",                      # span at 4..15
+        "lone words only here nothing shared at all",    # no span
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(os.path.join(d))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["x"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+
+    df = dedup_substring_spans(d).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert len(df) == 2
+    assert df.loc[0, "doc_id"] == 0 and df.loc[1, "doc_id"] == 1
+    # doc0: shared run occupies tokens 9..20 (1-based)
+    assert (df.loc[0, "span_start"], df.loc[0, "span_end"]) == (9, 20)
+    assert (df.loc[1, "span_start"], df.loc[1, "span_end"]) == (4, 15)
+    assert (df["span_len"] == 12).all()
