@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_suggest_freetext": ft.ft_suggest_freetext,
         "hybrid_rrf": _hy.hybrid_rrf,
         "ft_geo_sort": ft.ft_geo_sort,
+        "ft_facet_dynamic_range": ft.ft_facet_dynamic_range,
         "ft_combined_field": ft.ft_combined_field,
         "ft_synonym_graph": ft.ft_synonym_graph,
         "ft_spell": ft.ft_spell,
@@ -296,6 +297,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_dv_stats": ft.oracle_dv_stats_sql(),
         "ft_suggest_freetext": ft.oracle_suggest_freetext_sql(),
         "ft_geo_sort": ft.oracle_geo_sort_sql(),
+        "ft_facet_dynamic_range": ft.oracle_facet_dynamic_range_sql(),
     }
     from lucene_ray.pipelines import hybrid as _hy
     o["hybrid_rrf"] = _hy.oracle_hybrid_rrf_sql()

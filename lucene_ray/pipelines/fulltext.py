@@ -4828,3 +4828,166 @@ def oracle_geo_sort_sql() -> str:
 ) WHERE rank <= {k}""")
     un = "\nUNION ALL\n".join(parts)
     return f"WITH {_CORPUS_CTE},{_GEO_CTE}\n{un}"
+
+
+# ---------------------------------------------------------------------------
+# Dynamic range facets (facet/range/DynamicRangeUtil.java)
+
+_DYN_TOPN = 6
+
+
+def ft_facet_dynamic_range(sf_dir: str, topn: int = _DYN_TOPN) -> pa.Table:
+    """Equi-weight dynamic ranges (facet/range/DynamicRangeUtil.java:204
+    computeDynamicNumericRanges): items (value = token count, weight =
+    n_chars, zero weights skipped:161) sorted by (value, weight), then a
+    greedy scan emits a range each time the accumulated weight reaches
+    totalWeight / min(topN, len); a final partial range captures the
+    tail (:260). Output per range: (count, weight, min, max, centroid).
+
+    Scale shape: the reference materializes every matching (value,
+    weight) pair in RAM; here the corpus reduces to DISTINCT (value,
+    weight) pairs with multiplicities via per-batch partial counts + one
+    domain-bounded groupby (both are small-domain docvalues — the
+    agg_quantity_quantiles assumption), and the greedy scan runs over
+    that compressed stream with bulk arithmetic: identical boundaries,
+    O(domain + topN) driver work. The comparison accuWeight >= target
+    is done in float64 exactly as Java's long >= double promotion (and
+    SQL's BIGINT >= DOUBLE)."""
+    import math
+
+    import ray.data
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        parts = pc.split_pattern(
+            pc.fill_null(batch.column("text"), ""), " ")
+        flat = pc.list_flatten(parts)
+        owners = np.asarray(pc.list_parent_indices(parts), dtype=np.int64)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        v = np.bincount(owners[nonempty],
+                        minlength=batch.num_rows).astype(np.int64)
+        w = batch.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = w > 0
+        v, w = v[keep], w[keep]
+        if len(v) == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64()),
+                             "m": pa.array([], pa.int64())})
+        pairs = np.stack([v, w], axis=1)
+        uniq, cnt = np.unique(pairs, axis=0, return_counts=True)
+        return pa.table({"v": pa.array(uniq[:, 0]),
+                         "w": pa.array(uniq[:, 1]),
+                         "m": pa.array(cnt.astype(np.int64))})
+
+    agg = (ray.data.read_parquet(
+               os.path.join(sf_dir, "documents.parquet"),
+               columns=["text", "n_chars"])
+           .map_batches(tag, batch_format="pyarrow")
+           .groupby(["v", "w"]).sum("m").to_pandas())
+    out_schema = {
+        "range_id": pa.array([], pa.int64()),
+        "count": pa.array([], pa.int64()),
+        "weight": pa.array([], pa.int64()),
+        "vmin": pa.array([], pa.int64()),
+        "vmax": pa.array([], pa.int64()),
+        "centroid": pa.array([], pa.float64())}
+    if len(agg) == 0:
+        return pa.table(out_schema)
+    agg = agg.sort_values(["v", "w"]).reset_index(drop=True)
+    vs = agg["v"].to_numpy(dtype=np.int64)
+    ws = agg["w"].to_numpy(dtype=np.int64)
+    ms = agg["sum(m)"].to_numpy(dtype=np.int64)
+    n_items = int(ms.sum())
+    totw = int((ws * ms).sum())
+    target = float(totw) / min(topn, n_items)
+    ranges = []
+    accn = accw = accv = 0
+    minv = lastv = None
+    for v, w, m in zip(vs.tolist(), ws.tolist(), ms.tolist()):
+        while m > 0:
+            if accn == 0:
+                minv = v
+            lastv = v
+            if float(accw + m * w) < target:
+                accn += m
+                accw += m * w
+                accv += m * v
+                break
+            k = max(1, math.ceil((target - accw) / w))
+            while k > 1 and float(accw + (k - 1) * w) >= target:
+                k -= 1
+            while float(accw + k * w) < target:
+                k += 1
+            accn += k
+            accw += k * w
+            accv += k * v
+            ranges.append((accn, accw, minv, v, float(accv) / accn))
+            accn = accw = accv = 0
+            m -= k
+    if accn > 0:
+        ranges.append((accn, accw, minv, lastv, float(accv) / accn))
+    return pa.table({
+        "range_id": pa.array(range(1, len(ranges) + 1), pa.int64()),
+        "count": pa.array([r[0] for r in ranges], pa.int64()),
+        "weight": pa.array([r[1] for r in ranges], pa.int64()),
+        "vmin": pa.array([r[2] for r in ranges], pa.int64()),
+        "vmax": pa.array([r[3] for r in ranges], pa.int64()),
+        "centroid": pa.array([r[4] for r in ranges], pa.float64())})
+
+
+def oracle_facet_dynamic_range_sql(topn: int = _DYN_TOPN) -> str:
+    # unrolled boundary chain (the kmeans Lloyd-chain oracle pattern):
+    # b0 = 0; b_{k+1} = first rn whose weight since b_k reaches target
+    chain = []
+    prev = None
+    for k in range(1, topn + 1):
+        if prev is None:
+            cond = "CAST(cumw AS DOUBLE) >= (SELECT t FROM params)"
+            extra = ""
+        else:
+            cond = (f"CAST(cumw - (SELECT cumw FROM items WHERE rn = "
+                    f"(SELECT rn FROM {prev})) AS DOUBLE) "
+                    f">= (SELECT t FROM params)")
+            extra = f"rn > (SELECT rn FROM {prev}) AND "
+        chain.append(f"b{k} AS (SELECT min(rn) AS rn FROM items "
+                     f"WHERE {extra}{cond})")
+        prev = f"b{k}"
+    blist = "\n  UNION ALL ".join(
+        ["SELECT 0 AS k, CAST(0 AS BIGINT) AS rn"]
+        + [f"SELECT {k}, (SELECT rn FROM b{k}) FROM (VALUES (1))"
+           for k in range(1, topn + 1)])
+    chain_sql = ",\n".join(chain)
+    return f"""WITH src AS (
+  SELECT len(list_filter(string_split(text, ' '), x -> x != '')) AS v,
+         n_chars AS w
+  FROM documents WHERE n_chars > 0
+),
+items AS (
+  SELECT v, w, row_number() OVER (ORDER BY v, w) AS rn,
+         SUM(w) OVER (ORDER BY v, w ROWS UNBOUNDED PRECEDING) AS cumw
+  FROM src
+),
+params AS (
+  SELECT CAST(SUM(w) AS DOUBLE) / LEAST({topn}, COUNT(*)) AS t,
+         COUNT(*) AS len FROM src
+),
+{chain_sql},
+blist AS (
+  {blist}
+),
+rngs AS (
+  SELECT k, rn AS lo, lead(rn) OVER (ORDER BY k) AS hi
+  FROM blist WHERE rn IS NOT NULL
+),
+bounded AS (
+  SELECT lo, COALESCE(hi, (SELECT len FROM params)) AS hi FROM rngs
+  WHERE COALESCE(hi, (SELECT len FROM params)) > lo
+)
+SELECT row_number() OVER (ORDER BY lo) AS range_id,
+       count(*) AS count,
+       CAST(SUM(i.w) AS BIGINT) AS weight,
+       min(i.v) AS vmin, max(i.v) AS vmax,
+       CAST(SUM(i.v) AS DOUBLE) / count(*) AS centroid
+FROM bounded b JOIN items i ON i.rn > b.lo AND i.rn <= b.hi
+GROUP BY b.lo"""

@@ -1828,3 +1828,40 @@ def test_substring_spans_planted(ray_session, tmp_path):
     assert (df.loc[0, "span_start"], df.loc[0, "span_end"]) == (9, 20)
     assert (df.loc[1, "span_start"], df.loc[1, "span_end"]) == (4, 15)
     assert (df["span_len"] == 12).all()
+
+
+def test_dynamic_range_facets_tail_and_small(ray_session, tmp_path):
+    """DynamicRangeUtil edge semantics: topN > item count uses len as the
+    divisor (one range per item); a heavy last item leaves a partial
+    tail range; counts/weights partition the corpus exactly."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.fulltext import ft_facet_dynamic_range
+
+    def write(d, texts, chars):
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["x"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array(chars, pa.int64()),
+        }), os.path.join(d, "documents.parquet"))
+
+    # 3 items, topN=6 -> target = totW/3; every boundary fires per item
+    d1 = str(tmp_path / "a")
+    write(d1, ["a b", "a b c", "a b c d"], [10, 10, 10])
+    t = ft_facet_dynamic_range(d1).to_pandas()
+    assert len(t) == 3 and t["count"].tolist() == [1, 1, 1]
+    assert int(t["weight"].sum()) == 30
+    # skewed weights: first range swallows most weight, tail is partial
+    d2 = str(tmp_path / "b")
+    write(d2, ["w"] * 5, [100, 1, 1, 1, 1])
+    t2 = ft_facet_dynamic_range(d2, topn=2).to_pandas()
+    assert int(t2["weight"].sum()) == 104
+    assert int(t2["count"].sum()) == 5
+    # items sort by (v, w): the four weight-1 docs come first, then the
+    # 100-weight doc closes range 1 (>= 52); no tail remains
+    assert t2["weight"].tolist() == [104]
