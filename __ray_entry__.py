@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_ray.pipelines import hybrid as _hy
 
     q: dict[str, Callable[[str], Any]] = {
+        "ft_covering": ft.ft_covering,
         "ft_suggest_freetext": ft.ft_suggest_freetext,
         "hybrid_rrf": _hy.hybrid_rrf,
         "ft_geo_sort": ft.ft_geo_sort,
@@ -219,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
     from lucene_ray.pipelines import fulltext as ft
 
     o = {
+        "ft_covering": ft.oracle_covering_sql(),
         "ft_collection_stats": ft.oracle_collection_stats_sql(),
         "ft_term_stats": ft.oracle_term_stats_sql(),
         "ft_docmeta": ft.oracle_docmeta_sql(),

@@ -2148,6 +2148,74 @@ ranked AS (
 SELECT qid, rank, d AS doc_id, score FROM ranked WHERE rank <= k"""
 
 
+# ---------------------------------------------------------------------------
+# CoveringQuery (per-document minimumNumberMatch)
+
+COVERING_QUERIES = [(1, ["key", "agg", "slow", "fast"], 10),
+                    (2, ["table", "value", "part", "hash", "join"], 10),
+                    (3, ["scan", "merge", "sort", "query"], 10),
+                    (4, ["the", "zzmissing", "vector"], 10)]
+_COVERING_MOD, _COVERING_SUB = 4, 1
+
+
+def ft_covering(sf_dir: str) -> pa.Table:
+    """CoveringQuery (sandbox/search/CoveringQuery.java:51): SHOULD
+    clauses with a PER-DOC required match count read from a numeric
+    docvalue — here ``max(1, (field_len % 4) - 1)`` ∈ {1, 2}, so the
+    same doc set needs different clause coverage depending on its own
+    length. Score = sum of matching clause scores
+    (CoveringScorer.java:208) → (qid, rank, doc_id, score) float32."""
+    from ..search import search_covering
+
+    r = reader_for(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, terms, k in COVERING_QUERIES:
+        td = search_covering(r, terms, k, mod=_COVERING_MOD,
+                             sub=_COVERING_SUB)
+        for rank, (d, s) in enumerate(
+                zip(td.doc_ids.tolist(), td.scores.tolist()), 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(d)
+            scores.append(s)
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "score": pa.array(scores, pa.float32())})
+
+
+def oracle_covering_sql() -> str:
+    rows = []
+    for qid, terms, k in COVERING_QUERIES:
+        for ci, t in enumerate(terms):
+            rows.append(f"({qid}, {ci}, '{t}', {k})")
+    vals = ",\n    ".join(rows)
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+clauses(qid, clause, term, k) AS (VALUES
+    {vals}
+),
+scored AS (
+  SELECT c.qid, c.clause, c.k, t.d, q.len, {_SCORE_EXPR} AS s
+  FROM clauses c
+  JOIN tf t ON t.term = c.term
+  JOIN df f ON f.term = c.term
+  JOIN quant q ON q.d = t.d
+),
+totals AS (
+  SELECT qid, k, d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score,
+         count(*) AS nm, min(len) AS len
+  FROM scored GROUP BY qid, k, d
+),
+ranked AS (
+  SELECT qid, d, score, k, row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, d ASC) AS rank
+  FROM totals
+  WHERE nm >= greatest(1, (len % {_COVERING_MOD}) - {_COVERING_SUB})
+)
+SELECT qid, rank, d AS doc_id, score FROM ranked WHERE rank <= k"""
+
+
 # (qid, child-query terms, ScoreMode, k parents)
 BLOCKJOIN_QUERIES = [(1, ["key", "agg"], "max", 5),
                      (2, ["vector"], "total", 5),

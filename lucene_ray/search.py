@@ -571,6 +571,89 @@ def search_min_should_match(reader: IndexReader, terms: list[str],
     return TopDocs(d, s, int(keep.sum()), nblocks, nblocks)
 
 
+def doc_field_lens(reader: IndexReader, doc_ids: np.ndarray) -> np.ndarray:
+    """Exact numeric docvalue gather (``field_len``) for a sorted candidate
+    doc set — the ``NumericDocValues.advanceExact`` role
+    (index/NumericDocValues.java): per-doc values fetched from the columnar
+    store for exactly the candidate docs. Reads only the docmeta buckets
+    that contain candidates, each with a doc_id range predicate
+    (row-group pruned), never the whole corpus."""
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    out = np.zeros(len(ids), dtype=np.int64)
+    if len(ids) == 0:
+        return out
+    bases = np.asarray(reader.manifest.bases, dtype=np.int64)
+    seg_of = np.searchsorted(bases, ids, side="right") - 1
+    for seg in np.unique(seg_of):
+        sel = seg_of == seg
+        lo, hi = int(ids[sel].min()), int(ids[sel].max())
+        path = os.path.join(reader.index_dir, "docmeta",
+                            f"bucket={int(seg):05d}.parquet")
+        t = pq.read_table(path, columns=["doc_id", "field_len"],
+                          filters=[("doc_id", ">=", lo),
+                                   ("doc_id", "<=", hi)])
+        d = t.column("doc_id").to_numpy()
+        v = t.column("field_len").to_numpy().astype(np.int64)
+        order = np.argsort(d, kind="stable")
+        d, v = d[order], v[order]
+        pos = np.searchsorted(d, ids[sel])
+        ok = (pos < len(d))
+        pos = np.minimum(pos, max(len(d) - 1, 0))
+        hit = ok & (d[pos] == ids[sel])
+        res = np.zeros(int(sel.sum()), dtype=np.int64)
+        res[hit] = v[pos[hit]]
+        out[sel] = res
+    return out
+
+
+def search_covering(reader: IndexReader, terms: list[str], k: int = 10,
+                    mod: int = 4, sub: int = 1) -> TopDocs:
+    """CoveringQuery (sandbox/search/CoveringQuery.java:51,
+    CoveringScorer.java:31): a disjunction whose required number of
+    matching clauses is a PER-DOCUMENT long value, not a query constant.
+    The values source here is the ``field_len`` numeric docvalue mapped
+    through ``(field_len % mod) - sub`` — values < 1 are clamped to 1
+    (CoveringScorer.java:135 ``Math.max(1, ...)``); docs without a value
+    never match (:138 ``Long.MAX_VALUE``; every doc carries field_len in
+    this index, exercised by construction). Score = sum of the matching
+    clause scores (CoveringScorer.java:208-214), accumulated float64 in
+    (doc, clause) order and cast once, like the plain disjunction."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    sc = Scorers(reader, terms)
+    all_docs, all_scores, all_clause = [], [], []
+    for ci, t in enumerate(terms):
+        p = sc.postings.get(t)
+        if p is None:
+            continue
+        sim = sc.sim[t]
+        d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                     p.tfs_enc, p.norms_enc)
+        s = sim.score(tf, nm)
+        lm = reader.live_mask(d)
+        if lm is not None:
+            d, s = d[lm], s[lm]
+        all_docs.append(d)
+        all_scores.append(s)
+        all_clause.append(np.full(len(d), ci, dtype=np.int32))
+    if not all_docs:
+        return TopDocs(np.empty(0, np.int64), np.empty(0, np.float32),
+                       0, 0, 0)
+    docs = np.concatenate(all_docs)
+    clause = np.concatenate(all_clause)
+    scores = np.concatenate(all_scores)
+    order = np.lexsort((clause, docs))
+    docs_s, scores_s = docs[order], scores[order].astype(np.float64)
+    uniq, inv = np.unique(docs_s, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, scores_s)
+    nmatch = np.bincount(inv, minlength=len(uniq))
+    min_match = np.maximum(1, doc_field_lens(reader, uniq) % mod - sub)
+    keep = nmatch >= min_match
+    d, s = _topk(uniq[keep], acc.astype(np.float32)[keep], k)
+    return TopDocs(d, s, int(keep.sum()), 0, 0)
+
+
 def parent_blocks(reader: IndexReader, field: str = "repo"
                   ) -> tuple[list, np.ndarray, np.ndarray]:
     """Parent-block table — the QueryBitSetProducer role of the index-time
