@@ -4602,6 +4602,77 @@ def oracle_multi_range_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# SortedNumericDocValuesMultiRangeQuery (doc-major dv scan, inclusive)
+
+# deliberately overlapping + out of order: resolveOverlaps must merge
+DV_MULTI_RANGES = [(1, [(40, 60), (55, 80), (10, 20)]),
+                   (2, [(0, 5), (5, 9), (200, 100000)]),
+                   (3, [(33, 33), (77, 77), (30, 36)])]
+
+
+def ft_dv_multi_range(sf_dir: str) -> ray.data.Dataset:
+    """SortedNumericDocValuesMultiRangeQuery
+    (sandbox/search/SortedNumericDocValuesMultiRangeQuery.java:48): a
+    union of INCLUSIVE [lower, upper] ranges evaluated doc-major against
+    the numeric docvalue — the execution dual of :func:`ft_multi_range`'s
+    value-major point index, chosen when the query is a lead-restricted
+    FILTER and a dv iteration is cheaper than a points tree walk.
+    Overlapping clauses are merged up front (resolveOverlaps :91 edge
+    sweep), the global [min, max] envelope is pushed into the parquet
+    read (the DocValuesSkipper :218 segment-skip role → row-group
+    pruning), and each batch tests membership with one searchsorted
+    against the merged boundaries — map-only, no shuffle."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    idx = index_dir_for(sf_dir)
+    plans = []
+    for qid, ranges in DV_MULTI_RANGES:
+        merged: list[list[int]] = []
+        for lo, hi in sorted(ranges):
+            if merged and lo <= merged[-1][1] + 1:   # inclusive: adjacent merge
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        plans.append((qid,
+                      np.array([m[0] for m in merged], np.int64),
+                      np.array([m[1] for m in merged], np.int64)))
+    glo = int(min(p[1][0] for p in plans))
+    ghi = int(max(p[2][-1] for p in plans))
+    ds = ray.data.read_parquet(
+        os.path.join(idx, "docmeta"), columns=["doc_id", "field_len"],
+        filter=((pads.field("field_len") >= glo)
+                & (pads.field("field_len") <= ghi)))
+
+    def match(batch: pa.Table) -> pa.Table:
+        v = batch.column("field_len").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_q, out_d = [], []
+        for qid, los, his in plans:
+            i = np.searchsorted(los, v, side="right") - 1
+            ok = (i >= 0) & (v <= his[np.maximum(i, 0)])
+            out_q.append(np.full(int(ok.sum()), qid, np.int64))
+            out_d.append(d[ok])
+        return pa.table({"qid": pa.array(np.concatenate(out_q)),
+                         "doc_id": pa.array(np.concatenate(out_d))})
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
+def oracle_dv_multi_range_sql() -> str:
+    rows = []
+    for qid, ranges in DV_MULTI_RANGES:
+        # the UN-merged inclusive ranges: equality proves resolveOverlaps
+        pred = " OR ".join(f"(len >= {lo} AND len <= {hi})"
+                           for lo, hi in ranges)
+        rows.append(f"SELECT DISTINCT {qid} AS qid, d AS doc_id FROM dl "
+                    f"WHERE {pred}")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE}\n{un}"
+
+
+# ---------------------------------------------------------------------------
 # DocValuesStats (numeric docvalue statistics collector)
 
 def ft_dv_stats(sf_dir: str) -> pa.Table:
