@@ -4168,6 +4168,72 @@ wpos AS (
 
 
 # ---------------------------------------------------------------------------
+# SpanNotQuery (include spans with no exclude span within pre/post)
+
+# (qid, include term, exclude term, pre, post)
+SPAN_NOT_QUERIES = [(1, "key", "table", 2, 2),
+                    (2, "scan", "merge", 0, 3),
+                    (3, "window", "batch", 1, 0),
+                    (4, "vector", "zzmissing", 5, 5)]
+
+
+def ft_span_not(sf_dir: str) -> pa.Table:
+    """SpanNotQuery (queries/spans/SpanNotQuery.java:37): include-term
+    spans survive unless an exclude span sits within ``pre`` tokens
+    before or ``post`` tokens after. For width-1 term spans the Java
+    two-pointer rejection (:202 skip while excl.end <= cand.start - pre;
+    :210 accept when excl.start - post >= cand.end) reduces to: reject
+    include position p iff an exclude position q satisfies
+    p - pre <= q <= p + post — evaluated here with two searchsorted
+    probes per doc over the sorted exclude positions. Docs with >= 1
+    surviving span are returned with the surviving-span count."""
+    from ..search import _term_positions
+
+    r = reader_for(sf_dir)
+    qids, docs, counts = [], [], []
+    for qid, inc, exc, pre, post in SPAN_NOT_QUERIES:
+        pos_inc = _term_positions(r, inc) or {}
+        pos_exc = _term_positions(r, exc) or {}
+        for d in sorted(pos_inc):
+            p = np.sort(np.asarray(pos_inc[d], np.int64))
+            q = np.sort(np.asarray(pos_exc.get(d, ()), np.int64))
+            if len(q):
+                lo = np.searchsorted(q, p - pre, side="left")
+                hi = np.searchsorted(q, p + post, side="right")
+                surv = (hi - lo) == 0
+            else:
+                surv = np.ones(len(p), bool)
+            n = int(surv.sum())
+            if n:
+                qids.append(qid)
+                docs.append(int(d))
+                counts.append(n)
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "n_spans": pa.array(counts, pa.int64())})
+
+
+def oracle_span_not_sql() -> str:
+    rows = []
+    for qid, inc, exc, pre, post in SPAN_NOT_QUERIES:
+        rows.append(f"""SELECT {qid} AS qid, p.d AS doc_id,
+       count(*) AS n_spans
+FROM wpos p WHERE p.word = '{inc}' AND NOT EXISTS (
+  SELECT 1 FROM wpos q
+  WHERE q.d = p.d AND q.word = '{exc}'
+    AND q.pos BETWEEN p.pos - {pre} AND p.pos + {post})
+GROUP BY p.d""")
+    un = "\nUNION ALL\n".join(rows)
+    return f"""WITH {_CORPUS_CTE},
+wpos AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+)
+{un}"""
+
+
+# ---------------------------------------------------------------------------
 # Phrase-prefix query (search-as-you-type)
 
 # (qid, fixed leading terms, last-position prefix)
