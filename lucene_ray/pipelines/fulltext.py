@@ -4234,6 +4234,80 @@ wpos AS (
 
 
 # ---------------------------------------------------------------------------
+# SimpleQueryParser (never-throws end-user query language)
+
+SIMPLE_QUERIES = [
+    (1, "key agg"),                    # whitespace = default OR
+    (2, "key + agg | slow"),           # op change → new level: (k∧a)∨s
+    (3, "key + (agg | slow)"),         # explicit precedence
+    (4, "-key vector"),                # NOT wrapper ∪ term
+    (5, '"slow fast"~2 + window'),     # near phrase AND term
+    (6, "ke* + -agg"),                 # prefix AND NOT
+    (7, "key + ) agg |"),              # stray ')' + dangling '|' ignored
+    (8, "--key"),                      # double negation cancels
+    (9, "valu~1"),                     # fuzzy
+    (10, "*"),                         # MatchAllDocsQuery
+]
+
+
+def ft_simple_query(sf_dir: str) -> pa.Table:
+    """SimpleQueryParser (queryparser/simple/SimpleQueryParser.java:103):
+    the fault-tolerant end-user language (+ | - \" * ~ parentheses,
+    default OR, left-fold with a new Boolean level on operator change,
+    malformed syntax degraded instead of thrown). Parsed by
+    ``lucene_ray.simpleqp.parse`` and evaluated to LIVE doc sets on the
+    engine's own postings / termdict-expansion / positional matchers →
+    (qid, doc_id). Each oracle row below is the hand-derived SQL of the
+    EXPECTED parse, so equality pins the parse tree, including the
+    error-tolerance rows."""
+    from ..simpleqp import eval_docs, parse
+
+    r = reader_for(sf_dir)
+    qids, docs = [], []
+    for qid, text in SIMPLE_QUERIES:
+        d = eval_docs(r, parse(text))
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def oracle_simple_query_sql() -> str:
+    t = "SELECT d FROM tf WHERE term = '{}'"
+    sloppy = """SELECT DISTINCT w0.d AS d
+FROM w w0 JOIN w w1 ON w1.d = w0.d
+WHERE w0.word = 'slow' AND w1.word = 'fast'
+  AND greatest(w0.pos, w1.pos - 1) - least(w0.pos, w1.pos - 1) <= 2"""
+    per_q = {
+        1: f"{t.format('key')} UNION {t.format('agg')}",
+        2: f"(({t.format('key')} INTERSECT {t.format('agg')}) "
+           f"UNION {t.format('slow')})",
+        3: f"({t.format('key')} INTERSECT "
+           f"({t.format('agg')} UNION {t.format('slow')}))",
+        4: f"((SELECT d FROM corpus EXCEPT {t.format('key')}) "
+           f"UNION {t.format('vector')})",
+        5: f"(({sloppy}) INTERSECT {t.format('window')})",
+        6: "((SELECT DISTINCT d FROM tf WHERE term LIKE 'ke%') "
+           f"INTERSECT (SELECT d FROM corpus EXCEPT {t.format('agg')}))",
+        7: f"({t.format('key')} INTERSECT {t.format('agg')})",
+        8: t.format("key"),
+        9: ("(SELECT DISTINCT t2.d FROM tf t2 JOIN df f2 "
+            "ON t2.term = f2.term WHERE levenshtein(f2.term, 'valu') <= 1)"),
+        10: "SELECT d FROM corpus",
+    }
+    rows = [f"SELECT {qid} AS qid, d AS doc_id FROM ({sql})"
+            for qid, sql in per_q.items()]
+    un = "\nUNION ALL\n".join(rows)
+    return f"""WITH {_CORPUS_CTE},
+w AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+)
+{un}"""
+
+
+# ---------------------------------------------------------------------------
 # Phrase-prefix query (search-as-you-type)
 
 # (qid, fixed leading terms, last-position prefix)

@@ -1,0 +1,93 @@
+"""Parse-tree goldens for the SimpleQueryParser port — the reference's
+TestSimpleQueryParser behaviors (never throws, graceful degradation).
+Pure parser tests: no Ray, no index."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from lucene_ray.simpleqp import parse  # noqa: E402
+
+
+def an(s):
+    # deterministic toy analyzer: lowercase whitespace split
+    return [w.lower() for w in s.split() if w]
+
+
+def test_default_or():
+    assert parse("a b", an) == ("or", [("term", "a"), ("term", "b")])
+
+
+def test_and_operator():
+    assert parse("a + b", an) == ("and", [("term", "a"), ("term", "b")])
+
+
+def test_operator_change_new_level():
+    # documented precedence: a | b + c == (a OR b) AND c
+    assert parse("a | b + c", an) == \
+        ("and", [("or", [("term", "a"), ("term", "b")]), ("term", "c")])
+
+
+def test_parens_precedence():
+    assert parse("a + (b | c)", an) == \
+        ("and", [("term", "a"), ("or", [("term", "b"), ("term", "c")])])
+
+
+def test_not_and_double_not():
+    assert parse("-a", an) == ("not", ("term", "a"))
+    assert parse("--a", an) == ("term", "a")
+    # whitespace between '-' and the term cancels the negation
+    assert parse("- a", an) == ("term", "a")
+
+
+def test_phrase_and_near():
+    assert parse('"x y"', an) == ("phrase", ["x", "y"], 0)
+    assert parse('"x y"~3', an) == ("phrase", ["x", "y"], 3)
+    # single-term phrase simplifies to a term (QueryBuilder role)
+    assert parse('"x"', an) == ("term", "x")
+    # bare tilde after phrase = slop 0
+    assert parse('"x y"~', an) == ("phrase", ["x", "y"], 0)
+
+
+def test_prefix_and_fuzzy():
+    assert parse("ab*", an) == ("prefix", "ab")
+    assert parse("ab~1", an) == ("fuzzy", "ab", 1)
+    assert parse("ab~", an) == ("fuzzy", "ab", 2)      # AUTO = 2
+    assert parse("ab~9", an) == ("fuzzy", "ab", 2)     # capped at max 2
+    assert parse("ab~0", an) == ("term", "ab")         # 0 edits = term
+    assert parse("ab~x", an) == ("term", "ab")         # unparsable → 0
+    # '*' not at the end is literal text
+    assert parse("a*b", an) == ("term", "a*b")
+
+
+def test_never_throws_degradations():
+    assert parse("", an) == ("none",)
+    assert parse("   ", an) == ("none",)
+    assert parse("*", an) == ("all",)
+    # stray ')' skipped; dangling operators ignored
+    assert parse("a + ) b |", an) == ("and", [("term", "a"), ("term", "b")])
+    # leading operator with no prior branch is ignored
+    assert parse("+ a", an) == ("term", "a")
+    # unmatched '(' is extraneous: contents parse as plain tokens
+    assert parse("(a b", an) == ("or", [("term", "a"), ("term", "b")])
+    # unmatched '"' likewise
+    assert parse('"a b', an) == ("or", [("term", "a"), ("term", "b")])
+    # empty '()' and '""' reset the pending operator: b combines with
+    # the default OR, not the dangling '+'
+    assert parse("a + () b", an) == ("or", [("term", "a"), ("term", "b")])
+    assert parse('a + "" b', an) == ("or", [("term", "a"), ("term", "b")])
+
+
+def test_escapes():
+    assert parse(r"a\+b", an) == ("term", "a+b")
+    assert parse(r"\-a", an) == ("term", "-a")
+    assert parse(r"ab\*", an) == ("term", "ab*")
+    assert parse(r'\"a b\"', an) == \
+        ("or", [("term", '"a'), ("term", 'b"')])
+
+
+def test_nested_parens():
+    assert parse("a + (b | (c + d))", an) == \
+        ("and", [("term", "a"),
+                 ("or", [("term", "b"),
+                         ("and", [("term", "c"), ("term", "d")])])])
