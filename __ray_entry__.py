@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "agg_grouping_topk": _rel.agg_grouping_topk,
             "ann_filtered_topk": _ann.ann_filtered_topk,
             "ann_quantized_topk": _ann.ann_quantized_topk,
+            "ann_pq_topk": _ann.ann_pq_topk,
             "doc_keywords": _ts.doc_keywords,
             "corpus_clean": _ts.corpus_clean,
             "events_sliding_window": _st.events_sliding_window,

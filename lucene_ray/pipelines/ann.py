@@ -1084,3 +1084,230 @@ SELECT vec_id, CAST(label AS INT) AS pred_label FROM (
                             ORDER BY c DESC, label ASC) AS rn
   FROM votes
 ) WHERE rn = 1"""
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the beyond-int8 embedding compression path
+
+PQ_M = 8            # subspaces (dim 64 → 8 dims per sub-codebook)
+PQ_KSUB = 16        # centroids per subspace → 4 bits, codes fit uint8
+PQ_ITERS = 3
+PQ_OVERSAMPLE = 8
+
+_PQ_CACHE: dict = {}
+
+
+def _pq_codebooks(sf_dir: str, m: int, ksub: int,
+                  iters: int) -> np.ndarray | None:
+    """Train the (m, ksub, dsub) PQ codebooks (Jégou, Douze, Schmid 2011
+    "Product Quantization for Nearest Neighbor Search" §II) on the
+    L2-NORMALIZED vectors: one Lloyd trainer per subspace, all subspaces
+    sharing each distributed pass. Same deterministic Forgy init and
+    mean-combiner shape as :func:`_lloyd_centroids`; the per-task
+    emission is m*ksub*(dsub+0) partial-sum rows, never raw vectors."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+    import pyarrow.parquet as pq_
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    id_col = pq_.read_table(_emb_path(sf_dir), columns=["vec_id"])
+    if id_col.num_rows == 0:
+        return None
+    ids = id_col.column("vec_id").to_numpy()
+    kth = int(np.sort(ids if len(ids) <= ksub else
+                      np.partition(ids, ksub - 1)[:ksub])[-1])
+    init = pq_.read_table(_emb_path(sf_dir),
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<=", kth)])
+    order = np.argsort(init.column("vec_id").to_numpy())[:ksub]
+    base = np.stack(init.column("embedding").take(
+        pa.array(order)).to_numpy(zero_copy_only=False)).astype(np.float64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dim = base.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    # (m, ksub, dsub): subspace s initialized from the same ksub rows
+    c = np.stack([base[:, s * dsub:(s + 1) * dsub] for s in range(m)])
+
+    for _ in range(iters):
+        cref = ray.put(c)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cent = ray.get(cref)
+            en = np.stack(batch.column("embedding").to_numpy(
+                zero_copy_only=False)).astype(np.float64)
+            en /= np.linalg.norm(en, axis=1, keepdims=True)
+            subs, cids, dims, sums, ns = [], [], [], [], []
+            for s in range(m):
+                xs = en[:, s * dsub:(s + 1) * dsub]
+                a = _assign(xs, cent[s])
+                for j in np.unique(a):
+                    g = xs[a == j]
+                    subs.extend([s] * dsub)
+                    cids.extend([int(j)] * dsub)
+                    dims.extend(range(dsub))
+                    sums.extend(g.sum(axis=0).tolist())
+                    ns.extend([len(g)] * dsub)
+            return pa.table({"sub": pa.array(subs, pa.int32()),
+                             "cid": pa.array(cids, pa.int32()),
+                             "dim": pa.array(dims, pa.int32()),
+                             "s": pa.array(sums, pa.float64()),
+                             "n": pa.array(ns, pa.int64())})
+
+        stats = ensure_cols(
+            ray.data.read_parquet(_emb_path(sf_dir), columns=["embedding"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(["sub", "cid", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .to_pandas(), ["sub", "cid", "dim", "s", "n"])
+        nxt = c.copy()                        # empty clusters keep theirs
+        for (s, cid), g in stats.groupby(["sub", "cid"]):
+            g = g.sort_values("dim")
+            nxt[int(s), int(cid)] = g["s"].to_numpy() / g["n"].to_numpy()
+        c = nxt
+    return c
+
+
+def _pq_dir(sf_dir: str, m: int = PQ_M, ksub: int = PQ_KSUB,
+            iters: int = PQ_ITERS) -> str:
+    """Train the codebooks and persist the PQ index once per sf dir:
+    ``codebooks.npy`` plus a ``codes/`` parquet of (vec_id, code list) —
+    m uint8s per vector, a 32x smaller search member than the float32
+    rows (the IO asymmetry product quantization exists for)."""
+    import hashlib as _h
+    import ray
+    import ray.data
+
+    sf_dir = os.path.abspath(sf_dir)
+    key = f"{sf_dir}:{m}:{ksub}:{iters}"
+    if key in _PQ_CACHE:
+        return _PQ_CACHE[key]
+    emb = _emb_path(sf_dir)
+    tag = _h.sha256(f"{emb}:{os.path.getsize(emb)}:{m}:{ksub}:{iters}:pq-v1"
+                    .encode()).hexdigest()[:12]
+    out = os.path.join("/tmp", "lucene_ray_indexes", "pq_" + tag)
+    done = os.path.join(out, "codebooks.npy")
+    if not os.path.exists(done):
+        os.makedirs(os.path.join(out, "codes"), exist_ok=True)
+        c = _pq_codebooks(sf_dir, m, ksub, iters)
+        if c is None:
+            raise ValueError(f"no embeddings in {sf_dir}")
+        cref = ray.put(c)
+        dsub = c.shape[2]
+
+        def encode(batch: pa.Table) -> pa.Table:
+            cent = ray.get(cref)
+            en = np.stack(batch.column("embedding").to_numpy(
+                zero_copy_only=False)).astype(np.float64)
+            en /= np.linalg.norm(en, axis=1, keepdims=True)
+            codes = np.empty((len(en), m), np.uint8)
+            for s in range(m):
+                codes[:, s] = _assign(
+                    en[:, s * dsub:(s + 1) * dsub], cent[s])
+            return pa.table({
+                "vec_id": batch.column("vec_id"),
+                "code": pa.array(list(codes), pa.list_(pa.uint8(), m))})
+
+        (ray.data.read_parquet(emb, columns=["vec_id", "embedding"])
+         .map_batches(encode, batch_format="pyarrow")
+         .write_parquet(os.path.join(out, "codes")))
+        np.save(done + ".tmp.npy", c)
+        os.replace(done + ".tmp.npy", done)
+    _PQ_CACHE[key] = out
+    return out
+
+
+def ann_pq_topk(sf_dir: str, oversample: int = PQ_OVERSAMPLE) -> pa.Table:
+    """Product-quantized kNN (Jégou et al. 2011 ADC; the compression
+    step past the int8 path of :func:`ann_quantized_topk` —
+    codecs/lucene99/Lucene99ScalarQuantizedVectorsFormat.java:34 is the
+    reference's quantization seam this plugs into): phase 1 ranks by the
+    asymmetric distance — per query a tiny (m, ksub) dot-product table
+    against the broadcast codebooks, per batch a table LOOKUP per
+    subspace over the codes member only (m bytes/vector read, never the
+    float rows); phase 2 exactly rescores the oversample*k survivors
+    with a predicate-pushdown read of just those rows. Approximate by
+    design (recall floor pytest-asserted, determinism by lexsort
+    tie-break) → rows-only driver entry."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq_
+
+    qids, q = _query_matrix(sf_dir)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    pqd = _pq_dir(sf_dir)
+    c = np.load(os.path.join(pqd, "codebooks.npy"))
+    m, ksub, dsub = c.shape
+    # (Q, m, ksub) asymmetric-distance tables: q_sub · codebook entries
+    tab = np.einsum("qsd,skd->qsk",
+                    qn.reshape(len(qn), m, dsub), c)
+    tref = ray.put(tab)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = ray.get(tref)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        codes = np.stack(batch.column("code").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        nq = t.shape[0]
+        scores = np.zeros((len(ids), nq))
+        for s in range(m):
+            scores += t[:, s, :][:, codes[:, s]].T
+        keep = min(len(ids), oversample * TOP_K)
+        out_q, out_v, out_s = [], [], []
+        for j in range(nq):
+            order = np.lexsort((ids, -scores[:, j]))[:keep]
+            out_q.extend([j] * len(order))
+            out_v.extend(ids[order].tolist())
+            out_s.extend(scores[order, j].tolist())
+        return pa.table({"qj": pa.array(out_q, pa.int32()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    parts = (ray.data.read_parquet(os.path.join(pqd, "codes"),
+                                   columns=["vec_id", "code"])
+             .map_batches(partial, batch_format="pyarrow")
+             .take_all())
+    by_q: dict[int, list] = {}
+    for r in parts:
+        by_q.setdefault(r["qj"], []).append((r["vec_id"], r["sim"]))
+    # survivors per query by approximate score, then ONE exact-rescore
+    # read of the union candidate rows
+    cand: dict[int, list[int]] = {}
+    allv: set[int] = set()
+    for j in range(len(qids)):
+        rows = by_q.get(j, [])
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        cand[j] = [int(v) for v, _ in rows[:oversample * TOP_K]]
+        allv.update(cand[j])
+    if not allv:
+        return pa.table({"query_vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int32()),
+                         "vec_id": pa.array([], pa.int64())})
+    lo, hi = min(allv), max(allv)
+    t = pq_.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"],
+                       filters=[("vec_id", ">=", lo),
+                                ("vec_id", "<=", hi)])
+    tv = t.column("vec_id").to_numpy()
+    sel = np.isin(tv, np.fromiter(allv, np.int64))
+    tv = tv[sel]
+    te = np.stack(t.column("embedding").to_numpy(
+        zero_copy_only=False))[sel].astype(np.float64)
+    te /= np.linalg.norm(te, axis=1, keepdims=True)
+    pos = {int(v): i for i, v in enumerate(tv)}
+    rows_q, rows_r, rows_v = [], [], []
+    for j, qid in enumerate(qids):
+        ids = np.array(cand[j], np.int64)
+        if not len(ids):
+            continue
+        sims = te[[pos[int(v)] for v in ids]] @ qn[j]
+        order = np.lexsort((ids, -sims))[:TOP_K]
+        for rank, i in enumerate(order, 1):
+            rows_q.append(int(qid))
+            rows_r.append(rank)
+            rows_v.append(int(ids[i]))
+    return pa.table({"query_vec_id": pa.array(rows_q, pa.int64()),
+                     "rank": pa.array(rows_r, pa.int32()),
+                     "vec_id": pa.array(rows_v, pa.int64())})

@@ -1865,3 +1865,43 @@ def test_dynamic_range_facets_tail_and_small(ray_session, tmp_path):
     # items sort by (v, w): the four weight-1 docs come first, then the
     # 100-weight doc closes range 1 (>= 52); no tail remains
     assert t2["weight"].tolist() == [104]
+
+
+def test_ann_pq_recall_and_determinism(ray_session):
+    """Product quantization: phase-1 code scan + phase-2 exact rescore
+    recovers most of the exact top-k even on random (clusterless)
+    embeddings; larger oversample converges to the exact answer; reruns
+    are bit-identical (deterministic Forgy init + lexsort tie-breaks)."""
+    from lucene_ray.pipelines.ann import ann_cosine_topk, ann_pq_topk
+
+    exact = ann_cosine_topk(SF)
+    ex = {}
+    for q, v in zip(exact.column("query_vec_id").to_pylist(),
+                    exact.column("vec_id").to_pylist()):
+        ex.setdefault(q, set()).add(v)
+
+    got_tbl = ann_pq_topk(SF)                 # default oversample
+    got = {}
+    top1 = {}
+    for q, r, v in zip(got_tbl.column("query_vec_id").to_pylist(),
+                       got_tbl.column("rank").to_pylist(),
+                       got_tbl.column("vec_id").to_pylist()):
+        got.setdefault(q, set()).add(v)
+        if r == 1:
+            top1[q] = v
+    inter = sum(len(ex[q] & got.get(q, set())) for q in ex)
+    recall = inter / sum(len(s) for s in ex.values())
+    assert recall >= 0.7, recall
+    # each query vector is its own exact nearest neighbor; the rescore
+    # phase must surface it at rank 1
+    assert all(q == v for q, v in top1.items()), top1
+
+    again = ann_pq_topk(SF)
+    assert got_tbl.equals(again)
+
+    # the scale knob: oversampling widens phase 1 toward exactness
+    wide = ann_pq_topk(SF, oversample=24).to_pandas().sort_values(
+        ["query_vec_id", "rank"]).reset_index(drop=True)
+    a = exact.to_pandas().sort_values(
+        ["query_vec_id", "rank"]).reset_index(drop=True)
+    assert wide.equals(a)
