@@ -5270,3 +5270,169 @@ SELECT row_number() OVER (ORDER BY lo) AS range_id,
        CAST(SUM(i.v) AS DOUBLE) / count(*) AS centroid
 FROM bounded b JOIN items i ON i.rn > b.lo AND i.rn <= b.hi
 GROUP BY b.lo"""
+
+
+# ---------------------------------------------------------------------------
+# UnifiedHighlighter passage scoring (top passage per hit)
+
+HL_PASSAGE_QUERIES = [(1, ["key", "agg"], 10),
+                      (2, ["slow", "fast", "window"], 10),
+                      (3, ["vector", "merge"], 10)]
+_HP_W = 20                 # passage = fixed 20-token window (BreakIterator role)
+_HP_K1, _HP_B, _HP_PIVOT = 1.2, 0.75, 87.0
+
+
+def ft_highlight_passages(sf_dir: str) -> pa.Table:
+    """UnifiedHighlighter passage SCORING
+    (uhighlight/PassageScorer.java:26 — score = norm(start) * Σ_terms
+    tf(freqInPassage, passageLen) * weight(contentLength, freqInDoc),
+    defaults k1=1.2 b=0.75 pivot=87): BM25 top-k docs per query, then
+    the best-scoring passage per hit. Passages are fixed 20-token
+    windows (the corpus has no sentence bounds, so the BreakIterator
+    boundary source is a fixed tokenizer window); char offsets/lengths
+    come from the stored tok_starts/tok_ends payload, never a re-parse.
+    Float op order is pinned to the Java: tf and the length norm in
+    float32 (:94-96), weight = (k1+1) * (float)ln(...) with the
+    numDocs float and double interior (:80-85), per-term contributions
+    multiplied in float32 and summed in double (:132-136), one final
+    double*norm multiply cast to float (:114,137).
+    → (qid, doc_id, p_start, score)."""
+    import math
+
+    import pyarrow.parquet as pq_
+
+    from ..search import _term_positions
+
+    f32 = np.float32
+    r = reader_for(sf_dir)
+    idx = index_dir_for(sf_dir)
+    qids, docs, pstarts, scores = [], [], [], []
+    for qid, terms, k in HL_PASSAGE_QUERIES:
+        td = search_blockmax(r, " ".join(terms), k)
+        hits = [int(d) for d in td.doc_ids]
+        if not hits:
+            continue
+        pos_of = {t: (_term_positions(r, t) or {}) for t in set(terms)}
+        dm = pq_.read_table(os.path.join(idx, "docmeta"),
+                            columns=["doc_id", "tok_starts", "tok_ends"],
+                            filters=[("doc_id", "in", hits)])
+        st_of = dict(zip(dm.column("doc_id").to_pylist(),
+                         dm.column("tok_starts").to_pylist()))
+        en_of = dict(zip(dm.column("doc_id").to_pylist(),
+                         dm.column("tok_ends").to_pylist()))
+        for d in hits:
+            starts = np.asarray(st_of[d], np.int64)
+            ends = np.asarray(en_of[d], np.int64)
+            n = len(starts)
+            if n == 0:
+                continue
+            clen = int(ends[-1])
+            nwin = (n + _HP_W - 1) // _HP_W
+            wfirst = np.arange(nwin) * _HP_W
+            wlast = np.minimum(wfirst + _HP_W - 1, n - 1)
+            pstart = starts[wfirst]
+            plen = ends[wlast] - pstart
+            acc = np.zeros(nwin, np.float64)
+            seen = np.zeros(nwin, bool)
+            num_docs = f32(1.0) + f32(clen) / f32(_HP_PIVOT)
+            for t in sorted(set(terms)):
+                p = np.asarray(pos_of[t].get(d, ()), np.int64)
+                if not len(p):
+                    continue
+                fd = len(p)          # totalTermFreq within the doc
+                wt = f32(_HP_K1 + 1) * f32(math.log(
+                    1 + (float(num_docs) + 0.5) / (fd + 0.5)))
+                fp = np.bincount(p // _HP_W, minlength=nwin)
+                wsel = np.flatnonzero(fp)
+                ln_norm = (f32(_HP_K1)
+                           * (f32(1 - _HP_B)
+                              + f32(_HP_B) * (plen[wsel].astype(np.float32)
+                                              / f32(_HP_PIVOT))))
+                tfv = (fp[wsel].astype(np.float32)
+                       / (fp[wsel].astype(np.float32) + ln_norm))
+                acc[wsel] += (tfv * wt).astype(np.float64)
+                seen[wsel] = True
+            wsel = np.flatnonzero(seen)
+            pn = np.array(
+                [f32(1.0) + f32(1.0)
+                 / f32(math.log(float(f32(_HP_PIVOT) + f32(pstart[i]))))
+                 for i in wsel], np.float64)
+            sc = (acc[wsel] * pn).astype(np.float32)
+            best = np.lexsort((pstart[wsel], -sc.astype(np.float64)))[0]
+            qids.append(qid)
+            docs.append(d)
+            pstarts.append(int(pstart[wsel][best]))
+            scores.append(float(sc[best]))
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "p_start": pa.array(pstarts, pa.int64()),
+                     "score": pa.array(scores, pa.float32())})
+
+
+def oracle_highlight_passages_sql() -> str:
+    rows = []
+    for qid, terms, k in HL_PASSAGE_QUERIES:
+        for ci, t in enumerate(terms):
+            rows.append(f"({qid}, {ci}, '{t}', {k})")
+    vals = ",\n    ".join(rows)
+    tf_expr = """(CAST(m.fp AS REAL) / (CAST(m.fp AS REAL) +
+      CAST(1.2 AS REAL) * (CAST(0.25 AS REAL) +
+        CAST(0.75 AS REAL) * (CAST(g.pend - g.pstart AS REAL) / CAST(87.0 AS REAL)))))"""
+    wt_expr = """(CAST(2.2 AS REAL) * CAST(ln(
+      1 + (CAST(CAST(1 AS REAL) + CAST(cl.clen AS REAL) / CAST(87.0 AS REAL) AS DOUBLE)
+           + 0.5) / (m.fd + 0.5)) AS REAL))"""
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+{_bm25_chain_cte(vals)},
+w AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+),
+woff AS (
+  SELECT d, word, pos,
+         sum(len(word) + 1) OVER (PARTITION BY d ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - len(word) - 1 AS s
+  FROM w
+),
+pgeo AS (
+  SELECT d, CAST(floor((pos - 1) / {_HP_W}) AS INT) AS win,
+         min(s) AS pstart, max(s + len(word)) AS pend
+  FROM woff GROUP BY d, win
+),
+clens AS (
+  SELECT d, max(s + len(word)) AS clen FROM woff GROUP BY d
+),
+pmatch AS (
+  SELECT c.qid, r.d, CAST(floor((o.pos - 1) / {_HP_W}) AS INT) AS win,
+         c.term, count(*) AS fp, min(t.tf) AS fd
+  FROM (SELECT DISTINCT qid, term FROM clauses) c
+  JOIN ranked r ON r.qid = c.qid AND r.rank <= r.k
+  JOIN woff o ON o.d = r.d AND o.word = c.term
+  JOIN tf t ON t.d = r.d AND t.term = c.term
+  GROUP BY c.qid, r.d, win, c.term
+),
+pscored AS (
+  SELECT m.qid, m.d, m.win, min(g.pstart) AS pstart,
+         CAST(sum(CAST(CAST({tf_expr} * {wt_expr} AS REAL) AS DOUBLE))
+              AS DOUBLE) AS sraw
+  FROM pmatch m
+  JOIN pgeo g ON g.d = m.d AND g.win = m.win
+  JOIN clens cl ON cl.d = m.d
+  GROUP BY m.qid, m.d, m.win
+),
+pfinal AS (
+  SELECT qid, d, pstart,
+         CAST(sraw * (CAST(1 AS REAL) + CAST(1 AS REAL) /
+           CAST(ln(CAST(CAST(87.0 AS REAL) + CAST(pstart AS REAL) AS DOUBLE))
+                AS REAL)) AS REAL) AS score,
+         row_number() OVER (PARTITION BY qid, d
+                            ORDER BY CAST(sraw * (CAST(1 AS REAL) +
+                              CAST(1 AS REAL) / CAST(ln(CAST(CAST(87.0 AS REAL)
+                              + CAST(pstart AS REAL) AS DOUBLE)) AS REAL))
+                              AS REAL) DESC, pstart ASC) AS rn
+  FROM pscored
+)
+SELECT qid, d AS doc_id, pstart AS p_start, score
+FROM pfinal WHERE rn = 1"""
