@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dsir_importance": _ts.dsir_importance,
             "agg_lineitem_pricing": _rel.agg_lineitem_pricing,
             "agg_facet_taxonomy": _rel.agg_facet_taxonomy,
+            "agg_facetset_counts": _rel.agg_facetset_counts,
             "agg_grouping_topk": _rel.agg_grouping_topk,
             "ann_filtered_topk": _ann.ann_filtered_topk,
             "ann_quantized_topk": _ann.ann_quantized_topk,
@@ -362,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
             "ann_quantized_topk": ann.oracle_ann_sql(),
             "agg_facet_counts": relational.oracle_facet_counts_sql(),
             "agg_facet_taxonomy": relational.oracle_facet_taxonomy_sql(),
+            "agg_facetset_counts": relational.oracle_facetset_counts_sql(),
             "agg_grouping_topk": relational.oracle_grouping_topk_sql(),
             "agg_distinct": relational.oracle_distinct_sql(),
             "join_semi_broadcast": relational.oracle_semi_join_sql(),

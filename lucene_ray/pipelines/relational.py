@@ -276,3 +276,104 @@ def oracle_quantity_quantiles_sql() -> str:
             f"CAST(quantile_disc(l_quantity, {q}) AS BIGINT) AS value "
             f"FROM lineitem" for q in QUANTILE_PS]
     return "\nUNION ALL\n".join(rows)
+
+
+# ---------------------------------------------------------------------------
+# Facet sets (facet/facetset/*): multi-dim tuple matching counts
+
+# matcher list: ("exact",) binds to doc 0's own (len, chars) tuple at
+# runtime; ("range", lo1, hi1, lo2, hi2) bounds are inclusive like
+# DimRange (facetset/DimRange.java:28)
+FACETSET_MATCHERS = [("exact",),
+                     ("range", 30, 60, 100, 400),
+                     ("range", 0, 1 << 30, 0, 250)]
+
+
+def facetset_match_counts(sets_per_doc, matchers) -> np.ndarray:
+    """Core MatchingFacetSetsCounts rule
+    (facetset/MatchingFacetSetsCounts.java:60-92): a doc increments a
+    matcher's count ONCE if ANY of its stored facet-set tuples matches;
+    Exact = all dims equal (ExactFacetSetMatcher.java:34), Range = every
+    dim inside its inclusive [min, max] (RangeFacetSetMatcher.java:60).
+    ``sets_per_doc``: (n_tuples, ndims+1) int64 array whose col 0 is the
+    doc index — the decoded BinaryDocValues rows. Returns per-matcher
+    doc counts (+ the total distinct docs as the last element, the
+    reference's totCount)."""
+    arr = np.asarray(sets_per_doc, np.int64)
+    out = np.zeros(len(matchers) + 1, np.int64)
+    if arr.size == 0:
+        return out
+    owner = arr[:, 0]
+    dims = arr[:, 1:]
+    for i, mt in enumerate(matchers):
+        if mt[0] == "exact":
+            vals = np.asarray(mt[1], np.int64)
+            hit = np.all(dims == vals, axis=1)
+        else:
+            bounds = np.asarray(mt[1:], np.int64).reshape(-1, 2)
+            hit = np.all((dims >= bounds[:, 0]) & (dims <= bounds[:, 1]),
+                         axis=1)
+        out[i] = len(np.unique(owner[hit]))
+    out[-1] = len(np.unique(owner))
+    return out
+
+
+def agg_facetset_counts(sf_dir: str) -> pa.Table:
+    """MatchingFacetSetsCounts over the documents table, facet set per
+    doc = the 2-dim tuple (token length, n_chars): map-only per-batch
+    matcher counts + one tiny combine (counts are additive because each
+    doc's set lives in one row — the reference likewise scans each doc's
+    BinaryDocValues entry exactly once). The exact matcher binds to doc
+    0's own tuple (a one-row predicate read). Multi-tuple any-match
+    semantics are exercised by the pytest corpus."""
+    import pyarrow.parquet as pq_
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    d0 = pq_.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text", "n_chars"],
+                        filters=[("doc_id", "==", 0)])
+    t0 = d0.column("text")[0].as_py()
+    exact_dims = (len(t0.split(" ")), int(d0.column("n_chars")[0].as_py()))
+    matchers = [(("exact", exact_dims) if m[0] == "exact" else m)
+                for m in FACETSET_MATCHERS]
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(
+            pc.split_pattern(batch.column("text"), " ")).to_numpy()
+        chars = batch.column("n_chars").to_numpy()
+        rows = np.column_stack([np.arange(len(lens)), lens, chars])
+        c = facetset_match_counts(rows, matchers)
+        return pa.table({"m": pa.array(range(len(c)), pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("m").aggregate(Sum("n", alias_name="n")))
+    t = agg.to_pandas().sort_values("m")
+    labels = [f"matcher_{i}" for i in range(len(matchers))] + ["$total$"]
+    return pa.table({
+        "matcher": pa.array([labels[int(i)] for i in t["m"]], pa.string()),
+        "count": pa.array(t["sum(n)" if "sum(n)" in t else "n"]
+                          .to_numpy().astype(np.int64), pa.int64())})
+
+
+def oracle_facetset_counts_sql() -> str:
+    l1, h1, c1, c2 = FACETSET_MATCHERS[1][1:]
+    l3, h3, c3, c4 = FACETSET_MATCHERS[2][1:]
+    return f"""WITH dims AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS l, n_chars AS c
+  FROM documents
+),
+d0 AS (SELECT l, c FROM dims WHERE doc_id = 0)
+SELECT 'matcher_0' AS matcher, count(*) AS count
+  FROM dims WHERE (l, c) = (SELECT (l, c) FROM d0)
+UNION ALL
+SELECT 'matcher_1', count(*) FROM dims
+  WHERE l BETWEEN {l1} AND {h1} AND c BETWEEN {c1} AND {c2}
+UNION ALL
+SELECT 'matcher_2', count(*) FROM dims
+  WHERE l BETWEEN {l3} AND {h3} AND c BETWEEN {c3} AND {c4}
+UNION ALL
+SELECT '$total$', count(*) FROM dims"""

@@ -1905,3 +1905,23 @@ def test_ann_pq_recall_and_determinism(ray_session):
     a = exact.to_pandas().sort_values(
         ["query_vec_id", "rank"]).reset_index(drop=True)
     assert wide.equals(a)
+
+
+def test_facetset_multi_tuple_any_match():
+    """MatchingFacetSetsCounts: a doc with several stored facet-set
+    tuples counts ONCE per matcher if ANY tuple matches; totCount is
+    distinct docs with the field (pure kernel test, no Ray)."""
+    import numpy as np
+
+    from lucene_ray.pipelines.relational import facetset_match_counts
+
+    # doc 0: {(5, 100), (9, 300)}  doc 1: {(9, 300)}  doc 2: {(1, 1)}
+    rows = np.array([[0, 5, 100], [0, 9, 300], [1, 9, 300], [2, 1, 1]])
+    counts = facetset_match_counts(rows, [
+        ("exact", (9, 300)),            # docs 0 and 1 — doc 0 only once
+        ("range", 0, 6, 0, 200),        # doc 0 (first tuple), doc 2
+        ("range", 100, 200, 0, 10**9),  # nobody
+    ])
+    assert counts.tolist() == [2, 2, 0, 3]
+    assert facetset_match_counts(np.empty((0, 3)), [("exact", (1, 2))]) \
+        .tolist() == [0, 0]
