@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_span_not": ft.ft_span_not,
         "ft_simple_query": ft.ft_simple_query,
         "ft_highlight_passages": ft.ft_highlight_passages,
+        "ft_sorted_range": ft.ft_sorted_range,
         "ft_suggest_freetext": ft.ft_suggest_freetext,
         "hybrid_rrf": _hy.hybrid_rrf,
         "ft_geo_sort": ft.ft_geo_sort,
@@ -231,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_span_not": ft.oracle_span_not_sql(),
         "ft_simple_query": ft.oracle_simple_query_sql(),
         "ft_highlight_passages": ft.oracle_highlight_passages_sql(),
+        "ft_sorted_range": ft.oracle_sorted_range_sql(),
         "ft_collection_stats": ft.oracle_collection_stats_sql(),
         "ft_term_stats": ft.oracle_term_stats_sql(),
         "ft_docmeta": ft.oracle_docmeta_sql(),

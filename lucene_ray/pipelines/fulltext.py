@@ -5436,3 +5436,100 @@ pfinal AS (
 )
 SELECT qid, d AS doc_id, pstart AS p_start, score
 FROM pfinal WHERE rn = 1"""
+
+
+# ---------------------------------------------------------------------------
+# IndexSortSortedNumericDocValuesRangeQuery (binary search on a sorted index)
+
+SORTED_RANGE_QUERIES = [(1, 150, 260), (2, 0, 120), (3, 400, 1 << 30)]
+
+
+def ft_sorted_range(sf_dir: str) -> pa.Table:
+    """IndexSortSortedNumericDocValuesRangeQuery
+    (search/IndexSortSortedNumericDocValuesRangeQuery.java:63): when the
+    index sort matches the queried field, a numeric range is answered by
+    BINARY SEARCH for the range endpoints instead of a tree walk or a
+    full dv scan (:248 BoundedDocIdSetIterator over the located
+    [firstDoc, lastDoc) window). Here every docmeta bucket of the
+    index-sorted index is stored monotone on sort_key, so the endpoint
+    search is two probes over parquet ROW-GROUP STATISTICS (only the
+    contiguous overlapping groups are decoded) + one searchsorted inside
+    them; per-bucket rows_read is returned by the helper and asserted
+    ≪ bucket size in pytest. → (qid, doc_id)."""
+    t, _ = sorted_range_scan(sorted_index_dir_for(sf_dir),
+                             SORTED_RANGE_QUERIES)
+    return t
+
+
+def sorted_range_scan(index_dir: str, queries) -> tuple[pa.Table, int]:
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    dm_dir = os.path.join(index_dir, "docmeta")
+    buckets = sorted(f for f in os.listdir(dm_dir)
+                     if f.endswith(".parquet"))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        out_q, out_d, out_b, out_r = [], [], [], []
+        for fname in batch.column("file").to_pylist():
+            pf = pq_.ParquetFile(os.path.join(dm_dir, fname))
+            md = pf.metadata
+            col = next(i for i in range(md.num_columns)
+                       if md.row_group(0).column(i).path_in_schema
+                       == "sort_key")
+            stats = [(md.row_group(g).column(col).statistics.min,
+                      md.row_group(g).column(col).statistics.max)
+                     for g in range(md.num_row_groups)]
+            rows_read = 0
+            for qid, lo, hi in queries:
+                # sort_key is monotone DESC across the bucket: the
+                # overlapping row groups are contiguous
+                gsel = [g for g, (mn, mx) in enumerate(stats)
+                        if mx >= lo and mn <= hi]
+                keys_parts, path_parts = [], []
+                for g in gsel:
+                    rb = pf.read_row_group(g, columns=["path",
+                                                       "sort_key"])
+                    rows_read += rb.num_rows
+                    keys_parts.append(rb.column("sort_key").to_numpy())
+                    path_parts.extend(rb.column("path").to_pylist())
+                if not keys_parts:
+                    continue
+                keys = np.concatenate(keys_parts)
+                orig = np.array([int(p[4:12]) for p in path_parts],
+                                np.int64)
+                asc = keys[::-1]                  # monotone asc view
+                a = np.searchsorted(asc, lo, side="left")
+                b = np.searchsorted(asc, hi, side="right")
+                sel = orig[::-1][a:b]
+                out_q.extend([qid] * len(sel))
+                out_d.extend(sel.tolist())
+            out_b.extend([fname] * len(out_q) if not out_b else
+                         [fname] * (len(out_q) - len(out_b)))
+            out_r.extend([rows_read] * (len(out_q) - len(out_r)))
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "bucket": pa.array(out_b, pa.string()),
+                         "rows_read": pa.array(out_r, pa.int64())})
+
+    parts = (ray.data.from_items([{"file": f} for f in buckets])
+             .map_batches(scan, batch_format="pyarrow", batch_size=1)
+             .take_all())
+    if not parts:
+        return pa.table({"qid": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64())}), 0
+    qids = np.array([r["qid"] for r in parts], np.int64)
+    docs = np.array([r["doc_id"] for r in parts], np.int64)
+    rows_read = sum({r["bucket"]: int(r["rows_read"])
+                     for r in parts}.values())
+    order = np.lexsort((docs, qids))
+    return pa.table({"qid": pa.array(qids[order]),
+                     "doc_id": pa.array(docs[order])}), rows_read
+
+
+def oracle_sorted_range_sql() -> str:
+    rows = []
+    for qid, lo, hi in SORTED_RANGE_QUERIES:
+        rows.append(f"SELECT {qid} AS qid, doc_id FROM documents "
+                    f"WHERE n_chars >= {lo} AND n_chars <= {hi}")
+    return "\nUNION ALL\n".join(rows)

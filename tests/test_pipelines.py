@@ -1925,3 +1925,38 @@ def test_facetset_multi_tuple_any_match():
     assert counts.tolist() == [2, 2, 0, 3]
     assert facetset_match_counts(np.empty((0, 3)), [("exact", (1, 2))]) \
         .tolist() == [0, 0]
+
+
+def test_sorted_range_row_group_pruning(tmp_path, ray_session):
+    """IndexSortSortedNumericDocValuesRangeQuery role: on a sorted
+    bucket with many row groups, only the contiguous groups overlapping
+    the range are decoded (binary search over row-group stats)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.fulltext import sorted_range_scan
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(os.path.join(idx, "docmeta"))
+    n = 1000
+    keys = np.arange(n)[::-1]            # monotone DESC like the index sort
+    t = pa.table({
+        "path": pa.array([f"doc_{i:08d}.txt" for i in range(n)]),
+        "sort_key": pa.array(keys, pa.int64())})
+    pq.write_table(t, os.path.join(idx, "docmeta", "bucket=00000.parquet"),
+                   row_group_size=100)    # 10 row groups
+
+    res, rows_read = sorted_range_scan(idx, [(1, 250, 349)])
+    assert res.num_rows == 100
+    got = sorted(res.column("doc_id").to_pylist())
+    # doc i holds key n-1-i: keys 250..349 live in docs 650..749
+    assert got == list(range(650, 750))
+    # 100-row window straddles at most 2 of the 10 groups: <= 200 rows
+    assert rows_read <= 200, rows_read
+
+    # empty range: zero rows decoded (stats prune everything)
+    res2, rr2 = sorted_range_scan(idx, [(1, 5000, 6000)])
+    assert res2.num_rows == 0 and rr2 == 0
