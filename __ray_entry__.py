@@ -49,6 +49,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_simple_query": ft.ft_simple_query,
         "ft_highlight_passages": ft.ft_highlight_passages,
         "ft_sorted_range": ft.ft_sorted_range,
+        "ft_lmdirichlet": ft.ft_lmdirichlet,
+        "ft_lmjelinek": ft.ft_lmjelinek,
         "ft_suggest_freetext": ft.ft_suggest_freetext,
         "hybrid_rrf": _hy.hybrid_rrf,
         "ft_geo_sort": ft.ft_geo_sort,
@@ -233,6 +235,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_simple_query": ft.oracle_simple_query_sql(),
         "ft_highlight_passages": ft.oracle_highlight_passages_sql(),
         "ft_sorted_range": ft.oracle_sorted_range_sql(),
+        "ft_lmdirichlet": ft.oracle_lmdirichlet_sql(),
+        "ft_lmjelinek": ft.oracle_lmjelinek_sql(),
         "ft_collection_stats": ft.oracle_collection_stats_sql(),
         "ft_term_stats": ft.oracle_term_stats_sql(),
         "ft_docmeta": ft.oracle_docmeta_sql(),

@@ -1,0 +1,67 @@
+"""LMDirichletSimilarity — Bayesian-smoothed language-model ranking.
+
+Reference: ``core/src/java/org/apache/lucene/search/similarities/
+LMDirichletSimilarity.java:76-81`` (score = boost * (ln(1 + freq /
+(mu * p_c)) + ln(mu / (docLen + mu))), clamped at 0, default mu=2000)
+over ``LMSimilarity.DefaultCollectionModel.computeProbability``
+(LMSimilarity.java:151-153: ``(totalTermFreq + 1) / (numberOfFieldTokens
++ 1)`` in doubles) and ``SimilarityBase`` length decoding
+(SimilarityBase.java:153-189: docLen = LENGTH_TABLE[norm byte], the
+whole score computed in DOUBLE and cast to float once).
+
+Float parity: the interior is pure double math; the only float32
+rounding is the final cast. Logs are evaluated once per UNIQUE
+(tf) / (norm byte) value through C libm (``math.log``, the bm25.py
+rule), so the DuckDB ``ln``-chain oracle is bit-exact.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .smallfloat import LENGTH_TABLE
+
+MU = 2000.0
+
+
+def score_terms_lm(tf: np.ndarray, norm_bytes: np.ndarray, ttf: int,
+                   sum_ttf: int, mu: float = MU) -> np.ndarray:
+    """Per-posting LMDirichlet scores, float32 (clamped at 0)."""
+    p_c = (ttf + 1.0) / (sum_ttf + 1.0)
+    nb = norm_bytes.astype(np.int64) & 0xFF
+    # ln(mu / (docLen + mu)) per possible norm byte — 256 scalars
+    ln_len = np.array([math.log(mu / (float(LENGTH_TABLE[i]) + mu))
+                       for i in range(256)], np.float64)
+    # ln(1 + freq / (mu * p_c)) per unique tf; freq passes through the
+    # (float) SimScorer boundary first (exact for tf < 2^24)
+    utf, inv = np.unique(tf.astype(np.int64), return_inverse=True)
+    ln_tf = np.array(
+        [math.log(1 + float(np.float32(x)) / (mu * p_c)) for x in utf],
+        np.float64)
+    s = ln_tf[inv] + ln_len[nb]
+    return np.where(s > 0.0, s, 0.0).astype(np.float32)
+
+
+LAMBDA = 0.1
+
+
+def score_terms_lmjm(tf: np.ndarray, norm_bytes: np.ndarray, ttf: int,
+                     sum_ttf: int, lam: float = LAMBDA) -> np.ndarray:
+    """LMJelinekMercerSimilarity.score
+    (similarities/LMJelinekMercerSimilarity.java:68-74):
+    ``ln(1 + ((1-λ)·freq/docLen) / (λ·p_c))`` — float λ constants widened
+    to double, interior all double, one float cast (SimilarityBase).
+    Always positive (the argument exceeds 1), so no clamp."""
+    p_c = (ttf + 1.0) / (sum_ttf + 1.0)
+    one_minus = float(np.float32(1.0) - np.float32(lam))
+    lam_d = float(np.float32(lam))
+    nb = norm_bytes.astype(np.int64) & 0xFF
+    key = tf.astype(np.int64) * 256 + nb
+    uk, inv = np.unique(key, return_inverse=True)
+    vals = np.array(
+        [math.log(1 + (one_minus * float(np.float32(k // 256))
+                       / float(LENGTH_TABLE[k % 256]))
+                  / (lam_d * p_c)) for k in uk], np.float64)
+    return vals[inv].astype(np.float32)

@@ -5533,3 +5533,150 @@ def oracle_sorted_range_sql() -> str:
         rows.append(f"SELECT {qid} AS qid, doc_id FROM documents "
                     f"WHERE n_chars >= {lo} AND n_chars <= {hi}")
     return "\nUNION ALL\n".join(rows)
+
+
+# ---------------------------------------------------------------------------
+# LMDirichletSimilarity ranking (pluggable-Similarity surface, LM family)
+
+LMD_QUERIES = [(1, ["key", "agg"]), (2, ["slow", "fast", "window"]),
+               (3, ["the", "vector"]), (4, ["customer"])]
+_LMD_K = 10
+
+
+def _lm_ranked(sf_dir: str, queries, scorer_fn) -> pa.Table:
+    """Shared LM-family ranking: per-term scores from ``scorer_fn(tf,
+    norm_bytes, ttf, sum_ttf)``, clause sums in float64 in (doc, clause)
+    order, one float32 round, (score desc, doc asc) top-k. Zero-scoring
+    matches still rank (the reference counts them as hits)."""
+    from ..codec import decode_blocks
+
+    r = reader_for(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, terms in queries:
+        dl, sl, cl = [], [], []
+        for ci, t in enumerate(terms):
+            p = r.postings(t)
+            if p is None:
+                continue
+            d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                         p.tfs_enc, p.norms_enc)
+            s = scorer_fn(tf, nm, p.ttf, r.sum_ttf)
+            lm = r.live_mask(d)
+            if lm is not None:
+                d, s = d[lm], s[lm]
+            dl.append(d)
+            sl.append(s)
+            cl.append(np.full(len(d), ci, np.int32))
+        if not dl:
+            continue
+        alld = np.concatenate(dl)
+        allc = np.concatenate(cl)
+        alls = np.concatenate(sl)
+        order = np.lexsort((allc, alld))
+        uniq, inv = np.unique(alld[order], return_inverse=True)
+        tot = np.zeros(len(uniq), np.float64)
+        np.add.at(tot, inv, alls[order].astype(np.float64))
+        tot32 = tot.astype(np.float32)
+        top = np.lexsort((uniq, -tot32.astype(np.float64)))[:_LMD_K]
+        for rank, i in enumerate(top, 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(int(uniq[i]))
+            scores.append(float(tot32[i]))
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "score": pa.array(scores, pa.float32())})
+
+
+def ft_lmdirichlet(sf_dir: str) -> pa.Table:
+    """Top-k under LMDirichletSimilarity
+    (similarities/LMDirichletSimilarity.java:76-81, mu=2000; collection
+    probability (ttf+1)/(sumTTF+1), LMSimilarity.java:151; docLen
+    decoded from the SAME stored norm bytes, SimilarityBase.java:184):
+    per-term double-interior scores clamped at 0 and cast to float32
+    once."""
+    from ..lmdirichlet import score_terms_lm
+
+    return _lm_ranked(sf_dir, LMD_QUERIES, score_terms_lm)
+
+
+def ft_lmjelinek(sf_dir: str) -> pa.Table:
+    """Top-k under LMJelinekMercerSimilarity
+    (similarities/LMJelinekMercerSimilarity.java:68-74, λ=0.1):
+    linear collection-model interpolation over the same LM stats."""
+    from ..lmdirichlet import score_terms_lmjm
+
+    return _lm_ranked(sf_dir, LMD_QUERIES, score_terms_lmjm)
+
+
+def oracle_lmdirichlet_sql() -> str:
+    rows = []
+    for qid, terms in LMD_QUERIES:
+        for ci, t in enumerate(terms):
+            rows.append(f"({qid}, {ci}, '{t}')")
+    vals = ",\n    ".join(rows)
+    raw = ("ln(1 + CAST(CAST(t.tf AS REAL) AS DOUBLE) / "
+           "(2000.0 * ((f.ttf + 1.0) / "
+           "(CAST((SELECT sum_ttf FROM stats) AS DOUBLE) + 1.0)))) "
+           "+ ln(2000.0 / (CAST(q.qlen AS DOUBLE) + 2000.0))")
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+clauses(qid, clause, term) AS (VALUES
+    {vals}
+),
+scored AS (
+  SELECT c.qid, c.clause, t.d,
+         CAST(CASE WHEN ({raw}) > 0.0 THEN ({raw}) ELSE 0.0 END
+              AS REAL) AS s
+  FROM clauses c
+  JOIN tf t ON t.term = c.term
+  JOIN df f ON f.term = c.term
+  JOIN quant q ON q.d = t.d
+),
+totals AS (
+  SELECT qid, d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+  FROM scored GROUP BY qid, d
+),
+ranked AS (
+  SELECT qid, d, score, row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, d ASC) AS rank
+  FROM totals
+)
+SELECT qid, rank, d AS doc_id, score FROM ranked
+WHERE rank <= {_LMD_K}"""
+
+
+def oracle_lmjelinek_sql() -> str:
+    rows = []
+    for qid, terms in LMD_QUERIES:
+        for ci, t in enumerate(terms):
+            rows.append(f"({qid}, {ci}, '{t}')")
+    vals = ",\n    ".join(rows)
+    raw = ("ln(1 + ((CAST(CAST(0.9 AS REAL) AS DOUBLE) * "
+           "CAST(CAST(t.tf AS REAL) AS DOUBLE) / CAST(q.qlen AS DOUBLE)) "
+           "/ (CAST(CAST(0.1 AS REAL) AS DOUBLE) * ((f.ttf + 1.0) / "
+           "(CAST((SELECT sum_ttf FROM stats) AS DOUBLE) + 1.0)))))")
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+clauses(qid, clause, term) AS (VALUES
+    {vals}
+),
+scored AS (
+  SELECT c.qid, c.clause, t.d, CAST({raw} AS REAL) AS s
+  FROM clauses c
+  JOIN tf t ON t.term = c.term
+  JOIN df f ON f.term = c.term
+  JOIN quant q ON q.d = t.d
+),
+totals AS (
+  SELECT qid, d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+  FROM scored GROUP BY qid, d
+),
+ranked AS (
+  SELECT qid, d, score, row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, d ASC) AS rank
+  FROM totals
+)
+SELECT qid, rank, d AS doc_id, score FROM ranked
+WHERE rank <= {_LMD_K}"""
