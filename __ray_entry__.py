@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 127 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (117 of 127). Omitted
+  + the §8 round-2/3/4 additions; 143 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (132 of 143). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` / ``video_frame_sample``
   (binary codec decode / frame seek),
@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_sorted_range": ft.ft_sorted_range,
         "ft_lmdirichlet": ft.ft_lmdirichlet,
         "ft_lmjelinek": ft.ft_lmjelinek,
+        "ft_term_automaton": ft.ft_term_automaton,
         "ft_suggest_freetext": ft.ft_suggest_freetext,
         "hybrid_rrf": _hy.hybrid_rrf,
         "ft_geo_sort": ft.ft_geo_sort,
@@ -101,7 +102,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "agg_grouping_topk": _rel.agg_grouping_topk,
             "ann_filtered_topk": _ann.ann_filtered_topk,
             "ann_quantized_topk": _ann.ann_quantized_topk,
-            "ann_pq_topk": _ann.ann_pq_topk,
             "doc_keywords": _ts.doc_keywords,
             "corpus_clean": _ts.corpus_clean,
             "events_sliding_window": _st.events_sliding_window,
@@ -116,10 +116,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_late_data": _st.events_late_data,
             "pack_token_budget": _ts.pack_token_budget,
             "corpus_sample_balanced": _ts.corpus_sample_balanced,
-            "video_frame_sample": (
-                lambda sf: __import__("lucene_ray.pipelines.multimodal",
-                                      fromlist=["multimodal"])
-                .video_frame_sample(sf)),
             "decontaminate": _ts.decontaminate,
             "doc_lm_logprob": _ts.doc_lm_logprob,
             "doc_blocklist": _ts.doc_blocklist,
@@ -130,6 +126,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vocab_hll": _ts.vocab_hll,
             # rows-only entries: cheapest to fall off the ~50-entry
             # driver rotation (their exactness gate is pytest-pinned)
+            "ann_pq_topk": _ann.ann_pq_topk,
+            "video_frame_sample": (
+                lambda sf: __import__("lucene_ray.pipelines.multimodal",
+                                      fromlist=["multimodal"])
+                .video_frame_sample(sf)),
             "bpe_train": _bpe.bpe_train,
             "bpe_token_count": _bpe.bpe_token_count,
         })
@@ -237,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_sorted_range": ft.oracle_sorted_range_sql(),
         "ft_lmdirichlet": ft.oracle_lmdirichlet_sql(),
         "ft_lmjelinek": ft.oracle_lmjelinek_sql(),
+        "ft_term_automaton": ft.oracle_term_automaton_sql(),
         "ft_collection_stats": ft.oracle_collection_stats_sql(),
         "ft_term_stats": ft.oracle_term_stats_sql(),
         "ft_docmeta": ft.oracle_docmeta_sql(),

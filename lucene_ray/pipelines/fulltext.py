@@ -5680,3 +5680,99 @@ ranked AS (
 )
 SELECT qid, rank, d AS doc_id, score FROM ranked
 WHERE rank <= {_LMD_K}"""
+
+
+# ---------------------------------------------------------------------------
+# TermAutomatonQuery (token-graph accept queries, with ANY transitions)
+
+# (qid, transitions [(from, term|*, to)], accept states)
+TA_QUERIES = [
+    (1, [(0, "fast", 1), (1, "key", 2), (1, "order", 2), (2, "sort", 3)],
+     (3,)),
+    (2, [(0, "key", 1), (1, "*", 2), (2, "sort", 3)], (3,)),
+    (3, [(0, "slow", 1), (1, "fast", 2), (1, "*", 3), (3, "fast", 2)],
+     (2,)),
+    (4, [(0, "window", 1), (1, "batch", 2)], (1, 2)),
+]
+
+
+def _ta_paths(transitions, accepts, max_len: int = 8):
+    """Enumerate the (finite, acyclic) accepted term sequences — the
+    oracle's language view of the automaton."""
+    adj: dict[int, list] = {}
+    for a, t, b in transitions:
+        adj.setdefault(a, []).append((t, b))
+    out: list[list[str]] = []
+
+    def walk(s, path):
+        if s in accepts and path:
+            out.append(list(path))
+        if len(path) >= max_len:
+            return
+        for t, b in adj.get(s, ()):
+            path.append(t)
+            walk(b, path)
+            path.pop()
+
+    walk(0, [])
+    return out
+
+
+def ft_term_automaton(sf_dir: str) -> pa.Table:
+    """TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java:71,
+    TermAutomatonScorer.java:37): docs whose token stream contains a
+    path the automaton accepts — branches, ANY-token wildcards, and
+    multiple accept states (variable-length matches). freq = distinct
+    accepted end positions, deduped across paths like the reference's
+    per-doc match counting. The oracle enumerates the automaton's
+    finite language and re-derives the same end-position set with
+    positional joins, so equality pins the DP against the language
+    semantics. → (qid, doc_id, freq)."""
+    from ..search import term_automaton_matches
+
+    r = reader_for(sf_dir)
+    qids, docs, freqs = [], [], []
+    for qid, transitions, accepts in TA_QUERIES:
+        m = term_automaton_matches(r, transitions, set(accepts))
+        for d in sorted(m):
+            qids.append(qid)
+            docs.append(d)
+            freqs.append(m[d])
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "freq": pa.array(freqs, pa.int64())})
+
+
+def oracle_term_automaton_sql() -> str:
+    qparts = []
+    for qid, transitions, accepts in TA_QUERIES:
+        paths = _ta_paths(transitions, set(accepts))
+        pparts = []
+        for path in paths:
+            joins = ["FROM w w0"]
+            conds = []
+            for i, t in enumerate(path):
+                if i:
+                    joins.append(f"JOIN w w{i} ON w{i}.d = w0.d "
+                                 f"AND w{i}.pos = w0.pos + {i}")
+                if t != "*":
+                    conds.append(f"w{i}.word = '{t}'")
+            if not conds:
+                conds.append("TRUE")
+            pparts.append(
+                f"SELECT w0.d, w0.pos - 1 + {len(path)} AS e\n"
+                + "\n".join(joins) + "\nWHERE " + " AND ".join(conds))
+        un = "\nUNION ALL\n".join(pparts)
+        qparts.append(f"""SELECT {qid} AS qid, d AS doc_id,
+       count(DISTINCT e) AS freq
+FROM (
+{un}
+) GROUP BY d""")
+    allq = "\nUNION ALL\n".join(qparts)
+    return f"""WITH {_CORPUS_CTE},
+w AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+)
+{allq}"""

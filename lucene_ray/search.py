@@ -2556,3 +2556,107 @@ def more_like_this(reader: IndexReader, doc_id: int, k: int = 10,
     keep = full.doc_ids != doc_id
     d, s = _topk(full.doc_ids[keep], full.scores[keep], k)
     return selected, TopDocs(d, s, int(keep.sum()))
+
+
+ANY_TERM = "*"        # TermAutomatonQuery.createState wildcard transition
+
+
+def term_automaton_matches(reader: IndexReader, transitions, accepts
+                           ) -> dict[int, int]:
+    """TermAutomatonQuery (sandbox/search/TermAutomatonQuery.java:71):
+    docs containing a token path that the term automaton accepts —
+    the generalization of phrase / multi-phrase / synonym-graph queries
+    to an arbitrary (here: acyclic) accept graph, including the ANY
+    transition (:108 ``setAccept``/``addAnyTransition``). State 0 is
+    initial; ``transitions`` is ``[(from, term | ANY_TERM, to), ...]``;
+    ``accepts`` the accepting state set.
+
+    Execution is a position-set DP instead of the reference's
+    parallel-DISI intersection (TermAutomatonScorer.java:37): R(s) =
+    the set of next-unconsumed positions reachable in state s; a term
+    transition intersects with the term's posting positions
+    (vectorized ``np.intersect1d``), an ANY transition shifts the whole
+    set. Returns {doc: number of distinct accepted END positions} — the
+    freq the reference's scorer counts. When the automaton uses ANY,
+    per-candidate token counts come from the field_len docvalue to
+    bound wildcard steps at the document end."""
+    states = {0}
+    for a, _t, b in transitions:
+        states.add(a)
+        states.add(b)
+    n_states = max(states) + 1
+    # topological order over the acyclic graph
+    order, seen = [], set()
+
+    def visit(s, stack):
+        if s in stack:
+            raise ValueError("term automaton must be acyclic")
+        if s in seen:
+            return
+        stack.add(s)
+        for a, _t, b in transitions:
+            if a == s:
+                visit(b, stack)
+        stack.discard(s)
+        seen.add(s)
+        order.append(s)
+
+    visit(0, set())
+    order.reverse()
+
+    pos_of: dict[str, dict[int, np.ndarray]] = {}
+    cand: set[int] = set()
+    for _a, t, _b in transitions:
+        if t != ANY_TERM and t not in pos_of:
+            pos_of[t] = _term_positions(reader, t) or {}
+            cand.update(pos_of[t].keys())
+
+    has_any = any(t == ANY_TERM for _a, t, _b in transitions)
+    dl_map: dict[int, int] = {}
+    if has_any and cand:
+        ids = np.array(sorted(cand), np.int64)
+        dl_map = dict(zip(ids.tolist(),
+                          doc_field_lens(reader, ids).tolist()))
+
+    out: dict[int, int] = {}
+    for d in sorted(cand):
+        reach: list[np.ndarray | None] = [None] * n_states
+        dl = dl_map.get(d)
+        # state 0 may start at any position: positions of the outgoing
+        # terms themselves seed the DP lazily (ANY from state 0 would
+        # need doc_lens)
+        for s in order:
+            base = reach[s]
+            for a, t, b in transitions:
+                if a != s:
+                    continue
+                srcs = []
+                if s == 0:            # fresh start at any position
+                    if t == ANY_TERM:
+                        if dl is None:
+                            raise ValueError("ANY from the initial "
+                                             "state needs doc_lens")
+                        srcs.append(np.arange(dl, dtype=np.int64))
+                    else:
+                        p = pos_of[t].get(d)
+                        if p is not None:
+                            srcs.append(np.asarray(p, np.int64))
+                if base is not None and len(base):
+                    if t == ANY_TERM:
+                        src = base if dl is None else base[base < dl]
+                        srcs.append(src)
+                    else:
+                        p = pos_of[t].get(d)
+                        if p is not None:
+                            srcs.append(np.intersect1d(
+                                base, np.asarray(p, np.int64)))
+                if not srcs:
+                    continue
+                nxt = np.unique(np.concatenate(srcs)) + 1
+                reach[b] = (nxt if reach[b] is None
+                            else np.union1d(reach[b], nxt))
+        ends = [reach[f] for f in accepts
+                if reach[f] is not None and len(reach[f])]
+        if ends:
+            out[d] = int(len(np.unique(np.concatenate(ends))))
+    return out
