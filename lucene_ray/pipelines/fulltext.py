@@ -5776,3 +5776,38 @@ w AS (
   FROM corpus
 )
 {allq}"""
+
+
+# ---------------------------------------------------------------------------
+# Query profiler (per-query execution counters)
+
+PROFILE_QUERIES = [(1, "key agg", 10), (2, "the fast slow table", 10),
+                   (3, "vector window merge", 5), (4, "zzmissing", 10)]
+
+
+def ft_profile(sf_dir: str) -> pa.Table:
+    """Query profiler role (sandbox/search/ProfilerCollector.java:33,
+    QueryProfilerBreakdown.java — the reference reports per-node timing
+    plus counters; timings are nondeterministic, so this surface emits
+    the DETERMINISTIC execution counters of the block-max searcher):
+    clause count, candidate docs touched, impact blocks total vs
+    actually decoded (the skipping evidence), and hits returned.
+    Rows-only entry (engine-internal numbers have no SQL form); the
+    counter invariants are pytest-pinned. → (qid, metric, value)."""
+    from ..search import parse_query
+
+    r = reader_for(sf_dir)
+    qids, metrics, values = [], [], []
+    for qid, qs, k in PROFILE_QUERIES:
+        td = search_blockmax(r, qs, k)
+        for m, v in (("n_clauses", len(parse_query(qs))),
+                     ("candidates", td.total_candidates),
+                     ("blocks_total", td.blocks_total),
+                     ("blocks_decoded", td.blocks_decoded),
+                     ("hits", len(td.doc_ids))):
+            qids.append(qid)
+            metrics.append(m)
+            values.append(int(v))
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "metric": pa.array(metrics, pa.string()),
+                     "value": pa.array(values, pa.int64())})

@@ -1960,3 +1960,30 @@ def test_sorted_range_row_group_pruning(tmp_path, ray_session):
     # empty range: zero rows decoded (stats prune everything)
     res2, rr2 = sorted_range_scan(idx, [(1, 5000, 6000)])
     assert res2.num_rows == 0 and rr2 == 0
+
+
+def test_profile_counter_invariants(ray_session):
+    """Profiler counters: decoded <= total blocks, hits <= k and <=
+    candidates, absent-term query yields all-zero execution, and the
+    candidate count equals the distinct matching docs."""
+    from lucene_ray.pipelines.fulltext import PROFILE_QUERIES, ft_profile
+
+    t = ft_profile(SF).to_pandas().pivot(index="qid", columns="metric",
+                                         values="value")
+    ks = {qid: k for qid, _q, k in PROFILE_QUERIES}
+    for qid, row in t.iterrows():
+        assert row["blocks_decoded"] <= row["blocks_total"]
+        assert row["hits"] <= min(ks[qid], row["candidates"])
+    assert t.loc[4, "hits"] == 0 and t.loc[4, "candidates"] == 0
+    # the pruned searcher touches at most — and with block-max skipping
+    # active, FEWER than — the distinct docs matching any clause
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    n = con.execute("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                     FROM documents)
+        SELECT count(DISTINCT doc_id) FROM tok
+        WHERE w IN ('key', 'agg')""").fetchone()[0]
+    assert t.loc[1, "hits"] <= t.loc[1, "candidates"] <= n
+    assert t.loc[1, "candidates"] < n     # skipping evidence
