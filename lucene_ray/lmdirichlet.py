@@ -65,3 +65,30 @@ def score_terms_lmjm(tf: np.ndarray, norm_bytes: np.ndarray, ttf: int,
                        / float(LENGTH_TABLE[k % 256]))
                   / (lam_d * p_c)) for k in uk], np.float64)
     return vals[inv].astype(np.float32)
+
+
+def score_terms_dfr_inl2(tf: np.ndarray, norm_bytes: np.ndarray,
+                         df: int, doc_count: int, sum_ttf: int,
+                         c: float = 1.0) -> np.ndarray:
+    """DFRSimilarity with BasicModelIn + AfterEffectL + NormalizationH2
+    ("InL2", the classic DFR default; DFRSimilarity.java:127-131):
+    tfn = freq · log2(1 + c·avgFieldLength/docLen)
+    (NormalizationH2.java:57-59), after-effect L makes
+    aeTimes1pTfn = 1 (AfterEffectL.java:32-34), and
+    score = log2((N+1)/(n+0.5)) · (1 − 1/(1+tfn))
+    (BasicModelIn.java:34-45). All double (log2 = ln/ln2,
+    SimilarityBase.java:164-167), one float32 cast; avgFieldLength =
+    sumTTF/docCount (SimilarityBase.java:88)."""
+    ln2 = math.log(2.0)
+    avg_fl = sum_ttf / float(doc_count)
+    a = math.log((doc_count + 1) / (df + 0.5)) / ln2
+    nb = norm_bytes.astype(np.int64) & 0xFF
+    key = tf.astype(np.int64) * 256 + nb
+    uk, inv = np.unique(key, return_inverse=True)
+    vals = np.empty(len(uk), np.float64)
+    for i, k in enumerate(uk):
+        tfn = (float(np.float32(k // 256))
+               * (math.log(1 + c * avg_fl / float(LENGTH_TABLE[k % 256]))
+                  / ln2))
+        vals[i] = a * (1 - 1 / (1 + tfn))
+    return vals[inv].astype(np.float32)
