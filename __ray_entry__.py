@@ -7,11 +7,11 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 146 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (134 of 146). Omitted
+  + the §8 round-2/3/4 additions; 147 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (134 of 147). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
-  with a stated reason): ``media_features`` / ``video_frame_sample``
-  (binary codec decode / frame seek),
+  with a stated reason): ``media_features`` / ``video_frame_sample`` / ``audio_features``
+  (binary codec decode / frame seek / spectral transform),
   ``bpe_train`` / ``bpe_token_count`` (iterative merge learning; the
   merge sequence is pytest-pinned to the published Sennrich example),
   ``doc_fingerprint`` / ``dedup_simhash`` / ``dedup_simhash_pairs`` /
@@ -134,6 +134,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 lambda sf: __import__("lucene_ray.pipelines.multimodal",
                                       fromlist=["multimodal"])
                 .video_frame_sample(sf)),
+            "audio_features": (
+                lambda sf: __import__("lucene_ray.pipelines.multimodal",
+                                      fromlist=["multimodal"])
+                .audio_features(sf)),
             "bpe_train": _bpe.bpe_train,
             "bpe_token_count": _bpe.bpe_token_count,
         })

@@ -212,3 +212,72 @@ def video_frame_sample(sf_dir: str, n_sample: int = 4):
     return ds.map_batches(FrameSampler, batch_format="pyarrow",
                           fn_constructor_kwargs={"n_sample": n_sample},
                           batch_size=64, concurrency=2)
+
+
+class AudioAnalyzer:
+    """Actor-pool windowed spectral-feature stage for audio payloads —
+    the fingerprint/feature front-end an audio-embedding or
+    language/music classifier consumes. Per clip: frame the PCM into
+    ``win``-sample windows (hop = win/2), per-window magnitude spectrum
+    via one vectorized rfft over ALL windows, then clip-level features:
+    modal dominant frequency, mean spectral centroid, rms, zero-crossing
+    rate. Pure numpy (no codec libs); WAV-PCM16 decode is the real
+    decoder in :mod:`lucene_ray.media`."""
+
+    def __init__(self, win: int = 512):
+        self.win = win
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..media import decode_wav
+
+        win = self.win
+        hop = win // 2
+        out = {k: [] for k in ("media_id", "n_windows", "dominant_hz",
+                               "centroid_hz", "rms", "zcr")}
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            if sniff(payload) != "audio/wav":
+                continue
+            samples, rate = decode_wav(payload)
+            mono = samples.astype(np.float64) / 32768.0
+            if mono.ndim > 1:
+                mono = mono.mean(axis=1)
+            if len(mono) < win:
+                mono = np.pad(mono, (0, win - len(mono)))
+            n_win = 1 + (len(mono) - win) // hop
+            idx = (np.arange(n_win)[:, None] * hop
+                   + np.arange(win)[None, :])
+            frames = mono[idx] * np.hanning(win)[None, :]
+            mag = np.abs(np.fft.rfft(frames, axis=1))
+            mag[:, 0] = 0.0                      # ignore DC
+            dom_bins = mag.argmax(axis=1)
+            binhz = rate / win
+            # modal dominant bin across windows (smallest on ties)
+            vals, counts = np.unique(dom_bins, return_counts=True)
+            dom = int(vals[np.argmax(counts)])
+            freqs = np.arange(mag.shape[1]) * binhz
+            cent = float((mag @ freqs).sum()
+                         / max(mag.sum(), 1e-12))
+            out["media_id"].append(mid)
+            out["n_windows"].append(n_win)
+            out["dominant_hz"].append(dom * binhz)
+            out["centroid_hz"].append(cent)
+            out["rms"].append(float(np.sqrt((mono ** 2).mean())))
+            out["zcr"].append(
+                float(np.mean(np.abs(np.diff(np.signbit(mono))))))
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "n_windows": pa.array(out["n_windows"], pa.int32()),
+            "dominant_hz": pa.array(out["dominant_hz"], pa.float64()),
+            "centroid_hz": pa.array(out["centroid_hz"], pa.float64()),
+            "rms": pa.array(out["rms"], pa.float64()),
+            "zcr": pa.array(out["zcr"], pa.float64()),
+        })
+
+
+def audio_features(sf_dir: str):
+    """Windowed spectral features over the media lake's audio clips
+    (actor pool, small batches — the payload-heavy stage discipline)."""
+    ds = synth_media_dataset(sf_dir)
+    return ds.map_batches(AudioAnalyzer, batch_format="pyarrow",
+                          batch_size=64, concurrency=2)

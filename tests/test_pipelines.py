@@ -1987,3 +1987,21 @@ def test_profile_counter_invariants(ray_session):
         WHERE w IN ('key', 'agg')""").fetchone()[0]
     assert t.loc[1, "hits"] <= t.loc[1, "candidates"] <= n
     assert t.loc[1, "candidates"] < n     # skipping evidence
+
+
+def test_audio_features_recover_synth_tone(ray_session):
+    """The spectral stage recovers each synthetic clip's generator
+    frequency to within one FFT bin, on every audio row of the lake."""
+    import numpy as np
+
+    from lucene_ray.pipelines.multimodal import audio_features
+
+    t = audio_features(SF).to_pandas()
+    assert len(t) == 50                       # ids with id % 4 == 2
+    binhz = 16000 / 512
+    for mid, dom in zip(t["media_id"], t["dominant_hz"]):
+        r = np.random.default_rng(1234 + int(mid))
+        r.integers(800, 4000)                 # ns draw (same order)
+        f = float(r.uniform(100, 2000))
+        assert abs(dom - f) <= binhz, (mid, dom, f)
+    assert (t["rms"] > 0).all() and (t["n_windows"] >= 1).all()
