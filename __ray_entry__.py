@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 147 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (134 of 147). Omitted
+  + the §8 round-2/3/4 additions; 148 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (135 of 148). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` / ``video_frame_sample`` / ``audio_features``
   (binary codec decode / frame seek / spectral transform),
@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "classify_nb": _cls.classify_naive_bayes,
             "classify_knn": _ann.classify_knn,
             "events_late_data": _st.events_late_data,
+            "events_decayed_counts": _st.events_decayed_counts,
             "pack_token_budget": _ts.pack_token_budget,
             "corpus_sample_balanced": _ts.corpus_sample_balanced,
             "decontaminate": _ts.decontaminate,
@@ -340,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
             "dsir_importance": textstats.oracle_dsir_importance_sql(),
             "events_tumbling_window": streaming.oracle_tumbling_window_sql(),
             "events_late_data": streaming.oracle_late_data_sql(),
+            "events_decayed_counts": streaming.oracle_decayed_counts_sql(),
             "events_sessionize": streaming.oracle_sessionize_sql(),
             "events_sliding_window": streaming.oracle_sliding_window_sql(),
             "agg_quantity_quantiles":

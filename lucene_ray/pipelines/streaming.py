@@ -364,3 +364,76 @@ SELECT user_id,
        SUM(CASE WHEN hw IS NOT NULL AND ep < hw - {lateness_s}
                 THEN 1 ELSE 0 END) AS n_late
 FROM h GROUP BY user_id, win_id"""
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed per-user counts (bucketed exponential decay)
+
+DECAY_HALF_LIFE_S = 6 * 3600
+_DECAY_CAP = 30           # weights below 2^-30 clamp (exactness bound)
+
+
+def events_decayed_counts(sf_dir: str) -> "pa.Table":
+    """Exponentially time-decayed per-user activity counts — the
+    recency-weighted engagement aggregate every feature store keeps
+    (Flink/Kafka-Streams decayed-counter shape). Decay is BUCKETED:
+    weight(e) = 2^(−min(floor((T − t_e)/half_life), 30)) with T the
+    corpus watermark (max event time). Half-life buckets make every
+    weight an exact dyadic float, so double sums are EXACTLY
+    order-independent — the partial/combiner aggregation and the SQL
+    oracle produce hash-identical doubles with no float-order pinning
+    (the agg_lineitem_pricing exact-arithmetic discipline applied to a
+    decayed aggregate; a continuous-exp decay would differ in the last
+    ulp across engines).
+
+    Scale shape: one tiny max(ts) aggregate for the watermark, then ONE
+    map-only pass emitting per-batch (user, partial sum, n) rows and a
+    user-sized combine groupby. Nothing row-sized on the driver."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["ts", "user_id"])
+    # watermark: one tiny aggregate over the ts column only
+    wm = ds.aggregate(ray.data.aggregate.Max("ts"))["max(ts)"]
+    t_ns = np.datetime64(wm, "ns").astype(np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[ns]").astype(np.int64)
+        users = batch.column("user_id").to_numpy(zero_copy_only=False)
+        k = np.minimum((t_ns - ts) // (DECAY_HALF_LIFE_S
+                                       * 1_000_000_000), _DECAY_CAP)
+        w = np.ldexp(1.0, -k.astype(np.int64))       # exact 2^-k
+        uu, inv = np.unique(users, return_inverse=True)
+        ws = np.zeros(len(uu))
+        np.add.at(ws, inv, w)
+        n = np.bincount(inv, minlength=len(uu))
+        return pa.table({"user_id": pa.array(uu, pa.int64()),
+                         "w": pa.array(ws, pa.float64()),
+                         "n": pa.array(n, pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Sum("w", alias_name="decayed_count"),
+                      Sum("n", alias_name="n_events")))
+    t = ensure_cols(agg.to_pandas(),
+                    ["user_id", "decayed_count", "n_events"])
+    t = t.sort_values("user_id").reset_index(drop=True)
+    return pa.table({
+        "user_id": pa.array(t["user_id"].to_numpy(np.int64)),
+        "decayed_count": pa.array(t["decayed_count"].to_numpy(np.float64)),
+        "n_events": pa.array(t["n_events"].to_numpy(np.int64))})
+
+
+def oracle_decayed_counts_sql() -> str:
+    return f"""WITH wm AS (SELECT max(ts) AS t FROM events)
+SELECT user_id,
+       sum(power(2.0, -least(
+         CAST((epoch_us((SELECT t FROM wm)) - epoch_us(ts))
+              // {DECAY_HALF_LIFE_S * 1000000} AS BIGINT),
+         {_DECAY_CAP}))) AS decayed_count,
+       count(*) AS n_events
+FROM events GROUP BY user_id"""
