@@ -5895,3 +5895,127 @@ ranked AS (
 )
 SELECT qid, rank, d AS doc_id, score FROM ranked
 WHERE rank <= {_LMD_K}"""
+
+
+# ---------------------------------------------------------------------------
+# Context-filtered infix suggestions + expression range filter
+
+# (prefix, context lang, k)
+CTX_SUGGEST_QUERIES = [("va", "en", 5), ("sc", "de", 5), ("jo", "fr", 5)]
+
+
+def ft_suggest_context(sf_dir: str) -> pa.Table:
+    """AnalyzingInfixSuggester CONTEXTS
+    (suggest/analyzing/AnalyzingInfixSuggester.java:487 ``lookup(key,
+    contexts, ...)``, BlendedInfixSuggester role): each suggestion
+    carries a context set (here the doc's lang keyword); a lookup
+    filters the infix matches to suggestions whose contexts intersect
+    the query's. Context filtering is the existing keyword-field
+    postings lookup intersected with the infix doc set — the same
+    Boolean the reference builds internally."""
+    from ..search import _term_docset
+
+    r = reader_for(sf_dir)
+    idx = index_dir_for(sf_dir)
+    wt = _dense_field_len(idx)
+    out = []
+    for p, lang, k in CTX_SUGGEST_QUERIES:
+        terms = _content_only(r, termdict_scan(r, prefix=p)) \
+            .column("term").to_pylist()
+        docs = (np.unique(np.concatenate(
+            [_term_docset(r, t) for t in terms]))
+            if terms else np.empty(0, np.int64))
+        ctx = _term_docset(r, f"lang:{lang}")
+        docs = np.intersect1d(docs, ctx, assume_unique=True)
+        sel = np.lexsort((docs, -wt[docs]))[:k]
+        d = docs[sel]
+        out.append(pa.table({
+            "prefix": pa.array([p] * len(d), pa.string()),
+            "lang": pa.array([lang] * len(d), pa.string()),
+            "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int64)),
+            "doc_id": pa.array(d, pa.int64()),
+            "weight": pa.array(wt[d], pa.int64()),
+        }))
+    return pa.concat_tables(out)
+
+
+def oracle_suggest_context_sql() -> str:
+    rows = []
+    for p, lang, k in CTX_SUGGEST_QUERIES:
+        rows.append(f"""SELECT prefix, lang, rank, doc_id, weight FROM (
+  SELECT '{p}' AS prefix, '{lang}' AS lang,
+         row_number() OVER (ORDER BY weight DESC, doc_id ASC) AS rank,
+         doc_id, weight
+  FROM (
+    SELECT t.d AS doc_id, dl.len AS weight
+    FROM (SELECT DISTINCT d FROM tok WHERE term LIKE '{p}%') t
+    JOIN dl ON dl.d = t.d
+    JOIN clang ON clang.d = t.d AND clang.lang = '{lang}')
+  ) WHERE rank <= {k}""")
+    un = "\nUNION ALL\n".join(rows)
+    return f"""WITH {_CORPUS_CTE},
+clang AS (
+  SELECT row_number() OVER (ORDER BY source, printf('doc_%08d.txt', doc_id)) - 1 AS d,
+         lang
+  FROM documents
+)
+{un}"""
+
+
+# (qid, expression over len, lo, hi) — inclusive float32 bounds
+EXPR_RANGE_QUERIES = [
+    (1, "sqrt(len) + len / 10", 12.0, 20.0),
+    (2, "log(1 + len) * 2", 0.0, 9.0),
+    (3, "abs(len - 60)", 0.0, 15.0),
+]
+
+
+def ft_expr_range(sf_dir: str) -> ray.data.Dataset:
+    """FunctionRangeQuery (queries/function/FunctionRangeQuery.java:38):
+    docs whose computed ValueSource value lies in [lo, hi] — the filter
+    dual of FunctionScoreQuery. The expression (compiled AST shared with
+    ``ft_expr_score``; SQL generated from the SAME AST) is evaluated
+    over the field_len docvalue in a DISTRIBUTED map over docmeta
+    (the dv-iterator scan shape), inclusive float32 bounds.
+    → (qid, doc_id, value)."""
+    import ray.data
+
+    from ..expressions import compile_expr
+
+    idx = index_dir_for(sf_dir)
+    plans = [(qid, compile_expr(src), np.float32(lo), np.float32(hi))
+             for qid, src, lo, hi in EXPR_RANGE_QUERIES]
+
+    def scan(batch: pa.Table) -> pa.Table:
+        lens = batch.column("field_len").to_numpy(zero_copy_only=False) \
+            .astype(np.float32)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_q, out_d, out_v = [], [], []
+        for qid, ex, lo, hi in plans:
+            v = ex.eval({"len": lens})
+            ok = (v >= lo) & (v <= hi)
+            out_q.append(np.full(int(ok.sum()), qid, np.int64))
+            out_d.append(d[ok])
+            out_v.append(v[ok])
+        return pa.table({"qid": pa.array(np.concatenate(out_q)),
+                         "doc_id": pa.array(np.concatenate(out_d)),
+                         "value": pa.array(
+                             np.concatenate(out_v).astype(np.float32))})
+
+    return (ray.data.read_parquet(os.path.join(idx, "docmeta"),
+                                  columns=["doc_id", "field_len"])
+            .map_batches(scan, batch_format="pyarrow"))
+
+
+def oracle_expr_range_sql() -> str:
+    from ..expressions import compile_expr
+
+    parts = []
+    for qid, src, lo, hi in EXPR_RANGE_QUERIES:
+        es = compile_expr(src).sql({"len": "CAST(dl.len AS REAL)"})
+        parts.append(f"""SELECT {qid} AS qid, dl.d AS doc_id,
+       {es} AS value
+FROM dl
+WHERE {es} >= CAST({lo} AS REAL) AND {es} <= CAST({hi} AS REAL)""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"WITH {_CORPUS_CTE}\n{un}"
