@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 150 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (137 of 150). Omitted
+  + the §8 round-2/3/4 additions; 151 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (138 of 151). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` / ``video_frame_sample`` / ``audio_features``
   (binary codec decode / frame seek / spectral transform),
@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "classify_knn": _ann.classify_knn,
             "events_late_data": _st.events_late_data,
             "events_decayed_counts": _st.events_decayed_counts,
+            "dedup_exact_best": _dd.dedup_exact_best,
             "pack_token_budget": _ts.pack_token_budget,
             "corpus_sample_balanced": _ts.corpus_sample_balanced,
             "decontaminate": _ts.decontaminate,
@@ -346,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
             "events_tumbling_window": streaming.oracle_tumbling_window_sql(),
             "events_late_data": streaming.oracle_late_data_sql(),
             "events_decayed_counts": streaming.oracle_decayed_counts_sql(),
+            "dedup_exact_best": dedup.oracle_dedup_exact_best_sql(),
             "events_sessionize": streaming.oracle_sessionize_sql(),
             "events_sliding_window": streaming.oracle_sliding_window_sql(),
             "agg_quantity_quantiles":

@@ -1108,3 +1108,65 @@ SELECT doc_id, min(pos) AS span_start,
        CAST(max(pos) + {n - 1} AS BIGINT) AS span_end,
        CAST(max(pos) + {n - 1} - min(pos) + 1 AS BIGINT) AS span_len
 FROM islands GROUP BY doc_id, grp"""
+
+
+PREFIX_DEDUP_WORDS = 32
+
+
+def dedup_exact_best(sf_dir: str):
+    """Prefix-cluster dedup with a QUALITY KEEP-RULE: documents sharing
+    the same leading ``PREFIX_DEDUP_WORDS`` tokens form a cluster (the
+    truncation/continuation duplicate class — crawl snapshots of one
+    page cut at different lengths share a prefix but not a hash), and
+    the KEPT member is the LONGEST (n_chars), ties to the smallest
+    doc_id — the keep-best practice of modern curation stacks, vs
+    :func:`dedup_exact`'s keep-first on identical text. One
+    hash-partitioned exchange; the combiner keeps argmax(quality) via a
+    single Max over a packed (quality, doc) key — quality and id fold
+    into one int64 (chars << 32 | (2^31 - doc_id)) so the existing Max
+    aggregate resolves both orderings without a map_groups."""
+    import ray.data
+    from ray.data.aggregate import Count, Max
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"])
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        h = [hashlib.sha256(
+                " ".join((t or "").split(" ")[:PREFIX_DEDUP_WORDS])
+                .encode()).hexdigest()
+             for t in batch.column("text").to_pylist()]
+        chars = batch.column("n_chars").to_numpy().astype(np.int64)
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        packed = (chars << 32) | ((1 << 31) - ids)
+        return pa.table({"h": pa.array(h, pa.string()),
+                         "packed": pa.array(packed, pa.int64())})
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        p = batch.column("packed").to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array((1 << 31) - (p & 0xFFFFFFFF), pa.int64()),
+            "n_chars": pa.array(p >> 32, pa.int64()),
+            "n_dups": batch.column("n_dups").cast(pa.int64())})
+
+    return (ds.map_batches(add_key, batch_format="pyarrow")
+            .groupby("h")
+            .aggregate(Max("packed", alias_name="packed"),
+                       Count(alias_name="n_dups"))
+            .map_batches(unpack, batch_format="pyarrow"))
+
+
+def oracle_dedup_exact_best_sql() -> str:
+    k = PREFIX_DEDUP_WORDS
+    return f"""SELECT doc_id, n_chars, n_dups FROM (
+  SELECT doc_id, n_chars,
+         count(*) OVER (PARTITION BY pfx) AS n_dups,
+         row_number() OVER (PARTITION BY pfx
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM (
+    SELECT doc_id, n_chars,
+           array_to_string(list_slice(string_split(text, ' '), 1, {k}),
+                           ' ') AS pfx
+    FROM documents)
+) WHERE rn = 1"""

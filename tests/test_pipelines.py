@@ -2005,3 +2005,34 @@ def test_audio_features_recover_synth_tone(ray_session):
         f = float(r.uniform(100, 2000))
         assert abs(dom - f) <= binhz, (mid, dom, f)
     assert (t["rms"] > 0).all() and (t["n_windows"] >= 1).all()
+
+
+def test_dedup_exact_best_keeps_longest(tmp_path, ray_session):
+    """Prefix-cluster dedup: among docs sharing the 32-word prefix the
+    LONGEST survives; ties go to the smallest doc_id."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines.dedup import dedup_exact_best
+
+    base = " ".join(f"w{i}" for i in range(32))
+    texts = [base,                          # 0: the bare prefix
+             base + " tail tail",           # 1: longer -> kept
+             base + " x",                   # 2: middle
+             "other doc entirely",          # 3: own cluster
+             base + " tail tail"]           # 4: same len as 1 -> id tie
+    d = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["x"] * 5, pa.string()),
+        "source": pa.array(["s"] * 5, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+
+    t = dedup_exact_best(d).to_pandas().sort_values("doc_id")
+    # cluster {0,1,2,4}: longest are 1 and 4 (equal) -> doc 1 wins
+    assert t["doc_id"].tolist() == [1, 3]
+    assert t.set_index("doc_id")["n_dups"].to_dict() == {1: 4, 3: 1}
