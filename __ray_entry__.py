@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 151 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (138 of 151). Omitted
+  + the §8 round-2/3/4 additions; 152 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (139 of 152). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` / ``video_frame_sample`` / ``audio_features``
   (binary codec decode / frame seek / spectral transform),
@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_dfr_inl2": ft.ft_dfr_inl2,
         "ft_suggest_context": ft.ft_suggest_context,
         "ft_expr_range": ft.ft_expr_range,
+        "ft_shape_distance": ft.ft_shape_distance,
         "ft_suggest_freetext": ft.ft_suggest_freetext,
         "hybrid_rrf": _hy.hybrid_rrf,
         "ft_geo_sort": ft.ft_geo_sort,
@@ -253,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_dfr_inl2": ft.oracle_dfr_inl2_sql(),
         "ft_suggest_context": ft.oracle_suggest_context_sql(),
         "ft_expr_range": ft.oracle_expr_range_sql(),
+        "ft_shape_distance": ft.oracle_shape_distance_sql(),
         "ft_collection_stats": ft.oracle_collection_stats_sql(),
         "ft_term_stats": ft.oracle_term_stats_sql(),
         "ft_docmeta": ft.oracle_docmeta_sql(),

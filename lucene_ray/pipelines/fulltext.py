@@ -6019,3 +6019,86 @@ FROM dl
 WHERE {es} >= CAST({lo} AS REAL) AND {es} <= CAST({hi} AS REAL)""")
     un = "\nUNION ALL\n".join(parts)
     return f"WITH {_CORPUS_CTE}\n{un}"
+
+
+# ---------------------------------------------------------------------------
+# Shape distance (circle) queries over the triangle index
+
+# (qid, relation, cy, cx, r) — centers sit on docs 7/42/123's quads
+SHAPE_CIRCLES = [(1, "intersects", 33850327, -133185578, 20_000_000),
+                 (2, "within", -65698038, -159197413, 25_000_000),
+                 (3, "disjoint", 0, 0, 30_000_000),
+                 (4, "intersects", 82798603, 78226626, 600_000)]
+
+
+def ft_shape_distance(sf_dir: str) -> pa.Table:
+    """XYShape.newDistanceQuery role (document/XYShape.java distance
+    queries over ShapeField triangles): docs whose indexed shape
+    INTERSECTS / is WITHIN / is DISJOINT from a circle. The descent
+    boxes the circle for bbox pruning; survivors get exact integer
+    circle-vs-triangle tests (arbitrary-precision cross² comparisons),
+    reproduced by the HUGEINT SQL oracle at quad level (the fan union
+    equals the quad, and distance-to-union = min over parts)."""
+    from ..shapes import build_shape_index, shape_distance
+
+    idx = index_dir_for(sf_dir)
+    build_shape_index(idx)
+    qids, rels, docs = [], [], []
+    for qid, rel, cy, cx, r in SHAPE_CIRCLES:
+        hits, _metrics = shape_distance(idx, cy, cx, r, relation=rel)
+        qids.extend([qid] * len(hits))
+        rels.extend([rel] * len(hits))
+        docs.extend(hits.tolist())
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "relation": pa.array(rels, pa.string()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def _circle_intersects_where(cy: int, cx: int, r: int) -> str:
+    """Quad-vs-circle: center inside the CCW quad, OR some edge within
+    r — point-segment distance² <= r² in exact HUGEINT arithmetic."""
+    r2 = int(r) * int(r)
+    h = "CAST({} AS HUGEINT)"
+    dot = (f"(({cy} - e.py) * (e.qy - e.py) "
+           f"+ ({cx} - e.px) * (e.qx - e.px))")
+    l2 = "((e.qy - e.py) * (e.qy - e.py) + (e.qx - e.px) * (e.qx - e.px))"
+    p2 = (f"({h.format(f'{cy} - e.py')} * {h.format(f'{cy} - e.py')} "
+          f"+ {h.format(f'{cx} - e.px')} * {h.format(f'{cx} - e.px')})")
+    q2 = (f"({h.format(f'{cy} - e.qy')} * {h.format(f'{cy} - e.qy')} "
+          f"+ {h.format(f'{cx} - e.qx')} * {h.format(f'{cx} - e.qx')})")
+    cross = (f"(({cx} - e.px) * (e.qy - e.py) "
+             f"- ({cy} - e.py) * (e.qx - e.px))")
+    seg = (f"CASE WHEN {dot} <= 0 THEN {p2} <= {r2} "
+           f"WHEN {dot} >= {l2} THEN {q2} <= {r2} "
+           f"ELSE {h.format(cross)} * {h.format(cross)} "
+           f"<= CAST({r2} AS HUGEINT) * {l2} END")
+    inside = (f"NOT EXISTS (SELECT 1 FROM edges e WHERE e.d = s.d AND "
+              f"(e.qx - e.px) * ({cy} - e.py) "
+              f"- (e.qy - e.py) * ({cx} - e.px) < 0)")
+    near = f"EXISTS (SELECT 1 FROM edges e WHERE e.d = s.d AND ({seg}))"
+    return f"({inside} OR {near})"
+
+
+def oracle_shape_distance_sql() -> str:
+    rows = []
+    for qid, rel, cy, cx, r in SHAPE_CIRCLES:
+        if rel == "within":
+            r2 = int(r) * int(r)
+            rows.append(
+                f"SELECT {qid} AS qid, 'within' AS relation, d AS doc_id "
+                f"FROM verts GROUP BY d HAVING bool_and("
+                f"CAST(y - {cy} AS HUGEINT) * CAST(y - {cy} AS HUGEINT) "
+                f"+ CAST(x - {cx} AS HUGEINT) * CAST(x - {cx} AS HUGEINT) "
+                f"<= {r2})")
+        elif rel == "intersects":
+            rows.append(
+                f"SELECT {qid} AS qid, 'intersects' AS relation, "
+                f"s.d AS doc_id FROM shp s "
+                f"WHERE {_circle_intersects_where(cy, cx, r)}")
+        else:
+            rows.append(
+                f"SELECT {qid} AS qid, 'disjoint' AS relation, "
+                f"s.d AS doc_id FROM shp s "
+                f"WHERE NOT {_circle_intersects_where(cy, cx, r)}")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE},{_SHAPE_CTE}\n{un}"

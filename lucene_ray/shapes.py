@@ -330,3 +330,139 @@ def shape_box(index_dir: str, lat_lo: int, lat_hi: int,
     universe = (np.unique(np.concatenate(all_docs)) if all_docs
                 else np.empty(0, np.int64))
     return np.setdiff1d(universe, inter_docs).astype(np.int64), metrics
+
+
+def _seg_dist_le(py: int, px: int, ay: int, ax: int, by: int, bx: int,
+                 r2: int) -> bool:
+    """Exact integer test: point-to-segment distance² <= r2 (Python
+    ints — cross² exceeds int64 at candidate magnitudes)."""
+    aby, abx = by - ay, bx - ax
+    apy, apx = py - ay, px - ax
+    dot = apy * aby + apx * abx
+    l2 = aby * aby + abx * abx
+    if dot <= 0 or l2 == 0:
+        return apy * apy + apx * apx <= r2
+    if dot >= l2:
+        bpy, bpx = py - by, px - bx
+        return bpy * bpy + bpx * bpx <= r2
+    cross = apx * aby - apy * abx
+    return cross * cross <= r2 * l2
+
+
+def _tri_circle_intersects(row, cy: int, cx: int, r2: int) -> bool:
+    ay, ax, by, bx, ty, tx = row
+    # CCW triangle: center inside iff no edge has it strictly outside
+    e1 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    e2 = (tx - bx) * (cy - by) - (ty - by) * (cx - bx)
+    e3 = (ax - tx) * (cy - ty) - (ay - ty) * (cx - tx)
+    if e1 >= 0 and e2 >= 0 and e3 >= 0:
+        return True
+    return (_seg_dist_le(cy, cx, ay, ax, by, bx, r2)
+            or _seg_dist_le(cy, cx, by, bx, ty, tx, r2)
+            or _seg_dist_le(cy, cx, ty, tx, ay, ax, r2))
+
+
+def shape_distance(index_dir: str, cy: int, cx: int, r: int,
+                   relation: str = "intersects"
+                   ) -> tuple[np.ndarray, dict]:
+    """Distance (circle) query over the triangle index — the
+    ``XYShape.newDistanceQuery`` role (document/XYShape.java,
+    ShapeField triangle encoding; the planar circle-vs-triangle
+    relation of XYShapeDistanceQuery): docIDs whose shape INTERSECTS /
+    is WITHIN / is DISJOINT from the circle (cy, cx, r).
+
+    Descent: the circle is boxed by the square [c−r, c+r]² for
+    file-lineage and row-group-statistics pruning (a triangle meeting
+    the circle must meet the square); survivors get the EXACT integer
+    test — center-in-triangle sign checks plus point-to-segment
+    cross²<=r²·|AB|² comparisons in arbitrary-precision ints, so the
+    HUGEINT SQL oracle reproduces every boundary case bit-for-bit.
+    WITHIN (shape inside circle) = every vertex of both fan triangles
+    inside (convexity), via the count==2 rule; DISJOINT reads the doc
+    universe like the box query."""
+    if relation not in ("intersects", "within", "disjoint"):
+        raise ValueError(f"unknown relation {relation!r}")
+    lat_lo, lat_hi = cy - r, cy + r
+    lon_lo, lon_hi = cx - r, cx + r
+    r2 = int(r) * int(r)
+    out_dir = os.path.join(index_dir, "points", "_shapes")
+    with open(os.path.join(out_dir, "_lineage.json")) as f:
+        lineage = json.load(f)
+    total_rg = int(sum(rec["n_row_groups"] for rec in lineage["files"]))
+    read_rg = 0
+    hit_docs: list[np.ndarray] = []
+    within_ok: list[np.ndarray] = []
+    all_docs: list[np.ndarray] = []
+    for rec in lineage["files"]:
+        file_overlap = not (rec["lat_min"] > lat_hi
+                            or rec["lat_max"] < lat_lo
+                            or rec["lon_min"] > lon_hi
+                            or rec["lon_max"] < lon_lo)
+        if not file_overlap and relation != "disjoint":
+            continue
+        pf = pq.ParquetFile(os.path.join(out_dir, rec["file"]))
+        idx = {c: pf.schema_arrow.get_field_index(c)
+               for c in ("min_lat", "max_lat", "min_lon", "max_lon")}
+        groups = []
+        if file_overlap:
+            for g in range(pf.metadata.num_row_groups):
+                rg = pf.metadata.row_group(g)
+                st = {c: rg.column(i).statistics for c, i in idx.items()}
+                if any(s is None for s in st.values()):
+                    groups.append(g)
+                    continue
+                if (st["min_lat"].min > lat_hi or st["max_lat"].max < lat_lo
+                        or st["min_lon"].min > lon_hi
+                        or st["max_lon"].max < lon_lo):
+                    continue
+                groups.append(g)
+        if relation == "disjoint":
+            skipped = [g for g in range(pf.metadata.num_row_groups)
+                       if g not in set(groups)]
+            if skipped:
+                all_docs.append(pf.read_row_groups(
+                    skipped, columns=["doc_id"]).column("doc_id")
+                    .to_numpy())
+        if not groups:
+            continue
+        read_rg += len(groups)
+        t = pf.read_row_groups(groups, columns=_TRI_COLS)
+        docs = t.column("doc_id").to_numpy()
+        if relation == "disjoint":
+            all_docs.append(docs)
+        vy = [t.column(c).to_numpy() for c in ("ay", "by", "cy")]
+        vx = [t.column(c).to_numpy() for c in ("ax", "bx", "cx")]
+        # bbox-vs-square precheck keeps the exact loop tiny
+        pre = ~((t.column("min_lat").to_numpy() > lat_hi)
+                | (t.column("max_lat").to_numpy() < lat_lo)
+                | (t.column("min_lon").to_numpy() > lon_hi)
+                | (t.column("max_lon").to_numpy() < lon_lo))
+        rows = np.column_stack([vy[0], vx[0], vy[1], vx[1],
+                                vy[2], vx[2]])
+        inter = np.zeros(len(docs), bool)
+        for i in np.flatnonzero(pre):
+            inter[i] = _tri_circle_intersects(
+                [int(v) for v in rows[i]], cy, cx, r2)
+        hit_docs.append(docs[inter])
+        if relation == "within":
+            ok = np.ones(len(docs), bool)
+            for y, x in zip(vy, vx):
+                dy = y.astype(object) - cy       # exact ints (dy² > int64)
+                dx = x.astype(object) - cx
+                ok &= np.array([int(a) * int(a) + int(b) * int(b) <= r2
+                                for a, b in zip(dy, dx)])
+            within_ok.append(docs[ok])
+    inter_docs = (np.unique(np.concatenate(hit_docs)) if hit_docs
+                  else np.empty(0, np.int64))
+    metrics = {"row_groups_total": total_rg, "row_groups_read": read_rg,
+               "files_total": len(lineage["files"])}
+    if relation == "intersects":
+        return inter_docs.astype(np.int64), metrics
+    if relation == "within":
+        w = (np.concatenate(within_ok) if within_ok
+             else np.empty(0, np.int64))
+        docs, counts = np.unique(w, return_counts=True)
+        return docs[counts == 2].astype(np.int64), metrics
+    universe = (np.unique(np.concatenate(all_docs)) if all_docs
+                else np.empty(0, np.int64))
+    return np.setdiff1d(universe, inter_docs).astype(np.int64), metrics

@@ -142,3 +142,36 @@ def test_shape_index_matches_bruteforce(ray_session, tmp_path):
     _, metrics = shape_box(idx, -10_000_000, 25_000_000,
                            40_000_000, 90_000_000, relation="intersects")
     assert metrics["row_groups_read"] < metrics["row_groups_total"]
+
+
+def test_shape_distance_pruning_and_brute_force(ray_session):
+    """Circle query: bbox descent reads a fraction of the row groups for
+    a small radius, and the exact test agrees with an all-triangles
+    brute force at several radii (boundary cases included)."""
+    import numpy as np
+
+    from lucene_ray.pipelines.fulltext import index_dir_for
+    from lucene_ray.shapes import (_tri_circle_intersects,
+                                   build_shape_index, shape_distance,
+                                   synth_quads, tessellate_quads)
+
+    sf = "/root/testdata/sf0.001"
+    idx = index_dir_for(sf)
+    build_shape_index(idx)
+    cy, cx = 82798603, 78226626          # doc 123's center
+    hits, metrics = shape_distance(idx, cy, cx, 600_000)
+    assert metrics["row_groups_read"] < metrics["row_groups_total"]
+    assert len(hits) >= 1
+
+    docs = np.arange(500, dtype=np.int64)
+    tris = tessellate_quads(docs, synth_quads(docs))
+    rows = np.column_stack([tris.column(c).to_numpy()
+                            for c in ("ay", "ax", "by", "bx", "cy", "cx")])
+    owners = tris.column("doc_id").to_numpy()
+    for r in (600_000, 5_000_000, 20_000_000):
+        got, _ = shape_distance(idx, cy, cx, r)
+        r2 = r * r
+        brute = np.unique(owners[[
+            _tri_circle_intersects([int(v) for v in row], cy, cx, r2)
+            for row in rows]])
+        assert np.array_equal(got, brute), r
