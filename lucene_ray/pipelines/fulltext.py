@@ -6102,3 +6102,158 @@ def oracle_shape_distance_sql() -> str:
                 f"WHERE NOT {_circle_intersects_where(cy, cx, r)}")
     un = "\nUNION ALL\n".join(rows)
     return f"WITH {_CORPUS_CTE},{_SHAPE_CTE}\n{un}"
+
+
+# ---------------------------------------------------------------------------
+# Surround query language (W/N proximity operators) + DisMax tie-breaker
+
+SURROUND_QUERIES = [(1, "key 3w agg"), (2, "slow 5n fast"),
+                    (3, "table 2w value"), (4, "scan 4n merge")]
+
+
+def parse_surround(q: str) -> tuple[list[str], int, bool]:
+    """Surround query language (queryparser/surround/query/
+    package-info.java; ``a Nw b`` = ordered within N, ``a Nn b`` =
+    unordered within N — the classic W/N proximity operators): parses
+    the binary infix form onto the intervals machinery
+    (Intervals.maxwidth over ordered/unordered — the modern surface the
+    reference's SrndQuery tree rewrites to)."""
+    toks = q.split()
+    if len(toks) != 3:
+        raise ValueError(f"expected 'term Nw|Nn term': {q!r}")
+    op = toks[1].lower()
+    if not op[:-1].isdigit() or op[-1] not in ("w", "n"):
+        raise ValueError(f"bad surround operator {toks[1]!r}")
+    return [toks[0], toks[2]], int(op[:-1]), op[-1] == "w"
+
+
+def ft_surround(sf_dir: str) -> pa.Table:
+    """Surround W/N proximity queries → (qid, doc_id) existence rows
+    (same result contract as ``ft_interval_near``, which is exactly
+    what the surround tree rewrites to)."""
+    from ..search import interval_near_docs
+
+    r = reader_for(sf_dir)
+    qids, docs = [], []
+    for qid, q in SURROUND_QUERIES:
+        terms, width, ordered = parse_surround(q)
+        for d in interval_near_docs(r, terms, width, ordered).tolist():
+            qids.append(qid)
+            docs.append(d)
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def oracle_surround_sql() -> str:
+    parts = []
+    for qid, q in SURROUND_QUERIES:
+        (ta, tb), width, ordered = parse_surround(q)
+        if ordered:
+            cond = (f"w1.pos > w0.pos AND w1.pos - w0.pos + 1 <= {width}")
+        else:
+            cond = (f"w1.pos != w0.pos "
+                    f"AND abs(w1.pos - w0.pos) + 1 <= {width}")
+        parts.append(
+            f"SELECT DISTINCT {qid} AS qid, w0.d AS doc_id\n"
+            f"FROM w w0 JOIN w w1 ON w1.d = w0.d\n"
+            f"WHERE w0.word = '{ta}' AND w1.word = '{tb}' AND {cond}")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+w AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+)
+{un}"""
+
+
+# (qid, terms, tie_breaker, k) — <= 3 clauses keeps the double "other"
+# sum exact, so the heap-order accumulation is order-independent
+DISMAX_TIE_SETS = [(1, ["key", "agg", "slow"], 0.3, 10),
+                   (2, ["table", "value"], 0.5, 10),
+                   (3, ["vector", "window", "merge"], 0.1, 10)]
+
+
+def ft_dismax_tie(sf_dir: str) -> pa.Table:
+    """DisjunctionMaxQuery with tieBreakerMultiplier > 0
+    (search/DisjunctionMaxScorer.java:60-72: running float max, the
+    OTHER sub-scores summed in double, final
+    (float)(max + otherSum * tie)). With <= 3 clauses the two-term
+    double sum is exactly rounded regardless of heap order, so the
+    score is deterministic and the REAL-cast oracle matches bit-for-
+    bit. → (qid, rank, doc_id, score)."""
+    from ..codec import decode_blocks
+    from ..search import Scorers
+
+    r = reader_for(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, terms, tie, k in DISMAX_TIE_SETS:
+        sc = Scorers(r, terms)
+        dl, sl = [], []
+        for t in terms:
+            p = sc.postings.get(t)
+            if p is None:
+                continue
+            d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                         p.tfs_enc, p.norms_enc)
+            s = sc.sim[t].score(tf, nm)
+            lm = r.live_mask(d)
+            if lm is not None:
+                d, s = d[lm], s[lm]
+            dl.append(d)
+            sl.append(s)
+        if not dl:
+            continue
+        alld = np.concatenate(dl)
+        alls = np.concatenate(sl)
+        uniq, inv = np.unique(alld, return_inverse=True)
+        mx = np.zeros(len(uniq), np.float32)
+        np.maximum.at(mx, inv, alls)
+        tot = np.zeros(len(uniq), np.float64)
+        np.add.at(tot, inv, alls.astype(np.float64))
+        tiev = float(np.float32(tie))
+        fin = (mx.astype(np.float64)
+               + (tot - mx.astype(np.float64)) * tiev).astype(np.float32)
+        top = np.lexsort((uniq, -fin.astype(np.float64)))[:k]
+        for rank, i in enumerate(top, 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(int(uniq[i]))
+            scores.append(float(fin[i]))
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "score": pa.array(scores, pa.float32())})
+
+
+def oracle_dismax_tie_sql() -> str:
+    rows = []
+    for qid, terms, tie, k in DISMAX_TIE_SETS:
+        for ci, t in enumerate(terms):
+            rows.append(f"({qid}, {ci}, '{t}', CAST({tie} AS REAL), {k})")
+    vals = ",\n    ".join(rows)
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+clauses(qid, clause, term, tie, k) AS (VALUES
+    {vals}
+),
+scored AS (
+  SELECT c.qid, c.tie, c.k, t.d, {_SCORE_EXPR} AS s
+  FROM clauses c
+  JOIN tf t ON t.term = c.term
+  JOIN df f ON f.term = c.term
+  JOIN quant q ON q.d = t.d
+),
+totals AS (
+  SELECT qid, k, d,
+         CAST(CAST(max(s) AS DOUBLE)
+              + (sum(CAST(s AS DOUBLE)) - CAST(max(s) AS DOUBLE))
+                * CAST(min(tie) AS DOUBLE) AS REAL) AS score
+  FROM scored GROUP BY qid, k, d
+),
+ranked AS (
+  SELECT qid, d, score, k, row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, d ASC) AS rank
+  FROM totals
+)
+SELECT qid, rank, d AS doc_id, score FROM ranked WHERE rank <= k"""
