@@ -6257,3 +6257,148 @@ ranked AS (
   FROM totals
 )
 SELECT qid, rank, d AS doc_id, score FROM ranked WHERE rank <= k"""
+
+
+# ---------------------------------------------------------------------------
+# BlendedInfixSuggester (position-linear weight blending)
+
+BLENDED_SUGGEST_QUERIES = [("va", 5), ("sc", 5), ("jo", 5)]
+_BLEND_LINEAR_COEF = 0.10
+
+
+def ft_suggest_blended(sf_dir: str) -> pa.Table:
+    """BlendedInfixSuggester POSITION_LINEAR
+    (suggest/analyzing/BlendedInfixSuggester.java:76,357-363): infix
+    matches re-weighted by WHERE the first matching token sits —
+    coefficient = 1 − 0.10·min_position, weight 0 promoted to 1 and
+    |weight| < 10 scaled ×10 (:265-270), final score =
+    (long)(weight·coefficient) truncated toward zero (:271). The
+    matched position comes from the positional postings' first
+    occurrence, exactly the reference's term-vector walk (:325-343)."""
+    from ..search import _term_docset, _term_positions
+
+    r = reader_for(sf_dir)
+    idx = index_dir_for(sf_dir)
+    wt = _dense_field_len(idx)
+    out = []
+    for p, k in BLENDED_SUGGEST_QUERIES:
+        terms = _content_only(r, termdict_scan(r, prefix=p)) \
+            .column("term").to_pylist()
+        minpos: dict[int, int] = {}
+        for t in terms:
+            for d, pos in (_term_positions(r, t) or {}).items():
+                first = int(np.min(pos))
+                if d not in minpos or first < minpos[d]:
+                    minpos[d] = first
+        docs = np.array(sorted(minpos), np.int64)
+        if not len(docs):
+            continue
+        w = wt[docs].astype(np.float64)
+        w[w == 0] = 1.0
+        small = np.abs(w) < 1 / _BLEND_LINEAR_COEF
+        w[small] *= 1 / _BLEND_LINEAR_COEF
+        coef = 1.0 - _BLEND_LINEAR_COEF * np.array(
+            [minpos[int(d)] for d in docs], np.float64)
+        score = np.trunc(w * coef).astype(np.int64)
+        sel = np.lexsort((docs, -score))[:k]
+        d = docs[sel]
+        out.append(pa.table({
+            "prefix": pa.array([p] * len(d), pa.string()),
+            "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int64)),
+            "doc_id": pa.array(d, pa.int64()),
+            "score": pa.array(score[sel], pa.int64())}))
+    return pa.concat_tables(out)
+
+
+def oracle_suggest_blended_sql() -> str:
+    rows = []
+    for p, k in BLENDED_SUGGEST_QUERIES:
+        rows.append(f"""SELECT prefix, rank, doc_id, score FROM (
+  SELECT '{p}' AS prefix,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+         doc_id, score
+  FROM (
+    SELECT m.d AS doc_id,
+           CAST(trunc(
+             (CASE WHEN dl.len = 0 THEN 1.0
+                   WHEN abs(dl.len) < 10 THEN dl.len * 10.0
+                   ELSE CAST(dl.len AS DOUBLE) END)
+             * (1.0 - 0.10 * m.minpos)) AS BIGINT) AS score
+    FROM (SELECT d, min(pos) - 1 AS minpos FROM wpos
+          WHERE word LIKE '{p}%' GROUP BY d) m
+    JOIN dl ON dl.d = m.d)
+  ) WHERE rank <= {k}""")
+    un = "\nUNION ALL\n".join(rows)
+    return f"""WITH {_CORPUS_CTE},
+wpos AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+)
+{un}"""
+
+
+# ---------------------------------------------------------------------------
+# ComplexPhraseQueryParser (wildcards at ANY phrase position)
+
+COMPLEX_PHRASES = [(1, ["sl*", "fast"]), (2, ["key", "ag*"]),
+                   (3, ["ta*", "va*"]), (4, ["zz*", "key"])]
+
+
+def ft_complex_phrase(sf_dir: str) -> pa.Table:
+    """ComplexPhraseQueryParser (queryparser/complexPhrase/
+    ComplexPhraseQueryParser.java:57): phrases whose ANY position may be
+    a wildcard — each starred position expands from the term dictionary
+    and feeds the exact MultiPhraseQuery matcher (the reference rewrites
+    to span queries; position-set semantics coincide for single-term
+    spans). → (qid, doc_id, freq)."""
+    from ..search import multi_phrase_freqs
+
+    r = reader_for(sf_dir)
+    qids, docs, freqs = [], [], []
+    for qid, pattern in COMPLEX_PHRASES:
+        sets = []
+        for tok in pattern:
+            if tok.endswith("*"):
+                exp = _content_only(
+                    r, termdict_scan(r, prefix=tok[:-1])) \
+                    .column("term").to_pylist()
+                sets.append(exp)
+            else:
+                sets.append([tok])
+        if any(not s for s in sets):
+            continue
+        fr = multi_phrase_freqs(r, sets)
+        for d in sorted(fr):
+            qids.append(qid)
+            docs.append(d)
+            freqs.append(fr[d])
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "freq": pa.array(freqs, pa.int64())})
+
+
+def oracle_complex_phrase_sql() -> str:
+    parts = []
+    for qid, pattern in COMPLEX_PHRASES:
+        joins = ["FROM w w0"]
+        conds = []
+        for i, tok in enumerate(pattern):
+            if i:
+                joins.append(f"JOIN w w{i} ON w{i}.d = w0.d "
+                             f"AND w{i}.pos = w0.pos + {i}")
+            cond = (f"w{i}.word LIKE '{tok[:-1]}%'" if tok.endswith("*")
+                    else f"w{i}.word = '{tok}'")
+            conds.append(cond)
+        parts.append(
+            f"SELECT {qid} AS qid, w0.d AS doc_id, count(*) AS freq\n"
+            + "\n".join(joins) + "\nWHERE " + " AND ".join(conds)
+            + "\nGROUP BY w0.d")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+w AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+)
+{un}"""
