@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 156 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (143 of 156). Omitted
+  + the §8 round-2/3/4 additions; 157 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (144 of 157). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` / ``video_frame_sample`` / ``audio_features``
   (binary codec decode / frame seek / spectral transform),
@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dedup_exact_best": _dd.dedup_exact_best,
             "pack_token_budget": _ts.pack_token_budget,
             "corpus_sample_balanced": _ts.corpus_sample_balanced,
+            "corpus_sample_quota": _ts.corpus_sample_quota,
             "decontaminate": _ts.decontaminate,
             "doc_lm_logprob": _ts.doc_lm_logprob,
             "doc_blocklist": _ts.doc_blocklist,
@@ -384,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
             "pack_token_budget": textstats.oracle_pack_token_budget_sql(),
             "corpus_sample_balanced":
                 textstats.oracle_sample_balanced_sql(),
+            "corpus_sample_quota": textstats.oracle_sample_quota_sql(),
             "vocab_hll": textstats.oracle_vocab_hll_sql(),
             "ann_cosine_topk": ann.oracle_ann_sql(),
             "knn_graph": ann.oracle_knn_graph_sql(),

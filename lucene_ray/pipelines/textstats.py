@@ -1516,3 +1516,141 @@ SELECT doc_id, lang, mean_logprob, bucket,
        CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
             ELSE 'tail' END AS label
 FROM bucketed"""
+
+
+# ---------------------------------------------------------------------------
+# Quota-based source mixing (the "data recipe" sampling step)
+
+# per-lang token-budget fraction as EXACT rationals (num, den) — the
+# configured mixing ratios of a Pile-style recipe; exact integers keep
+# the quota boundary engine-independent
+MIX_RATIOS = {"en": (1, 2), "de": (2, 3), "es": (1, 3),
+              "fr": (1, 4), "zh": (3, 4)}
+
+
+def corpus_sample_quota(sf_dir: str) -> pa.Table:
+    """Token-quota sampling per source (the data-recipe step that turns
+    mixing weights into an actual training subset — The Pile / Gopher
+    practice: each source contributes a configured token budget, filled
+    by a deterministic document order): per lang, documents ranked by
+    md5(doc_id) (the reproducible-draw trick of
+    :func:`corpus_sample_balanced`) are taken while the CUMULATIVE token
+    count stays within quota = total_lang_tokens * num // den
+    (exact integer rationals in ``MIX_RATIOS`` — no float boundary).
+
+    Scale shape: ONE distributed sort by (lang, h, doc_id) + the
+    sorted-block-scan offset chain (per-block one-row-per-lang token
+    summaries, O(#blocks) driver accumulation, broadcast offsets +
+    quotas) — the :func:`doc_ppl_buckets` machinery with token sums as
+    the monoid; no lang ever gathers in one task."""
+    import ray
+    import ray.data
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").to_pylist()
+        toks = pc.list_value_length(
+            pc.split_pattern(batch.column("text"), " ")).to_numpy() \
+            .astype(np.int64)
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "lang": batch.column("lang"),
+                         "tokens": pa.array(toks),
+                         "h": pa.array(h, pa.string())})
+
+    u = (_docs(sf_dir, cols=("doc_id", "lang", "text"))
+         .map_batches(keyed, batch_format="pyarrow")
+         .sort(["lang", "h", "doc_id"]).materialize())
+
+    _EMPTY = pa.table({"f_lang": pa.array([], pa.string()),
+                       "f_h": pa.array([], pa.string()),
+                       "f_doc": pa.array([], pa.int64()),
+                       "lang": pa.array([], pa.string()),
+                       "tok": pa.array([], pa.int64())})
+
+    def summarize(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY
+        langs = b.column("lang").to_numpy(zero_copy_only=False)
+        toks = b.column("tokens").to_numpy()
+        uniq, idx = np.unique(langs, return_index=True)
+        order = np.argsort(idx)
+        sums = [int(toks[langs == u_].sum()) for u_ in uniq[order]]
+        return pa.table({
+            "f_lang": pa.array([str(langs[0])] * len(uniq)),
+            "f_h": pa.array([str(b.column("h")[0].as_py())] * len(uniq)),
+            "f_doc": pa.array([int(b.column("doc_id")[0].as_py())]
+                              * len(uniq), pa.int64()),
+            "lang": pa.array(uniq[order]),
+            "tok": pa.array(sums, pa.int64())})
+
+    summ = ensure_cols(
+        u.map_batches(summarize, batch_size=None,
+                      batch_format="pyarrow").to_pandas(),
+        _EMPTY.column_names)
+    summ = summ.sort_values(["f_lang", "f_h", "f_doc", "lang"])
+    offsets: dict = {}
+    totals: dict = {}
+    for r_ in summ.itertuples(index=False):
+        bid = (str(r_.f_lang), str(r_.f_h), int(r_.f_doc))
+        offsets[(bid, str(r_.lang))] = totals.get(str(r_.lang), 0)
+        totals[str(r_.lang)] = totals.get(str(r_.lang), 0) + int(r_.tok)
+    quotas = {lg: totals.get(lg, 0) * n // d
+              for lg, (n, d) in MIX_RATIOS.items()}
+    state = ray.put((offsets, quotas))
+
+    def resolve(b: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "lang": pa.array([], pa.string()),
+                          "tokens": pa.array([], pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        offs, qts = ray.get(state)
+        langs = b.column("lang").to_numpy(zero_copy_only=False)
+        toks = b.column("tokens").to_numpy()
+        ids = b.column("doc_id").to_numpy()
+        bid = (str(langs[0]), str(b.column("h")[0].as_py()), int(ids[0]))
+        keep = np.zeros(len(ids), bool)
+        for lg in np.unique(langs):
+            m = langs == lg
+            cum = np.cumsum(toks[m]) + offs.get((bid, str(lg)), 0)
+            keep[m] = cum <= qts.get(str(lg), 0)
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                         "lang": pa.array(langs[keep]),
+                         "tokens": pa.array(toks[keep], pa.int64())})
+
+    t = ensure_cols(
+        u.map_batches(resolve, batch_size=None,
+                      batch_format="pyarrow").to_pandas(),
+        ["doc_id", "lang", "tokens"])
+    t = t.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(t.doc_id, pa.int64()),
+                     "lang": pa.array(t.lang, pa.string()),
+                     "tokens": pa.array(t.tokens, pa.int64())})
+
+
+def oracle_sample_quota_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lg}' THEN CAST(tot AS BIGINT) * {n} // {d}"
+        for lg, (n, d) in MIX_RATIOS.items())
+    return f"""WITH toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+quota AS (
+  SELECT lang, CASE lang {cases} ELSE 0 END AS q
+  FROM (SELECT lang, sum(tokens) AS tot FROM toks GROUP BY lang)
+),
+cum AS (
+  SELECT doc_id, lang, tokens,
+         sum(tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM toks
+)
+SELECT cum.doc_id, cum.lang, cum.tokens
+FROM cum JOIN quota ON quota.lang = cum.lang
+WHERE cum.c <= quota.q"""
