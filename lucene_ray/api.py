@@ -139,6 +139,29 @@ class Index:
             td = search_bruteforce(self.reader, query, k)
         return self._hits(td)
 
+    def simple_search(self, query: str) -> list[int]:
+        """SimpleQueryParser surface (queryparser/simple/
+        SimpleQueryParser.java:103): the fault-tolerant end-user syntax
+        (+ | - quotes prefix fuzzy near parens escapes, default OR) —
+        never throws on malformed input. Returns the sorted matching
+        doc ids (constant-score doc-set semantics)."""
+        from .simpleqp import eval_docs, parse
+
+        return [int(d) for d in eval_docs(self.reader, parse(query))]
+
+    def profile(self, query: str, k: int = 10) -> dict:
+        """Deterministic execution counters for one query (the
+        ProfilerCollector role): clauses, candidates, impact blocks
+        total/decoded, hits."""
+        from .search import parse_query
+
+        td = search_blockmax(self.reader, query, k)
+        return {"n_clauses": len(parse_query(query)),
+                "candidates": td.total_candidates,
+                "blocks_total": td.blocks_total,
+                "blocks_decoded": td.blocks_decoded,
+                "hits": len(td.doc_ids)}
+
     def search_after(self, query: str, k: int, last: Hit) -> list[Hit]:
         td = search_after(self.reader, query, k, last.score, last.doc_id)
         return self._hits(td)

@@ -568,6 +568,19 @@ def test_api_facade(tmp_path_factory, corpus_path, ray_session):
     df, ttf = idx.term_stats("return")
     assert df > 0 and ttf >= df
     assert idx.verify()["ok"]
+    # simple query language: never throws, set semantics match boolean
+    s1 = set(idx.simple_search("return + value"))
+    both = set(search_bruteforce(idx.reader, "return", 10**6)
+               .doc_ids.tolist()) \
+        & set(search_bruteforce(idx.reader, "value", 10**6)
+              .doc_ids.tolist())
+    assert s1 == both
+    assert idx.simple_search("((((") == []          # degraded, no throw
+    assert set(idx.simple_search("*")) == set(range(idx.doc_count()))
+    # profiler counters
+    prof = idx.profile("return value")
+    assert prof["hits"] <= 10 and \
+        prof["blocks_decoded"] <= prof["blocks_total"]
 
 
 def test_hot_term_skew_split(tmp_path_factory, ray_session):
