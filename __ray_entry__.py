@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 157 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (144 of 157). Omitted
+  + the §8 round-2/3/4 additions; 158 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (145 of 158). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` / ``video_frame_sample`` / ``audio_features``
   (binary codec decode / frame seek / spectral transform),
@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_dismax_tie": ft.ft_dismax_tie,
         "ft_suggest_blended": ft.ft_suggest_blended,
         "ft_complex_phrase": ft.ft_complex_phrase,
+        "ft_ib_spl": ft.ft_ib_spl,
         "ft_suggest_freetext": ft.ft_suggest_freetext,
         "hybrid_rrf": _hy.hybrid_rrf,
         "ft_geo_sort": ft.ft_geo_sort,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_dismax_tie": ft.oracle_dismax_tie_sql(),
         "ft_suggest_blended": ft.oracle_suggest_blended_sql(),
         "ft_complex_phrase": ft.oracle_complex_phrase_sql(),
+        "ft_ib_spl": ft.oracle_ib_spl_sql(),
         "ft_collection_stats": ft.oracle_collection_stats_sql(),
         "ft_term_stats": ft.oracle_term_stats_sql(),
         "ft_docmeta": ft.oracle_docmeta_sql(),

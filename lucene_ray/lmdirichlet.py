@@ -92,3 +92,37 @@ def score_terms_dfr_inl2(tf: np.ndarray, norm_bytes: np.ndarray,
                   / ln2))
         vals[i] = a * (1 - 1 / (1 + tfn))
     return vals[inv].astype(np.float32)
+
+
+def score_terms_ib_spl(tf: np.ndarray, norm_bytes: np.ndarray,
+                       df: int, doc_count: int, sum_ttf: int,
+                       c: float = 1.0) -> np.ndarray:
+    """IBSimilarity with DistributionSPL + LambdaDF + NormalizationH2
+    ("SPL-D2"; IBSimilarity.java:115-118): tfn as in InL2,
+    λ = (float)((df+1)/(N+1)) (LambdaDF.java:32-33 — a FLOAT, then
+    widened), q = 1 − 1/(tfn+1), score = −ln((λ^q − λ)/(1 − λ))
+    (DistributionSPL.java:35-59). The nextUp/nextDown degeneracy guards
+    (λ==1 or pow rounding onto λ) are asserted not to fire — the SQL
+    oracle cannot express them, so a query term hitting them fails
+    loudly here instead of silently diverging."""
+    lam = float(np.float32((df + 1.0) / (doc_count + 1.0)))
+    if lam == 1.0:
+        raise ValueError("LambdaDF == 1 (term in every doc): the SPL "
+                         "degeneracy guard is outside oracle scope")
+    ln2 = math.log(2.0)
+    avg_fl = sum_ttf / float(doc_count)
+    nb = norm_bytes.astype(np.int64) & 0xFF
+    key = tf.astype(np.int64) * 256 + nb
+    uk, inv = np.unique(key, return_inverse=True)
+    vals = np.empty(len(uk), np.float64)
+    for i, k in enumerate(uk):
+        tfn = (float(np.float32(k // 256))
+               * (math.log(1 + c * avg_fl / float(LENGTH_TABLE[k % 256]))
+                  / ln2))
+        q = 1 - 1 / (tfn + 1)
+        p = math.pow(lam, q)
+        if p == lam:
+            raise ValueError("SPL pow-rounding guard fired: outside "
+                             "oracle scope")
+        vals[i] = -math.log((p - lam) / (1 - lam))
+    return vals[inv].astype(np.float32)

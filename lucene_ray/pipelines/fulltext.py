@@ -6402,3 +6402,96 @@ w AS (
   FROM corpus
 )
 {un}"""
+
+
+# ---------------------------------------------------------------------------
+# IB similarity (SPL-D2) — fourth SimilarityBase family
+
+IB_QUERIES = [(1, ["key", "agg"]), (2, ["slow", "fast", "window"]),
+              (3, ["customer"]), (4, ["scan", "merge"])]
+
+
+def ft_ib_spl(sf_dir: str) -> pa.Table:
+    """Top-k under IBSimilarity(DistributionSPL, LambdaDF,
+    NormalizationH2) — the information-based family
+    (IBSimilarity.java:115), completing the SimilarityBase coverage
+    beside DFR and the two LM models."""
+    from ..codec import decode_blocks
+    from ..lmdirichlet import score_terms_ib_spl
+
+    r = reader_for(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, terms in IB_QUERIES:
+        dl, sl, cl = [], [], []
+        for ci, t in enumerate(terms):
+            p = r.postings(t)
+            if p is None:
+                continue
+            d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                         p.tfs_enc, p.norms_enc)
+            s = score_terms_ib_spl(tf, nm, p.df, r.doc_count, r.sum_ttf)
+            lm = r.live_mask(d)
+            if lm is not None:
+                d, s = d[lm], s[lm]
+            dl.append(d)
+            sl.append(s)
+            cl.append(np.full(len(d), ci, np.int32))
+        if not dl:
+            continue
+        alld = np.concatenate(dl)
+        allc = np.concatenate(cl)
+        alls = np.concatenate(sl)
+        order = np.lexsort((allc, alld))
+        uniq, inv = np.unique(alld[order], return_inverse=True)
+        tot = np.zeros(len(uniq), np.float64)
+        np.add.at(tot, inv, alls[order].astype(np.float64))
+        tot32 = tot.astype(np.float32)
+        top = np.lexsort((uniq, -tot32.astype(np.float64)))[:_LMD_K]
+        for rank, i in enumerate(top, 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(int(uniq[i]))
+            scores.append(float(tot32[i]))
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "score": pa.array(scores, pa.float32())})
+
+
+def oracle_ib_spl_sql() -> str:
+    rows = []
+    for qid, terms in IB_QUERIES:
+        for ci, t in enumerate(terms):
+            rows.append(f"({qid}, {ci}, '{t}')")
+    vals = ",\n    ".join(rows)
+    lam = ("CAST(CAST((f.df + 1.0) / ((SELECT n_docs FROM stats) + 1.0) "
+           "AS REAL) AS DOUBLE)")
+    tfn = ("CAST(CAST(t.tf AS REAL) AS DOUBLE) * (ln(1 + 1.0 * "
+           "(CAST((SELECT sum_ttf FROM stats) AS DOUBLE) / "
+           "(SELECT n_docs FROM stats)) / CAST(q.qlen AS DOUBLE)) "
+           "/ ln(2.0))")
+    raw = (f"-ln((pow({lam}, 1 - 1 / ({tfn} + 1)) - {lam}) "
+           f"/ (1 - {lam}))")
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+clauses(qid, clause, term) AS (VALUES
+    {vals}
+),
+scored AS (
+  SELECT c.qid, c.clause, t.d, CAST({raw} AS REAL) AS s
+  FROM clauses c
+  JOIN tf t ON t.term = c.term
+  JOIN df f ON f.term = c.term
+  JOIN quant q ON q.d = t.d
+),
+totals AS (
+  SELECT qid, d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+  FROM scored GROUP BY qid, d
+),
+ranked AS (
+  SELECT qid, d, score, row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, d ASC) AS rank
+  FROM totals
+)
+SELECT qid, rank, d AS doc_id, score FROM ranked
+WHERE rank <= {_LMD_K}"""
