@@ -91,3 +91,23 @@ def test_nested_parens():
         ("and", [("term", "a"),
                  ("or", [("term", "b"),
                          ("and", [("term", "c"), ("term", "d")])])])
+
+
+def test_parse_never_throws_property():
+    """The reference's core contract: ANY input parses without an
+    exception (hypothesis fuzz over the operator alphabet and raw
+    unicode)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = st.sampled_from(list('ab c+|-"()*~\\09'))
+    ops = st.text(alphabet, max_size=40)
+    anything = st.text(max_size=40)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.one_of(ops, anything))
+    def run(q):
+        node = parse(q, an)
+        assert node is not None
+
+    run()
