@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 158 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (145 of 158). Omitted
+  + the §8 round-2/3/4 additions; 159 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (146 of 159). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` / ``video_frame_sample`` / ``audio_features``
   (binary codec decode / frame seek / spectral transform),
@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "events_late_data": _st.events_late_data,
             "events_decayed_counts": _st.events_decayed_counts,
             "dedup_exact_best": _dd.dedup_exact_best,
+            "dedup_cluster_best": _dd.dedup_cluster_best,
             "pack_token_budget": _ts.pack_token_budget,
             "corpus_sample_balanced": _ts.corpus_sample_balanced,
             "corpus_sample_quota": _ts.corpus_sample_quota,
@@ -370,6 +371,7 @@ def oracle_sql() -> dict[str, str]:
             "events_late_data": streaming.oracle_late_data_sql(),
             "events_decayed_counts": streaming.oracle_decayed_counts_sql(),
             "dedup_exact_best": dedup.oracle_dedup_exact_best_sql(),
+            "dedup_cluster_best": dedup.oracle_dedup_cluster_best_sql(),
             "events_sessionize": streaming.oracle_sessionize_sql(),
             "events_sliding_window": streaming.oracle_sliding_window_sql(),
             "agg_quantity_quantiles":

@@ -1170,3 +1170,60 @@ def oracle_dedup_exact_best_sql() -> str:
                            ' ') AS pfx
     FROM documents)
 ) WHERE rn = 1"""
+
+
+def dedup_cluster_best(sf_dir: str):
+    """Canonical-by-quality selection over the near-duplicate clusters:
+    each connected component keeps its LONGEST member (n_chars, ties to
+    smallest doc_id) — :func:`dedup_exact_best`'s keep-best rule applied
+    to the transitive Jaccard clusters instead of identical/prefix text
+    (the full RefinedWeb-style canonicalization). One distributed join
+    of the cluster labels with the quality column, then the same packed
+    (quality, doc) single-Max combine; output one row per cluster with
+    its size."""
+    import ray.data
+    from ray.data.aggregate import Count, Max
+
+    P = _join_parts(sf_dir)
+    labels = dedup_clusters(sf_dir).materialize()
+    nc = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "n_chars"])
+    j = labels.join(nc, "inner", P, on=("doc_id",),
+                    right_on=("doc_id",))
+
+    def pack(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        chars = batch.column("n_chars").to_numpy().astype(np.int64)
+        packed = (chars << 32) | ((1 << 31) - ids)
+        return pa.table({"cluster": batch.column("cluster"),
+                         "packed": pa.array(packed, pa.int64())})
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        p = batch.column("packed").to_numpy().astype(np.int64)
+        return pa.table({
+            "cluster": batch.column("cluster").cast(pa.int64()),
+            "doc_id": pa.array((1 << 31) - (p & 0xFFFFFFFF), pa.int64()),
+            "n_chars": pa.array(p >> 32, pa.int64()),
+            "size": batch.column("size").cast(pa.int64())})
+
+    return (j.map_batches(pack, batch_format="pyarrow")
+            .groupby("cluster")
+            .aggregate(Max("packed", alias_name="packed"),
+                       Count(alias_name="size"))
+            .map_batches(unpack, batch_format="pyarrow"))
+
+
+def oracle_dedup_cluster_best_sql() -> str:
+    base = oracle_dedup_clusters_sql()
+    # wrap the (doc_id, cluster) component query with the quality pick
+    return f"""WITH comp AS (
+{base}
+)
+SELECT cluster, doc_id, n_chars, size FROM (
+  SELECT comp.cluster, d.doc_id, d.n_chars,
+         count(*) OVER (PARTITION BY comp.cluster) AS size,
+         row_number() OVER (PARTITION BY comp.cluster
+                            ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+  FROM comp JOIN documents d ON d.doc_id = comp.doc_id
+) WHERE rn = 1"""
