@@ -1311,3 +1311,79 @@ def ann_pq_topk(sf_dir: str, oversample: int = PQ_OVERSAMPLE) -> pa.Table:
     return pa.table({"query_vec_id": pa.array(rows_q, pa.int64()),
                      "rank": pa.array(rows_r, pa.int32()),
                      "vec_id": pa.array(rows_v, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the kNN graph (graph-centrality curation signal)
+
+PAGERANK_D = 0.85
+PAGERANK_ITERS = 3
+
+
+def graph_pagerank(sf_dir: str, d: float = PAGERANK_D,
+                   iters: int = PAGERANK_ITERS) -> pa.Table:
+    """PageRank over the embedding kNN graph — the graph-centrality
+    quality signal of web-scale curation (CommonCrawl's harmonic/
+    centrality ranking role), run on the corpus's own similarity
+    structure: edges = :func:`knn_graph` (every vector → its top-k
+    cosine neighbors, uniform out-degree k), power iteration
+    pr' = (1−d)/N + d·Σ_in pr/k.
+
+    Scale shape: the label-propagation superstep pattern
+    (dedup_clusters) — each iteration is ONE distributed edge→rank join,
+    a map emitting (dst, pr/k) contributions, and a groupby(dst) sum;
+    the rank table is a Dataset materialized per round, never collected.
+    Rows-only: an iterative float fixpoint's summation order is
+    engine-dependent below the last ulp, so there is no hash-exact SQL
+    form; invariants (sum≈1, uniform-graph uniformity, hub dominance on
+    a planted star) are pytest-pinned."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from lucene_ray.pipelines.dedup import _join_parts
+
+    P = _join_parts(sf_dir)
+    kg = knn_graph(sf_dir)
+    edges = (ray.data.from_arrow(
+        pa.table({"src": kg.column("vec_id").cast(pa.int64()),
+                  "dst": kg.column("nbr_id").cast(pa.int64())}))
+        .materialize())
+    base = ray.data.read_parquet(_emb_path(sf_dir), columns=["vec_id"])
+    n = base.count()
+    if n == 0:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "pagerank": pa.array([], pa.float64())})
+    k = KNN_GRAPH_K
+
+    def init(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").cast(pa.int64())
+        return pa.table({"node": ids,
+                         "pr": pa.array(np.full(len(ids), 1.0 / n))})
+
+    ranks = base.map_batches(init, batch_format="pyarrow").materialize()
+    for _ in range(iters):
+        contrib = (edges.join(ranks, "inner", P, on=("src",),
+                              right_on=("node",))
+                   .map_batches(lambda t: pa.table(
+                       {"node": t.column("dst"),
+                        "c": pa.array(t.column("pr").to_numpy() / k)}),
+                       batch_format="pyarrow"))
+        # nodes with no in-edges keep only the teleport mass
+        zero = ranks.map_batches(lambda t: pa.table(
+            {"node": t.column("node"),
+             "c": pa.array(np.zeros(t.num_rows))}),
+            batch_format="pyarrow")
+        summed = (contrib.union(zero).groupby("node")
+                  .aggregate(Sum("c", alias_name="s")))
+
+        def damp(t: pa.Table) -> pa.Table:
+            s = t.column("s").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "node": t.column("node").cast(pa.int64()),
+                "pr": pa.array((1 - d) / n + d * s)})
+
+        ranks = summed.map_batches(damp,
+                                   batch_format="pyarrow").materialize()
+    t = ranks.to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.table({"vec_id": pa.array(t["node"].to_numpy(np.int64)),
+                     "pagerank": pa.array(t["pr"].to_numpy(np.float64))})

