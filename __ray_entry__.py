@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 160 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (146 of 160). Omitted
+  + the §8 round-2/3/4 additions; 161 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (146 of 161). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` / ``video_frame_sample`` / ``audio_features``
   (binary codec decode / frame seek / spectral transform),
@@ -16,7 +16,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   merge sequence is pytest-pinned to the published Sennrich example),
   ``doc_fingerprint`` / ``dedup_simhash`` / ``dedup_simhash_pairs`` /
   ``dedup_minhash_lsh`` (blake2b-seeded signatures),
-  ``embedding_neardup_lsh`` / ``ann_pq_topk`` (approximate by design;
+  ``embedding_neardup_lsh`` / ``ann_pq_topk`` / ``ann_ivfpq_topk``
+  (approximate by design;
   recall floors asserted in pytest), ``ft_profile`` (engine-internal
   execution counters; invariants pytest-pinned), ``graph_pagerank``
   (iterative float fixpoint — summation order is engine-dependent
@@ -153,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # driver rotation (their exactness gate is pytest-pinned)
             "ann_pq_topk": _ann.ann_pq_topk,
             "graph_pagerank": _ann.graph_pagerank,
+            "ann_ivfpq_topk": _ann.ann_ivfpq_topk,
             "ft_profile": ft.ft_profile,
             "video_frame_sample": (
                 lambda sf: __import__("lucene_ray.pipelines.multimodal",

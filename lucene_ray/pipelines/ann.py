@@ -1387,3 +1387,195 @@ def graph_pagerank(sf_dir: str, d: float = PAGERANK_D,
     t = ranks.to_pandas().sort_values("node").reset_index(drop=True)
     return pa.table({"vec_id": pa.array(t["node"].to_numpy(np.int64)),
                      "pagerank": pa.array(t["pr"].to_numpy(np.float64))})
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (IVFADC): coarse lists + product-quantized residuals
+
+IVFPQ_NPROBE = 3
+_IVFPQ_CACHE: dict = {}
+
+
+def _ivfpq_dir(sf_dir: str, m: int = PQ_M, ksub: int = PQ_KSUB) -> str:
+    """Build (once per sf dir) the IVFADC index (Jégou et al. 2011 §IV:
+    coarse quantizer + PQ on the RESIDUAL vectors): coarse centroids
+    from the deterministic sample trainer, residual sub-codebooks
+    k-means-trained on the same sample's residuals (the FAISS practice
+    — training never touches the full table), then ONE distributed pass
+    assigns lists and PQ-encodes residuals into a parquet codes member
+    PARTITIONED BY LIST — a probe reads only its lists' files."""
+    import hashlib as _h
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq_
+
+    sf_dir = os.path.abspath(sf_dir)
+    key = f"{sf_dir}:{m}:{ksub}"
+    if key in _IVFPQ_CACHE:
+        return _IVFPQ_CACHE[key]
+    emb = _emb_path(sf_dir)
+    tag = _h.sha256(f"{emb}:{os.path.getsize(emb)}:{m}:{ksub}:ivfpq-v1"
+                    .encode()).hexdigest()[:12]
+    out = os.path.join("/tmp", "lucene_ray_indexes", "ivfpq_" + tag)
+    done = os.path.join(out, "codebooks.npz")
+    if not os.path.exists(done):
+        os.makedirs(os.path.join(out, "codes"), exist_ok=True)
+        cents = _train_centroids(sf_dir)           # (L, dim), normalized
+        # sample residuals for sub-codebook training
+        t = pq_.read_table(emb, columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", 512)])
+        order = np.argsort(t.column("vec_id").to_numpy())
+        x = np.stack(t.column("embedding").take(
+            pa.array(order)).to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        res = x - cents[np.argmax(x @ cents.T, axis=1)]
+        dim = res.shape[1]
+        dsub = dim // m
+        books = np.empty((m, ksub, dsub))
+        for s in range(m):
+            xs = res[:, s * dsub:(s + 1) * dsub]
+            c = xs[:ksub].copy()                   # deterministic Forgy
+            for _ in range(PQ_ITERS):
+                a = _assign(xs, c)
+                for j in range(ksub):
+                    g = xs[a == j]
+                    if len(g):
+                        c[j] = g.mean(axis=0)
+            books[s] = c
+        cref = ray.put((cents, books))
+
+        def encode(batch: pa.Table) -> pa.Table:
+            cen, bks = ray.get(cref)
+            en = np.stack(batch.column("embedding").to_numpy(
+                zero_copy_only=False)).astype(np.float64)
+            en /= np.linalg.norm(en, axis=1, keepdims=True)
+            lists = np.argmax(en @ cen.T, axis=1).astype(np.int32)
+            r = en - cen[lists]
+            codes = np.empty((len(en), m), np.uint8)
+            for s in range(m):
+                codes[:, s] = _assign(
+                    r[:, s * dsub:(s + 1) * dsub], bks[s])
+            return pa.table({
+                "vec_id": batch.column("vec_id"),
+                "list_id": pa.array(lists, pa.int32()),
+                "lid": pa.array(lists, pa.int32()),   # survives the
+                # hive partitioning (partition_cols drops list_id from
+                # the file payload)
+                "code": pa.array(list(codes), pa.list_(pa.uint8(), m))})
+
+        (ray.data.read_parquet(emb, columns=["vec_id", "embedding"])
+         .map_batches(encode, batch_format="pyarrow")
+         .write_parquet(os.path.join(out, "codes"),
+                        partition_cols=["list_id"]))
+        np.savez(done + ".tmp.npz", cents=cents, books=books)
+        os.replace(done + ".tmp.npz", done)
+    _IVFPQ_CACHE[key] = out
+    return out
+
+
+def ann_ivfpq_topk(sf_dir: str, nprobe: int = IVFPQ_NPROBE,
+                   oversample: int = PQ_OVERSAMPLE) -> pa.Table:
+    """IVFADC search (Jégou et al. 2011 §IV; the canonical
+    billion-scale ANN shape — FAISS IndexIVFPQ): per query, probe the
+    ``nprobe`` closest coarse lists; within a probed list the
+    approximate score is q·centroid + Σ_s ADC-table lookups over the
+    m-byte residual codes (only the probed lists' parquet partitions
+    are read — the IO win list partitioning exists for); the
+    oversampled survivors get one exact full-precision rescore.
+    Rows-only (approximate by design); recall floor, probe-widening
+    convergence and determinism pytest-pinned."""
+    import pyarrow.parquet as pq_
+    import ray
+    import ray.data
+
+    qids, q = _query_matrix(sf_dir)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    d_ = _ivfpq_dir(sf_dir)
+    z = np.load(os.path.join(d_, "codebooks.npz"))
+    cents, books = z["cents"], z["books"]
+    m, ksub, dsub = books.shape
+    coarse = qn @ cents.T                          # (Q, L)
+    probe = np.argsort(-coarse, axis=1)[:, :nprobe]
+    probed_lists = sorted(set(probe.reshape(-1).tolist()))
+    # (Q, m, ksub) residual ADC tables
+    tab = np.einsum("qsd,skd->qsk", qn.reshape(len(qn), m, dsub), books)
+    state = ray.put((tab, coarse, probe))
+
+    def scan(batch: pa.Table) -> pa.Table:
+        t, co, pr = ray.get(state)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        lists = batch.column("lid").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        codes = np.stack(batch.column("code").to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        out_q, out_v, out_s = [], [], []
+        for j in range(t.shape[0]):
+            sel = np.isin(lists, pr[j])
+            if not sel.any():
+                continue
+            sc = co[j, lists[sel]].copy()
+            for s in range(codes.shape[1]):
+                sc += t[j, s, codes[sel, s]]
+            keep = min(int(sel.sum()), oversample * TOP_K)
+            order = np.lexsort((ids[sel], -sc))[:keep]
+            out_q.extend([j] * keep)
+            out_v.extend(ids[sel][order].tolist())
+            out_s.extend(sc[order].tolist())
+        return pa.table({"qj": pa.array(out_q, pa.int32()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    # explicit partition pruning: only the probed lists' files
+    import glob as _glob
+
+    paths = []
+    for L in probed_lists:
+        paths.extend(sorted(_glob.glob(os.path.join(
+            d_, "codes", f"list_id={int(L)}", "*.parquet"))))
+    if not paths:
+        return pa.table({"query_vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int32()),
+                         "vec_id": pa.array([], pa.int64())})
+    parts = (ray.data.read_parquet(paths)
+             .map_batches(scan, batch_format="pyarrow")
+             .take_all())
+    by_q: dict[int, list] = {}
+    for r_ in parts:
+        by_q.setdefault(r_["qj"], []).append((r_["vec_id"], r_["sim"]))
+    cand: dict[int, list[int]] = {}
+    allv: set[int] = set()
+    for j in range(len(qids)):
+        rows = by_q.get(j, [])
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        cand[j] = [int(v) for v, _ in rows[:oversample * TOP_K]]
+        allv.update(cand[j])
+    if not allv:
+        return pa.table({"query_vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int32()),
+                         "vec_id": pa.array([], pa.int64())})
+    t2 = pq_.read_table(_emb_path(sf_dir),
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", ">=", min(allv)),
+                                 ("vec_id", "<=", max(allv))])
+    tv = t2.column("vec_id").to_numpy()
+    sel = np.isin(tv, np.fromiter(allv, np.int64))
+    tv = tv[sel]
+    te = np.stack(t2.column("embedding").to_numpy(
+        zero_copy_only=False))[sel].astype(np.float64)
+    te /= np.linalg.norm(te, axis=1, keepdims=True)
+    pos = {int(v): i for i, v in enumerate(tv)}
+    rows_q, rows_r, rows_v = [], [], []
+    for j, qid in enumerate(qids):
+        ids = np.array(cand[j], np.int64)
+        if not len(ids):
+            continue
+        sims = te[[pos[int(v)] for v in ids]] @ qn[j]
+        order = np.lexsort((ids, -sims))[:TOP_K]
+        for rank, i in enumerate(order, 1):
+            rows_q.append(int(qid))
+            rows_r.append(rank)
+            rows_v.append(int(ids[i]))
+    return pa.table({"query_vec_id": pa.array(rows_q, pa.int64()),
+                     "rank": pa.array(rows_r, pa.int32()),
+                     "vec_id": pa.array(rows_v, pa.int64())})

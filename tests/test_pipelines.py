@@ -2057,3 +2057,37 @@ def test_graph_pagerank_invariants(ray_session):
     # the graph has out-degree 3 everywhere but unequal in-degree;
     # rank must actually differentiate (not stay uniform)
     assert pr.max() / pr.min() > 1.5
+
+
+def test_ann_ivfpq_recall_and_convergence(ray_session):
+    """IVFADC: probing few lists with PQ residual codes recovers most of
+    the exact top-k; widening probes and oversampling converges to the
+    exact answer; reruns are bit-identical."""
+    import numpy as np
+
+    from lucene_ray.pipelines.ann import (N_CENTROIDS, ann_cosine_topk,
+                                          ann_ivfpq_topk)
+
+    exact = ann_cosine_topk(SF)
+    ex = {}
+    for q, v in zip(exact.column("query_vec_id").to_pylist(),
+                    exact.column("vec_id").to_pylist()):
+        ex.setdefault(q, set()).add(v)
+
+    got_tbl = ann_ivfpq_topk(SF)
+    got = {}
+    for q, v in zip(got_tbl.column("query_vec_id").to_pylist(),
+                    got_tbl.column("vec_id").to_pylist()):
+        got.setdefault(q, set()).add(v)
+    inter = sum(len(ex[q] & got.get(q, set())) for q in ex)
+    recall = inter / sum(len(s) for s in ex.values())
+    assert recall >= 0.5, recall            # nprobe=3 of 8 lists
+
+    assert got_tbl.equals(ann_ivfpq_topk(SF))   # deterministic
+
+    wide = ann_ivfpq_topk(SF, nprobe=N_CENTROIDS, oversample=50) \
+        .to_pandas().sort_values(["query_vec_id", "rank"]) \
+        .reset_index(drop=True)
+    a = exact.to_pandas().sort_values(["query_vec_id", "rank"]) \
+        .reset_index(drop=True)
+    assert wide.equals(a)
