@@ -363,6 +363,23 @@ def run_curate() -> dict:
     out["semdedup_k"] = sd_k
     out["semdedup_kept_frac"] = round(n_kept / nv, 4)
     out["semdedup_vecs_per_sec"] = round(nv / out["semdedup_sec"], 1)
+    # third-session additions
+    from lucene_ray.pipelines.ann import _pq_dir
+    from lucene_ray.pipelines.dedup import dedup_exact_best
+    from lucene_ray.pipelines.textstats import corpus_sample_quota
+    t6 = time.time()
+    corpus_sample_quota(d)
+    out["quota_sec"] = round(time.time() - t6, 3)
+    out["quota_docs_per_sec"] = round(n / out["quota_sec"], 1)
+    t7 = time.time()
+    dedup_exact_best(d).count()
+    out["prefix_dedup_sec"] = round(time.time() - t7, 3)
+    out["prefix_dedup_docs_per_sec"] = round(n / out["prefix_dedup_sec"],
+                                             1)
+    t8 = time.time()
+    _pq_dir(d)                      # train codebooks + encode all codes
+    out["pq_encode_sec"] = round(time.time() - t8, 3)
+    out["pq_encode_vecs_per_sec"] = round(nv / out["pq_encode_sec"], 1)
     ray.shutdown()
     return out
 

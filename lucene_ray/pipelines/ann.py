@@ -1191,7 +1191,7 @@ def _pq_dir(sf_dir: str, m: int = PQ_M, ksub: int = PQ_KSUB,
     out = os.path.join("/tmp", "lucene_ray_indexes", "pq_" + tag)
     done = os.path.join(out, "codebooks.npy")
     if not os.path.exists(done):
-        os.makedirs(os.path.join(out, "codes"), exist_ok=True)
+        os.makedirs(out, exist_ok=True)
         c = _pq_codebooks(sf_dir, m, ksub, iters)
         if c is None:
             raise ValueError(f"no embeddings in {sf_dir}")
@@ -1211,11 +1211,16 @@ def _pq_dir(sf_dir: str, m: int = PQ_M, ksub: int = PQ_KSUB,
                 "vec_id": batch.column("vec_id"),
                 "code": pa.array(list(codes), pa.list_(pa.uint8(), m))})
 
+        tmp = os.path.join(out, "codes.tmp")
+        import shutil as _sh
+        _sh.rmtree(tmp, ignore_errors=True)     # crash leftovers
         (ray.data.read_parquet(emb, columns=["vec_id", "embedding"])
          .map_batches(encode, batch_format="pyarrow")
-         .write_parquet(os.path.join(out, "codes")))
+         .write_parquet(tmp))
+        _sh.rmtree(os.path.join(out, "codes"), ignore_errors=True)
+        os.replace(tmp, os.path.join(out, "codes"))
         np.save(done + ".tmp.npy", c)
-        os.replace(done + ".tmp.npy", done)
+        os.replace(done + ".tmp.npy", done)     # marker LAST
     _PQ_CACHE[key] = out
     return out
 
@@ -1419,7 +1424,7 @@ def _ivfpq_dir(sf_dir: str, m: int = PQ_M, ksub: int = PQ_KSUB) -> str:
     out = os.path.join("/tmp", "lucene_ray_indexes", "ivfpq_" + tag)
     done = os.path.join(out, "codebooks.npz")
     if not os.path.exists(done):
-        os.makedirs(os.path.join(out, "codes"), exist_ok=True)
+        os.makedirs(out, exist_ok=True)
         cents = _train_centroids(sf_dir)           # (L, dim), normalized
         # sample residuals for sub-codebook training
         t = pq_.read_table(emb, columns=["vec_id", "embedding"],
@@ -1464,12 +1469,16 @@ def _ivfpq_dir(sf_dir: str, m: int = PQ_M, ksub: int = PQ_KSUB) -> str:
                 # the file payload)
                 "code": pa.array(list(codes), pa.list_(pa.uint8(), m))})
 
+        tmp = os.path.join(out, "codes.tmp")
+        import shutil as _sh
+        _sh.rmtree(tmp, ignore_errors=True)     # crash leftovers
         (ray.data.read_parquet(emb, columns=["vec_id", "embedding"])
          .map_batches(encode, batch_format="pyarrow")
-         .write_parquet(os.path.join(out, "codes"),
-                        partition_cols=["list_id"]))
+         .write_parquet(tmp, partition_cols=["list_id"]))
+        _sh.rmtree(os.path.join(out, "codes"), ignore_errors=True)
+        os.replace(tmp, os.path.join(out, "codes"))
         np.savez(done + ".tmp.npz", cents=cents, books=books)
-        os.replace(done + ".tmp.npz", done)
+        os.replace(done + ".tmp.npz", done)     # marker LAST
     _IVFPQ_CACHE[key] = out
     return out
 
