@@ -2091,3 +2091,41 @@ def test_ann_ivfpq_recall_and_convergence(ray_session):
     a = exact.to_pandas().sort_values(["query_vec_id", "rank"]) \
         .reset_index(drop=True)
     assert wide.equals(a)
+
+
+def test_pq_publish_is_crash_safe(tmp_path, ray_session):
+    """A crashed PQ encode (stale codes.tmp, no marker) must not leak
+    duplicate rows into a rebuild: the rebuild clears leftovers and
+    publishes exactly one row per vector."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.pipelines import ann as A
+
+    d = str(tmp_path)
+    rng = np.random.default_rng(5)
+    n = 64
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([rng.standard_normal(64).astype(
+            np.float32).tolist() for _ in range(n)],
+            pa.list_(pa.float32(), 64)),
+        "label": pa.array([0] * n, pa.int32()),
+    }), os.path.join(d, "embeddings.parquet"))
+
+    out = A._pq_dir(d)
+    t = pq.read_table(os.path.join(out, "codes"))
+    assert t.num_rows == n
+    # simulate a crash: marker gone, half-written tmp dir present
+    os.remove(os.path.join(out, "codebooks.npy"))
+    shutil.copytree(os.path.join(out, "codes"),
+                    os.path.join(out, "codes.tmp"))
+    A._PQ_CACHE.clear()
+    out2 = A._pq_dir(d)
+    t2 = pq.read_table(os.path.join(out2, "codes"))
+    assert t2.num_rows == n                      # no duplicates
+    assert not os.path.exists(os.path.join(out2, "codes.tmp"))
