@@ -1225,6 +1225,56 @@ def _pq_dir(sf_dir: str, m: int = PQ_M, ksub: int = PQ_KSUB,
     return out
 
 
+def _exact_rescore_tail(sf_dir: str, qids: np.ndarray, qn: np.ndarray,
+                        parts, oversample: int) -> pa.Table:
+    """Shared phase-2 of the quantized searches: merge per-batch
+    (qj, vec_id, sim) partials, cut each query to oversample*TOP_K
+    survivors by approximate score, read the union candidate rows once
+    with a [min,max] predicate, and exactly rescore (sim desc, vec_id
+    asc)."""
+    import pyarrow.parquet as pq_
+
+    by_q: dict[int, list] = {}
+    for r_ in parts:
+        by_q.setdefault(r_["qj"], []).append((r_["vec_id"], r_["sim"]))
+    cand: dict[int, list[int]] = {}
+    allv: set[int] = set()
+    for j in range(len(qids)):
+        rows = by_q.get(j, [])
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        cand[j] = [int(v) for v, _ in rows[:oversample * TOP_K]]
+        allv.update(cand[j])
+    if not allv:
+        return pa.table({"query_vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int32()),
+                         "vec_id": pa.array([], pa.int64())})
+    t = pq_.read_table(_emb_path(sf_dir),
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", ">=", min(allv)),
+                                ("vec_id", "<=", max(allv))])
+    tv = t.column("vec_id").to_numpy()
+    sel = np.isin(tv, np.fromiter(allv, np.int64))
+    tv = tv[sel]
+    te = np.stack(t.column("embedding").to_numpy(
+        zero_copy_only=False))[sel].astype(np.float64)
+    te /= np.linalg.norm(te, axis=1, keepdims=True)
+    pos = {int(v): i for i, v in enumerate(tv)}
+    rows_q, rows_r, rows_v = [], [], []
+    for j, qid in enumerate(qids):
+        ids = np.array(cand[j], np.int64)
+        if not len(ids):
+            continue
+        sims = te[[pos[int(v)] for v in ids]] @ qn[j]
+        order = np.lexsort((ids, -sims))[:TOP_K]
+        for rank, i in enumerate(order, 1):
+            rows_q.append(int(qid))
+            rows_r.append(rank)
+            rows_v.append(int(ids[i]))
+    return pa.table({"query_vec_id": pa.array(rows_q, pa.int64()),
+                     "rank": pa.array(rows_r, pa.int32()),
+                     "vec_id": pa.array(rows_v, pa.int64())})
+
+
 def ann_pq_topk(sf_dir: str, oversample: int = PQ_OVERSAMPLE) -> pa.Table:
     """Product-quantized kNN (Jégou et al. 2011 ADC; the compression
     step past the int8 path of :func:`ann_quantized_topk` —
@@ -1275,47 +1325,7 @@ def ann_pq_topk(sf_dir: str, oversample: int = PQ_OVERSAMPLE) -> pa.Table:
                                    columns=["vec_id", "code"])
              .map_batches(partial, batch_format="pyarrow")
              .take_all())
-    by_q: dict[int, list] = {}
-    for r in parts:
-        by_q.setdefault(r["qj"], []).append((r["vec_id"], r["sim"]))
-    # survivors per query by approximate score, then ONE exact-rescore
-    # read of the union candidate rows
-    cand: dict[int, list[int]] = {}
-    allv: set[int] = set()
-    for j in range(len(qids)):
-        rows = by_q.get(j, [])
-        rows.sort(key=lambda x: (-x[1], x[0]))
-        cand[j] = [int(v) for v, _ in rows[:oversample * TOP_K]]
-        allv.update(cand[j])
-    if not allv:
-        return pa.table({"query_vec_id": pa.array([], pa.int64()),
-                         "rank": pa.array([], pa.int32()),
-                         "vec_id": pa.array([], pa.int64())})
-    lo, hi = min(allv), max(allv)
-    t = pq_.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"],
-                       filters=[("vec_id", ">=", lo),
-                                ("vec_id", "<=", hi)])
-    tv = t.column("vec_id").to_numpy()
-    sel = np.isin(tv, np.fromiter(allv, np.int64))
-    tv = tv[sel]
-    te = np.stack(t.column("embedding").to_numpy(
-        zero_copy_only=False))[sel].astype(np.float64)
-    te /= np.linalg.norm(te, axis=1, keepdims=True)
-    pos = {int(v): i for i, v in enumerate(tv)}
-    rows_q, rows_r, rows_v = [], [], []
-    for j, qid in enumerate(qids):
-        ids = np.array(cand[j], np.int64)
-        if not len(ids):
-            continue
-        sims = te[[pos[int(v)] for v in ids]] @ qn[j]
-        order = np.lexsort((ids, -sims))[:TOP_K]
-        for rank, i in enumerate(order, 1):
-            rows_q.append(int(qid))
-            rows_r.append(rank)
-            rows_v.append(int(ids[i]))
-    return pa.table({"query_vec_id": pa.array(rows_q, pa.int64()),
-                     "rank": pa.array(rows_r, pa.int32()),
-                     "vec_id": pa.array(rows_v, pa.int64())})
+    return _exact_rescore_tail(sf_dir, qids, qn, parts, oversample)
 
 
 # ---------------------------------------------------------------------------
@@ -1358,7 +1368,13 @@ def graph_pagerank(sf_dir: str, d: float = PAGERANK_D,
     if n == 0:
         return pa.table({"vec_id": pa.array([], pa.int64()),
                          "pagerank": pa.array([], pa.float64())})
-    k = KNN_GRAPH_K
+    if n == 1:
+        return pa.table({"vec_id": pa.array([0], pa.int64()),
+                         "pagerank": pa.array([1.0], pa.float64())})
+    # knn_graph emits a UNIFORM out-degree of min(k, n-1) per node; a
+    # constant k here would leak (k - out_degree)/k of the propagated
+    # mass on corpora with <= k vectors
+    k = min(KNN_GRAPH_K, n - 1)
 
     def init(batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").cast(pa.int64())
@@ -1549,42 +1565,4 @@ def ann_ivfpq_topk(sf_dir: str, nprobe: int = IVFPQ_NPROBE,
     parts = (ray.data.read_parquet(paths)
              .map_batches(scan, batch_format="pyarrow")
              .take_all())
-    by_q: dict[int, list] = {}
-    for r_ in parts:
-        by_q.setdefault(r_["qj"], []).append((r_["vec_id"], r_["sim"]))
-    cand: dict[int, list[int]] = {}
-    allv: set[int] = set()
-    for j in range(len(qids)):
-        rows = by_q.get(j, [])
-        rows.sort(key=lambda x: (-x[1], x[0]))
-        cand[j] = [int(v) for v, _ in rows[:oversample * TOP_K]]
-        allv.update(cand[j])
-    if not allv:
-        return pa.table({"query_vec_id": pa.array([], pa.int64()),
-                         "rank": pa.array([], pa.int32()),
-                         "vec_id": pa.array([], pa.int64())})
-    t2 = pq_.read_table(_emb_path(sf_dir),
-                        columns=["vec_id", "embedding"],
-                        filters=[("vec_id", ">=", min(allv)),
-                                 ("vec_id", "<=", max(allv))])
-    tv = t2.column("vec_id").to_numpy()
-    sel = np.isin(tv, np.fromiter(allv, np.int64))
-    tv = tv[sel]
-    te = np.stack(t2.column("embedding").to_numpy(
-        zero_copy_only=False))[sel].astype(np.float64)
-    te /= np.linalg.norm(te, axis=1, keepdims=True)
-    pos = {int(v): i for i, v in enumerate(tv)}
-    rows_q, rows_r, rows_v = [], [], []
-    for j, qid in enumerate(qids):
-        ids = np.array(cand[j], np.int64)
-        if not len(ids):
-            continue
-        sims = te[[pos[int(v)] for v in ids]] @ qn[j]
-        order = np.lexsort((ids, -sims))[:TOP_K]
-        for rank, i in enumerate(order, 1):
-            rows_q.append(int(qid))
-            rows_r.append(rank)
-            rows_v.append(int(ids[i]))
-    return pa.table({"query_vec_id": pa.array(rows_q, pa.int64()),
-                     "rank": pa.array(rows_r, pa.int32()),
-                     "vec_id": pa.array(rows_v, pa.int64())})
+    return _exact_rescore_tail(sf_dir, qids, qn, parts, oversample)

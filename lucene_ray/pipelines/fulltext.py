@@ -5470,7 +5470,7 @@ def sorted_range_scan(index_dir: str, queries) -> tuple[pa.Table, int]:
                      if f.endswith(".parquet"))
 
     def scan(batch: pa.Table) -> pa.Table:
-        out_q, out_d, out_b, out_r = [], [], [], []
+        out_q, out_d = [], []
         for fname in batch.column("file").to_pylist():
             pf = pq_.ParquetFile(os.path.join(dm_dir, fname))
             md = pf.metadata
@@ -5504,13 +5504,12 @@ def sorted_range_scan(index_dir: str, queries) -> tuple[pa.Table, int]:
                 sel = orig[::-1][a:b]
                 out_q.extend([qid] * len(sel))
                 out_d.extend(sel.tolist())
-            out_b.extend([fname] * len(out_q) if not out_b else
-                         [fname] * (len(out_q) - len(out_b)))
-            out_r.extend([rows_read] * (len(out_q) - len(out_r)))
+            # one accounting row per bucket (qid == -1), so decoded
+            # row groups that yield no hits still count
+            out_q.append(-1)
+            out_d.append(rows_read)
         return pa.table({"qid": pa.array(out_q, pa.int64()),
-                         "doc_id": pa.array(out_d, pa.int64()),
-                         "bucket": pa.array(out_b, pa.string()),
-                         "rows_read": pa.array(out_r, pa.int64())})
+                         "doc_id": pa.array(out_d, pa.int64())})
 
     parts = (ray.data.from_items([{"file": f} for f in buckets])
              .map_batches(scan, batch_format="pyarrow", batch_size=1)
@@ -5520,8 +5519,9 @@ def sorted_range_scan(index_dir: str, queries) -> tuple[pa.Table, int]:
                          "doc_id": pa.array([], pa.int64())}), 0
     qids = np.array([r["qid"] for r in parts], np.int64)
     docs = np.array([r["doc_id"] for r in parts], np.int64)
-    rows_read = sum({r["bucket"]: int(r["rows_read"])
-                     for r in parts}.values())
+    acct = qids == -1
+    rows_read = int(docs[acct].sum())
+    qids, docs = qids[~acct], docs[~acct]
     order = np.lexsort((docs, qids))
     return pa.table({"qid": pa.array(qids[order]),
                      "doc_id": pa.array(docs[order])}), rows_read
@@ -5544,10 +5544,11 @@ _LMD_K = 10
 
 
 def _lm_ranked(sf_dir: str, queries, scorer_fn) -> pa.Table:
-    """Shared LM-family ranking: per-term scores from ``scorer_fn(tf,
-    norm_bytes, ttf, sum_ttf)``, clause sums in float64 in (doc, clause)
-    order, one float32 round, (score desc, doc asc) top-k. Zero-scoring
-    matches still rank (the reference counts them as hits)."""
+    """Shared SimilarityBase-family ranking: per-term scores from
+    ``scorer_fn(postings, tf, norm_bytes, reader)``, clause sums in
+    float64 in (doc, clause) order, one float32 round, (score desc,
+    doc asc) top-k. Zero-scoring matches still rank (the reference
+    counts them as hits)."""
     from ..codec import decode_blocks
 
     r = reader_for(sf_dir)
@@ -5560,7 +5561,7 @@ def _lm_ranked(sf_dir: str, queries, scorer_fn) -> pa.Table:
                 continue
             d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
                                          p.tfs_enc, p.norms_enc)
-            s = scorer_fn(tf, nm, p.ttf, r.sum_ttf)
+            s = scorer_fn(p, tf, nm, r)
             lm = r.live_mask(d)
             if lm is not None:
                 d, s = d[lm], s[lm]
@@ -5598,7 +5599,9 @@ def ft_lmdirichlet(sf_dir: str) -> pa.Table:
     once."""
     from ..lmdirichlet import score_terms_lm
 
-    return _lm_ranked(sf_dir, LMD_QUERIES, score_terms_lm)
+    return _lm_ranked(
+        sf_dir, LMD_QUERIES,
+        lambda p, tf, nm, r: score_terms_lm(tf, nm, p.ttf, r.sum_ttf))
 
 
 def ft_lmjelinek(sf_dir: str) -> pa.Table:
@@ -5607,7 +5610,9 @@ def ft_lmjelinek(sf_dir: str) -> pa.Table:
     linear collection-model interpolation over the same LM stats."""
     from ..lmdirichlet import score_terms_lmjm
 
-    return _lm_ranked(sf_dir, LMD_QUERIES, score_terms_lmjm)
+    return _lm_ranked(
+        sf_dir, LMD_QUERIES,
+        lambda p, tf, nm, r: score_terms_lmjm(tf, nm, p.ttf, r.sum_ttf))
 
 
 def oracle_lmdirichlet_sql() -> str:
@@ -5818,47 +5823,12 @@ def ft_dfr_inl2(sf_dir: str) -> pa.Table:
     BasicModelIn/AfterEffectL/NormalizationH2) — the divergence-from-
     randomness branch of the pluggable-Similarity surface, over the same
     stored norm bytes and collection stats."""
-    from ..codec import decode_blocks
     from ..lmdirichlet import score_terms_dfr_inl2
 
-    r = reader_for(sf_dir)
-    qids, ranks, docs, scores = [], [], [], []
-    for qid, terms in LMD_QUERIES:
-        dl, sl, cl = [], [], []
-        for ci, t in enumerate(terms):
-            p = r.postings(t)
-            if p is None:
-                continue
-            d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
-                                         p.tfs_enc, p.norms_enc)
-            s = score_terms_dfr_inl2(tf, nm, p.df, r.doc_count,
-                                     r.sum_ttf)
-            lm = r.live_mask(d)
-            if lm is not None:
-                d, s = d[lm], s[lm]
-            dl.append(d)
-            sl.append(s)
-            cl.append(np.full(len(d), ci, np.int32))
-        if not dl:
-            continue
-        alld = np.concatenate(dl)
-        allc = np.concatenate(cl)
-        alls = np.concatenate(sl)
-        order = np.lexsort((allc, alld))
-        uniq, inv = np.unique(alld[order], return_inverse=True)
-        tot = np.zeros(len(uniq), np.float64)
-        np.add.at(tot, inv, alls[order].astype(np.float64))
-        tot32 = tot.astype(np.float32)
-        top = np.lexsort((uniq, -tot32.astype(np.float64)))[:_LMD_K]
-        for rank, i in enumerate(top, 1):
-            qids.append(qid)
-            ranks.append(rank)
-            docs.append(int(uniq[i]))
-            scores.append(float(tot32[i]))
-    return pa.table({"qid": pa.array(qids, pa.int64()),
-                     "rank": pa.array(ranks, pa.int32()),
-                     "doc_id": pa.array(docs, pa.int64()),
-                     "score": pa.array(scores, pa.float32())})
+    return _lm_ranked(
+        sf_dir, LMD_QUERIES,
+        lambda p, tf, nm, r: score_terms_dfr_inl2(
+            tf, nm, p.df, r.doc_count, r.sum_ttf))
 
 
 def oracle_dfr_inl2_sql() -> str:
@@ -6320,7 +6290,7 @@ def oracle_suggest_blended_sql() -> str:
   FROM (
     SELECT m.d AS doc_id,
            CAST(trunc(
-             (CASE WHEN dl.len = 0 THEN 1.0
+             (CASE WHEN dl.len = 0 THEN 10.0
                    WHEN abs(dl.len) < 10 THEN dl.len * 10.0
                    ELSE CAST(dl.len AS DOUBLE) END)
              * (1.0 - 0.10 * m.minpos)) AS BIGINT) AS score
@@ -6416,46 +6386,12 @@ def ft_ib_spl(sf_dir: str) -> pa.Table:
     NormalizationH2) — the information-based family
     (IBSimilarity.java:115), completing the SimilarityBase coverage
     beside DFR and the two LM models."""
-    from ..codec import decode_blocks
     from ..lmdirichlet import score_terms_ib_spl
 
-    r = reader_for(sf_dir)
-    qids, ranks, docs, scores = [], [], [], []
-    for qid, terms in IB_QUERIES:
-        dl, sl, cl = [], [], []
-        for ci, t in enumerate(terms):
-            p = r.postings(t)
-            if p is None:
-                continue
-            d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
-                                         p.tfs_enc, p.norms_enc)
-            s = score_terms_ib_spl(tf, nm, p.df, r.doc_count, r.sum_ttf)
-            lm = r.live_mask(d)
-            if lm is not None:
-                d, s = d[lm], s[lm]
-            dl.append(d)
-            sl.append(s)
-            cl.append(np.full(len(d), ci, np.int32))
-        if not dl:
-            continue
-        alld = np.concatenate(dl)
-        allc = np.concatenate(cl)
-        alls = np.concatenate(sl)
-        order = np.lexsort((allc, alld))
-        uniq, inv = np.unique(alld[order], return_inverse=True)
-        tot = np.zeros(len(uniq), np.float64)
-        np.add.at(tot, inv, alls[order].astype(np.float64))
-        tot32 = tot.astype(np.float32)
-        top = np.lexsort((uniq, -tot32.astype(np.float64)))[:_LMD_K]
-        for rank, i in enumerate(top, 1):
-            qids.append(qid)
-            ranks.append(rank)
-            docs.append(int(uniq[i]))
-            scores.append(float(tot32[i]))
-    return pa.table({"qid": pa.array(qids, pa.int64()),
-                     "rank": pa.array(ranks, pa.int32()),
-                     "doc_id": pa.array(docs, pa.int64()),
-                     "score": pa.array(scores, pa.float32())})
+    return _lm_ranked(
+        sf_dir, IB_QUERIES,
+        lambda p, tf, nm, r: score_terms_ib_spl(
+            tf, nm, p.df, r.doc_count, r.sum_ttf))
 
 
 def oracle_ib_spl_sql() -> str:

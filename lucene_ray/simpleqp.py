@@ -190,10 +190,19 @@ def _consume_token(st: _State, analyze) -> None:
     if fuzzy:
         token = "".join(buf)
         n = min(_parse_fuzziness(st), _MAX_FUZZ)
-        terms = analyze(token)
-        if terms:
-            branch = (("term", terms[0]) if n == 0
-                      else ("fuzzy", terms[0], n))
+        if n == 0:
+            # fuzziness 0 degrades to the standard analyzed query
+            # (SimpleQueryParser.java:414-416 newDefaultQuery)
+            terms = analyze(token)
+            if len(terms) == 1:
+                branch = ("term", terms[0])
+            elif terms:
+                branch = ("phrase", terms, 0)
+        else:
+            # newFuzzyQuery NORMALIZES the whole token (analyzer
+            # .normalize, SimpleQueryParser.java:571-576) — it is one
+            # fuzzy term, never split by the full analysis chain
+            branch = ("fuzzy", token.lower(), n)
     elif prefix:
         token = "".join(buf[:-1])
         branch = ("prefix", token.lower()) if token else None

@@ -111,3 +111,21 @@ def test_parse_never_throws_property():
         assert node is not None
 
     run()
+
+
+def test_fuzzy_normalizes_whole_token():
+    """newFuzzyQuery normalizes the raw token (one fuzzy term) rather
+    than running the full analysis chain — a multi-token word stays a
+    single fuzzy term, unlike the unfuzzied form which analyzes to a
+    phrase."""
+    def splitter(s):
+        return [w.lower() for w in s.replace("-", " ").split() if w]
+
+    assert parse("error-handling~1", splitter) == \
+        ("fuzzy", "error-handling", 1)
+    assert parse("error-handling", splitter) == \
+        ("phrase", ["error", "handling"], 0)
+    assert parse("Error~1", splitter) == ("fuzzy", "error", 1)
+    # fuzziness 0 degrades to the standard analyzed query
+    assert parse("error-handling~0", splitter) == \
+        ("phrase", ["error", "handling"], 0)
