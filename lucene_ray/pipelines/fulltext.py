@@ -6431,3 +6431,55 @@ ranked AS (
 )
 SELECT qid, rank, d AS doc_id, score FROM ranked
 WHERE rank <= {_LMD_K}"""
+
+
+# ---------------------------------------------------------------------------
+# SpanPositionRangeQuery (match only within a position window)
+
+SPAN_POS_RANGE_QUERIES = [(1, "key", 2, 8), (2, "vector", 0, 3),
+                          (3, "agg", 5, 20), (4, "window", 1, 2)]
+
+
+def ft_span_pos_range(sf_dir: str) -> pa.Table:
+    """SpanPositionRangeQuery (queries/spans/SpanPositionRangeQuery.java:29
+    — the generalization SpanFirstQuery specializes with start=0):
+    term spans whose positions satisfy start <= pos AND span end <= end,
+    i.e. 0-based position in [start, end) for width-1 term spans.
+    Positions come straight from the positional postings.
+    → (qid, doc_id, n_spans, first_pos)."""
+    from ..search import _term_positions
+
+    r = reader_for(sf_dir)
+    qids, docs, counts, firsts = [], [], [], []
+    for qid, term, start, end in SPAN_POS_RANGE_QUERIES:
+        pos_of = _term_positions(r, term) or {}
+        for d in sorted(pos_of):
+            p = np.asarray(pos_of[d], np.int64)
+            m = p[(p >= start) & (p < end)]
+            if len(m):
+                qids.append(qid)
+                docs.append(int(d))
+                counts.append(int(len(m)))
+                firsts.append(int(m.min()))
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "n_spans": pa.array(counts, pa.int64()),
+                     "first_pos": pa.array(firsts, pa.int64())})
+
+
+def oracle_span_pos_range_sql() -> str:
+    rows = []
+    for qid, term, start, end in SPAN_POS_RANGE_QUERIES:
+        rows.append(
+            f"SELECT {qid} AS qid, d AS doc_id, count(*) AS n_spans, "
+            f"CAST(min(pos) - 1 AS BIGINT) AS first_pos "
+            f"FROM wpos WHERE word = '{term}' "
+            f"AND pos - 1 >= {start} AND pos - 1 < {end} GROUP BY d")
+    un = "\nUNION ALL\n".join(rows)
+    return f"""WITH {_CORPUS_CTE},
+wpos AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM corpus
+)
+{un}"""
