@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 162 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (147 of 162). Omitted
+  + the §8 round-2/3/4 additions; 163 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (148 of 163). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` / ``video_frame_sample`` / ``audio_features``
   (binary codec decode / frame seek / spectral transform),
@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pack_token_budget": _ts.pack_token_budget,
             "corpus_sample_balanced": _ts.corpus_sample_balanced,
             "corpus_sample_quota": _ts.corpus_sample_quota,
+            "curation_recipe": _ts.curation_recipe,
             "doc_lm_logprob": _ts.doc_lm_logprob,
             "doc_blocklist": _ts.doc_blocklist,
             "redact_pii": _ts.redact_pii,
@@ -406,6 +407,7 @@ def oracle_sql() -> dict[str, str]:
             "corpus_sample_balanced":
                 textstats.oracle_sample_balanced_sql(),
             "corpus_sample_quota": textstats.oracle_sample_quota_sql(),
+            "curation_recipe": textstats.oracle_curation_recipe_sql(),
             "vocab_hll": textstats.oracle_vocab_hll_sql(),
             "ann_cosine_topk": ann.oracle_ann_sql(),
             "knn_graph": ann.oracle_knn_graph_sql(),

@@ -1561,9 +1561,21 @@ def corpus_sample_quota(sf_dir: str) -> pa.Table:
                          "tokens": pa.array(toks),
                          "h": pa.array(h, pa.string())})
 
-    u = (_docs(sf_dir, cols=("doc_id", "lang", "text"))
-         .map_batches(keyed, batch_format="pyarrow")
-         .sort(["lang", "h", "doc_id"]).materialize())
+    return _quota_select(
+        _docs(sf_dir, cols=("doc_id", "lang", "text"))
+        .map_batches(keyed, batch_format="pyarrow"))
+
+
+def _quota_select(keyed_ds) -> pa.Table:
+    """The sorted-block token-quota chain over a (doc_id, lang, tokens,
+    h) dataset — shared by :func:`corpus_sample_quota` (whole corpus)
+    and :func:`curation_recipe` (survivors of the cleaning stages)."""
+    import ray
+    import ray.data
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    u = keyed_ds.sort(["lang", "h", "doc_id"]).materialize()
 
     _EMPTY = pa.table({"f_lang": pa.array([], pa.string()),
                        "f_h": pa.array([], pa.string()),
@@ -1640,6 +1652,120 @@ def oracle_sample_quota_sql() -> str:
   SELECT doc_id, lang, len(string_split(text, ' ')) AS tokens,
          md5(CAST(doc_id AS VARCHAR)) AS h
   FROM documents
+),
+quota AS (
+  SELECT lang, CASE lang {cases} ELSE 0 END AS q
+  FROM (SELECT lang, sum(tokens) AS tot FROM toks GROUP BY lang)
+),
+cum AS (
+  SELECT doc_id, lang, tokens,
+         sum(tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM toks
+)
+SELECT cum.doc_id, cum.lang, cum.tokens
+FROM cum JOIN quota ON quota.lang = cum.lang
+WHERE cum.c <= quota.q"""
+
+
+def curation_recipe(sf_dir: str) -> pa.Table:
+    """The END-TO-END curation recipe — the composition a 100-TB
+    pre-training pipeline actually runs, chaining three individually
+    verified stages over Datasets (nothing doc-sized on the driver):
+
+    1. :func:`corpus_clean` — C4 quality + Gopher repetition +
+       decontamination + exact-dup canonicalization (keep flag);
+    2. prefix-cluster keep-longest dedup (:func:`dedup_exact_best`'s
+       rule) applied to the SURVIVORS of stage 1;
+    3. token-quota source mixing (:func:`corpus_sample_quota`'s exact
+       rational budgets) over the dedup winners.
+
+    Returns the final training subset (doc_id, lang, tokens). The
+    oracle is the three stages' verified SQL chained as CTEs, so the
+    composition — not just the parts — is hash-checked."""
+    import ray.data
+    from ray.data.aggregate import Max
+
+    from lucene_ray.pipelines.dedup import _join_parts
+
+    P = _join_parts(sf_dir)
+    flags = (corpus_clean(sf_dir)
+             .map_batches(lambda t: t.select(["doc_id", "keep"]),
+                          batch_format="pyarrow"))
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "n_chars"])
+    kept = (docs.join(flags, "inner", P, on=("doc_id",),
+                      right_on=("doc_id",))
+            .map_batches(lambda t: t.filter(t.column("keep")),
+                         batch_format="pyarrow")
+            .materialize())
+
+    def pack(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        h = [hashlib.sha256(
+                " ".join((t or "").split(" ")[:32]).encode()).hexdigest()
+             for t in texts]
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        chars = batch.column("n_chars").to_numpy().astype(np.int64)
+        packed = (chars << 32) | ((1 << 31) - ids)
+        return pa.table({"h": pa.array(h, pa.string()),
+                         "packed": pa.array(packed, pa.int64())})
+
+    winners = (kept.map_batches(pack, batch_format="pyarrow")
+               .groupby("h")
+               .aggregate(Max("packed", alias_name="packed"))
+               .map_batches(lambda t: pa.table({
+                   "doc_id": pa.array(
+                       (1 << 31) - (t.column("packed").to_numpy()
+                                    .astype(np.int64) & 0xFFFFFFFF),
+                       pa.int64())}), batch_format="pyarrow"))
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").to_pylist()
+        toks = pc.list_value_length(
+            pc.split_pattern(batch.column("text"), " ")).to_numpy() \
+            .astype(np.int64)
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "lang": batch.column("lang"),
+                         "tokens": pa.array(toks),
+                         "h": pa.array(h, pa.string())})
+
+    w = (kept.join(winners, "inner", P, on=("doc_id",),
+                   right_on=("doc_id",))
+         .map_batches(keyed, batch_format="pyarrow"))
+    return _quota_select(w)
+
+
+def oracle_curation_recipe_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lg}' THEN CAST(tot AS BIGINT) * {n} // {d}"
+        for lg, (n, d) in MIX_RATIOS.items())
+    return f"""WITH cleanq AS (
+{oracle_corpus_clean_sql()}
+),
+kept AS (
+  SELECT d.doc_id, d.text, d.lang, d.n_chars
+  FROM documents d JOIN cleanq c ON c.doc_id = d.doc_id
+  WHERE c.keep
+),
+win AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT k.doc_id, k.text, k.lang,
+           row_number() OVER (PARTITION BY k.pfx
+             ORDER BY k.n_chars DESC, k.doc_id ASC) AS rn
+    FROM (SELECT *, array_to_string(
+            list_slice(string_split(text, ' '), 1, 32), ' ') AS pfx
+          FROM kept) k
+  ) WHERE rn = 1
+),
+toks AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM win
 ),
 quota AS (
   SELECT lang, CASE lang {cases} ELSE 0 END AS q
