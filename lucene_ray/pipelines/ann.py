@@ -1369,7 +1369,8 @@ def graph_pagerank(sf_dir: str, d: float = PAGERANK_D,
         return pa.table({"vec_id": pa.array([], pa.int64()),
                          "pagerank": pa.array([], pa.float64())})
     if n == 1:
-        return pa.table({"vec_id": pa.array([0], pa.int64()),
+        only = int(base.take_all()[0]["vec_id"])
+        return pa.table({"vec_id": pa.array([only], pa.int64()),
                          "pagerank": pa.array([1.0], pa.float64())})
     # knn_graph emits a UNIFORM out-degree of min(k, n-1) per node; a
     # constant k here would leak (k - out_degree)/k of the propagated

@@ -1113,6 +1113,22 @@ FROM islands GROUP BY doc_id, grp"""
 PREFIX_DEDUP_WORDS = 32
 
 
+def prefix_pack_batch(batch: pa.Table) -> pa.Table:
+    """The prefix-cluster keep-best key: sha256 of the leading
+    ``PREFIX_DEDUP_WORDS`` tokens + the packed (n_chars, -doc_id)
+    quality key a single Max resolves. Shared by
+    :func:`dedup_exact_best` and the curation recipe's stage 2."""
+    h = [hashlib.sha256(
+            " ".join((t or "").split(" ")[:PREFIX_DEDUP_WORDS])
+            .encode()).hexdigest()
+         for t in batch.column("text").to_pylist()]
+    chars = batch.column("n_chars").to_numpy().astype(np.int64)
+    ids = batch.column("doc_id").to_numpy().astype(np.int64)
+    packed = (chars << 32) | ((1 << 31) - ids)
+    return pa.table({"h": pa.array(h, pa.string()),
+                     "packed": pa.array(packed, pa.int64())})
+
+
 def dedup_exact_best(sf_dir: str):
     """Prefix-cluster dedup with a QUALITY KEEP-RULE: documents sharing
     the same leading ``PREFIX_DEDUP_WORDS`` tokens form a cluster (the
@@ -1132,17 +1148,6 @@ def dedup_exact_best(sf_dir: str):
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text", "n_chars"])
 
-    def add_key(batch: pa.Table) -> pa.Table:
-        h = [hashlib.sha256(
-                " ".join((t or "").split(" ")[:PREFIX_DEDUP_WORDS])
-                .encode()).hexdigest()
-             for t in batch.column("text").to_pylist()]
-        chars = batch.column("n_chars").to_numpy().astype(np.int64)
-        ids = batch.column("doc_id").to_numpy().astype(np.int64)
-        packed = (chars << 32) | ((1 << 31) - ids)
-        return pa.table({"h": pa.array(h, pa.string()),
-                         "packed": pa.array(packed, pa.int64())})
-
     def unpack(batch: pa.Table) -> pa.Table:
         p = batch.column("packed").to_numpy().astype(np.int64)
         return pa.table({
@@ -1150,7 +1155,7 @@ def dedup_exact_best(sf_dir: str):
             "n_chars": pa.array(p >> 32, pa.int64()),
             "n_dups": batch.column("n_dups").cast(pa.int64())})
 
-    return (ds.map_batches(add_key, batch_format="pyarrow")
+    return (ds.map_batches(prefix_pack_batch, batch_format="pyarrow")
             .groupby("h")
             .aggregate(Max("packed", alias_name="packed"),
                        Count(alias_name="n_dups"))

@@ -1548,22 +1548,27 @@ def corpus_sample_quota(sf_dir: str) -> pa.Table:
 
     from lucene_ray.pipelines.util import ensure_cols
 
-    def keyed(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ids = batch.column("doc_id").to_pylist()
-        toks = pc.list_value_length(
-            pc.split_pattern(batch.column("text"), " ")).to_numpy() \
-            .astype(np.int64)
-        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "lang": batch.column("lang"),
-                         "tokens": pa.array(toks),
-                         "h": pa.array(h, pa.string())})
-
     return _quota_select(
         _docs(sf_dir, cols=("doc_id", "lang", "text"))
-        .map_batches(keyed, batch_format="pyarrow"))
+        .map_batches(_quota_keyed_batch, batch_format="pyarrow"))
+
+
+def _quota_keyed_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, lang, tokens, md5 draw key) rows for the quota chain —
+    shared by :func:`corpus_sample_quota` and :func:`curation_recipe`
+    so the tokenization and the deterministic draw can never drift
+    between the standalone stage and the composed recipe."""
+    import pyarrow.compute as pc
+
+    ids = batch.column("doc_id").to_pylist()
+    toks = pc.list_value_length(
+        pc.split_pattern(batch.column("text"), " ")).to_numpy() \
+        .astype(np.int64)
+    h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "lang": batch.column("lang"),
+                     "tokens": pa.array(toks),
+                     "h": pa.array(h, pa.string())})
 
 
 def _quota_select(keyed_ds) -> pa.Table:
@@ -1701,18 +1706,10 @@ def curation_recipe(sf_dir: str) -> pa.Table:
                          batch_format="pyarrow")
             .materialize())
 
-    def pack(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        h = [hashlib.sha256(
-                " ".join((t or "").split(" ")[:32]).encode()).hexdigest()
-             for t in texts]
-        ids = batch.column("doc_id").to_numpy().astype(np.int64)
-        chars = batch.column("n_chars").to_numpy().astype(np.int64)
-        packed = (chars << 32) | ((1 << 31) - ids)
-        return pa.table({"h": pa.array(h, pa.string()),
-                         "packed": pa.array(packed, pa.int64())})
+    from lucene_ray.pipelines.dedup import prefix_pack_batch
 
-    winners = (kept.map_batches(pack, batch_format="pyarrow")
+    winners = (kept.map_batches(prefix_pack_batch,
+                                batch_format="pyarrow")
                .groupby("h")
                .aggregate(Max("packed", alias_name="packed"))
                .map_batches(lambda t: pa.table({
@@ -1721,26 +1718,15 @@ def curation_recipe(sf_dir: str) -> pa.Table:
                                     .astype(np.int64) & 0xFFFFFFFF),
                        pa.int64())}), batch_format="pyarrow"))
 
-    def keyed(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ids = batch.column("doc_id").to_pylist()
-        toks = pc.list_value_length(
-            pc.split_pattern(batch.column("text"), " ")).to_numpy() \
-            .astype(np.int64)
-        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "lang": batch.column("lang"),
-                         "tokens": pa.array(toks),
-                         "h": pa.array(h, pa.string())})
-
     w = (kept.join(winners, "inner", P, on=("doc_id",),
                    right_on=("doc_id",))
-         .map_batches(keyed, batch_format="pyarrow"))
+         .map_batches(_quota_keyed_batch, batch_format="pyarrow"))
     return _quota_select(w)
 
 
 def oracle_curation_recipe_sql() -> str:
+    from lucene_ray.pipelines.dedup import PREFIX_DEDUP_WORDS as pw
+
     cases = " ".join(
         f"WHEN '{lg}' THEN CAST(tot AS BIGINT) * {n} // {d}"
         for lg, (n, d) in MIX_RATIOS.items())
@@ -1758,7 +1744,7 @@ win AS (
            row_number() OVER (PARTITION BY k.pfx
              ORDER BY k.n_chars DESC, k.doc_id ASC) AS rn
     FROM (SELECT *, array_to_string(
-            list_slice(string_split(text, ' '), 1, 32), ' ') AS pfx
+            list_slice(string_split(text, ' '), 1, {pw}), ' ') AS pfx
           FROM kept) k
   ) WHERE rn = 1
 ),
