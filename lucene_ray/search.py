@@ -2611,6 +2611,26 @@ def term_automaton_matches(reader: IndexReader, transitions, accepts
             pos_of[t] = _term_positions(reader, t) or {}
             cand.update(pos_of[t].keys())
 
+    # an accepted path of ONLY wildcard transitions matches docs that
+    # contain none of the automaton's terms — the candidate set must
+    # then be the whole live corpus (the MatchAllDocs degenerate the
+    # reference's automaton also rewrites to): reachability over
+    # ANY-only edges from the initial state
+    any_reach = {0}
+    grew = True
+    while grew:
+        grew = False
+        for a, t, b in transitions:
+            if t == ANY_TERM and a in any_reach and b not in any_reach:
+                any_reach.add(b)
+                grew = True
+    if any_reach & set(accepts):
+        d_all = np.arange(reader.doc_count, dtype=np.int64)
+        lm_all = reader.live_mask(d_all)
+        if lm_all is not None:
+            d_all = d_all[lm_all]
+        cand.update(int(x) for x in d_all)
+
     has_any = any(t == ANY_TERM for _a, t, _b in transitions)
     dl_map: dict[int, int] = {}
     if has_any and cand:

@@ -129,3 +129,69 @@ def test_fuzzy_normalizes_whole_token():
     # fuzziness 0 degrades to the standard analyzed query
     assert parse("error-handling~0", splitter) == \
         ("phrase", ["error", "handling"], 0)
+
+
+def test_term_automaton_dp_matches_language_bruteforce(tmp_path):
+    """Property: the position-set DP equals brute-force 'enumerate the
+    automaton's accepted sequences and scan every doc' on random
+    acyclic automatons over random tiny corpora (including ANY
+    transitions and multi-accept)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.build import build_index
+    from lucene_ray.pipelines.fulltext import _ta_paths
+    from lucene_ray.search import IndexReader, term_automaton_matches
+
+    rng = np.random.default_rng(77)
+    vocab = ["aa", "bb", "cc", "dd"]
+
+    # one shared corpus/index, many random automatons
+    texts = [" ".join(vocab[j] for j in rng.integers(0, 4, size=int(n)))
+             for n in rng.integers(3, 12, size=40)]
+    cdir = str(tmp_path / "c")
+    os.makedirs(cdir)
+    pq.write_table(pa.table({
+        "repo": ["r"] * len(texts),
+        "path": [f"p{i:04d}.txt" for i in range(len(texts))],
+        "commit": ["c" * 40] * len(texts),
+        "lang": ["x"] * len(texts),
+        "content": pa.array(texts, pa.string()),
+    }), os.path.join(cdir, "a.parquet"))
+    idx = str(tmp_path / "i")
+    build_index(cdir, idx, with_positions=True, term_parts=2,
+                salt_group=1)
+    r = IndexReader(idx)
+    toks = [t.split() for t in texts]
+
+    for trial in range(25):
+        n_states = int(rng.integers(2, 6))
+        n_trans = int(rng.integers(1, 7))
+        transitions = []
+        for _ in range(n_trans):
+            a = int(rng.integers(0, n_states - 1))
+            b = int(rng.integers(a + 1, n_states))   # acyclic by order
+            t = ("*" if rng.random() < 0.25
+                 else vocab[int(rng.integers(0, 4))])
+            transitions.append((a, t, b))
+        accepts = set(int(s) for s in
+                      rng.choice(n_states, size=int(rng.integers(1, 3)),
+                                 replace=False))
+        got = term_automaton_matches(r, transitions, accepts)
+
+        paths = _ta_paths(transitions, accepts)
+        want: dict[int, set] = {}
+        for d, words in enumerate(toks):
+            ends = set()
+            for path in paths:
+                L = len(path)
+                for s in range(len(words) - L + 1):
+                    if all(p == "*" or words[s + i] == p
+                           for i, p in enumerate(path)):
+                        ends.add(s + L)
+            if ends:
+                want[d] = len(ends)
+        assert got == want, (trial, transitions, sorted(accepts))
