@@ -2129,3 +2129,24 @@ def test_pq_publish_is_crash_safe(tmp_path, ray_session):
     t2 = pq.read_table(os.path.join(out2, "codes"))
     assert t2.num_rows == n                      # no duplicates
     assert not os.path.exists(os.path.join(out2, "codes.tmp"))
+
+
+def test_simple_query_eval_never_throws(ray_session):
+    """parse()+eval_docs() on arbitrary operator soup must never raise
+    and must stay within the live doc universe."""
+    import numpy as np
+
+    from lucene_ray.pipelines.fulltext import reader_for
+    from lucene_ray.simpleqp import eval_docs, parse
+
+    r = reader_for(SF)
+    rng = np.random.default_rng(9)
+    alphabet = list('key ag slo+|-"()*~\\07')
+    for _ in range(60):
+        q = "".join(rng.choice(alphabet,
+                               size=int(rng.integers(0, 25))))
+        d = eval_docs(r, parse(q))
+        assert len(d) <= r.doc_count
+        assert len(np.unique(d)) == len(d)
+        if len(d):
+            assert d.min() >= 0 and d.max() < r.doc_count
