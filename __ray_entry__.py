@@ -7,8 +7,8 @@ here (or in lucene_ray) calls ray.init()/ray.shutdown().
   the documents-derived corpus and run the reference BM25 query set through
   the block-max searcher actor pool.
 - ``queries()``: one entry per implemented operator/pipeline (SURVEY.md §2
-  + the §8 round-2/3/4 additions; 163 entries).
-- ``oracle_sql()``: DuckDB-equivalent SQL per query (148 of 163). Omitted
+  + the §8 round-2/3/4 additions; 164 entries).
+- ``oracle_sql()``: DuckDB-equivalent SQL per query (149 of 164). Omitted
   only for ops SQL cannot express (those get the rows-only check, each
   with a stated reason): ``media_features`` / ``video_frame_sample`` / ``audio_features``
   (binary codec decode / frame seek / spectral transform),
@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_complex_phrase": ft.ft_complex_phrase,
         "ft_ib_spl": ft.ft_ib_spl,
         "ft_span_pos_range": ft.ft_span_pos_range,
+        "ft_axiomatic_f2exp": ft.ft_axiomatic_f2exp,
         "ft_suggest_freetext": ft.ft_suggest_freetext,
         "hybrid_rrf": _hy.hybrid_rrf,
         "ft_geo_sort": ft.ft_geo_sort,
@@ -284,6 +285,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_complex_phrase": ft.oracle_complex_phrase_sql(),
         "ft_ib_spl": ft.oracle_ib_spl_sql(),
         "ft_span_pos_range": ft.oracle_span_pos_range_sql(),
+        "ft_axiomatic_f2exp": ft.oracle_axiomatic_f2exp_sql(),
         "ft_collection_stats": ft.oracle_collection_stats_sql(),
         "ft_term_stats": ft.oracle_term_stats_sql(),
         "ft_docmeta": ft.oracle_docmeta_sql(),

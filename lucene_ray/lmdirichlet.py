@@ -126,3 +126,29 @@ def score_terms_ib_spl(tf: np.ndarray, norm_bytes: np.ndarray,
                              "oracle scope")
         vals[i] = -math.log((p - lam) / (1 - lam))
     return vals[inv].astype(np.float32)
+
+
+def score_terms_axiomatic_f2exp(tf: np.ndarray, norm_bytes: np.ndarray,
+                                df: int, doc_count: int, sum_ttf: int,
+                                s: float = 0.25, k: float = 0.35
+                                ) -> np.ndarray:
+    """AxiomaticF2EXP (similarities/Axiomatic.java:107-117 composition
+    with AxiomaticF2EXP.java:59-85 components — tf and ln are 1, so
+    score = tfln · idf): tfln = freq/(freq + s + s·docLen/avgFL)
+    (:71-73), idf = ((N+1)/df)^k (:77-79); defaults s=0.25f k=0.35f
+    (Axiomatic.java:103), float hyperparams widened to double, interior
+    all double, Math.max(0, ·) then one float cast."""
+    sd = float(np.float32(s))
+    kd = float(np.float32(k))
+    avg_fl = sum_ttf / float(doc_count)
+    idf = math.pow((doc_count + 1.0) / df, kd)
+    nb = norm_bytes.astype(np.int64) & 0xFF
+    key = tf.astype(np.int64) * 256 + nb
+    uk, inv = np.unique(key, return_inverse=True)
+    vals = np.empty(len(uk), np.float64)
+    for i, kk in enumerate(uk):
+        freq = float(np.float32(kk // 256))
+        dl = float(LENGTH_TABLE[kk % 256])
+        tfln = freq / (freq + sd + sd * dl / avg_fl)
+        vals[i] = max(0.0, tfln * idf)
+    return vals[inv].astype(np.float32)

@@ -6483,3 +6483,55 @@ wpos AS (
   FROM corpus
 )
 {un}"""
+
+
+def ft_axiomatic_f2exp(sf_dir: str) -> pa.Table:
+    """Top-k under AxiomaticF2EXP (similarities/Axiomatic.java:107,
+    AxiomaticF2EXP.java) — the axiomatic retrieval family, fifth
+    pluggable-Similarity branch beside BM25/TFIDF, LM, DFR and IB."""
+    from ..lmdirichlet import score_terms_axiomatic_f2exp
+
+    return _lm_ranked(
+        sf_dir, IB_QUERIES,
+        lambda p, tf, nm, r: score_terms_axiomatic_f2exp(
+            tf, nm, p.df, r.doc_count, r.sum_ttf))
+
+
+def oracle_axiomatic_f2exp_sql() -> str:
+    rows = []
+    for qid, terms in IB_QUERIES:
+        for ci, t in enumerate(terms):
+            rows.append(f"({qid}, {ci}, '{t}')")
+    vals = ",\n    ".join(rows)
+    raw = ("(CAST(CAST(t.tf AS REAL) AS DOUBLE) / "
+           "(CAST(CAST(t.tf AS REAL) AS DOUBLE) "
+           "+ CAST(CAST(0.25 AS REAL) AS DOUBLE) "
+           "+ CAST(CAST(0.25 AS REAL) AS DOUBLE) * CAST(q.qlen AS DOUBLE) "
+           "/ (CAST((SELECT sum_ttf FROM stats) AS DOUBLE) "
+           "/ (SELECT n_docs FROM stats)))) "
+           "* pow(((SELECT n_docs FROM stats) + 1.0) / f.df, "
+           "CAST(CAST(0.35 AS REAL) AS DOUBLE))")
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+clauses(qid, clause, term) AS (VALUES
+    {vals}
+),
+scored AS (
+  SELECT c.qid, c.clause, t.d,
+         CAST(greatest(0.0, {raw}) AS REAL) AS s
+  FROM clauses c
+  JOIN tf t ON t.term = c.term
+  JOIN df f ON f.term = c.term
+  JOIN quant q ON q.d = t.d
+),
+totals AS (
+  SELECT qid, d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+  FROM scored GROUP BY qid, d
+),
+ranked AS (
+  SELECT qid, d, score, row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, d ASC) AS rank
+  FROM totals
+)
+SELECT qid, rank, d AS doc_id, score FROM ranked
+WHERE rank <= {_LMD_K}"""
