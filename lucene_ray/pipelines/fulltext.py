@@ -5434,7 +5434,8 @@ pfinal AS (
                               AS REAL) DESC, pstart ASC) AS rn
   FROM pscored
 )
-SELECT qid, d AS doc_id, pstart AS p_start, score
+SELECT CAST(qid AS BIGINT) AS qid, d AS doc_id,
+       CAST(pstart AS BIGINT) AS p_start, score
 FROM pfinal WHERE rn = 1"""
 
 

@@ -260,7 +260,8 @@ def oracle_text_repetition_sql() -> str:
   FROM documents
 ),
 chars AS (
-  SELECT doc_id, sum(len(word)) AS n_word_chars FROM w GROUP BY doc_id
+  SELECT doc_id, CAST(sum(len(word)) AS BIGINT) AS n_word_chars
+  FROM w GROUP BY doc_id
 ),
 uni AS (
   SELECT doc_id, max(cnt * wl) AS best FROM (
