@@ -570,29 +570,203 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) > {NEARDUP_THRESHOLD}"""
 
 
 KNN_GRAPH_K = 3
+# matrices larger than this many bytes take the chunk-pair path instead
+# of a full ray.put broadcast (VERDICT r4 item 4); override per call or
+# via the environment for tests
+KNN_BROADCAST_CAP = int(os.environ.get("LR_KNN_BROADCAST_CAP", 1 << 28))
 
 
-def knn_graph(sf_dir: str, k: int = KNN_GRAPH_K) -> pa.Table:
+def _matrix_bytes(sf_dir: str) -> int:
+    """Estimated float64 size of the full embedding matrix, from parquet
+    metadata + one pushed-down row — never a full read."""
+    import pyarrow.parquet as pq_
+
+    pf = pq_.ParquetFile(_emb_path(sf_dir))
+    n = pf.metadata.num_rows
+    if n == 0:
+        return 0
+    t0 = pq_.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", 1)])
+    dim = len(t0.column("embedding")[0].as_py()) if t0.num_rows else 0
+    return n * dim * 8
+
+
+def _rowwise_topk(sims: np.ndarray, col_ids: np.ndarray, kk: int):
+    """Per-row top-``kk`` column indices of ``sims`` under the engine's
+    neighbor order (sim desc, nbr_id asc). Vectorized threshold cut
+    first (np.partition), then only the tiny tie-complete candidate set
+    per row. Returns (row_idx, nbr_id, sim) flat arrays."""
+    n, m = sims.shape
+    kk = min(kk, m)
+    if kk <= 0 or n == 0:
+        z = np.empty(0, np.int64)
+        return z, z, np.empty(0, np.float64)
+    thresh = np.partition(sims, m - kk, axis=1)[:, m - kk]
+    out_r, out_n, out_s = [], [], []
+    for i in range(n):
+        cand = np.flatnonzero(sims[i] >= thresh[i])
+        sel = cand[np.lexsort((col_ids[cand], -sims[i][cand]))[:kk]]
+        out_r.append(np.full(len(sel), i, np.int64))
+        out_n.append(col_ids[sel].astype(np.int64))
+        out_s.append(sims[i][sel])
+    return (np.concatenate(out_r), np.concatenate(out_n),
+            np.concatenate(out_s))
+
+
+def _knn_partials_chunked(sf_dir: str, k: int, with_labels: bool):
+    """Exact kNN candidates WITHOUT broadcasting the matrix: the
+    normalized vectors are cut into on-disk chunks inside map_batches
+    tasks (the embedding_neardup_pairs layout — on a cluster the scratch
+    dir is shared storage), then one Ray Data task per unordered chunk
+    pair computes two matmuls (i-rows×j-cols and the transpose) and
+    emits ONLY per-row top-k partials — ≤ 2·chunk·k rows per task, task
+    memory flat in N. The union of per-chunk top-k sets contains every
+    row's global top-k under the same (sim desc, nbr_id asc) order, so
+    a bounded groupby(vec_id) merge (≤ n_chunks·k rows per group)
+    reproduces the broadcast path exactly (pytest-pinned).
+
+    Returns (partials Dataset, chunk_dir to rm after consumption)."""
+    import tempfile
+    import uuid
+
+    import ray
+    import ray.data
+
+    cols = ["vec_id", "embedding"] + (["label"] if with_labels else [])
+    chunk_dir = tempfile.mkdtemp(prefix="lr_knn_")
+
+    def write_chunk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).copy()
+        emb = np.stack(batch.column("embedding").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        extra = {}
+        if with_labels:
+            extra["lab"] = batch.column("label").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        path = os.path.join(chunk_dir, f"chunk_{uuid.uuid4().hex}.npz")
+        np.savez(path, ids=ids, emb=emb, **extra)
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    meta = (ray.data.read_parquet(_emb_path(sf_dir), columns=cols)
+            .map_batches(write_chunk, batch_format="pyarrow",
+                         batch_size=NEARDUP_CHUNK)
+            .take_all())                      # tiny: one row per chunk
+    paths = sorted(r["path"] for r in meta)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        cache: dict[str, tuple] = {}
+
+        def load(p: str):
+            if p not in cache:
+                z = np.load(p)
+                cache[p] = (z["ids"], z["emb"],
+                            z["lab"] if with_labels else None)
+            return cache[p]
+
+        out_v, out_n, out_s, out_l = [], [], [], []
+
+        def emit(rid, re_, rlab, cid, ce, clab):
+            sims = re_ @ ce.T
+            if rid is cid:                       # same chunk: mask self
+                np.fill_diagonal(sims, -np.inf)
+            rr, nn, ss = _rowwise_topk(sims, cid, k)
+            out_v.append(rid[rr])
+            out_n.append(nn)
+            out_s.append(ss)
+            if with_labels:
+                # map nbr ids back to chunk rows without assuming order
+                idx = {int(c): i for i, c in enumerate(cid)}
+                out_l.append(np.array([clab[idx[int(x)]] for x in nn],
+                                      np.int64))
+
+        for pi, pj in zip(batch.column("pi").to_pylist(),
+                          batch.column("pj").to_pylist()):
+            aid, ae, alab = load(pi)
+            bid, be, blab = load(pj)
+            emit(aid, ae, alab, bid, be, blab)
+            if pi != pj:
+                emit(bid, be, blab, aid, ae, alab)
+        v = np.concatenate(out_v) if out_v else np.empty(0, np.int64)
+        n_ = np.concatenate(out_n) if out_n else np.empty(0, np.int64)
+        s = np.concatenate(out_s) if out_s else np.empty(0, np.float64)
+        cols_out = {"vec_id": pa.array(v.astype(np.int64), pa.int64()),
+                    "nbr_id": pa.array(n_, pa.int64()),
+                    "sim": pa.array(s, pa.float64())}
+        if with_labels:
+            lv = np.concatenate(out_l) if out_l else np.empty(0, np.int64)
+            cols_out["nbr_label"] = pa.array(lv, pa.int64())
+        return pa.table(cols_out)
+
+    items = [{"pi": paths[i], "pj": paths[j]}
+             for i in range(len(paths)) for j in range(i, len(paths))]
+    parts = (ray.data.from_items(items)
+             .map_batches(pair_partial, batch_format="pyarrow",
+                          batch_size=1))
+    return parts, chunk_dir
+
+
+def _knn_graph_chunked(sf_dir: str, k: int) -> pa.Table:
+    """Beyond-broadcast exact kNN graph: chunk-pair partials + one
+    bounded groupby(vec_id) merge (≤ n_chunks·k rows per group)."""
+    import shutil
+
+    parts, chunk_dir = _knn_partials_chunked(sf_dir, k, with_labels=False)
+
+    def merge(g: pa.Table) -> pa.Table:
+        vid = g.column("vec_id")[0].as_py()
+        nbr = g.column("nbr_id").to_numpy()
+        sim = g.column("sim").to_numpy()
+        # a neighbor can appear in several pair partials → dedupe first
+        nbr, first = np.unique(nbr, return_index=True)
+        sim = sim[first]
+        sel = np.lexsort((nbr, -sim))[:k]
+        return pa.table({
+            "vec_id": pa.array(np.full(len(sel), vid), pa.int64()),
+            "rank": pa.array(np.arange(1, len(sel) + 1, dtype=np.int32)),
+            "nbr_id": pa.array(nbr[sel], pa.int64())})
+
+    tbl = (parts.groupby("vec_id")
+           .map_groups(merge, batch_format="pyarrow")
+           .to_pandas())
+    shutil.rmtree(chunk_dir, ignore_errors=True)
+    if not len(tbl):
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int32()),
+                         "nbr_id": pa.array([], pa.int64())})
+    tbl = tbl.sort_values(["vec_id", "rank"]).reset_index(drop=True)
+    return pa.table({"vec_id": pa.array(tbl.vec_id, pa.int64()),
+                     "rank": pa.array(tbl["rank"], pa.int32()),
+                     "nbr_id": pa.array(tbl.nbr_id, pa.int64())})
+
+
+def knn_graph(sf_dir: str, k: int = KNN_GRAPH_K,
+              broadcast_cap: int | None = None) -> pa.Table:
     """kNN-graph construction: for EVERY vector, its top-k cosine
     neighbors (self excluded) — the building block of embedding-based
     near-dup clustering and graph-based curation (and of HNSW's own
     layer-0, hnsw/HnswGraphBuilder.java:47 connects each inserted node
     to its k nearest).
 
-    Exact blocked form: the normalized matrix is broadcast ONCE
-    (ray.put); each map task scores only ITS row chunk against it and
-    emits that chunk's finished top-k rows — no shuffle, no driver
-    merge (every task holds complete candidate sets for its rows). At
-    100-TB scale the broadcast side outgrows memory and the IVF/LSH
-    variants above (ann_ivf_topk, embedding_neardup_lsh) are the
-    blocking path; the exact graph stays the ground-truth oracle."""
+    Two exact shapes, chosen by matrix size (VERDICT r4 item 4):
+
+    - small (≤ ``broadcast_cap`` bytes): the normalized matrix is
+      broadcast ONCE (ray.put); each map task scores only ITS row chunk
+      against it and emits finished top-k rows — no shuffle, no merge.
+    - beyond broadcast: chunk-pair decomposition
+      (:func:`_knn_partials_chunked`) — per-task memory flat in N, one
+      bounded groupby(vec_id) merge of ≤ n_chunks·k candidates per row.
+      Bit-identical neighbor sets (same sim order; pytest-pinned)."""
     import ray
     import ray.data
     import pyarrow.parquet as pq_
 
+    cap = KNN_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
     empty = pa.table({"vec_id": pa.array([], pa.int64()),
                       "rank": pa.array([], pa.int32()),
                       "nbr_id": pa.array([], pa.int64())})
+    if _matrix_bytes(sf_dir) > cap:
+        return _knn_graph_chunked(sf_dir, k)
     t = pq_.read_table(_emb_path(sf_dir), columns=["vec_id", "embedding"])
     if t.num_rows < 2:                       # no neighbors to emit
         return empty
@@ -1023,7 +1197,35 @@ SELECT a.vec_id, a.cluster,
 FROM asg a"""
 
 
-def classify_knn(sf_dir: str, k: int = KNN_GRAPH_K):
+def _classify_knn_chunked(sf_dir: str, k: int):
+    """Beyond-broadcast exact kNN vote: chunk-pair partials carrying
+    neighbor labels + a bounded groupby(vec_id) merge-and-vote."""
+    import ray.data
+
+    parts, chunk_dir = _knn_partials_chunked(sf_dir, k, with_labels=True)
+
+    def merge_vote(g: pa.Table) -> pa.Table:
+        vid = g.column("vec_id")[0].as_py()
+        nbr = g.column("nbr_id").to_numpy()
+        sim = g.column("sim").to_numpy()
+        labs = g.column("nbr_label").to_numpy()
+        nbr_u, first = np.unique(nbr, return_index=True)
+        sel = np.lexsort((nbr_u, -sim[first]))[:k]
+        lab, cnt = np.unique(labs[first][sel], return_counts=True)
+        return pa.table({
+            "vec_id": pa.array([vid], pa.int64()),
+            "pred_label": pa.array([int(lab[np.argmax(cnt)])], pa.int32())})
+
+    out = (parts.groupby("vec_id")
+           .map_groups(merge_vote, batch_format="pyarrow")
+           .materialize())            # small: one row per vector
+    import shutil
+    shutil.rmtree(chunk_dir, ignore_errors=True)
+    return out
+
+
+def classify_knn(sf_dir: str, k: int = KNN_GRAPH_K,
+                 broadcast_cap: int | None = None):
     """k-nearest-neighbor classification over the embedding table — the
     role of classification/KNearestNeighborClassifier.java:42 (top-k
     most-similar neighbors vote; assignClass takes the class with the
@@ -1033,16 +1235,20 @@ def classify_knn(sf_dir: str, k: int = KNN_GRAPH_K):
     breaks count ties to the SMALLER label — deterministic where the
     reference's hash-map iteration is not.
 
-    Scale shape: same broadcast-blocked exact form as knn_graph — the
-    normalized matrix + labels broadcast once, each map task votes its
-    own row chunk, no shuffle, no driver merge; IVF/LSH remain the
-    blocking path past broadcast scale."""
+    Scale shape mirrors :func:`knn_graph` (VERDICT r4 item 4): below
+    ``broadcast_cap`` the normalized matrix + labels broadcast once and
+    each map task votes its own row chunk (no shuffle, no merge); past
+    the cap, chunk-pair partials carry neighbor labels and a bounded
+    groupby(vec_id) merge votes — task memory flat in N."""
     import ray
     import ray.data
     import pyarrow.parquet as pq_
 
+    cap = KNN_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
     empty = pa.table({"vec_id": pa.array([], pa.int64()),
                       "pred_label": pa.array([], pa.int32())})
+    if _matrix_bytes(sf_dir) > cap:
+        return _classify_knn_chunked(sf_dir, k)
     t = pq_.read_table(_emb_path(sf_dir),
                        columns=["vec_id", "embedding", "label"])
     if t.num_rows < 2:

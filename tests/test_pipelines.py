@@ -309,6 +309,29 @@ def test_ann_ivf_equals_bruteforce(ray_session):
     assert a.equals(b)  # nprobe=all ⇒ IVF is exact
 
 
+def test_knn_graph_chunked_equals_broadcast(ray_session):
+    """VERDICT r4 item 4: when the matrix exceeds the broadcast cap, the
+    chunk-pair path (no ray.put of the full matrix; task memory flat in
+    N) must reproduce the broadcast path's neighbor sets exactly."""
+    from lucene_ray.pipelines.ann import knn_graph
+
+    sf = "/root/testdata/sf0.001"
+    a = knn_graph(sf)                       # broadcast (under cap)
+    b = knn_graph(sf, broadcast_cap=0)      # forced chunk-pair path
+    assert a.equals(b)
+
+
+def test_classify_knn_chunked_equals_broadcast(ray_session):
+    from lucene_ray.pipelines.ann import classify_knn
+
+    sf = "/root/testdata/sf0.001"
+    a = classify_knn(sf).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    b = classify_knn(sf, broadcast_cap=0).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_ann_ivf_hot_list_task_is_bounded(ray_session):
     """VERDICT r4 item 3: a planted clustering where EVERY vector lands in
     one IVF list must not inflate a task — _IVFScan emits at most
