@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _lazy("textstats", "chunk_documents"),
         "source_mix_weights": _lazy("textstats", "source_mix_weights"),
         # --- new in round 5 (oracle-backed) ---
+        "ft_word_delimiter": ft.ft_word_delimiter,
+        "ft_icu_fold": ft.ft_icu_fold,
+        "ft_cjk_lattice": ft.ft_cjk_lattice,
         # --- rows-only entries never reached by a rotation (weaker
         # check; their exactness gates are pytest-pinned) ---
         "ann_pq_topk": _lazy("ann", "ann_pq_topk"),
@@ -334,6 +337,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_index_synonyms": ft.oracle_index_synonyms_sql(),
         "ft_suggest_infix": ft.oracle_suggest_infix_sql(),
         "ft_cjk_bigrams": ft.oracle_cjk_bigrams_sql(),
+        "ft_word_delimiter": ft.oracle_word_delimiter_sql(),
+        "ft_icu_fold": ft.oracle_icu_fold_sql(),
+        "ft_cjk_lattice": ft.oracle_cjk_lattice_sql(),
         "ft_shape_box": ft.oracle_shape_box_sql(),
         "ft_payload_score": ft.oracle_payload_score_sql(),
         "ft_word_break": ft.oracle_word_break_sql(),

@@ -3565,6 +3565,159 @@ LIMIT {n_top}"""
 
 
 # ---------------------------------------------------------------------------
+# WordDelimiterGraphFilter (subword splitting for code/product tokens)
+
+_WDGF_TOP = 60
+
+
+def ft_word_delimiter(sf_dir: str) -> pa.Table:
+    """WordDelimiterGraphFilter over a deterministically code-ified
+    corpus (miscellaneous/WordDelimiterGraphFilter.java:88 — the
+    reference's most-used filter for identifiers like ``fooBar-2x``).
+
+    Each corpus word ``w`` (the testdata vocabulary is lowercase
+    alpha) is mapped to the identifier-shaped token
+    ``w + 'Xy' + len(w) + '-' + Cap(w) + "'s"`` — exercising case
+    splits, numeric splits, a delimiter, and possessive stemming in one
+    token — then run through the REAL filter (``lucene_ray.wordgraph``,
+    golden-pinned against TestWordDelimiterGraphFilter) with ALL flags:
+    parts + CATENATE_WORDS/NUMBERS/ALL + PRESERVE_ORIGINAL. Per-term
+    (df, ttf) with per-batch partials, top-60 by (df desc, term asc);
+    the SQL oracle reproduces the mapping and the filter's documented
+    split/catenate output for this token shape."""
+    import ray.data
+
+    from ..wordgraph import WDGF_ALL, wdgf_stream
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dfs: dict[str, int] = {}
+        ttfs: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            toks = [f"{w}Xy{len(w)}-{w[0].upper()}{w[1:]}'s"
+                    for w in (text or "").split(" ") if w]
+            seen: dict[str, int] = {}
+            for t in wdgf_stream(toks, WDGF_ALL):
+                seen[t] = seen.get(t, 0) + 1
+            for t, c in seen.items():
+                dfs[t] = dfs.get(t, 0) + 1
+                ttfs[t] = ttfs.get(t, 0) + c
+        ks = sorted(dfs)
+        return pa.table({"term": pa.array(ks, pa.string()),
+                         "df": pa.array([dfs[k] for k in ks], pa.int64()),
+                         "ttf": pa.array([ttfs[k] for k in ks], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("term")
+           .aggregate(Sum("df", alias_name="df"),
+                      Sum("ttf", alias_name="ttf"))
+           .to_pandas())
+    agg = agg.sort_values(["df", "term"],
+                          ascending=[False, True]).head(_WDGF_TOP)
+    return pa.table({"term": pa.array(agg["term"], pa.string()),
+                     "df": pa.array(agg["df"].astype(np.int64)),
+                     "ttf": pa.array(agg["ttf"].astype(np.int64))})
+
+
+def oracle_word_delimiter_sql() -> str:
+    """The WDGF output for the planted token shape
+    ``wXy<n>-Cap`` + possessive: parts (w, Xy, n, Cap), CATENATE_WORDS run
+    (w+Xy; the Cap run and the digit run are singletons and per
+    flushConcatenation are not re-emitted), CATENATE_ALL
+    (w+Xy+n+Cap), and the preserved original."""
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+t AS (
+  SELECT d, word,
+         upper(substr(word, 1, 1)) || substr(word, 2) AS cap,
+         CAST(length(word) AS VARCHAR) AS n
+  FROM w WHERE word <> ''
+),
+terms AS (
+  SELECT d, word || 'Xy' || n || '-' || cap || '''s' AS term FROM t
+  UNION ALL SELECT d, word || 'Xy' || n || cap FROM t
+  UNION ALL SELECT d, word || 'Xy' FROM t
+  UNION ALL SELECT d, word FROM t
+  UNION ALL SELECT d, 'Xy' FROM t
+  UNION ALL SELECT d, n FROM t
+  UNION ALL SELECT d, cap FROM t
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       count(*) AS ttf
+FROM terms GROUP BY term
+ORDER BY df DESC, term LIMIT {_WDGF_TOP}"""
+
+
+# ---------------------------------------------------------------------------
+# ICU folding (ICUFoldingFilter)
+
+
+def ft_icu_fold(sf_dir: str) -> pa.Table:
+    """ICU folding chain (analysis/icu/ICUFoldingFilter.java:64) over a
+    deterministically decorated corpus: each word ``w`` becomes the
+    token ``Ẃ-style cap + combining acute + rest + 'ß' + 'ﬁ' + '１'``
+    — exercising case folding (incl. ß→ss), accent removal (composed
+    via NFKC first, then stripped), ligature and width compatibility
+    folding in one token. The REAL generic folder
+    (:func:`lucene_ray.icufold.icu_fold`, golden-pinned to the
+    reference's TestICUFoldingFilter vectors) runs inside map_batches;
+    the oracle reproduces the documented folding of this token shape
+    (``w || 'ssfi1'``). Per-term (df, ttf), ordered by term."""
+    import ray.data
+
+    from ..icufold import icu_fold
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dfs: dict[str, int] = {}
+        ttfs: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            toks = [icu_fold(f"{w[0].upper()}́{w[1:]}ß"
+                             f"ﬁ１")
+                    for w in (text or "").split(" ") if w]
+            seen: dict[str, int] = {}
+            for t in toks:
+                seen[t] = seen.get(t, 0) + 1
+            for t, c in seen.items():
+                dfs[t] = dfs.get(t, 0) + 1
+                ttfs[t] = ttfs.get(t, 0) + c
+        ks = sorted(dfs)
+        return pa.table({"term": pa.array(ks, pa.string()),
+                         "df": pa.array([dfs[k] for k in ks], pa.int64()),
+                         "ttf": pa.array([ttfs[k] for k in ks], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("term")
+           .aggregate(Sum("df", alias_name="df"),
+                      Sum("ttf", alias_name="ttf"))
+           .to_pandas())
+    agg = agg.sort_values("term").reset_index(drop=True)
+    return pa.table({"term": pa.array(agg["term"], pa.string()),
+                     "df": pa.array(agg["df"].astype(np.int64)),
+                     "ttf": pa.array(agg["ttf"].astype(np.int64))})
+
+
+def oracle_icu_fold_sql() -> str:
+    return """WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+terms AS (SELECT d, word || 'ssfi1' AS term FROM w WHERE word <> '')
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df, count(*) AS ttf
+FROM terms GROUP BY term ORDER BY term"""
+
+
+# ---------------------------------------------------------------------------
 # CJK analysis chain (CJKAnalyzer / CJKBigramFilter)
 
 _CJK_TOP = 50
@@ -3572,14 +3725,11 @@ _CJK_BASE = 0x4E00
 _CJK_MOD = 20000      # keep derived chars inside the Han block
 
 
-def _cjk_vocab_map(sf_dir: str) -> dict[str, str]:
-    """Deterministic word → Han-ideograph map: rank in the corpus's
-    sorted distinct vocabulary (Heaps-law small — the same broadcast
-    shape doc_keywords uses) → chr(0x4E00 + rank % 20000). The SQL
-    oracle derives the identical map with dense ranks over DISTINCT
-    terms, so both sides tokenize the same synthetic CJK text (the
-    testdata corpus itself carries no CJK — the map turns it into a
-    deterministic CJK corpus without external data)."""
+def _corpus_vocab(sf_dir: str) -> list[str]:
+    """Sorted distinct corpus vocabulary (Heaps-law small — the same
+    broadcast shape doc_keywords uses); '' dropped BEFORE ranking so
+    dense ranks line up with the SQL oracles' ``row_number() OVER
+    (ORDER BY term)`` over ``DISTINCT ... WHERE word <> ''``."""
     import ray.data
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -3592,12 +3742,20 @@ def _cjk_vocab_map(sf_dir: str) -> dict[str, str]:
             batch.column("text").cast(pa.string()), " "))
         return pa.table({"term": pc.unique(flat)})
 
-    vocab = [w for w in
-             sorted(ds.map_batches(batch_vocab, batch_format="pyarrow")
-                    .unique("term")) if w]   # drop '' BEFORE ranking —
-    # the SQL oracle ranks over DISTINCT terms WHERE word <> '', so the
-    # empty token must not consume a rank slot on this side either
-    return {w: chr(_CJK_BASE + i % _CJK_MOD) for i, w in enumerate(vocab)}
+    return [w for w in
+            sorted(ds.map_batches(batch_vocab, batch_format="pyarrow")
+                   .unique("term")) if w]
+
+
+def _cjk_vocab_map(sf_dir: str) -> dict[str, str]:
+    """Deterministic word → Han-ideograph map: rank in the corpus's
+    sorted distinct vocabulary → chr(0x4E00 + rank % 20000). The SQL
+    oracle derives the identical map with dense ranks over DISTINCT
+    terms, so both sides tokenize the same synthetic CJK text (the
+    testdata corpus itself carries no CJK — the map turns it into a
+    deterministic CJK corpus without external data)."""
+    return {w: chr(_CJK_BASE + i % _CJK_MOD)
+            for i, w in enumerate(_corpus_vocab(sf_dir))}
 
 
 def ft_cjk_bigrams(sf_dir: str) -> pa.Table:
@@ -3679,6 +3837,122 @@ grams AS (
 SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
        count(*) AS ttf
 FROM grams GROUP BY term
+ORDER BY df DESC, term LIMIT {_CJK_TOP}"""
+
+
+# ---------------------------------------------------------------------------
+# Dictionary-lattice CJK segmentation (kuromoji role,
+# ja/JapaneseTokenizer.java:61 over morph/Viterbi.java)
+
+# lattice word-code alphabet: three DISJOINT blocks so each lexicon
+# word is digit₁ (CJK ext A), digit₂ (CJK unified), terminator (late
+# CJK unified) — every lexicon surface contains exactly one terminator
+# char, at its end, which makes the code prefix-free: ANY
+# dictionary-only lattice path must align on terminators, so the
+# min-cost Viterbi parse provably recovers the original words and the
+# SQL oracle can rank/encode them without simulating the lattice.
+# (Ambiguous-lattice behavior is pinned separately by
+# tests/test_lattice.py goldens.)
+_LAT_D1, _LAT_D2, _LAT_TERM = 0x3400, 0x4E00, 0x9F00
+
+
+def _lattice_code(r: int) -> str:
+    return (chr(_LAT_D1 + r // 256) + chr(_LAT_D2 + r % 256)
+            + chr(_LAT_TERM + r % 64))
+
+
+class _LatticeStats:
+    """Actor stage: Viterbi tokenizer built ONCE per actor from the
+    broadcast lexicon; per-batch (term, df, ttf) partials."""
+
+    def __init__(self, lex_ref, vmap_ref):
+        import ray
+
+        from ..lattice import LatticeTokenizer
+
+        self._tok = LatticeTokenizer(ray.get(lex_ref))
+        self._vmap = ray.get(vmap_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self._vmap
+        dfs: dict[str, int] = {}
+        ttfs: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            han = "".join(m.get(w, "") for w in (text or "").split(" "))
+            if not han:
+                continue
+            seen: dict[str, int] = {}
+            for t in self._tok.tokenize(han):
+                seen[t] = seen.get(t, 0) + 1
+            for t, c in seen.items():
+                dfs[t] = dfs.get(t, 0) + 1
+                ttfs[t] = ttfs.get(t, 0) + c
+        ks = sorted(dfs)
+        return pa.table({"term": pa.array(ks, pa.string()),
+                         "df": pa.array([dfs[k] for k in ks], pa.int64()),
+                         "ttf": pa.array([ttfs[k] for k in ks], pa.int64())})
+
+
+def ft_cjk_lattice(sf_dir: str) -> pa.Table:
+    """Morphological CJK segmentation (kuromoji role): the corpus is
+    deterministically mapped to Han text via the prefix-free
+    ``_lattice_code`` (one 3-ideograph "morpheme" per word), the REAL
+    Viterbi lattice tokenizer (``lucene_ray.lattice``, golden-pinned to
+    ja/ViterbiNBest.java semantics) re-segments the concatenated text
+    against the corpus-derived lexicon, and per-term (df, ttf) partials
+    aggregate to the top-50 by (df desc, term asc). Upgrades
+    ``ft_cjk_bigrams``'s recall-shaped bigrams to morpheme-precision
+    segmentation, per the round-4 verdict."""
+    import ray
+    import ray.data
+
+    vocab = _corpus_vocab(sf_dir)
+    codes = [_lattice_code(r) for r in range(len(vocab))]
+    # word costs vary deterministically; correctness never depends on
+    # them (prefix-free code ⇒ unique dictionary-only parse)
+    lex_ref = ray.put({c: 100 + r % 7 for r, c in enumerate(codes)})
+    vmap_ref = ray.put(dict(zip(vocab, codes)))
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(_LatticeStats, batch_format="pyarrow",
+                          fn_constructor_args=(lex_ref, vmap_ref),
+                          concurrency=(1, 8))
+           .groupby("term")
+           .aggregate(Sum("df", alias_name="df"),
+                      Sum("ttf", alias_name="ttf"))
+           .to_pandas())
+    agg = agg.sort_values(["df", "term"],
+                          ascending=[False, True]).head(_CJK_TOP)
+    return pa.table({"term": pa.array(agg["term"], pa.string()),
+                     "df": pa.array(agg["df"].astype(np.int64)),
+                     "ttf": pa.array(agg["ttf"].astype(np.int64))})
+
+
+def oracle_cjk_lattice_sql() -> str:
+    """The lattice provably recovers the original words (prefix-free
+    code — see ``_lattice_code``), so the oracle ranks the vocabulary,
+    re-derives each word's 3-char code, and aggregates df/ttf."""
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+vmap AS (
+  SELECT term,
+         chr({_LAT_D1} + CAST((rn - 1) // 256 AS INT))
+         || chr({_LAT_D2} + CAST((rn - 1) % 256 AS INT))
+         || chr({_LAT_TERM} + CAST((rn - 1) % 64 AS INT)) AS code
+  FROM (SELECT term, row_number() OVER (ORDER BY term) AS rn
+        FROM (SELECT DISTINCT word AS term FROM w WHERE word <> ''))
+),
+terms AS (
+  SELECT d, v.code AS term FROM w JOIN vmap v ON v.term = w.word
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       count(*) AS ttf
+FROM terms GROUP BY term
 ORDER BY df DESC, term LIMIT {_CJK_TOP}"""
 
 
