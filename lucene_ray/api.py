@@ -74,6 +74,34 @@ class Index:
         delete_by_term(self.index_dir, term)
         return self.refresh()
 
+    def soft_delete_by_term(self, term: str) -> "Index":
+        """Soft-delete matching docs (soft-deletes docvalues field role,
+        index/SoftDeletesRetentionMergePolicy.java:46): search-invisible
+        immediately, but ``compact(expunge_deletes=True)`` physically
+        retains them while any retention lease has not caught up past
+        this generation."""
+        from .build import soft_delete_by_term
+
+        soft_delete_by_term(self.index_dir, term)
+        return self.refresh()
+
+    def acquire_retention_lease(self, lease_id: str,
+                                through_gen: int = -1) -> "Index":
+        """Record that ``lease_id``'s holder (a replica, a PIT consumer)
+        has caught up through soft generation ``through_gen`` — expunge
+        retains every soft generation above the minimum lease watermark
+        (the retention-lease pattern on SoftDeletesRetentionMergePolicy)."""
+        from .state.retention import acquire_retention_lease
+
+        acquire_retention_lease(self.index_dir, lease_id, through_gen)
+        return self
+
+    def release_retention_lease(self, lease_id: str) -> "Index":
+        from .state.retention import release_retention_lease
+
+        release_retention_lease(self.index_dir, lease_id)
+        return self
+
     def upsert(self, new_corpus: str) -> "Index":
         """updateDocument semantics: delete docs keyed (repo, path,
         commit) present in ``new_corpus``, then append it."""

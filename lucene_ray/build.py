@@ -1335,6 +1335,31 @@ def add_indexes(index_dir: str, src_dir: str,
     return manifest
 
 
+def _next_delete_gen(ddir: str) -> int:
+    """Next tombstone generation number: max existing + 1 across BOTH
+    hard (``gen_``) and soft (``soft_``) files — counting files (the old
+    scheme) could reuse a number after compaction cleared early
+    generations while a mid-compaction one survived."""
+    nxt = 0
+    for f in (os.listdir(ddir) if os.path.isdir(ddir) else []):
+        stem, _, _ = f.partition(".")
+        _, _, num = stem.partition("_")
+        if f.endswith(".parquet") and num.isdigit():
+            nxt = max(nxt, int(num) + 1)
+    return nxt
+
+
+def _write_tombstones(index_dir: str, ids: np.ndarray, prefix: str) -> int:
+    ddir = os.path.join(index_dir, "deletes")
+    os.makedirs(ddir, exist_ok=True)
+    gen = _next_delete_gen(ddir)
+    path = os.path.join(ddir, f"{prefix}_{gen:05d}.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}),
+                   path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return gen
+
+
 def delete_docs(index_dir: str, doc_ids) -> int:
     """Tombstone a set of docIDs — the live-docs role
     (codecs/lucene90/Lucene90LiveDocsFormat.java:49): an append-only
@@ -1345,14 +1370,33 @@ def delete_docs(index_dir: str, doc_ids) -> int:
     ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
     if len(ids) == 0:
         return 0
-    ddir = os.path.join(index_dir, "deletes")
-    os.makedirs(ddir, exist_ok=True)
-    gen = len([f for f in os.listdir(ddir) if f.endswith(".parquet")])
-    path = os.path.join(ddir, f"gen_{gen:05d}.parquet")
-    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}),
-                   path + ".tmp")
-    os.replace(path + ".tmp", path)
+    _write_tombstones(index_dir, ids, "gen")
     return len(ids)
+
+
+def soft_delete_docs(index_dir: str, doc_ids) -> int:
+    """Soft-delete a set of docIDs (the soft-deletes docvalues field
+    role, index/SoftDeletesRetentionMergePolicy.java:46): search-invisible
+    immediately like a hard tombstone, but ``compact_index``'s expunge
+    RETAINS the docs physically while any retention lease
+    (state/retention.py) has not caught up past this generation. Returns
+    the soft generation number filed."""
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    if len(ids) == 0:
+        return -1
+    return _write_tombstones(index_dir, ids, "soft")
+
+
+def soft_delete_by_term(index_dir: str, term: str) -> int:
+    """Soft-delete every live doc containing ``term`` (the
+    updateDocValues(term, softDeletesField) idiom). Returns the soft
+    generation number filed, -1 if nothing matched."""
+    from .search import IndexReader, _term_docset
+
+    docs = _term_docset(IndexReader(index_dir), term)
+    if len(docs) == 0:
+        return -1
+    return soft_delete_docs(index_dir, docs)
 
 
 def delete_by_term(index_dir: str, term: str) -> int:
@@ -1441,7 +1485,7 @@ def _delete_docs_stream(index_dir: str, doc_ids_ds) -> int:
     shutil.rmtree(tmp, ignore_errors=True)
     doc_ids_ds.write_parquet(tmp)
     n = 0
-    gen = len([f for f in os.listdir(ddir) if f.endswith(".parquet")])
+    gen = _next_delete_gen(ddir)
     for f in sorted(os.listdir(tmp)):
         if not f.endswith(".parquet"):
             continue
@@ -1454,15 +1498,20 @@ def _delete_docs_stream(index_dir: str, doc_ids_ds) -> int:
 
 
 def _load_deletes(index_dir: str,
-                  return_files: bool = False):
+                  return_files: bool = False,
+                  exclude: "set[str] | None" = None):
     """Union of all tombstone generations. With ``return_files`` also
     returns the generation filenames read, so callers that later clear
     tombstones (compaction) remove exactly the generations they applied —
-    a delete_docs() interleaved with a long compaction survives."""
+    a delete_docs() interleaved with a long compaction survives.
+    ``exclude`` skips named generation files (retention-held soft
+    generations stay both on disk and un-expunged)."""
     ddir = os.path.join(index_dir, "deletes")
     parts, files = [], []
     if os.path.isdir(ddir):
         for f in sorted(os.listdir(ddir)):
+            if exclude and f in exclude:
+                continue
             if f.endswith(".parquet"):
                 files.append(f)
                 parts.append(pq.read_table(
@@ -1574,7 +1623,16 @@ def compact_index(index_dir: str,
             f"{snapshots} first (state/snapshots.release_snapshot)")
     protected = protected_postings(index_dir) if snapshots else set()
     if expunge_deletes:
-        deleted, delete_files = _load_deletes(index_dir, return_files=True)
+        # SoftDeletesRetentionMergePolicy role
+        # (index/SoftDeletesRetentionMergePolicy.java:46): soft tombstone
+        # generations some retention lease has not caught up past are
+        # EXCLUDED from the expunge — their docs stay physically present
+        # (merges keep retained soft-deleted docs) and their tombstone
+        # files stay filed (readers keep hiding them from searches).
+        from .state.retention import retained_soft_files
+        retained = retained_soft_files(index_dir)
+        deleted, delete_files = _load_deletes(
+            index_dir, return_files=True, exclude=retained)
     else:
         deleted, delete_files = np.empty(0, np.int64), []
     by_bucket: dict[int, list[dict]] = {}

@@ -1779,6 +1779,81 @@ def test_replication_full_delta_repair_prune(tmp_path_factory, ray_session):
     assert np.array_equal(s_src2, s_dst2)
 
 
+def test_soft_deletes_retention(tmp_path_factory, ray_session):
+    """Soft deletes + retention leases (the
+    SoftDeletesRetentionMergePolicy role,
+    index/SoftDeletesRetentionMergePolicy.java:46): a soft-deleted doc is
+    search-invisible immediately, but expunge compaction physically
+    RETAINS docs of soft generations a lease has not caught up past —
+    and a replica syncing across the delete+compact window still sees a
+    consistent point-in-time. Once every lease advances, the next
+    expunge reclaims them."""
+    from lucene_ray.api import Index
+    from lucene_ray.build import (compact_index, delete_docs,
+                                  soft_delete_by_term)
+    from lucene_ray.state.retention import (acquire_retention_lease,
+                                            latest_soft_gen,
+                                            list_retention_leases)
+
+    base = tmp_path_factory.mktemp("softdel")
+    c1 = str(base / "c1")
+    os.makedirs(c1)
+    pq.write_table(generate_corpus(250, seed=31), f"{c1}/a.parquet")
+    src, dst = str(base / "primary"), str(base / "replica")
+    idx = Index.build(c1, src, num_buckets=3, term_parts=4, salt_group=1)
+
+    # replica full sync; its lease starts at the current soft watermark
+    idx.replicate_to(dst)
+    acquire_retention_lease(src, "replica-1", latest_soft_gen(src))
+
+    r0 = IndexReader(src)
+    soft_victims = search_bruteforce(r0, "return", 10_000).doc_ids
+    assert len(soft_victims) > 0
+    all_ids = pq.read_table(os.path.join(src, "docmeta"),
+                            columns=["doc_id"]).column("doc_id").to_pylist()
+    hard_victims = [int(i) for i in all_ids
+                    if i not in set(soft_victims.tolist())][:2]
+    assert len(hard_victims) == 2
+    delete_docs(src, hard_victims)                       # hard tombstones
+    gen = soft_delete_by_term(src, "return")             # soft generation
+    assert gen == latest_soft_gen(src) >= 0              # filed
+
+    # both delete kinds are search-invisible immediately; stats blind
+    r1 = IndexReader(src)
+    assert len(search_bruteforce(r1, "return", 10_000).doc_ids) == 0
+    assert r1.doc_count == r0.doc_count
+
+    # expunge while the replica lease is behind: hard tombstones expunge,
+    # soft generation is RETAINED — docs stay physical, file stays filed
+    m1 = compact_index(src, expunge_deletes=True)
+    r2 = IndexReader(src)
+    assert m1.doc_count == r0.doc_count - len(hard_victims)
+    assert sorted(r2.deleted.tolist()) == sorted(soft_victims.tolist())
+    assert len(search_bruteforce(r2, "return", 10_000).doc_ids) == 0
+    assert verify_index(src)["ok"]
+
+    # replica syncs across the delete+compact window: consistent view
+    idx.replicate_to(dst)
+    rd = IndexReader(dst)
+    assert len(search_bruteforce(rd, "return", 10_000).doc_ids) == 0
+    assert rd.doc_count == m1.doc_count
+
+    # caught up -> advance the lease; monotonic (a lower re-acquire is
+    # ignored, like the reference's sequence-number leases)
+    acquire_retention_lease(src, "replica-1", latest_soft_gen(src))
+    acquire_retention_lease(src, "replica-1", -1)
+    assert list_retention_leases(src)["replica-1"] == gen
+
+    # second expunge reclaims: docs leave postings/docmeta, file clears
+    m2 = compact_index(src, expunge_deletes=True)
+    r3 = IndexReader(src)
+    assert m2.doc_count == r0.doc_count - len(hard_victims) \
+        - len(soft_victims)
+    assert len(r3.deleted) == 0
+    assert len(search_bruteforce(r3, "return", 10_000).doc_ids) == 0
+    assert verify_index(src)["ok"]
+
+
 def test_replication_of_pinned_snapshot(tmp_path_factory, ray_session):
     """Replicating a pinned snapshot ships the commit AND only the
     tombstone generations visible at snapshot time — a delete made
