@@ -309,6 +309,32 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
             term_freq_batch(contents, token_filter=tfilt,
                             stream_filter=sfilt)
 
+    if index_sort == "bp" and n_docs > 1 and len(terms_arr) > 0:
+        # BP doc reordering (misc/index/BPIndexReorderer.java:94): permute
+        # docs within the segment by recursive graph bisection so docs
+        # sharing terms get nearby docIDs — doc deltas shrink (postings
+        # compress better) and per-block doc ranges tighten (block-max
+        # skipping sharpens). Runs per segment inside this build task:
+        # bounded memory, parallel across segments, no shuffle. Unlike
+        # content_chars this permutation is computed AFTER tokenization
+        # (it needs the doc-term graph), so the per-doc outputs are
+        # permuted and pair owners remapped instead of re-tokenizing.
+        from .bp import bp_permutation
+        _codes = np.asarray(pc.dictionary_encode(
+            terms_arr.combine_chunks() if hasattr(terms_arr,
+                                                  "combine_chunks")
+            else terms_arr).indices, dtype=np.int64)
+        _perm = bp_permutation(owners, _codes, n_docs)
+        _inv = np.empty(n_docs, np.int64)
+        _inv[_perm] = np.arange(n_docs, dtype=np.int64)
+        group = group.take(pa.array(_perm))
+        contents = [contents[i] for i in _perm]
+        shas = [shas[i] for i in _perm]
+        lengths = np.asarray(lengths)[_perm]
+        norms = np.asarray(norms)[_perm]
+        overlaps = np.asarray(overlaps)[_perm]
+        owners = _inv[owners]
+
     n_kw = 0
     if keyword_fields:
         # StringField-style atomic keyword terms (document/StringField.java:27)
