@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_ib_spl": ft.ft_ib_spl,
         "ft_span_pos_range": ft.ft_span_pos_range,
         "ft_axiomatic_f2exp": ft.ft_axiomatic_f2exp,
+        "ft_dfi_chisq": ft.ft_dfi_chisq,
         "ft_suggest_freetext": ft.ft_suggest_freetext,
         "hybrid_rrf": _hy.hybrid_rrf,
         "ft_geo_sort": ft.ft_geo_sort,
@@ -214,6 +215,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_shingles": ft.ft_shingles,
         "ft_distance_feature": ft.ft_distance_feature,
         "ft_geo_polygon": ft.ft_geo_polygon,
+        "ft_geo3d_distance": ft.ft_geo3d_distance,
+        "ft_geo3d_bbox": ft.ft_geo3d_bbox,
+        "ft_geo3d_polygon": ft.ft_geo3d_polygon,
+        "ft_geo3d_path": ft.ft_geo3d_path,
     })
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
@@ -276,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_ib_spl": ft.oracle_ib_spl_sql(),
         "ft_span_pos_range": ft.oracle_span_pos_range_sql(),
         "ft_axiomatic_f2exp": ft.oracle_axiomatic_f2exp_sql(),
+        "ft_dfi_chisq": ft.oracle_dfi_chisq_sql(),
         "ft_collection_stats": ft.oracle_collection_stats_sql(),
         "ft_term_stats": ft.oracle_term_stats_sql(),
         "ft_docmeta": ft.oracle_docmeta_sql(),
@@ -329,6 +335,10 @@ def oracle_sql() -> dict[str, str]:
         "ft_shingles": ft.oracle_shingles_sql(),
         "ft_distance_feature": ft.oracle_distance_feature_sql(),
         "ft_geo_polygon": ft.oracle_geo_polygon_sql(),
+        "ft_geo3d_distance": ft.oracle_geo3d_distance_sql(),
+        "ft_geo3d_bbox": ft.oracle_geo3d_bbox_sql(),
+        "ft_geo3d_polygon": ft.oracle_geo3d_polygon_sql(),
+        "ft_geo3d_path": ft.oracle_geo3d_path_sql(),
         "ft_combined_field": ft.oracle_combined_field_sql(),
         "ft_synonym_graph": ft.oracle_synonym_graph_sql(),
         "ft_spell": ft.oracle_spell_sql(),

@@ -152,3 +152,40 @@ def score_terms_axiomatic_f2exp(tf: np.ndarray, norm_bytes: np.ndarray,
         tfln = freq / (freq + sd + sd * dl / avg_fl)
         vals[i] = max(0.0, tfln * idf)
     return vals[inv].astype(np.float32)
+
+
+def score_terms_dfi(tf: np.ndarray, norm_bytes: np.ndarray, ttf: int,
+                    sum_ttf: int,
+                    measure: str = "chisquared") -> np.ndarray:
+    """DFISimilarity — divergence from independence
+    (similarities/DFISimilarity.java:70-81): expected =
+    (totalTermFreq + 1) · docLen / (numberOfFieldTokens + 1); freq <=
+    expected scores 0 (the doc still ranks as a hit, SimilarityBase
+    keeps it); otherwise score = log2(measure(freq, expected) + 1) with
+    measure one of ChiSquared ((f-e)²/e, IndependenceChiSquared.java:34),
+    Standardized ((f-e)/√e, IndependenceStandardized.java:34) or
+    Saturated ((f-e)/e, IndependenceSaturated.java:33). All double,
+    log2 = ln/ln2 (SimilarityBase.java:164-167), one float32 cast."""
+    ln2 = math.log(2.0)
+    nb = norm_bytes.astype(np.int64) & 0xFF
+    key = tf.astype(np.int64) * 256 + nb
+    uk, inv = np.unique(key, return_inverse=True)
+    vals = np.empty(len(uk), np.float64)
+    for i, k in enumerate(uk):
+        freq = float(np.float32(k // 256))
+        expected = ((ttf + 1.0) * float(LENGTH_TABLE[k % 256])
+                    / (sum_ttf + 1.0))
+        if freq <= expected:
+            vals[i] = 0.0
+            continue
+        d = freq - expected
+        if measure == "chisquared":
+            m = d * d / expected
+        elif measure == "standardized":
+            m = d / math.sqrt(expected)
+        elif measure == "saturated":
+            m = d / expected
+        else:
+            raise ValueError(f"unknown independence measure {measure!r}")
+        vals[i] = math.log(m + 1.0) / ln2
+    return vals[inv].astype(np.float32)

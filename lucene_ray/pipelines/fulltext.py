@@ -2668,6 +2668,176 @@ def oracle_geo_distance_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# 3D geodesic points (spatial3d/Geo3DPoint.java:44) — see lucene_ray.geo3d
+
+_GEO3D_CTE = """
+geo3d AS (
+  SELECT d, (d * 2654435761) % 2097152 - 1048576 AS u,
+         (d * 2246822519 + 123456789) % 2097152 - 1048576 AS v,
+         (d * 3266489917 + 987654321) % 2097152 - 1048576 AS w
+  FROM corpus
+)"""
+
+# (qid, center int vector, angular radius in radians)
+GEO3D_CIRCLES = [(1, (800_000, 300_000, 500_000), 0.6),
+                 (2, (-400_000, 900_000, -200_000), 0.35),
+                 (3, (0, 0, 1_000_000), 0.25)]
+# (qid, sin-lat band num lo, num hi, den, meridian normal 1, normal 2)
+GEO3D_BBOXES = [(1, -300, 450, 1000, (0, 1, 0), (-1, 0, 0)),
+                (2, -900, -100, 1000, (-3, 8, 0), (9, -2, 0))]
+# (qid, CCW vertex int vectors)
+GEO3D_POLYGONS = [
+    (1, [(1_000_000, 0, 300_000), (0, 1_000_000, 300_000),
+         (-300_000, -300_000, 1_000_000)]),
+    (2, [(900_000, -400_000, -100_000), (800_000, 500_000, -100_000),
+         (600_000, 400_000, 700_000), (700_000, -500_000, 700_000)]),
+]
+# (qid, endpoint a, endpoint b, angular width)
+GEO3D_PATHS = [(1, (1_000_000, 100_000, 0), (0, 1_000_000, 200_000), 0.25),
+               (2, (-800_000, -600_000, 400_000),
+                (900_000, -200_000, -500_000), 0.15)]
+
+
+def _g3d_collect(pairs) -> pa.Table:
+    qids, docs = [], []
+    for qid, hits in pairs:
+        qids.extend([qid] * len(hits))
+        docs.extend(hits.tolist())
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def ft_geo3d_distance(sf_dir: str) -> pa.Table:
+    """Geo3DPoint.newDistanceQuery role (spatial3d/Geo3DPoint.java:44,
+    geom/GeoStandardCircle.java): angular caps over the z-band-pruned
+    3D point index; exact integer cap test (shared rational cos²r)."""
+    from ..geo3d import build_geo3d_index, geo3d_distance
+
+    idx = index_dir_for(sf_dir)
+    build_geo3d_index(idx)
+    return _g3d_collect(
+        (qid, geo3d_distance(idx, *c, r)) for qid, c, r in GEO3D_CIRCLES)
+
+
+def ft_geo3d_bbox(sf_dir: str) -> pa.Table:
+    """GeoBBox role: sin-lat band ∧ meridian-plane wedge, both exact
+    integer sidedness/squared compares."""
+    from ..geo3d import build_geo3d_index, geo3d_bbox
+
+    idx = index_dir_for(sf_dir)
+    build_geo3d_index(idx)
+    return _g3d_collect(
+        (qid, geo3d_bbox(idx, s1, s2, den, m1, m2))
+        for qid, s1, s2, den, m1, m2 in GEO3D_BBOXES)
+
+
+def ft_geo3d_polygon(sf_dir: str) -> pa.Table:
+    """GeoConvexPolygon role (geom/GeoConvexPolygon.java:63): integer
+    cross-product edge planes, all-dots-nonnegative membership."""
+    from ..geo3d import build_geo3d_index, geo3d_polygon
+
+    idx = index_dir_for(sf_dir)
+    build_geo3d_index(idx)
+    return _g3d_collect(
+        (qid, geo3d_polygon(idx, vs)) for qid, vs in GEO3D_POLYGONS)
+
+
+def ft_geo3d_path(sf_dir: str) -> pa.Table:
+    """GeoStandardPath role (geom/GeoStandardPath.java:66): slab within
+    angular width of a great-circle segment, clipped by the endpoint
+    planes, plus endpoint caps."""
+    from ..geo3d import build_geo3d_index, geo3d_path
+
+    idx = index_dir_for(sf_dir)
+    build_geo3d_index(idx)
+    return _g3d_collect(
+        (qid, geo3d_path(idx, a, b, wd)) for qid, a, b, wd in GEO3D_PATHS)
+
+
+def _g3d_cap_where(c, radians: float) -> str:
+    from ..geo3d import B_SCALE, cos2_scaled
+    cx, cy, cz = c
+    a = cos2_scaled(radians)
+    nc2 = cx * cx + cy * cy + cz * cz
+    dot = f"(u*{cx} + v*{cy} + w*{cz})"
+    return (f"({dot} >= 0 AND CAST({B_SCALE} AS HUGEINT)"
+            f" * CAST({dot} AS HUGEINT) * CAST({dot} AS HUGEINT)"
+            f" >= CAST({a} AS HUGEINT)"
+            f" * CAST(u*u + v*v + w*w AS HUGEINT)"
+            f" * CAST({nc2} AS HUGEINT))")
+
+
+def _g3d_sin_ge_where(s_num: int, s_den: int) -> str:
+    lhs = f"w*w*{s_den * s_den}"
+    rhs = f"{s_num * s_num}*(u*u + v*v + w*w)"
+    if s_num <= 0:
+        return f"(w >= 0 OR {lhs} <= {rhs})"
+    return f"(w >= 0 AND {lhs} >= {rhs})"
+
+
+def oracle_geo3d_distance_sql() -> str:
+    rows = [f"SELECT {qid} AS qid, d AS doc_id FROM geo3d "
+            f"WHERE {_g3d_cap_where(c, r)}"
+            for qid, c, r in GEO3D_CIRCLES]
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE},{_GEO3D_CTE}\n{un}"
+
+
+def oracle_geo3d_bbox_sql() -> str:
+    rows = []
+    for qid, s1, s2, den, m1, m2 in GEO3D_BBOXES:
+        rows.append(
+            f"SELECT {qid} AS qid, d AS doc_id FROM geo3d "
+            f"WHERE {_g3d_sin_ge_where(s1, den)} "
+            f"AND NOT {_g3d_sin_ge_where(s2, den)} "
+            f"AND u*{m1[0]} + v*{m1[1]} + w*{m1[2]} >= 0 "
+            f"AND u*{m2[0]} + v*{m2[1]} + w*{m2[2]} <= 0")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE},{_GEO3D_CTE}\n{un}"
+
+
+def oracle_geo3d_polygon_sql() -> str:
+    rows = []
+    for qid, vs in GEO3D_POLYGONS:
+        conds = []
+        for i in range(len(vs)):
+            ax, ay, az = vs[i]
+            bx, by, bz = vs[(i + 1) % len(vs)]
+            nx, ny, nz = (ay * bz - az * by, az * bx - ax * bz,
+                          ax * by - ay * bx)
+            conds.append(f"u*({nx}) + v*({ny}) + w*({nz}) >= 0")
+        rows.append(f"SELECT {qid} AS qid, d AS doc_id FROM geo3d "
+                    f"WHERE {' AND '.join(conds)}")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE},{_GEO3D_CTE}\n{un}"
+
+
+def oracle_geo3d_path_sql() -> str:
+    from ..geo3d import B_SCALE, path_planes
+    import math as _m
+    rows = []
+    for qid, va, vb, width in GEO3D_PATHS:
+        n, c_a, c_b = path_planes(va, vb)
+        s2_num = int(round(_m.sin(width) ** 2 * B_SCALE))
+        nn2 = n[0] * n[0] + n[1] * n[1] + n[2] * n[2]
+        dn = f"(u*({n[0]}) + v*({n[1]}) + w*({n[2]}))"
+        slab = (f"(CAST({B_SCALE} AS HUGEINT)"
+                f" * CAST({dn} AS HUGEINT) * CAST({dn} AS HUGEINT)"
+                f" <= CAST({s2_num} AS HUGEINT)"
+                f" * CAST(u*u + v*v + w*w AS HUGEINT)"
+                f" * CAST({nn2} AS HUGEINT))")
+        clips = " AND ".join(
+            f"(CAST(u AS HUGEINT)*({c[0]}) + CAST(v AS HUGEINT)*({c[1]})"
+            f" + CAST(w AS HUGEINT)*({c[2]})) >= 0"
+            for c in (c_a, c_b))
+        caps = " OR ".join(_g3d_cap_where(p, width) for p in (va, vb))
+        rows.append(f"SELECT {qid} AS qid, d AS doc_id FROM geo3d "
+                    f"WHERE ({slab} AND {clips}) OR {caps}")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE},{_GEO3D_CTE}\n{un}"
+
+
+# ---------------------------------------------------------------------------
 # Indexed shapes (LatLonShape / ShapeField tessellated triangles)
 
 # (qid, relation, lat_lo, lat_hi, lon_lo, lon_hi) — CLOSED boxes
@@ -6117,6 +6287,56 @@ def oracle_dfr_inl2_sql() -> str:
            " * (ln(1 + 1.0 * (CAST((SELECT sum_ttf FROM stats) AS DOUBLE)"
            " / (SELECT n_docs FROM stats)) / CAST(q.qlen AS DOUBLE))"
            " / ln(2.0))))")
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+clauses(qid, clause, term) AS (VALUES
+    {vals}
+),
+scored AS (
+  SELECT c.qid, c.clause, t.d, CAST({raw} AS REAL) AS s
+  FROM clauses c
+  JOIN tf t ON t.term = c.term
+  JOIN df f ON f.term = c.term
+  JOIN quant q ON q.d = t.d
+),
+totals AS (
+  SELECT qid, d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+  FROM scored GROUP BY qid, d
+),
+ranked AS (
+  SELECT qid, d, score, row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, d ASC) AS rank
+  FROM totals
+)
+SELECT qid, rank, d AS doc_id, score FROM ranked
+WHERE rank <= {_LMD_K}"""
+
+
+def ft_dfi_chisq(sf_dir: str) -> pa.Table:
+    """Top-k under DFISimilarity with IndependenceChiSquared
+    (similarities/DFISimilarity.java:70-81, IndependenceChiSquared
+    .java:34) — the SIXTH pluggable-similarity family: expected tf under
+    independence = (ttf+1)·docLen/(sumTTF+1); freq <= expected scores 0
+    but the doc still ranks; else log2((f−e)²/e + 1)."""
+    from ..lmdirichlet import score_terms_dfi
+
+    return _lm_ranked(
+        sf_dir, LMD_QUERIES,
+        lambda p, tf, nm, r: score_terms_dfi(tf, nm, p.ttf, r.sum_ttf))
+
+
+def oracle_dfi_chisq_sql() -> str:
+    rows = []
+    for qid, terms in LMD_QUERIES:
+        for ci, t in enumerate(terms):
+            rows.append(f"({qid}, {ci}, '{t}')")
+    vals = ",\n    ".join(rows)
+    freq = "CAST(CAST(t.tf AS REAL) AS DOUBLE)"
+    expected = ("((CAST(f.ttf AS DOUBLE) + 1) * CAST(q.qlen AS DOUBLE)"
+                " / (CAST((SELECT sum_ttf FROM stats) AS DOUBLE) + 1))")
+    raw = (f"CASE WHEN {freq} <= {expected} THEN 0.0 ELSE "
+           f"ln(({freq} - {expected}) * ({freq} - {expected})"
+           f" / {expected} + 1) / ln(2.0) END")
     return f"""WITH {_CORPUS_CTE},
 {_QUANT_LEN},
 clauses(qid, clause, term) AS (VALUES
