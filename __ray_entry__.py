@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_span_pos_range": ft.ft_span_pos_range,
         "ft_axiomatic_f2exp": ft.ft_axiomatic_f2exp,
         "ft_dfi_chisq": ft.ft_dfi_chisq,
+        "ft_xml_query": ft.ft_xml_query,
         "ft_suggest_freetext": ft.ft_suggest_freetext,
         "hybrid_rrf": _hy.hybrid_rrf,
         "ft_geo_sort": ft.ft_geo_sort,
@@ -282,6 +283,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_span_pos_range": ft.oracle_span_pos_range_sql(),
         "ft_axiomatic_f2exp": ft.oracle_axiomatic_f2exp_sql(),
         "ft_dfi_chisq": ft.oracle_dfi_chisq_sql(),
+        "ft_xml_query": ft.oracle_xml_query_sql(),
         "ft_collection_stats": ft.oracle_collection_stats_sql(),
         "ft_term_stats": ft.oracle_term_stats_sql(),
         "ft_docmeta": ft.oracle_docmeta_sql(),

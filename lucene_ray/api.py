@@ -177,6 +177,17 @@ class Index:
 
         return [int(d) for d in eval_docs(self.reader, parse(query))]
 
+    def xml_search(self, xml_text: str, k: int = 10) -> list[Hit]:
+        """CoreParser surface (queryparser/xml/CoreParser.java:60):
+        execute an XML query document (TermQuery/TermsQuery/
+        BooleanQuery incl. filter occur/UserQuery/MatchAllDocsQuery/
+        ConstantScoreQuery/BoostQuery/DisjunctionMaxQuery/RangeQuery/
+        PointRangeQuery); unsupported elements raise ValueError, the
+        ParserException analogue."""
+        from .search import search_xml
+
+        return self._hits(search_xml(self.reader, xml_text, k))
+
     def profile(self, query: str, k: int = 10) -> dict:
         """Deterministic execution counters for one query (the
         ProfilerCollector role): clauses, candidates, impact blocks

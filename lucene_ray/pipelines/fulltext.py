@@ -6363,6 +6363,107 @@ WHERE rank <= {_LMD_K}"""
 
 
 # ---------------------------------------------------------------------------
+# XML query parser (queryparser/xml/CoreParser.java:60) — lucene_ray.xmlqp
+
+XML_QUERIES = [
+    (1, """<BooleanQuery>
+  <Clause occurs="should"><TermQuery>query</TermQuery></Clause>
+  <Clause occurs="should"><TermQuery>merge</TermQuery></Clause>
+  <Clause occurs="filter"><TermQuery>table</TermQuery></Clause>
+  <Clause occurs="mustnot"><TermQuery>window</TermQuery></Clause>
+</BooleanQuery>"""),
+    (2, """<DisjunctionMaxQuery>
+  <TermQuery>spark</TermQuery>
+  <TermQuery>index</TermQuery>
+</DisjunctionMaxQuery>"""),
+    (3, """<ConstantScoreQuery boost="1.5">
+  <UserQuery>+customer +data</UserQuery>
+</ConstantScoreQuery>"""),
+    (4, """<BooleanQuery>
+  <Clause occurs="must"><MatchAllDocsQuery/></Clause>
+  <Clause occurs="filter"><TermQuery>vector</TermQuery></Clause>
+</BooleanQuery>"""),
+]
+_XML_K = 10
+
+
+def ft_xml_query(sf_dir: str) -> pa.Table:
+    """CoreParser surface (queryparser/xml/CoreParser.java:60): XML
+    query documents — Boolean with filter/mustnot occurs, dismax,
+    constant-score over a UserQuery subtree, MatchAll + filter — parsed
+    into the classic AST and ranked by the one Boolean evaluator."""
+    from ..search import search_xml
+
+    r = reader_for(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, xml in XML_QUERIES:
+        td = search_xml(r, xml, _XML_K)
+        for rank, (d, s) in enumerate(
+                zip(td.doc_ids.tolist(), td.scores.tolist()), 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(d)
+            scores.append(s)
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "score": pa.array(scores, pa.float32())})
+
+
+def oracle_xml_query_sql() -> str:
+    ex = "EXISTS (SELECT 1 FROM tf x WHERE x.d = {src}.d AND x.term = '{t}')"
+    q1 = f"""SELECT qid, rank, doc_id, score FROM (
+  SELECT 1 AS qid, row_number() OVER (ORDER BY score DESC, d ASC) AS rank,
+         d AS doc_id, score
+  FROM totals tl WHERE tl.qid = 1
+    AND {ex.format(src='tl', t='table')}
+    AND NOT {ex.format(src='tl', t='window')}
+) WHERE rank <= {_XML_K}"""
+    # tieBreaker=0: score = float max of the clause scores
+    q2 = f"""SELECT qid, rank, doc_id, score FROM (
+  SELECT 2 AS qid, row_number() OVER (ORDER BY score DESC, d ASC) AS rank,
+         d AS doc_id, score
+  FROM (SELECT d, CAST(max(s) AS REAL) AS score
+        FROM scored WHERE qid = 2 GROUP BY d)
+) WHERE rank <= {_XML_K}"""
+    q3 = f"""SELECT qid, rank, doc_id, score FROM (
+  SELECT 3 AS qid, row_number() OVER (ORDER BY d ASC) AS rank,
+         d AS doc_id, CAST(1.5 AS REAL) AS score
+  FROM (SELECT d FROM corpus c
+        WHERE {ex.format(src='c', t='customer')}
+          AND {ex.format(src='c', t='data')})
+) WHERE rank <= {_XML_K}"""
+    q4 = f"""SELECT qid, rank, doc_id, score FROM (
+  SELECT 4 AS qid, row_number() OVER (ORDER BY d ASC) AS rank,
+         d AS doc_id, CAST(1.0 AS REAL) AS score
+  FROM (SELECT d FROM corpus c WHERE {ex.format(src='c', t='vector')})
+) WHERE rank <= {_XML_K}"""
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+clauses(qid, term) AS (VALUES
+    (1, 'query'), (1, 'merge'), (2, 'spark'), (2, 'index')
+),
+scored AS (
+  SELECT c.qid, t.d, {_SCORE_EXPR} AS s
+  FROM clauses c
+  JOIN tf t ON t.term = c.term
+  JOIN df f ON f.term = c.term
+  JOIN quant q ON q.d = t.d
+),
+totals AS (
+  SELECT qid, d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+  FROM scored GROUP BY qid, d
+)
+{q1}
+UNION ALL
+{q2}
+UNION ALL
+{q3}
+UNION ALL
+{q4}"""
+
+
+# ---------------------------------------------------------------------------
 # Context-filtered infix suggestions + expression range filter
 
 # (prefix, context lang, k)

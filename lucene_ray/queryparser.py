@@ -59,6 +59,7 @@ class Clause:
     incl_lo: bool = True
     incl_hi: bool = True
     maxdist: int = 2                    # fuzzy max edits
+    tie: float = 0.0                    # dismax tieBreakerMultiplier
 
 
 @dataclass

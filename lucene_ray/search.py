@@ -2300,6 +2300,40 @@ def _eval_parsed(reader: IndexReader, pq_) -> tuple[np.ndarray, np.ndarray]:
         if c.kind == "group":
             d, s = _eval_parsed(reader, c.sub)
             return d, (s * np.float32(c.boost)).astype(np.float32)
+        if c.kind == "matchall":
+            # MatchAllDocsQuery (search/MatchAllDocsQuery.java:27): every
+            # live doc at constant score boost·1f (docIDs are contiguous
+            # 0..maxDoc, the key/arrival assignment invariant)
+            d = np.arange(reader.doc_count, dtype=np.int64)
+            lm = reader.live_mask(d)
+            if lm is not None:
+                d = d[lm]
+            return d, np.full(len(d), np.float32(c.boost), np.float32)
+        if c.kind == "const":
+            # ConstantScoreQuery (search/ConstantScoreQuery.java:33):
+            # the wrapped query contributes its DOC SET only
+            d, _s = _eval_parsed(reader, c.sub)
+            return d, np.full(len(d), np.float32(c.boost), np.float32)
+        if c.kind == "dismax":
+            # DisjunctionMaxQuery (search/DisjunctionMaxQuery.java:44,
+            # DisjunctionMaxScorer.java:60-72): per doc max + tie·others,
+            # double interior, one float cast; disjuncts recurse
+            dd, ss = [], []
+            for sub in c.sub.clauses:
+                d, s = clause_docs_scores(sub)
+                dd.append(d)
+                ss.append(s)
+            if not dd:
+                return np.empty(0, np.int64), np.empty(0, np.float32)
+            docs = np.concatenate(dd)
+            sc64 = np.concatenate(ss).astype(np.float64)
+            uniq, inv = np.unique(docs, return_inverse=True)
+            mx = np.full(len(uniq), -np.inf)
+            np.maximum.at(mx, inv, sc64)
+            tot = np.zeros(len(uniq))
+            np.add.at(tot, inv, sc64)
+            fin = (mx + c.tie * (tot - mx)).astype(np.float32)
+            return uniq, (fin * np.float32(c.boost)).astype(np.float32)
         if c.kind == "range" and c.field_name:
             # numeric bounds + a built point index for the field →
             # PointRangeQuery through the BKD-role index (points.py);
@@ -2378,6 +2412,20 @@ def search_parsed(reader: IndexReader, query: str, k: int = 10) -> TopDocs:
     from .queryparser import parse
 
     pq_ = parse(query)
+    docs, scores = _eval_parsed(reader, pq_)
+    d, s = _topk(docs, scores, k)
+    return TopDocs(d, s, len(docs))
+
+
+def search_xml(reader: IndexReader, xml_text: str, k: int = 10) -> TopDocs:
+    """Execute an XML query document (queryparser/xml CoreParser role,
+    lucene_ray.xmlqp): parse the element tree into the classic AST and
+    evaluate through the one Boolean evaluator."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from .xmlqp import parse_xml
+
+    pq_ = parse_xml(xml_text)
     docs, scores = _eval_parsed(reader, pq_)
     d, s = _topk(docs, scores, k)
     return TopDocs(d, s, len(docs))
