@@ -84,7 +84,7 @@ def classify_naive_bayes(sf_dir: str):
         # unique (doc, term) pairs -> per-(term, lang) doc counts
         uk = np.unique(owners * nv + codes)
         uo, uc = uk // nv, uk % nv
-        lang = batch.column("lang").to_pandas().to_numpy()
+        lang = np.asarray(batch.column("lang").to_pylist(), dtype=object)
         lcodes, linv = np.unique(lang[uo], return_inverse=True)
         key = linv * nv + uc
         k2, cnt = np.unique(key, return_counts=True)
