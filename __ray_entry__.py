@@ -103,6 +103,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_cjk_lattice": ft.ft_cjk_lattice,
         # --- rows-only entries never reached by a rotation (weaker
         # check; their exactness gates are pytest-pinned) ---
+        # --- round-5 additions: oracle-backed, never checked —
+        # must land inside the final rotation ---
+        "ft_dfi_chisq": ft.ft_dfi_chisq,
+        "ft_xml_query": ft.ft_xml_query,
+        "ft_geo3d_distance": ft.ft_geo3d_distance,
+        "ft_geo3d_bbox": ft.ft_geo3d_bbox,
+        "ft_geo3d_polygon": ft.ft_geo3d_polygon,
+        "ft_geo3d_path": ft.ft_geo3d_path,
         "ann_pq_topk": _lazy("ann", "ann_pq_topk"),
         "graph_pagerank": _lazy("ann", "graph_pagerank"),
         "ann_ivfpq_topk": _lazy("ann", "ann_ivfpq_topk"),
@@ -140,8 +148,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_ib_spl": ft.ft_ib_spl,
         "ft_span_pos_range": ft.ft_span_pos_range,
         "ft_axiomatic_f2exp": ft.ft_axiomatic_f2exp,
-        "ft_dfi_chisq": ft.ft_dfi_chisq,
-        "ft_xml_query": ft.ft_xml_query,
         "ft_suggest_freetext": ft.ft_suggest_freetext,
         "hybrid_rrf": _hy.hybrid_rrf,
         "ft_geo_sort": ft.ft_geo_sort,
@@ -216,10 +222,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_shingles": ft.ft_shingles,
         "ft_distance_feature": ft.ft_distance_feature,
         "ft_geo_polygon": ft.ft_geo_polygon,
-        "ft_geo3d_distance": ft.ft_geo3d_distance,
-        "ft_geo3d_bbox": ft.ft_geo3d_bbox,
-        "ft_geo3d_polygon": ft.ft_geo3d_polygon,
-        "ft_geo3d_path": ft.ft_geo3d_path,
     })
     try:
         from lucene_ray.pipelines import (ann, dedup, multimodal, relational,
