@@ -95,11 +95,14 @@ def bp_permutation(pair_owners: np.ndarray, pair_terms: np.ndarray,
         side[mid - lo:] = True
         n1, n2 = mid - lo, size - (mid - lo)
         pair_doc = np.repeat(np.arange(size, dtype=np.int64), counts)
-        # reduceat offsets must stay < total; docs with zero kept terms
-        # (bounds[i] == bounds[i+1], possibly == total) reduce a garbage
-        # element at the clipped offset and are zeroed right after
+        # per-doc reduceat runs over NON-EMPTY docs only: a zero-length
+        # doc's offset can equal total (reduceat rejects it) and naive
+        # clipping would also truncate the PREVIOUS doc's segment —
+        # consecutive non-empty starts span the empty gaps exactly, so
+        # scattering the reduced sums back is lossless
         empty = bounds[:-1] == bounds[1:]
-        red_at = np.minimum(bounds[:-1], total - 1)
+        nz = np.flatnonzero(~empty)
+        red_at = bounds[:-1][nz]
         for _ in range(max_iters):
             pside = side[pair_doc]
             d1 = np.bincount(tloc[~pside], minlength=n_terms_loc)
@@ -110,10 +113,10 @@ def bp_permutation(pair_owners: np.ndarray, pair_terms: np.ndarray,
             ins2 = _gap_cost(d2 + 1, n2) - _gap_cost(d2, n2)
             rem2 = _gap_cost(d2, n2) - _gap_cost(d2 - 1, n2)
             ins1 = _gap_cost(d1 + 1, n1) - _gap_cost(d1, n1)
-            g12 = np.add.reduceat(rem1[tloc] - ins2[tloc], red_at)
-            g21 = np.add.reduceat(rem2[tloc] - ins1[tloc], red_at)
-            g12[empty] = 0.0                       # term-less docs
-            g21[empty] = 0.0
+            g12 = np.zeros(size)                   # term-less docs: 0
+            g21 = np.zeros(size)
+            g12[nz] = np.add.reduceat(rem1[tloc] - ins2[tloc], red_at)
+            g21[nz] = np.add.reduceat(rem2[tloc] - ins1[tloc], red_at)
             gain = np.where(side, g21, g12)
             left = np.flatnonzero(~side)
             right = np.flatnonzero(side)

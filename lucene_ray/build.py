@@ -309,6 +309,8 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
             term_freq_batch(contents, token_filter=tfilt,
                             stream_filter=sfilt)
 
+    _bp_dict = None   # bp's dictionary encode, reused by the postings
+    # section below when keyword terms don't extend the token array
     if index_sort == "bp" and n_docs > 1 and len(terms_arr) > 0:
         # BP doc reordering (misc/index/BPIndexReorderer.java:94): permute
         # docs within the segment by recursive graph bisection so docs
@@ -320,10 +322,11 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
         # (it needs the doc-term graph), so the per-doc outputs are
         # permuted and pair owners remapped instead of re-tokenizing.
         from .bp import bp_permutation
-        _codes = np.asarray(pc.dictionary_encode(
+        _bp_dict = pc.dictionary_encode(
             terms_arr.combine_chunks() if hasattr(terms_arr,
                                                   "combine_chunks")
-            else terms_arr).indices, dtype=np.int64)
+            else terms_arr)
+        _codes = np.asarray(_bp_dict.indices, dtype=np.int64)
         _perm = bp_permutation(owners, _codes, n_docs)
         _inv = np.empty(n_docs, np.int64)
         _inv[_perm] = np.arange(n_docs, dtype=np.int64)
@@ -396,7 +399,8 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
     cols = {k: [] for k, _ in POSTINGS_FIELDS}
     tv_arrays = None
     if len(terms_arr) > 0:
-        dict_arr = pc.dictionary_encode(terms_arr)
+        dict_arr = _bp_dict if (_bp_dict is not None and n_kw == 0) \
+            else pc.dictionary_encode(terms_arr)
         tok_idx = np.asarray(dict_arr.indices)
         vocab = dict_arr.dictionary
         # rank terms by UTF-8 byte order (== codepoint order; Arrow string
@@ -1362,17 +1366,37 @@ def add_indexes(index_dir: str, src_dir: str,
 
 
 def _next_delete_gen(ddir: str) -> int:
-    """Next tombstone generation number: max existing + 1 across BOTH
-    hard (``gen_``) and soft (``soft_``) files — counting files (the old
-    scheme) could reuse a number after compaction cleared early
-    generations while a mid-compaction one survived."""
+    """Next tombstone generation number: max over BOTH the on-disk
+    hard (``gen_``) / soft (``soft_``) files AND the persisted
+    high-water marker. The marker keeps numbering MONOTONIC across an
+    expunge that clears every file — without it, a fresh soft
+    generation could reuse a number at or below an existing retention
+    lease's watermark and be reclaimed before its holder ever synced
+    it (counting files, the pre-r5 scheme, had the same reuse bug)."""
     nxt = 0
+    marker = os.path.join(ddir, "next_gen.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            nxt = int(json.load(f)["next"])
     for f in (os.listdir(ddir) if os.path.isdir(ddir) else []):
         stem, _, _ = f.partition(".")
         _, _, num = stem.partition("_")
         if f.endswith(".parquet") and num.isdigit():
             nxt = max(nxt, int(num) + 1)
     return nxt
+
+
+def _bump_delete_gen(ddir: str, next_gen: int) -> None:
+    """Advance the persisted generation high-water mark (monotonic)."""
+    marker = os.path.join(ddir, "next_gen.json")
+    cur = 0
+    if os.path.exists(marker):
+        with open(marker) as f:
+            cur = int(json.load(f)["next"])
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"next": max(cur, next_gen)}, f)
+    os.replace(tmp, marker)
 
 
 def _write_tombstones(index_dir: str, ids: np.ndarray, prefix: str) -> int:
@@ -1383,6 +1407,7 @@ def _write_tombstones(index_dir: str, ids: np.ndarray, prefix: str) -> int:
     pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}),
                    path + ".tmp")
     os.replace(path + ".tmp", path)
+    _bump_delete_gen(ddir, gen + 1)
     return gen
 
 
@@ -1519,6 +1544,7 @@ def _delete_docs_stream(index_dir: str, doc_ids_ds) -> int:
         n += pq.ParquetFile(src).metadata.num_rows
         os.replace(src, os.path.join(ddir, f"gen_{gen:05d}.parquet"))
         gen += 1
+    _bump_delete_gen(ddir, gen)
     shutil.rmtree(tmp, ignore_errors=True)
     return n
 

@@ -717,6 +717,11 @@ def _knn_graph_chunked(sf_dir: str, k: int) -> pa.Table:
         vid = g.column("vec_id")[0].as_py()
         nbr = g.column("nbr_id").to_numpy()
         sim = g.column("sim").to_numpy()
+        # the same-chunk partial carries a -inf self row; it must never
+        # rank (a vector with < k real neighbors would otherwise list
+        # itself, diverging from the broadcast path's kk = min(k, N-1))
+        live = nbr != vid
+        nbr, sim = nbr[live], sim[live]
         # a neighbor can appear in several pair partials → dedupe first
         nbr, first = np.unique(nbr, return_index=True)
         sim = sim[first]
@@ -1209,6 +1214,8 @@ def _classify_knn_chunked(sf_dir: str, k: int):
         nbr = g.column("nbr_id").to_numpy()
         sim = g.column("sim").to_numpy()
         labs = g.column("nbr_label").to_numpy()
+        live = nbr != vid            # never vote with the self row
+        nbr, sim, labs = nbr[live], sim[live], labs[live]
         nbr_u, first = np.unique(nbr, return_index=True)
         sel = np.lexsort((nbr_u, -sim[first]))[:k]
         lab, cnt = np.unique(labs[first][sel], return_counts=True)

@@ -6412,12 +6412,20 @@ def ft_xml_query(sf_dir: str) -> pa.Table:
 
 def oracle_xml_query_sql() -> str:
     ex = "EXISTS (SELECT 1 FROM tf x WHERE x.d = {src}.d AND x.term = '{t}')"
+    # the FILTER occur defines the match universe: a doc matching only
+    # the filter term is a HIT at score 0 (BooleanQuery with a required
+    # unscored clause), so the oracle LEFT JOINs totals from the filter
+    # set instead of selecting from totals
     q1 = f"""SELECT qid, rank, doc_id, score FROM (
   SELECT 1 AS qid, row_number() OVER (ORDER BY score DESC, d ASC) AS rank,
          d AS doc_id, score
-  FROM totals tl WHERE tl.qid = 1
-    AND {ex.format(src='tl', t='table')}
-    AND NOT {ex.format(src='tl', t='window')}
+  FROM (
+    SELECT b.d, COALESCE(tl.score, CAST(0.0 AS REAL)) AS score
+    FROM (SELECT d FROM corpus b
+          WHERE {ex.format(src='b', t='table')}
+            AND NOT {ex.format(src='b', t='window')}) b
+    LEFT JOIN totals tl ON tl.qid = 1 AND tl.d = b.d
+  )
 ) WHERE rank <= {_XML_K}"""
     # tieBreaker=0: score = float max of the clause scores
     q2 = f"""SELECT qid, rank, doc_id, score FROM (

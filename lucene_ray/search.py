@@ -2271,6 +2271,27 @@ def expand_multiterm(reader: IndexReader, c) -> list[str]:
     return t.column("term").to_pylist()
 
 
+def _all_live_docs(reader: IndexReader) -> np.ndarray:
+    """Every live docID, sorted — the MatchAllDocsQuery universe. Read
+    from docmeta, NOT arange(doc_count): docIDs are never renumbered, so
+    after an expunge compaction (or upsert + expunge) doc_count
+    understates maxDoc and the id space has holes. Cached per reader
+    (a reader pins one commit)."""
+    cached = getattr(reader, "_all_docs_cache", None)
+    if cached is not None:
+        return cached
+    dm_dir = os.path.join(reader.index_dir, "docmeta")
+    parts = [pq.read_table(os.path.join(dm_dir, f),
+                           columns=["doc_id"]).column("doc_id").to_numpy()
+             for f in sorted(os.listdir(dm_dir)) if f.endswith(".parquet")]
+    d = np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    lm = reader.live_mask(d)
+    if lm is not None:
+        d = d[lm]
+    reader._all_docs_cache = d
+    return d
+
+
 def _eval_parsed(reader: IndexReader, pq_) -> tuple[np.ndarray, np.ndarray]:
     """Evaluate a ParsedQuery with full BooleanQuery semantics
     (search/BooleanQuery.java:40, BooleanWeight): MUST scores+filters,
@@ -2302,12 +2323,8 @@ def _eval_parsed(reader: IndexReader, pq_) -> tuple[np.ndarray, np.ndarray]:
             return d, (s * np.float32(c.boost)).astype(np.float32)
         if c.kind == "matchall":
             # MatchAllDocsQuery (search/MatchAllDocsQuery.java:27): every
-            # live doc at constant score boost·1f (docIDs are contiguous
-            # 0..maxDoc, the key/arrival assignment invariant)
-            d = np.arange(reader.doc_count, dtype=np.int64)
-            lm = reader.live_mask(d)
-            if lm is not None:
-                d = d[lm]
+            # live doc at constant score boost·1f
+            d = _all_live_docs(reader)
             return d, np.full(len(d), np.float32(c.boost), np.float32)
         if c.kind == "const":
             # ConstantScoreQuery (search/ConstantScoreQuery.java:33):

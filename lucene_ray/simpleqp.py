@@ -273,9 +273,10 @@ def eval_docs(reader, node) -> np.ndarray:
     if kind == "none":
         return np.empty(0, np.int64)
     if kind == "all":
-        d = np.arange(reader.doc_count, dtype=np.int64)
-        lm = reader.live_mask(d)
-        return d[lm] if lm is not None else d
+        # docmeta-derived universe (doc_count understates maxDoc after
+        # an expunge; ids are never renumbered — search._all_live_docs)
+        from .search import _all_live_docs
+        return _all_live_docs(reader)
     if kind == "term":
         p = reader.postings(node[1])
         if p is None:

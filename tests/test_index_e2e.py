@@ -1854,6 +1854,67 @@ def test_soft_deletes_retention(tmp_path_factory, ray_session):
     assert verify_index(src)["ok"]
 
 
+def test_delete_gen_monotonic_after_expunge(tmp_path_factory, ray_session):
+    """Review fix: generation numbering must NEVER restart after an
+    expunge empties deletes/ — a reused number at or below a lease
+    watermark would let the next expunge reclaim docs the lease holder
+    has not synced."""
+    from lucene_ray.build import compact_index, soft_delete_docs
+    from lucene_ray.state.retention import (acquire_retention_lease,
+                                            latest_soft_gen)
+
+    base = tmp_path_factory.mktemp("genmono")
+    c = str(base / "c")
+    os.makedirs(c)
+    pq.write_table(generate_corpus(120, seed=33), f"{c}/a.parquet")
+    d = str(base / "i")
+    build_index(c, d, num_buckets=2, term_parts=4, salt_group=1)
+    n0 = IndexReader(d).doc_count
+
+    g1 = soft_delete_docs(d, [1, 2])
+    acquire_retention_lease(d, "rep", g1)        # holder synced gen g1
+    m1 = compact_index(d, expunge_deletes=True)  # reclaims gen g1
+    assert m1.doc_count == n0 - 2
+    assert latest_soft_gen(d) == -1              # deletes/ now empty
+
+    g2 = soft_delete_docs(d, [3, 4])
+    assert g2 > g1                               # monotonic, NOT reused
+    # lease still at g1 < g2: expunge must RETAIN the new generation
+    m2 = compact_index(d, expunge_deletes=True)
+    assert m2.doc_count == n0 - 2                # docs 3,4 still physical
+    r = IndexReader(d)
+    assert sorted(r.deleted.tolist()) == [3, 4]  # still hidden
+    acquire_retention_lease(d, "rep", g2)
+    m3 = compact_index(d, expunge_deletes=True)
+    assert m3.doc_count == n0 - 4                # reclaimed after ack
+
+
+def test_matchall_universe_after_expunge(tmp_path_factory, ray_session):
+    """Review fix: MatchAllDocsQuery (and simple-parser 'all') must
+    enumerate docmeta's live docIDs, not arange(doc_count) — after an
+    expunge the id space has holes and doc_count understates maxDoc."""
+    from lucene_ray.build import compact_index, delete_docs
+    from lucene_ray.search import search_xml
+    from lucene_ray.simpleqp import eval_docs
+
+    base = tmp_path_factory.mktemp("mauniv")
+    c = str(base / "c")
+    os.makedirs(c)
+    pq.write_table(generate_corpus(60, seed=34), f"{c}/a.parquet")
+    d = str(base / "i")
+    build_index(c, d, num_buckets=2, term_parts=4, salt_group=1)
+    delete_docs(d, list(range(0, 10)))           # low ids: makes holes
+    compact_index(d, expunge_deletes=True)
+    r = IndexReader(d)
+    want = np.sort(pq.read_table(
+        os.path.join(d, "docmeta"),
+        columns=["doc_id"]).column("doc_id").to_numpy())
+    assert want.max() >= r.doc_count             # the hole exists
+    got = search_xml(r, "<MatchAllDocsQuery/>", 10_000)
+    np.testing.assert_array_equal(np.sort(got.doc_ids), want)
+    np.testing.assert_array_equal(eval_docs(r, ("all",)), want)
+
+
 def test_replication_of_pinned_snapshot(tmp_path_factory, ray_session):
     """Replicating a pinned snapshot ships the commit AND only the
     tombstone generations visible at snapshot time — a delete made

@@ -321,6 +321,36 @@ def test_knn_graph_chunked_equals_broadcast(ray_session):
     assert a.equals(b)
 
 
+def test_knn_chunked_no_self_when_fewer_than_k(ray_session, tmp_path):
+    """Review fix: with n-1 < k, the chunk-pair path's -inf self row
+    must never surface as a neighbor (the broadcast path caps
+    kk = min(k, N-1)); the vote must not include the self label."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from lucene_ray.pipelines.ann import classify_knn, knn_graph
+
+    sf = str(tmp_path)
+    embs = [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]]
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(embs, pa.list_(pa.float32())),
+        "label": pa.array([0, 1, 1], pa.int32())}),
+        f"{sf}/embeddings.parquet")
+    g = knn_graph(sf, k=5, broadcast_cap=0).to_pandas()
+    assert (g.vec_id != g.nbr_id).all()
+    assert sorted(g.groupby("vec_id").size()) == [2, 2, 2]   # N-1 each
+    a = knn_graph(sf, k=5).to_pandas().sort_values(
+        ["vec_id", "rank"]).reset_index(drop=True)
+    b = knn_graph(sf, k=5, broadcast_cap=0).to_pandas().sort_values(
+        ["vec_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+    va = classify_knn(sf, k=5).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    vb = classify_knn(sf, k=5, broadcast_cap=0).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert va.equals(vb)
+
+
 def test_classify_knn_chunked_equals_broadcast(ray_session):
     from lucene_ray.pipelines.ann import classify_knn
 
