@@ -10,8 +10,13 @@ with the stdlib + numpy, so the decode stage can be REAL for them:
   + per-row filter reconstruction (filters 0-4; None/Sub/Up vectorized,
   Average/Paeth scalar along x as the spec's left-dependency requires).
 
-JPEG and video stay behind ``NotImplementedError`` (an honest gap: a DCT
-entropy decoder is out of scope). ``sniff`` routes by magic bytes.
+- **JPEG** (baseline SOF0, 4:4:4/4:2:0/grayscale, restart markers) via
+  :mod:`lucene_ray.jpeg` — a from-the-spec pure-numpy codec; only
+  progressive/arithmetic/12-bit stay behind ``NotImplementedError``.
+
+Real video codecs stay out of scope (an honest gap — H.26x entropy +
+motion compensation has no stdlib path); the MJB container below covers
+the frame-seek pipeline shape. ``sniff`` routes by magic bytes.
 """
 
 from __future__ import annotations
@@ -207,6 +212,9 @@ def decode_any(payload: bytes) -> tuple[str, "np.ndarray | None",
         return kind, decode_bmp(payload), None
     if kind == "image/png":
         return kind, decode_png(payload), None
+    if kind == "image/jpeg":
+        from .jpeg import decode_jpeg
+        return kind, decode_jpeg(payload), None
     if kind == "audio/wav":
         return kind, None, decode_wav(payload)
     raise NotImplementedError(f"no decoder for {kind}")

@@ -28,8 +28,9 @@ _N_THUMB = THUMB_W * THUMB_H
 
 def synth_media_dataset(sf_dir: str, n: int = 200):
     """Deterministic synthetic media table with REAL encoded payloads
-    (PNG / BMP / WAV / MJB-video round-robin) — stands in for a media
-    lake partition; every byte decodes through the actual codecs."""
+    (PNG / JPEG / BMP / WAV / MJB-video mix) — stands in for a media
+    lake partition; every byte decodes through the actual codecs,
+    including the baseline JPEG entropy decoder (lucene_ray.jpeg)."""
     import ray.data
 
     def gen(batch: pa.Table) -> pa.Table:
@@ -41,8 +42,13 @@ def synth_media_dataset(sf_dir: str, n: int = 200):
             if m == 0:
                 w, h = int(r.integers(16, 64)), int(r.integers(16, 64))
                 img = r.integers(0, 256, (h, w, 3), dtype=np.uint8)
-                payloads.append(encode_png(img))
-                kinds.append("image/png")
+                if (int(i) // 4) % 2:       # alternate real formats
+                    from ..jpeg import encode_jpeg
+                    payloads.append(encode_jpeg(img, quality=90))
+                    kinds.append("image/jpeg")
+                else:
+                    payloads.append(encode_png(img))
+                    kinds.append("image/png")
             elif m == 1:
                 w, h = int(r.integers(16, 64)), int(r.integers(16, 64))
                 img = r.integers(0, 256, (h, w, 3), dtype=np.uint8)
@@ -77,10 +83,11 @@ def synth_media_dataset(sf_dir: str, n: int = 200):
 
 
 class MediaDecoder:
-    """Actor-pool decode/feature stage: real BMP/PNG/WAV decoding
-    (lucene_ray.media), block-mean thumbnails for images, envelope +
-    rms/zero-crossings for audio. Unsupported codecs (JPEG, video) raise
-    unless ``skip_undecodable`` — the honest degradation mode."""
+    """Actor-pool decode/feature stage: real BMP/PNG/JPEG/WAV decoding
+    (lucene_ray.media, lucene_ray.jpeg), block-mean thumbnails for
+    images, envelope + rms/zero-crossings for audio. Unsupported codecs
+    (progressive JPEG, real video) raise unless ``skip_undecodable`` —
+    the honest degradation mode."""
 
     def __init__(self, skip_undecodable: bool = False):
         self.skip_undecodable = skip_undecodable

@@ -113,8 +113,16 @@ def test_media_codecs_roundtrip():
            + chunk(b"IEND", b""))
     np.testing.assert_array_equal(decode_png(png), img2)
     assert sniff(b"\xff\xd8\xff\xe0rest") == "image/jpeg"
-    with pytest.raises(NotImplementedError):
-        decode_any(b"\xff\xd8\xff\xe0rest")
+    # JPEG decodes for real now (lucene_ray.jpeg baseline codec); only
+    # non-baseline modes keep the honest fence (tests/test_jpeg.py)
+    from lucene_ray.jpeg import encode_jpeg
+    kind, jimg, _ = decode_any(encode_jpeg(img, quality=92,
+                                           subsample=False))
+    assert kind == "image/jpeg" and jimg.shape == img.shape
+    assert np.sqrt(np.mean((jimg.astype(float)
+                            - img.astype(float)) ** 2)) < 12.0
+    with pytest.raises(ValueError):
+        decode_any(b"\xff\xd8\xff\xe0rest")   # truncated: no SOS
 
 
 def test_media_decoder_actor_semantics(ray_session):
