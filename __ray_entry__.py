@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_geo3d_bbox": ft.ft_geo3d_bbox,
         "ft_geo3d_polygon": ft.ft_geo3d_polygon,
         "ft_geo3d_path": ft.ft_geo3d_path,
+        "ft_edge_ngram": ft.ft_edge_ngram,
+        "ft_ngram": ft.ft_ngram,
         "ann_pq_topk": _lazy("ann", "ann_pq_topk"),
         "graph_pagerank": _lazy("ann", "graph_pagerank"),
         "ann_ivfpq_topk": _lazy("ann", "ann_ivfpq_topk"),
@@ -343,6 +345,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_geo3d_bbox": ft.oracle_geo3d_bbox_sql(),
         "ft_geo3d_polygon": ft.oracle_geo3d_polygon_sql(),
         "ft_geo3d_path": ft.oracle_geo3d_path_sql(),
+        "ft_edge_ngram": ft.oracle_edge_ngram_sql(),
+        "ft_ngram": ft.oracle_ngram_sql(),
         "ft_combined_field": ft.oracle_combined_field_sql(),
         "ft_synonym_graph": ft.oracle_synonym_graph_sql(),
         "ft_spell": ft.oracle_spell_sql(),

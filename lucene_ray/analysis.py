@@ -592,7 +592,40 @@ def cjk_bigram_stream(toks: list[str]) -> list[str]:
     return out
 
 
-STREAM_FILTERS = {"cjk": cjk_bigram_stream}
+EDGE_NGRAM_MIN, EDGE_NGRAM_MAX = 2, 5
+NGRAM_MIN, NGRAM_MAX = 2, 3
+
+
+def edge_ngram_stream(toks: list[str]) -> list[str]:
+    """EdgeNGramTokenFilter role (analysis/ngram/
+    EdgeNGramTokenFilter.java:37): each token emits its front grams of
+    sizes [min, min(max, len)]; tokens shorter than minGram emit nothing
+    (preserveOriginal=False). Sizes 2..5 here (the autocomplete-useful
+    range; the reference's 1/1 defaults are ctor params there too).
+    Grams emit as a flat stream — phrase positions are gram-sequential,
+    the pre-graph stream behavior."""
+    return [t[:g] for t in toks
+            for g in range(EDGE_NGRAM_MIN,
+                           min(EDGE_NGRAM_MAX, len(t)) + 1)]
+
+
+def ngram_stream(toks: list[str]) -> list[str]:
+    """NGramTokenFilter role (analysis/ngram/NGramTokenFilter.java:33):
+    ALL grams of sizes [min, max] at every offset (sizes 2..3 here; the
+    reference defaults to 1..2)."""
+    return [t[s:s + g] for t in toks
+            for g in range(NGRAM_MIN, NGRAM_MAX + 1)
+            for s in range(0, len(t) - g + 1)]
+
+
+# the CJK chain only rewrites Han tokens, so pure-ASCII docs pass it
+# unchanged — term_freq_batch's ASCII fast path may skip it. The n-gram
+# filters rewrite EVERY token and must run on the fast path too.
+cjk_bigram_stream.ascii_transparent = True
+
+STREAM_FILTERS = {"cjk": cjk_bigram_stream,
+                  "edge_ngram": edge_ngram_stream,
+                  "ngram": ngram_stream}
 
 
 def get_stream_filter(name: "str | None"):
@@ -665,10 +698,13 @@ def term_freq_batch(texts: list[str],
                 if _overlong_re(max_token_length).search(low) is None:
                     toks = [t for t in _ASCII_WORD.findall(low)
                             if t.strip("_")]
+                    if stream_filter is not None and not getattr(
+                            stream_filter, "ascii_transparent", False):
+                        toks = stream_filter(toks)
             if toks is None:
                 toks = tokenize(text, max_token_length)
                 if stream_filter is not None:   # CJK etc. — needs adjacency
-                    toks = stream_filter(toks)  # (ASCII docs can't match)
+                    toks = stream_filter(toks)
             if not toks:
                 continue
             posmap: dict[str, list[int]] = {}
@@ -721,11 +757,16 @@ def term_freq_batch(texts: list[str],
         if text.isascii():
             toks = _ASCII_WORD.findall(text.lower())  # may contain "_"-only
             fast[d] = True
+            if stream_filter is not None and not getattr(
+                    stream_filter, "ascii_transparent", False):
+                # total rewriters (n-grams) run here too; the CJK chain
+                # is ascii_transparent and keeps the fast path free
+                toks = stream_filter(toks)
         else:
             toks = tokenize(text, max_token_length)
-            if stream_filter is not None:       # CJK etc. — adjacency-aware;
-                toks = stream_filter(toks)      # ASCII docs can't match, so
-        counts[d] = len(toks)                   # the fast path stays free
+            if stream_filter is not None:       # CJK etc. — adjacency-aware
+                toks = stream_filter(toks)
+        counts[d] = len(toks)
         flat.extend(toks)
     if not flat:
         norms = int_to_byte4(lengths.astype(np.int64))

@@ -3824,6 +3824,140 @@ FROM terms GROUP BY term
 ORDER BY df DESC, term LIMIT {_WDGF_TOP}"""
 
 
+_NGRAM_TOP = 60
+
+
+def _gram_stats(sf_dir: str, vocab_grams) -> pa.Table:
+    """Shared n-gram df/ttf aggregation: per batch, grams are derived at
+    the VOCABULARY level (Heaps-small) and exploded back over the token
+    stream with one offsets-gather; per-doc uniqueness via one np.unique
+    over packed (doc, gramID) keys — no per-token Python in the counting
+    path. Partials groupby-sum like the other term-stats entries."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        owners, words = [], []
+        for di, tx in enumerate(texts):
+            for w in (tx or "").split(" "):
+                if w:
+                    owners.append(di)
+                    words.append(w)
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()),
+                          "ttf": pa.array([], pa.int64())})
+        if not words:
+            return empty
+        import pyarrow.compute as pc
+        d = pc.dictionary_encode(pa.array(words, pa.string()))
+        codes = np.asarray(d.indices, dtype=np.int64)
+        gdict: dict[str, int] = {}
+        per_vocab: list[list[int]] = []
+        for w in d.dictionary.to_pylist():
+            per_vocab.append([gdict.setdefault(t, len(gdict))
+                              for t in vocab_grams(w)])
+        if not gdict:
+            return empty
+        counts = np.array([len(x) for x in per_vocab], dtype=np.int64)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        flat = np.fromiter((g for ids in per_vocab for g in ids),
+                           dtype=np.int64, count=int(counts.sum()))
+        reps = counts[codes]
+        total = int(reps.sum())
+        gather = np.repeat(
+            starts[codes] - np.concatenate([[0], np.cumsum(reps)[:-1]]),
+            reps) + np.arange(total, dtype=np.int64)
+        gid = flat[gather]
+        own = np.repeat(np.array(owners, dtype=np.int64), reps)
+        nv = len(gdict)
+        pairs, tf = np.unique(own * nv + gid, return_counts=True)
+        pg = pairs % nv
+        df = np.bincount(pg, minlength=nv)
+        ttf = np.zeros(nv, dtype=np.int64)
+        np.add.at(ttf, pg, tf)
+        names = list(gdict)                   # insertion order == id
+        return pa.table({"term": pa.array(names, pa.string()),
+                         "df": pa.array(df, pa.int64()),
+                         "ttf": pa.array(ttf, pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("term")
+           .aggregate(Sum("df", alias_name="df"),
+                      Sum("ttf", alias_name="ttf"))
+           .to_pandas())
+    agg = agg.sort_values(["df", "term"],
+                          ascending=[False, True]).head(_NGRAM_TOP)
+    return pa.table({"term": pa.array(agg["term"], pa.string()),
+                     "df": pa.array(agg["df"].astype(np.int64)),
+                     "ttf": pa.array(agg["ttf"].astype(np.int64))})
+
+
+def ft_edge_ngram(sf_dir: str) -> pa.Table:
+    """EdgeNGramTokenFilter (analysis/ngram/EdgeNGramTokenFilter.java:37,
+    the autocomplete filter): per-gram (df, ttf) over the documents
+    table for front grams of sizes 2..5, top-60 by (df desc, term)."""
+    from ..analysis import EDGE_NGRAM_MAX, EDGE_NGRAM_MIN
+
+    def grams(w: str) -> list[str]:
+        return [w[:g] for g in range(EDGE_NGRAM_MIN,
+                                     min(EDGE_NGRAM_MAX, len(w)) + 1)]
+    return _gram_stats(sf_dir, grams)
+
+
+def ft_ngram(sf_dir: str) -> pa.Table:
+    """NGramTokenFilter (analysis/ngram/NGramTokenFilter.java:33): all
+    grams of sizes 2..3 at every offset, per-gram (df, ttf), top-60."""
+    from ..analysis import NGRAM_MAX, NGRAM_MIN
+
+    def grams(w: str) -> list[str]:
+        return [w[s:s + g] for g in range(NGRAM_MIN, NGRAM_MAX + 1)
+                for s in range(0, len(w) - g + 1)]
+    return _gram_stats(sf_dir, grams)
+
+
+def oracle_edge_ngram_sql() -> str:
+    from ..analysis import EDGE_NGRAM_MAX, EDGE_NGRAM_MIN
+    sizes = ", ".join(f"({g})" for g in range(EDGE_NGRAM_MIN,
+                                              EDGE_NGRAM_MAX + 1))
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+grams AS (
+  SELECT d, substr(word, 1, g) AS term
+  FROM w CROSS JOIN (VALUES {sizes}) gs(g)
+  WHERE word <> '' AND length(word) >= g
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df, count(*) AS ttf
+FROM grams GROUP BY term
+ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_ngram_sql() -> str:
+    from ..analysis import NGRAM_MAX, NGRAM_MIN
+    sizes = ", ".join(f"({g})" for g in range(NGRAM_MIN, NGRAM_MAX + 1))
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+grams AS (
+  SELECT d, substr(word, CAST(s AS INT), g) AS term
+  FROM (
+    SELECT d, word, g,
+           unnest(generate_series(1, length(word) - g + 1)) AS s
+    FROM w CROSS JOIN (VALUES {sizes}) gs(g)
+    WHERE word <> '' AND length(word) >= g
+  )
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df, count(*) AS ttf
+FROM grams GROUP BY term
+ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
 # ---------------------------------------------------------------------------
 # ICU folding (ICUFoldingFilter)
 

@@ -376,3 +376,37 @@ def test_soundex_commons_codec_vectors():
     assert soundex("") == ""
     assert soundex("123") == ""
     assert soundex("o'Brien") == soundex("OBrien")
+
+
+def test_ngram_stream_filters(tmp_path, ray_session):
+    """EdgeNGram/NGram token filters (analysis/ngram/
+    EdgeNGramTokenFilter.java:37, NGramTokenFilter.java:33): gram
+    goldens, and the registered analyzers build a searchable index whose
+    vocabulary is the gram set."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_ray.analysis import edge_ngram_stream, ngram_stream
+
+    assert edge_ngram_stream(["spark"]) == ["sp", "spa", "spar", "spark"]
+    assert edge_ngram_stream(["ab"]) == ["ab"]
+    assert edge_ngram_stream(["a"]) == []           # below minGram
+    assert edge_ngram_stream(["sparkles"])[-1] == "spark"   # cap at 5
+    assert ngram_stream(["abcd"]) == ["ab", "bc", "cd", "abc", "bcd"]
+    assert ngram_stream(["a"]) == []
+
+    from lucene_ray.api import Index
+    from lucene_ray.corpus import generate_corpus
+    from lucene_ray.search import IndexReader, termdict_scan
+    import os
+    c = tmp_path / "c"
+    os.makedirs(c)
+    pq.write_table(generate_corpus(80, seed=41), str(c / "a.parquet"))
+    idx = Index.build(str(c), str(tmp_path / "i"), analyzer="edge_ngram")
+    r = idx.reader
+    terms = [t for t in termdict_scan(r).column("term").to_pylist()
+             if ":" not in t]
+    assert terms and all(2 <= len(t) <= 5 for t in terms)
+    # a 2-char prefix gram of a frequent word must be searchable
+    hits = idx.search(terms[0], 5)
+    assert len(hits) > 0
