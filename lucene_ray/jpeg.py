@@ -303,8 +303,16 @@ def encode_jpeg(img: np.ndarray, quality: int = 85,
         ycc = _rgb_to_ycbcr(img)
         y = ycc[..., 0]
         cb, cr = ycc[..., 1], ycc[..., 2]
-        if subsample:
-            # pad to even then 2x2 box average
+        if subsample == "422":
+            # horizontal-only chroma subsampling (Y 2x1 per MCU)
+            pw = -(-w // 2) * 2
+            def ds(p):
+                p = np.pad(p, ((0, 0), (0, pw - w)), mode="edge")
+                return 0.5 * (p[:, 0::2] + p[:, 1::2])
+            planes = [y, ds(cb), ds(cr)]
+            samp = [(2, 1), (1, 1), (1, 1)]
+        elif subsample:
+            # 4:2:0 — pad to even then 2x2 box average
             ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
             def ds(p):
                 p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
@@ -523,6 +531,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             pos += 1
             continue
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG (dangling 0xFF)")
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -549,6 +559,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(body[i + 1: i + 17])
                 n = sum(bits)
                 vals = list(body[i + 17: i + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    raise ValueError("truncated DHT segment")
                 huff[(cls, tid)] = _HuffTable(bits, vals)
                 i += 17 + n
         elif marker == 0xC0:                     # SOF0 baseline

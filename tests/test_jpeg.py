@@ -3,6 +3,7 @@ sampling modes / qualities / shapes, restart-marker bit-exactness,
 optimized-Huffman validity, spec fences, and the media-pipeline flow."""
 
 import numpy as np
+from struct import error as struct_error
 import pytest
 
 from lucene_ray.jpeg import (_build_huffman, _codes_from_table,
@@ -112,3 +113,34 @@ def test_media_pipeline_decodes_jpeg(ray_session):
     assert jp["width"].notna().all() and jp["mean_intensity"].between(
         0, 1).all()
     assert len(out) == 200                     # row count unchanged
+
+
+def test_422_sampling_and_decode_robustness():
+    """4:2:2 (horizontal-only chroma) exercises the decoder's generic
+    sampling-grid path; truncated/garbled streams must raise cleanly
+    (never hang) on a spread of cut points."""
+    img = _smooth(30, 44, seed=11)
+    enc = encode_jpeg(img, quality=85, subsample="422")
+    dec = decode_jpeg(enc)
+    rmse = np.sqrt(np.mean((dec.astype(float) - img.astype(float)) ** 2))
+    assert dec.shape == img.shape and rmse < 10.0, rmse
+    # 4:2:2 quality sits between 4:4:4 and 4:2:0 in bytes
+    assert len(encode_jpeg(img, 85, subsample=False)) \
+        >= len(enc) >= len(encode_jpeg(img, 85, subsample=True))
+    full = encode_jpeg(img, quality=85)
+    for cut in (3, 20, len(full) // 2, len(full) - 3):
+        try:
+            out = decode_jpeg(full[:cut])
+            assert out.shape[2] == 3          # decoded-with-garbage ok
+        except (ValueError, NotImplementedError, struct_error):
+            pass                              # clean refusal ok
+    rng = np.random.default_rng(5)
+    for _ in range(20):                       # garbled tail never hangs
+        bad = bytearray(full)
+        for i in rng.integers(2, len(bad), 8):
+            bad[i] = int(rng.integers(0, 256))
+        try:
+            decode_jpeg(bytes(bad))
+        except (ValueError, NotImplementedError, KeyError,
+                struct_error, IndexError):
+            pass
