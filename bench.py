@@ -378,16 +378,9 @@ def run_curate() -> dict:
                                              1)
     # measure the COLD build: a prior run's persisted PQ index (and the
     # in-process memo) would otherwise make this a 0-second cache hit
-    import hashlib as _h
     import shutil as _sh
-    from lucene_ray.pipelines.ann import (PQ_ITERS, PQ_KSUB, PQ_M,
-                                          _PQ_CACHE, _emb_path)
-    emb = _emb_path(d)
-    tag = _h.sha256(
-        f"{emb}:{os.path.getsize(emb)}:{PQ_M}:{PQ_KSUB}:{PQ_ITERS}:pq-v1"
-        .encode()).hexdigest()[:12]
-    _sh.rmtree(os.path.join("/tmp", "lucene_ray_indexes", "pq_" + tag),
-               ignore_errors=True)
+    from lucene_ray.pipelines.ann import _PQ_CACHE, pq_index_path
+    _sh.rmtree(pq_index_path(d), ignore_errors=True)
     _PQ_CACHE.clear()
     t8 = time.time()
     _pq_dir(d)                      # train codebooks + encode all codes

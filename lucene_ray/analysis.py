@@ -705,6 +705,12 @@ def term_freq_batch(texts: list[str],
                 toks = tokenize(text, max_token_length)
                 if stream_filter is not None:   # CJK etc. — needs adjacency
                     toks = stream_filter(toks)
+            # post-filter no-core drop: a rewriting stream filter can
+            # MINT pure-underscore grams (e.g. "a__b" → "__") that the
+            # vectorized path drops at the vocabulary level — both paths
+            # must emit identical tokens and field lengths
+            if stream_filter is not None:
+                toks = [t for t in toks if t.strip("_")]
             if not toks:
                 continue
             posmap: dict[str, list[int]] = {}
@@ -754,13 +760,20 @@ def term_freq_batch(texts: list[str],
     for d, text in enumerate(texts):
         if not text:
             continue
-        if text.isascii():
+        rewriter = stream_filter is not None and not getattr(
+            stream_filter, "ascii_transparent", False)
+        if text.isascii() and not (
+                rewriter
+                and _overlong_re(max_token_length).search(text.lower())):
             toks = _ASCII_WORD.findall(text.lower())  # may contain "_"-only
             fast[d] = True
-            if stream_filter is not None and not getattr(
-                    stream_filter, "ascii_transparent", False):
+            if rewriter:
                 # total rewriters (n-grams) run here too; the CJK chain
-                # is ascii_transparent and keeps the fast path free
+                # is ascii_transparent and keeps the fast path free.
+                # Overlong ASCII docs took the exact branch instead: the
+                # post-hoc overlong reroute can't detect an overlong
+                # ORIGIN once only short grams remain, so split-then-
+                # gram must be decided before gramming.
                 toks = stream_filter(toks)
         else:
             toks = tokenize(text, max_token_length)

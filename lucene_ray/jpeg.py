@@ -127,15 +127,6 @@ def _dequant_idct(zz: np.ndarray, qtab: np.ndarray) -> np.ndarray:
     return np.einsum("ji,njk,kl->nil", _D, coef, _D) + 128.0
 
 
-def _csize(v: np.ndarray) -> np.ndarray:
-    """JPEG magnitude category: bit length of |v| (0 for 0)."""
-    out = np.zeros(v.shape, dtype=np.int64)
-    a = np.abs(v)
-    nz = a > 0
-    out[nz] = np.floor(np.log2(a[nz])).astype(np.int64) + 1
-    return out
-
-
 class _BitWriter:
     def __init__(self):
         self.buf = bytearray()
@@ -260,8 +251,9 @@ def _component_symbols(zz: np.ndarray, reset_every: int = 0
     dcf: dict[int, int] = {}
     acf: dict[int, int] = {}
     for bi in range(len(zz)):
-        s = int(_csize(np.array([diff[bi]]))[0])
-        seq.append(("dc", s, int(diff[bi])))
+        dv = int(diff[bi])
+        s = abs(dv).bit_length()       # the JPEG magnitude category
+        seq.append(("dc", s, dv))
         dcf[s] = dcf.get(s, 0) + 1
         row = zz[bi]
         nz = np.flatnonzero(row[1:]) + 1
@@ -273,7 +265,7 @@ def _component_symbols(zz: np.ndarray, reset_every: int = 0
                 acf[0xF0] = acf.get(0xF0, 0) + 1
                 run -= 16
             v = int(row[pos])
-            s = int(_csize(np.array([v]))[0])
+            s = abs(v).bit_length()
             sym = (run << 4) | s
             seq.append(("ac", sym, v))
             acf[sym] = acf.get(sym, 0) + 1
@@ -455,10 +447,6 @@ class _BitReader:
             self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
             self.nbits += 8
 
-    def peek16(self) -> int:
-        self._fill()
-        return (self.acc >> (self.nbits - 16)) & 0xFFFF
-
     def skip(self, n: int) -> None:
         self.nbits -= n
         self.acc &= (1 << self.nbits) - 1
@@ -484,7 +472,9 @@ class _BitReader:
 
 
 class _HuffTable:
-    """DHT → fast (maxlen-peek) decode table."""
+    """DHT → canonical decode table: bit-serial walk down the code
+    lengths, each length checked against its canonical [first, last)
+    code range (spec F.2.2.3 DECODE procedure)."""
 
     def __init__(self, bits: list[int], vals: list[int]):
         self.lookup: dict[tuple[int, int], int] = {}
@@ -517,8 +507,23 @@ def _extend(v: int, s: int) -> int:
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline decoder → uint8 (h, w, 3) RGB (grayscale replicated).
     Supports SOF0, 8-bit, 1 or 3 components with 4:4:4 / 4:2:0 / 4:2:2
-    sampling, DRI/RSTn restarts. Progressive/arithmetic/12-bit raise
-    NotImplementedError."""
+    sampling, DRI/RSTn restarts.
+
+    Exception contract: corrupt/truncated/malformed input raises
+    ``ValueError`` (whatever the internal failure mode); genuinely
+    unsupported modes (progressive/arithmetic/12-bit) raise
+    ``NotImplementedError`` — callers like MediaDecoder's degradation
+    mode can rely on exactly these two."""
+    try:
+        return _decode_jpeg(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except Exception as ex:
+        raise ValueError(f"corrupt JPEG ({type(ex).__name__}: {ex})") \
+            from ex
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
@@ -580,6 +585,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:                     # DRI
             restart = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:                     # SOS
+            if comps is None:
+                raise ValueError("SOS before SOF0 (no frame header)")
+            if any(c["h"] < 1 or c["v"] < 1 for c in comps):
+                raise ValueError("zero sampling factor in SOF0")
             ns = body[0]
             for si in range(ns):
                 cid, tabs = body[1 + 2 * si], body[2 + 2 * si]

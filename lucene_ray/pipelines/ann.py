@@ -1406,6 +1406,19 @@ def _pq_codebooks(sf_dir: str, m: int, ksub: int,
     return c
 
 
+def pq_index_path(sf_dir: str, m: int = PQ_M, ksub: int = PQ_KSUB,
+                  iters: int = PQ_ITERS) -> str:
+    """Deterministic on-disk location of the persisted PQ index for this
+    embeddings table + hyperparameters — the ONE place the cache tag is
+    derived (bench.py wipes this path to measure a cold build)."""
+    import hashlib as _h
+
+    emb = _emb_path(os.path.abspath(sf_dir))
+    tag = _h.sha256(f"{emb}:{os.path.getsize(emb)}:{m}:{ksub}:{iters}:pq-v1"
+                    .encode()).hexdigest()[:12]
+    return os.path.join("/tmp", "lucene_ray_indexes", "pq_" + tag)
+
+
 def _pq_dir(sf_dir: str, m: int = PQ_M, ksub: int = PQ_KSUB,
             iters: int = PQ_ITERS) -> str:
     """Train the codebooks and persist the PQ index once per sf dir:
@@ -1420,10 +1433,7 @@ def _pq_dir(sf_dir: str, m: int = PQ_M, ksub: int = PQ_KSUB,
     key = f"{sf_dir}:{m}:{ksub}:{iters}"
     if key in _PQ_CACHE:
         return _PQ_CACHE[key]
-    emb = _emb_path(sf_dir)
-    tag = _h.sha256(f"{emb}:{os.path.getsize(emb)}:{m}:{ksub}:{iters}:pq-v1"
-                    .encode()).hexdigest()[:12]
-    out = os.path.join("/tmp", "lucene_ray_indexes", "pq_" + tag)
+    out = pq_index_path(sf_dir, m, ksub, iters)
     done = os.path.join(out, "codebooks.npy")
     if not os.path.exists(done):
         os.makedirs(out, exist_ok=True)

@@ -118,7 +118,11 @@ class MediaDecoder:
                 continue
             try:
                 kind, img, audio = decode_any(payload)
-            except NotImplementedError:
+            except (NotImplementedError, ValueError):
+                # NotImplementedError = unsupported codec/mode;
+                # ValueError = corrupt payload (decode_jpeg's contract
+                # maps every internal failure to it) — degradation mode
+                # skips both instead of killing the actor
                 if self.skip_undecodable:
                     continue
                 raise
