@@ -1433,6 +1433,7 @@ def _pq_dir(sf_dir: str, m: int = PQ_M, ksub: int = PQ_KSUB,
     key = f"{sf_dir}:{m}:{ksub}:{iters}"
     if key in _PQ_CACHE:
         return _PQ_CACHE[key]
+    emb = _emb_path(sf_dir)
     out = pq_index_path(sf_dir, m, ksub, iters)
     done = os.path.join(out, "codebooks.npy")
     if not os.path.exists(done):
