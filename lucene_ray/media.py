@@ -1,22 +1,29 @@
 """Pure-Python/numpy media codecs for the multimodal pipeline.
 
-No PIL/ffmpeg in this environment, but three formats are fully decodable
-with the stdlib + numpy, so the decode stage can be REAL for them:
+No PIL/ffmpeg in this environment, but the decode stage is REAL for the
+formats below — every payload in the synthetic lake decodes through a
+from-the-spec codec:
 
 - **BMP** (24-bit uncompressed): struct headers + BGR rows, 4-byte row
   padding.
-- **WAV** (PCM16 mono/stereo): RIFF chunks + int16 samples.
+- **WAV** (PCM16 mono/stereo + G.711 mu-law/A-law): RIFF chunks;
+  G.711 expands through the CCITT 256-entry tables.
 - **PNG** (8-bit RGB/RGBA, non-interlaced): chunk parsing + stdlib zlib
   + per-row filter reconstruction (filters 0-4; None/Sub/Up vectorized,
   Average/Paeth scalar along x as the spec's left-dependency requires).
+- **JPEG** (baseline SOF0, 4:4:4/4:2:2/4:2:0/grayscale, restart
+  markers) via :mod:`lucene_ray.jpeg` — a from-the-spec pure-numpy
+  codec; only progressive/arithmetic/12-bit stay behind
+  ``NotImplementedError``.
+- **GIF** (87a/89a, LZW, interlace, animation/disposal) via
+  :mod:`lucene_ray.gif`.
+- **AVI/MJPEG**: the real-world RIFF video container below, frames
+  decoded by the JPEG codec, idx1-indexed frame seeks.
 
-- **JPEG** (baseline SOF0, 4:4:4/4:2:0/grayscale, restart markers) via
-  :mod:`lucene_ray.jpeg` — a from-the-spec pure-numpy codec; only
-  progressive/arithmetic/12-bit stay behind ``NotImplementedError``.
-
-Real video codecs stay out of scope (an honest gap — H.26x entropy +
-motion compensation has no stdlib path); the MJB container below covers
-the frame-seek pipeline shape. ``sniff`` routes by magic bytes.
+Inter-frame video codecs stay out of scope (an honest gap — H.26x
+entropy + motion compensation has no stdlib path); AVI/MJPEG and the
+bespoke MJB container cover the seekable-frame pipeline shape for
+real. ``sniff`` routes by magic bytes.
 """
 
 from __future__ import annotations
@@ -32,8 +39,12 @@ def sniff(payload: bytes) -> str:
         return "image/bmp"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return "image/png"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "image/gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "audio/wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "video/avi"
     if payload[:3] == b"\xff\xd8\xff":
         return "image/jpeg"
     if payload[:4] == b"MJB1":
@@ -79,14 +90,62 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# WAV (PCM16)
+# WAV (PCM16 + G.711 mu-law / A-law)
+#
+# G.711 expansion per the public CCITT tables (the classic g711.c
+# segment layout): mu-law bytes are bit-complemented sign/segment/
+# mantissa with BIAS 0x84; A-law bytes are XOR 0x55 with segment-scaled
+# mantissas. Decode is a 256-entry int16 lookup; encode picks the
+# nearest table entry (exact nearest via searchsorted on the sorted
+# table), so decode(encode(x)) is the canonical quantization.
 
-def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+def _g711_table(law: str) -> np.ndarray:
+    codes = np.arange(256, dtype=np.int32)
+    if law == "mulaw":
+        u = ~codes & 0xFF
+        sign = (u & 0x80) != 0                   # set → negative
+        exp = (u >> 4) & 7
+        mant = u & 0x0F
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        return np.where(sign, -mag, mag).astype(np.int16)
+    a = codes ^ 0x55
+    sign = (a & 0x80) != 0                       # set → POSITIVE (A-law)
+    exp = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = np.where(exp > 0,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
+                   (mant << 4) + 8)
+    return np.where(sign, mag, -mag).astype(np.int16)
+
+
+_G711_FMT = {6: "alaw", 7: "mulaw"}              # WAVE_FORMAT_{ALAW,MULAW}
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000,
+               law: str | None = None) -> bytes:
+    """PCM16 WAV by default; ``law`` = 'mulaw'/'alaw' writes an 8-bit
+    G.711 WAV (fmt tag 7/6), each sample mapped to the nearest
+    expansion-table entry."""
     if samples.ndim == 1:
         samples = samples[:, None]
     n, ch = samples.shape
-    data = samples.astype("<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    if law is None:
+        fmt_tag, bits = 1, 16
+        data = samples.astype("<i2").tobytes()
+    else:
+        fmt_tag = {"alaw": 6, "mulaw": 7}[law]
+        bits = 8
+        table = _g711_table(law)
+        order = np.argsort(table, kind="stable")
+        st = table[order].astype(np.int32)
+        x = samples.astype(np.int32).reshape(-1)
+        pos = np.clip(np.searchsorted(st, x), 1, 255)
+        pick = np.where(np.abs(st[pos] - x) < np.abs(st[pos - 1] - x),
+                        pos, pos - 1)
+        data = order[pick].astype(np.uint8).tobytes()
+    block = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", fmt_tag, ch, rate, rate * block,
+                      block, bits)
     out = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
            + b"data" + struct.pack("<I", len(data)) + data)
@@ -94,10 +153,12 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """→ (int16 samples [n] or [n, ch], rate). PCM16 natively; G.711
+    mu-law/A-law expanded through the CCITT tables."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos = 12
-    rate, ch, bits = None, None, None
+    rate, ch, bits, fmt_tag = None, None, None, None
     data = None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
@@ -106,7 +167,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         if cid == b"fmt ":
             fmt_tag, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH",
                                                                body, 0)
-            if fmt_tag != 1 or bits != 16:
+            if not ((fmt_tag == 1 and bits == 16)
+                    or (fmt_tag in _G711_FMT and bits == 8)):
                 raise NotImplementedError(
                     f"WAV fmt={fmt_tag} bits={bits} unsupported")
         elif cid == b"data":
@@ -114,7 +176,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)
     if data is None or rate is None:
         raise ValueError("WAV missing fmt/data chunk")
-    samples = np.frombuffer(data, dtype="<i2")
+    if fmt_tag in _G711_FMT:
+        samples = _g711_table(_G711_FMT[fmt_tag])[
+            np.frombuffer(data, dtype=np.uint8)]
+    else:
+        samples = np.frombuffer(data, dtype="<i2")
     if ch and ch > 1:
         samples = samples[: len(samples) // ch * ch].reshape(-1, ch)
     return samples, int(rate)
@@ -215,6 +281,9 @@ def decode_any(payload: bytes) -> tuple[str, "np.ndarray | None",
     if kind == "image/jpeg":
         from .jpeg import decode_jpeg
         return kind, decode_jpeg(payload), None
+    if kind == "image/gif":
+        from .gif import decode_gif_first
+        return kind, decode_gif_first(payload), None
     if kind == "audio/wav":
         return kind, None, decode_wav(payload)
     raise NotImplementedError(f"no decoder for {kind}")
@@ -300,3 +369,197 @@ def decode_mjb(payload: bytes) -> tuple[np.ndarray, float]:
         off += 4 + ln
     return np.stack(frames) if frames else \
         np.empty((0, 0, 0, 3), np.uint8), fps
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG — a REAL video container (RIFF 'AVI ' per the public
+# Microsoft RIFF-AVI layout) carrying baseline-JPEG frames our own
+# :mod:`lucene_ray.jpeg` codec encodes/decodes. The mandatory 'idx1'
+# index makes frame seeks O(1) after one header parse — like MJB, a
+# sampled frame is located byte-wise and ONLY that frame's JPEG entropy
+# stream is decoded.
+#
+# Writer layout: RIFF('AVI ') { LIST('hdrl'){ avih, LIST('strl'){strh
+# 'vids'/'MJPG', strf BITMAPINFOHEADER } }, LIST('movi'){ '00dc' chunks,
+# even-padded }, 'idx1' }. idx1 offsets are relative to the 'movi'
+# fourcc (the spec's preferred convention); the reader auto-detects the
+# absolute-from-file-start convention some writers use.
+
+def _riff_chunk(tag: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) & 1 else b""
+    return tag + struct.pack("<I", len(body)) + body + pad
+
+
+def encode_avi_mjpeg(frames: np.ndarray, fps: float = 8.0,
+                     quality: int = 90) -> bytes:
+    """frames: (n, h, w, 3) uint8 → RIFF-AVI bytes with MJPG '00dc'
+    chunks + idx1 index."""
+    from .jpeg import encode_jpeg
+
+    n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    jpgs = [encode_jpeg(fr, quality=quality) for fr in frames]
+
+    # rate/scale as a fraction: fps = rate / scale
+    scale = 1000
+    rate = int(round(fps * scale))
+    usec = int(round(1e6 * scale / max(rate, 1)))
+
+    avih = struct.pack("<14I", usec, 0, 0, 0x10, n, 0, 1, 0, w, h,
+                       0, 0, 0, 0)                 # AVIF_HASINDEX
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIii", 0, 0, 0, 0, scale, rate, 0, n,
+                          0, -1, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    strl = b"LIST" + struct.pack(
+        "<I", 4 + len(_riff_chunk(b"strh", strh))
+        + len(_riff_chunk(b"strf", strf))) + b"strl" \
+        + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+    hdrl_body = b"hdrl" + _riff_chunk(b"avih", avih) + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+
+    movi_parts = [b"movi"]
+    idx_entries = []
+    off = 4                                        # from the 'movi' fourcc
+    for j in jpgs:
+        chunk = _riff_chunk(b"00dc", j)
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off,
+                                       len(j)))    # AVIIF_KEYFRAME
+        movi_parts.append(chunk)
+        off += len(chunk)
+    movi_body = b"".join(movi_parts)
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    idx1 = _riff_chunk(b"idx1", b"".join(idx_entries))
+
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _avi_parse(payload: bytes) -> dict:
+    """One pass over the RIFF tree → {n, fps, w, h, movi_off, offsets:
+    [(abs_off, size)]}. Raises ValueError on a malformed container."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    end = min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    info: dict = {"fps": 0.0, "n": 0, "w": 0, "h": 0,
+                  "movi_off": -1, "offsets": []}
+    idx_raw = None
+
+    def walk(pos: int, stop: int) -> None:
+        nonlocal idx_raw
+        while pos + 8 <= stop:
+            tag = payload[pos:pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            body_at = pos + 8
+            if body_at + size > len(payload):
+                raise ValueError("truncated AVI chunk")
+            if tag == b"LIST":
+                kind = payload[body_at:body_at + 4]
+                if kind == b"movi":
+                    info["movi_off"] = body_at     # at the 'movi' fourcc
+                    info["movi_end"] = body_at + size
+                    # defer chunk scan: idx1 usually supersedes it
+                elif kind in (b"hdrl", b"strl"):
+                    walk(body_at + 4, body_at + size)
+            elif tag == b"avih":
+                usec, n = struct.unpack_from("<I", payload, body_at)[0], \
+                    struct.unpack_from("<I", payload, body_at + 16)[0]
+                info["n"] = n
+                info["w"], info["h"] = struct.unpack_from(
+                    "<II", payload, body_at + 32)
+                if usec:
+                    info["fps"] = 1e6 / usec
+            elif tag == b"strh" and payload[body_at:body_at + 4] == b"vids":
+                scale, rate = struct.unpack_from("<II", payload,
+                                                 body_at + 20)
+                if scale and rate:
+                    info["fps"] = rate / scale
+            elif tag == b"idx1":
+                idx_raw = payload[body_at:body_at + size]
+            pos = body_at + size + (size & 1)
+
+    walk(12, end)
+    if info["movi_off"] < 0:
+        raise ValueError("AVI missing movi list")
+    if idx_raw is not None and len(idx_raw) >= 16:
+        first_off = struct.unpack_from("<I", idx_raw, 8)[0]
+        # offset convention: relative to the 'movi' fourcc (preferred)
+        # vs absolute from file start (seen in the wild); if neither
+        # lands on a frame chunk id, drop to the movi scan below
+        base = None
+        for cand in (info["movi_off"], 0):
+            ckid = payload[cand + first_off:cand + first_off + 4]
+            if len(ckid) == 4 and ckid[2:4] in (b"dc", b"db"):
+                base = cand
+                break
+        if base is not None:
+            for e in range(0, len(idx_raw) - 15, 16):
+                ckid, _flags, off, size = struct.unpack_from("<4sIII",
+                                                             idx_raw, e)
+                if ckid[2:4] in (b"dc", b"db"):
+                    info["offsets"].append((base + off + 8, size))
+    if not info["offsets"]:                        # no/unusable index: scan
+        pos = info["movi_off"] + 4
+        stop = min(len(payload), info.get("movi_end", len(payload)))
+        while pos + 8 <= stop:
+            ckid = payload[pos:pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            if ckid[2:4] in (b"dc", b"db"):
+                info["offsets"].append((pos + 8, size))
+            pos += 8 + size + (size & 1)
+    if not info["n"]:
+        info["n"] = len(info["offsets"])
+    return info
+
+
+def avi_info(payload: bytes) -> tuple[int, float]:
+    """(n_frames, fps) — header/index parse only, no pixel decode."""
+    info = _avi_parse(payload)
+    return len(info["offsets"]), float(info["fps"] or 0.0)
+
+
+def avi_frame(payload: bytes, idx: int) -> np.ndarray:
+    """Decode ONLY frame ``idx`` — located via idx1 (O(1) once the
+    index is parsed); other frames' entropy streams are never touched."""
+    from .jpeg import decode_jpeg
+
+    info = _avi_parse(payload)
+    if not 0 <= idx < len(info["offsets"]):
+        raise IndexError(idx)
+    off, size = info["offsets"][idx]
+    return decode_jpeg(payload[off:off + size])
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
+    """Full decode: ((n, h, w, 3) uint8, fps)."""
+    from .jpeg import decode_jpeg
+
+    info = _avi_parse(payload)
+    frames = [decode_jpeg(payload[o:o + s]) for o, s in info["offsets"]]
+    return (np.stack(frames) if frames
+            else np.empty((0, 0, 0, 3), np.uint8)), float(info["fps"])
+
+
+# ---------------------------------------------------------------------------
+# Format-agnostic video dispatch — pipeline stages stay codec-blind.
+
+VIDEO_KINDS = ("video/mjb", "video/avi")
+
+
+def video_info(payload: bytes) -> tuple[int, float]:
+    kind = sniff(payload)
+    if kind == "video/mjb":
+        return mjb_info(payload)
+    if kind == "video/avi":
+        return avi_info(payload)
+    raise ValueError(f"not a video payload ({kind})")
+
+
+def video_frame(payload: bytes, idx: int) -> np.ndarray:
+    kind = sniff(payload)
+    if kind == "video/mjb":
+        return mjb_frame(payload, idx)
+    if kind == "video/avi":
+        return avi_frame(payload, idx)
+    raise ValueError(f"not a video payload ({kind})")

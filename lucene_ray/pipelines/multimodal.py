@@ -2,12 +2,12 @@
 
 Image/audio/video ride as ``binary`` columns processed by **actor-pool**
 ``map_batches`` stages (decoder state loaded once per actor, small batches
-sized for large payloads). The decode kernel is REAL for the formats a
-stdlib+numpy decoder can handle — BMP, PNG (zlib + filter
-reconstruction), WAV-PCM16 and the seekable MJB video container, see
-:mod:`lucene_ray.media` — and raises ``NotImplementedError`` for JPEG
-(a DCT entropy decoder needs codec libraries this container lacks; that
-gap is explicit, not faked).
+sized for large payloads). The decode kernel is REAL for every format in
+the synthetic lake — BMP, PNG (zlib + filter reconstruction), baseline
+JPEG (:mod:`lucene_ray.jpeg`), WAV-PCM16, and two seekable video
+containers: the real-world RIFF AVI/MJPEG and the bespoke MJB (see
+:mod:`lucene_ray.media`). Genuinely out-of-scope codecs (progressive
+JPEG, H.26x) raise ``NotImplementedError`` — explicit, not faked.
 
 At 100 TB: payload columns dominate block size → ``batch_size`` is small
 (64) and ``target_max_block_size`` should be raised so Arrow doesn't split
@@ -19,8 +19,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..media import (decode_any, encode_bmp, encode_mjb, encode_png,
-                     encode_wav, mjb_frame, mjb_info, sniff, thumbnail)
+from ..media import (VIDEO_KINDS, decode_any, encode_avi_mjpeg,
+                     encode_bmp, encode_mjb, encode_png, encode_wav,
+                     sniff, thumbnail, video_frame, video_info)
 
 THUMB_W = THUMB_H = 8
 _N_THUMB = THUMB_W * THUMB_H
@@ -28,9 +29,12 @@ _N_THUMB = THUMB_W * THUMB_H
 
 def synth_media_dataset(sf_dir: str, n: int = 200):
     """Deterministic synthetic media table with REAL encoded payloads
-    (PNG / JPEG / BMP / WAV / MJB-video mix) — stands in for a media
-    lake partition; every byte decodes through the actual codecs,
-    including the baseline JPEG entropy decoder (lucene_ray.jpeg)."""
+    (PNG / JPEG / GIF / BMP / WAV-PCM16 / WAV-G.711 / AVI-MJPEG / MJB
+    mix) — stands in for a media lake partition; every byte decodes
+    through the actual codecs, including the baseline JPEG entropy
+    decoder (lucene_ray.jpeg) for both still images and the AVI
+    container's frames, the GIF LZW decoder, and the CCITT G.711
+    expansion tables."""
     import ray.data
 
     def gen(batch: pa.Table) -> pa.Table:
@@ -42,13 +46,18 @@ def synth_media_dataset(sf_dir: str, n: int = 200):
             if m == 0:
                 w, h = int(r.integers(16, 64)), int(r.integers(16, 64))
                 img = r.integers(0, 256, (h, w, 3), dtype=np.uint8)
-                if (int(i) // 4) % 2:       # alternate real formats
+                rot = (int(i) // 4) % 3     # cycle the real formats
+                if rot == 0:
+                    payloads.append(encode_png(img))
+                    kinds.append("image/png")
+                elif rot == 1:
                     from ..jpeg import encode_jpeg
                     payloads.append(encode_jpeg(img, quality=90))
                     kinds.append("image/jpeg")
                 else:
-                    payloads.append(encode_png(img))
-                    kinds.append("image/png")
+                    from ..gif import encode_gif_rgb
+                    payloads.append(encode_gif_rgb(img))
+                    kinds.append("image/gif")
             elif m == 1:
                 w, h = int(r.integers(16, 64)), int(r.integers(16, 64))
                 img = r.integers(0, 256, (h, w, 3), dtype=np.uint8)
@@ -60,15 +69,22 @@ def synth_media_dataset(sf_dir: str, n: int = 200):
                 base = r.integers(0, 256, (h, w, 3), dtype=np.uint8)
                 frames = np.stack([np.roll(base, t, axis=1)
                                    for t in range(nf)])   # real motion
-                payloads.append(encode_mjb(frames, fps=8.0))
-                kinds.append("video/mjb")
+                if (int(i) // 4) % 2:       # alternate video containers
+                    payloads.append(encode_avi_mjpeg(frames, fps=8.0,
+                                                     quality=90))
+                    kinds.append("video/avi")
+                else:
+                    payloads.append(encode_mjb(frames, fps=8.0))
+                    kinds.append("video/mjb")
             else:
                 ns = int(r.integers(800, 4000))
                 t = np.arange(ns, dtype=np.float64)
                 f = float(r.uniform(100, 2000))
                 wave = (np.sin(2 * np.pi * f * t / 16000)
                         * r.uniform(0.1, 0.9) * 32767)
-                payloads.append(encode_wav(wave.astype(np.int16), 16000))
+                law = (None, "mulaw", "alaw")[(int(i) // 4) % 3]
+                payloads.append(encode_wav(wave.astype(np.int16),
+                                           16000, law=law))
                 kinds.append("audio/wav")
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
@@ -83,11 +99,12 @@ def synth_media_dataset(sf_dir: str, n: int = 200):
 
 
 class MediaDecoder:
-    """Actor-pool decode/feature stage: real BMP/PNG/JPEG/WAV decoding
-    (lucene_ray.media, lucene_ray.jpeg), block-mean thumbnails for
-    images, envelope + rms/zero-crossings for audio. Unsupported codecs
-    (progressive JPEG, real video) raise unless ``skip_undecodable`` —
-    the honest degradation mode."""
+    """Actor-pool decode/feature stage: real BMP/PNG/JPEG/WAV/AVI/MJB
+    decoding (lucene_ray.media, lucene_ray.jpeg), block-mean thumbnails
+    for images, envelope + rms/zero-crossings for audio, one seeked
+    middle frame for videos. Unsupported codecs (progressive JPEG,
+    H.26x) raise unless ``skip_undecodable`` — the honest degradation
+    mode."""
 
     def __init__(self, skip_undecodable: bool = False):
         self.skip_undecodable = skip_undecodable
@@ -100,15 +117,16 @@ class MediaDecoder:
                                "std_intensity")}
         for mid, payload in zip(batch.column("media_id").to_pylist(),
                                 batch.column("payload").to_pylist()):
-            if sniff(payload) == "video/mjb":
+            vkind = sniff(payload)
+            if vkind in VIDEO_KINDS:
                 # header + ONE seeked frame — never the full clip
-                nf, fps = mjb_info(payload)
-                mid_frame = mjb_frame(payload, nf // 2)
+                nf, fps = video_info(payload)
+                mid_frame = video_frame(payload, nf // 2)
                 th = thumbnail(mid_frame, THUMB_W, THUMB_H)
                 g = mid_frame[:, :, :3].astype(np.float64).mean(axis=2) \
                     / 255.0
                 out["media_id"].append(mid)
-                out["kind"].append("video/mjb")
+                out["kind"].append(vkind)
                 out["width"].append(mid_frame.shape[1])
                 out["height"].append(mid_frame.shape[0])
                 out["duration_s"].append(nf / fps)
@@ -177,10 +195,11 @@ def media_features(sf_dir: str):
 
 class FrameSampler:
     """Actor-pool frame-sampling stage: per video, ``n_sample`` uniform
-    timestamps, each frame decoded by a byte-wise SEEK (length-prefixed
-    skip — earlier frames are never pixel-decoded; see
-    :func:`lucene_ray.media.mjb_frame`). The per-frame feature row is
-    what a downstream vision-embedding stage would consume."""
+    timestamps, each frame decoded by a byte-wise SEEK (MJB's
+    length-prefixed skip, AVI's idx1 index — unsampled frames are never
+    pixel-decoded; see :func:`lucene_ray.media.video_frame`). The
+    per-frame feature row is what a downstream vision-embedding stage
+    would consume."""
 
     def __init__(self, n_sample: int = 4):
         self.n_sample = n_sample
@@ -190,13 +209,13 @@ class FrameSampler:
                                "thumb", "mean_intensity")}
         for mid, payload in zip(batch.column("media_id").to_pylist(),
                                 batch.column("payload").to_pylist()):
-            if sniff(payload) != "video/mjb":
+            if sniff(payload) not in VIDEO_KINDS:
                 continue
-            nf, fps = mjb_info(payload)
+            nf, fps = video_info(payload)
             take = np.unique(np.linspace(
                 0, nf - 1, min(self.n_sample, nf)).round().astype(int))
             for idx in take:
-                fr = mjb_frame(payload, int(idx))
+                fr = video_frame(payload, int(idx))
                 g = fr[:, :, :3].astype(np.float64).mean(axis=2) / 255.0
                 out["media_id"].append(mid)
                 out["frame_idx"].append(int(idx))

@@ -1471,8 +1471,10 @@ def test_video_mjb_roundtrip_and_frame_sample(ray_session):
         np.testing.assert_array_equal(mjb_frame(b, i), frames[i])
 
     out = media_features(SF).to_pandas()
-    vids = out[out["kind"] == "video/mjb"]
+    vids = out[out["kind"].isin(["video/mjb", "video/avi"])]
     assert len(vids) == 50                       # 200 ids, i%4==3
+    assert (out["kind"] == "video/mjb").sum() == 25   # container mix
+    assert (out["kind"] == "video/avi").sum() == 25
     assert vids["duration_s"].notna().all()
     assert vids["width"].notna().all()
 
@@ -1483,6 +1485,70 @@ def test_video_mjb_roundtrip_and_frame_sample(ray_session):
     g = fs.groupby("media_id")["frame_idx"]
     assert (g.min() == 0).all()                  # uniform incl. endpoints
     assert (fs["t_sec"] == fs["frame_idx"] / 8.0).all()
+
+
+def test_video_avi_mjpeg_container():
+    """RIFF-AVI/MJPEG: a REAL video container (public Microsoft RIFF-AVI
+    layout) whose '00dc' frames are baseline JPEGs from lucene_ray.jpeg.
+    Index-seeked frames are bit-identical to the full decode; the idx1
+    absolute-offset convention and the index-less movi scan both parse;
+    corrupt input raises ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from lucene_ray.media import (avi_frame, avi_info, decode_avi,
+                                  encode_avi_mjpeg, sniff, video_frame,
+                                  video_info)
+
+    base = (np.arange(24)[:, None, None] * 8
+            + np.arange(32)[None, :, None] * 5
+            + np.arange(3)[None, None, :] * 17).astype(np.uint8)
+    frames = np.stack([np.roll(base, 3 * t, axis=1) for t in range(7)])
+    b = encode_avi_mjpeg(frames, fps=12.5, quality=95)
+    assert sniff(b) == "video/avi"
+    assert avi_info(b) == (7, 12.5)
+    dec, fps = decode_avi(b)
+    assert fps == 12.5 and dec.shape == frames.shape
+    # lossy but high-quality: content survives
+    assert np.abs(dec.astype(int) - frames.astype(int)).mean() < 8
+    for i in (0, 3, 6):                          # seek == full decode
+        np.testing.assert_array_equal(avi_frame(b, i), dec[i])
+    # format-agnostic dispatch
+    assert video_info(b) == (7, 12.5)
+    np.testing.assert_array_equal(video_frame(b, 3), dec[3])
+
+    # absolute-offset idx1 convention (seen in the wild): rebase offsets
+    movi_at = b.find(b"LIST", 12)
+    while b[movi_at + 8:movi_at + 12] != b"movi":
+        movi_at = b.find(b"LIST", movi_at + 4)
+    movi_fourcc = movi_at + 8
+    idx_at = b.rfind(b"idx1")
+    q = bytearray(b)
+    n_entries = struct.unpack_from("<I", b, idx_at + 4)[0] // 16
+    for e in range(n_entries):
+        off_pos = idx_at + 8 + e * 16 + 8
+        rel = struct.unpack_from("<I", b, off_pos)[0]
+        struct.pack_into("<I", q, off_pos, rel + movi_fourcc)
+    np.testing.assert_array_equal(avi_frame(bytes(q), 5), dec[5])
+
+    # index-less fallback: junk the idx1 tag → movi scan finds frames
+    q2 = bytearray(b)
+    q2[idx_at:idx_at + 4] = b"JUNK"
+    assert avi_info(bytes(q2)) == (7, 12.5)
+    np.testing.assert_array_equal(avi_frame(bytes(q2), 2), dec[2])
+
+    # corruption contract
+    with pytest.raises(ValueError):
+        avi_info(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        decode_avi(b[:12])                       # no movi
+    trunc = b[: len(b) // 3]
+    with pytest.raises((ValueError, IndexError)):
+        decode_avi(trunc)
+    with pytest.raises(IndexError):
+        avi_frame(b, 7)
 
 
 def test_late_data_planted_disorder(ray_session, tmp_path):
