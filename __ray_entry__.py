@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_word_delimiter": ft.ft_word_delimiter,
         "ft_icu_fold": ft.ft_icu_fold,
         "ft_cjk_lattice": ft.ft_cjk_lattice,
+        "ft_korean_lattice": ft.ft_korean_lattice,
         # --- rows-only entries never reached by a rotation (weaker
         # check; their exactness gates are pytest-pinned) ---
         # --- round-5 additions: oracle-backed, never checked —
@@ -358,6 +359,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_word_delimiter": ft.oracle_word_delimiter_sql(),
         "ft_icu_fold": ft.oracle_icu_fold_sql(),
         "ft_cjk_lattice": ft.oracle_cjk_lattice_sql(),
+        "ft_korean_lattice": ft.oracle_korean_lattice_sql(),
         "ft_shape_box": ft.oracle_shape_box_sql(),
         "ft_payload_score": ft.oracle_payload_score_sql(),
         "ft_word_break": ft.oracle_word_break_sql(),

@@ -1,4 +1,4 @@
-"""Dictionary-lattice CJK segmentation (kuromoji role).
+"""Dictionary-lattice CJK segmentation (kuromoji + nori + smartcn roles).
 
 Reproduces the observable semantics of the reference's morphological
 tokenizer stack — ``analysis/ja/JapaneseTokenizer.java:61`` driving the
@@ -25,6 +25,14 @@ mecab-ipadic: the dictionary is an input, exactly as the reference's
 Ties break toward the candidate enumerated first at its start position
 (dictionary entries by ascending length, then unknowns), mirroring the
 reference's strict ``leastCost <`` update order.
+
+The same Viterbi core serves all three of the reference's
+morphological analyzers: Japanese (``analysis/ja``, above), Korean
+(``analysis/ko`` — :class:`KoreanTokenizer` below adds nori's
+decompound modes, POS stop filtering and reading form), and Chinese
+(``analysis/cn/smart`` — a word-cost lexicon over
+:class:`LatticeTokenizer` reproduces the dictionary-probability
+segmentation path; see tests/test_lattice.py).
 """
 
 from __future__ import annotations
@@ -128,6 +136,14 @@ class LatticeTokenizer:
         btype = [_BOS] * (n + 1)     # token type of the arc ending at i
         best[0] = 0
         conn = self.conn
+        # one O(n) pass: char classes + end of each same-class run, so
+        # grouped-unknown candidates don't re-walk the run per position
+        # (all-HANGUL/kana text would otherwise make this O(n^2))
+        classes = [char_class(c) for c in text]
+        run_end = [n] * n
+        for i in range(n - 2, -1, -1):
+            run_end[i] = run_end[i + 1] if classes[i] == classes[i + 1] \
+                else i + 1
         for pos in range(n):
             if best[pos] is INF:
                 continue
@@ -142,14 +158,12 @@ class LatticeTokenizer:
                     if tot < best[end]:
                         best[end], btype[end] = tot, _DICT
                         back[end] = (pos, surf, True)
-            cls = char_class(text[pos])
+            cls = classes[pos]
             if not any_match or cls in _INVOKE:
                 # processUnknownWord (morph/Viterbi.java:370-372)
                 ln = 1
                 if cls in _GROUP:
-                    while (pos + ln < n and ln < MAX_UNKNOWN_WORD_LENGTH
-                           and char_class(text[pos + ln]) == cls):
-                        ln += 1
+                    ln = min(run_end[pos] - pos, MAX_UNKNOWN_WORD_LENGTH)
                 tot = (base + conn[(left, _UNK)] + self.unk_cost
                        + (ln - 1) * self.unk_char_cost)
                 end = pos + ln
@@ -175,4 +189,150 @@ def lattice_tokenize_fn(lexicon: dict[str, int], mode: str = "normal"):
     """``tokenize_fn`` hook factory for ``build_index`` — the tokenizer
     (and its first-char index) is built once per call site / actor."""
     tok = LatticeTokenizer(lexicon, mode=mode)
+    return lambda text: tok.tokenize(text)
+
+
+# ---------------------------------------------------------------------------
+# Korean (nori role)
+
+# Hangul ranges for the character-class extension: the reference's
+# ko/dict/CharacterDefinition maps Hangul syllables + jamo to HANGUL and
+# Han ideographs used in Korean to HANJA.
+HANGUL, HANJA = 6, 7
+
+
+def korean_char_class(ch: str) -> int:
+    o = ord(ch)
+    if 0xAC00 <= o <= 0xD7A3 or 0x1100 <= o <= 0x11FF \
+            or 0x3130 <= o <= 0x318F:
+        return HANGUL
+    if (0x4E00 <= o <= 0x9FFF or 0x3400 <= o <= 0x4DBF
+            or 0xF900 <= o <= 0xFAFF):
+        return HANJA
+    return char_class(ch)
+
+
+# KoreanPartOfSpeechStopFilter.DEFAULT_STOP_TAGS
+# (analysis/ko/KoreanPartOfSpeechStopFilter.java:38): particles,
+# endings, affixes and the other functional categories nori drops by
+# default.
+KOREAN_DEFAULT_STOP_TAGS = frozenset({
+    "E", "IC", "J", "MAG", "MAJ", "MM", "SP", "SSC", "SSO", "SC", "SE",
+    "XPN", "XSA", "XSN", "XSV", "UNA", "NA", "VSV",
+})
+
+
+class KoreanEntry:
+    """One user-dictionary row (ko/dict/UserDictionary.java:42 shape):
+    surface, word cost, POS tag, optional hanja→hangul ``reading``
+    (ko/KoreanReadingFormFilter.java:30), optional ``parts`` for
+    compounds (the user-dictionary "surface seg1 seg2 …" syntax)."""
+
+    __slots__ = ("surface", "cost", "pos", "reading", "parts")
+
+    def __init__(self, surface: str, cost: int = 100, pos: str = "NNG",
+                 reading: "str | None" = None,
+                 parts: "list[str] | None" = None):
+        if parts is not None and "".join(parts) != surface:
+            raise ValueError(
+                f"compound parts {parts!r} don't spell {surface!r}")
+        self.surface = surface
+        self.cost = cost
+        self.pos = pos
+        self.reading = reading
+        self.parts = parts
+
+
+class KoreanTokenizer:
+    """nori-role morphological tokenizer
+    (analysis/ko/KoreanTokenizer.java:92): the shared Viterbi lattice
+    core segments against the user lexicon; per-token metadata then
+    applies the reference's Korean post-stages —
+
+    * **decompound modes** (KoreanTokenizer.DecompoundMode): ``none``
+      keeps compounds whole; ``discard`` replaces a compound with its
+      parts; ``mixed`` emits the compound (posLength = #parts) AND its
+      parts as a token graph.
+    * **POS stop filtering** (KoreanPartOfSpeechStopFilter.java:38):
+      tokens whose tag is in ``stop_tags`` are dropped (positions are
+      preserved by the caller's graph machinery; for the flat
+      ``tokenize`` view they simply vanish).
+    * **reading form** (KoreanReadingFormFilter.java:30): with
+      ``reading_form=True`` a token with a recorded reading (hanja →
+      hangul) is emitted as that reading.
+
+    Unknown runs fall out of the lattice exactly as in the Japanese
+    path (char-class grouping); they carry the tag ``"UNKNOWN"``.
+    """
+
+    def __init__(self, entries: "list[KoreanEntry]", *,
+                 decompound: str = "discard",
+                 stop_tags: "frozenset[str] | None" = None,
+                 reading_form: bool = False, mode: str = "normal"):
+        if decompound not in ("none", "discard", "mixed"):
+            raise ValueError(f"decompound {decompound!r}")
+        self.decompound = decompound
+        self.stop_tags = (KOREAN_DEFAULT_STOP_TAGS if stop_tags is None
+                          else stop_tags)
+        self.reading_form = reading_form
+        self._meta: dict[str, KoreanEntry] = {}
+        for e in entries:
+            if e.surface in self._meta:
+                raise ValueError(f"duplicate surface {e.surface!r}")
+            self._meta[e.surface] = e
+        self._lat = LatticeTokenizer(
+            {e.surface: e.cost for e in entries}, mode=mode)
+
+    def _stopped(self, pos_tag: str) -> bool:
+        return (pos_tag.split("+", 1)[0] in self.stop_tags
+                or pos_tag in self.stop_tags)
+
+    def segment_graph(self, text: str):
+        """→ ``(surface, pos_tag, start, end, pos_inc, pos_len)`` rows,
+        the token-graph view. Mixed mode stacks the compound over its
+        first part (compound posInc 1 / posLength = #parts, first part
+        posInc 0) — the reference's graph shape. Stopped tokens donate
+        their increment to the next emitted token, as
+        StopFilter/enablePositionIncrements does."""
+        out = []
+        skipped = 0                              # accumulated stopped incs
+
+        def emit(surface, tag, start, end, inherent_inc, pos_len):
+            nonlocal skipped
+            if self._stopped(tag):
+                skipped += inherent_inc
+                return
+            e = self._meta.get(surface)
+            if self.reading_form and e is not None and e.reading:
+                surface = e.reading
+            out.append((surface, tag, start, end,
+                        inherent_inc + skipped, pos_len))
+            skipped = 0
+
+        for surf, start, end, known in self._lat.segment(text):
+            e = self._meta.get(surf) if known else None
+            tag = e.pos if e is not None else "UNKNOWN"
+            parts = e.parts if e is not None else None
+            if parts and self.decompound != "none":
+                if self.decompound == "mixed":
+                    emit(surf, tag, start, end, 1, len(parts))
+                off = start
+                for j, p in enumerate(parts):
+                    pe = self._meta.get(p)
+                    ptag = pe.pos if pe is not None else tag
+                    first_inc = 0 if self.decompound == "mixed" else 1
+                    emit(p, ptag, off, off + len(p),
+                         first_inc if j == 0 else 1, 1)
+                    off += len(p)
+                continue
+            emit(surf, tag, start, end, 1, 1)
+        return out
+
+    def tokenize(self, text: str) -> "list[str]":
+        return [t[0] for t in self.segment_graph(text)]
+
+
+def korean_tokenize_fn(entries: "list[KoreanEntry]", **kw):
+    """``tokenize_fn`` hook factory (actor-once construction)."""
+    tok = KoreanTokenizer(entries, **kw)
     return lambda text: tok.tokenize(text)

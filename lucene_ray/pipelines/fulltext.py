@@ -4261,6 +4261,138 @@ ORDER BY df DESC, term LIMIT {_CJK_TOP}"""
 
 
 # ---------------------------------------------------------------------------
+# Korean morphological segmentation (nori role,
+# ko/KoreanTokenizer.java:92 + KoreanPartOfSpeechStopFilter.java:38)
+
+# Hangul-syllable word-code alphabet (three DISJOINT blocks inside
+# U+AC00..U+D7A3, same prefix-free construction as _lattice_code):
+# each vocab word maps to syl₁ syl₂ term; the lexicon additionally
+# carries the 2-syllable prefix and the 1-syllable terminator as
+# standalone entries so the code word is a genuine COMPOUND the
+# decompound stage must split. Terminators whose (rank % 64) % 5 == 0
+# are tagged "J" (particle) — the default POS stop set drops them,
+# exercising KoreanPartOfSpeechStopFilter against the SQL oracle.
+_KO_D1, _KO_D2, _KO_TERM = 0xAC00, 0xB800, 0xD000
+
+
+def _korean_code(r: int) -> str:
+    return (chr(_KO_D1 + r // 256) + chr(_KO_D2 + r % 256)
+            + chr(_KO_TERM + r % 64))
+
+
+def _korean_entries(n_vocab: int):
+    """(surface, cost, pos, parts) tuples for the broadcast lexicon.
+    Compound cost 50 always beats prefix+terminator (80+80), so the
+    Viterbi parse deterministically recovers the compounds."""
+    rows = []
+    for r in range(n_vocab):
+        code = _korean_code(r)
+        rows.append((code, 50, "NNG", [code[:2], code[2:]]))
+        rows.append((code[:2], 80, "NNG", None))
+    for t in range(min(64, n_vocab)):
+        pos = "J" if t % 5 == 0 else "NNG"
+        rows.append((chr(_KO_TERM + t), 80, pos, None))
+    return rows
+
+
+class _KoreanLatticeStats:
+    """Actor stage: KoreanTokenizer (Viterbi + decompound + POS stop)
+    built ONCE per actor from the broadcast lexicon; per-batch
+    (term, df, ttf) partials."""
+
+    def __init__(self, rows_ref, vmap_ref):
+        import ray
+
+        from ..lattice import KoreanEntry, KoreanTokenizer
+
+        entries = [KoreanEntry(s, c, pos, parts=p)
+                   for s, c, pos, p in ray.get(rows_ref)]
+        self._tok = KoreanTokenizer(entries, decompound="discard")
+        self._vmap = ray.get(vmap_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self._vmap
+        dfs: dict[str, int] = {}
+        ttfs: dict[str, int] = {}
+        for text in batch.column("text").to_pylist():
+            han = "".join(m.get(w, "") for w in (text or "").split(" "))
+            if not han:
+                continue
+            seen: dict[str, int] = {}
+            for t in self._tok.tokenize(han):
+                seen[t] = seen.get(t, 0) + 1
+            for t, c in seen.items():
+                dfs[t] = dfs.get(t, 0) + 1
+                ttfs[t] = ttfs.get(t, 0) + c
+        ks = sorted(dfs)
+        return pa.table({"term": pa.array(ks, pa.string()),
+                         "df": pa.array([dfs[k] for k in ks], pa.int64()),
+                         "ttf": pa.array([ttfs[k] for k in ks], pa.int64())})
+
+
+def ft_korean_lattice(sf_dir: str) -> pa.Table:
+    """Korean morphological analysis (nori role): the corpus maps to
+    Hangul-syllable compounds (``_korean_code``), the REAL
+    KoreanTokenizer (Viterbi lattice → decompound DISCARD → default POS
+    stop set) re-segments it, and per-term (df, ttf) partials aggregate
+    to the top-50 by (df desc, term asc). The decompound split and the
+    "J"-tagged terminator drops are both SQL-checkable, so the oracle
+    gates the full nori post-stage chain, not just the lattice."""
+    import ray
+    import ray.data
+
+    vocab = _corpus_vocab(sf_dir)
+    rows_ref = ray.put(_korean_entries(len(vocab)))
+    vmap_ref = ray.put({w: _korean_code(r)
+                        for r, w in enumerate(vocab)})
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(_KoreanLatticeStats, batch_format="pyarrow",
+                          fn_constructor_args=(rows_ref, vmap_ref),
+                          concurrency=(1, 8))
+           .groupby("term")
+           .aggregate(Sum("df", alias_name="df"),
+                      Sum("ttf", alias_name="ttf"))
+           .to_pandas())
+    agg = agg.sort_values(["df", "term"],
+                          ascending=[False, True]).head(_CJK_TOP)
+    return pa.table({"term": pa.array(agg["term"], pa.string()),
+                     "df": pa.array(agg["df"].astype(np.int64)),
+                     "ttf": pa.array(agg["ttf"].astype(np.int64))})
+
+
+def oracle_korean_lattice_sql() -> str:
+    """The compound parse is deterministic (cost 50 < 80+80), so each
+    word emits its 2-syllable prefix, plus its terminator unless the
+    terminator rank hits the "J" particle rule ((rank%64)%5 == 0)."""
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+vmap AS (
+  SELECT term, rn - 1 AS r
+  FROM (SELECT term, row_number() OVER (ORDER BY term) AS rn
+        FROM (SELECT DISTINCT word AS term FROM w WHERE word <> ''))
+),
+emitted AS (
+  SELECT d, chr({_KO_D1} + CAST(r // 256 AS INT))
+            || chr({_KO_D2} + CAST(r % 256 AS INT)) AS term
+  FROM w JOIN vmap v ON v.term = w.word
+  UNION ALL
+  SELECT d, chr({_KO_TERM} + CAST(r % 64 AS INT)) AS term
+  FROM w JOIN vmap v ON v.term = w.word
+  WHERE (r % 64) % 5 <> 0
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       count(*) AS ttf
+FROM emitted GROUP BY term
+ORDER BY df DESC, term LIMIT {_CJK_TOP}"""
+
+
+# ---------------------------------------------------------------------------
 # Payload queries (PayloadScoreQuery over span term / span near)
 
 # (qid, spec, payload_function, k) — spec is ("term", t) or
