@@ -202,3 +202,40 @@ def test_g711_wav_roundtrip():
     # PCM16 path unchanged
     got, _ = decode_wav(encode_wav(s, 8000))
     np.testing.assert_array_equal(got, s)
+
+
+def test_gif_avi_decode_fuzz_contract():
+    """Corrupt/truncated GIF and AVI payloads must raise ValueError (or
+    NotImplementedError for unsupported modes) — never struct.error /
+    IndexError / anything that would kill a degradation-mode actor
+    (same contract as decode_jpeg)."""
+    from lucene_ray.gif import decode_gif, decode_gif_first, gif_info
+    from lucene_ray.media import avi_info, decode_avi, encode_avi_mjpeg
+
+    r = np.random.default_rng(21)
+    pal = r.integers(0, 256, (16, 3), dtype=np.uint8)
+    g = encode_gif(r.integers(0, 16, (3, 12, 15), dtype=np.uint8), pal)
+    base = (np.arange(16)[:, None, None] * 8
+            + np.arange(16)[None, :, None] * 5).astype(np.uint8) \
+        + np.zeros((16, 16, 3), np.uint8)
+    a = encode_avi_mjpeg(np.stack([base] * 3), fps=8.0)
+    cases = (("gif", g, (decode_gif, gif_info, decode_gif_first)),
+             ("avi", a, (decode_avi, avi_info)))
+    for name, payload, fns in cases:
+        for trial in range(700):
+            q = bytearray(payload)
+            mode = trial % 3
+            if mode == 0:
+                q = q[: r.integers(1, len(q))]
+            elif mode == 1:
+                for _ in range(int(r.integers(1, 8))):
+                    q[int(r.integers(0, len(q)))] = int(r.integers(0, 256))
+            else:
+                q = q[: r.integers(10, len(q))]
+                if len(q):
+                    q[int(r.integers(0, len(q)))] = int(r.integers(0, 256))
+            for fn in fns:
+                try:
+                    fn(bytes(q))
+                except (ValueError, NotImplementedError):
+                    pass
