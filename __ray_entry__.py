@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_icu_fold": ft.ft_icu_fold,
         "ft_cjk_lattice": ft.ft_cjk_lattice,
         "ft_korean_lattice": ft.ft_korean_lattice,
+        "ft_length_filter": ft.ft_length_filter,
+        "ft_truncate": ft.ft_truncate,
+        "ft_reverse_token": ft.ft_reverse_token,
         # --- rows-only entries never reached by a rotation (weaker
         # check; their exactness gates are pytest-pinned) ---
         # --- round-5 additions: oracle-backed, never checked —
@@ -360,6 +363,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_icu_fold": ft.oracle_icu_fold_sql(),
         "ft_cjk_lattice": ft.oracle_cjk_lattice_sql(),
         "ft_korean_lattice": ft.oracle_korean_lattice_sql(),
+        "ft_length_filter": ft.oracle_length_filter_sql(),
+        "ft_truncate": ft.oracle_truncate_sql(),
+        "ft_reverse_token": ft.oracle_reverse_token_sql(),
         "ft_shape_box": ft.oracle_shape_box_sql(),
         "ft_payload_score": ft.oracle_payload_score_sql(),
         "ft_word_break": ft.oracle_word_break_sql(),

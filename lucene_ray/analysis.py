@@ -618,14 +618,42 @@ def ngram_stream(toks: list[str]) -> list[str]:
             for s in range(0, len(t) - g + 1)]
 
 
+LENGTH_MIN, LENGTH_MAX = 3, 8
+TRUNCATE_LEN = 5
+
+
+def length_stream(toks: list[str]) -> list[str]:
+    """LengthFilter role (analysis/miscellaneous/LengthFilter.java:29):
+    keep tokens whose length is within [min, max] (3..8 here — the
+    reference takes both as ctor params)."""
+    return [t for t in toks if LENGTH_MIN <= len(t) <= LENGTH_MAX]
+
+
+def truncate_stream(toks: list[str]) -> list[str]:
+    """TruncateTokenFilter role (analysis/miscellaneous/
+    TruncateTokenFilter.java:28): cap every token at prefixLength
+    (5 here); shorter tokens pass unchanged."""
+    return [t[:TRUNCATE_LEN] for t in toks]
+
+
+def reverse_stream(toks: list[str]) -> list[str]:
+    """ReverseStringFilter role (analysis/reverse/
+    ReverseStringFilter.java:36): reverse every token (the leading-
+    wildcard-query indexing trick)."""
+    return [t[::-1] for t in toks]
+
+
 # the CJK chain only rewrites Han tokens, so pure-ASCII docs pass it
-# unchanged — term_freq_batch's ASCII fast path may skip it. The n-gram
-# filters rewrite EVERY token and must run on the fast path too.
+# unchanged — term_freq_batch's ASCII fast path may skip it. The other
+# filters rewrite/drop EVERY token and must run on the fast path too.
 cjk_bigram_stream.ascii_transparent = True
 
 STREAM_FILTERS = {"cjk": cjk_bigram_stream,
                   "edge_ngram": edge_ngram_stream,
-                  "ngram": ngram_stream}
+                  "ngram": ngram_stream,
+                  "length": length_stream,
+                  "truncate": truncate_stream,
+                  "reverse": reverse_stream}
 
 
 def get_stream_filter(name: "str | None"):

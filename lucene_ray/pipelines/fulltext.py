@@ -3959,6 +3959,72 @@ ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
 
 
 # ---------------------------------------------------------------------------
+# Common single-token filters (length / truncate / reverse), each a
+# registered stream analyzer (lucene_ray.analysis.STREAM_FILTERS) plus
+# a df/ttf stats gate through the same vocab-level machinery.
+
+def ft_length_filter(sf_dir: str) -> pa.Table:
+    """LengthFilter (analysis/miscellaneous/LengthFilter.java:29): only
+    tokens of length 3..8 survive; per-term (df, ttf), top-60."""
+    from ..analysis import LENGTH_MAX, LENGTH_MIN
+
+    def keep(w: str) -> list[str]:
+        return [w] if LENGTH_MIN <= len(w) <= LENGTH_MAX else []
+    return _gram_stats(sf_dir, keep)
+
+
+def ft_truncate(sf_dir: str) -> pa.Table:
+    """TruncateTokenFilter (analysis/miscellaneous/
+    TruncateTokenFilter.java:28): every token capped at 5 chars;
+    per-term (df, ttf), top-60."""
+    from ..analysis import TRUNCATE_LEN
+
+    return _gram_stats(sf_dir, lambda w: [w[:TRUNCATE_LEN]])
+
+
+def ft_reverse_token(sf_dir: str) -> pa.Table:
+    """ReverseStringFilter (analysis/reverse/ReverseStringFilter.java:36):
+    every token reversed (the leading-wildcard trick); per-term
+    (df, ttf), top-60."""
+    return _gram_stats(sf_dir, lambda w: [w[::-1]])
+
+
+def oracle_length_filter_sql() -> str:
+    from ..analysis import LENGTH_MAX, LENGTH_MIN
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+SELECT word AS term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       count(*) AS ttf
+FROM w WHERE length(word) BETWEEN {LENGTH_MIN} AND {LENGTH_MAX}
+GROUP BY word ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_truncate_sql() -> str:
+    from ..analysis import TRUNCATE_LEN
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+SELECT substr(word, 1, {TRUNCATE_LEN}) AS term,
+       CAST(count(DISTINCT d) AS BIGINT) AS df, count(*) AS ttf
+FROM w WHERE word <> ''
+GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_reverse_token_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+SELECT reverse(word) AS term,
+       CAST(count(DISTINCT d) AS BIGINT) AS df, count(*) AS ttf
+FROM w WHERE word <> ''
+GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+# ---------------------------------------------------------------------------
 # ICU folding (ICUFoldingFilter)
 
 

@@ -410,3 +410,43 @@ def test_ngram_stream_filters(tmp_path, ray_session):
     # a 2-char prefix gram of a frequent word must be searchable
     hits = idx.search(terms[0], 5)
     assert len(hits) > 0
+
+
+def test_common_token_filters(tmp_path, ray_session):
+    """Length/Truncate/Reverse token filters (analysis/miscellaneous/
+    LengthFilter.java:29, TruncateTokenFilter.java:28,
+    analysis/reverse/ReverseStringFilter.java:36): stream goldens, and
+    the registered analyzers build indexes whose vocabularies obey the
+    filter invariant."""
+    import os
+    import pyarrow.parquet as pq
+
+    from lucene_ray.analysis import (length_stream, reverse_stream,
+                                     truncate_stream)
+
+    assert length_stream(["ab", "abc", "abcdefgh", "abcdefghi"]) == [
+        "abc", "abcdefgh"]
+    assert truncate_stream(["abcdefg", "ab"]) == ["abcde", "ab"]
+    assert reverse_stream(["abc", "x"]) == ["cba", "x"]
+
+    from lucene_ray.api import Index
+    from lucene_ray.corpus import generate_corpus
+    from lucene_ray.search import termdict_scan
+
+    c = tmp_path / "c"
+    os.makedirs(c)
+    pq.write_table(generate_corpus(80, seed=42), str(c / "a.parquet"))
+    for name, inv in (("length", lambda t: 3 <= len(t) <= 8),
+                      ("truncate", lambda t: len(t) <= 5)):
+        idx = Index.build(str(c), str(tmp_path / f"i_{name}"),
+                          analyzer=name)
+        terms = [t for t in
+                 termdict_scan(idx.reader).column("term").to_pylist()
+                 if ":" not in t]
+        assert terms and all(inv(t) for t in terms)
+    # reverse: a reversed frequent word must be searchable
+    idx = Index.build(str(c), str(tmp_path / "i_rev"), analyzer="reverse")
+    terms = [t for t in
+             termdict_scan(idx.reader).column("term").to_pylist()
+             if ":" not in t and len(t) >= 4]
+    assert terms and len(idx.search(terms[0], 5)) > 0
