@@ -8,9 +8,11 @@ from-the-spec codec:
   padding.
 - **WAV** (PCM16 mono/stereo + G.711 mu-law/A-law): RIFF chunks;
   G.711 expands through the CCITT 256-entry tables.
-- **PNG** (8-bit RGB/RGBA, non-interlaced): chunk parsing + stdlib zlib
-  + per-row filter reconstruction (filters 0-4; None/Sub/Up vectorized,
-  Average/Paeth scalar along x as the spec's left-dependency requires).
+- **PNG** (8-bit RGB/RGBA, grayscale and palette at depths 1/2/4/8
+  incl. tRNS, non-interlaced): chunk parsing + stdlib zlib + per-row
+  filter reconstruction (filters 0-4; None/Sub/Up vectorized,
+  Average/Paeth scalar along x as the spec's left-dependency
+  requires).
 - **JPEG** (baseline SOF0, 4:4:4/4:2:2/4:2:0/grayscale, restart
   markers) via :mod:`lucene_ray.jpeg` — a from-the-spec pure-numpy
   codec; only progressive/arithmetic/12-bit stay behind
@@ -233,13 +235,30 @@ def _unfilter(kind: int, row: np.ndarray, prev: np.ndarray,
     return out
 
 
+def _png_unpack_bits(row: np.ndarray, depth: int, w: int) -> np.ndarray:
+    """Sub-byte sample depths (1/2/4) → one uint8 sample per pixel,
+    MSB-first within each byte per the PNG spec."""
+    if depth == 8:
+        return row[:w]
+    per = 8 // depth
+    shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
+    mask = (1 << depth) - 1
+    vals = ((row[:, None].astype(np.uint16) >> shifts) & mask)
+    return vals.reshape(-1)[:w].astype(np.uint8)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit RGB/RGBA natively; grayscale (color 0, depths 1/2/4/8,
+    replicated to RGB like decode_jpeg) and palette (color 3, depths
+    1/2/4/8, PLTE + optional tRNS → RGBA) per the spec. Interlace and
+    16-bit stay behind NotImplementedError."""
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     pos = 8
     idat = []
     w = h = None
-    ctype = None
+    ctype = depth = None
+    plte = trns = None
     while pos + 8 <= len(payload):
         size = struct.unpack_from(">I", payload, pos)[0]
         tag = payload[pos + 4:pos + 8]
@@ -247,24 +266,53 @@ def decode_png(payload: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body)
-            if depth != 8 or ctype not in (2, 6) or interlace:
+            if interlace or ctype not in (0, 2, 3, 6) \
+                    or (ctype in (2, 6) and depth != 8) \
+                    or (ctype in (0, 3) and depth not in (1, 2, 4, 8)):
                 raise NotImplementedError(
                     f"PNG depth={depth} color={ctype} interlace={interlace}")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8,
+                                 len(body) // 3 * 3).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(body, np.uint8)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
             break
         pos += 12 + size
-    c = 3 if ctype == 2 else 4
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    c = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
+    row_bytes = (w * c * depth + 7) // 8
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    stride = w * c + 1
-    rows = raw.reshape(h, stride)
-    out = np.zeros((h, w * c), dtype=np.uint8)
-    prev = np.zeros(w * c, dtype=np.uint8)
+    if len(raw) < h * (row_bytes + 1):
+        raise ValueError("PNG pixel data short")
+    rows = raw[: h * (row_bytes + 1)].reshape(h, row_bytes + 1)
+    bpp = max(1, c * depth // 8)
+    out = np.zeros((h, row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.uint8)
     for y in range(h):
-        prev = _unfilter(int(rows[y, 0]), rows[y, 1:].copy(), prev, c)
+        prev = _unfilter(int(rows[y, 0]), rows[y, 1:].copy(), prev, bpp)
         out[y] = prev
-    return out.reshape(h, w, c)
+    if ctype in (2, 6):
+        return out.reshape(h, w * c)[:, : w * c].reshape(h, w, c)
+    samples = np.stack([_png_unpack_bits(out[y], depth, w)
+                        for y in range(h)])
+    if ctype == 0:                               # grayscale → RGB
+        scale = 255 // ((1 << depth) - 1)
+        g = (samples * scale).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    if int(samples.max(initial=0)) >= len(plte):
+        raise ValueError("palette index out of range")
+    rgb = plte[samples]
+    if trns is None:
+        return rgb
+    alpha = np.full(len(plte), 255, np.uint8)
+    alpha[: len(trns)] = trns
+    return np.concatenate([rgb, alpha[samples][:, :, None]], axis=2)
 
 
 # ---------------------------------------------------------------------------

@@ -239,3 +239,64 @@ def test_gif_avi_decode_fuzz_contract():
                     fn(bytes(q))
                 except (ValueError, NotImplementedError):
                     pass
+
+
+def test_png_gray_and_palette_decode():
+    """PNG color types 0 (grayscale) and 3 (palette) at sub-byte depths:
+    MSB-first bit unpacking, PLTE lookup, tRNS alpha — per the spec."""
+    import zlib
+
+    from lucene_ray.media import decode_png, encode_png
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    def png(w, h, depth, ctype, raw, extra=b""):
+        return (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth,
+                                             ctype, 0, 0, 0))
+                + extra + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    r = np.random.default_rng(14)
+    img = r.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+    g = r.integers(0, 256, (5, 6), dtype=np.uint8)
+    raw = np.concatenate([np.zeros((5, 1), np.uint8), g], axis=1).tobytes()
+    d = decode_png(png(6, 5, 8, 0, raw))
+    assert d.shape == (5, 6, 3)
+    np.testing.assert_array_equal(d[:, :, 0], g)
+    np.testing.assert_array_equal(d[:, :, 2], g)     # replicated to RGB
+
+    bits = r.integers(0, 2, (4, 10), dtype=np.uint8)
+    packed = np.packbits(bits, axis=1)               # MSB-first
+    raw = np.concatenate([np.zeros((4, 1), np.uint8), packed],
+                         axis=1).tobytes()
+    d = decode_png(png(10, 4, 1, 0, raw))
+    np.testing.assert_array_equal(d[:, :, 0], bits * 255)
+
+    pal = r.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = r.integers(0, 16, (3, 5), dtype=np.uint8)
+    hi = idx[:, 0::2]
+    lo = np.pad(idx[:, 1::2],
+                ((0, 0), (0, hi.shape[1] - idx[:, 1::2].shape[1])))
+    raw = np.concatenate([np.zeros((3, 1), np.uint8), (hi << 4) | lo],
+                         axis=1).tobytes()
+    trns = bytes([100] * 8)
+    p = png(5, 3, 4, 3, raw,
+            extra=chunk(b"PLTE", pal.tobytes()) + chunk(b"tRNS", trns))
+    d = decode_png(p)
+    assert d.shape == (3, 5, 4)
+    np.testing.assert_array_equal(d[:, :, :3], pal[idx])
+    np.testing.assert_array_equal(d[:, :, 3], np.where(idx < 8, 100, 255))
+
+    # contract: 16-bit / interlace stay fenced; corrupt palette raises
+    with pytest.raises(NotImplementedError):
+        decode_png(png(2, 2, 16, 0, b"\x00" * 10))
+    with pytest.raises(ValueError):
+        decode_png(png(5, 3, 4, 3, raw))             # PLTE missing
+    short = png(6, 5, 8, 0, raw[:8])
+    with pytest.raises(ValueError):
+        decode_png(short)
