@@ -105,6 +105,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_length_filter": ft.ft_length_filter,
         "ft_truncate": ft.ft_truncate,
         "ft_reverse_token": ft.ft_reverse_token,
+        "ft_whitespace_tok": ft.ft_whitespace_tok,
+        "ft_simple_tok": ft.ft_simple_tok,
+        "ft_keyword_tok": ft.ft_keyword_tok,
+        "ft_path_hierarchy": ft.ft_path_hierarchy,
+        "ft_classic": ft.ft_classic,
+        "ft_classic_types": ft.ft_classic_types,
         # --- rows-only entries never reached by a rotation (weaker
         # check; their exactness gates are pytest-pinned) ---
         # --- round-5 additions: oracle-backed, never checked —
@@ -366,6 +372,12 @@ def oracle_sql() -> dict[str, str]:
         "ft_length_filter": ft.oracle_length_filter_sql(),
         "ft_truncate": ft.oracle_truncate_sql(),
         "ft_reverse_token": ft.oracle_reverse_token_sql(),
+        "ft_whitespace_tok": ft.oracle_whitespace_tok_sql(),
+        "ft_simple_tok": ft.oracle_simple_tok_sql(),
+        "ft_keyword_tok": ft.oracle_keyword_tok_sql(),
+        "ft_path_hierarchy": ft.oracle_path_hierarchy_sql(),
+        "ft_classic": ft.oracle_classic_sql(),
+        "ft_classic_types": ft.oracle_classic_types_sql(),
         "ft_shape_box": ft.oracle_shape_box_sql(),
         "ft_payload_score": ft.oracle_payload_score_sql(),
         "ft_word_break": ft.oracle_word_break_sql(),

@@ -531,7 +531,8 @@ def _overlong_re(max_token_length: int) -> "_re.Pattern[str]":
 
 
 def token_offsets_batch(texts: list[str],
-                        max_token_length: int = MAX_TOKEN_LENGTH
+                        max_token_length: int = MAX_TOKEN_LENGTH,
+                        tokenizer=None
                         ) -> tuple[list[np.ndarray], list[np.ndarray]]:
     """Per-doc token character offsets — the stored OffsetAttribute
     payload of an ``..._AND_OFFSETS`` index (index/IndexOptions.java:26).
@@ -541,10 +542,18 @@ def token_offsets_batch(texts: list[str],
     starts_out: list[np.ndarray] = []
     ends_out: list[np.ndarray] = []
     empty = np.empty(0, np.int32)
+    if tokenizer is not None and not hasattr(tokenizer, "with_offsets"):
+        raise ValueError("offsets index unsupported for this analyzer: "
+                         "the tokenizer provides no offset mapping")
     for text in texts:
         if not text:
             starts_out.append(empty)
             ends_out.append(empty)
+            continue
+        if tokenizer is not None:
+            _, st, en = tokenizer.with_offsets(text)
+            starts_out.append(np.asarray(st, np.int32))
+            ends_out.append(np.asarray(en, np.int32))
             continue
         if text.isascii():
             low = text.lower()
@@ -667,7 +676,8 @@ def term_freq_batch(texts: list[str],
                     with_positions: bool = False,
                     token_filter=None,
                     synonyms: "dict[str, list[str]] | None" = None,
-                    stream_filter=None):
+                    stream_filter=None,
+                    tokenizer=None):
     """Per-doc (term, tf) pairs for a batch — the analyzer plus the local
     BytesRefHash-style dedup (util/BytesRefHash.java:335) in one pass.
 
@@ -721,7 +731,14 @@ def term_freq_batch(texts: list[str],
             if not text:
                 continue
             toks = None
-            if text.isascii():
+            if tokenizer is not None:
+                # replacement tokenizer (CharTokenizer family / classic /
+                # path hierarchy): owns case, truncation and the token
+                # char set — no underscore drop, no overlong reroute
+                toks = tokenizer(text)
+                if stream_filter is not None:
+                    toks = stream_filter(toks)
+            elif text.isascii():
                 low = text.lower()
                 if _overlong_re(max_token_length).search(low) is None:
                     toks = [t for t in _ASCII_WORD.findall(low)
@@ -737,7 +754,7 @@ def term_freq_batch(texts: list[str],
             # MINT pure-underscore grams (e.g. "a__b" → "__") that the
             # vectorized path drops at the vocabulary level — both paths
             # must emit identical tokens and field lengths
-            if stream_filter is not None:
+            if stream_filter is not None and tokenizer is None:
                 toks = [t for t in toks if t.strip("_")]
             if not toks:
                 continue
@@ -790,7 +807,11 @@ def term_freq_batch(texts: list[str],
             continue
         rewriter = stream_filter is not None and not getattr(
             stream_filter, "ascii_transparent", False)
-        if text.isascii() and not (
+        if tokenizer is not None:
+            toks = tokenizer(text)
+            if stream_filter is not None:
+                toks = stream_filter(toks)
+        elif text.isascii() and not (
                 rewriter
                 and _overlong_re(max_token_length).search(text.lower())):
             toks = _ASCII_WORD.findall(text.lower())  # may contain "_"-only
@@ -821,8 +842,9 @@ def term_freq_batch(texts: list[str],
     # tokens over max length rather than keeping them, so any fast-path
     # doc that produced one re-tokenizes through the exact path (one
     # utf8_length kernel; the common all-short case costs one max())
-    tl = pc.utf8_length(arr).to_numpy(zero_copy_only=False)
-    bad = tl > max_token_length
+    bad = (np.zeros(len(arr), dtype=bool) if tokenizer is not None else
+           pc.utf8_length(arr).to_numpy(zero_copy_only=False)
+           > max_token_length)
     if bad.any():
         bad_docs = np.unique(owners_all[bad & fast[owners_all]])
         if len(bad_docs):
@@ -844,10 +866,11 @@ def term_freq_batch(texts: list[str],
     # no-core drop, vectorized: a token survives iff trimming '_' leaves
     # something (exact-path tokens never contain pure-underscore runs,
     # so re-applying the mask is a no-op for them)
-    keep = pc.not_equal(pc.utf8_trim(arr, "_"), "")
-    if not pc.all(keep).as_py():
-        arr = arr.filter(keep)
-        owners_all = owners_all[keep.to_numpy(zero_copy_only=False)]
+    if tokenizer is None:
+        keep = pc.not_equal(pc.utf8_trim(arr, "_"), "")
+        if not pc.all(keep).as_py():
+            arr = arr.filter(keep)
+            owners_all = owners_all[keep.to_numpy(zero_copy_only=False)]
     dict_arr = pc.dictionary_encode(arr)
     idx = np.asarray(dict_arr.indices, dtype=np.int64)
     dictionary = dict_arr.dictionary

@@ -356,9 +356,20 @@ def fold_token_filter(tokens: list[str]) -> list[str | None]:
     return out
 
 
+def stop_en_token_filter(tokens: list[str]) -> list[str | None]:
+    """StopFilter(ENGLISH_STOP_WORDS_SET) alone — the stop step of
+    StopAnalyzer (core/StopAnalyzer.java) and ClassicAnalyzer
+    (classic/ClassicAnalyzer.java:42); no stemming."""
+    return [None if t in ENGLISH_STOP_WORDS else t for t in tokens]
+
+
 TOKEN_FILTERS = {
     "english": english_token_filter,
     "fold": fold_token_filter,
+    # tokenizer-replacing analyzers whose chain includes the English
+    # stop step (the tokenizer itself lives in lucene_ray.tokenizers)
+    "classic": stop_en_token_filter,
+    "stop_en": stop_en_token_filter,
 }
 
 
@@ -370,9 +381,12 @@ def get_token_filter(name: str | None):
     from .analysis import STREAM_FILTERS
     if name in STREAM_FILTERS:      # stream-level chain (cjk bigrams):
         return None                 # no vocabulary-level filter
-    try:
-        return TOKEN_FILTERS[name]
-    except KeyError:
-        raise ValueError(
-            f"unknown analyzer {name!r}; known: standard, "
-            f"{', '.join([*TOKEN_FILTERS, *STREAM_FILTERS])}")
+    f = TOKEN_FILTERS.get(name)
+    if f is not None:
+        return f
+    from .tokenizers import TOKENIZER_ANALYZERS
+    if name in TOKENIZER_ANALYZERS:  # tokenizer-only analyzer (whitespace,
+        return None                  # keyword, simple, path_hierarchy, …)
+    known = [*TOKEN_FILTERS, *STREAM_FILTERS, *TOKENIZER_ANALYZERS]
+    raise ValueError(
+        f"unknown analyzer {name!r}; known: standard, {', '.join(known)}")

@@ -286,8 +286,10 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
     positions = None
     from .analysis import get_stream_filter
     from .analysis_en import get_token_filter
+    from .tokenizers import get_tokenizer
     tfilt = get_token_filter(analyzer)
     sfilt = get_stream_filter(analyzer)
+    tknzr = get_tokenizer(analyzer)
     syn = index_synonyms or None
     overlaps = np.zeros(n_docs, dtype=np.int32)
     if with_positions:
@@ -295,19 +297,21 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
             (terms_arr, tfs_arr, owners, lengths, norms, positions,
              overlaps) = term_freq_batch(contents, with_positions=True,
                                          token_filter=tfilt, synonyms=syn,
-                                         stream_filter=sfilt)
+                                         stream_filter=sfilt,
+                                         tokenizer=tknzr)
         else:
             terms_arr, tfs_arr, owners, lengths, norms, positions = \
                 term_freq_batch(contents, with_positions=True,
-                                token_filter=tfilt, stream_filter=sfilt)
+                                token_filter=tfilt, stream_filter=sfilt,
+                                tokenizer=tknzr)
     elif syn:
         terms_arr, tfs_arr, owners, lengths, norms, overlaps = \
             term_freq_batch(contents, token_filter=tfilt, synonyms=syn,
-                            stream_filter=sfilt)
+                            stream_filter=sfilt, tokenizer=tknzr)
     else:
         terms_arr, tfs_arr, owners, lengths, norms = \
             term_freq_batch(contents, token_filter=tfilt,
-                            stream_filter=sfilt)
+                            stream_filter=sfilt, tokenizer=tknzr)
 
     _bp_dict = None   # bp's dictionary encode, reused by the postings
     # section below when keyword terms don't extend the token array
@@ -553,7 +557,7 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
         # UnifiedHighlighter POSTINGS/TERM_VECTORS offset modes read,
         # so highlighting never re-analyzes content.
         from .analysis import token_offsets_batch
-        st_list, en_list = token_offsets_batch(contents)
+        st_list, en_list = token_offsets_batch(contents, tokenizer=tknzr)
         loffs = np.concatenate(
             [[0], np.cumsum([len(x) for x in st_list])]).astype(np.int32)
         docmeta_cols["tok_starts"] = pa.ListArray.from_arrays(

@@ -4025,6 +4025,321 @@ GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
 
 
 # ---------------------------------------------------------------------------
+# Tokenizer family (lucene_ray.tokenizers): whitespace / simple /
+# keyword / path-hierarchy / classic.  Each entry runs the REAL
+# replacement tokenizer over the raw document text (not the per-word
+# vocabulary shortcut) so the gates exercise the exact engine path that
+# Index.build(analyzer=...) uses; the oracles reproduce the token
+# stream analytically in SQL over deterministic text transforms.
+
+def _rawtok_stats(sf_dir: str, doc_tokens) -> pa.Table:
+    """df/ttf over per-DOC token lists (``doc_tokens(text, doc_id) ->
+    list[str]``), top-60 by (df desc, term). The counting tail matches
+    _gram_stats: one dictionary-encode + one packed np.unique per
+    batch, groupby-sum partials."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy()
+        owners: list[int] = []
+        toks: list[str] = []
+        for di, tx in enumerate(texts):
+            tt = doc_tokens(tx or "", int(ids[di]))
+            toks.extend(tt)
+            owners.extend([di] * len(tt))
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()),
+                          "ttf": pa.array([], pa.int64())})
+        if not toks:
+            return empty
+        import pyarrow.compute as pc
+        d = pc.dictionary_encode(pa.array(toks, pa.string()))
+        codes = np.asarray(d.indices, dtype=np.int64)
+        nv = len(d.dictionary)
+        own = np.asarray(owners, dtype=np.int64)
+        pairs, tf = np.unique(own * nv + codes, return_counts=True)
+        pg = pairs % nv
+        df = np.bincount(pg, minlength=nv)
+        ttf = np.zeros(nv, dtype=np.int64)
+        np.add.at(ttf, pg, tf)
+        return pa.table({"term": d.dictionary,
+                         "df": pa.array(df, pa.int64()),
+                         "ttf": pa.array(ttf, pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("term")
+           .aggregate(Sum("df", alias_name="df"),
+                      Sum("ttf", alias_name="ttf"))
+           .to_pandas())
+    agg = agg.sort_values(["df", "term"],
+                          ascending=[False, True]).head(_NGRAM_TOP)
+    return pa.table({"term": pa.array(agg["term"], pa.string()),
+                     "df": pa.array(agg["df"].astype(np.int64)),
+                     "ttf": pa.array(agg["ttf"].astype(np.int64))})
+
+
+def ft_whitespace_tok(sf_dir: str) -> pa.Table:
+    """WhitespaceTokenizer (core/WhitespaceTokenizer.java:72, via
+    CharTokenizer.java:44): case-PRESERVING runs of non-whitespace.
+    The text is passed through replace('a'→'A') first so the gate
+    proves no case folding happens (the standard chain would fold the
+    'A's back)."""
+    from ..tokenizers import whitespace_tokenize  # noqa — module path
+    return _rawtok_stats(
+        sf_dir,
+        lambda tx, d: whitespace_tokenize(tx.replace("a", "A")))
+
+
+def ft_simple_tok(sf_dir: str) -> pa.Table:
+    """SimpleAnalyzer (core/SimpleAnalyzer.java = LetterTokenizer +
+    LowerCaseFilter): digits split tokens. replace('r'→'9') plants
+    letter-run breaks the standard grammar would NOT make (it keeps
+    alphanumeric runs together)."""
+    from ..tokenizers import TOKENIZER_ANALYZERS
+    simple = TOKENIZER_ANALYZERS["simple"]
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: simple(tx.replace("r", "9")))
+
+
+def ft_keyword_tok(sf_dir: str) -> pa.Table:
+    """KeywordAnalyzer (core/KeywordAnalyzer.java): the whole field is
+    ONE case-preserved token. Gated over the 23-char text prefix so
+    distinct docs collide into countable groups."""
+    from ..tokenizers import keyword_tokenize
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: keyword_tokenize(tx[:23]))
+
+
+def ft_path_hierarchy(sf_dir: str) -> pa.Table:
+    """PathHierarchyTokenizer (path/PathHierarchyTokenizer.java:115):
+    '/src/lang/dNN' emits its 3 hierarchy prefixes; df counts every
+    doc under each subtree — the faceted-drilldown use the reference
+    documents."""
+    from ..tokenizers import path_hierarchy_tokenize
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        srcs = batch.column("source").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        owners: list[int] = []
+        toks: list[str] = []
+        for di in range(len(ids)):
+            path = f"/{srcs[di]}/{langs[di]}/d{int(ids[di]) % 50}"
+            tt = path_hierarchy_tokenize(path)
+            toks.extend(tt)
+            owners.extend([di] * len(tt))
+        import pyarrow.compute as pc
+        d = pc.dictionary_encode(pa.array(toks, pa.string()))
+        codes = np.asarray(d.indices, dtype=np.int64)
+        nv = len(d.dictionary)
+        own = np.asarray(owners, dtype=np.int64)
+        pairs, tf = np.unique(own * nv + codes, return_counts=True)
+        pg = pairs % nv
+        df = np.bincount(pg, minlength=nv)
+        ttf = np.zeros(nv, dtype=np.int64)
+        np.add.at(ttf, pg, tf)
+        return pa.table({"term": d.dictionary,
+                         "df": pa.array(df, pa.int64()),
+                         "ttf": pa.array(ttf, pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("term")
+           .aggregate(Sum("df", alias_name="df"),
+                      Sum("ttf", alias_name="ttf"))
+           .to_pandas())
+    agg = agg.sort_values(["df", "term"],
+                          ascending=[False, True]).head(_NGRAM_TOP)
+    return pa.table({"term": pa.array(agg["term"], pa.string()),
+                     "df": pa.array(agg["df"].astype(np.int64)),
+                     "ttf": pa.array(agg["ttf"].astype(np.int64))})
+
+
+_CLASSIC_WORD_RE = None
+
+
+def _classic_corpus_doc(text: str, doc_id: int) -> str:
+    """Deterministic classic-grammar exercise corpus: each pure-alpha
+    word (>= 3 chars) of the document becomes one of five grammar
+    shapes keyed on (len(word) + doc_id) % 5 — plain ALPHANUM,
+    possessive APOSTROPHE, dotted ACRONYM, &-COMPANY, or a full
+    EMAIL — so the ENGINE runs the real scanner over realistic mixed
+    text while the oracle can predict every token analytically."""
+    global _CLASSIC_WORD_RE
+    if _CLASSIC_WORD_RE is None:
+        import re
+        _CLASSIC_WORD_RE = re.compile(r"[a-z]{3,}\Z")
+    out: list[str] = []
+    for w in text.split(" "):
+        if not _CLASSIC_WORD_RE.match(w):
+            continue
+        v = (len(w) + doc_id) % 5
+        if v == 0:
+            out.append(w)
+        elif v == 1:
+            out.append(w + "'s")
+        elif v == 2:
+            out.append(f"{w[0]}.{w[1]}.{w[2]}.")
+        elif v == 3:
+            out.append(w + "&" + w)
+        else:
+            out.append(w + "@" + w + ".net")
+    return " ".join(out)
+
+
+def ft_classic(sf_dir: str) -> pa.Table:
+    """ClassicAnalyzer (classic/ClassicTokenizerImpl.jflex grammar +
+    ClassicFilter.java:24 's/dot stripping + LowerCase + English stop):
+    df/ttf over the deterministic grammar-exercise corpus, scanned by
+    the REAL longest-match scanner."""
+    from ..tokenizers import classic_tokenize
+    from ..analysis_en import ENGLISH_STOP_WORDS
+
+    def toks(tx: str, d: int) -> list[str]:
+        return [t for t in classic_tokenize(_classic_corpus_doc(tx, d))
+                if t not in ENGLISH_STOP_WORDS]
+    return _rawtok_stats(sf_dir, toks)
+
+
+def ft_classic_types(sf_dir: str) -> pa.Table:
+    """ClassicTokenizer token TYPES (ClassicTokenizer.java:120
+    TOKEN_TYPES): per-type token counts over the same grammar-exercise
+    corpus — gates the scanner's rule attribution (TypeAttribute), the
+    input TypeTokenFilter consumes."""
+    from ..tokenizers import classic_scan
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        ids = batch.column("doc_id").to_numpy()
+        counts: dict[str, int] = {}
+        for di, tx in enumerate(texts):
+            for _, typ, _, _ in classic_scan(
+                    _classic_corpus_doc(tx or "", int(ids[di]))):
+                counts[typ] = counts.get(typ, 0) + 1
+        return pa.table({"type": pa.array(list(counts), pa.string()),
+                         "n": pa.array(list(counts.values()), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("type")
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    agg = agg.sort_values("type")
+    return pa.table({"type": pa.array(agg["type"], pa.string()),
+                     "n": pa.array(agg["n"].astype(np.int64))})
+
+
+_STOP_SQL = ("('a','an','and','are','as','at','be','but','by','for','if',"
+             "'in','into','is','it','no','not','of','on','or','such',"
+             "'that','the','their','then','there','these','they','this',"
+             "'to','was','will','with')")
+
+
+def oracle_whitespace_tok_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d,
+         unnest(string_split_regex(replace(text, 'a', 'A'),
+                                   '[ \\t\\n\\r]+')) AS word
+  FROM documents
+)
+SELECT word AS term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       count(*) AS ttf
+FROM w WHERE word <> ''
+GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_simple_tok_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d,
+         unnest(regexp_extract_all(replace(text, 'r', '9'),
+                                   '[A-Za-z]+')) AS word
+  FROM documents
+)
+SELECT lower(word) AS term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       count(*) AS ttf
+FROM w GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_keyword_tok_sql() -> str:
+    return f"""SELECT substr(text, 1, 23) AS term,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM documents WHERE text <> ''
+GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_path_hierarchy_sql() -> str:
+    return f"""WITH p AS (
+  SELECT doc_id AS d,
+         '/' || source AS p1,
+         '/' || source || '/' || lang AS p2,
+         '/' || source || '/' || lang || '/d'
+             || CAST(doc_id % 50 AS VARCHAR) AS p3
+  FROM documents
+), t AS (
+  SELECT d, unnest([p1, p2, p3]) AS term FROM p
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM t GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_classic_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), v AS (
+  SELECT d, word, (length(word) + d) % 5 AS variant
+  FROM w WHERE regexp_matches(word, '^[a-z]{{3,}}$')
+), tok AS (
+  SELECT d, CASE variant
+    WHEN 0 THEN word
+    WHEN 1 THEN word
+    WHEN 2 THEN substr(word, 1, 3)
+    WHEN 3 THEN word || '&' || word
+    ELSE word || '@' || word || '.net'
+  END AS term
+  FROM v
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM tok WHERE term NOT IN {_STOP_SQL}
+GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_classic_types_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), v AS (
+  SELECT (length(word) + d) % 5 AS variant
+  FROM w WHERE regexp_matches(word, '^[a-z]{{3,}}$')
+)
+SELECT CASE variant
+    WHEN 0 THEN '<ALPHANUM>'
+    WHEN 1 THEN '<APOSTROPHE>'
+    WHEN 2 THEN '<ACRONYM>'
+    WHEN 3 THEN '<COMPANY>'
+    ELSE '<EMAIL>'
+  END AS type, CAST(count(*) AS BIGINT) AS n
+FROM v GROUP BY type ORDER BY type"""
+
+
+# ---------------------------------------------------------------------------
 # ICU folding (ICUFoldingFilter)
 
 
