@@ -111,6 +111,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_path_hierarchy": ft.ft_path_hierarchy,
         "ft_classic": ft.ft_classic,
         "ft_classic_types": ft.ft_classic_types,
+        "ft_common_grams": ft.ft_common_grams,
+        "ft_keep_word": ft.ft_keep_word,
+        "ft_fingerprint": ft.ft_fingerprint,
+        "ft_hyphenated": ft.ft_hyphenated,
+        "ft_limit_count": ft.ft_limit_count,
+        "ft_decimal_digit": ft.ft_decimal_digit,
+        "ft_apostrophe": ft.ft_apostrophe,
+        "ft_elision": ft.ft_elision,
+        "ft_capitalization": ft.ft_capitalization,
+        "ft_type_filter": ft.ft_type_filter,
         # --- rows-only entries never reached by a rotation (weaker
         # check; their exactness gates are pytest-pinned) ---
         # --- round-5 additions: oracle-backed, never checked —
@@ -378,6 +388,16 @@ def oracle_sql() -> dict[str, str]:
         "ft_path_hierarchy": ft.oracle_path_hierarchy_sql(),
         "ft_classic": ft.oracle_classic_sql(),
         "ft_classic_types": ft.oracle_classic_types_sql(),
+        "ft_common_grams": ft.oracle_common_grams_sql(),
+        "ft_keep_word": ft.oracle_keep_word_sql(),
+        "ft_fingerprint": ft.oracle_fingerprint_sql(),
+        "ft_hyphenated": ft._identity_word_stats_sql(),
+        "ft_limit_count": ft.oracle_limit_count_sql(),
+        "ft_decimal_digit": ft._identity_word_stats_sql(),
+        "ft_apostrophe": ft._identity_word_stats_sql(),
+        "ft_elision": ft._identity_word_stats_sql(),
+        "ft_capitalization": ft.oracle_capitalization_sql(),
+        "ft_type_filter": ft.oracle_type_filter_sql(),
         "ft_shape_box": ft.oracle_shape_box_sql(),
         "ft_payload_score": ft.oracle_payload_score_sql(),
         "ft_word_break": ft.oracle_word_break_sql(),

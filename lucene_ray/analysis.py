@@ -652,6 +652,86 @@ def reverse_stream(toks: list[str]) -> list[str]:
     return [t[::-1] for t in toks]
 
 
+_COMMON_WORDS: "frozenset[str] | None" = None
+
+
+def _common_words() -> "frozenset[str]":
+    # CommonGramsFilter's common-word set — the English stop set, the
+    # reference's canonical pairing (commongrams/CommonGramsFilter.java
+    # takes the set as a ctor arg; StopFilterFactory wiring uses the
+    # same stop list). Lazy import avoids an analysis<->analysis_en
+    # module cycle.
+    global _COMMON_WORDS
+    if _COMMON_WORDS is None:
+        from .analysis_en import ENGLISH_STOP_WORDS
+        _COMMON_WORDS = ENGLISH_STOP_WORDS
+    return _COMMON_WORDS
+
+
+def common_grams_stream(toks: list[str]) -> list[str]:
+    """CommonGramsFilter (commongrams/CommonGramsFilter.java:49): next
+    to each common word, also emit the '_'-joined bigram — pinned by
+    TestCommonGramsFilter: "the quick brown" -> the, the_quick, quick,
+    brown (the reference emits the bigram at posIncrement 0; the flat
+    stream here gives it its own position — same documented divergence
+    as the shingle chain)."""
+    common = _common_words()
+    out: list[str] = []
+    prev: "str | None" = None
+    for t in toks:
+        if prev is not None and (prev in common or t in common):
+            out.append(prev + "_" + t)
+        out.append(t)
+        prev = t
+    return out
+
+
+def hyphenated_stream(toks: list[str]) -> list[str]:
+    """HyphenatedWordsFilter (miscellaneous/HyphenatedWordsFilter.java:
+    73): tokens ending in '-' accumulate (hyphen dropped) and join the
+    next non-hyphen-terminated token; a trailing accumulation gets its
+    final hyphen restored. Pair with the whitespace tokenizer (the
+    standard grammar never emits '-')."""
+    out: list[str] = []
+    acc: "str | None" = None
+    for t in toks:
+        if t.endswith("-") and len(t) > 0:
+            acc = (acc or "") + t[:-1]
+        elif acc is not None:
+            out.append(acc + t)
+            acc = None
+        else:
+            out.append(t)
+    if acc is not None:
+        out.append(acc + "-")
+    return out
+
+
+FINGERPRINT_MAX_OUTPUT = 1024   # FingerprintFilter.DEFAULT_MAX_OUTPUT_TOKEN_SIZE
+FINGERPRINT_SEP = " "           # DEFAULT_SEPARATOR
+
+
+def fingerprint_stream(toks: list[str]) -> list[str]:
+    """FingerprintFilter (miscellaneous/FingerprintFilter.java:36): the
+    whole stream collapses to ONE token — the de-duplicated terms
+    sorted by UTF-16 char order and joined by ' '; if the result
+    exceeds 1024 chars, no token is emitted."""
+    if not toks:
+        return []
+    fp = FINGERPRINT_SEP.join(sorted(set(toks)))
+    return [fp] if len(fp) <= FINGERPRINT_MAX_OUTPUT else []
+
+
+LIMIT_TOKEN_COUNT = 20
+
+
+def limit_count_stream(toks: list[str]) -> list[str]:
+    """LimitTokenCountFilter (miscellaneous/LimitTokenCountFilter.java:
+    33): index only the first maxTokenCount (20 here) tokens of each
+    field — the classic very-long-document cap."""
+    return toks[:LIMIT_TOKEN_COUNT]
+
+
 # the CJK chain only rewrites Han tokens, so pure-ASCII docs pass it
 # unchanged — term_freq_batch's ASCII fast path may skip it. The other
 # filters rewrite/drop EVERY token and must run on the fast path too.
@@ -662,7 +742,11 @@ STREAM_FILTERS = {"cjk": cjk_bigram_stream,
                   "ngram": ngram_stream,
                   "length": length_stream,
                   "truncate": truncate_stream,
-                  "reverse": reverse_stream}
+                  "reverse": reverse_stream,
+                  "common_grams": common_grams_stream,
+                  "hyphenated": hyphenated_stream,
+                  "fingerprint": fingerprint_stream,
+                  "limit20": limit_count_stream}
 
 
 def get_stream_filter(name: "str | None"):
@@ -841,10 +925,20 @@ def term_freq_batch(texts: list[str],
     # overlong-token reroute, post-hoc and vectorized: the scanner SPLITS
     # tokens over max length rather than keeping them, so any fast-path
     # doc that produced one re-tokenizes through the exact path (one
-    # utf8_length kernel; the common all-short case costs one max())
-    bad = (np.zeros(len(arr), dtype=bool) if tokenizer is not None else
-           pc.utf8_length(arr).to_numpy(zero_copy_only=False)
-           > max_token_length)
+    # utf8_length kernel; the common all-short case costs one max()).
+    # Skipped for replacement tokenizers (they own truncation) AND for
+    # rewriting stream filters: their fast-path docs were pre-checked
+    # overlong-free, so any overlong token is FILTER-MINTED (a
+    # fingerprint, a long shingle) — max_token_length binds the
+    # TOKENIZER, not filter output, exactly as in the reference
+    # (FingerprintFilter emits up to 1024 chars past a 255 tokenizer).
+    rerouteable = (tokenizer is None
+                   and (stream_filter is None
+                        or getattr(stream_filter, "ascii_transparent",
+                                   False)))
+    bad = (pc.utf8_length(arr).to_numpy(zero_copy_only=False)
+           > max_token_length if rerouteable
+           else np.zeros(len(arr), dtype=bool))
     if bad.any():
         bad_docs = np.unique(owners_all[bad & fast[owners_all]])
         if len(bad_docs):

@@ -356,6 +356,105 @@ def fold_token_filter(tokens: list[str]) -> list[str | None]:
     return out
 
 
+# KeepWordFilter (miscellaneous/KeepWordFilter.java:28): the inverse of
+# a stop filter — only words in the keep set survive. The set is a ctor
+# arg in the reference; this registered instance keeps the common
+# source-code keywords of the corpus.
+KEEP_WORDS = frozenset({
+    "join", "hash", "row", "batch", "scan", "filter", "merge", "order",
+    "data", "table", "key", "stream", "window", "sort", "query", "group"})
+
+
+def keep_word_filter(tokens: list[str]) -> list[str | None]:
+    return [t if t in KEEP_WORDS else None for t in tokens]
+
+
+def decimal_digit_filter(tokens: list[str]) -> list[str | None]:
+    """DecimalDigitFilter (core/DecimalDigitFilter.java:31): any
+    non-Latin decimal digit (Character.isDigit above 0x7F) folds to its
+    0-9 equivalent via its numeric value."""
+    import unicodedata
+    out: list[str | None] = []
+    for t in tokens:
+        if t.isascii():
+            out.append(t)
+            continue
+        out.append("".join(
+            chr(0x30 + unicodedata.digit(c))
+            if ord(c) > 0x7F and unicodedata.category(c) == "Nd" else c
+            for c in t))
+    return out
+
+
+def apostrophe_token_filter(tokens: list[str]) -> list[str | None]:
+    """ApostropheFilter (tr/ApostropheFilter.java:33): truncate at the
+    first apostrophe (' or U+2019) — Turkish suffix stripping
+    (Türkiye'den -> Türkiye)."""
+    out: list[str | None] = []
+    for t in tokens:
+        i = min((j for j in (t.find("'"), t.find("’")) if j >= 0),
+                default=-1)
+        out.append(t[:i] if i > 0 else (t if i < 0 else None))
+    return out
+
+
+# ElisionFilter with FrenchAnalyzer.DEFAULT_ARTICLES
+# (util/ElisionFilter.java:33, fr/FrenchAnalyzer.java:56)
+FRENCH_ARTICLES = ("l", "m", "t", "qu", "n", "s", "j", "d", "c",
+                   "jusqu", "quoiqu", "lorsqu", "puisqu")
+_ARTICLE_SET = frozenset(FRENCH_ARTICLES)
+
+
+def elision_filter(tokens: list[str]) -> list[str | None]:
+    """Strip a leading article + apostrophe: the prefix before the
+    FIRST apostrophe is removed iff it is in the article set
+    (case-insensitive in the reference; the vocabulary here is already
+    lowercased by the standard chain)."""
+    out: list[str | None] = []
+    for t in tokens:
+        i = t.find("'")
+        j = t.find("’")
+        if j >= 0 and (i < 0 or j < i):
+            i = j
+        if i >= 0 and t[:i] in _ARTICLE_SET:
+            t = t[i + 1:]
+        out.append(t if t else None)
+    return out
+
+
+def capitalization_filter(tokens: list[str]) -> list[str | None]:
+    """CapitalizationFilter defaults (miscellaneous/
+    CapitalizationFilter.java:56: onlyFirstWord=true,
+    forceFirstLetter=true): sub-words split at chars <= ' ' or '.';
+    the first sub-word gets Upper(first char) + lower(rest), later
+    sub-words are lowercased entirely (simple per-char mappings)."""
+    def up1(c: str) -> str:
+        u = c.upper()
+        return u if len(u) == 1 else c
+
+    out: list[str | None] = []
+    for t in tokens:
+        parts: list[str] = []
+        word_count = 0
+        start = 0
+        for i in range(len(t) + 1):
+            boundary = i == len(t) or t[i] <= " " or t[i] == "."
+            if not boundary:
+                continue
+            if i > start:
+                w = t[start:i]
+                if word_count == 0:
+                    parts.append(up1(w[0]) + w[1:].lower())
+                else:
+                    parts.append(w.lower())
+                word_count += 1
+            if i < len(t):
+                parts.append(t[i])
+            start = i + 1
+        out.append("".join(parts))
+    return out
+
+
 def stop_en_token_filter(tokens: list[str]) -> list[str | None]:
     """StopFilter(ENGLISH_STOP_WORDS_SET) alone — the stop step of
     StopAnalyzer (core/StopAnalyzer.java) and ClassicAnalyzer
@@ -370,6 +469,12 @@ TOKEN_FILTERS = {
     # stop step (the tokenizer itself lives in lucene_ray.tokenizers)
     "classic": stop_en_token_filter,
     "stop_en": stop_en_token_filter,
+    "classic_alpha": stop_en_token_filter,
+    "keep_word": keep_word_filter,
+    "decimal_digit": decimal_digit_filter,
+    "apostrophe": apostrophe_token_filter,
+    "elision": elision_filter,
+    "capitalization": capitalization_filter,
 }
 
 

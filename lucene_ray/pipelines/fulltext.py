@@ -4340,6 +4340,247 @@ FROM v GROUP BY type ORDER BY type"""
 
 
 # ---------------------------------------------------------------------------
+# Token-filter batch: CommonGrams / KeepWord / Fingerprint /
+# HyphenatedWords / LimitTokenCount / DecimalDigit / Apostrophe /
+# Elision / Capitalization / TypeTokenFilter.  Engine side always runs
+# the REGISTERED filter (the same function Index.build(analyzer=...)
+# resolves); several oracles are identity word-stats — the gate is that
+# the engine's plant-transform + real filter round-trips exactly.
+
+def _words(tx: str) -> list[str]:
+    return [w for w in tx.split(" ") if w]
+
+
+def ft_common_grams(sf_dir: str) -> pa.Table:
+    """CommonGramsFilter (commongrams/CommonGramsFilter.java:49):
+    unigrams plus '_'-joined bigrams beside each common (English stop)
+    word."""
+    from ..analysis import common_grams_stream
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: common_grams_stream(_words(tx)))
+
+
+def ft_keep_word(sf_dir: str) -> pa.Table:
+    """KeepWordFilter (miscellaneous/KeepWordFilter.java:28): only the
+    keep-set words survive."""
+    from ..analysis_en import keep_word_filter
+    return _rawtok_stats(
+        sf_dir,
+        lambda tx, d: [m for m in keep_word_filter(_words(tx))
+                       if m is not None])
+
+
+def ft_fingerprint(sf_dir: str) -> pa.Table:
+    """FingerprintFilter (miscellaneous/FingerprintFilter.java:36): one
+    token per doc — sorted de-duplicated terms joined by ' ' (docs whose
+    fingerprint exceeds 1024 chars emit nothing)."""
+    from ..analysis import fingerprint_stream
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: fingerprint_stream(_words(tx)))
+
+
+_HYPH_RE = None
+
+
+def ft_hyphenated(sf_dir: str) -> pa.Table:
+    """HyphenatedWordsFilter (miscellaneous/HyphenatedWordsFilter.java:
+    73): the plant splits every third >=4-char word into 'xx- yyy' and
+    the REAL filter must stitch the stream back to the original words
+    (identity oracle)."""
+    from ..analysis import hyphenated_stream
+
+    def toks(tx: str, d: int) -> list[str]:
+        global _HYPH_RE
+        if _HYPH_RE is None:
+            import re
+            _HYPH_RE = re.compile(r"[a-z]{4,}\Z")
+        parts: list[str] = []
+        for w in _words(tx):
+            if _HYPH_RE.match(w) and (len(w) + d) % 3 == 0:
+                parts.append(w[:2] + "-")
+                parts.append(w[2:])
+            else:
+                parts.append(w)
+        return hyphenated_stream(parts)
+    return _rawtok_stats(sf_dir, toks)
+
+
+def ft_limit_count(sf_dir: str) -> pa.Table:
+    """LimitTokenCountFilter (miscellaneous/LimitTokenCountFilter.java:
+    33): only the first 20 tokens of each doc are indexed."""
+    from ..analysis import limit_count_stream
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: limit_count_stream(_words(tx)))
+
+
+_AR_DIGITS = str.maketrans("0123456789", "٠١٢٣٤٥٦٧٨٩")
+
+
+def ft_decimal_digit(sf_dir: str) -> pa.Table:
+    """DecimalDigitFilter (core/DecimalDigitFilter.java:31): ASCII
+    digits are planted as Arabic-Indic digits and the REAL filter must
+    fold them back (identity oracle)."""
+    from ..analysis_en import decimal_digit_filter
+
+    def toks(tx: str, d: int) -> list[str]:
+        return [m for m in decimal_digit_filter(
+            [w.translate(_AR_DIGITS) for w in _words(tx)])
+            if m is not None]
+    return _rawtok_stats(sf_dir, toks)
+
+
+def ft_apostrophe(sf_dir: str) -> pa.Table:
+    """ApostropheFilter (tr/ApostropheFilter.java:33): every word gets
+    a Turkish-style '(apostrophe)nin suffix; the REAL filter truncates
+    at the apostrophe (identity oracle)."""
+    from ..analysis_en import apostrophe_token_filter
+
+    def toks(tx: str, d: int) -> list[str]:
+        return [m for m in apostrophe_token_filter(
+            [w + "'nin" for w in _words(tx)]) if m is not None]
+    return _rawtok_stats(sf_dir, toks)
+
+
+def ft_elision(sf_dir: str) -> pa.Table:
+    """ElisionFilter (util/ElisionFilter.java:33 with FrenchAnalyzer
+    DEFAULT_ARTICLES): every word gets a cycling article+' prefix; the
+    REAL filter strips it (identity oracle)."""
+    from ..analysis_en import FRENCH_ARTICLES, elision_filter
+
+    def toks(tx: str, d: int) -> list[str]:
+        arts = FRENCH_ARTICLES
+        planted = [arts[(len(w) + d) % len(arts)] + "'" + w
+                   for w in _words(tx)]
+        return [m for m in elision_filter(planted) if m is not None]
+    return _rawtok_stats(sf_dir, toks)
+
+
+def ft_capitalization(sf_dir: str) -> pa.Table:
+    """CapitalizationFilter defaults (miscellaneous/
+    CapitalizationFilter.java:56): Upper(first char) + lower(rest)."""
+    from ..analysis_en import capitalization_filter
+
+    def toks(tx: str, d: int) -> list[str]:
+        return [m for m in capitalization_filter(_words(tx))
+                if m is not None]
+    return _rawtok_stats(sf_dir, toks)
+
+
+def ft_type_filter(sf_dir: str) -> pa.Table:
+    """TypeTokenFilter (core/TypeTokenFilter.java:29, whitelist
+    ALPHANUM+APOSTROPHE) over the classic grammar-exercise corpus:
+    NUM/HOST/EMAIL/COMPANY/ACRONYM tokens are dropped by TYPE, then
+    the usual ClassicFilter + lower + stop chain."""
+    from ..analysis_en import ENGLISH_STOP_WORDS
+    from ..tokenizers import classic_alpha_tokenize
+
+    def toks(tx: str, d: int) -> list[str]:
+        return [t for t in
+                classic_alpha_tokenize(_classic_corpus_doc(tx, d))
+                if t not in ENGLISH_STOP_WORDS]
+    return _rawtok_stats(sf_dir, toks)
+
+
+def _identity_word_stats_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+SELECT word AS term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       count(*) AS ttf
+FROM w WHERE word <> ''
+GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_common_grams_sql() -> str:
+    return f"""WITH base AS (
+  SELECT doc_id AS d, string_split(text, ' ') AS ws FROM documents
+), idx AS (
+  SELECT d, ws, unnest(generate_series(1, array_length(ws))) AS i
+  FROM base
+), tok AS (
+  SELECT d, ws[i] AS cur,
+         CASE WHEN i > 1 THEN ws[i-1] ELSE NULL END AS prv
+  FROM idx WHERE ws[i] <> ''
+), stream AS (
+  SELECT d, cur AS term FROM tok
+  UNION ALL
+  SELECT d, prv || '_' || cur FROM tok
+  WHERE prv IS NOT NULL AND (prv IN {_STOP_SQL} OR cur IN {_STOP_SQL})
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM stream GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_keep_word_sql() -> str:
+    from ..analysis_en import KEEP_WORDS
+    keep = ", ".join(f"'{w}'" for w in sorted(KEEP_WORDS))
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+SELECT word AS term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       count(*) AS ttf
+FROM w WHERE word IN ({keep})
+GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_fingerprint_sql() -> str:
+    from ..analysis import FINGERPRINT_MAX_OUTPUT
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), fp AS (
+  SELECT d, string_agg(DISTINCT word, ' ' ORDER BY word) AS term
+  FROM w WHERE word <> '' GROUP BY d
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM fp WHERE length(term) <= {FINGERPRINT_MAX_OUTPUT}
+GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_limit_count_sql() -> str:
+    from ..analysis import LIMIT_TOKEN_COUNT
+    return f"""WITH w AS (
+  SELECT doc_id AS d,
+         unnest(list_slice(string_split(text, ' '), 1,
+                           {LIMIT_TOKEN_COUNT})) AS word
+  FROM documents
+)
+SELECT word AS term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       count(*) AS ttf
+FROM w WHERE word <> ''
+GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_capitalization_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+SELECT upper(substr(word, 1, 1)) || substr(word, 2) AS term,
+       CAST(count(DISTINCT d) AS BIGINT) AS df, count(*) AS ttf
+FROM w WHERE word <> ''
+GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_type_filter_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), v AS (
+  SELECT d, word, (length(word) + d) % 5 AS variant
+  FROM w WHERE regexp_matches(word, '^[a-z]{{3,}}$')
+)
+SELECT word AS term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM v WHERE variant IN (0, 1) AND word NOT IN {_STOP_SQL}
+GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+# ---------------------------------------------------------------------------
 # ICU folding (ICUFoldingFilter)
 
 

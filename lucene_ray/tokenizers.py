@@ -412,10 +412,52 @@ def _path_offsets(text: str):
     return toks, [0] * len(toks), [len(t) for t in toks]
 
 
+def _classic_alpha_offsets(text: str, max_len: int = MAX_TOKEN_LEN):
+    toks, starts, ends = [], [], []
+    for term, typ, s, e in classic_scan(text):
+        if typ is not ALPHANUM and typ is not APOSTROPHE:
+            continue
+        if _utf16_len(term) > max_len:
+            continue
+        if typ is APOSTROPHE and term[-2:] in ("'s", "'S"):
+            term = term[:-2]
+        toks.append(java_lower(term))
+        starts.append(s)
+        ends.append(e)
+    return toks, starts, ends
+
+
+def classic_alpha_tokenize(text: str,
+                           max_token_length: int = MAX_TOKEN_LEN
+                           ) -> list[str]:
+    """TypeTokenFilter role (core/TypeTokenFilter.java:29, whitelist
+    mode) over the classic chain: only <ALPHANUM> and <APOSTROPHE>
+    typed tokens survive (NUM/HOST/EMAIL/COMPANY/ACRONYM/CJ dropped),
+    then ClassicFilter + LowerCase as usual."""
+    out: list[str] = []
+    for term, typ, _, _ in classic_scan(text):
+        if typ is not ALPHANUM and typ is not APOSTROPHE:
+            continue
+        if _utf16_len(term) > max_token_length:
+            continue
+        if typ is APOSTROPHE and term[-2:] in ("'s", "'S"):
+            term = term[:-2]
+        out.append(java_lower(term))
+    return out
+
+
 TOKENIZER_ANALYZERS = {
     "whitespace": _with_offsets(
         lambda t: whitespace_tokenize(t),
         lambda t: _char_offsets(t, _WS_RUN, MAX_TOKEN_LEN)),
+    # HyphenatedWordsFilter pairs with the whitespace tokenizer (its
+    # stream filter is registered in analysis.STREAM_FILTERS under the
+    # same name; '-' never survives the standard grammar). No offsets
+    # mode: a joined token spans disjoint source ranges.
+    "hyphenated": lambda t: whitespace_tokenize(t),
+    "classic_alpha": _with_offsets(
+        classic_alpha_tokenize,
+        lambda t: _classic_alpha_offsets(t)),
     "unicode_whitespace": _with_offsets(
         lambda t: unicode_whitespace_tokenize(t),
         lambda t: _char_offsets(t, _UWS_RUN, MAX_TOKEN_LEN)),

@@ -183,6 +183,8 @@ def test_path_hierarchy_replacement():
 @pytest.mark.parametrize("name", sorted(TOKENIZER_ANALYZERS))
 def test_offsets_stream_parity(name):
     tok = TOKENIZER_ANALYZERS[name]
+    if not hasattr(tok, "with_offsets"):   # e.g. hyphenated: a joined
+        pytest.skip("no offsets mode")     # token spans disjoint ranges
     texts = ["Foo BAR_baz 12.5 U.S.A. she's t@e.st /a/b/c x" + "y" * 300,
              "", "a b Héllo"]
     for text in texts:
