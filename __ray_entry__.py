@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_elision": ft.ft_elision,
         "ft_capitalization": ft.ft_capitalization,
         "ft_type_filter": ft.ft_type_filter,
+        "ft_html_strip": ft.ft_html_strip,
+        "ft_mapping_char": ft.ft_mapping_char,
+        "ft_pattern_replace_char": ft.ft_pattern_replace_char,
         # --- rows-only entries never reached by a rotation (weaker
         # check; their exactness gates are pytest-pinned) ---
         # --- round-5 additions: oracle-backed, never checked —
@@ -398,6 +401,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_elision": ft._identity_word_stats_sql(),
         "ft_capitalization": ft.oracle_capitalization_sql(),
         "ft_type_filter": ft.oracle_type_filter_sql(),
+        "ft_html_strip": ft._identity_word_stats_sql(),
+        "ft_mapping_char": ft.oracle_mapping_char_sql(),
+        "ft_pattern_replace_char": ft.oracle_pattern_replace_char_sql(),
         "ft_shape_box": ft.oracle_shape_box_sql(),
         "ft_payload_score": ft.oracle_payload_score_sql(),
         "ft_word_break": ft.oracle_word_break_sql(),

@@ -532,7 +532,8 @@ def _overlong_re(max_token_length: int) -> "_re.Pattern[str]":
 
 def token_offsets_batch(texts: list[str],
                         max_token_length: int = MAX_TOKEN_LENGTH,
-                        tokenizer=None
+                        tokenizer=None,
+                        char_filter=None
                         ) -> tuple[list[np.ndarray], list[np.ndarray]]:
     """Per-doc token character offsets — the stored OffsetAttribute
     payload of an ``..._AND_OFFSETS`` index (index/IndexOptions.java:26).
@@ -550,10 +551,31 @@ def token_offsets_batch(texts: list[str],
             starts_out.append(empty)
             ends_out.append(empty)
             continue
+        omap = None
+        if char_filter is not None:
+            # tokenize the FILTERED text, store offsets corrected back
+            # into the ORIGINAL (CharFilter.correctOffset contract)
+            text, omap = char_filter(text)
+            if not text:
+                starts_out.append(empty)
+                ends_out.append(empty)
+                continue
         if tokenizer is not None:
             _, st, en = tokenizer.with_offsets(text)
-            starts_out.append(np.asarray(st, np.int32))
-            ends_out.append(np.asarray(en, np.int32))
+            st = np.asarray(st, np.int64)
+            en = np.asarray(en, np.int64)
+            if omap is not None:
+                st = omap.correct_array(st)
+                en = omap.correct_array(en)
+            starts_out.append(st.astype(np.int32))
+            ends_out.append(en.astype(np.int32))
+            continue
+        if omap is not None:
+            _, st, en = tokenize_with_offsets(text, max_token_length)
+            starts_out.append(
+                omap.correct_array(st.astype(np.int64)).astype(np.int32))
+            ends_out.append(
+                omap.correct_array(en.astype(np.int64)).astype(np.int32))
             continue
         if text.isascii():
             low = text.lower()
@@ -761,7 +783,8 @@ def term_freq_batch(texts: list[str],
                     token_filter=None,
                     synonyms: "dict[str, list[str]] | None" = None,
                     stream_filter=None,
-                    tokenizer=None):
+                    tokenizer=None,
+                    char_filter=None):
     """Per-doc (term, tf) pairs for a batch — the analyzer plus the local
     BytesRefHash-style dedup (util/BytesRefHash.java:335) in one pass.
 
@@ -799,6 +822,11 @@ def term_freq_batch(texts: list[str],
     (always the LAST element).
     """
     n_docs = len(texts)
+    if char_filter is not None:
+        # CharFilter stage (charfilter/BaseCharFilter.java): rewrites
+        # the raw text before tokenization; offsets are corrected in
+        # token_offsets_batch, stored content stays the original.
+        texts = [char_filter(t)[0] if t else t for t in texts]
     lengths = np.zeros(n_docs, dtype=np.int32)
     overlaps = np.zeros(n_docs, dtype=np.int32) if synonyms is not None \
         else None

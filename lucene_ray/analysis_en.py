@@ -489,9 +489,13 @@ def get_token_filter(name: str | None):
     f = TOKEN_FILTERS.get(name)
     if f is not None:
         return f
+    from .charfilter import CHAR_FILTERS
     from .tokenizers import TOKENIZER_ANALYZERS
     if name in TOKENIZER_ANALYZERS:  # tokenizer-only analyzer (whitespace,
         return None                  # keyword, simple, path_hierarchy, …)
-    known = [*TOKEN_FILTERS, *STREAM_FILTERS, *TOKENIZER_ANALYZERS]
+    if name in CHAR_FILTERS:         # char-filter chain (html_strip, …)
+        return None
+    known = [*TOKEN_FILTERS, *STREAM_FILTERS, *TOKENIZER_ANALYZERS,
+             *CHAR_FILTERS]
     raise ValueError(
         f"unknown analyzer {name!r}; known: standard, {', '.join(known)}")

@@ -286,10 +286,12 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
     positions = None
     from .analysis import get_stream_filter
     from .analysis_en import get_token_filter
+    from .charfilter import get_char_filter
     from .tokenizers import get_tokenizer
     tfilt = get_token_filter(analyzer)
     sfilt = get_stream_filter(analyzer)
     tknzr = get_tokenizer(analyzer)
+    cfilt = get_char_filter(analyzer)
     syn = index_synonyms or None
     overlaps = np.zeros(n_docs, dtype=np.int32)
     if with_positions:
@@ -298,20 +300,23 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
              overlaps) = term_freq_batch(contents, with_positions=True,
                                          token_filter=tfilt, synonyms=syn,
                                          stream_filter=sfilt,
-                                         tokenizer=tknzr)
+                                         tokenizer=tknzr,
+                                         char_filter=cfilt)
         else:
             terms_arr, tfs_arr, owners, lengths, norms, positions = \
                 term_freq_batch(contents, with_positions=True,
                                 token_filter=tfilt, stream_filter=sfilt,
-                                tokenizer=tknzr)
+                                tokenizer=tknzr, char_filter=cfilt)
     elif syn:
         terms_arr, tfs_arr, owners, lengths, norms, overlaps = \
             term_freq_batch(contents, token_filter=tfilt, synonyms=syn,
-                            stream_filter=sfilt, tokenizer=tknzr)
+                            stream_filter=sfilt, tokenizer=tknzr,
+                            char_filter=cfilt)
     else:
         terms_arr, tfs_arr, owners, lengths, norms = \
             term_freq_batch(contents, token_filter=tfilt,
-                            stream_filter=sfilt, tokenizer=tknzr)
+                            stream_filter=sfilt, tokenizer=tknzr,
+                            char_filter=cfilt)
 
     _bp_dict = None   # bp's dictionary encode, reused by the postings
     # section below when keyword terms don't extend the token array
@@ -557,7 +562,8 @@ def _build_segment_core(group: pa.Table, seg: int, base: int,
         # UnifiedHighlighter POSTINGS/TERM_VECTORS offset modes read,
         # so highlighting never re-analyzes content.
         from .analysis import token_offsets_batch
-        st_list, en_list = token_offsets_batch(contents, tokenizer=tknzr)
+        st_list, en_list = token_offsets_batch(contents, tokenizer=tknzr,
+                                                char_filter=cfilt)
         loffs = np.concatenate(
             [[0], np.cumsum([len(x) for x in st_list])]).astype(np.int32)
         docmeta_cols["tok_starts"] = pa.ListArray.from_arrays(

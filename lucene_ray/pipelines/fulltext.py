@@ -4481,6 +4481,74 @@ def ft_type_filter(sf_dir: str) -> pa.Table:
     return _rawtok_stats(sf_dir, toks)
 
 
+def ft_html_strip(sf_dir: str) -> pa.Table:
+    """HTMLStripCharFilter (charfilter/HTMLStripCharFilter.jflex): each
+    word is wrapped in cycling markup (inline tag / block tag / entity
+    / bare) and the REAL strip + standard tokenizer must round-trip to
+    the original words (identity oracle)."""
+    from ..analysis import tokenize
+    from ..charfilter import html_strip
+
+    def toks(tx: str, d: int) -> list[str]:
+        parts: list[str] = []
+        for w in _words(tx):
+            v = (len(w) + d) % 4
+            if v == 0:
+                parts.append(w)
+            elif v == 1:
+                parts.append(f"<b>{w}</b>")
+            elif v == 2:
+                parts.append(f"<div class='x'>{w}</div>")
+            else:
+                parts.append("&amp;" + w)
+        return tokenize(html_strip(" ".join(parts))[0])
+    return _rawtok_stats(sf_dir, toks)
+
+
+def ft_mapping_char(sf_dir: str) -> pa.Table:
+    """MappingCharFilter (charfilter/MappingCharFilter.java:36 with
+    NormalizeCharMap rules qu->k, 0->o, 1->l): longest-match greedy
+    rewrite before tokenization."""
+    from ..charfilter import CHAR_FILTERS
+    mp = CHAR_FILTERS["mapping"]
+    return _rawtok_stats(sf_dir, lambda tx, d: _words(mp(tx)[0]))
+
+
+def ft_pattern_replace_char(sf_dir: str) -> pa.Table:
+    """PatternReplaceCharFilter (pattern/PatternReplaceCharFilter.java:
+    42, [aeiou]+ -> 'a'): vowel-run collapse before tokenization."""
+    from ..charfilter import CHAR_FILTERS
+    pr = CHAR_FILTERS["pattern_replace"]
+    return _rawtok_stats(sf_dir, lambda tx, d: _words(pr(tx)[0]))
+
+
+def oracle_mapping_char_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d,
+         unnest(string_split(
+           replace(replace(replace(text, 'qu', 'k'), '0', 'o'),
+                   '1', 'l'), ' ')) AS word
+  FROM documents
+)
+SELECT word AS term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       count(*) AS ttf
+FROM w WHERE word <> ''
+GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_pattern_replace_char_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d,
+         unnest(string_split(
+           regexp_replace(text, '[aeiou]+', 'a', 'g'), ' ')) AS word
+  FROM documents
+)
+SELECT word AS term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       count(*) AS ttf
+FROM w WHERE word <> ''
+GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
 def _identity_word_stats_sql() -> str:
     return f"""WITH w AS (
   SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word

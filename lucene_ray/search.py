@@ -119,10 +119,13 @@ class IndexReader:
         # must pass through the SAME filter the index was built with
         # (Analyzer.normalize / QueryBuilder contract)
         from .analysis_en import get_token_filter
+        from .charfilter import get_char_filter
         from .tokenizers import get_tokenizer
         self.token_filter = get_token_filter(
             self.manifest.config.get("analyzer"))
         self.tokenizer = get_tokenizer(
+            self.manifest.config.get("analyzer"))
+        self.char_filter = get_char_filter(
             self.manifest.config.get("analyzer"))
         # filter doc-set cache (LRUQueryCache role); lives and dies with
         # this reader, which pins one commit
@@ -140,6 +143,8 @@ class IndexReader:
     def analyze(self, text: str) -> list[str]:
         """Tokenize query text with this index's full analysis chain
         (tokenizer + token filter; stop words drop out)."""
+        if self.char_filter is not None:
+            text = self.char_filter(text)[0]
         toks = (self.tokenizer(text) if self.tokenizer is not None
                 else tokenize(text))
         if self.token_filter is None:
@@ -153,6 +158,8 @@ class IndexReader:
         matching must use these offsets, not 0..n-1 (QueryBuilder's
         PhraseQuery.add(term, position) contract,
         util/QueryBuilder.java:540)."""
+        if self.char_filter is not None:
+            text = self.char_filter(text)[0]
         toks = (self.tokenizer(text) if self.tokenizer is not None
                 else tokenize(text))
         if self.token_filter is None:
