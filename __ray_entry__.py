@@ -124,6 +124,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_html_strip": ft.ft_html_strip,
         "ft_mapping_char": ft.ft_mapping_char,
         "ft_pattern_replace_char": ft.ft_pattern_replace_char,
+        "ft_german_light": ft.ft_german_light,
+        "ft_spanish_light": ft.ft_spanish_light,
+        "ft_italian_light": ft.ft_italian_light,
+        "ft_swedish_light": ft.ft_swedish_light,
+        "ft_russian_light": ft.ft_russian_light,
         # --- rows-only entries never reached by a rotation (weaker
         # check; their exactness gates are pytest-pinned) ---
         # --- round-5 additions: oracle-backed, never checked —
@@ -404,6 +409,11 @@ def oracle_sql() -> dict[str, str]:
         "ft_html_strip": ft._identity_word_stats_sql(),
         "ft_mapping_char": ft.oracle_mapping_char_sql(),
         "ft_pattern_replace_char": ft.oracle_pattern_replace_char_sql(),
+        "ft_german_light": ft.oracle_german_light_sql(),
+        "ft_spanish_light": ft.oracle_spanish_light_sql(),
+        "ft_italian_light": ft.oracle_italian_light_sql(),
+        "ft_swedish_light": ft.oracle_swedish_light_sql(),
+        "ft_russian_light": ft.oracle_russian_light_sql(),
         "ft_shape_box": ft.oracle_shape_box_sql(),
         "ft_payload_score": ft.oracle_payload_score_sql(),
         "ft_word_break": ft.oracle_word_break_sql(),

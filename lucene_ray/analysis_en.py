@@ -478,6 +478,18 @@ TOKEN_FILTERS = {
 }
 
 
+def _register_light_stemmers() -> None:
+    # Savoy light stemmers (lucene_ray.lightstem), vocabulary-level like
+    # the Porter chain; validated against the reference's ~200k-pair
+    # vocabulary files in tests/test_lightstem.py.
+    from .lightstem import LIGHT_STEMMERS, _as_token_filter
+    for name, fn in LIGHT_STEMMERS.items():
+        TOKEN_FILTERS[name] = _as_token_filter(fn)
+
+
+_register_light_stemmers()
+
+
 def get_token_filter(name: str | None):
     """Analyzer name (manifest ``analyzer`` param) -> token filter or None
     for the plain StandardAnalyzer chain."""

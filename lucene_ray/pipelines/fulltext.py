@@ -4549,6 +4549,213 @@ FROM w WHERE word <> ''
 GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
 
 
+# ---------------------------------------------------------------------------
+# Light stemmers (lucene_ray.lightstem — Savoy family). Engine side runs
+# the REAL registered stemmer; oracles replay the published rule chains
+# as ordered SQL CASE expressions (the if-chain order is the semantics).
+# French is pytest-gated only (its norm step deletes duplicate-letter
+# runs — a loop SQL cannot express); the full ~200k-pair reference
+# vocabulary files gate all six in tests/test_lightstem.py.
+
+def _light_stem_entry(sf_dir: str, name: str,
+                      plant=None) -> pa.Table:
+    from ..lightstem import LIGHT_STEMMERS
+    stem = LIGHT_STEMMERS[name]
+
+    def toks(tx: str, d: int) -> list[str]:
+        ws = _words(tx)
+        if plant is not None:
+            ws = [plant(w) for w in ws]
+        return [stem(w) for w in ws]
+    return _rawtok_stats(sf_dir, toks)
+
+
+def ft_german_light(sf_dir: str) -> pa.Table:
+    """GermanLightStemmer (de/GermanLightStemmer.java:40)."""
+    return _light_stem_entry(sf_dir, "german_light")
+
+
+def ft_spanish_light(sf_dir: str) -> pa.Table:
+    """SpanishLightStemmer (es/SpanishLightStemmer.java:40)."""
+    return _light_stem_entry(sf_dir, "spanish_light")
+
+
+def ft_italian_light(sf_dir: str) -> pa.Table:
+    """ItalianLightStemmer (it/ItalianLightStemmer.java:40)."""
+    return _light_stem_entry(sf_dir, "italian_light")
+
+
+def ft_swedish_light(sf_dir: str) -> pa.Table:
+    """SwedishLightStemmer (sv/SwedishLightStemmer.java:40)."""
+    return _light_stem_entry(sf_dir, "swedish_light")
+
+
+_RU_LATIN = "abcdefghijklmnopqrstuvwxyz"
+_RU_CYR = "абцдефгхийклмнопщрстувшжыз"
+_RU_TRANS = str.maketrans(_RU_LATIN, _RU_CYR)
+
+
+def ft_russian_light(sf_dir: str) -> pa.Table:
+    """RussianLightStemmer (ru/RussianLightStemmer.java:40): corpus
+    words are deterministically transliterated to Cyrillic (vowels to
+    vowels) so the case-suffix rules actually fire."""
+    return _light_stem_entry(sf_dir, "russian_light",
+                             plant=lambda w: w.translate(_RU_TRANS))
+
+
+_DE_ST_SQL = "('b','d','f','g','h','k','l','m','n','t')"
+
+
+def oracle_german_light_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), s1 AS (
+  SELECT d, CASE
+    WHEN length(word) > 5 AND ends_with(word, 'ern')
+      THEN substr(word, 1, length(word)-3)
+    WHEN length(word) > 4 AND substr(word, length(word)-1, 1) = 'e'
+         AND right(word, 1) IN ('m','n','r','s')
+      THEN substr(word, 1, length(word)-2)
+    WHEN length(word) > 3 AND ends_with(word, 'e')
+      THEN substr(word, 1, length(word)-1)
+    WHEN length(word) > 3 AND ends_with(word, 's')
+         AND substr(word, length(word)-1, 1) IN {_DE_ST_SQL}
+      THEN substr(word, 1, length(word)-1)
+    ELSE word END AS r
+  FROM w WHERE word <> ''
+), s2 AS (
+  SELECT d, CASE
+    WHEN length(r) > 5 AND ends_with(r, 'est')
+      THEN substr(r, 1, length(r)-3)
+    WHEN length(r) > 4 AND (ends_with(r, 'er') OR ends_with(r, 'en'))
+      THEN substr(r, 1, length(r)-2)
+    WHEN length(r) > 4 AND ends_with(r, 'st')
+         AND substr(r, length(r)-2, 1) IN {_DE_ST_SQL}
+      THEN substr(r, 1, length(r)-2)
+    ELSE r END AS term
+  FROM s1
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s2 GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_spanish_light_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), s AS (
+  SELECT d, CASE
+    WHEN length(word) < 5 THEN word
+    WHEN right(word, 1) IN ('o','a','e')
+      THEN substr(word, 1, length(word)-1)
+    WHEN ends_with(word, 'eses') THEN substr(word, 1, length(word)-2)
+    WHEN ends_with(word, 'ces')
+      THEN substr(word, 1, length(word)-3) || 'z'
+    WHEN ends_with(word, 's')
+         AND substr(word, length(word)-1, 1) IN ('o','a','e')
+      THEN substr(word, 1, length(word)-2)
+    ELSE word END AS term
+  FROM w WHERE word <> ''
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_italian_light_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), s AS (
+  SELECT d, CASE
+    WHEN length(word) < 6 THEN word
+    WHEN ends_with(word, 'ie') OR ends_with(word, 'he')
+      THEN substr(word, 1, length(word)-2)
+    WHEN ends_with(word, 'e') THEN substr(word, 1, length(word)-1)
+    WHEN ends_with(word, 'hi') OR ends_with(word, 'ii')
+      THEN substr(word, 1, length(word)-2)
+    WHEN ends_with(word, 'i') THEN substr(word, 1, length(word)-1)
+    WHEN ends_with(word, 'ia') THEN substr(word, 1, length(word)-2)
+    WHEN ends_with(word, 'a') THEN substr(word, 1, length(word)-1)
+    WHEN ends_with(word, 'io') THEN substr(word, 1, length(word)-2)
+    WHEN ends_with(word, 'o') THEN substr(word, 1, length(word)-1)
+    ELSE word END AS term
+  FROM w WHERE word <> ''
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_swedish_light_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), s1 AS (
+  SELECT d, CASE WHEN length(word) > 4 AND ends_with(word, 's')
+    THEN substr(word, 1, length(word)-1) ELSE word END AS r
+  FROM w WHERE word <> ''
+), s2 AS (
+  SELECT d, CASE
+    WHEN length(r) > 7 AND (ends_with(r,'elser') OR ends_with(r,'heten'))
+      THEN substr(r, 1, length(r)-5)
+    WHEN length(r) > 6 AND right(r, 4) IN
+         ('arne','erna','ande','else','aste','orna','aren')
+      THEN substr(r, 1, length(r)-4)
+    WHEN length(r) > 5 AND right(r, 3) IN ('are','ast','het')
+      THEN substr(r, 1, length(r)-3)
+    WHEN length(r) > 4 AND right(r, 2) IN
+         ('ar','er','or','en','at','te','et')
+      THEN substr(r, 1, length(r)-2)
+    WHEN length(r) > 3 AND right(r, 1) IN ('t','a','e','n')
+      THEN substr(r, 1, length(r)-1)
+    ELSE r END AS term
+  FROM s1
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s2 GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_russian_light_sql() -> str:
+    from ..lightstem import _RU_1, _RU_2, _RU_3, _RU_4
+    in4 = ", ".join(f"'{x}'" for x in _RU_4)
+    in3 = ", ".join(f"'{x}'" for x in _RU_3)
+    in2 = ", ".join(f"'{x}'" for x in _RU_2)
+    in1 = ", ".join(f"'{x}'" for x in sorted(_RU_1))
+    return f"""WITH w AS (
+  SELECT doc_id AS d,
+         translate(unnest(string_split(text, ' ')),
+                   '{_RU_LATIN}', '{_RU_CYR}') AS word
+  FROM documents
+), rc AS (
+  SELECT d, CASE
+    WHEN length(word) > 6 AND right(word, 4) IN ({in4})
+      THEN substr(word, 1, length(word)-4)
+    WHEN length(word) > 5 AND right(word, 3) IN ({in3})
+      THEN substr(word, 1, length(word)-3)
+    WHEN length(word) > 4 AND right(word, 2) IN ({in2})
+      THEN substr(word, 1, length(word)-2)
+    WHEN length(word) > 3 AND right(word, 1) IN ({in1})
+      THEN substr(word, 1, length(word)-1)
+    ELSE word END AS r
+  FROM w WHERE word <> ''
+), nz AS (
+  SELECT d, CASE
+    WHEN length(r) > 3 AND right(r, 1) IN ('ь','и')
+      THEN substr(r, 1, length(r)-1)
+    WHEN length(r) > 3 AND right(r, 2) = 'нн'
+      THEN substr(r, 1, length(r)-1)
+    ELSE r END AS term
+  FROM rc
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM nz GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
 def _identity_word_stats_sql() -> str:
     return f"""WITH w AS (
   SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
