@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_italian_light": ft.ft_italian_light,
         "ft_swedish_light": ft.ft_swedish_light,
         "ft_russian_light": ft.ft_russian_light,
+        "ft_portuguese_light": ft.ft_portuguese_light,
+        "ft_norwegian_light": ft.ft_norwegian_light,
         # --- rows-only entries never reached by a rotation (weaker
         # check; their exactness gates are pytest-pinned) ---
         # --- round-5 additions: oracle-backed, never checked —
@@ -414,6 +416,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_italian_light": ft.oracle_italian_light_sql(),
         "ft_swedish_light": ft.oracle_swedish_light_sql(),
         "ft_russian_light": ft.oracle_russian_light_sql(),
+        "ft_portuguese_light": ft.oracle_portuguese_light_sql(),
+        "ft_norwegian_light": ft.oracle_norwegian_light_sql(),
         "ft_shape_box": ft.oracle_shape_box_sql(),
         "ft_payload_score": ft.oracle_payload_score_sql(),
         "ft_word_break": ft.oracle_word_break_sql(),

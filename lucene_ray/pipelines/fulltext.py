@@ -4603,6 +4603,107 @@ def ft_russian_light(sf_dir: str) -> pa.Table:
                              plant=lambda w: w.translate(_RU_TRANS))
 
 
+def ft_portuguese_light(sf_dir: str) -> pa.Table:
+    """PortugueseLightStemmer (pt/PortugueseLightStemmer.java:40) —
+    incl. the ona->ão / esa->ês rewrites whose accents the final fold
+    then flattens."""
+    return _light_stem_entry(sf_dir, "portuguese_light")
+
+
+def ft_norwegian_light(sf_dir: str) -> pa.Table:
+    """NorwegianLightStemmer, Bokmål flags (no/
+    NorwegianLightStemmer.java:40)."""
+    return _light_stem_entry(sf_dir, "norwegian_light")
+
+
+def oracle_portuguese_light_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), s1 AS (
+  SELECT d, CASE
+    WHEN length(word) < 4 THEN word
+    WHEN length(word) > 4 AND ends_with(word, 'es')
+         AND substr(word, length(word)-2, 1) IN ('r','s','l','z')
+      THEN substr(word, 1, length(word)-2)
+    WHEN length(word) > 3 AND ends_with(word, 'ns')
+      THEN substr(word, 1, length(word)-2) || 'm'
+    WHEN length(word) > 4 AND ends_with(word, 'eis')
+      THEN substr(word, 1, length(word)-3) || 'el'
+    WHEN length(word) > 4 AND ends_with(word, 'ais')
+      THEN substr(word, 1, length(word)-2) || 'l'
+    WHEN length(word) > 4 AND ends_with(word, 'is')
+      THEN substr(word, 1, length(word)-1) || 'l'
+    WHEN length(word) > 6 AND ends_with(word, 'mente')
+      THEN substr(word, 1, length(word)-5)
+    WHEN length(word) > 3 AND ends_with(word, 's')
+      THEN substr(word, 1, length(word)-1)
+    ELSE word END AS r, length(word) >= 4 AS big
+  FROM w WHERE word <> ''
+), s2 AS (
+  SELECT d, big, CASE
+    WHEN big AND length(r) > 3 AND ends_with(r, 'a') THEN CASE
+      WHEN length(r) > 7 AND (ends_with(r,'inha') OR ends_with(r,'iaca')
+                              OR ends_with(r,'eira'))
+        THEN substr(r, 1, length(r)-1) || 'o'
+      WHEN length(r) > 6 AND right(r, 3) IN
+           ('osa','ica','ida','ada','iva','ama')
+        THEN substr(r, 1, length(r)-1) || 'o'
+      WHEN length(r) > 6 AND ends_with(r, 'ona')
+        THEN substr(r, 1, length(r)-3) || 'ão'
+      WHEN length(r) > 6 AND ends_with(r, 'ora')
+        THEN substr(r, 1, length(r)-1)
+      WHEN length(r) > 6 AND ends_with(r, 'esa')
+        THEN substr(r, 1, length(r)-3) || 'ês'
+      WHEN length(r) > 6 AND ends_with(r, 'na')
+        THEN substr(r, 1, length(r)-1) || 'o'
+      ELSE r END
+    ELSE r END AS r
+  FROM s1
+), s3 AS (
+  SELECT d, translate(
+    CASE WHEN big AND length(r) > 4 AND right(r, 1) IN ('e','a','o')
+         THEN substr(r, 1, length(r)-1) ELSE r END,
+    'àáâäãòóôöõèéêëùúûüìíîïç', 'aaaaaoooooeeeeuuuuiiiic') AS term
+  FROM s2
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s3 GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_norwegian_light_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), s1 AS (
+  SELECT d, CASE WHEN length(word) > 4 AND ends_with(word, 's')
+    THEN substr(word, 1, length(word)-1) ELSE word END AS r
+  FROM w WHERE word <> ''
+), s2 AS (
+  SELECT d, CASE
+    WHEN length(r) > 7 AND (ends_with(r,'heter') OR ends_with(r,'heten'))
+      THEN substr(r, 1, length(r)-5)
+    WHEN length(r) > 5 AND (ends_with(r,'dom') OR ends_with(r,'het'))
+      THEN substr(r, 1, length(r)-3)
+    WHEN length(r) > 7 AND (ends_with(r,'elser') OR ends_with(r,'elsen'))
+      THEN substr(r, 1, length(r)-5)
+    WHEN length(r) > 6 AND right(r, 4) IN ('ende','else','este','eren')
+      THEN substr(r, 1, length(r)-4)
+    WHEN length(r) > 5 AND right(r, 3) IN ('ere','est','ene')
+      THEN substr(r, 1, length(r)-3)
+    WHEN length(r) > 4 AND right(r, 2) IN ('er','en','et','st','te')
+      THEN substr(r, 1, length(r)-2)
+    WHEN length(r) > 3 AND right(r, 1) IN ('a','e','n')
+      THEN substr(r, 1, length(r)-1)
+    ELSE r END AS term
+  FROM s1
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s2 GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
 _DE_ST_SQL = "('b','d','f','g','h','k','l','m','n','t')"
 
 

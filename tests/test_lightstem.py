@@ -21,7 +21,30 @@ _LANGS = {
     "sv": ("swedish_light", "svlighttestdata.zip", "svlight.txt"),
     "ru": ("russian_light", "rulighttestdata.zip", "rulight.txt"),
     "fr": ("french_light", "frlighttestdata.zip", "frlight.txt"),
+    "pt": ("portuguese_light", "ptlighttestdata.zip", "ptlight.txt"),
+    "fi": ("finnish_light", "filighttestdata.zip", "filight.txt"),
+    "hu": ("hungarian_light", "hulighttestdata.zip", "hulight.txt"),
 }
+
+_NO_TXT = {
+    "nb": ("norwegian_light", "nb_light.txt"),
+    "nn": ("norwegian_light_nn", "nn_light.txt"),
+}
+
+
+@pytest.mark.parametrize("variant", sorted(_NO_TXT))
+def test_norwegian_vocabulary(variant):
+    name, txt = _NO_TXT[variant]
+    path = os.path.join(_REF, "no", txt)
+    if not os.path.exists(path):
+        pytest.skip("reference vectors unavailable")
+    stem = LIGHT_STEMMERS[name]
+    with open(path, encoding="utf-8") as f:
+        for raw in f.read().splitlines():
+            if not raw or raw.startswith("#"):
+                continue
+            w, want = raw.split("\t")
+            assert stem(w) == want, (w, stem(w), want)
 
 
 @pytest.mark.parametrize("lang", sorted(_LANGS))
