@@ -131,6 +131,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_russian_light": ft.ft_russian_light,
         "ft_portuguese_light": ft.ft_portuguese_light,
         "ft_norwegian_light": ft.ft_norwegian_light,
+        "ft_turkish_lower": ft.ft_turkish_lower,
+        "ft_greek_lower": ft.ft_greek_lower,
+        "ft_arabic_norm": ft.ft_arabic_norm,
+        "ft_persian_norm": ft.ft_persian_norm,
+        "ft_hindi_norm": ft.ft_hindi_norm,
+        "ft_scandinavian_fold": ft.ft_scandinavian_fold,
         # --- rows-only entries never reached by a rotation (weaker
         # check; their exactness gates are pytest-pinned) ---
         # --- round-5 additions: oracle-backed, never checked —
@@ -418,6 +424,12 @@ def oracle_sql() -> dict[str, str]:
         "ft_russian_light": ft.oracle_russian_light_sql(),
         "ft_portuguese_light": ft.oracle_portuguese_light_sql(),
         "ft_norwegian_light": ft.oracle_norwegian_light_sql(),
+        "ft_turkish_lower": ft.oracle_turkish_lower_sql(),
+        "ft_greek_lower": ft.oracle_greek_lower_sql(),
+        "ft_arabic_norm": ft.oracle_arabic_norm_sql(),
+        "ft_persian_norm": ft.oracle_persian_norm_sql(),
+        "ft_hindi_norm": ft.oracle_hindi_norm_sql(),
+        "ft_scandinavian_fold": ft.oracle_scandinavian_fold_sql(),
         "ft_shape_box": ft.oracle_shape_box_sql(),
         "ft_payload_score": ft.oracle_payload_score_sql(),
         "ft_word_break": ft.oracle_word_break_sql(),

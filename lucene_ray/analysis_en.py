@@ -485,6 +485,11 @@ def _register_light_stemmers() -> None:
     from .lightstem import LIGHT_STEMMERS, _as_token_filter
     for name, fn in LIGHT_STEMMERS.items():
         TOKEN_FILTERS[name] = _as_token_filter(fn)
+    # language normalizers (lucene_ray.langnorm), reference-test-golden
+    # gated in tests/test_langnorm.py
+    from .langnorm import NORMALIZERS
+    for name, fn in NORMALIZERS.items():
+        TOKEN_FILTERS[name] = _as_token_filter(fn)
 
 
 _register_light_stemmers()

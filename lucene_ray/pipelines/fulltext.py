@@ -4857,6 +4857,141 @@ SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
 FROM nz GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
 
 
+# ---------------------------------------------------------------------------
+# Language normalizers (lucene_ray.langnorm). Engine side plants the
+# relevant script deterministically (per-char transliteration of corpus
+# words) and runs the REAL registered normalizer; oracles compute the
+# expected output with one SQL translate()/replace() (delete-mapped
+# chars ride DuckDB translate's shorter-to-list semantics).
+
+def _norm_entry(sf_dir: str, name: str, plant) -> pa.Table:
+    from ..langnorm import NORMALIZERS
+    fn = NORMALIZERS[name]
+    return _rawtok_stats(
+        sf_dir,
+        lambda tx, d: [fn(w.translate(plant) if plant else w)
+                       for w in _words(tx)])
+
+
+_TR_UP = str.maketrans("abcdefghijklmnopqrstuvwxyz",
+                       "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+
+
+def ft_turkish_lower(sf_dir: str) -> pa.Table:
+    """TurkishLowerCaseFilter (tr/TurkishLowerCaseFilter.java:43):
+    corpus words are uppercased so every I comes back as dotless ı."""
+    return _norm_entry(sf_dir, "turkish_lower", _TR_UP)
+
+
+_EL_PLANT = str.maketrans("aehiowsybgdzklmnprtfx",
+                          "ΆΈΉΊΌΏΣΎΒΓΔΖΚΛΜΝΠΡΤΦΞ")
+_EL_FROM = "aehiowsybgdzklmnprtfx"
+_EL_TO = "αεηιοωσυβγδζκλμνπρτφξ"
+
+
+def ft_greek_lower(sf_dir: str) -> pa.Table:
+    """GreekLowerCaseFilter (el/GreekLowerCaseFilter.java:51): planted
+    tonos-capital and plain-capital Greek folds to the base lowercase
+    forms."""
+    return _norm_entry(sf_dir, "greek_lower", _EL_PLANT)
+
+
+_AR_PLANT = str.maketrans("abcde" "fghijklmn",
+                          "آأإىة"
+                          "ـًٌٍَُِ"
+                          "ّْ")
+_AR_FROM = "abcdefghijklmn"
+_AR_TO = "ااايه"      # f..n deleted
+
+
+def ft_arabic_norm(sf_dir: str) -> pa.Table:
+    """ArabicNormalizer (ar/ArabicNormalizer.java:60): hamza'd alefs,
+    dotless yeh, teh marbuta, and full harakat deletion."""
+    return _norm_entry(sf_dir, "arabic_normalize", _AR_PLANT)
+
+
+_FA_PLANT = str.maketrans("yzkqxh",
+                          "یےکۀۂ")
+_FA_FROM = "yzkqxh"
+_FA_TO = "ييكهه"      # h (hamza above) deleted
+
+
+def ft_persian_norm(sf_dir: str) -> pa.Table:
+    """PersianNormalizer (fa/PersianNormalizer.java:53)."""
+    return _norm_entry(sf_dir, "persian_normalize", _FA_PLANT)
+
+
+_HI_PLANT = str.maketrans("aeuoiqzfcvwj",
+                          "आईऊऔऐक़ज़"
+                          "फ़ँ़‌‍")
+_HI_FROM = "aeuoiqzfcvwj"
+_HI_TO = ("अइउओएकजफं")
+
+
+def ft_hindi_norm(sf_dir: str) -> pa.Table:
+    """HindiNormalizer (hi/HindiNormalizer.java:44): long vowels,
+    nukta consonants, candrabindu, nukta/ZWJ/ZWNJ deletion (the
+    context-free rule subset; dead-n and virama context rules are
+    golden-gated in tests/test_langnorm.py)."""
+    return _norm_entry(sf_dir, "hindi_normalize", _HI_PLANT)
+
+
+def ft_scandinavian_fold(sf_dir: str) -> pa.Table:
+    """ScandinavianFoldingFilter (miscellaneous/
+    ScandinavianFoldingFilter.java:41): the aa/ae/ao/oe/oo digraph
+    follower deletions fire directly on the corpus."""
+    return _norm_entry(sf_dir, "scandinavian_fold", None)
+
+
+def oracle_turkish_lower_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+SELECT replace(word, 'i', 'ı') AS term,
+       CAST(count(DISTINCT d) AS BIGINT) AS df, count(*) AS ttf
+FROM w WHERE word <> ''
+GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def _translate_stats_sql(frm: str, to: str) -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+SELECT translate(word, '{frm}', '{to}') AS term,
+       CAST(count(DISTINCT d) AS BIGINT) AS df, count(*) AS ttf
+FROM w WHERE word <> ''
+GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_greek_lower_sql() -> str:
+    return _translate_stats_sql(_EL_FROM, _EL_TO)
+
+
+def oracle_arabic_norm_sql() -> str:
+    return _translate_stats_sql(_AR_FROM, _AR_TO)
+
+
+def oracle_persian_norm_sql() -> str:
+    return _translate_stats_sql(_FA_FROM, _FA_TO)
+
+
+def oracle_hindi_norm_sql() -> str:
+    return _translate_stats_sql(_HI_FROM, _HI_TO)
+
+
+def oracle_scandinavian_fold_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+SELECT regexp_replace(word, '(a)[aeo]|(o)[eo]', '\\1\\2', 'g') AS term,
+       CAST(count(DISTINCT d) AS BIGINT) AS df, count(*) AS ttf
+FROM w WHERE word <> ''
+GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
 def _identity_word_stats_sql() -> str:
     return f"""WITH w AS (
   SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
