@@ -490,6 +490,11 @@ def _register_light_stemmers() -> None:
     from .langnorm import NORMALIZERS
     for name, fn in NORMALIZERS.items():
         TOKEN_FILTERS[name] = _as_token_filter(fn)
+    # minimal / misc stemmers (lucene_ray.stemmisc), vocabulary + golden
+    # gated in tests/test_stemmisc.py
+    from .stemmisc import MISC_STEMMERS
+    for name, fn in MISC_STEMMERS.items():
+        TOKEN_FILTERS[name] = _as_token_filter(fn)
 
 
 _register_light_stemmers()
