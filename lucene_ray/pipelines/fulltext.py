@@ -4858,6 +4858,240 @@ FROM nz GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
 
 
 # ---------------------------------------------------------------------------
+# Minimal / misc stemmers (lucene_ray.stemmisc). Engine side runs the
+# REAL registered stemmer over the raw corpus words; oracles replay the
+# published rule chain as ordered SQL CASE stages (rule order IS the
+# semantics — a CASE falls through to the next WHEN exactly like the
+# reference's next-rule scan, including RSLP whole-word exceptions).
+# Bulgarian/Hindi/Sorani are pytest-golden-gated only: their scripts
+# never occur in the corpus so a driver entry would be identity.
+
+def _misc_stem_entry(sf_dir: str, name: str) -> pa.Table:
+    from ..stemmisc import MISC_STEMMERS
+    stem = MISC_STEMMERS[name]
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [stem(w) for w in _words(tx)])
+
+
+def ft_english_minimal(sf_dir: str) -> pa.Table:
+    """EnglishMinimalStemFilter (en/EnglishMinimalStemmer.java:27)."""
+    return _misc_stem_entry(sf_dir, "english_minimal")
+
+
+def ft_german_minimal(sf_dir: str) -> pa.Table:
+    """GermanMinimalStemFilter (de/GermanMinimalStemmer.java:40)."""
+    return _misc_stem_entry(sf_dir, "german_minimal")
+
+
+def ft_french_minimal(sf_dir: str) -> pa.Table:
+    """FrenchMinimalStemFilter (fr/FrenchMinimalStemmer.java:40) —
+    unlike the light stemmer, its duplicate-letter step fires at most
+    once, so it IS SQL-expressible."""
+    return _misc_stem_entry(sf_dir, "french_minimal")
+
+
+def ft_norwegian_minimal(sf_dir: str) -> pa.Table:
+    """NorwegianMinimalStemFilter, Bokmål flags (no/
+    NorwegianMinimalStemmer.java:45)."""
+    return _misc_stem_entry(sf_dir, "norwegian_minimal")
+
+
+def ft_portuguese_minimal(sf_dir: str) -> pa.Table:
+    """PortugueseMinimalStemFilter (pt/PortugueseMinimalStemmer.java:31)
+    — the RSLP Plural step with whole-word exception sets."""
+    return _misc_stem_entry(sf_dir, "portuguese_minimal")
+
+
+def ft_czech_stem(sf_dir: str) -> pa.Table:
+    """CzechStemFilter (cz/CzechStemmer.java:32): case removal +
+    possessive removal + palatalization normalize."""
+    return _misc_stem_entry(sf_dir, "czech_stem")
+
+
+def oracle_english_minimal_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), s AS (
+  SELECT d, CASE
+    WHEN length(word) < 3 OR right(word, 1) <> 's' THEN word
+    WHEN substr(word, length(word)-1, 1) IN ('u','s') THEN word
+    WHEN substr(word, length(word)-1, 1) = 'e' AND length(word) > 3
+         AND substr(word, length(word)-2, 1) = 'i'
+         AND substr(word, length(word)-3, 1) NOT IN ('a','e')
+      THEN substr(word, 1, length(word)-3) || 'y'
+    WHEN substr(word, length(word)-1, 1) = 'e'
+         AND substr(word, length(word)-2, 1) IN ('i','a','o','e')
+      THEN word
+    ELSE substr(word, 1, length(word)-1) END AS term
+  FROM w WHERE word <> ''
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_german_minimal_sql() -> str:
+    return f"""WITH w0 AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS raw
+  FROM documents
+), w AS (
+  SELECT d, length(raw) >= 5 AS big,
+         CASE WHEN length(raw) >= 5
+              THEN translate(raw, 'äöü', 'aou') ELSE raw END AS word
+  FROM w0 WHERE raw <> ''
+), s AS (
+  SELECT d, CASE
+    WHEN NOT big THEN word
+    WHEN length(word) > 6 AND ends_with(word, 'nen')
+      THEN substr(word, 1, length(word)-3)
+    WHEN length(word) > 5 AND right(word, 2) IN ('en','se','es','er')
+      THEN substr(word, 1, length(word)-2)
+    WHEN right(word, 1) IN ('n','e','s','r')
+      THEN substr(word, 1, length(word)-1)
+    ELSE word END AS term
+  FROM w
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_french_minimal_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), s1 AS (
+  SELECT d, length(word) < 6 OR right(word, 1) = 'x' AS fin,
+    CASE
+      WHEN length(word) < 6 THEN word
+      WHEN right(word, 1) = 'x' THEN CASE
+        WHEN substr(word, length(word)-2, 2) = 'au'
+          THEN substr(word, 1, length(word)-2) || 'l'
+        ELSE substr(word, 1, length(word)-1) END
+      ELSE word END AS r
+  FROM w WHERE word <> ''
+), s2 AS (
+  SELECT d, fin, CASE WHEN NOT fin AND right(r,1) = 's'
+    THEN substr(r, 1, length(r)-1) ELSE r END AS r FROM s1
+), s3 AS (
+  SELECT d, fin, CASE WHEN NOT fin AND right(r,1) = 'r'
+    THEN substr(r, 1, length(r)-1) ELSE r END AS r FROM s2
+), s4 AS (
+  SELECT d, fin, CASE WHEN NOT fin AND right(r,1) = 'e'
+    THEN substr(r, 1, length(r)-1) ELSE r END AS r FROM s3
+), s5 AS (
+  SELECT d, fin, CASE WHEN NOT fin AND right(r,1) = 'é'
+    THEN substr(r, 1, length(r)-1) ELSE r END AS r FROM s4
+), s6 AS (
+  SELECT d, CASE WHEN NOT fin AND length(r) >= 2
+                  AND right(r, 1) = substr(r, length(r)-1, 1)
+                  AND regexp_matches(right(r, 1), '^[[:alpha:]]$')
+    THEN substr(r, 1, length(r)-1) ELSE r END AS term FROM s5
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s6 GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_norwegian_minimal_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), s1 AS (
+  SELECT d, CASE WHEN length(word) > 4 AND ends_with(word, 's')
+    THEN substr(word, 1, length(word)-1) ELSE word END AS r
+  FROM w WHERE word <> ''
+), s2 AS (
+  SELECT d, CASE
+    WHEN length(r) > 5 AND ends_with(r, 'ene')
+      THEN substr(r, 1, length(r)-3)
+    WHEN length(r) > 4 AND right(r, 2) IN ('er','en','et')
+      THEN substr(r, 1, length(r)-2)
+    WHEN length(r) > 3 AND right(r, 1) IN ('a','e')
+      THEN substr(r, 1, length(r)-1)
+    ELSE r END AS term
+  FROM s1
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s2 GROUP BY term ORDER BY DF DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_portuguese_minimal_sql() -> str:
+    from ..stemmisc import _PT_PLURAL
+    whens = []
+    for suf, mn, rep, exc in _PT_PLURAL:
+        cond = (f"length(word) - {len(suf)} >= {mn} "
+                f"AND ends_with(word, '{suf}')")
+        if exc:
+            lst = ", ".join(f"'{e}'" for e in exc)
+            cond += f" AND word NOT IN ({lst})"
+        out = f"substr(word, 1, length(word)-{len(suf)})"
+        if rep:
+            out += f" || '{rep}'"
+        whens.append(f"    WHEN {cond}\n      THEN {out}")
+    chain = "\n".join(whens)
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), s AS (
+  SELECT d, CASE
+    WHEN length(word) < 3 OR NOT ends_with(word, 's') THEN word
+{chain}
+    ELSE word END AS term
+  FROM w WHERE word <> ''
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_czech_stem_sql() -> str:
+    from ..stemmisc import _CZ_2, _CZ_3
+    in3 = ", ".join(f"'{x}'" for x in _CZ_3)
+    in2 = ", ".join(f"'{x}'" for x in _CZ_2)
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), rc AS (
+  SELECT d, CASE
+    WHEN length(word) > 7 AND ends_with(word, 'atech')
+      THEN substr(word, 1, length(word)-5)
+    WHEN length(word) > 6 AND right(word, 4) IN ('ětem','etem','atům')
+      THEN substr(word, 1, length(word)-4)
+    WHEN length(word) > 5 AND right(word, 3) IN ({in3})
+      THEN substr(word, 1, length(word)-3)
+    WHEN length(word) > 4 AND right(word, 2) IN ({in2})
+      THEN substr(word, 1, length(word)-2)
+    WHEN length(word) > 3 AND right(word, 1) IN
+         ('a','e','i','o','u','ů','y','á','é','í','ý','ě')
+      THEN substr(word, 1, length(word)-1)
+    ELSE word END AS r
+  FROM w WHERE word <> ''
+), rp AS (
+  SELECT d, CASE WHEN length(r) > 5 AND right(r, 2) IN ('ov','in','ův')
+    THEN substr(r, 1, length(r)-2) ELSE r END AS r FROM rc
+), nz AS (
+  SELECT d, CASE
+    WHEN r = '' THEN r
+    WHEN ends_with(r, 'čt') THEN substr(r, 1, length(r)-2) || 'ck'
+    WHEN ends_with(r, 'št') THEN substr(r, 1, length(r)-2) || 'sk'
+    WHEN right(r, 1) IN ('c','č') THEN substr(r, 1, length(r)-1) || 'k'
+    WHEN right(r, 1) IN ('z','ž') THEN substr(r, 1, length(r)-1) || 'h'
+    WHEN length(r) > 1 AND substr(r, length(r)-1, 1) = 'e'
+      THEN substr(r, 1, length(r)-2) || right(r, 1)
+    WHEN length(r) > 2 AND substr(r, length(r)-1, 1) = 'ů'
+      THEN substr(r, 1, length(r)-2) || 'o' || right(r, 1)
+    ELSE r END AS term
+  FROM rp
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM nz GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+# ---------------------------------------------------------------------------
 # Language normalizers (lucene_ray.langnorm). Engine side plants the
 # relevant script deterministically (per-char transliteration of corpus
 # words) and runs the REAL registered normalizer; oracles compute the
