@@ -495,6 +495,11 @@ def _register_light_stemmers() -> None:
     from .stemmisc import MISC_STEMMERS
     for name, fn in MISC_STEMMERS.items():
         TOKEN_FILTERS[name] = _as_token_filter(fn)
+    # full RSLP/RSLG + Spanish plural (lucene_ray.rslp), gated on the
+    # 32k/9.4k/28k-pair reference vocabulary zips in tests/test_rslp.py
+    from .rslp import RSLP_STEMMERS
+    for name, fn in RSLP_STEMMERS.items():
+        TOKEN_FILTERS[name] = _as_token_filter(fn)
 
 
 _register_light_stemmers()

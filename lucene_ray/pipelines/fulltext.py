@@ -4866,16 +4866,24 @@ FROM nz GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
 # Bulgarian/Hindi/Sorani are pytest-golden-gated only: their scripts
 # never occur in the corpus so a driver entry would be identity.
 
-def _misc_stem_entry(sf_dir: str, name: str) -> pa.Table:
+def _misc_stem_entry(sf_dir: str, name: str,
+                     pluralize: bool = False) -> pa.Table:
+    """``pluralize`` plants a trailing 's' on every corpus word (the
+    corpus vocabulary has no s-final words, so s-suffix rule chains
+    would otherwise gate only the identity path); the oracle applies
+    the same ``word || 's'``."""
     from ..stemmisc import MISC_STEMMERS
     stem = MISC_STEMMERS[name]
+    if pluralize:
+        return _rawtok_stats(
+            sf_dir, lambda tx, d: [stem(w + "s") for w in _words(tx)])
     return _rawtok_stats(
         sf_dir, lambda tx, d: [stem(w) for w in _words(tx)])
 
 
 def ft_english_minimal(sf_dir: str) -> pa.Table:
     """EnglishMinimalStemFilter (en/EnglishMinimalStemmer.java:27)."""
-    return _misc_stem_entry(sf_dir, "english_minimal")
+    return _misc_stem_entry(sf_dir, "english_minimal", pluralize=True)
 
 
 def ft_german_minimal(sf_dir: str) -> pa.Table:
@@ -4899,7 +4907,8 @@ def ft_norwegian_minimal(sf_dir: str) -> pa.Table:
 def ft_portuguese_minimal(sf_dir: str) -> pa.Table:
     """PortugueseMinimalStemFilter (pt/PortugueseMinimalStemmer.java:31)
     — the RSLP Plural step with whole-word exception sets."""
-    return _misc_stem_entry(sf_dir, "portuguese_minimal")
+    return _misc_stem_entry(sf_dir, "portuguese_minimal",
+                            pluralize=True)
 
 
 def ft_czech_stem(sf_dir: str) -> pa.Table:
@@ -4909,9 +4918,11 @@ def ft_czech_stem(sf_dir: str) -> pa.Table:
 
 
 def oracle_english_minimal_sql() -> str:
-    return f"""WITH w AS (
-  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+    return f"""WITH w0 AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS raw
   FROM documents
+), w AS (
+  SELECT d, raw || 's' AS word FROM w0 WHERE raw <> ''
 ), s AS (
   SELECT d, CASE
     WHEN length(word) < 3 OR right(word, 1) <> 's' THEN word
@@ -4924,7 +4935,7 @@ def oracle_english_minimal_sql() -> str:
          AND substr(word, length(word)-2, 1) IN ('i','a','o','e')
       THEN word
     ELSE substr(word, 1, length(word)-1) END AS term
-  FROM w WHERE word <> ''
+  FROM w
 )
 SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS ttf
@@ -5032,15 +5043,17 @@ def oracle_portuguese_minimal_sql() -> str:
             out += f" || '{rep}'"
         whens.append(f"    WHEN {cond}\n      THEN {out}")
     chain = "\n".join(whens)
-    return f"""WITH w AS (
-  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+    return f"""WITH w0 AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS raw
   FROM documents
+), w AS (
+  SELECT d, raw || 's' AS word FROM w0 WHERE raw <> ''
 ), s AS (
   SELECT d, CASE
     WHEN length(word) < 3 OR NOT ends_with(word, 's') THEN word
 {chain}
     ELSE word END AS term
-  FROM w WHERE word <> ''
+  FROM w
 )
 SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS ttf
@@ -5089,6 +5102,191 @@ def oracle_czech_stem_sql() -> str:
 SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS ttf
 FROM nz GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+# ---------------------------------------------------------------------------
+# Full RSLP/RSLG + Spanish plural stemmers (lucene_ray.rslp). The
+# oracles are GENERATED from the same rule tables the engine compiles
+# (rslp_data.py): each step becomes one ordered SQL CASE (first-match
+# -fires; an exception falls through to the next WHEN exactly like the
+# reference's next-rule scan); the conditional noun/verb/vowel flow is
+# expressed by comparing stage columns; Galician's
+# augmentative-until-fixpoint runs as a recursive CTE.
+
+def _rslp_step_case(col: str, step) -> str:
+    mn, whole, conds, rules = step
+    whens = []
+    for suf, rmin, rep, exc in rules:
+        cond = (f"length({col}) - {len(suf)} >= {rmin} "
+                f"AND ends_with({col}, '{suf}')")
+        if exc:
+            if whole:
+                lst = ", ".join(f"'{e}'" for e in exc)
+                cond += f" AND {col} NOT IN ({lst})"
+            else:
+                ors = " OR ".join(f"ends_with({col}, '{e}')"
+                                  for e in exc)
+                cond += f" AND NOT ({ors})"
+        out = f"substr({col}, 1, length({col})-{len(suf)})"
+        if rep:
+            out += f" || '{rep}'"
+        whens.append(f"WHEN {cond} THEN {out}")
+    guard = f"length({col}) < {mn}"
+    if conds:
+        cs = " OR ".join(f"ends_with({col}, '{c}')" for c in conds)
+        guard = f"{guard} OR NOT ({cs})"
+    body = "\n    ".join(whens)
+    return (f"CASE WHEN {guard} THEN {col}\n    {body}\n"
+            f"    ELSE {col} END")
+
+
+def ft_portuguese_rslp(sf_dir: str) -> pa.Table:
+    """PortugueseStemFilter — full RSLP (pt/PortugueseStemmer.java:46),
+    32k-pair vocabulary-gated in tests/test_rslp.py."""
+    from ..rslp import RSLP_STEMMERS
+    stem = RSLP_STEMMERS["portuguese_rslp"]
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [stem(w) for w in _words(tx)])
+
+
+def ft_galician_rslp(sf_dir: str) -> pa.Table:
+    """GalicianStemFilter — RSLG (gl/GalicianStemmer.java:48)."""
+    from ..rslp import RSLP_STEMMERS
+    stem = RSLP_STEMMERS["galician_rslp"]
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [stem(w) for w in _words(tx)])
+
+
+def ft_spanish_plural(sf_dir: str) -> pa.Table:
+    """SpanishPluralStemFilter (es/SpanishPluralStemmer.java:46).
+    Corpus words are pluralized (``w + 's'``) so the rule chain fires
+    — the corpus vocabulary has no s-final words."""
+    from ..rslp import RSLP_STEMMERS
+    stem = RSLP_STEMMERS["spanish_plural"]
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [stem(w + "s") for w in _words(tx)])
+
+
+_RSLP_TAIL = f"""SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM fin GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_portuguese_rslp_sql() -> str:
+    from ..rslp_data import PT_STEPS
+    pl = _rslp_step_case("word", PT_STEPS["Plural"])
+    ad = _rslp_step_case("r1", PT_STEPS["Adverb"])
+    fe = _rslp_step_case("r2", PT_STEPS["Feminine"])
+    au = _rslp_step_case("r3", PT_STEPS["Augmentative"])
+    no = _rslp_step_case("r4", PT_STEPS["Noun"])
+    ve = _rslp_step_case("r4", PT_STEPS["Verb"])
+    vo = _rslp_step_case("r4", PT_STEPS["Vowel"])
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), s1 AS (SELECT d, {pl} AS r1 FROM w WHERE word <> ''),
+s2 AS (SELECT d, {ad} AS r2 FROM s1),
+s3 AS (SELECT d, {fe} AS r3 FROM s2),
+s4 AS (SELECT d, {au} AS r4 FROM s3),
+s5 AS (SELECT d, r4, {no} AS rn FROM s4),
+s6 AS (SELECT d, r4, rn,
+       CASE WHEN rn <> r4 THEN rn ELSE {ve} END AS rv FROM s5),
+fin AS (SELECT d, translate(
+  CASE WHEN rn <> r4 THEN rn WHEN rv <> r4 THEN rv ELSE {vo} END,
+  'àáâãäåçèéêëìíîïñòóôõöùúûüýÿ',
+  'aaaaaaceeeeiiiinooooouuuuyy') AS term FROM s6)
+{_RSLP_TAIL}"""
+
+
+def oracle_galician_rslp_sql() -> str:
+    from ..rslp_data import GL_STEPS
+    pl = _rslp_step_case("word", GL_STEPS["Plural"])
+    un = _rslp_step_case("r1", GL_STEPS["Unification"])
+    ad = _rslp_step_case("r2", GL_STEPS["Adverb"])
+    au = _rslp_step_case("r", GL_STEPS["Augmentative"])
+    no = _rslp_step_case("r4", GL_STEPS["Noun"])
+    ve = _rslp_step_case("r4", GL_STEPS["Verb"])
+    vo = _rslp_step_case("rnv", GL_STEPS["Vowel"])
+    return f"""WITH RECURSIVE w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), s1 AS (SELECT d, {pl} AS r1 FROM w WHERE word <> ''),
+s2 AS (SELECT d, {un} AS r2 FROM s1),
+s3 AS (SELECT d, {ad} AS r FROM s2),
+aug AS (
+  SELECT d, r FROM s3
+  UNION ALL
+  SELECT d, {au} AS r2 FROM aug WHERE {au} <> r
+), s4 AS (
+  SELECT d, r AS r4 FROM aug WHERE {au} = r
+), s5 AS (SELECT d, r4, {no} AS rn FROM s4),
+s6 AS (SELECT d,
+       CASE WHEN rn <> r4 THEN rn ELSE {ve} END AS rnv FROM s5),
+fin AS (SELECT d, translate({vo}, 'áéêíóú', 'aeeiou') AS term
+        FROM s6)
+{_RSLP_TAIL}"""
+
+
+def oracle_spanish_plural_sql() -> str:
+    from ..rslp import _ES_INVARIANT, _ES_SPECIAL
+    inv = ", ".join(f"'{x}'" for x in sorted(_ES_INVARIANT))
+    spc = ", ".join(f"'{x}'" for x in sorted(_ES_SPECIAL))
+    return f"""WITH w1 AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS raw
+  FROM documents
+), w0 AS (
+  SELECT d, raw || 's' AS raw FROM w1 WHERE raw <> ''
+), w AS (
+  SELECT d, CASE WHEN length(raw) < 4 THEN raw
+    ELSE translate(raw, 'àáâäòóôöèéêëùúûüìíîï',
+                   'aaaaooooeeeeuuuuiiii') END AS word
+  FROM w0
+), fin AS (
+  SELECT d, CASE
+    WHEN length(word) < 4 THEN word
+    WHEN word IN ({inv}) THEN word
+    WHEN word IN ({spc}) THEN substr(word, 1, length(word)-2)
+    WHEN right(word, 1) <> 's' THEN word
+    WHEN substr(word, length(word)-1, 1) NOT IN ('a','e','i','o','u')
+      THEN substr(word, 1, length(word)-1)
+    WHEN substr(word, length(word)-3, 1) = 'q'
+         OR (substr(word, length(word)-3, 1) = 'g'
+             AND substr(word, length(word)-2, 1) = 'u'
+             AND substr(word, length(word)-1, 1) IN ('i','e'))
+      THEN substr(word, 1, length(word)-1)
+    WHEN substr(word, length(word)-3, 1) IN ('a','e','i','o','u')
+         AND substr(word, length(word)-2, 1) = 'r'
+         AND substr(word, length(word)-1, 1) = 'e'
+      THEN substr(word, 1, length(word)-2)
+    WHEN substr(word, length(word)-3, 1) IN ('a','e','i','o','u')
+         AND substr(word, length(word)-2, 1) IN ('d','l','n','x')
+         AND substr(word, length(word)-1, 1) = 'e'
+      THEN substr(word, 1, length(word)-2)
+    WHEN substr(word, length(word)-2, 1) IN ('y','u')
+         AND substr(word, length(word)-1, 1) = 'e'
+      THEN substr(word, 1, length(word)-2)
+    WHEN substr(word, length(word)-3, 1) IN ('u','l','r','t','n')
+         AND substr(word, length(word)-2, 1) = 'i'
+         AND substr(word, length(word)-1, 1) = 'e'
+      THEN substr(word, 1, length(word)-2)
+    WHEN substr(word, length(word)-2, 1) = 's'
+         AND substr(word, length(word)-1, 1) = 'e'
+      THEN substr(word, 1, length(word)-2)
+    WHEN substr(word, length(word)-2, 1) IN ('a','e','i','o','u')
+         AND substr(word, length(word)-1, 1) = 'i'
+      THEN substr(word, 1, length(word)-2) || 'y'
+    WHEN substr(word, length(word)-2, 1) = 'd'
+         AND substr(word, length(word)-1, 1) = 'i'
+      THEN substr(word, 1, length(word)-2) || 'y'
+    WHEN substr(word, length(word)-1, 1) = 'e'
+         AND substr(word, length(word)-2, 1) = 'c'
+      THEN substr(word, 1, length(word)-3) || 'z'
+    WHEN substr(word, length(word)-1, 1) IN ('a','e','i','o','u')
+      THEN substr(word, 1, length(word)-1)
+    ELSE word END AS term
+  FROM w
+)
+{_RSLP_TAIL}"""
 
 
 # ---------------------------------------------------------------------------
