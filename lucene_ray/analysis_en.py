@@ -500,6 +500,11 @@ def _register_light_stemmers() -> None:
     from .rslp import RSLP_STEMMERS
     for name, fn in RSLP_STEMMERS.items():
         TOKEN_FILTERS[name] = _as_token_filter(fn)
+    # Latvian/Indonesian/Arabic/Bengali (lucene_ray.stemlang),
+    # reference-test-golden gated in tests/test_stemlang.py
+    from .stemlang import LANG_STEMMERS
+    for name, fn in LANG_STEMMERS.items():
+        TOKEN_FILTERS[name] = _as_token_filter(fn)
 
 
 _register_light_stemmers()
