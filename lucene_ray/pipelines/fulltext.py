@@ -5290,6 +5290,308 @@ def oracle_spanish_plural_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Latvian / Indonesian / Arabic / Bengali stemmers (lucene_ray.
+# stemlang). Latvian and Indonesian run raw (their ASCII-reachable
+# rules fire on the corpus); Arabic and Bengali plant their scripts
+# via per-char transliteration like the langnorm entries. Oracles are
+# generated from the same tables the engine uses; rules needing
+# letters the corpus can never contain (Latvian š/ņ/č/ļ/ž
+# palatalization beyond the labial j-drop) are omitted from the SQL
+# and covered by the reference-golden pytest gates instead.
+
+def ft_latvian_stem(sf_dir: str) -> pa.Table:
+    """LatvianStemFilter (lv/LatvianStemmer.java:36)."""
+    from ..stemlang import latvian_stem
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [latvian_stem(w) for w in _words(tx)])
+
+
+def ft_indonesian_stem(sf_dir: str) -> pa.Table:
+    """IndonesianStemFilter (id/IndonesianStemmer.java:30),
+    derivational mode. Corpus words are planted as ``me<w>kan`` (an
+    applicative verb shape) so the prefix→suffix→second-order flow and
+    the removed-prefix flags actually fire — unplanted corpus words
+    have too few syllables or no affixes."""
+    from ..stemlang import indonesian_stem
+    return _rawtok_stats(
+        sf_dir,
+        lambda tx, d: [indonesian_stem("me" + w + "kan")
+                       for w in _words(tx)])
+
+
+_AR_STEM_FROM = "alwbkfheyntmsrdcgijopquvxz"
+_AR_STEM_TO = ("الوبكفهةينتمسردشجعزمصقطظخث")
+
+
+def ft_arabic_stem(sf_dir: str) -> pa.Table:
+    """ArabicStemFilter (ar/ArabicStemmer.java:33): planted Arabic
+    letters so article prefixes and the suffix chain fire."""
+    from ..stemlang import arabic_stem
+    plant = str.maketrans(_AR_STEM_FROM, _AR_STEM_TO)
+    return _rawtok_stats(
+        sf_dir,
+        lambda tx, d: [arabic_stem(w.translate(plant))
+                       for w in _words(tx)])
+
+
+_BN_STEM_FROM = "aeioutnlrmkbcdsfghjpqvwxyz"
+_BN_STEM_TO = ("ােিোুতনলরমকবছদসফগহজপখভওষযঝ")
+
+
+def ft_bengali_stem(sf_dir: str) -> pa.Table:
+    """BengaliStemFilter (bn/BengaliStemmer.java:31): planted Bengali
+    matras/consonants so the suffix groups fire."""
+    from ..stemlang import bengali_stem
+    plant = str.maketrans(_BN_STEM_FROM, _BN_STEM_TO)
+    return _rawtok_stats(
+        sf_dir,
+        lambda tx, d: [bengali_stem(w.translate(plant))
+                       for w in _words(tx)])
+
+
+def oracle_latvian_stem_sql() -> str:
+    from ..stemlang import _LV_AFFIXES
+    whens = []
+    for affix, vc, pal in _LV_AFFIXES:
+        cond = (f"nv > {vc} AND length(word) >= {len(affix) + 3} "
+                f"AND ends_with(word, '{affix}')")
+        stem = f"substr(word, 1, length(word)-{len(affix)})"
+        if pal:
+            out = (f"CASE WHEN right({stem}, 2) IN "
+                   f"('pj','bj','mj','vj') THEN substr(word, 1, "
+                   f"length(word)-{len(affix) + 1}) ELSE {stem} END")
+        else:
+            out = stem
+        whens.append(f"    WHEN {cond}\n      THEN {out}")
+    chain = "\n".join(whens)
+    return f"""WITH w0 AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), w AS (
+  SELECT d, word,
+         length(word) - length(translate(word, 'aeiouāīēū', '')) AS nv
+  FROM w0 WHERE word <> ''
+), s AS (
+  SELECT d, CASE
+{chain}
+    ELSE word END AS term
+  FROM w
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def _id_first_order_case(c: str) -> str:
+    v = "('a','e','i','o','u')"
+    return f"""CASE
+    WHEN starts_with({c}, 'meng') THEN substr({c}, 5)
+    WHEN starts_with({c}, 'meny') AND length({c}) > 4
+         AND substr({c}, 5, 1) IN {v} THEN 's' || substr({c}, 5)
+    WHEN starts_with({c}, 'men') OR starts_with({c}, 'mem')
+      THEN substr({c}, 4)
+    WHEN starts_with({c}, 'me') THEN substr({c}, 3)
+    WHEN starts_with({c}, 'peng') THEN substr({c}, 5)
+    WHEN starts_with({c}, 'peny') AND length({c}) > 4
+         AND substr({c}, 5, 1) IN {v} THEN 's' || substr({c}, 5)
+    WHEN starts_with({c}, 'peny') THEN substr({c}, 5)
+    WHEN starts_with({c}, 'pen') AND length({c}) > 3
+         AND substr({c}, 4, 1) IN {v} THEN 't' || substr({c}, 4)
+    WHEN starts_with({c}, 'pen') OR starts_with({c}, 'pem')
+      THEN substr({c}, 4)
+    WHEN starts_with({c}, 'di') THEN substr({c}, 3)
+    WHEN starts_with({c}, 'ter') THEN substr({c}, 4)
+    WHEN starts_with({c}, 'ke') THEN substr({c}, 3)
+    ELSE {c} END"""
+
+
+def _id_first_flag_case(c: str) -> str:
+    return f"""CASE
+    WHEN starts_with({c}, 'meng') OR starts_with({c}, 'meny')
+         OR starts_with({c}, 'men') OR starts_with({c}, 'mem')
+         OR starts_with({c}, 'me') THEN 'MENG'
+    WHEN starts_with({c}, 'peng') OR starts_with({c}, 'peny')
+         OR starts_with({c}, 'pen') OR starts_with({c}, 'pem')
+      THEN 'PENG'
+    WHEN starts_with({c}, 'di') THEN 'DI'
+    WHEN starts_with({c}, 'ter') THEN 'TER'
+    WHEN starts_with({c}, 'ke') THEN 'KE'
+    ELSE '' END"""
+
+
+def _id_second_order_case(c: str) -> str:
+    v = "('a','e','i','o','u')"
+    return f"""CASE
+    WHEN starts_with({c}, 'ber') THEN substr({c}, 4)
+    WHEN {c} = 'belajar' THEN substr({c}, 4)
+    WHEN starts_with({c}, 'be') AND length({c}) > 4
+         AND substr({c}, 3, 1) NOT IN {v}
+         AND substr({c}, 4, 1) = 'e' AND substr({c}, 5, 1) = 'r'
+      THEN substr({c}, 3)
+    WHEN starts_with({c}, 'per') THEN substr({c}, 4)
+    WHEN {c} = 'pelajar' THEN substr({c}, 4)
+    WHEN starts_with({c}, 'pe') THEN substr({c}, 3)
+    ELSE {c} END"""
+
+
+def _id_second_flag_case(c: str) -> str:
+    v = "('a','e','i','o','u')"
+    return f"""CASE
+    WHEN starts_with({c}, 'ber') OR {c} = 'belajar'
+         OR (starts_with({c}, 'be') AND length({c}) > 4
+             AND substr({c}, 3, 1) NOT IN {v}
+             AND substr({c}, 4, 1) = 'e'
+             AND substr({c}, 5, 1) = 'r') THEN 'BER'
+    WHEN starts_with({c}, 'per') OR {c} = 'pelajar' THEN ''
+    WHEN starts_with({c}, 'pe') THEN 'PE'
+    ELSE '' END"""
+
+
+def _id_suffix_case(c: str, f: str) -> str:
+    return f"""CASE
+    WHEN ends_with({c}, 'kan') AND {f} NOT IN ('KE','PENG','PE')
+      THEN substr({c}, 1, length({c})-3)
+    WHEN ends_with({c}, 'an') AND {f} NOT IN ('DI','MENG','TER')
+      THEN substr({c}, 1, length({c})-2)
+    WHEN ends_with({c}, 'i') AND NOT ends_with({c}, 'si')
+         AND {f} NOT IN ('BER','KE','PENG')
+      THEN substr({c}, 1, length({c})-1)
+    ELSE {c} END"""
+
+
+def oracle_indonesian_stem_sql() -> str:
+    """Replays IndonesianStemmer's staged flow: particle → possessive
+    → first-order prefix; if it fired, suffix then (if suffix fired)
+    second-order prefix; else second-order prefix then suffix. The
+    removed-prefix flags gate the suffix rules."""
+    return f"""WITH w0 AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), wp AS (
+  SELECT d, 'me' || word || 'kan' AS word FROM w0 WHERE word <> ''
+), w AS (
+  SELECT d, word,
+         length(word) - length(translate(word, 'aeiou', '')) AS ns0
+  FROM wp
+), t1 AS (
+  SELECT d, ns0, CASE WHEN ns0 > 2 AND (ends_with(word,'kah')
+      OR ends_with(word,'lah') OR ends_with(word,'pun'))
+    THEN substr(word, 1, length(word)-3) ELSE word END AS r1, word
+  FROM w
+), t1n AS (
+  SELECT d, r1, ns0 - CASE WHEN r1 <> word THEN 1 ELSE 0 END AS ns1
+  FROM t1
+), t2 AS (
+  SELECT d, CASE
+    WHEN ns1 > 2 AND (ends_with(r1,'ku') OR ends_with(r1,'mu'))
+      THEN substr(r1, 1, length(r1)-2)
+    WHEN ns1 > 2 AND ends_with(r1,'nya')
+      THEN substr(r1, 1, length(r1)-3)
+    ELSE r1 END AS r2, ns1, r1
+  FROM t1n
+), t2n AS (
+  SELECT d, r2, ns1 - CASE WHEN r2 <> r1 THEN 1 ELSE 0 END AS ns2
+  FROM t2
+), t3 AS (
+  SELECT d, r2, ns2,
+    CASE WHEN ns2 > 2 THEN {_id_first_order_case('r2')}
+         ELSE r2 END AS r3,
+    CASE WHEN ns2 > 2 THEN {_id_first_flag_case('r2')}
+         ELSE '' END AS f3
+  FROM t2n
+), t3n AS (
+  SELECT d, r3, f3, r3 <> r2 AS fired3,
+         ns2 - CASE WHEN r3 <> r2 THEN 1 ELSE 0 END AS ns3
+  FROM t3
+), t4 AS (
+  SELECT d, r3, f3, fired3, ns3,
+    CASE WHEN fired3 AND ns3 > 2
+         THEN {_id_suffix_case('r3', 'f3')} ELSE r3 END AS sa,
+    CASE WHEN NOT fired3 AND ns3 > 2
+         THEN {_id_second_order_case('r3')} ELSE r3 END AS sb,
+    CASE WHEN NOT fired3 AND ns3 > 2
+         THEN {_id_second_flag_case('r3')} ELSE '' END AS fb
+  FROM t3n
+), t5 AS (
+  SELECT d, CASE
+    WHEN fired3 THEN
+      CASE WHEN sa <> r3
+                AND ns3 - 1 > 2
+           THEN {_id_second_order_case('sa')} ELSE sa END
+    ELSE
+      CASE WHEN ns3 - (CASE WHEN sb <> r3 THEN 1 ELSE 0 END) > 2
+           THEN {_id_suffix_case('sb', 'fb')} ELSE sb END
+    END AS term
+  FROM t4
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM t5 GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_arabic_stem_sql() -> str:
+    from ..stemlang import _AR_PREFIXES, _AR_SUFFIXES
+    pw = []
+    for p in _AR_PREFIXES:
+        need = 4 if len(p) == 1 else len(p) + 2
+        pw.append(f"    WHEN length(word) >= {need} AND "
+                  f"starts_with(word, '{p}') THEN substr(word, "
+                  f"{len(p) + 1})")
+    pchain = "\n".join(pw)
+    stages = []
+    prev = "r0"
+    for i, s in enumerate(_AR_SUFFIXES, 1):
+        cur = f"r{i}"
+        stages.append(
+            f"s{i} AS (SELECT d, CASE WHEN length({prev}) >= "
+            f"{len(s) + 2} AND ends_with({prev}, '{s}') THEN "
+            f"substr({prev}, 1, length({prev})-{len(s)}) "
+            f"ELSE {prev} END AS {cur} FROM s{i - 1})")
+        prev = cur
+    body = ",\n".join(stages)
+    return f"""WITH w AS (
+  SELECT doc_id AS d,
+         translate(unnest(string_split(text, ' ')),
+                   '{_AR_STEM_FROM}', '{_AR_STEM_TO}') AS word
+  FROM documents
+), s0 AS (
+  SELECT d, CASE
+{pchain}
+    ELSE word END AS r0
+  FROM w WHERE word <> ''
+),
+{body}
+SELECT {prev} AS term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s{len(_AR_SUFFIXES)} GROUP BY term
+ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_bengali_stem_sql() -> str:
+    from ..stemlang import _BN_GROUPS
+    whens = []
+    for n, sufs in _BN_GROUPS:
+        ors = " OR ".join(f"ends_with(word, '{s}')" for s in sufs)
+        whens.append(f"    WHEN length(word) > {n + 1} AND ({ors})\n"
+                     f"      THEN substr(word, 1, length(word)-{n})")
+    chain = "\n".join(whens)
+    return f"""WITH w AS (
+  SELECT doc_id AS d,
+         translate(unnest(string_split(text, ' ')),
+                   '{_BN_STEM_FROM}', '{_BN_STEM_TO}') AS word
+  FROM documents
+), s AS (
+  SELECT d, CASE
+{chain}
+    ELSE word END AS term
+  FROM w WHERE word <> ''
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+# ---------------------------------------------------------------------------
 # Language normalizers (lucene_ray.langnorm). Engine side plants the
 # relevant script deterministically (per-char transliteration of corpus
 # words) and runs the REAL registered normalizer; oracles compute the
