@@ -505,6 +505,14 @@ def _register_light_stemmers() -> None:
     from .stemlang import LANG_STEMMERS
     for name, fn in LANG_STEMMERS.items():
         TOKEN_FILTERS[name] = _as_token_filter(fn)
+    # Greek (lucene_ray.greekstem): 'greek_stem' expects folded input;
+    # 'greek' is the GreekAnalyzer chain (greek_lower → stem), 343
+    # reference goldens in tests/test_greekstem.py
+    from .greekstem import greek_stem
+    from .langnorm import greek_lower
+    TOKEN_FILTERS["greek_stem"] = _as_token_filter(greek_stem)
+    TOKEN_FILTERS["greek"] = _as_token_filter(
+        lambda w: greek_stem(greek_lower(w)))
 
 
 _register_light_stemmers()

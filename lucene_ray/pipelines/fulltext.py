@@ -5592,6 +5592,310 @@ FROM s GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
 
 
 # ---------------------------------------------------------------------------
+# Greek stemmer (lucene_ray.greekstem). The corpus words are planted
+# into lowercase folded Greek (the same 21-letter transliteration the
+# ft_greek_lower entry uses, lowercase targets) and the oracle replays
+# all 22 Ntais rules as staged CTEs, including the rule-8 precedence
+# quirk and every add-back; rule 21 is gated on "rules 0-20 changed
+# nothing" by comparing against the planted word, exactly like the
+# reference's origLen check (length-change and content-change coincide
+# because every add-back is strictly shorter than its removal).
+
+def ft_greek_stem(sf_dir: str) -> pa.Table:
+    """GreekStemFilter (el/GreekStemmer.java:42) over planted folded
+    Greek; reference parity is the 343-golden pytest gate."""
+    from ..greekstem import greek_stem
+    plant = str.maketrans(_EL_FROM, _EL_TO)
+    return _rawtok_stats(
+        sf_dir,
+        lambda tx, d: [greek_stem(w.translate(plant))
+                       for w in _words(tx)])
+
+
+def oracle_greek_stem_sql() -> str:
+    from ..greekstem import (_EL_EXC4, _EL_EXC6, _EL_EXC7, _EL_EXC8A,
+                             _EL_EXC8B, _EL_EXC9, _EL_EXC12A,
+                             _EL_EXC12B, _EL_EXC13, _EL_EXC14,
+                             _EL_EXC15A, _EL_EXC15B, _EL_EXC16,
+                             _EL_EXC17, _EL_EXC18, _EL_EXC19,
+                             _R21_GROUPS)
+
+    def L(c):
+        return f"length({c})"
+
+    def SUB(c, k):
+        return f"substr({c}, 1, length({c})-{k})"
+
+    def EW(c, *sufs):
+        return ("(" + " OR ".join(f"ends_with({c}, '{s}')"
+                                  for s in sufs) + ")")
+
+    def INS(c, words):
+        lst = ", ".join(f"'{x}'" for x in sorted(words))
+        return f"{c} IN ({lst})"
+
+    def EV(c):
+        return f"right({c}, 1) IN ('α','ε','η','ι','ο','υ','ω')"
+
+    def EVNY(c):
+        return f"right({c}, 1) IN ('α','ε','η','ι','ο','ω')"
+
+    c = "w"
+    r0_rows = [
+        (9, ("καθεστωτοσ", "καθεστωτων"), 4),
+        (8, ("γεγονοτοσ", "γεγονοτων"), 4), (8, ("καθεστωτα",), 3),
+        (7, ("τατογιου", "τατογιων"), 4), (7, ("γεγονοτα",), 3),
+        (7, ("καθεστωσ",), 2),
+        (6, ("σκαγιου", "σκαγιων", "ολογιου", "ολογιων", "κρεατοσ",
+             "κρεατων", "περατοσ", "περατων", "τερατοσ", "τερατων"),
+         4),
+        (6, ("τατογια",), 3), (6, ("γεγονοσ",), 2),
+        (5, ("φαγιου", "φαγιων", "σογιου", "σογιων"), 4),
+        (5, ("σκαγια", "ολογια", "κρεατα", "περατα", "τερατα"), 3),
+        (4, ("φαγια", "σογια", "φωτοσ", "φωτων"), 3),
+        (4, ("κρεασ", "περασ", "τερασ"), 2),
+        (3, ("φωτα",), 2), (2, ("φωσ",), 1),
+    ]
+    w0 = " ".join(
+        f"WHEN {L(c)} > {g} AND {EW(c, *sufs)} THEN {SUB(c, k)}"
+        for g, sufs, k in r0_rows)
+    r0 = f"CASE {w0} ELSE {c} END"
+
+    def keep_rule(c, sufs, strip, keep, exc_sufs, negate):
+        s = SUB(c, strip)
+        cond = EW(s, *exc_sufs)
+        if negate:
+            cond = f"NOT {cond}"
+        return (f"CASE WHEN {L(c)} > {strip} AND {EW(c, *sufs)} THEN "
+                f"CASE WHEN {cond} THEN {SUB(c, strip - keep)} "
+                f"ELSE {s} END ELSE {c} END")
+
+    r1 = keep_rule("c0", ("αδεσ", "αδων"), 4, 2,
+                   ("οκ", "μαμ", "μαν", "μπαμπ", "πατερ", "γιαγι",
+                    "νταντ", "κυρ", "θει", "πεθερ"), True)
+    r2 = keep_rule("c1", ("εδεσ", "εδων"), 4, 2,
+                   ("οπ", "ιπ", "εμπ", "υπ", "γηπ", "δαπ", "κρασπ",
+                    "μιλ"), False)
+    r3 = keep_rule("c2", ("ουδεσ", "ουδων"), 5, 3,
+                   ("αρκ", "καλιακ", "πεταλ", "λιχ", "πλεξ", "σκ",
+                    "σ", "φλ", "φρ", "βελ", "λουλ", "χν", "σπ",
+                    "τραγ", "φε"), False)
+    c3, s3 = "c3", SUB("c3", 3)
+    r4 = (f"CASE WHEN {L(c3)} > 3 AND {EW(c3, 'εωσ', 'εων')} THEN "
+          f"CASE WHEN {INS(s3, _EL_EXC4)} THEN {s3} || 'ε' "
+          f"ELSE {s3} END ELSE {c3} END")
+    c4, s42, s43 = "c4", SUB("c4", 2), SUB("c4", 3)
+    r5 = (f"CASE WHEN {L(c4)} > 2 AND ends_with({c4}, 'ια') THEN "
+          f"CASE WHEN {EV(s42)} THEN {s42} || 'ι' ELSE {s42} END "
+          f"WHEN {L(c4)} > 3 AND {EW(c4, 'ιου', 'ιων')} THEN "
+          f"CASE WHEN {EV(s43)} THEN {s43} || 'ι' ELSE {s43} END "
+          f"ELSE {c4} END")
+    c5, s53, s54 = "c5", SUB("c5", 3), SUB("c5", 4)
+    r6 = (f"CASE WHEN {L(c5)} > 3 AND {EW(c5, 'ικα', 'ικο')} THEN "
+          f"CASE WHEN {EV(s53)} OR {INS(s53, _EL_EXC6)} "
+          f"THEN {s53} || 'ικ' ELSE {s53} END "
+          f"WHEN {L(c5)} > 4 AND {EW(c5, 'ικου', 'ικων')} THEN "
+          f"CASE WHEN {EV(s54)} OR {INS(s54, _EL_EXC6)} "
+          f"THEN {s54} || 'ικ' ELSE {s54} END ELSE {c5} END")
+    c6 = "c6"
+    p7 = (f"CASE WHEN {L(c6)} = 5 AND ends_with({c6}, 'αγαμε') "
+          f"THEN {c6} "
+          f"WHEN {L(c6)} > 7 AND ends_with({c6}, 'ηθηκαμε') "
+          f"THEN {SUB(c6, 7)} "
+          f"WHEN {L(c6)} > 6 AND ends_with({c6}, 'ουσαμε') "
+          f"THEN {SUB(c6, 6)} "
+          f"WHEN {L(c6)} > 5 AND {EW(c6, 'αγαμε', 'ησαμε', 'ηκαμε')} "
+          f"THEN {SUB(c6, 5)} ELSE {c6} END")
+    sp7 = f"({L(c6)} = 5 AND ends_with({c6}, 'αγαμε'))"
+    s73 = SUB("p7", 3)
+    r7 = (f"CASE WHEN sp7 THEN {SUB('p7', 1)} "
+          f"WHEN {L('p7')} > 3 AND ends_with(p7, 'αμε') THEN "
+          f"CASE WHEN {INS(s73, _EL_EXC7)} THEN {s73} || 'αμ' "
+          f"ELSE {s73} END ELSE p7 END")
+    c7 = "c7"
+    a8 = (f"CASE WHEN {L(c7)} > 8 AND ends_with({c7}, 'ιουντανε') "
+          f"THEN {SUB(c7, 8)} "
+          f"WHEN ({L(c7)} > 7 AND ends_with({c7}, 'ιοντανε')) "
+          f"OR {EW(c7, 'ουντανε', 'ηθηκανε')} THEN {SUB(c7, 7)} "
+          f"WHEN ({L(c7)} > 6 AND ends_with({c7}, 'ιοτανε')) "
+          f"OR {EW(c7, 'οντανε', 'ουσανε')} THEN {SUB(c7, 6)} "
+          f"WHEN ({L(c7)} > 5 AND ends_with({c7}, 'αγανε')) "
+          f"OR {EW(c7, 'ησανε', 'οτανε', 'ηκανε')} THEN {SUB(c7, 5)} "
+          f"ELSE {c7} END")
+    b8 = (f"CASE WHEN a8 <> {c7} AND {INS('a8', _EL_EXC8A)} "
+          f"THEN a8 || 'αγαν' ELSE a8 END")
+    s83 = SUB("b8", 3)
+    r8 = (f"CASE WHEN {L('b8')} > 3 AND ends_with(b8, 'ανε') THEN "
+          f"CASE WHEN {EVNY(s83)} OR {INS(s83, _EL_EXC8B)} "
+          f"THEN {s83} || 'αν' ELSE {s83} END ELSE b8 END")
+    c8 = "c8"
+    p9 = (f"CASE WHEN {L(c8)} > 5 AND ends_with({c8}, 'ησετε') "
+          f"THEN {SUB(c8, 5)} ELSE {c8} END")
+    s93 = SUB("p9", 3)
+    r9_backs = ("οδ", "αιρ", "φορ", "ταθ", "διαθ", "σχ", "ενδ",
+                "ευρ", "τιθ", "υπερθ", "ραθ", "ενθ", "ροθ", "σθ",
+                "πυρ", "αιν", "συνδ", "συν", "συνθ", "χωρ", "πον",
+                "βρ", "καθ", "ευθ", "εκθ", "νετ", "ρον", "αρκ",
+                "βαρ", "βολ", "ωφελ")
+    r9 = (f"CASE WHEN {L('p9')} > 3 AND ends_with(p9, 'ετε') THEN "
+          f"CASE WHEN {INS(s93, _EL_EXC9)} OR {EVNY(s93)} "
+          f"OR {EW(s93, *r9_backs)} THEN {s93} || 'ετ' "
+          f"ELSE {s93} END ELSE p9 END")
+    c9 = "c9"
+    m10 = f"({L(c9)} > 5 AND {EW(c9, 'οντασ', 'ωντασ')})"
+    s10 = f"CASE WHEN m10 THEN {SUB(c9, 5)} ELSE {c9} END"
+    t10 = (f"CASE WHEN m10 AND {L('s10')} = 3 "
+           f"AND ends_with(s10, 'αρχ') THEN s10 || 'οντ' "
+           f"ELSE s10 END")
+    r10 = (f"CASE WHEN m10 AND ends_with(t10, 'κρε') "
+           f"THEN t10 || 'ωντ' ELSE t10 END")
+    c10 = "c10"
+    r11 = (f"CASE WHEN {L(c10)} > 6 AND ends_with({c10}, 'ομαστε') "
+           f"THEN CASE WHEN {L(c10)} = 8 AND starts_with({c10}, 'ον')"
+           f" THEN {SUB(c10, 1)} ELSE {SUB(c10, 6)} END "
+           f"WHEN {L(c10)} > 7 AND ends_with({c10}, 'ιομαστε') "
+           f"THEN CASE WHEN {L(c10)} = 9 AND starts_with({c10}, 'ον')"
+           f" THEN {SUB(c10, 7)} || 'ομαστ' ELSE {SUB(c10, 7)} END "
+           f"ELSE {c10} END")
+    c11, sA = "c11", SUB("c11", 5)
+    p12 = (f"CASE WHEN {L(c11)} > 5 AND ends_with({c11}, 'ιεστε') "
+           f"THEN CASE WHEN {INS(sA, _EL_EXC12A)} THEN {sA} || 'ιεστ'"
+           f" ELSE {sA} END ELSE {c11} END")
+    s124 = SUB("p12", 4)
+    r12 = (f"CASE WHEN {L('p12')} > 4 AND ends_with(p12, 'εστε') "
+           f"THEN CASE WHEN {INS(s124, _EL_EXC12B)} "
+           f"THEN {s124} || 'εστ' ELSE {s124} END ELSE p12 END")
+    c12 = "c12"
+    p13 = (f"CASE WHEN {L(c12)} > 6 AND ends_with({c12}, 'ηθηκεσ') "
+           f"THEN {SUB(c12, 6)} "
+           f"WHEN {L(c12)} > 5 AND {EW(c12, 'ηθηκα', 'ηθηκε')} "
+           f"THEN {SUB(c12, 5)} ELSE {c12} END")
+    r13_backs = ("σκωλ", "σκουλ", "ναρθ", "σφ", "οθ", "πιθ")
+
+    def g13(s):
+        return (f"CASE WHEN {INS(s, _EL_EXC13)} OR "
+                f"{EW(s, *r13_backs)} THEN {s} || 'ηκ' ELSE {s} END")
+
+    r13 = (f"CASE WHEN {L('p13')} > 4 AND ends_with(p13, 'ηκεσ') "
+           f"THEN {g13(SUB('p13', 4))} "
+           f"WHEN {L('p13')} > 3 AND {EW('p13', 'ηκα', 'ηκε')} "
+           f"THEN {g13(SUB('p13', 3))} ELSE p13 END")
+    c13 = "c13"
+    r14_backs = ("ποδαρ", "βλεπ", "πανταχ", "φρυδ", "μαντιλ", "μαλλ",
+                 "κυματ", "λαχ", "ληγ", "φαγ", "ομ", "πρωτ")
+
+    def g14(s):
+        return (f"CASE WHEN {INS(s, _EL_EXC14)} OR {EV(s)} OR "
+                f"{EW(s, *r14_backs)} THEN {s} || 'ουσ' "
+                f"ELSE {s} END")
+
+    r14 = (f"CASE WHEN {L(c13)} > 5 AND ends_with({c13}, 'ουσεσ') "
+           f"THEN {g14(SUB(c13, 5))} "
+           f"WHEN {L(c13)} > 4 AND {EW(c13, 'ουσα', 'ουσε')} "
+           f"THEN {g14(SUB(c13, 4))} ELSE {c13} END")
+    c14 = "c14"
+    r15_c1 = ("οφ", "πελ", "χορτ", "λλ", "σφ", "ρπ", "φρ", "πρ",
+              "λοχ", "σμην")
+
+    def g15(s):
+        cond1 = f"({INS(s, _EL_EXC15A)} OR {EW(s, *r15_c1)})"
+        cond2 = f"({INS(s, _EL_EXC15B)} OR ends_with({s}, 'κολλ'))"
+        return (f"CASE WHEN {cond1} AND NOT {cond2} THEN {s} || 'αγ' "
+                f"ELSE {s} END")
+
+    r15 = (f"CASE WHEN {L(c14)} > 4 AND ends_with({c14}, 'αγεσ') "
+           f"THEN {g15(SUB(c14, 4))} "
+           f"WHEN {L(c14)} > 3 AND {EW(c14, 'αγα', 'αγε')} "
+           f"THEN {g15(SUB(c14, 3))} ELSE {c14} END")
+    c15 = "c15"
+
+    def g16(s):
+        return (f"CASE WHEN {INS(s, _EL_EXC16)} THEN {s} || 'ησ' "
+                f"ELSE {s} END")
+
+    r16 = (f"CASE WHEN {L(c15)} > 4 AND ends_with({c15}, 'ησου') "
+           f"THEN {g16(SUB(c15, 4))} "
+           f"WHEN {L(c15)} > 3 AND {EW(c15, 'ησε', 'ησα')} "
+           f"THEN {g16(SUB(c15, 3))} ELSE {c15} END")
+    c16, s164 = "c16", SUB("c16", 4)
+    r17 = (f"CASE WHEN {L(c16)} > 4 AND ends_with({c16}, 'ηστε') "
+           f"THEN CASE WHEN {INS(s164, _EL_EXC17)} "
+           f"THEN {s164} || 'ηστ' ELSE {s164} END ELSE {c16} END")
+    c17 = "c17"
+
+    def g1819(c, sufs6, back, exc):
+        s6, s4 = SUB(c, 6), SUB(c, 4)
+        return (f"CASE WHEN {L(c)} > 6 AND {EW(c, *sufs6)} THEN "
+                f"CASE WHEN {INS(s6, exc)} THEN {s6} || '{back}' "
+                f"ELSE {s6} END "
+                f"WHEN {L(c)} > 4 AND ends_with({c}, 'ουνε') THEN "
+                f"CASE WHEN {INS(s4, exc)} THEN {s4} || '{back}' "
+                f"ELSE {s4} END ELSE {c} END")
+
+    r18 = g1819(c17, ("ησουνε", "ηθουνε"), "ουν", _EL_EXC18)
+    c18 = "c18"
+    r19 = g1819(c18, ("ησουμε", "ηθουμε"), "ουμ", _EL_EXC19)
+    c19 = "c19"
+    r20 = (f"CASE WHEN {L(c19)} > 5 AND {EW(c19, 'ματων', 'ματοσ')} "
+           f"THEN {SUB(c19, 3)} "
+           f"WHEN {L(c19)} > 4 AND ends_with({c19}, 'ματα') "
+           f"THEN {SUB(c19, 2)} ELSE {c19} END")
+    c20 = "c20"
+    w21 = " ".join(
+        f"WHEN {L(c20)} > {g} AND {EW(c20, *sufs)} THEN {SUB(c20, k)}"
+        for g, k, sufs in _R21_GROUPS)
+    r21_inner = (f"CASE {w21} WHEN {L(c20)} > 1 AND {EV(c20)} "
+                 f"THEN {SUB(c20, 1)} ELSE {c20} END")
+    r21 = f"CASE WHEN {c20} <> w THEN {c20} ELSE {r21_inner} END"
+    c21 = "c21"
+    r22_sufs = EW(c21, "οτερ", "οτατ", "υτερ", "υτατ", "ωτερ",
+                  "ωτατ")
+    r22 = (f"CASE WHEN {EW(c21, 'εστερ', 'εστατ')} THEN {SUB(c21, 5)}"
+           f" WHEN {r22_sufs} THEN {SUB(c21, 4)} ELSE {c21} END")
+
+    single = [r0, r1, r2, r3, r4, r5, r6]
+    ctes = [f"t0 AS (SELECT d, w, {single[0]} AS c0 FROM w)"]
+    for i, expr in enumerate(single[1:], 1):
+        ctes.append(f"t{i} AS (SELECT d, w, {expr} AS c{i} "
+                    f"FROM t{i - 1})")
+    ctes.append(f"t7a AS (SELECT d, w, c6, {sp7} AS sp7, {p7} AS p7 "
+                f"FROM t6)")
+    ctes.append(f"t7 AS (SELECT d, w, {r7} AS c7 FROM t7a)")
+    ctes.append(f"t8a AS (SELECT d, w, c7, {a8} AS a8 FROM t7)")
+    ctes.append(f"t8b AS (SELECT d, w, {b8} AS b8 FROM t8a)")
+    ctes.append(f"t8 AS (SELECT d, w, {r8} AS c8 FROM t8b)")
+    ctes.append(f"t9a AS (SELECT d, w, {p9} AS p9 FROM t8)")
+    ctes.append(f"t9 AS (SELECT d, w, {r9} AS c9 FROM t9a)")
+    ctes.append(f"t10a AS (SELECT d, w, c9, {m10} AS m10, "
+                f"{s10} AS s10 FROM t9)")
+    ctes.append(f"t10b AS (SELECT d, w, m10, {t10} AS t10 FROM t10a)")
+    ctes.append(f"t10 AS (SELECT d, w, {r10} AS c10 FROM t10b)")
+    ctes.append(f"t11 AS (SELECT d, w, {r11} AS c11 FROM t10)")
+    ctes.append(f"t12a AS (SELECT d, w, {p12} AS p12 FROM t11)")
+    ctes.append(f"t12 AS (SELECT d, w, {r12} AS c12 FROM t12a)")
+    ctes.append(f"t13a AS (SELECT d, w, {p13} AS p13 FROM t12)")
+    ctes.append(f"t13 AS (SELECT d, w, {r13} AS c13 FROM t13a)")
+    for i, expr in [(14, r14), (15, r15), (16, r16), (17, r17),
+                    (18, r18), (19, r19), (20, r20), (21, r21),
+                    (22, r22)]:
+        ctes.append(f"t{i} AS (SELECT d, w, {expr} AS c{i} "
+                    f"FROM t{i - 1})")
+    body = ",\n".join(ctes)
+    return f"""WITH w0 AS (
+  SELECT doc_id AS d,
+         translate(unnest(string_split(text, ' ')),
+                   '{_EL_FROM}', '{_EL_TO}') AS w
+  FROM documents
+), w AS (SELECT d, w FROM w0 WHERE w <> ''),
+{body},
+fin AS (
+  SELECT d, CASE WHEN length(w) < 4 THEN w ELSE c22 END AS term
+  FROM t22
+)
+{_RSLP_TAIL}"""
+
+
+# ---------------------------------------------------------------------------
 # Language normalizers (lucene_ray.langnorm). Engine side plants the
 # relevant script deterministically (per-char transliteration of corpus
 # words) and runs the REAL registered normalizer; oracles compute the
