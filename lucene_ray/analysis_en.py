@@ -513,6 +513,10 @@ def _register_light_stemmers() -> None:
     TOKEN_FILTERS["greek_stem"] = _as_token_filter(greek_stem)
     TOKEN_FILTERS["greek"] = _as_token_filter(
         lambda w: greek_stem(greek_lower(w)))
+    # Brazilian Portuguese (lucene_ray.brstem), golden-gated in
+    # tests/test_brstem.py
+    from .brstem import brazilian_stem
+    TOKEN_FILTERS["brazilian_stem"] = _as_token_filter(brazilian_stem)
 
 
 _register_light_stemmers()

@@ -5896,6 +5896,144 @@ fin AS (
 
 
 # ---------------------------------------------------------------------------
+# Brazilian stemmer (lucene_ray.brstem). The oracle is generated from
+# the same rule tables; regions R1/R2/RV are regex-expressible because
+# the reference's "null region" and a computed empty region behave
+# identically under non-empty suffix checks, and the interior-scan
+# bound (j < len-1) maps to matching only within the char range that
+# excludes the last character. RV stays stale across steps exactly as
+# in the engine.
+
+def ft_brazilian_stem(sf_dir: str) -> pa.Table:
+    """BrazilianStemFilter (br/BrazilianStemmer.java:41)."""
+    from ..brstem import brazilian_stem
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [brazilian_stem(w) for w in _words(tx)])
+
+
+def oracle_brazilian_stem_sql() -> str:
+    from ..brstem_data import BR_STEP1, BR_STEP2
+
+    def rm(c, s):
+        return (f"CASE WHEN ends_with({c}, '{s}') THEN "
+                f"substr({c}, 1, length({c})-{len(s)}) ELSE {c} END")
+
+    def step1_cond(suf, region, prec):
+        cond = (f"ends_with(ct, '{suf}') AND "
+                f"ends_with({region.lower()}, '{suf}')")
+        if prec:
+            cond += (f" AND ends_with(substr(ct, 1, "
+                     f"length(ct)-{len(suf)}), '{prec}')")
+        return cond
+
+    w1 = []
+    fired1 = []
+    for suf, region, prec, assign, rep in BR_STEP1:
+        cond = step1_cond(suf, region, prec)
+        fired1.append(f"({cond})")
+        out = (f"substr(ct, 1, length(ct)-{len(suf)})"
+               + (f" || '{rep}'" if rep else "")) if assign else "ct"
+        w1.append(f"    WHEN {cond} THEN {out}")
+    s1_case = ("CASE\n" + "\n".join(w1) + "\n    ELSE ct END")
+    fired1_expr = "(" + "\n OR ".join(fired1) + ")"
+
+    w2 = []
+    fired2 = []
+    for chk, rem in BR_STEP2:
+        fired2.append(f"ends_with(rv, '{chk}')")
+        w2.append(f"    WHEN ends_with(rv, '{chk}') "
+                  f"THEN {rm('c1', rem)}")
+    s2_case = ("CASE\n" + "\n".join(w2) + "\n    ELSE c1 END")
+    fired2_expr = "(" + " OR ".join(fired2) + ")"
+
+    vow = "('a','e','i','o','u')"
+    return f"""WITH w0 AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), wct AS (
+  SELECT d, w,
+         translate(lower(w), 'áâãéêíóôõúüçñ', 'aaaeeiooouucn') AS c
+  FROM w0 WHERE w <> ''
+), wp1 AS (
+  SELECT d, w, CASE WHEN length(c) >= 2
+    AND substr(c, 1, 1) IN ('"','''','-',',',';','.','?','!')
+    THEN substr(c, 2) ELSE c END AS c
+  FROM wct
+), wp AS (
+  SELECT d, w, CASE WHEN length(c) >= 2
+    AND right(c, 1) IN ('-',',',';','.','?','!','''','"')
+    THEN substr(c, 1, length(c)-1) ELSE c END AS ct
+  FROM wp1
+), reg AS (
+  SELECT d, w, ct,
+    length(ct) > 2 AND length(ct) < 30 AS idx,
+    regexp_matches(ct, '^[[:alpha:]]+$') AS stemmable,
+    CASE WHEN regexp_matches(ct, '^[^aeiou]*[aeiou]+[^aeiou]')
+         THEN regexp_replace(ct, '^[^aeiou]*[aeiou]+[^aeiou]', '')
+         ELSE '' END AS r1,
+    CASE
+      WHEN length(ct) >= 2 AND substr(ct, 2, 1) NOT IN {vow}
+           AND regexp_matches(
+                 substr(ct, 3, greatest(length(ct)-3, 0)), '[aeiou]')
+        THEN regexp_replace(substr(ct, 3), '^[^aeiou]*[aeiou]', '')
+      WHEN length(ct) >= 3 AND substr(ct, 1, 1) IN {vow}
+           AND substr(ct, 2, 1) IN {vow}
+           AND regexp_matches(
+                 substr(ct, 3, greatest(length(ct)-3, 0)), '[^aeiou]')
+        THEN regexp_replace(substr(ct, 3), '^[aeiou]*[^aeiou]', '')
+      WHEN length(ct) > 3 THEN substr(ct, 4)
+      ELSE '' END AS rv
+  FROM wp
+), reg2 AS (
+  SELECT d, w, ct, idx, stemmable, r1, rv,
+    CASE WHEN regexp_matches(r1, '^[^aeiou]*[aeiou]+[^aeiou]')
+         THEN regexp_replace(r1, '^[^aeiou]*[aeiou]+[^aeiou]', '')
+         ELSE '' END AS r2
+  FROM reg
+), st1 AS (
+  SELECT d, w, ct, idx, stemmable, rv,
+    {s1_case} AS c1,
+    {fired1_expr} AS f1
+  FROM reg2
+), st2 AS (
+  SELECT d, w, ct, idx, stemmable, rv,
+    CASE WHEN NOT f1 THEN {s2_case} ELSE c1 END AS c2,
+    f1 OR (NOT f1 AND {fired2_expr}) AS altered
+  FROM st1
+), st34 AS (
+  SELECT d, w, ct, idx, stemmable, rv,
+    CASE
+      WHEN altered THEN
+        CASE WHEN ends_with(rv, 'ci') THEN {rm('c2', 'i')}
+             ELSE c2 END
+      ELSE
+        CASE WHEN ends_with(rv, 'os') THEN {rm('c2', 'os')}
+             WHEN ends_with(rv, 'a') THEN {rm('c2', 'a')}
+             WHEN ends_with(rv, 'i') THEN {rm('c2', 'i')}
+             WHEN ends_with(rv, 'o') THEN {rm('c2', 'o')}
+             ELSE c2 END
+      END AS c3
+  FROM st2
+), st5 AS (
+  SELECT d, w, ct, idx, stemmable,
+    CASE WHEN ends_with(rv, 'e') THEN
+      CASE WHEN ends_with(rv, 'gue')
+             THEN {rm(rm('c3', 'e'), 'u')}
+           WHEN ends_with(rv, 'cie')
+             THEN {rm(rm('c3', 'e'), 'i')}
+           ELSE {rm('c3', 'e')} END
+      ELSE c3 END AS c4
+  FROM st34
+), fin AS (
+  SELECT d, CASE WHEN NOT idx THEN w
+                 WHEN NOT stemmable THEN ct
+                 ELSE c4 END AS term
+  FROM st5
+)
+{_RSLP_TAIL}"""
+
+
+# ---------------------------------------------------------------------------
 # Language normalizers (lucene_ray.langnorm). Engine side plants the
 # relevant script deterministically (per-char transliteration of corpus
 # words) and runs the REAL registered normalizer; oracles compute the
