@@ -121,3 +121,33 @@ def test_registered_as_analyzers(ray_session):
     assert f(["kings", "corpus"]) == ["king", "corpus"]
     assert get_token_filter("czech_stem")(["pánové"]) == ["pán"]
     assert "hindi_stem" in MISC_STEMMERS
+
+
+def test_porter_reference_vocabulary():
+    """The 23,531-pair porterTestData.zip vocabulary (en/
+    TestPorterStemFilter.java gates the same data)."""
+    import zipfile
+    zpath = os.path.join(_REF, "en", "porterTestData.zip")
+    if not os.path.exists(zpath):
+        pytest.skip("reference vectors unavailable")
+    from lucene_ray.analysis_en import porter_stem
+    with zipfile.ZipFile(zpath) as z:
+        voc = z.read("voc.txt").decode().splitlines()
+        out = z.read("output.txt").decode().splitlines()
+    assert len(voc) == len(out) > 20000
+    bad = [(w, porter_stem(w), x) for w, x in zip(voc, out)
+           if porter_stem(w) != x]
+    assert not bad, f"{len(bad)} mismatches: {bad[:5]}"
+
+
+def test_sorani_chain_reference_vocabulary():
+    """ckbtestdata.zip: 8,272 frequent words through the
+    normalize→stem chain (TestSoraniStemFilter.testVocabulary)."""
+    pairs = list(_vocab_zip("ckb", "ckbtestdata.zip", "testdata.txt"))
+    assert len(pairs) > 8000
+    bad = []
+    for w, want in pairs:
+        got = sorani_stem(sorani_normalize(w.lower()))
+        if got != want:
+            bad.append((w, got, want))
+    assert not bad, f"{len(bad)} mismatches: {bad[:5]}"
