@@ -279,6 +279,174 @@ def sorani_normalize(w: str) -> str:
     return "".join(out)
 
 
+def bengali_normalize(w: str) -> str:
+    """BengaliNormalizer (bn/BengaliNormalizer.java:36): chandrabindu
+    deletion, long->short kars, khio/ja-phala/ba-phalaa contractions,
+    visarga handling, sh/na/ra folds — positional in-place edits ported
+    with the reference's exact index rewinds."""
+    s = list(w)
+    n = len(s)
+    i = 0
+    while i < n:
+        c = s[i]
+        if c == "\u0981":
+            del s[i]
+            n -= 1
+            i -= 1
+        elif c == "\u09c0":
+            s[i] = "\u09bf"
+        elif c == "\u09c2":
+            s[i] = "\u09c1"
+        elif c == "\u0995":
+            if i + 2 < n and s[i + 1] == "\u09cd" \
+                    and s[i + 2] == "\u09bf":
+                if i == 0:
+                    s[i] = "\u0996"
+                    del s[i + 2]
+                    del s[i + 1]
+                    n -= 2
+                else:
+                    s[i + 1] = "\u0996"
+                    del s[i + 2]
+                    n -= 1
+        elif c == "\u0999":
+            s[i] = "\u0982"
+        elif c == "\u09af":
+            if i - 2 == 0 and s[i - 1] == "\u09cd":
+                s[i - 1] = "\u09c7"
+                if i + 1 < n and s[i + 1] == "\u09be":
+                    del s[i + 1]
+                    n -= 1
+                del s[i]
+                n -= 1
+                i -= 1
+            elif i - 1 >= 0 and s[i - 1] == "\u09cd":
+                del s[i]
+                del s[i - 1]
+                n -= 2
+                i -= 2
+        elif c == "\u09ac":
+            if i == 0 or s[i - 1] != "\u09cd":
+                pass
+            elif i - 2 == 0:
+                del s[i]
+                del s[i - 1]
+                n -= 2
+                i -= 2
+            elif i - 5 >= 0 and s[i - 3] == "\u09cd":
+                del s[i]
+                del s[i - 1]
+                n -= 2
+                i -= 2
+            elif i - 2 >= 0:
+                s[i - 1] = s[i - 2]
+                del s[i]
+                n -= 1
+                i -= 1
+        elif c == "\u0983":
+            if i == n - 1:
+                if n <= 3:
+                    s[i] = "\u09b9"
+                else:
+                    del s[i]
+                    n -= 1
+            else:
+                s[i] = s[i + 1]
+        elif c in ("\u09b6", "\u09b7"):
+            s[i] = "\u09b8"
+        elif c == "\u09a3":
+            s[i] = "\u09a8"
+        elif c in ("\u09dc", "\u09dd"):
+            s[i] = "\u09b0"
+        elif c == "\u09ce":
+            s[i] = "\u09a4"
+        i += 1
+    return "".join(s)
+
+
+_TE_MAP = {"\u0c00": "\u0c02", "\u0c01": "\u0c02",
+           "\u0c14": "\u0c13", "\u0c10": "\u0c0f",
+           "\u0c06": "\u0c05", "\u0c08": "\u0c07",
+           "\u0c0a": "\u0c09", "\u0c40": "\u0c3f",
+           "\u0c42": "\u0c41", "\u0c47": "\u0c46",
+           "\u0c4b": "\u0c4a"}
+
+
+def telugu_normalize(w: str) -> str:
+    """TeluguNormalizer (te/TeluguNormalizer.java:37): candrabindu ->
+    bindu, visarga/zwj/zwnj deletion, long->short vowels and matras,
+    decomposed diphthong recomposition."""
+    s = list(w)
+    n = len(s)
+    i = 0
+    while i < n:
+        c = s[i]
+        if c in ("\u0c03", "\u200d", "\u200c"):
+            del s[i]
+            n -= 1
+            continue
+        if c == "\u0c46" and i + 1 < n and s[i + 1] == "\u0c56":
+            s[i] = "\u0c48"
+            del s[i + 1]
+            n -= 1
+        elif c == "\u0c12" and i + 1 < n and s[i + 1] == "\u0c55":
+            s[i] = "\u0c13"
+            del s[i + 1]
+            n -= 1
+        elif c == "\u0c12" and i + 1 < n and s[i + 1] == "\u0c4c":
+            s[i] = "\u0c14"
+            del s[i + 1]
+            n -= 1
+        elif c in _TE_MAP:
+            s[i] = _TE_MAP[c]
+        i += 1
+    return "".join(s)
+
+
+_RO_TRANS = str.maketrans("\u015e\u015f\u0162\u0163",
+                          "\u0218\u0219\u021a\u021b")
+
+
+def romanian_normalize(w: str) -> str:
+    """RomanianNormalizer (ro/RomanianNormalizer.java:41): cedilla
+    s/t forms -> comma-below forms."""
+    return w.translate(_RO_TRANS)
+
+
+_SR_ONE = {"а": "a", "б": "b", "в": "v", "г": "g", "д": "d",
+           "е": "e", "ж": "z", "з": "z", "ž": "z", "и": "i",
+           "ј": "j", "к": "k", "л": "l", "м": "m", "н": "n",
+           "о": "o", "п": "p", "р": "r", "с": "s", "т": "t",
+           "ћ": "c", "ц": "c", "ч": "c", "č": "c", "ć": "c",
+           "у": "u", "ф": "f", "х": "h", "ш": "s", "š": "s"}
+_SR_TWO = {"ђ": "dj", "đ": "dj", "љ": "lj", "њ": "nj", "џ": "dz"}
+
+
+def serbian_normalize(w: str) -> str:
+    """SerbianNormalizationFilter (sr/SerbianNormalizationFilter.java:
+    51): Cyrillic and diacritic Latin -> "bald" Latin, with the
+    dj/lj/nj/dz digraph expansions."""
+    out = []
+    for c in w:
+        if c in _SR_TWO:
+            out.append(_SR_TWO[c])
+        else:
+            out.append(_SR_ONE.get(c, c))
+    return "".join(out)
+
+
+_GA_UPPER_VOWELS = frozenset("AEIOU\u00c1\u00c9\u00cd\u00d3\u00da")
+
+
+def irish_lower(w: str) -> str:
+    """IrishLowerCaseFilter (ga/IrishLowerCaseFilter.java:37): inserts
+    a hyphen between an eclipsis/t-prothesis prefix and an uppercase
+    vowel before lowercasing the rest (nAthair -> n-athair)."""
+    if len(w) > 1 and w[0] in "nt" and w[1] in _GA_UPPER_VOWELS:
+        return w[0] + "-" + w[1:].lower()
+    return w.lower()
+
+
 NORMALIZERS = {
     "german_normalize": german_normalize,
     "scandinavian_normalize": scandinavian_normalize,
@@ -289,4 +457,9 @@ NORMALIZERS = {
     "persian_normalize": persian_normalize,
     "hindi_normalize": hindi_normalize,
     "sorani_normalize": sorani_normalize,
+    "bengali_normalize": bengali_normalize,
+    "telugu_normalize": telugu_normalize,
+    "romanian_normalize": romanian_normalize,
+    "serbian_normalize": serbian_normalize,
+    "irish_lower": irish_lower,
 }

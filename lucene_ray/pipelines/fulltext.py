@@ -6034,6 +6034,169 @@ def oracle_brazilian_stem_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Second normalizer/stemmer batch (langnorm additions + fa/te
+# stemmers). Bengali and Telugu NORMALIZERS are pytest-golden-gated
+# only: their positional in-place rewrites (index rewinds over
+# conjuncts) have no direct SQL form and their scripts never occur in
+# the corpus.
+
+_SR_PLANT = str.maketrans("abvgdezijklmnoprstufhcqwxy",
+                          "абвгдезијклмнопрстуфхцђљњџ")
+
+
+def ft_serbian_norm(sf_dir: str) -> pa.Table:
+    """SerbianNormalizationFilter (sr/SerbianNormalizationFilter.java:
+    51): planted Cyrillic (q/w/x/y plant the digraph letters) folds
+    back to bald Latin."""
+    from ..langnorm import serbian_normalize
+    return _rawtok_stats(
+        sf_dir,
+        lambda tx, d: [serbian_normalize(w.translate(_SR_PLANT))
+                       for w in _words(tx)])
+
+
+def ft_irish_lower(sf_dir: str) -> pa.Table:
+    """IrishLowerCaseFilter (ga/IrishLowerCaseFilter.java:37): words
+    planted as n<Upperfirst>… so the eclipsis hyphen fires on vowel
+    initials."""
+    from ..langnorm import irish_lower
+    return _rawtok_stats(
+        sf_dir,
+        lambda tx, d: [irish_lower("n" + w[:1].upper() + w[1:])
+                       for w in _words(tx)])
+
+
+_RO_PLANT = str.maketrans("st", "şţ")
+
+
+def ft_romanian_norm(sf_dir: str) -> pa.Table:
+    """RomanianNormalizer (ro/RomanianNormalizer.java:41): planted
+    cedilla s/t fold to the comma-below forms."""
+    from ..langnorm import romanian_normalize
+    return _rawtok_stats(
+        sf_dir,
+        lambda tx, d: [romanian_normalize(w.translate(_RO_PLANT))
+                       for w in _words(tx)])
+
+
+def ft_persian_stem(sf_dir: str) -> pa.Table:
+    """PersianStemFilter (fa/PersianStemmer.java:35): the Arabic-
+    letter plant (ft_arabic_stem's) makes the ordered suffix strips
+    fire."""
+    from ..stemlang import persian_stem
+    plant = str.maketrans(_AR_STEM_FROM, _AR_STEM_TO)
+    return _rawtok_stats(
+        sf_dir,
+        lambda tx, d: [persian_stem(w.translate(plant))
+                       for w in _words(tx)])
+
+
+_TE_STEM_FROM = "aeioudmvlnckspbgrthfjwxyzq"
+_TE_STEM_TO = ("ాెిొుడమవలనచకసపబగరటహఫజయషఠఢఖ")
+
+
+def ft_telugu_stem(sf_dir: str) -> pa.Table:
+    """TeluguStemFilter (te/TeluguStemmer.java:27): planted Telugu
+    matras/consonants so the suffix groups fire."""
+    from ..stemlang import telugu_stem
+    plant = str.maketrans(_TE_STEM_FROM, _TE_STEM_TO)
+    return _rawtok_stats(
+        sf_dir,
+        lambda tx, d: [telugu_stem(w.translate(plant))
+                       for w in _words(tx)])
+
+
+def oracle_serbian_norm_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d,
+         replace(replace(replace(replace(
+           unnest(string_split(text, ' ')),
+           'q', 'dj'), 'w', 'lj'), 'x', 'nj'), 'y', 'dz') AS term0
+  FROM documents
+), s AS (SELECT d, term0 AS term FROM w WHERE term0 <> '')
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_irish_lower_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), s AS (
+  SELECT d, CASE WHEN upper(substr(word, 1, 1)) IN
+      ('A','E','I','O','U')
+    THEN 'n-' || lower(word) ELSE 'n' || lower(word) END AS term
+  FROM w WHERE word <> ''
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_romanian_norm_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d,
+         translate(unnest(string_split(text, ' ')), 'st',
+                   'șț') AS term0
+  FROM documents
+), s AS (SELECT d, term0 AS term FROM w WHERE term0 <> '')
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_persian_stem_sql() -> str:
+    from ..stemlang import _FA_SUFFIXES
+    stages = []
+    prev = "r0"
+    for i, s in enumerate(_FA_SUFFIXES, 1):
+        cur = f"r{i}"
+        stages.append(
+            f"s{i} AS (SELECT d, CASE WHEN length({prev}) >= "
+            f"{len(s) + 2} AND ends_with({prev}, '{s}') THEN "
+            f"substr({prev}, 1, length({prev})-{len(s)}) "
+            f"ELSE {prev} END AS {cur} FROM s{i - 1})")
+        prev = cur
+    body = ",\n".join(stages)
+    return f"""WITH w AS (
+  SELECT doc_id AS d,
+         translate(unnest(string_split(text, ' ')),
+                   '{_AR_STEM_FROM}', '{_AR_STEM_TO}') AS word
+  FROM documents
+), s0 AS (SELECT d, word AS r0 FROM w WHERE word <> ''),
+{body}
+SELECT {prev} AS term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s{len(_FA_SUFFIXES)} GROUP BY term
+ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_telugu_stem_sql() -> str:
+    from ..stemlang import _TE_GROUPS
+    whens = []
+    for n, sufs in _TE_GROUPS:
+        ors = " OR ".join(f"ends_with(word, '{s}')" for s in sufs)
+        whens.append(f"    WHEN length(word) > {n + 1} AND ({ors})\n"
+                     f"      THEN substr(word, 1, length(word)-{n})")
+    chain = "\n".join(whens)
+    return f"""WITH w AS (
+  SELECT doc_id AS d,
+         translate(unnest(string_split(text, ' ')),
+                   '{_TE_STEM_FROM}', '{_TE_STEM_TO}') AS word
+  FROM documents
+), s AS (
+  SELECT d, CASE
+{chain}
+    ELSE word END AS term
+  FROM w WHERE word <> ''
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+# ---------------------------------------------------------------------------
 # Language normalizers (lucene_ray.langnorm). Engine side plants the
 # relevant script deterministically (per-char transliteration of corpus
 # words) and runs the REAL registered normalizer; oracles compute the

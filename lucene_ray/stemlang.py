@@ -232,9 +232,51 @@ def bengali_stem(w: str) -> str:
     return w
 
 
+# --------------------------------------------------------------------------
+# Persian (fa/PersianStemmer.java:35): ordered suffix strips, each
+# requiring >=2 chars to remain; applied after persian_normalize.
+
+_FA_SUFFIXES = ("\u0627\u062a", "\u0627\u0646",
+                "\u062a\u0631\u064a\u0646", "\u062a\u0631",
+                "\u064a\u064a", "\u064a", "\u0647\u0627",
+                "\u200c")
+
+
+def persian_stem(w: str) -> str:
+    for suf in _FA_SUFFIXES:
+        if len(w) >= len(suf) + 2 and w.endswith(suf):
+            w = w[:-len(suf)]
+    return w
+
+
+# --------------------------------------------------------------------------
+# Telugu (te/TeluguStemmer.java:27): suffix groups by strip length.
+
+_TE_GROUPS = (
+    (4, ("\u0c33\u0c4d\u0c33\u0c41",
+         "\u0c21\u0c4d\u0c32\u0c41")),
+    (2, ("\u0c21\u0c41", "\u0c2e\u0c41", "\u0c35\u0c41",
+         "\u0c32\u0c41", "\u0c28\u0c3f", "\u0c28\u0c41",
+         "\u0c1a\u0c47", "\u0c15\u0c48", "\u0c32\u0c4b",
+         "\u0c26\u0c3f", "\u0c15\u0c3f", "\u0c38\u0c41",
+         "\u0c35\u0c48", "\u0c2a\u0c48")),
+    (1, ("\u0c3f", "\u0c40", "\u0c41", "\u0c42", "\u0c46",
+         "\u0c47", "\u0c4a", "\u0c4b", "\u0c3e")),
+)
+
+
+def telugu_stem(w: str) -> str:
+    for n, sufs in _TE_GROUPS:
+        if len(w) > n + 1 and w.endswith(sufs):
+            return w[:-n]
+    return w
+
+
 LANG_STEMMERS = {
     "latvian_stem": latvian_stem,
     "indonesian_stem": indonesian_stem,
     "arabic_stem": arabic_stem,
     "bengali_stem": bengali_stem,
+    "persian_stem": persian_stem,
+    "telugu_stem": telugu_stem,
 }
