@@ -6197,6 +6197,52 @@ FROM s GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
 
 
 # ---------------------------------------------------------------------------
+# UAX29URLEmail tokenizer (lucene_ray.urlemail). The grammar itself is
+# gated by the reference's 643-URL / 265-email random-text extraction
+# files in tests/test_urlemail.py; the driver entry gates the analyzer
+# plumbing on planted URL/email shapes built from corpus words.
+
+def ft_url_email(sf_dir: str) -> pa.Table:
+    """UAX29URLEmailTokenizer (email/UAX29URLEmailTokenizerImpl.
+    jflex:100): each corpus word is planted into "see http://<w>.com/
+    <w> mail <w>@<w>.org end" and run through the REAL registered
+    url_email analyzer (words sanitized to alnum so they are valid
+    DNS labels)."""
+    import re as _re
+    from ..tokenizers import get_tokenizer
+    tok = get_tokenizer("url_email")
+
+    def doc_tokens(tx: str, d: int) -> list[str]:
+        out: list[str] = []
+        for w in _words(tx):
+            w = _re.sub(r"[^A-Za-z0-9]", "", w)
+            if not w:
+                continue
+            out.extend(tok(
+                f"see http://{w}.com/{w} mail {w}@{w}.org end"))
+        return out
+    return _rawtok_stats(sf_dir, doc_tokens)
+
+
+def oracle_url_email_sql() -> str:
+    return f"""WITH w0 AS (
+  SELECT doc_id AS d,
+         regexp_replace(unnest(string_split(text, ' ')),
+                        '[^a-zA-Z0-9]', '', 'g') AS w
+  FROM documents
+), w AS (SELECT d, w FROM w0 WHERE w <> ''),
+toks AS (
+  SELECT d, unnest([
+    'see', 'http://' || w || '.com/' || w, 'mail',
+    w || '@' || w || '.org', 'end']) AS term
+  FROM w
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM toks GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+# ---------------------------------------------------------------------------
 # Language normalizers (lucene_ray.langnorm). Engine side plants the
 # relevant script deterministically (per-char transliteration of corpus
 # words) and runs the REAL registered normalizer; oracles compute the

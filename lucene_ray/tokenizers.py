@@ -471,6 +471,28 @@ TOKENIZER_ANALYZERS = {
 }
 
 
+def _urlemail_terms(text: str) -> list[str]:
+    from .urlemail import tokenize_urlemail_terms
+    return tokenize_urlemail_terms(text)
+
+
+def _urlemail_offsets(text: str):
+    from .urlemail import tokenize_urlemail
+    toks, starts, ends = [], [], []
+    for t, _typ, s, e in tokenize_urlemail(text):
+        toks.append(t.lower())
+        starts.append(s)
+        ends.append(e)
+    return toks, starts, ends
+
+
+# UAX29URLEmailAnalyzer chain (email/UAX29URLEmailAnalyzer.java:36):
+# URL/EMAIL-aware tokenizer + lowercase; gated on the reference's
+# 643-URL / 265-email random-text extractions in tests/test_urlemail.py
+TOKENIZER_ANALYZERS["url_email"] = _with_offsets(
+    _urlemail_terms, _urlemail_offsets)
+
+
 def get_tokenizer(name: "str | None"):
     """Analyzer names that replace the STANDARD tokenizer entirely."""
     return TOKENIZER_ANALYZERS.get(name or "")
