@@ -517,6 +517,10 @@ def _register_light_stemmers() -> None:
     # tests/test_brstem.py
     from .brstem import brazilian_stem
     TOKEN_FILTERS["brazilian_stem"] = _as_token_filter(brazilian_stem)
+    # Snowball English / Porter2 (lucene_ray.porter2), branch-pinned
+    # in tests/test_porter2.py
+    from .porter2 import porter2_stem
+    TOKEN_FILTERS["porter2"] = _as_token_filter(porter2_stem)
 
 
 _register_light_stemmers()

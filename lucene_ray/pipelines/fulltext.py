@@ -6243,6 +6243,229 @@ FROM toks GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
 
 
 # ---------------------------------------------------------------------------
+# Snowball English / Porter2 (lucene_ray.porter2). The oracle replays
+# the full algorithm: consonant-y marking as two regexp_replace passes
+# (global non-overlap == the scanner's restart-after-mark), R1/R2 as
+# length arithmetic over regexp-stripped prefixes (with the gener/
+# commun/arsen prefix override), and each step as an ordered CASE.
+
+def ft_porter2(sf_dir: str) -> pa.Table:
+    """SnowballFilter("English") (tartarus/snowball/ext/
+    EnglishStemmer.java)."""
+    from ..porter2 import porter2_stem
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [porter2_stem(w) for w in _words(tx)])
+
+
+def oracle_porter2_sql() -> str:
+    from ..porter2 import (_EXC1, _EXC2, _STEP2, _STEP3, _STEP4,
+                           _VALID_LI)
+
+    V = "('a','e','i','o','u','y')"
+
+    def sub(c, k):
+        return f"substr({c}, 1, length({c})-{k})"
+
+    def ch(c, back):                       # char back-from-end (1=last)
+        return f"substr({c}, length({c})-{back - 1}, 1)"
+
+    def shortv(c, off):
+        """r_shortv on the prefix of c that excludes the last `off`
+        chars."""
+        e1, e2, e3 = ch(c, off + 1), ch(c, off + 2), ch(c, off + 3)
+        return (f"((length({c}) - {off} >= 3 AND {e1} NOT IN {V} "
+                f"AND {e1} NOT IN ('w','x','Y') AND {e2} IN {V} "
+                f"AND {e3} NOT IN {V}) "
+                f"OR (length({c}) - {off} = 2 AND {e2} NOT IN {V} "
+                f"AND {e1} IN {V}))")
+
+    exc1 = " ".join(f"WHEN w = '{k}' THEN '{v}'"
+                    for k, v in sorted(_EXC1.items()))
+    exc2 = ", ".join(f"'{x}'" for x in sorted(_EXC2))
+
+    # step 2/3: ordered longest-first; matched suffix decides (no
+    # retry), R1 checked inside
+    def tail_case(c, rules, r1_expr, special):
+        whens = []
+        for suf, rep in sorted(rules, key=lambda x: -len(x[0])):
+            inner = special(c, suf, rep)
+            if inner is None:
+                cond = f"length({c}) - {len(suf)} >= {r1_expr}"
+                inner = (f"CASE WHEN {cond} THEN {sub(c, len(suf))} "
+                         f"|| '{rep}' ELSE {c} END")
+            whens.append(f"WHEN ends_with({c}, '{suf}') "
+                         f"THEN {inner}")
+        return "CASE " + "\n      ".join(whens) + f" ELSE {c} END"
+
+    def s2_special(c, suf, rep):
+        if suf == "ogi":
+            return (f"CASE WHEN length({c}) - 3 >= p1 AND "
+                    f"ends_with({c}, 'logi') THEN {sub(c, 1)} "
+                    f"ELSE {c} END")
+        if suf == "li":
+            li = ", ".join(f"'{x}'" for x in sorted(_VALID_LI))
+            return (f"CASE WHEN length({c}) - 2 >= p1 AND "
+                    f"length({c}) > 2 AND {ch(c, 3)} IN ({li}) "
+                    f"THEN {sub(c, 2)} ELSE {c} END")
+        return None
+
+    def s3_special(c, suf, rep):
+        if suf == "ative":
+            return (f"CASE WHEN length({c}) - 5 >= p1 AND "
+                    f"length({c}) - 5 >= p2 THEN {sub(c, 5)} "
+                    f"ELSE {c} END")
+        return None
+
+    s2 = tail_case("c3", _STEP2, "p1", s2_special)
+    s3 = tail_case("c4", _STEP3, "p1", s3_special)
+
+    s4_whens = []
+    for suf in sorted(_STEP4, key=len, reverse=True):
+        if suf == "ion":
+            inner = (f"CASE WHEN length(c5) - 3 >= p2 AND "
+                     f"length(c5) > 3 AND {ch('c5', 4)} IN ('s','t') "
+                     f"THEN {sub('c5', 3)} ELSE c5 END")
+        else:
+            inner = (f"CASE WHEN length(c5) - {len(suf)} >= p2 "
+                     f"THEN {sub('c5', len(suf))} ELSE c5 END")
+        s4_whens.append(f"WHEN ends_with(c5, '{suf}') THEN {inner}")
+    s4 = "CASE " + "\n      ".join(s4_whens) + " ELSE c5 END"
+
+    return f"""WITH w0 AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), wm AS (  -- prelude: leading-' strip + consonant-y marking
+  SELECT d, w,
+    regexp_replace(regexp_replace(
+      CASE WHEN starts_with(w, '''') THEN substr(w, 2) ELSE w END,
+      '^y', 'Y'), '([aeiouy])y', '\\1Y', 'g') AS ym
+  FROM w0 WHERE w <> ''
+), reg AS (
+  SELECT d, w, ym,
+    CASE
+      WHEN starts_with(ym, 'arsen') THEN 5
+      WHEN starts_with(ym, 'commun') THEN 6
+      WHEN starts_with(ym, 'gener') THEN 5
+      WHEN regexp_matches(ym, '^[^aeiouy]*[aeiouy]+[^aeiouy]')
+        THEN length(ym) - length(regexp_replace(
+               ym, '^[^aeiouy]*[aeiouy]+[^aeiouy]', ''))
+      ELSE length(ym) END AS p1
+  FROM wm
+), reg2 AS (
+  SELECT d, w, ym, p1,
+    CASE WHEN regexp_matches(substr(ym, p1 + 1),
+                             '^[^aeiouy]*[aeiouy]+[^aeiouy]')
+      THEN p1 + length(substr(ym, p1 + 1)) - length(regexp_replace(
+             substr(ym, p1 + 1), '^[^aeiouy]*[aeiouy]+[^aeiouy]', ''))
+      ELSE length(ym) END AS p2
+  FROM reg
+), s0 AS (  -- step 0: apostrophe suffixes
+  SELECT d, w, p1, p2, CASE
+    WHEN ends_with(ym, '''s''') THEN {sub('ym', 3)}
+    WHEN ends_with(ym, '''s') THEN {sub('ym', 2)}
+    WHEN ends_with(ym, '''') THEN {sub('ym', 1)}
+    ELSE ym END AS c0
+  FROM reg2
+), s1a AS (
+  SELECT d, w, p1, p2, CASE
+    WHEN ends_with(c0, 'sses') THEN {sub('c0', 2)}
+    WHEN ends_with(c0, 'ied') OR ends_with(c0, 'ies') THEN
+      CASE WHEN length(c0) > 4 THEN {sub('c0', 3)} || 'i'
+           ELSE {sub('c0', 3)} || 'ie' END
+    WHEN ends_with(c0, 'ss') OR ends_with(c0, 'us') THEN c0
+    WHEN ends_with(c0, 's')
+         AND regexp_matches({sub('c0', 2)}, '[aeiouy]')
+      THEN {sub('c0', 1)}
+    ELSE c0 END AS c1
+  FROM s0
+), s1b AS (
+  SELECT d, w, p1, p2, c1 IN ({exc2}) AS stop2, CASE
+    WHEN c1 IN ({exc2}) THEN c1
+    WHEN ends_with(c1, 'eedly') THEN
+      CASE WHEN length(c1) - 5 >= p1 THEN {sub('c1', 5)} || 'ee'
+           ELSE c1 END
+    WHEN ends_with(c1, 'ingly') OR ends_with(c1, 'edly')
+         OR ends_with(c1, 'ing') OR ends_with(c1, 'eed')
+         OR ends_with(c1, 'ed') THEN
+      CASE
+        WHEN ends_with(c1, 'eed') THEN
+          CASE WHEN length(c1) - 3 >= p1 THEN {sub('c1', 3)} || 'ee'
+               ELSE c1 END
+        WHEN ends_with(c1, 'ingly') THEN
+          CASE WHEN regexp_matches({sub('c1', 5)}, '[aeiouy]')
+               THEN {sub('c1', 5)} ELSE c1 END
+        WHEN ends_with(c1, 'edly') THEN
+          CASE WHEN regexp_matches({sub('c1', 4)}, '[aeiouy]')
+               THEN {sub('c1', 4)} ELSE c1 END
+        WHEN ends_with(c1, 'ing') THEN
+          CASE WHEN regexp_matches({sub('c1', 3)}, '[aeiouy]')
+               THEN {sub('c1', 3)} ELSE c1 END
+        ELSE
+          CASE WHEN regexp_matches({sub('c1', 2)}, '[aeiouy]')
+               THEN {sub('c1', 2)} ELSE c1 END
+        END
+    ELSE c1 END AS c2x, c1
+  FROM s1a
+), s1b2 AS (  -- 1b post-deletion fixups (only when a deletion fired)
+  SELECT d, w, p1, p2, stop2, CASE
+    WHEN stop2 OR c2x = c1 THEN c2x
+    WHEN ends_with(c1, 'eedly') OR ends_with(c1, 'eed') THEN c2x
+    WHEN ends_with(c2x, 'at') OR ends_with(c2x, 'bl')
+         OR ends_with(c2x, 'iz') THEN c2x || 'e'
+    WHEN ends_with(c2x, 'bb') OR ends_with(c2x, 'dd')
+         OR ends_with(c2x, 'ff') OR ends_with(c2x, 'gg')
+         OR ends_with(c2x, 'mm') OR ends_with(c2x, 'nn')
+         OR ends_with(c2x, 'pp') OR ends_with(c2x, 'rr')
+         OR ends_with(c2x, 'tt') THEN
+      CASE WHEN length(c2x) = 3
+                AND substr(c2x, 1, 1) IN ('a','e','o')
+           THEN c2x ELSE {sub('c2x', 1)} END
+    WHEN length(c2x) = p1 AND {shortv('c2x', 0)} THEN c2x || 'e'
+    ELSE c2x END AS c2
+  FROM s1b
+), s1c AS (
+  SELECT d, w, p1, p2, stop2, CASE
+    WHEN NOT stop2 AND length(c2) > 2
+         AND right(c2, 1) IN ('y','Y')
+         AND {ch('c2', 2)} NOT IN {V}
+      THEN {sub('c2', 1)} || 'i'
+    ELSE c2 END AS c3
+  FROM s1b2
+), s2 AS (
+  SELECT d, w, p1, p2, stop2,
+    CASE WHEN stop2 THEN c3 ELSE {s2} END AS c4
+  FROM s1c
+), s3 AS (
+  SELECT d, w, p1, p2, stop2,
+    CASE WHEN stop2 THEN c4 ELSE {s3} END AS c5
+  FROM s2
+), s4 AS (
+  SELECT d, w, p1, p2, stop2,
+    CASE WHEN stop2 THEN c5 ELSE {s4} END AS c6
+  FROM s3
+), s5 AS (
+  SELECT d, w, stop2, CASE
+    WHEN stop2 THEN c6
+    WHEN ends_with(c6, 'e')
+         AND (length(c6) - 1 >= p2
+              OR (length(c6) - 1 >= p1
+                  AND NOT {shortv('c6', 1)}))
+      THEN {sub('c6', 1)}
+    WHEN ends_with(c6, 'll') AND length(c6) - 1 >= p2
+      THEN {sub('c6', 1)}
+    ELSE c6 END AS c7
+  FROM s4
+), fin AS (
+  SELECT d, CASE
+    {exc1}
+    WHEN length(w) < 3 THEN w
+    ELSE replace(c7, 'Y', 'y') END AS term
+  FROM s5
+)
+{_RSLP_TAIL}"""
+
+
+# ---------------------------------------------------------------------------
 # Language normalizers (lucene_ray.langnorm). Engine side plants the
 # relevant script deterministically (per-char transliteration of corpus
 # words) and runs the REAL registered normalizer; oracles compute the
