@@ -6466,6 +6466,71 @@ def oracle_porter2_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# Compound-word decomposition (lucene_ray.compound). The entry builds
+# a compound from each adjacent word pair and decomposes it against
+# the pair's own two-word dictionary; the oracle re-finds every
+# dictionary occurrence with a generate_series position scan. The
+# hyphenation variant is pytest-golden-gated (Liang pattern tables
+# have no SQL form).
+
+def ft_dictionary_compound(sf_dir: str) -> pa.Table:
+    """DictionaryCompoundWordTokenFilter (compound/
+    DictionaryCompoundWordTokenFilter.java:73)."""
+    from ..compound import dictionary_decompose
+
+    def doc_tokens(tx: str, d: int) -> list[str]:
+        ws = _words(tx)
+        out: list[str] = []
+        for a, b in zip(ws, ws[1:]):
+            if a == b:
+                continue
+            out.extend(dictionary_decompose(a + b, frozenset((a, b))))
+        return out
+    return _rawtok_stats(sf_dir, doc_tokens)
+
+
+def oracle_dictionary_compound_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, generate_subscripts(ws, 1) AS pos,
+         unnest(ws) AS word
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents)
+), pairs AS (
+  SELECT a.d, a.word AS wa, b.word AS wb, a.word || b.word AS c
+  FROM w a JOIN w b ON a.d = b.d AND b.pos = a.pos + 1
+  WHERE a.word <> b.word
+), compounds AS (
+  SELECT d, c AS term FROM pairs
+), subs AS (
+  SELECT p.d, CASE WHEN substr(p.c, i, length(p.wa)) = p.wa
+                   THEN p.wa ELSE p.wb END AS term
+  FROM pairs p CROSS JOIN generate_series(1, 128) AS g(i)  -- >= max compound len
+  WHERE i <= length(p.c) AND length(p.c) >= 5
+    AND ((length(p.wa) BETWEEN 2 AND 15
+          AND substr(p.c, i, length(p.wa)) = p.wa)
+      OR (length(p.wb) BETWEEN 2 AND 15
+          AND substr(p.c, i, length(p.wb)) = p.wb))
+), both_match AS (
+  -- a position where BOTH wa and wb match must emit two tokens
+  SELECT p.d, p.wb AS term
+  FROM pairs p CROSS JOIN generate_series(1, 128) AS g(i)  -- >= max compound len
+  WHERE i <= length(p.c) AND length(p.c) >= 5
+    AND length(p.wa) BETWEEN 2 AND 15
+    AND length(p.wb) BETWEEN 2 AND 15
+    AND substr(p.c, i, length(p.wa)) = p.wa
+    AND substr(p.c, i, length(p.wb)) = p.wb
+), toks AS (
+  SELECT d, term FROM compounds
+  UNION ALL SELECT d, term FROM subs
+  UNION ALL SELECT d, term FROM both_match
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM toks GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+# ---------------------------------------------------------------------------
 # Language normalizers (lucene_ray.langnorm). Engine side plants the
 # relevant script deterministically (per-char transliteration of corpus
 # words) and runs the REAL registered normalizer; oracles compute the
