@@ -6531,6 +6531,65 @@ FROM toks GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
 
 
 # ---------------------------------------------------------------------------
+# Pattern tokenizer / capture-group filter (lucene_ray.patterns).
+
+def ft_pattern_tokenize(sf_dir: str) -> pa.Table:
+    """PatternTokenizer, split mode (pattern/PatternTokenizer.java:43)
+    with the literal pattern 'o' over the raw document text (pieces
+    may contain spaces — the tokenizer sees the whole reader)."""
+    import re as _re
+    from ..patterns import pattern_tokenize
+    rx = _re.compile("o")
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: pattern_tokenize(tx, rx, -1))
+
+
+def ft_pattern_capture(sf_dir: str) -> pa.Table:
+    """PatternCaptureGroupTokenFilter (pattern/
+    PatternCaptureGroupTokenFilter.java:65): sliding triples '(...)'
+    per word with preserveOriginal (whole-token captures skipped)."""
+    import re as _re
+    from ..patterns import pattern_capture_groups
+    rx = [_re.compile("(...)")]
+
+    def doc_tokens(tx: str, d: int) -> list[str]:
+        out: list[str] = []
+        for w in _words(tx):
+            out.extend(pattern_capture_groups(w, rx, True))
+        return out
+    return _rawtok_stats(sf_dir, doc_tokens)
+
+
+def oracle_pattern_tokenize_sql() -> str:
+    return f"""WITH p AS (
+  SELECT doc_id AS d, unnest(string_split(text, 'o')) AS term
+  FROM documents
+), s AS (SELECT d, term FROM p WHERE term <> '')
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+def oracle_pattern_capture_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), ww AS (SELECT d, word FROM w WHERE word <> ''),
+triples AS (
+  SELECT d, substr(word, 3*k + 1, 3) AS term
+  FROM ww CROSS JOIN generate_series(0, 42) AS g(k)
+  WHERE 3*k + 3 <= length(word)
+    AND NOT (k = 0 AND length(word) = 3)
+), toks AS (
+  SELECT d, word AS term FROM ww
+  UNION ALL SELECT d, term FROM triples
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM toks GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+# ---------------------------------------------------------------------------
 # Language normalizers (lucene_ray.langnorm). Engine side plants the
 # relevant script deterministically (per-char transliteration of corpus
 # words) and runs the REAL registered normalizer; oracles compute the
