@@ -478,6 +478,42 @@ TOKEN_FILTERS = {
 }
 
 
+def protected_filter(stem_fn, protected: frozenset):
+    """SetKeywordMarkerFilter + stemmer composition
+    (miscellaneous/SetKeywordMarkerFilter.java:28 and the stemmers'
+    KeywordAttribute check): tokens in the protected set bypass the
+    stemmer. The SnowballPorterFilterFactory "protected" resource
+    mechanism (snowball/SnowballPorterFilterFactory.java:61)."""
+    def fn(w: str) -> str:
+        return w if w in protected else stem_fn(w)
+    return fn
+
+
+def override_filter(stem_fn, overrides: dict):
+    """StemmerOverrideFilter + stemmer composition (miscellaneous/
+    StemmerOverrideFilter.java:42): mapped tokens take the forced stem
+    and are keyword-marked so the downstream stemmer skips them."""
+    def fn(w: str) -> str:
+        o = overrides.get(w)
+        return o if o is not None else stem_fn(w)
+    return fn
+
+
+def trim_filter(w: str) -> str:
+    """TrimFilter (miscellaneous/TrimFilter.java:27): strips leading/
+    trailing whitespace (<= 0x20, Java String.trim) — pairs with the
+    keyword tokenizer."""
+    n = len(w)
+    a = 0
+    while a < n and w[a] <= " ":
+        a += 1
+    b = n
+    while b > a and w[b - 1] <= " ":
+        b -= 1
+    return w[a:b]
+
+
+
 def _register_light_stemmers() -> None:
     # Savoy light stemmers (lucene_ray.lightstem), vocabulary-level like
     # the Porter chain; validated against the reference's ~200k-pair
@@ -521,6 +557,7 @@ def _register_light_stemmers() -> None:
     # in tests/test_porter2.py
     from .porter2 import porter2_stem
     TOKEN_FILTERS["porter2"] = _as_token_filter(porter2_stem)
+    TOKEN_FILTERS["trim"] = _as_token_filter(trim_filter)
 
 
 _register_light_stemmers()

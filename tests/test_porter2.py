@@ -125,3 +125,18 @@ def test_oracle_differential_23k_words(ray_session):
     bad = [(w, s(w), term) for (d, term), w in zip(rows, words)
            if s(w) != term]
     assert not bad, f"{len(bad)}: {bad[:5]}"
+
+
+def test_protected_and_override():
+    # TestSnowballPorterFilterFactory.testProtected: "ridding of some
+    # stemming" with protected {ridding} -> ridding, of, some, stem
+    from lucene_ray.analysis_en import (override_filter,
+                                        protected_filter, trim_filter)
+    f = protected_filter(s, frozenset(["ridding"]))
+    assert [f(w) for w in "ridding of some stemming".split()] == \
+        ["ridding", "of", "some", "stem"]
+    g = override_filter(s, {"stemming": "STEMFIX"})
+    assert [g(w) for w in ["stemming", "ridding"]] == \
+        ["STEMFIX", "rid"]
+    assert trim_filter("  a b\t ") == "a b"
+    assert trim_filter("ab") == "ab"
