@@ -6590,6 +6590,43 @@ FROM toks GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
 
 
 # ---------------------------------------------------------------------------
+# Wikipedia tokenizer (lucene_ray.wikipedia).
+
+def ft_wikipedia(sf_dir: str) -> pa.Table:
+    """WikipediaTokenizer (wikipedia/WikipediaTokenizerImpl.jflex:25):
+    each corpus word planted into wiki markup exercising plain text,
+    category, internal link, heading and citation states; tokens are
+    emitted as term/type pairs so the typed surface is gated."""
+    from ..wikipedia import tokenize_wikipedia
+
+    def doc_tokens(tx: str, d: int) -> list[str]:
+        out: list[str] = []
+        for w in _words(tx):
+            markup = (f"{w} [[Category:{w}]] [[{w} link]] "
+                      f"=={w}== {{{{cite {w}}}}}")
+            out.extend(f"{t}/{ty}" for t, ty, _p, _s, _e in
+                       tokenize_wikipedia(markup))
+        return out
+    return _rawtok_stats(sf_dir, doc_tokens)
+
+
+def oracle_wikipedia_sql() -> str:
+    return f"""WITH w0 AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), w AS (SELECT d, w FROM w0 WHERE w <> ''),
+toks AS (
+  SELECT d, unnest([
+    w || '/<ALPHANUM>', w || '/c', w || '/il', 'link/il',
+    w || '/h', 'cite/ci', w || '/ci']) AS term
+  FROM w
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM toks GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+# ---------------------------------------------------------------------------
 # Language normalizers (lucene_ray.langnorm). Engine side plants the
 # relevant script deterministically (per-char transliteration of corpus
 # words) and runs the REAL registered normalizer; oracles compute the
