@@ -159,7 +159,6 @@ def hyphenation_decompose(term: str, hyph: Hyphenator,
             lt in dictionary
             or (len(lt) > 1 and lt[:-1] in dictionary)):
         return out
-    lt = lt if dictionary is not None else term.lower()
     hyp = hyph.hyphenate(term, 1, 1)
     if hyp is None:
         return out

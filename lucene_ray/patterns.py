@@ -26,7 +26,19 @@ def pattern_tokenize(text: str, rx: re.Pattern,
             if m.end(group) > m.start(group):
                 out.append(m.group(group))
         return out
-    return [p for p in rx.split(text) if p]
+    # split manually: re.split would leak capture-group text into the
+    # pieces, which Java's split-mode tokenizer never does
+    out = []
+    last = 0
+    for m in rx.finditer(text):
+        if m.end() == m.start():
+            continue
+        if m.start() > last:
+            out.append(text[last:m.start()])
+        last = m.end()
+    if last < len(text):
+        out.append(text[last:])
+    return out
 
 
 def pattern_replace(token: str, rx: re.Pattern, replacement: str,

@@ -71,7 +71,7 @@ class _Sc:
         self.num_link_toks = 0
 
 
-def _goto(state, cur=None, reset_seen=True):
+def _goto(state, cur=None):
     def h(sc: _Sc) -> None:
         if cur is not None:
             sc.cur_type = cur
@@ -107,15 +107,16 @@ def _el_close(sc: _Sc) -> None:
     sc.state = "Y"
 
 
+def _il_close(sc: _Sc) -> None:
+    # IL ]] resets the link-token counter WITHOUT touching posInc
+    # (jflex INTERNAL_LINK_STATE close action)
+    sc.num_link_toks = 0
+    sc.state = "Y"
+
+
 def _set1(sc: _Sc) -> None:
     sc.pos_inc = 1
 
-
-_WIKI_GOTOS = [
-    (_R(r"\[\[:?Category:"), None, _goto("CAT", CATEGORY)),
-    (_R(r"\[\["), None, _goto("IL", INTERNAL_LINK)),
-    (_R(r"\["), None, _goto("EL", EXTERNAL_LINK_URL)),
-]
 
 _STATES: dict[str, list] = {
     "Y": [
@@ -138,7 +139,7 @@ _STATES: dict[str, list] = {
     ],
     "IL": [
         (_R(_AN), "CUR", lambda sc: None),
-        (_R(r"\]\]"), None, _el_close),
+        (_R(r"\]\]"), None, _il_close),
     ],
     "EL": [
         (_R(_EXTURL), "CUR", _set1),

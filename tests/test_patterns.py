@@ -64,3 +64,9 @@ def test_capture_groups_camelcase():
     p4 = [re.compile("([a-z]+)")]
     assert pattern_capture_groups("abc", p4, True) == ["abc"]
     assert pattern_capture_groups("abc", p4, False) == ["abc"]
+
+
+def test_split_mode_never_leaks_capture_groups():
+    # re.split would return the captured 'and'; the tokenizer must not
+    got = pattern_tokenize("boo:and:foo", re.compile(":(and):"), -1)
+    assert got == ["boo", "foo"]
