@@ -759,6 +759,24 @@ def limit_count_stream(toks: list[str]) -> list[str]:
 # filters rewrite/drop EVERY token and must run on the fast path too.
 cjk_bigram_stream.ascii_transparent = True
 
+
+def delimited_tf_stream(toks: list[str]) -> list[str]:
+    """DelimitedTermFrequencyTokenFilter role (miscellaneous/
+    DelimitedTermFrequencyTokenFilter.java:38): a trailing ``|N``
+    sets the term frequency. Expressed here by repeating the term N
+    times — identical df/ttf/BM25 statistics; the reference keeps one
+    position where this emits N consecutive ones (documented
+    divergence, irrelevant to non-positional scoring)."""
+    out: list[str] = []
+    for t in toks:
+        base, sep, freq = t.rpartition("|")
+        if sep and freq.isdigit() and base:
+            out.extend([base] * int(freq))
+        else:
+            out.append(t)
+    return out
+
+
 STREAM_FILTERS = {"cjk": cjk_bigram_stream,
                   "edge_ngram": edge_ngram_stream,
                   "ngram": ngram_stream,
@@ -768,7 +786,8 @@ STREAM_FILTERS = {"cjk": cjk_bigram_stream,
                   "common_grams": common_grams_stream,
                   "hyphenated": hyphenated_stream,
                   "fingerprint": fingerprint_stream,
-                  "limit20": limit_count_stream}
+                  "limit20": limit_count_stream,
+                  "delimited_tf": delimited_tf_stream}
 
 
 def get_stream_filter(name: "str | None"):

@@ -6590,6 +6590,30 @@ FROM toks GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
 
 
 # ---------------------------------------------------------------------------
+# Delimited term frequency (lucene_ray.analysis.delimited_tf_stream).
+
+def ft_delimited_tf(sf_dir: str) -> pa.Table:
+    """DelimitedTermFrequencyTokenFilter (miscellaneous/
+    DelimitedTermFrequencyTokenFilter.java:38): every corpus word is
+    planted as ``w|3``, so ttf triples while df stays put."""
+    from ..analysis import delimited_tf_stream
+    return _rawtok_stats(
+        sf_dir,
+        lambda tx, d: delimited_tf_stream(
+            [w + "|3" for w in _words(tx)]))
+
+
+def oracle_delimited_tf_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), s AS (SELECT d, term FROM w WHERE term <> '')
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(3 * count(*) AS BIGINT) AS ttf
+FROM s GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+# ---------------------------------------------------------------------------
 # Wikipedia tokenizer (lucene_ray.wikipedia).
 
 def ft_wikipedia(sf_dir: str) -> pa.Table:

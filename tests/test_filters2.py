@@ -143,3 +143,13 @@ def test_build_integration(tmp_path, ray_session):
                 termdict_scan(idx.reader).column("term").to_pylist()
                 if ":" not in t)
     assert any("_" in t for t in terms)
+
+
+def test_delimited_tf_stream():
+    """DelimitedTermFrequencyTokenFilter (miscellaneous/
+    DelimitedTermFrequencyTokenFilter.java:38) — the factory test
+    cases: 'one|1 two|2 three|3' and pass-through of undelimited."""
+    from lucene_ray.analysis import delimited_tf_stream as f
+    assert f(["one|1", "two|2", "three|3"]) == \
+        ["one", "two", "two", "three", "three", "three"]
+    assert f(["plain", "x|y", "|5", "a|0"]) == ["plain", "x|y", "|5"]
