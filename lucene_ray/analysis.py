@@ -708,6 +708,35 @@ def common_grams_stream(toks: list[str]) -> list[str]:
     return out
 
 
+
+def common_grams_query_stream(toks: list[str]) -> list[str]:
+    """CommonGramsQueryFilter (commongrams/CommonGramsQueryFilter.java:
+    85): the query-side view of the common-grams chain — emit bigrams
+    whenever possible and a unigram only when it is not a member of a
+    bigram (hold-one-back with the last-emitted-was-a-gram end rule).
+    Pinned by the full TestCommonGramsFilter query battery."""
+    common = _common_words()
+    # (token, is_gram) exactly as CommonGramsFilter would emit
+    pairs: list[tuple[str, bool]] = []
+    prev: "str | None" = None
+    for t in toks:
+        if prev is not None and (prev in common or t in common):
+            pairs.append((prev + "_" + t, True))
+        pairs.append((t, False))
+        prev = t
+    out: list[str] = []
+    held: "tuple[str, bool] | None" = None
+    last_emitted_gram = False
+    for cur in pairs:
+        if held is not None and not cur[1]:
+            out.append(held[0])
+            last_emitted_gram = held[1]
+        held = cur
+    if held is not None and not last_emitted_gram:
+        out.append(held[0])
+    return out
+
+
 def hyphenated_stream(toks: list[str]) -> list[str]:
     """HyphenatedWordsFilter (miscellaneous/HyphenatedWordsFilter.java:
     73): tokens ending in '-' accumulate (hyphen dropped) and join the
@@ -784,6 +813,7 @@ STREAM_FILTERS = {"cjk": cjk_bigram_stream,
                   "truncate": truncate_stream,
                   "reverse": reverse_stream,
                   "common_grams": common_grams_stream,
+                  "common_grams_query": common_grams_query_stream,
                   "hyphenated": hyphenated_stream,
                   "fingerprint": fingerprint_stream,
                   "limit20": limit_count_stream,

@@ -6614,6 +6614,55 @@ FROM s GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
 
 
 # ---------------------------------------------------------------------------
+# CommonGramsQueryFilter (lucene_ray.analysis.common_grams_query_
+# stream). A unigram survives iff no bigram STARTS at it, plus the
+# final word also needs no bigram ENDING at it (the filter's hold-one-
+# back end rule) — both window-expressible.
+
+def ft_common_grams_query(sf_dir: str) -> pa.Table:
+    """CommonGramsQueryFilter (commongrams/CommonGramsQueryFilter.
+    java:85) over the raw word stream per document."""
+    from ..analysis import common_grams_query_stream
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: common_grams_query_stream(_words(tx)))
+
+
+def oracle_common_grams_query_sql() -> str:
+    from ..analysis_en import ENGLISH_STOP_WORDS
+    stop = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOP_WORDS))
+    return f"""WITH w AS (
+  SELECT doc_id AS d, generate_subscripts(ws, 1) AS pos,
+         unnest(ws) AS word,
+         len(ws) AS n
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents)
+), ctx AS (
+  SELECT d, pos, n, word,
+         word IN ({stop}) AS c,
+         lead(word) OVER (PARTITION BY d ORDER BY pos) AS nxt,
+         lead(word IN ({stop})) OVER (PARTITION BY d ORDER BY pos)
+           AS cnxt,
+         lag(word IN ({stop})) OVER (PARTITION BY d ORDER BY pos)
+           AS cprv
+  FROM w
+), grams AS (
+  SELECT d, word || '_' || nxt AS term
+  FROM ctx WHERE nxt IS NOT NULL AND (c OR cnxt)
+), unis AS (
+  SELECT d, word AS term
+  FROM ctx
+  WHERE NOT (pos < n AND (c OR cnxt))
+    AND NOT (pos = n AND pos > 1 AND (cprv OR c))
+), toks AS (
+  SELECT d, term FROM grams UNION ALL SELECT d, term FROM unis
+)
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM toks GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+# ---------------------------------------------------------------------------
 # Wikipedia tokenizer (lucene_ray.wikipedia).
 
 def ft_wikipedia(sf_dir: str) -> pa.Table:

@@ -153,3 +153,28 @@ def test_delimited_tf_stream():
     assert f(["one|1", "two|2", "three|3"]) == \
         ["one", "two", "two", "three", "three", "three"]
     assert f(["plain", "x|y", "|5", "a|0"]) == ["plain", "x|y", "|5"]
+
+
+def test_common_grams_query_stream():
+    """CommonGramsQueryFilter (commongrams/CommonGramsQueryFilter.
+    java:85) — the full TestCommonGramsFilter query battery (common
+    words here from the English stop set: of/the)."""
+    from lucene_ray.analysis import common_grams_query_stream as f
+    cases = {
+        "brown fox": ["brown", "fox"],
+        "the fox": ["the_fox"],
+        "fox of": ["fox_of"],
+        "of the": ["of_the"],
+        "the": ["the"],
+        "foo": ["foo"],
+        "quick brown fox": ["quick", "brown", "fox"],
+        "quick brown the": ["quick", "brown_the"],
+        "quick the brown": ["quick_the", "the_brown"],
+        "fox of the": ["fox_of", "of_the"],
+        "the quick brown": ["the_quick", "quick", "brown"],
+        "the fox of": ["the_fox", "fox_of"],
+        "of the fox": ["of_the", "the_fox"],
+        "of the of": ["of_the", "the_of"],
+    }
+    for text, want in cases.items():
+        assert f(text.split()) == want, text
