@@ -229,6 +229,29 @@ class Index:
         p = self.reader.postings(term)
         return (p.df, p.ttf) if p is not None else (0, 0)
 
+    def auto_stop_words(self, max_doc_freq: int | None = None,
+                        max_percent_docs: float | None = None,
+                        exclude_prefixes: "list[str] | None" = None
+                        ) -> frozenset[str]:
+        """QueryAutoStopWordAnalyzer role (query/
+        QueryAutoStopWordAnalyzer.java:79): derive the stop set from
+        the index — terms whose df EXCEEDS max_doc_freq (or
+        max_percent_docs * doc_count). Distributed: a filter over the
+        term-dictionary Dataset, no driver-side dictionary concat."""
+        from .search import termdict_stats_ds
+
+        if max_doc_freq is None:
+            if max_percent_docs is None:
+                raise ValueError(
+                    "need max_doc_freq or max_percent_docs")
+            max_doc_freq = int(max_percent_docs * self.doc_count())
+        dd = termdict_stats_ds(self.index_dir,
+                               exclude_prefixes)
+        hot = dd.filter(expr=f"df > {int(max_doc_freq)}")
+        # the stop set is vocabulary-small by construction (terms in
+        # more than a df-threshold of docs)
+        return frozenset(r["term"] for r in hot.take_all())
+
     def verify(self) -> dict:
         return verify_index(self.index_dir)
 

@@ -6663,6 +6663,29 @@ FROM toks GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
 
 
 # ---------------------------------------------------------------------------
+# QueryAutoStopWordAnalyzer (Index.auto_stop_words): index-derived
+# stop set — terms whose df exceeds 20%% of docs.
+
+def ft_auto_stopwords(sf_dir: str) -> pa.Table:
+    """QueryAutoStopWordAnalyzer (query/QueryAutoStopWordAnalyzer.
+    java:79): terms with df > 0.2 * doc_count, from the distributed
+    term-dictionary Dataset."""
+    from ..api import Index
+    r = reader_for(sf_dir)
+    idx = Index(index_dir_for(sf_dir))
+    words = sorted(idx.auto_stop_words(
+        max_percent_docs=0.2, exclude_prefixes=_kw_prefixes(r)))
+    return pa.table({"term": pa.array(words, pa.string())})
+
+
+def oracle_auto_stopwords_sql() -> str:
+    return f"""WITH {_CORPUS_CTE}
+SELECT term FROM df
+WHERE df > (SELECT 0.2 * count(*) FROM corpus)
+ORDER BY term"""
+
+
+# ---------------------------------------------------------------------------
 # Wikipedia tokenizer (lucene_ray.wikipedia).
 
 def ft_wikipedia(sf_dir: str) -> pa.Table:

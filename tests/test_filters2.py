@@ -178,3 +178,24 @@ def test_common_grams_query_stream():
     }
     for text, want in cases.items():
         assert f(text.split()) == want, text
+
+
+def test_auto_stop_words(ray_session, tmp_path):
+    """QueryAutoStopWordAnalyzer role (query/QueryAutoStopWordAnalyzer
+    .java:79): df-derived stop set from the index's distributed term
+    dictionary."""
+    import pyarrow.parquet as pq
+    from lucene_ray.api import Index
+    from lucene_ray.corpus import generate_corpus
+    c = tmp_path / "c"
+    c.mkdir()
+    pq.write_table(generate_corpus(120, seed=7), str(c / "a.parquet"))
+    idx = Index.build(str(c), str(tmp_path / "i"))
+    n = idx.doc_count()
+    stops = idx.auto_stop_words(max_percent_docs=0.5)
+    # every derived stop word really has df above the threshold, and
+    # a sampled non-member does not
+    assert stops
+    for w in list(stops)[:5]:
+        assert idx.term_stats(w)[0] > 0.5 * n
+    assert idx.auto_stop_words(max_doc_freq=n) == frozenset()
