@@ -789,6 +789,24 @@ def limit_count_stream(toks: list[str]) -> list[str]:
 cjk_bigram_stream.ascii_transparent = True
 
 
+
+def porter2_repeat_stream(toks: list[str]) -> list[str]:
+    """KeywordRepeatFilter + SnowballFilter + RemoveDuplicates chain
+    (miscellaneous/KeywordRepeatFilter.java:33 wiring in
+    TestKeywordRepeatFilter): every token indexes BOTH its original
+    form and its Porter2 stem, the duplicate dropped when stemming is
+    a no-op. Flat-stream divergence as with the other graph chains:
+    the stacked copy gets its own position."""
+    from .porter2 import porter2_stem
+    out: list[str] = []
+    for t in toks:
+        s = porter2_stem(t)
+        out.append(t)
+        if s != t:
+            out.append(s)
+    return out
+
+
 def delimited_tf_stream(toks: list[str]) -> list[str]:
     """DelimitedTermFrequencyTokenFilter role (miscellaneous/
     DelimitedTermFrequencyTokenFilter.java:38): a trailing ``|N``
@@ -817,7 +835,8 @@ STREAM_FILTERS = {"cjk": cjk_bigram_stream,
                   "hyphenated": hyphenated_stream,
                   "fingerprint": fingerprint_stream,
                   "limit20": limit_count_stream,
-                  "delimited_tf": delimited_tf_stream}
+                  "delimited_tf": delimited_tf_stream,
+                  "porter2_repeat": porter2_repeat_stream}
 
 
 def get_stream_filter(name: "str | None"):

@@ -6276,8 +6276,8 @@ def oracle_porter2_sql() -> str:
         return (f"((length({c}) - {off} >= 3 AND {e1} NOT IN {V} "
                 f"AND {e1} NOT IN ('w','x','Y') AND {e2} IN {V} "
                 f"AND {e3} NOT IN {V}) "
-                f"OR (length({c}) - {off} = 2 AND {e2} NOT IN {V} "
-                f"AND {e1} IN {V}))")
+                f"OR (length({c}) - {off} = 2 AND {e2} IN {V} "
+                f"AND {e1} NOT IN {V}))")
 
     exc1 = " ".join(f"WHEN w = '{k}' THEN '{v}'"
                     for k, v in sorted(_EXC1.items()))

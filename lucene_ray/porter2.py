@@ -58,7 +58,7 @@ def _shortv(w: str, n: int) -> bool:
     if n >= 3 and w[n - 1] not in _V and w[n - 1] not in _WXY \
             and w[n - 2] in _V and w[n - 3] not in _V:
         return True
-    if n == 2 and w[1] in _V and w[0] not in _V:
+    if n == 2 and w[0] in _V and w[1] not in _V:
         return True
     return False
 

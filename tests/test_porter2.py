@@ -140,3 +140,19 @@ def test_protected_and_override():
         ["STEMFIX", "rid"]
     assert trim_filter("  a b\t ") == "a b"
     assert trim_filter("ab") == "ab"
+
+
+def test_porter2_repeat_stream():
+    """TestKeywordRepeatFilter.testBasic: 'the birds are flying' ->
+    the, birds, bird, are, flying, fli."""
+    from lucene_ray.analysis import porter2_repeat_stream as f
+    assert f("the birds are flying".split()) == \
+        ["the", "birds", "bird", "are", "flying", "fli"]
+
+
+def test_shortv_two_char_branch():
+    # caught by the keyword-repeat golden: a (vowel)(non-vowel) stem
+    # IS a short syllable, so the final e stays
+    assert s("are") == "are"
+    assert s("ore") == "ore"
+    assert s("use") == "use"
