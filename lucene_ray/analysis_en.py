@@ -558,6 +558,10 @@ def _register_light_stemmers() -> None:
     from .porter2 import porter2_stem
     TOKEN_FILTERS["porter2"] = _as_token_filter(porter2_stem)
     TOKEN_FILTERS["trim"] = _as_token_filter(trim_filter)
+    # German medium stemmer (lucene_ray.destem), data.txt-gated in
+    # tests/test_destem.py
+    from .destem import german_stem
+    TOKEN_FILTERS["german_stem"] = _as_token_filter(german_stem)
 
 
 _register_light_stemmers()
