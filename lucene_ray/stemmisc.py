@@ -336,6 +336,24 @@ def sorani_stem(w: str) -> str:
     return w
 
 
+
+def swedish_minimal_stem(w: str) -> str:
+    """sv/SwedishMinimalStemmer.java:65 — only the most common noun
+    plural suffixes (adapted from the light stemmer)."""
+    if len(w) > 4 and w.endswith("s"):
+        w = w[:-1]
+    n = len(w)
+    if n > 6 and w[-4:] in ("arne", "erna", "arna", "orna", "aren"):
+        return w[:-4]
+    if n > 5 and w.endswith("are"):
+        return w[:-3]
+    if n > 4 and w[-2:] in ("ar", "at", "er", "et", "or", "en"):
+        return w[:-2]
+    if n > 3 and w[-1] in "aen":
+        return w[:-1]
+    return w
+
+
 MISC_STEMMERS = {
     "english_minimal": english_minimal_stem,
     "german_minimal": german_minimal_stem,
@@ -348,4 +366,5 @@ MISC_STEMMERS = {
     "bulgarian_stem": bulgarian_stem,
     "hindi_stem": hindi_stem,
     "sorani_stem": sorani_stem,
+    "swedish_minimal": swedish_minimal_stem,
 }

@@ -151,3 +151,18 @@ def test_sorani_chain_reference_vocabulary():
         if got != want:
             bad.append((w, got, want))
     assert not bad, f"{len(bad)} mismatches: {bad[:5]}"
+
+
+def test_swedish_minimal_vocabulary():
+    from lucene_ray.stemmisc import swedish_minimal_stem
+    path = os.path.join(_REF, "sv", "minimal.txt")
+    if not os.path.exists(path):
+        pytest.skip("reference vectors unavailable")
+    n = 0
+    for raw in open(path, encoding="utf-8").read().splitlines():
+        if not raw or raw.startswith("#"):
+            continue
+        w, want = raw.split("\t")
+        assert swedish_minimal_stem(w) == want, w
+        n += 1
+    assert n > 60
