@@ -310,34 +310,17 @@ def english_token_filter(tokens: list[str]) -> list[str | None]:
 # fold accented Latin to ASCII.  NFKD + combining-mark strip covers the
 # diacritic block; the table below adds the non-decomposable cases the
 # reference folds explicitly.
-_FOLD_SPECIALS = {
-    "ß": "ss", "æ": "ae", "œ": "oe", "ø": "o",
-    "đ": "d", "ð": "d", "þ": "th", "ł": "l",
-    "ı": "i", "ħ": "h", "ŧ": "t", "ŋ": "n",
-    "Æ": "AE", "Œ": "OE", "Ø": "O", "Đ": "D",
-    "Ð": "D", "Þ": "TH", "Ł": "L",
-}
-
-
 def ascii_fold(text: str) -> str:
-    """Fold non-ASCII Latin letters to their ASCII base (ASCIIFoldingFilter
-    role; agrees with DuckDB strip_accents for combining-mark diacritics)."""
+    """ASCIIFoldingFilter (miscellaneous/ASCIIFoldingFilter.java:187):
+    the EXACT generated 1242-entry table (accents, ligatures, small
+    capitals, circled/fullwidth forms, folded punctuation); unmapped
+    non-ASCII chars pass through unchanged, as the reference's default
+    branch does."""
     if text.isascii():
         return text
-    import unicodedata
-    out = []
-    for ch in text:
-        if ch.isascii():
-            out.append(ch)
-            continue
-        sp = _FOLD_SPECIALS.get(ch)
-        if sp is not None:
-            out.append(sp)
-            continue
-        d = unicodedata.normalize("NFKD", ch)
-        kept = "".join(c for c in d if not unicodedata.combining(c))
-        out.append(kept if kept.isascii() else ch)
-    return "".join(out)
+    from .asciifold_data import ASCII_FOLD_MAP
+    get = ASCII_FOLD_MAP.get
+    return "".join(get(ch, ch) for ch in text)
 
 
 _fold_memo: dict[str, str | None] = {}
