@@ -6686,6 +6686,36 @@ ORDER BY term"""
 
 
 # ---------------------------------------------------------------------------
+# Exact ASCII folding (analysis_en.ascii_fold over asciifold_data).
+
+def ft_ascii_fold(sf_dir: str) -> pa.Table:
+    """ASCIIFoldingFilter (miscellaneous/ASCIIFoldingFilter.java:187):
+    corpus words planted with table-only specials (ß ø Ǣ đ þ ﬆ) the
+    NFKD approximation could not fold; the registered 'fold' filter
+    does the work."""
+    from ..analysis_en import TOKEN_FILTERS
+    f = TOKEN_FILTERS["fold"]
+    plant = "ß" + "ø" + "Ǣ"
+
+    def doc_tokens(tx: str, d: int) -> list[str]:
+        return [t for t in f([plant + w + "ﬆđþ" for w in _words(tx)])
+                if t is not None]
+    return _rawtok_stats(sf_dir, doc_tokens)
+
+
+def oracle_ascii_fold_sql() -> str:
+    return f"""WITH w AS (
+  SELECT doc_id AS d,
+         'ssoAE' || unnest(string_split(text, ' ')) || 'stdth' AS t0
+  FROM documents
+), s AS (SELECT d, t0 AS term FROM w
+         WHERE t0 <> 'ssoAE' || 'stdth')
+SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM s GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+
+
+# ---------------------------------------------------------------------------
 # Wikipedia tokenizer (lucene_ray.wikipedia).
 
 def ft_wikipedia(sf_dir: str) -> pa.Table:
