@@ -545,6 +545,20 @@ def _register_light_stemmers() -> None:
     # tests/test_destem.py
     from .destem import german_stem
     TOKEN_FILTERS["german_stem"] = _as_token_filter(german_stem)
+    # Snowball stemmer family (lucene_ray.snowball) — the default
+    # stemmers of the per-language analyzers (e.g. da/DanishAnalyzer
+    # .java:41 stop -> SnowballFilter).  '<lang>' names compose the
+    # analyzer chain: snowball stop list (snowball_stop_data,
+    # generated from the reference resources) then the stemmer.
+    from .snowball import SNOWBALL_STEMMERS
+    from . import snowball_stop_data as _sbstops
+    for _name, _fn in SNOWBALL_STEMMERS.items():
+        TOKEN_FILTERS[_name] = _as_token_filter(_fn)
+        _lang = _name.removeprefix("snowball_")
+        _stop = getattr(_sbstops, _lang.upper() + "_STOP", None)
+        if _stop is not None:
+            TOKEN_FILTERS[_lang] = _as_token_filter(
+                lambda w, _s=_stop, _f=_fn: None if w in _s else _f(w))
 
 
 _register_light_stemmers()

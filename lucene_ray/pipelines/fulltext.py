@@ -10433,3 +10433,490 @@ ranked AS (
 )
 SELECT qid, rank, d AS doc_id, score FROM ranked
 WHERE rank <= {_LMD_K}"""
+
+
+# ---------------------------------------------------------------------------
+# Snowball stemmer family (lucene_ray.snowball; org.tartarus.snowball.
+# ext) — the default stemmers of the reference's per-language
+# analyzers.  Danish/Swedish/Norwegian run raw over the corpus.  Dutch
+# plants y->j so the oracle's regex-based i-protection is exact
+# (the Y-protection path is order-interleaved with it in the scanner
+# and not regex-expressible; it is covered by the 77-pair reference
+# battery in tests/test_snowball.py).  Russian plants Cyrillic via
+# per-char transliteration like the other script entries.  Every
+# oracle is GENERATED from the same among tables the engine uses and
+# reproduces the find_among_b commit semantics (longest suffix that
+# fits the region decides; a failed post-condition does not fall back).
+
+def _sb_words_cte() -> str:
+    return """WITH w0 AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+)"""
+
+
+def _sb_p1_min3(col: str, vowels: str) -> str:
+    """Scandinavian R1 with the min-3 clamp.  For words the scan
+    cannot mark (incl. len<3) both engine and SQL yield an empty
+    region (see snowball._r1_min3)."""
+    pat = f"^[^{vowels}]*[{vowels}]+[^{vowels}]"
+    return (f"CASE WHEN regexp_matches({col}, '{pat}') THEN "
+            f"greatest(length(regexp_extract({col}, '{pat}', 0)), 3) "
+            f"ELSE length({col}) END")
+
+
+def _sb_p_std(col: str, vowels: str, two: bool = False) -> str:
+    """Unclamped R1 (two=False) / R2 (two=True) per _std_regions."""
+    seg = f"[^{vowels}]*[{vowels}]+[^{vowels}]"
+    pat = f"^{seg}{seg}" if two else f"^{seg}"
+    return (f"CASE WHEN regexp_matches({col}, '{pat}') THEN "
+            f"length(regexp_extract({col}, '{pat}', 0)) "
+            f"ELSE length({col}) END")
+
+
+def _sb_case(col: str, table, then_fn, default: str) -> str:
+    """Among-as-CASE: WHENs ordered by suffix length desc, each
+    condition = matches AND fits the region (column ``p1``);
+    ``then_fn(sfx, act, start_expr)`` renders the committed action."""
+    whens = []
+    for sfx, act in table:
+        k = len(sfx)
+        cond = (f"length({col}) - {k} >= p1 "
+                f"AND ends_with({col}, '{sfx}')")
+        whens.append(f"    WHEN {cond}\n"
+                     f"      THEN {then_fn(sfx, act, k)}")
+    chain = "\n".join(whens)
+    return f"CASE\n{chain}\n    ELSE {default} END"
+
+
+def _sb_in(chars) -> str:
+    return "(" + ", ".join(f"'{c}'" for c in sorted(chars)) + ")"
+
+
+def ft_snowball_danish(sf_dir: str) -> pa.Table:
+    """SnowballFilter(Danish) (snowball/ext/DanishStemmer.java:13, the
+    da/DanishAnalyzer.java:41 default stemmer)."""
+    from ..snowball import danish_stem
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [danish_stem(w) for w in _words(tx)])
+
+
+def oracle_snowball_danish_sql() -> str:
+    from ..snowball import _DA_MAIN, _DA_OTHER, _DA_S_ENDING, _DA_CONS
+    v = "aeiouyåæø"
+
+    def main_then(sfx, act, k):
+        cut = f"substr(word, 1, length(word)-{k})"
+        if act == 1:
+            return cut
+        return (f"CASE WHEN length(word) >= 2 AND "
+                f"substr(word, length(word)-1, 1) IN "
+                f"{_sb_in(_DA_S_ENDING)} THEN {cut} ELSE word END")
+
+    def pair(col: str) -> str:
+        return (f"CASE WHEN length({col}) - 2 >= p1 AND right({col}, 2) "
+                f"IN ('gd','dt','gt','kt') "
+                f"THEN substr({col}, 1, length({col})-1) ELSE {col} END")
+
+    def other_then(sfx, act, k):
+        cut = f"substr(word, 1, length(word)-{k})"
+        if act == 1:
+            return pair(cut)
+        return "substr(word, 1, length(word)-1)"   # løst -> løs
+
+    main = _sb_case("word", _DA_MAIN, main_then, "word")
+    other = _sb_case("word", _DA_OTHER, other_then, "word")
+    return f"""{_sb_words_cte()}, w AS (
+  SELECT d, word, {_sb_p1_min3('word', v)} AS p1
+  FROM w0 WHERE word <> ''
+), s1 AS (
+  SELECT d, p1, {main} AS word FROM w
+), s2 AS (
+  SELECT d, p1, {pair('word')} AS word FROM s1
+), s3 AS (
+  SELECT d, p1, CASE WHEN ends_with(word, 'igst')
+    THEN substr(word, 1, length(word)-2) ELSE word END AS word
+  FROM s2
+), s4 AS (
+  SELECT d, p1, {other} AS word FROM s3
+), fin AS (
+  SELECT d, CASE WHEN length(word) - 1 >= p1 AND length(word) >= 2
+    AND substr(word, length(word), 1) = substr(word, length(word)-1, 1)
+    AND substr(word, length(word), 1) IN {_sb_in(_DA_CONS)}
+    THEN substr(word, 1, length(word)-1) ELSE word END AS term
+  FROM s4
+)
+{_RSLP_TAIL}"""
+
+
+def ft_snowball_swedish(sf_dir: str) -> pa.Table:
+    """SnowballFilter(Swedish) (snowball/ext/SwedishStemmer.java:13,
+    the sv/SwedishAnalyzer.java:41 default stemmer)."""
+    from ..snowball import swedish_stem
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [swedish_stem(w) for w in _words(tx)])
+
+
+def oracle_snowball_swedish_sql() -> str:
+    from ..snowball import _SV_MAIN, _SV_OTHER, _SV_S_ENDING, \
+        _SV_OST_ENDING
+    v = "aeiouyäåö"
+
+    def main_then(sfx, act, k):
+        cut = f"substr(word, 1, length(word)-{k})"
+        if act == 1:
+            return cut
+        return (f"CASE WHEN length(word) >= 2 AND "
+                f"substr(word, length(word)-1, 1) IN "
+                f"{_sb_in(_SV_S_ENDING)} THEN {cut} ELSE word END")
+
+    def other_then(sfx, act, k):
+        if act == 1:
+            return f"substr(word, 1, length(word)-{k})"
+        if act == 2:   # öst -> ös after a valid ost-ending
+            return (f"CASE WHEN length(word) >= 4 AND "
+                    f"substr(word, length(word)-3, 1) IN "
+                    f"{_sb_in(_SV_OST_ENDING)} "
+                    f"THEN substr(word, 1, length(word)-1) "
+                    f"ELSE word END")
+        return "substr(word, 1, length(word)-1)"   # fullt -> full
+
+    main = _sb_case("word", _SV_MAIN, main_then, "word")
+    other = _sb_case("word", _SV_OTHER, other_then, "word")
+    return f"""{_sb_words_cte()}, w AS (
+  SELECT d, word, {_sb_p1_min3('word', v)} AS p1
+  FROM w0 WHERE word <> ''
+), s1 AS (
+  SELECT d, p1, {main} AS word FROM w
+), s2 AS (
+  SELECT d, p1, CASE WHEN length(word) - 2 >= p1 AND right(word, 2)
+    IN ('dd','gd','nn','dt','gt','kt','tt')
+    THEN substr(word, 1, length(word)-1) ELSE word END AS word
+  FROM s1
+), fin AS (
+  SELECT d, {other} AS term FROM s2
+)
+{_RSLP_TAIL}"""
+
+
+def ft_snowball_norwegian(sf_dir: str) -> pa.Table:
+    """SnowballFilter(Norwegian) (snowball/ext/NorwegianStemmer.java:13,
+    the no/NorwegianAnalyzer.java:42 default stemmer)."""
+    from ..snowball import norwegian_stem
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [norwegian_stem(w) for w in _words(tx)])
+
+
+def oracle_snowball_norwegian_sql() -> str:
+    from ..snowball import _NO_MAIN, _NO_OTHER, _NO_S_ENDING
+    v = "aeiouyåæø"
+
+    def main_then(sfx, act, k):
+        cut = f"substr(word, 1, length(word)-{k})"
+        if act == 1:
+            return cut
+        if act == 2:
+            return (f"CASE WHEN length(word) >= 2 AND ("
+                    f"substr(word, length(word)-1, 1) IN "
+                    f"{_sb_in(_NO_S_ENDING)} OR ("
+                    f"substr(word, length(word)-1, 1) = 'k' AND "
+                    f"length(word) >= 3 AND "
+                    f"substr(word, length(word)-2, 1) NOT IN "
+                    f"{_sb_in(v)})) THEN {cut} ELSE word END")
+        return f"{cut} || 'er'"                    # erte/ert -> er
+
+    main = _sb_case("word", _NO_MAIN, main_then, "word")
+    other = _sb_case(
+        "word", _NO_OTHER,
+        lambda s, a, k: f"substr(word, 1, length(word)-{k})", "word")
+    return f"""{_sb_words_cte()}, w AS (
+  SELECT d, word, {_sb_p1_min3('word', v)} AS p1
+  FROM w0 WHERE word <> ''
+), s1 AS (
+  SELECT d, p1, {main} AS word FROM w
+), s2 AS (
+  SELECT d, p1, CASE WHEN length(word) - 2 >= p1 AND right(word, 2)
+    IN ('dt','vt') THEN substr(word, 1, length(word)-1)
+    ELSE word END AS word
+  FROM s1
+), fin AS (
+  SELECT d, {other} AS term FROM s2
+)
+{_RSLP_TAIL}"""
+
+
+def ft_snowball_dutch(sf_dir: str) -> pa.Table:
+    """SnowballFilter(Dutch) (snowball/ext/DutchStemmer.java:13).
+    Corpus words are planted y->j: the scanner's interleaved Y/I
+    vowel-protection order is not regex-expressible, and with no y in
+    the input the oracle's two-pass I-protection regex is exact (the
+    Y path is gated by the 77-pair reference battery in pytest)."""
+    from ..snowball import dutch_stem
+    return _rawtok_stats(
+        sf_dir,
+        lambda tx, d: [dutch_stem(w.replace("y", "j"))
+                       for w in _words(tx)])
+
+
+def oracle_snowball_dutch_sql() -> str:
+    v = "aeiouyè"
+    VIN = _sb_in(v)
+    VJ = _sb_in(v + "j")
+
+    def undouble(x: str) -> str:
+        return (f"CASE WHEN right({x}, 2) IN ('dd','kk','tt') "
+                f"THEN substr({x}, 1, length({x})-1) ELSE {x} END")
+
+    def en_ending(col: str, k: int) -> str:
+        cut = f"substr({col}, 1, length({col})-{k})"
+        return (f"CASE WHEN length({col}) - {k} >= p1 "
+                f"AND length({col}) - {k} >= 1 "
+                f"AND substr({col}, length({col})-{k}, 1) NOT IN {VIN} "
+                f"AND NOT ends_with({cut}, 'gem') "
+                f"THEN {undouble(cut)} ELSE {col} END")
+
+    def e_cond(col: str) -> str:
+        return (f"(ends_with({col}, 'e') AND length({col}) - 1 >= p1 "
+                f"AND length({col}) >= 2 "
+                f"AND substr({col}, length({col})-1, 1) NOT IN {VIN})")
+
+    def e_apply(col: str) -> str:
+        cut = f"substr({col}, 1, length({col})-1)"
+        return (f"CASE WHEN {e_cond(col)} THEN {undouble(cut)} "
+                f"ELSE {col} END")
+
+    # step 1 (match unrestricted, R1 conditions inside the action)
+    s_cut = "substr(word, 1, length(word)-1)"
+    se_cut = "substr(word, 1, length(word)-2)"
+    step1 = f"""CASE
+    WHEN ends_with(word, 'heden')
+      THEN CASE WHEN length(word) - 5 >= p1
+        THEN substr(word, 1, length(word)-5) || 'heid' ELSE word END
+    WHEN ends_with(word, 'ene') THEN {en_ending('word', 3)}
+    WHEN ends_with(word, 'en') THEN {en_ending('word', 2)}
+    WHEN ends_with(word, 'se')
+      THEN CASE WHEN length(word) - 2 >= p1 AND length(word) - 2 >= 1
+        AND substr(word, length(word)-2, 1) NOT IN {VJ}
+        THEN {se_cut} ELSE word END
+    WHEN ends_with(word, 's')
+      THEN CASE WHEN length(word) - 1 >= p1 AND length(word) - 1 >= 1
+        AND substr(word, length(word)-1, 1) NOT IN {VJ}
+        THEN {s_cut} ELSE word END
+    ELSE word END"""
+
+    cut3 = "substr(word, 1, length(word)-3)"
+    cut4 = "substr(word, 1, length(word)-4)"
+    cut2 = "substr(word, 1, length(word)-2)"
+    ig_after = (f"CASE WHEN ends_with({cut3}, 'ig') "
+                f"AND length({cut3}) - 2 >= p2 "
+                f"AND (length({cut3}) < 3 OR "
+                f"substr({cut3}, length({cut3})-2, 1) <> 'e') "
+                f"THEN substr({cut3}, 1, length({cut3})-2) "
+                f"ELSE {undouble(cut3)} END")
+    step4 = f"""CASE
+    WHEN ends_with(word, 'lijk')
+      THEN CASE WHEN length(word) - 4 >= p2
+        THEN {e_apply(cut4)} ELSE word END
+    WHEN ends_with(word, 'baar')
+      THEN CASE WHEN length(word) - 4 >= p2 THEN {cut4} ELSE word END
+    WHEN ends_with(word, 'end') OR ends_with(word, 'ing')
+      THEN CASE WHEN length(word) - 3 >= p2 THEN {ig_after}
+        ELSE word END
+    WHEN ends_with(word, 'bar')
+      THEN CASE WHEN length(word) - 3 >= p2 AND e1 THEN {cut3}
+        ELSE word END
+    WHEN ends_with(word, 'ig')
+      THEN CASE WHEN length(word) - 2 >= p2 AND (length(word) - 2 < 1
+        OR substr(word, length(word)-2, 1) <> 'e') THEN {cut2}
+        ELSE word END
+    ELSE word END"""
+
+    return f"""{_sb_words_cte()}, wp AS (
+  SELECT d, regexp_replace(regexp_replace(
+           translate(replace(word, 'y', 'j'),
+                     'áäéëíïóöúü', 'aaeeiioouu'),
+           '([aeiouè])i([aeiouè])', '\\1I\\2', 'g'),
+           '([aeiouè])i([aeiouè])', '\\1I\\2', 'g') AS word
+  FROM w0 WHERE word <> ''
+), w AS (
+  SELECT d, word, greatest({_sb_p_std('word', v)}, 3) AS p1,
+         {_sb_p_std('word', v, True)} AS p2
+  FROM wp
+), s1 AS (
+  SELECT d, p1, p2, {step1} AS word FROM w
+), s2 AS (
+  SELECT d, p1, p2, {e_cond('word')} AS e1,
+         {e_apply('word')} AS word
+  FROM s1
+), s3a AS (
+  SELECT d, p1, p2, e1,
+         (ends_with(word, 'heid') AND length(word) - 4 >= p2
+          AND (length(word) < 5
+               OR substr(word, length(word)-4, 1) <> 'c')) AS h,
+         CASE WHEN ends_with(word, 'heid') AND length(word) - 4 >= p2
+           AND (length(word) < 5
+                OR substr(word, length(word)-4, 1) <> 'c')
+           THEN substr(word, 1, length(word)-4) ELSE word END AS word
+  FROM s2
+), s3 AS (
+  SELECT d, p1, p2, e1,
+         CASE WHEN h AND ends_with(word, 'en')
+           THEN {en_ending('word', 2)} ELSE word END AS word
+  FROM s3a
+), s4 AS (
+  SELECT d, p1, p2, {step4} AS word FROM s3
+), s5 AS (
+  SELECT d, CASE WHEN length(word) >= 4
+    AND substr(word, length(word), 1) NOT IN {VIN}
+    AND substr(word, length(word), 1) <> 'I'
+    AND substr(word, length(word)-1, 1) = substr(word, length(word)-2, 1)
+    AND substr(word, length(word)-1, 1) IN ('a','e','o','u')
+    AND substr(word, length(word)-3, 1) NOT IN {VIN}
+    THEN substr(word, 1, length(word)-2) || right(word, 1)
+    ELSE word END AS word
+  FROM s4
+), fin AS (
+  SELECT d, replace(word, 'I', 'i') AS term FROM s5
+)
+{_RSLP_TAIL}"""
+
+
+_RU_PLANT_FROM = "abcdefghijklmnopqrstuvwxyz"
+_RU_PLANT_TO = "абцдефгхияклмнопьрстувюйыз"
+
+
+def ft_snowball_russian(sf_dir: str) -> pa.Table:
+    """SnowballFilter(Russian) (snowball/ext/RussianStemmer.java:13,
+    the ru/RussianAnalyzer.java:44 default stemmer): planted Cyrillic
+    via per-char transliteration so the noun/verb/adjective suffix
+    classes fire (vowels map to vowels; j->я exercises the group-1
+    preceded-by-а/я rules, q->ь the soft-sign tidy-up)."""
+    from ..snowball import russian_stem
+    plant = str.maketrans(_RU_PLANT_FROM, _RU_PLANT_TO)
+    return _rawtok_stats(
+        sf_dir,
+        lambda tx, d: [russian_stem(w.translate(plant))
+                       for w in _words(tx)])
+
+
+def oracle_snowball_russian_sql() -> str:
+    from ..snowball import (_RU_ADJECTIVE, _RU_NOUN, _RU_PARTICIPLE,
+                            _RU_PERF_GERUND, _RU_REFLEXIVE, _RU_VERB)
+    v = "аеиоуыэюя"
+
+    def del_case(col: str, table, grouped: bool, guard: str) -> str:
+        """Among as a deletion-length CASE.  ``grouped``: action 1
+        entries additionally require а/я just before the suffix
+        (inside RV) — else the among commits with no deletion."""
+        whens = []
+        for sfx, act in table:
+            k = len(sfx)
+            cond = (f"length({col}) - {k} >= pv "
+                    f"AND ends_with({col}, '{sfx}')")
+            if grouped and act == 1:
+                then = (f"CASE WHEN length({col}) - {k} - 1 >= pv AND "
+                        f"substr({col}, length({col})-{k}, 1) "
+                        f"IN ('а','я') THEN {k} ELSE 0 END")
+            else:
+                then = str(k)
+            whens.append(f"    WHEN {cond} THEN {then}")
+        chain = "\n".join(whens)
+        return f"CASE WHEN {guard} THEN (CASE\n{chain}\n    ELSE 0 END) ELSE 0 END"
+
+    perf = del_case("word", _RU_PERF_GERUND, True, "TRUE")
+    refl = del_case("word", _RU_REFLEXIVE, False, "NOT fired")
+    adjc = del_case("word", _RU_ADJECTIVE, False, "NOT fired")
+    part = del_case("word", _RU_PARTICIPLE, True, "adj")
+    verb = del_case("word", _RU_VERB, True, "NOT fired AND NOT adj")
+    noun = del_case("word", _RU_NOUN, False,
+                    "NOT fired AND NOT adj AND NOT vb")
+
+    pv_pat = f"^[^{v}]*[{v}]"
+    pv_expr = (f"CASE WHEN regexp_matches(word, '{pv_pat}') THEN "
+               f"length(regexp_extract(word, '{pv_pat}', 0)) "
+               f"ELSE length(word) END")
+
+    tidy_cut4 = "substr(word, 1, length(word)-4)"
+    tidy_cut3 = "substr(word, 1, length(word)-3)"
+
+    def nn_fix(x: str) -> str:
+        return (f"CASE WHEN ends_with({x}, 'нн') "
+                f"AND length({x}) - 2 >= pv "
+                f"THEN substr({x}, 1, length({x})-1) ELSE {x} END")
+
+    tidy = f"""CASE
+    WHEN length(word) - 4 >= pv AND ends_with(word, 'ейше')
+      THEN {nn_fix(tidy_cut4)}
+    WHEN length(word) - 3 >= pv AND ends_with(word, 'ейш')
+      THEN {nn_fix(tidy_cut3)}
+    WHEN length(word) - 1 >= pv AND ends_with(word, 'н')
+      THEN CASE WHEN length(word) >= 2
+        AND substr(word, length(word)-1, 1) = 'н'
+        AND length(word) - 2 >= pv
+        THEN substr(word, 1, length(word)-1) ELSE word END
+    WHEN length(word) - 1 >= pv AND ends_with(word, 'ь')
+      THEN substr(word, 1, length(word)-1)
+    ELSE word END"""
+
+    return f"""{_sb_words_cte()}, wp AS (
+  SELECT d, translate(replace(word, 'ё', 'е'),
+           '{_RU_PLANT_FROM}', '{_RU_PLANT_TO}') AS word
+  FROM w0 WHERE word <> ''
+), w AS (
+  SELECT d, word, {pv_expr} AS pv,
+         {_sb_p_std('word', v, True)} AS p2
+  FROM wp
+), g1 AS (
+  SELECT d, pv, p2, {perf} AS dl, word FROM w
+), s1 AS (
+  SELECT d, pv, p2, dl > 0 AS fired,
+         substr(word, 1, length(word) - dl) AS word
+  FROM g1
+), g2 AS (
+  SELECT d, pv, p2, fired, {refl} AS dl, word FROM s1
+), s2 AS (
+  SELECT d, pv, p2, fired,
+         substr(word, 1, length(word) - dl) AS word
+  FROM g2
+), g3 AS (
+  SELECT d, pv, p2, fired, {adjc} AS dl, word FROM s2
+), s3 AS (
+  SELECT d, pv, p2, fired, dl > 0 AS adj,
+         substr(word, 1, length(word) - dl) AS word
+  FROM g3
+), g4 AS (
+  SELECT d, pv, p2, fired, adj, {part} AS dl, word FROM s3
+), s4 AS (
+  SELECT d, pv, p2, fired, adj,
+         substr(word, 1, length(word) - dl) AS word
+  FROM g4
+), g5 AS (
+  SELECT d, pv, p2, fired, adj, {verb} AS dl, word FROM s4
+), s5 AS (
+  SELECT d, pv, p2, fired, adj, dl > 0 AS vb,
+         substr(word, 1, length(word) - dl) AS word
+  FROM g5
+), g6 AS (
+  SELECT d, pv, p2, fired, adj, vb, {noun} AS dl, word FROM s5
+), s6 AS (
+  SELECT d, pv, p2, substr(word, 1, length(word) - dl) AS word
+  FROM g6
+), s7 AS (
+  SELECT d, pv, p2, CASE WHEN ends_with(word, 'и')
+    AND length(word) - 1 >= pv
+    THEN substr(word, 1, length(word)-1) ELSE word END AS word
+  FROM s6
+), s8 AS (
+  SELECT d, pv, CASE
+    WHEN length(word) - 4 >= greatest(pv, p2)
+         AND ends_with(word, 'ость')
+      THEN substr(word, 1, length(word)-4)
+    WHEN length(word) - 3 >= greatest(pv, p2)
+         AND ends_with(word, 'ост')
+      THEN substr(word, 1, length(word)-3)
+    ELSE word END AS word
+  FROM s7
+), fin AS (
+  SELECT d, {tidy} AS term FROM s8
+)
+{_RSLP_TAIL}"""
