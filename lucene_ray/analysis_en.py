@@ -552,13 +552,17 @@ def _register_light_stemmers() -> None:
     # generated from the reference resources) then the stemmer.
     from .snowball import SNOWBALL_STEMMERS
     from . import snowball_stop_data as _sbstops
-    for _name, _fn in SNOWBALL_STEMMERS.items():
-        TOKEN_FILTERS[_name] = _as_token_filter(_fn)
-        _lang = _name.removeprefix("snowball_")
-        _stop = getattr(_sbstops, _lang.upper() + "_STOP", None)
-        if _stop is not None:
-            TOKEN_FILTERS[_lang] = _as_token_filter(
-                lambda w, _s=_stop, _f=_fn: None if w in _s else _f(w))
+    from .snowball2 import SNOWBALL2_STEMMERS
+    from . import snowball2_stop_data as _sbstops2
+    for _stemmers, _stops in ((SNOWBALL_STEMMERS, _sbstops),
+                              (SNOWBALL2_STEMMERS, _sbstops2)):
+        for _name, _fn in _stemmers.items():
+            TOKEN_FILTERS[_name] = _as_token_filter(_fn)
+            _lang = _name.removeprefix("snowball_")
+            _stop = getattr(_stops, _lang.upper() + "_STOP", None)
+            if _stop is not None:
+                TOKEN_FILTERS[_lang] = _as_token_filter(
+                    lambda w, _s=_stop, _f=_fn: None if w in _s else _f(w))
 
 
 _register_light_stemmers()

@@ -10920,3 +10920,91 @@ def oracle_snowball_russian_sql() -> str:
   SELECT d, {tidy} AS term FROM s8
 )
 {_RSLP_TAIL}"""
+
+
+# ---------------------------------------------------------------------------
+# Snowball stemmer family, second batch (lucene_ray.snowball2) — the
+# default stemmers of the remaining per-language analyzers.  Non-Latin
+# scripts plant via per-char transliteration (the Russian pattern);
+# every oracle is GENERATED from the same among tables the engine uses
+# (snowball2_data) with the find_among_b commit semantics.
+
+def _sb_del_case(col: str, table, region: str, gate=None) -> str:
+    """Among as a deletion-length CASE: WHENs ordered longest-first,
+    condition = suffix matches AND fits ``region``; ``gate(sfx, act,
+    k)`` may wrap the committed deletion in a post-condition (a failed
+    gate deletes nothing — no fallback)."""
+    whens = []
+    for sfx, act in table:
+        k = len(sfx)
+        cond = (f"length({col}) - {k} >= {region} "
+                f"AND ends_with({col}, '{sfx}')")
+        then = str(k) if gate is None else gate(sfx, act, k)
+        whens.append(f"    WHEN {cond} THEN {then}")
+    chain = "\n".join(whens)
+    return f"CASE\n{chain}\n    ELSE 0 END"
+
+
+def _sb_pv_expr(col: str, v: str) -> str:
+    """RV start = after the first vowel (no region when vowel-less)."""
+    pat = f"^[^{v}]*[{v}]"
+    return (f"CASE WHEN regexp_matches({col}, '{pat}') THEN "
+            f"length(regexp_extract({col}, '{pat}', 0)) "
+            f"ELSE length({col}) END")
+
+
+_HY_PLANT_FROM = "abcdefghijklmnopqrstuvwxyz"
+_HY_PLANT_TO = "աբցդեֆգհիջկլմնոպքրստւվշըյզ"
+
+
+def ft_snowball_armenian(sf_dir: str) -> pa.Table:
+    """SnowballFilter(Armenian) (snowball/ext/ArmenianStemmer.java:13,
+    the hy/ArmenianAnalyzer.java:119 default stemmer): planted Armenian
+    via per-char transliteration (vowels a e i o u -> ա ե ի ո ւ plus
+    x -> ը) so the noun/verb/adjective/ending classes fire (-er -> եր,
+    -al -> ալ, -an -> ան, -ous -> ուս, ...)."""
+    from ..snowball2 import armenian_stem
+    plant = str.maketrans(_HY_PLANT_FROM, _HY_PLANT_TO)
+    return _rawtok_stats(
+        sf_dir,
+        lambda tx, d: [armenian_stem(w.translate(plant))
+                       for w in _words(tx)])
+
+
+def oracle_snowball_armenian_sql() -> str:
+    from ..snowball2 import _HY_ADJ, _HY_ENDING, _HY_NOUN, _HY_VERB
+    v = "աեէըիուօ"
+
+    def r2_gate(sfx, act, k):
+        return (f"CASE WHEN length(word) - {k} >= p2 "
+                f"THEN {k} ELSE 0 END")
+
+    ending = _sb_del_case("word", _HY_ENDING, "pv", r2_gate)
+    verb = _sb_del_case("word", _HY_VERB, "pv")
+    adj = _sb_del_case("word", _HY_ADJ, "pv")
+    noun = _sb_del_case("word", _HY_NOUN, "pv")
+    return f"""{_sb_words_cte()}, wp AS (
+  SELECT d, translate(word, '{_HY_PLANT_FROM}', '{_HY_PLANT_TO}') AS word
+  FROM w0 WHERE word <> ''
+), w AS (
+  SELECT d, word, {_sb_pv_expr('word', v)} AS pv,
+         {_sb_p_std('word', v, True)} AS p2
+  FROM wp
+), g1 AS (
+  SELECT d, pv, p2, {ending} AS dl, word FROM w
+), s1 AS (
+  SELECT d, pv, p2, substr(word, 1, length(word) - dl) AS word FROM g1
+), g2 AS (
+  SELECT d, pv, p2, {verb} AS dl, word FROM s1
+), s2 AS (
+  SELECT d, pv, p2, substr(word, 1, length(word) - dl) AS word FROM g2
+), g3 AS (
+  SELECT d, pv, p2, {adj} AS dl, word FROM s2
+), s3 AS (
+  SELECT d, pv, p2, substr(word, 1, length(word) - dl) AS word FROM g3
+), g4 AS (
+  SELECT d, pv, {noun} AS dl, word FROM s3
+), fin AS (
+  SELECT d, substr(word, 1, length(word) - dl) AS term FROM g4
+)
+{_RSLP_TAIL}"""
