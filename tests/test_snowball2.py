@@ -135,3 +135,133 @@ def test_registered_chains():
         assert lang in TOKEN_FILTERS
     hy = TOKEN_FILTERS["armenian"]
     assert hy(["այդ", "արծիվներ"]) == [None, "արծ"]
+
+
+def _check_goldens(stem, lang_dir: str, test_file: str, minimum: int):
+    pairs = _golden_pairs(lang_dir, test_file)
+    assert len(pairs) >= minimum
+    for word, want in pairs:
+        if word == want:        # stem-exclusion battery rows
+            continue
+        assert stem(word) == want, (word, want)
+
+
+# --- Irish (IrishStemmer.java:13) ---
+
+def test_irish_reference_goldens():
+    from lucene_ray.snowball2 import irish_stem
+    _check_goldens(irish_stem, "ga", "TestIrishAnalyzer.java", 4)
+
+
+def test_irish_branches():
+    from lucene_ray.snowball2 import irish_stem as st
+    # initial mutations / eclipsis rewrites (find_among forward)
+    assert st("n-athair") == "athair"
+    assert st("fhearr") == "fearr"
+    assert st("bhfuil") == "fuil"
+    assert st("gcarr") == "carr"
+    assert st("tsagart") == "sagart"
+    # deriv substitutions fire without a region gate
+    assert st("síceapatacha") == "síceapaite"
+    # noun act 1 needs R1, act 2 needs R2
+    assert st("siopadóireacht") == "siopadóir"
+
+
+# --- Basque (BasqueStemmer.java:13) ---
+
+def test_basque_reference_goldens():
+    from lucene_ray.snowball2 import basque_stem
+    _check_goldens(basque_stem, "eu", "TestBasqueAnalyzer.java", 4)
+
+
+def test_basque_branches():
+    from lucene_ray.snowball2 import basque_stem as st
+    assert st("zaldiak") == "zaldi"
+    assert st("mendiari") == "mendi"
+    # izenak repeats: two case endings come off one after the other
+    assert st("etxekoa") == "etxe"      # -ko then -a (genitive chain)
+
+
+# --- Nepali (NepaliStemmer.java:13) ---
+
+def test_nepali_reference_goldens():
+    from lucene_ray.snowball2 import nepali_stem
+    pairs = [(w, want)
+             for w, want in _golden_pairs("ne", "TestNepaliAnalyzer.java")
+             if any("ऀ" <= ch <= "ॿ" for ch in w)
+             and any("ऀ" <= ch <= "ॿ" for ch in want)]
+    assert len(pairs) >= 2     # the rest exercise lowercase/digit folds
+    for word, want in pairs:
+        if word == want:
+            continue
+        assert nepali_stem(word) == want, (word, want)
+
+
+def test_nepali_branches():
+    from lucene_ray.snowball2 import nepali_stem as st
+    assert st("मित्रहरु") == "मित्र"
+    # category-1 को survives after े (the ए/े guard)
+    assert st("गरेको") == "गर"          # cat1 guarded, cat3 एको fires
+    # the loop strips category-3 suffixes repeatedly
+    assert st("गरेका") == "गर"
+
+
+# --- Romanian (RomanianStemmer.java:13) ---
+
+def test_romanian_reference_goldens():
+    from lucene_ray.snowball2 import romanian_stem
+    _check_goldens(romanian_stem, "ro", "TestRomanianAnalyzer.java", 4)
+
+
+def test_romanian_branches():
+    from lucene_ray.snowball2 import romanian_stem as st
+    # r_norm folds cedilla forms before anything else
+    assert st("absenţa") == st("absența") == "absenț"
+    # u/i between vowels are protected, then unprotected by postlude
+    # (the protected I blocks the a_6 'ie' vowel-suffix match; only the
+    # final 'e' comes off)
+    assert st("groaie") == "groai"
+    # verb suffix 'ut' needs a non-vowel (or u) before it, inside RV
+    assert st("absolut") == "absol"
+
+
+# --- Lithuanian (LithuanianStemmer.java:13) ---
+
+def test_lithuanian_reference_battery():
+    """The full 372-pair wikipedia/corpus battery
+    (TestLithuanianStemming.java:56-...)."""
+    from lucene_ray.snowball2 import lithuanian_stem as st
+    src = (REF / "test/org/apache/lucene/analysis/lt/"
+           "TestLithuanianStemming.java").read_text()
+    pairs = re.findall(r'checkOneTerm\(a, "([^"]*)", "([^"]*)"\)', src)
+    assert len(pairs) == 372
+    for word, want in pairs:
+        assert st(word) == want, (word, want)
+
+
+def test_lithuanian_branches():
+    from lucene_ray.snowball2 import lithuanian_stem as st
+    # fix_chdz after the steps: trailing č -> t
+    assert st("vaikščioti") == "vaikšt"
+    # a word > 6 chars starting with 'a' marks R1 from index 1: arkliai
+    # has no non-vowel after the post-shift vowel run, so R1 is empty
+    # and the ending survives (without the shift 'iai' would come off)
+    assert st("arkliai") == "arkliai"
+    assert st("akmenys") == "akmen"
+
+
+# --- Catalan (CatalanStemmer.java:13) ---
+
+def test_catalan_reference_goldens():
+    from lucene_ray.snowball2 import catalan_stem
+    _check_goldens(catalan_stem, "ca", "TestCatalanAnalyzer.java", 3)
+
+
+def test_catalan_branches():
+    from lucene_ray.snowball2 import catalan_stem as st
+    assert st("llengües") == "llengu"
+    assert st("llengua") == "llengu"
+    # cleaning deaccents at the very end
+    assert st("perquè") == "perque"
+    # verb pass is tried only when the standard pass failed
+    assert st("cantaria") == "cant"
