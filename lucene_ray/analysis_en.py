@@ -563,6 +563,14 @@ def _register_light_stemmers() -> None:
             if _stop is not None:
                 TOKEN_FILTERS[_lang] = _as_token_filter(
                     lambda w, _s=_stop, _f=_fn: None if w in _s else _f(w))
+    # sr/SerbianAnalyzer.java:133 runs SerbianNormalizationFilter AFTER
+    # the stemmer; the 'serbian' chain mirrors that order
+    from .langnorm import serbian_normalize
+    from .snowball2 import serbian_stem
+    _sr_stop = _sbstops2.SERBIAN_STOP
+    TOKEN_FILTERS["serbian"] = _as_token_filter(
+        lambda w: None if w in _sr_stop
+        else serbian_normalize(serbian_stem(w)))
 
 
 _register_light_stemmers()

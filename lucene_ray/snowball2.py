@@ -431,6 +431,699 @@ def catalan_stem(w: str) -> str:
     return w.translate(_CA_CLEAN)
 
 
+# ---------------------------------------------------------------------------
+# Hungarian (snowball/ext/HungarianStemmer.java:13, Snowball 2.2)
+#
+# R1 for a vowel-initial word starts after the first consonant — where
+# "consonant" swallows a whole digraph from a_0 (cs/dzs/gy/...,
+# r_mark_regions lab4); for a consonant-initial word it starts after
+# the first vowel.  Nine suffix families run in a fixed order, each
+# once, all R1-gated post-commit; instrum/factive additionally require
+# a doubled consonant (a_2, checked BEFORE the suffix comes off) and
+# undouble it by dropping the second-to-last char.
+
+_HU_VOWELS = frozenset("aeiouáéíóöúüőű")
+_HU_DIGRAPHS = tuple(sorted((r[0] for r in _d.HUNGARIAN["a_0"]),
+                            key=len, reverse=True))
+_HU_DOUBLES = tuple(sorted((r[0] for r in _d.HUNGARIAN["a_2"]),
+                           key=len, reverse=True))
+_HU_V_ENDING = _amongs(_d.HUNGARIAN, "a_1")
+_HU_INSTRUM = _amongs(_d.HUNGARIAN, "a_3")
+_HU_CASE = _amongs(_d.HUNGARIAN, "a_4")
+_HU_CASE_SPECIAL = _amongs(_d.HUNGARIAN, "a_5")
+_HU_CASE_OTHER = _amongs(_d.HUNGARIAN, "a_6")
+_HU_FACTIVE = _amongs(_d.HUNGARIAN, "a_7")
+_HU_PLURAL = _amongs(_d.HUNGARIAN, "a_8")
+_HU_OWNED = _amongs(_d.HUNGARIAN, "a_9")
+_HU_SING_OWNER = _amongs(_d.HUNGARIAN, "a_10")
+_HU_PLUR_OWNER = _amongs(_d.HUNGARIAN, "a_11")
+
+
+def _hu_p1(w: str) -> int:
+    n = len(w)
+    if n == 0:
+        return 0
+    if w[0] in _HU_VOWELS:
+        i = 1
+        while i < n and w[i] in _HU_VOWELS:
+            i += 1
+        if i >= n:
+            return n
+        for dg in _HU_DIGRAPHS:
+            if w.startswith(dg, i):
+                return i + len(dg)
+        return i + 1
+    i = 1
+    while i < n and w[i] not in _HU_VOWELS:
+        i += 1
+    return i + 1 if i < n else n
+
+
+def hungarian_stem(w: str) -> str:
+    p1 = _hu_p1(w)
+
+    def sub(word: str, table, acts: dict) -> str:
+        m = _longest(word, 0, table)
+        if m is not None:
+            sfx, act = m
+            start = len(word) - len(sfx)
+            if start >= p1:
+                return word[:start] + acts[act]
+        return word
+
+    def doubled(word: str, table) -> str:
+        m = _longest(word, 0, table)
+        if m is not None:
+            start = len(word) - len(m[0])
+            if start >= p1 and any(
+                    word[:start].endswith(dc) for dc in _HU_DOUBLES):
+                word = word[:start]
+                return word[:-2] + word[-1]     # undouble
+        return word
+
+    w = doubled(w, _HU_INSTRUM)
+    m = _longest(w, 0, _HU_CASE)
+    if m is not None:
+        start = len(w) - len(m[0])
+        if start >= p1:
+            w = w[:start]
+            # v_ending: trailing á/é (in R1) normalizes to a/e
+            v = _longest(w, 0, _HU_V_ENDING)
+            if v is not None and len(w) - 1 >= p1:
+                w = w[:-1] + ("a" if v[1] == 1 else "e")
+    w = sub(w, _HU_CASE_SPECIAL, {1: "e", 2: "a"})
+    w = sub(w, _HU_CASE_OTHER, {1: "", 2: "a", 3: "e"})
+    w = doubled(w, _HU_FACTIVE)
+    w = sub(w, _HU_OWNED, {1: "", 2: "e", 3: "a"})
+    w = sub(w, _HU_SING_OWNER, {1: "", 2: "a", 3: "e"})
+    w = sub(w, _HU_PLUR_OWNER, {1: "", 2: "a", 3: "e"})
+    w = sub(w, _HU_PLURAL, {1: "a", 2: "e", 3: ""})
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Estonian (snowball/ext/EstonianStemmer.java:13)
+#
+# verb_exceptions replaces a full-word match and STOPS (SnowballFilter
+# ignores stem()'s false return, SnowballFilter.java:98).  R1 is
+# standard; the suffix passes match INSIDE R1 (limit_backward = I_p1)
+# but their guards (preceding-char groupings, the start>=4 length
+# floor, LONGV) run with the limit restored, i.e. unrestricted.
+# Order: emphasis; verb OR substantive (special nouns, case endings,
+# first-three plural cases, degrees, i-plural, nu); undouble kk/pp/tt
+# after a final V1 vowel.
+
+_ET_V1 = frozenset("aeiouäõöü")
+_ET_RV = frozenset("aeiou")
+_ET_KI = frozenset("bdfghkpstzšž")
+_ET_GI = frozenset("aceijlmnoqruvwxäõöü")
+_ET_LONGV = tuple(r[0] for r in _d.ESTONIAN["a_2"])
+_ET_EMPHASIS = _amongs(_d.ESTONIAN, "a_0")
+_ET_VERB = _amongs(_d.ESTONIAN, "a_1")
+_ET_IPLURAL = _amongs(_d.ESTONIAN, "a_3")
+_ET_SPECIAL = _amongs(_d.ESTONIAN, "a_4")
+_ET_SPECIAL_SUB = {1: "lase", 2: "mise", 3: "lise"}
+_ET_CASE = _amongs(_d.ESTONIAN, "a_5")
+_ET_A6 = _amongs(_d.ESTONIAN, "a_6")
+_ET_PLUR3 = _amongs(_d.ESTONIAN, "a_7")
+_ET_NU = _amongs(_d.ESTONIAN, "a_8")
+_ET_KPT = _amongs(_d.ESTONIAN, "a_9")
+_ET_DEGREES = _amongs(_d.ESTONIAN, "a_10")
+_ET_EXC_SUB = {1: "joo", 2: "saa", 3: "viima", 4: "keesi", 5: "löö",
+               6: "lõi", 7: "loo", 8: "käisi", 9: "söö", 10: "too",
+               11: "võisi", 12: "jääma", 13: "müüsi", 14: "luge",
+               15: "põde", 16: "ladu", 17: "tegi", 18: "nägi"}
+_ET_EXC = {r[0]: _ET_EXC_SUB[r[1]] for r in _d.ESTONIAN["a_11"]}
+
+
+def _et_longv(head: str) -> bool:
+    return any(head.endswith(p) for p in _ET_LONGV)
+
+
+def estonian_stem(w: str) -> str:
+    exc = _ET_EXC.get(w)
+    if exc is not None:
+        return exc
+    p1 = _std_regions(w, _ET_V1)[0]
+
+    # emphasis: -gi / -ki (start >= 4; gi needs a GI char before and
+    # no long vowel; ki needs a KI char before)
+    m = _longest(w, p1, _ET_EMPHASIS)
+    if m is not None:
+        sfx, act = m
+        start = len(w) - len(sfx)
+        head = w[:start]
+        if start >= 4 and start >= 1:
+            if act == 1:
+                if w[start - 1] in _ET_GI and not _et_longv(head):
+                    w = head
+            elif w[start - 1] in _ET_KI:
+                w = head
+
+    # verb, else the substantive chain
+    verbed = False
+    m = _longest(w, p1, _ET_VERB)
+    if m is not None:
+        sfx, act = m
+        start = len(w) - len(sfx)
+        if act == 1:
+            w, verbed = w[:start], True
+        elif act == 2:
+            w, verbed = w[:start] + "a", True
+        elif start >= 1 and w[start - 1] in _ET_V1:
+            w, verbed = w[:start], True
+    if not verbed:
+        m = _longest(w, p1, _ET_SPECIAL)
+        if m is not None:
+            sfx, act = m
+            w = w[:len(w) - len(sfx)] + _ET_SPECIAL_SUB[act]
+        m = _longest(w, p1, _ET_CASE)
+        if m is not None:
+            sfx, act = m
+            start = len(w) - len(sfx)
+            head = w[:start]
+            if act == 1:
+                if start >= 1 and (w[start - 1] in _ET_RV
+                                   or _et_longv(head)):
+                    w = head
+            elif start >= 4:
+                w = head
+        m = _longest(w, p1, _ET_PLUR3)
+        if m is not None:
+            sfx, act = m
+            start = len(w) - len(sfx)
+            head = w[:start]
+            if act == 1:
+                w = head + "iku"
+            elif act == 2:
+                if not _et_longv(head):
+                    w = head
+            elif act == 3:
+                if start >= 4:
+                    a6 = _longest(head, 0, _ET_A6)
+                    if a6 is not None:          # '' always matches
+                        if a6[1] == 1:
+                            w = head + "e"
+                        elif a6[1] == 2:
+                            w = head
+                else:
+                    w = head + "t"
+            elif start >= 1 and (w[start - 1] in _ET_RV
+                                 or _et_longv(head)):
+                w = head
+        m = _longest(w, p1, _ET_DEGREES)
+        if m is not None:
+            sfx, act = m
+            start = len(w) - len(sfx)
+            if act == 2:
+                w = w[:start]
+            elif start >= 1 and w[start - 1] in _ET_RV:
+                w = w[:start]
+        m = _longest(w, p1, _ET_IPLURAL)
+        if m is not None:
+            start = len(w) - len(m[0])
+            if start >= 1 and w[start - 1] in _ET_RV:
+                w = w[:start]
+        m = _longest(w, p1, _ET_NU)
+        if m is not None:
+            w = w[:len(w) - len(m[0])]
+
+    # undouble kk/pp/tt before a final V1 vowel, end inside R1
+    if (len(w) >= 1 and w[-1] in _ET_V1 and len(w) - 1 >= p1
+            and w[-3:-1] in ("kk", "pp", "tt")):
+        w = w[:-2] + w[-1]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Tamil (snowball/ext/TamilStemmer.java:13)
+#
+# No regions; instead a min-length floor (>4, re-checked per pass) and
+# two global flags.  fix_ending normalizes one ending (a_5 with
+# per-case lookbehind guards; a failed guard falls through to the
+# pulli route) and fix_endings repeats it to a fixpoint; prefixes
+# (question/pronoun) strip <head><consonant>் and re-fix a va- start;
+# then question/um/common/vetrumai/plural/command suffix families run
+# once each (most re-fixing endings), and tense suffixes repeat until
+# no match.  B_found_vetrumai_urupu gates fix_ending's ம்-case.
+
+_TA = {k: _amongs(_d.TAMIL, k) for k in _d.TAMIL}
+_TA1_SET = frozenset(r[0] for r in _d.TAMIL["a_1"])
+_TA10_SET = frozenset(r[0] for r in _d.TAMIL["a_10"])
+_TA11_SET = frozenset(r[0] for r in _d.TAMIL["a_11"])
+
+
+def _ta_ends(head: str, key: str) -> bool:
+    return _longest(head, 0, _TA[key]) is not None
+
+
+def _ta_fix_va_start(w: str) -> str:
+    for pfx, rep in (("வோ", "ஓ"), ("வொ", "ஒ"), ("வு", "உ"),
+                     ("வூ", "ஊ")):
+        if w.startswith(pfx):
+            return rep + w[2:]
+    return w
+
+
+def _ta_try_a5(w: str, found_vetrumai: bool) -> str | None:
+    m = _longest(w, 0, _TA["a_5"])
+    if m is None:
+        return None
+    sfx, act = m
+    head = w[:len(w) - len(sfx)]
+    if act == 1:
+        return head
+    if act == 2:
+        return head if _ta_ends(head, "a_2") else None
+    if act == 3:
+        return head + "ள்"
+    if act == 4:
+        return head + "ல்"
+    if act == 5:
+        return head + "டு"
+    if act == 6:
+        if not found_vetrumai or head.endswith("ை"):
+            return None
+        return head + "ம்"
+    if act == 7:
+        return head + "்"
+    if act == 8:
+        return None if _ta_ends(head, "a_3") else head
+    # act 9 (ங்): preceded by ை/் -> delete, else -> ம்
+    c = _longest(head, 0, _TA["a_4"])
+    return head if c[1] == 1 else head + "ம்"
+
+
+def _ta_fix_ending(w: str, found_vetrumai: bool) -> str | None:
+    """One r_fix_ending pass; None = rule failed (no change)."""
+    if len(w) <= 3:
+        return None
+    r = _ta_try_a5(w, found_vetrumai)
+    if r is not None:
+        return r
+    if not w.endswith("்"):
+        return None
+    head = w[:-1]
+    m6 = _longest(head, 0, _TA["a_6"])
+    if m6 is not None:
+        h2 = head[:len(head) - len(m6[0])]
+        if h2.endswith("்"):
+            m7 = _longest(h2[:-1], 0, _TA["a_7"])
+            if m7 is not None:
+                h2 = h2[:-1 - len(m7[0])]
+        return h2
+    m8 = _longest(head, 0, _TA["a_8"])
+    if m8 is not None:
+        h2 = head[:len(head) - len(m8[0])]
+        if h2.endswith("்"):
+            return h2                   # the checked pulli survives
+    if _ta_ends(head, "a_9"):
+        return head                     # only the final pulli goes
+    return None
+
+
+def _ta_fix_endings(w: str, found_vetrumai: bool) -> str:
+    while True:
+        r = _ta_fix_ending(w, found_vetrumai)
+        if r is None:
+            return w
+        w = r
+
+
+def _ta_remove_vetrumai(w: str) -> tuple[str, bool]:
+    if len(w) <= 4:
+        return w, False
+    new = None
+    m = _longest(w, 0, _TA["a_20"])
+    if m is not None:
+        sfx, act = m
+        head = w[:len(w) - len(sfx)]
+        if act == 1:
+            new = head
+        elif act == 2:
+            new = head + "்"
+        elif act == 3 and not head.endswith("ம"):
+            new = head + "்"
+        elif act == 4 and len(w) >= 7:
+            new = head + "்"
+        elif act == 5 and not _ta_ends(head, "a_18"):
+            new = head + "்"
+        elif act == 6 and not _ta_ends(head, "a_19"):
+            new = head
+        elif act == 7:
+            new = head + "ி"
+    if new is None:
+        if not w.endswith("ை"):
+            return w, False
+        head = w[:-1]
+        if _ta_ends(head, "a_21"):
+            m22 = _longest(head, 0, _TA["a_22"])
+            if m22 is None or not head[:len(head)
+                                       - len(m22[0])].endswith("்"):
+                return w, False
+        new = head + "்"
+    w = new
+    if w.endswith("ின்"):
+        w = w[:-3] + "்"
+    return _ta_fix_endings(w, True), True
+
+
+def _ta_remove_tense_suffix(w: str,
+                            found_vetrumai: bool) -> tuple[str, bool]:
+    if len(w) <= 4:
+        return w, False
+    found = False
+    m = _longest(w, 0, _TA["a_25"])
+    if m is not None:
+        sfx, act = m
+        head = w[:len(w) - len(sfx)]
+        if act == 1:
+            w, found = head, True
+        elif act == 2:
+            if not _ta_ends(head, "a_23"):
+                w, found = head, True
+        elif act == 3:
+            if not _ta_ends(head, "a_24"):
+                w, found = head, True
+        elif act == 4:
+            if not head.endswith("ச"):
+                w, found = head + "்", True
+        elif act == 5:
+            w, found = head + "்", True
+        elif head.endswith("்"):        # act 6
+            w, found = head, True
+    m = _longest(w, 0, _TA["a_26"])
+    if m is not None:
+        w, found = w[:len(w) - len(m[0])], True
+    return _ta_fix_endings(w, found_vetrumai), found
+
+
+def tamil_stem(w: str) -> str:
+    found_vetrumai = False
+    r = _ta_fix_ending(w, found_vetrumai)
+    if r is not None:
+        w = r
+    if len(w) <= 4:
+        return w
+    # question / pronoun prefixes: <marker><consonant>் comes off
+    if len(w) >= 3 and w[0] == "எ" and w[1] in _TA1_SET and w[2] == "்":
+        w = _ta_fix_va_start(w[3:])
+    if (len(w) >= 3 and w[0] in _TA10_SET and w[1] in _TA11_SET
+            and w[2] == "்"):
+        w = _ta_fix_va_start(w[3:])
+    # question suffixes
+    if len(w) > 4:
+        m = _longest(w, 0, _TA["a_14"])
+        if m is not None:
+            w = w[:len(w) - len(m[0])] + "்"
+        w = _ta_fix_endings(w, found_vetrumai)
+    # -um
+    if len(w) > 4 and w.endswith("ும்"):
+        w = w[:-3] + "்"
+        r = _ta_fix_ending(w, found_vetrumai)
+        if r is not None:
+            w = r
+    # common word endings
+    if len(w) > 4:
+        m = _longest(w, 0, _TA["a_17"])
+        if m is not None:
+            sfx, act = m
+            head = w[:len(w) - len(sfx)]
+            if act == 1:
+                w = _ta_fix_endings(head + "்", found_vetrumai)
+            elif act == 2:
+                if not _ta_ends(head, "a_16"):
+                    w = _ta_fix_endings(head + "்", found_vetrumai)
+            else:
+                w = _ta_fix_endings(head, found_vetrumai)
+    # vetrumai urupukal (case markers); sets the global flag
+    w, found_vetrumai = _ta_remove_vetrumai(w)
+    # plural (no min-length recheck, TamilStemmer.java:584)
+    m = _longest(w, 0, _TA["a_13"])
+    if m is not None:
+        sfx, act = m
+        head = w[:len(w) - len(sfx)]
+        if act == 1:
+            w = head + ("ுங்" if _ta_ends(head, "a_12") else "்")
+        elif act == 2:
+            w = head + "ல்"
+        elif act == 3:
+            w = head + "ள்"
+        else:
+            w = head
+    # command suffixes
+    if len(w) > 4:
+        m = _longest(w, 0, _TA["a_15"])
+        if m is not None:
+            w = w[:len(w) - len(m[0])]
+    # tense suffixes, repeated until none matches
+    found = True
+    while found:
+        w, found = _ta_remove_tense_suffix(w, found_vetrumai)
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Serbian (snowball/ext/SerbianStemmer.java:13)
+#
+# cyr_to_lat transliterates Cyrillic; prelude folds (C)ije(C)/(C)je(C)
+# to e and dj to đ; R1 = after the first vowel (re-marked after a
+# leading-vowel or syllabic-r adjustment); B_no_diacritics gates the
+# ASCII-variant substitutions.  Step_1 runs without R1; Step_2 (R1,
+# else Step_3: R1 delete) follows.  The huge case->replacement maps
+# are GENERATED into snowball2_sub_data (re-extraction equality test).
+
+from . import snowball2_sub_data as _sd
+
+_SR_CYR_SUB = {1: "a", 2: "b", 3: "v", 4: "g", 5: "d", 6: "đ",
+               7: "e", 8: "ž", 9: "z", 10: "i", 11: "j", 12: "k",
+               13: "l", 14: "lj", 15: "m", 16: "n", 17: "nj",
+               18: "o", 19: "p", 20: "r", 21: "s", 22: "t",
+               23: "ć", 24: "u", 25: "f", 26: "h", 27: "c",
+               28: "č", 29: "dž", 30: "š"}
+_SR_CYR = {r[0]: _SR_CYR_SUB[r[1]] for r in _d.SERBIAN["a_0"]}
+_SR_VOWELS = frozenset("aeiou")
+_SR_SA = frozenset("ćčđšž")
+_SR_CA = frozenset("bcdfghjklmnprstvzćčđšž")
+_SR_STEP1 = _amongs(_d.SERBIAN, "a_1")
+_SR_STEP2 = _amongs(_d.SERBIAN, "a_2")
+_SR_STEP3 = _amongs(_d.SERBIAN, "a_3")
+
+
+def _sr_fold_j(w: str, pat: str) -> str:
+    i, k = 0, len(pat)
+    while i + k + 1 < len(w):
+        if (w[i] in _SR_CA and w.startswith(pat, i + 1)
+                and w[i + 1 + k] in _SR_CA):
+            w = w[:i + 1] + "e" + w[i + 1 + k:]
+        else:
+            i += 1
+    return w
+
+
+def serbian_stem(w: str) -> str:
+    w = "".join(_SR_CYR.get(ch, ch) for ch in w)
+    w = _sr_fold_j(w, "ije")
+    w = _sr_fold_j(w, "je")
+    w = w.replace("dj", "đ")
+    n = len(w)
+    no_diacritics = not any(ch in _SR_SA for ch in w)
+    p1 = n
+    i = 0
+    while i < n and w[i] not in _SR_VOWELS:
+        i += 1
+    if i < n:
+        p1 = i + 1
+        if p1 < 2:
+            j = p1
+            while j < n and w[j] in _SR_VOWELS:
+                j += 1
+            if j < n:
+                p1 = j + 1
+    r_pos = w.find("r")
+    if r_pos != -1:
+        c = r_pos + 1
+        ok = True
+        if c < 2:
+            j = c
+            while j < n and w[j] == "r":
+                j += 1
+            if j < n:
+                c = j + 1
+            else:
+                ok = False
+        if ok and p1 - c > 1:
+            p1 = c
+
+    m = _longest(w, 0, _SR_STEP1)
+    if m is not None:
+        sfx, act = m
+        rep, nd = _sd.SERBIAN_STEP1[act]
+        if not nd or no_diacritics:
+            w = w[:len(w) - len(sfx)] + rep
+    done = False
+    m = _longest(w, 0, _SR_STEP2)
+    if m is not None:
+        sfx, act = m
+        if len(w) - len(sfx) >= p1:
+            rep, nd = _sd.SERBIAN_STEP2[act]
+            if not nd or no_diacritics:
+                w = w[:len(w) - len(sfx)] + rep
+                done = True
+    if not done:
+        m = _longest(w, 0, _SR_STEP3)
+        if m is not None and len(w) - len(m[0]) >= p1:
+            w = w[:len(w) - len(m[0])]
+    return w
+
+
+# ---------------------------------------------------------------------------
+# Finnish (snowball/ext/FinnishStemmer.java:13)
+#
+# Standard R1/R2.  The suffix families match INSIDE R1 (or R2 for
+# other_endings / the a_9 tail of t_plural); most guards run with the
+# limit restored, but the a_6 among CONDITIONS (r_VI / r_LONG on
+# den/seen/tten/siin) are evaluated during the restricted match, and a
+# failed condition falls back along the among parent chain — for all
+# four entries that parent is "n" (act 7).  tidy's first four rules
+# are R1-restricted; the final undouble (last non-vowel doubled) is
+# unrestricted.
+
+_FI_V1 = frozenset("aeiouyäö")
+_FI_V2 = frozenset("aeiouäö")
+_FI_AEI = frozenset("aeiä")
+_FI_C = frozenset("bcdfghjklmnpqrstvwxz")
+_FI_PARTICLE_END = frozenset("aeinotuyäö")
+_FI_LONGV = tuple(r[0] for r in _d.FINNISH["a_5"])
+_FI_A0 = _amongs(_d.FINNISH, "a_0")
+_FI_A1 = _amongs(_d.FINNISH, "a_1")
+_FI_A2 = _amongs(_d.FINNISH, "a_2")
+_FI_A3 = _amongs(_d.FINNISH, "a_3")
+_FI_A4 = _amongs(_d.FINNISH, "a_4")
+_FI_A6 = tuple(sorted(_d.FINNISH["a_6"], key=lambda t: -len(t[0])))
+_FI_A7 = _amongs(_d.FINNISH, "a_7")
+_FI_A8 = _amongs(_d.FINNISH, "a_8")
+_FI_A9 = _amongs(_d.FINNISH, "a_9")
+_FI_CASE_VOWEL = {1: "a", 2: "e", 3: "i", 4: "o", 5: "ä", 6: "ö"}
+
+
+def _fi_case_match(w: str, p1: int) -> tuple[int, int] | None:
+    n = len(w)
+    for row in _FI_A6:
+        sfx = row[0]
+        start = n - len(sfx)
+        if start < p1 or not w.endswith(sfx):
+            continue
+        if len(row) == 2:
+            return start, row[1]
+        if row[2] == "r_LONG":
+            ok = start - 2 >= p1 and w[start - 2:start] in _FI_LONGV
+        else:                           # r_VI: V2 vowel then i
+            ok = (start - 2 >= p1 and w[start - 1] == "i"
+                  and w[start - 2] in _FI_V2)
+        if ok:
+            return start, row[1]
+        return n - 1, 7                 # parent chain: "n"
+    return None
+
+
+def finnish_stem(w: str) -> str:
+    p1, p2 = _std_regions(w, _FI_V1)
+    ending_removed = False
+
+    # particle etc.
+    m = _longest(w, p1, _FI_A0)
+    if m is not None:
+        sfx, act = m
+        start = len(w) - len(sfx)
+        if act == 1:
+            if start >= 1 and w[start - 1] in _FI_PARTICLE_END:
+                w = w[:start]
+        elif start >= p2:
+            w = w[:start]
+    # possessive
+    m = _longest(w, p1, _FI_A4)
+    if m is not None:
+        sfx, act = m
+        head = w[:len(w) - len(sfx)]
+        if act == 1:
+            if not head.endswith("k"):
+                w = head
+        elif act == 2:
+            w = head
+            if w.endswith("kse"):
+                w = w[:-1] + "i"
+        elif act == 3:
+            w = head
+        elif act == 4:
+            if _longest(head, 0, _FI_A1) is not None:
+                w = head
+        elif act == 5:
+            if _longest(head, 0, _FI_A2) is not None:
+                w = head
+        elif _longest(head, 0, _FI_A3) is not None:
+            w = head
+    # case ending
+    r = _fi_case_match(w, p1)
+    if r is not None:
+        start, act = r
+        head = w[:start]
+        delete = False
+        if act in _FI_CASE_VOWEL:
+            delete = head.endswith(_FI_CASE_VOWEL[act])
+        elif act == 7:
+            if start >= 2 and (head[-2:] in _FI_LONGV
+                               or head[-2:] == "ie"):
+                start -= 1
+                head = w[:start]
+            delete = True
+        elif act == 8:
+            delete = (len(head) >= 2 and head[-1] in _FI_V1
+                      and head[-2] in _FI_C)
+        else:                           # unconditioned (-1) entries
+            delete = True
+        if delete:
+            w = head
+            ending_removed = True
+    # other endings (comparatives), in R2
+    m = _longest(w, p2, _FI_A7)
+    if m is not None:
+        sfx, act = m
+        start = len(w) - len(sfx)
+        if act != 1 or not w[:start].endswith("po"):
+            w = w[:start]
+    # i_plural when a case ending came off, else t_plural
+    if ending_removed:
+        m = _longest(w, p1, _FI_A8)
+        if m is not None:
+            w = w[:-1]
+    else:
+        if (len(w) >= 2 and w.endswith("t") and len(w) - 2 >= p1
+                and w[-2] in _FI_V1):
+            w = w[:-1]
+            m = _longest(w, p2, _FI_A9)
+            if m is not None:
+                sfx, act = m
+                start = len(w) - len(sfx)
+                if act != 1 or not w[:start].endswith("po"):
+                    w = w[:start]
+    # tidy
+    if len(w) - 2 >= p1 and w[-2:] in _FI_LONGV:
+        w = w[:-1]
+    if (len(w) - 2 >= p1 and w[-1] in _FI_AEI and w[-2] in _FI_C):
+        w = w[:-1]
+    if len(w) - 2 >= p1 and w.endswith(("oj", "uj")):
+        w = w[:-1]
+    if len(w) - 2 >= p1 and w.endswith("jo"):
+        w = w[:-1]
+    q = len(w)
+    while q > 0 and w[q - 1] in _FI_V1:
+        q -= 1
+    if q >= 2 and w[q - 1] in _FI_C and w[q - 2] == w[q - 1]:
+        w = w[:q - 1] + w[q:]
+    return w
+
+
 SNOWBALL2_STEMMERS = {
     "snowball_armenian": armenian_stem,
     "snowball_irish": irish_stem,
@@ -439,4 +1132,9 @@ SNOWBALL2_STEMMERS = {
     "snowball_romanian": romanian_stem,
     "snowball_lithuanian": lithuanian_stem,
     "snowball_catalan": catalan_stem,
+    "snowball_hungarian": hungarian_stem,
+    "snowball_estonian": estonian_stem,
+    "snowball_tamil": tamil_stem,
+    "snowball_serbian": serbian_stem,
+    "snowball_finnish": finnish_stem,
 }

@@ -250,6 +250,153 @@ def test_lithuanian_branches():
     assert st("akmenys") == "akmen"
 
 
+# --- Hungarian (HungarianStemmer.java:13) ---
+
+def test_hungarian_reference_goldens():
+    from lucene_ray.snowball2 import hungarian_stem
+    _check_goldens(hungarian_stem, "hu", "TestHungarianAnalyzer.java", 3)
+
+
+def test_hungarian_branches():
+    from lucene_ray.snowball2 import hungarian_stem as st
+    # instrum: -val/-vel assimilated to a double consonant, undoubled
+    assert st("házakkal") == "ház"
+    assert st("házzal") == "ház"
+    assert st("fákkal") == "fák"
+    # case endings (with the v_ending á->a normalization inside)
+    assert st("házát") == "ház"
+    assert st("házával") == "ház"
+    # R1 for a vowel-initial word swallows a whole digraph
+    assert st("asszonnyal") == "asszony"
+
+
+# --- Estonian (EstonianStemmer.java:13) ---
+
+def test_estonian_reference_goldens():
+    from lucene_ray.snowball2 import estonian_stem
+    _check_goldens(estonian_stem, "et", "TestEstonianAnalyzer.java", 19)
+
+
+def test_estonian_branches():
+    from lucene_ray.snowball2 import estonian_stem as st
+    # full-word verb exceptions replace and stop
+    assert st("joob") == "joo"
+    assert st("tegime") == "tegi"
+    assert st("nägid") == "nägi"
+    # emphasis -gi after a GI letter (vowels qualify); -ki needs a KI
+    # consonant, so autoki survives
+    assert st("autogi") == "auto"
+    assert st("autoki") == "autoki"
+    # emphasis then the nu-rule (-tu) on the remainder
+    assert st("raamatugi") == "raama"
+    # undouble kk/pp/tt before a final vowel
+    assert st("pakkuda") == "paku"
+
+
+# --- Tamil (TamilStemmer.java:13) ---
+
+def test_tamil_reference_goldens():
+    from lucene_ray.snowball2 import tamil_stem
+    pairs = [(w, want)
+             for w, want in _golden_pairs("ta", "TestTamilAnalyzer.java")
+             if any("஀" <= ch <= "௿" for ch in want)]
+    assert len(pairs) >= 2     # digit/lowercase rows are analyzer-level
+    for word, want in pairs:
+        if word == want:
+            continue
+        assert tamil_stem(word) == want, (word, want)
+
+
+def test_tamil_branches():
+    from lucene_ray.snowball2 import tamil_stem as st
+    # plural -கள் comes off, then fix_endings resolves the stem
+    assert st("நண்பர்கள்") == "நண்"
+    assert st("கோவில்கள்") == "கோவில்"
+    # min-length floor: short words pass through
+    assert st("கோ") == "கோ"
+
+
+# --- Serbian (SerbianStemmer.java:13) ---
+
+def test_serbian_sub_tables_match_reference():
+    """snowball2_sub_data is GENERATED from the r_Step_1/r_Step_2
+    switch bodies; re-parse and compare."""
+    import lucene_ray.snowball2_sub_data as mod
+    src = (EXT / "SerbianStemmer.java").read_text()
+
+    def parse(name):
+        body = src.split(f"private boolean {name}()")[1]
+        body = body.split("private boolean")[0]
+        cases = {}
+        parts = re.split(r"case (\d+):", body)
+        for i in range(1, len(parts), 2):
+            blk = parts[i + 1]
+            m = re.search(r'slice_from\("((?:[^"\\]|\\.)*)"\)', blk)
+            cases[int(parts[i])] = (_decode(m.group(1)),
+                                    "B_no_diacritics" in blk)
+        return cases
+
+    assert mod.SERBIAN_STEP1 == parse("r_Step_1")
+    assert mod.SERBIAN_STEP2 == parse("r_Step_2")
+
+
+def test_serbian_reference_goldens():
+    """TestSerbianAnalyzer goldens go through the full chain order
+    (sr/SerbianAnalyzer.java:133: stem THEN normalize)."""
+    from lucene_ray.snowball2 import serbian_stem
+    from lucene_ray.langnorm import serbian_normalize
+    pairs = _golden_pairs("sr", "TestSerbianAnalyzer.java")
+    assert len(pairs) >= 3
+    for word, want in pairs:
+        if word == want:
+            continue
+        assert serbian_normalize(serbian_stem(word)) == want, (word, want)
+
+
+def test_serbian_branches():
+    from lucene_ray.snowball2 import serbian_stem as st
+    # Cyrillic transliterates (including the lj/nj/dž digraph targets)
+    assert st("студенти") == "student"
+    # prelude: consonant+ije+consonant and consonant+je+consonant -> e
+    assert st("дјеца") == st("djeca")
+    # syllabic-r region adjustment: the vowel-based R1 of prvi would
+    # start after 'i' (empty region); the r at index 1 re-marks it so
+    # the ending still comes off
+    assert st("prvi") == "prv"
+    assert st("prva") == "prv"
+    # Step_2 needs R1; Step_3 deletes a plain ending in R1
+    assert st("decimalnim") == "decimaln"
+
+
+def test_registered_serbian_chain_normalizes():
+    from lucene_ray.analysis_en import TOKEN_FILTERS
+    sr = TOKEN_FILTERS["serbian"]
+    assert sr(["đubrište"]) == ["djubrist"]
+
+
+# --- Finnish (FinnishStemmer.java:13) ---
+
+def test_finnish_reference_goldens():
+    from lucene_ray.snowball2 import finnish_stem
+    _check_goldens(finnish_stem, "fi", "TestFinnishAnalyzer.java", 2)
+
+
+def test_finnish_branches():
+    from lucene_ray.snowball2 import finnish_stem as st
+    # a_6 conditional among: 'seen' fires only after a long vowel
+    # (r_LONG), then tidy shortens the long vowel
+    assert st("huoneeseen") == "huone"
+    # r_VI: 'hin'/'siin' after vowel+i
+    assert st("taloihin") == "talo"
+    # a failed among condition falls back to the parent "n" entry
+    assert st("edeltäjistään") == "edeltäj"
+    assert st("edeltäjiinsä") == "edeltäj"
+    # t_plural runs only when no case ending came off
+    assert st("miehet") == "miehe"
+    # tidy: AEI after consonant, then the final undouble
+    assert st("tyttöjen") == "tyttöj"
+
+
 # --- Catalan (CatalanStemmer.java:13) ---
 
 def test_catalan_reference_goldens():
