@@ -11008,3 +11008,1155 @@ def oracle_snowball_armenian_sql() -> str:
   SELECT d, substr(word, 1, length(word) - dl) AS term FROM g4
 )
 {_RSLP_TAIL}"""
+
+
+# ---------------------------------------------------------------------------
+# Snowball second batch (lucene_ray.snowball2) — the remaining
+# per-language default stemmers.  Oracles are GENERATED from the same
+# among tables the engine uses (the re-extraction equality test in
+# tests/test_snowball2.py pins those to the reference programs); each
+# replays the exact region gates and the find_among_b commit
+# semantics.  Languages whose control flow is a cursor machine with
+# loops/flags (Turkish, Tamil) or scan-order-sensitive preludes
+# (Romanian u/i protection) are rows-only with pytest gates.
+
+def _sb_del_acts(col: str, table, regions: dict) -> str:
+    """Deletion-length CASE with a per-act region gate (matched
+    longest-first, committed: a failed gate deletes nothing)."""
+    whens = []
+    for sfx, act in table:
+        k = len(sfx)
+        s = sfx.replace("'", "''")
+        whens.append(
+            f"    WHEN length({col}) >= {k} AND ends_with({col}, '{s}') "
+            f"THEN CASE WHEN length({col}) - {k} >= {regions[act]} "
+            f"THEN {k} ELSE 0 END")
+    chain = "\n".join(whens)
+    return f"CASE\n{chain}\n    ELSE 0 END"
+
+
+def ft_snowball_irish(sf_dir: str) -> pa.Table:
+    """SnowballFilter(Irish) (snowball/ext/IrishStemmer.java:13, the
+    ga/IrishAnalyzer.java:125 default stemmer)."""
+    from ..snowball2 import irish_stem
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [irish_stem(w) for w in _words(tx)])
+
+
+def oracle_snowball_irish_sql() -> str:
+    from ..snowball2 import (_GA_DERIV, _GA_DERIV_SUB, _GA_INIT_SUB,
+                             _GA_INITIAL, _GA_NOUN, _GA_VERB)
+    v = "aeiouáéíóú"
+    pre = []
+    for pfx, act in _GA_INITIAL:
+        p = pfx.replace("'", "''")
+        rep = _GA_INIT_SUB[act]
+        tail = f"substr(word, {len(pfx) + 1})"
+        new = f"'{rep}' || {tail}" if rep else tail
+        pre.append(f"    WHEN starts_with(word, '{p}') THEN {new}")
+    morph = "CASE\n" + "\n".join(pre) + "\n    ELSE word END"
+    noun = _sb_del_acts("word", _GA_NOUN, {1: "p1", 2: "p2"})
+    dwhens = []
+    for sfx, act in _GA_DERIV:
+        k = len(sfx)
+        cut = f"substr(word, 1, length(word)-{k})"
+        if act == 1:
+            new = (f"CASE WHEN length(word) - {k} >= p2 "
+                   f"THEN {cut} ELSE word END")
+        else:
+            new = f"{cut} || '{_GA_DERIV_SUB[act]}'"
+        dwhens.append(f"    WHEN length(word) >= {k} AND "
+                      f"ends_with(word, '{sfx}') THEN {new}")
+    deriv = "CASE\n" + "\n".join(dwhens) + "\n    ELSE word END"
+    verb = _sb_del_acts("word", _GA_VERB, {1: "pv", 2: "p1"})
+    return f"""{_sb_words_cte()}, wm AS (
+  SELECT d, {morph} AS word FROM w0 WHERE word <> ''
+), w AS (
+  SELECT d, word, {_sb_pv_expr('word', v)} AS pv,
+         {_sb_p_std('word', v)} AS p1,
+         {_sb_p_std('word', v, True)} AS p2
+  FROM wm
+), g1 AS (
+  SELECT d, pv, p1, p2, {noun} AS dl, word FROM w
+), s1 AS (
+  SELECT d, pv, p1, p2, substr(word, 1, length(word) - dl) AS word
+  FROM g1
+), s2 AS (
+  SELECT d, pv, p1, {deriv} AS word FROM s1
+), g3 AS (
+  SELECT d, {verb} AS dl, word FROM s2
+), fin AS (
+  SELECT d, substr(word, 1, length(word) - dl) AS term FROM g3
+)
+{_RSLP_TAIL}"""
+
+
+def ft_snowball_catalan(sf_dir: str) -> pa.Table:
+    """SnowballFilter(Catalan) (snowball/ext/CatalanStemmer.java:13,
+    the ca/CatalanAnalyzer.java:122 default stemmer)."""
+    from ..snowball2 import catalan_stem
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [catalan_stem(w) for w in _words(tx)])
+
+
+def oracle_snowball_catalan_sql() -> str:
+    from ..snowball2 import (_CA_PRONOUN, _CA_RESIDUAL, _CA_STD,
+                             _CA_VERB)
+    v = "aeiouàáèéíïòóúü"
+    pron = _sb_del_acts(
+        "word", [(s, 1) for s, _ in _CA_PRONOUN], {1: "p1"})
+    std_acts = {1: ("p1", None), 2: ("p2", None), 3: ("p2", "log"),
+                4: ("p2", "ic"), 5: ("p1", "c")}
+    w_whens, f_whens = [], []
+    for sfx, act in _CA_STD:
+        k = len(sfx)
+        s = sfx.replace("'", "''")
+        region, rep = std_acts[act]
+        cut = f"substr(word, 1, length(word)-{k})"
+        new = f"{cut} || '{rep}'" if rep else cut
+        base = f"length(word) >= {k} AND ends_with(word, '{s}')"
+        gate = f"length(word) - {k} >= {region}"
+        w_whens.append(f"    WHEN {base} THEN CASE WHEN {gate} "
+                       f"THEN {new} ELSE word END")
+        f_whens.append(f"    WHEN {base} THEN CASE WHEN {gate} "
+                       f"THEN 1 ELSE 0 END")
+    std = "CASE\n" + "\n".join(w_whens) + "\n    ELSE word END"
+    std_done = "CASE\n" + "\n".join(f_whens) + "\n    ELSE 0 END"
+    verb = _sb_del_acts("word", _CA_VERB, {1: "p1", 2: "p2"})
+    res_whens = []
+    for sfx, act in _CA_RESIDUAL:
+        k = len(sfx)
+        cut = f"substr(word, 1, length(word)-{k})"
+        new = cut if act == 1 else f"{cut} || 'ic'"
+        res_whens.append(
+            f"    WHEN length(word) >= {k} AND ends_with(word, '{sfx}') "
+            f"THEN CASE WHEN length(word) - {k} >= p1 "
+            f"THEN {new} ELSE word END")
+    residual = "CASE\n" + "\n".join(res_whens) + "\n    ELSE word END"
+    return f"""{_sb_words_cte()}, w AS (
+  SELECT d, word, {_sb_p_std('word', v)} AS p1,
+         {_sb_p_std('word', v, True)} AS p2
+  FROM w0 WHERE word <> ''
+), g1 AS (
+  SELECT d, p1, p2, {pron} AS dl, word FROM w
+), s1 AS (
+  SELECT d, p1, p2, substr(word, 1, length(word) - dl) AS word FROM g1
+), s2 AS (
+  SELECT d, p1, p2, {std} AS w2, {std_done} AS done, word FROM s1
+), s3 AS (
+  SELECT d, p1,
+         CASE WHEN done = 1 THEN w2
+              ELSE substr(word, 1, length(word) - ({verb})) END AS word
+  FROM s2
+), fin AS (
+  SELECT d, translate({residual}, 'àáèéìíïòóúü·', 'aaeeiiioouu.')
+         AS term
+  FROM s3
+)
+{_RSLP_TAIL}"""
+
+
+def ft_snowball_lithuanian(sf_dir: str) -> pa.Table:
+    """SnowballFilter(Lithuanian) (snowball/ext/LithuanianStemmer
+    .java:13, the lt/LithuanianAnalyzer.java:124 default stemmer)."""
+    from ..snowball2 import lithuanian_stem
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [lithuanian_stem(w) for w in _words(tx)])
+
+
+def oracle_snowball_lithuanian_sql() -> str:
+    from ..snowball2 import (_LT_CONFLICT_SUB, _LT_CONFLICTS, _LT_STEP1,
+                             _LT_STEP2)
+    v = "aeiouyąėęįūų"
+    pat = f"^[^{v}]*[{v}]+[^{v}]"
+    conf_whens = []
+    for sfx, act in _LT_CONFLICTS:
+        k = len(sfx)
+        conf_whens.append(
+            f"    WHEN length(word) >= {k} AND ends_with(word, '{sfx}') "
+            f"THEN substr(word, 1, length(word)-{k}) "
+            f"|| '{_LT_CONFLICT_SUB[act]}'")
+    conflicts = "CASE\n" + "\n".join(conf_whens) + "\n    ELSE word END"
+    step1 = _sb_del_acts(
+        "word", [(s, 1) for s, _ in _LT_STEP1], {1: "p1"})
+    step2 = _sb_del_acts(
+        "word", [(s, 1) for s, _ in _LT_STEP2], {1: "p1"})
+    chdz = ("CASE WHEN ends_with(word, 'dž') "
+            "THEN substr(word, 1, length(word)-2) || 'd' "
+            "WHEN ends_with(word, 'č') "
+            "THEN substr(word, 1, length(word)-1) || 't' "
+            "ELSE word END")
+    return f"""WITH RECURSIVE w0 AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), w AS (
+  SELECT d, word,
+         CASE WHEN substr(word, 1, 1) = 'a' AND length(word) > 6
+              THEN CASE WHEN regexp_matches(substr(word, 2), '{pat}')
+                   THEN 1 + length(regexp_extract(substr(word, 2),
+                                                  '{pat}', 0))
+                   ELSE length(word) END
+              ELSE CASE WHEN regexp_matches(word, '{pat}')
+                   THEN length(regexp_extract(word, '{pat}', 0))
+                   ELSE length(word) END END AS p1
+  FROM w0 WHERE word <> ''
+), s1 AS (
+  SELECT d, p1, {conflicts} AS word FROM w
+), g1 AS (
+  SELECT d, p1, {step1} AS dl, word FROM s1
+), s2 AS (
+  SELECT d, p1, substr(word, 1, length(word) - dl) AS word FROM g1
+), s3 AS (
+  SELECT d, p1, {chdz} AS word FROM s2
+), rec AS (
+  SELECT d, p1, word FROM s3
+  UNION ALL
+  SELECT d, p1, substr(word, 1, length(word) - ({step2})) AS word
+  FROM rec WHERE ({step2}) > 0
+), s4 AS (
+  SELECT d, p1, word FROM rec WHERE ({step2}) = 0
+), s5 AS (
+  SELECT d, {chdz} AS word FROM s4
+), fin AS (
+  SELECT d, CASE WHEN ends_with(word, 'gd')
+            THEN substr(word, 1, length(word)-1) ELSE word END AS term
+  FROM s5
+)
+{_RSLP_TAIL}"""
+
+
+def ft_snowball_hungarian(sf_dir: str) -> pa.Table:
+    """SnowballFilter(Hungarian) (snowball/ext/HungarianStemmer
+    .java:13, the hu/HungarianAnalyzer.java:122 default stemmer)."""
+    from ..snowball2 import hungarian_stem
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [hungarian_stem(w) for w in _words(tx)])
+
+
+def oracle_snowball_hungarian_sql() -> str:
+    from ..snowball2 import (_HU_CASE, _HU_CASE_OTHER, _HU_CASE_SPECIAL,
+                             _HU_DIGRAPHS, _HU_DOUBLES, _HU_FACTIVE,
+                             _HU_INSTRUM, _HU_OWNED, _HU_PLUR_OWNER,
+                             _HU_PLURAL, _HU_SING_OWNER)
+    v = "aeiouáéíóöúüőű"
+    two = ", ".join(f"'{d}'" for d in sorted(_HU_DIGRAPHS) if len(d) == 2)
+
+    def sub_case(table, acts: dict) -> str:
+        whens = []
+        for sfx, act in table:
+            k = len(sfx)
+            cut = f"substr(word, 1, length(word)-{k})"
+            rep = acts[act]
+            new = f"{cut} || '{rep}'" if rep else cut
+            whens.append(
+                f"    WHEN length(word) >= {k} AND "
+                f"ends_with(word, '{sfx}') "
+                f"THEN CASE WHEN length(word) - {k} >= p1 "
+                f"THEN {new} ELSE word END")
+        return "CASE\n" + "\n".join(whens) + "\n    ELSE word END"
+
+    def doubled_case(table) -> str:
+        # delete the suffix, then drop the second-to-last char of the
+        # head (r_instrum / r_factive: r_double then r_undouble)
+        whens = []
+        for sfx, act in table:
+            k = len(sfx)
+            head = f"substr(word, 1, length(word)-{k})"
+            dbl = " OR ".join(f"ends_with({head}, '{d}')"
+                              for d in _HU_DOUBLES)
+            new = (f"substr(word, 1, length(word)-{k + 2}) "
+                   f"|| substr(word, length(word)-{k}, 1)")
+            whens.append(
+                f"    WHEN length(word) >= {k} AND "
+                f"ends_with(word, '{sfx}') "
+                f"THEN CASE WHEN length(word) - {k} >= p1 AND ({dbl}) "
+                f"THEN {new} ELSE word END")
+        return "CASE\n" + "\n".join(whens) + "\n    ELSE word END"
+
+    def case_flag(table) -> tuple[str, str]:
+        w_whens, f_whens = [], []
+        for sfx, act in table:
+            k = len(sfx)
+            base = (f"length(word) >= {k} AND ends_with(word, '{sfx}')")
+            gate = f"length(word) - {k} >= p1"
+            cut = f"substr(word, 1, length(word)-{k})"
+            w_whens.append(f"    WHEN {base} THEN CASE WHEN {gate} "
+                           f"THEN {cut} ELSE word END")
+            f_whens.append(f"    WHEN {base} THEN CASE WHEN {gate} "
+                           f"THEN 1 ELSE 0 END")
+        return ("CASE\n" + "\n".join(w_whens) + "\n    ELSE word END",
+                "CASE\n" + "\n".join(f_whens) + "\n    ELSE 0 END")
+
+    case_word, case_done = case_flag(_HU_CASE)
+    instrum = doubled_case(_HU_INSTRUM)
+    factive = doubled_case(_HU_FACTIVE)
+    special = sub_case(_HU_CASE_SPECIAL, {1: "e", 2: "a"})
+    other = sub_case(_HU_CASE_OTHER, {1: None, 2: "a", 3: "e"})
+    owned = sub_case(_HU_OWNED, {1: None, 2: "e", 3: "a"})
+    sing = sub_case(_HU_SING_OWNER, {1: None, 2: "a", 3: "e"})
+    plur = sub_case(_HU_PLUR_OWNER, {1: None, 2: "a", 3: "e"})
+    plural = sub_case(_HU_PLURAL, {1: "a", 2: "e", 3: None})
+    return f"""{_sb_words_cte()}, wl AS (
+  SELECT d, word, length(regexp_extract(word, '^[{v}]+', 0)) AS lv
+  FROM w0 WHERE word <> ''
+), w AS (
+  SELECT d, word, CASE
+    WHEN lv > 0 THEN
+      CASE WHEN lv >= length(word) THEN length(word)
+           WHEN substr(word, lv + 1, 3) = 'dzs' THEN lv + 3
+           WHEN substr(word, lv + 1, 2) IN ({two}) THEN lv + 2
+           ELSE lv + 1 END
+    ELSE CASE WHEN regexp_matches(word, '^[^{v}]+[{v}]')
+         THEN length(regexp_extract(word, '^[^{v}]+[{v}]', 0))
+         ELSE length(word) END END AS p1
+  FROM wl
+), s1 AS (
+  SELECT d, p1, {instrum} AS word FROM w
+), s2 AS (
+  SELECT d, p1, {case_word} AS w2, {case_done} AS done FROM s1
+), s3 AS (
+  SELECT d, p1, CASE WHEN done = 1 AND length(w2) - 1 >= p1
+    AND right(w2, 1) IN ('á', 'é')
+    THEN substr(w2, 1, length(w2)-1)
+         || CASE WHEN right(w2, 1) = 'á' THEN 'a' ELSE 'e' END
+    ELSE w2 END AS word
+  FROM s2
+), s4 AS (
+  SELECT d, p1, {special} AS word FROM s3
+), s5 AS (
+  SELECT d, p1, {other} AS word FROM s4
+), s6 AS (
+  SELECT d, p1, {factive} AS word FROM s5
+), s7 AS (
+  SELECT d, p1, {owned} AS word FROM s6
+), s8 AS (
+  SELECT d, p1, {sing} AS word FROM s7
+), s9 AS (
+  SELECT d, p1, {plur} AS word FROM s8
+), fin AS (
+  SELECT d, {plural} AS term FROM s9
+)
+{_RSLP_TAIL}"""
+
+
+def _sb_pv_spanish_expr(col: str, v: str) -> str:
+    """Spanish-style RV (snowball2._pv_spanish) as SQL."""
+    scan_vowel = (f"CASE WHEN regexp_matches(substr({col}, 3), "
+                  f"'^[^{v}]*[{v}]') THEN 2 + length(regexp_extract("
+                  f"substr({col}, 3), '^[^{v}]*[{v}]', 0)) "
+                  f"ELSE length({col}) END")
+    scan_nonvowel = (f"CASE WHEN regexp_matches(substr({col}, 3), "
+                     f"'^[{v}]*[^{v}]') THEN 2 + length(regexp_extract("
+                     f"substr({col}, 3), '^[{v}]*[^{v}]', 0)) "
+                     f"ELSE length({col}) END")
+    first = f"substr({col}, 1, 1)"
+    second = f"substr({col}, 2, 1)"
+    vs = ", ".join(f"'{c}'" for c in sorted(v))
+    return (f"CASE WHEN length({col}) < 2 THEN length({col}) "
+            f"WHEN {first} IN ({vs}) THEN "
+            f"CASE WHEN {second} IN ({vs}) THEN {scan_nonvowel} "
+            f"ELSE {scan_vowel} END "
+            f"WHEN {second} NOT IN ({vs}) THEN {scan_vowel} "
+            f"WHEN length({col}) >= 3 THEN 3 ELSE length({col}) END")
+
+
+def ft_snowball_basque(sf_dir: str) -> pa.Table:
+    """SnowballFilter(Basque) (snowball/ext/BasqueStemmer.java:13, the
+    eu/BasqueAnalyzer.java:119 default stemmer)."""
+    from ..snowball2 import basque_stem
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [basque_stem(w) for w in _words(tx)])
+
+
+def oracle_snowball_basque_sql() -> str:
+    """Replays the inward-cursor repeat semantics: the recursive CTE
+    threads (word, pos, phase) exactly like basque_stem's ``pos`` —
+    aditzak repeats (phase 0), izenak repeats (phase 1), adjetiboak
+    once (phase 2), done (phase 3)."""
+    from ..snowball2 import (_EU_ADITZAK, _EU_ADITZAK_SUB, _EU_ADJ,
+                             _EU_IZENAK, _EU_IZENAK_SUB)
+    v = "aeiou"
+
+    def phase_exprs(table, subs, regions):
+        a_w, w_w, p_w = [], [], []
+        for sfx, act in table:
+            k = len(sfx)
+            base = (f"pos >= {k} AND "
+                    f"substr(word, pos-{k}+1, {k}) = '{sfx}'")
+            if act in subs:
+                rep = subs[act]
+                a_w.append(f"    WHEN {base} THEN 1")
+                w_w.append(f"    WHEN {base} THEN substr(word,1,pos-{k})"
+                           f" || '{rep}' || substr(word,pos+1)")
+                p_w.append(f"    WHEN {base} THEN pos-{k}")
+            else:
+                reg = regions[act]
+                gate = f"pos-{k} >= {reg}"
+                a_w.append(f"    WHEN {base} THEN CASE WHEN {gate} "
+                           f"THEN 1 ELSE 0 END")
+                w_w.append(f"    WHEN {base} THEN CASE WHEN {gate} "
+                           f"THEN substr(word,1,pos-{k}) || "
+                           f"substr(word,pos+1) ELSE word END")
+                p_w.append(f"    WHEN {base} THEN CASE WHEN {gate} "
+                           f"THEN pos-{k} ELSE pos END")
+        mk = lambda ws, dflt: "CASE\n" + "\n".join(ws) + f"\n    ELSE {dflt} END"
+        return mk(a_w, "0"), mk(w_w, "word"), mk(p_w, "pos")
+
+    a0, w0c, p0c = phase_exprs(_EU_ADITZAK, _EU_ADITZAK_SUB,
+                               {1: "pv", 2: "p2"})
+    a1, w1c, p1c = phase_exprs(_EU_IZENAK, _EU_IZENAK_SUB,
+                               {1: "pv", 2: "p2", 4: "p1"})
+    _, w2c, p2c = phase_exprs(_EU_ADJ, {2: "z"}, {1: "pv"})
+    return f"""WITH RECURSIVE w0 AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), w AS (
+  SELECT d, word, length(word) AS pos, 0 AS ph,
+         {_sb_pv_spanish_expr('word', v)} AS pv,
+         {_sb_p_std('word', v)} AS p1,
+         {_sb_p_std('word', v, True)} AS p2
+  FROM w0 WHERE word <> ''
+), rec AS (
+  SELECT d, word, pos, ph, pv, p1, p2 FROM w
+  UNION ALL
+  SELECT d,
+    CASE ph WHEN 0 THEN {w0c} WHEN 1 THEN {w1c} ELSE {w2c} END,
+    CASE ph WHEN 0 THEN {p0c} WHEN 1 THEN {p1c} ELSE {p2c} END,
+    CASE WHEN ph = 0 AND ({a0}) = 1 THEN 0
+         WHEN ph = 0 THEN 1
+         WHEN ph = 1 AND ({a1}) = 1 THEN 1
+         WHEN ph = 1 THEN 2
+         ELSE 3 END,
+    pv, p1, p2
+  FROM rec WHERE ph < 3
+), fin AS (
+  SELECT d, word AS term FROM rec WHERE ph = 3
+)
+{_RSLP_TAIL}"""
+
+
+def ft_snowball_romanian(sf_dir: str) -> pa.Table:
+    """SnowballFilter(Romanian) (snowball/ext/RomanianStemmer.java:13,
+    the ro/RomanianAnalyzer.java:128 default stemmer)."""
+    from ..snowball2 import romanian_stem
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [romanian_stem(w) for w in _words(tx)])
+
+
+def oracle_snowball_romanian_sql() -> str:
+    """The u/i-between-vowels protection replays the reference's
+    left-to-right single-step scan as a per-position recursive CTE;
+    the combo-suffix loop is a fixpoint CTE (every substitution
+    strictly shrinks the word, so it terminates)."""
+    from ..snowball2 import (_RO_COMBO, _RO_COMBO_SUB, _RO_STD,
+                             _RO_STEP0, _RO_STEP0_SUB, _RO_VERB,
+                             _RO_VOWEL)
+    v = "aeiouâîă"
+    vs = ", ".join(f"'{c}'" for c in sorted(v))
+
+    # step 0: R1-gated substitutions, act 5 blocked after 'ab'
+    s0_whens = []
+    for sfx, act in _RO_STEP0:
+        k = len(sfx)
+        cut = f"substr(word, 1, length(word)-{k})"
+        if act == 1:
+            new = cut
+        else:
+            new = f"{cut} || '{_RO_STEP0_SUB[act]}'"
+        gate = f"length(word) - {k} >= p1"
+        if act == 5:
+            gate += f" AND NOT ends_with({cut}, 'ab')"
+            new = (f"CASE WHEN ends_with({cut}, 'ab') THEN word "
+                   f"ELSE {new} END")
+        s0_whens.append(
+            f"    WHEN length(word) >= {k} AND ends_with(word, '{sfx}') "
+            f"THEN CASE WHEN length(word) - {k} >= p1 "
+            f"THEN {new} ELSE word END")
+    step0 = "CASE\n" + "\n".join(s0_whens) + "\n    ELSE word END"
+
+    # combo loop: applied flag + new word (substitutions, R1-gated)
+    ca_whens, cw_whens = [], []
+    for sfx, act in _RO_COMBO:
+        k = len(sfx)
+        base = f"length(word) >= {k} AND ends_with(word, '{sfx}')"
+        gate = f"length(word) - {k} >= p1"
+        new = (f"substr(word, 1, length(word)-{k}) "
+               f"|| '{_RO_COMBO_SUB[act]}'")
+        ca_whens.append(f"    WHEN {base} THEN CASE WHEN {gate} "
+                        f"THEN 1 ELSE 0 END")
+        cw_whens.append(f"    WHEN {base} THEN CASE WHEN {gate} "
+                        f"THEN {new} ELSE word END")
+    combo_a = "CASE\n" + "\n".join(ca_whens) + "\n    ELSE 0 END"
+    combo_w = "CASE\n" + "\n".join(cw_whens) + "\n    ELSE word END"
+
+    # standard a_4 pass: R2 post-gate; act 2 pulls the ț in
+    sw_whens, sf_whens = [], []
+    for sfx, act in _RO_STD:
+        k = len(sfx)
+        base = f"length(word) >= {k} AND ends_with(word, '{sfx}')"
+        cut = f"substr(word, 1, length(word)-{k})"
+        gate = f"length(word) - {k} >= p2"
+        if act == 1:
+            new, extra = cut, ""
+        elif act == 2:
+            new = f"substr(word, 1, length(word)-{k + 1}) || 't'"
+            extra = f" AND ends_with({cut}, 'ț')"
+        else:
+            new, extra = f"{cut} || 'ist'", ""
+        sw_whens.append(f"    WHEN {base} THEN CASE WHEN {gate}{extra} "
+                        f"THEN {new} ELSE word END")
+        sf_whens.append(f"    WHEN {base} THEN CASE WHEN {gate}{extra} "
+                        f"THEN 1 ELSE 0 END")
+    std_w = "CASE\n" + "\n".join(sw_whens) + "\n    ELSE word END"
+    std_f = "CASE\n" + "\n".join(sf_whens) + "\n    ELSE 0 END"
+
+    # verb: match RESTRICTED to RV; act 1 needs non-vowel-or-u before
+    def verb_gate(sfx, act, k):
+        if act == 2:
+            return str(k)
+        prev = f"substr(word, length(word)-{k}, 1)"
+        return (f"CASE WHEN length(word) - {k + 1} >= pv AND "
+                f"({prev} NOT IN ({vs}) OR {prev} = 'u') "
+                f"THEN {k} ELSE 0 END")
+
+    verb = _sb_del_case("word", _RO_VERB, "pv", verb_gate)
+    vowel = _sb_del_acts("word", _RO_VOWEL, {act: "pv"
+                                             for _, act in _RO_VOWEL})
+    return f"""WITH RECURSIVE w0 AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), wn AS (
+  SELECT d, replace(replace(word, 'ş', 'ș'), 'ţ', 'ț') AS word
+  FROM w0 WHERE word <> ''
+), prec AS (
+  SELECT d, word, 1 AS i FROM wn
+  UNION ALL
+  SELECT d,
+    CASE WHEN substr(word, i, 1) IN ({vs})
+          AND substr(word, i+1, 1) IN ('u', 'i')
+          AND substr(word, i+2, 1) IN ({vs})
+         THEN substr(word, 1, i) || upper(substr(word, i+1, 1))
+              || substr(word, i+3)
+         ELSE word END,
+    i + 1
+  FROM prec WHERE i <= length(word) - 2
+), wp AS (
+  SELECT d, word FROM prec
+  WHERE i = CASE WHEN length(word) >= 3 THEN length(word) - 1
+                 ELSE 1 END
+), w AS (
+  SELECT d, word, {_sb_pv_spanish_expr('word', v)} AS pv,
+         {_sb_p_std('word', v)} AS p1,
+         {_sb_p_std('word', v, True)} AS p2
+  FROM wp
+), s0 AS (
+  SELECT d, pv, p1, p2, {step0} AS word, 0 AS rm FROM w
+), rec AS (
+  SELECT d, pv, p1, p2, word, rm FROM s0
+  UNION ALL
+  SELECT d, pv, p1, p2, {combo_w} AS word, 1 AS rm
+  FROM rec WHERE ({combo_a}) = 1
+), s1 AS (
+  SELECT d, pv, p1, p2, word, rm FROM rec WHERE ({combo_a}) = 0
+), s2 AS (
+  SELECT d, pv, {std_w} AS word,
+         CASE WHEN rm = 1 OR ({std_f}) = 1 THEN 1 ELSE 0 END AS rm
+  FROM s1
+), s3 AS (
+  SELECT d, pv, CASE WHEN rm = 1 THEN word
+    ELSE substr(word, 1, length(word) - ({verb})) END AS word
+  FROM s2
+), g4 AS (
+  SELECT d, {vowel} AS dl, word FROM s3
+), fin AS (
+  SELECT d, translate(substr(word, 1, length(word) - dl), 'IU', 'iu')
+         AS term
+  FROM g4
+)
+{_RSLP_TAIL}"""
+
+
+def ft_snowball_serbian(sf_dir: str) -> pa.Table:
+    """SnowballFilter(Serbian) (snowball/ext/SerbianStemmer.java:13,
+    the sr/SerbianAnalyzer.java:133 default stemmer, pre-normalize)."""
+    from ..snowball2 import serbian_stem
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [serbian_stem(w) for w in _words(tx)])
+
+
+def oracle_snowball_serbian_sql() -> str:
+    """The ije/je folds replay the reference's never-revisit scan as
+    per-position recursive CTEs (a global regexp_replace would both
+    miss consonant-sharing chains and over-fold re-exposed ones)."""
+    from ..snowball2 import _SR_CYR, _SR_STEP1, _SR_STEP2, _SR_STEP3
+    from ..snowball2_sub_data import SERBIAN_STEP1, SERBIAN_STEP2
+    ca = "bcdfghjklmnprstvzćčđšž"
+    cas = ", ".join(f"'{c}'" for c in sorted(ca))
+    translit = "word"
+    for cy, la in _SR_CYR.items():
+        translit = f"replace({translit}, '{cy}', '{la}')"
+
+    def step_case(table, subs, gated: bool):
+        w_whens, f_whens = [], []
+        for sfx, act in table:
+            k = len(sfx)
+            rep, nd = subs[act]
+            base = f"length(word) >= {k} AND ends_with(word, '{sfx}')"
+            conds = []
+            if gated:
+                conds.append(f"length(word) - {k} >= p1")
+            if nd:
+                conds.append("nd = 1")
+            gate = " AND ".join(conds) if conds else "TRUE"
+            new = f"substr(word, 1, length(word)-{k})"
+            if rep:
+                new = f"{new} || '{rep}'"
+            w_whens.append(f"    WHEN {base} THEN CASE WHEN {gate} "
+                           f"THEN {new} ELSE word END")
+            f_whens.append(f"    WHEN {base} THEN CASE WHEN {gate} "
+                           f"THEN 1 ELSE 0 END")
+        return ("CASE\n" + "\n".join(w_whens) + "\n    ELSE word END",
+                "CASE\n" + "\n".join(f_whens) + "\n    ELSE 0 END")
+
+    s1_w, _ = step_case(_SR_STEP1, SERBIAN_STEP1, gated=False)
+    s2_w, s2_f = step_case(_SR_STEP2, SERBIAN_STEP2, gated=True)
+    s3 = _sb_del_acts("word", _SR_STEP3, {1: "p1"})
+    v = "aeiou"
+    return f"""WITH RECURSIVE w0 AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), wt AS (
+  SELECT d, {translit} AS word FROM w0 WHERE word <> ''
+), rije AS (
+  SELECT d, word, 1 AS i FROM wt
+  UNION ALL
+  SELECT d,
+    CASE WHEN substr(word, i, 1) IN ({cas})
+          AND substr(word, i+1, 3) = 'ije'
+          AND substr(word, i+4, 1) IN ({cas})
+         THEN substr(word, 1, i) || 'e' || substr(word, i+4)
+         ELSE word END,
+    i + 1
+  FROM rije WHERE i <= length(word) - 4
+), wije AS (
+  SELECT d, word FROM rije WHERE i > length(word) - 4
+), rje AS (
+  SELECT d, word, 1 AS i FROM wije
+  UNION ALL
+  SELECT d,
+    CASE WHEN substr(word, i, 1) IN ({cas})
+          AND substr(word, i+1, 2) = 'je'
+          AND substr(word, i+3, 1) IN ({cas})
+         THEN substr(word, 1, i) || 'e' || substr(word, i+3)
+         ELSE word END,
+    i + 1
+  FROM rje WHERE i <= length(word) - 3
+), wje AS (
+  SELECT d, word FROM rje WHERE i > length(word) - 3
+), wp AS (
+  SELECT d, replace(word, 'dj', 'đ') AS word FROM wje
+), w AS (
+  SELECT d, word,
+    CASE WHEN regexp_matches(word, '[ćčđšž]') THEN 0 ELSE 1 END AS nd,
+    CASE WHEN NOT regexp_matches(word, '[{v}]') THEN length(word)
+         WHEN length(regexp_extract(word, '^[^{v}]*[{v}]', 0)) >= 2
+           THEN length(regexp_extract(word, '^[^{v}]*[{v}]', 0))
+         WHEN regexp_matches(word, '^[{v}]+[^{v}]')
+           THEN length(regexp_extract(word, '^[{v}]+[^{v}]', 0))
+         ELSE 1 END AS p1v,
+    CASE WHEN strpos(word, 'r') = 0 THEN NULL
+         WHEN strpos(word, 'r') >= 2 THEN strpos(word, 'r')
+         WHEN regexp_matches(word, '^r+[^r]')
+           THEN length(regexp_extract(word, '^r+', 0)) + 1
+         ELSE NULL END AS rc
+  FROM wp
+), wr AS (
+  SELECT d, word, nd,
+         CASE WHEN rc IS NOT NULL AND p1v - rc > 1 THEN rc
+              ELSE p1v END AS p1
+  FROM w
+), s1 AS (
+  SELECT d, nd, p1, {s1_w} AS word FROM wr
+), s2 AS (
+  SELECT d, nd, p1, {s2_w} AS w2, {s2_f} AS done, word FROM s1
+), fin AS (
+  SELECT d, CASE WHEN done = 1 THEN w2
+    ELSE substr(word, 1, length(word) - ({s3})) END AS term
+  FROM s2
+)
+{_RSLP_TAIL}"""
+
+
+def ft_snowball_finnish(sf_dir: str) -> pa.Table:
+    """SnowballFilter(Finnish) (snowball/ext/FinnishStemmer.java:13,
+    the fi/FinnishAnalyzer.java:122 default stemmer)."""
+    from ..snowball2 import finnish_stem
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [finnish_stem(w) for w in _words(tx)])
+
+
+def oracle_snowball_finnish_sql() -> str:
+    from ..snowball2 import (_FI_A0, _FI_A1, _FI_A2, _FI_A3, _FI_A4,
+                             _FI_A6, _FI_A7, _FI_A8, _FI_A9,
+                             _FI_CASE_VOWEL, _FI_LONGV)
+    v = "aeiouyäö"
+    v2 = "aeiouäö"
+    aei = "aeiä"
+    cons = "bcdfghjklmnpqrstvwxz"
+    cs = ", ".join(f"'{c}'" for c in sorted(cons))
+    pend = ", ".join(f"'{c}'" for c in sorted("aeinotuyäö"))
+    longv = ", ".join(f"'{x}'" for x in _FI_LONGV)
+
+    def particle_gate(sfx, act, k):
+        if act == 1:
+            return (f"CASE WHEN length(word) >= {k + 1} AND "
+                    f"substr(word, length(word)-{k}, 1) IN ({pend}) "
+                    f"THEN {k} ELSE 0 END")
+        return (f"CASE WHEN length(word) - {k} >= p2 "
+                f"THEN {k} ELSE 0 END")
+
+    particle = _sb_del_case("word", _FI_A0, "p1", particle_gate)
+
+    def ends_any(cut, table):
+        return " OR ".join(f"ends_with({cut}, '{s}')"
+                           for s, _ in table)
+
+    p_whens = []
+    for sfx, act in _FI_A4:
+        k = len(sfx)
+        cut = f"substr(word, 1, length(word)-{k})"
+        base = (f"length(word) - {k} >= p1 AND "
+                f"ends_with(word, '{sfx}')")
+        if act == 1:
+            new = (f"CASE WHEN ends_with({cut}, 'k') THEN word "
+                   f"ELSE {cut} END")
+        elif act == 2:
+            new = (f"CASE WHEN ends_with({cut}, 'kse') "
+                   f"THEN substr(word, 1, length(word)-{k + 1}) || 'i' "
+                   f"ELSE {cut} END")
+        elif act == 3:
+            new = cut
+        else:
+            table = {4: _FI_A1, 5: _FI_A2, 6: _FI_A3}[act]
+            new = (f"CASE WHEN {ends_any(cut, table)} THEN {cut} "
+                   f"ELSE word END")
+        p_whens.append(f"    WHEN {base} THEN {new}")
+    possessive = "CASE\n" + "\n".join(p_whens) + "\n    ELSE word END"
+
+    def act7_expr(k):
+        pair = f"substr(word, length(word)-{k + 1}, 2)"
+        return (f"CASE WHEN length(word) - {k} >= 2 AND "
+                f"({pair} IN ({longv}) OR {pair} = 'ie') "
+                f"THEN {k + 1} ELSE {k} END")
+
+    c_whens = []
+    for row in _FI_A6:
+        sfx, act = row[0], row[1]
+        k = len(sfx)
+        base = (f"length(word) - {k} >= p1 AND "
+                f"ends_with(word, '{sfx}')")
+        cut = f"substr(word, 1, length(word)-{k})"
+        if len(row) > 2:
+            pair = f"substr(word, length(word)-{k + 1}, 2)"
+            if row[2] == "r_LONG":
+                cond = (f"length(word) - {k} - 2 >= p1 AND "
+                        f"{pair} IN ({longv})")
+            else:
+                cond = (f"length(word) - {k} - 2 >= p1 AND "
+                        f"substr(word, length(word)-{k}, 1) = 'i' AND "
+                        f"substr(word, length(word)-{k + 1}, 1) "
+                        f"IN ({', '.join(repr(c) for c in sorted(v2))})")
+            then = f"CASE WHEN {cond} THEN {k} ELSE {act7_expr(1)} END"
+        elif act == -1:
+            then = str(k)
+        elif act in _FI_CASE_VOWEL:
+            then = (f"CASE WHEN ends_with({cut}, "
+                    f"'{_FI_CASE_VOWEL[act]}') THEN {k} ELSE 0 END")
+        elif act == 7:
+            then = act7_expr(k)
+        else:                           # act 8: vowel after consonant
+            then = (f"CASE WHEN length(word) - {k} >= 2 AND "
+                    f"substr(word, length(word)-{k}, 1) IN "
+                    f"({', '.join(repr(c) for c in sorted(v))}) AND "
+                    f"substr(word, length(word)-{k + 1}, 1) IN ({cs}) "
+                    f"THEN {k} ELSE 0 END")
+        c_whens.append(f"    WHEN {base} THEN {then}")
+    case_dl = "CASE\n" + "\n".join(c_whens) + "\n    ELSE 0 END"
+
+    def po_gate(sfx, act, k):
+        if act != 1:
+            return str(k)
+        return (f"CASE WHEN ends_with(substr(word, 1, "
+                f"length(word)-{k}), 'po') THEN 0 ELSE {k} END")
+
+    other = _sb_del_case("word", _FI_A7, "p2", po_gate)
+    iplural = _sb_del_case("word", _FI_A8, "p1")
+    a9 = _sb_del_case("word", _FI_A9, "p2", po_gate)
+    vset = ", ".join(repr(c) for c in sorted(v))
+    return f"""{_sb_words_cte()}, w AS (
+  SELECT d, word, {_sb_p_std('word', v)} AS p1,
+         {_sb_p_std('word', v, True)} AS p2
+  FROM w0 WHERE word <> ''
+), g1 AS (
+  SELECT d, p1, p2, {particle} AS dl, word FROM w
+), s1 AS (
+  SELECT d, p1, p2, substr(word, 1, length(word) - dl) AS word FROM g1
+), s2 AS (
+  SELECT d, p1, p2, {possessive} AS word FROM s1
+), g2 AS (
+  SELECT d, p1, p2, {case_dl} AS dl, word FROM s2
+), s3 AS (
+  SELECT d, p1, p2, CASE WHEN dl > 0 THEN 1 ELSE 0 END AS rm,
+         substr(word, 1, length(word) - dl) AS word
+  FROM g2
+), g3 AS (
+  SELECT d, p1, p2, rm, {other} AS dl, word FROM s3
+), s4 AS (
+  SELECT d, p1, p2, rm, substr(word, 1, length(word) - dl) AS word
+  FROM g3
+), s5 AS (
+  SELECT d, p1, p2, rm,
+    CASE WHEN rm = 0 AND length(word) >= 2 AND ends_with(word, 't')
+         AND length(word) - 2 >= p1
+         AND substr(word, length(word)-1, 1) IN ({vset})
+      THEN 1 ELSE 0 END AS tdel,
+    CASE
+    WHEN rm = 1 THEN
+      substr(word, 1, length(word) - ({iplural}))
+    WHEN length(word) >= 2 AND ends_with(word, 't')
+         AND length(word) - 2 >= p1
+         AND substr(word, length(word)-1, 1) IN ({vset})
+      THEN substr(word, 1, length(word)-1)
+    ELSE word END AS word
+  FROM s4
+), s6 AS (
+  SELECT d, p1, CASE WHEN tdel = 1
+    THEN substr(word, 1, length(word) - ({a9}))
+    ELSE word END AS word
+  FROM s5
+), t1 AS (
+  SELECT d, p1, CASE WHEN length(word) - 2 >= p1
+    AND right(word, 2) IN ({longv})
+    THEN substr(word, 1, length(word)-1) ELSE word END AS word
+  FROM s6
+), t2 AS (
+  SELECT d, p1, CASE WHEN length(word) - 2 >= p1
+    AND right(word, 1) IN ({', '.join(repr(c) for c in sorted(aei))})
+    AND substr(word, length(word)-1, 1) IN ({cs})
+    THEN substr(word, 1, length(word)-1) ELSE word END AS word
+  FROM t1
+), t3 AS (
+  SELECT d, p1, CASE WHEN length(word) - 2 >= p1
+    AND (ends_with(word, 'oj') OR ends_with(word, 'uj'))
+    THEN substr(word, 1, length(word)-1) ELSE word END AS word
+  FROM t2
+), t4 AS (
+  SELECT d, p1, CASE WHEN length(word) - 2 >= p1
+    AND ends_with(word, 'jo')
+    THEN substr(word, 1, length(word)-1) ELSE word END AS word
+  FROM t3
+), fin AS (
+  SELECT d, CASE WHEN qq >= 2
+    AND substr(word, qq, 1) IN ({cs})
+    AND substr(word, qq-1, 1) = substr(word, qq, 1)
+    THEN substr(word, 1, qq-1) || substr(word, qq+1)
+    ELSE word END AS term
+  FROM (SELECT d, word, length(word) -
+               length(regexp_extract(word, '[{v}]*$', 0)) AS qq
+        FROM t4) uu
+)
+{_RSLP_TAIL}"""
+
+
+def ft_snowball_estonian(sf_dir: str) -> pa.Table:
+    """SnowballFilter(Estonian) (snowball/ext/EstonianStemmer.java:13,
+    the et/EstonianAnalyzer.java:136 default stemmer)."""
+    from ..snowball2 import estonian_stem
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [estonian_stem(w) for w in _words(tx)])
+
+
+def oracle_snowball_estonian_sql() -> str:
+    from ..snowball2 import (_ET_CASE, _ET_DEGREES, _ET_EMPHASIS,
+                             _ET_EXC, _ET_GI, _ET_IPLURAL, _ET_KI,
+                             _ET_LONGV, _ET_NU, _ET_PLUR3, _ET_SPECIAL,
+                             _ET_SPECIAL_SUB, _ET_VERB)
+    v1 = "aeiouäõöü"
+    rv = "aeiou"
+    rvs = ", ".join(repr(c) for c in sorted(rv))
+    gis = ", ".join(repr(c) for c in sorted(_ET_GI))
+    kis = ", ".join(repr(c) for c in sorted(_ET_KI))
+    longv = ", ".join(f"'{x}'" for x in _ET_LONGV)
+    exc_whens = "\n".join(
+        f"    WHEN word = '{w}' THEN '{r}'"
+        for w, r in sorted(_ET_EXC.items()))
+    exc = f"CASE\n{exc_whens}\n    ELSE NULL END"
+
+    def lv(cut):
+        return f"right({cut}, 2) IN ({longv})"
+
+    def emph_gate(sfx, act, k):
+        cut = f"substr(word, 1, length(word)-{k})"
+        prev = f"substr(word, length(word)-{k}, 1)"
+        if act == 1:
+            cond = (f"length(word) - {k} >= 4 AND {prev} IN ({gis}) "
+                    f"AND NOT ({lv(cut)})")
+        else:
+            cond = f"length(word) - {k} >= 4 AND {prev} IN ({kis})"
+        return f"CASE WHEN {cond} THEN {k} ELSE 0 END"
+
+    emphasis = _sb_del_case("word", _ET_EMPHASIS, "p1", emph_gate)
+
+    vb_w, vb_f = [], []
+    for sfx, act in _ET_VERB:
+        k = len(sfx)
+        base = (f"length(word) - {k} >= p1 AND "
+                f"ends_with(word, '{sfx}')")
+        cut = f"substr(word, 1, length(word)-{k})"
+        prev = f"substr(word, length(word)-{k}, 1)"
+        if act == 1:
+            new, flag = cut, "1"
+        elif act == 2:
+            new, flag = f"{cut} || 'a'", "1"
+        else:
+            g = f"{prev} IN ({', '.join(repr(c) for c in sorted(v1))})"
+            new = f"CASE WHEN {g} THEN {cut} ELSE word END"
+            flag = f"CASE WHEN {g} THEN 1 ELSE 0 END"
+        vb_w.append(f"    WHEN {base} THEN {new}")
+        vb_f.append(f"    WHEN {base} THEN {flag}")
+    verb_w = "CASE\n" + "\n".join(vb_w) + "\n    ELSE word END"
+    verb_f = "CASE\n" + "\n".join(vb_f) + "\n    ELSE 0 END"
+
+    sp_whens = []
+    for sfx, act in _ET_SPECIAL:
+        k = len(sfx)
+        sp_whens.append(
+            f"    WHEN length(word) - {k} >= p1 AND "
+            f"ends_with(word, '{sfx}') "
+            f"THEN substr(word, 1, length(word)-{k}) "
+            f"|| '{_ET_SPECIAL_SUB[act]}'")
+    special = "CASE\n" + "\n".join(sp_whens) + "\n    ELSE word END"
+
+    def case_gate(sfx, act, k):
+        cut = f"substr(word, 1, length(word)-{k})"
+        prev = f"substr(word, length(word)-{k}, 1)"
+        if act == 1:
+            cond = (f"length(word) >= {k + 1} AND "
+                    f"({prev} IN ({rvs}) OR {lv(cut)})")
+        else:
+            cond = f"length(word) - {k} >= 4"
+        return f"CASE WHEN {cond} THEN {k} ELSE 0 END"
+
+    case_e = _sb_del_case("word", _ET_CASE, "p1", case_gate)
+
+    p3_whens = []
+    for sfx, act in _ET_PLUR3:
+        k = len(sfx)
+        base = (f"length(word) - {k} >= p1 AND "
+                f"ends_with(word, '{sfx}')")
+        cut = f"substr(word, 1, length(word)-{k})"
+        prev = f"substr(word, length(word)-{k}, 1)"
+        if act == 1:
+            new = f"{cut} || 'iku'"
+        elif act == 2:
+            new = f"CASE WHEN {lv(cut)} THEN word ELSE {cut} END"
+        elif act == 3:
+            classify = (f"CASE WHEN ends_with({cut}, 'las') "
+                        f"OR ends_with({cut}, 'lis') "
+                        f"OR ends_with({cut}, 'mis') "
+                        f"THEN {cut} || 'e' "
+                        f"WHEN ends_with({cut}, 't') THEN word "
+                        f"ELSE {cut} END")
+            new = (f"CASE WHEN length(word) - {k} >= 4 "
+                   f"THEN {classify} ELSE {cut} || 't' END")
+        else:
+            new = (f"CASE WHEN (length(word) >= {k + 1} AND "
+                   f"{prev} IN ({rvs})) OR {lv(cut)} "
+                   f"THEN {cut} ELSE word END")
+        p3_whens.append(f"    WHEN {base} THEN {new}")
+    plur3 = "CASE\n" + "\n".join(p3_whens) + "\n    ELSE word END"
+
+    def deg_gate(sfx, act, k):
+        if act == 2:
+            return str(k)
+        prev = f"substr(word, length(word)-{k}, 1)"
+        return (f"CASE WHEN length(word) >= {k + 1} AND "
+                f"{prev} IN ({rvs}) THEN {k} ELSE 0 END")
+
+    degrees = _sb_del_case("word", _ET_DEGREES, "p1", deg_gate)
+
+    def ipl_gate(sfx, act, k):
+        prev = f"substr(word, length(word)-{k}, 1)"
+        return (f"CASE WHEN length(word) >= {k + 1} AND "
+                f"{prev} IN ({rvs}) THEN {k} ELSE 0 END")
+
+    iplural = _sb_del_case("word", _ET_IPLURAL, "p1", ipl_gate)
+    nu = _sb_del_case("word", _ET_NU, "p1")
+    return f"""{_sb_words_cte()}, we AS (
+  SELECT d, word, {exc} AS exc FROM w0 WHERE word <> ''
+), w AS (
+  SELECT d, word, exc, {_sb_p_std('word', v1)} AS p1 FROM we
+), g1 AS (
+  SELECT d, exc, p1, {emphasis} AS dl, word FROM w
+), s1 AS (
+  SELECT d, exc, p1, substr(word, 1, length(word) - dl) AS word FROM g1
+), s2 AS (
+  SELECT d, exc, p1, {verb_w} AS w2, {verb_f} AS vb, word FROM s1
+), s3 AS (
+  SELECT d, exc, p1, vb, CASE WHEN vb = 1 THEN w2 ELSE word END AS word
+  FROM s2
+), n1 AS (
+  SELECT d, exc, p1, vb,
+         CASE WHEN vb = 1 THEN word ELSE {special} END AS word FROM s3
+), n2 AS (
+  SELECT d, exc, p1, vb, CASE WHEN vb = 1 THEN word
+    ELSE substr(word, 1, length(word) - ({case_e})) END AS word
+  FROM n1
+), n3 AS (
+  SELECT d, exc, p1, vb,
+         CASE WHEN vb = 1 THEN word ELSE {plur3} END AS word FROM n2
+), n4 AS (
+  SELECT d, exc, p1, vb, CASE WHEN vb = 1 THEN word
+    ELSE substr(word, 1, length(word) - ({degrees})) END AS word
+  FROM n3
+), n5 AS (
+  SELECT d, exc, p1, vb, CASE WHEN vb = 1 THEN word
+    ELSE substr(word, 1, length(word) - ({iplural})) END AS word
+  FROM n4
+), n6 AS (
+  SELECT d, exc, p1, CASE WHEN vb = 1 THEN word
+    ELSE substr(word, 1, length(word) - ({nu})) END AS word
+  FROM n5
+), fin AS (
+  SELECT d, CASE WHEN exc IS NOT NULL THEN exc
+    WHEN length(word) >= 1
+     AND right(word, 1) IN ({', '.join(repr(c) for c in sorted(v1))})
+     AND length(word) - 1 >= p1
+     AND substr(word, length(word)-2, 2) IN ('kk', 'pp', 'tt')
+     AND length(word) >= 3
+    THEN substr(word, 1, length(word)-3) || right(word, 1)
+    ELSE word END AS term
+  FROM n6
+)
+{_RSLP_TAIL}"""
+
+
+_NE_PLANT_FROM = "abcdefghijklmnopqrstuvwxyz"
+_NE_PLANT_TO = "ाबछदेफगहिजकलमनोपँरसथुवभैयश"
+
+
+def ft_snowball_nepali(sf_dir: str) -> pa.Table:
+    """SnowballFilter(Nepali) (snowball/ext/NepaliStemmer.java:13, the
+    ne/NepaliAnalyzer.java:133 default stemmer): planted Devanagari via
+    per-char transliteration so the postposition class (-ka/-le/-ma/-ko
+    -> का/ले/मा/को), the verb class (-c/-ne/-da -> छ/ने/दा) and the
+    repeat loop all fire on the corpus."""
+    from ..snowball2 import nepali_stem
+    plant = str.maketrans(_NE_PLANT_FROM, _NE_PLANT_TO)
+    return _rawtok_stats(
+        sf_dir,
+        lambda tx, d: [nepali_stem(w.translate(plant))
+                       for w in _words(tx)])
+
+
+def oracle_snowball_nepali_sql() -> str:
+    from ..snowball2 import _NE_CAT1, _NE_CAT2, _NE_CAT3
+
+    def cat1_case() -> str:
+        whens = []
+        for sfx, act in _NE_CAT1:
+            k = len(sfx)
+            cut = f"substr(word, 1, length(word)-{k})"
+            if act == 1:
+                new = cut
+            else:
+                new = (f"CASE WHEN ends_with({cut}, 'ए') "
+                       f"OR ends_with({cut}, 'े') THEN word "
+                       f"ELSE {cut} END")
+            whens.append(f"    WHEN length(word) >= {k} AND "
+                         f"ends_with(word, '{sfx}') THEN {new}")
+        return "CASE\n" + "\n".join(whens) + "\n    ELSE word END"
+
+    def cat2_case(col: str) -> str:
+        whens = []
+        for sfx, act in _NE_CAT2:
+            k = len(sfx)
+            cut = f"substr({col}, 1, length({col})-{k})"
+            if act == 1:
+                g = (f"right({cut}, 2) IN ('यौ', 'छौ', 'नौ', 'थे')")
+            else:
+                g = f"ends_with({cut}, 'त्र')"
+            whens.append(f"    WHEN length({col}) >= {k} AND "
+                         f"ends_with({col}, '{sfx}') "
+                         f"THEN CASE WHEN {g} THEN {cut} "
+                         f"ELSE {col} END")
+        return "CASE\n" + "\n".join(whens) + f"\n    ELSE {col} END"
+
+    def cat3_dl(col: str) -> str:
+        whens = []
+        for sfx, _ in sorted(_NE_CAT3, key=lambda t: -len(t[0])):
+            k = len(sfx)
+            whens.append(f"    WHEN length({col}) >= {k} AND "
+                         f"ends_with({col}, '{sfx}') THEN {k}")
+        return "CASE\n" + "\n".join(whens) + "\n    ELSE 0 END"
+
+    return f"""WITH RECURSIVE w0 AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), wp AS (
+  SELECT d, translate(word, '{_NE_PLANT_FROM}', '{_NE_PLANT_TO}')
+         AS word
+  FROM w0 WHERE word <> ''
+), s1 AS (
+  SELECT d, {cat1_case()} AS word FROM wp
+), rec AS (
+  SELECT d, word, 0 AS done FROM s1
+  UNION ALL
+  SELECT d,
+    CASE WHEN dl3 > 0 THEN substr(w2, 1, length(w2) - dl3)
+         ELSE w2 END,
+    CASE WHEN dl3 > 0 THEN 0 ELSE 1 END
+  FROM (
+    SELECT d, w2, {cat3_dl('w2')} AS dl3
+    FROM (SELECT d, {cat2_case('word')} AS w2
+          FROM rec WHERE done = 0) i1
+  ) i2
+), fin AS (
+  SELECT d, word AS term FROM rec WHERE done = 1
+)
+{_RSLP_TAIL}"""
+
+
+_TA_PLANT_FROM = "abcdefghijklmnopqrstuvwxyz"
+_TA_PLANT_TO = "ாப ச்ெறகஹிஜஙலமனோடஞரளதுவழஷைண".replace(" ", "")
+
+
+def ft_snowball_tamil(sf_dir: str) -> pa.Table:
+    """SnowballFilter(Tamil) (snowball/ext/TamilStemmer.java:13, the
+    ta/TamilAnalyzer.java:133 default stemmer): planted Tamil via
+    per-char transliteration — '-a' endings become the question
+    suffix ா (-> pulli), '-ed' endings become a vowel-sign+pulli tail
+    (fix_ending a_9 route), '-y' becomes the vetrumai ை — so the
+    suffix families, the flags, and the fix_endings fixpoint all fire.
+    Rows-only: the control flow is a multi-pass fixpoint with two
+    cross-rule flags; gated on the reference goldens and the branch
+    battery in tests/test_snowball2.py."""
+    from ..snowball2 import tamil_stem
+    plant = str.maketrans(_TA_PLANT_FROM, _TA_PLANT_TO)
+    return _rawtok_stats(
+        sf_dir,
+        lambda tx, d: [tamil_stem(w.translate(plant))
+                       for w in _words(tx)])
+
+
+def ft_snowball_turkish(sf_dir: str) -> pa.Table:
+    """SnowballFilter(Turkish) (snowball/ext/TurkishStemmer.java:13,
+    the tr/TurkishAnalyzer.java:129 default stemmer), raw over the
+    corpus (Latin suffix chains like -in/-la/-i fire under the vowel
+    harmony gates).  Rows-only: the stemmer is a backward cursor
+    machine (composite marks, recursive ki chains) with no bounded
+    SQL form; gated on the reference goldens and morphology battery
+    in tests/test_snowball2.py."""
+    from ..snowball2 import turkish_stem
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [turkish_stem(w) for w in _words(tx)])

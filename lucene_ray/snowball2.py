@@ -163,33 +163,43 @@ def _pv_spanish(w: str, vowels: frozenset) -> int:
 
 
 def basque_stem(w: str) -> str:
+    # The repeat loops do NOT reset the cursor to the word end: after
+    # each slice the next match ends where the previous suffix began
+    # (stem():587-607 only restores cursor on a FAILED call), so a
+    # substitution's replacement text is never rescanned and izenak /
+    # adjetiboak continue from wherever aditzak stopped.  ``pos``
+    # mirrors that cursor; indexes left of every edit stay absolute,
+    # so the original-region comparison matches the runtime's fixed
+    # I_pV/I_p1/I_p2.
     pv = _pv_spanish(w, _EU_VOWELS)
     p1, p2 = _std_regions(w, _EU_VOWELS)
+    pos = len(w)
 
-    def one(word: str, table, subs: dict,
-            regions: dict) -> tuple[str, bool]:
-        m = _longest(word, 0, table)
+    def one(word: str, pos: int, table, subs: dict,
+            regions: dict) -> tuple[str, int, bool]:
+        m = _longest(word[:pos], 0, table)
         if m is None:
-            return word, False
+            return word, pos, False
         sfx, act = m
-        start = len(word) - len(sfx)
+        start = pos - len(sfx)
         if act in subs:
-            return word[:start] + subs[act], True
+            return word[:start] + subs[act] + word[pos:], start, True
         if start >= regions[act]:
-            return word[:start], True
-        return word, False
+            return word[:start] + word[pos:], start, True
+        return word, pos, False
 
     regions01 = {1: pv, 2: p2}
     while True:
-        w, ok = one(w, _EU_ADITZAK, _EU_ADITZAK_SUB, regions01)
+        w, pos, ok = one(w, pos, _EU_ADITZAK, _EU_ADITZAK_SUB,
+                         regions01)
         if not ok:
             break
     regions1 = {1: pv, 2: p2, 4: p1}
     while True:
-        w, ok = one(w, _EU_IZENAK, _EU_IZENAK_SUB, regions1)
+        w, pos, ok = one(w, pos, _EU_IZENAK, _EU_IZENAK_SUB, regions1)
         if not ok:
             break
-    w, _ = one(w, _EU_ADJ, {2: "z"}, {1: pv})
+    w, pos, _ = one(w, pos, _EU_ADJ, {2: "z"}, {1: pv})
     return w
 
 
@@ -1124,6 +1134,751 @@ def finnish_stem(w: str) -> str:
     return w
 
 
+# ---------------------------------------------------------------------------
+# Turkish (snowball/ext/TurkishStemmer.java:13)
+#
+# Unlike the other stemmers this is a backward CURSOR machine: mark_*
+# rules move the cursor over composite suffix patterns (vowel-harmony
+# check, amongs, optional buffer consonants/vowels) and the stem
+# functions slice [cursor, ket).  _Tr mirrors the generated runtime:
+# saves are offsets from the END (limit - cursor), so they survive
+# slices exactly like the reference's v_n bookkeeping.  stem() =
+# two-syllable gate, nominal-verb chain (its lAr alternative stops
+# noun stemming AND the postlude), noun-suffix chain with the
+# recursive ki chain, then postlude (reserved ad/soyad, append
+# harmonized U after final d/g, devoice final b/c/d/ğ).
+
+_TR_VOWEL = frozenset("aeiouöüı")
+_TR_U = frozenset("iuüı")
+_TR_HARMONY = {"a": frozenset("aouı"), "e": frozenset("eiöü"),
+               "ı": frozenset("aı"), "i": frozenset("ei"),
+               "o": frozenset("ou"), "u": frozenset("ou"),
+               "ö": frozenset("öü"), "ü": frozenset("öü")}
+_TR_AM = {k: tuple(sorted((r[0] for r in _d.TURKISH[k]),
+                          key=len, reverse=True))
+          for k in _d.TURKISH}
+_TR_DEVOICE = {"b": "p", "c": "ç", "d": "t", "ğ": "k"}
+
+
+class _Tr:
+    __slots__ = ("w", "c", "ket", "bra")
+
+    def __init__(self, w: str):
+        self.w = w
+        self.c = len(w)
+        self.ket = len(w)
+        self.bra = 0
+
+    def save(self) -> int:
+        return len(self.w) - self.c
+
+    def restore(self, sv: int) -> None:
+        self.c = len(self.w) - sv
+
+    def eq(self, s: str) -> bool:
+        k = len(s)
+        if self.c - k >= 0 and self.w[self.c - k:self.c] == s:
+            self.c -= k
+            return True
+        return False
+
+    def grp(self, g) -> bool:
+        if self.c > 0 and self.w[self.c - 1] in g:
+            self.c -= 1
+            return True
+        return False
+
+    def outgrp(self, g) -> bool:
+        if self.c > 0 and self.w[self.c - 1] not in g:
+            self.c -= 1
+            return True
+        return False
+
+    def among(self, key: str) -> bool:
+        for sfx in _TR_AM[key]:
+            k = len(sfx)
+            if self.c - k >= 0 and self.w[self.c - k:self.c] == sfx:
+                self.c -= k
+                return True
+        return False
+
+    def del_(self) -> None:
+        self.w = self.w[:self.bra] + self.w[self.ket:]
+        self.c = self.bra
+        self.ket = self.bra
+
+
+def _tr_try(t: _Tr, fn) -> bool:
+    sv = t.save()
+    if fn(t):
+        return True
+    t.restore(sv)
+    return False
+
+
+def _tr_harmony(t: _Tr) -> bool:
+    i = t.c - 1
+    while i >= 0 and t.w[i] not in _TR_VOWEL:
+        i -= 1
+    if i < 0:
+        return False
+    cls = _TR_HARMONY[t.w[i]]
+    j = i - 1
+    while j >= 0 and t.w[j] not in cls:
+        j -= 1
+    return j >= 0
+
+
+def _tr_opt_cons(t: _Tr, ch: str) -> bool:
+    """mark_suffix_with_optional_{n,s,y}_consonant: consume ch if a
+    vowel precedes it; otherwise require not-ch here and a vowel one
+    position further back (pure peek)."""
+    sv = t.save()
+    if t.eq(ch):
+        sv2 = t.save()
+        if t.grp(_TR_VOWEL):
+            t.restore(sv2)
+            return True
+        t.restore(sv)
+    if t.c > 0 and t.w[t.c - 1] == ch:
+        return False
+    if t.c <= 0 or t.c - 1 <= 0 or t.w[t.c - 2] not in _TR_VOWEL:
+        return False
+    return True
+
+
+def _tr_opt_U(t: _Tr) -> bool:
+    sv = t.save()
+    if t.grp(_TR_U):
+        sv2 = t.save()
+        if t.outgrp(_TR_VOWEL):
+            t.restore(sv2)
+            return True
+        t.restore(sv)
+    if t.c > 0 and t.w[t.c - 1] in _TR_U:
+        return False
+    if t.c <= 0 or t.c - 1 <= 0 or t.w[t.c - 2] in _TR_VOWEL:
+        return False
+    return True
+
+
+def _m_possessives(t):
+    return t.among("a_0") and _tr_opt_U(t)
+
+
+def _m_sU(t):
+    return _tr_harmony(t) and t.grp(_TR_U) and _tr_opt_cons(t, "s")
+
+
+def _m_lArI(t):
+    return t.among("a_1")
+
+
+def _m_yU(t):
+    return _tr_harmony(t) and t.grp(_TR_U) and _tr_opt_cons(t, "y")
+
+
+def _m_nU(t):
+    return _tr_harmony(t) and t.among("a_2")
+
+
+def _m_nUn(t):
+    return (_tr_harmony(t) and t.among("a_3")
+            and _tr_opt_cons(t, "n"))
+
+
+def _m_yA(t):
+    return (_tr_harmony(t) and t.among("a_4")
+            and _tr_opt_cons(t, "y"))
+
+
+def _m_nA(t):
+    return _tr_harmony(t) and t.among("a_5")
+
+
+def _m_DA(t):
+    return _tr_harmony(t) and t.among("a_6")
+
+
+def _m_ndA(t):
+    return _tr_harmony(t) and t.among("a_7")
+
+
+def _m_DAn(t):
+    return _tr_harmony(t) and t.among("a_8")
+
+
+def _m_ndAn(t):
+    return _tr_harmony(t) and t.among("a_9")
+
+
+def _m_ylA(t):
+    return (_tr_harmony(t) and t.among("a_10")
+            and _tr_opt_cons(t, "y"))
+
+
+def _m_ki(t):
+    return t.eq("ki")
+
+
+def _m_ncA(t):
+    return (_tr_harmony(t) and t.among("a_11")
+            and _tr_opt_cons(t, "n"))
+
+
+def _m_yUm(t):
+    return (_tr_harmony(t) and t.among("a_12")
+            and _tr_opt_cons(t, "y"))
+
+
+def _m_sUn(t):
+    return _tr_harmony(t) and t.among("a_13")
+
+
+def _m_yUz(t):
+    return (_tr_harmony(t) and t.among("a_14")
+            and _tr_opt_cons(t, "y"))
+
+
+def _m_sUnUz(t):
+    return t.among("a_15")
+
+
+def _m_lAr(t):
+    return _tr_harmony(t) and t.among("a_16")
+
+
+def _m_nUz(t):
+    return _tr_harmony(t) and t.among("a_17")
+
+
+def _m_DUr(t):
+    return _tr_harmony(t) and t.among("a_18")
+
+
+def _m_cAsInA(t):
+    return t.among("a_19")
+
+
+def _m_yDU(t):
+    return (_tr_harmony(t) and t.among("a_20")
+            and _tr_opt_cons(t, "y"))
+
+
+def _m_ysA(t):
+    return t.among("a_21") and _tr_opt_cons(t, "y")
+
+
+def _m_ymUs(t):
+    return (_tr_harmony(t) and t.among("a_22")
+            and _tr_opt_cons(t, "y"))
+
+
+def _m_yken(t):
+    return t.eq("ken") and _tr_opt_cons(t, "y")
+
+
+def _tr_nominal_verb(t: _Tr) -> bool:
+    """r_stem_nominal_verb_suffixes (:891).  Returns the
+    continue_stemming_noun_suffixes flag (the function's own success
+    is ignored by stem())."""
+    t.ket = t.c
+    sv1 = t.save()
+    # alt 1: ymUs_ | yDU | ysA | yken
+    if (_tr_try(t, _m_ymUs) or _tr_try(t, _m_yDU)
+            or _tr_try(t, _m_ysA) or _tr_try(t, _m_yken)):
+        t.bra = t.c
+        t.del_()
+        return True
+    t.restore(sv1)
+
+    # alt 2: cAsInA (sUnUz|lAr|yUm|sUn|yUz|)? ymUs_
+    def alt2(t):
+        if not _m_cAsInA(t):
+            return False
+        (_tr_try(t, _m_sUnUz) or _tr_try(t, _m_lAr)
+         or _tr_try(t, _m_yUm) or _tr_try(t, _m_sUn)
+         or _tr_try(t, _m_yUz))
+        return _m_ymUs(t)
+
+    if _tr_try(t, alt2):
+        t.bra = t.c
+        t.del_()
+        return True
+    t.restore(sv1)
+
+    # alt 3: lAr, delete, optional (DUr|yDU|ysA|ymUs_); stops noun
+    # stemming (and thereby the postlude)
+    def alt3(t):
+        if not _m_lAr(t):
+            return False
+        t.bra = t.c
+        t.del_()
+        sv4 = t.save()
+        t.ket = t.c
+        if not (_tr_try(t, _m_DUr) or _tr_try(t, _m_yDU)
+                or _tr_try(t, _m_ysA) or _tr_try(t, _m_ymUs)):
+            t.restore(sv4)
+        return True
+
+    if _tr_try(t, alt3):
+        t.bra = t.c
+        t.del_()
+        return False                    # continue flag cleared
+    t.restore(sv1)
+
+    # alt 4: nUz (yDU | ysA)
+    def alt4(t):
+        return _m_nUz(t) and (_tr_try(t, _m_yDU)
+                              or _m_ysA(t))
+
+    if _tr_try(t, alt4):
+        t.bra = t.c
+        t.del_()
+        return True
+    t.restore(sv1)
+
+    # alt 5: (sUnUz|yUz|sUn|yUm), delete, optional ymUs_
+    def alt5(t):
+        if not (_tr_try(t, _m_sUnUz) or _tr_try(t, _m_yUz)
+                or _tr_try(t, _m_sUn) or _tr_try(t, _m_yUm)):
+            return False
+        t.bra = t.c
+        t.del_()
+        sv8 = t.save()
+        t.ket = t.c
+        if not _tr_try(t, _m_ymUs):
+            t.restore(sv8)
+        return True
+
+    if _tr_try(t, alt5):
+        t.bra = t.c
+        t.del_()
+        return True
+    t.restore(sv1)
+
+    # alt 6: DUr, delete, optional ((sUnUz|lAr|yUm|sUn|yUz|) ymUs_)
+    if not _m_DUr(t):
+        t.restore(sv1)
+        return True                     # failed; flag stays true
+    t.bra = t.c
+    t.del_()
+    sv9 = t.save()
+    t.ket = t.c
+
+    def tail6(t):
+        (_tr_try(t, _m_sUnUz) or _tr_try(t, _m_lAr)
+         or _tr_try(t, _m_yUm) or _tr_try(t, _m_sUn)
+         or _tr_try(t, _m_yUz))
+        return _m_ymUs(t)
+
+    if not _tr_try(t, tail6):
+        t.restore(sv9)
+    t.bra = t.c
+    t.del_()
+    return True
+
+
+def _tr_chain_ki(t: _Tr) -> bool:
+    """r_stem_suffix_chain_before_ki (:1170), recursive."""
+    t.ket = t.c
+    if not _m_ki(t):
+        return False
+    sv1 = t.save()
+
+    def alt_da(t):
+        if not _m_DA(t):
+            return False
+        t.bra = t.c
+        t.del_()
+        sv2 = t.save()
+        t.ket = t.c
+
+        def da_lar(t):
+            if not _m_lAr(t):
+                return False
+            t.bra = t.c
+            t.del_()
+            sv4 = t.save()
+            if not _tr_chain_ki(t):
+                t.restore(sv4)
+            return True
+
+        def da_poss(t):
+            if not _m_possessives(t):
+                return False
+            t.bra = t.c
+            t.del_()
+            sv5 = t.save()
+            t.ket = t.c
+            if _m_lAr(t):
+                t.bra = t.c
+                t.del_()
+                if not _tr_chain_ki(t):
+                    t.restore(sv5)
+            else:
+                t.restore(sv5)
+            return True
+
+        if not (_tr_try(t, da_lar) or _tr_try(t, da_poss)):
+            t.restore(sv2)
+        return True
+
+    if _tr_try(t, alt_da):
+        return True
+    t.restore(sv1)
+
+    def alt_nun(t):
+        if not _m_nUn(t):
+            return False
+        t.bra = t.c
+        t.del_()
+        sv6 = t.save()
+        t.ket = t.c
+
+        def nun_lari(t):
+            if not _m_lArI(t):
+                return False
+            t.bra = t.c
+            t.del_()
+            return True
+
+        def nun_poss(t):
+            t.ket = t.c
+            if not (_tr_try(t, _m_possessives) or _m_sU(t)):
+                return False
+            t.bra = t.c
+            t.del_()
+            sv9 = t.save()
+            t.ket = t.c
+            if _m_lAr(t):
+                t.bra = t.c
+                t.del_()
+                if not _tr_chain_ki(t):
+                    t.restore(sv9)
+            else:
+                t.restore(sv9)
+            return True
+
+        if not (_tr_try(t, nun_lari) or _tr_try(t, nun_poss)
+                or _tr_chain_ki(t)):
+            t.restore(sv6)
+        return True
+
+    if _tr_try(t, alt_nun):
+        return True
+    t.restore(sv1)
+
+    if not _m_ndA(t):
+        return False
+
+    def nda_lari(t):
+        if not _m_lArI(t):
+            return False
+        t.bra = t.c
+        t.del_()
+        return True
+
+    def nda_su(t):
+        if not _m_sU(t):
+            return False
+        t.bra = t.c
+        t.del_()
+        sv11 = t.save()
+        t.ket = t.c
+        if _m_lAr(t):
+            t.bra = t.c
+            t.del_()
+            if not _tr_chain_ki(t):
+                t.restore(sv11)
+        else:
+            t.restore(sv11)
+        return True
+
+    if _tr_try(t, nda_lari) or _tr_try(t, nda_su):
+        return True
+    return _tr_chain_ki(t)
+
+
+def _tr_noun_suffixes(t: _Tr) -> None:
+    """r_stem_noun_suffixes (:1356): ordered alternatives, each sets
+    its own ket and slices."""
+    sv1 = t.save()
+
+    def a1(t):
+        t.ket = t.c
+        if not _m_lAr(t):
+            return False
+        t.bra = t.c
+        t.del_()
+        sv2 = t.save()
+        if not _tr_chain_ki(t):
+            t.restore(sv2)
+        return True
+
+    def poss_su_lar2(t):
+        """shared tail: (possessives|sU) del (lAr del chain_ki)?"""
+        t.ket = t.c
+        if not (_tr_try(t, _m_possessives) or _m_sU(t)):
+            return False
+        t.bra = t.c
+        t.del_()
+        sv = t.save()
+        t.ket = t.c
+        if _m_lAr(t):
+            t.bra = t.c
+            t.del_()
+            if not _tr_chain_ki(t):
+                t.restore(sv)
+        else:
+            t.restore(sv)
+        return True
+
+    def a2(t):
+        t.ket = t.c
+        if not _m_ncA(t):
+            return False
+        t.bra = t.c
+        t.del_()
+        sv3 = t.save()
+
+        def lari(t):
+            t.ket = t.c
+            if not _m_lArI(t):
+                return False
+            t.bra = t.c
+            t.del_()
+            return True
+
+        def lar(t):
+            t.ket = t.c
+            if not _m_lAr(t):
+                return False
+            t.bra = t.c
+            t.del_()
+            return _tr_chain_ki(t)
+
+        if not (_tr_try(t, lari) or _tr_try(t, poss_su_lar2)
+                or _tr_try(t, lar)):
+            t.restore(sv3)
+        return True
+
+    def a3(t):
+        t.ket = t.c
+        if not (_tr_try(t, _m_ndA) or _m_nA(t)):
+            return False
+
+        def lari(t):
+            if not _m_lArI(t):
+                return False
+            t.bra = t.c
+            t.del_()
+            return True
+
+        def su(t):
+            if not _m_sU(t):
+                return False
+            t.bra = t.c
+            t.del_()
+            sv = t.save()
+            t.ket = t.c
+            if _m_lAr(t):
+                t.bra = t.c
+                t.del_()
+                if not _tr_chain_ki(t):
+                    t.restore(sv)
+            else:
+                t.restore(sv)
+            return True
+
+        return (_tr_try(t, lari) or _tr_try(t, su)
+                or _tr_chain_ki(t))
+
+    def a4(t):
+        t.ket = t.c
+        if not (_tr_try(t, _m_ndAn) or _m_nU(t)):
+            return False
+
+        def su(t):
+            if not _m_sU(t):
+                return False
+            t.bra = t.c
+            t.del_()
+            sv = t.save()
+            t.ket = t.c
+            if _m_lAr(t):
+                t.bra = t.c
+                t.del_()
+                if not _tr_chain_ki(t):
+                    t.restore(sv)
+            else:
+                t.restore(sv)
+            return True
+
+        return _tr_try(t, su) or _m_lArI(t)
+
+    def a5(t):
+        t.ket = t.c
+        if not _m_DAn(t):
+            return False
+        t.bra = t.c
+        t.del_()
+        sv13 = t.save()
+        t.ket = t.c
+
+        def poss(t):
+            if not _m_possessives(t):
+                return False
+            t.bra = t.c
+            t.del_()
+            sv = t.save()
+            t.ket = t.c
+            if _m_lAr(t):
+                t.bra = t.c
+                t.del_()
+                if not _tr_chain_ki(t):
+                    t.restore(sv)
+            else:
+                t.restore(sv)
+            return True
+
+        def lar(t):
+            if not _m_lAr(t):
+                return False
+            t.bra = t.c
+            t.del_()
+            sv = t.save()
+            if not _tr_chain_ki(t):
+                t.restore(sv)
+            return True
+
+        if not (_tr_try(t, poss) or _tr_try(t, lar)
+                or _tr_chain_ki(t)):
+            t.restore(sv13)
+        return True
+
+    def a6(t):
+        t.ket = t.c
+        if not (_tr_try(t, _m_nUn) or _m_ylA(t)):
+            return False
+        t.bra = t.c
+        t.del_()
+        sv18 = t.save()
+
+        def lar_ki(t):
+            t.ket = t.c
+            if not _m_lAr(t):
+                return False
+            t.bra = t.c
+            t.del_()
+            return _tr_chain_ki(t)
+
+        if not (_tr_try(t, lar_ki) or _tr_try(t, poss_su_lar2)
+                or _tr_chain_ki(t)):
+            t.restore(sv18)
+        return True
+
+    def a7(t):
+        t.ket = t.c
+        if not _m_lArI(t):
+            return False
+        t.bra = t.c
+        t.del_()
+        return True
+
+    def a8(t):
+        return _tr_chain_ki(t)
+
+    def a9(t):
+        t.ket = t.c
+        if not (_tr_try(t, _m_DA) or _tr_try(t, _m_yU)
+                or _m_yA(t)):
+            return False
+        t.bra = t.c
+        t.del_()
+        sv23 = t.save()
+        t.ket = t.c
+
+        def poss_lar(t):
+            if not _m_possessives(t):
+                return False
+            t.bra = t.c
+            t.del_()
+            sv25 = t.save()
+            t.ket = t.c
+            if not _m_lAr(t):
+                t.restore(sv25)
+            return True
+
+        if _tr_try(t, poss_lar) or _m_lAr(t):
+            t.bra = t.c
+            t.del_()
+            t.ket = t.c
+            if not _tr_chain_ki(t):
+                t.restore(sv23)
+        else:
+            t.restore(sv23)
+        return True
+
+    def a10(t):
+        t.ket = t.c
+        if not (_tr_try(t, _m_possessives) or _m_sU(t)):
+            return False
+        t.bra = t.c
+        t.del_()
+        sv27 = t.save()
+        t.ket = t.c
+        if _m_lAr(t):
+            t.bra = t.c
+            t.del_()
+            if not _tr_chain_ki(t):
+                t.restore(sv27)
+        else:
+            t.restore(sv27)
+        return True
+
+    for alt in (a1, a2, a3, a4, a5, a6, a7, a8, a9, a10):
+        if _tr_try(t, alt):
+            return
+        t.restore(sv1)
+
+
+def turkish_stem(w: str) -> str:
+    if sum(1 for ch in w if ch in _TR_VOWEL) < 2:
+        return w
+    t = _Tr(w)
+    sv = t.save()
+    cont = _tr_nominal_verb(t)
+    t.restore(sv)
+    if not cont:
+        return t.w                      # postlude skipped (stem():2078)
+    sv = t.save()
+    _tr_noun_suffixes(t)
+    t.restore(sv)
+    # postlude
+    if t.w in ("ad", "soyad"):          # r_is_reserved_word
+        return t.w
+    # append harmonized U after a final d/g
+    if t.w.endswith(("d", "g")):
+        i = len(t.w) - 2
+        while i >= 0 and t.w[i] not in _TR_VOWEL:
+            i -= 1
+        if i >= 0:
+            v = t.w[i]
+            if v in "aı":
+                t.w += "ı"
+            elif v in "ei":
+                t.w += "i"
+            elif v in "ou":
+                t.w += "u"
+            elif v in "öü":
+                t.w += "ü"
+    # devoice the final consonant
+    if t.w and t.w[-1] in _TR_DEVOICE:
+        t.w = t.w[:-1] + _TR_DEVOICE[t.w[-1]]
+    return t.w
+
+
 SNOWBALL2_STEMMERS = {
     "snowball_armenian": armenian_stem,
     "snowball_irish": irish_stem,
@@ -1137,4 +1892,5 @@ SNOWBALL2_STEMMERS = {
     "snowball_tamil": tamil_stem,
     "snowball_serbian": serbian_stem,
     "snowball_finnish": finnish_stem,
+    "snowball_turkish": turkish_stem,
 }

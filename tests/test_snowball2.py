@@ -180,6 +180,11 @@ def test_basque_branches():
     assert st("mendiari") == "mendi"
     # izenak repeats: two case endings come off one after the other
     assert st("etxekoa") == "etxe"      # -ko then -a (genitive chain)
+    # substitutions move the cursor PAST the replacement — the repeat
+    # loop never rescans it (stem():587 restores only on failure), so
+    # minutuko -> minutu stops instead of stripping a fresh -tu
+    assert st("minutuko") == "minutu"
+    assert st("trako") == "tra"
 
 
 # --- Nepali (NepaliStemmer.java:13) ---
@@ -395,6 +400,50 @@ def test_finnish_branches():
     assert st("miehet") == "miehe"
     # tidy: AEI after consonant, then the final undouble
     assert st("tyttöjen") == "tyttöj"
+
+
+# --- Turkish (TurkishStemmer.java:13) ---
+
+def test_turkish_reference_goldens():
+    from lucene_ray.snowball2 import turkish_stem
+    pairs = [(w, want)
+             for w, want in _golden_pairs("tr", "TestTurkishAnalyzer.java")
+             if "'" not in w and w == w.lower()]
+    assert len(pairs) >= 2     # apostrophe/case rows are analyzer-level
+    for word, want in pairs:
+        if word == want:
+            continue
+        assert turkish_stem(word) == want, (word, want)
+
+
+def test_turkish_branches():
+    from lucene_ray.snowball2 import turkish_stem as st
+    # possessive then postlude devoicing c->ç, b->p, ğ->k
+    assert st("ağacı") == "ağaç"
+    assert st("kitabı") == "kitap"
+    assert st("geleceğim") == "gelecek"
+    # noun chains: plural, locative+possessive, instrumental with the
+    # optional buffer y (vowel harmony checked per suffix)
+    assert st("kitaplar") == "kitap"
+    assert st("evlerinde") == "ev"
+    assert st("arabalarla") == "araba"
+    assert st("arkadaşımla") == "arkadaş"
+    # nominal verb suffixes: yDU / ymUs_ / yUm / sUnUz
+    assert st("güzeldi") == "güzel"
+    assert st("güzelmiş") == "güzel"
+    assert st("öğrenciyim") == "öğrenci"
+    assert st("öğrencisiniz") == "öğrenci"
+    # the lAr nominal-verb alternative stops noun stemming AND skips
+    # the postlude (stem():2078 returns before r_postlude)
+    assert st("evler") == "ev"
+    # reserved words are never U-appended
+    assert st("soyadı") == "soyad"
+    assert st("soyad") == "soyad"
+    # one-syllable words pass through untouched
+    assert st("ev") == "ev"
+    # vowel harmony gate: the suffix vowel must harmonize with the
+    # previous vowel, else the mark fails
+    assert st("gözlükçülükten") == "gözlükçülük"
 
 
 # --- Catalan (CatalanStemmer.java:13) ---
