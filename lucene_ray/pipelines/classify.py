@@ -53,9 +53,11 @@ def _docs(sf_dir: str, cols=("doc_id", "text", "lang")):
                                  columns=list(cols))
 
 
-def classify_naive_bayes(sf_dir: str):
+def classify_naive_bayes(sf_dir: str, _extra_cols=()):
     """(doc_id, pred_lang) — each document re-assigned to the class the
-    NB model (trained on the full corpus) scores highest."""
+    NB model (trained on the full corpus) scores highest.
+    ``_extra_cols`` are carried through the scoring pass unchanged (the
+    doc_lm_logprob convention; classify_confusion threads ``lang``)."""
     import math
 
     import ray
@@ -102,9 +104,11 @@ def classify_naive_bayes(sf_dir: str):
         _docs(sf_dir, ("lang",)).groupby("lang").count().to_pandas(),
         ["lang", "count()"])
     if len(df_tbl) == 0:
-        return ray.data.from_arrow(pa.table({
-            "doc_id": pa.array([], pa.int64()),
-            "pred_lang": pa.array([], pa.string())}))
+        cols = {"doc_id": pa.array([], pa.int64()),
+                "pred_lang": pa.array([], pa.string())}
+        for c in _extra_cols:
+            cols[c] = pa.array([], pa.string())
+        return ray.data.from_arrow(pa.table(cols))
 
     classes = np.sort(lang_tbl["lang"].to_numpy())
     nc = {r["lang"]: int(r["count()"]) for _, r in lang_tbl.iterrows()}
@@ -140,12 +144,15 @@ def classify_naive_bayes(sf_dir: str):
             ll[:, j] = (np.bincount(owners, weights=w[pos, j][codes],
                                     minlength=n) + prior[j])
         best = np.argmax(ll, axis=1)          # first max = alpha-first
-        return pa.table({
+        cols = {
             "doc_id": batch.column("doc_id"),
             "pred_lang": pa.array(classes[best].astype(object),
-                                  pa.string())})
+                                  pa.string())}
+        for c in _extra_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
-    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+    return _docs(sf_dir, ("doc_id", "text", *_extra_cols)).map_batches(
         score, batch_format="pyarrow")
 
 

@@ -377,3 +377,62 @@ SELECT 'matcher_2', count(*) FROM dims
   WHERE l BETWEEN {l3} AND {h3} AND c BETWEEN {c3} AND {c4}
 UNION ALL
 SELECT '$total$', count(*) FROM dims"""
+
+
+HISTOGRAM_WIDTH = 7
+HISTOGRAM_MAX_BUCKETS = 1024
+
+
+def agg_histogram(sf_dir: str) -> pa.Table:
+    """Plain numeric histogram
+    (sandbox/facet/plain/histograms/HistogramCollector.java:41):
+    bucket = floorDiv(value, bucketWidth), count per bucket, erroring
+    past maxBuckets (checkMaxBuckets, :223-229).
+
+    Scale shape: the reference's PointTreeBulkCollector fast path
+    counts whole tree nodes whose [min, max] falls inside one bucket;
+    here each batch reduces to a bounded bincount partial over its own
+    bucket range (one row per OCCUPIED bucket leaves the task — the
+    same bounded-exchange contract), then a <= maxBuckets groupby."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    width = HISTOGRAM_WIDTH
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if batch.num_rows == 0:
+            return empty
+        v = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        v = v.astype(np.int64)
+        b = np.floor_divide(v, width)           # Math.floorDiv
+        lo = int(b.min())
+        cnt = np.bincount(b - lo)
+        occ = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(occ + lo, pa.int64()),
+                         "n": pa.array(cnt[occ].astype(np.int64))})
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    agg = ensure_cols(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket").aggregate(Sum("n", alias_name="n"))
+        .to_pandas(), ["bucket", "n"])
+    if len(agg) > HISTOGRAM_MAX_BUCKETS:
+        raise ValueError(
+            f"Can't compute histogram with more than "
+            f"{HISTOGRAM_MAX_BUCKETS} buckets")
+    agg = agg.sort_values("bucket").reset_index(drop=True)
+    return pa.table({
+        "bucket": pa.array(agg["bucket"].astype("int64")),
+        "n": pa.array(agg["n"].astype("int64"))})
+
+
+def oracle_histogram_sql() -> str:
+    w = HISTOGRAM_WIDTH
+    return f"""SELECT CAST(floor(CAST(l_quantity AS DOUBLE) / {w})
+         AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem GROUP BY bucket ORDER BY bucket"""
