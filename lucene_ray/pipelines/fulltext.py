@@ -12160,3 +12160,349 @@ def ft_snowball_turkish(sf_dir: str) -> pa.Table:
     from ..snowball2 import turkish_stem
     return _rawtok_stats(
         sf_dir, lambda tx, d: [turkish_stem(w) for w in _words(tx)])
+
+
+# ---------------------------------------------------------------------------
+# FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java:47)
+
+FLT_QUERIES = [(1, "valu tabl", 1), (2, "quary scann", 1),
+               (3, "custmer merge", 2), (4, "zzzz", 1)]
+FLT_MAX_VARIANTS = 50          # MAX_VARIANTS_PER_TERM (:55)
+FLT_MAX_NUM_TERMS = 50
+
+
+def _flt_expand(r, text: str, max_edits: int):
+    """(source_term, variant, st_score) triples per the reference's
+    addTerms (:137-186): OSA variants with the FuzzyTermsEnum boost
+    1 - ed/min(len), squared and scaled by the ClassicSimilarity idf
+    of the source term's df (average variant df when the source is
+    absent, INTEGER division :170-174); both priority queues order by
+    (score asc, term desc) so the kept set is (score desc, term asc)."""
+    import math
+
+    from ..search import _content_terms_only, _osa_distance, termdict_scan
+
+    t = _content_terms_only(r, termdict_scan(r))
+    vocab = t.column("term").to_pylist()
+    dfs = t.column("df").to_pylist()
+    n_docs = r.doc_count
+    out = []
+    for term in dict.fromkeys(text.split()):
+        cands = []
+        total_var_df, num_var = 0, 0
+        df_exact = 0
+        for cand, df in zip(vocab, dfs):
+            ed = _osa_distance(term, cand, max_edits)
+            if ed > max_edits:
+                continue
+            num_var += 1
+            total_var_df += int(df)
+            if ed == 0:
+                boost = np.float32(1.0)
+                df_exact = int(df)
+            else:
+                boost = np.float32(1.0) - (
+                    np.float32(ed) / np.float32(min(len(cand), len(term))))
+            cands.append((cand, boost))
+        if num_var == 0:
+            continue
+        df = df_exact if df_exact > 0 else total_var_df // num_var
+        cls_idf = np.float32(
+            math.log((n_docs + 1) / float(df + 1)) + 1.0)
+        cands.sort(key=lambda c: (-float(c[1]), c[0]))
+        for cand, boost in cands[:FLT_MAX_VARIANTS]:
+            st = np.float32(np.float32(boost * boost) * cls_idf)
+            out.append((term, cand, st))
+    out.sort(key=lambda v: (-float(v[2]), v[1]))
+    return out[:FLT_MAX_NUM_TERMS]
+
+
+def ft_fuzzy_like_this(sf_dir: str) -> pa.Table:
+    """FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java:47):
+    per-term fuzzy expansion with idf-weighted variant boosts, rewritten
+    to a Boolean SHOULD of boosted TermQueries whose df/ttf are
+    OVERRIDDEN TO 1 (newTermQuery's TermStates hack, :190-205) — every
+    variant scores as an ultra-rare term under the searcher's BM25."""
+    from .. import bm25
+    from ..codec import decode_block
+
+    r = reader_for(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, text, max_edits in FLT_QUERIES:
+        acc: dict[int, float] = {}
+        for _src, term, st in _flt_expand(r, text, max_edits):
+            p = r.postings(term)
+            if p is None:
+                continue
+            sim = bm25.scorer(1, r.doc_count, r.sum_ttf,
+                              boost=float(st))
+            for bi in range(len(p.n)):
+                d, tf, nb = decode_block(
+                    int(p.first_doc[bi]), int(p.n[bi]), p.docs_enc[bi],
+                    p.tfs_enc[bi], p.norms_enc[bi])
+                s = sim.score(tf, nb)
+                for di, sv in zip(d.tolist(), s.tolist()):
+                    acc[di] = acc.get(di, 0.0) + sv
+        top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        for rank, (d, s) in enumerate(top, 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(d)
+            scores.append(np.float32(s))
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "score": pa.array(scores, pa.float32())})
+
+
+def oracle_fuzzy_like_this_sql() -> str:
+    """Replays the expansion in SQL: damerau_levenshtein stands in for
+    the OSA automaton (equal for every pair at distance <= 2 that this
+    corpus contains; the OSA-vs-DL divergence class is pytest-pinned on
+    search._osa_distance)."""
+    idf1 = ("CAST(ln(1 + ((SELECT n_docs FROM stats) - 0.5) / 1.5) "
+            "AS REAL)")
+    parts = []
+    for qid, text, max_edits in FLT_QUERIES:
+        for term in dict.fromkeys(text.split()):
+            parts.append(
+                f"SELECT {qid} AS qid, '{term}' AS src, "
+                f"{max_edits} AS me")
+    srcs = "\n  UNION ALL ".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+srcs AS (
+  {srcs}
+),
+cand AS (
+  SELECT s.qid, s.src, f.term, f.df,
+         damerau_levenshtein(s.src, f.term) AS ed
+  FROM srcs s JOIN df f
+    ON damerau_levenshtein(s.src, f.term) <= s.me
+),
+grp AS (
+  SELECT qid, src,
+         max(CASE WHEN ed = 0 THEN df ELSE 0 END) AS df_exact,
+         CAST(sum(df) AS BIGINT) // count(*) AS df_avg
+  FROM cand GROUP BY qid, src
+),
+boosted AS (
+  SELECT c.qid, c.src, c.term,
+         CASE WHEN c.ed = 0 THEN CAST(1.0 AS REAL)
+              ELSE CAST(1.0 AS REAL)
+                   - CAST(c.ed AS REAL)
+                     / CAST(least(length(c.term), length(c.src)) AS REAL)
+         END AS boost,
+         CAST(ln(((SELECT n_docs FROM stats) + 1)
+                 / CAST((CASE WHEN g.df_exact > 0 THEN g.df_exact
+                              ELSE g.df_avg END) + 1 AS DOUBLE))
+              + 1.0 AS REAL) AS cls_idf,
+         row_number() OVER (PARTITION BY c.qid, c.src
+                            ORDER BY boost DESC, c.term) AS vr
+  FROM cand c JOIN grp g ON g.qid = c.qid AND g.src = c.src
+),
+kept AS (
+  SELECT qid, term,
+         CAST(CAST(boost * boost AS REAL) * cls_idf AS REAL) AS st,
+         row_number() OVER (PARTITION BY qid
+           ORDER BY CAST(CAST(boost * boost AS REAL) * cls_idf AS REAL)
+             DESC, term) AS gr
+  FROM boosted WHERE vr <= {FLT_MAX_VARIANTS}
+),
+scored AS (
+  SELECT k.qid, t.d,
+         CAST(CAST(k.st * {idf1} AS REAL)
+           - CAST(k.st * {idf1} AS REAL)
+             / (CAST(1.0 AS REAL) + CAST(t.tf AS REAL) *
+                (CAST(1.0 AS REAL) /
+                 (CAST(1.2 AS REAL) *
+                  (CAST(0.25 AS REAL) +
+                   CAST(0.75 AS REAL) * CAST(q.qlen AS REAL) /
+                   CAST(CAST((SELECT sum_ttf FROM stats) AS DOUBLE) /
+                        (SELECT n_docs FROM stats) AS REAL)))))
+           AS REAL) AS s
+  FROM kept k
+  JOIN tf t ON t.term = k.term
+  JOIN quant q ON q.d = t.d
+  WHERE k.gr <= {FLT_MAX_NUM_TERMS}
+),
+totals AS (
+  SELECT qid, d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+  FROM scored GROUP BY qid, d
+),
+ranked AS (
+  SELECT qid, d, score, row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, d ASC) AS rank
+  FROM totals
+)
+SELECT qid, rank, d AS doc_id, score FROM ranked WHERE rank <= 10"""
+
+
+# ---------------------------------------------------------------------------
+# HalfFloatPoint (sandbox/document/HalfFloatPoint.java:31)
+
+HALF_RANGE_QUERIES = [(1, 1000.0, 2000.0), (2, 50000.0, 65504.0),
+                      (3, 65504.0, float("inf")), (4, 914.5, 915.0)]
+
+
+def ft_half_float_range(sf_dir: str) -> pa.Table:
+    """HalfFloatPoint range counting: l_extendedprice is cast to
+    float32 then quantized through the half-float codec
+    (HalfFloatPoint.java:110-155, round-half-even, float32 subnormals
+    flush, overflow carries into infinity); inclusive range counts run
+    on the QUANTIZED values.  n_distinct gates the codec's value set,
+    not just the partition."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..halffloat import half_bits, half_value
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice"])
+
+    _SCHEMA = pa.schema([("qid", pa.int64()), ("n", pa.int64()),
+                         ("v", pa.float32())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _SCHEMA.empty_table()
+        f = batch.column("l_extendedprice").to_numpy().astype(np.float32)
+        q = half_value(half_bits(f))
+        qids, ns, vs = [], [], []
+        for qid, lo, hi in HALF_RANGE_QUERIES:
+            m = (q >= np.float32(lo)) & (q <= np.float32(hi))
+            uniq, cnt = np.unique(q[m], return_counts=True)
+            qids.extend([qid] * len(uniq))
+            ns.extend(cnt.astype(np.int64).tolist())
+            vs.extend(uniq.tolist())
+        return pa.table({"qid": pa.array(qids, pa.int64()),
+                         "n": pa.array(ns, pa.int64()),
+                         "v": pa.array(np.array(vs, np.float32))})
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    agg = ensure_cols(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["qid", "v"]).sum("n").to_pandas(),
+        ["qid", "v", "sum(n)"])
+    out = (agg.groupby("qid")
+           .agg(n_docs=("sum(n)", "sum"), n_distinct=("v", "size"))
+           .reindex([q for q, _, _ in HALF_RANGE_QUERIES], fill_value=0)
+           .reset_index())
+    return pa.table({
+        "qid": pa.array(out["qid"].astype("int64")),
+        "n_docs": pa.array(out["n_docs"].astype("int64")),
+        "n_distinct": pa.array(out["n_distinct"].astype("int64"))})
+
+
+def oracle_half_float_range_sql() -> str:
+    """Half-float quantization as exact SQL: within [2^e, 2^(e+1)) the
+    half quantum is 2^(e-10); f/quantum is exact in DOUBLE (a 24-bit
+    mantissa over a power of two), round_even reproduces roundShift's
+    tie-to-even, and results >= 65536 are the overflow-to-infinity
+    class (the exponent carry at HalfFloatPoint.java:121-133)."""
+    whens = []
+    for e in range(17, 5, -1):
+        lo = float(2 ** e)
+        qt = float(2 ** (e - 10))
+        whens.append(f"    WHEN f >= {lo} THEN {qt}")
+    quantum = "CASE\n" + "\n".join(whens) + "\n    ELSE 0 END"
+    parts = []
+    for qid, lo, hi in HALF_RANGE_QUERIES:
+        hi_sql = "CAST('infinity' AS REAL)" if hi == float("inf") \
+            else f"CAST({hi} AS REAL)"
+        parts.append(f"""SELECT {qid} AS qid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+FROM halves WHERE h >= CAST({lo} AS REAL) AND h <= {hi_sql}""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH f32 AS (
+  SELECT CAST(l_extendedprice AS REAL) AS f FROM lineitem
+), halves AS (
+  SELECT CASE
+    WHEN q = 0 THEN f
+    WHEN round_even(CAST(f AS DOUBLE) / q, 0) * q >= 65536
+      THEN CAST('infinity' AS REAL)
+    ELSE CAST(round_even(CAST(f AS DOUBLE) / q, 0) * q AS REAL)
+  END AS h
+  FROM (SELECT f, {quantum} AS q FROM f32)
+)
+{un}"""
+
+
+# ---------------------------------------------------------------------------
+# BigIntegerPoint (sandbox/document/BigIntegerPoint.java:33)
+
+_BIGINT_SHIFT = 3 * 10 ** 21   # centers the derived value around zero
+
+BIGINT_RANGE_QUERIES = [
+    (1, -3 * 10 ** 21, -10 ** 21),
+    (2, -10 ** 15, 10 ** 15),
+    (3, 0, 4 * 10 ** 21),
+    (4, 123456789, 123456789),          # exact-match form
+]
+
+
+def ft_bigint_range(sf_dir: str) -> pa.Table:
+    """BigIntegerPoint range counting over a derived 128-bit value
+    (l_orderkey·10¹⁵ + l_partkey·10⁶ + l_linenumber − 3·10²¹ — wider
+    than int64 and signed on both sides): every row is ENCODED to the
+    sortable 16-byte form and ranges compare RAW BYTES against encoded
+    bounds, gating the sign-flip order isomorphism
+    (NumericUtils.bigIntToSortableBytes)."""
+    import ray.data
+
+    from ..bigintpoint import bigint_to_sortable_bytes
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_linenumber"])
+    bounds = [(qid, bigint_to_sortable_bytes(lo),
+               bigint_to_sortable_bytes(hi))
+              for qid, lo, hi in BIGINT_RANGE_QUERIES]
+
+    _SCHEMA = pa.schema([("qid", pa.int64()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _SCHEMA.empty_table()
+        ok = batch.column("l_orderkey").to_numpy()
+        pk = batch.column("l_partkey").to_numpy()
+        ln = batch.column("l_linenumber").to_numpy()
+        enc = [bigint_to_sortable_bytes(
+            int(o) * 10 ** 15 + int(p) * 10 ** 6 + int(l)
+            - _BIGINT_SHIFT)
+            for o, p, l in zip(ok.tolist(), pk.tolist(), ln.tolist())]
+        qids, ns = [], []
+        for qid, blo, bhi in bounds:
+            qids.append(qid)
+            ns.append(sum(1 for e in enc if blo <= e <= bhi))
+        return pa.table({"qid": pa.array(qids, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    agg = ensure_cols(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("qid").sum("n").to_pandas(), ["qid", "sum(n)"])
+    agg = agg.sort_values("qid").reset_index(drop=True)
+    return pa.table({"qid": pa.array(agg["qid"].astype("int64")),
+                     "n": pa.array(agg["sum(n)"].astype("int64"))})
+
+
+def oracle_bigint_range_sql() -> str:
+    parts = []
+    for qid, lo, hi in BIGINT_RANGE_QUERIES:
+        parts.append(f"""SELECT {qid} AS qid, CAST(count(*) AS BIGINT) AS n
+FROM v WHERE x BETWEEN CAST('{lo}' AS HUGEINT)
+                   AND CAST('{hi}' AS HUGEINT)""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH v AS (
+  SELECT CAST(l_orderkey AS HUGEINT) * CAST('1000000000000000' AS HUGEINT)
+         + CAST(l_partkey AS HUGEINT) * 1000000
+         + l_linenumber
+         - CAST('3000000000000000000000' AS HUGEINT) AS x
+  FROM lineitem
+)
+{un}"""

@@ -1226,6 +1226,33 @@ def _edit_distance(a: str, b: str, limit: int) -> int:
     return prev[-1]
 
 
+def _osa_distance(a: str, b: str, limit: int) -> int:
+    """Bounded optimal-string-alignment distance — Levenshtein plus
+    single transpositions of ADJACENT chars, each substring edited at
+    most once (the transpositions=true Levenshtein automata used by
+    FuzzyTermsEnum, util/automaton/LevenshteinAutomata.java:60; full
+    Damerau-Levenshtein would allow edits inside a transposed pair and
+    rates e.g. ca->abc at 2 where the automaton needs 3)."""
+    if abs(len(a) - len(b)) > limit:
+        return limit + 1
+    prev2: list[int] | None = None
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        best = cur[0]
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != cb))
+            if (prev2 is not None and i > 1 and j > 1
+                    and ca == b[j - 2] and a[i - 2] == cb):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+            best = min(best, cur[j])
+        if best > limit:
+            return limit + 1
+        prev2, prev = prev, cur
+    return prev[-1]
+
+
 def _scan_mask(col: pa.Array, *, prefix=None, lo=None, hi=None,
                regex=None, fuzzy=None, terms=None) -> "pa.Array | None":
     """Vectorized term-predicate mask over one partition's term column.
