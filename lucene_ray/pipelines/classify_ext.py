@@ -1,5 +1,6 @@
 """Classification utilities over the ``documents`` table: confusion
-matrix and the stratified dataset splitter.
+matrix, the stratified dataset splitter, and the BM25 NB classifier
+(:func:`classify_bm25nb` — see its docstring).
 
 - :func:`classify_confusion` reproduces ConfusionMatrixGenerator
   (classification/utils/ConfusionMatrixGenerator.java:63-133): classify
@@ -265,3 +266,183 @@ SELECT r.doc_id,
        THEN 'cv'
        ELSE 'train' END AS part
 FROM r JOIN go ON go.lang = r.lang"""
+
+
+def classify_bm25nb(sf_dir: str):
+    """(doc_id, pred_lang) per BM25NBClassifier
+    (classification/BM25NBClassifier.java:44): prior(c) = ln of the
+    top-1 BM25 score of the class keyword term; the per-token
+    likelihood is ln of the top-1 score of MUST(lang:c) SHOULD(word) —
+    the max over the class's docs of s_class + s_word·[word∈doc], which
+    is greatest(word-conditioned max, class-only max) since a long
+    word-bearing doc can score below a short wordless one; tokens
+    absent from the index fall back to the class-only max (the MUST
+    clause still matches, :169-171).  Keyword terms score with tf=1
+    and the doc's CONTENT norm (build.py:352-357), so every score is
+    the engine's own float32 BM25 chain.
+
+    Scale shape: the (vocab × classes) log matrix is the one broadcast
+    (the classify_nb trade); building it walks each term's postings
+    once against the per-class keyword score maps."""
+    import math
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from .. import bm25
+    from ..codec import decode_block
+    from ..search import _content_terms_only, termdict_scan
+    from .fulltext import reader_for
+
+    r = reader_for(sf_dir)
+    n_docs, sttf = r.doc_count, r.sum_ttf
+
+    def _postings_scores(term: str):
+        p = r.postings(term)
+        if p is None:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        sim = bm25.scorer(p.df, n_docs, sttf)
+        docs, scores = [], []
+        for bi in range(len(p.n)):
+            d, tf, nb = decode_block(
+                int(p.first_doc[bi]), int(p.n[bi]), p.docs_enc[bi],
+                p.tfs_enc[bi], p.norms_enc[bi])
+            docs.append(d)
+            scores.append(sim.score(tf, nb))
+        return np.concatenate(docs), np.concatenate(scores)
+
+    lt = termdict_scan(r, prefix="lang:")
+    classes = np.sort(np.array(
+        [t[5:] for t in lt.column("term").to_pylist()], dtype=object))
+    cls_docs, cls_scores, prior, cls_only_log = {}, {}, {}, {}
+    for lg in classes:
+        d, s = _postings_scores(f"lang:{lg}")
+        order = np.argsort(d)
+        cls_docs[lg], cls_scores[lg] = d[order], s[order]
+        top = float(np.float32(s.max())) if len(s) else None
+        prior[lg] = math.log(top) if top is not None else 0.0
+        cls_only_log[lg] = math.log(top) if top is not None else 0.0
+
+    vt = _content_terms_only(r, termdict_scan(r))
+    vocab = np.sort(np.array(vt.column("term").to_pylist(), dtype=object))
+    w = np.empty((len(vocab), len(classes)), dtype=np.float64)
+    for i, word in enumerate(vocab):
+        wd, ws = _postings_scores(str(word))
+        for j, lg in enumerate(classes):
+            cd, cs = cls_docs[lg], cls_scores[lg]
+            if len(cd) == 0:
+                w[i, j] = 0.0           # totalHits 0 -> score 1, ln 1
+                continue
+            pos = np.searchsorted(cd, wd)
+            hit = (pos < len(cd)) & (cd[np.minimum(pos, len(cd) - 1)]
+                                     == wd)
+            best = np.float32(cs.max())
+            if hit.any():
+                tot = (cs[pos[hit]].astype(np.float64)
+                       + ws[hit].astype(np.float64)).astype(np.float32)
+                best = max(best, np.float32(tot.max()))
+            w[i, j] = math.log(float(best))
+    fallback = np.array([cls_only_log[lg] for lg in classes])
+    priors = np.array([prior[lg] for lg in classes])
+    ref = ray.put((vocab, w, priors, fallback, classes))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab, w, priors, fallback, classes = ray.get(ref)
+        parts = pc.split_pattern(
+            pc.fill_null(batch.column("text"), ""), " ").combine_chunks()
+        flat = pc.list_flatten(parts)
+        owners = np.asarray(pc.list_parent_indices(parts),
+                            dtype=np.int64)
+        d = pc.dictionary_encode(flat)
+        uniq = np.array(d.dictionary.to_pylist(), dtype=object)
+        codes = np.asarray(d.indices, dtype=np.int64)
+        pos = np.searchsorted(vocab, uniq)
+        known = (pos < len(vocab)) & (vocab[np.minimum(
+            pos, len(vocab) - 1)] == uniq)
+        n = batch.num_rows
+        ll = np.empty((n, len(classes)), dtype=np.float64)
+        for j in range(len(classes)):
+            per_uniq = np.where(known, w[np.minimum(pos, len(vocab) - 1),
+                                         j], fallback[j])
+            ll[:, j] = (np.bincount(owners, weights=per_uniq[codes],
+                                    minlength=n) + priors[j])
+        best = np.argmax(ll, axis=1)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "pred_lang": pa.array(classes[best].astype(object),
+                                  pa.string())})
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        score, batch_format="pyarrow")
+
+
+def oracle_classify_bm25nb_sql() -> str:
+    from .fulltext import _CORPUS_CTE, _QUANT_LEN, _SCORE_EXPR
+
+    # keyword-term score: tf = 1, df = class size, content norm
+    kw = """CAST(
+      CAST(ln(1 + ((SELECT n_docs FROM stats) - c.nc + 0.5) / (c.nc + 0.5)) AS REAL)
+      - CAST(ln(1 + ((SELECT n_docs FROM stats) - c.nc + 0.5) / (c.nc + 0.5)) AS REAL)
+        / (CAST(1.0 AS REAL) + CAST(1 AS REAL) *
+           (CAST(1.0 AS REAL) /
+            (CAST(1.2 AS REAL) *
+             (CAST(0.25 AS REAL) +
+              CAST(0.75 AS REAL) * CAST(q.qlen AS REAL) /
+              CAST(CAST((SELECT sum_ttf FROM stats) AS DOUBLE) /
+                   (SELECT n_docs FROM stats) AS REAL)))))
+    AS REAL)"""
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+lmap AS (
+  SELECT row_number() OVER (
+           ORDER BY source, printf('doc_%08d.txt', doc_id)) - 1 AS d,
+         lang
+  FROM documents
+),
+cls AS (SELECT lang, count(*) AS nc FROM lmap GROUP BY lang),
+kws AS (
+  SELECT l.d, l.lang, {kw} AS s
+  FROM lmap l JOIN cls c ON c.lang = l.lang
+  JOIN quant q ON q.d = l.d
+),
+cls_only AS (
+  SELECT lang, ln(CAST(max(s) AS DOUBLE)) AS lp FROM kws GROUP BY lang
+),
+wordcls AS (
+  SELECT t.term, k.lang,
+         ln(CAST(max(CAST(CAST(k.s AS DOUBLE)
+                          + CAST({_SCORE_EXPR} AS DOUBLE) AS REAL))
+                 AS DOUBLE)) AS raw
+  FROM tf t
+  JOIN df f ON f.term = t.term
+  JOIN quant q ON q.d = t.d
+  JOIN kws k ON k.d = t.d
+  GROUP BY t.term, k.lang
+),
+probs AS (
+  SELECT w.term, c.lang,
+         greatest(coalesce(wc.raw, co.lp), co.lp) AS lp
+  FROM (SELECT DISTINCT term FROM tok) w
+  CROSS JOIN cls c
+  LEFT JOIN wordcls wc ON wc.term = w.term AND wc.lang = c.lang
+  JOIN cls_only co ON co.lang = c.lang
+),
+scores AS (
+  SELECT o.d, p.lang, co.lp + sum(p.lp) AS s
+  FROM tok o
+  JOIN probs p ON p.term = o.term
+  JOIN cls_only co ON co.lang = p.lang
+  GROUP BY o.d, p.lang, co.lp
+),
+pred AS (
+  SELECT d, lang, row_number() OVER (
+           PARTITION BY d ORDER BY s DESC, lang) AS rn
+  FROM scores
+)
+SELECT c.doc_id, p.lang AS pred_lang
+FROM pred p
+JOIN (SELECT row_number() OVER (
+        ORDER BY source, printf('doc_%08d.txt', doc_id)) - 1 AS d,
+      doc_id FROM documents) c ON c.d = p.d
+WHERE p.rn = 1"""

@@ -58,3 +58,10 @@ def test_confusion_counts_sum_to_corpus(ray_session):
     t = classify_confusion("/root/testdata/sf0.001").to_pandas()
     assert t["n"].sum() == 500
     assert (t.groupby("actual")["n"].sum() > 0).all()
+
+
+def test_bm25nb_assigns_every_doc_a_known_class(ray_session):
+    from lucene_ray.pipelines.classify_ext import classify_bm25nb
+    df = classify_bm25nb("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500 and df["doc_id"].is_unique
+    assert set(df["pred_lang"].unique()) <= {"de", "en", "es", "fr", "zh"}
