@@ -446,3 +446,218 @@ JOIN (SELECT row_number() OVER (
         ORDER BY source, printf('doc_%08d.txt', doc_id)) - 1 AS d,
       doc_id FROM documents) c ON c.d = p.d
 WHERE p.rn = 1"""
+
+
+KNN_FUZZY_K = 3
+
+
+def classify_knn_fuzzy(sf_dir: str) -> pa.Table:
+    """(doc_id, pred_lang) per KNearestFuzzyClassifier
+    (classification/KNearestFuzzyClassifier.java:41): each document's
+    own text becomes a NearestFuzzyQuery (maxEdits 1, prefix 2,
+    <=50 variants/term, <=300 terms — FuzzyLikeThis scoring with the
+    df/ttf=1 override, NearestFuzzyQuery.java:47-53) MUST'd with the
+    constant-score class-field wildcard (+1f per doc); the top-k hits
+    vote with rank boosts normalized by the top score
+    (buildListFromTopDocs :118-151: per-class count·avg(score/max)/k,
+    rescaled by k/sumdoc when fewer than k docs matched).  Ties on the
+    vote score break by class name (the reference iterates a HashMap;
+    continuous BM25 sums never tie on real data).
+
+    Scale shape: classification is per-document work against broadcast
+    index state (vocab + per-term postings of the fuzzy variants) —
+    here driver-side over the small corpus; the actor-pool form loads
+    the reader once per actor like SearcherActor."""
+    from .. import bm25
+    from ..codec import decode_block
+    from ..search import _content_terms_only, termdict_scan
+    from .fulltext import _flt_expand, reader_for
+
+    r = reader_for(sf_dir)
+    vocab_tbl = _content_terms_only(r, termdict_scan(r))
+    n_docs, sttf = r.doc_count, r.sum_ttf
+
+    # docid -> lang from the keyword postings
+    lt = termdict_scan(r, prefix="lang:")
+    langs = sorted(t[5:] for t in lt.column("term").to_pylist())
+    doc_lang: dict[int, str] = {}
+    for lg in langs:
+        p = r.postings(f"lang:{lg}")
+        for bi in range(p.n.shape[0] if p is not None else 0):
+            d, _, _ = decode_block(int(p.first_doc[bi]), int(p.n[bi]),
+                                   p.docs_enc[bi], p.tfs_enc[bi],
+                                   p.norms_enc[bi])
+            for dd in d.tolist():
+                doc_lang[dd] = lg
+
+    docs = _docs(sf_dir, ("doc_id", "text")).to_pandas()
+    term_scores: dict[str, tuple] = {}
+
+    def postings_scores(term, boost):
+        p = r.postings(term)
+        sim = bm25.scorer(1, n_docs, sttf, boost=float(boost))
+        ds, ss = [], []
+        for bi in range(len(p.n)):
+            d, tf, nb = decode_block(
+                int(p.first_doc[bi]), int(p.n[bi]), p.docs_enc[bi],
+                p.tfs_enc[bi], p.norms_enc[bi])
+            ds.append(d)
+            ss.append(sim.score(tf, nb))
+        return np.concatenate(ds), np.concatenate(ss)
+
+    out_ids, out_pred = [], []
+    for row in docs.itertuples(index=False):
+        acc: dict[int, float] = {}
+        for _src, term, st in _flt_expand(r, row.text or "", 1,
+                                          prefix_len=2, max_terms=300,
+                                          vocab_tbl=vocab_tbl):
+            d, s = postings_scores(term, st)
+            for di, sv in zip(d.tolist(), s.tolist()):
+                acc[di] = acc.get(di, 0.0) + sv
+        if not acc:
+            continue                     # MUST fuzzy matched nothing
+        scored = sorted(
+            ((np.float32(np.float64(np.float32(v)) + 1.0), d)
+             for d, v in acc.items()),
+            key=lambda t: (-float(t[0]), t[1]))[:KNN_FUZZY_K]
+        maxscore = scored[0][0]
+        counts: dict[str, int] = {}
+        boosts: dict[str, float] = {}
+        for s, d in scored:
+            lg = doc_lang.get(d)
+            if lg is None:
+                continue
+            counts[lg] = counts.get(lg, 0) + 1
+            boosts[lg] = boosts.get(lg, 0.0) + float(
+                np.float32(s / maxscore))
+        sumdoc = sum(counts.values())
+        best_lang, best_score = None, -float("inf")
+        for lg in sorted(counts):
+            norm = boosts[lg] / counts[lg]
+            sc = (counts[lg] * norm) / float(KNN_FUZZY_K)
+            if sumdoc < KNN_FUZZY_K:
+                sc = sc * KNN_FUZZY_K / float(sumdoc)
+            if sc > best_score:
+                best_lang, best_score = lg, sc
+        out_ids.append(int(row.doc_id))
+        out_pred.append(best_lang)
+    return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                     "pred_lang": pa.array(out_pred, pa.string())})
+
+
+def oracle_classify_knn_fuzzy_sql() -> str:
+    from .fulltext import _CORPUS_CTE, _QUANT_LEN, _SCORE_EXPR
+
+    k = KNN_FUZZY_K
+    idf1 = ("CAST(ln(1 + ((SELECT n_docs FROM stats) - 0.5) / 1.5) "
+            "AS REAL)")
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+lmap AS (
+  SELECT row_number() OVER (
+           ORDER BY source, printf('doc_%08d.txt', doc_id)) - 1 AS d,
+         lang, doc_id AS orig
+  FROM documents
+),
+srcs AS (
+  SELECT DISTINCT d AS qd, term AS src FROM tok WHERE term <> ''
+),
+cand AS (
+  SELECT s.qd, s.src, f.term, f.df,
+         damerau_levenshtein(
+           substr(s.src, least(2, length(s.src)) + 1),
+           substr(f.term, least(2, length(f.term)) + 1)) AS ed
+  FROM srcs s JOIN df f
+    ON substr(f.term, 1, least(2, length(s.src)))
+       = substr(s.src, 1, least(2, length(s.src)))
+   AND damerau_levenshtein(
+         substr(s.src, least(2, length(s.src)) + 1),
+         substr(f.term, least(2, length(f.term)) + 1)) <= 1
+),
+grp AS (
+  SELECT qd, src,
+         max(CASE WHEN ed = 0 THEN df ELSE 0 END) AS df_exact,
+         CAST(sum(df) AS BIGINT) // count(*) AS df_avg
+  FROM cand GROUP BY qd, src
+),
+boosted AS (
+  SELECT c.qd, c.src, c.term,
+         CASE WHEN c.ed = 0 THEN CAST(1.0 AS REAL)
+              ELSE CAST(1.0 AS REAL)
+                   - CAST(c.ed AS REAL)
+                     / CAST(least(length(c.term), length(c.src)) AS REAL)
+         END AS boost,
+         CAST(ln(((SELECT n_docs FROM stats) + 1)
+                 / CAST((CASE WHEN g.df_exact > 0 THEN g.df_exact
+                              ELSE g.df_avg END) + 1 AS DOUBLE))
+              + 1.0 AS REAL) AS cls_idf,
+         row_number() OVER (PARTITION BY c.qd, c.src
+                            ORDER BY boost DESC, c.term) AS vr
+  FROM cand c JOIN grp g ON g.qd = c.qd AND g.src = c.src
+),
+kept AS (
+  SELECT qd, term,
+         CAST(CAST(boost * boost AS REAL) * cls_idf AS REAL) AS st,
+         row_number() OVER (PARTITION BY qd
+           ORDER BY CAST(CAST(boost * boost AS REAL) * cls_idf AS REAL)
+             DESC, term) AS gr
+  FROM boosted WHERE vr <= 50
+),
+scored AS (
+  SELECT kk.qd, t.d,
+         CAST(CAST(kk.st * {idf1} AS REAL)
+           - CAST(kk.st * {idf1} AS REAL)
+             / (CAST(1.0 AS REAL) + CAST(t.tf AS REAL) *
+                (CAST(1.0 AS REAL) /
+                 (CAST(1.2 AS REAL) *
+                  (CAST(0.25 AS REAL) +
+                   CAST(0.75 AS REAL) * CAST(q.qlen AS REAL) /
+                   CAST(CAST((SELECT sum_ttf FROM stats) AS DOUBLE) /
+                        (SELECT n_docs FROM stats) AS REAL)))))
+           AS REAL) AS s
+  FROM kept kk
+  JOIN tf t ON t.term = kk.term
+  JOIN quant q ON q.d = t.d
+  WHERE kk.gr <= 300
+),
+totals AS (
+  SELECT qd, d,
+         CAST(CAST(CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS DOUBLE)
+              + 1.0 AS REAL) AS score
+  FROM scored GROUP BY qd, d
+),
+topk AS (
+  SELECT qd, d, score, row_number() OVER (
+           PARTITION BY qd ORDER BY score DESC, d ASC) AS rank
+  FROM totals
+),
+hits AS (
+  SELECT t.qd, t.d, t.score, l.lang,
+         first_value(t.score) OVER (
+           PARTITION BY t.qd ORDER BY t.rank) AS maxscore
+  FROM topk t JOIN lmap l ON l.d = t.d
+  WHERE t.rank <= {k}
+),
+votes AS (
+  SELECT qd, lang, count(*) AS cnt,
+         sum(CAST(CAST(score / maxscore AS REAL) AS DOUBLE)) AS boost,
+         sum(count(*)) OVER (PARTITION BY qd) AS sumdoc
+  FROM hits GROUP BY qd, lang
+),
+vscore AS (
+  SELECT qd, lang,
+         CASE WHEN sumdoc < {k}
+              THEN ((cnt * (boost / cnt)) / CAST({k} AS DOUBLE))
+                   * {k} / CAST(sumdoc AS DOUBLE)
+              ELSE (cnt * (boost / cnt)) / CAST({k} AS DOUBLE)
+         END AS vs
+  FROM votes
+),
+pred AS (
+  SELECT qd, lang, row_number() OVER (
+           PARTITION BY qd ORDER BY vs DESC, lang) AS rn
+  FROM vscore
+)
+SELECT l.orig AS doc_id, p.lang AS pred_lang
+FROM pred p JOIN lmap l ON l.d = p.qd
+WHERE p.rn = 1"""

@@ -12171,28 +12171,38 @@ FLT_MAX_VARIANTS = 50          # MAX_VARIANTS_PER_TERM (:55)
 FLT_MAX_NUM_TERMS = 50
 
 
-def _flt_expand(r, text: str, max_edits: int):
+def _flt_expand(r, text: str, max_edits: int, prefix_len: int = 0,
+                max_variants: int = FLT_MAX_VARIANTS,
+                max_terms: int = FLT_MAX_NUM_TERMS, vocab_tbl=None):
     """(source_term, variant, st_score) triples per the reference's
     addTerms (:137-186): OSA variants with the FuzzyTermsEnum boost
     1 - ed/min(len), squared and scaled by the ClassicSimilarity idf
     of the source term's df (average variant df when the source is
     absent, INTEGER division :170-174); both priority queues order by
-    (score asc, term desc) so the kept set is (score desc, term asc)."""
+    (score asc, term desc) so the kept set is (score desc, term asc).
+    ``prefix_len`` requires an exact shared prefix of
+    min(prefix_len, len(term)) chars, with the distance computed on
+    the SUFFIXES and the boost denominator on the FULL lengths
+    (FuzzyTermsEnum's realPrefixLength automata)."""
     import math
 
     from ..search import _content_terms_only, _osa_distance, termdict_scan
 
-    t = _content_terms_only(r, termdict_scan(r))
+    t = vocab_tbl if vocab_tbl is not None else _content_terms_only(
+        r, termdict_scan(r))
     vocab = t.column("term").to_pylist()
     dfs = t.column("df").to_pylist()
     n_docs = r.doc_count
     out = []
     for term in dict.fromkeys(text.split()):
+        plen = min(prefix_len, len(term))
         cands = []
         total_var_df, num_var = 0, 0
         df_exact = 0
         for cand, df in zip(vocab, dfs):
-            ed = _osa_distance(term, cand, max_edits)
+            if plen and not cand.startswith(term[:plen]):
+                continue
+            ed = _osa_distance(term[plen:], cand[plen:], max_edits)
             if ed > max_edits:
                 continue
             num_var += 1
@@ -12210,11 +12220,11 @@ def _flt_expand(r, text: str, max_edits: int):
         cls_idf = np.float32(
             math.log((n_docs + 1) / float(df + 1)) + 1.0)
         cands.sort(key=lambda c: (-float(c[1]), c[0]))
-        for cand, boost in cands[:FLT_MAX_VARIANTS]:
+        for cand, boost in cands[:max_variants]:
             st = np.float32(np.float32(boost * boost) * cls_idf)
             out.append((term, cand, st))
     out.sort(key=lambda v: (-float(v[2]), v[1]))
-    return out[:FLT_MAX_NUM_TERMS]
+    return out[:max_terms]
 
 
 def ft_fuzzy_like_this(sf_dir: str) -> pa.Table:

@@ -65,3 +65,13 @@ def test_bm25nb_assigns_every_doc_a_known_class(ray_session):
     df = classify_bm25nb("/root/testdata/sf0.001").to_pandas()
     assert len(df) == 500 and df["doc_id"].is_unique
     assert set(df["pred_lang"].unique()) <= {"de", "en", "es", "fr", "zh"}
+
+
+def test_knn_fuzzy_votes_spread_and_cover(ray_session):
+    """Unlike NB (prior-dominated on this corpus), the kNN-fuzzy vote
+    follows per-document nearest neighbors, so several classes must
+    appear among the predictions."""
+    from lucene_ray.pipelines.classify_ext import classify_knn_fuzzy
+    df = classify_knn_fuzzy("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500 and df["doc_id"].is_unique
+    assert df["pred_lang"].nunique() >= 3
