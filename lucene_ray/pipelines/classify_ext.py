@@ -661,3 +661,72 @@ pred AS (
 SELECT l.orig AS doc_id, p.lang AS pred_lang
 FROM pred p JOIN lmap l ON l.d = p.qd
 WHERE p.rn = 1"""
+
+
+PERCEPTRON_BATCH = 32
+
+
+def _perceptron_train(token_lists, labels, batch_size=PERCEPTRON_BATCH,
+                      bias=None):
+    """BooleanPerceptronClassifier's training loop
+    (classification/BooleanPerceptronClassifier.java:74-135), exactly:
+    weights initialize to each term's corpus ttf; docs stream in order;
+    a misclassified doc adds signum(correct - assigned) · tf(term, doc)
+    to its DISTINCT terms, flooring at 0 — reading the STALE snapshot
+    ("FST") value, so several updates inside one batch overwrite
+    rather than accumulate; the snapshot refreshes only when the
+    misclassified doc's position satisfies batchCount % batchSize == 0
+    (:116-122).  bias defaults to sum_ttf / n_docs; prediction is
+    sum(snapshot[token]) >= bias over tokens WITH duplicates.
+    Returns (final snapshot dict, bias)."""
+    from collections import Counter
+
+    ttf = Counter()
+    for toks in token_lists:
+        ttf.update(toks)
+    if bias is None:
+        n_docs = len(token_lists)
+        bias = (sum(ttf.values()) / float(n_docs)) if n_docs else 0.0
+    weights = {t: float(c) for t, c in ttf.items()}
+    fst = {t: int(w) for t, w in weights.items()}
+    batch_count = 0
+    for toks, correct in zip(token_lists, labels):
+        output = 0
+        for t in toks:
+            d = fst.get(t)
+            if d is not None:
+                output += d
+        assigned = output >= bias
+        modifier = (correct > assigned) - (correct < assigned)
+        if modifier != 0:
+            for term, tf in Counter(toks).items():
+                prev = fst.get(term)
+                weights[term] = (0.0 if prev is None
+                                 else float(max(0, prev + modifier * tf)))
+            if batch_count % batch_size == 0:
+                fst = {t: int(w) for t, w in weights.items()}
+        batch_count += 1
+    return fst, bias
+
+
+def classify_perceptron(sf_dir: str) -> pa.Table:
+    """(doc_id, pred, output) — the boolean perceptron
+    (classification/BooleanPerceptronClassifier.java:52) trained over
+    the corpus in doc order with class = (lang == 'en'), then applied
+    with the final weight snapshot.  Rows-only: the training loop is a
+    sequential state machine over the whole corpus (stale-snapshot
+    reads, modular rebuild points) with no SQL form; the loop is
+    pytest-pinned on hand-traced cases in tests/test_classify_ext.py."""
+    import pandas as pd
+
+    df = _docs(sf_dir, ("doc_id", "text", "lang")).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    token_lists = [[w for w in (tx or "").split(" ") if w]
+                   for tx in df["text"]]
+    labels = (df["lang"] == "en").tolist()
+    fst, bias = _perceptron_train(token_lists, labels)
+    outputs = [sum(fst.get(t, 0) for t in toks) for toks in token_lists]
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].astype("int64")),
+        "pred": pa.array([o >= bias for o in outputs], pa.bool_()),
+        "output": pa.array(outputs, pa.int64())})

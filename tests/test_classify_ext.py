@@ -75,3 +75,50 @@ def test_knn_fuzzy_votes_spread_and_cover(ray_session):
     df = classify_knn_fuzzy("/root/testdata/sf0.001").to_pandas()
     assert len(df) == 500 and df["doc_id"].is_unique
     assert df["pred_lang"].nunique() >= 3
+
+
+def test_perceptron_hand_trace():
+    """Hand-traced reference loop: init weights = ttf; a misclassified
+    doc at batchCount 0 rebuilds the snapshot immediately; later
+    updates inside the same batch read STALE values and overwrite."""
+    from lucene_ray.pipelines.classify_ext import _perceptron_train
+    docs = [["a", "a", "b"], ["b", "c"], ["a", "c", "c"]]
+    # ttf: a=3, b=2, c=3; bias default = 8/3
+    # doc0: output = 3+3+2 = 8 >= 8/3 -> True; label True -> no update
+    # doc1: output = 2+3 = 5 >= 8/3 -> True; label False -> modifier -1
+    #   batchCount 1, 1 % 2 != 0 -> NO rebuild; weights b=1, c=2
+    # doc2: snapshot STILL old: output = 3+3+3 = 9 -> True; label True
+    fst, bias = _perceptron_train(docs, [True, False, True],
+                                  batch_size=2)
+    assert bias == 8 / 3
+    # final snapshot is the one built at init (never rebuilt)
+    assert fst == {"a": 3, "b": 2, "c": 3}
+
+    # same but batch_size=1: doc1's update rebuilds (1 % 1 == 0)
+    fst, _ = _perceptron_train(docs, [True, False, True], batch_size=1)
+    assert fst == {"a": 3, "b": 1, "c": 2}
+
+
+def test_perceptron_weight_floor_and_stale_overwrite():
+    from lucene_ray.pipelines.classify_ext import _perceptron_train
+    # two consecutive negative docs in one batch: the second update
+    # reads the STALE snapshot, so the decrements do NOT accumulate
+    docs = [["x", "x", "x"], ["x", "x", "x"], ["y"]]
+    fst, _ = _perceptron_train(docs, [False, False, True],
+                               batch_size=10, bias=1.0)
+    # ttf x=6, y=1; doc0: out 18 >= 1 -> True vs False: x := 6-3 = 3,
+    # batchCount 0 -> rebuild; doc1: out 9 -> True vs False:
+    # x := 3-3 = 0, batchCount 1 -> no rebuild; final snapshot keeps 3
+    assert fst["x"] == 3
+    # with rebuilds every time the floor at 0 binds on a third pass
+    fst, _ = _perceptron_train(
+        [["x", "x", "x"]] * 3 + [["y"]],
+        [False, False, False, True], batch_size=1, bias=1.0)
+    assert fst["x"] == 0
+
+
+def test_perceptron_entry_shape(ray_session):
+    from lucene_ray.pipelines.classify_ext import classify_perceptron
+    t = classify_perceptron("/root/testdata/sf0.001").to_pandas()
+    assert len(t) == 500 and t["doc_id"].is_unique
+    assert t["pred"].dtype == bool
