@@ -153,3 +153,70 @@ def log_gap_cost(pair_terms: np.ndarray, pair_owners: np.ndarray,
     g = np.where(first[1:], p[1:].astype(np.float64), gaps)
     head = float(np.log2(p[0] + 1.0)) if len(p) else 0.0
     return head + float(np.log2(g + 1.0).sum())
+
+
+def bp_vector_permutation(vectors: np.ndarray, score: str = "euclidean",
+                          min_partition_size: int = 32,
+                          max_iters: int = 20) -> np.ndarray:
+    """Vector-locality BP — the BpVectorReorderer role
+    (misc/index/BpVectorReorderer.java:55): recursively bisect the doc
+    set so each half sits closer to its own centroid, giving similar
+    vectors nearby positions (tighter flat-scan/IVF-list locality).
+
+    Per level (ReorderTask.compute, :198-255): ids sort at entry; the
+    halves' centroids are the mean (euclidean / max-inner-product) or
+    the normalized sum (cosine / dot, :270-283); each round computes
+    per-vector biases — d²(v,left)−d²(v,right) for euclidean,
+    dot(v,right)−dot(v,left) otherwise (:computeBias) — stops when
+    500·(maxLeftBias − minRightBias) <= |leftCentroid − rightCentroid|
+    (:328-336) or when no vector crosses sides, and repartitions by
+    (bias, id) around the midpoint (the IntroSelector with the id tie
+    break, :340-…); centroids fully recompute each round
+    (MAX_CENTROID_UPDATES = 0).  Deterministic: lexsort on (bias, id).
+
+    Returns the permutation ``perm`` with ``perm[new_pos] = old_id``.
+    """
+    v = np.ascontiguousarray(np.asarray(vectors, dtype=np.float32))
+    n = v.shape[0]
+    if n == 0:
+        return np.empty(0, np.int64)
+
+    def centroid(idx: np.ndarray) -> np.ndarray:
+        c = v[idx].sum(axis=0, dtype=np.float32)
+        if score in ("euclidean", "mip"):
+            return (c / np.float32(len(idx))).astype(np.float32)
+        nrm = np.float32(np.sqrt(np.dot(c, c)))
+        return (c / nrm).astype(np.float32) if nrm > 0 else c
+
+    def biases(idx: np.ndarray, lc, rc) -> np.ndarray:
+        if score == "euclidean":
+            dl = ((v[idx] - lc) ** 2).sum(axis=1)
+            dr = ((v[idx] - rc) ** 2).sum(axis=1)
+            return (dl - dr).astype(np.float32)
+        return (v[idx] @ rc - v[idx] @ lc).astype(np.float32)
+
+    def recurse(seg: np.ndarray) -> np.ndarray:
+        seg = np.sort(seg)
+        half = len(seg) >> 1
+        if half < min_partition_size:
+            return seg
+        cur = seg
+        lc, rc = centroid(cur[:half]), centroid(cur[half:])
+        for _ in range(max_iters):
+            b = biases(cur, lc, rc)
+            diff = lc.astype(np.float64) - rc.astype(np.float64)
+            scale = float(np.sqrt((diff * diff).sum()))
+            gain = float(b[:half].max()) - float(b[half:].min())
+            if 500.0 * gain <= scale:
+                break
+            order = np.lexsort((cur, b))
+            new = cur[order]
+            moved = half - len(np.intersect1d(cur[:half], new[:half],
+                                              assume_unique=True))
+            if moved == 0:
+                break
+            cur = new
+            lc, rc = centroid(cur[:half]), centroid(cur[half:])
+        return np.concatenate([recurse(cur[:half]), recurse(cur[half:])])
+
+    return recurse(np.arange(n, dtype=np.int64))

@@ -1108,14 +1108,20 @@ def _empty_merge_lineage() -> pa.Table:
 # semantics, SURVEY.md §2.10)
 
 def append_to_index(index_dir: str, new_corpus: str,
-                    merge_concurrency: int | tuple | None = None
+                    merge_concurrency: int | tuple | None = None,
+                    merge_on_flush_mb: float | None = None
                     ) -> IndexManifest:
     """Append new parquet files as fresh segments and merge them into NEW
     postings partitions (a new generation of salt groups); existing
     partitions are untouched. docIDs continue after the current doc_count;
     a reader opened after the atomic manifest rename sees the union —
     df/ttf/stats aggregate across generations at lookup because a term's
-    rows simply accumulate across part files."""
+    rows simply accumulate across part files.
+
+    ``merge_on_flush_mb``: after the append commits, run the
+    MergeOnFlushMergePolicy pass (compact_index small_segment_mb) so
+    the accumulated tiny generations collapse before the NRT reader
+    opens — the sandbox policy's findFullFlushMerges contract."""
     import ray.data
 
     m = load_manifest(index_dir)
@@ -1205,6 +1211,10 @@ def append_to_index(index_dir: str, new_corpus: str,
         corpus_fingerprint=m.corpus_fingerprint,
     )
     save_manifest(index_dir, manifest)
+    if merge_on_flush_mb is not None:
+        return compact_index(index_dir,
+                             merge_concurrency=merge_concurrency,
+                             small_segment_mb=merge_on_flush_mb)
     return manifest
 
 
@@ -1646,7 +1656,8 @@ def compact_index(index_dir: str,
                   merge_concurrency: int | tuple | None = None,
                   expunge_deletes: bool = False,
                   max_merge_at_once: int | None = None,
-                  tier_factor: float = 10.0) -> IndexManifest:
+                  tier_factor: float = 10.0,
+                  small_segment_mb: float | None = None) -> IndexManifest:
     """Compaction — the TieredMergePolicy/forceMerge role
     (index/TieredMergePolicy.java:76, IndexWriter.forceMerge): collapse all
     postings generations (salt groups) of each term-hash bucket into one
@@ -1667,7 +1678,13 @@ def compact_index(index_dir: str,
     docmeta (Lucene's merge applying liveDocs), update doc_count/sum_ttf
     to the live totals (post-merge stats exclude deletions) and clear the
     tombstone generations — scores over the compacted index reflect live
-    collection statistics."""
+    collection statistics.
+
+    ``small_segment_mb``: MergeOnFlushMergePolicy.findFullFlushMerges
+    (sandbox/index/MergeOnFlushMergePolicy.java:52-69) — per bucket,
+    merge exactly the generations whose byte size is below the
+    threshold, when more than one qualifies; larger generations are
+    never touched, regardless of the tier scan."""
     import ray
     import ray.data
 
@@ -1711,6 +1728,15 @@ def compact_index(index_dir: str,
     selected: set[str] = set()
     if len(deleted):
         selected = {p["part"] for p in m.postings_parts}
+    elif small_segment_mb is not None:
+        # MergeOnFlush: all sub-threshold generations of a bucket merge
+        # into one; the selection ignores tiering entirely
+        threshold = int(small_segment_mb * 1024 * 1024)
+        for parts in by_bucket.values():
+            small = [p for p in parts
+                     if int(p.get("bytes", 0)) < threshold]
+            if len(small) >= 2:
+                selected.update(p["part"] for p in small)
     else:
         for parts in by_bucket.values():
             if len(parts) < 2:

@@ -1974,3 +1974,52 @@ def test_geo_nearest_expanding_descent(index_dir, ray_session):
     assert len(got_d) == len(docs)
     with _pt.raises(ValueError):
         geo_nearest(index_dir, 0, 0, 0)
+
+
+def test_merge_on_flush(tmp_path_factory, ray_session):
+    """MergeOnFlushMergePolicy (sandbox/index/MergeOnFlushMergePolicy
+    .java:52): appends with merge_on_flush_mb collapse the
+    sub-threshold generations of each bucket into one; a generation
+    above the threshold is never rewritten; results match the
+    unmerged index exactly."""
+    from lucene_ray.build import append_to_index
+
+    d = tmp_path_factory.mktemp("mof")
+    ca, cb, cc = str(d / "a"), str(d / "b"), str(d / "c")
+    for p in (ca, cb, cc):
+        os.makedirs(p)
+    t = generate_corpus(240, seed=13)
+    pq.write_table(t.slice(0, 160), os.path.join(ca, "p.parquet"))
+    pq.write_table(t.slice(160, 40), os.path.join(cb, "p.parquet"))
+    pq.write_table(t.slice(200), os.path.join(cc, "p.parquet"))
+
+    from lucene_ray.state.manifest import load_manifest
+
+    merged = str(d / "idx_m")
+    build_index(ca, merged, term_parts=2, salt_group=1)
+    m0 = load_manifest(merged)
+    base_parts = {p["part"] for p in m0.postings_parts}
+    big = {p["part"] for p in m0.postings_parts
+           if int(p.get("bytes", 0)) >= 1024}
+    # threshold of 1 KB: the base generation's bigger files stay put
+    m1 = append_to_index(merged, cb, merge_on_flush_mb=1 / 1024)
+    m2 = append_to_index(merged, cc, merge_on_flush_mb=1 / 1024)
+    assert big <= {p["part"] for p in m2.postings_parts}
+    # every bucket holds at most one sub-threshold generation now
+    per_bucket: dict = {}
+    for p in m2.postings_parts:
+        if int(p.get("bytes", 0)) < 1024:
+            per_bucket[p["tbucket"]] = per_bucket.get(p["tbucket"], 0) + 1
+    assert all(v == 1 for v in per_bucket.values()), per_bucket
+
+    plain = str(d / "idx_p")
+    build_index(ca, plain, term_parts=2, salt_group=1)
+    append_to_index(plain, cb)
+    append_to_index(plain, cc)
+    r1, r2 = IndexReader(merged), IndexReader(plain)
+    assert r1.doc_count == r2.doc_count and r1.sum_ttf == r2.sum_ttf
+    for q in QUERIES[:6]:
+        a = search_bruteforce(r1, q, 20)
+        b = search_bruteforce(r2, q, 20)
+        np.testing.assert_array_equal(a.doc_ids, b.doc_ids)
+        np.testing.assert_array_equal(a.scores, b.scores)
