@@ -1813,3 +1813,108 @@ def ann_ivfpq_topk(sf_dir: str, nprobe: int = IVFPQ_NPROBE,
              .map_batches(scan, batch_format="pyarrow")
              .take_all())
     return _exact_rescore_tail(sf_dir, qids, qn, parts, oversample)
+
+
+DIVERSIFY_CHILD_GROUP = 8      # children per parent block
+
+
+def ann_diversified_children(sf_dir: str) -> pa.Table:
+    """Parent-diversified child kNN — the
+    DiversifyingChildrenFloatKnnVectorQuery role
+    (join/src/java/org/apache/lucene/search/join/
+    DiversifyingChildrenFloatKnnVectorQuery.java:38): the top-k BEST
+    child vectors with at most one child per parent block.  Parents
+    are the planted contiguous blocks vec_id // 8 (the index-time
+    block-join layout where children precede their parent).
+
+    Scale shape: per-batch (query, parent, best-child) partials — max
+    composes across batch splits of a parent — then a #parents-bounded
+    groupby and a driver top-k merge."""
+    import ray
+    import ray.data
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    qids, q = _query_matrix(sf_dir)
+    qref = ray.put(q)
+    g = DIVERSIFY_CHILD_GROUP
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"qj": pa.array([], pa.int32()),
+                          "parent": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
+        qm = ray.get(qref)
+        ids, sims = _batch_scores(batch, qm)
+        parents = ids // g
+        out_q, out_p, out_v, out_s = [], [], [], []
+        for j in range(sims.shape[1]):
+            order = np.lexsort((ids, -sims[:, j]))
+            seen: set = set()
+            for i in order:               # best child per parent
+                p = int(parents[i])
+                if p in seen:
+                    continue
+                seen.add(p)
+                out_q.append(j)
+                out_p.append(p)
+                out_v.append(int(ids[i]))
+                out_s.append(float(sims[i, j]))
+        return pa.table({"qj": pa.array(out_q, pa.int32()),
+                         "parent": pa.array(out_p, pa.int64()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    parts = ensure_cols(
+        (ray.data.read_parquet(_emb_path(sf_dir),
+                               columns=["vec_id", "embedding"])
+         .map_batches(partial, batch_format="pyarrow")
+         .to_pandas()), ["qj", "parent", "vec_id", "sim"])
+    rows_q, rows_r, rows_v, rows_p = [], [], [], []
+    for j, qid in enumerate(qids):
+        sub = parts[parts["qj"] == j]
+        best: dict[int, tuple] = {}
+        for row in sub.itertuples(index=False):
+            cur = best.get(row.parent)
+            cand = (-row.sim, row.vec_id)
+            if cur is None or cand < cur:
+                best[row.parent] = cand
+        ranked = sorted((negs, v, p) for p, (negs, v) in best.items())
+        for rank, (negs, v, p) in enumerate(ranked[:TOP_K], 1):
+            rows_q.append(int(qid))
+            rows_r.append(rank)
+            rows_v.append(int(v))
+            rows_p.append(int(p))
+    return pa.table({"query_vec_id": pa.array(rows_q, pa.int64()),
+                     "rank": pa.array(rows_r, pa.int32()),
+                     "vec_id": pa.array(rows_v, pa.int64()),
+                     "parent_id": pa.array(rows_p, pa.int64())})
+
+
+def oracle_ann_diversified_sql() -> str:
+    g = DIVERSIFY_CHILD_GROUP
+    return f"""WITH q AS (
+  SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT {N_QUERIES}
+),
+sims AS (
+  SELECT q.query_vec_id, e.vec_id, e.vec_id // {g} AS parent,
+         list_cosine_similarity(e.embedding, q.qe) AS sim
+  FROM embeddings e CROSS JOIN q
+),
+best AS (
+  SELECT query_vec_id, parent, vec_id, sim, row_number() OVER (
+           PARTITION BY query_vec_id, parent
+           ORDER BY sim DESC, vec_id ASC) AS cr
+  FROM sims
+),
+ranked AS (
+  SELECT query_vec_id, vec_id, parent, row_number() OVER (
+           PARTITION BY query_vec_id
+           ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM best WHERE cr = 1
+)
+SELECT query_vec_id, rank, vec_id, parent AS parent_id
+FROM ranked WHERE rank <= {TOP_K}"""

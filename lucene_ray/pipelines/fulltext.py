@@ -12516,3 +12516,127 @@ FROM v WHERE x BETWEEN CAST('{lo}' AS HUGEINT)
   FROM lineitem
 )
 {un}"""
+
+
+# ---------------------------------------------------------------------------
+# BlendedTermQuery (core/search/BlendedTermQuery.java:47)
+
+BLENDED_TERM_SETS = [
+    (1, [("value", 1.0), ("key", 1.0)], 10),
+    (2, [("query", 2.0), ("scan", 1.0), ("sort", 1.0)], 10),
+    (3, [("customer", 1.0), ("order", 0.5)], 8),
+    (4, [("zzmissing", 1.0), ("table", 1.0)], 6),
+]
+_BLENDED_TIE = 0.01           # DISJUNCTION_MAX_REWRITE default (:163)
+
+
+def ft_blended_term(sf_dir: str) -> pa.Table:
+    """BlendedTermQuery (core/search/BlendedTermQuery.java:47): every
+    term in the group scores with the BLENDED document frequency — the
+    MAX df across the group (rewrite :283-291, adjustFrequencies) — so
+    cross-field/cross-form synonyms rank comparably, combined with the
+    default DisjunctionMax(tie=0.01) rewrite; per-term boosts apply as
+    BoostQuery wrappers.  (ttf also blends to the sum, which BM25
+    never reads.)"""
+    from .. import bm25
+    from ..codec import decode_blocks
+
+    r = reader_for(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, group, k in BLENDED_TERM_SETS:
+        posts = {t: r.postings(t) for t, _ in group}
+        blended_df = max((p.df for p in posts.values()
+                          if p is not None), default=0)
+        if blended_df == 0:
+            continue
+        dl, sl = [], []
+        for t, boost in group:
+            p = posts[t]
+            if p is None:
+                continue
+            sim = bm25.scorer(blended_df, r.doc_count, r.sum_ttf,
+                              boost=boost)
+            d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                         p.tfs_enc, p.norms_enc)
+            s = sim.score(tf, nm)
+            lm = r.live_mask(d)
+            if lm is not None:
+                d, s = d[lm], s[lm]
+            dl.append(d)
+            sl.append(s)
+        alld = np.concatenate(dl)
+        alls = np.concatenate(sl)
+        uniq, inv = np.unique(alld, return_inverse=True)
+        mx = np.zeros(len(uniq), np.float32)
+        np.maximum.at(mx, inv, alls)
+        tot = np.zeros(len(uniq), np.float64)
+        np.add.at(tot, inv, alls.astype(np.float64))
+        combined = (mx.astype(np.float64)
+                    + (tot - mx.astype(np.float64))
+                    * np.float64(np.float32(_BLENDED_TIE))
+                    ).astype(np.float32)
+        order = np.lexsort((uniq, -combined.astype(np.float64)))[:k]
+        for rank, i in enumerate(order, 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(int(uniq[i]))
+            scores.append(np.float32(combined[i]))
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "score": pa.array(scores, pa.float32())})
+
+
+def oracle_blended_term_sql() -> str:
+    rows = []
+    for qid, group, k in BLENDED_TERM_SETS:
+        for ci, (t, boost) in enumerate(group):
+            rows.append(f"({qid}, {ci}, '{t}', CAST({boost} AS REAL), "
+                        f"{k})")
+    vals = ",\n    ".join(rows)
+    # the boosted weight chain (oracle_bm25_boosted_sql) with f.df
+    # replaced by the group's blended (max) df
+    weight = ("CAST(CAST(c.boost AS REAL) * CAST(ln(1 + "
+              "((SELECT n_docs FROM stats) - g.bdf + 0.5) / (g.bdf + 0.5)"
+              ") AS REAL) AS REAL)")
+    blended = f"""CAST(
+      {weight}
+      - {weight}
+        / (CAST(1.0 AS REAL) + CAST(t.tf AS REAL) *
+           (CAST(1.0 AS REAL) /
+            (CAST(1.2 AS REAL) *
+             (CAST(0.25 AS REAL) +
+              CAST(0.75 AS REAL) * CAST(q.qlen AS REAL) /
+              CAST(CAST((SELECT sum_ttf FROM stats) AS DOUBLE) /
+                   (SELECT n_docs FROM stats) AS REAL)))))
+    AS REAL)"""
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+clauses(qid, clause, term, boost, k) AS (VALUES
+    {vals}
+),
+grpdf AS (
+  SELECT c.qid, max(f.df) AS bdf
+  FROM clauses c JOIN df f ON f.term = c.term
+  GROUP BY c.qid
+),
+scored AS (
+  SELECT c.qid, c.k, t.d, {blended} AS s
+  FROM clauses c
+  JOIN grpdf g ON g.qid = c.qid
+  JOIN tf t ON t.term = c.term
+  JOIN quant q ON q.d = t.d
+),
+totals AS (
+  SELECT qid, k, d,
+         CAST(CAST(max(s) AS DOUBLE)
+              + (sum(CAST(s AS DOUBLE)) - CAST(max(s) AS DOUBLE))
+                * CAST(CAST(0.01 AS REAL) AS DOUBLE) AS REAL) AS score
+  FROM scored GROUP BY qid, k, d
+),
+ranked AS (
+  SELECT qid, d, score, k, row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, d ASC) AS rank
+  FROM totals
+)
+SELECT qid, rank, d AS doc_id, score FROM ranked WHERE rank <= k"""
