@@ -1918,3 +1918,22 @@ ranked AS (
 )
 SELECT query_vec_id, rank, vec_id, parent AS parent_id
 FROM ranked WHERE rank <= {TOP_K}"""
+
+
+def ann_seeded_topk(sf_dir: str, ef: int = HNSW_EF_SEARCH) -> pa.Table:
+    """Seeded kNN (core/search/SeededKnnVectorQuery.java:33): the seed
+    query's matching ordinals replace the HNSW entry-point descent
+    (util/hnsw/SeededHnswGraphSearcher.java:66-69) — here the seed is
+    a label-match query, so every layer-0 beam starts inside the
+    query's own label cluster.  At the driver scales ef=64 recovers
+    the exact top-10, so the brute-force oracle applies (a reduced-ef
+    recall floor is pytest-gated)."""
+    from ..vectors import search_index, vector_index_for
+
+    qids, q = _query_matrix(sf_dir)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    labels = _query_labels(sf_dir, qids)
+    idx = vector_index_for(sf_dir)
+    merged = search_index(idx, qn, TOP_K, ef, seed_col="label",
+                          seed_labels=labels)
+    return _merged_result(qids, merged)

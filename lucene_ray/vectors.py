@@ -179,15 +179,32 @@ class HnswGraph:
 
     def search(self, q: np.ndarray, k: int, ef: int = HNSW_EF_SEARCH,
                accept: np.ndarray | None = None,
-               visited_limit: int | None = None) -> list[tuple[float, int]]:
+               visited_limit: int | None = None,
+               seeds: "list[int] | None" = None) -> list[tuple[float, int]]:
         """Top-k (sim, node). With ``accept`` only accepted nodes are
         collected; if the traversal visits more nodes than
         ``visited_limit`` the caller should fall back to an exact scan
         (`AbstractKnnVectorQuery` semantics) — here the fallback runs
         inline for simplicity: a None return never happens, the scan is
-        cheap relative to the wasted traversal it replaces."""
+        cheap relative to the wasted traversal it replaces.
+
+        ``seeds``: SeededKnnVectorQuery entry points
+        (search/SeededKnnVectorQuery.java:33,
+        util/hnsw/SeededHnswGraphSearcher.java:66-69 — the seed
+        ordinals REPLACE findBestEntryPoint, so the upper-layer
+        descent is skipped and the layer-0 beam starts at the seeds)."""
         if self.entry < 0:
             return []
+
+        def entry_points(counter=None) -> list[int]:
+            if seeds:
+                return [int(s) for s in seeds]
+            eps = [self.entry]
+            for lvl in range(self.max_level, 0, -1):
+                eps = [self._search_layer(q, eps, 1, lvl,
+                                          counter=counter)[0][1]]
+            return eps
+
         if accept is not None:
             n_acc = int(accept.sum())
             if n_acc == 0:
@@ -196,20 +213,14 @@ class HnswGraph:
             if n_acc <= max(ef, 2 * k):
                 return self._exact(q, k, accept)
             counter = [0]
-            eps = [self.entry]
-            for lvl in range(self.max_level, 0, -1):
-                eps = [self._search_layer(q, eps, 1, lvl,
-                                          counter=counter)[0][1]]
+            eps = entry_points(counter)
             out = self._search_layer(q, eps, max(ef, k), 0,
                                      accept=accept, counter=counter)
             if counter[0] > lim or len(out) < min(k, n_acc):
                 return self._exact(q, k, accept)
             out.sort(key=lambda x: (-x[0], x[1]))
             return out[:k]
-        eps = [self.entry]
-        for lvl in range(self.max_level, 0, -1):
-            eps = [self._search_layer(q, eps, 1, lvl)[0][1]]
-        out = self._search_layer(q, eps, max(ef, k), 0)
+        out = self._search_layer(q, entry_points(), max(ef, k), 0)
         out.sort(key=lambda x: (-x[0], x[1]))   # sim desc, node asc ties
         return out[:k]
 
@@ -413,7 +424,8 @@ class ShardSearcher:
     the KnnFloatVectorQuery pre-filter contract."""
 
     def __init__(self, index_dir: str, qref, k: int, ef: int,
-                 filter_col: str | None = None, filter_labels=None):
+                 filter_col: str | None = None, filter_labels=None,
+                 seed_col: str | None = None, seed_labels=None):
         import ray
 
         self.index_dir = index_dir
@@ -422,6 +434,8 @@ class ShardSearcher:
         self.ef = ef
         self.filter_col = filter_col
         self.filter_labels = filter_labels
+        self.seed_col = seed_col
+        self.seed_labels = seed_labels
         self._cache: dict[str, tuple] = {}
 
     def _shard(self, path: str):
@@ -438,7 +452,16 @@ class ShardSearcher:
                 if self.filter_col is not None:
                     accept = (meta[self.filter_col]
                               == self.filter_labels[j])
-                hits = g.search(self.q[j], self.k, self.ef, accept=accept)
+                seeds = None
+                if self.seed_col is not None:
+                    # SeededKnnVectorQuery: the seed query's matching
+                    # ordinals in THIS leaf become the entry points; a
+                    # leaf without seed hits searches normally
+                    s = np.flatnonzero(
+                        meta[self.seed_col] == self.seed_labels[j])
+                    seeds = s.tolist() or None
+                hits = g.search(self.q[j], self.k, self.ef,
+                                accept=accept, seeds=seeds)
                 for s, node in hits:
                     out_q.append(j)
                     out_v.append(int(ids[node]))
@@ -526,7 +549,8 @@ def search_index_quantized(index_dir: str, qn: np.ndarray, k: int,
 
 def search_index(index_dir: str, qn: np.ndarray, k: int,
                  ef: int = HNSW_EF_SEARCH, filter_col: str | None = None,
-                 filter_labels=None) -> list[list[tuple[float, int]]]:
+                 filter_labels=None, seed_col: str | None = None,
+                 seed_labels=None) -> list[list[tuple[float, int]]]:
     """Distributed search of a persisted index: shard paths fan out to a
     `ShardSearcher` pool, per-shard partial top-k merge on the driver
     (≤ shards × k rows — bounded, the TopDocs.merge role). Returns one
@@ -543,7 +567,8 @@ def search_index(index_dir: str, qn: np.ndarray, k: int,
                           batch_size=1,
                           concurrency=_searcher_pool_size(len(shard_paths)),
                           fn_constructor_args=(index_dir, qref, k, ef,
-                                               filter_col, filter_labels))
+                                               filter_col, filter_labels,
+                                               seed_col, seed_labels))
              .take_all())
     out: list[list[tuple[float, int]]] = [[] for _ in range(len(qn))]
     for r in parts:

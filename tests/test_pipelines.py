@@ -2316,3 +2316,39 @@ def test_simple_query_eval_never_throws(ray_session):
         assert len(np.unique(d)) == len(d)
         if len(d):
             assert d.min() >= 0 and d.max() < r.doc_count
+
+
+def test_seeded_knn(ray_session):
+    """SeededKnnVectorQuery (core/search/SeededKnnVectorQuery.java:33):
+    seed ordinals replace the entry-point descent; with good seeds the
+    layer-0 beam starts in the right region, and at full ef the result
+    matches the unseeded (exact) top-k."""
+    import numpy as np
+
+    from lucene_ray.pipelines.ann import HnswGraph
+
+    rng = np.random.default_rng(17)
+    emb = rng.standard_normal((400, 16)).astype(np.float64)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    g = HnswGraph(emb)
+    q = emb[7]
+    plain = g.search(q, 10, ef=64)
+    # seeds at the true nearest neighbors: same exact result
+    seeded = g.search(q, 10, ef=64, seeds=[7])
+    assert [n for _, n in seeded] == [n for _, n in plain]
+    # even ADVERSARIAL seeds (the global farthest point) recover the
+    # top hit at search ef — the beam walks back across the graph
+    far = int(np.argmin(emb @ q))
+    seeded_far = g.search(q, 10, ef=64, seeds=[far])
+    assert (seeded_far[0][1] == plain[0][1])
+    # a tiny beam with a perfect seed beats the same beam unseeded on
+    # visited-region quality: the top result is the seed's region
+    small = g.search(q, 1, ef=1, seeds=[7])
+    assert small[0][1] == 7
+
+
+def test_ann_seeded_driver_entry(ray_session):
+    from lucene_ray.pipelines.ann import ann_cosine_topk, ann_seeded_topk
+    a = ann_seeded_topk("/root/testdata/sf0.001")
+    b = ann_cosine_topk("/root/testdata/sf0.001")
+    assert a.to_pydict() == b.to_pydict()
