@@ -42,11 +42,7 @@ TEST_RATIO = 0.2
 CV_RATIO = 0.1
 
 
-def _docs(sf_dir: str, cols):
-    import ray.data
-
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=list(cols))
+from .classify import _docs  # noqa: E402  (shared reader)
 
 
 def classify_confusion(sf_dir: str) -> pa.Table:
@@ -566,13 +562,13 @@ cand AS (
   SELECT s.qd, s.src, f.term, f.df,
          damerau_levenshtein(
            substr(s.src, least(2, length(s.src)) + 1),
-           substr(f.term, least(2, length(f.term)) + 1)) AS ed
+           substr(f.term, least(2, length(s.src)) + 1)) AS ed
   FROM srcs s JOIN df f
     ON substr(f.term, 1, least(2, length(s.src)))
        = substr(s.src, 1, least(2, length(s.src)))
    AND damerau_levenshtein(
          substr(s.src, least(2, length(s.src)) + 1),
-         substr(f.term, least(2, length(f.term)) + 1)) <= 1
+         substr(f.term, least(2, length(s.src)) + 1)) <= 1
 ),
 grp AS (
   SELECT qd, src,

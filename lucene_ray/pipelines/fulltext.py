@@ -11177,10 +11177,13 @@ def oracle_snowball_lithuanian_sql() -> str:
             f"THEN substr(word, 1, length(word)-{k}) "
             f"|| '{_LT_CONFLICT_SUB[act]}'")
     conflicts = "CASE\n" + "\n".join(conf_whens) + "\n    ELSE word END"
-    step1 = _sb_del_acts(
-        "word", [(s, 1) for s, _ in _LT_STEP1], {1: "p1"})
-    step2 = _sb_del_acts(
-        "word", [(s, 1) for s, _ in _LT_STEP2], {1: "p1"})
+    # limit-restricted matching (LithuanianStemmer.java:318-340 sets
+    # limit_backward = I_p1 BEFORE find_among_b): the region sits in the
+    # match condition itself, so a shorter nested suffix still fires
+    # when a longer one crosses R1 — _sb_del_acts' post-commit gate
+    # would wrongly delete nothing there
+    step1 = _sb_del_case("word", [(s, 1) for s, _ in _LT_STEP1], "p1")
+    step2 = _sb_del_case("word", [(s, 1) for s, _ in _LT_STEP2], "p1")
     chdz = ("CASE WHEN ends_with(word, 'dž') "
             "THEN substr(word, 1, length(word)-2) || 'd' "
             "WHEN ends_with(word, 'č') "
@@ -11536,7 +11539,7 @@ def oracle_snowball_romanian_sql() -> str:
           AND substr(word, i+1, 1) IN ('u', 'i')
           AND substr(word, i+2, 1) IN ({vs})
          THEN substr(word, 1, i) || upper(substr(word, i+1, 1))
-              || substr(word, i+3)
+              || substr(word, i+2)
          ELSE word END,
     i + 1
   FROM prec WHERE i <= length(word) - 2
@@ -12034,7 +12037,7 @@ def oracle_snowball_estonian_sql() -> str:
      AND length(word) - 1 >= p1
      AND substr(word, length(word)-2, 2) IN ('kk', 'pp', 'tt')
      AND length(word) >= 3
-    THEN substr(word, 1, length(word)-3) || right(word, 1)
+    THEN substr(word, 1, length(word)-2) || right(word, 1)
     ELSE word END AS term
   FROM n6
 )
