@@ -683,6 +683,19 @@ def ngram_jaccard_pairs(sf_dir: str):
     the per-(a, b) count IS the intersection size — see
     :func:`_jaccard_pairs_ds`.
     """
+    import pyarrow as pa
+
+    from lucene_ray.pipelines.util import typed_table
+
+    return typed_table(_ngram_jaccard_ds(sf_dir),
+                       pa.schema([("a", pa.int64()),
+                                  ("b", pa.int64()),
+                                  ("jaccard", pa.float64())]))
+
+
+def _ngram_jaccard_ds(sf_dir: str):
+    """Dataset form (internal reuse: dedup_clusters consumes the edge
+    stream without materializing)."""
     return _jaccard_pairs_ds(_shingle_rows(sf_dir), JACCARD_NGRAM_THRESHOLD,
                              input_bytes=_table_bytes(sf_dir))
 
@@ -748,7 +761,7 @@ def dedup_clusters(sf_dir: str):
     from ray.data.aggregate import Min, Sum
 
     P = _join_parts(sf_dir)
-    edges = (ngram_jaccard_pairs(sf_dir)
+    edges = (_ngram_jaccard_ds(sf_dir)
              .select_columns(["a", "b"]).materialize())
 
     def init_labels(batch: pa.Table) -> pa.Table:
@@ -1071,10 +1084,15 @@ def dedup_substring_spans(sf_dir: str, n: int = _DUPGRAM_N):
             "span_end": pa.array(s1, pa.int64()),
             "span_len": pa.array(s1 - s0 + 1, pa.int64())})
 
+    from lucene_ray.pipelines.util import typed_table
+
     marked = (_docs(sf_dir).map_batches(explode, batch_format="pyarrow")
               .groupby("pkey").map_groups(mark, batch_format="pyarrow"))
-    return marked.groupby("doc_id").map_groups(merge_spans,
-                                               batch_format="pyarrow")
+    out = marked.groupby("doc_id").map_groups(merge_spans,
+                                              batch_format="pyarrow")
+    return typed_table(out, pa.schema([
+        ("doc_id", pa.int64()), ("span_start", pa.int64()),
+        ("span_end", pa.int64()), ("span_len", pa.int64())]))
 
 
 def oracle_substring_spans_sql(n: int = _DUPGRAM_N) -> str:

@@ -222,18 +222,29 @@ def ft_postings_sample(sf_dir: str) -> pa.Table:
 def ft_bm25_top10(sf_dir: str):
     """Reference query set → (qid, rank, doc_id) via the block-max engine
     running on a searcher actor pool."""
+    from lucene_ray.pipelines.util import typed_table
+
     idx = index_dir_for(sf_dir)
     qs = [(qid, " ".join(terms), k) for qid, terms, k in QUERY_SET]
     ds = search_query_batch(idx, qs, concurrency=2)
-    return ds.select_columns(["qid", "rank", "doc_id"])
+    return typed_table(ds.select_columns(["qid", "rank", "doc_id"]),
+                       pa.schema([("qid", pa.int64()),
+                                  ("rank", pa.int32()),
+                                  ("doc_id", pa.int64())]))
 
 
 def ft_bm25_scores(sf_dir: str):
     """Same with float32 scores (rows-only driver check; exactness is
     enforced by the pytest oracle suite instead)."""
+    from lucene_ray.pipelines.util import typed_table
+
     idx = index_dir_for(sf_dir)
     qs = [(qid, " ".join(terms), k) for qid, terms, k in QUERY_SET]
-    return search_query_batch(idx, qs, concurrency=2)
+    return typed_table(search_query_batch(idx, qs, concurrency=2),
+                       pa.schema([("qid", pa.int64()),
+                                  ("rank", pa.int32()),
+                                  ("doc_id", pa.int64()),
+                                  ("score", pa.float32())]))
 
 
 def ft_boolean_and(sf_dir: str) -> pa.Table:
@@ -1283,9 +1294,13 @@ def ft_drill_sideways(sf_dir: str) -> pa.Table:
             "value": pa.array([x[2] for x in rows], pa.string()),
             "n": pa.array([x[3] for x in rows], pa.int64())})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby(["qid", "dim", "value"])
-           .aggregate(Sum("n", alias_name="n")).to_pandas())
+    from lucene_ray.pipelines.util import ensure_cols
+
+    agg = ensure_cols(
+        (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby(["qid", "dim", "value"])
+         .aggregate(Sum("n", alias_name="n")).to_pandas()),
+        ["qid", "dim", "value", "n"])
     out = []
     for qid, _term, _lang in DRILL_QUERIES:
         sub = agg[agg["qid"] == qid]
@@ -3204,9 +3219,12 @@ def ft_percolate(sf_dir: str) -> pa.Table:
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"])
     out = percolate(ds, PERCOLATE_QUERIES)
-    t = pa.concat_tables(
-        [pa.table(b) for b in out.iter_batches(batch_format="pyarrow")],
-        promote_options="default")
+    batches = [pa.table(b)
+               for b in out.iter_batches(batch_format="pyarrow")]
+    if not batches:                     # no query matched any document
+        batches = [pa.table({"qid": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})]
+    t = pa.concat_tables(batches, promote_options="default")
     order = np.lexsort((t.column("doc_id").to_numpy(zero_copy_only=False),
                         t.column("qid").to_numpy(zero_copy_only=False)))
     return t.take(pa.array(order, pa.int64()))
@@ -3500,7 +3518,14 @@ def join_scored(sf_dir: str):
                 .append_column("score_total", pa.array(t_[ci]))
                 .append_column("score_avg", pa.array(a_[ci])))
 
-    return ds.map_batches(score, batch_format="pyarrow")
+    from lucene_ray.pipelines.util import typed_table
+
+    return typed_table(
+        ds.map_batches(score, batch_format="pyarrow"),
+        pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                   ("score_max", pa.float32()),
+                   ("score_total", pa.float32()),
+                   ("score_avg", pa.float32())]))
 
 
 def oracle_join_scored_sql() -> str:
@@ -3884,11 +3909,14 @@ def _gram_stats(sf_dir: str, vocab_grams) -> pa.Table:
                          "df": pa.array(df, pa.int64()),
                          "ttf": pa.array(ttf, pa.int64())})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("term")
-           .aggregate(Sum("df", alias_name="df"),
-                      Sum("ttf", alias_name="ttf"))
-           .to_pandas())
+    from lucene_ray.pipelines.util import ensure_cols
+
+    agg = ensure_cols(
+        (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("term")
+         .aggregate(Sum("df", alias_name="df"),
+                    Sum("ttf", alias_name="ttf"))
+         .to_pandas()), ["term", "df", "ttf"])
     agg = agg.sort_values(["df", "term"],
                           ascending=[False, True]).head(_NGRAM_TOP)
     return pa.table({"term": pa.array(agg["term"], pa.string()),
@@ -4071,11 +4099,14 @@ def _rawtok_stats(sf_dir: str, doc_tokens) -> pa.Table:
                          "df": pa.array(df, pa.int64()),
                          "ttf": pa.array(ttf, pa.int64())})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("term")
-           .aggregate(Sum("df", alias_name="df"),
-                      Sum("ttf", alias_name="ttf"))
-           .to_pandas())
+    from lucene_ray.pipelines.util import ensure_cols
+
+    agg = ensure_cols(
+        (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("term")
+         .aggregate(Sum("df", alias_name="df"),
+                    Sum("ttf", alias_name="ttf"))
+         .to_pandas()), ["term", "df", "ttf"])
     agg = agg.sort_values(["df", "term"],
                           ascending=[False, True]).head(_NGRAM_TOP)
     return pa.table({"term": pa.array(agg["term"], pa.string()),
@@ -4153,11 +4184,14 @@ def ft_path_hierarchy(sf_dir: str) -> pa.Table:
                          "df": pa.array(df, pa.int64()),
                          "ttf": pa.array(ttf, pa.int64())})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("term")
-           .aggregate(Sum("df", alias_name="df"),
-                      Sum("ttf", alias_name="ttf"))
-           .to_pandas())
+    from lucene_ray.pipelines.util import ensure_cols
+
+    agg = ensure_cols(
+        (ds.map_batches(partial, batch_format="pyarrow")
+         .groupby("term")
+         .aggregate(Sum("df", alias_name="df"),
+                    Sum("ttf", alias_name="ttf"))
+         .to_pandas()), ["term", "df", "ttf"])
     agg = agg.sort_values(["df", "term"],
                           ascending=[False, True]).head(_NGRAM_TOP)
     return pa.table({"term": pa.array(agg["term"], pa.string()),
@@ -6503,7 +6537,8 @@ def oracle_dictionary_compound_sql() -> str:
 ), compounds AS (
   SELECT d, c AS term FROM pairs
 ), subs AS (
-  SELECT p.d, CASE WHEN substr(p.c, i, length(p.wa)) = p.wa
+  SELECT p.d, CASE WHEN length(p.wa) BETWEEN 2 AND 15
+                    AND substr(p.c, i, length(p.wa)) = p.wa
                    THEN p.wa ELSE p.wb END AS term
   FROM pairs p CROSS JOIN generate_series(1, 128) AS g(i)  -- >= max compound len
   WHERE i <= length(p.c) AND length(p.c) >= 5
@@ -8678,9 +8713,12 @@ def _context_bigram_counts(sf_dir: str, ctx_words: list[str]) -> pa.Table:
         return pa.table({"bigram": vc.field("values"),
                          "cnt": vc.field("counts").cast(pa.int64())})
 
+    from lucene_ray.pipelines.util import ensure_cols
+
     agg = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby("bigram").sum("cnt"))
-    out = agg.to_pandas()  # bounded: bigrams rooted at a few context words
+    out = ensure_cols(agg.to_pandas(),  # bounded: few context roots
+                      ["bigram", "sum(cnt)"])
     return pa.table({"bigram": pa.array(out["bigram"], pa.string()),
                      "cnt": pa.array(out["sum(cnt)"], pa.int64())})
 
@@ -8766,12 +8804,17 @@ def oracle_suggest_freetext_sql() -> str:
     FROM ({lvl2_body}) WHERE rn <= {num}""")
             lvl2_sel = (f"SELECT w2 FROM ({lvl2_body}) WHERE rn <= {num}")
         if uni_pref is not None:
-            boff = "0.4 * " if ctx is not None else ""
+            # CAST: a bare 0.4 is DECIMAL in DuckDB, whose exact
+            # product differs from the engine's double multiply by an
+            # ulp for some counts (0.4*871 -> 348.4 exact vs
+            # 348.40000000000003)
+            num_expr = ("CAST(0.4 AS DOUBLE) * CAST(cnt AS DOUBLE)"
+                        if ctx is not None else "CAST(cnt AS DOUBLE)")
             notin = f"\n        AND term NOT IN ({lvl2_sel})" if lvl2_sel \
                 else ""
             levels.append(f"""    SELECT suggestion, score FROM (
       SELECT term AS suggestion,
-             ({boff}cnt)
+             ({num_expr})
                / (SELECT CAST(sum_ttf AS DOUBLE) FROM stats) AS score,
              row_number() OVER (ORDER BY cnt DESC, term ASC) AS rn
       FROM ug WHERE term LIKE '{uni_pref}%'{notin}
@@ -10175,6 +10218,11 @@ def ft_suggest_blended(sf_dir: str) -> pa.Table:
             "rank": pa.array(np.arange(1, len(d) + 1, dtype=np.int64)),
             "doc_id": pa.array(d, pa.int64()),
             "score": pa.array(score[sel], pa.int64())}))
+    if not out:                         # no prefix matched any term
+        return pa.table({"prefix": pa.array([], pa.string()),
+                         "rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.int64())})
     return pa.concat_tables(out)
 
 
@@ -10188,10 +10236,13 @@ def oracle_suggest_blended_sql() -> str:
   FROM (
     SELECT m.d AS doc_id,
            CAST(trunc(
-             (CASE WHEN dl.len = 0 THEN 10.0
-                   WHEN abs(dl.len) < 10 THEN dl.len * 10.0
+             (CASE WHEN dl.len = 0 THEN CAST(10.0 AS DOUBLE)
+                   WHEN abs(dl.len) < 10
+                     THEN CAST(dl.len AS DOUBLE) * CAST(10.0 AS DOUBLE)
                    ELSE CAST(dl.len AS DOUBLE) END)
-             * (1.0 - 0.10 * m.minpos)) AS BIGINT) AS score
+             * (CAST(1.0 AS DOUBLE)
+                - CAST(0.10 AS DOUBLE) * CAST(m.minpos AS DOUBLE)))
+             AS BIGINT) AS score
     FROM (SELECT d, min(pos) - 1 AS minpos FROM wpos
           WHERE word LIKE '{p}%' GROUP BY d) m
     JOIN dl ON dl.d = m.d)

@@ -20,3 +20,17 @@ def ensure_cols(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
     if len(df) != 0:                      # non-empty but missing a column
         raise KeyError([c for c in cols if c not in df.columns])
     return pd.DataFrame({c: [] for c in cols})
+
+
+def typed_table(ds_or_df, schema) -> "object":
+    """Materialize a bounded result as a pa.Table with the DECLARED
+    schema, surviving Ray's empty-input column drop (an empty pipeline
+    otherwise yields a schemaless 0×0 frame, which breaks the driver's
+    schema comparison)."""
+    import pyarrow as pa
+
+    df = ds_or_df.to_pandas() if hasattr(ds_or_df, "to_pandas") \
+        else ds_or_df
+    df = ensure_cols(df, [f.name for f in schema])
+    arrays = [pa.array(df[f.name], type=f.type) for f in schema]
+    return pa.table(dict(zip([f.name for f in schema], arrays)))
