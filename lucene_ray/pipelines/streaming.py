@@ -359,10 +359,10 @@ h AS (
 )
 SELECT user_id,
        CAST(floor(CAST(ep AS DOUBLE) / {WINDOW_S}) AS BIGINT) AS win_id,
-       SUM(CASE WHEN hw IS NULL OR ep >= hw - {lateness_s}
-                THEN 1 ELSE 0 END) AS n_events,
-       SUM(CASE WHEN hw IS NOT NULL AND ep < hw - {lateness_s}
-                THEN 1 ELSE 0 END) AS n_late
+       CAST(SUM(CASE WHEN hw IS NULL OR ep >= hw - {lateness_s}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN hw IS NOT NULL AND ep < hw - {lateness_s}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late
 FROM h GROUP BY user_id, win_id"""
 
 

@@ -19,6 +19,9 @@ import random
 import shutil
 import string
 
+import datetime
+
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -35,30 +38,116 @@ SUBSET = [
     "ft_snowball_estonian", "ft_snowball_finnish",
     "text_quality", "lang_id", "classify_nb", "split_dataset",
     "agg_histogram", "classify_confusion",
+    "events_late_data", "events_sessionize", "agg_lineitem_pricing",
+    "join_semi_broadcast", "ann_cosine_topk", "agg_quantity_quantiles",
 ]
 
 
-def make_random_sf(seed: int, path: str, n_docs: int = 300):
+import random, string, datetime
+import numpy as np
+import pyarrow as pa, pyarrow.parquet as pq
+import os
+
+def _gen_all(seed, path, n_docs=300):
     rng = random.Random(seed)
+    nrng = np.random.default_rng(seed)
     os.makedirs(path, exist_ok=True)
     langs = ["de", "en", "es", "fr", "zh"]
     sources = ["src0", "src1", "src2"]
     words = ["".join(rng.choice(string.ascii_lowercase)
-                     for _ in range(rng.randint(1, 10)))
-             for _ in range(80)]
+                     for _ in range(rng.randint(1, 10))) for _ in range(80)]
     rows = []
     for d in range(n_docs):
-        text = " ".join(rng.choice(words)
-                        for _ in range(rng.randint(1, 30)))
-        rows.append((d, text, rng.choice(langs), rng.choice(sources),
-                     len(text)))
-    t = pa.table({
+        text = " ".join(rng.choice(words) for _ in range(rng.randint(1, 30)))
+        rows.append((d, text, rng.choice(langs), rng.choice(sources), len(text)))
+    pq.write_table(pa.table({
         "doc_id": pa.array([r[0] for r in rows], pa.int64()),
         "text": pa.array([r[1] for r in rows]),
         "lang": pa.array([r[2] for r in rows]),
         "source": pa.array([r[3] for r in rows]),
-        "n_chars": pa.array([r[4] for r in rows], pa.int64())})
-    pq.write_table(t, os.path.join(path, "documents.parquet"))
+        "n_chars": pa.array([r[4] for r in rows], pa.int64())}),
+        os.path.join(path, "documents.parquet"))
+
+    n_ord, n_li = 200, 800
+    base = datetime.datetime(2023, 1, 1)
+    def ts(days):
+        return base + datetime.timedelta(days=float(days))
+    ok = sorted(rng.sample(range(1, 4000), n_ord))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(ok, pa.int64()),
+        "o_custkey": pa.array([rng.randint(1, 50) for _ in ok], pa.int64()),
+        "o_orderstatus": pa.array([rng.choice("OFP") for _ in ok]),
+        "o_totalprice": pa.array([round(rng.uniform(900, 200000), 2) for _ in ok]),
+        "o_orderdate": pa.array([ts(rng.uniform(0, 365)) for _ in ok], pa.timestamp("us")),
+        "o_orderpriority": pa.array([rng.choice(["1-URGENT","2-HIGH","3-MEDIUM","4-NOT","5-LOW"]) for _ in ok])}),
+        os.path.join(path, "orders.parquet"))
+    li_ok = [rng.choice(ok) for _ in range(n_li)]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(li_ok, pa.int64()),
+        "l_partkey": pa.array([rng.randint(1, 200) for _ in range(n_li)], pa.int64()),
+        "l_suppkey": pa.array([rng.randint(1, 20) for _ in range(n_li)], pa.int64()),
+        "l_linenumber": pa.array([rng.randint(1, 7) for _ in range(n_li)], pa.int32()),
+        "l_quantity": pa.array([float(rng.randint(1, 50)) for _ in range(n_li)]),
+        "l_extendedprice": pa.array([round(rng.uniform(900, 105000), 2) for _ in range(n_li)]),
+        "l_discount": pa.array([round(rng.uniform(0, 0.1), 2) for _ in range(n_li)]),
+        "l_tax": pa.array([round(rng.uniform(0, 0.08), 2) for _ in range(n_li)]),
+        "l_returnflag": pa.array([rng.choice("RAN") for _ in range(n_li)]),
+        "l_linestatus": pa.array([rng.choice("OF") for _ in range(n_li)]),
+        "l_shipdate": pa.array([ts(rng.uniform(0, 400)) for _ in range(n_li)], pa.timestamp("us"))}),
+        os.path.join(path, "lineitem.parquet"))
+    n_ev = 600
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(n_ev)), pa.int64()),
+        "ts": pa.array([ts(rng.uniform(0, 30)) for _ in range(n_ev)], pa.timestamp("us")),
+        "user_id": pa.array([rng.randint(1, 40) for _ in range(n_ev)], pa.int64()),
+        "event_type": pa.array([rng.choice(["click","view","buy","scroll"]) for _ in range(n_ev)]),
+        "value": pa.array([round(rng.uniform(0, 100), 3) for _ in range(n_ev)]),
+        "props": pa.array(["{}" for _ in range(n_ev)])}),
+        os.path.join(path, "events.parquet"))
+    dim = 16
+    emb = nrng.standard_normal((300, dim)).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(list(range(300)), pa.int64()),
+        "embedding": pa.array([e.tolist() for e in emb], pa.list_(pa.float32())),
+        "label": pa.array([rng.randint(0, 4) for _ in range(300)], pa.int32())}),
+        os.path.join(path, "embeddings.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(1, 51)), pa.int64()),
+        "c_name": pa.array([f"cust{i}" for i in range(1, 51)]),
+        "c_nationkey": pa.array([rng.randint(0, 9) for _ in range(50)], pa.int32()),
+        "c_acctbal": pa.array([round(rng.uniform(-900, 9000), 2) for _ in range(50)]),
+        "c_mktsegment": pa.array([rng.choice(["AUTO","BUILDING","MACH"]) for _ in range(50)])}),
+        os.path.join(path, "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(list(range(1, 21)), pa.int64()),
+        "s_name": pa.array([f"supp{i}" for i in range(1, 21)]),
+        "s_nationkey": pa.array([rng.randint(0, 9) for _ in range(20)], pa.int32()),
+        "s_acctbal": pa.array([round(rng.uniform(-900, 9000), 2) for _ in range(20)])}),
+        os.path.join(path, "supplier.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(list(range(1, 201)), pa.int64()),
+        "p_name": pa.array([" ".join(rng.sample(words, 2)) for _ in range(200)]),
+        "p_brand": pa.array([f"Brand#{rng.randint(1,5)}{rng.randint(1,5)}" for _ in range(200)]),
+        "p_type": pa.array([rng.choice(["STANDARD","SMALL","LARGE"]) + " " + rng.choice(["BRASS","STEEL"]) for _ in range(200)]),
+        "p_size": pa.array([rng.randint(1, 50) for _ in range(200)], pa.int32()),
+        "p_retailprice": pa.array([round(rng.uniform(900, 2000), 2) for _ in range(200)])}),
+        os.path.join(path, "part.parquet"))
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array(list(range(5)), pa.int32()),
+        "r_name": pa.array(["AFRICA","AMERICA","ASIA","EUROPE","MIDEAST"])}),
+        os.path.join(path, "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(list(range(10)), pa.int32()),
+        "n_name": pa.array([f"NATION{i}" for i in range(10)]),
+        "n_regionkey": pa.array([i % 5 for i in range(10)], pa.int32())}),
+        os.path.join(path, "nation.parquet"))
+
+
+def make_random_sf(seed: int, path: str, n_docs: int = 300):
+    """Random schema-compatible versions of EVERY table the entries
+    read (documents/orders/lineitem/events/embeddings/customer/
+    supplier/part/region/nation)."""
+    _gen_all(seed, path, n_docs)
 
 
 def run_sweep(sf: str, names=None) -> dict:
@@ -68,8 +157,11 @@ def run_sweep(sf: str, names=None) -> dict:
 
     q, o = e.queries(), e.oracle_sql()
     con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
-                f"read_parquet('{sf}/documents.parquet')")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents",
+              "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
     results = {}
     for name in (names or q):
         if name not in o:
