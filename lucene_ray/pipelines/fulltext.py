@@ -12694,3 +12694,182 @@ ranked AS (
   FROM totals
 )
 SELECT qid, rank, d AS doc_id, score FROM ranked WHERE rank <= k"""
+
+
+# ---------------------------------------------------------------------------
+# IR quality evaluation (benchmark/quality/QualityStats.java:28)
+
+QUALITY_QUERIES = [(1, ["value", "key"]), (2, ["query"]),
+                   (3, ["customer", "order", "part"]),
+                   (4, ["zzmissing"])]
+QUALITY_MAX_POINTS = 20
+
+
+def ft_quality_eval(sf_dir: str) -> pa.Table:
+    """QualityBenchmark over the engine's own rankings
+    (benchmark/quality/QualityBenchmark.java:86, QualityStats.java:28,
+    TrecJudge.java:36): per query the BM25 top-20 is judged against a
+    deterministic relevance set (docs matching ALL query terms — the
+    TREC-judgment stand-in), producing the reference's exact metric
+    chain: precision@n (with the short-result-list extrapolation
+    numPoints·pAt[numPoints]/n, :96-98), MRR counted only when the
+    first relevant hit ranks <= 5 (:66-68), average precision =
+    Σ p@relevant-ranks / maxGood (:100-102), and recall.  One row per
+    (qid, metric); qid -1 carries the benchmark means in qid order."""
+    from ..search import search_boolean, search_terms_scored
+
+    r = reader_for(sf_dir)
+    rows: list[tuple[int, str, float]] = []
+    per_query: dict[str, list[float]] = {}
+    for qid, terms in QUALITY_QUERIES:
+        relevant = set(search_boolean(r, must=terms).tolist())
+        max_good = float(len(relevant))
+        td = search_terms_scored(r, terms, QUALITY_MAX_POINTS)
+        ranked = td.doc_ids.tolist()
+        num_good = 0.0
+        p_at = [0.0] * (QUALITY_MAX_POINTS + 1)
+        prel_sum = 0.0
+        mrr = 0.0
+        recall = 0.0
+        n = 0
+        first_rel = None
+        for n, d in enumerate(ranked, 1):
+            rel = d in relevant
+            if rel:
+                num_good += 1.0
+                if first_rel is None:
+                    first_rel = n
+                    if n <= 5:
+                        mrr = 1.0 / n
+            p = num_good / n
+            if rel:
+                prel_sum += p
+            p_at[n] = p
+            recall = p if max_good <= 0 else num_good / max_good
+
+        def p_at_n(k: int) -> float:
+            if k > n:
+                return (n * p_at[n]) / k if n > 0 else 0.0
+            return p_at[k]
+
+        metrics = [("p_at_1", p_at_n(1)), ("p_at_5", p_at_n(5)),
+                   ("p_at_10", p_at_n(10)), ("p_at_20", p_at_n(20)),
+                   ("mrr", mrr),
+                   ("avp", 0.0 if max_good == 0
+                    else prel_sum / max_good),
+                   ("recall", recall), ("num_good", num_good)]
+        for mname, v in metrics:
+            rows.append((qid, mname, float(v)))
+            per_query.setdefault(mname, []).append(float(v))
+    for mname, vals in per_query.items():
+        acc = 0.0
+        for v in vals:                   # qid-order left-to-right sum
+            acc += v
+        rows.append((-1, mname, acc / len(vals)))
+    return pa.table({
+        "qid": pa.array([x[0] for x in rows], pa.int64()),
+        "metric": pa.array([x[1] for x in rows], pa.string()),
+        "value": pa.array([x[2] for x in rows], pa.float64())})
+
+
+def oracle_quality_eval_sql() -> str:
+    parts = []
+    for qid, terms in QUALITY_QUERIES:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        nt = len(terms)
+        parts.append(f"""(
+  SELECT {qid} AS qid, t.d,
+         row_number() OVER (ORDER BY score DESC, t.d ASC) AS rank,
+         CASE WHEN rel.d IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM (
+    SELECT d, CAST(sum(CAST(s AS DOUBLE)) AS REAL) AS score
+    FROM (SELECT t.d, {_SCORE_EXPR} AS s
+          FROM tf t JOIN df f ON f.term = t.term
+          JOIN quant q ON q.d = t.d
+          WHERE t.term IN ({tl}))
+    GROUP BY d
+  ) t
+  LEFT JOIN (
+    SELECT d FROM tf WHERE term IN ({tl})
+    GROUP BY d HAVING count(DISTINCT term) = {nt}
+  ) rel ON rel.d = t.d
+  ORDER BY rank LIMIT {QUALITY_MAX_POINTS})""")
+    ranked = "\nUNION ALL\n".join(parts)
+    goods = []
+    for qid, terms in QUALITY_QUERIES:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        nt = len(terms)
+        goods.append(f"""SELECT {qid} AS qid,
+       CAST(count(*) AS DOUBLE) AS max_good
+FROM (SELECT d FROM tf WHERE term IN ({tl})
+      GROUP BY d HAVING count(DISTINCT term) = {nt})""")
+    goodu = "\nUNION ALL\n".join(goods)
+    qids = ", ".join(f"({q})" for q, _ in QUALITY_QUERIES)
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+ranked AS (
+{ranked}
+),
+maxg AS (
+{goodu}
+),
+walk AS (
+  SELECT qid, rank, rel,
+         CAST(sum(rel) OVER w AS DOUBLE) AS ngood,
+         CAST(sum(rel) OVER w AS DOUBLE) / rank AS p,
+         min(CASE WHEN rel = 1 THEN rank END) OVER w AS firstrel
+  FROM ranked
+  WINDOW w AS (PARTITION BY qid ORDER BY rank
+               ROWS UNBOUNDED PRECEDING)
+),
+lastp AS (
+  SELECT qid, max(rank) AS n,
+         max(ngood) AS ngood,
+         sum(p ORDER BY rank) FILTER (rel = 1) AS prel_sum,
+         min(CASE WHEN rel = 1 THEN rank END) AS firstrel
+  FROM walk GROUP BY qid
+),
+qrows AS (SELECT q.qid, coalesce(l.n, 0) AS n,
+                 coalesce(l.ngood, 0.0) AS ngood,
+                 coalesce(l.prel_sum, 0.0) AS prel_sum,
+                 l.firstrel, m.max_good
+          FROM (VALUES {qids}) q(qid)
+          LEFT JOIN lastp l ON l.qid = q.qid
+          JOIN maxg m ON m.qid = q.qid),
+pat AS (
+  SELECT qid, k,
+         CASE WHEN q.n = 0 THEN 0.0
+              WHEN k > q.n THEN (q.n * (SELECT p FROM walk w
+                                        WHERE w.qid = q.qid
+                                          AND w.rank = q.n)) / k
+              ELSE (SELECT p FROM walk w
+                    WHERE w.qid = q.qid AND w.rank = k) END AS v
+  FROM qrows q CROSS JOIN (VALUES (1), (5), (10), (20)) ks(k)
+),
+metrics AS (
+  SELECT qid, 'p_at_' || k AS metric, v AS value FROM pat
+  UNION ALL
+  SELECT qid, 'mrr',
+         CASE WHEN firstrel IS NOT NULL AND firstrel <= 5
+              THEN 1.0 / firstrel ELSE 0.0 END
+  FROM qrows
+  UNION ALL
+  SELECT qid, 'avp',
+         CASE WHEN max_good = 0 THEN 0.0
+              ELSE prel_sum / max_good END
+  FROM qrows
+  UNION ALL
+  SELECT qid, 'recall',
+         CASE WHEN n = 0 THEN 0.0
+              WHEN max_good <= 0 THEN ngood / n
+              ELSE ngood / max_good END
+  FROM qrows
+  UNION ALL
+  SELECT qid, 'num_good', ngood FROM qrows
+)
+SELECT qid, metric, value FROM metrics
+UNION ALL
+SELECT -1 AS qid, metric,
+       (SELECT sum(value ORDER BY qid) FROM metrics m2
+        WHERE m2.metric = m.metric) / count(*) AS value
+FROM metrics m GROUP BY metric"""

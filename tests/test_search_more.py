@@ -29,3 +29,30 @@ def test_fuzzy_like_this_expansion_order():
     assert scores == sorted(scores, reverse=True)
     terms = [t for _, t, _ in out]
     assert "value" in terms
+
+
+def test_quality_stats_reference_quirks(ray_session):
+    """QualityStats' exact metric chain (QualityStats.java:28):
+    MRR only counts a first relevant hit ranked <= 5 (:66-68), p@n
+    beyond the result list extrapolates numPoints·pAt[numPoints]/n
+    (:96-98), and average precision divides by the JUDGMENT size."""
+    from lucene_ray.pipelines.fulltext import ft_quality_eval
+    t = ft_quality_eval("/root/testdata/sf0.001").to_pandas()
+    by = {(int(r.qid), r.metric): r.value for r in t.itertuples()}
+    # qid 4 = zzmissing: empty result list -> everything 0
+    for m in ("p_at_1", "p_at_10", "mrr", "avp", "recall", "num_good"):
+        assert by[(4, m)] == 0.0, m
+    # qid 2 = single common term: every hit contains the term, so the
+    # judgment equals the matching set and precision@k is 1 while the
+    # list is full
+    assert by[(2, "p_at_1")] == 1.0
+    assert by[(2, "p_at_20")] == 1.0
+    assert by[(2, "mrr")] == 1.0
+    # benchmark means (qid -1) average the per-query rows
+    import numpy as np
+    vals = [by[(q, "p_at_10")] for q, _ in
+            [(1, 0), (2, 0), (3, 0), (4, 0)]]
+    acc = 0.0
+    for v in vals:
+        acc += v
+    assert by[(-1, "p_at_10")] == acc / 4
