@@ -12873,3 +12873,85 @@ SELECT -1 AS qid, metric,
        (SELECT sum(value ORDER BY qid) FROM metrics m2
         WHERE m2.metric = m.metric) / count(*) AS value
 FROM metrics m GROUP BY metric"""
+
+
+# ---------------------------------------------------------------------------
+# Numeric range fields (document/LongRange.java:33 — one interval per
+# doc, queried by interval relation)
+
+RANGE_FIELD_QUERIES = [
+    (1, "intersects", 50, 120), (2, "within", 0, 200),
+    (3, "contains", 95, 96), (4, "crosses", 50, 120),
+    (5, "intersects", 10_000, 20_000),
+]
+
+
+def ft_range_field(sf_dir: str) -> pa.Table:
+    """LongRange field queries (document/LongRange.java:33,
+    RangeFieldQuery.java relations): each lineitem row carries the
+    interval [quantity, quantity + linenumber·7] and the four query
+    relations count matching rows — INTERSECTS (overlap), WITHIN
+    (doc ⊆ query), CONTAINS (doc ⊇ query), CROSSES (intersects but
+    neither within nor contains, RangeFieldQuery.QueryType.CROSSES).
+
+    Scale shape: map-only per-batch predicate counts + a tiny groupby
+    (the BKD range-tree pruning becomes parquet row-group min/max
+    pruning on the interval columns at scale)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_linenumber"])
+
+    _SCHEMA = pa.schema([("qid", pa.int64()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _SCHEMA.empty_table()
+        lo = batch.column("l_quantity").to_numpy().astype(np.int64)
+        hi = lo + batch.column("l_linenumber").to_numpy()\
+            .astype(np.int64) * 7
+        qids, ns = [], []
+        for qid, rel, qlo, qhi in RANGE_FIELD_QUERIES:
+            inter = (lo <= qhi) & (hi >= qlo)
+            within = (lo >= qlo) & (hi <= qhi)
+            contains = (lo <= qlo) & (hi >= qhi)
+            m = {"intersects": inter, "within": within,
+                 "contains": contains,
+                 "crosses": inter & ~within & ~contains}[rel]
+            qids.append(qid)
+            ns.append(int(m.sum()))
+        return pa.table({"qid": pa.array(qids, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    agg = ensure_cols(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("qid").sum("n").to_pandas(), ["qid", "sum(n)"])
+    agg = agg.sort_values("qid").reset_index(drop=True)
+    return pa.table({"qid": pa.array(agg["qid"].astype("int64")),
+                     "n": pa.array(agg["sum(n)"].astype("int64"))})
+
+
+def oracle_range_field_sql() -> str:
+    parts = []
+    for qid, rel, qlo, qhi in RANGE_FIELD_QUERIES:
+        pred = {
+            "intersects": f"lo <= {qhi} AND hi >= {qlo}",
+            "within": f"lo >= {qlo} AND hi <= {qhi}",
+            "contains": f"lo <= {qlo} AND hi >= {qhi}",
+            "crosses": (f"(lo <= {qhi} AND hi >= {qlo}) "
+                        f"AND NOT (lo >= {qlo} AND hi <= {qhi}) "
+                        f"AND NOT (lo <= {qlo} AND hi >= {qhi})"),
+        }[rel]
+        parts.append(f"""SELECT {qid} AS qid,
+       CAST(count(*) FILTER ({pred}) AS BIGINT) AS n FROM r""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH r AS (
+  SELECT CAST(l_quantity AS BIGINT) AS lo,
+         CAST(l_quantity AS BIGINT) + l_linenumber * 7 AS hi
+  FROM lineitem
+)
+{un}"""
