@@ -3680,10 +3680,10 @@ def ft_stemmed_search(sf_dir: str) -> pa.Table:
     forms match inflected document forms through their common stem
     (en/PorterStemFilter.java + QueryBuilder analyzer contract).
 
-    rows-only: scores/ranks depend on stemmed tf/df/field length and
-    DuckDB has no stemmer offline; the Porter algorithm itself is
-    pytest-verified against the published test vectors and the stop/
-    length bookkeeping has the exact ``ft_english_doclen`` oracle."""
+    Oracle-backed since the continuation session: the whole english
+    chain (possessive -> stop -> Porter) is rebuilt in SQL
+    (oracle_stemmed_search_sql; the Porter CTE chain agrees with
+    porter_stem on all 23,531 reference vocabulary words)."""
     from ..search import search_blockmax
 
     r = IndexReader(english_index_dir_for(sf_dir))
@@ -12955,3 +12955,309 @@ def oracle_range_field_sql() -> str:
   FROM lineitem
 )
 {un}"""
+
+
+# ---------------------------------------------------------------------------
+# Porter (1980) stemmer as SQL — upgrades ft_stemmed_search from
+# rows-only to a full oracle.  The chain mirrors
+# analysis_en.porter_stem stage by stage (PorterStemmer.java:222-492
+# semantics incl. both published bug fixes and logi->log); the
+# per-position recursive CTE classifies consonant-y exactly (y at 0 is
+# a consonant, otherwise the complement of the previous class), and
+# the measure m is the count of 'vc' adjacencies in the cv prefix.
+# Gated by tests/test_porter1_sql.py: the SQL agrees with porter_stem
+# on ALL 23,531 reference vocabulary words and on random fuzz.
+
+def _porter1_sql(words_cte: str = "words(w)") -> str:
+    """CTE chain: a relation ``words(w)`` of lowercased tokens ->
+    ``stemmed(w, stem)``.  The returned text starts with WITH
+    RECURSIVE; use :func:`_porter1_ctes` to splice into a larger
+    query."""
+
+    """SQL pipeline: a relation words(w) of lowercased tokens ->
+    (w, stem).  Mirrors analysis_en.porter_stem stage by stage."""
+    V = "('a','e','i','o','u')"
+
+    def cv_cte(name, src, col, cvname):
+        # per-position classification: y = consonant at 0, else the
+        # complement of the previous classification
+        return f"""{name}_r AS (
+  SELECT w0, CAST(1 AS BIGINT) AS i,
+         CASE WHEN substr(w0, 1, 1) IN {V} THEN 'v' ELSE 'c' END AS cv
+  FROM (SELECT DISTINCT {col} AS w0 FROM {src})
+  UNION ALL
+  SELECT w0, i + 1,
+         cv || CASE
+           WHEN substr(w0, i + 1, 1) IN {V} THEN 'v'
+           WHEN substr(w0, i + 1, 1) = 'y'
+             THEN CASE WHEN substr(cv, i, 1) = 'c' THEN 'v' ELSE 'c' END
+           ELSE 'c' END
+  FROM {name}_r WHERE i < length(w0)
+), {name} AS (
+  SELECT w0, cv AS {cvname} FROM {name}_r WHERE i = length(w0)
+)"""
+
+    def m_expr(cvp):
+        # number of 'vc' adjacencies in the cv prefix
+        return (f"CAST((length({cvp}) - length(replace({cvp}, 'vc', '')))"
+                f" // 2 AS BIGINT)")
+
+    def pre(col, k):
+        return f"substr({col}, 1, length({col}) - {k})"
+
+    def cvpre(cvcol, col, k):
+        return f"substr({cvcol}, 1, length({col}) - {k})"
+
+    def vowelinstem(cvcol, col, k):
+        return f"contains({cvpre(cvcol, col, k)}, 'v')"
+
+    def doublec_at(cvcol, col, k):
+        # doublec at position len-k (1-based end of prefix)
+        e = f"length({col}) - {k}"
+        return (f"({e} >= 2 AND substr({col}, {e}, 1) = "
+                f"substr({col}, {e} - 1, 1) AND "
+                f"substr({cvcol}, {e}, 1) = 'c')")
+
+    def cvc_at(cvcol, col, k):
+        # cvc ending at position len-k, final cons not w/x/y
+        e = f"length({col}) - {k}"
+        return (f"({e} >= 3 AND substr({cvcol}, {e} - 2, 3) = 'cvc' "
+                f"AND substr({col}, {e}, 1) NOT IN ('w', 'x', 'y'))")
+
+    # ---- step 1: plurals + ed/ing -------------------------------------
+    # s-branch first (sses/ies/s), then eed / ed / ing on ITS result.
+    s_branch = f"""CASE
+      WHEN ends_with(w, 'sses') THEN {pre('w', 2)}
+      WHEN ends_with(w, 'ies') THEN {pre('w', 2)}
+      WHEN ends_with(w, 's') AND NOT ends_with(w, 'ss') THEN {pre('w', 1)}
+      ELSE w END"""
+    # note: ies -> i is setto('i') on j=len-3: b[0:len-3]+'i' == pre(w,2)
+
+    # eed/ed/ing needs cv of s1
+    step1b = f"""CASE
+      WHEN ends_with(s1, 'eed') THEN
+        CASE WHEN {m_expr(cvpre('cv1', 's1', 3))} > 0
+             THEN {pre('s1', 1)} ELSE s1 END
+      WHEN ends_with(s1, 'ed') AND {vowelinstem('cv1', 's1', 2)} THEN
+        {pre('s1', 2)}
+      WHEN ends_with(s1, 'ing') AND {vowelinstem('cv1', 's1', 3)} THEN
+        {pre('s1', 3)}
+      ELSE s1 END"""
+    step1_fired = f"""((ends_with(s1, 'ed') AND NOT ends_with(s1, 'eed')
+        AND {vowelinstem('cv1', 's1', 2)})
+      OR (ends_with(s1, 'ing') AND {vowelinstem('cv1', 's1', 3)}))"""
+    # cleanup after ed/ing removal (on s2, cv2)
+    step1c = f"""CASE WHEN NOT fired THEN s2
+      WHEN ends_with(s2, 'at') THEN s2 || 'e'
+      WHEN ends_with(s2, 'bl') THEN s2 || 'e'
+      WHEN ends_with(s2, 'iz') THEN s2 || 'e'
+      WHEN {doublec_at('cv2', 's2', 0)}
+           AND substr(s2, length(s2), 1) NOT IN ('l', 's', 'z')
+        THEN {pre('s2', 1)}
+      WHEN {m_expr(cvpre('cv2', 's2', 0))} = 1 AND {cvc_at('cv2', 's2', 0)}
+        THEN s2 || 'e'
+      ELSE s2 END"""
+
+    # ---- step 2: y -> i ------------------------------------------------
+    step2 = f"""CASE WHEN ends_with(s3, 'y')
+        AND {vowelinstem('cv3', 's3', 1)}
+      THEN {pre('s3', 1)} || 'i' ELSE s3 END"""
+
+    # ---- steps 3/4/5 as ordered suffix tables --------------------------
+    STEP3 = [("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+             ("anci", "ance"), ("izer", "ize"), ("bli", "ble"),
+             ("alli", "al"), ("entli", "ent"), ("eli", "e"),
+             ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+             ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+             ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+             ("iviti", "ive"), ("biliti", "ble"), ("logi", "log")]
+    STEP4 = [("icate", "ic"), ("ative", ""), ("alize", "al"),
+             ("iciti", "ic"), ("ical", "ic"), ("ful", ""),
+             ("ness", "")]
+    STEP5 = ["al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+             "ement", "ment", "ent", "ou", "ism", "ate", "iti", "ous",
+             "ive", "ize"]
+
+    def keyed_case(col, cvcol, rules, mcond):
+        # the reference dispatches on b[k-1] (second-to-last char) and
+        # tries that key's suffixes in source order; the committed
+        # match applies only when m(stem) passes. Emulate: ordered by
+        # the ORIGINAL python if/elif per key — equivalent to checking
+        # each suffix with its key guard, longest-first per key chain.
+        whens = []
+        for suf, rep in rules:
+            k = len(suf)
+            key = suf[-2] if len(suf) >= 2 else suf
+            cond = (f"substr({col}, length({col}) - 1, 1) = '{key}' "
+                    f"AND ends_with({col}, '{suf}')")
+            stem_cv = cvpre(cvcol, col, k)
+            act = (f"CASE WHEN {m_expr(stem_cv)} {mcond} "
+                   f"THEN {pre(col, k)} || '{rep}' ELSE {col} END")
+            whens.append(f"      WHEN {cond} THEN {act}")
+        return "CASE\n" + "\n".join(whens) + f"\n      ELSE {col} END"
+
+    step3 = keyed_case("s4", "cv4", STEP3, "> 0")
+
+    def step4_case(col, cvcol):
+        whens = []
+        for suf, rep in STEP4:
+            k = len(suf)
+            key = suf[-1]
+            cond = (f"substr({col}, length({col}), 1) = '{key}' "
+                    f"AND ends_with({col}, '{suf}')")
+            act = (f"CASE WHEN {m_expr(cvpre(cvcol, col, k))} > 0 "
+                   f"THEN {pre(col, k)} || '{rep}' ELSE {col} END")
+            whens.append(f"      WHEN {cond} THEN {act}")
+        return "CASE\n" + "\n".join(whens) + f"\n      ELSE {col} END"
+
+    step4 = step4_case("s5", "cv5")
+
+    def step5_case(col, cvcol):
+        whens = []
+        for suf in STEP5:
+            k = len(suf)
+            key = suf[-2] if len(suf) >= 2 else suf
+            cond = (f"substr({col}, length({col}) - 1, 1) = '{key}' "
+                    f"AND ends_with({col}, '{suf}')")
+            extra = ""
+            if suf == "ion":
+                pass
+            act = (f"CASE WHEN {m_expr(cvpre(cvcol, col, k))} > 1 "
+                   f"THEN {pre(col, k)} ELSE {col} END")
+            whens.append(f"      WHEN {cond} THEN {act}")
+        # special: 'ion' requires preceding s/t; insert before generic
+        ion = (f"      WHEN substr({col}, length({col}) - 1, 1) = 'o' "
+               f"AND ends_with({col}, 'ion') "
+               f"AND substr({col}, length({col}) - 3, 1) IN ('s', 't') "
+               f"THEN CASE WHEN {m_expr(cvpre(cvcol, col, 3))} > 1 "
+               f"THEN {pre(col, 3)} ELSE {col} END")
+        whens_all = []
+        for wstr in whens:
+            if "'ou'" in wstr:
+                whens_all.append(ion)
+            whens_all.append(wstr)
+        return "CASE\n" + "\n".join(whens_all) + f"\n      ELSE {col} END"
+
+    step5 = step5_case("s6", "cv6")
+
+    # ---- step 6: final e / ll ------------------------------------------
+    step6a = f"""CASE WHEN ends_with(s7, 'e') AND (
+        {m_expr(cvpre('cv7', 's7', 1))} > 1
+        OR ({m_expr(cvpre('cv7', 's7', 1))} = 1
+            AND NOT {cvc_at('cv7', 's7', 1)})
+      ) THEN {pre('s7', 1)} ELSE s7 END"""
+    step6b = f"""CASE WHEN ends_with(s8, 'l')
+        AND {doublec_at('cv8', 's8', 0)}
+        AND {m_expr(cvpre('cv8', 's8', 0))} > 1
+      THEN {pre('s8', 1)} ELSE s8 END"""
+
+    return f"""WITH RECURSIVE src AS (
+  SELECT w FROM {words_cte}
+),
+short AS (SELECT w FROM src WHERE length(w) <= 2),
+longw AS (SELECT w FROM src WHERE length(w) > 2),
+st1 AS (SELECT w, {s_branch} AS s1 FROM longw),
+{cv_cte('c1', 'st1', 's1', 'cv1')},
+st2 AS (SELECT st1.w, s1, {step1b} AS s2, {step1_fired} AS fired
+        FROM st1 JOIN c1 ON c1.w0 = st1.s1),
+{cv_cte('c2', 'st2', 's2', 'cv2')},
+st3 AS (SELECT w, {step1c} AS s3
+        FROM st2 JOIN c2 ON c2.w0 = st2.s2),
+{cv_cte('c3', 'st3', 's3', 'cv3')},
+st4 AS (SELECT w, {step2} AS s4
+        FROM st3 JOIN c3 ON c3.w0 = st3.s3),
+{cv_cte('c4', 'st4', 's4', 'cv4')},
+st5 AS (SELECT w, {step3} AS s5
+        FROM st4 JOIN c4 ON c4.w0 = st4.s4),
+{cv_cte('c5', 'st5', 's5', 'cv5')},
+st6 AS (SELECT w, {step4} AS s6
+        FROM st5 JOIN c5 ON c5.w0 = st5.s5),
+{cv_cte('c6', 'st6', 's6', 'cv6')},
+st7 AS (SELECT w, {step5} AS s7
+        FROM st6 JOIN c6 ON c6.w0 = st6.s6),
+{cv_cte('c7', 'st7', 's7', 'cv7')},
+st8 AS (SELECT w, {step6a} AS s8
+        FROM st7 JOIN c7 ON c7.w0 = st7.s7),
+{cv_cte('c8', 'st8', 's8', 'cv8')},
+stemmed AS (
+  SELECT w, {step6b} AS stem FROM st8 JOIN c8 ON c8.w0 = st8.s8
+  UNION ALL
+  SELECT w, w AS stem FROM short
+)"""
+
+
+def _porter1_ctes(words_rel: str) -> str:
+    """The chain as a spliceable CTE list (caller supplies WITH
+    RECURSIVE)."""
+    full = _porter1_sql(words_rel)
+    return full.split("WITH RECURSIVE ", 1)[1]
+
+
+def oracle_stemmed_search_sql() -> str:
+    """Full oracle for ft_stemmed_search: the english chain
+    (possessive -> stop -> Porter) REBUILT IN SQL over the corpus —
+    stemmed tf/df, stop-filtered quantized lengths, the Porter CTE
+    chain gated on the full reference vocabulary — feeding the exact
+    float32 BM25 ranking.  Query literals are the engine-stemmed
+    terms (the queries are fixed entry constants; their stemming is
+    part of the entry definition, and the SQL stemmer is separately
+    differential-gated against the same function)."""
+    from ..analysis_en import english_token_filter
+
+    rows = []
+    for qid, q in STEMMED_QUERIES:
+        stems = [s for s in english_token_filter(q.split())
+                 if s is not None]
+        for ci, t in enumerate(stems):
+            rows.append(f"({qid}, {ci}, '{t}', 10)")
+    vals = ",\n    ".join(rows)
+    stops = ", ".join(f"'{w}'" for w in
+                      sorted(__import__("lucene_ray.analysis_en",
+                                        fromlist=["x"])
+                             .ENGLISH_STOP_WORDS))
+    quant_body = _QUANT_LEN.split("quant AS (", 1)[1]
+    return f"""WITH RECURSIVE corpus AS (
+  SELECT row_number() OVER (ORDER BY source, printf('doc_%08d.txt', doc_id)) - 1 AS d,
+         text
+  FROM documents
+),
+tok0 AS (
+  SELECT d, unnest(string_split(text, ' ')) AS term FROM corpus
+),
+kept AS (
+  SELECT d, CASE WHEN length(term) >= 2
+                  AND substr(term, length(term), 1) = 's'
+                  AND substr(term, length(term) - 1, 1)
+                      IN ('''', '’', '＇')
+                 THEN substr(term, 1, length(term) - 2)
+                 ELSE term END AS term
+  FROM tok0
+  WHERE CASE WHEN length(term) >= 2
+              AND substr(term, length(term), 1) = 's'
+              AND substr(term, length(term) - 1, 1)
+                  IN ('''', '’', '＇')
+             THEN substr(term, 1, length(term) - 2)
+             ELSE term END NOT IN ({stops})
+),
+words AS (SELECT DISTINCT term AS w FROM kept),
+{_porter1_ctes("words")},
+stok AS (
+  SELECT k.d, s.stem AS term FROM kept k JOIN stemmed s ON s.w = k.term
+),
+tf AS (
+  SELECT d, term, count(*) AS tf FROM stok GROUP BY d, term
+),
+dl AS (
+  SELECT c.d, count(k.term) AS len
+  FROM corpus c LEFT JOIN kept k ON c.d = k.d GROUP BY c.d
+),
+stats AS (
+  SELECT count(*) AS n_docs, (SELECT count(*) FROM kept) AS sum_ttf
+  FROM corpus
+),
+df AS (
+  SELECT term, count(*) AS df, sum(tf) AS ttf FROM tf GROUP BY term
+),
+quant AS ({quant_body},
+{_bm25_chain_cte(vals)}
+SELECT qid, rank, d AS doc_id FROM ranked WHERE rank <= k"""
