@@ -4300,7 +4300,7 @@ def oracle_simple_tok_sql() -> str:
     return f"""WITH w AS (
   SELECT doc_id AS d,
          unnest(regexp_extract_all(replace(text, 'r', '9'),
-                                   '[A-Za-z]+')) AS word
+                                   '[\\p{{L}}]+')) AS word
   FROM documents
 )
 SELECT lower(word) AS term, CAST(count(DISTINCT d) AS BIGINT) AS df,
@@ -4695,10 +4695,12 @@ def oracle_portuguese_light_sql() -> str:
     ELSE r END AS r
   FROM s1
 ), s3 AS (
-  SELECT d, translate(
+  -- the engine's len<4 early return skips the END fold
+  -- (lightstem.portuguese_light_stem returns w unfolded)
+  SELECT d, CASE WHEN NOT big THEN r ELSE translate(
     CASE WHEN big AND length(r) > 4 AND right(r, 1) IN ('e','a','o')
          THEN substr(r, 1, length(r)-1) ELSE r END,
-    'àáâäãòóôöõèéêëùúûüìíîïç', 'aaaaaoooooeeeeuuuuiiiic') AS term
+    'àáâäãòóôöõèéêëùúûüìíîïç', 'aaaaaoooooeeeeuuuuiiiic') END AS term
   FROM s2
 )
 SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
@@ -4742,9 +4744,12 @@ _DE_ST_SQL = "('b','d','f','g','h','k','l','m','n','t')"
 
 
 def oracle_german_light_sql() -> str:
-    return f"""WITH w AS (
+    # the engine folds umlauts/accents FIRST (lightstem._DE_FOLD)
+    return f"""WITH w0 AS (
   SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
   FROM documents
+), w AS (
+  SELECT d, translate(word, 'äàáâöòóôïìíîüùúû', 'aaaaooooiiiiuuuu') AS word FROM w0
 ), s1 AS (
   SELECT d, CASE
     WHEN length(word) > 5 AND ends_with(word, 'ern')
@@ -4777,9 +4782,14 @@ FROM s2 GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
 
 
 def oracle_spanish_light_sql() -> str:
-    return f"""WITH w AS (
+    # the engine folds accents before the suffix checks (len guard is
+    # length-invariant under the fold)
+    return f"""WITH w0 AS (
   SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
   FROM documents
+), w AS (
+  SELECT d, CASE WHEN length(word) < 5 THEN word
+                 ELSE translate(word, 'àáâäòóôöèéêëùúûüìíîï', 'aaaaooooeeeeuuuuiiii') END AS word FROM w0
 ), s AS (
   SELECT d, CASE
     WHEN length(word) < 5 THEN word
@@ -6001,7 +6011,7 @@ def oracle_brazilian_stem_sql() -> str:
 ), reg AS (
   SELECT d, w, ct,
     length(ct) > 2 AND length(ct) < 30 AS idx,
-    regexp_matches(ct, '^[[:alpha:]]+$') AS stemmable,
+    regexp_matches(ct, '^[\\p{{L}}]+$') AS stemmable,
     CASE WHEN regexp_matches(ct, '^[^aeiou]*[aeiou]+[^aeiou]')
          THEN regexp_replace(ct, '^[^aeiou]*[aeiou]+[^aeiou]', '')
          ELSE '' END AS r1,
@@ -6141,11 +6151,21 @@ def ft_telugu_stem(sf_dir: str) -> pa.Table:
 
 
 def oracle_serbian_norm_sql() -> str:
+    """Replays the FULL normalization on the corpus word too (the
+    corpus itself may carry Cyrillic/diacritic letters): the digraph
+    replaces (planted q/w/x/y plus the real sources) then the
+    one-to-one table as translate."""
+    from ..langnorm import _SR_ONE, _SR_TWO
+    frm = "".join(_SR_ONE)
+    to = "".join(_SR_ONE.values())
+    expr = "unnest(string_split(text, ' '))"
+    for s_, r_ in (("q", "dj"), ("w", "lj"), ("x", "nj"), ("y", "dz")):
+        expr = f"replace({expr}, '{s_}', '{r_}')"
+    for s_, r_ in _SR_TWO.items():
+        expr = f"replace({expr}, '{s_}', '{r_}')"
     return f"""WITH w AS (
   SELECT doc_id AS d,
-         replace(replace(replace(replace(
-           unnest(string_split(text, ' ')),
-           'q', 'dj'), 'w', 'lj'), 'x', 'nj'), 'y', 'dz') AS term0
+         translate({expr}, '{frm}', '{to}') AS term0
   FROM documents
 ), s AS (SELECT d, term0 AS term FROM w WHERE term0 <> '')
 SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
@@ -6159,7 +6179,7 @@ def oracle_irish_lower_sql() -> str:
   FROM documents
 ), s AS (
   SELECT d, CASE WHEN upper(substr(word, 1, 1)) IN
-      ('A','E','I','O','U')
+      ('A','E','I','O','U','Á','É','Í','Ó','Ú')
     THEN 'n-' || lower(word) ELSE 'n' || lower(word) END AS term
   FROM w WHERE word <> ''
 )
@@ -6739,15 +6759,25 @@ def ft_ascii_fold(sf_dir: str) -> pa.Table:
 
 
 def oracle_ascii_fold_sql() -> str:
-    return f"""WITH w AS (
-  SELECT doc_id AS d,
-         'ssoAE' || unnest(string_split(text, ' ')) || 'stdth' AS t0
+    """Replays the FULL fold table over plant + corpus word (the
+    corpus may carry foldable letters itself — no ascii assumption)."""
+    stages = _ascii_fold_sql_stages("'ßøǢ' || w0.w || 'ﬆđþ'")
+    ctes = ["""w0 AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS w
   FROM documents
-), s AS (SELECT d, t0 AS term FROM w
-         WHERE t0 <> 'ssoAE' || 'stdth')
-SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df,
+)"""]
+    prev = "w0"
+    for i, expr in enumerate(stages):
+        name = f"f{i}"
+        where = " WHERE w <> ''" if i == 0 else ""
+        ctes.append(f"{name} AS (SELECT d, {expr} AS t "
+                    f"FROM {prev}{where})")
+        prev = name
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT t AS term, CAST(count(DISTINCT d) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS ttf
-FROM s GROUP BY term ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
+FROM {prev} GROUP BY t ORDER BY df DESC, term LIMIT {_NGRAM_TOP}"""
 
 
 # ---------------------------------------------------------------------------
@@ -7075,11 +7105,18 @@ def ft_icu_fold(sf_dir: str) -> pa.Table:
 
 
 def oracle_icu_fold_sql() -> str:
+    """The corpus word itself folds too: lower + ß→ss + accent strip
+    covers the Latin-script corpus domain (compatibility/ligature/
+    width folding beyond that is exercised by the PLANT — already
+    folded in the literal — and by the ICU test-vector goldens)."""
     return """WITH w AS (
   SELECT doc_id AS d, unnest(string_split(text, ' ')) AS word
   FROM documents
 ),
-terms AS (SELECT d, word || 'ssfi1' AS term FROM w WHERE word <> '')
+terms AS (SELECT d,
+                 strip_accents(lower(replace(word, 'ß', 'ss')))
+                 || 'ssfi1' AS term
+          FROM w WHERE word <> '')
 SELECT term, CAST(count(DISTINCT d) AS BIGINT) AS df, count(*) AS ttf
 FROM terms GROUP BY term ORDER BY term"""
 
@@ -13261,3 +13298,33 @@ df AS (
 quant AS ({quant_body},
 {_bm25_chain_cte(vals)}
 SELECT qid, rank, d AS doc_id FROM ranked WHERE rank <= k"""
+
+
+def _ascii_fold_sql_stages(col: str, per_stage: int = 60) -> list:
+    """The FULL 1242-entry ASCIIFolding table as SQL: replace() chains
+    for the 170 multi-char outputs (distinct single-char sources, so
+    order is irrelevant) SPLIT into stages below DuckDB's 128-call
+    binder depth, then one translate() for the 1:1 rest.  Returns the
+    list of stage expressions; stage i transforms the column named by
+    stage i-1 (the first consumes ``col``)."""
+    from ..asciifold_data import ASCII_FOLD_MAP
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    multi = [(s, r) for s, r in sorted(ASCII_FOLD_MAP.items())
+             if len(r) != 1]
+    frm = "".join(s for s, r in sorted(ASCII_FOLD_MAP.items())
+                  if len(r) == 1)
+    to = "".join(r for s, r in sorted(ASCII_FOLD_MAP.items())
+                 if len(r) == 1)
+    stages = []
+    cur = col
+    for i in range(0, len(multi), per_stage):
+        expr = cur
+        for s, r in multi[i:i + per_stage]:
+            expr = f"replace({expr}, '{q(s)}', '{q(r)}')"
+        stages.append(expr)
+        cur = "t"                        # next stage reads column t
+    stages.append(f"translate({cur}, '{q(frm)}', '{q(to)}')")
+    return stages

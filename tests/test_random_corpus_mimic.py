@@ -54,8 +54,17 @@ def _gen_all(seed, path, n_docs=300):
     os.makedirs(path, exist_ok=True)
     langs = ["de", "en", "es", "fr", "zh"]
     sources = ["src0", "src1", "src2"]
-    words = ["".join(rng.choice(string.ascii_lowercase)
-                     for _ in range(rng.randint(1, 10))) for _ in range(80)]
+    # stay inside the corpus tokenization contract (space-separated,
+    # StandardTokenizer-neutral: no apostrophes/hyphens/digit-letter
+    # mixes, which UAX#29 segments differently from the oracles'
+    # space split) — but DO include accented letters, sharp-s and a
+    # non-Latin letter: the session's audit found seven oracles that
+    # assumed an ascii corpus (fold tables, letter classes, vowel sets)
+    base = ["".join(rng.choice(string.ascii_lowercase)
+                    for _ in range(rng.randint(1, 10)))
+            for _ in range(70)]
+    words = base + ["café", "naïve", "über", "ané", "a", "the",
+                    "straße", "groß", "é", "ж"]
     rows = []
     for d in range(n_docs):
         text = " ".join(rng.choice(words) for _ in range(rng.randint(1, 30)))
