@@ -241,8 +241,11 @@ def _build_segment_files(batch: pa.Table, index_dir: str,
     for seg, path, base in zip(batch.column("seg").to_pylist(),
                                batch.column("path").to_pylist(),
                                batch.column("base").to_pylist()):
-        tbl = pq.read_table(path, columns=["repo", "path", "commit", "lang",
-                                           "content"])
+        cols = ["repo", "path", "commit", "lang", "content"]
+        for f in keyword_fields or []:
+            if f not in cols:           # custom keyword columns ride along
+                cols.append(f)
+        tbl = pq.read_table(path, columns=cols)
         out.append(_build_segment_core(tbl, int(seg), int(base), index_dir,
                                        with_positions, source=path,
                                        keyword_fields=keyword_fields,

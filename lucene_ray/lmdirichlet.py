@@ -189,3 +189,23 @@ def score_terms_dfi(tf: np.ndarray, norm_bytes: np.ndarray, ttf: int,
             raise ValueError(f"unknown independence measure {measure!r}")
         vals[i] = math.log(m + 1.0) / ln2
     return vals[inv].astype(np.float32)
+
+
+INDRI_MU = 2000.0
+
+
+def score_terms_indri(tf: np.ndarray, norm_bytes: np.ndarray, ttf: int,
+                      sum_ttf: int, mu: float = INDRI_MU) -> np.ndarray:
+    """Per-posting IndriDirichlet scores, float32 — UNclamped
+    (similarities/IndriDirichletSimilarity.java:72-76: ln((freq +
+    μ·P)/(docLen + μ)); the IndriCollectionModel divides ttf by the
+    field token count with no add-one, :79-81; SimilarityBase applies
+    no floor, so log-probabilities stay negative).  ``tf`` may contain
+    zeros — that IS the smoothingScore path (TermScorer.java:103-109
+    scores freq=0 with the doc's own norm)."""
+    p_c = float(ttf) / float(sum_ttf)
+    nb = norm_bytes.astype(np.int64) & 0xFF
+    lens = LENGTH_TABLE[nb].astype(np.float64)
+    f = tf.astype(np.float32).astype(np.float64)
+    s = np.log((f + mu * p_c) / (lens + mu))
+    return s.astype(np.float32)

@@ -1937,3 +1937,82 @@ def ann_seeded_topk(sf_dir: str, ef: int = HNSW_EF_SEARCH) -> pa.Table:
     merged = search_index(idx, qn, TOP_K, ef, seed_col="label",
                           seed_labels=labels)
     return _merged_result(qids, merged)
+
+
+SIMILARITY_TRAVERSAL = 0.15
+SIMILARITY_RESULT = 0.30
+
+
+def ann_similarity_threshold(sf_dir: str) -> pa.Table:
+    """FloatVectorSimilarityQuery (core/search/
+    AbstractVectorSimilarityQuery.java:38): ALL vectors above a
+    similarity threshold, not a top-k — the HNSW layer-0 frontier
+    keeps expanding while candidates clear the (lower) traversal
+    bound, so the whole above-threshold region is collected.  Shards
+    search independently; the per-shard result unions are complete
+    because every shard holds its own graph."""
+    import ray
+    import ray.data
+
+    from ..vectors import load_shard, vector_index_for
+    import json as _json
+
+    qids, q = _query_matrix(sf_dir)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    idx = vector_index_for(sf_dir)
+    with open(os.path.join(idx, "manifest.json")) as f:
+        manifest = _json.load(f)
+    qref = ray.put(qn)
+
+    def shard_scan(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        qm = _ray.get(qref)
+        out_q, out_v, out_s = [], [], []
+        for path in batch.column("path").to_pylist():
+            ids, g, _meta = load_shard(idx, path)
+            for j in range(len(qm)):
+                for s, node in g.search_similarity(
+                        qm[j], SIMILARITY_TRAVERSAL, SIMILARITY_RESULT):
+                    out_q.append(j)
+                    out_v.append(int(ids[node]))
+                    out_s.append(float(s))
+        return pa.table({"qj": pa.array(out_q, pa.int32()),
+                         "vec_id": pa.array(out_v, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    parts = (ray.data.from_items(
+        [{"path": s["path"]} for s in manifest["shards"]])
+        .map_batches(shard_scan, batch_format="pyarrow", batch_size=1)
+        .take_all())
+    by_q: dict[int, list] = {}
+    for r in parts:
+        by_q.setdefault(r["qj"], []).append((r["sim"], r["vec_id"]))
+    rows_q, rows_r, rows_v = [], [], []
+    for j, qid in enumerate(qids):
+        hits = sorted(by_q.get(j, []), key=lambda t: (-t[0], t[1]))
+        for rank, (s, v) in enumerate(hits, 1):
+            rows_q.append(int(qid))
+            rows_r.append(rank)
+            rows_v.append(v)
+    return pa.table({"query_vec_id": pa.array(rows_q, pa.int64()),
+                     "rank": pa.array(rows_r, pa.int32()),
+                     "vec_id": pa.array(rows_v, pa.int64())})
+
+
+def oracle_ann_similarity_sql() -> str:
+    return f"""WITH q AS (
+  SELECT vec_id AS query_vec_id, embedding AS qe FROM embeddings
+  ORDER BY vec_id LIMIT {N_QUERIES}
+),
+sims AS (
+  SELECT q.query_vec_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qe) AS sim
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_vec_id,
+       CAST(row_number() OVER (PARTITION BY query_vec_id
+                               ORDER BY sim DESC, vec_id ASC) AS INT)
+         AS rank,
+       vec_id
+FROM sims WHERE sim >= {SIMILARITY_RESULT}"""

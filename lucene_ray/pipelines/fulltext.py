@@ -13328,3 +13328,93 @@ def _ascii_fold_sql_stages(col: str, per_stage: int = 60) -> list:
         cur = "t"                        # next stage reads column t
     stages.append(f"translate({cur}, '{q(frm)}', '{q(to)}')")
     return stages
+
+
+# ---------------------------------------------------------------------------
+# IndriAndQuery (core/search/IndriAndQuery.java, IndriAndScorer.java)
+
+INDRI_QUERIES = [(1, ["value", "key"]), (2, ["query", "scan", "sort"]),
+                 (3, ["customer", "zzmissing"]), (4, ["the", "table"])]
+
+
+def ft_indri_and(sf_dir: str) -> pa.Table:
+    """IndriAndQuery (core/search/IndriAndQuery.java:33,
+    IndriAndScorer.java:36-60): the Indri belief AND — every document
+    in the clause UNION scores the boost-weighted MEAN of per-clause
+    IndriDirichlet log-probs, where a clause absent from the doc
+    contributes its smoothingScore (freq=0 against the doc's own
+    norm).  Clauses whose term is missing from the index produce no
+    scorer and drop out of the mean (IndriAndWeight.getScorer)."""
+    from ..codec import decode_blocks
+    from ..lmdirichlet import score_terms_indri
+
+    r = reader_for(sf_dir)
+    qids, ranks, docs, scores = [], [], [], []
+    for qid, terms in INDRI_QUERIES:
+        present = []
+        union_docs: dict[int, int] = {}
+        for t in terms:
+            p = r.postings(t)
+            if p is None:
+                continue
+            d, tf, nm, _ = decode_blocks(p.first_doc, p.n, p.docs_enc,
+                                         p.tfs_enc, p.norms_enc)
+            lm = r.live_mask(d)
+            if lm is not None:
+                d, tf, nm = d[lm], tf[lm], nm[lm]
+            present.append((p, d, tf, nm))
+            for dd, nb in zip(d.tolist(), nm.tolist()):
+                union_docs.setdefault(dd, int(nb))
+        if not present:
+            continue
+        uids = np.array(sorted(union_docs), np.int64)
+        unb = np.array([union_docs[d] for d in uids.tolist()], np.int64)
+        acc = np.zeros(len(uids), np.float64)
+        for p, d, tf, nm in present:        # clause order
+            full_tf = np.zeros(len(uids), np.int64)
+            pos = np.searchsorted(uids, d)
+            full_tf[pos] = tf
+            s = score_terms_indri(full_tf, unb, p.ttf, r.sum_ttf)
+            acc += s.astype(np.float64)
+        score32 = (acc / float(len(present))).astype(np.float32)
+        top = np.lexsort((uids, -score32.astype(np.float64)))[:10]
+        for rank, i in enumerate(top, 1):
+            qids.append(qid)
+            ranks.append(rank)
+            docs.append(int(uids[i]))
+            scores.append(float(score32[i]))
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "rank": pa.array(ranks, pa.int32()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "score": pa.array(scores, pa.float32())})
+
+
+def oracle_indri_and_sql() -> str:
+    parts = []
+    for qid, terms in INDRI_QUERIES:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        parts.append(f"""(
+  SELECT {qid} AS qid, u.d,
+         CAST(sum(CAST(
+           CAST(ln((CAST(coalesce(t.tf, 0) AS REAL)
+                    + 2000.0 * (CAST(f.ttf AS DOUBLE)
+                                / (SELECT sum_ttf FROM stats)))
+                   / (q.qlen + 2000.0)) AS REAL)
+         AS DOUBLE)) / count(*) AS REAL) AS score
+  FROM (SELECT DISTINCT d FROM tf WHERE term IN ({tl})) u
+  CROSS JOIN (SELECT term, ttf FROM df WHERE term IN ({tl})) f
+  LEFT JOIN tf t ON t.d = u.d AND t.term = f.term
+  JOIN quant q ON q.d = u.d
+  GROUP BY u.d)""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+totals AS (
+{un}
+),
+ranked AS (
+  SELECT qid, d, score, row_number() OVER (
+           PARTITION BY qid ORDER BY score DESC, d ASC) AS rank
+  FROM totals
+)
+SELECT qid, rank, d AS doc_id, score FROM ranked WHERE rank <= 10"""

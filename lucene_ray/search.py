@@ -2784,3 +2784,21 @@ def term_automaton_matches(reader: IndexReader, transitions, accepts
         if ends:
             out[d] = int(len(np.unique(np.concatenate(ends))))
     return out
+
+
+def search_field_exists(reader: IndexReader, field: str) -> np.ndarray:
+    """FieldExistsQuery (core/search/FieldExistsQuery.java): every live
+    doc that has a value for ``field``.  For keyword fields the doc set
+    is the union of the field's term postings (the terms/docvalues
+    iterator role); the content field exists wherever norms do, i.e.
+    every live doc (this engine indexes content for every document)."""
+    if field == "content":
+        return _all_live_docs(reader)
+    t = termdict_scan(reader, prefix=f"{field}:")
+    sets = [_term_docset(reader, term)
+            for term in t.column("term").to_pylist()]
+    if not sets:
+        return np.empty(0, np.int64)
+    d = np.unique(np.concatenate(sets))
+    lm = reader.live_mask(d)
+    return d if lm is None else d[lm]

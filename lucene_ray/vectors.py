@@ -224,6 +224,45 @@ class HnswGraph:
         out.sort(key=lambda x: (-x[0], x[1]))   # sim desc, node asc ties
         return out[:k]
 
+    def search_similarity(self, q: np.ndarray, traversal_sim: float,
+                          result_sim: float) -> list[tuple[float, int]]:
+        """VectorSimilarityQuery (core/search/
+        AbstractVectorSimilarityQuery.java:38 +
+        VectorSimilarityCollector): collect EVERY node scoring >=
+        ``result_sim``; the layer-0 frontier keeps expanding while a
+        candidate scores >= ``traversal_sim`` (the lower bound), so the
+        whole above-threshold region is walked rather than a top-k
+        beam.  Returns (sim, node) sorted (sim desc, node asc)."""
+        import heapq
+
+        if self.entry < 0:
+            return []
+        eps = [self.entry]
+        for lvl in range(self.max_level, 0, -1):
+            eps = [self._search_layer(q, eps, 1, lvl)[0][1]]
+        visited = set(eps)
+        cand = [(-float(self.v[e] @ q), e) for e in eps]
+        heapq.heapify(cand)
+        out = []
+        while cand:
+            negs, c = heapq.heappop(cand)
+            s = -negs
+            if s >= result_sim:
+                out.append((s, c))
+            if s < traversal_sim and out:
+                # the entry itself always expands; past it, frontier
+                # nodes below the traversal bound stop the walk there
+                continue
+            new = [e for e in self.nbrs[c][0] if e not in visited]
+            if not new:
+                continue
+            visited.update(new)
+            sims = self.v[new] @ q
+            for e, sv in zip(new, sims):
+                heapq.heappush(cand, (-float(sv), e))
+        out.sort(key=lambda x: (-x[0], x[1]))
+        return out
+
     def _exact(self, q: np.ndarray, k: int,
                accept: np.ndarray) -> list[tuple[float, int]]:
         """Exact scan over accepted rows (KnnVectorQuery exactSearch)."""

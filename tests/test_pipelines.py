@@ -2352,3 +2352,22 @@ def test_ann_seeded_driver_entry(ray_session):
     a = ann_seeded_topk("/root/testdata/sf0.001")
     b = ann_cosine_topk("/root/testdata/sf0.001")
     assert a.to_pydict() == b.to_pydict()
+
+
+def test_vector_similarity_threshold(ray_session):
+    """FloatVectorSimilarityQuery (AbstractVectorSimilarityQuery
+    .java:38): every vector above the result threshold comes back —
+    compare the graph walk against brute force on a fresh graph."""
+    import numpy as np
+
+    from lucene_ray.pipelines.ann import HnswGraph
+
+    rng = np.random.default_rng(31)
+    v = rng.standard_normal((350, 12))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    g = HnswGraph(v)
+    for qi in (0, 17, 99):
+        q = v[qi]
+        got = {n for _, n in g.search_similarity(q, 0.2, 0.45)}
+        want = {i for i in range(350) if float(v[i] @ q) >= 0.45}
+        assert got == want, (qi, got ^ want)

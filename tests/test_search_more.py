@@ -56,3 +56,43 @@ def test_quality_stats_reference_quirks(ray_session):
     for v in vals:
         acc += v
     assert by[(-1, "p_at_10")] == acc / 4
+
+
+def test_field_exists_query(tmp_path_factory, ray_session):
+    """FieldExistsQuery (core/search/FieldExistsQuery.java): docs
+    carrying a value for the field; a NULL keyword value indexes no
+    term (build.py skips None), so the union of the field's postings
+    is exactly the existing set."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_ray.build import build_index
+    from lucene_ray.corpus import generate_corpus
+    from lucene_ray.search import IndexReader, search_field_exists
+
+    d = tmp_path_factory.mktemp("fex")
+    corpus = str(d / "c")
+    os.makedirs(corpus)
+    t = generate_corpus(120, seed=9)
+    tag = pa.array([None if i % 3 == 0 else f"t{i % 4}"
+                    for i in range(120)], pa.string())
+    t = t.append_column("tag", tag)
+    pq.write_table(t, os.path.join(corpus, "a.parquet"))
+    idx = str(d / "i")
+    build_index(corpus, idx, term_parts=2, salt_group=1,
+                keyword_fields=["tag", "lang"])
+    r = IndexReader(idx)
+    have = search_field_exists(r, "tag")
+    assert len(have) == sum(1 for i in range(120) if i % 3 != 0)
+    # every doc has a lang; content exists everywhere
+    assert len(search_field_exists(r, "lang")) == 120
+    assert len(search_field_exists(r, "content")) == 120
+    assert len(search_field_exists(r, "nosuchfield")) == 0
+    # deletes drop out of the existing set
+    from lucene_ray.build import delete_docs
+    delete_docs(idx, doc_ids=[int(have[0])])
+    r2 = IndexReader(idx)
+    assert int(have[0]) not in set(search_field_exists(r2, "tag"))
