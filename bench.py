@@ -142,7 +142,9 @@ def run_bench() -> dict:
         ft.index_dir_for(SF_DIR)
         sf_build_sec = round(time.time() - t2, 3)
         t3 = time.time()
-        ft.ft_bm25_top10(SF_DIR).materialize()
+        res = ft.ft_bm25_top10(SF_DIR)      # pa.Table since the
+        if hasattr(res, "materialize"):     # typed-schema hardening
+            res.materialize()
         sf_query_sec = round(time.time() - t3, 3)
     except Exception:
         pass

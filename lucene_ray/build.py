@@ -831,6 +831,10 @@ def build_index(corpus, index_dir: str, *, num_buckets: int | None = None,
         if isinstance(corpus, str):
             cols = ["repo", "path", "commit"] if keys_only else \
                 ["repo", "path", "commit", "lang", "content"]
+            if not keys_only:
+                for f in keyword_fields or []:
+                    if f not in cols:   # custom keyword columns
+                        cols.append(f)
             return ray.data.read_parquet(corpus, columns=cols)
         return corpus
 

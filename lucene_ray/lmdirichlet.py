@@ -207,5 +207,9 @@ def score_terms_indri(tf: np.ndarray, norm_bytes: np.ndarray, ttf: int,
     nb = norm_bytes.astype(np.int64) & 0xFF
     lens = LENGTH_TABLE[nb].astype(np.float64)
     f = tf.astype(np.float32).astype(np.float64)
-    s = np.log((f + mu * p_c) / (lens + mu))
-    return s.astype(np.float32)
+    interior = (f + mu * p_c) / (lens + mu)
+    # C libm log per UNIQUE interior value (np.log drifts a ulp on
+    # ~20% of inputs vs DuckDB's libm ln — the repo float-parity rule)
+    uniq, inv = np.unique(interior, return_inverse=True)
+    logs = np.array([math.log(x) for x in uniq.tolist()], np.float64)
+    return logs[inv].astype(np.float32)

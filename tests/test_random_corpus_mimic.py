@@ -43,11 +43,6 @@ SUBSET = [
 ]
 
 
-import random, string, datetime
-import numpy as np
-import pyarrow as pa, pyarrow.parquet as pq
-import os
-
 def _gen_all(seed, path, n_docs=300):
     rng = random.Random(seed)
     nrng = np.random.default_rng(seed)
@@ -96,7 +91,9 @@ def _gen_all(seed, path, n_docs=300):
         "l_partkey": pa.array([rng.randint(1, 200) for _ in range(n_li)], pa.int64()),
         "l_suppkey": pa.array([rng.randint(1, 20) for _ in range(n_li)], pa.int64()),
         "l_linenumber": pa.array([rng.randint(1, 7) for _ in range(n_li)], pa.int32()),
-        "l_quantity": pa.array([float(rng.randint(1, 50)) for _ in range(n_li)]),
+        "l_quantity": pa.array([float(rng.randint(1, 50))
+                                + rng.choice([0.0, 0.0, 0.5])
+                                for _ in range(n_li)]),
         "l_extendedprice": pa.array([round(rng.uniform(900, 105000), 2) for _ in range(n_li)]),
         "l_discount": pa.array([round(rng.uniform(0, 0.1), 2) for _ in range(n_li)]),
         "l_tax": pa.array([round(rng.uniform(0, 0.08), 2) for _ in range(n_li)]),
