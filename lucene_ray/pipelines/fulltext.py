@@ -13422,3 +13422,187 @@ ranked AS (
   FROM totals
 )
 SELECT qid, rank, d AS doc_id, score FROM ranked WHERE rank <= 10"""
+
+
+# ---------------------------------------------------------------------------
+# HighFreqTerms (misc module)
+
+def ft_high_freq_terms(sf_dir: str):
+    """Top-100 terms across ALL indexed fields ordered by totalTermFreq —
+    misc/HighFreqTerms.java:99 (``getHighFreqTerms`` with the ``-t``
+    TotalTermFreqComparator, :146-160): the queue drains highest-first,
+    ties compare ``field.compareTo`` then ``termtext.compareTo``
+    (:151-158), i.e. ttf desc, field desc, term desc.  Keyword fields
+    (StringField terms, "field:value" rows of the unified dictionary)
+    compete with content terms exactly as ``MultiTerms.getTerms`` over
+    ``FieldInfos.getIndexedFields`` does (:113-124).  GetTermInfo.java:42
+    (single-term df/ttf printout) is the df/ttf columns of one row.
+
+    Distributed: sort + limit over the dictionary Dataset — the
+    dictionary never materializes on the driver."""
+    import pyarrow.compute as pc
+    from ..search import termdict_stats_ds
+
+    r = reader_for(sf_dir)
+    kw = list(r.manifest.config.get("keyword_fields") or [])
+    dd = termdict_stats_ds(index_dir_for(sf_dir), None)
+
+    def fmt(t: pa.Table) -> pa.Table:
+        terms = t.column("term").combine_chunks()
+        n = len(terms)
+        fields = pa.array(["content"] * n, pa.string())
+        texts = terms
+        seen = pa.array([False] * n, pa.bool_())
+        for f in kw:
+            m = pc.and_not(pc.starts_with(terms, f + ":"), seen)
+            fields = pc.if_else(m, f, fields)
+            texts = pc.if_else(
+                m, pc.utf8_slice_codeunits(terms, len(f) + 1, 2**31 - 1),
+                texts)
+            seen = pc.or_(seen, m)
+        return pa.table({"field": fields, "term": texts,
+                         "ttf": t.column("ttf").cast(pa.int64()),
+                         "df": t.column("df").cast(pa.int64())})
+
+    return (dd.map_batches(fmt, batch_format="pyarrow")
+            .sort(["ttf", "field", "term"], descending=[True, True, True])
+            .limit(100))
+
+
+def oracle_high_freq_terms_sql() -> str:
+    # Keyword terms join the unified dictionary as 'field:value'; a
+    # content token that literally spells a keyword prefix merges with
+    # the keyword term (single-namespace dictionary), so the oracle
+    # unifies BEFORE labeling, exactly as the engine's dictionary does.
+    return f"""WITH {_CORPUS_CTE},
+kwt AS (
+  SELECT 'repo:' || source AS full_term, count(*) AS kdf
+  FROM documents WHERE source IS NOT NULL GROUP BY source
+  UNION ALL
+  SELECT 'lang:' || lang, count(*)
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+),
+unified AS (
+  SELECT full_term, CAST(sum(u_df) AS BIGINT) AS df,
+         CAST(sum(u_ttf) AS BIGINT) AS ttf
+  FROM (
+    SELECT term AS full_term, df AS u_df, ttf AS u_ttf FROM df
+    UNION ALL
+    SELECT full_term, kdf, kdf FROM kwt
+  ) GROUP BY full_term
+),
+labeled AS (
+  SELECT CASE WHEN full_term LIKE 'repo:%' THEN 'repo'
+              WHEN full_term LIKE 'lang:%' THEN 'lang'
+              ELSE 'content' END AS field,
+         CASE WHEN full_term LIKE 'repo:%' OR full_term LIKE 'lang:%'
+              THEN substr(full_term, 6) ELSE full_term END AS term,
+         ttf, df
+  FROM unified
+)
+SELECT field, term, ttf, df FROM labeled
+ORDER BY ttf DESC, field DESC, term DESC LIMIT 100"""
+
+
+# ---------------------------------------------------------------------------
+# LatLonBoundingBox — 2D box range field (sandbox module)
+
+# (qid, relation, qlat_lo, qlat_hi, qlon_lo, qlon_hi)
+BOX_FIELD_QUERIES = [
+    (1, "intersects", 10, 40, 100, 400),
+    (2, "within", 0, 60, 0, 1200),
+    (3, "contains", 25, 26, 520, 521),
+    (4, "crosses", 10, 40, 100, 400),
+    (5, "intersects", 55, 56, 990, 1010),
+    (6, "within", 30, 35, 400, 500),
+    (7, "contains", 18, 30, 200, 300),
+]
+
+
+def ft_box_range_field(sf_dir: str) -> pa.Table:
+    """LatLonBoundingBox queries (sandbox/document/LatLonBoundingBox.java:63
+    — 2D box-valued range field; newIntersectsQuery/newWithinQuery/
+    newContainsQuery/newCrossesQuery :142-205 apply RangeFieldQuery's
+    relation per dimension: a 2D relation holds iff the 1D relation
+    holds on BOTH axes, CROSSES = intersects ∧ ¬within ∧ ¬contains).
+
+    Each lineitem row carries the box
+    lat ∈ [round(l_quantity), +l_linenumber·3],
+    lon ∈ [round(l_extendedprice) % 1000, +(l_partkey % 17)];
+    the queries count matching rows.  Scale shape identical to
+    ft_range_field: map-only per-batch predicate counts + tiny groupby
+    (row-group min/max pruning on the four box columns is the 2D
+    range-tree analogue)."""
+    import ray.data
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_linenumber", "l_extendedprice",
+                 "l_partkey"])
+
+    _SCHEMA = pa.schema([("qid", pa.int64()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _SCHEMA.empty_table()
+        # DuckDB CAST(DOUBLE AS BIGINT) rounds half TO EVEN (18.5 -> 18,
+        # 19.5 -> 20; the away-from-zero rule applies only to DECIMAL) —
+        # np.rint is the same rule. l_extendedprice has many .5 values.
+        qv = batch.column("l_quantity").to_numpy()
+        lat_lo = np.rint(qv).astype(np.int64)
+        lat_hi = lat_lo + batch.column("l_linenumber").to_numpy()\
+            .astype(np.int64) * 3
+        ev = batch.column("l_extendedprice").to_numpy()
+        lon_lo = np.rint(ev).astype(np.int64) % 1000
+        lon_hi = lon_lo + batch.column("l_partkey").to_numpy()\
+            .astype(np.int64) % 17
+        qids, ns = [], []
+        for qid, rel, a, b, c, d in BOX_FIELD_QUERIES:
+            inter = ((lat_lo <= b) & (lat_hi >= a)
+                     & (lon_lo <= d) & (lon_hi >= c))
+            within = ((lat_lo >= a) & (lat_hi <= b)
+                      & (lon_lo >= c) & (lon_hi <= d))
+            contains = ((lat_lo <= a) & (lat_hi >= b)
+                        & (lon_lo <= c) & (lon_hi >= d))
+            m = {"intersects": inter, "within": within,
+                 "contains": contains,
+                 "crosses": inter & ~within & ~contains}[rel]
+            qids.append(qid)
+            ns.append(int(m.sum()))
+        return pa.table({"qid": pa.array(qids, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    agg = ensure_cols(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("qid").sum("n").to_pandas(), ["qid", "sum(n)"])
+    agg = agg.sort_values("qid").reset_index(drop=True)
+    return pa.table({"qid": pa.array(agg["qid"].astype("int64")),
+                     "n": pa.array(agg["sum(n)"].astype("int64"))})
+
+
+def oracle_box_range_field_sql() -> str:
+    parts = []
+    for qid, rel, a, b, c, d in BOX_FIELD_QUERIES:
+        inter = (f"lat_lo <= {b} AND lat_hi >= {a} "
+                 f"AND lon_lo <= {d} AND lon_hi >= {c}")
+        within = (f"lat_lo >= {a} AND lat_hi <= {b} "
+                  f"AND lon_lo >= {c} AND lon_hi <= {d}")
+        contains = (f"lat_lo <= {a} AND lat_hi >= {b} "
+                    f"AND lon_lo <= {c} AND lon_hi >= {d}")
+        pred = {"intersects": inter, "within": within,
+                "contains": contains,
+                "crosses": f"({inter}) AND NOT ({within}) "
+                           f"AND NOT ({contains})"}[rel]
+        parts.append(f"""SELECT {qid} AS qid,
+       CAST(count(*) FILTER ({pred}) AS BIGINT) AS n FROM r""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH r AS (
+  SELECT CAST(l_quantity AS BIGINT) AS lat_lo,
+         CAST(l_quantity AS BIGINT) + l_linenumber * 3 AS lat_hi,
+         CAST(l_extendedprice AS BIGINT) % 1000 AS lon_lo,
+         CAST(l_extendedprice AS BIGINT) % 1000 + l_partkey % 17 AS lon_hi
+  FROM lineitem
+)
+{un}"""

@@ -186,11 +186,14 @@ def agg_lineitem_pricing(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         # Arrow-native partial aggregation (no pandas conversion): the
-        # quantity column is cast to int64 first so partial sums are
-        # exact integers matching the BIGINT-cast oracle.
+        # quantity column is rounded half-to-even then cast to int64 so
+        # partial sums are exact integers matching the BIGINT-cast
+        # oracle (DuckDB CAST(DOUBLE AS BIGINT) rounds half TO EVEN; a
+        # bare pc.cast throws on non-integral doubles like 5.5).
         t = batch.set_column(
             batch.schema.get_field_index("l_quantity"), "l_quantity",
-            pc.cast(batch.column("l_quantity"), pa.int64()))
+            pc.cast(pc.round(batch.column("l_quantity"),
+                             round_mode="half_to_even"), pa.int64()))
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("l_quantity", "sum"), ("l_quantity", "count"),
              ("l_extendedprice", "min"), ("l_extendedprice", "max")])
@@ -240,9 +243,13 @@ def agg_quantity_quantiles(sf_dir: str) -> pa.Table:
                                columns=["l_quantity"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        v = batch.column("l_quantity").to_numpy().astype(np.int64)
+        # Histogram over the RAW double values (the domain stays tiny:
+        # quantities are k or k+0.5); the oracle's quantile_disc runs on
+        # the raw column and only the RESULT is BIGINT-cast, so an
+        # early int truncation here would shift ranks.
+        v = batch.column("l_quantity").to_numpy()
         vals, cnt = np.unique(v, return_counts=True)
-        return pa.table({"v": pa.array(vals),
+        return pa.table({"v": pa.array(vals, pa.float64()),
                          "n": pa.array(cnt.astype(np.int64))})
 
     from lucene_ray.pipelines.util import ensure_cols
@@ -266,7 +273,8 @@ def agg_quantity_quantiles(sf_dir: str) -> pa.Table:
         rank = math.ceil(q * total)
         i = int(np.searchsorted(cum, rank))
         out_p.append(q)
-        out_v.append(int(vals[i]))
+        # the oracle BIGINT-casts quantile_disc's result: half-to-even
+        out_v.append(int(np.rint(vals[i])))
     return pa.table({"p": pa.array(out_p, pa.float64()),
                      "value": pa.array(out_v, pa.int64())})
 
