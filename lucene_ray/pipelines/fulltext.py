@@ -2476,9 +2476,10 @@ def title_index_dir_for(sf_dir: str) -> str:
                 "content": pa.array(titles, pa.string()),
             })
 
-        build_index(ds.map_batches(to_corpus, batch_format="pyarrow"), idx)
+        build_index(ds.map_batches(to_corpus, batch_format="pyarrow"),
+                    idx, with_positions=True)
 
-    return _cached_index(sf_dir, "title-v1", _TITLE_IDX_CACHE, build)
+    return _cached_index(sf_dir, "title-v2", _TITLE_IDX_CACHE, build)
 
 
 def ft_combined_field(sf_dir: str) -> pa.Table:
@@ -13606,3 +13607,318 @@ def oracle_box_range_field_sql() -> str:
   FROM lineitem
 )
 {un}"""
+
+
+# ---------------------------------------------------------------------------
+# Extended interval algebra battery (queries/intervals — full factory
+# surface; see lucene_ray.intervals for the literal iterator
+# transcriptions and tests/test_intervals_algebra.py for the reference
+# TestIntervals goldens)
+
+def _interval_battery():
+    import lucene_ray.intervals as iv
+    T = iv.term
+    return [
+        (1, iv.ordered(T("the"), T("data"))),
+        (2, iv.unordered(T("key"), T("agg"))),
+        (3, iv.or_(T("vector"), iv.phrase("the", "a"))),
+        (4, iv.maxgaps(4, iv.ordered(T("table"), T("value"), T("part")))),
+        (5, iv.containing(iv.ordered(T("hash"), T("merge")), T("join"))),
+        (6, iv.contained_by(T("sort"),
+                            iv.unordered(T("hash"), T("merge")))),
+        (7, iv.before(T("query"), T("filter"))),
+        (8, iv.after(T("line"), T("query"))),
+        (9, iv.at_least(2, T("window"), T("order"), T("column"))),
+        (10, iv.within(T("data"), 3, T("stream"))),
+        (11, iv.not_within(T("data"), 2, T("the"))),
+        (12, iv.unordered_no_overlaps(T("small"), T("big"))),
+        (13, iv.ordered(T("key"), iv.fixfield("title", T("value")))),
+        (14, iv.not_containing(iv.ordered(T("a"), T("data")), T("the"))),
+    ]
+
+
+def ft_intervals_algebra(sf_dir: str) -> pa.Table:
+    """The extended minimal-interval algebra (queries/intervals,
+    Intervals.java:69-645): ordered/unordered/or/phrase/maxgaps/
+    containing/containedBy/before/after/atLeast/within/notWithin/
+    unorderedNoOverlaps/fixField over the corpus, per-doc aggregated
+    to (qid, doc_id, n intervals, Σstart, Σend, Σgaps).
+
+    fixField routes into the parallel title-field index (first
+    _TITLE_WORDS words, same docIDs), the reference's
+    cross-field-intervals use case (FixedFieldIntervalsSource.java).
+
+    Scale shape: candidate docs come from the tree's docID
+    approximation over the posting lists (conjunction = intersect,
+    disjunction = union, difference = minuend); per-doc evaluation is
+    O(positions-in-doc) and runs per doc-range partition inside
+    searcher actors at scale — here inline over the small candidate
+    sets."""
+    import lucene_ray.intervals as iv
+
+    from ..search import _packed_positions, _POS_BITS, _POS_MASK
+
+    r = reader_for(sf_dir)
+    rt = IndexReader(title_index_dir_for(sf_dir))
+    cache: dict = {}
+
+    def packed(field: str, t: str) -> np.ndarray:
+        key = (field, t)
+        if key not in cache:
+            rd = rt if field == "title" else r
+            k = _packed_positions(rd, t, 0)
+            cache[key] = k if k is not None and len(k) \
+                else np.empty(0, np.uint64)
+        return cache[key]
+
+    def docs_of(src: iv.Src, field: str) -> np.ndarray:
+        if src.kind == "term":
+            return np.unique(
+                (packed(field, src.term) >> _POS_BITS).astype(np.int64))
+        if src.kind == "fixfield":
+            return docs_of(src.subs[0], src.field)
+        kind, subs = iv.doc_approx_kind(src)
+        if kind == "none":
+            return np.empty(0, np.int64)
+        sets = [docs_of(s, field) for s in subs]
+        if kind == "and":
+            out = sets[0]
+            for s in sets[1:]:
+                out = np.intersect1d(out, s, assume_unique=True)
+            return out
+        if kind == "or":
+            return np.unique(np.concatenate(sets)) if sets \
+                else np.empty(0, np.int64)
+        return sets[0]                       # 'first' / 'pass'
+
+    out_rows: list[tuple] = []
+    for qid, src in _interval_battery():
+        cand = docs_of(src, "content")
+
+        def gp(field: str, t: str, _d=[0]) -> list:
+            k = packed(field, t)
+            lo = np.searchsorted(k, np.uint64(_d[0]) << _POS_BITS)
+            hi = np.searchsorted(k, np.uint64(_d[0] + 1) << _POS_BITS)
+            return (k[lo:hi] & _POS_MASK).astype(np.int64).tolist()
+
+        for d in cand.tolist():
+            gp.__defaults__[0][0] = d
+            ivs = iv.eval_doc(src, gp)
+            if ivs:
+                out_rows.append(
+                    (qid, d, len(ivs), sum(x[0] for x in ivs),
+                     sum(x[1] for x in ivs), sum(x[2] for x in ivs)))
+    cols = list(zip(*out_rows)) if out_rows else [[]] * 6
+    return pa.table({
+        "qid": pa.array(cols[0], pa.int64()),
+        "doc_id": pa.array(cols[1], pa.int64()),
+        "n": pa.array(cols[2], pa.int64()),
+        "s": pa.array(cols[3], pa.int64()),
+        "e": pa.array(cols[4], pa.int64()),
+        "g": pa.array(cols[5], pa.int64()),
+    })
+
+
+def oracle_intervals_algebra_sql() -> str:
+    """Each battery query's minimal-interval set in closed SQL form:
+    ordered pairs via per-end max-start + per-start min-end (proved
+    equal to the greedy-minimal set), window/triple queries via reduced
+    candidate sets + a containment-minimality NOT EXISTS, the
+    derived forms (before/after/within/notWithin) via their
+    exists-/not-exists-threshold equivalents (offset clamping at 0
+    mirrored with greatest(pos-1, 0))."""
+    # shared interval-set builders; every mN CTE is (d, s, e[, g])
+    q = []
+
+    def minpair(tag, t1, t2, extra_b=""):
+        """Minimal ordered-pair intervals t1 ... t2 (s<e)."""
+        return f"""c{tag} AS (
+  SELECT b.d, b.pos AS e, max(a.pos) AS s
+  FROM w a JOIN w b ON b.d = a.d AND b.pos > a.pos
+  WHERE a.word = '{t1}' AND b.word = '{t2}'{extra_b}
+  GROUP BY b.d, b.pos
+),
+m{tag} AS (
+  SELECT d, s, min(e) AS e FROM c{tag} GROUP BY d, s
+)"""
+
+    # q1: ordered(the, data)
+    q.append((1, minpair(1, "the", "data"),
+              "SELECT 1 AS qid, d AS doc_id, count(*) AS n, sum(s) AS s, "
+              "sum(e) AS e, sum(e - s - 1) AS g FROM m1 GROUP BY d"))
+    # q2: unordered(key, agg) — reduced candidates: for each position x
+    # of either word, the nearest other-word position below it
+    q.append((2, """c2 AS (
+  SELECT b.d, b.pos AS e, max(a.pos) AS s
+  FROM w a JOIN w b ON b.d = a.d AND b.pos > a.pos
+  WHERE (a.word = 'key' AND b.word = 'agg')
+     OR (a.word = 'agg' AND b.word = 'key')
+  GROUP BY b.d, b.pos
+),
+m2 AS (
+  SELECT DISTINCT d, s, e FROM c2 x
+  WHERE NOT EXISTS (SELECT 1 FROM c2 y WHERE y.d = x.d AND y.s >= x.s
+                    AND y.e <= x.e AND (y.s > x.s OR y.e < x.e))
+)""",
+              "SELECT 2, d, count(*), sum(s), sum(e), sum(e - s - 1) "
+              "FROM m2 GROUP BY d"))
+    # q3: or(vector, phrase(the, a)) — points + adjacent pairs, closure
+    q.append((3, """c3 AS (
+  SELECT d, pos AS s, pos AS e FROM w WHERE word = 'vector'
+  UNION ALL
+  SELECT a.d, a.pos, b.pos FROM w a JOIN w b
+    ON b.d = a.d AND b.pos = a.pos + 1
+  WHERE a.word = 'the' AND b.word = 'a'
+),
+m3 AS (
+  SELECT DISTINCT d, s, e FROM c3 x
+  WHERE NOT EXISTS (SELECT 1 FROM c3 y WHERE y.d = x.d AND y.s >= x.s
+                    AND y.e <= x.e AND (y.s > x.s OR y.e < x.e))
+)""",
+              "SELECT 3, d, count(*), sum(s), sum(e), 0 "
+              "FROM m3 GROUP BY d"))
+    # q4: maxgaps(4, ordered(table, value, part)) — greedy chain per
+    # end, then closure, then the gaps filter
+    q.append((4, """c4p AS (
+  SELECT b.d, b.pos AS q, max(a.pos) AS p
+  FROM w a JOIN w b ON b.d = a.d AND b.pos > a.pos
+  WHERE a.word = 'table' AND b.word = 'value' GROUP BY b.d, b.pos
+),
+c4 AS (
+  SELECT c.d, max(p.p) AS s, c.pos AS e
+  FROM w c JOIN c4p p ON p.d = c.d AND p.q < c.pos
+  WHERE c.word = 'part' GROUP BY c.d, c.pos
+),
+m4 AS (
+  SELECT DISTINCT d, s, e FROM c4 x
+  WHERE NOT EXISTS (SELECT 1 FROM c4 y WHERE y.d = x.d AND y.s >= x.s
+                    AND y.e <= x.e AND (y.s > x.s OR y.e < x.e))
+    AND (e - s + 1) - 3 <= 4
+)""",
+              "SELECT 4, d, count(*), sum(s), sum(e), sum(e - s - 2) "
+              "FROM m4 GROUP BY d"))
+    # q5: containing(ordered(hash, merge), join)
+    q.append((5, minpair("5p", "hash", "merge") + """,
+m5 AS (
+  SELECT d, s, e FROM m5p x
+  WHERE EXISTS (SELECT 1 FROM w j WHERE j.d = x.d AND j.word = 'join'
+                AND j.pos BETWEEN x.s AND x.e)
+)""",
+              "SELECT 5, d, count(*), sum(s), sum(e), sum(e - s - 1) "
+              "FROM m5 GROUP BY d"))
+    # q6: containedBy(sort, unordered(hash, merge))
+    q.append((6, """c6 AS (
+  SELECT b.d, b.pos AS e, max(a.pos) AS s
+  FROM w a JOIN w b ON b.d = a.d AND b.pos > a.pos
+  WHERE (a.word = 'hash' AND b.word = 'merge')
+     OR (a.word = 'merge' AND b.word = 'hash')
+  GROUP BY b.d, b.pos
+),
+w6 AS (
+  SELECT DISTINCT d, s, e FROM c6 x
+  WHERE NOT EXISTS (SELECT 1 FROM c6 y WHERE y.d = x.d AND y.s >= x.s
+                    AND y.e <= x.e AND (y.s > x.s OR y.e < x.e))
+),
+m6 AS (
+  SELECT p.d, p.pos AS s, p.pos AS e FROM w p
+  WHERE p.word = 'sort'
+    AND EXISTS (SELECT 1 FROM w6 v WHERE v.d = p.d AND v.s <= p.pos
+                AND v.e >= p.pos)
+)""",
+              "SELECT 6, d, count(*), sum(s), sum(e), 0 "
+              "FROM m6 GROUP BY d"))
+    # q7: before(query, filter): point <= max(greatest(pf-1, 0))
+    q.append((7, """m7 AS (
+  SELECT p.d, p.pos AS s, p.pos AS e FROM w p
+  WHERE p.word = 'query'
+    AND p.pos <= (SELECT max(greatest(f.pos - 1, 0)) FROM w f
+                  WHERE f.d = p.d AND f.word = 'filter')
+)""",
+              "SELECT 7, d, count(*), sum(s), sum(e), 0 "
+              "FROM m7 GROUP BY d"))
+    # q8: after(line, query): point > min(query pos)
+    q.append((8, """m8 AS (
+  SELECT p.d, p.pos AS s, p.pos AS e FROM w p
+  WHERE p.word = 'line'
+    AND p.pos > (SELECT min(f.pos) FROM w f
+                 WHERE f.d = p.d AND f.word = 'query')
+)""",
+              "SELECT 8, d, count(*), sum(s), sum(e), 0 "
+              "FROM m8 GROUP BY d"))
+    # q9: atLeast(2, window, order, column) — pair windows across
+    # distinct sources, closure
+    q.append((9, """c9 AS (
+  SELECT a.d, least(a.pos, b.pos) AS s, greatest(a.pos, b.pos) AS e
+  FROM w a JOIN w b ON b.d = a.d
+  WHERE ((a.word = 'window' AND b.word IN ('order', 'column'))
+      OR (a.word = 'order' AND b.word = 'column'))
+),
+m9 AS (
+  SELECT DISTINCT d, s, e FROM c9 x
+  WHERE NOT EXISTS (SELECT 1 FROM c9 y WHERE y.d = x.d AND y.s >= x.s
+                    AND y.e <= x.e AND (y.s > x.s OR y.e < x.e))
+)""",
+              "SELECT 9, d, count(*), sum(s), sum(e), sum(e - s - 1) "
+              "FROM m9 GROUP BY d"))
+    # q10: within(data, 3, stream): exists |pd - ps| <= 3
+    q.append((10, """m10 AS (
+  SELECT p.d, p.pos AS s, p.pos AS e FROM w p
+  WHERE p.word = 'data'
+    AND EXISTS (SELECT 1 FROM w f WHERE f.d = p.d AND f.word = 'stream'
+                AND abs(f.pos - p.pos) <= 3)
+)""",
+              "SELECT 10, d, count(*), sum(s), sum(e), 0 "
+              "FROM m10 GROUP BY d"))
+    # q11: notWithin(data, 2, the): no 'the' within 2 (minuend docs)
+    q.append((11, """m11 AS (
+  SELECT p.d, p.pos AS s, p.pos AS e FROM w p
+  WHERE p.word = 'data'
+    AND NOT EXISTS (SELECT 1 FROM w f WHERE f.d = p.d
+                    AND f.word = 'the' AND abs(f.pos - p.pos) <= 2)
+)""",
+              "SELECT 11, d, count(*), sum(s), sum(e), 0 "
+              "FROM m11 GROUP BY d"))
+    # q12: unorderedNoOverlaps(small, big) — all mixed pairs, closure
+    q.append((12, """c12 AS (
+  SELECT b.d, b.pos AS e, max(a.pos) AS s
+  FROM w a JOIN w b ON b.d = a.d AND b.pos > a.pos
+  WHERE (a.word = 'small' AND b.word = 'big')
+     OR (a.word = 'big' AND b.word = 'small')
+  GROUP BY b.d, b.pos
+),
+m12 AS (
+  SELECT DISTINCT d, s, e FROM c12 x
+  WHERE NOT EXISTS (SELECT 1 FROM c12 y WHERE y.d = x.d AND y.s >= x.s
+                    AND y.e <= x.e AND (y.s > x.s OR y.e < x.e))
+)""",
+              "SELECT 12, d, count(*), sum(s), sum(e), sum(e - s - 1) "
+              "FROM m12 GROUP BY d"))
+    # q13: ordered(key, fixField(title, value)) — title = first 5
+    # words, positions coincide with body positions 0..4
+    q.append((13, minpair(13, "key", "value",
+                          " AND b.pos < 5"),
+              "SELECT 13, d, count(*), sum(s), sum(e), sum(e - s - 1) "
+              "FROM m13 GROUP BY d"))
+    # q14: notContaining(ordered(a, data), the)
+    q.append((14, minpair("14p", "a", "data") + """,
+m14 AS (
+  SELECT d, s, e FROM m14p x
+  WHERE NOT EXISTS (SELECT 1 FROM w j WHERE j.d = x.d
+                    AND j.word = 'the' AND j.pos BETWEEN x.s AND x.e)
+)""",
+              "SELECT 14, d, count(*), sum(s), sum(e), sum(e - s - 1) "
+              "FROM m14 GROUP BY d"))
+
+    ctes = ",\n".join(c for _qid, c, _sel in q)
+    sels = "\nUNION ALL\n".join(s for _qid, _c, s in q)
+    return f"""WITH {_CORPUS_CTE},
+w AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM corpus
+),
+{ctes}
+SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+       CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
+       CAST(e AS BIGINT) AS e, CAST(g AS BIGINT) AS g
+FROM ({sels})"""
