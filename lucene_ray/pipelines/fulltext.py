@@ -13922,3 +13922,155 @@ SELECT CAST(qid AS BIGINT) AS qid, doc_id,
        CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s,
        CAST(e AS BIGINT) AS e, CAST(g AS BIGINT) AS g
 FROM ({sels})"""
+
+
+# ---------------------------------------------------------------------------
+# FunctionQuery over the classic ValueSource family (queries/function)
+
+_FQ_K = 30
+
+
+def _function_query_source():
+    from .. import valuesource as v
+    return v.sumf(
+        v.product(v.idf("data"), v.tf("data")),
+        v.reciprocal(v.int_field(), 0.05, 2.0, 1.0),
+        v.linear(v.norm(), 10.0, 0.5),
+        v.scale(v.term_freq("the"), 0.0, 1.0),
+        v.rangemap(v.tf("key"), 1.0, 2.0, v.const(5.0)),
+        v.maxf(v.tf("vector"), v.const(0.3)),
+        v.minf(v.term_freq("a"), v.const(4.0)),
+        v.powf(v.tf("value"), v.const(1.5)),
+        v.divf(v.total_term_freq("merge"), v.sum_total_term_freq()),
+    )
+
+
+_FQ_TERMS = ["data", "the", "key", "vector", "a", "value"]
+
+
+class _FqCtx:
+    """ValueSource evaluation context over the whole index: field_len /
+    norm bytes from docmeta, per-term dense freq arrays from decoded
+    postings, index stats from the reader.  At cluster scale this is
+    per-doc-partition state inside a map_batches stage with the tiny
+    stats broadcast; freq arrays come from the same postings partitions
+    the searcher reads."""
+
+    def __init__(self, r, sf_dir: str):
+        import ray.data
+
+        from ..codec import decode_block
+        from ..smallfloat import int_to_byte4
+
+        idx = index_dir_for(sf_dir)
+        dm = ray.data.read_parquet(
+            os.path.join(idx, "docmeta"),
+            columns=["doc_id", "field_len"]).to_pandas()
+        dm = dm.sort_values("doc_id")
+        self.n_docs = int(r.doc_count)
+        self.field_len = np.zeros(self.n_docs, dtype=np.int64)
+        self.field_len[dm["doc_id"].to_numpy()] = \
+            dm["field_len"].to_numpy().astype(np.int64)
+        self.norm_bytes = int_to_byte4(self.field_len).astype(np.int64)
+        self.sum_ttf = int(r.sum_ttf)
+        self._r = r
+        self._freqs: dict[str, np.ndarray] = {}
+        self._decode = decode_block
+
+    def freq(self, term: str) -> np.ndarray:
+        if term not in self._freqs:
+            f = np.zeros(self.n_docs, dtype=np.int64)
+            p = self._r.postings(term)
+            if p is not None:
+                for b in range(len(p.n)):
+                    d, tfv, _ = self._decode(
+                        int(p.first_doc[b]), int(p.n[b]), p.docs_enc[b],
+                        p.tfs_enc[b], p.norms_enc[b])
+                    f[d] = tfv
+            self._freqs[term] = f
+        return self._freqs[term]
+
+    def df(self, term: str) -> int:
+        return int((self.freq(term) > 0).sum())
+
+    def ttf(self, term: str) -> int:
+        return int(self.freq(term).sum())
+
+
+def ft_function_query(sf_dir: str) -> pa.Table:
+    """FunctionQuery ranking by a composed classic ValueSource
+    (queries/function/FunctionQuery.java:130 — boost·val, negatives and
+    NaN clamped to 0; valuesource/* — see lucene_ray.valuesource for
+    the per-class float32 semantics incl. the NormValueSource norm
+    table and ScaleFloatFunction's global min/max pass): top-30 docs by
+    (score desc, doc asc) with bit-exact float32 scores."""
+    from .. import valuesource as v
+
+    r = reader_for(sf_dir)
+    ctx = _FqCtx(r, sf_dir)
+    scores = v.function_query_scores(_function_query_source(), ctx)
+    order = np.lexsort((np.arange(len(scores)), -scores.astype(np.float64)))
+    top = order[:_FQ_K]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(top) + 1), pa.int64()),
+        "doc_id": pa.array(top.astype(np.int64), pa.int64()),
+        "score": pa.array(scores[top], pa.float32()),
+    })
+
+
+def oracle_function_query_sql() -> str:
+    from .. import valuesource as v
+
+    class _SqlCtx:
+        table = "fvals"
+        len_col = "len"
+        qlen_col = "qlen"
+
+        def freq_col(self, t):
+            return f"f_{t}"
+
+    # stat-constant nodes need the engine-side stats; reproduce them in
+    # SQL instead: idf('data') = (float)(ln((N+1)/(df+1)) + 1) and the
+    # ttf/sumttf ratio, via scalar subqueries over the corpus CTEs
+    sqlctx = _SqlCtx()
+    idf_sql = ("CAST(ln((CAST((SELECT n_docs FROM stats) + 1 AS DOUBLE))"
+               " / (coalesce((SELECT df FROM df WHERE term = 'data'), 0)"
+               " + 1)) + 1.0 AS REAL)")
+    ttf_ratio = ("CAST(CAST(CAST(coalesce((SELECT ttf FROM df WHERE "
+                 "term = 'merge'), 0) AS REAL) AS DOUBLE) / CAST(CAST("
+                 "(SELECT sum_ttf FROM stats) AS REAL) AS DOUBLE) "
+                 "AS REAL)")
+    # build the chain with placeholder-free sub-SQL: compose manually
+    # mirroring _function_query_source term by term
+    t_data = v.tf("data").sql(sqlctx)
+    p1 = f"CAST(({idf_sql}) * ({t_data}) AS REAL)"
+    p2 = v.reciprocal(v.int_field(), 0.05, 2.0, 1.0).sql(sqlctx)
+    p3 = v.linear(v.norm(), 10.0, 0.5).sql(sqlctx)
+    p4 = v.scale(v.term_freq("the"), 0.0, 1.0).sql(sqlctx)
+    p5 = v.rangemap(v.tf("key"), 1.0, 2.0, v.const(5.0)).sql(sqlctx)
+    p6 = v.maxf(v.tf("vector"), v.const(0.3)).sql(sqlctx)
+    p7 = v.minf(v.term_freq("a"), v.const(4.0)).sql(sqlctx)
+    p8 = v.powf(v.tf("value"), v.const(1.5)).sql(sqlctx)
+    expr = f"({p1})"
+    for p in (p2, p3, p4, p5, p6, p7, p8, ttf_ratio):
+        expr = f"CAST({expr} + ({p}) AS REAL)"
+    score = (f"CAST(CASE WHEN NOT ({expr} >= 0.0) THEN 0.0 "
+             f"ELSE {expr} END AS REAL)")
+    fcols = ",\n         ".join(
+        f"coalesce((SELECT t.tf FROM tf t WHERE t.d = c.d AND t.term = "
+        f"'{t}'), 0) AS f_{t}" for t in _FQ_TERMS)
+    return f"""WITH {_CORPUS_CTE},
+{_QUANT_LEN},
+fvals AS (
+  SELECT c.d, dl.len, q.qlen,
+         {fcols}
+  FROM corpus c JOIN dl ON dl.d = c.d JOIN quant q ON q.d = c.d
+),
+scored AS (
+  SELECT d, {score} AS score FROM fvals
+),
+ranked AS (
+  SELECT d, score, row_number() OVER (ORDER BY score DESC, d) AS rank
+  FROM scored
+)
+SELECT rank, d AS doc_id, score FROM ranked WHERE rank <= {_FQ_K}"""
