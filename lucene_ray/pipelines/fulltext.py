@@ -14074,3 +14074,309 @@ ranked AS (
   FROM scored
 )
 SELECT rank, d AS doc_id, score FROM ranked WHERE rank <= {_FQ_K}"""
+
+
+# ---------------------------------------------------------------------------
+# Span family completion: SpanOr, SpanContaining, SpanWithin,
+# FieldMaskingSpanQuery, SpanMultiTermQueryWrapper, SpanPayloadCheck
+
+_WPOS_CTE = """wpos AS (
+  SELECT d, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM corpus
+)"""
+
+# (qid, or-term, phrase pair)
+SPAN_OR_QUERIES = [(1, "vector", ("the", "a")),
+                   (2, "key", ("slow", "fast"))]
+# (qid, big pair, slop, little term)
+SPAN_CONTAIN_QUERIES = [(1, ("the", "data"), 3, "a"),
+                        (2, ("hash", "merge"), 5, "join")]
+SPAN_MASK_QUERIES = [(1, "key", "value", 4)]     # (qid, t1, title t2, slop)
+SPAN_MT_PREFIXES = [(1, "val"), (2, "cust")]
+SPAN_PAYLOAD_CHECKS = [(1, "key", 120), (2, "table", 300)]  # offset >= C
+
+
+def _span_pairs(p1: dict, p2: dict, slop: int):
+    """NearSpansOrdered matches for two term clauses
+    (spans/NearSpansOrdered.java:95-120 stretchToOrder): every first-
+    clause position p chains to the FIRST second-clause start >= p+1
+    (span ends are exclusive), matchWidth = q - (p+1) <= slop; ALL
+    first positions enumerate — spans do not minimize."""
+    for d in sorted(p1):
+        b = p2.get(d)
+        if b is None:
+            continue
+        a = np.sort(np.asarray(p1[d], np.int64))
+        b = np.sort(np.asarray(b, np.int64))
+        idx = np.searchsorted(b, a + 1, side="left")
+        ok = idx < len(b)
+        q = b[np.minimum(idx, len(b) - 1)]
+        ok &= (q - (a + 1)) <= slop
+        if ok.any():
+            yield d, a[ok], q[ok]
+
+
+def ft_span_or(sf_dir: str) -> pa.Table:
+    """SpanOrQuery (queries/spans/SpanOrQuery.java:41): the union of
+    sub-span streams merged by (start, end) with NO suppression —
+    unlike interval or(), every clause's span is emitted. Clauses: a
+    SpanTermQuery plus a slop-0 ordered SpanNearQuery (phrase role).
+    Output: per-doc span count, Σstart, Σend (end exclusive,
+    Spans.endPosition convention)."""
+    from ..search import _term_positions
+
+    r = reader_for(sf_dir)
+    qids, docs, ns, ss, es = [], [], [], [], []
+    for qid, t, (pa_, pb) in SPAN_OR_QUERIES:
+        spans: dict[int, list] = {}
+        pos_t = _term_positions(r, t) or {}
+        for d, p in pos_t.items():
+            p = np.asarray(p, np.int64)
+            spans.setdefault(d, []).append((p, p + 1))
+        for d, s, q in _span_pairs(_term_positions(r, pa_) or {},
+                                   _term_positions(r, pb) or {}, 0):
+            spans.setdefault(d, []).append((s, q + 1))
+        for d in sorted(spans):
+            st = np.concatenate([x[0] for x in spans[d]])
+            en = np.concatenate([x[1] for x in spans[d]])
+            qids.append(qid)
+            docs.append(int(d))
+            ns.append(len(st))
+            ss.append(int(st.sum()))
+            es.append(int(en.sum()))
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "n": pa.array(ns, pa.int64()),
+                     "s": pa.array(ss, pa.int64()),
+                     "e": pa.array(es, pa.int64())})
+
+
+def oracle_span_or_sql() -> str:
+    parts = []
+    for qid, t, (a, b) in SPAN_OR_QUERIES:
+        parts.append(f"""SELECT {qid} AS qid, d AS doc_id,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
+       CAST(sum(e) AS BIGINT) AS e
+FROM (
+  SELECT d, pos AS s, pos + 1 AS e FROM wpos WHERE word = '{t}'
+  UNION ALL
+  SELECT x.d, x.pos, y.pos + 1 FROM wpos x JOIN wpos y
+    ON y.d = x.d AND y.pos = x.pos + 1
+  WHERE x.word = '{a}' AND y.word = '{b}'
+) GROUP BY d""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"WITH {_CORPUS_CTE},\n{_WPOS_CTE}\n{un}"
+
+
+def ft_span_containing(sf_dir: str) -> pa.Table:
+    """SpanContainingQuery + SpanWithinQuery
+    (queries/spans/SpanContainingQuery.java:33, SpanWithinQuery.java:33,
+    ContainSpans.java:25): big = two-term ordered SpanNearQuery, little
+    = a term. 'containing' emits big spans enclosing >= 1 little span;
+    'within' emits little spans enclosed by >= 1 big span. Both rows
+    per query id with a mode column."""
+    from ..search import _term_positions
+
+    r = reader_for(sf_dir)
+    rows = []
+    for qid, (t1, t2), slop, little in SPAN_CONTAIN_QUERIES:
+        pl = _term_positions(r, little) or {}
+        for d, s, q in _span_pairs(_term_positions(r, t1) or {},
+                                   _term_positions(r, t2) or {}, slop):
+            lp = np.sort(np.asarray(pl.get(d, ()), np.int64))
+            if len(lp):
+                # little span [r, r+1) inside big [s, q+1): s<=r<=q
+                lo = np.searchsorted(lp, s, side="left")
+                hi = np.searchsorted(lp, q, side="right")
+                big_keep = hi > lo
+                if big_keep.any():
+                    rows.append((qid, "containing", int(d),
+                                 int(big_keep.sum()),
+                                 int(s[big_keep].sum()),
+                                 int((q[big_keep] + 1).sum())))
+                # little within some big
+                inside = np.zeros(len(lp), bool)
+                for si, qi in zip(s.tolist(), q.tolist()):
+                    inside |= (lp >= si) & (lp <= qi)
+                if inside.any():
+                    rows.append((qid, "within", int(d),
+                                 int(inside.sum()),
+                                 int(lp[inside].sum()),
+                                 int((lp[inside] + 1).sum())))
+    cols = list(zip(*rows)) if rows else [[]] * 6
+    return pa.table({"qid": pa.array(cols[0], pa.int64()),
+                     "mode": pa.array(cols[1], pa.string()),
+                     "doc_id": pa.array(cols[2], pa.int64()),
+                     "n": pa.array(cols[3], pa.int64()),
+                     "s": pa.array(cols[4], pa.int64()),
+                     "e": pa.array(cols[5], pa.int64())})
+
+
+def oracle_span_containing_sql() -> str:
+    parts = []
+    for qid, (t1, t2), slop, little in SPAN_CONTAIN_QUERIES:
+        big = f"""(
+  SELECT x.d, x.pos AS s, y.pos AS q FROM wpos x
+  JOIN LATERAL (SELECT min(pos) AS pos FROM wpos y2 WHERE y2.d = x.d
+                AND y2.word = '{t2}' AND y2.pos >= x.pos + 1) y ON TRUE
+  WHERE x.word = '{t1}' AND y.pos IS NOT NULL
+    AND y.pos - (x.pos + 1) <= {slop}
+)"""
+        parts.append(f"""SELECT {qid} AS qid, 'containing' AS mode,
+       d AS doc_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(s) AS BIGINT) AS s, CAST(sum(q + 1) AS BIGINT) AS e
+FROM {big} bg
+WHERE EXISTS (SELECT 1 FROM wpos l WHERE l.d = bg.d
+              AND l.word = '{little}'
+              AND l.pos BETWEEN bg.s AND bg.q)
+GROUP BY d""")
+        parts.append(f"""SELECT {qid}, 'within', l.d,
+       CAST(count(*) AS BIGINT), CAST(sum(l.pos) AS BIGINT),
+       CAST(sum(l.pos + 1) AS BIGINT)
+FROM wpos l
+WHERE l.word = '{little}'
+  AND EXISTS (SELECT 1 FROM {big} bg WHERE bg.d = l.d
+              AND l.pos BETWEEN bg.s AND bg.q)
+GROUP BY l.d""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"WITH {_CORPUS_CTE},\n{_WPOS_CTE}\n{un}"
+
+
+def ft_span_field_masking(sf_dir: str) -> pa.Table:
+    """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:55
+    — lie about the field so SpanNearQuery accepts clauses from two
+    fields): ordered SpanNear of a body term and a title-field term
+    (the parallel title index, positions 0..4 coincide with body
+    positions), matchWidth <= slop."""
+    from ..search import _term_positions
+
+    r = reader_for(sf_dir)
+    rt = IndexReader(title_index_dir_for(sf_dir))
+    qids, docs, ns, ss, es = [], [], [], [], []
+    for qid, t1, t2, slop in SPAN_MASK_QUERIES:
+        for d, s, q in _span_pairs(_term_positions(r, t1) or {},
+                                   _term_positions(rt, t2) or {}, slop):
+            qids.append(qid)
+            docs.append(int(d))
+            ns.append(len(s))
+            ss.append(int(s.sum()))
+            es.append(int((q + 1).sum()))
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "n": pa.array(ns, pa.int64()),
+                     "s": pa.array(ss, pa.int64()),
+                     "e": pa.array(es, pa.int64())})
+
+
+def oracle_span_field_masking_sql() -> str:
+    parts = []
+    for qid, t1, t2, slop in SPAN_MASK_QUERIES:
+        parts.append(f"""SELECT {qid} AS qid, d AS doc_id,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
+       CAST(sum(q + 1) AS BIGINT) AS e
+FROM (
+  SELECT x.d, x.pos AS s, y.pos AS q FROM wpos x
+  JOIN LATERAL (SELECT min(pos) AS pos FROM wpos y2 WHERE y2.d = x.d
+                AND y2.word = '{t2}' AND y2.pos >= x.pos + 1
+                AND y2.pos < 5) y ON TRUE
+  WHERE x.word = '{t1}' AND y.pos IS NOT NULL
+    AND y.pos - (x.pos + 1) <= {slop}
+) GROUP BY d""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"WITH {_CORPUS_CTE},\n{_WPOS_CTE}\n{un}"
+
+
+def ft_span_multiterm(sf_dir: str) -> pa.Table:
+    """SpanMultiTermQueryWrapper (queries/spans/
+    SpanMultiTermQueryWrapper.java:49) with a PrefixQuery: rewrites to a
+    SpanOrQuery over every matching term's spans
+    (SpanOrTermsBuilder role) — per doc the span count and Σposition
+    across ALL prefix-matched terms."""
+    from ..search import _term_positions, termdict_scan
+
+    r = reader_for(sf_dir)
+    qids, docs, ns, ss = [], [], [], []
+    for qid, p in SPAN_MT_PREFIXES:
+        terms = _content_only(r, termdict_scan(r, prefix=p))\
+            .column("term").to_pylist()
+        agg: dict[int, tuple[int, int]] = {}
+        for t in terms:
+            for d, pos in (_term_positions(r, t) or {}).items():
+                pos = np.asarray(pos, np.int64)
+                n0, s0 = agg.get(d, (0, 0))
+                agg[d] = (n0 + len(pos), s0 + int(pos.sum()))
+        for d in sorted(agg):
+            qids.append(qid)
+            docs.append(int(d))
+            ns.append(agg[d][0])
+            ss.append(agg[d][1])
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "n": pa.array(ns, pa.int64()),
+                     "s": pa.array(ss, pa.int64())})
+
+
+def oracle_span_multiterm_sql() -> str:
+    parts = []
+    for qid, p in SPAN_MT_PREFIXES:
+        parts.append(
+            f"SELECT {qid} AS qid, d AS doc_id, "
+            f"CAST(count(*) AS BIGINT) AS n, "
+            f"CAST(sum(pos) AS BIGINT) AS s "
+            f"FROM wpos WHERE word LIKE '{p}%' GROUP BY d")
+    un = "\nUNION ALL\n".join(parts)
+    return f"WITH {_CORPUS_CTE},\n{_WPOS_CTE}\n{un}"
+
+
+def ft_span_payload_check(sf_dir: str) -> pa.Table:
+    """SpanPayloadCheckQuery (queries/payloads/
+    SpanPayloadCheckQuery.java:54, MatchOperation.GTE over INT
+    payloads): term spans whose payload — the token's start offset, the
+    TokenOffsetPayloadTokenFilter payload convention this index stores
+    — is >= the threshold."""
+    from ..search import _term_positions
+
+    r = reader_for(sf_dir)
+    idx = index_dir_for(sf_dir)
+    qids, docs, ns, ss = [], [], [], []
+    for qid, term, thresh in SPAN_PAYLOAD_CHECKS:
+        pos_of = _term_positions(r, term) or {}
+        dl = sorted(pos_of)
+        if not dl:
+            continue
+        starts = _payload_starts(idx, dl)
+        for d in dl:
+            p = np.asarray(pos_of[d], np.int64)
+            st = starts[d][p]
+            keep = st >= thresh
+            if keep.any():
+                qids.append(qid)
+                docs.append(int(d))
+                ns.append(int(keep.sum()))
+                ss.append(int(p[keep].sum()))
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64()),
+                     "n": pa.array(ns, pa.int64()),
+                     "s": pa.array(ss, pa.int64())})
+
+
+def oracle_span_payload_check_sql() -> str:
+    # start offset of token i = Σ_{j<i} (len(word_j) + 1)
+    parts = []
+    for qid, term, thresh in SPAN_PAYLOAD_CHECKS:
+        parts.append(f"""SELECT {qid} AS qid, d AS doc_id,
+       CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS s
+FROM woff WHERE word = '{term}' AND off >= {thresh} GROUP BY d""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},
+{_WPOS_CTE},
+woff AS (
+  SELECT d, word, pos,
+         CAST(coalesce(sum(len(word) + 1) OVER (
+           PARTITION BY d ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS off
+  FROM wpos
+)
+{un}"""
