@@ -14380,3 +14380,130 @@ woff AS (
   FROM wpos
 )
 {un}"""
+
+
+# ---------------------------------------------------------------------------
+# MemoryIndex percolation scoring (memory module)
+
+# qid -> clause list for MemoryIndex.search
+MEMINDEX_QUERIES = [
+    (1, [("term", "key"), ("term", "agg")]),
+    (2, [("term", "vector"), ("phrase", ["the", "a"])]),
+    (3, [("must", "key"), ("term", "scan")]),
+]
+
+
+class _MemIndexStage:
+    """Actor-pool map_batches stage: the query battery compiles once per
+    actor (__init__); each row builds a MemoryIndex from its text and
+    scores every query — percolation's document side, a pure map."""
+
+    def __init__(self):
+        from ..memindex import MemoryIndex
+        self._mk = MemoryIndex
+        self.queries = MEMINDEX_QUERIES
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, scores = [], [], []
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        mi = self._mk(store_offsets=False)
+        for did, text in zip(ids, texts):
+            mi.reset()
+            mi.add_field("content", text or "")
+            for qid, clauses in self.queries:
+                s = mi.search(clauses)
+                if s > 0:
+                    qids.append(qid)
+                    docs.append(did)
+                    scores.append(s)
+        return pa.table({
+            "qid": pa.array(qids, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(np.array(scores, np.float32),
+                              pa.float32())})
+
+
+def ft_memory_index(sf_dir: str):
+    """MemoryIndex (memory/.../MemoryIndex.java:186): per document a
+    single-doc in-RAM index; search(query) under default BM25 returns
+    the doc's score with the SINGLE-DOC collection stats (docCount 1,
+    df 1, avgdl = the doc's own exact length, dl quantized) or 0 on no
+    match (:1081-1123). Battery: SHOULD sums, a phrase clause, a MUST
+    gate. Emits (qid, doc_id, float32 score) for matches."""
+    import ray.data
+
+    from lucene_ray.pipelines.util import typed_table
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(_MemIndexStage, batch_format="pyarrow",
+                         concurrency=2)
+    return typed_table(out, pa.schema([("qid", pa.int64()),
+                                       ("doc_id", pa.int64()),
+                                       ("score", pa.float32())]))
+
+
+def oracle_memory_index_sql() -> str:
+    qlen_case = """CASE WHEN len < 24 THEN len
+         ELSE 24 + (
+           CASE WHEN (len - 24) < 8 THEN (len - 24)
+                ELSE (((len - 24) >> (CAST(floor(log2(len - 24)) AS INT) - 3)) & 7 | 8)
+                     << (CAST(floor(log2(len - 24)) AS INT) - 3)
+           END)
+    END"""
+    idf = "CAST(ln(1 + 0.5 / 1.5) AS REAL)"
+
+    def clause(tf_expr: str) -> str:
+        inv = (f"(CAST(1.0 AS REAL) / (CAST(1.2 AS REAL) * "
+               f"(CAST(0.25 AS REAL) + CAST(0.75 AS REAL) * "
+               f"CAST(qlen AS REAL) / CAST(len AS REAL))))")
+        return (f"CAST({idf} - {idf} / (CAST(1.0 AS REAL) + "
+                f"CAST({tf_expr} AS REAL) * {inv}) AS REAL)")
+
+    def tf_term(t: str) -> str:
+        return (f"coalesce((SELECT t.tf FROM tfd t WHERE t.doc_id = "
+                f"s.doc_id AND t.word = '{t}'), 0)")
+
+    def tf_phrase(a: str, b: str) -> str:
+        return (f"(SELECT count(*) FROM wpos x JOIN wpos y ON "
+                f"y.doc_id = x.doc_id AND y.pos = x.pos + 1 "
+                f"WHERE x.doc_id = s.doc_id AND x.word = '{a}' "
+                f"AND y.word = '{b}')")
+
+    parts = []
+    for qid, clauses in MEMINDEX_QUERIES:
+        tf_exprs, gates = [], []
+        for kind, spec in clauses:
+            tfe = tf_phrase(*spec) if kind == "phrase" else tf_term(spec)
+            tf_exprs.append(tfe)
+            if kind == "must":
+                gates.append(f"({tfe}) > 0")
+        score_terms = " + ".join(
+            f"CASE WHEN ({t}) > 0 THEN CAST({clause(f'({t})')} AS DOUBLE)"
+            f" ELSE 0.0 END" for t in tf_exprs)
+        matched = " OR ".join(f"({t}) > 0" for t in tf_exprs)
+        where = f"({matched})"
+        if gates:
+            where += " AND " + " AND ".join(gates)
+        parts.append(f"""SELECT {qid} AS qid, s.doc_id,
+       CAST({score_terms} AS REAL) AS score
+FROM stats1 s WHERE {where}""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH wpos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+tfd AS (
+  SELECT doc_id, word, count(*) AS tf FROM wpos GROUP BY doc_id, word
+),
+dl1 AS (
+  SELECT d.doc_id, count(w.word) AS len
+  FROM documents d LEFT JOIN wpos w ON w.doc_id = d.doc_id
+  GROUP BY d.doc_id
+),
+stats1 AS (
+  SELECT doc_id, len, {qlen_case} AS qlen FROM dl1
+)
+{un}"""
