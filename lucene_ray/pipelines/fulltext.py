@@ -14507,3 +14507,423 @@ stats1 AS (
   SELECT doc_id, len, {qlen_case} AS qlen FROM dl1
 )
 {un}"""
+
+
+# ---------------------------------------------------------------------------
+# Classic Highlighter (highlighter/search/highlight/Highlighter.java)
+
+# (qid, [terms], fragment_size, max_num_fragments)
+CLASSIC_HL_QUERIES = [
+    (1, ["key", "agg"], 60, 3),
+    (2, ["slow", "fast", "table"], 80, 2),
+]
+
+
+def classic_highlight_fragments(ends: np.ndarray, terms: list[str],
+                                weights: dict, query_terms: list[str],
+                                fragment_size: int) -> list:
+    """The classic Highlighter walk (Highlighter.java:161-270 with
+    SimpleFragmenter + QueryTermScorer):
+
+    - fragment assignment: token 1 opens fragment 1; at each LATER
+      token's arrival (the previous one-token group flushes) the
+      fragmenter checks ``endOffset >= fragmentSize * currentNumFrags``
+      and increments AT MOST ONCE (SimpleFragmenter.java:56-62 — a
+      token jumping several fragment widths still advances one);
+    - fragment score: float32 sum of DISTINCT matched query-term
+      weights in first-occurrence order
+      (QueryTermScorer.java:89-101 uniqueTermsInFragment).
+
+    Returns [(frag_num 1-based, float32 score)] for every fragment."""
+    k = 1
+    frag_of = np.empty(len(ends), np.int64)
+    for i, e in enumerate(ends):
+        if i > 0 and e >= fragment_size * k:
+            k += 1
+        frag_of[i] = k
+    scores: dict[int, np.float32] = {}
+    seen: dict[int, set] = {}
+    qset = set(query_terms)
+    for i, t in enumerate(terms):
+        f = int(frag_of[i])
+        scores.setdefault(f, np.float32(0.0))
+        s = seen.setdefault(f, set())
+        if t in qset and t not in s:
+            scores[f] = scores[f] + weights[t]
+            s.add(t)
+    n_frags = int(frag_of[-1]) if len(frag_of) else 0
+    return [(f, scores.get(f, np.float32(0.0)))
+            for f in range(1, n_frags + 1)]
+
+
+def _classic_hl_weights(r, terms: list[str]) -> dict:
+    """QueryTermExtractor.getIdfWeightedTerms
+    (highlight/QueryTermExtractor.java:71-88): weight = (float)(
+    log(maxDoc / (double)(docFreq + 1)) + 1.0), ClassicSimilarity's
+    idf."""
+    import math
+    out = {}
+    n = int(r.doc_count)
+    for t in terms:
+        p = r.postings(t)
+        df = int(p.df) if p is not None else 0
+        out[t] = np.float32(math.log(n / float(df + 1)) + 1.0)
+    return out
+
+
+def ft_classic_highlight(sf_dir: str) -> pa.Table:
+    """Classic Highlighter getBestFragments
+    (Highlighter.java:117-136,399-411): per matching doc the top
+    fragments by (score desc, fragNum asc), zero-score fragments
+    dropped; QueryTermScorer idf weights from the index.  Output
+    (qid, doc_id, rank, frag, score float32)."""
+    from ..analysis import tokenize_with_offsets
+    from ..search import _term_positions
+
+    r = reader_for(sf_dir)
+    import pyarrow.parquet as pq_
+    rows = []
+    for qid, qterms, fs, maxn in CLASSIC_HL_QUERIES:
+        weights = _classic_hl_weights(r, qterms)
+        cand = set()
+        for t in qterms:
+            cand.update((_term_positions(r, t) or {}).keys())
+        cand = sorted(cand)
+        if not cand:
+            continue
+        # raw text for candidate docs from the corpus store
+        docs_tbl = pq_.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "source"])
+        # map index docIDs -> original rows via the deterministic rank
+        order = np.lexsort((
+            np.array([f"doc_{i:08d}.txt" for i in
+                      docs_tbl.column("doc_id").to_pylist()]),
+            np.array(docs_tbl.column("source").to_pylist())))
+        texts = docs_tbl.column("text").to_pylist()
+        for d in cand:
+            text = texts[order[d]] or ""
+            toks, _starts, ends = tokenize_with_offsets(text)
+            if not toks:
+                continue
+            frags = classic_highlight_fragments(
+                ends, toks, weights, qterms, fs)
+            best = sorted([x for x in frags if x[1] > 0],
+                          key=lambda x: (-float(x[1]), x[0]))[:maxn]
+            for rank, (f, s) in enumerate(best, 1):
+                rows.append((qid, int(d), rank, f, s))
+    cols = list(zip(*rows)) if rows else [[]] * 5
+    return pa.table({
+        "qid": pa.array(cols[0], pa.int64()),
+        "doc_id": pa.array(cols[1], pa.int64()),
+        "rank": pa.array(cols[2], pa.int64()),
+        "frag": pa.array(cols[3], pa.int64()),
+        "score": pa.array(np.array(cols[4], np.float32), pa.float32()),
+    })
+
+
+def oracle_classic_highlight_sql() -> str:
+    import itertools
+    import math
+
+    import duckdb  # noqa: F401  (documents the dependency)
+
+    parts = []
+    for qid, qterms, fs, maxn in CLASSIC_HL_QUERIES:
+        tl = ", ".join(f"'{t}'" for t in qterms)
+        # weight literals are NOT precomputable (df comes from the
+        # corpus); compute float32 idf per term in SQL, then map each
+        # first-occurrence-ordered distinct-term sequence to its float32
+        # running sum with nested REAL casts over the per-term weights
+        w = {t: (f"CAST(ln(CAST((SELECT n_docs FROM stats) AS DOUBLE) "
+                 f"/ (coalesce((SELECT df FROM df WHERE term = '{t}'), 0)"
+                 f" + 1)) + 1.0 AS REAL)") for t in qterms}
+        seq_cases = []
+        for r_ in range(1, len(qterms) + 1):
+            for perm in itertools.permutations(qterms, r_):
+                expr = w[perm[0]]
+                for t in perm[1:]:
+                    expr = f"CAST({expr} + {w[t]} AS REAL)"
+                lst = ", ".join(f"'{t}'" for t in perm)
+                seq_cases.append(f"WHEN seq = [{lst}] THEN {expr}")
+        case = "CASE " + " ".join(seq_cases) + " ELSE 0.0 END"
+        parts.append(f"""SELECT {qid} AS qid, doc_id, rank, frag, score
+FROM (
+  SELECT doc_id, frag, score, row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, frag) AS rank
+  FROM (
+    SELECT doc_id, frag, CAST({case} AS REAL) AS score
+    FROM (
+      SELECT m.doc_id, m.frag, list(m.term ORDER BY m.fp) AS seq
+      FROM (
+        SELECT t.doc_id, f.k AS frag, t.word AS term, min(t.i) AS fp
+        FROM toks{fs} t JOIN walk{fs} f
+          ON f.doc_id = t.doc_id AND f.i = t.i
+        WHERE t.word IN ({tl})
+        GROUP BY t.doc_id, f.k, t.word
+      ) m GROUP BY m.doc_id, m.frag
+    )
+  ) WHERE score > 0
+) WHERE rank <= {maxn}""")
+    un = "\nUNION ALL\n".join(parts)
+    # per-fragment-size token tables + the stateful fragment walk
+    tok_ctes = []
+    for fs in sorted({fs for _q, _t, fs, _m in CLASSIC_HL_QUERIES}):
+        tok_ctes.append(f"""toks{fs} AS (
+  SELECT d AS doc_id, pos + 1 AS i, word,
+         CAST(sum(len(word) + 1) OVER (
+           PARTITION BY d ORDER BY pos) AS BIGINT) - 1 AS endoff
+  FROM wpos
+),
+nmax{fs} AS (
+  SELECT doc_id, max(i) AS n FROM toks{fs} GROUP BY doc_id
+),
+walk{fs} AS (
+  SELECT doc_id, 1 AS i, 1 AS k FROM nmax{fs}
+  UNION ALL
+  SELECT w.doc_id, w.i + 1,
+         w.k + CASE WHEN t.endoff >= {fs} * w.k THEN 1 ELSE 0 END
+  FROM walk{fs} w JOIN toks{fs} t
+    ON t.doc_id = w.doc_id AND t.i = w.i + 1
+)""")
+    ctes = ",\n".join(tok_ctes)
+    return f"""WITH RECURSIVE {_CORPUS_CTE},
+{_WPOS_CTE},
+{ctes}
+{un}"""
+
+
+# ---------------------------------------------------------------------------
+# FastVectorHighlighter (highlighter/vectorhighlight)
+
+# (qid, [terms], fragCharSize, maxNumFragments)
+FVH_QUERIES = [
+    (1, ["key", "agg"], 50, 3),
+    (2, ["slow", "fast", "table"], 60, 2),
+]
+_FVH_MARGIN = 6          # BaseFragListBuilder.MARGIN_DEFAULT
+
+
+def fvh_fragments(occs: list, frag_char_size: int) -> list:
+    """BaseFragListBuilder.createFieldFragList
+    (vectorhighlight/BaseFragListBuilder.java:47-106) +
+    WeightedFieldFragList.add (WeightedFieldFragList.java:42-81) for
+    term-query phrase infos (one TermInfo per WeightedPhraseInfo,
+    boost 1, always accepted by acceptPhrase :120).
+
+    ``occs``: [(term, start_off, end_off, weight)] sorted by position.
+    Returns [(frag_start, frag_end, float32 totalBoost)].
+
+    Walk: the first info with start >= frontier opens a fragment;
+    spanStart = max(start - margin, frontier), spanEnd = max(end,
+    spanStart + fragCharSize); following infos with end <= spanEnd
+    join (stop at the FIRST violator); then the span re-centers:
+    matchLen = lastEnd - firstStart, newMargin = max(0,
+    (fragCharSize - matchLen) int-div 2), spanStart' = max(firstStart
+    - newMargin, frontier), spanEnd' = spanStart' + max(matchLen,
+    fragCharSize) = the next frontier.
+
+    Scoring: norm = (float)length * (1f / (float)sqrt(length)) over the
+    TOTAL term count; each phrase contributes weight·boost once per
+    DISTINCT term text (first occurrence), times norm; totalBoost is
+    the float32 running sum."""
+    import math
+
+    out = []
+    frontier = 0
+    i = 0
+    n = len(occs)
+    while i < n:
+        if occs[i][1] < frontier:
+            i += 1
+            continue
+        j = i
+        first_s = occs[j][1]
+        span_start = max(first_s - _FVH_MARGIN, frontier)
+        span_end = max(occs[j][2], span_start + frag_char_size)
+        m = j
+        k = j + 1
+        while k < n and occs[k][2] <= span_end:
+            m = k
+            k += 1
+        last_e = occs[m][2]
+        match_len = last_e - first_s
+        new_margin = max(0, int((frag_char_size - match_len) / 2))
+        span_start2 = max(first_s - new_margin, frontier)
+        span_end2 = span_start2 + max(match_len, frag_char_size)
+        members = occs[j:m + 1]
+        length = len(members)
+        norm = np.float32(length) * (
+            np.float32(1.0) / np.float32(math.sqrt(length)))
+        seen: set = set()
+        total = np.float32(0.0)
+        for t, _s, _e, w in members:
+            pb = np.float32(w) if t not in seen else np.float32(0.0)
+            seen.add(t)
+            total = total + pb * norm
+        out.append((span_start2, span_end2, total))
+        frontier = span_end2
+        i = m + 1
+    return out
+
+
+def ft_fvh_highlight(sf_dir: str) -> pa.Table:
+    """FastVectorHighlighter
+    (vectorhighlight/FastVectorHighlighter.java:33: FieldTermStack →
+    FieldPhraseList → WeightedFragListBuilder →
+    ScoreOrderFragmentsBuilder): fragments scored by the
+    distinct-term-weight · length-norm boost, ordered score desc then
+    startOffset asc (ScoreOrderFragmentsBuilder.ScoreComparator:58-70),
+    top maxNumFragments per doc.  Term weights are ClassicSimilarity
+    idf over the index (FieldTermStack.java:88-92).  The term stack
+    reads positions from the positional postings and char offsets from
+    the offsets forward store — the term-vector role."""
+    from ..search import _term_positions
+
+    r = reader_for(sf_dir)
+    idx = index_dir_for(sf_dir)
+    rows = []
+    for qid, qterms, fs, maxn in FVH_QUERIES:
+        weights = _classic_hl_weights(r, qterms)
+        pos_of = {t: (_term_positions(r, t) or {}) for t in qterms}
+        cand = sorted(set().union(*[set(p) for p in pos_of.values()]))
+        if not cand:
+            continue
+        starts = _payload_starts(idx, cand)
+        for d in cand:
+            occ = []
+            for t in qterms:
+                for p in np.asarray(pos_of[t].get(d, ()),
+                                    np.int64).tolist():
+                    so = int(starts[d][p])
+                    occ.append((p, t, so, so + len(t)))
+            occ.sort()
+            occs = [(t, so, eo, weights[t]) for _p, t, so, eo in occ]
+            frags = fvh_fragments(occs, fs)
+            best = sorted(frags, key=lambda x: (-float(x[2]), x[0]))
+            for rank, (s, e, b) in enumerate(best[:maxn], 1):
+                rows.append((qid, int(d), rank, s, e, b))
+    cols = list(zip(*rows)) if rows else [[]] * 6
+    return pa.table({
+        "qid": pa.array(cols[0], pa.int64()),
+        "doc_id": pa.array(cols[1], pa.int64()),
+        "rank": pa.array(cols[2], pa.int64()),
+        "fstart": pa.array(cols[3], pa.int64()),
+        "fend": pa.array(cols[4], pa.int64()),
+        "boost": pa.array(np.array(cols[5], np.float32), pa.float32()),
+    })
+
+
+def oracle_fvh_highlight_sql() -> str:
+    import itertools
+
+    parts, ctes = [], []
+    for qid, qterms, fs, maxn in FVH_QUERIES:
+        tl = ", ".join(f"'{t}'" for t in qterms)
+        tag = f"q{qid}"
+        # occurrence stack: query-term occurrences in position order
+        # with char offsets (start = running length sum) and idf weight
+        ctes.append(f"""occs_{tag} AS (
+  SELECT doc_id, row_number() OVER (
+           PARTITION BY doc_id ORDER BY pos) AS idx, word AS term,
+         soff AS s, soff + len(word) AS e
+  FROM (
+    SELECT d AS doc_id, pos, word,
+           CAST(coalesce(sum(len(word) + 1) OVER (
+             PARTITION BY d ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS soff
+    FROM wpos
+  ) WHERE word IN ({tl})
+),
+walk_{tag} AS (
+  SELECT doc_id, 0 AS frag, 0 AS frontier, 1 AS next_i,
+         0 AS fs_start, 0 AS fs_end, 0 AS jj, 0 AS mm
+  FROM (SELECT DISTINCT doc_id FROM occs_{tag})
+  UNION ALL
+  SELECT doc_id, frag + 1,
+         span_start2 + greatest(match_len, {fs}) AS frontier,
+         mm + 1 AS next_i,
+         span_start2 AS fs_start,
+         span_start2 + greatest(match_len, {fs}) AS fs_end,
+         jj, mm
+  FROM (
+    SELECT doc_id, frag, frontier, jj, mm,
+           e_m - s_j AS match_len,
+           greatest(s_j - greatest(0, ({fs} - (e_m - s_j)) // 2),
+                    frontier) AS span_start2
+    FROM (
+      SELECT doc_id, frag, frontier, jj,
+        (SELECT o.s FROM occs_{tag} o WHERE o.doc_id = q1.doc_id
+          AND o.idx = q1.jj) AS s_j,
+        (SELECT coalesce(
+           (SELECT min(o2.idx) - 1 FROM occs_{tag} o2
+             WHERE o2.doc_id = q1.doc_id AND o2.idx > q1.jj
+             AND o2.e > greatest(
+               (SELECT o3.e FROM occs_{tag} o3
+                 WHERE o3.doc_id = q1.doc_id AND o3.idx = q1.jj),
+               greatest((SELECT o4.s FROM occs_{tag} o4
+                          WHERE o4.doc_id = q1.doc_id
+                          AND o4.idx = q1.jj) - {_FVH_MARGIN},
+                        q1.frontier) + {fs})),
+           (SELECT max(o5.idx) FROM occs_{tag} o5
+             WHERE o5.doc_id = q1.doc_id))) AS mm
+      FROM (
+        SELECT w0.doc_id, w0.frag, w0.frontier,
+          (SELECT min(o.idx) FROM occs_{tag} o
+            WHERE o.doc_id = w0.doc_id AND o.idx >= w0.next_i
+            AND o.s >= w0.frontier) AS jj
+        FROM walk_{tag} w0
+      ) q1
+      WHERE jj IS NOT NULL
+    ) q2,
+    LATERAL (SELECT (SELECT o.e FROM occs_{tag} o
+                      WHERE o.doc_id = q2.doc_id
+                      AND o.idx = q2.mm) AS e_m) q3
+  )
+)""")
+        # float32 idf weight per term, norm, and the ordered distinct
+        # first-occurrence sum as a permutation CASE
+        w = {t: (f"CAST(ln(CAST((SELECT n_docs FROM stats) AS DOUBLE) "
+                 f"/ (coalesce((SELECT df FROM df WHERE term = '{t}'), "
+                 f"0) + 1)) + 1.0 AS REAL)") for t in qterms}
+        norm = ("CAST(CAST(length AS REAL) * CAST(1.0 / "
+                "CAST(sqrt(CAST(length AS DOUBLE)) AS REAL) AS REAL) "
+                "AS REAL)")
+        seq_cases = []
+        for r_ in range(1, len(qterms) + 1):
+            for perm in itertools.permutations(qterms, r_):
+                expr = f"CAST({w[perm[0]]} * {norm} AS REAL)"
+                for t in perm[1:]:
+                    expr = (f"CAST({expr} + CAST({w[t]} * {norm} "
+                            f"AS REAL) AS REAL)")
+                lst = ", ".join(f"'{t}'" for t in perm)
+                seq_cases.append(f"WHEN seq = [{lst}] THEN {expr}")
+        case = "CASE " + " ".join(seq_cases) + " ELSE 0.0 END"
+        parts.append(f"""SELECT {qid} AS qid, doc_id, rank,
+       fs_start AS fstart, fs_end AS fend, boost
+FROM (
+  SELECT doc_id, fs_start, fs_end, boost, row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY boost DESC, fs_start) AS rank
+  FROM (
+    SELECT f.doc_id, f.fs_start, f.fs_end,
+           CAST({case} AS REAL) AS boost
+    FROM (
+      SELECT wk.doc_id, wk.fs_start, wk.fs_end,
+             wk.mm - wk.jj + 1 AS length,
+             (SELECT list(t.term ORDER BY t.fp) FROM (
+                SELECT o.term, min(o.idx) AS fp FROM occs_{tag} o
+                WHERE o.doc_id = wk.doc_id
+                  AND o.idx BETWEEN wk.jj AND wk.mm
+                GROUP BY o.term) t) AS seq
+      FROM walk_{tag} wk WHERE wk.frag > 0
+    ) f
+  )
+) WHERE rank <= {maxn}""")
+    cte_sql = ",\n".join(ctes)
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH RECURSIVE {_CORPUS_CTE},
+{_WPOS_CTE},
+{cte_sql}
+{un}"""
