@@ -14927,3 +14927,27 @@ FROM (
 {_WPOS_CTE},
 {cte_sql}
 {un}"""
+
+
+def ft_polish_stempel(sf_dir: str) -> pa.Table:
+    """Stempel Polish stemming (analysis/stempel — StempelFilter.java:71
+    over the bundled Egothor MultiTrie2 table, PolishAnalyzer.java:135
+    chain: lowercase -> stop -> stempel): planted Polish via diacritic
+    substitution + hash-chosen inflection endings (-a/-ami/-ów/-ach/
+    -ego/-y) so the trie's suffix families fire.  Rows-only: the stem
+    is a trie-of-diff-patches lookup (2.2 MB binary table) with no SQL
+    form; the loader, walk and patch machinery are gated on the
+    reference's PolishAnalyzer tests and pinned regressions in
+    tests/test_stempel.py."""
+    from ..stempel import load_table, polish_analyze
+
+    table = load_table()
+    plant = str.maketrans("xqv", "żłś")
+    suf = ["a", "ami", "ów", "ach", "ego", "y"]
+
+    def toks(tx: str, d: int) -> list[str]:
+        ws = [w.translate(plant) for w in _words(tx)]
+        return polish_analyze(
+            [w + suf[len(w) % 6] for w in ws], table)
+
+    return _rawtok_stats(sf_dir, toks)
