@@ -134,3 +134,96 @@ def percolate(ds, queries, id_column: str = "doc_id",
     return ds.map_batches(
         PercolatorStage, batch_format="pyarrow", concurrency=concurrency,
         fn_constructor_args=(queries, id_column, text_column))
+
+
+class ScoredPercolatorStage:
+    """ScoringMatch percolation (monitor/ScoringMatch.java:27-47 with
+    QueryDecomposer.java:34-80): each registered query reports the
+    matched document's score under the percolator's single-doc searcher
+    (the MemoryIndex model — docCount 1, df 1, exact avgdl, quantized
+    length).
+
+    Decomposition: a pure SHOULD disjunction (minimumNumberShouldMatch
+    <= 1) splits into per-clause subqueries registered separately
+    (QueryDecomposer.decomposeBoolean); each matching subquery emits
+    its own ScoringMatch (score > 0 gate, ScoringMatch.java:37-39) and
+    matches for the same query id resolve by FLOAT pairwise addition
+    (:42-44) — deliberately different from BooleanQuery's double-sum
+    accumulation, which still applies to non-decomposed (MUST) queries.
+
+    ``queries``: list of (qid, spec) with spec {"should": [terms...]}
+    (decomposed) or {"must": [terms...]} (kept whole)."""
+
+    def __init__(self, queries, id_column: str = "doc_id",
+                 text_column: str = "text"):
+        from .analysis import tokenize
+        self._tokenize = tokenize
+        self.queries = []
+        for qid, spec in queries:
+            must = list(spec.get("must") or [])
+            should = list(spec.get("should") or [])
+            self.queries.append((qid, must, should))
+        self.id_column = id_column
+        self.text_column = text_column
+
+    @staticmethod
+    def _term_score(freq: int, dl: int) -> np.float32:
+        from .bm25 import scorer
+        from .smallfloat import int_to_byte4
+        sc = scorer(1, 1, dl)
+        nb = int(int_to_byte4(np.array([dl], np.int64))[0])
+        return sc.score(np.array([freq], np.int64),
+                        np.array([nb], np.uint8))[0]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, docs, scores = [], [], []
+        ids = batch.column(self.id_column).to_pylist()
+        texts = batch.column(self.text_column).to_pylist()
+        for did, text in zip(ids, texts):
+            toks = self._tokenize(text or "")
+            dl = len(toks)
+            tf: dict[str, int] = {}
+            for t in toks:
+                tf[t] = tf.get(t, 0) + 1
+            for qid, must, should in self.queries:
+                if must:
+                    # whole query: BooleanQuery double-sum
+                    if any(tf.get(t, 0) == 0 for t in must):
+                        continue
+                    acc = np.float64(0.0)
+                    for t in must:
+                        acc += np.float64(
+                            self._term_score(tf[t], dl))
+                    s = np.float32(acc)
+                else:
+                    # decomposed disjunction: float pairwise resolve
+                    s = None
+                    for t in should:
+                        f = tf.get(t, 0)
+                        if f == 0:
+                            continue
+                        sub = self._term_score(f, dl)
+                        if sub > 0:
+                            s = sub if s is None \
+                                else np.float32(s + sub)
+                    if s is None:
+                        continue
+                if s > 0:
+                    qids.append(qid)
+                    docs.append(did)
+                    scores.append(s)
+        return pa.table({
+            "qid": pa.array(qids, pa.int64()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(np.array(scores, np.float32),
+                              pa.float32())})
+
+
+def percolate_scored(ds, queries, id_column: str = "doc_id",
+                     text_column: str = "text", concurrency=(1, 8)):
+    """ScoringMatch percolation over a document stream — (qid, doc,
+    float32 score) rows; see ScoredPercolatorStage."""
+    return ds.map_batches(
+        ScoredPercolatorStage, batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_args=(queries, id_column, text_column))

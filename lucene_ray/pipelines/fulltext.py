@@ -14951,3 +14951,99 @@ def ft_polish_stempel(sf_dir: str) -> pa.Table:
             [w + suf[len(w) % 6] for w in ws], table)
 
     return _rawtok_stats(sf_dir, toks)
+
+
+# ---------------------------------------------------------------------------
+# ScoringMatch percolation (monitor module)
+
+PERC_SCORED_QUERIES = [
+    (1, {"should": ["key", "agg"]}),
+    (2, {"should": ["vector", "window"]}),
+    (3, {"must": ["key", "scan"]}),
+]
+
+
+def ft_percolate_scored(sf_dir: str):
+    """Monitor ScoringMatch (monitor/ScoringMatch.java:27-47 +
+    QueryDecomposer.java:34): percolate the corpus against registered
+    queries, reporting per-match scores under the single-doc searcher;
+    decomposed disjunction matches resolve by FLOAT pairwise addition,
+    whole MUST queries score with BooleanQuery's double sum — both
+    reproduced bit-exactly (see monitor.ScoredPercolatorStage)."""
+    import ray.data
+
+    from lucene_ray.pipelines.util import typed_table
+
+    from ..monitor import percolate_scored
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = percolate_scored(ds, PERC_SCORED_QUERIES, concurrency=2)
+    return typed_table(out, pa.schema([("qid", pa.int64()),
+                                       ("doc_id", pa.int64()),
+                                       ("score", pa.float32())]))
+
+
+def oracle_percolate_scored_sql() -> str:
+    qlen_case = """CASE WHEN len < 24 THEN len
+         ELSE 24 + (
+           CASE WHEN (len - 24) < 8 THEN (len - 24)
+                ELSE (((len - 24) >> (CAST(floor(log2(len - 24)) AS INT) - 3)) & 7 | 8)
+                     << (CAST(floor(log2(len - 24)) AS INT) - 3)
+           END)
+    END"""
+    idf = "CAST(ln(1 + 0.5 / 1.5) AS REAL)"
+
+    def clause(tf_expr: str) -> str:
+        inv = (f"(CAST(1.0 AS REAL) / (CAST(1.2 AS REAL) * "
+               f"(CAST(0.25 AS REAL) + CAST(0.75 AS REAL) * "
+               f"CAST(qlen AS REAL) / CAST(len AS REAL))))")
+        return (f"CAST({idf} - {idf} / (CAST(1.0 AS REAL) + "
+                f"CAST({tf_expr} AS REAL) * {inv}) AS REAL)")
+
+    def tf_term(t: str) -> str:
+        return (f"coalesce((SELECT t.tf FROM tfd t WHERE t.doc_id = "
+                f"s.doc_id AND t.word = '{t}'), 0)")
+
+    parts = []
+    for qid, spec in PERC_SCORED_QUERIES:
+        if "must" in spec:
+            terms = spec["must"]
+            gates = " AND ".join(f"({tf_term(t)}) > 0" for t in terms)
+            total = " + ".join(
+                f"CAST({clause(f'({tf_term(t)})')} AS DOUBLE)"
+                for t in terms)
+            parts.append(f"""SELECT {qid} AS qid, s.doc_id,
+       CAST({total} AS REAL) AS score
+FROM stats1 s WHERE {gates}""")
+        else:
+            a, b = spec["should"]
+            ca = clause(f"({tf_term(a)})")
+            cb = clause(f"({tf_term(b)})")
+            # float pairwise resolve: one REAL add when both match
+            score = (f"CASE WHEN ({tf_term(a)}) > 0 AND "
+                     f"({tf_term(b)}) > 0 THEN CAST({ca} + {cb} AS REAL) "
+                     f"WHEN ({tf_term(a)}) > 0 THEN {ca} "
+                     f"ELSE {cb} END")
+            parts.append(f"""SELECT {qid} AS qid, s.doc_id,
+       CAST({score} AS REAL) AS score
+FROM stats1 s
+WHERE ({tf_term(a)}) > 0 OR ({tf_term(b)}) > 0""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH wpos AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+tfd AS (
+  SELECT doc_id, word, count(*) AS tf FROM wpos GROUP BY doc_id, word
+),
+dl1 AS (
+  SELECT d.doc_id, count(w.word) AS len
+  FROM documents d LEFT JOIN wpos w ON w.doc_id = d.doc_id
+  GROUP BY d.doc_id
+),
+stats1 AS (
+  SELECT doc_id, len, {qlen_case} AS qlen FROM dl1
+)
+{un}"""
