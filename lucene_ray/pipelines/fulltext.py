@@ -15047,3 +15047,74 @@ stats1 AS (
   SELECT doc_id, len, {qlen_case} AS qlen FROM dl1
 )
 {un}"""
+
+
+# ---------------------------------------------------------------------------
+# SortedSetDocValuesMultiRangeQuery (sandbox)
+
+# (qid, [(lower, upper)]) — inclusive byte ranges over the doc's
+# sorted-set of keyword values {source, lang}
+SSDV_MULTI_RANGES = [
+    (1, [("a", "m")]),
+    (2, [("d", "f"), ("p", "pz")]),
+    (3, [("s", "src1"), ("zz", "zzz")]),
+]
+
+
+def ft_ssdv_multi_range(sf_dir: str) -> pa.Table:
+    """SortedSetDocValuesMultiRangeQuery (sandbox/search/
+    SortedSetDocValuesMultiRangeQuery.java:50): a doc matches when AT
+    LEAST ONE of its sorted-set values falls inside the union of
+    inclusive byte ranges (ranges coalesce over ordinals; the scorer
+    is a constant-score two-phase check). The doc's set here is
+    {source, lang} — the two keyword fields as one sorted-set field.
+    Map-only per-batch counts + a tiny groupby."""
+    import ray.data
+
+    import pyarrow.compute as pc
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["source", "lang"])
+    _SCHEMA = pa.schema([("qid", pa.int64()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _SCHEMA.empty_table()
+        src = batch.column("source")
+        lg = batch.column("lang")
+        qids, ns = [], []
+        for qid, ranges in SSDV_MULTI_RANGES:
+            m = None
+            for col in (src, lg):
+                for lo, hi in ranges:
+                    mm = pc.and_(pc.greater_equal(col, lo),
+                                 pc.less_equal(col, hi))
+                    mm = pc.fill_null(mm, False)
+                    m = mm if m is None else pc.or_(m, mm)
+            qids.append(qid)
+            ns.append(int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0))
+        return pa.table({"qid": pa.array(qids, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    agg = ensure_cols(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("qid").sum("n").to_pandas(), ["qid", "sum(n)"])
+    agg = agg.sort_values("qid").reset_index(drop=True)
+    return pa.table({"qid": pa.array(agg["qid"].astype("int64")),
+                     "n": pa.array(agg["sum(n)"].astype("int64"))})
+
+
+def oracle_ssdv_multi_range_sql() -> str:
+    parts = []
+    for qid, ranges in SSDV_MULTI_RANGES:
+        conds = []
+        for col in ("source", "lang"):
+            for lo, hi in ranges:
+                conds.append(f"({col} >= '{lo}' AND {col} <= '{hi}')")
+        pred = " OR ".join(conds)
+        parts.append(f"SELECT {qid} AS qid, "
+                     f"CAST(count(*) FILTER ({pred}) AS BIGINT) AS n "
+                     f"FROM documents")
+    return "\nUNION ALL\n".join(parts)
