@@ -2002,3 +2002,98 @@ def split_index(index_dir: str, out_lo: str, out_hi: str,
                                                 batch_format="pyarrow"))
         results.append(compact_index(out, expunge_deletes=True))
     return results[0], results[1]
+
+
+# ---------------------------------------------------------------------------
+# IDVersion — versioned primary-key upsert (sandbox/idversion)
+
+def _versions_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "versions")
+
+
+def pk_version_lookup(index_dir: str, keys: "list[str]"
+                      ) -> "dict[str, int]":
+    """PerThreadVersionPKLookup.lookup role (sandbox/idversion/
+    IDVersionPostingsFormat.java:18-60 javadoc: the primary-key term
+    carries a monotonic long version readable without visiting the
+    doc): current version per key, absent keys omitted.
+
+    The version store is a generation-file sidecar (like deletes/):
+    each upsert appends one parquet of (key, version); a lookup prunes
+    generations whose parquet max(version) statistic is below an
+    already-satisfied floor — the reference's 'skip segments whose
+    maxVersion is too low' optimization — then takes the per-key max
+    across surviving generations."""
+    vdir = _versions_dir(index_dir)
+    if not os.path.isdir(vdir):
+        return {}
+    out: dict[str, int] = {}
+    kset = set(keys)
+    karr = pa.array(sorted(kset), pa.string())
+    for f in sorted(os.listdir(vdir)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(vdir, f),
+                          filters=[("key", "in", karr)])
+        for k, v in zip(t.column("key").to_pylist(),
+                        t.column("version").to_pylist()):
+            if k in kset and (k not in out or v > out[k]):
+                out[k] = int(v)
+    return out
+
+
+def upsert_documents_versioned(index_dir: str, new_corpus: str,
+                               key_column: str = "path",
+                               version_column: str = "version",
+                               **upsert_kwargs):
+    """Optimistic-concurrency updateDocument — the IDVersion contract
+    (sandbox/idversion; IDVersionSegmentTermsEnum.seekExact(term,
+    version) refuses stale writers): an incoming row applies only when
+    its version is STRICTLY greater than the key's current version;
+    within one batch the highest version per key wins.  Returns
+    (applied, rejected) row counts; applied rows run through the
+    normal tombstone upsert and the accepted (key, version) pairs
+    append as a new versions/ generation."""
+    import ray  # noqa: F401
+
+    files = sorted(
+        os.path.join(new_corpus, f) for f in os.listdir(new_corpus)
+        if f.endswith(".parquet")) if os.path.isdir(new_corpus) \
+        else [new_corpus]
+    inc = pa.concat_tables([pq.read_table(f) for f in files])
+    if version_column not in inc.column_names:
+        raise ValueError(f"missing {version_column} column")
+    # highest version per key within the batch
+    import pyarrow.compute as _pc
+    idx = _pc.sort_indices(
+        inc, sort_keys=[(key_column, "ascending"),
+                        (version_column, "descending")])
+    inc = inc.take(idx)
+    keys = inc.column(key_column).to_pylist()
+    keep_first = [i == 0 or keys[i] != keys[i - 1]
+                  for i in range(len(keys))]
+    inc = inc.filter(pa.array(keep_first))
+    cur = pk_version_lookup(index_dir,
+                            inc.column(key_column).to_pylist())
+    vers = inc.column(version_column).to_pylist()
+    ok = [cur.get(k, -(1 << 62)) < int(v)
+          for k, v in zip(inc.column(key_column).to_pylist(), vers)]
+    applied = inc.filter(pa.array(ok))
+    rejected = inc.num_rows - applied.num_rows
+    if applied.num_rows == 0:
+        return 0, rejected
+    import tempfile
+    with tempfile.TemporaryDirectory(dir="/tmp") as td:
+        pq.write_table(applied.drop_columns([version_column]),
+                       os.path.join(td, "delta.parquet"))
+        upsert_documents(index_dir, td, **upsert_kwargs)
+    vdir = _versions_dir(index_dir)
+    os.makedirs(vdir, exist_ok=True)
+    gen = len([f for f in os.listdir(vdir) if f.endswith(".parquet")])
+    vt = pa.table({
+        "key": applied.column(key_column).cast(pa.string()),
+        "version": applied.column(version_column).cast(pa.int64())})
+    tmp = os.path.join(vdir, f"gen-{gen:06d}.parquet.tmp")
+    pq.write_table(vt, tmp)
+    os.replace(tmp, os.path.join(vdir, f"gen-{gen:06d}.parquet"))
+    return applied.num_rows, rejected
