@@ -2802,3 +2802,40 @@ def search_field_exists(reader: IndexReader, field: str) -> np.ndarray:
     d = np.unique(np.concatenate(sets))
     lm = reader.live_mask(d)
     return d if lm is None else d[lm]
+
+
+def token_stream_to_term_automaton(tokens,
+                                   preserve_position_increments: bool = True
+                                   ) -> tuple[list, set]:
+    """TokenStreamToTermAutomatonQuery.toQuery (sandbox/search/
+    TokenStreamToTermAutomatonQuery.java:51-107): convert a token
+    GRAPH — ``tokens`` = [(term, pos_inc, pos_length), ...] — into the
+    (transitions, accepts) pair :func:`term_automaton_matches`
+    consumes.  Stacked tokens (posInc 0) become alternative
+    transitions from the same state; posLength > 1 spans states; the
+    literal ``'*'`` term becomes an ANY transition (:88-92); holes
+    (posInc > 1) raise unless ``preserve_position_increments`` is
+    False, which collapses them (:68-74); the single accept state is
+    the last one (:105)."""
+    pos = -1
+    state = -1
+    transitions = []
+    for term, pos_inc, pos_len in tokens:
+        if not preserve_position_increments and pos_inc > 1:
+            pos_inc = 1
+        if pos < 0 and pos_inc <= 0:
+            raise ValueError("first token must advance")
+        if pos_inc > 1:
+            raise ValueError(
+                "cannot handle holes; to accept any term, use '*' term")
+        if pos_inc > 0:
+            pos += pos_inc
+        end_pos = pos + pos_len
+        state = max(state, end_pos)
+        if term == ANY_TERM:
+            transitions.append((pos, ANY_TERM, end_pos))
+        else:
+            transitions.append((pos, term, end_pos))
+    if state < 0:
+        raise ValueError("empty token stream")
+    return transitions, {state}

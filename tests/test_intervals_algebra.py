@@ -365,3 +365,30 @@ def test_multiterm():
 def test_no_match_msm():
     src = iv.at_least(4, T("a"), T("b"))
     assert iv.eval_doc(src, _positions("field2", 2), "field2") == []
+
+
+def test_token_stream_to_term_automaton():
+    """TokenStreamToTermAutomatonQuery conversion pins (the matcher
+    itself is gated by the ft_term_automaton oracle entry)."""
+    import pytest as _pytest
+
+    from lucene_ray.search import token_stream_to_term_automaton
+
+    # phrase "a b" with a stacked synonym x over b (posInc 0)
+    tr, acc = token_stream_to_term_automaton(
+        [("a", 1, 1), ("b", 1, 1), ("x", 0, 1)])
+    assert (0, "a", 1) in tr and (1, "b", 2) in tr and (1, "x", 2) in tr
+    assert acc == {2}
+    # multi-position token: "wifi" spanning 2 positions
+    tr2, acc2 = token_stream_to_term_automaton(
+        [("wi", 1, 1), ("fi", 1, 1), ("wifi", 0, 2)])
+    assert (1, "wifi", 3) in tr2 or (0, "wifi", 2) in tr2
+    # '*' becomes ANY
+    tr3, _ = token_stream_to_term_automaton([("a", 1, 1), ("*", 1, 1)])
+    assert (1, "*", 2) in tr3
+    # holes raise unless collapsed
+    with _pytest.raises(ValueError):
+        token_stream_to_term_automaton([("a", 1, 1), ("b", 2, 1)])
+    tr4, acc4 = token_stream_to_term_automaton(
+        [("a", 1, 1), ("b", 2, 1)], preserve_position_increments=False)
+    assert (1, "b", 2) in tr4 and acc4 == {2}
