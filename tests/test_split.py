@@ -122,3 +122,32 @@ def test_split_refuses_existing_target(split_setup, ray_session):
     orig, lo, hi, _, _ = split_setup
     with pytest.raises(FileExistsError):
         split_index(orig, lo, "/tmp/never_created_split", SPLIT)
+
+
+def test_multipass_split_round_robin(split_setup, ray_session, tmp_path):
+    """MultiPassIndexSplitter: round-robin parts hold exactly the
+    doc_id % n residue classes; seq mode holds contiguous ranges."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lucene_ray.build import multipass_split_index
+
+    idx = split_setup[0]
+    outs = [str(tmp_path / f"rr{i}") for i in range(3)]
+    multipass_split_index(idx, outs)
+    all_ids = []
+    for p, out in enumerate(outs):
+        t = pq.read_table(f"{out}/docmeta", columns=["doc_id"])
+        ids = np.sort(t.column("doc_id").to_numpy())
+        assert (ids % 3 == p).all()
+        all_ids.extend(ids.tolist())
+    src = pq.read_table(f"{idx}/docmeta", columns=["doc_id"])
+    assert sorted(all_ids) == sorted(src.column("doc_id").to_pylist())
+
+    outs2 = [str(tmp_path / f"sq{i}") for i in range(2)]
+    multipass_split_index(idx, outs2, seq=True)
+    t0 = pq.read_table(f"{outs2[0]}/docmeta", columns=["doc_id"])
+    t1 = pq.read_table(f"{outs2[1]}/docmeta", columns=["doc_id"])
+    m0 = max(t0.column("doc_id").to_pylist())
+    m1 = min(t1.column("doc_id").to_pylist())
+    assert m0 < m1
