@@ -427,3 +427,65 @@ def function_query_scores(vs: VS, ctx, boost: float = 1.0) -> np.ndarray:
     bad = ~(val >= 0)
     out[bad] = _F(0.0)
     return out
+
+
+class _CmpBool(VS):
+    """ComparisonBoolFunction (valuesource/ComparisonBoolFunction.java:30
+    + the gt/gte/lt/lte/eq/neq factories in BoolFunction usage): boolVal
+    compares the two sides' floatVal; as a value, true is 1.0f and
+    false 0.0f (FunctionValues.floatVal of BoolDocValues)."""
+
+    def __init__(self, op: str, a: VS, b: VS):
+        self.op, self.a, self.b = op, a, b
+
+    def bool_eval(self, ctx) -> np.ndarray:
+        av, bv = self.a.eval(ctx), self.b.eval(ctx)
+        return {"gt": av > bv, "gte": av >= bv, "lt": av < bv,
+                "lte": av <= bv, "eq": av == bv,
+                "neq": av != bv}[self.op]
+
+    def eval(self, ctx):
+        return np.where(self.bool_eval(ctx), _F(1.0), _F(0.0))
+
+    def bool_sql(self, ctx) -> str:
+        sym = {"gt": ">", "gte": ">=", "lt": "<", "lte": "<=",
+               "eq": "=", "neq": "<>"}[self.op]
+        return f"(({self.a.sql(ctx)}) {sym} ({self.b.sql(ctx)}))"
+
+    def sql(self, ctx):
+        return (f"CAST(CASE WHEN {self.bool_sql(ctx)} THEN 1.0 "
+                f"ELSE 0.0 END AS REAL)")
+
+
+def cmp(op: str, a: VS, b: VS) -> VS:
+    return _CmpBool(op, a, b)
+
+
+class _If(VS):
+    """IfFunction (valuesource/IfFunction.java:61): condition's boolVal
+    selects between the two sources; a non-bool condition uses the
+    default FunctionValues.boolVal = floatVal != 0."""
+
+    def __init__(self, cond: VS, then: VS, els: VS):
+        self.cond, self.then, self.els = cond, then, els
+
+    def _cond_bool(self, ctx) -> np.ndarray:
+        if isinstance(self.cond, _CmpBool):
+            return self.cond.bool_eval(ctx)
+        return self.cond.eval(ctx) != np.float32(0.0)
+
+    def eval(self, ctx):
+        return np.where(self._cond_bool(ctx), self.then.eval(ctx),
+                        self.els.eval(ctx))
+
+    def sql(self, ctx):
+        if isinstance(self.cond, _CmpBool):
+            c = self.cond.bool_sql(ctx)
+        else:
+            c = f"(({self.cond.sql(ctx)}) <> 0.0)"
+        return (f"CAST(CASE WHEN {c} THEN ({self.then.sql(ctx)}) "
+                f"ELSE ({self.els.sql(ctx)}) END AS REAL)")
+
+
+def if_(cond: VS, then: VS, els: VS) -> VS:
+    return _If(cond, then, els)

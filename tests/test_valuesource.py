@@ -82,3 +82,14 @@ def test_function_query_clamp():
     nan_src = v.divf(v.term_freq("b"), v.term_freq("b"))   # 0/0 = NaN
     out2 = v.function_query_scores(nan_src, c)
     assert (out2 == 0.0).all()
+
+
+def test_bool_and_if_functions():
+    c = Ctx()
+    g = v.cmp("gt", v.term_freq("a"), v.const(1.0))
+    assert g.eval(c).tolist() == [1.0, 0.0, 0.0, 1.0, 0.0]
+    sel = v.if_(g, v.const(10.0), v.int_field())
+    assert sel.eval(c).tolist() == [10.0, 10.0, 0.0, 10.0, 100.0]
+    # non-bool condition: floatVal != 0 (FunctionValues.boolVal default)
+    sel2 = v.if_(v.term_freq("a"), v.const(1.0), v.const(2.0))
+    assert sel2.eval(c).tolist() == [1.0, 2.0, 1.0, 1.0, 2.0]
