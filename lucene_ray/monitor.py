@@ -227,3 +227,77 @@ def percolate_scored(ds, queries, id_column: str = "doc_id",
         ScoredPercolatorStage, batch_format="pyarrow",
         concurrency=concurrency,
         fn_constructor_args=(queries, id_column, text_column))
+
+
+class HighlightsPercolatorStage:
+    """HighlightsMatch percolation (monitor/HighlightsMatch.java:42-93):
+    a matching query reports the SET of term hits — (position,
+    endPosition, startOffset, endOffset) per matched clause term, phrase
+    matches contributing every constituent term's hit (the Matches
+    sub-iterator walk :74-91); hits dedup in a sorted set (:178-181).
+
+    ``queries``: (qid, spec) with {"should": [...]} (any term present
+    matches), {"must": [...]} (all required) or {"phrase": [...]}
+    (consecutive positions)."""
+
+    def __init__(self, queries, id_column: str = "doc_id",
+                 text_column: str = "text"):
+        from .analysis import tokenize_with_offsets
+        self._tok = tokenize_with_offsets
+        self.queries = [(qid, dict(spec)) for qid, spec in queries]
+        self.id_column = id_column
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        ids = batch.column(self.id_column).to_pylist()
+        texts = batch.column(self.text_column).to_pylist()
+        for did, text in zip(ids, texts):
+            toks, starts, ends = self._tok(text or "")
+            pos_of: dict[str, list[int]] = {}
+            for i, t in enumerate(toks):
+                pos_of.setdefault(t, []).append(i)
+            for qid, spec in self.queries:
+                hits: set = set()
+                if "phrase" in spec:
+                    ph = spec["phrase"]
+                    base = pos_of.get(ph[0], [])
+                    for p in base:
+                        if all(p + k < len(toks)
+                               and toks[p + k] == ph[k]
+                               for k in range(len(ph))):
+                            for k in range(len(ph)):
+                                hits.add((p + k, p + k + 1,
+                                          int(starts[p + k]),
+                                          int(ends[p + k])))
+                else:
+                    must = spec.get("must") or []
+                    should = spec.get("should") or []
+                    if must and any(t not in pos_of for t in must):
+                        continue
+                    matched = must + [t for t in should if t in pos_of]
+                    if not matched:
+                        continue
+                    for t in matched:
+                        for p in pos_of.get(t, ()):
+                            hits.add((p, p + 1, int(starts[p]),
+                                      int(ends[p])))
+                for h in sorted(hits):
+                    rows.append((qid, did) + h)
+        cols = list(zip(*rows)) if rows else [[]] * 6
+        return pa.table({
+            "qid": pa.array(cols[0], pa.int64()),
+            "doc_id": pa.array(cols[1], pa.int64()),
+            "pos": pa.array(cols[2], pa.int64()),
+            "endpos": pa.array(cols[3], pa.int64()),
+            "soff": pa.array(cols[4], pa.int64()),
+            "eoff": pa.array(cols[5], pa.int64())})
+
+
+def percolate_highlights(ds, queries, id_column: str = "doc_id",
+                         text_column: str = "text", concurrency=(1, 8)):
+    """HighlightsMatch percolation — per-match term-hit rows."""
+    return ds.map_batches(
+        HighlightsPercolatorStage, batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_args=(queries, id_column, text_column))

@@ -15118,3 +15118,78 @@ def oracle_ssdv_multi_range_sql() -> str:
                      f"CAST(count(*) FILTER ({pred}) AS BIGINT) AS n "
                      f"FROM documents")
     return "\nUNION ALL\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# HighlightsMatch percolation (monitor module)
+
+PERC_HL_QUERIES = [
+    (1, {"should": ["key", "agg"]}),
+    (2, {"phrase": ["the", "a"]}),
+    (3, {"must": ["slow", "fast"]}),
+]
+
+
+def ft_percolate_highlights(sf_dir: str):
+    """Monitor HighlightsMatch (monitor/HighlightsMatch.java:42): each
+    query match reports the deduplicated sorted set of term hits
+    (position, endPosition, startOffset, endOffset); phrase matches
+    contribute every constituent term's hit."""
+    import ray.data
+
+    from lucene_ray.pipelines.util import typed_table
+
+    from ..monitor import percolate_highlights
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = percolate_highlights(ds, PERC_HL_QUERIES, concurrency=2)
+    return typed_table(out, pa.schema(
+        [("qid", pa.int64()), ("doc_id", pa.int64()),
+         ("pos", pa.int64()), ("endpos", pa.int64()),
+         ("soff", pa.int64()), ("eoff", pa.int64())]))
+
+
+def oracle_percolate_highlights_sql() -> str:
+    parts = []
+    for qid, spec in PERC_HL_QUERIES:
+        if "phrase" in spec:
+            a, b = spec["phrase"]
+            parts.append(f"""SELECT DISTINCT {qid} AS qid, h.doc_id,
+       h.pos, h.pos + 1 AS endpos, h.soff, h.eoff
+FROM (
+  SELECT x.doc_id, x.pos, x.soff, x.eoff FROM woff2 x JOIN woff2 y
+    ON y.doc_id = x.doc_id AND y.pos = x.pos + 1
+  WHERE x.word = '{a}' AND y.word = '{b}'
+  UNION ALL
+  SELECT y.doc_id, y.pos, y.soff, y.eoff FROM woff2 x JOIN woff2 y
+    ON y.doc_id = x.doc_id AND y.pos = x.pos + 1
+  WHERE x.word = '{a}' AND y.word = '{b}'
+) h""")
+        else:
+            must = spec.get("must") or []
+            should = spec.get("should") or []
+            terms = must + should
+            tl = ", ".join(f"'{t}'" for t in terms)
+            gate = " AND ".join(
+                f"EXISTS (SELECT 1 FROM woff2 g WHERE g.doc_id = "
+                f"h.doc_id AND g.word = '{t}')" for t in must) or "TRUE"
+            parts.append(f"""SELECT DISTINCT {qid} AS qid, h.doc_id,
+       h.pos, h.pos + 1 AS endpos, h.soff, h.eoff
+FROM woff2 h WHERE h.word IN ({tl}) AND {gate}""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH woff2 AS (
+  SELECT doc_id, word, pos,
+         CAST(coalesce(sum(len(word) + 1) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         AS BIGINT) AS soff,
+         CAST(sum(len(word) + 1) OVER (
+           PARTITION BY doc_id ORDER BY pos) AS BIGINT) - 1 AS eoff
+  FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+    FROM documents
+  )
+)
+{un}"""
