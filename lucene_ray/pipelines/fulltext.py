@@ -12949,11 +12949,11 @@ def ft_range_field(sf_dir: str) -> pa.Table:
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _SCHEMA.empty_table()
-        # DuckDB CAST(DOUBLE AS BIGINT) rounds half AWAY FROM ZERO
-        # (18.5 -> 19, -2.5 -> -3); np.rint would bankers-round and
-        # astype would truncate
+        # DuckDB CAST(DOUBLE AS BIGINT) rounds half TO EVEN (18.5 ->
+        # 18, 19.5 -> 20); the away-from-zero rule applies only to
+        # DECIMAL casts — np.rint is the matching rule
         qv = batch.column("l_quantity").to_numpy()
-        lo = np.trunc(qv + np.copysign(0.5, qv)).astype(np.int64)
+        lo = np.rint(qv).astype(np.int64)
         hi = lo + batch.column("l_linenumber").to_numpy()\
             .astype(np.int64) * 7
         qids, ns = [], []
