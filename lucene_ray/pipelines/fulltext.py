@@ -15193,3 +15193,44 @@ FROM woff2 h WHERE h.word IN ({tl}) AND {gate}""")
   )
 )
 {un}"""
+
+
+# ---------------------------------------------------------------------------
+# PointInSetQuery (core/search/PointInSetQuery.java)
+
+POINT_IN_SETS = [(1, [24, 37, 81]), (2, [10, 100, 2000]),
+                 (3, [0, 1, 55, 56, 57])]
+
+
+def ft_point_in_set(sf_dir: str) -> pa.Table:
+    """PointInSetQuery (search/PointInSetQuery.java:63 — the numeric
+    TermInSetQuery; MergePointVisitor walks the sorted query values and
+    the BKD tree in tandem): docs whose field_len equals one of the
+    set's values. Served by the value-sorted point index with one
+    pruned range probe per sorted unique value."""
+    from ..points import ensure_numeric_index, numeric_range
+
+    idx = index_dir_for(sf_dir)
+    ensure_numeric_index(idx, "field_len")
+    qids, docs = [], []
+    for qid, values in POINT_IN_SETS:
+        hits = []
+        for v in sorted(set(values)):
+            d, _m = numeric_range(idx, "field_len", v, v + 1)
+            hits.append(d)
+        d = np.unique(np.concatenate(hits)) if hits \
+            else np.empty(0, np.int64)
+        qids.extend([qid] * len(d))
+        docs.extend(d.tolist())
+    return pa.table({"qid": pa.array(qids, pa.int64()),
+                     "doc_id": pa.array(docs, pa.int64())})
+
+
+def oracle_point_in_set_sql() -> str:
+    rows = []
+    for qid, values in POINT_IN_SETS:
+        vl = ", ".join(str(v) for v in sorted(set(values)))
+        rows.append(f"SELECT {qid} AS qid, d AS doc_id FROM dl "
+                    f"WHERE len IN ({vl})")
+    un = "\nUNION ALL\n".join(rows)
+    return f"WITH {_CORPUS_CTE}\n{un}"
