@@ -15234,3 +15234,108 @@ def oracle_point_in_set_sql() -> str:
                     f"WHERE len IN ({vl})")
     un = "\nUNION ALL\n".join(rows)
     return f"WITH {_CORPUS_CTE}\n{un}"
+
+
+# ---------------------------------------------------------------------------
+# SortedNumericSortField selectors (core/search)
+
+def ft_sorted_numeric_selector(sf_dir: str) -> pa.Table:
+    """SortedNumericSortField with SortedNumericSelector.Type.MIN / MAX
+    (search/SortedNumericSortField.java:40,
+    SortedNumericSelector.java:33: a multi-valued numeric field sorts
+    by the selected value per doc): the doc's multi-value set is its
+    word lengths; top-20 by (MAX selector desc, doc asc) and by
+    (MIN selector asc, doc asc).  Distributed: per-batch selector
+    computation (map-only) + sort/limit."""
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text", "source"])
+
+    def selectors(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        paths = [f"doc_{i:08d}.txt"
+                 for i in batch.column("doc_id").to_pylist()]
+        mins, maxs, ok = [], [], []
+        for t in texts:
+            ws = [w for w in (t or "").split(" ") if w]
+            if ws:
+                ls = [len(w) for w in ws]
+                mins.append(min(ls))
+                maxs.append(max(ls))
+                ok.append(True)
+            else:
+                mins.append(0)
+                maxs.append(0)
+                ok.append(False)            # missing value: excluded
+        return pa.table({
+            "source": batch.column("source"),
+            "path": pa.array(paths, pa.string()),
+            "vmin": pa.array(mins, pa.int64()),
+            "vmax": pa.array(maxs, pa.int64()),
+        }).filter(pa.array(ok))
+
+    sel = ds.map_batches(selectors, batch_format="pyarrow")
+
+    # bounded partials: each batch keeps only its top-20 per mode
+    # (ties break on the docID order key (source, path)), the driver
+    # merges 20-row partials — nothing full-dataset materializes
+    def partial_top(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = batch.to_pandas()
+        a = df.sort_values(["vmax", "source", "path"],
+                           ascending=[False, True, True]).head(20)
+        b = df.sort_values(["vmin", "source", "path"],
+                           ascending=[True, True, True]).head(20)
+        a = a.assign(mode="max")
+        b = b.assign(mode="min")
+        return pa.Table.from_pandas(pd.concat([a, b]),
+                                    preserve_index=False)
+
+    parts = sel.map_batches(partial_top, batch_format="pyarrow")\
+        .to_pandas()
+    top_max = parts[parts["mode"] == "max"].sort_values(
+        ["vmax", "source", "path"],
+        ascending=[False, True, True]).head(20)
+    top_min = parts[parts["mode"] == "min"].sort_values(
+        ["vmin", "source", "path"],
+        ascending=[True, True, True]).head(20)
+    # resolve index docIDs for the 40 winners from docmeta
+    import pyarrow.parquet as pq_
+    want = sorted(set(top_max["path"]) | set(top_min["path"]))
+    dm = pq_.read_table(os.path.join(index_dir_for(sf_dir), "docmeta"),
+                        columns=["doc_id", "path"],
+                        filters=[("path", "in", want)])
+    d_of = dict(zip(dm.column("path").to_pylist(),
+                    dm.column("doc_id").to_pylist()))
+    out_rows = []
+    for rank, (_, r) in enumerate(top_max.iterrows(), 1):
+        out_rows.append(("max", rank, int(d_of[r["path"]]),
+                         int(r["vmax"])))
+    for rank, (_, r) in enumerate(top_min.iterrows(), 1):
+        out_rows.append(("min", rank, int(d_of[r["path"]]),
+                         int(r["vmin"])))
+    cols = list(zip(*out_rows)) if out_rows else [[]] * 4
+    return pa.table({
+        "mode": pa.array(cols[0], pa.string()),
+        "rank": pa.array(cols[1], pa.int64()),
+        "doc_id": pa.array(cols[2], pa.int64()),
+        "value": pa.array(cols[3], pa.int64()),
+    })
+
+
+def oracle_sorted_numeric_selector_sql() -> str:
+    return f"""WITH {_CORPUS_CTE},
+vals AS (
+  SELECT d, min(len(term)) AS vmin, max(len(term)) AS vmax
+  FROM tok GROUP BY d
+)
+SELECT 'max' AS mode, rank, d AS doc_id, vmax AS value FROM (
+  SELECT d, vmax, row_number() OVER (ORDER BY vmax DESC, d) AS rank
+  FROM vals
+) WHERE rank <= 20
+UNION ALL
+SELECT 'min', rank, d, vmin FROM (
+  SELECT d, vmin, row_number() OVER (ORDER BY vmin ASC, d) AS rank
+  FROM vals
+) WHERE rank <= 20"""
