@@ -87,7 +87,9 @@ class HnswGraph:
     # -- construction -----------------------------------------------------
 
     def _search_layer(self, q: np.ndarray, eps: list[int], ef: int,
-                      level: int, accept=None, counter=None
+                      level: int, accept=None, counter=None,
+                      patience: "int | None" = None,
+                      saturation_threshold: float = 0.995
                       ) -> list[tuple[float, int]]:
         """Best-first beam search on one layer → up to ef (sim, node),
         sim descending (HnswGraphSearcher.searchLevel). ``accept`` is an
@@ -95,10 +97,18 @@ class HnswGraph:
         graph stays connected) but only accepted nodes enter the result
         heap (Lucene's acceptOrds contract). ``counter`` is a 1-element
         list accumulating visited-node count for the visitedLimit
-        fallback decision."""
+        fallback decision.
+
+        ``patience``: PatienceKnnVectorQuery's saturation early exit
+        (search/HnswQueueSaturationCollector.java:75-92): per candidate
+        visit, queueSaturation = min(cur, prev)/cur over the result
+        queue size; >= ``saturation_threshold`` for more than
+        ``patience`` consecutive visits terminates the beam early."""
         import heapq
 
         visited = set(eps)
+        prev_qsize = 0
+        count_saturated = 0
         sims0 = self.v[eps] @ q
         cand = [(-float(s), e) for s, e in zip(sims0, eps)]
         heapq.heapify(cand)
@@ -110,6 +120,17 @@ class HnswGraph:
         if counter is not None:
             counter[0] += len(eps)
         while cand:
+            if patience is not None:
+                cur_qsize = len(best_heap)
+                if cur_qsize > 0:
+                    sat = min(cur_qsize, prev_qsize) / cur_qsize
+                    if sat >= saturation_threshold:
+                        count_saturated += 1
+                    else:
+                        count_saturated = 0
+                prev_qsize = cur_qsize
+                if count_saturated > patience:
+                    break
             negs, c = heapq.heappop(cand)
             worst = best_heap[0][0] if len(best_heap) >= ef else -np.inf
             if -negs < worst:
@@ -180,7 +201,8 @@ class HnswGraph:
     def search(self, q: np.ndarray, k: int, ef: int = HNSW_EF_SEARCH,
                accept: np.ndarray | None = None,
                visited_limit: int | None = None,
-               seeds: "list[int] | None" = None) -> list[tuple[float, int]]:
+               seeds: "list[int] | None" = None,
+               patience: "int | None" = None) -> list[tuple[float, int]]:
         """Top-k (sim, node). With ``accept`` only accepted nodes are
         collected; if the traversal visits more nodes than
         ``visited_limit`` the caller should fall back to an exact scan
@@ -220,7 +242,8 @@ class HnswGraph:
                 return self._exact(q, k, accept)
             out.sort(key=lambda x: (-x[0], x[1]))
             return out[:k]
-        out = self._search_layer(q, entry_points(), max(ef, k), 0)
+        out = self._search_layer(q, entry_points(), max(ef, k), 0,
+                                 patience=patience)
         out.sort(key=lambda x: (-x[0], x[1]))   # sim desc, node asc ties
         return out[:k]
 

@@ -392,3 +392,29 @@ def test_token_stream_to_term_automaton():
     tr4, acc4 = token_stream_to_term_automaton(
         [("a", 1, 1), ("b", 2, 1)], preserve_position_increments=False)
     assert (1, "b", 2) in tr4 and acc4 == {2}
+
+
+def test_patience_knn_early_exit():
+    """PatienceKnnVectorQuery (core/search/PatienceKnnVectorQuery.java:40
+    — default patience max(7, 0.3k), saturation 0.995): the saturation
+    early exit keeps high recall while visiting no more nodes than the
+    unrestricted beam."""
+    import numpy as np
+
+    from lucene_ray.vectors import HnswGraph
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=(800, 16)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    g = HnswGraph(v)
+    q = v[123]
+    exact = [n for _s, n in g.search(q, 10, ef=200)]
+    patient = [n for _s, n in g.search(q, 10, ef=200,
+                                       patience=max(7, 3))]
+    # recall floor vs the unrestricted beam
+    assert len(set(exact) & set(patient)) >= 8
+    assert patient[0] == 123                 # self is always found
+    # a zero-patience, always-saturating run terminates immediately
+    # after the first candidate round but still returns entry results
+    tiny = g.search(q, 5, ef=50, patience=0)
+    assert len(tiny) >= 1
