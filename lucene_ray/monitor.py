@@ -301,3 +301,36 @@ def percolate_highlights(ds, queries, id_column: str = "doc_id",
         HighlightsPercolatorStage, batch_format="pyarrow",
         concurrency=concurrency,
         fn_constructor_args=(queries, id_column, text_column))
+
+
+def save_queries(path: str, queries) -> None:
+    """MonitorQuerySerializer role (monitor/MonitorQuerySerializer.java:35
+    + Monitor's persistent QueryIndex, Monitor.java:86): persist the
+    registered query set so a restarted percolator resumes with the
+    same registrations. JSON-lines of (qid, spec); atomic rename."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        for qid, spec in queries:
+            f.write(json.dumps({"qid": qid, "spec": spec},
+                               sort_keys=True) + "\n")
+    os.replace(tmp, path)
+
+
+def load_queries(path: str) -> list:
+    """Inverse of :func:`save_queries`; malformed lines raise (the
+    serializer contract — a query that cannot be parsed must surface,
+    MonitorQuerySerializer javadoc)."""
+    import json
+
+    out = []
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            d = json.loads(line)
+            out.append((d["qid"], d["spec"]))
+    return out

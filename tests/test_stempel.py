@@ -57,3 +57,22 @@ def test_never_throws_fuzz():
     # mixed scripts / punctuation
     for w in ["日本語", "a-b", "ŁÓDŹ", "", "x", "żółć" * 20]:
         stempel_filter([w])
+
+
+def test_monitor_query_serializer(tmp_path):
+    """save/load of the percolator's query registrations
+    (MonitorQuerySerializer role)."""
+    import pytest as _pytest
+
+    from lucene_ray.monitor import load_queries, save_queries
+
+    qs = [(1, {"should": ["a", "b"], "msm": 1}),
+          (2, {"phrase": ["x", "y"]}),
+          (3, {"must": ["k"]})]
+    p = str(tmp_path / "queries.jsonl")
+    save_queries(p, qs)
+    assert load_queries(p) == qs
+    with open(p, "a") as f:
+        f.write("{broken\n")
+    with _pytest.raises(Exception):
+        load_queries(p)
