@@ -40,6 +40,11 @@ SUBSET = [
     "agg_histogram", "classify_confusion",
     "events_late_data", "events_sessionize", "agg_lineitem_pricing",
     "join_semi_broadcast", "ann_cosine_topk", "agg_quantity_quantiles",
+    # round-5 second continuation additions (+ the once-broken
+    # half-to-even entry)
+    "ft_intervals_algebra", "ft_function_query", "ft_memory_index",
+    "ft_classic_highlight", "ft_fvh_highlight", "ft_percolate_scored",
+    "ft_high_freq_terms", "ft_range_field",
 ]
 
 
