@@ -15339,3 +15339,47 @@ SELECT 'min', rank, d, vmin FROM (
   SELECT d, vmin, row_number() OVER (ORDER BY vmin ASC, d) AS rank
   FROM vals
 ) WHERE rank <= 20"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped faceting (grouping/TermGroupFacetCollector)
+
+def ft_group_facets(sf_dir: str) -> pa.Table:
+    """TermGroupFacetCollector (grouping/GroupFacetCollector.java role,
+    TermGroupFacetCollector.java:43): facet counts where each GROUP
+    counts once per facet value regardless of how many of its docs
+    carry it — facet = lang, group = source.  Scale shape: per-batch
+    distinct (group, facet) pairs, one groupby over the tiny pair set,
+    then a facet-level count; only distinct pairs cross the wire."""
+    import ray.data
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["source", "lang"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        # docs missing either field do not facet (the collector skips
+        # docs without the group/facet ordinal)
+        m = pc.and_(batch.column("source").is_valid(),
+                    batch.column("lang").is_valid())
+        return batch.filter(m).group_by(["source", "lang"]).aggregate([])
+
+    agg = ensure_cols(
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby(["source", "lang"]).count().to_pandas(),
+        ["source", "lang", "count()"])
+    out = agg.groupby("lang").size().reset_index(name="n_groups")
+    out = out.sort_values("lang").reset_index(drop=True)
+    return pa.table({
+        "lang": pa.array(out["lang"].astype(str)),
+        "n_groups": pa.array(out["n_groups"].astype("int64")),
+    })
+
+
+def oracle_group_facets_sql() -> str:
+    return """SELECT lang, CAST(count(DISTINCT source) AS BIGINT)
+       AS n_groups
+FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+GROUP BY lang"""
