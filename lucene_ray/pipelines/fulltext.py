@@ -15383,3 +15383,70 @@ def oracle_group_facets_sql() -> str:
        AS n_groups
 FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
 GROUP BY lang"""
+
+
+# ---------------------------------------------------------------------------
+# ToParentBlockJoinSortField (join module)
+
+def ft_blockjoin_sort(sf_dir: str) -> pa.Table:
+    """ToParentBlockJoinSortField (join/ToParentBlockJoinSortField.java
+    :35 over BlockJoinSelector.java:37 — sort PARENT docs by the
+    min/max of a child numeric docvalue): parents are the contiguous
+    repo blocks of the (repo, path)-ordered index; the child value is
+    the doc token length.  Emits parents ranked by MIN child length
+    asc and MAX child length desc, ties by repo.  Scale: one tiny
+    groupby over per-batch (repo, min, max) partials."""
+    import ray.data
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs = batch.column("source").to_pylist()
+        texts = batch.column("text").to_pylist()
+        lens = [len([w for w in (t or "").split(" ") if w])
+                for t in texts]
+        return pa.table({"source": pa.array(srcs),
+                         "lo": pa.array(lens, pa.int64()),
+                         "hi": pa.array(lens, pa.int64())})
+
+    from ray.data.aggregate import Max, Min
+    agg = ensure_cols(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source").aggregate(Min("lo", alias_name="vmin"),
+                                     Max("hi", alias_name="vmax"))
+        .to_pandas(), ["source", "vmin", "vmax"])
+    rows = []
+    by_min = agg.sort_values(["vmin", "source"]).reset_index(drop=True)
+    for rank, (_, r) in enumerate(by_min.iterrows(), 1):
+        rows.append(("min_asc", rank, str(r["source"]), int(r["vmin"])))
+    by_max = agg.sort_values(["vmax", "source"],
+                             ascending=[False, True]).reset_index(drop=True)
+    for rank, (_, r) in enumerate(by_max.iterrows(), 1):
+        rows.append(("max_desc", rank, str(r["source"]), int(r["vmax"])))
+    cols = list(zip(*rows)) if rows else [[]] * 4
+    return pa.table({"mode": pa.array(cols[0], pa.string()),
+                     "rank": pa.array(cols[1], pa.int64()),
+                     "repo": pa.array(cols[2], pa.string()),
+                     "value": pa.array(cols[3], pa.int64())})
+
+
+def oracle_blockjoin_sort_sql() -> str:
+    return """WITH v AS (
+  SELECT source,
+         min(len(list_filter(string_split(coalesce(text, ''), ' '),
+                             x -> x <> ''))) AS vmin,
+         max(len(list_filter(string_split(coalesce(text, ''), ' '),
+                             x -> x <> ''))) AS vmax
+  FROM documents GROUP BY source
+)
+SELECT 'min_asc' AS mode,
+       CAST(row_number() OVER (ORDER BY vmin, source) AS BIGINT)
+         AS rank,
+       source AS repo, CAST(vmin AS BIGINT) AS value FROM v
+UNION ALL
+SELECT 'max_desc',
+       CAST(row_number() OVER (ORDER BY vmax DESC, source) AS BIGINT),
+       source, CAST(vmax AS BIGINT) FROM v"""
