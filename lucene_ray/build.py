@@ -2078,11 +2078,25 @@ def pk_version_lookup(index_dir: str, keys: "list[str]"
     out: dict[str, int] = {}
     kset = set(keys)
     karr = pa.array(sorted(kset), pa.string())
-    for f in sorted(os.listdir(vdir)):
-        if not f.endswith(".parquet"):
-            continue
-        t = pq.read_table(os.path.join(vdir, f),
-                          filters=[("key", "in", karr)])
+    gens = sorted(f for f in os.listdir(vdir) if f.endswith(".parquet"))
+    for f in reversed(gens):                  # newest first
+        path = os.path.join(vdir, f)
+        if len(out) == len(kset) and out:
+            # every key already answered: a generation whose file-level
+            # max(version) statistic cannot beat the weakest answer is
+            # skipped without reading rows
+            floor = min(out.values())
+            md = pq.ParquetFile(path).metadata
+            gmax = None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(1).statistics
+                if st is None or st.max is None:
+                    gmax = None
+                    break
+                gmax = st.max if gmax is None else max(gmax, st.max)
+            if gmax is not None and gmax <= floor:
+                continue
+        t = pq.read_table(path, filters=[("key", "in", karr)])
         for k, v in zip(t.column("key").to_pylist(),
                         t.column("version").to_pylist()):
             if k in kset and (k not in out or v > out[k]):

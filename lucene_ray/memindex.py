@@ -58,7 +58,9 @@ class MemoryIndex:
         st = self._fields.setdefault(
             field, {"terms": {}, "len": 0, "last_pos": -1,
                     "last_off": 0})
-        if self.store_offsets:
+        if tokenize_fn is not None:
+            items = [(t, -1, -1) for t in tokenize_fn(text)]
+        elif self.store_offsets:
             toks = tokenize_with_offsets(text)
             items = [(t, s, e) for t, s, e in zip(*toks)] \
                 if isinstance(toks, tuple) else toks

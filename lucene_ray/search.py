@@ -2832,10 +2832,7 @@ def token_stream_to_term_automaton(tokens,
             pos += pos_inc
         end_pos = pos + pos_len
         state = max(state, end_pos)
-        if term == ANY_TERM:
-            transitions.append((pos, ANY_TERM, end_pos))
-        else:
-            transitions.append((pos, term, end_pos))
+        transitions.append((pos, term, end_pos))
     if state < 0:
         raise ValueError("empty token stream")
     return transitions, {state}

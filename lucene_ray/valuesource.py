@@ -289,8 +289,13 @@ class _Pow(VS):
         # repo's scalar-transcendental rule)
         pairs = np.stack([av, bv], axis=1)
         uniq, inv = np.unique(pairs, axis=0, return_inverse=True)
-        vals = np.array([math.pow(x, y) for x, y in uniq],
-                        dtype=np.float64)
+        # (float)Math.pow follows IEEE 754: negative base with a
+        # fractional exponent is NaN, 0^negative is +Inf — math.pow
+        # RAISES there, so route those through np.power (same libm
+        # pow on the normal path)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            vals = np.array([np.power(x, y) for x, y in uniq],
+                            dtype=np.float64)
         return vals[inv].astype(np.float32)
 
     def sql(self, ctx):
@@ -386,9 +391,14 @@ class _Scale(VS):
         return v[ok].min(), v[ok].max()
 
     def eval(self, ctx):
-        mn, mx = self._info(ctx)
+        v = self.src.eval(ctx)
+        ok = ~np.isnan(v)
+        if not ok.any():
+            mn = mx = _F(0.0)
+        else:
+            mn, mx = v[ok].min(), v[ok].max()
         scale = _F(0.0) if mx - mn == 0 else (self.hi - self.lo) / (mx - mn)
-        return (self.src.eval(ctx) - mn) * scale + self.lo
+        return (v - mn) * scale + self.lo
 
     def sql(self, ctx):
         # the min/max pass is an index-wide aggregate; in SQL it is a
