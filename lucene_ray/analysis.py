@@ -824,6 +824,19 @@ def delimited_tf_stream(toks: list[str]) -> list[str]:
     return out
 
 
+def concatenate_graph_stream(tokens: "list[str]", preserve_sep: bool = True
+                             ) -> "list[str]":
+    """ConcatenateGraphFilter (miscellaneous/ConcatenateGraphFilter.java
+    :58): concatenate the whole token stream into ONE token, separated
+    by SEP_LABEL (U+001F) when ``preserve_sep`` (the default) — the
+    SuggestField / completion-FST input surface.  An empty stream
+    produces no token."""
+    if not tokens:
+        return []
+    sep = "\u001f" if preserve_sep else ""
+    return [sep.join(tokens)]
+
+
 STREAM_FILTERS = {"cjk": cjk_bigram_stream,
                   "edge_ngram": edge_ngram_stream,
                   "ngram": ngram_stream,
@@ -836,7 +849,8 @@ STREAM_FILTERS = {"cjk": cjk_bigram_stream,
                   "fingerprint": fingerprint_stream,
                   "limit20": limit_count_stream,
                   "delimited_tf": delimited_tf_stream,
-                  "porter2_repeat": porter2_repeat_stream}
+                  "porter2_repeat": porter2_repeat_stream,
+                  "concatenate_graph": concatenate_graph_stream}
 
 
 def get_stream_filter(name: "str | None"):

@@ -15908,3 +15908,33 @@ UNION ALL
 SELECT 'max_desc',
        CAST(row_number() OVER (ORDER BY vmax DESC, source) AS BIGINT),
        source, CAST(vmax AS BIGINT) FROM v"""
+
+
+def ft_concatenate_graph(sf_dir: str) -> pa.Table:
+    """ConcatenateGraphFilter (miscellaneous/ConcatenateGraphFilter.java
+    :58, the SuggestField completion-input surface): the whole token
+    stream concatenates into one U+001F-separated token — df counts
+    docs sharing an identical token stream. Top-60 by (df desc, term)
+    like the other vocab gates."""
+    from ..analysis import concatenate_graph_stream
+    return _rawtok_stats(
+        sf_dir,
+        lambda tx, d: concatenate_graph_stream(_words(tx)))
+
+
+def oracle_concatenate_graph_sql() -> str:
+    # one token per nonempty doc: the space-joined stream with U+001F
+    return """WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ' '),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+terms AS (
+  SELECT array_to_string(ws, chr(31)) AS term FROM toks
+  WHERE len(ws) > 0
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       CAST(count(*) AS BIGINT) AS ttf
+FROM terms GROUP BY term
+ORDER BY df DESC, term LIMIT 60"""
