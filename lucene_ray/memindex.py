@@ -89,6 +89,8 @@ class MemoryIndex:
     def reset(self) -> None:
         """MemoryIndex.reset(): reuse the instance for the next doc."""
         self._fields.clear()
+        if hasattr(self, "_typed"):
+            self._typed = {"points": {}, "dv": {}, "vec": {}}
         self._frozen = False
 
     # -- reader surface -------------------------------------------------
@@ -172,3 +174,115 @@ class MemoryIndex:
                 matched = True
                 total = total + np.float64(self._clause_score(field, f))
         return _F(total) if matched else _F(0.0)
+
+
+# -- typed fields (points / doc values / kNN vectors) -------------------
+
+def _check_frozen(mi: "MemoryIndex") -> None:
+    if mi._frozen:
+        raise RuntimeError("frozen MemoryIndex cannot be modified")
+
+
+class TypedFields:
+    """Point / docvalue / vector field surface of MemoryIndex
+    (MemoryIndex.java:246 fromDocument indexes IntPoint/LongPoint/
+    FloatPoint/DoublePoint multi-valued per doc, NumericDocValues etc.,
+    and at most ONE KnnFloatVectorField value per field —
+    TestMemoryIndex.testKnnFloatVectorOnlyOneVectorAllowed)."""
+
+
+def _typed_state(mi: "MemoryIndex") -> dict:
+    st = getattr(mi, "_typed", None)
+    if st is None:
+        st = mi._typed = {"points": {}, "dv": {}, "vec": {}}
+    return st
+
+
+def _add_point(mi, field: str, *values) -> None:
+    _check_frozen(mi)
+    _typed_state(mi)["points"].setdefault(field, []).extend(
+        float(v) for v in values)
+
+
+def _add_docvalue(mi, field: str, value) -> None:
+    _check_frozen(mi)
+    dv = _typed_state(mi)["dv"]
+    if field in dv:
+        raise ValueError(
+            f"Only one value per field allowed for [{field}]")
+    dv[field] = value
+
+
+def _add_vector(mi, field: str, vec, similarity: str = "euclidean"
+                ) -> None:
+    _check_frozen(mi)
+    vecs = _typed_state(mi)["vec"]
+    if field in vecs:
+        raise ValueError(
+            f"Only one value per field allowed for [{field}]")
+    vecs[field] = (np.asarray(vec, np.float32), similarity)
+
+
+def _point_match(mi, field: str, lo: float, hi: float) -> bool:
+    """True when ANY point value of the field lies in [lo, hi]
+    (PointRangeQuery over the single doc)."""
+    vals = _typed_state(mi)["points"].get(field)
+    if not vals:
+        return False
+    return any(lo <= v <= hi for v in vals)
+
+
+def _point_exact(mi, field: str, v: float) -> bool:
+    return _point_match(mi, field, v, v)
+
+
+def _point_in_set(mi, field: str, values) -> bool:
+    vals = _typed_state(mi)["points"].get(field)
+    if not vals:
+        return False
+    s = {float(v) for v in values}
+    return any(v in s for v in vals)
+
+
+def _vector_value(mi, field: str):
+    e = _typed_state(mi)["vec"].get(field)
+    return None if e is None else e[0]
+
+
+def _vector_score(mi, field: str, q) -> np.float32:
+    """VectorSimilarityFunction score conventions
+    (index/VectorSimilarityFunction.java): EUCLIDEAN 1/(1+d²),
+    DOT_PRODUCT (1+dot)/2, COSINE (1+cos)/2, MAXIMUM_INNER_PRODUCT's
+    scaled sigmoid-free mapping."""
+    e = _typed_state(mi)["vec"].get(field)
+    if e is None:
+        raise KeyError(field)
+    v, sim = e
+    q = np.asarray(q, np.float32)
+    if sim == "euclidean":
+        d2 = np.float32(np.dot((v - q).astype(np.float64),
+                               (v - q).astype(np.float64)))
+        return np.float32(1.0) / (np.float32(1.0) + d2)
+    dot = np.float32(np.dot(v.astype(np.float64), q.astype(np.float64)))
+    if sim == "dot_product":
+        return np.float32((1.0 + float(dot)) / 2.0)
+    if sim == "cosine":
+        cos = float(dot) / float(np.linalg.norm(v) * np.linalg.norm(q))
+        return np.float32((1.0 + cos) / 2.0)
+    if sim == "max_inner_product":
+        d = float(dot)
+        return np.float32(1 / (1 - d)) if d < 0 \
+            else np.float32(d + 1.0)
+    raise ValueError(sim)
+
+
+MemoryIndex.add_point_field = _add_point
+MemoryIndex.add_docvalue = _add_docvalue
+MemoryIndex.add_vector = _add_vector
+MemoryIndex.point_range = _point_match
+MemoryIndex.point_exact = _point_exact
+MemoryIndex.point_in_set = _point_in_set
+MemoryIndex.vector_value = _vector_value
+MemoryIndex.vector_score = _vector_score
+MemoryIndex.doc_value = lambda mi, field: \
+    _typed_state(mi)["dv"].get(field)

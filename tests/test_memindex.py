@@ -62,3 +62,55 @@ def test_phrase_and_must():
     # MUST gate: absent must term kills the match entirely
     assert mi.search([("must", "zz"), ("term", "a")]) == np.float32(0.0)
     assert mi.search([("must", "a"), ("term", "c")]) > 0
+
+
+def test_point_values_reference_battery():
+    """TestMemoryIndex.testPointValues (:468-533): odd numbers 1..31
+    multi-valued; exact/set/range single-doc counts."""
+    mi = MemoryIndex()
+    mi.add_point_field("number", *range(1, 32, 2))
+    assert mi.point_exact("number", 5)
+    assert not mi.point_exact("number", 4)
+    assert mi.point_in_set("number", [3, 9, 19])
+    assert mi.point_in_set("number", [2, 8, 13])
+    assert not mi.point_in_set("number", [2, 8, 16])
+    assert mi.point_range("number", 2, 16)
+    assert mi.point_range("number", 24, 48)
+    assert not mi.point_range("number", 48, 68)
+
+
+def test_knn_vectors_reference_battery():
+    """TestMemoryIndex.testKnnFloatVectors (:760-797) +
+    OnlyOneVectorAllowed (:751)."""
+    import pytest as _pytest
+
+    mi = MemoryIndex()
+    mi.add_vector("knnFloatA", [1.0, 2.0])
+    mi.add_vector("knnFloatB", [3.0, 4.0, 5.0, 6.0])
+    mi.add_vector("knnFloatC", [7.0, 8.0, 9.0],
+                  similarity="dot_product")
+    assert mi.vector_value("knnFloatA").tolist() == [1.0, 2.0]
+    assert mi.vector_score("knnFloatA", [1.0, 1.0]) == np.float32(0.5)
+    assert mi.vector_score(
+        "knnFloatB", [3.0, 3.0, 3.0, 3.0]) == np.float32(0.06666667)
+    assert mi.vector_score(
+        "knnFloatC", [7.0, 7.0, 7.0]) == np.float32(84.5)
+    assert mi.vector_value("knnFloatMissing") is None
+    with _pytest.raises(ValueError):
+        mi.add_vector("knnFloatA", [9.0, 9.0])
+
+
+def test_typed_freeze_and_reset():
+    import pytest as _pytest
+
+    mi = MemoryIndex()
+    mi.add_point_field("p", 1)
+    mi.add_docvalue("dv", 42)
+    mi.freeze()
+    with _pytest.raises(RuntimeError):
+        mi.add_point_field("p", 2)
+    with _pytest.raises(RuntimeError):
+        mi.add_vector("v", [1.0])
+    mi.reset()
+    assert not mi.point_exact("p", 1)
+    assert mi.doc_value("dv") is None
