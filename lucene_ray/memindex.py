@@ -286,3 +286,48 @@ MemoryIndex.vector_value = _vector_value
 MemoryIndex.vector_score = _vector_score
 MemoryIndex.doc_value = lambda mi, field: \
     _typed_state(mi)["dv"].get(field)
+
+
+def _add_byte_vector(mi, field: str, vec, similarity: str = "euclidean"
+                     ) -> None:
+    _check_frozen(mi)
+    vecs = _typed_state(mi).setdefault("bvec", {})
+    if field in vecs:
+        raise ValueError(
+            f"Only one value per field allowed for [{field}]")
+    v = np.asarray(vec, np.int8)
+    vecs[field] = (v, similarity)
+
+
+def _byte_vector_value(mi, field: str):
+    e = _typed_state(mi).get("bvec", {}).get(field)
+    return None if e is None else e[0]
+
+
+def _byte_vector_score(mi, field: str, q) -> np.float32:
+    """Byte VectorSimilarityFunction conventions
+    (index/VectorSimilarityFunction.java — byte DOT_PRODUCT scales as
+    0.5 + dot / (dims * 2^15); EUCLIDEAN is 1/(1+d²) like floats)."""
+    e = _typed_state(mi).get("bvec", {}).get(field)
+    if e is None:
+        raise KeyError(field)
+    v, sim = e
+    q = np.asarray(q, np.int8)
+    vi = v.astype(np.int64)
+    qi = q.astype(np.int64)
+    if sim == "euclidean":
+        d2 = int(((vi - qi) ** 2).sum())
+        return np.float32(1.0) / (np.float32(1.0) + np.float32(d2))
+    dot = int((vi * qi).sum())
+    if sim == "dot_product":
+        return np.float32(0.5 + dot / (len(v) * (1 << 15)))
+    if sim == "cosine":
+        cos = dot / float(np.sqrt((vi * vi).sum())
+                          * np.sqrt((qi * qi).sum()))
+        return np.float32((1.0 + cos) / 2.0)
+    raise ValueError(sim)
+
+
+MemoryIndex.add_byte_vector = _add_byte_vector
+MemoryIndex.byte_vector_value = _byte_vector_value
+MemoryIndex.byte_vector_score = _byte_vector_score

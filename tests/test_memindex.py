@@ -114,3 +114,22 @@ def test_typed_freeze_and_reset():
     mi.reset()
     assert not mi.point_exact("p", 1)
     assert mi.doc_value("dv") is None
+
+
+def test_knn_byte_vectors_reference_battery():
+    """TestMemoryIndex.testKnnByteVectors (:807-843)."""
+    import pytest as _pytest
+
+    mi = MemoryIndex()
+    mi.add_byte_vector("knnByteA", [1, 2])
+    mi.add_byte_vector("knnByteB", [3, 4, 5, 6])
+    mi.add_byte_vector("knnByteC", [7, 8, 9], similarity="dot_product")
+    assert mi.byte_vector_value("knnByteA").tolist() == [1, 2]
+    assert mi.byte_vector_score("knnByteA", [1, 1]) == np.float32(0.5)
+    assert mi.byte_vector_score(
+        "knnByteB", [3, 3, 3, 3]) == np.float32(0.06666667)
+    assert mi.byte_vector_score(
+        "knnByteC", [7, 7, 7]) == np.float32(0.501709)
+    assert mi.byte_vector_value("knnByteMissing") is None
+    with _pytest.raises(ValueError):
+        mi.add_byte_vector("knnByteA", [9])
