@@ -15938,3 +15938,55 @@ SELECT term, CAST(count(*) AS BIGINT) AS df,
        CAST(count(*) AS BIGINT) AS ttf
 FROM terms GROUP BY term
 ORDER BY df DESC, term LIMIT 60"""
+
+
+DV_TERMS_QUERIES = [(1, "lang", ["de", "fr"]),
+                    (2, "source", ["src1"]),
+                    (3, "lang", ["zz"])]
+
+
+def ft_dv_terms(sf_dir: str) -> pa.Table:
+    """DocValuesTermsQuery (queries/src/java/org/apache/lucene/queries/
+    DocValuesTermsQuery.java:74): docs whose sorted docvalue is one of
+    the query terms — the docvalue-side dual of TermInSetQuery (used
+    when the filter field is docvalues-only). Map-only per-batch
+    membership counts."""
+    import ray.data
+
+    import pyarrow.compute as pc
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["source", "lang"])
+    _SCHEMA = pa.schema([("qid", pa.int64()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _SCHEMA.empty_table()
+        qids, ns = [], []
+        for qid, field, terms in DV_TERMS_QUERIES:
+            m = pc.is_in(batch.column(field),
+                         value_set=pa.array(terms, pa.string()))
+            m = pc.fill_null(m, False)
+            qids.append(qid)
+            ns.append(int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0))
+        return pa.table({"qid": pa.array(qids, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    agg = ensure_cols(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("qid").sum("n").to_pandas(), ["qid", "sum(n)"])
+    agg = agg.sort_values("qid").reset_index(drop=True)
+    return pa.table({"qid": pa.array(agg["qid"].astype("int64")),
+                     "n": pa.array(agg["sum(n)"].astype("int64"))})
+
+
+def oracle_dv_terms_sql() -> str:
+    parts = []
+    for qid, field, terms in DV_TERMS_QUERIES:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        parts.append(f"SELECT {qid} AS qid, "
+                     f"CAST(count(*) FILTER ({field} IN ({tl})) "
+                     f"AS BIGINT) AS n FROM documents")
+    return "\nUNION ALL\n".join(parts)
