@@ -166,12 +166,20 @@ class ScoredPercolatorStage:
         self.id_column = id_column
         self.text_column = text_column
 
-    @staticmethod
-    def _term_score(freq: int, dl: int) -> np.float32:
-        from .bm25 import scorer
-        from .smallfloat import int_to_byte4
-        sc = scorer(1, 1, dl)
-        nb = int(int_to_byte4(np.array([dl], np.int64))[0])
+    _scorer_cache: dict = {}
+
+    @classmethod
+    def _term_score(cls, freq: int, dl: int) -> np.float32:
+        ent = cls._scorer_cache.get(dl)
+        if ent is None:
+            from .bm25 import scorer
+            from .smallfloat import int_to_byte4
+            sc = scorer(1, 1, dl)
+            nb = int(int_to_byte4(np.array([dl], np.int64))[0])
+            ent = cls._scorer_cache[dl] = (sc, nb)
+            if len(cls._scorer_cache) > 65536:
+                cls._scorer_cache.clear()
+        sc, nb = ent
         return sc.score(np.array([freq], np.int64),
                         np.array([nb], np.uint8))[0]
 
