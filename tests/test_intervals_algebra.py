@@ -418,3 +418,110 @@ def test_patience_knn_early_exit():
     # after the first candidate round but still returns entry results
     tiny = g.search(q, 5, ef=50, patience=0)
     assert len(tiny) >= 1
+
+
+def _closure(cands):
+    """Containment-minimal closure + dedup, sorted by (start, end)."""
+    out = []
+    cs = sorted(set(cands))
+    for s, e in cs:
+        if not any((s2 >= s and e2 <= e and (s2, e2) != (s, e))
+                   for s2, e2 in cs):
+            out.append((s, e))
+    return out
+
+
+def test_randomized_minimal_closure_differential():
+    """The literal iterator transcriptions must emit exactly the
+    containment-minimal closure of the naive candidate enumeration for
+    ordered / unordered / or / phrase over term leaves (the equivalence
+    the SQL oracles rely on). 400 random documents x random trees."""
+    import itertools
+    import random
+
+    rng = random.Random(42)
+    vocab = list("abcde")
+    for trial in range(400):
+        n = rng.randint(0, 14)
+        doc = [rng.choice(vocab) for _ in range(n)]
+        pos = {}
+        for i, t in enumerate(doc):
+            pos.setdefault(t, []).append(i)
+        gp = lambda f, t: pos.get(t, [])
+        k = rng.randint(2, 3)
+        terms = rng.sample(vocab, k)
+        kind = rng.choice(["ordered", "unordered", "or", "phrase"])
+        if kind == "ordered":
+            src = iv.ordered(*[T(t) for t in terms])
+            cands = []
+            lists = [pos.get(t, []) for t in terms]
+            for combo in itertools.product(*lists):
+                if all(combo[i + 1] > combo[i]
+                       for i in range(len(combo) - 1)):
+                    cands.append((combo[0], combo[-1]))
+        elif kind == "unordered":
+            src = iv.unordered(*[T(t) for t in terms])
+            cands = []
+            lists = [pos.get(t, []) for t in terms]
+            for combo in itertools.product(*lists):
+                cands.append((min(combo), max(combo)))
+        elif kind == "phrase":
+            src = iv.phrase(*terms)
+            cands = []
+            lists = [pos.get(t, []) for t in terms]
+            for combo in itertools.product(*lists):
+                if all(combo[i + 1] == combo[i] + 1
+                       for i in range(len(combo) - 1)):
+                    cands.append((combo[0], combo[-1]))
+        else:
+            src = iv.or_(*[T(t) for t in terms])
+            cands = [(p, p) for t in terms for p in pos.get(t, [])]
+        if any(not pos.get(t) for t in terms) and kind != "or":
+            expected = []
+        else:
+            expected = _closure(cands)
+        got = [(s, e) for s, e, _g, _w in iv.eval_doc(src, gp)]
+        assert sorted(got) == expected, (
+            f"trial {trial} kind {kind} doc {doc} terms {terms}: "
+            f"{sorted(got)} != {expected}")
+
+
+def test_randomized_repeats_closure_differential():
+    """Repeated-term ordered/unordered trees (the RepeatingIntervals
+    path) also emit the containment-minimal closure of all
+    DISTINCT-position combinations."""
+    import itertools
+    import random
+
+    rng = random.Random(17)
+    vocab = list("abc")
+    for trial in range(300):
+        n = rng.randint(0, 12)
+        doc = [rng.choice(vocab) for _ in range(n)]
+        pos = {}
+        for i, t in enumerate(doc):
+            pos.setdefault(t, []).append(i)
+        gp = lambda f, t: pos.get(t, [])
+        terms = [rng.choice(vocab) for _ in range(rng.randint(2, 3))]
+        kind = rng.choice(["ordered", "unordered"])
+        lists = [pos.get(t, []) for t in terms]
+        cands = []
+        for combo in itertools.product(*lists):
+            if len(set(combo)) != len(combo):
+                continue                      # distinct positions
+            if kind == "ordered":
+                if all(combo[i + 1] > combo[i]
+                       for i in range(len(combo) - 1)):
+                    cands.append((combo[0], combo[-1]))
+            else:
+                cands.append((min(combo), max(combo)))
+        src = (iv.ordered if kind == "ordered" else iv.unordered)(
+            *[T(t) for t in terms])
+        if any(not pos.get(t) for t in set(terms)):
+            expected = []
+        else:
+            expected = _closure(cands)
+        got = [(s, e) for s, e, _g, _w in iv.eval_doc(src, gp)]
+        assert sorted(set(got)) == expected, (
+            f"trial {trial} kind {kind} doc {doc} terms {terms}: "
+            f"{sorted(set(got))} != {expected}")
