@@ -445,8 +445,14 @@ def stop_en_token_filter(tokens: list[str]) -> list[str | None]:
     return [None if t in ENGLISH_STOP_WORDS else t for t in tokens]
 
 
+def kstem_token_filter(term: str) -> str:
+    from .kstem import kstem
+    return kstem(term)
+
+
 TOKEN_FILTERS = {
     "english": english_token_filter,
+    "kstem": kstem_token_filter,
     "fold": fold_token_filter,
     # tokenizer-replacing analyzers whose chain includes the English
     # stop step (the tokenizer itself lives in lucene_ray.tokenizers)

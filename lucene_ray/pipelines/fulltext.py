@@ -15990,3 +15990,15 @@ def oracle_dv_terms_sql() -> str:
                      f"CAST(count(*) FILTER ({field} IN ({tl})) "
                      f"AS BIGINT) AS n FROM documents")
     return "\nUNION ALL\n".join(parts)
+
+
+def ft_kstem(sf_dir: str) -> pa.Table:
+    """KStem stemming (analysis/en/KStemFilter.java:44 over
+    KStemmer.java:72 — the dictionary-gated Krovetz stemmer): df/ttf of
+    the kstem-stemmed corpus vocabulary. Rows-only: the stem is gated
+    by a 27k-word built-in lexicon at every rule step (no SQL form);
+    exactness is enforced by the FULL 12,130-pair reference
+    kstemTestData vocabulary in tests/test_kstem.py."""
+    from ..kstem import kstem
+    return _rawtok_stats(
+        sf_dir, lambda tx, d: [kstem(w) for w in _words(tx)])
