@@ -445,6 +445,59 @@ def stop_en_token_filter(tokens: list[str]) -> list[str | None]:
     return [None if t in ENGLISH_STOP_WORDS else t for t in tokens]
 
 
+_KANA_NORM = [
+    0x30FB, 0x30F2, 0x30A1, 0x30A3, 0x30A5, 0x30A7, 0x30A9, 0x30E3,
+    0x30E5, 0x30E7, 0x30C3, 0x30FC, 0x30A2, 0x30A4, 0x30A6, 0x30A8,
+    0x30AA, 0x30AB, 0x30AD, 0x30AF, 0x30B1, 0x30B3, 0x30B5, 0x30B7,
+    0x30B9, 0x30BB, 0x30BD, 0x30BF, 0x30C1, 0x30C4, 0x30C6, 0x30C8,
+    0x30CA, 0x30CB, 0x30CC, 0x30CD, 0x30CE, 0x30CF, 0x30D2, 0x30D5,
+    0x30D8, 0x30DB, 0x30DE, 0x30DF, 0x30E0, 0x30E1, 0x30E2, 0x30E4,
+    0x30E6, 0x30E8, 0x30E9, 0x30EA, 0x30EB, 0x30EC, 0x30ED, 0x30EF,
+    0x30F3, 0x3099, 0x309A]
+_KANA_COMBINE_VOICED = [
+    78, 0, 0, 0, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1,
+    0, 1, 0, 1, 0, 1, 0, 0, 1, 0, 1, 0, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0,
+    1, 0, 0, 1, 0, 0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 8, 8, 8, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1]
+_KANA_COMBINE_HALF_VOICED = [
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, 0, 0,
+    2, 0, 0, 2, 0, 0, 2, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def cjk_width_filter(term: str) -> str:
+    """CJKWidthFilter (analysis/cjk/CJKWidthFilter.java:36): fullwidth
+    ASCII variants fold to basic latin; halfwidth katakana folds to
+    kana, with FF9E/FF9F voice marks combined into the preceding kana
+    when a composed form exists (KANA_COMBINE tables; otherwise they
+    map to the combining marks 3099/309A)."""
+    text = list(term)
+    i = 0
+    while i < len(text):
+        ch = ord(text[i])
+        if 0xFF01 <= ch <= 0xFF5E:
+            text[i] = chr(ch - 0xFEE0)
+        elif 0xFF65 <= ch <= 0xFF9F:
+            if ch in (0xFF9E, 0xFF9F) and i > 0:
+                prev = ord(text[i - 1])
+                if 0x30A6 <= prev <= 0x30FD:
+                    d = (_KANA_COMBINE_HALF_VOICED if ch == 0xFF9F
+                         else _KANA_COMBINE_VOICED)[prev - 0x30A6]
+                    if d:
+                        text[i - 1] = chr(prev + d)
+                        del text[i]
+                        continue
+            text[i] = chr(_KANA_NORM[ch - 0xFF65])
+        i += 1
+    return "".join(text)
+
+
+def upper_case_filter(term: str) -> str:
+    """UpperCaseFilter (core/UpperCaseFilter.java:33)."""
+    return term.upper()
+
+
 def kstem_token_filter(term: str) -> str:
     from .kstem import kstem
     return kstem(term)
@@ -453,6 +506,8 @@ def kstem_token_filter(term: str) -> str:
 TOKEN_FILTERS = {
     "english": english_token_filter,
     "kstem": kstem_token_filter,
+    "cjk_width": cjk_width_filter,
+    "upper": upper_case_filter,
     "fold": fold_token_filter,
     # tokenizer-replacing analyzers whose chain includes the English
     # stop step (the tokenizer itself lives in lucene_ray.tokenizers)

@@ -83,3 +83,19 @@ def test_never_throws_fuzz():
         out = kstem(w)
         assert isinstance(out, str)
     assert isinstance(_DICT, dict) and len(_DICT) > 27000
+
+
+def test_cjk_width_filter_reference_cases():
+    """TestCJKWidthFilter.java:30-47 cases + the uncombinable voice
+    mark fallback to combining marks 3099/309A."""
+    from lucene_ray.analysis_en import cjk_width_filter as f
+
+    assert f("Ｔｅｓｔ １２３４") == "Test 1234"
+    assert f("ｶﾀｶﾅ") == "カタカナ"
+    assert f("ｳﾞｨｯﾂ") == "ヴィッツ"
+    assert f("ﾊﾟﾅｿﾆｯｸ") == "パナソニック"
+    # voice mark with no preceding combinable kana: fallback mapping
+    assert f("ﾞ") == "゙"
+    assert f("ｱﾟ") == "ア゚"      # ア cannot take half-voicing
+    from lucene_ray.analysis_en import upper_case_filter
+    assert upper_case_filter("abc") == "ABC"
