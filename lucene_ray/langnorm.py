@@ -115,6 +115,49 @@ def scandinavian_normalize(w: str) -> str:
     return "".join(out)
 
 
+def norwegian_normalize(w: str) -> str:
+    """NorwegianNormalizationFilter (no/NorwegianNormalizationFilter
+    .java:33): ScandinavianNormalizer with foldings {AE, OE, AA} only —
+    unlike the full filter, 'ao' and 'oo' digraphs do NOT fold
+    (ScandinavianNormalizer.java:63-106); ä/ö single-char mappings are
+    unconditional."""
+    out: list[str] = []
+    i, n = 0, len(w)
+    while i < n:
+        c = w[i]
+        nxt = w[i + 1] if i + 1 < n else "\x00"
+        if c == "ä":
+            out.append("æ")
+        elif c == "Ä":
+            out.append("Æ")
+        elif c == "ö":
+            out.append("ø")
+        elif c == "Ö":
+            out.append("Ø")
+        elif c == "a" and nxt in "aA":
+            out.append("å")
+            i += 1
+        elif c == "A" and nxt in "aA":
+            out.append("Å")
+            i += 1
+        elif c == "a" and nxt in "eE":
+            out.append("æ")
+            i += 1
+        elif c == "A" and nxt in "eE":
+            out.append("Æ")
+            i += 1
+        elif c == "o" and nxt in "eE":
+            out.append("ø")
+            i += 1
+        elif c == "O" and nxt in "eE":
+            out.append("Ø")
+            i += 1
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def scandinavian_fold(w: str) -> str:
     out: list[str] = []
     i, n = 0, len(w)
@@ -450,6 +493,7 @@ def irish_lower(w: str) -> str:
 NORMALIZERS = {
     "german_normalize": german_normalize,
     "scandinavian_normalize": scandinavian_normalize,
+    "norwegian_normalize": norwegian_normalize,
     "scandinavian_fold": scandinavian_fold,
     "turkish_lower": turkish_lower,
     "greek_lower": greek_lower,

@@ -99,3 +99,19 @@ def test_cjk_width_filter_reference_cases():
     assert f("ｱﾟ") == "ア゚"      # ア cannot take half-voicing
     from lucene_ray.analysis_en import upper_case_filter
     assert upper_case_filter("abc") == "ABC"
+
+
+def test_norwegian_normalization_subset():
+    """NorwegianNormalizationFilter = ScandinavianNormalizer with
+    {AE, OE, AA} only: 'ao'/'oo' digraphs do not fold (unlike the full
+    ScandinavianNormalizationFilter)."""
+    from lucene_ray.langnorm import (norwegian_normalize as no,
+                                     scandinavian_normalize as sc)
+
+    assert no("aepler") == "æpler"
+    assert no("oere") == "øre"
+    assert no("aakrene") == "åkrene"
+    assert no("blaabaersyltetoey") == "blåbærsyltetøy"
+    # the distinguishing cases
+    assert no("hao") == "hao" and sc("hao") == "hå"
+    assert no("ör") == "ør" and no("Äpel") == "Æpel"
