@@ -837,6 +837,40 @@ def concatenate_graph_stream(tokens: "list[str]", preserve_sep: bool = True
     return [sep.join(tokens)]
 
 
+def fixed_shingle_stream(tokens: "list[str]", size: int = 2,
+                         sep: str = " ") -> "list[str]":
+    """FixedShingleFilter (shingle/FixedShingleFilter.java:44): emits
+    ONLY shingles of exactly ``size`` adjacent tokens (no unigrams, no
+    smaller tails), joined by the token separator."""
+    if len(tokens) < size:
+        return []
+    return [sep.join(tokens[i:i + size])
+            for i in range(len(tokens) - size + 1)]
+
+
+def delimited_boost_stream(tokens: "list[str]", delimiter: str = "|"
+                           ) -> "list[str]":
+    """DelimitedBoostTokenFilter (boost/DelimitedBoostTokenFilter
+    .java:35): a trailing ``|boost`` payload parses into the boost
+    attribute and is stripped from the term; tokens without the
+    delimiter pass through.  Registry divergence (same stance as
+    delimited_tf): a malformed float passes through unchanged instead
+    of raising — the repo's registered analyzers are never-throw."""
+    out = []
+    for t in tokens:
+        i = t.rfind(delimiter)
+        if i >= 0:
+            try:
+                float(t[i + 1:])
+            except ValueError:
+                out.append(t)
+                continue
+            out.append(t[:i])
+        else:
+            out.append(t)
+    return out
+
+
 STREAM_FILTERS = {"cjk": cjk_bigram_stream,
                   "edge_ngram": edge_ngram_stream,
                   "ngram": ngram_stream,
@@ -850,7 +884,9 @@ STREAM_FILTERS = {"cjk": cjk_bigram_stream,
                   "limit20": limit_count_stream,
                   "delimited_tf": delimited_tf_stream,
                   "porter2_repeat": porter2_repeat_stream,
-                  "concatenate_graph": concatenate_graph_stream}
+                  "concatenate_graph": concatenate_graph_stream,
+                  "fixed_shingle": fixed_shingle_stream,
+                  "delimited_boost": delimited_boost_stream}
 
 
 def get_stream_filter(name: "str | None"):

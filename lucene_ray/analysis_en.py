@@ -466,7 +466,7 @@ _KANA_COMBINE_HALF_VOICED = [
     0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 
 
-def cjk_width_filter(term: str) -> str:
+def cjk_width_one(term: str) -> str:
     """CJKWidthFilter (analysis/cjk/CJKWidthFilter.java:36): fullwidth
     ASCII variants fold to basic latin; halfwidth katakana folds to
     kana, with FF9E/FF9F voice marks combined into the preceding kana
@@ -493,14 +493,18 @@ def cjk_width_filter(term: str) -> str:
     return "".join(text)
 
 
-def upper_case_filter(term: str) -> str:
+def upper_case_filter(tokens: "list[str]") -> "list[str]":
     """UpperCaseFilter (core/UpperCaseFilter.java:33)."""
-    return term.upper()
+    return [t.upper() for t in tokens]
 
 
-def kstem_token_filter(term: str) -> str:
+def cjk_width_filter(tokens: "list[str]") -> "list[str]":
+    return [cjk_width_one(t) for t in tokens]
+
+
+def kstem_token_filter(tokens: "list[str]") -> "list[str]":
     from .kstem import kstem
-    return kstem(term)
+    return [kstem(t) for t in tokens]
 
 
 TOKEN_FILTERS = {

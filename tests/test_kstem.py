@@ -88,7 +88,7 @@ def test_never_throws_fuzz():
 def test_cjk_width_filter_reference_cases():
     """TestCJKWidthFilter.java:30-47 cases + the uncombinable voice
     mark fallback to combining marks 3099/309A."""
-    from lucene_ray.analysis_en import cjk_width_filter as f
+    from lucene_ray.analysis_en import cjk_width_one as f
 
     assert f("Ｔｅｓｔ １２３４") == "Test 1234"
     assert f("ｶﾀｶﾅ") == "カタカナ"
@@ -98,7 +98,7 @@ def test_cjk_width_filter_reference_cases():
     assert f("ﾞ") == "゙"
     assert f("ｱﾟ") == "ア゚"      # ア cannot take half-voicing
     from lucene_ray.analysis_en import upper_case_filter
-    assert upper_case_filter("abc") == "ABC"
+    assert upper_case_filter(["abc"]) == ["ABC"]
 
 
 def test_norwegian_normalization_subset():
