@@ -2159,3 +2159,31 @@ def upsert_documents_versioned(index_dir: str, new_corpus: str,
     pq.write_table(vt, tmp)
     os.replace(tmp, os.path.join(vdir, f"gen-{gen:06d}.parquet"))
     return applied.num_rows, rejected
+
+
+def index_info(index_dir: str, top_terms: int = 10) -> dict:
+    """Index overview — the Luke role (lucene/luke — Overview tab:
+    segment counts, doc counts, per-field term totals, top terms by
+    df) as one diagnostic dict over the manifest + dictionary Dataset.
+    Distributed: the dictionary never materializes beyond the top-k."""
+    from .search import IndexReader, termdict_stats_ds
+
+    r = IndexReader(index_dir)
+    kw = list(r.manifest.config.get("keyword_fields") or [])
+    dd = termdict_stats_ds(index_dir, [f"{f}:" for f in kw])
+    from ray.data.aggregate import Count, Sum
+    agg = dd.aggregate(Count(), Sum("df"), Sum("ttf"))
+    top = dd.sort(["df", "term"], descending=[True, False]) \
+        .limit(top_terms).to_pandas()
+    return {
+        "doc_count": int(r.doc_count),
+        "sum_ttf": int(r.sum_ttf),
+        "n_terms": int(agg["count()"]),
+        "sum_df": int(agg["sum(df)"]),
+        "sum_postings_ttf": int(agg["sum(ttf)"]),
+        "keyword_fields": kw,
+        "n_segments": len(r.manifest.bases)
+        if hasattr(r.manifest, "bases") else None,
+        "top_terms": [(row["term"], int(row["df"]))
+                      for _i, row in top.iterrows()],
+    }

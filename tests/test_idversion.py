@@ -79,3 +79,16 @@ def test_batch_highest_version_wins(vidx, tmp_path):
 
 def test_lookup_absent_and_missing_store(vidx):
     assert pk_version_lookup(vidx, ["nope"]) == {}
+
+
+def test_index_info_overview(vidx, ray_session):
+    """Luke-role index overview (lucene/luke Overview tab semantics)."""
+    from lucene_ray.build import index_info
+
+    info = index_info(vidx, top_terms=5)
+    assert info["doc_count"] == 80
+    assert info["n_terms"] > 0 and info["sum_df"] >= info["n_terms"]
+    assert len(info["top_terms"]) == 5
+    # df-descending
+    dfs = [d for _t, d in info["top_terms"]]
+    assert dfs == sorted(dfs, reverse=True)
