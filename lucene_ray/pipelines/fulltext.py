@@ -16002,3 +16002,105 @@ def ft_kstem(sf_dir: str) -> pa.Table:
     from ..kstem import kstem
     return _rawtok_stats(
         sf_dir, lambda tx, d: [kstem(w) for w in _words(tx)])
+
+
+# ---------------------------------------------------------------------------
+# Media probe (ffprobe role) over the deterministic probe lake
+
+class _MediaProbeStage:
+    """Actor-pool stage: synthesize each doc's container payload
+    (deterministic from doc_id — the probe-format side of the media
+    lake) and PROBE it back; the probe is what's under test, the
+    synthesis parameters are what the SQL oracle recomputes."""
+
+    def __init__(self):
+        from ..mediaprobe import media_probe
+        self._probe = media_probe
+
+    @staticmethod
+    def _payload(d: int) -> bytes:
+        import struct as st
+
+        def box(typ, payload):
+            return st.pack(">I4s", 8 + len(payload), typ) + payload
+
+        kind = d % 4
+        if kind == 0:                       # mp4, ts 1000
+            dur = d * 37 + 500
+            mvhd = box(b"mvhd", b"\x00" * 4 + b"\x00" * 8
+                       + st.pack(">II", 1000, dur) + b"\x00" * 80)
+            hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 14)
+            stsd = box(b"stsd", b"\x00" * 8 + box(b"avc1", b"\x00" * 70))
+            mdia = box(b"mdia", hdlr + box(b"minf", box(b"stbl", stsd)))
+            moov = box(b"moov", mvhd + box(b"trak", mdia))
+            return box(b"ftyp", b"isom" + b"\x00" * 8) + moov
+        if kind == 1:                       # flac 44100/2/16
+            total = d * 441 + 441
+            bits = (44100 << 44) | (1 << 41) | (15 << 36) | total
+            si = b"\x00" * 10 + bits.to_bytes(8, "big") + b"\x00" * 16
+            return b"fLaC" + bytes([0x80]) \
+                + len(si).to_bytes(3, "big") + si
+        if kind == 2:                       # mp3 with Xing frame count
+            frames = d % 50 + 10
+            hdr = st.pack(">I", (0x7FF << 21) | (3 << 19) | (1 << 17)
+                          | (9 << 12))
+            body = bytearray(b"\x00" * 200)
+            body[32:36] = b"Xing"
+            body[36:40] = st.pack(">I", 1)
+            body[40:44] = st.pack(">I", frames)
+            return hdr + bytes(body)
+        gran = d * 4410 + 4410              # ogg vorbis
+        packet = b"\x01vorbis" + b"\x00" * 4 + bytes([2]) \
+            + st.pack("<I", 44100) + b"\x00" * 12
+        page0 = b"OggS" + b"\x00\x02" + st.pack("<q", 0) \
+            + b"\x00" * 12 + bytes([1]) + bytes([len(packet)]) + packet
+        page1 = b"OggS" + b"\x00\x04" + st.pack("<q", gran) \
+            + b"\x00" * 12 + bytes([1]) + bytes([0])
+        return page0 + page1
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        fmts, rates, durs = [], [], []
+        for d in ids:
+            info = self._probe(self._payload(int(d)))
+            fmts.append(info["format"])
+            rates.append(int(info.get("sample_rate",
+                                      info.get("timescale", 0))))
+            durs.append(float(info["duration_s"]))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "format": pa.array(fmts, pa.string()),
+            "rate": pa.array(rates, pa.int64()),
+            "duration_s": pa.array(durs, pa.float64())})
+
+
+def media_probe_lake(sf_dir: str):
+    """ffprobe-role probe sweep (lucene_ray.mediaprobe — MP4 box walk,
+    FLAC STREAMINFO, MP3 headers + Xing, Ogg granule): metadata rows
+    for every payload of the deterministic probe lake, no codec
+    decode. Oracle recomputes the synthesis arithmetic."""
+    import ray.data
+
+    from lucene_ray.pipelines.util import typed_table
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+    out = ds.map_batches(_MediaProbeStage, batch_format="pyarrow",
+                         concurrency=2)
+    return typed_table(out, pa.schema(
+        [("doc_id", pa.int64()), ("format", pa.string()),
+         ("rate", pa.int64()), ("duration_s", pa.float64())]))
+
+
+def oracle_media_probe_sql() -> str:
+    return """SELECT doc_id,
+  CASE doc_id % 4 WHEN 0 THEN 'mp4' WHEN 1 THEN 'flac'
+       WHEN 2 THEN 'mp3' ELSE 'ogg' END AS format,
+  CASE doc_id % 4 WHEN 0 THEN 1000 ELSE 44100 END AS rate,
+  CASE doc_id % 4
+       WHEN 0 THEN CAST(doc_id * 37 + 500 AS DOUBLE) / 1000
+       WHEN 1 THEN CAST(doc_id * 441 + 441 AS DOUBLE) / 44100
+       WHEN 2 THEN CAST((doc_id % 50 + 10) * 1152 AS DOUBLE) / 44100
+       ELSE CAST(doc_id * 4410 + 4410 AS DOUBLE) / 44100 END
+    AS duration_s
+FROM documents"""

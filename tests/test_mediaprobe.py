@@ -1,0 +1,119 @@
+"""Media-probe gates: synthesized minimal-but-valid containers per the
+public specs, plus the corrupt-input ValueError contract."""
+
+import struct
+
+import pytest
+
+from lucene_ray.mediaprobe import (media_probe, probe_flac, probe_mp3,
+                                   probe_mp4, probe_ogg)
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(payload), typ) + payload
+
+
+def _mp4_bytes() -> bytes:
+    mvhd = _box(b"mvhd", b"\x00" + b"\x00" * 3
+                + b"\x00" * 8                      # ctime/mtime
+                + struct.pack(">II", 1000, 5500)   # timescale, duration
+                + b"\x00" * 80)
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 14)
+    stsd = _box(b"stsd", b"\x00" * 8
+                + _box(b"avc1", b"\x00" * 70))
+    stbl = _box(b"stbl", stsd)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", hdlr + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return _box(b"ftyp", b"isom" + b"\x00" * 8) + moov
+
+
+def test_mp4_probe():
+    info = probe_mp4(_mp4_bytes())
+    assert info["brand"] == "isom"
+    assert info["timescale"] == 1000
+    assert info["duration_s"] == 5.5
+    assert info["streams"] == [{"type": "vide", "codec": "avc1"}]
+    assert media_probe(_mp4_bytes())["format"] == "mp4"
+
+
+def _flac_bytes(rate=44100, ch=2, bps=16, total=441000) -> bytes:
+    bits = (rate << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+    si = b"\x00" * 10 + bits.to_bytes(8, "big") + b"\x00" * 16
+    return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+
+def test_flac_probe():
+    info = probe_flac(_flac_bytes())
+    assert info["sample_rate"] == 44100 and info["channels"] == 2
+    assert info["bits_per_sample"] == 16
+    assert info["duration_s"] == 10.0
+    assert media_probe(_flac_bytes())["format"] == "flac"
+
+
+def _mp3_bytes() -> bytes:
+    # MPEG1 Layer3, 128 kbps (idx 9), 44100 (idx 0), stereo (mode 0)
+    hdr = struct.pack(">I", (0x7FF << 21) | (3 << 19) | (1 << 17)
+                      | (9 << 12) | (0 << 10))
+    frame = hdr + b"\x00" * 400
+    return frame * 3
+
+
+def test_mp3_probe():
+    info = probe_mp3(_mp3_bytes())
+    assert info["sample_rate"] == 44100
+    assert info["bitrate"] == 128000
+    assert info["channels"] == 2 and info["mpeg_version"] == 1
+    assert info["duration_s"] > 0
+    # with an ID3v2 tag in front
+    tagged = b"ID3\x03\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 \
+        + _mp3_bytes()
+    assert probe_mp3(tagged)["bitrate"] == 128000
+
+
+def test_mp3_xing_frames():
+    hdr = struct.pack(">I", (0x7FF << 21) | (3 << 19) | (1 << 17)
+                      | (9 << 12) | (0 << 10))
+    body = bytearray(b"\x00" * 500)
+    body[32:36] = b"Xing"                      # side info 32 (stereo)
+    body[36:40] = struct.pack(">I", 1)         # flags: frames
+    body[40:44] = struct.pack(">I", 38)        # 38 frames
+    info = probe_mp3(hdr + bytes(body))
+    assert info["frames"] == 38
+    assert abs(info["duration_s"] - 38 * 1152 / 44100) < 1e-9
+
+
+def _ogg_bytes() -> bytes:
+    packet = b"\x01vorbis" + b"\x00" * 4 + bytes([2]) \
+        + struct.pack("<I", 44100) + b"\x00" * 12
+    seg = bytes([len(packet)])
+    page0 = b"OggS" + b"\x00\x02" + struct.pack("<q", 0) \
+        + b"\x00" * 12 + bytes([1]) + seg + packet
+    page1 = b"OggS" + b"\x00\x04" + struct.pack("<q", 88200) \
+        + b"\x00" * 12 + bytes([1]) + bytes([0])
+    return page0 + page1
+
+
+def test_ogg_probe():
+    info = probe_ogg(_ogg_bytes())
+    assert info["codec"] == "vorbis"
+    assert info["sample_rate"] == 44100 and info["channels"] == 2
+    assert info["duration_s"] == 2.0
+
+
+def test_corrupt_and_unknown_contracts():
+    with pytest.raises(ValueError):
+        media_probe(b"")
+    with pytest.raises(NotImplementedError):
+        media_probe(b"RIFFxxxxWEBP" + b"\x00" * 20)
+    with pytest.raises(ValueError):
+        probe_flac(b"fLaC\x80\x00\x00\x05short")
+    with pytest.raises(ValueError):
+        probe_mp4(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00")
+    with pytest.raises(ValueError):
+        probe_mp3(b"\x00" * 64)
+    # box overrun
+    bad = struct.pack(">I4s", 4096, b"ftyp") + b"\x00" * 8
+    with pytest.raises(ValueError):
+        probe_mp4(bad)
