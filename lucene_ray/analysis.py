@@ -1047,6 +1047,12 @@ def term_freq_batch(texts: list[str],
             toks = _ASCII_WORD.findall(text.lower())  # may contain "_"-only
             fast[d] = True
             if rewriter:
+                # pre-drop no-core runs BEFORE the rewriter — the
+                # StandardTokenizer never emits them, and the positions
+                # path filters them pre-rewrite too; only then can the
+                # late vocabulary drop be reserved for FILTER-MINTED
+                # grams (both paths must emit identical tokens)
+                toks = [t for t in toks if t.strip("_")]
                 # total rewriters (n-grams) run here too; the CJK chain
                 # is ascii_transparent and keeps the fast path free.
                 # Overlong ASCII docs took the exact branch instead: the

@@ -152,7 +152,7 @@ def probe_mp3(b: bytes) -> dict:
             | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
         off = 10 + size
     _need(b, off + 4, "mp3 frame header")
-    for i in range(off, min(len(b) - 4, off + 4096)):
+    for i in range(off, min(len(b) - 3, off + 4096)):
         h = struct.unpack_from(">I", b, i)[0]
         if (h >> 21) & 0x7FF != 0x7FF:
             continue
@@ -171,10 +171,13 @@ def probe_mp3(b: bytes) -> dict:
                "sample_rate": sample_rate,
                "bitrate": bitrate,
                "channels": 1 if ch_mode == 3 else 2}
-        # Xing/Info VBR header gives the exact frame count
+        # Xing/Info VBR header gives the exact frame count; a
+        # CRC-protected frame (protection bit 0) carries a 16-bit CRC
+        # between header and side info
         side = (32 if ch_mode != 3 else 17) if ver == 3 \
             else (17 if ch_mode != 3 else 9)
-        xoff = i + 4 + side
+        crc = 2 if ((h >> 16) & 1) == 0 else 0
+        xoff = i + 4 + crc + side
         if b[xoff:xoff + 4] in (b"Xing", b"Info") \
                 and len(b) >= xoff + 12:
             flags = struct.unpack_from(">I", b, xoff + 4)[0]
@@ -212,9 +215,21 @@ def probe_ogg(b: bytes) -> dict:
         rate = 48000                        # opus output rate
     else:
         raise NotImplementedError("ogg codec not recognized")
-    # last page's granule position = total samples
-    last = b.rfind(b"OggS")
-    gran = struct.unpack_from("<q", b, last + 6)[0] if last >= 0 else 0
+    # walk the page structure (never string-match into payload bytes:
+    # 'OggS' can occur inside packets) and keep the last granule
+    gran = 0
+    off = 0
+    while off + 27 <= len(b):
+        if b[off:off + 4] != b"OggS":
+            raise ValueError("ogg page desync")
+        g = struct.unpack_from("<q", b, off + 6)[0]
+        if g > 0:
+            gran = g
+        ns = b[off + 26]
+        _need(b, off + 27 + ns, "ogg segment table")
+        off = off + 27 + ns + sum(b[off + 27:off + 27 + ns])
+    if off != len(b):
+        raise ValueError("truncated ogg page")
     out = {"format": "ogg", "codec": codec, "channels": channels,
            "sample_rate": rate}
     if gran > 0 and rate:

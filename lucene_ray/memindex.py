@@ -59,7 +59,9 @@ class MemoryIndex:
             field, {"terms": {}, "len": 0, "last_pos": -1,
                     "last_off": 0})
         if tokenize_fn is not None:
-            items = [(t, -1, -1) for t in tokenize_fn(text)]
+            # custom analyzers carry no offset information; record the
+            # tokens without offsets rather than junk values
+            items = [(t, None, None) for t in tokenize_fn(text)]
         elif self.store_offsets:
             toks = tokenize_with_offsets(text)
             items = [(t, s, e) for t, s, e in zip(*toks)] \
@@ -75,7 +77,7 @@ class MemoryIndex:
                                            "off": []})
             d["freq"] += 1
             d["pos"].append(pos)
-            if self.store_offsets:
+            if self.store_offsets and so is not None:
                 d["off"].append((base_off + so, base_off + eo))
                 max_off = max(max_off, base_off + eo)
             st["last_pos"] = pos

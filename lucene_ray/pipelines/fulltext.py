@@ -14521,484 +14521,6 @@ FROM stats1 s WHERE {where}""")
 
 
 # ---------------------------------------------------------------------------
-# Span family completion: SpanOr, SpanContaining, SpanWithin,
-# FieldMaskingSpanQuery, SpanMultiTermQueryWrapper, SpanPayloadCheck
-
-_WPOS_CTE = """wpos AS (
-  SELECT d, unnest(string_split(text, ' ')) AS word,
-         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
-  FROM corpus
-)"""
-
-# (qid, or-term, phrase pair)
-SPAN_OR_QUERIES = [(1, "vector", ("the", "a")),
-                   (2, "key", ("slow", "fast"))]
-# (qid, big pair, slop, little term)
-SPAN_CONTAIN_QUERIES = [(1, ("the", "data"), 3, "a"),
-                        (2, ("hash", "merge"), 5, "join")]
-SPAN_MASK_QUERIES = [(1, "key", "value", 4)]     # (qid, t1, title t2, slop)
-SPAN_MT_PREFIXES = [(1, "val"), (2, "cust")]
-SPAN_PAYLOAD_CHECKS = [(1, "key", 120), (2, "table", 300)]  # offset >= C
-
-
-def _span_pairs(p1: dict, p2: dict, slop: int):
-    """NearSpansOrdered matches for two term clauses
-    (spans/NearSpansOrdered.java:95-120 stretchToOrder): every first-
-    clause position p chains to the FIRST second-clause start >= p+1
-    (span ends are exclusive), matchWidth = q - (p+1) <= slop; ALL
-    first positions enumerate — spans do not minimize."""
-    for d in sorted(p1):
-        b = p2.get(d)
-        if b is None:
-            continue
-        a = np.sort(np.asarray(p1[d], np.int64))
-        b = np.sort(np.asarray(b, np.int64))
-        idx = np.searchsorted(b, a + 1, side="left")
-        ok = idx < len(b)
-        q = b[np.minimum(idx, len(b) - 1)]
-        ok &= (q - (a + 1)) <= slop
-        if ok.any():
-            yield d, a[ok], q[ok]
-
-
-def ft_span_or(sf_dir: str) -> pa.Table:
-    """SpanOrQuery (queries/spans/SpanOrQuery.java:41): the union of
-    sub-span streams merged by (start, end) with NO suppression —
-    unlike interval or(), every clause's span is emitted. Clauses: a
-    SpanTermQuery plus a slop-0 ordered SpanNearQuery (phrase role).
-    Output: per-doc span count, Σstart, Σend (end exclusive,
-    Spans.endPosition convention)."""
-    from ..search import _term_positions
-
-    r = reader_for(sf_dir)
-    qids, docs, ns, ss, es = [], [], [], [], []
-    for qid, t, (pa_, pb) in SPAN_OR_QUERIES:
-        spans: dict[int, list] = {}
-        pos_t = _term_positions(r, t) or {}
-        for d, p in pos_t.items():
-            p = np.asarray(p, np.int64)
-            spans.setdefault(d, []).append((p, p + 1))
-        for d, s, q in _span_pairs(_term_positions(r, pa_) or {},
-                                   _term_positions(r, pb) or {}, 0):
-            spans.setdefault(d, []).append((s, q + 1))
-        for d in sorted(spans):
-            st = np.concatenate([x[0] for x in spans[d]])
-            en = np.concatenate([x[1] for x in spans[d]])
-            qids.append(qid)
-            docs.append(int(d))
-            ns.append(len(st))
-            ss.append(int(st.sum()))
-            es.append(int(en.sum()))
-    return pa.table({"qid": pa.array(qids, pa.int64()),
-                     "doc_id": pa.array(docs, pa.int64()),
-                     "n": pa.array(ns, pa.int64()),
-                     "s": pa.array(ss, pa.int64()),
-                     "e": pa.array(es, pa.int64())})
-
-
-def oracle_span_or_sql() -> str:
-    parts = []
-    for qid, t, (a, b) in SPAN_OR_QUERIES:
-        parts.append(f"""SELECT {qid} AS qid, d AS doc_id,
-       CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
-       CAST(sum(e) AS BIGINT) AS e
-FROM (
-  SELECT d, pos AS s, pos + 1 AS e FROM wpos WHERE word = '{t}'
-  UNION ALL
-  SELECT x.d, x.pos, y.pos + 1 FROM wpos x JOIN wpos y
-    ON y.d = x.d AND y.pos = x.pos + 1
-  WHERE x.word = '{a}' AND y.word = '{b}'
-) GROUP BY d""")
-    un = "\nUNION ALL\n".join(parts)
-    return f"WITH {_CORPUS_CTE},\n{_WPOS_CTE}\n{un}"
-
-
-def ft_span_containing(sf_dir: str) -> pa.Table:
-    """SpanContainingQuery + SpanWithinQuery
-    (queries/spans/SpanContainingQuery.java:33, SpanWithinQuery.java:33,
-    ContainSpans.java:25): big = two-term ordered SpanNearQuery, little
-    = a term. 'containing' emits big spans enclosing >= 1 little span;
-    'within' emits little spans enclosed by >= 1 big span. Both rows
-    per query id with a mode column."""
-    from ..search import _term_positions
-
-    r = reader_for(sf_dir)
-    rows = []
-    for qid, (t1, t2), slop, little in SPAN_CONTAIN_QUERIES:
-        pl = _term_positions(r, little) or {}
-        for d, s, q in _span_pairs(_term_positions(r, t1) or {},
-                                   _term_positions(r, t2) or {}, slop):
-            lp = np.sort(np.asarray(pl.get(d, ()), np.int64))
-            if len(lp):
-                # little span [r, r+1) inside big [s, q+1): s<=r<=q
-                lo = np.searchsorted(lp, s, side="left")
-                hi = np.searchsorted(lp, q, side="right")
-                big_keep = hi > lo
-                if big_keep.any():
-                    rows.append((qid, "containing", int(d),
-                                 int(big_keep.sum()),
-                                 int(s[big_keep].sum()),
-                                 int((q[big_keep] + 1).sum())))
-                # little within some big
-                inside = np.zeros(len(lp), bool)
-                for si, qi in zip(s.tolist(), q.tolist()):
-                    inside |= (lp >= si) & (lp <= qi)
-                if inside.any():
-                    rows.append((qid, "within", int(d),
-                                 int(inside.sum()),
-                                 int(lp[inside].sum()),
-                                 int((lp[inside] + 1).sum())))
-    cols = list(zip(*rows)) if rows else [[]] * 6
-    return pa.table({"qid": pa.array(cols[0], pa.int64()),
-                     "mode": pa.array(cols[1], pa.string()),
-                     "doc_id": pa.array(cols[2], pa.int64()),
-                     "n": pa.array(cols[3], pa.int64()),
-                     "s": pa.array(cols[4], pa.int64()),
-                     "e": pa.array(cols[5], pa.int64())})
-
-
-def oracle_span_containing_sql() -> str:
-    parts = []
-    for qid, (t1, t2), slop, little in SPAN_CONTAIN_QUERIES:
-        big = f"""(
-  SELECT x.d, x.pos AS s, y.pos AS q FROM wpos x
-  JOIN LATERAL (SELECT min(pos) AS pos FROM wpos y2 WHERE y2.d = x.d
-                AND y2.word = '{t2}' AND y2.pos >= x.pos + 1) y ON TRUE
-  WHERE x.word = '{t1}' AND y.pos IS NOT NULL
-    AND y.pos - (x.pos + 1) <= {slop}
-)"""
-        parts.append(f"""SELECT {qid} AS qid, 'containing' AS mode,
-       d AS doc_id, CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(s) AS BIGINT) AS s, CAST(sum(q + 1) AS BIGINT) AS e
-FROM {big} bg
-WHERE EXISTS (SELECT 1 FROM wpos l WHERE l.d = bg.d
-              AND l.word = '{little}'
-              AND l.pos BETWEEN bg.s AND bg.q)
-GROUP BY d""")
-        parts.append(f"""SELECT {qid}, 'within', l.d,
-       CAST(count(*) AS BIGINT), CAST(sum(l.pos) AS BIGINT),
-       CAST(sum(l.pos + 1) AS BIGINT)
-FROM wpos l
-WHERE l.word = '{little}'
-  AND EXISTS (SELECT 1 FROM {big} bg WHERE bg.d = l.d
-              AND l.pos BETWEEN bg.s AND bg.q)
-GROUP BY l.d""")
-    un = "\nUNION ALL\n".join(parts)
-    return f"WITH {_CORPUS_CTE},\n{_WPOS_CTE}\n{un}"
-
-
-def ft_span_field_masking(sf_dir: str) -> pa.Table:
-    """FieldMaskingSpanQuery (queries/spans/FieldMaskingSpanQuery.java:55
-    — lie about the field so SpanNearQuery accepts clauses from two
-    fields): ordered SpanNear of a body term and a title-field term
-    (the parallel title index, positions 0..4 coincide with body
-    positions), matchWidth <= slop."""
-    from ..search import _term_positions
-
-    r = reader_for(sf_dir)
-    rt = IndexReader(title_index_dir_for(sf_dir))
-    qids, docs, ns, ss, es = [], [], [], [], []
-    for qid, t1, t2, slop in SPAN_MASK_QUERIES:
-        for d, s, q in _span_pairs(_term_positions(r, t1) or {},
-                                   _term_positions(rt, t2) or {}, slop):
-            qids.append(qid)
-            docs.append(int(d))
-            ns.append(len(s))
-            ss.append(int(s.sum()))
-            es.append(int((q + 1).sum()))
-    return pa.table({"qid": pa.array(qids, pa.int64()),
-                     "doc_id": pa.array(docs, pa.int64()),
-                     "n": pa.array(ns, pa.int64()),
-                     "s": pa.array(ss, pa.int64()),
-                     "e": pa.array(es, pa.int64())})
-
-
-def oracle_span_field_masking_sql() -> str:
-    parts = []
-    for qid, t1, t2, slop in SPAN_MASK_QUERIES:
-        parts.append(f"""SELECT {qid} AS qid, d AS doc_id,
-       CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS s,
-       CAST(sum(q + 1) AS BIGINT) AS e
-FROM (
-  SELECT x.d, x.pos AS s, y.pos AS q FROM wpos x
-  JOIN LATERAL (SELECT min(pos) AS pos FROM wpos y2 WHERE y2.d = x.d
-                AND y2.word = '{t2}' AND y2.pos >= x.pos + 1
-                AND y2.pos < 5) y ON TRUE
-  WHERE x.word = '{t1}' AND y.pos IS NOT NULL
-    AND y.pos - (x.pos + 1) <= {slop}
-) GROUP BY d""")
-    un = "\nUNION ALL\n".join(parts)
-    return f"WITH {_CORPUS_CTE},\n{_WPOS_CTE}\n{un}"
-
-
-def ft_span_multiterm(sf_dir: str) -> pa.Table:
-    """SpanMultiTermQueryWrapper (queries/spans/
-    SpanMultiTermQueryWrapper.java:49) with a PrefixQuery: rewrites to a
-    SpanOrQuery over every matching term's spans
-    (SpanOrTermsBuilder role) — per doc the span count and Σposition
-    across ALL prefix-matched terms."""
-    from ..search import _term_positions, termdict_scan
-
-    r = reader_for(sf_dir)
-    qids, docs, ns, ss = [], [], [], []
-    for qid, p in SPAN_MT_PREFIXES:
-        terms = _content_only(r, termdict_scan(r, prefix=p))\
-            .column("term").to_pylist()
-        agg: dict[int, tuple[int, int]] = {}
-        for t in terms:
-            for d, pos in (_term_positions(r, t) or {}).items():
-                pos = np.asarray(pos, np.int64)
-                n0, s0 = agg.get(d, (0, 0))
-                agg[d] = (n0 + len(pos), s0 + int(pos.sum()))
-        for d in sorted(agg):
-            qids.append(qid)
-            docs.append(int(d))
-            ns.append(agg[d][0])
-            ss.append(agg[d][1])
-    return pa.table({"qid": pa.array(qids, pa.int64()),
-                     "doc_id": pa.array(docs, pa.int64()),
-                     "n": pa.array(ns, pa.int64()),
-                     "s": pa.array(ss, pa.int64())})
-
-
-def oracle_span_multiterm_sql() -> str:
-    parts = []
-    for qid, p in SPAN_MT_PREFIXES:
-        parts.append(
-            f"SELECT {qid} AS qid, d AS doc_id, "
-            f"CAST(count(*) AS BIGINT) AS n, "
-            f"CAST(sum(pos) AS BIGINT) AS s "
-            f"FROM wpos WHERE word LIKE '{p}%' GROUP BY d")
-    un = "\nUNION ALL\n".join(parts)
-    return f"WITH {_CORPUS_CTE},\n{_WPOS_CTE}\n{un}"
-
-
-def ft_span_payload_check(sf_dir: str) -> pa.Table:
-    """SpanPayloadCheckQuery (queries/payloads/
-    SpanPayloadCheckQuery.java:54, MatchOperation.GTE over INT
-    payloads): term spans whose payload — the token's start offset, the
-    TokenOffsetPayloadTokenFilter payload convention this index stores
-    — is >= the threshold."""
-    from ..search import _term_positions
-
-    r = reader_for(sf_dir)
-    idx = index_dir_for(sf_dir)
-    qids, docs, ns, ss = [], [], [], []
-    for qid, term, thresh in SPAN_PAYLOAD_CHECKS:
-        pos_of = _term_positions(r, term) or {}
-        dl = sorted(pos_of)
-        if not dl:
-            continue
-        starts = _payload_starts(idx, dl)
-        for d in dl:
-            p = np.asarray(pos_of[d], np.int64)
-            st = starts[d][p]
-            keep = st >= thresh
-            if keep.any():
-                qids.append(qid)
-                docs.append(int(d))
-                ns.append(int(keep.sum()))
-                ss.append(int(p[keep].sum()))
-    return pa.table({"qid": pa.array(qids, pa.int64()),
-                     "doc_id": pa.array(docs, pa.int64()),
-                     "n": pa.array(ns, pa.int64()),
-                     "s": pa.array(ss, pa.int64())})
-
-
-def oracle_span_payload_check_sql() -> str:
-    # start offset of token i = Σ_{j<i} (len(word_j) + 1)
-    parts = []
-    for qid, term, thresh in SPAN_PAYLOAD_CHECKS:
-        parts.append(f"""SELECT {qid} AS qid, d AS doc_id,
-       CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS s
-FROM woff WHERE word = '{term}' AND off >= {thresh} GROUP BY d""")
-    un = "\nUNION ALL\n".join(parts)
-    return f"""WITH {_CORPUS_CTE},
-{_WPOS_CTE},
-woff AS (
-  SELECT d, word, pos,
-         CAST(coalesce(sum(len(word) + 1) OVER (
-           PARTITION BY d ORDER BY pos
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         AS BIGINT) AS off
-  FROM wpos
-)
-{un}"""
-
-
-# ---------------------------------------------------------------------------
-# MemoryIndex percolation scoring (memory module)
-
-# qid -> clause list for MemoryIndex.search
-MEMINDEX_QUERIES = [
-    (1, [("term", "key"), ("term", "agg")]),
-    (2, [("term", "vector"), ("phrase", ["the", "a"])]),
-    (3, [("must", "key"), ("term", "scan")]),
-]
-
-
-class _MemIndexStage:
-    """Actor-pool map_batches stage: the query battery compiles once per
-    actor (__init__); each row builds a MemoryIndex from its text and
-    scores every query — percolation's document side, a pure map."""
-
-    def __init__(self):
-        from ..memindex import MemoryIndex
-        self._mk = MemoryIndex
-        self.queries = MEMINDEX_QUERIES
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        qids, docs, scores = [], [], []
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        mi = self._mk(store_offsets=False)
-        for did, text in zip(ids, texts):
-            mi.reset()
-            mi.add_field("content", text or "")
-            for qid, clauses in self.queries:
-                s = mi.search(clauses)
-                if s > 0:
-                    qids.append(qid)
-                    docs.append(did)
-                    scores.append(s)
-        return pa.table({
-            "qid": pa.array(qids, pa.int64()),
-            "doc_id": pa.array(docs, pa.int64()),
-            "score": pa.array(np.array(scores, np.float32),
-                              pa.float32())})
-
-
-def ft_memory_index(sf_dir: str):
-    """MemoryIndex (memory/.../MemoryIndex.java:186): per document a
-    single-doc in-RAM index; search(query) under default BM25 returns
-    the doc's score with the SINGLE-DOC collection stats (docCount 1,
-    df 1, avgdl = the doc's own exact length, dl quantized) or 0 on no
-    match (:1081-1123). Battery: SHOULD sums, a phrase clause, a MUST
-    gate. Emits (qid, doc_id, float32 score) for matches."""
-    import ray.data
-
-    from lucene_ray.pipelines.util import typed_table
-
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id", "text"])
-    out = ds.map_batches(_MemIndexStage, batch_format="pyarrow",
-                         concurrency=2)
-    return typed_table(out, pa.schema([("qid", pa.int64()),
-                                       ("doc_id", pa.int64()),
-                                       ("score", pa.float32())]))
-
-
-
-# shared single-document BM25 SQL fragments (MemoryIndex / ScoringMatch
-# oracles): per-doc token stats CTEs + the float32 clause chain
-_SINGLE_DOC_CTES = """wpos AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
-  FROM documents
-),
-tfd AS (
-  SELECT doc_id, word, count(*) AS tf FROM wpos GROUP BY doc_id, word
-),
-dl1 AS (
-  SELECT d.doc_id, count(w.word) AS len
-  FROM documents d LEFT JOIN wpos w ON w.doc_id = d.doc_id
-  GROUP BY d.doc_id
-),
-stats1 AS (
-  SELECT doc_id, len,
-    CASE WHEN len < 24 THEN len
-         ELSE 24 + (
-           CASE WHEN (len - 24) < 8 THEN (len - 24)
-                ELSE (((len - 24) >> (CAST(floor(log2(len - 24)) AS INT) - 3)) & 7 | 8)
-                     << (CAST(floor(log2(len - 24)) AS INT) - 3)
-           END)
-    END AS qlen
-  FROM dl1
-)"""
-
-_SD_IDF = "CAST(ln(1 + 0.5 / 1.5) AS REAL)"
-
-
-def _sd_clause(tf_expr: str) -> str:
-    """Single-doc BM25 clause chain (df=1, N=1, avgdl=len)."""
-    inv = ("(CAST(1.0 AS REAL) / (CAST(1.2 AS REAL) * "
-           "(CAST(0.25 AS REAL) + CAST(0.75 AS REAL) * "
-           "CAST(qlen AS REAL) / CAST(len AS REAL))))")
-    return (f"CAST({_SD_IDF} - {_SD_IDF} / (CAST(1.0 AS REAL) + "
-            f"CAST({tf_expr} AS REAL) * {inv}) AS REAL)")
-
-
-def _sd_tf_term(t: str) -> str:
-    return (f"coalesce((SELECT t.tf FROM tfd t WHERE t.doc_id = "
-            f"s.doc_id AND t.word = '{t}'), 0)")
-
-
-def oracle_memory_index_sql() -> str:
-    qlen_case = """CASE WHEN len < 24 THEN len
-         ELSE 24 + (
-           CASE WHEN (len - 24) < 8 THEN (len - 24)
-                ELSE (((len - 24) >> (CAST(floor(log2(len - 24)) AS INT) - 3)) & 7 | 8)
-                     << (CAST(floor(log2(len - 24)) AS INT) - 3)
-           END)
-    END"""
-    idf = "CAST(ln(1 + 0.5 / 1.5) AS REAL)"
-
-    def clause(tf_expr: str) -> str:
-        inv = (f"(CAST(1.0 AS REAL) / (CAST(1.2 AS REAL) * "
-               f"(CAST(0.25 AS REAL) + CAST(0.75 AS REAL) * "
-               f"CAST(qlen AS REAL) / CAST(len AS REAL))))")
-        return (f"CAST({idf} - {idf} / (CAST(1.0 AS REAL) + "
-                f"CAST({tf_expr} AS REAL) * {inv}) AS REAL)")
-
-    def tf_term(t: str) -> str:
-        return (f"coalesce((SELECT t.tf FROM tfd t WHERE t.doc_id = "
-                f"s.doc_id AND t.word = '{t}'), 0)")
-
-    def tf_phrase(a: str, b: str) -> str:
-        return (f"(SELECT count(*) FROM wpos x JOIN wpos y ON "
-                f"y.doc_id = x.doc_id AND y.pos = x.pos + 1 "
-                f"WHERE x.doc_id = s.doc_id AND x.word = '{a}' "
-                f"AND y.word = '{b}')")
-
-    parts = []
-    for qid, clauses in MEMINDEX_QUERIES:
-        tf_exprs, gates = [], []
-        for kind, spec in clauses:
-            tfe = tf_phrase(*spec) if kind == "phrase" else tf_term(spec)
-            tf_exprs.append(tfe)
-            if kind == "must":
-                gates.append(f"({tfe}) > 0")
-        score_terms = " + ".join(
-            f"CASE WHEN ({t}) > 0 THEN CAST({clause(f'({t})')} AS DOUBLE)"
-            f" ELSE 0.0 END" for t in tf_exprs)
-        matched = " OR ".join(f"({t}) > 0" for t in tf_exprs)
-        where = f"({matched})"
-        if gates:
-            where += " AND " + " AND ".join(gates)
-        parts.append(f"""SELECT {qid} AS qid, s.doc_id,
-       CAST({score_terms} AS REAL) AS score
-FROM stats1 s WHERE {where}""")
-    un = "\nUNION ALL\n".join(parts)
-    return f"""WITH wpos AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
-  FROM documents
-),
-tfd AS (
-  SELECT doc_id, word, count(*) AS tf FROM wpos GROUP BY doc_id, word
-),
-dl1 AS (
-  SELECT d.doc_id, count(w.word) AS len
-  FROM documents d LEFT JOIN wpos w ON w.doc_id = d.doc_id
-  GROUP BY d.doc_id
-),
-stats1 AS (
-  SELECT doc_id, len, {qlen_case} AS qlen FROM dl1
-)
-{un}"""
-
-
-# ---------------------------------------------------------------------------
 # Classic Highlighter (highlighter/search/highlight/Highlighter.java)
 
 # (qid, [terms], fragment_size, max_num_fragments)
@@ -16043,7 +15565,7 @@ class _MediaProbeStage:
         if kind == 2:                       # mp3 with Xing frame count
             frames = d % 50 + 10
             hdr = st.pack(">I", (0x7FF << 21) | (3 << 19) | (1 << 17)
-                          | (9 << 12))
+                          | (1 << 16) | (9 << 12))
             body = bytearray(b"\x00" * 200)
             body[32:36] = b"Xing"
             body[36:40] = st.pack(">I", 1)

@@ -115,3 +115,19 @@ def test_norwegian_normalization_subset():
     # the distinguishing cases
     assert no("hao") == "hao" and sc("hao") == "hå"
     assert no("ör") == "ør" and no("Äpel") == "Æpel"
+
+
+def test_stream_filter_two_path_consistency():
+    """Regression: rewriting stream filters must emit identical tokens
+    and field lengths on the vectorized and positions paths (the
+    no-core '_'-run pre-drop happens BEFORE the rewriter on both)."""
+    from lucene_ray.analysis import STREAM_FILTERS, term_freq_batch
+
+    for name, sf in STREAM_FILTERS.items():
+        for txt in ["a __ b", "__ x", "a_b __ c d"]:
+            a = term_freq_batch([txt], stream_filter=sf)
+            b = term_freq_batch([txt], stream_filter=sf,
+                                with_positions=True)
+            assert sorted(a[0].to_pylist()) == sorted(b[0].to_pylist()), \
+                (name, txt)
+            assert a[3].tolist() == b[3].tolist(), (name, txt)

@@ -55,7 +55,7 @@ def test_flac_probe():
 def _mp3_bytes() -> bytes:
     # MPEG1 Layer3, 128 kbps (idx 9), 44100 (idx 0), stereo (mode 0)
     hdr = struct.pack(">I", (0x7FF << 21) | (3 << 19) | (1 << 17)
-                      | (9 << 12) | (0 << 10))
+                      | (1 << 16) | (9 << 12) | (0 << 10))
     frame = hdr + b"\x00" * 400
     return frame * 3
 
@@ -74,7 +74,7 @@ def test_mp3_probe():
 
 def test_mp3_xing_frames():
     hdr = struct.pack(">I", (0x7FF << 21) | (3 << 19) | (1 << 17)
-                      | (9 << 12) | (0 << 10))
+                      | (1 << 16) | (9 << 12) | (0 << 10))
     body = bytearray(b"\x00" * 500)
     body[32:36] = b"Xing"                      # side info 32 (stereo)
     body[36:40] = struct.pack(">I", 1)         # flags: frames
