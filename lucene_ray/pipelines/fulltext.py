@@ -15626,3 +15626,80 @@ def oracle_media_probe_sql() -> str:
        ELSE CAST(doc_id * 4410 + 4410 AS DOUBLE) / 44100 END
     AS duration_s
 FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# Heatmap facet (spatial-extras/prefix/HeatmapFacetCounter.java)
+
+# (qid, lat_lo, lat_hi, lon_lo, lon_hi, n_lat_cells, n_lon_cells)
+# micro-degree bounds, half-open cells
+HEATMAP_QUERIES = [
+    (1, -90_000_000, 90_000_000, -180_000_000, 180_000_000, 6, 6),
+    (2, 0, 45_000_000, 0, 90_000_000, 3, 5),
+]
+
+
+def ft_geo_heatmap(sf_dir: str) -> pa.Table:
+    """HeatmapFacetCounter (spatial-extras/prefix/
+    HeatmapFacetCounter.java:40: per-grid-cell point counts over a
+    query region — the map-tile faceting op): the region divides into
+    n_lat x n_lon half-open cells; each synthesized point increments
+    its cell.  Scale shape: per-batch 2D bincount partials over the
+    geo coordinates (one tiny n_lat*n_lon array per batch crosses the
+    wire), summed in one groupby — never a per-point exchange."""
+    import ray.data
+
+    from lucene_ray.pipelines.util import ensure_cols
+
+    from ..geo import synth_coords
+
+    idx = index_dir_for(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(idx, "docmeta"),
+                               columns=["doc_id"])
+    _SCHEMA = pa.schema([("qid", pa.int64()), ("cell", pa.int64()),
+                         ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _SCHEMA.empty_table()
+        d = batch.column("doc_id").to_numpy()
+        lat, lon = synth_coords(d)
+        qids, cells, ns = [], [], []
+        for qid, la0, la1, lo0, lo1, nla, nlo in HEATMAP_QUERIES:
+            m = (lat >= la0) & (lat < la1) & (lon >= lo0) & (lon < lo1)
+            if not m.any():
+                continue
+            ci = ((lat[m] - la0) * nla // (la1 - la0)).astype(np.int64)
+            cj = ((lon[m] - lo0) * nlo // (lo1 - lo0)).astype(np.int64)
+            cell = ci * nlo + cj
+            u, c = np.unique(cell, return_counts=True)
+            qids.extend([qid] * len(u))
+            cells.extend(u.tolist())
+            ns.extend(c.tolist())
+        return pa.table({"qid": pa.array(qids, pa.int64()),
+                         "cell": pa.array(cells, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    agg = ensure_cols(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["qid", "cell"]).sum("n").to_pandas(),
+        ["qid", "cell", "sum(n)"])
+    agg = agg.sort_values(["qid", "cell"]).reset_index(drop=True)
+    return pa.table({"qid": pa.array(agg["qid"].astype("int64")),
+                     "cell": pa.array(agg["cell"].astype("int64")),
+                     "n": pa.array(agg["sum(n)"].astype("int64"))})
+
+
+def oracle_geo_heatmap_sql() -> str:
+    parts = []
+    for qid, la0, la1, lo0, lo1, nla, nlo in HEATMAP_QUERIES:
+        parts.append(f"""SELECT {qid} AS qid,
+       ((lat - {la0}) * {nla} // ({la1} - {la0})) * {nlo}
+         + ((lon - {lo0}) * {nlo} // ({lo1} - {lo0})) AS cell,
+       CAST(count(*) AS BIGINT) AS n
+FROM geo
+WHERE lat >= {la0} AND lat < {la1} AND lon >= {lo0} AND lon < {lo1}
+GROUP BY cell""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH {_CORPUS_CTE},{_GEO_CTE}
+{un}"""
