@@ -15703,3 +15703,138 @@ GROUP BY cell""")
     un = "\nUNION ALL\n".join(parts)
     return f"""WITH {_CORPUS_CTE},{_GEO_CTE}
 {un}"""
+
+
+# ---------------------------------------------------------------------------
+# BBox overlap-ratio scoring (spatial-extras/bbox)
+
+# (qid, qlat_lo, qlat_hi, qlon_lo, qlon_hi, queryTargetProportion)
+BBOX_OVERLAP_QUERIES = [
+    (1, 10, 40, 100, 400, 0.25),
+    (2, 20, 26, 500, 530, 0.5),
+]
+_BBOX_K = 20
+
+
+def ft_bbox_overlap(sf_dir: str) -> pa.Table:
+    """BBoxOverlapRatioValueSource (spatial-extras/bbox/
+    BBoxOverlapRatioValueSource.java:75, score() :129-210): score =
+    queryRatio·p + targetRatio·(1-p) with ratios =
+    intersectionArea/area, degenerate zero-area boxes falling back to
+    the line ratios (intersection height/width over the box's own).
+    Boxes are the lineitem-derived 2D boxes of ft_box_range_field;
+    top-20 by (score desc, row key asc). Per-batch bounded top-k
+    partials + driver merge."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity", "l_linenumber",
+                 "l_extendedprice", "l_partkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "rowid": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        rowid = batch.column("l_orderkey").to_numpy() * 10 \
+            + batch.column("l_linenumber").to_numpy().astype(np.int64)
+        qv = batch.column("l_quantity").to_numpy()
+        lat_lo = np.rint(qv).astype(np.int64).astype(np.float64)
+        lat_hi = lat_lo + batch.column("l_linenumber").to_numpy()\
+            .astype(np.int64) * 3
+        ev = batch.column("l_extendedprice").to_numpy()
+        lon_lo = (np.rint(ev).astype(np.int64) % 1000)\
+            .astype(np.float64)
+        lon_hi = lon_lo + batch.column("l_partkey").to_numpy()\
+            .astype(np.int64) % 17
+        out_q, out_r, out_s = [], [], []
+        for qid, a, b, c, d, p in BBOX_OVERLAP_QUERIES:
+            h = np.minimum(float(b), lat_hi) - np.maximum(float(a),
+                                                          lat_lo)
+            w = np.minimum(float(d), lon_hi) - np.maximum(float(c),
+                                                          lon_lo)
+            ok = (h >= 0) & (w >= 0)
+            ia = w * h
+            q_area = float((b - a) * (d - c))
+            qr = ia / q_area
+            t_area = (lat_hi - lat_lo) * (lon_hi - lon_lo)
+            th = lat_hi - lat_lo
+            tw = lon_hi - lon_lo
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tr = np.where(
+                    t_area > 0, ia / t_area,
+                    np.where(th > 0, h / np.where(th > 0, th, 1),
+                             np.where(tw > 0, w / np.where(tw > 0,
+                                                           tw, 1),
+                                      1.0)))
+            score = qr * p + tr * (1.0 - p)
+            score = np.where(ok, score, 0.0)
+            sel = np.flatnonzero(score > 0)
+            if len(sel) == 0:
+                continue
+            order = np.lexsort((rowid[sel], -score[sel]))[:_BBOX_K]
+            pick = sel[order]
+            out_q.extend([qid] * len(pick))
+            out_r.extend(rowid[pick].tolist())
+            out_s.extend(score[pick].tolist())
+        return pa.table({"qid": pa.array(out_q, pa.int64()),
+                         "rowid": pa.array(out_r, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qid, *_rest in BBOX_OVERLAP_QUERIES:
+        sub = parts[parts["qid"] == qid].sort_values(
+            ["score", "rowid"], ascending=[False, True]).head(_BBOX_K)
+        for rank, (_, r) in enumerate(sub.iterrows(), 1):
+            rows.append((qid, rank, int(r["rowid"]),
+                         float(r["score"])))
+    cols = list(zip(*rows)) if rows else [[]] * 4
+    return pa.table({"qid": pa.array(cols[0], pa.int64()),
+                     "rank": pa.array(cols[1], pa.int64()),
+                     "rowid": pa.array(cols[2], pa.int64()),
+                     "score": pa.array(cols[3], pa.float64())})
+
+
+def oracle_bbox_overlap_sql() -> str:
+    parts = []
+    for qid, a, b, c, d, p in BBOX_OVERLAP_QUERIES:
+        q_area = float((b - a) * (d - c))
+        parts.append(f"""SELECT {qid} AS qid, rank, rowid, score FROM (
+  SELECT rowid, score, row_number() OVER (
+           ORDER BY score DESC, rowid) AS rank
+  FROM (
+    SELECT rowid,
+      CASE WHEN h >= 0 AND w >= 0 THEN
+        (w * h / {q_area!r}) * {p!r}
+        + (CASE WHEN t_area > 0 THEN w * h / t_area
+                WHEN th > 0 THEN h / th
+                WHEN tw > 0 THEN w / tw
+                ELSE 1.0 END) * (1.0 - {p!r})
+      ELSE 0.0 END AS score
+    FROM (
+      SELECT rowid,
+        least(CAST({b} AS DOUBLE), lat_hi)
+          - greatest(CAST({a} AS DOUBLE), lat_lo) AS h,
+        least(CAST({d} AS DOUBLE), lon_hi)
+          - greatest(CAST({c} AS DOUBLE), lon_lo) AS w,
+        (lat_hi - lat_lo) * (lon_hi - lon_lo) AS t_area,
+        lat_hi - lat_lo AS th, lon_hi - lon_lo AS tw
+      FROM r
+    )
+  ) WHERE score > 0
+) WHERE rank <= {_BBOX_K}""")
+    un = "\nUNION ALL\n".join(parts)
+    return f"""WITH r AS (
+  SELECT l_orderkey * 10 + l_linenumber AS rowid,
+         CAST(CAST(l_quantity AS BIGINT) AS DOUBLE) AS lat_lo,
+         CAST(CAST(l_quantity AS BIGINT) + l_linenumber * 3 AS DOUBLE)
+           AS lat_hi,
+         CAST(CAST(l_extendedprice AS BIGINT) % 1000 AS DOUBLE)
+           AS lon_lo,
+         CAST(CAST(l_extendedprice AS BIGINT) % 1000
+              + l_partkey % 17 AS DOUBLE) AS lon_hi
+  FROM lineitem
+)
+{un}"""
