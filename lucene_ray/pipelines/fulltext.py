@@ -15838,3 +15838,150 @@ def oracle_bbox_overlap_sql() -> str:
   FROM lineitem
 )
 {un}"""
+
+
+# ---------------------------------------------------------------------------
+# IntervalQuery scoring (queries/intervals/IntervalQuery.java:75 with
+# IntervalScorer + IntervalScoreFunction)
+
+def ft_interval_scores(sf_dir: str) -> pa.Table:
+    """IntervalQuery scoring (IntervalScorer.java:60-68: sloppy freq
+    accumulates ``freq += 1.0 / max(length - minExtent + 1, 1)`` into a
+    FLOAT — each step rounds float32 after a double add;
+    IntervalScoreFunction.java:56-108 saturation ``w·(1 - k/(k+f))`` in
+    float32 steps, :110-131 sigmoid ``(float)(w·(1 - k^a/(f^a + k^a)))``
+    in double with libm pow).  Battery: phrase/term sources (every
+    interval at minExtent ⇒ exact integer freqs), one ordered pair with
+    fractional increments (the float32 fold is replayed by a recursive
+    CTE), one sigmoid.  Emits (qid, doc_id, float32 score)."""
+    import math
+
+    import lucene_ray.intervals as iv
+
+    from ..search import _packed_positions, _POS_BITS, _POS_MASK
+
+    r = reader_for(sf_dir)
+    battery = [
+        (1, iv.phrase("the", "a"), 2, ("sat", 1.0)),
+        (2, iv.term("data"), 1, ("sat", 0.5)),
+        (3, iv.ordered(iv.term("the"), iv.term("data")), 2,
+         ("sat", 2.0)),
+        (4, iv.phrase("key", "agg"), 2, ("sig", 2.0, 0.75)),
+    ]
+    cache: dict = {}
+
+    def packed(t: str) -> np.ndarray:
+        if t not in cache:
+            k = _packed_positions(r, t, 0)
+            cache[t] = k if k is not None and len(k) \
+                else np.empty(0, np.uint64)
+        return cache[t]
+
+    rows = []
+    for qid, src, min_extent, fn in battery:
+        terms = [t for _f, t in iv.leaf_terms(src)]
+        cand = None
+        for t in terms:
+            d = np.unique((packed(t) >> _POS_BITS).astype(np.int64))
+            cand = d if cand is None else np.intersect1d(cand, d)
+        if cand is None or len(cand) == 0:
+            continue
+        for d in cand.tolist():
+            def gp(field, t, _d=d):
+                k = packed(t)
+                lo = np.searchsorted(k, np.uint64(_d) << _POS_BITS)
+                hi = np.searchsorted(k, np.uint64(_d + 1) << _POS_BITS)
+                return (k[lo:hi] & _POS_MASK).astype(np.int64).tolist()
+            ivs = iv.eval_doc(src, gp)
+            if not ivs:
+                continue
+            freq = np.float32(0.0)
+            for s, e, _g, _w in ivs:
+                inc = 1.0 / max((e - s + 1) - min_extent + 1, 1)
+                freq = np.float32(np.float64(freq) + inc)
+            if fn[0] == "sat":
+                pivot = np.float32(fn[1])
+                score = np.float32(1.0) * (
+                    np.float32(1.0) - pivot / (pivot + freq))
+            else:
+                _k, a = np.float32(fn[1]), float(fn[2])
+                ppa = math.pow(float(_k), a)
+                score = np.float32(
+                    1.0 * (np.float64(np.float32(1.0))
+                           - ppa / (math.pow(float(freq), a) + ppa)))
+            rows.append((qid, d, float(score)))
+    cols = list(zip(*rows)) if rows else [[]] * 3
+    return pa.table({"qid": pa.array(cols[0], pa.int64()),
+                     "doc_id": pa.array(cols[1], pa.int64()),
+                     "score": pa.array(np.array(cols[2], np.float32),
+                                       pa.float32())})
+
+
+def oracle_interval_scores_sql() -> str:
+    # q1/q2/q4: every interval is at minExtent so freq = interval count
+    # (exact in float32); q3: the float32 fold over fractional
+    # increments replays as a recursive CTE in start order
+    sat = (lambda pivot, freq:
+           f"CAST(CAST(1.0 AS REAL) - CAST(CAST({pivot} AS REAL) / "
+           f"CAST(CAST({pivot} AS REAL) + {freq} AS REAL) AS REAL) "
+           f"AS REAL)")
+    q1 = f"""SELECT 1 AS qid, d AS doc_id,
+       {sat('1.0', 'CAST(n AS REAL)')} AS score
+FROM (
+  SELECT x.d, CAST(count(*) AS BIGINT) AS n
+  FROM wpos x JOIN wpos y ON y.d = x.d AND y.pos = x.pos + 1
+  WHERE x.word = 'the' AND y.word = 'a' GROUP BY x.d
+)"""
+    q2 = f"""SELECT 2, d, {sat('0.5', 'CAST(n AS REAL)')}
+FROM (SELECT d, CAST(count(*) AS BIGINT) AS n FROM wpos
+      WHERE word = 'data' GROUP BY d)"""
+    # q3: minimal ordered pairs (per-end max-start, per-start min-end),
+    # then the stepwise float32 freq fold
+    q3 = f"""SELECT 3, f.d, {sat('2.0', 'f.freq')}
+FROM (
+  SELECT w.d, w.freq FROM fold3 w
+  JOIN (SELECT d, max(i) AS n FROM m3i GROUP BY d) mx
+    ON mx.d = w.d AND w.i = mx.n
+) f"""
+    q4 = """SELECT 4, d,
+       CAST(1.0 * (1.0 - pow(2.0, 0.75)
+            / (pow(CAST(CAST(n AS REAL) AS DOUBLE), 0.75)
+               + pow(2.0, 0.75))) AS REAL)
+FROM (
+  SELECT x.d, CAST(count(*) AS BIGINT) AS n
+  FROM wpos x JOIN wpos y ON y.d = x.d AND y.pos = x.pos + 1
+  WHERE x.word = 'key' AND y.word = 'agg' GROUP BY x.d
+)"""
+    return f"""WITH RECURSIVE {_CORPUS_CTE},
+{_WPOS_CTE},
+c3 AS (
+  SELECT b.d, b.pos AS e, max(a.pos) AS s
+  FROM wpos a JOIN wpos b ON b.d = a.d AND b.pos > a.pos
+  WHERE a.word = 'the' AND b.word = 'data'
+  GROUP BY b.d, b.pos
+),
+m3 AS (
+  SELECT d, s, min(e) AS e FROM c3 GROUP BY d, s
+),
+m3i AS (
+  SELECT d, s, e, row_number() OVER (
+           PARTITION BY d ORDER BY s) AS i
+  FROM m3
+),
+fold3 AS (
+  SELECT d, i, CAST(1.0 / greatest(e - s + 1 - 2 + 1, 1) AS REAL)
+         AS freq
+  FROM m3i WHERE i = 1
+  UNION ALL
+  SELECT m.d, m.i,
+         CAST(CAST(w.freq AS DOUBLE)
+              + 1.0 / greatest(m.e - m.s + 1 - 2 + 1, 1) AS REAL)
+  FROM fold3 w JOIN m3i m ON m.d = w.d AND m.i = w.i + 1
+)
+{q1}
+UNION ALL
+{q2}
+UNION ALL
+{q3}
+UNION ALL
+{q4}"""
