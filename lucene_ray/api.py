@@ -281,7 +281,85 @@ class Index:
         cand.sort()
         return [(s, d, -ndf) for d, ndf, s in cand[:top]]
 
+
+    def intervals(self, source, doc_ids=None
+                  ) -> "dict[int, list[tuple[int, int, int]]]":
+        """Evaluate a minimal-interval source (lucene_ray.intervals
+        factory tree — ordered/unordered/phrase/or_/maxgaps/containing/
+        before/within/atLeast/...; queries/intervals package) against
+        the index: {doc_id: [(start, end, gaps), ...]} for documents
+        with at least one interval.  ``doc_ids`` restricts evaluation;
+        otherwise candidates come from the tree's docID approximation
+        over the posting lists.  Multi-term nodes expand against the
+        term dictionary first."""
+        import numpy as np
+
+        import lucene_ray.intervals as iv
+
+        from .search import (_packed_positions, _POS_BITS, _POS_MASK,
+                             termdict_terms)
+
+        if any(n.kind == "multiterm"
+               for n in _walk_interval_nodes(source)):
+            vocab = termdict_terms(self.reader).column("term")                 .to_pylist()
+            source = iv.expand_multiterms(source, vocab)
+        cache: dict = {}
+
+        def packed(t: str):
+            if t not in cache:
+                k = _packed_positions(self.reader, t, 0)
+                cache[t] = k if k is not None and len(k) \
+                    else np.empty(0, np.uint64)
+            return cache[t]
+
+        def docs_of(src):
+            if src.kind == "term":
+                return np.unique(
+                    (packed(src.term) >> _POS_BITS).astype(np.int64))
+            kind, subs = iv.doc_approx_kind(src)
+            if kind == "none":
+                return np.empty(0, np.int64)
+            sets = [docs_of(x) for x in subs]
+            if kind == "and":
+                out = sets[0]
+                for x in sets[1:]:
+                    out = np.intersect1d(out, x, assume_unique=True)
+                return out
+            if kind == "or":
+                return np.unique(np.concatenate(sets)) if sets \
+                    else np.empty(0, np.int64)
+            return sets[0]
+
+        cand = np.asarray(sorted(doc_ids), np.int64) \
+            if doc_ids is not None else docs_of(source)
+        out: dict[int, list] = {}
+        for d in cand.tolist():
+            def gp(field, t, _d=d):
+                k = packed(t)
+                lo = np.searchsorted(k, np.uint64(_d) << _POS_BITS)
+                hi = np.searchsorted(k,
+                                     np.uint64(_d + 1) << _POS_BITS)
+                return (k[lo:hi] & _POS_MASK).astype(np.int64).tolist()
+            ivs = iv.eval_doc(source, gp)
+            if ivs:
+                out[int(d)] = [(s, e, g) for s, e, g, _w in ivs]
+        return out
+
+    def memory_index(self):
+        """A fresh single-document MemoryIndex (lucene_ray.memindex) —
+        the percolation-side dual of this index."""
+        from .memindex import MemoryIndex
+        return MemoryIndex()
+
+
     @staticmethod
     def _hits(td: TopDocs) -> list[Hit]:
         return [Hit(int(d), float(s))
                 for d, s in zip(td.doc_ids, td.scores)]
+
+
+def _walk_interval_nodes(src):
+    yield src
+    for sub in getattr(src, "subs", ()) or ():
+        if hasattr(sub, "kind"):
+            yield from _walk_interval_nodes(sub)

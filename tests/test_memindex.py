@@ -133,3 +133,37 @@ def test_knn_byte_vectors_reference_battery():
     assert mi.byte_vector_value("knnByteMissing") is None
     with _pytest.raises(ValueError):
         mi.add_byte_vector("knnByteA", [9])
+
+
+def test_index_intervals_api(ray_session, tmp_path):
+    """Index.intervals: the public minimal-interval surface over a
+    built index, including multiterm expansion."""
+    import pyarrow.parquet as pq
+
+    import lucene_ray.intervals as iv
+    from lucene_ray.api import Index
+    from lucene_ray.corpus import generate_corpus
+
+    c = tmp_path / "c"
+    c.mkdir()
+    pq.write_table(generate_corpus(60, seed=21), str(c / "a.parquet"))
+    idx = Index.build(str(c), str(tmp_path / "i"), with_positions=True)
+    # pick two terms that really co-occur in order in some doc
+    from lucene_ray.analysis import tokenize
+    corpus = pq.read_table(str(c / "a.parquet"))
+    toks = tokenize(corpus.column("content")[0].as_py().lower())
+    t1 = toks[0]
+    t2 = next(t for t in toks[1:] if t != t1)
+    src = iv.ordered(iv.term(t1), iv.term(t2))
+    got = idx.intervals(src)
+    assert got and all(
+        all(s <= e for s, e, _g in lst) for lst in got.values())
+    # restriction honors doc_ids
+    some = sorted(got)[:2]
+    got2 = idx.intervals(src, doc_ids=some)
+    assert sorted(got2) == some
+    assert {d: got[d] for d in some} == got2
+    # multiterm expansion path
+    pre = idx.intervals(iv.ordered(iv.prefix(t1[:2], max_expansions=512),
+                                   iv.term(t2)))
+    assert set(got) <= set(pre)
