@@ -3149,6 +3149,8 @@ def ft_more_like_this(sf_dir: str) -> pa.Table:
     r = reader_for(sf_dir)
     src, ranks, docs = [], [], []
     for d in MLT_DOCS:
+        if d >= int(r.doc_count):
+            continue                 # tiny corpus: source doc absent
         _, td = more_like_this(r, d, k=10, max_query_terms=5)
         for rank, doc in enumerate(td.doc_ids.tolist(), 1):
             src.append(d)
