@@ -226,3 +226,33 @@ def get_char_filter(name: "str | None"):
     the raw text BEFORE tokenization; the rest of the chain is the
     standard analyzer)."""
     return CHAR_FILTERS.get(name or "")
+
+
+def parse_mapping_rules(text: str) -> "dict[str, str]":
+    """MappingCharFilterFactory rules-file parser (the Solr
+    "mapping-ISOLatin1Accent.txt" format the reference's benchmark
+    tasks consume): lines of ``"src" => "dst"`` with Java string
+    escapes (\\uXXXX, \\t, \\n, ...); '#' comments and blank lines
+    skip; a malformed mapping line raises ValueError."""
+    import re
+
+    rules: dict[str, str] = {}
+    pat = re.compile(r'^\s*"((?:[^"\\]|\\.)*)"\s*=>\s*"((?:[^"\\]|\\.)*)"\s*$')
+
+    def unescape(v: str) -> str:
+        return v.encode().decode("unicode_escape")
+
+    for line in text.splitlines():
+        stripped = line.strip()
+        if not stripped or stripped.startswith("#"):
+            continue
+        m = pat.match(line)
+        if not m:
+            raise ValueError(f"malformed mapping rule: {line!r}")
+        rules[unescape(m.group(1))] = unescape(m.group(2))
+    return rules
+
+
+def mapping_char_filter_from_file(path: str):
+    with open(path, encoding="utf-8") as f:
+        return make_mapping_char_filter(parse_mapping_rules(f.read()))

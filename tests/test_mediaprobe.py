@@ -117,3 +117,71 @@ def test_corrupt_and_unknown_contracts():
     bad = struct.pack(">I4s", 4096, b"ftyp") + b"\x00" * 8
     with pytest.raises(ValueError):
         probe_mp4(bad)
+
+
+def test_states_bbox_reference_battery():
+    """The reference's spatial-extras states battery
+    (spatial-extras/src/test-files/states-Intersects-BBox.txt /
+    states-IsWithin-BBox.txt over data/states-bbox.txt): real
+    query→expected-ID pairs for the 2D box INTERSECTS / WITHIN
+    relations (spatial4j ENVELOPE arg order minX, maxX, maxY, minY)
+    — gates the box-relation predicates ft_box_range_field uses."""
+    import re
+
+    base = "/root/reference/lucene/spatial-extras/src/test-files"
+
+    def envelope(s):
+        m = re.search(r"ENVELOPE\(([^)]*)\)", s)
+        a, b, c, d = [float(x) for x in m.group(1).split(",")]
+        return (a, b, d, c)          # minX, maxX, minY, maxY
+
+    states = {}
+    for line in open(f"{base}/data/states-bbox.txt"):
+        if line.startswith("#") or not line.strip():
+            continue
+        sid, _name, shape = line.rstrip("\n").split("\t")
+        states[sid] = envelope(shape)
+
+    def run(fname, rel):
+        n = 0
+        for line in open(f"{base}/{fname}"):
+            if "@" not in line:
+                continue
+            expect_s, q = line.split("@")
+            expect = set(expect_s.split())
+            qx0, qx1, qy0, qy1 = envelope(q)
+            got = set()
+            for sid, (x0, x1, y0, y1) in states.items():
+                if rel == "intersects":
+                    ok = x0 <= qx1 and x1 >= qx0 \
+                        and y0 <= qy1 and y1 >= qy0
+                else:                # iswithin: doc box inside query
+                    ok = x0 >= qx0 and x1 <= qx1 \
+                        and y0 >= qy0 and y1 <= qy1
+                if ok:
+                    got.add(sid)
+            assert got == expect, (fname, q.strip(), got, expect)
+            n += 1
+        assert n >= 3
+    run("states-Intersects-BBox.txt", "intersects")
+    run("states-IsWithin-BBox.txt", "iswithin")
+
+
+def test_mapping_rules_file_parser():
+    """MappingCharFilterFactory rules format, gated on the reference's
+    ISOLatin1Accent partial mapping file."""
+    import pytest as _pytest
+
+    from lucene_ray.charfilter import (mapping_char_filter_from_file,
+                                       parse_mapping_rules)
+
+    path = ("/root/reference/lucene/benchmark/src/test/org/apache/"
+            "lucene/benchmark/byTask/"
+            "test-mapping-ISOLatin1Accent-partial.txt")
+    f = mapping_char_filter_from_file(path)
+    out, _m = f("café èlégant")
+    assert out == "cafe elegant"
+    rules = parse_mapping_rules(open(path, encoding="utf-8").read())
+    assert rules["é"] == "e" and len(rules) >= 4
+    with _pytest.raises(ValueError):
+        parse_mapping_rules('"a" -> "b"')
