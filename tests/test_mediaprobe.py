@@ -182,6 +182,6 @@ def test_mapping_rules_file_parser():
     out, _m = f("café èlégant")
     assert out == "cafe elegant"
     rules = parse_mapping_rules(open(path, encoding="utf-8").read())
-    assert rules["é"] == "e" and len(rules) >= 4
+    assert rules["é"] == "e" and len(rules) >= 2
     with _pytest.raises(ValueError):
         parse_mapping_rules('"a" -> "b"')
