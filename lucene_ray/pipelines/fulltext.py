@@ -15987,3 +15987,47 @@ UNION ALL
 {q3}
 UNION ALL
 {q4}"""
+
+
+# ---------------------------------------------------------------------------
+# TREC quality-benchmark input parsers (benchmark/quality/trec)
+
+def parse_trec_topics(text: str) -> "list[dict]":
+    """TrecTopicsReader (benchmark/quality/trec/TrecTopicsReader.java:39):
+    <top> blocks with <num> Number: N, <title> (same line), <desc>/
+    <narr> bodies running to the next tag.  Returns [{qid, title,
+    description, narrative}] in file order."""
+    import re
+
+    out = []
+    for block in re.findall(r"<top>(.*?)</top>", text, re.S):
+        num = re.search(r"<num>\s*Number:\s*(\S+)", block)
+        title = re.search(r"<title>\s*(.*)", block)
+        desc = re.search(r"<desc>[^\n]*\n(.*?)(?=<narr>|$)", block, re.S)
+        narr = re.search(r"<narr>[^\n]*\n(.*?)$", block, re.S)
+        if num is None or title is None:
+            raise ValueError("malformed TREC topic block")
+        out.append({
+            "qid": num.group(1),
+            "title": title.group(1).strip(),
+            "description": (desc.group(1).strip() if desc else ""),
+            "narrative": (narr.group(1).strip() if narr else ""),
+        })
+    return out
+
+
+def parse_trec_qrels(text: str) -> "dict[str, dict[str, int]]":
+    """TrecJudge (benchmark/quality/trec/TrecJudge.java:36 — format
+    ``qnum 0 doc-name is-relevant``): {qid: {doc: rel}}; malformed
+    lines raise like the reference's StringTokenizer path."""
+    out: dict[str, dict[str, int]] = {}
+    for line in text.splitlines():
+        s = line.strip()
+        if not s or s.startswith("#"):
+            continue
+        parts = s.split()
+        if len(parts) != 4:
+            raise ValueError(f"malformed qrels line: {line!r}")
+        qid, _zero, doc, rel = parts
+        out.setdefault(qid, {})[doc] = int(rel)
+    return out

@@ -185,3 +185,22 @@ def test_mapping_rules_file_parser():
     assert rules["é"] == "e" and len(rules) >= 2
     with _pytest.raises(ValueError):
         parse_mapping_rules('"a" -> "b"')
+
+
+def test_trec_parsers_on_reference_files():
+    """TrecTopicsReader / TrecJudge input formats, gated on the
+    reference's quality-benchmark files."""
+    from lucene_ray.pipelines.fulltext import (parse_trec_qrels,
+                                               parse_trec_topics)
+
+    base = ("/root/reference/lucene/benchmark/src/test/org/apache/"
+            "lucene/benchmark/quality/")
+    topics = parse_trec_topics(open(base + "trecTopics.txt").read())
+    assert len(topics) == 20
+    assert topics[0]["qid"] == "0"
+    assert topics[0]["title"] == "statement months  total 1987"
+    assert topics[0]["description"].startswith("Topic 0 Description")
+    assert topics[0]["narrative"].endswith("Line 2")
+    qrels = parse_trec_qrels(open(base + "trecQRels.txt").read())
+    assert qrels["0"]["fakedoc1"] == 1
+    assert len(qrels) == 20 and sum(len(v) for v in qrels.values()) > 600
