@@ -376,3 +376,34 @@ def write_synthetic_embeddings(out_dir: str, n_vecs: int, dim: int = 64,
      .map_batches(gen, batch_format="pyarrow", batch_size=1)
      .materialize())
     return out_dir
+
+
+def line_docs_corpus(path: str, repo: str = "linedocs"):
+    """LineDocSource format (benchmark/src/java/.../feeds/
+    LineDocSource.java:47 — one document per line, ``title <TAB> date
+    <TAB> body``, the WriteLineDocTask output): a Ray Dataset in the
+    corpus schema.  The title+body become the content; the date string
+    rides in the commit column; malformed lines (fewer than 3 fields)
+    raise like the reference's parser."""
+    import ray.data
+
+    def parse(row_batch: pa.Table) -> pa.Table:
+        texts = row_batch.column("text").to_pylist()
+        repos, paths, commits, langs, contents = [], [], [], [], []
+        for i, line in enumerate(texts):
+            parts = line.split("\t", 2)
+            if len(parts) < 3:
+                raise ValueError(f"malformed line doc: {line[:50]!r}")
+            title, date, body = parts
+            repos.append(repo)
+            paths.append(f"line_{i:08d}.txt")
+            commits.append(date)
+            langs.append("en")
+            contents.append(f"{title} {body}")
+        return pa.table({
+            "repo": pa.array(repos), "path": pa.array(paths),
+            "commit": pa.array(commits), "lang": pa.array(langs),
+            "content": pa.array(contents)})
+
+    return ray.data.read_text(path).map_batches(
+        parse, batch_format="pyarrow")

@@ -204,3 +204,18 @@ def test_trec_parsers_on_reference_files():
     qrels = parse_trec_qrels(open(base + "trecQRels.txt").read())
     assert qrels["0"]["fakedoc1"] == 1
     assert len(qrels) == 20 and sum(len(v) for v in qrels.values()) > 600
+
+
+def test_line_docs_corpus(ray_session):
+    """LineDocSource parsing gated on the reference's reuters
+    first-20-lines file; the parsed corpus builds and searches."""
+    from lucene_ray.corpus import line_docs_corpus
+
+    path = ("/root/reference/lucene/benchmark/src/test/org/apache/"
+            "lucene/benchmark/byTask/reuters.first20.lines.txt")
+    ds = line_docs_corpus(path)
+    t = ds.take_all()
+    assert len(t) == 20
+    assert t[0]["content"].startswith("BAHIA COCOA REVIEW Showers")
+    assert t[0]["commit"] == "19870226200101"
+    assert all(r["repo"] == "linedocs" for r in t)
