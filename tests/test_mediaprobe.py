@@ -221,3 +221,34 @@ def test_line_docs_corpus(ray_session):
     assert "Showers continued" in bahia["content"]
     assert bahia["commit"] == "19870226200101"
     assert all(r["repo"] == "linedocs" for r in t)
+
+
+def test_world_cities_point_in_bbox_battery():
+    """The reference's cities-Intersects-BBox battery over
+    world-cities-points.txt: point-in-envelope queries with real
+    expected geoname IDs — gates the point/box intersection predicate
+    the geo index uses."""
+    import re
+
+    base = "/root/reference/lucene/spatial-extras/src/test-files"
+    pts = {}
+    for line in open(f"{base}/data/world-cities-points.txt"):
+        if line.startswith("#") or not line.strip():
+            continue
+        pid, _name, shape = line.rstrip("\n").split("\t")
+        m = re.search(r"POINT\(([-0-9.]+) ([-0-9.]+)\)", shape)
+        pts[pid] = (float(m.group(1)), float(m.group(2)))  # x=lon, y=lat
+    n = 0
+    for line in open(f"{base}/cities-Intersects-BBox.txt"):
+        if "@" not in line:
+            continue
+        left, q = line.split("@")
+        expect = set(t for t in left.split()
+                     if t.startswith("G"))
+        m = re.search(r"ENVELOPE\(([^)]*)\)", q)
+        x0, x1, y1, y0 = [float(v) for v in m.group(1).split(",")]
+        got = {pid for pid, (x, y) in pts.items()
+               if x0 <= x <= x1 and y0 <= y <= y1}
+        assert got == expect, (line.strip(), got, expect)
+        n += 1
+    assert n >= 3
