@@ -34,20 +34,38 @@ def _hun_lower(w: str) -> str:
 _NUM_RE = re.compile(r"[0-9]+([.,-][0-9]+)*$")
 
 
+def _word_case(w: str) -> str:
+    """WordCase.caseOf: MIXED when the first char is lowercase or the
+    casing is irregular; TITLE = leading upper, no other uppercase;
+    UPPER = cased letters present and none lowercase (digits and
+    punctuation are transparent, so '1ST' is UPPER)."""
+    if not w or w[:1].islower():
+        return "mixed"
+    letters = [c for c in w if c.isalpha()]
+    if not letters:
+        return "mixed"
+    has_upper = any(c.isupper() for c in letters)
+    has_lower = any(c.islower() for c in letters)
+    if has_upper and not has_lower:
+        return "upper"
+    if w[0].isupper() and not any(c.isupper() for c in w[1:]):
+        return "title"
+    return "mixed"
+
+
 def _is_number(w: str) -> bool:
     """Hunspell skips number-shaped words: digit runs with single
     ./,/- separators strictly between them ('1..2' is NOT a number)."""
     return _NUM_RE.fullmatch(w) is not None
 
 _UNSUPPORTED = (
-    "COMPOUNDRULE", "COMPOUNDFLAG", "COMPOUNDBEGIN", "COMPOUNDMIDDLE",
-    "COMPOUNDEND", "COMPOUNDMIN", "COMPOUNDWORDMAX", "CHECKCOMPOUNDCASE",
-    "CHECKCOMPOUNDDUP", "CHECKCOMPOUNDREP", "CHECKCOMPOUNDPATTERN",
-    "CHECKCOMPOUNDTRIPLE", "ONLYINCOMPOUND", "COMPOUNDPERMITFLAG",
-    "COMPOUNDFORBIDFLAG", "FORCEUCASE", "ICONV", "OCONV", "AF", "AM",
-    "CIRCUMFIX", "NEEDAFFIX", "KEEPCASE", "FORBIDDENWORD", "BREAK",
-    "COMPLEXPREFIXES", "PSEUDOROOT", "SIMPLIFIEDTRIPLE", "LANG",
-    "IGNORE", "CHECKSHARPS", "SYLLABLENUM", "COMPOUNDSYLLABLE",
+    "COMPOUNDBEGIN", "COMPOUNDMIDDLE", "COMPOUNDEND",
+    "CHECKCOMPOUNDCASE", "CHECKCOMPOUNDDUP", "CHECKCOMPOUNDREP",
+    "CHECKCOMPOUNDPATTERN", "CHECKCOMPOUNDTRIPLE",
+    "COMPOUNDPERMITFLAG", "COMPOUNDFORBIDFLAG", "FORCEUCASE",
+    "ICONV", "OCONV", "AF", "AM", "BREAK", "COMPLEXPREFIXES",
+    "PSEUDOROOT", "SIMPLIFIEDTRIPLE", "LANG", "IGNORE", "CHECKSHARPS",
+    "SYLLABLENUM", "COMPOUNDSYLLABLE",
 )
 
 
@@ -61,7 +79,14 @@ class _Affix:
         self.strip = "" if strip == "0" else strip
         self.append = "" if append == "0" else append
         self.cond = cond
-        self.cond_re = None if cond == "." else re.compile(cond + "$")
+        if cond == ".":
+            self.cond_re = None
+        else:
+            try:
+                self.cond_re = re.compile(cond + "$")
+            except re.error:
+                # lenient: an unparseable condition never matches
+                self.cond_re = re.compile(r"(?!)")
         self.append_flags = append_flags
 
 
@@ -70,6 +95,15 @@ class HunspellDictionary:
         self.flag_mode = "char"
         self.fullstrip = False
         self.try_chars = ""
+        self.needaffix = None
+        self.circumfix = None
+        self.keepcase = None
+        self.forbiddenword = None
+        self.onlyincompound = None
+        self.compoundflag = None
+        self.compound_min = 3
+        self.compound_max = None
+        self.compound_rules: list = []
         self.prefixes: dict[str, list[_Affix]] = {}
         self.suffixes: dict[str, list[_Affix]] = {}
         self._parse_aff(aff_text)
@@ -108,9 +142,30 @@ class HunspellDictionary:
                 self.flag_mode = "char" if mode == "utf-8" else mode
             elif key == "FULLSTRIP":
                 self.fullstrip = True
+            elif key in ("NEEDAFFIX", "CIRCUMFIX", "KEEPCASE",
+                         "FORBIDDENWORD", "ONLYINCOMPOUND",
+                         "COMPOUNDFLAG"):
+                attr = {"NEEDAFFIX": "needaffix",
+                        "CIRCUMFIX": "circumfix",
+                        "KEEPCASE": "keepcase",
+                        "FORBIDDENWORD": "forbiddenword",
+                        "ONLYINCOMPOUND": "onlyincompound",
+                        "COMPOUNDFLAG": "compoundflag"}[key]
+                setattr(self, attr, self._flags(parts[1])[0])
+            elif key == "COMPOUNDMIN":
+                self.compound_min = max(1, int(parts[1]))
+            elif key == "COMPOUNDWORDMAX":
+                self.compound_max = int(parts[1])
+            elif key == "COMPOUNDRULE":
+                if parts[1].isdigit() and len(parts) == 2:
+                    pass                     # count line
+                else:
+                    self.compound_rules.append(parts[1])
             elif key == "TRY":
                 self.try_chars = parts[1] if len(parts) > 1 else ""
             elif key in ("PFX", "SFX"):
+                if len(parts) < 4 or not parts[3].isdigit():
+                    continue                 # lenient: malformed header
                 flag, cross, n = parts[1], parts[2] == "Y", int(parts[3])
                 table = self.prefixes if key == "PFX" else self.suffixes
                 rules = table.setdefault(flag, [])
@@ -139,30 +194,35 @@ class HunspellDictionary:
             line = line.split("#")[0].strip()
             if not line:
                 continue
+            line = line.split("\t")[0].strip()  # drop morph columns
+            if not line:
+                continue
             if "/" in line:
                 word, fl = line.split("/", 1)
-                flags = set(self._flags(fl))
+                flags = frozenset(self._flags(fl))
             else:
-                word, flags = line, set()
-            self.words.setdefault(word, set()).update(flags)
-            low = _hun_lower(word)
-            if low != word:
-                self.hidden_orig.setdefault(low, []).append(word)
-                # hidden lowercase homonym for case-variant checks
-                # (Dictionary.java's hidden entries: an ALL-CAPS or
-                # title input may match a cased dictionary word)
-                self.hidden.setdefault(low, set()).update(flags)
+                word, flags = line, frozenset()
+            self.words.setdefault(word, []).append(flags)
+            # hidden TITLECASE homonyms (Dictionary.java:1073-1091):
+            # for MIXED-case words, and for ALL-CAPS words with flags
+            wc = _word_case(word)
+            if wc == "mixed" and not word[:1].islower() \
+                    or (wc == "upper" and flags):
+                t = word[:1].upper() + _hun_lower(word[1:])
+                if t != word:
+                    self.hidden.setdefault(t, []).append(flags)
 
     # -- checking -------------------------------------------------------
 
     def _root_has(self, root: str, flag: str,
                   allow_hidden: bool = False) -> bool:
-        fl = self.words.get(root)
-        if fl is not None and flag in fl:
-            return True
+        for fl in self.words.get(root, ()):
+            if flag in fl:
+                return True
         if allow_hidden:
-            fl = self.hidden.get(root)
-            return fl is not None and flag in fl
+            for fl in self.hidden.get(root, ()):
+                if flag in fl:
+                    return True
         return False
 
     def _suffix_roots(self, word: str):
@@ -198,95 +258,282 @@ class HunspellDictionary:
                     continue
                 yield root, a
 
-    def spell(self, word: str) -> bool:
-        """Hunspell.spell (Hunspell.java:95): trailing periods strip
-        when the dotted form is unknown, case variants check (ALL-CAPS
-        input accepts title/lower dictionary forms, Titlecase accepts
-        lower — Hunspell.checkCaseVariants), and the default '-' break
-        accepts a word whose parts all spell (the implicit BREAK
-        table)."""
-        if not word:
-            return False
-        if _is_number(word):
-            return True                   # Hunspell skips number words
-        if self._spell_cased(word):
-            return True
-        stripped = word.rstrip(".")
-        if stripped != word and stripped and self._spell_cased(stripped):
-            return True
-        for probe in (word, stripped):
-            if not probe:
-                continue
-            if "-" in probe.strip("-"):
-                parts = probe.split("-")
-                if all(p and self._spell_cased(p) for p in parts):
-                    return True
-            # default break also strips ONE leading/trailing hyphen
-            if probe.endswith("-") and self._spell_cased(probe[:-1]):
-                return True
-            if probe.startswith("-") and self._spell_cased(probe[1:]):
-                return True
-        return False
+    # -- analyses -------------------------------------------------------
 
-    def _spell_cased(self, word: str) -> bool:
-        if self._spell_exact(word):
-            return True
-        if word.isupper():
-            low = _hun_lower(word)
-            # the lowered variant counts only when it uppercases back
-            # to the input (rejects a dotted-I ALLCAPS of a plain-i
-            # word) ...
-            if low.upper() == word \
-                    and self._spell_exact(low, allow_hidden=True):
-                return True
-            # ... or when a cased dictionary original uppercases to it
-            for orig in self.hidden_orig.get(low, ()):
-                if orig.upper() == word:
-                    return True
-            t = word[:1] + _hun_lower(word[1:])
-            if t != word and self._spell_exact(t, allow_hidden=True):
-                return True
-        elif word[:1].isupper() and word[1:].islower():
-            low = _hun_lower(word)
-            # Titlecase input: only a true lowercase dictionary word
-            # whose titlecase reconstructs the input (no hidden
-            # entries — 'Nasa' must not match 'NASA')
-            if (low[:1].upper() + low[1:]) == word \
-                    and self._spell_exact(low, allow_hidden=False):
-                return True
-        return False
-
-    def _spell_exact(self, word: str, allow_hidden: bool = False
-                     ) -> bool:
-        if word in self.words or (allow_hidden and word in self.hidden):
-            return True
-        ah = allow_hidden
+    def _analyses(self, word: str):
+        """Candidate (root, affix-part list) decompositions; parts are
+        (kind, _Affix) with suffix chains outer-to-inner; authorization
+        is checked later so circumfix/needaffix gates can see the whole
+        derivation (Stemmer.doStem's affix enumeration)."""
+        yield word, []
         for r1, s1 in self._suffix_roots(word):
-            if self._root_has(r1, s1.flag, ah):
-                return True
-            # twofold: the inner suffix's append flags authorize the
-            # outer one (Dictionary's crossProduct append flags)
+            yield r1, [("sfx", s1)]
             for r2, s2 in self._suffix_roots(r1):
-                if s1.flag in s2.append_flags \
-                        and self._root_has(r2, s2.flag, ah):
-                    return True
+                yield r2, [("sfx", s1), ("sfx", s2)]
         for rp, p in self._prefix_roots(word):
-            if self._root_has(rp, p.flag, ah):
-                return True
+            yield rp, [("pfx", p)]
             if not p.cross:
                 continue
             for r1, s1 in self._suffix_roots(rp):
                 if not s1.cross:
                     continue
-                if self._root_has(r1, s1.flag, ah) \
-                        and self._root_has(r1, p.flag, ah):
-                    return True
+                yield r1, [("pfx", p), ("sfx", s1)]
                 for r2, s2 in self._suffix_roots(r1):
-                    if s2.cross and s1.flag in s2.append_flags \
-                            and self._root_has(r2, s2.flag, ah) \
-                            and self._root_has(r2, p.flag, ah):
-                        return True
+                    if s2.cross:
+                        yield r2, [("pfx", p), ("sfx", s1),
+                                   ("sfx", s2)]
+
+    def _authorized(self, flags: set, parts: list) -> bool:
+        """Affix flags must come from the root's flag set or, for an
+        outer suffix / cross prefix, from an inner suffix's append
+        flags (Dictionary's affix-on-affix authorization)."""
+        sfx = [a for k, a in parts if k == "sfx"]
+        pfx = [a for k, a in parts if k == "pfx"]
+        if sfx:
+            inner = sfx[-1]
+            if inner.flag not in flags:
+                return False
+            for outer, inner_a in zip(sfx, sfx[1:]):
+                if outer.flag not in flags \
+                        and outer.flag not in inner_a.append_flags:
+                    return False
+        for p in pfx:
+            ok = p.flag in flags or any(
+                p.flag in a.append_flags for a in sfx)
+            if not ok:
+                return False
+        return True
+
+    def _gates(self, flags: set, parts: list, in_compound: bool) -> bool:
+        """needaffix / circumfix / onlyincompound derivation gates."""
+        na = self.needaffix
+        if na is not None:
+            real = [a for _k, a in parts
+                    if na not in a.append_flags]
+            if not parts and na in flags:
+                return False                  # bare pseudo-root
+            if parts and not real:
+                return False                  # only pseudo-affixes
+        cf = self.circumfix
+        if cf is not None:
+            pfx_cf = any(k == "pfx" and cf in a.append_flags
+                         for k, a in parts)
+            sfx_cf = any(k == "sfx" and cf in a.append_flags
+                         for k, a in parts)
+            if pfx_cf != sfx_cf:
+                return False
+        oic = self.onlyincompound
+        if oic is not None and not in_compound and oic in flags:
+            return False
+        return True
+
+    _POISON = object()        # keepcase entry hit under case variation
+
+    def _find_entry(self, root: str, parts: list, variant: bool,
+                    in_compound: bool):
+        """-> (flags, forbidden) or None or _POISON.  ``variant``
+        selects case-variant acceptance (hidden entries allowed,
+        keepcase rejected); a NON-hidden keepcase hit under variation
+        POISONS the whole analysis — Stemmer.doStem stops enumerating
+        when acceptCase fails on a non-hidden entry."""
+        best = None
+        for source, hidden in ((self.words, False),
+                               (self.hidden, True)):
+            entries = source.get(root)
+            if not entries:
+                continue
+            if hidden and not variant:
+                continue
+            for flags in entries:
+                if variant and self.keepcase is not None \
+                        and self.keepcase in flags:
+                    if not hidden:
+                        return self._POISON
+                    continue
+                if not self._authorized(flags, parts):
+                    continue
+                if not self._gates(flags, parts, in_compound):
+                    continue
+                forb = self.forbiddenword is not None \
+                    and self.forbiddenword in flags
+                if not forb:
+                    return flags, False
+                if best is None:
+                    best = (flags, True)
+        return best
+
+    def _check_simple(self, word: str, variant: bool):
+        """Boolean or None (Hunspell.checkSimpleWord): a forbidden
+        match is a HARD False that short-circuits compounds and case
+        variants."""
+        for root, parts in self._analyses(word):
+            found = self._find_entry(root, parts, variant, False)
+            if found is self._POISON:
+                return False
+            if found is not None:
+                return not found[1]
+        return None
+
+    # -- compounds ------------------------------------------------------
+
+    def _compound_part_ok(self, piece: str, pos: str, variant: bool
+                          ) -> bool:
+        cf = self.compoundflag
+        for root, parts in self._analyses(piece):
+            if pos == "middle" and parts:
+                continue
+            if pos == "begin" and any(k == "sfx" for k, _a in parts):
+                continue
+            if pos == "end" and any(k == "pfx" for k, _a in parts):
+                continue
+            # middle/end parts never apply case-variant entry rules
+            # (findStem passes a null case there)
+            v = variant if pos == "begin" else False
+            found = self._find_entry(root, parts, v, True)
+            if found is None and pos != "begin":
+                found = self._find_entry(root, parts, True, True)
+            if found is self._POISON or found is None or found[1]:
+                continue
+            if cf is not None and cf in found[0]:
+                return True
         return False
+
+    def _check_compound_flag(self, word: str, variant: bool,
+                             n_parts: int = 1) -> bool:
+        if self.compoundflag is None:
+            return False
+        if self.compound_max is not None \
+                and n_parts + 1 > self.compound_max:
+            return False
+        cmin = self.compound_min
+        for brk in range(cmin, len(word) - cmin + 1):
+            head, tail = word[:brk], word[brk:]
+            if f"{head} {tail}" in self.words:
+                # a dictionary word PAIR forbids the concatenation
+                # (the wordpair rule)
+                continue
+            pos = "begin" if n_parts == 1 else "middle"
+            if not self._compound_part_ok(head, pos, variant):
+                continue
+            if self._compound_part_ok(tail, "end", variant):
+                return True
+            if self._check_compound_flag(tail, variant, n_parts + 1):
+                return True
+        return False
+
+    def _check_compound_rules(self, word: str) -> bool:
+        if not self.compound_rules:
+            return False
+        import re as _re
+        pats = []
+        for rule in self.compound_rules:
+            # rule chars are flags, with * and ? quantifiers and
+            # (group) alternates; translate to a regex over a
+            # flag-sequence string (one char per part, char mode)
+            pats.append(_re.compile(
+                "".join(ch if ch in "*?()|" else _re.escape(ch)
+                        for ch in rule) + "$"))
+
+        def parts_flags(rest: str, acc: list) -> bool:
+            if not rest:
+                seq_choices = [""]
+                for fl in acc:
+                    seq_choices = [s + f for s in seq_choices
+                                   for f in fl]
+                    if len(seq_choices) > 4096:
+                        return False
+                return len(acc) >= 2 and any(
+                    p.match(seq) for p in pats for seq in seq_choices)
+            for ln in range(1, len(rest) + 1):
+                piece = rest[:ln]
+                entries = self.words.get(piece)
+                if entries:
+                    union = sorted(set().union(*entries))
+                    if union and parts_flags(rest[ln:],
+                                             acc + [union]):
+                        return True
+                if ln == len(rest):
+                    # the last element may carry a suffix
+                    for root, sfx in self._suffix_roots(piece):
+                        for fl in self.words.get(root, ()):
+                            if sfx.flag in fl:
+                                if parts_flags("", acc + [sorted(fl)]):
+                                    return True
+            return False
+
+        return parts_flags(word, [])
+
+    # -- spell ----------------------------------------------------------
+
+    def spell(self, word: str) -> bool:
+        """Hunspell.spell (Hunspell.java:74-118): trailing-period
+        stripping, number words, the simple check (forbidden matches
+        short-circuit to False), compound checks, case variants per
+        Stemmer.varyCase (UPPER tries apostrophe-title / title / lower
+        unless the dotted-I rule disallows it; TITLE tries lower), and
+        the default hyphen breaks."""
+        if not word:
+            return True
+        if word.endswith("."):
+            n = len(word)
+            while n > 0 and word[n - 1] == ".":
+                n -= 1
+            return self._spell_clean(word[:n]) \
+                or self._spell_clean(word[:n + 1])
+        return self._spell_clean(word)
+
+    def _spell_clean(self, word: str) -> bool:
+        if not word:
+            return False
+        if _is_number(word):
+            return True
+        simple = self._check_simple(word, False)
+        if simple is not None:
+            return simple
+        if self._check_compound_rules(word):
+            return True
+        if self._check_compound_flag(word, False):
+            return True
+        wc = _word_case(word)
+        if wc in ("upper", "title"):
+            for v in self._case_variants(word, wc):
+                r = self._check_simple(v, True)
+                if r:
+                    return True
+                if r is None and (self._check_compound_rules(v)
+                                  or self._check_compound_flag(v, True)):
+                    return True
+        # default break table: hyphens
+        probe = word
+        if "-" in probe.strip("-") or probe.strip("-") != probe:
+            if probe.endswith("-") and self._spell_clean(probe[:-1]):
+                return True
+            if probe.startswith("-") and self._spell_clean(probe[1:]):
+                return True
+            parts = [p for p in probe.split("-")]
+            if len(parts) > 1 and all(
+                    p and self._spell_clean(p) for p in parts):
+                return True
+        return False
+
+    def _case_variants(self, word: str, wc: str):
+        out = []
+        if wc == "upper":
+            title = word[:1] + _hun_lower(word[1:])
+            apos = None
+            i = title.find("'")
+            if 0 < i < len(title) - 1:
+                apos = title[:i + 1] + title[i + 1].upper() \
+                    + title[i + 2:]
+                if apos != title:
+                    out.append(apos)
+            out.append(title)
+            if "\u0130" not in word:      # dotted-I case change disallowed
+                out.append(_hun_lower(title))
+        else:
+            if "\u0130" not in word:
+                out.append(_hun_lower(word))
+        return out
 
     def stems(self, word: str) -> list[str]:
         out = []

@@ -12,9 +12,15 @@ from lucene_ray.hunspell import HunspellDictionary, load_dictionary
 BASE = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
         "lucene/analysis/hunspell")
 
-SUPPORTED = ["allcaps", "base", "base_utf", "breakdefault", "flagutf8",
-             "i53643", "i58202", "keyDefault", "longStrip", "map",
-             "maxNGramSugsDefault", "ngram", "ph"]
+SUPPORTED = ["IJ", "allcaps", "base", "base_utf", "breakdefault",
+             "compoundflag", "compoundrule", "compoundrule2",
+             "compoundrule3", "compoundrule4", "compoundrule5",
+             "compoundrule6", "compoundrule7", "compoundrule8",
+             "flagutf8", "forbiddenword", "i53643", "i58202",
+             "keepcase", "keyDefault", "longStrip", "map",
+             "maxNGramSugsDefault", "needaffix5", "ngram", "nosuggest",
+             "opentaal_forbiddenword1", "opentaal_forbiddenword2",
+             "ph", "sug", "sug2", "wordpair"]
 
 
 @pytest.mark.parametrize("name", SUPPORTED)
@@ -36,11 +42,28 @@ def test_reference_battery(name):
 
 def test_unsupported_fence():
     with pytest.raises(NotImplementedError):
-        load_dictionary(f"{BASE}/compoundrule.aff",
-                        f"{BASE}/compoundrule.dic")
+        load_dictionary(f"{BASE}/checkcompoundpattern.aff",
+                        f"{BASE}/checkcompoundpattern.dic")
     with pytest.raises(NotImplementedError):
-        load_dictionary(f"{BASE}/circumfix.aff",
-                        f"{BASE}/circumfix.dic")
+        load_dictionary(f"{BASE}/conv.aff", f"{BASE}/conv.dic")
+
+
+def test_compound_and_gates():
+    d = load_dictionary(f"{BASE}/compoundflag.aff",
+                        f"{BASE}/compoundflag.dic")
+    assert d.spell("foobarfoo") and not d.spell("fooxybar")
+    k = load_dictionary(f"{BASE}/keepcase.aff", f"{BASE}/keepcase.dic")
+    assert k.spell("SCHOOLTVV") and not k.spell("UNITVV")
+    fw = load_dictionary(f"{BASE}/forbiddenword.aff",
+                         f"{BASE}/forbiddenword.dic")
+    assert fw.spell("foo") and not fw.spell("foos")
+    na = load_dictionary(f"{BASE}/needaffix5.aff",
+                         f"{BASE}/needaffix5.dic")
+    assert na.spell("prefoopseudosuf") \
+        and not na.spell("foopseudosuf")
+    wp = load_dictionary(f"{BASE}/wordpair.aff",
+                         f"{BASE}/wordpair.dic")
+    assert wp.spell("wordcompound") and not wp.spell("compoundword")
 
 
 def test_lenient_broken_counts():
