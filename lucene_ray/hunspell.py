@@ -63,9 +63,8 @@ _UNSUPPORTED = (
     "CHECKCOMPOUNDCASE", "CHECKCOMPOUNDDUP", "CHECKCOMPOUNDREP",
     "CHECKCOMPOUNDPATTERN", "CHECKCOMPOUNDTRIPLE",
     "COMPOUNDPERMITFLAG", "COMPOUNDFORBIDFLAG", "FORCEUCASE",
-    "ICONV", "OCONV", "AF", "AM", "BREAK", "COMPLEXPREFIXES",
-    "PSEUDOROOT", "SIMPLIFIEDTRIPLE", "LANG", "IGNORE", "CHECKSHARPS",
-    "SYLLABLENUM", "COMPOUNDSYLLABLE",
+    "COMPLEXPREFIXES", "PSEUDOROOT", "SIMPLIFIEDTRIPLE", "LANG",
+    "CHECKSHARPS", "SYLLABLENUM", "COMPOUNDSYLLABLE",
 )
 
 
@@ -104,6 +103,10 @@ class HunspellDictionary:
         self.compound_min = 3
         self.compound_max = None
         self.compound_rules: list = []
+        self.iconv: list = []
+        self.ignore_chars = ""
+        self.breaks: "list[str] | None" = None   # None = default table
+        self.aliases: list = []
         self.prefixes: dict[str, list[_Affix]] = {}
         self.suffixes: dict[str, list[_Affix]] = {}
         self._parse_aff(aff_text)
@@ -117,6 +120,10 @@ class HunspellDictionary:
     def _flags(self, s: str) -> tuple:
         if not s:
             return ()
+        if self.aliases and s.isdigit():
+            i = int(s)
+            if 1 <= i <= len(self.aliases):
+                s = self.aliases[i - 1]      # AF alias reference
         if self.flag_mode == "long":
             return tuple(s[i:i + 2] for i in range(0, len(s), 2))
         if self.flag_mode == "num":
@@ -161,6 +168,26 @@ class HunspellDictionary:
                     pass                     # count line
                 else:
                     self.compound_rules.append(parts[1])
+            elif key == "ICONV":
+                if len(parts) >= 3:
+                    self.iconv.append((parts[1], parts[2]))
+            elif key == "OCONV":
+                pass                         # suggestion-side only
+            elif key == "IGNORE":
+                self.ignore_chars = parts[1] if len(parts) > 1 else ""
+            elif key == "BREAK":
+                if parts[1] == "0":
+                    self.breaks = []
+                elif parts[1].isdigit() and len(parts) == 2:
+                    if self.breaks is None:
+                        self.breaks = []
+                else:
+                    if self.breaks is None:
+                        self.breaks = []
+                    self.breaks.append(parts[1])
+            elif key == "AF":
+                if not (parts[1].isdigit() and len(parts) == 2):
+                    self.aliases.append(parts[1])
             elif key == "TRY":
                 self.try_chars = parts[1] if len(parts) > 1 else ""
             elif key in ("PFX", "SFX"):
@@ -465,15 +492,39 @@ class HunspellDictionary:
 
     # -- spell ----------------------------------------------------------
 
+    def _clean_input(self, word: str) -> str:
+        """Dictionary.cleanInput: ICONV longest-match rewriting plus
+        IGNORE character removal, before any checking."""
+        if self.iconv:
+            out = []
+            i = 0
+            while i < len(word):
+                for src, dst in sorted(self.iconv,
+                                       key=lambda p: -len(p[0])):
+                    if word.startswith(src, i):
+                        out.append(dst)
+                        i += len(src)
+                        break
+                else:
+                    out.append(word[i])
+                    i += 1
+            word = "".join(out)
+        if self.ignore_chars:
+            word = "".join(c for c in word
+                           if c not in self.ignore_chars)
+        return word
+
     def spell(self, word: str) -> bool:
-        """Hunspell.spell (Hunspell.java:74-118): trailing-period
-        stripping, number words, the simple check (forbidden matches
-        short-circuit to False), compound checks, case variants per
-        Stemmer.varyCase (UPPER tries apostrophe-title / title / lower
-        unless the dotted-I rule disallows it; TITLE tries lower), and
-        the default hyphen breaks."""
+        """Hunspell.spell (Hunspell.java:74-118): input cleaning
+        (ICONV/IGNORE), trailing-period stripping, number words, the
+        simple check (forbidden matches short-circuit to False),
+        compound checks, case variants per Stemmer.varyCase (UPPER
+        tries apostrophe-title / title / lower unless the dotted-I rule
+        disallows it; TITLE tries lower), and the BREAK table (the
+        default = hyphen splits and edge hyphens)."""
         if not word:
             return True
+        word = self._clean_input(word)
         if word.endswith("."):
             n = len(word)
             while n > 0 and word[n - 1] == ".":
@@ -503,17 +554,36 @@ class HunspellDictionary:
                 if r is None and (self._check_compound_rules(v)
                                   or self._check_compound_flag(v, True)):
                     return True
-        # default break table: hyphens
-        probe = word
-        if "-" in probe.strip("-") or probe.strip("-") != probe:
-            if probe.endswith("-") and self._spell_clean(probe[:-1]):
-                return True
-            if probe.startswith("-") and self._spell_clean(probe[1:]):
-                return True
-            parts = [p for p in probe.split("-")]
-            if len(parts) > 1 and all(
-                    p and self._spell_clean(p) for p in parts):
-                return True
+        # BREAK table (default: hyphen splits + edge hyphens)
+        breaks = self.breaks if self.breaks is not None else ["-"]
+        for b in breaks:
+            if b.startswith("^"):
+                pat = b[1:]
+                if pat and word.startswith(pat) \
+                        and self._spell_clean(word[len(pat):]):
+                    return True
+                continue
+            if b.endswith("$"):
+                pat = b[:-1]
+                if pat and word.endswith(pat) \
+                        and self._spell_clean(word[: -len(pat)]):
+                    return True
+                continue
+            i = word.find(b, 1)
+            while 0 < i < len(word) - len(b):
+                left, right = word[:i], word[i + len(b):]
+                if left and right and self._spell_clean(left) \
+                        and self._spell_clean(right):
+                    return True
+                i = word.find(b, i + 1)
+            # edge occurrences of single-char default breaks
+            if self.breaks is None:
+                if word.endswith(b) and self._spell_clean(
+                        word[: -len(b)]):
+                    return True
+                if word.startswith(b) and self._spell_clean(
+                        word[len(b):]):
+                    return True
         return False
 
     def _case_variants(self, word: str, wc: str):

@@ -20,7 +20,8 @@ SUPPORTED = ["IJ", "allcaps", "base", "base_utf", "breakdefault",
              "keepcase", "keyDefault", "longStrip", "map",
              "maxNGramSugsDefault", "needaffix5", "ngram", "nosuggest",
              "opentaal_forbiddenword1", "opentaal_forbiddenword2",
-             "ph", "sug", "sug2", "wordpair"]
+             "ph", "sug", "sug2", "wordpair", "break", "breakoff",
+             "conv", "ignore", "oconv", "rep"]
 
 
 @pytest.mark.parametrize("name", SUPPORTED)
@@ -45,7 +46,8 @@ def test_unsupported_fence():
         load_dictionary(f"{BASE}/checkcompoundpattern.aff",
                         f"{BASE}/checkcompoundpattern.dic")
     with pytest.raises(NotImplementedError):
-        load_dictionary(f"{BASE}/conv.aff", f"{BASE}/conv.dic")
+        load_dictionary(f"{BASE}/germancompounding.aff",
+                        f"{BASE}/germancompounding.dic")
 
 
 def test_compound_and_gates():
