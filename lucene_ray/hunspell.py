@@ -60,9 +60,7 @@ def _is_number(w: str) -> bool:
 
 _UNSUPPORTED = (
     "COMPOUNDBEGIN", "COMPOUNDMIDDLE", "COMPOUNDEND",
-    "CHECKCOMPOUNDCASE", "CHECKCOMPOUNDDUP", "CHECKCOMPOUNDREP",
-    "CHECKCOMPOUNDPATTERN", "CHECKCOMPOUNDTRIPLE",
-    "COMPOUNDPERMITFLAG", "COMPOUNDFORBIDFLAG", "FORCEUCASE",
+    "CHECKCOMPOUNDREP", "CHECKCOMPOUNDPATTERN", "FORCEUCASE",
     "COMPLEXPREFIXES", "PSEUDOROOT", "SIMPLIFIEDTRIPLE", "LANG",
     "CHECKSHARPS", "SYLLABLENUM", "COMPOUNDSYLLABLE",
 )
@@ -107,6 +105,11 @@ class HunspellDictionary:
         self.ignore_chars = ""
         self.breaks: "list[str] | None" = None   # None = default table
         self.aliases: list = []
+        self.compound_permit = None
+        self.compound_forbid = None
+        self.check_compound_dup = False
+        self.check_compound_triple = False
+        self.check_compound_case = False
         self.prefixes: dict[str, list[_Affix]] = {}
         self.suffixes: dict[str, list[_Affix]] = {}
         self._parse_aff(aff_text)
@@ -151,14 +154,23 @@ class HunspellDictionary:
                 self.fullstrip = True
             elif key in ("NEEDAFFIX", "CIRCUMFIX", "KEEPCASE",
                          "FORBIDDENWORD", "ONLYINCOMPOUND",
-                         "COMPOUNDFLAG"):
+                         "COMPOUNDFLAG", "COMPOUNDPERMITFLAG",
+                         "COMPOUNDFORBIDFLAG"):
                 attr = {"NEEDAFFIX": "needaffix",
                         "CIRCUMFIX": "circumfix",
                         "KEEPCASE": "keepcase",
                         "FORBIDDENWORD": "forbiddenword",
                         "ONLYINCOMPOUND": "onlyincompound",
-                        "COMPOUNDFLAG": "compoundflag"}[key]
+                        "COMPOUNDFLAG": "compoundflag",
+                        "COMPOUNDPERMITFLAG": "compound_permit",
+                        "COMPOUNDFORBIDFLAG": "compound_forbid"}[key]
                 setattr(self, attr, self._flags(parts[1])[0])
+            elif key == "CHECKCOMPOUNDDUP":
+                self.check_compound_dup = True
+            elif key == "CHECKCOMPOUNDTRIPLE":
+                self.check_compound_triple = True
+            elif key == "CHECKCOMPOUNDCASE":
+                self.check_compound_case = True
             elif key == "COMPOUNDMIN":
                 self.compound_min = max(1, int(parts[1]))
             elif key == "COMPOUNDWORDMAX":
@@ -405,27 +417,69 @@ class HunspellDictionary:
 
     def _compound_part_ok(self, piece: str, pos: str, variant: bool
                           ) -> bool:
+        """A compound part must derive to an entry whose EFFECTIVE
+        flag set (root flags plus applied affixes' append flags)
+        carries the compound flag; affixes away from their natural
+        edge need COMPOUNDPERMITFLAG, and COMPOUNDFORBIDFLAG bans the
+        derivation from begin/middle positions."""
         cf = self.compoundflag
+        permit = self.compound_permit
+        forbid = self.compound_forbid
+        if forbid is not None and pos in ("begin", "middle"):
+            # a dictionary homonym carrying the forbid flag bans the
+            # whole piece, overriding permit flags (compoundforbid)
+            if any(forbid in fl for fl in self.words.get(piece, ())):
+                return False
         for root, parts in self._analyses(piece):
+            has_sfx = any(k == "sfx" for k, _a in parts)
+            has_pfx = any(k == "pfx" for k, _a in parts)
             if pos == "middle" and parts:
-                continue
-            if pos == "begin" and any(k == "sfx" for k, _a in parts):
-                continue
-            if pos == "end" and any(k == "pfx" for k, _a in parts):
-                continue
-            # middle/end parts never apply case-variant entry rules
-            # (findStem passes a null case there)
+                if permit is None:
+                    continue
+                if not all(permit in a.append_flags
+                           for _k, a in parts):
+                    continue
+            if pos == "begin" and has_sfx:
+                if permit is None or not all(
+                        permit in a.append_flags
+                        for k, a in parts if k == "sfx"):
+                    continue
+            if pos == "end" and has_pfx:
+                if permit is None or not all(
+                        permit in a.append_flags
+                        for k, a in parts if k == "pfx"):
+                    continue
             v = variant if pos == "begin" else False
             found = self._find_entry(root, parts, v, True)
             if found is None and pos != "begin":
                 found = self._find_entry(root, parts, True, True)
             if found is self._POISON or found is None or found[1]:
                 continue
-            if cf is not None and cf in found[0]:
+            eff = set(found[0])
+            for _k, a in parts:
+                eff.update(a.append_flags)
+            if forbid is not None and forbid in eff \
+                    and pos in ("begin", "middle"):
+                continue
+            if cf is not None and cf in eff:
                 return True
         return False
 
+    def _boundary_ok(self, left: str, right: str) -> bool:
+        if self.check_compound_triple:
+            if left[-1] == right[0]:
+                if (len(left) > 1 and left[-2] == left[-1]) \
+                        or (len(right) > 1 and right[1] == right[0]):
+                    return False
+        if self.check_compound_case:
+            lc, rc = left[-1], right[0]
+            if (lc.isupper() or rc.isupper()) \
+                    and lc != "-" and rc != "-":
+                return False
+        return True
+
     def _check_compound_flag(self, word: str, variant: bool,
+                             prev_part: "str | None" = None,
                              n_parts: int = 1) -> bool:
         if self.compoundflag is None:
             return False
@@ -439,12 +493,18 @@ class HunspellDictionary:
                 # a dictionary word PAIR forbids the concatenation
                 # (the wordpair rule)
                 continue
+            if not self._boundary_ok(head, tail):
+                continue
             pos = "begin" if n_parts == 1 else "middle"
             if not self._compound_part_ok(head, pos, variant):
                 continue
-            if self._compound_part_ok(tail, "end", variant):
-                return True
-            if self._check_compound_flag(tail, variant, n_parts + 1):
+            if len(tail) >= cmin \
+                    and self._compound_part_ok(tail, "end", variant):
+                # CHECKCOMPOUNDDUP forbids a duplicated FINAL pair
+                if not (self.check_compound_dup and head == tail):
+                    return True
+            if self._check_compound_flag(tail, variant, head,
+                                         n_parts + 1):
                 return True
         return False
 

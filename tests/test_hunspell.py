@@ -21,7 +21,9 @@ SUPPORTED = ["IJ", "allcaps", "base", "base_utf", "breakdefault",
              "maxNGramSugsDefault", "needaffix5", "ngram", "nosuggest",
              "opentaal_forbiddenword1", "opentaal_forbiddenword2",
              "ph", "sug", "sug2", "wordpair", "break", "breakoff",
-             "conv", "ignore", "oconv", "rep"]
+             "conv", "ignore", "oconv", "rep", "checkcompounddup",
+             "checkcompoundtriple", "checkcompoundcase",
+             "compoundforbid", "empty", "morphalias", "compressed"]
 
 
 @pytest.mark.parametrize("name", SUPPORTED)
