@@ -23,6 +23,7 @@ from __future__ import annotations
 import re
 
 _DOTTED_I = str.maketrans({"\u0130": "i"})
+_TR_LOWER = str.maketrans({"\u0130": "i", "I": "\u0131"})
 
 
 def _hun_lower(w: str) -> str:
@@ -53,6 +54,26 @@ def _word_case(w: str) -> str:
     return "mixed"
 
 
+def _sharp_variants(low: str) -> list:
+    """CHECKSHARPS: an ALL-CAPS word's 'SS' pairs may each stand for
+    'ß' — enumerate the replacement combinations (Stemmer.varySharpS),
+    bounded."""
+    out = []
+    spots = []
+    i = low.find("ss")
+    while i >= 0 and len(spots) < 6:
+        spots.append(i)
+        i = low.find("ss", i + 2)
+    for mask in range(1, 1 << len(spots)):
+        w = low
+        for bit in range(len(spots) - 1, -1, -1):
+            if mask & (1 << bit):
+                p = spots[bit]
+                w = w[:p] + "\u00df" + w[p + 2:]
+        out.append(w)
+    return out
+
+
 def _is_number(w: str) -> bool:
     """Hunspell skips number-shaped words: digit runs with single
     ./,/- separators strictly between them ('1..2' is NOT a number)."""
@@ -60,9 +81,9 @@ def _is_number(w: str) -> bool:
 
 _UNSUPPORTED = (
     "COMPOUNDBEGIN", "COMPOUNDMIDDLE", "COMPOUNDEND",
-    "CHECKCOMPOUNDREP", "CHECKCOMPOUNDPATTERN", "FORCEUCASE",
-    "COMPLEXPREFIXES", "PSEUDOROOT", "SIMPLIFIEDTRIPLE", "LANG",
-    "CHECKSHARPS", "SYLLABLENUM", "COMPOUNDSYLLABLE",
+    "CHECKCOMPOUNDPATTERN",
+    "COMPLEXPREFIXES", "PSEUDOROOT",
+    "SYLLABLENUM", "COMPOUNDSYLLABLE",
 )
 
 
@@ -110,6 +131,12 @@ class HunspellDictionary:
         self.check_compound_dup = False
         self.check_compound_triple = False
         self.check_compound_case = False
+        self.check_compound_rep = False
+        self.simplified_triple = False
+        self.force_ucase = None
+        self.check_sharps = False
+        self.lang_turkic = False
+        self.rep_table: list = []
         self.prefixes: dict[str, list[_Affix]] = {}
         self.suffixes: dict[str, list[_Affix]] = {}
         self._parse_aff(aff_text)
@@ -171,6 +198,20 @@ class HunspellDictionary:
                 self.check_compound_triple = True
             elif key == "CHECKCOMPOUNDCASE":
                 self.check_compound_case = True
+            elif key == "CHECKCOMPOUNDREP":
+                self.check_compound_rep = True
+            elif key == "SIMPLIFIEDTRIPLE":
+                self.simplified_triple = True
+            elif key == "FORCEUCASE":
+                self.force_ucase = self._flags(parts[1])[0]
+            elif key == "CHECKSHARPS":
+                self.check_sharps = True
+            elif key == "LANG":
+                self.lang_turkic = parts[1].split("_")[0] in ("tr",
+                                                              "az")
+            elif key == "REP":
+                if len(parts) >= 3:
+                    self.rep_table.append((parts[1], parts[2]))
             elif key == "COMPOUNDMIN":
                 self.compound_min = max(1, int(parts[1]))
             elif key == "COMPOUNDWORDMAX":
@@ -233,7 +274,15 @@ class HunspellDictionary:
             line = line.split("#")[0].strip()
             if not line:
                 continue
-            line = line.split("\t")[0].strip()  # drop morph columns
+            toks = line.replace("\t", " ").split(" ")
+            word_toks, ph_fields = [], []
+            for t in toks:
+                if re.match(r"^[a-z][a-z]:", t):
+                    if t.startswith("ph:") and len(t) > 3:
+                        ph_fields.append(t[3:])
+                elif not ph_fields:
+                    word_toks.append(t)
+            line = " ".join(word_toks).strip()
             if not line:
                 continue
             if "/" in line:
@@ -241,6 +290,19 @@ class HunspellDictionary:
                 flags = frozenset(self._flags(fl))
             else:
                 word, flags = line, frozenset()
+            for ph in ph_fields:
+                # ph: fields feed the REP table
+                # (Dictionary.java's dictionary phonetic entries):
+                # "bad->good" maps directly; a trailing '*' strips the
+                # last char of both sides
+                if "->" in ph:
+                    src, dst = ph.split("->", 1)
+                elif ph.endswith("*"):
+                    src, dst = ph[:-1][:-1], word[:-1]
+                else:
+                    src, dst = ph, word
+                if src:
+                    self.rep_table.append((src, dst))
             self.words.setdefault(word, []).append(flags)
             # hidden TITLECASE homonyms (Dictionary.java:1073-1091):
             # for MIXED-case words, and for ALL-CAPS words with flags
@@ -386,9 +448,15 @@ class HunspellDictionary:
             for flags in entries:
                 if variant and self.keepcase is not None \
                         and self.keepcase in flags:
-                    if not hidden:
+                    if self.check_sharps and "\u00df" in root:
+                        # CHECKSHARPS: a sharp-s keepcase entry still
+                        # accepts under case variation
+                        # (Hunspell.acceptCase's sharp-s exception)
+                        pass
+                    elif not hidden:
                         return self._POISON
-                    continue
+                    else:
+                        continue
                 if not self._authorized(flags, parts):
                     continue
                 if not self._gates(flags, parts, in_compound):
@@ -478,6 +546,19 @@ class HunspellDictionary:
                 return False
         return True
 
+    def _rep_collision(self, word: str) -> bool:
+        """CHECKCOMPOUNDREP: the compound is forbidden when a REP
+        replacement turns the whole word into a dictionary word."""
+        for src, dst in self.rep_table:
+            i = word.find(src)
+            while i >= 0:
+                cand = word[:i] + dst + word[i + len(src):]
+                if cand != word and (cand in self.words
+                                     or self._check_simple(cand, False)):
+                    return True
+                i = word.find(src, i + 1)
+        return False
+
     def _check_compound_flag(self, word: str, variant: bool,
                              prev_part: "str | None" = None,
                              n_parts: int = 1) -> bool:
@@ -486,26 +567,58 @@ class HunspellDictionary:
         if self.compound_max is not None \
                 and n_parts + 1 > self.compound_max:
             return False
+        if n_parts == 1 and self.check_compound_rep \
+                and self._rep_collision(word):
+            return False
         cmin = self.compound_min
         for brk in range(cmin, len(word) - cmin + 1):
-            head, tail = word[:brk], word[brk:]
-            if f"{head} {tail}" in self.words:
-                # a dictionary word PAIR forbids the concatenation
-                # (the wordpair rule)
-                continue
-            if not self._boundary_ok(head, tail):
-                continue
-            pos = "begin" if n_parts == 1 else "middle"
-            if not self._compound_part_ok(head, pos, variant):
-                continue
-            if len(tail) >= cmin \
-                    and self._compound_part_ok(tail, "end", variant):
-                # CHECKCOMPOUNDDUP forbids a duplicated FINAL pair
-                if not (self.check_compound_dup and head == tail):
+            heads = [(word[:brk], word[brk:])]
+            if self.simplified_triple and brk < len(word) \
+                    and word[brk - 1] == word[brk]:
+                # SIMPLIFIEDTRIPLE: the boundary letter may be elided
+                # (head keeps the doubled letter, tail reuses it)
+                heads.append((word[:brk + 1], word[brk:]))
+            for hi, (head, tail) in enumerate(heads):
+                simplified = hi == 1
+                if f"{head} {tail}" in self.words:
+                    # a dictionary word PAIR forbids the concatenation
+                    continue
+                if not simplified and not self._boundary_ok(head, tail):
+                    continue
+                if self.check_compound_rep and prev_part \
+                        and self._rep_collision(prev_part + head):
+                    # the joined neighbor pair collides with a REP-
+                    # corrected dictionary word (CHECKCOMPOUNDREP)
+                    continue
+                pos = "begin" if n_parts == 1 else "middle"
+                if not self._compound_part_ok(head, pos, variant):
+                    continue
+                if len(tail) >= cmin and self._compound_part_ok(
+                        tail, "end", variant):
+                    if self.check_compound_dup and head == tail:
+                        continue
+                    if self.check_compound_rep \
+                            and self._rep_collision(head + tail):
+                        continue
+                    if self.force_ucase is not None \
+                            and not self._force_ok \
+                            and self._part_has_flag(tail,
+                                                    self.force_ucase):
+                        # FORCEUCASE: this ending demands a
+                        # capitalized surface
+                        pass
+                    else:
+                        return True
+                if self._check_compound_flag(tail, variant, head,
+                                             n_parts + 1):
                     return True
-            if self._check_compound_flag(tail, variant, head,
-                                         n_parts + 1):
-                return True
+        return False
+
+    def _part_has_flag(self, piece: str, flag) -> bool:
+        for root, parts in self._analyses(piece):
+            for fl in self.words.get(root, ()):
+                if flag in fl:
+                    return True
         return False
 
     def _check_compound_rules(self, word: str) -> bool:
@@ -551,6 +664,11 @@ class HunspellDictionary:
         return parts_flags(word, [])
 
     # -- spell ----------------------------------------------------------
+
+    def _lower(self, w: str) -> str:
+        if self.lang_turkic:
+            return w.translate(_TR_LOWER).lower()
+        return _hun_lower(w)
 
     def _clean_input(self, word: str) -> str:
         """Dictionary.cleanInput: ICONV longest-match rewriting plus
@@ -601,11 +719,12 @@ class HunspellDictionary:
         simple = self._check_simple(word, False)
         if simple is not None:
             return simple
+        wc = _word_case(word)
+        self._force_ok = wc in ("upper", "title")
         if self._check_compound_rules(word):
             return True
         if self._check_compound_flag(word, False):
             return True
-        wc = _word_case(word)
         if wc in ("upper", "title"):
             for v in self._case_variants(word, wc):
                 r = self._check_simple(v, True)
@@ -649,7 +768,7 @@ class HunspellDictionary:
     def _case_variants(self, word: str, wc: str):
         out = []
         if wc == "upper":
-            title = word[:1] + _hun_lower(word[1:])
+            title = word[:1] + self._lower(word[1:])
             apos = None
             i = title.find("'")
             if 0 < i < len(title) - 1:
@@ -657,12 +776,17 @@ class HunspellDictionary:
                     + title[i + 2:]
                 if apos != title:
                     out.append(apos)
+            if self.check_sharps and "SS" in word:
+                out.extend(title[:1] + v[1:]
+                           for v in _sharp_variants(self._lower(title)))
             out.append(title)
-            if "\u0130" not in word:      # dotted-I case change disallowed
-                out.append(_hun_lower(title))
+            if self.check_sharps and "SS" in word:
+                out.extend(_sharp_variants(self._lower(title)))
+            if "\u0130" not in word or self.lang_turkic:
+                out.append(self._lower(title))
         else:
-            if "\u0130" not in word:
-                out.append(_hun_lower(word))
+            if "\u0130" not in word or self.lang_turkic:
+                out.append(self._lower(word))
         return out
 
     def stems(self, word: str) -> list[str]:
@@ -688,9 +812,16 @@ def load_dictionary(aff_path: str, dic_path: str) -> HunspellDictionary:
     def read(p):
         raw = open(p, "rb").read()
         m = re.search(rb"SET\s+(\S+)", raw)
-        enc = m.group(1).decode().strip() if m else "utf-8"
+        if m:
+            enc = m.group(1).decode().strip()
+            try:
+                return raw.decode(enc)
+            except (LookupError, UnicodeDecodeError):
+                pass
+        # no (usable) SET: try strict UTF-8, else hunspell's
+        # ISO8859-1 default (e.g. the checksharps dictionary)
         try:
-            return raw.decode(enc)
-        except (LookupError, UnicodeDecodeError):
-            return raw.decode("utf-8", "replace")
+            return raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return raw.decode("ISO8859-1")
     return HunspellDictionary(read(aff_path), read(dic_path))

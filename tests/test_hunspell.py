@@ -12,18 +12,19 @@ from lucene_ray.hunspell import HunspellDictionary, load_dictionary
 BASE = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
         "lucene/analysis/hunspell")
 
-SUPPORTED = ["IJ", "allcaps", "base", "base_utf", "breakdefault",
-             "compoundflag", "compoundrule", "compoundrule2",
-             "compoundrule3", "compoundrule4", "compoundrule5",
-             "compoundrule6", "compoundrule7", "compoundrule8",
-             "flagutf8", "forbiddenword", "i53643", "i58202",
-             "keepcase", "keyDefault", "longStrip", "map",
-             "maxNGramSugsDefault", "needaffix5", "ngram", "nosuggest",
-             "opentaal_forbiddenword1", "opentaal_forbiddenword2",
-             "ph", "sug", "sug2", "wordpair", "break", "breakoff",
-             "conv", "ignore", "oconv", "rep", "checkcompounddup",
-             "checkcompoundtriple", "checkcompoundcase",
-             "compoundforbid", "empty", "morphalias", "compressed"]
+SUPPORTED = [
+    "IJ", "allcaps", "base", "base_utf", "break", "breakdefault",
+    "breakoff", "checkcompoundcase", "checkcompounddup",
+    "checkcompoundrep", "checkcompoundtriple", "checksharps",
+    "compoundflag", "compoundforbid", "compoundrule", "compoundrule2",
+    "compoundrule3", "compoundrule4", "compoundrule5", "compoundrule6",
+    "compoundrule7", "compoundrule8", "dotless_i", "empty", "flagutf8",
+    "forbiddenword", "forceucase", "i53643", "i58202", "keepcase",
+    "keyDefault", "longStrip", "map", "maxNGramSugsDefault",
+    "needaffix5", "ngram", "nosuggest", "oconv",
+    "opentaal_forbiddenword1", "opentaal_forbiddenword2", "ph", "ph2",
+    "rep", "simplifiedtriple", "sug", "sug2", "wordpair", "conv",
+    "ignore", "morphalias", "compressed"]
 
 
 @pytest.mark.parametrize("name", SUPPORTED)
@@ -50,6 +51,19 @@ def test_unsupported_fence():
     with pytest.raises(NotImplementedError):
         load_dictionary(f"{BASE}/germancompounding.aff",
                         f"{BASE}/germancompounding.dic")
+
+
+def test_turkic_sharps_and_force():
+    d = load_dictionary(f"{BASE}/dotless_i.aff", f"{BASE}/dotless_i.dic")
+    assert d.spell("DİYARBAKIR") and not d.spell("DIYARBAKIR")
+    cs = load_dictionary(f"{BASE}/checksharps.aff",
+                         f"{BASE}/checksharps.dic")
+    assert cs.spell("MÜSSIG") and cs.spell("AUSSTOSS") \
+        and not cs.spell("Müssig")
+    fu = load_dictionary(f"{BASE}/forceucase.aff",
+                         f"{BASE}/forceucase.dic")
+    assert fu.spell("Foobaz") and not fu.spell("foobaz") \
+        and fu.spell("foobazbar")
 
 
 def test_compound_and_gates():
