@@ -80,9 +80,9 @@ def _is_number(w: str) -> bool:
     return _NUM_RE.fullmatch(w) is not None
 
 _UNSUPPORTED = (
-    "COMPOUNDBEGIN", "COMPOUNDMIDDLE", "COMPOUNDEND",
-    "CHECKCOMPOUNDPATTERN",
-    "COMPLEXPREFIXES", "PSEUDOROOT",
+
+
+    "PSEUDOROOT",
     "SYLLABLENUM", "COMPOUNDSYLLABLE",
 )
 
@@ -137,6 +137,11 @@ class HunspellDictionary:
         self.check_sharps = False
         self.lang_turkic = False
         self.rep_table: list = []
+        self.compound_patterns: list = []
+        self.compound_begin = None
+        self.compound_middle = None
+        self.compound_end = None
+        self.complex_prefixes = False
         self.prefixes: dict[str, list[_Affix]] = {}
         self.suffixes: dict[str, list[_Affix]] = {}
         self._parse_aff(aff_text)
@@ -179,19 +184,40 @@ class HunspellDictionary:
                 self.flag_mode = "char" if mode == "utf-8" else mode
             elif key == "FULLSTRIP":
                 self.fullstrip = True
+            elif key == "COMPLEXPREFIXES":
+                self.complex_prefixes = True
             elif key in ("NEEDAFFIX", "CIRCUMFIX", "KEEPCASE",
                          "FORBIDDENWORD", "ONLYINCOMPOUND",
                          "COMPOUNDFLAG", "COMPOUNDPERMITFLAG",
-                         "COMPOUNDFORBIDFLAG"):
+                         "COMPOUNDFORBIDFLAG", "COMPOUNDBEGIN",
+                         "COMPOUNDMIDDLE", "COMPOUNDEND"):
                 attr = {"NEEDAFFIX": "needaffix",
                         "CIRCUMFIX": "circumfix",
                         "KEEPCASE": "keepcase",
                         "FORBIDDENWORD": "forbiddenword",
                         "ONLYINCOMPOUND": "onlyincompound",
                         "COMPOUNDFLAG": "compoundflag",
+                        "COMPOUNDBEGIN": "compound_begin",
+                        "COMPOUNDMIDDLE": "compound_middle",
+                        "COMPOUNDEND": "compound_end",
                         "COMPOUNDPERMITFLAG": "compound_permit",
                         "COMPOUNDFORBIDFLAG": "compound_forbid"}[key]
                 setattr(self, attr, self._flags(parts[1])[0])
+            elif key == "CHECKCOMPOUNDPATTERN":
+                if not (len(parts) == 2 and parts[1].isdigit()):
+                    def pf(tok):
+                        if "/" in tok:
+                            t, fl = tok.split("/", 1)
+                            flag = self._flags(fl)[0] if fl else None
+                        else:
+                            t, flag = tok, None
+                        return ("" if t == "0" else t), flag
+                    end, ef = pf(parts[1])
+                    beg, bf = pf(parts[2]) if len(parts) > 2 \
+                        else ("", None)
+                    rep = parts[3] if len(parts) > 3 else None
+                    self.compound_patterns.append(
+                        (end, ef, beg, bf, rep))
             elif key == "CHECKCOMPOUNDDUP":
                 self.check_compound_dup = True
             elif key == "CHECKCOMPOUNDTRIPLE":
@@ -373,6 +399,12 @@ class HunspellDictionary:
                 yield r2, [("sfx", s1), ("sfx", s2)]
         for rp, p in self._prefix_roots(word):
             yield rp, [("pfx", p)]
+            if self.complex_prefixes:
+                for rp2, p2 in self._prefix_roots(rp):
+                    yield rp2, [("pfx", p), ("pfx2", p2)]
+                    for r1, s1 in self._suffix_roots(rp2):
+                        yield r1, [("pfx", p), ("pfx2", p2),
+                                   ("sfx", s1)]
             if not p.cross:
                 continue
             for r1, s1 in self._suffix_roots(rp):
@@ -390,17 +422,42 @@ class HunspellDictionary:
         flags (Dictionary's affix-on-affix authorization)."""
         sfx = [a for k, a in parts if k == "sfx"]
         pfx = [a for k, a in parts if k == "pfx"]
-        if sfx:
-            inner = sfx[-1]
+        pfx_inner = [a for k, a in parts if k == "pfx2"]
+        if pfx_inner:
+            inner = pfx_inner[0]
             if inner.flag not in flags:
                 return False
+            # the outer prefix may be authorized by the inner's
+            # append flags (COMPLEXPREFIXES chains)
+            outer = pfx[0]
+            if outer.flag not in flags \
+                    and outer.flag not in inner.append_flags \
+                    and not any(outer.flag in a.append_flags
+                                for a in sfx):
+                return False
+            pfx = []
+        if sfx:
+            inner = sfx[-1]
+            # the innermost suffix is authorized by the entry or by the
+            # prefix's append flags (Stemmer.processStemCandidate's
+            # ``hasFlag(entryId, flag) || isFlagAppendedByAffix(
+            # prefixId, flag)``, Stemmer.java:269-270)
+            if inner.flag not in flags and not any(
+                    inner.flag in p.append_flags for p in pfx):
+                return False
+            # twofold chain: the outer (first-stripped) suffix's flag
+            # must be in the INNER suffix's continuation class — root
+            # flags never authorize the outer suffix
+            # (Stemmer.isAffixCompatible, Stemmer.java:564-571)
             for outer, inner_a in zip(sfx, sfx[1:]):
-                if outer.flag not in flags \
-                        and outer.flag not in inner_a.append_flags:
+                if outer.flag not in inner_a.append_flags:
                     return False
         for p in pfx:
-            ok = p.flag in flags or any(
-                p.flag in a.append_flags for a in sfx)
+            # a cross prefix is authorized by the entry or by the LAST
+            # (innermost) suffix's append flags only
+            # (Stemmer.java:271-277 checks lastAffix, not every suffix)
+            ok = p.flag in flags or (
+                sfx and p.flag in sfx[-1].append_flags)
             if not ok:
                 return False
         return True
@@ -424,8 +481,11 @@ class HunspellDictionary:
             if pfx_cf != sfx_cf:
                 return False
         oic = self.onlyincompound
-        if oic is not None and not in_compound and oic in flags:
-            return False
+        if oic is not None and not in_compound:
+            if oic in flags:
+                return False
+            if any(oic in a.append_flags for _k, a in parts):
+                return False                # fogemorpheme affix
         return True
 
     _POISON = object()        # keepcase entry hit under case variation
@@ -491,6 +551,9 @@ class HunspellDictionary:
         edge need COMPOUNDPERMITFLAG, and COMPOUNDFORBIDFLAG bans the
         derivation from begin/middle positions."""
         cf = self.compoundflag
+        pos_flag = {"begin": self.compound_begin,
+                    "middle": self.compound_middle,
+                    "end": self.compound_end}[pos]
         permit = self.compound_permit
         forbid = self.compound_forbid
         if forbid is not None and pos in ("begin", "middle"):
@@ -517,6 +580,11 @@ class HunspellDictionary:
                         permit in a.append_flags
                         for k, a in parts if k == "pfx"):
                     continue
+            if pos == "end" and self.onlyincompound is not None \
+                    and any(k == "sfx" and a.append
+                            and self.onlyincompound in a.append_flags
+                            for k, a in parts):
+                continue    # visible linking SUFFIXES never final
             v = variant if pos == "begin" else False
             found = self._find_entry(root, parts, v, True)
             if found is None and pos != "begin":
@@ -530,6 +598,8 @@ class HunspellDictionary:
                     and pos in ("begin", "middle"):
                 continue
             if cf is not None and cf in eff:
+                return True
+            if pos_flag is not None and pos_flag in eff:
                 return True
         return False
 
@@ -559,10 +629,39 @@ class HunspellDictionary:
                 i = word.find(src, i + 1)
         return False
 
+    def _piece_flag(self, piece: str, flag) -> bool:
+        return any(flag in fl for fl in self.words.get(piece, ()))
+
+    def _ccp_forbids(self, head: str, tail: str) -> bool:
+        """CHECKCOMPOUNDPATTERN plain-boundary forbids: prev ends with
+        the end chars (flag-gated on the BARE entries) and next begins
+        with the begin chars."""
+        for end, ef, beg, bf, _rep in self.compound_patterns:
+            if end and not head.endswith(end):
+                continue
+            if beg and not tail.startswith(beg):
+                continue
+            if ef is not None and not self._piece_flag(head, ef):
+                continue
+            if bf is not None and not self._piece_flag(
+                    tail if beg == "" else tail, bf):
+                # flag condition applies to the FIRST tail part; for
+                # the bare-pattern case the whole tail's first part is
+                # checked by the recursion, approximate with prefixes
+                ok = False
+                for ln in range(1, len(tail) + 1):
+                    if self._piece_flag(tail[:ln], bf):
+                        ok = True
+                        break
+                if not ok:
+                    continue
+            return True
+        return False
+
     def _check_compound_flag(self, word: str, variant: bool,
                              prev_part: "str | None" = None,
                              n_parts: int = 1) -> bool:
-        if self.compoundflag is None:
+        if self.compoundflag is None and self.compound_begin is None:
             return False
         if self.compound_max is not None \
                 and n_parts + 1 > self.compound_max:
@@ -584,6 +683,9 @@ class HunspellDictionary:
                     # a dictionary word PAIR forbids the concatenation
                     continue
                 if not simplified and not self._boundary_ok(head, tail):
+                    continue
+                if self.compound_patterns \
+                        and self._ccp_forbids(head, tail):
                     continue
                 if self.check_compound_rep and prev_part \
                         and self._rep_collision(prev_part + head):
@@ -612,6 +714,31 @@ class HunspellDictionary:
                 if self._check_compound_flag(tail, variant, head,
                                              n_parts + 1):
                     return True
+        # CHECKCOMPOUNDPATTERN replacements: the boundary surface may
+        # be the replacement of endchars+beginchars
+        for end, ef, beg, bf, rep in self.compound_patterns:
+            if not rep:
+                continue
+            i = word.find(rep, 1)
+            while 0 < i < len(word):
+                head = word[:i] + end
+                tail = beg + word[i + len(rep):]
+                if len(head) >= cmin and len(tail) >= 1 \
+                        and (ef is None
+                             or self._piece_flag(head, ef)) \
+                        and (bf is None
+                             or any(self._piece_flag(tail[:ln], bf)
+                                    for ln in range(1, len(tail) + 1))):
+                    pos = "begin" if n_parts == 1 else "middle"
+                    if self._compound_part_ok(head, pos, variant):
+                        if len(tail) >= cmin \
+                                and self._compound_part_ok(
+                                    tail, "end", variant):
+                            return True
+                        if self._check_compound_flag(
+                                tail, variant, head, n_parts + 1):
+                            return True
+                i = word.find(rep, i + 1)
         return False
 
     def _part_has_flag(self, piece: str, flag) -> bool:
@@ -790,21 +917,17 @@ class HunspellDictionary:
         return out
 
     def stems(self, word: str) -> list[str]:
+        """Dictionary roots the word derives from, through the same
+        authorization/gate machinery spell() uses (Stemmer.stem) —
+        circumfix chains (leg...obb), complex-prefix chains and
+        prefix-authorized-by-suffix derivations all resolve."""
         out = []
-        if word in self.words:
-            out.append(word)
-        for root, sfx in self._suffix_roots(word):
-            if self._root_has(root, sfx.flag) and root not in out:
+        for root, parts in self._analyses(word):
+            found = self._find_entry(root, parts, False, False)
+            if found is self._POISON or found is None or found[1]:
+                continue
+            if root not in out:
                 out.append(root)
-        for root, pfx in self._prefix_roots(word):
-            if self._root_has(root, pfx.flag) and root not in out:
-                out.append(root)
-            if pfx.cross:
-                for root2, sfx in self._suffix_roots(root):
-                    if sfx.cross and self._root_has(root2, pfx.flag) \
-                            and self._root_has(root2, sfx.flag) \
-                            and root2 not in out:
-                        out.append(root2)
         return out
 
 

@@ -1,7 +1,8 @@
-"""Hunspell core gates: every reference test dictionary whose .aff uses
-only the supported affix core must pass its FULL .good/.wrong battery;
-dictionaries using compound/conversion machinery must raise
-NotImplementedError at load (the honest fence)."""
+"""Hunspell core gates: every reference test dictionary with a
+.good/.wrong battery passes it in FULL (53/53), and the
+dictionaries whose reference tests use inline words (circumfix,
+complexprefix, needaffix, twosuffixes, zeroaffix/2) are pinned with
+those exact assertions."""
 
 import os
 
@@ -15,13 +16,15 @@ BASE = ("/root/reference/lucene/analysis/common/src/test/org/apache/"
 SUPPORTED = [
     "IJ", "allcaps", "base", "base_utf", "break", "breakdefault",
     "breakoff", "checkcompoundcase", "checkcompounddup",
-    "checkcompoundrep", "checkcompoundtriple", "checksharps",
-    "compoundflag", "compoundforbid", "compoundrule", "compoundrule2",
-    "compoundrule3", "compoundrule4", "compoundrule5", "compoundrule6",
-    "compoundrule7", "compoundrule8", "dotless_i", "empty", "flagutf8",
-    "forbiddenword", "forceucase", "i53643", "i58202", "keepcase",
-    "keyDefault", "longStrip", "map", "maxNGramSugsDefault",
-    "needaffix5", "ngram", "nosuggest", "oconv",
+    "checkcompoundpattern", "checkcompoundpattern2",
+    "checkcompoundpattern3", "checkcompoundrep", "checkcompoundtriple",
+    "checksharps", "compoundflag", "compoundforbid", "compoundrule",
+    "compoundrule2", "compoundrule3", "compoundrule4", "compoundrule5",
+    "compoundrule6", "compoundrule7", "compoundrule8", "dotless_i",
+    "empty", "flagutf8", "forbiddenword", "forceucase",
+    "germanManualCase", "germancompounding", "i53643", "i58202",
+    "keepcase", "keyDefault", "longStrip", "map", "maxNGramSugsDefault",
+    "needaffix5", "ngram", "nosuggest", "oconv", "onlyincompound2",
     "opentaal_forbiddenword1", "opentaal_forbiddenword2", "ph", "ph2",
     "rep", "simplifiedtriple", "sug", "sug2", "wordpair", "conv",
     "ignore", "morphalias", "compressed"]
@@ -44,13 +47,56 @@ def test_reference_battery(name):
         assert n >= 10
 
 
-def test_unsupported_fence():
-    with pytest.raises(NotImplementedError):
-        load_dictionary(f"{BASE}/checkcompoundpattern.aff",
-                        f"{BASE}/checkcompoundpattern.dic")
-    with pytest.raises(NotImplementedError):
-        load_dictionary(f"{BASE}/germancompounding.aff",
+# TestCircumfix/TestComplexPrefix/TestNeedAffix/TestTwoSuffixes/
+# TestZeroAffix(2).java assert with inline words (no .good/.wrong
+# files); (word, expected stem or None=misspelled) transcribed 1:1.
+INLINE = {
+    "circumfix": [
+        ("nagy", "nagy"), ("nagyobb", "nagy"), ("legnagyobb", "nagy"),
+        ("legeslegnagyobb", "nagy"), ("nagyobbobb", None),
+        ("legnagy", None), ("legeslegnagy", None)],
+    "complexprefix": [
+        ("ptwofoo", "foo"), ("poneptwofoo", "foo"), ("foosuf", "foo"),
+        ("ptwofoosuf", "foo"), ("poneptwofoosuf", "foo"),
+        ("ponefoo", None), ("ponefoosuf", None), ("ptwoponefoo", None),
+        ("ptwoponefoosuf", None)],
+    "needaffix": [
+        ("drink", "drink"), ("drinks", "drink"), ("walk", None),
+        ("walks", "walk"), ("prewalk", "walk"), ("prewalks", "walk"),
+        ("test", None), ("pretest", None), ("tests", None),
+        ("pretests", None)],
+    "twosuffixes": [
+        ("drink", "drink"), ("drinkable", "drink"),
+        ("drinks", "drink"), ("drinkableable", None),
+        ("drinkss", None)],
+    "zeroaffix": [("drink", "drinksierranevada")],
+    "zeroaffix2": [("b", "beer")],
+}
+
+
+@pytest.mark.parametrize("name", sorted(INLINE))
+def test_inline_java_battery(name):
+    d = load_dictionary(f"{BASE}/{name}.aff", f"{BASE}/{name}.dic")
+    for word, stem in INLINE[name]:
+        assert d.spell(word) == (stem is not None), (name, word)
+        if stem is not None:
+            assert stem in d.stems(word), (name, word, d.stems(word))
+
+
+def test_german_compounding_semantics():
+    """The hardest battery: positional compound flags fed by affix
+    continuation classes, decapitalizing circumfix-style prefixes, and
+    the twofold rule that an outer suffix is authorized ONLY by the
+    inner suffix's continuation class (Stemmer.java:564-571) — without
+    that rule 'computerarbeit' (lowercase at compound begin) leaks."""
+    d = load_dictionary(f"{BASE}/germancompounding.aff",
                         f"{BASE}/germancompounding.dic")
+    assert d.spell("Computerarbeit") and d.spell("Arbeitscomputer")
+    assert d.spell("Computerarbeits-Computerarbeit")
+    assert not d.spell("computerarbeit")       # lowercase begin
+    assert not d.spell("Arbeitcomputer")       # missing fogemorpheme s
+    assert not d.spell("Computerarbeits")      # linking s word-final
+    assert not d.spell("Arbeitsnehmer")        # FORBIDDENWORD entry
 
 
 def test_turkic_sharps_and_force():
