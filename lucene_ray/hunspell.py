@@ -136,7 +136,20 @@ class HunspellDictionary:
         self.force_ucase = None
         self.check_sharps = False
         self.lang_turkic = False
+        self.lang_code = None
         self.rep_table: list = []
+        # suggestion-side directives (Dictionary.java:159-167 defaults)
+        self.neighbor_key_groups = ["qwertyuiop", "asdfghjkl",
+                                    "zxcvbnm"]
+        self.map_table: list[list[str]] = []
+        self.enable_split_suggestions = True
+        self.max_ngram_suggestions = 4
+        self.max_diff = 5
+        self.only_max_diff = False
+        self.no_suggest = None
+        self.sub_standard = None
+        self.oconv: list = []
+        self._exclude: frozenset = frozenset()
         self.compound_patterns: list = []
         self.compound_begin = None
         self.compound_middle = None
@@ -233,8 +246,8 @@ class HunspellDictionary:
             elif key == "CHECKSHARPS":
                 self.check_sharps = True
             elif key == "LANG":
-                self.lang_turkic = parts[1].split("_")[0] in ("tr",
-                                                              "az")
+                self.lang_code = parts[1].split("_")[0]
+                self.lang_turkic = self.lang_code in ("tr", "az")
             elif key == "REP":
                 if len(parts) >= 3:
                     self.rep_table.append((parts[1], parts[2]))
@@ -251,7 +264,8 @@ class HunspellDictionary:
                 if len(parts) >= 3:
                     self.iconv.append((parts[1], parts[2]))
             elif key == "OCONV":
-                pass                         # suggestion-side only
+                if len(parts) >= 3:
+                    self.oconv.append((parts[1], parts[2]))
             elif key == "IGNORE":
                 self.ignore_chars = parts[1] if len(parts) > 1 else ""
             elif key == "BREAK":
@@ -269,6 +283,39 @@ class HunspellDictionary:
                     self.aliases.append(parts[1])
             elif key == "TRY":
                 self.try_chars = parts[1] if len(parts) > 1 else ""
+            elif key == "KEY":
+                if len(parts) > 1:
+                    self.neighbor_key_groups = parts[1].split("|")
+            elif key == "MAP":
+                if not (len(parts) == 2 and parts[1].isdigit()):
+                    # parenthesized groups are multi-char alternatives
+                    # (Dictionary.parseMapEntry)
+                    raw, entry, j = parts[1], [], 0
+                    while j < len(raw):
+                        if raw[j] == "(":
+                            close = raw.find(")", j)
+                            if close < 0:
+                                entry = []
+                                break        # lenient: unclosed paren
+                            entry.append(raw[j + 1:close])
+                            j = close + 1
+                        else:
+                            entry.append(raw[j])
+                            j += 1
+                    if entry:
+                        self.map_table.append(entry)
+            elif key == "NOSPLITSUGS":
+                self.enable_split_suggestions = False
+            elif key == "MAXNGRAMSUGS":
+                self.max_ngram_suggestions = int(parts[1])
+            elif key == "MAXDIFF":
+                self.max_diff = min(10, max(0, int(parts[1])))
+            elif key == "ONLYMAXDIFF":
+                self.only_max_diff = True
+            elif key == "NOSUGGEST":
+                self.no_suggest = self._flags(parts[1])[0]
+            elif key == "SUBSTANDARD":
+                self.sub_standard = self._flags(parts[1])[0]
             elif key in ("PFX", "SFX"):
                 if len(parts) < 4 or not parts[3].isdigit():
                     continue                 # lenient: malformed header
@@ -291,8 +338,7 @@ class HunspellDictionary:
                         app_flags = self._flags(fl)
                     rules.append(_Affix(flag, cross, strip, append,
                                         cond, app_flags))
-            # SET/WORDCHARS/KEY/NOSUGGEST/MAXNGRAMSUGS/ONLYMAXDIFF/
-            # REP/MAP/name lines: ignored (suggestion-side or cosmetic)
+            # SET/WORDCHARS/name lines: cosmetic, ignored
 
     def _parse_dic(self, text: str) -> None:
         lines = text.splitlines()
@@ -517,6 +563,11 @@ class HunspellDictionary:
                         return self._POISON
                     else:
                         continue
+                if self._exclude and (self._exclude & set(flags)):
+                    # suggestion-mode speller: NOSUGGEST/SUBSTANDARD
+                    # roots are not acceptable stems
+                    # (Suggester.java acceptsStem override)
+                    continue
                 if not self._authorized(flags, parts):
                     continue
                 if not self._gates(flags, parts, in_compound):
@@ -796,6 +847,55 @@ class HunspellDictionary:
         if self.lang_turkic:
             return w.translate(_TR_LOWER).lower()
         return _hun_lower(w)
+
+    def _case_fold_char(self, c: str) -> str:
+        """Dictionary.caseFold: per-char lowering with the Turkic I
+        rules (Dictionary.java:1586-1598)."""
+        if self.lang_turkic:
+            if c == "I":
+                return "ı"
+            if c == "İ":
+                return "i"
+        return c.lower()
+
+    def _title_case(self, w: str) -> str:
+        """Dictionary.toTitleCase: plain uppercase first char (no
+        Turkic special there), caseFold for the rest."""
+        return w[:1].upper() + self._lower(w[1:]) if w else w
+
+    def _check_word(self, word: str) -> bool:
+        """Hunspell.checkWord (Hunspell.java:128-143): the simple
+        check plus compound checks, with NO input cleaning, NO case
+        variation and NO break-table splitting — the candidate
+        validator the suggesters use.  FORCEUCASE with a null original
+        case passes iff the word itself is capitalized
+        (Hunspell.java:290)."""
+        if not word:
+            return False
+        simple = self._check_simple(word, False)
+        if simple is not None:
+            return simple
+        self._force_ok = word[:1].isupper()
+        return self._check_compound_rules(word) \
+            or self._check_compound_flag(word, False)
+
+    def _apply_oconv(self, word: str) -> str:
+        """ConvTable.applyMappings for the OCONV table: longest match
+        at each position, left to right."""
+        if not self.oconv:
+            return word
+        out = []
+        i = 0
+        while i < len(word):
+            for src, dst in sorted(self.oconv, key=lambda p: -len(p[0])):
+                if word.startswith(src, i):
+                    out.append(dst)
+                    i += len(src)
+                    break
+            else:
+                out.append(word[i])
+                i += 1
+        return "".join(out)
 
     def _clean_input(self, word: str) -> str:
         """Dictionary.cleanInput: ICONV longest-match rewriting plus

@@ -130,6 +130,46 @@ def test_compound_and_gates():
     assert wp.spell("wordcompound") and not wp.spell("compoundword")
 
 
+# every dictionary with a .sug expectation file: suggestions for each
+# .wrong word must reproduce the file verbatim (TestSpellChecking
+# checkSpellCheckerExpectations — join ", " per word, drop empties)
+SUG_BATTERIES = [
+    "IJ", "allcaps", "base_utf", "breakdefault", "checksharps",
+    "forceucase", "germanManualCase", "i58202", "keepcase",
+    "keyDefault", "longStrip", "map", "maxNGramSugsDefault", "ngram",
+    "nosuggest", "oconv", "opentaal_forbiddenword1",
+    "opentaal_forbiddenword2", "ph", "ph2", "rep", "sug", "sug2"]
+
+
+@pytest.mark.parametrize("name", SUG_BATTERIES)
+def test_sug_battery(name):
+    from lucene_ray.hunspell_suggest import Suggester
+
+    d = load_dictionary(f"{BASE}/{name}.aff", f"{BASE}/{name}.dic")
+    sugg = Suggester(d)
+    lines = []
+    for w in open(f"{BASE}/{name}.wrong", encoding="utf-8"):
+        w = w.strip()
+        if w:
+            s = sugg.suggest(w)
+            if s:
+                lines.append(", ".join(s))
+    expect = open(f"{BASE}/{name}.sug", encoding="utf-8").read().strip()
+    assert "\n".join(lines) == expect
+
+
+def test_proceed_past_rep():
+    """TestSpellChecking.testRepSuggestions: by default Hunspell stops
+    at REP-produced hits; proceedPastRep keeps going and finds the
+    removal suggestion too."""
+    from lucene_ray.hunspell_suggest import Suggester
+
+    d = load_dictionary(f"{BASE}/rep.aff", f"{BASE}/rep.dic")
+    assert Suggester(d).suggest("autos") == ["auto's"]
+    assert Suggester(d, proceed_past_rep=True).suggest("autos") \
+        == ["auto's", "auto"]
+
+
 def test_lenient_broken_counts():
     # common-errors.aff deliberately miscounts affix rules; loading
     # must survive (the reference's Dictionary is lenient there)
