@@ -16031,3 +16031,121 @@ def parse_trec_qrels(text: str) -> "dict[str, dict[str, int]]":
         qid, _zero, doc, rel = parts
         out.setdefault(qid, {})[doc] = int(rel)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Hunspell vocabulary spellcheck (hunspell/Hunspell.java:63)
+
+_HUNSPELL_ROOTS = [
+    "row", "batch", "scan", "filter", "merge", "order", "value", "key",
+    "stream", "window", "group", "sort", "query", "data", "join",
+    "column"]
+
+_HUNSPELL_AFF = """SET UTF-8
+PFX U Y 1
+PFX U 0 un .
+SFX S Y 2
+SFX S 0 s [^sy]
+SFX S y ies [^aeiou]y
+SFX D Y 2
+SFX D 0 ed [^e]
+SFX D e ed e
+"""
+
+import re as _re_hs
+_HUNSPELL_ALPHA = _re_hs.compile(r"[A-Za-z]+")
+
+
+def _hunspell_variants(w: str) -> list:
+    """Deterministic planted derivations per corpus token: the bare
+    word, the three suffix shapes, the cross-product prefix, the
+    title/upper case folds and one genuinely mixed-case form."""
+    ies = w[:-1] + "ies" if w.endswith("y") else w + "ies"
+    return [w, w + "s", "un" + w, w + "ed", ies,
+            w[:1].upper() + w[1:], w.upper(), w + "X"]
+
+
+def ft_hunspell_spellcheck(sf_dir: str) -> pa.Table:
+    """Distributed Hunspell spellcheck of the corpus vocabulary
+    (hunspell/Hunspell.java:74 ``spell``): every alpha token is
+    expanded into its planted derivations and checked against a fixed
+    .aff/.dic (16 roots, all carrying the S/D suffix and U prefix
+    flags) — exercising dictionary lookup, suffix rules with
+    [^sy]/[^aeiou]y/[^e]/e conditions, the cross-product 'un' prefix
+    (Stemmer.java's prefix+suffix enumeration), and the UPPER/TITLE
+    case-variant fold (Stemmer.varyCase).  Terms are annotated
+    ``word|ok`` / ``word|miss``; df/ttf stats over the annotations.
+
+    Scale shape: the dictionary is tiny and closure-captured (one copy
+    per task, the broadcast-small-side pattern); checking is a pure
+    per-batch map."""
+    from ..hunspell import HunspellDictionary
+
+    dic_text = str(len(_HUNSPELL_ROOTS)) + "\n" + "\n".join(
+        r + "/SDU" for r in _HUNSPELL_ROOTS)
+    d = HunspellDictionary(_HUNSPELL_AFF, dic_text)
+
+    def toks(tx: str, _doc: int) -> list:
+        out = []
+        for w in _words(tx):
+            if not _HUNSPELL_ALPHA.fullmatch(w):
+                continue
+            for v in _hunspell_variants(w):
+                out.append(v + ("|ok" if d.spell(v) else "|miss"))
+        return out
+
+    return _rawtok_stats(sf_dir, toks)
+
+
+def oracle_hunspell_spellcheck_sql() -> str:
+    roots = ", ".join(f"'{r}'" for r in _HUNSPELL_ROOTS)
+    # sufok(z): dictionary word, or one suffix rule applied to a root
+    # (two-suffix chains are unreachable: no rule carries continuation
+    # flags, and the outer suffix of a chain is authorized only by the
+    # inner's continuation class)
+    sufok = f"""(z IN ({roots})
+     OR (length(z) >= 2 AND z LIKE '%s'
+         AND substr(z, 1, length(z)-1) IN ({roots})
+         AND substr(z, length(z)-1, 1) NOT IN ('s', 'y'))
+     OR (length(z) >= 4 AND z LIKE '%ies'
+         AND substr(z, 1, length(z)-3) || 'y' IN ({roots})
+         AND substr(z, length(z)-3, 1) NOT IN
+             ('a', 'e', 'i', 'o', 'u'))
+     OR (length(z) >= 3 AND z LIKE '%ed'
+         AND substr(z, 1, length(z)-2) IN ({roots})
+         AND substr(z, length(z)-2, 1) <> 'e')
+     OR (length(z) >= 3 AND z LIKE '%ed'
+         AND substr(z, 1, length(z)-2) || 'e' IN ({roots})))"""
+    return f"""WITH words AS (
+  SELECT doc_id AS d, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE regexp_full_match(w, '[A-Za-z]+')
+), v0 AS (
+  SELECT d, v FROM words, UNNEST([
+    w, w || 's', 'un' || w,  w || 'ed',
+    CASE WHEN w LIKE '%y'
+         THEN substr(w, 1, length(w)-1) || 'ies'
+         ELSE w || 'ies' END,
+    upper(substr(w, 1, 1)) || substr(w, 2), upper(w),
+    w || 'X']) AS t(v)
+), cased AS (
+  -- Stemmer.varyCase: UPPER and TITLE fold to lowercase; MIXED never
+  -- matches a lowercase dictionary
+  SELECT d, v,
+         CASE WHEN v = lower(v) THEN v
+              WHEN v = upper(v) THEN lower(v)
+              WHEN substr(v, 2) = lower(substr(v, 2)) THEN lower(v)
+              ELSE NULL END AS z
+  FROM v0
+), ok AS (
+  SELECT d, v,
+         z IS NOT NULL AND ({sufok}
+           OR (z LIKE 'un%' AND length(z) >= 3 AND (SELECT {sufok}
+               FROM (SELECT substr(cased.z, 3) AS z)))) AS good
+  FROM cased
+), fin AS (
+  SELECT d, v || CASE WHEN good THEN '|ok' ELSE '|miss' END AS term
+  FROM ok
+)
+{_RSLP_TAIL}"""
