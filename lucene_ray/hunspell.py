@@ -1020,15 +1020,91 @@ class HunspellDictionary:
         """Dictionary roots the word derives from, through the same
         authorization/gate machinery spell() uses (Stemmer.stem) —
         circumfix chains (leg...obb), complex-prefix chains and
-        prefix-authorized-by-suffix derivations all resolve."""
+        prefix-authorized-by-suffix derivations all resolve.  For
+        UPPER/TITLE words the case variants are stemmed too
+        (Stemmer.varyCase)."""
         out = []
-        for root, parts in self._analyses(word):
-            found = self._find_entry(root, parts, False, False)
-            if found is self._POISON or found is None or found[1]:
-                continue
-            if root not in out:
-                out.append(root)
+
+        def collect(w: str, variant: bool) -> None:
+            for root, parts in self._analyses(w):
+                found = self._find_entry(root, parts, variant, False)
+                if found is self._POISON or found is None or found[1]:
+                    continue
+                if root not in out:
+                    out.append(root)
+
+        collect(word, False)
+        wc = _word_case(word)
+        if wc in ("upper", "title"):
+            for v in self._case_variants(word, wc):
+                collect(v, True)
         return out
+
+
+def stem_filter(dictionary: "HunspellDictionary | None" = None,
+                longest_only: bool = False,
+                keywords: "frozenset[str] | set[str]" = frozenset(),
+                dedup: bool = True):
+    """HunspellStemFilter (hunspell/HunspellStemFilter.java:32) as a
+    vocabulary token filter: each token is replaced by its stems (all
+    of them — hunspell words can have several), or kept verbatim when
+    no stem is found or the token is keyword-marked
+    (SetKeywordMarkerFilter role, case-insensitive like the reference
+    test).  ``longest_only`` keeps the single longest stem (length
+    desc, then reverse-text tie break, HunspellStemFilter.java:118-127);
+    otherwise stems dedup in first-seen order (Stemmer.uniqueStems)."""
+    d = dictionary if dictionary is not None else demo_dictionary()
+    kw = {k.lower() for k in keywords}
+
+    def f(tokens: "list[str]") -> "list[str]":
+        out = []
+        for t in tokens:
+            if t.lower() in kw:
+                out.append(t)
+                continue
+            stems = d.stems(t)
+            if not stems:
+                out.append(t)
+            elif longest_only:
+                out.append(sorted(stems,
+                                  key=lambda s: (-len(s), *[-ord(c) for c in s]))[0])
+            else:
+                out.extend(dict.fromkeys(stems) if dedup else stems)
+        return out
+
+    return f
+
+
+# fixed demo dictionary (used by the registered "hunspell_stem" filter
+# and the ft_hunspell_spellcheck pipeline oracle): 16 roots over the
+# synthetic corpus vocabulary, all carrying the S/D suffix and U
+# prefix flags
+DEMO_ROOTS = [
+    "row", "batch", "scan", "filter", "merge", "order", "value", "key",
+    "stream", "window", "group", "sort", "query", "data", "join",
+    "column"]
+
+DEMO_AFF = """SET UTF-8
+PFX U Y 1
+PFX U 0 un .
+SFX S Y 2
+SFX S 0 s [^sy]
+SFX S y ies [^aeiou]y
+SFX D Y 2
+SFX D 0 ed [^e]
+SFX D e ed e
+"""
+
+_demo_dict = None
+
+
+def demo_dictionary() -> HunspellDictionary:
+    global _demo_dict
+    if _demo_dict is None:
+        dic = str(len(DEMO_ROOTS)) + "\n" + "\n".join(
+            r + "/SDU" for r in DEMO_ROOTS)
+        _demo_dict = HunspellDictionary(DEMO_AFF, dic)
+    return _demo_dict
 
 
 def load_dictionary(aff_path: str, dic_path: str) -> HunspellDictionary:
